@@ -1,0 +1,117 @@
+"""Partitioned Parquet lake: writer, reader, per-file overwrite semantics.
+
+Re-expresses the reference's blob sink (/root/reference/src/main.go:300-306)
+and the hive-style time-partitioned layout its README declares load-bearing
+(README.md:5: `<source>/YYYY/MM/DD/HH/...parquet` "efficient lookups").
+
+Scale notes:
+- `partitionBy(source, year, month, day, hour)` + dynamic partition
+  overwrite gives idempotent replay per partition; Catalyst partition
+  pruning then turns time-range queries into scans of only the touched
+  directories — the same property the reference delegates to Synapse
+  wildcard paths (README.md:94-99).
+- 128 MB row groups / snappy via session config (src/main.go:33-34).
+- Per-*file* overwrite parity (re-POST same `file` ⇒ replace that file,
+  README.md:88) is provided by `write_batch_files`, which writes each
+  batch to its own deterministic directory keyed by the `file` path —
+  the Spark-native equivalent of one-blob-per-POST.
+"""
+
+from __future__ import annotations
+
+import posixpath
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.schemas import PARTITION_COLUMNS
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def write_lake(points: DataFrame, lake_path: str, mode: str = "overwrite") -> None:
+    """Write normalized points into the partitioned lake.
+
+    With `partitionOverwriteMode=dynamic` (session default) an overwrite
+    only replaces the partitions present in `points` — idempotent replay
+    of a batch, no full-table rewrite.
+    """
+    (
+        points.write.mode(mode)
+        .partitionBy(*PARTITION_COLUMNS)
+        .parquet(lake_path)
+    )
+
+
+def read_lake(spark: SparkSession, lake_path: str) -> DataFrame:
+    """Read the lake with partition discovery; filters on the partition
+    columns prune directories before any file is opened."""
+    return spark.read.parquet(lake_path)
+
+
+def read_partition(
+    spark: SparkSession,
+    lake_path: str,
+    source: str,
+    year: int,
+    month: int,
+    day: int,
+    hour: int | None = None,
+) -> DataFrame:
+    """Partition-pruned scan — Spark-native `OPENROWSET(BULK '.../Y/M/D/H/*')`
+    (reference README.md:94-99). Expressed as filters so Catalyst prunes;
+    the physical plan reads only matching directories."""
+    df = read_lake(spark, lake_path).filter(
+        (F.col("source") == source)
+        & (F.col("year") == year)
+        & (F.col("month") == month)
+        & (F.col("day") == day)
+    )
+    if hour is not None:
+        df = df.filter(F.col("hour") == hour)
+    return df
+
+
+def write_batch_files(points: DataFrame, lake_root: str) -> list[str]:
+    """Exact per-file overwrite parity (ST3, reference README.md:88).
+
+    One POST = one parquet target keyed by the envelope `file` path;
+    re-sending the same key replaces the old contents. Spark controls
+    file naming inside a directory, so the deterministic unit here is a
+    directory per `file` key — `<lake_root>/<file>/part-*.parquet` —
+    which readers treat identically to a single file (glob scan).
+
+    The loop is over *distinct batch keys in this micro-batch* (small:
+    one per POST), not over rows — each write is a distributed job.
+    """
+    keys = [r[0] for r in points.select("file").distinct().collect()]
+    for key in keys:
+        target = posixpath.join(lake_root, key)
+        (
+            points.filter(F.col("file") == key)
+            .drop(*PARTITION_COLUMNS)
+            .write.mode("overwrite")
+            .parquet(target)
+        )
+    return keys
+
+
+def register_testdata(spark: SparkSession, sf_dir: str) -> None:
+    """Register the driver's parquet tables as temp views for spark.sql."""
+    for name in TABLES:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -1,0 +1,55 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The same config block is intended for a real cluster: AQE handles runtime
+re-planning (skew joins, partition coalescing), shuffle partitions default to
+the local core count but should be sized to ~2-3x total executor cores on a
+cluster, and parquet physicals match the reference writer
+(/root/reference/src/main.go:33-34 — 128 MB row groups, snappy).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+PARQUET_BLOCK_SIZE = 128 * 1024 * 1024  # reference: src/main.go:33
+
+
+def get_spark(
+    app_name: str = "api-to-parquet-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    - UTC session timezone (oracle comparisons; storage layer keeps raw
+      int64 epochs anyway, per SURVEY.md §1.4).
+    - AQE on: runtime shuffle-partition coalescing + skew-join handling —
+      this is what makes the same plans survive a 100x scale-up.
+    - Arrow enabled for the Pandas-UDF extension surface.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.hadoop.parquet.block.size", str(PARQUET_BLOCK_SIZE))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
