@@ -110,8 +110,37 @@ def write_batch_files(points: DataFrame, lake_root: str) -> list[str]:
 def register_testdata(spark: SparkSession, sf_dir: str) -> None:
     """Register the driver's parquet tables as temp views for spark.sql."""
     for name in TABLES:
-        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+        load(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader
+    rejects ([PARQUET_TYPE_ILLEGAL]) while DuckDB/pyarrow accept."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return []
+    return [
+        f.name
+        for f in schema
+        if pat.is_timestamp(f.type) and f.type.unit == "ns"
+    ]
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one testdata table; transparently adapt TIMESTAMP(NANOS)
+    columns (read as int64 nanos via the legacy conf, then rebuilt as
+    microsecond timestamps with exact integer division — matches DuckDB's
+    ns→µs truncation)."""
+    path = f"{sf_dir}/{name}.parquet"
+    ns_cols = _nanos_timestamp_columns(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

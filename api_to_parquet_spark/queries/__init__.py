@@ -1,0 +1,35 @@
+"""Query surface registry.
+
+Every operator in SURVEY.md §2 (plus the training-data-pipeline extension
+set) is exposed as a named query: a (spark, sf_dir) -> DataFrame callable,
+and — where SQL-expressible — a DuckDB oracle string with identical column
+names/types. The driver compares them value-by-value; both sides round any
+float arithmetic to a fixed precision so the comparison is order- and
+accumulation-order-insensitive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from api_to_parquet_spark.queries import reference, relational, scalars, windows
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_MODULES = [reference, relational, windows, scalars]
+
+
+def all_queries() -> dict[str, QueryFn]:
+    out: dict[str, QueryFn] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLE)
+    return out

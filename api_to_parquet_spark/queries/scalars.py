@@ -1,0 +1,87 @@
+"""Scalar function surface (SURVEY.md §2.8): everything the reference
+computes row-wise — md5 digests for content keys (F1, src/main.go:288-290),
+path formatting (F4, tests/main.go:61-64), epoch handling (F5), greatest
+(F7) — expressed as JVM-side built-ins inside whole-stage codegen; no
+Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.lake import load
+
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-wise kitchen sink over documents: digest, casing, substring,
+    path concat, printf formatting, greatest/least."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.length("text").alias("text_len"),
+        F.upper(F.substring("text", 1, 8)).alias("head"),
+        F.concat_ws("/", "lang", "source").alias("lake_path"),
+        F.format_string("%06d", "doc_id").alias("doc_key"),
+        F.greatest(F.col("n_chars"), F.length("text")).alias("max_len"),
+    )
+
+
+def q_epoch_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/date conversions at the query layer only (SURVEY.md §1.4 —
+    storage keeps opaque int64s): ms epoch, day truncation, Y/M/D/H parts
+    and the reference's lake path formatting from a timestamp."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("epoch_ms"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.concat(
+            F.col("event_type"), F.lit("/"), F.date_format("ts", "yyyy/MM/dd/HH")
+        ).alias("lake_prefix"),
+    )
+
+
+def q_string_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization primitives: trim/lower/regexp_replace/split."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lower(F.trim("text")).alias("norm_text"),
+        F.regexp_replace("text", r"[^a-z ]", "").alias("alpha_only"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+
+
+QUERIES = {
+    "scalar_functions": q_scalar_functions,
+    "epoch_conversions": q_epoch_conversions,
+    "string_cleanup": q_string_cleanup,
+}
+
+ORACLE = {
+    "scalar_functions": """
+        SELECT doc_id, md5(text) AS text_md5, length(text) AS text_len,
+               upper(substr(text, 1, 8)) AS head,
+               concat_ws('/', lang, source) AS lake_path,
+               printf('%06d', doc_id) AS doc_key,
+               greatest(n_chars, length(text)) AS max_len
+        FROM documents
+    """,
+    "epoch_conversions": """
+        SELECT event_id, epoch_ms(ts) AS epoch_ms,
+               year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h,
+               event_type || '/' || strftime(ts, '%Y/%m/%d/%H') AS lake_prefix
+        FROM events
+    """,
+    "string_cleanup": """
+        SELECT doc_id, lower(trim(text)) AS norm_text,
+               regexp_replace(text, '[^a-z ]', '', 'g') AS alpha_only,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    """,
+}

@@ -1,0 +1,183 @@
+"""Window / analytic operators (SURVEY.md §2.5) — absent from the
+reference's Go code but begged for by its time-series model: latest point
+per key, sequence-gap detection, running aggregates, as-of joins.
+
+Every window here partitions by a key column, so the only shuffle is the
+hash partition on that key; within a partition rows are sorted once and
+all frames share the sort — the right shape at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.lake import load
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — rank-filter pattern."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the reference's 'current value per PointId'
+    query shape, via max_by (single agg pass, no window sort needed)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("latest_ts"),
+            F.expr("max_by(event_id, struct(ts, event_id))").alias("latest_event_id"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("latest_value"),
+        )
+    )
+
+
+def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum of value per user over time (cumulative frame)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+    )
+
+
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap detection via lag (the reference's Sequence field begs for
+    this, SURVEY.md §2.5): millisecond delta to previous event per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        (ms - F.lag(ms).over(w)).alias("gap_ms"),
+    )
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase gets the value of the user's most recent
+    prior-or-equal view. Implemented as the scalable union+window pattern
+    (one shuffle on user_id, one sort) rather than an O(n^2) range self-join:
+    interleave both streams in time order and carry the last view value
+    forward with last(ignorenulls)."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_value"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    # views sort before purchases at identical ts (is_purchase asc)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_purchase", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "asof_view_value", F.last("view_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "asof_view_value")
+    )
+
+
+def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (6h) aggregation — the batch twin of the
+    streaming windowed agg in streaming.py (same F.window operator)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+QUERIES = {
+    "window_topk_per_group": q_topk_per_group,
+    "latest_per_key": q_latest_per_key,
+    "window_running_sum": q_running_sum,
+    "window_sequence_gaps": q_sequence_gaps,
+    "asof_join": q_asof_join,
+    "tumbling_window_agg": q_tumbling_window_agg,
+}
+
+ORACLE = {
+    "window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+        WHERE rn <= 3
+    """,
+    "latest_per_key": """
+        SELECT user_id, latest_ts, latest_event_id, latest_value FROM (
+            SELECT user_id, ts AS latest_ts, event_id AS latest_event_id,
+                   value AS latest_value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1
+    """,
+    "window_running_sum": """
+        SELECT event_id, user_id,
+               ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_value
+        FROM events WHERE user_id < 50
+    """,
+    "window_sequence_gaps": """
+        SELECT event_id, user_id,
+               lag(event_id) OVER w AS prev_event_id,
+               epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "asof_join": """
+        WITH tagged AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'view' THEN value END AS view_value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+            FROM events WHERE event_type IN ('view', 'purchase'))
+        SELECT event_id, user_id, asof_view_value FROM (
+            SELECT event_id, user_id, is_purchase,
+                   last_value(view_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, is_purchase, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS asof_view_value
+            FROM tagged)
+        WHERE is_purchase = 1
+    """,
+    "tumbling_window_agg": """
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+}
