@@ -1,0 +1,276 @@
+"""Deduplication operators over the `documents` table — the training-data
+pipeline extension set (BASELINE.json north star): exact, bag-of-words,
+MinHash+LSH, SimHash, n-gram Jaccard.
+
+All hashing stays JVM-side (xxhash64 / md5+conv) inside whole-stage
+codegen; signatures are computed map-side with zero shuffles, and the only
+shuffles are the LSH band-bucket join and the final pair verification —
+the shape that scales to 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.lake import load
+
+# MinHash parameters — deterministic LCG-generated (a, b) pairs.
+MERSENNE_P = 2147483647  # 2^31 - 1
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.5
+
+
+def _lcg_params(n: int = N_HASHES) -> list[tuple[int, int]]:
+    x = 123456789
+    out = []
+    for _ in range(n):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        a = x % (MERSENNE_P - 1) + 1
+        x = (1103515245 * x + 12345) % (1 << 31)
+        b = x % MERSENNE_P
+        out.append((a, b))
+    return out
+
+
+MINHASH_PARAMS = _lcg_params()
+
+
+def words(text_col: str = "text") -> Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def shingles(text_col: str = "text", k: int = 3) -> Column:
+    """Distinct word k-gram shingles (strings), built with array
+    expressions — per-row, map-side, no explode needed."""
+    ws = words(text_col)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(ws, i + off) for off in range(k)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content digest (reuses the reference's
+    md5-of-content idiom, src/main.go:288-290), keep the smallest doc_id."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def q_dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive exact dedup: digest of the sorted token array —
+    catches shuffled word-for-word duplicates."""
+    d = load(spark, sf_dir, "documents")
+    digest = F.md5(F.concat_ws(" ", F.array_sort(words())))
+    return d.groupBy(digest.alias("bow_md5")).agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (j >= 0.5). The all-pairs self
+    join is the *verification* baseline the LSH variant is checked
+    against; at 100 TB you run q_minhash_lsh_pairs instead."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", shingles().alias("sh")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / union
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def minhash_signature(sh: Column) -> Column:
+    """64-element MinHash signature as one array column: the shingle array
+    is hashed once (xxhash64 → 31-bit), then each permutation is an
+    array_min over an affine rehash — all computed map-side per row."""
+    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+    sigs = [
+        F.array_min(
+            F.transform(hs, lambda h: F.pmod(a * h + b, F.lit(MERSENNE_P)))
+        )
+        for a, b in MINHASH_PARAMS
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(sig: Column) -> Column:
+    """Hash each of the 16 bands (4 signature rows) to a bucket key."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+        lambda j: F.xxhash64(F.slice(sig, j * ROWS_PER_BAND + 1, ROWS_PER_BAND), j),
+    )
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, verified: shingle → 64 minhashes →
+    16 bands of 4 → band-bucket equi-join for candidates → exact Jaccard
+    filter (j >= 0.5) on candidates only.
+
+    Scale shape: signatures are map-side; the candidate join shuffles on
+    (band, bucket) — tiny keys; exact verification touches only candidate
+    pairs, never all pairs. For pairs with j >= 0.89 (this corpus's
+    planted dups) band-recall is 1 - (1-0.89^4)^16 ≈ 1 - 1.4e-7, so the
+    output equals the exact all-pairs oracle."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", shingles().alias("sh")
+    )
+    sigs = docs.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    bands = sigs.select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "bucket")
+    )
+    b1, b2 = bands.alias("b1"), bands.alias("b2")
+    candidates = (
+        b1.join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.bucket") == F.col("b2.bucket"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .select(
+            F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    return (
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+# SimHash: 60-bit fingerprint from md5-derived word hashes. md5 is the
+# common deterministic hash DuckDB shares, so the oracle can reproduce the
+# exact fingerprints (conv(md5[0:15], 16, 10) == ('0x'||md5[0:15])::BIGINT).
+SIMHASH_BITS = 60
+
+
+def word_hash60(w: Column) -> Column:
+    return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+
+
+def simhash(text_col: str = "text") -> Column:
+    """Classic SimHash: for each bit, majority vote over token hashes
+    (ties → bit set, 2*cnt >= n). Pure array expressions, map-side."""
+    hs = F.transform(words(text_col), word_hash60)
+    n = F.size(hs)
+
+    def bit_value(b: int) -> Column:
+        cnt = F.size(
+            F.filter(hs, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        return F.when(2 * cnt >= n, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    return sum([bit_value(b) for b in range(SIMHASH_BITS)], F.lit(0).cast("long"))
+
+
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").select(
+        "doc_id", simhash().alias("simhash")
+    )
+
+
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= 10 (of 60 bits).
+    All-pairs here for oracle parity; the scale path bands the fingerprint
+    into chunks (pigeonhole) exactly like q_minhash_lsh_pairs."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", simhash().alias("sh")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 10)
+    )
+
+
+_DUCK_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform("
+    " generate_series(1, greatest(len(ws) - 2, 1)),"
+    " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
+)
+_DUCK_JACCARD_PAIRS = f"""
+    SELECT * FROM (
+        WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+        s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
+                     / len(list_distinct(list_cat(a.sh, b.sh))), 6) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+    WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+_DUCK_SIMHASH = f"""
+    SELECT doc_id, list_sum(list_transform(generate_series(0, {SIMHASH_BITS - 1}),
+        b -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> b) & 1 = 1)) >= len(hs)
+                  THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS simhash
+    FROM (SELECT doc_id,
+                 list_transform({_DUCK_WORDS},
+                     w -> ('0x' || substr(md5(w), 1, 15))::BIGINT) AS hs
+          FROM documents)
+"""
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_bag_of_words": q_dedup_bag_of_words,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "simhash_fingerprint": q_simhash_fingerprint,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+}
+
+ORACLE = {
+    "dedup_exact": """
+        SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "dedup_bag_of_words": f"""
+        SELECT md5(array_to_string(list_sort({_DUCK_WORDS}), ' ')) AS bow_md5,
+               min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1
+    """,
+    "ngram_jaccard_pairs": _DUCK_JACCARD_PAIRS,
+    # LSH recall is ~1 on this corpus (see q_minhash_lsh_pairs), so the
+    # exact all-pairs result is the oracle for the LSH pipeline too.
+    "minhash_lsh_pairs": _DUCK_JACCARD_PAIRS,
+    "simhash_fingerprint": _DUCK_SIMHASH,
+    "simhash_dup_pairs": f"""
+        SELECT * FROM (
+            WITH s AS ({_DUCK_SIMHASH})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        WHERE hamming <= 10
+    """,
+}

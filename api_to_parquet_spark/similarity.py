@@ -1,0 +1,207 @@
+"""Similarity search over the `embeddings` table (array<float> column):
+brute-force cosine top-k as the exactness baseline, and a sign-random-
+projection LSH variant as the 100 TB scale path.
+
+Cosine math runs entirely in JVM array expressions (zip_with fold in
+double precision) — no Python in the hot path; the LSH variant reduces the
+candidate set from |Q|x|N| to per-bucket groups before exact re-ranking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.lake import load
+
+N_QUERIES = 10  # query set: vec_id < 10
+TOP_K = 5
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double-precision fold — the same
+    accumulation order DuckDB's list_dot_product uses, so results agree
+    bitwise."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+
+
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for each query vector (vec_id < 10).
+
+    The query side is tiny → broadcast; the corpus side streams through
+    map-side cosine + per-partition top-k heaps (window over the small
+    query-id partitioning). At 1000 executors this is one broadcast + one
+    narrow pass over the corpus — no corpus shuffle."""
+    vecs = _vecs(spark, sf_dir)
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        _vecs(spark, sf_dir)
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def q_embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: all pairs with cosine >= 0.45 (the corpus
+    max is ~0.51, so this surfaces the closest pairs). All-pairs is the
+    verification baseline; q_ann_lsh_topk is the scale path."""
+    vecs = _vecs(spark, sf_dir)
+    a, b = vecs.alias("a"), vecs.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cosine(F.col("a.v"), F.col("b.v")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+N_TABLES = 8  # independent LSH tables
+BITS_PER_TABLE = 4  # sign bits per table
+
+# For neighbors at cosine c, per-bit collision p = 1 - acos(c)/pi; recall
+# across tables = 1 - (1 - p^BITS)^TABLES. At c=0.5: p=2/3, recall≈0.83.
+
+
+def _plane(dim: int, table: int, j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane from an LCG — reproducible
+    across runs with no stored model."""
+    x = (table * 97 + j + 1) * 2654435761 % (1 << 32)
+    out = []
+    for _ in range(dim):
+        x = (1103515245 * x + 12345) % (1 << 31)
+        out.append((x / float(1 << 31)) * 2.0 - 1.0)
+    return out
+
+
+def lsh_buckets(v: Column, dim: int) -> Column:
+    """Array of per-table sign-random-projection bucket ids; bucket for
+    table t encodes (t, sign bits) so tables never collide."""
+    buckets = []
+    for t in range(N_TABLES):
+        bits = []
+        for j in range(BITS_PER_TABLE):
+            plane = F.array(*[F.lit(p) for p in _plane(dim, t, j)])
+            bits.append(
+                F.when(dot(v, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+            )
+        sig = sum(bits[1:], bits[0])
+        buckets.append(sig + F.lit(t << 16))
+    return F.array(*buckets)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: 8 independent 4-bit sign-random-projection
+    tables; candidates = vectors sharing any table bucket with the query;
+    exact cosine re-rank over candidates only. Rows-only check (the
+    result is approximate by construction); recall against the
+    brute-force baseline is asserted in tests/test_similarity.py.
+
+    Scale shape: one narrow pass computes signatures; the candidate join
+    shuffles on small (table, bucket) keys; re-rank touches only
+    bucket-mates — candidate count is tuned by BITS_PER_TABLE."""
+    dim = 64
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "buckets", lsh_buckets(F.col("v"), dim)
+    )
+    corpus = vecs.select(
+        "vec_id", "v", F.explode("buckets").alias("bucket")
+    )
+    queries = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode("buckets").alias("bucket"),
+        )
+    )
+    scored = (
+        corpus.join(
+            F.broadcast(queries),
+            (corpus.bucket == queries.bucket)
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "qv",
+            "v",
+        )
+        .distinct()  # a pair may collide in several tables
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+_DUCK_COS = (
+    "list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+QUERIES = {
+    "knn_bruteforce": q_knn_bruteforce,
+    "embedding_similar_pairs": q_embedding_similar_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,  # no oracle: approximate by design
+}
+
+ORACLE = {
+    "knn_bruteforce": f"""
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROUND({_DUCK_COS}, 6) AS cos_sim
+                FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+                JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+                  ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id))
+        WHERE rank <= {TOP_K}
+    """,
+    "embedding_similar_pairs": f"""
+        SELECT * FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND({_DUCK_COS}, 6) AS cos_sim
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) a
+            JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
+              ON a.vec_id < b.vec_id)
+        WHERE cos_sim >= 0.45
+    """,
+}

@@ -1,0 +1,184 @@
+"""Text analysis operators over `documents`: token counting, quality
+scoring, language-ID heuristic, rolling-hash fingerprinting.
+
+All computed with JVM array/string expressions inside whole-stage codegen
+— one narrow pass per query, no shuffle except the final per-lang
+aggregations, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.dedup import word_hash60, words
+from api_to_parquet_spark.lake import load
+
+# Stopword markers per language for the n-gram/stopword heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "y", "las"),
+}
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting rolled up per language."""
+    d = load(spark, sf_dir, "documents")
+    n_tok = F.size(words())
+    return (
+        d.select("lang", n_tok.alias("n_tok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("sum_tokens"),
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+        )
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality heuristics: token count, type-token ratio,
+    mean token length, and a blended score in [0, 1]."""
+    d = load(spark, sf_dir, "documents")
+    ws = words()
+    n_tok = F.size(ws)
+    n_uniq = F.size(F.array_distinct(ws))
+    ttr = n_uniq.cast("double") / n_tok
+    avg_len = (
+        F.length(F.regexp_replace("text", r"\s+", "")).cast("double") / n_tok
+    )
+    score = 0.5 * F.least(n_tok / F.lit(200.0), F.lit(1.0)) + 0.5 * ttr
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        n_uniq.alias("n_unique"),
+        F.round(ttr, 4).alias("ttr"),
+        F.round(avg_len, 4).alias("avg_token_len"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-count language ID: argmax of per-language marker counts
+    with a fixed priority order (en > de > fr > es), 'und' when no marker
+    hits. Deterministic heuristic — on this synthetic corpus every lang
+    shares one vocabulary, so predictions skew 'en'; accuracy vs the lang
+    column is reported by q_lang_id_eval."""
+    d = load(spark, sf_dir, "documents")
+    ws = words()
+    counts = {
+        lang: F.size(F.filter(ws, lambda w: w.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    en, de, fr, es = counts["en"], counts["de"], counts["fr"], counts["es"]
+    total = en + de + fr + es
+    pred = (
+        F.when(total == 0, "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+    )
+    return d.select("doc_id", "lang", pred.alias("predicted_lang"))
+
+
+def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion rollup of the heuristic against the labeled lang."""
+    return (
+        q_lang_id(spark, sf_dir)
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: minimum 60-bit hash over word
+    4-grams (winnowing-style min selection) — robust to local edits,
+    cheap to compare."""
+    d = load(spark, sf_dir, "documents")
+    ws = words()
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 3, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(ws, i),
+            F.element_at(ws, i + 1),
+            F.element_at(ws, i + 2),
+            F.element_at(ws, i + 3),
+        ),
+    )
+    fp = F.array_min(F.transform(grams, word_hash60))
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+_DUCK_WS = "regexp_split_to_array(trim(text), '\\s+')"
+
+
+def _duck_marker_count(markers: tuple[str, ...]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(ws, w -> w IN ({lst})))"
+
+
+_EN = _duck_marker_count(LANG_MARKERS["en"])
+_DE = _duck_marker_count(LANG_MARKERS["de"])
+_FR = _duck_marker_count(LANG_MARKERS["fr"])
+_ES = _duck_marker_count(LANG_MARKERS["es"])
+
+QUERIES = {
+    "text_token_stats": q_token_stats,
+    "text_quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "lang_id_eval": q_lang_id_eval,
+    "doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLE = {
+    "text_token_stats": f"""
+        SELECT lang, count(*) AS n_docs,
+               CAST(SUM(len({_DUCK_WS})) AS BIGINT) AS sum_tokens,
+               ROUND(AVG(len({_DUCK_WS})), 4) AS avg_tokens
+        FROM documents GROUP BY lang
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id,
+               len(ws) AS n_tokens,
+               len(list_distinct(ws)) AS n_unique,
+               ROUND(len(list_distinct(ws))::DOUBLE / len(ws), 4) AS ttr,
+               ROUND(length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE
+                     / len(ws), 4) AS avg_token_len,
+               ROUND(0.5 * least(len(ws) / 200.0, 1.0)
+                     + 0.5 * (len(list_distinct(ws))::DOUBLE / len(ws)), 4)
+                   AS quality_score
+        FROM (SELECT doc_id, text, {_DUCK_WS} AS ws FROM documents)
+    """,
+    "lang_id": f"""
+        SELECT doc_id, lang,
+               CASE WHEN {_EN} + {_DE} + {_FR} + {_ES} = 0 THEN 'und'
+                    WHEN {_EN} >= {_DE} AND {_EN} >= {_FR} AND {_EN} >= {_ES} THEN 'en'
+                    WHEN {_DE} >= {_FR} AND {_DE} >= {_ES} THEN 'de'
+                    WHEN {_FR} >= {_ES} THEN 'fr'
+                    ELSE 'es' END AS predicted_lang
+        FROM (SELECT doc_id, lang, {_DUCK_WS} AS ws FROM documents)
+    """,
+    "lang_id_eval": f"""
+        SELECT lang, predicted_lang, count(*) AS n FROM (
+            SELECT doc_id, lang,
+                   CASE WHEN {_EN} + {_DE} + {_FR} + {_ES} = 0 THEN 'und'
+                        WHEN {_EN} >= {_DE} AND {_EN} >= {_FR} AND {_EN} >= {_ES} THEN 'en'
+                        WHEN {_DE} >= {_FR} AND {_DE} >= {_ES} THEN 'de'
+                        WHEN {_FR} >= {_ES} THEN 'fr'
+                        ELSE 'es' END AS predicted_lang
+            FROM (SELECT doc_id, lang, {_DUCK_WS} AS ws FROM documents))
+        GROUP BY lang, predicted_lang
+    """,
+    "doc_fingerprint": f"""
+        SELECT doc_id,
+               list_min(list_transform(
+                   list_transform(generate_series(1, greatest(len(ws) - 3, 1)),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3]),
+                   g -> ('0x' || substr(md5(g), 1, 15))::BIGINT)) AS fingerprint
+        FROM (SELECT doc_id, {_DUCK_WS} AS ws FROM documents)
+    """,
+}
