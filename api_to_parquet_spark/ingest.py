@@ -95,6 +95,7 @@ def derive_partitions(points: DataFrame) -> DataFrame:
         .withColumn("month", F.regexp_extract("file", pat, 3).try_cast("int"))
         .withColumn("day", F.regexp_extract("file", pat, 4).try_cast("int"))
         .withColumn("hour", F.regexp_extract("file", pat, 5).try_cast("int"))
+        .withColumn("file_key", F.md5("file"))
         .fillna({"year": 0, "month": 0, "day": 0, "hour": 0})
     )
 

@@ -51,6 +51,10 @@ ZERO_FILL: dict[str, object] = {
 
 POINT_COLUMNS = [f.name for f in POINT_SCHEMA.fields]
 
-# Lake partition scheme: <source>/YYYY/MM/DD/HH/<name>.parquet
-# (reference README.md:5, tests/main.go:61-64).
-PARTITION_COLUMNS = ["source", "year", "month", "day", "hour"]
+# Lake partition scheme: <source>/YYYY/MM/DD/HH/<file_key>/
+# (reference README.md:5, tests/main.go:61-64). file_key = md5(file) — the
+# reference's own temp-file naming idiom (src/main.go:288-290) — makes the
+# batch the finest partition, so dynamic partition overwrite replaces
+# exactly a re-POSTed `file` key (README.md:88) while distinct batches in
+# the same hour coexist.
+PARTITION_COLUMNS = ["source", "year", "month", "day", "hour", "file_key"]

@@ -1,0 +1,130 @@
+"""Structured Streaming mode: the reference's unbounded sequence of POSTed
+micro-batches (SURVEY.md §2.9) as a streaming query.
+
+- ST1 (running max) / ST2 (last-write-wins): streaming aggregation whose
+  state lives in the Structured Streaming state store, checkpointed;
+  single-writer semantics — strictly stronger than the reference's
+  non-atomic Redis read-compare-write across replicas.
+- ST3 (idempotent replay / per-file overwrite): foreachBatch sink reusing
+  the batch lake writer — deterministic target per `file` key, so a
+  replayed micro-batch overwrites instead of duplicating.
+- ST4 extensions: event-time watermark + tumbling-window aggregation
+  (absent in the reference, standard for late data at scale).
+
+The batch and streaming paths share the exact same DataFrame transforms
+(ingest.py) — one logical pipeline, two triggers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from api_to_parquet_spark import ingest, lake, state
+from api_to_parquet_spark.schemas import ENVELOPE_SCHEMA
+
+
+def read_envelope_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-drop source: each line is one JSON envelope (one POST).
+    Swap for a Kafka source in production — everything downstream is
+    identical."""
+    raw = spark.readStream.schema("value STRING").text(input_dir)
+    return ingest.parse_envelopes(raw)
+
+
+def start_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    lake_path: str,
+    state_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """The reference's POST / loop as one streaming query: parse →
+    validate → normalize → partitioned lake append + control-table merge,
+    per micro-batch. foreachBatch gives exactly-once-per-batch sinks via
+    the checkpointed batch id + idempotent partition overwrite."""
+    envelopes = read_envelope_stream(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        valid, _rejected = ingest.validate_envelopes(batch_df)
+        points = ingest.derive_partitions(
+            ingest.normalize_points(ingest.explode_points(valid))
+        )
+        if points.isEmpty():
+            return
+        points = points.persist()
+        try:
+            lake.write_lake(points, lake_path, mode="overwrite")
+            state.update_state(spark, state_path, points)
+        finally:
+            points.unpersist()
+
+    writer = envelopes.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def start_state_stream(
+    spark: SparkSession, input_dir: str, query_name: str = "ingest_state"
+) -> StreamingQuery:
+    """ST1+ST2 as a pure streaming aggregation: global running max over
+    all point timestamps and last-write-wins timeGenerated, maintained by
+    the state store and queryable from the in-memory sink:
+    ``spark.sql(f"SELECT * FROM {query_name}")``."""
+    envelopes = read_envelope_stream(spark, input_dir)
+    valid, _ = ingest.validate_envelopes(envelopes)
+    points = ingest.explode_points(valid)
+    agg = points.agg(
+        F.max("Timestamp").alias("max_timestamp"),
+        F.expr("max_by(time_generated, time_generated)").alias(
+            "last_time_generated_by_value"
+        ),
+        F.last("time_generated").alias("last_time_generated"),
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
+    """Watermarked tumbling-window aggregation (late data tolerated up to
+    1 hour; state for closed windows is dropped — bounded state at any
+    scale). Batch twin: queries/windows.q_tumbling_window_agg."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours").alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def start_windowed_stream(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    query_name: str = "windowed_counts",
+) -> StreamingQuery:
+    """Run the watermarked windowed agg over a parquet file stream of
+    events rows (append-mode parquet drops)."""
+    stream = spark.readStream.schema(
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING"
+    ).parquet(events_dir)
+    return (
+        windowed_event_counts(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -42,18 +42,31 @@ def test_partitioned_roundtrip_and_pruning(spark, tmp_path):
 
 
 def test_dynamic_partition_overwrite_replay(spark, tmp_path):
-    """Re-ingesting a batch for the same partition replaces only that
-    partition (idempotent replay), leaving others untouched."""
+    """Re-ingesting a batch for the same `file` key replaces only that
+    batch (idempotent replay), leaving others untouched."""
     lake_path = str(tmp_path / "lake")
     lake.write_lake(_points(spark, "f1/2023/10/26/19/a.parquet", [1, 2]), lake_path)
     lake.write_lake(
         _points(spark, "f2/2023/10/26/19/z.parquet", [9]), lake_path, mode="append"
     )
-    # replay partition f1/.../19 with different content
+    # replay file key f1/.../a.parquet with different content
     lake.write_lake(_points(spark, "f1/2023/10/26/19/a.parquet", [5]), lake_path)
     back = lake.read_lake(spark, lake_path)
     assert back.filter(F.col("source") == "f1").count() == 1
     assert back.filter(F.col("source") == "f2").count() == 1
+
+
+def test_distinct_file_keys_coexist_in_same_partition(spark, tmp_path):
+    """Two POSTs into the same hour but different `file` keys must BOTH
+    survive an overwrite-mode write (reference: one blob per POST;
+    overwrite is per `file` key, not per hour)."""
+    lake_path = str(tmp_path / "lake")
+    lake.write_lake(_points(spark, "f1/2023/10/26/19/a.parquet", [1, 2]), lake_path)
+    lake.write_lake(_points(spark, "f1/2023/10/26/19/b.parquet", [3]), lake_path)
+    back = lake.read_lake(spark, lake_path).filter(
+        (F.col("source") == "f1") & (F.col("hour") == 19)
+    )
+    assert back.count() == 3
 
 
 def test_per_file_overwrite_parity(spark, tmp_path):

@@ -1,0 +1,87 @@
+"""Streaming-mode fixtures (SURVEY.md §2.9): ingest stream with idempotent
+lake writes + state merge, streaming running-max aggregation, watermarked
+windowed counts."""
+
+from __future__ import annotations
+
+import json
+import time
+
+from api_to_parquet_spark import lake, state, streaming
+
+
+def _envelope(file, ts_values, time_generated):
+    return json.dumps(
+        {
+            "content": [{"Timestamp": t, "Value": float(t)} for t in ts_values],
+            "id": f"b{time_generated}",
+            "source": "s",
+            "timeGenerated": time_generated,
+            "file": file,
+        }
+    )
+
+
+def test_ingest_stream_end_to_end(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    lake_path = str(tmp_path / "lake")
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    (inp / "batch1.json").write_text(
+        _envelope("s/2024/01/01/00/a.parquet", [100, 200], 1) + "\n"
+    )
+    q = streaming.start_ingest_stream(
+        spark, str(inp), lake_path, state_path, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert lake.read_lake(spark, lake_path).count() == 2
+    st = state.read_state(spark, state_path)
+    assert st["max_timestamp"] == 200
+
+    # second micro-batch: out-of-order max (monotonic) + new partition
+    (inp / "batch2.json").write_text(
+        _envelope("s/2024/01/01/01/b.parquet", [50], 2) + "\n"
+    )
+    q = streaming.start_ingest_stream(
+        spark, str(inp), lake_path, state_path, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert lake.read_lake(spark, lake_path).count() == 3
+    st = state.read_state(spark, state_path)
+    assert st["max_timestamp"] == 200  # never decreases
+    assert st["last_time_generated"] == 2  # arrival order
+
+
+def test_state_stream_running_max(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "b1.json").write_text(
+        _envelope("s/2024/01/01/00/a.parquet", [500], 10)
+        + "\n"
+        + _envelope("s/2024/01/01/00/b.parquet", [300], 20)
+        + "\n"
+    )
+    q = streaming.start_state_stream(spark, str(inp), query_name="st_test")
+    q.awaitTermination(120)
+    row = spark.sql("SELECT * FROM st_test").collect()[0]
+    assert row["max_timestamp"] == 500
+    assert row["last_time_generated_by_value"] == 20
+
+
+def test_windowed_stream_with_watermark(spark, tmp_path, sf_smoke):
+    events_dir = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt")
+    # feed the deterministic events table through the stream
+    lake.load(spark, sf_smoke, "events").coalesce(1).write.parquet(str(events_dir))
+    q = streaming.start_windowed_stream(
+        spark, str(events_dir), ckpt, query_name="win_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT sum(n) AS total FROM win_test").collect()[0]
+    # append mode emits only watermark-closed windows; all but the last
+    # open window(s) of the 30-day span must be present
+    expected = lake.load(spark, sf_smoke, "events").count()
+    assert got["total"] is not None
+    assert got["total"] >= expected * 0.9
