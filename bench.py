@@ -1,0 +1,69 @@
+"""Benchmark harness — the driver runs this per-round and records the JSON.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with the `noop` sink (full execution, no driver
+collect) so the measured time is the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from api_to_parquet_spark import get_spark
+from api_to_parquet_spark.queries import all_queries
+
+# Headline set: one per major operator family (SURVEY.md §2 + training-data
+# extensions). Kept to ~10 so a bench run stays minutes, not hours.
+HEADLINE = [
+    "pricing_summary",  # TPC-H Q1-shaped scan+agg (A4/A1 family)
+    "revenue_by_nation",  # star join: broadcast dims + fact shuffle (§2.3)
+    "top_unshipped_orders",  # join + agg + top-k (L1/L2)
+    "window_topk_per_group",  # ranking window (§2.5)
+    "asof_join",  # time-series point-in-time join (§2.3)
+    "tumbling_window_agg",  # event-time windowing (ST4)
+    "dedup_exact",  # exact dedup over documents
+    "minhash_lsh_pairs",  # MinHash+LSH near-dup
+    "knn_bruteforce",  # cosine top-k over embeddings
+    "text_token_stats",  # text analysis over documents
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (JIT, IO cache)
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
