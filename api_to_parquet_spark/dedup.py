@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from api_to_parquet_spark.lake import load
+from api_to_parquet_spark.lake import load, spread
 
 # MinHash parameters — deterministic LCG-generated (a, b) pairs.
 MERSENNE_P = 2147483647  # 2^31 - 1
@@ -42,10 +42,15 @@ def words(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def shingles(text_col: str = "text", k: int = 3) -> Column:
+def shingles(ws: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles (strings), built with array
-    expressions — per-row, map-side, no explode needed."""
-    ws = words(text_col)
+    expressions — per-row, map-side, no explode needed.
+
+    `ws` MUST be a *projected column reference* (not a nested expression):
+    higher-order-function lambdas are interpreted — no codegen, no common-
+    subexpression elimination — so a nested `split(...)` here would be
+    re-evaluated on every `element_at` call, a >10x slowdown measured at
+    sf0.1."""
     gram = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - (k - 1), F.lit(1))),
         lambda i: F.concat_ws(
@@ -53,6 +58,16 @@ def shingles(text_col: str = "text", k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(gram)
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, sh): words projected before the shingle
+    lambda (see shingles() note) and the scan spread across cores —
+    shingling is CPU-bound, not IO-bound."""
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select("doc_id", words().alias("ws")).select(
+        "doc_id", shingles(F.col("ws")).alias("sh")
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,7 +83,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_bag_of_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive exact dedup: digest of the sorted token array —
     catches shuffled word-for-word duplicates."""
-    d = load(spark, sf_dir, "documents")
+    d = spread(load(spark, sf_dir, "documents"))
     digest = F.md5(F.concat_ws(" ", F.array_sort(words())))
     return d.groupBy(digest.alias("bow_md5")).agg(
         F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies")
@@ -79,9 +94,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (j >= 0.5). The all-pairs self
     join is the *verification* baseline the LSH variant is checked
     against; at 100 TB you run q_minhash_lsh_pairs instead."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", shingles().alias("sh")
-    )
+    d = shingled_docs(spark, sf_dir)
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -97,11 +110,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_signature(sh: Column) -> Column:
-    """64-element MinHash signature as one array column: the shingle array
-    is hashed once (xxhash64 → 31-bit), then each permutation is an
-    array_min over an affine rehash — all computed map-side per row."""
-    hs = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+def hashed_shingles(sh: Column) -> Column:
+    """Shingle strings → 31-bit integer hashes (xxhash64 folded), the
+    MinHash input domain. Project this as its own column before
+    minhash_signature — see shingles() on interpreted lambdas."""
+    return F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31)))
+
+
+def minhash_signature(hs: Column) -> Column:
+    """64-element MinHash signature as one array column: each permutation
+    is an array_min over an affine rehash of the pre-hashed shingles —
+    all computed map-side per row, zero shuffles.
+
+    `hs` MUST be a projected column reference: it is referenced 64 times
+    inside interpreted lambdas, so a nested expression would be hashed 64x
+    per row."""
     sigs = [
         F.array_min(
             F.transform(hs, lambda h: F.pmod(a * h + b, F.lit(MERSENNE_P)))
@@ -129,10 +152,10 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, never all pairs. For pairs with j >= 0.89 (this corpus's
     planted dups) band-recall is 1 - (1-0.89^4)^16 ≈ 1 - 1.4e-7, so the
     output equals the exact all-pairs oracle."""
-    docs = load(spark, sf_dir, "documents").select(
-        "doc_id", shingles().alias("sh")
-    )
-    sigs = docs.select("doc_id", "sh", minhash_signature(F.col("sh")).alias("sig"))
+    docs = shingled_docs(spark, sf_dir)
+    sigs = docs.select(
+        "doc_id", hashed_shingles(F.col("sh")).alias("hs")
+    ).select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
     bands = sigs.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "bucket")
     )
@@ -149,6 +172,9 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Verification: two joins back to the shingle table. No broadcast hint —
+    # candidate volume is data-dependent (tiny here, potentially huge at
+    # 100 TB), so AQE picks broadcast-vs-shuffle from runtime stats.
     sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (
@@ -173,10 +199,13 @@ def word_hash60(w: Column) -> Column:
     return F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
 
 
-def simhash(text_col: str = "text") -> Column:
+def simhash(hs: Column) -> Column:
     """Classic SimHash: for each bit, majority vote over token hashes
-    (ties → bit set, 2*cnt >= n). Pure array expressions, map-side."""
-    hs = F.transform(words(text_col), word_hash60)
+    (ties → bit set, 2*cnt >= n). Pure array expressions, map-side.
+
+    `hs` (the per-word 60-bit hashes) MUST be a projected column
+    reference: it is referenced in 60 interpreted filter-lambdas — a
+    nested expression would md5-hash every word 60x per row."""
     n = F.size(hs)
 
     def bit_value(b: int) -> Column:
@@ -188,18 +217,23 @@ def simhash(text_col: str = "text") -> Column:
     return sum([bit_value(b) for b in range(SIMHASH_BITS)], F.lit(0).cast("long"))
 
 
+def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id", F.transform(words(), word_hash60).alias("hs")
+    ).select("doc_id", simhash(F.col("hs")).alias("simhash"))
+
+
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").select(
-        "doc_id", simhash().alias("simhash")
-    )
+    return _simhashed(spark, sf_dir)
 
 
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= 10 (of 60 bits).
     All-pairs here for oracle parity; the scale path bands the fingerprint
     into chunks (pigeonhole) exactly like q_minhash_lsh_pairs."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", simhash().alias("sh")
+    d = _simhashed(spark, sf_dir).select(
+        "doc_id", F.col("simhash").alias("sh")
     )
     a, b = d.alias("a"), d.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))

@@ -130,6 +130,19 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     ]
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Repartition up to the session's default parallelism when the scan
+    produced fewer splits than cores (small local files below
+    maxPartitionBytes arrive as one task, serializing CPU-bound work).
+    At cluster scale a large table already has more splits than cores and
+    this is a no-op — the shuffle only ever happens on inputs small enough
+    for it to be cheap."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table; transparently adapt TIMESTAMP(NANOS)
     columns (read as int64 nanos via the legacy conf, then rebuilt as

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from api_to_parquet_spark.lake import load
+from api_to_parquet_spark.lake import load, spread
 
 N_QUERIES = 10  # query set: vec_id < 10
 TOP_K = 5
@@ -34,7 +34,7 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "embeddings").select(
+    return spread(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
     )
 

@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from api_to_parquet_spark.dedup import word_hash60, words
-from api_to_parquet_spark.lake import load
+from api_to_parquet_spark.lake import load, spread
 
 # Stopword markers per language for the n-gram/stopword heuristic.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -41,8 +41,10 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristics: token count, type-token ratio,
     mean token length, and a blended score in [0, 1]."""
-    d = load(spark, sf_dir, "documents")
-    ws = words()
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text", words().alias("ws")
+    )
+    ws = F.col("ws")
     n_tok = F.size(ws)
     n_uniq = F.size(F.array_distinct(ws))
     ttr = n_uniq.cast("double") / n_tok
@@ -66,8 +68,10 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits. Deterministic heuristic — on this synthetic corpus every lang
     shares one vocabulary, so predictions skew 'en'; accuracy vs the lang
     column is reported by q_lang_id_eval."""
-    d = load(spark, sf_dir, "documents")
-    ws = words()
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", words().alias("ws")
+    )
+    ws = F.col("ws")
     counts = {
         lang: F.size(F.filter(ws, lambda w: w.isin(*markers)))
         for lang, markers in LANG_MARKERS.items()
@@ -97,8 +101,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: minimum 60-bit hash over word
     4-grams (winnowing-style min selection) — robust to local edits,
     cheap to compare."""
-    d = load(spark, sf_dir, "documents")
-    ws = words()
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", words().alias("ws")
+    )
+    ws = F.col("ws")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(ws) - 3, F.lit(1))),
         lambda i: F.concat_ws(
@@ -109,8 +115,10 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(ws, i + 3),
         ),
     )
-    fp = F.array_min(F.transform(grams, word_hash60))
-    return d.select("doc_id", fp.alias("fingerprint"))
+    fp = F.array_min(F.transform(F.col("grams"), word_hash60))
+    return d.select("doc_id", grams.alias("grams")).select(
+        "doc_id", fp.alias("fingerprint")
+    )
 
 
 _DUCK_WS = "regexp_split_to_array(trim(text), '\\s+')"
