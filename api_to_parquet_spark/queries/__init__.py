@@ -15,11 +15,27 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from api_to_parquet_spark import dedup, multimodal, similarity, text
-from api_to_parquet_spark.queries import reference, relational, scalars, windows
+from api_to_parquet_spark.queries import (
+    advanced,
+    reference,
+    relational,
+    scalars,
+    windows,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
-_MODULES = [reference, relational, windows, scalars, dedup, similarity, text, multimodal]
+_MODULES = [
+    reference,
+    relational,
+    windows,
+    scalars,
+    advanced,
+    dedup,
+    similarity,
+    text,
+    multimodal,
+]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,0 +1,274 @@
+"""Advanced SQL surface: subqueries (Catalyst decorrelation), grouping
+sets, range joins, statistical aggregates, JSON functions, sliding and
+session event-time windows, and approximate sketches.
+
+The reference delegates all of this to Kusto/Synapse (POST /query,
+/root/reference/src/main.go:88-116); rebuilding it natively is the point
+of the engine (SURVEY.md §3.3). Several queries here run through
+``spark.sql`` on registered lake views — the literal replacement for the
+reference's query federation — and where ANSI SQL is engine-portable the
+same string is the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.lake import load
+
+
+def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+# --- Subqueries: Catalyst rewrites these to joins (decorrelation), which
+# is what makes them survive scale — the correlated scalar subquery below
+# becomes an aggregate + join, not a per-row re-scan.
+
+_SCALAR_SUBQUERY_SQL = """
+    SELECT p_brand,
+           ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * AVG(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    GROUP BY p_brand
+"""
+
+
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    threshold). Catalyst decorrelates to an aggregate-then-join plan."""
+    _views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_SCALAR_SUBQUERY_SQL)
+
+
+_EXISTS_SUBQUERY_SQL = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT'
+                    AND o.o_totalprice > 100000)
+"""
+
+
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS — planned as a left-semi join."""
+    _views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_EXISTS_SUBQUERY_SQL)
+
+
+_HAVING_SQL = """
+    SELECT l_partkey, COUNT(*) AS n_lines, ROUND(SUM(l_quantity), 2) AS total_qty
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING SUM(l_quantity) > 400
+"""
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_HAVING_SQL)
+
+
+_GROUPING_SETS_SQL = """
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                            (l_returnflag, l_linestatus), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (rollup/cube's general form — those live in
+    relational.py); Spark expands to a single-pass Expand + aggregate."""
+    _views(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUPING_SETS_SQL)
+
+
+# --- Range join: time-band self-join with an equi key. The user_id equi
+# predicate drives a hash join (shuffle on user_id); the time band is a
+# post-join filter with bounded per-key fanout — this is the shape that
+# scales, vs. a pure non-equi join which would nested-loop.
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    a = ev.select("user_id", F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a"))
+    b = ev.select("user_id", F.col("event_id").alias("event_b"), F.col("ts").alias("ts_b"))
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select(
+            "user_id",
+            "event_a",
+            "event_b",
+            F.round(
+                F.col("ts_b").cast("double") - F.col("ts_a").cast("double"), 3
+            ).alias("gap_s"),
+        )
+    )
+
+
+# --- Statistical aggregates: exact, deterministic up to float rounding
+# (both sides round to 4 decimals so accumulation order cannot flip bits).
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(F.stddev_samp("value"), 4).alias("stddev_value"),
+        F.round(F.var_samp("value"), 4).alias("var_value"),
+        F.round(F.median("value"), 4).alias("median_value"),
+        F.round(F.percentile("value", 0.9), 4).alias("p90_value"),
+        F.round(F.corr("value", F.col("user_id").cast("double")), 4).alias(
+            "corr_value_user"
+        ),
+    )
+
+
+# --- JSON functions over the events.props payload column.
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+# --- Event-time windows beyond tumbling (batch twins of the streaming
+# operators; watermarked streaming versions live in streaming.py).
+
+
+def q_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12h windows sliding every 6h — each event lands in exactly two
+    epoch-aligned windows. Spark plans this as a single Expand + agg, no
+    self-join."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "12 hours", "6 hours").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (F.session_window; in streaming this is state-store-backed with the
+    same column semantics: end = last event + gap)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- Approximate sketches: the 100 TB path for distinct counts and
+# quantiles. Approximate by construction → no value-level oracle; the
+# driver records a rows-only check, and tests/test_oracle_parity.py
+# asserts closeness to the exact answers instead.
+
+
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+    )
+
+
+QUERIES = {
+    "scalar_subquery": q_scalar_subquery,
+    "exists_subquery": q_exists_subquery,
+    "having_filter": q_having,
+    "grouping_sets": q_grouping_sets,
+    "range_join": q_range_join,
+    "stats_agg": q_stats_agg,
+    "json_extract": q_json_extract,
+    "sliding_window_agg": q_sliding_window_agg,
+    "session_window_agg": q_session_window_agg,
+    "approx_sketches": q_approx_sketches,  # no oracle: approximate by design
+}
+
+ORACLE = {
+    # Engine-portable ANSI SQL: the Spark query runs the same string.
+    "scalar_subquery": _SCALAR_SUBQUERY_SQL,
+    "exists_subquery": _EXISTS_SUBQUERY_SQL,
+    "having_filter": _HAVING_SQL,
+    "grouping_sets": _GROUPING_SETS_SQL,
+    "range_join": """
+        SELECT a.user_id, a.event_id AS event_a, b.event_id AS event_b,
+               ROUND(epoch(b.ts) - epoch(a.ts), 3) AS gap_s
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    "stats_agg": """
+        SELECT event_type, COUNT(*) AS n,
+               ROUND(AVG(value), 4) AS avg_value,
+               ROUND(stddev_samp(value), 4) AS stddev_value,
+               ROUND(var_samp(value), 4) AS var_value,
+               ROUND(median(value), 4) AS median_value,
+               ROUND(quantile_cont(value, 0.9), 4) AS p90_value,
+               ROUND(corr(value, user_id::DOUBLE), 4) AS corr_value_user
+        FROM events GROUP BY event_type
+    """,
+    "json_extract": """
+        SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
+    # Each event belongs to windows starting at floor_6h(ts) and
+    # floor_6h(ts) - 6h (epoch-aligned, matching Spark's origin).
+    "sliding_window_agg": """
+        SELECT window_start, event_type, COUNT(*) AS n,
+               ROUND(SUM(value), 2) AS sum_value
+        FROM (SELECT time_bucket(INTERVAL '6 hours', ts)
+                         - k * INTERVAL '6 hours' AS window_start,
+                     event_type, value
+              FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k))
+        GROUP BY 1, 2
+    """,
+    # Gaps-and-islands twin of session_window: a new session starts when
+    # the gap to the previous event is >= 30 min (Spark's window end is
+    # exclusive); end = last event + gap.
+    "session_window_agg": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 MINUTE
+                             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, sess_id
+    """,
+}

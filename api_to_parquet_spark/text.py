@@ -38,6 +38,34 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs, digit runs, and single
+# non-alphanumeric marks — the shape GPT-style tokenizers split on before
+# merges. Shared by the Spark query and the DuckDB oracle.
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]"
+
+
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with the BPE-ish regex (vs whitespace in
+    q_token_stats): per-doc token count plus tokens-per-whitespace-word
+    expansion ratio, all regexp_extract_all JVM-side."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        # Spark's regexp_extract_all extracts a capture group (idx >= 1
+        # when the pattern has groups), so wrap the whole alternation;
+        # DuckDB's returns the full match for the bare pattern — same set.
+        F.regexp_extract_all("text", F.lit(f"({BPE_PATTERN})"), 1).alias("toks"),
+        F.size(words()).alias("n_words"),
+    )
+    n_tok = F.size("toks")
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_bpe_tokens"),
+        F.round(n_tok.cast("double") / F.col("n_words"), 4).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality heuristics: token count, type-token ratio,
     mean token length, and a blended score in [0, 1]."""
@@ -136,6 +164,7 @@ _ES = _duck_marker_count(LANG_MARKERS["es"])
 
 QUERIES = {
     "text_token_stats": q_token_stats,
+    "bpe_token_count": q_bpe_token_count,
     "text_quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "lang_id_eval": q_lang_id_eval,
@@ -143,6 +172,13 @@ QUERIES = {
 }
 
 ORACLE = {
+    "bpe_token_count": f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
+               ROUND(len(regexp_extract_all(text, '{BPE_PATTERN}'))::DOUBLE
+                     / len({_DUCK_WS}), 4) AS tokens_per_word
+        FROM documents
+    """,
     "text_token_stats": f"""
         SELECT lang, count(*) AS n_docs,
                CAST(SUM(len({_DUCK_WS})) AS BIGINT) AS sum_tokens,
