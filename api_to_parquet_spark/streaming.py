@@ -17,6 +17,8 @@ The batch and streaming paths share the exact same DataFrame transforms
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -90,6 +92,63 @@ def start_state_stream(
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_per_key_state_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint: str,
+    query_name: str = "per_key_state",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Custom stateful operator: per-PointId running max timestamp and
+    point count across micro-batches, via applyInPandasWithState — the
+    extension point for stateful logic Spark's built-in aggregates can't
+    express (the reference's global max, src/main.go:315-322, generalized
+    per key).
+
+    Scale shape: state is partitioned by PointId across the state store
+    (RocksDB provider on a real cluster), updates arrive Arrow-batched per
+    group, and only changed keys are emitted per trigger (update mode).
+    Not SQL-expressible → rows-only correctness; semantics are asserted in
+    tests/test_streaming.py."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    reader = spark.readStream.schema("value STRING")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    envelopes = ingest.parse_envelopes(reader.text(input_dir))
+    valid, _ = ingest.validate_envelopes(envelopes)
+    points = ingest.explode_points(valid)
+
+    def update(key, pdf_iter, state: GroupState):
+        (point_id,) = key
+        max_ts, n = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            if len(pdf):
+                batch_max = int(pdf["Timestamp"].max())
+                max_ts = batch_max if max_ts is None or batch_max > max_ts else max_ts
+                n += len(pdf)
+        state.update((max_ts, n))
+        yield pd.DataFrame(
+            {"point_id": [point_id], "max_timestamp": [max_ts], "n_points": [n]}
+        )
+
+    out = points.groupBy("PointId").applyInPandasWithState(
+        update,
+        "point_id STRING, max_timestamp BIGINT, n_points BIGINT",
+        "max_timestamp BIGINT, n_points BIGINT",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

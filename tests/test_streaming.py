@@ -70,6 +70,63 @@ def test_state_stream_running_max(spark, tmp_path):
     assert row["last_time_generated_by_value"] == 20
 
 
+def _envelope_points(file, points, time_generated):
+    return json.dumps(
+        {
+            "content": [
+                {"Timestamp": t, "PointId": pid, "Value": float(t)}
+                for pid, t in points
+            ],
+            "id": f"b{time_generated}",
+            "source": "s",
+            "timeGenerated": time_generated,
+            "file": file,
+        }
+    )
+
+
+def test_per_key_state_stream(spark, tmp_path):
+    """applyInPandasWithState: per-PointId running max + count must
+    accumulate ACROSS micro-batches (maxFilesPerTrigger=1 forces two
+    triggers in one run), monotonic under out-of-order timestamps.
+    Update-mode output re-emits a key each trigger it changes, so the
+    final state per key is the row with the largest (monotonic)
+    n_points."""
+    import time
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (inp / "b1.json").write_text(
+        _envelope_points(
+            "s/2024/01/01/00/a.parquet", [("p1", 100), ("p1", 300), ("p2", 50)], 1
+        )
+        + "\n"
+    )
+    time.sleep(1.1)  # file-source ordering is by modification time
+    # batch 2: out-of-order for p1 (max must not regress), new point for p2
+    (inp / "b2.json").write_text(
+        _envelope_points(
+            "s/2024/01/01/01/b.parquet", [("p1", 200), ("p2", 500)], 2
+        )
+        + "\n"
+    )
+    q = streaming.start_per_key_state_stream(
+        spark, str(inp), ckpt, query_name="pk_test", max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # really ran as two micro-batches
+    got = {
+        r["point_id"]: r
+        for r in spark.sql(
+            "SELECT point_id, max(max_timestamp) AS max_timestamp,"
+            " max(n_points) AS n_points FROM pk_test GROUP BY point_id"
+        ).collect()
+    }
+    assert got["p1"]["max_timestamp"] == 300 and got["p1"]["n_points"] == 3
+    assert got["p2"]["max_timestamp"] == 500 and got["p2"]["n_points"] == 2
+
+
 def test_windowed_stream_with_watermark(spark, tmp_path, sf_smoke):
     events_dir = tmp_path / "events"
     ckpt = str(tmp_path / "ckpt")
