@@ -1,0 +1,130 @@
+"""Scale operations: compaction, bucketed shuffle-free joins, salting."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark import ingest, lake, ops
+
+
+def _points(spark, file, ts_values):
+    import json
+
+    raw = spark.createDataFrame(
+        [
+            (
+                json.dumps(
+                    {
+                        "content": [
+                            {"Timestamp": t, "Value": float(t)} for t in ts_values
+                        ],
+                        "id": "b1",
+                        "source": "s",
+                        "timeGenerated": 1,
+                        "file": file,
+                    }
+                ),
+            )
+        ],
+        ["value"],
+    )
+    points, _ = ingest.ingest_batch(raw)
+    return points
+
+
+def test_compact_partition_merges_files_preserving_replay_keys(spark, tmp_path):
+    """A fragmented hour (many small files per batch) compacts to one
+    file per file_key, preserving rows exactly and keeping the per-POST
+    replay boundary intact."""
+    lake_path = str(tmp_path / "lake")
+    for name in ["a", "b"]:
+        pts = _points(spark, f"f1/2023/10/26/19/{name}.parquet", list(range(12)))
+        lake.write_lake(pts.repartition(6), lake_path, mode="append")
+    before = lake.read_partition(spark, lake_path, "f1", 2023, 10, 26, 19)
+    rows_before = sorted(
+        (r["file_key"], r["Timestamp"]) for r in before.collect()
+    )
+    files_before = glob.glob(
+        f"{lake_path}/source=f1/**/*.parquet", recursive=True
+    )
+    assert len(files_before) >= 12  # fragmented: ~6 files per POST
+
+    n_tasks = ops.compact_partition(spark, lake_path, "f1", 2023, 10, 26, 19)
+    assert n_tasks == 1  # tiny partition → single write task
+
+    after = lake.read_partition(spark, lake_path, "f1", 2023, 10, 26, 19)
+    assert (
+        sorted((r["file_key"], r["Timestamp"]) for r in after.collect())
+        == rows_before
+    )
+    files_after = glob.glob(
+        f"{lake_path}/source=f1/**/*.parquet", recursive=True
+    )
+    assert len(files_after) == 2  # one per file_key (per POST)
+
+    # the replay contract survives compaction: re-POST key "a" replaces it
+    lake.write_lake(
+        _points(spark, "f1/2023/10/26/19/a.parquet", [99]), lake_path
+    )
+    replayed = lake.read_partition(spark, lake_path, "f1", 2023, 10, 26, 19)
+    got = sorted(r["Timestamp"] for r in replayed.collect())
+    assert got == sorted([99, *range(12)])
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_smoke, tmp_path):
+    """Two tables bucketed on the join key join without any Exchange in
+    the plan — the 100 TB fact-fact join shape."""
+    orders = lake.load(spark, sf_smoke, "orders")
+    li = lake.load(spark, sf_smoke, "lineitem")
+    ops.write_bucketed(
+        orders, "b_orders", ["o_orderkey"], 8, str(tmp_path / "b_orders")
+    )
+    ops.write_bucketed(
+        li.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "b_lineitem",
+        ["o_orderkey"],
+        8,
+        str(tmp_path / "b_lineitem"),
+    )
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"), "o_orderkey"
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_salted_agg_matches_plain(spark, sf_smoke):
+    ev = lake.load(spark, sf_smoke, "events")
+    salted = ops.salted_agg(
+        ev, ["event_type"], {"value": "sum", "event_id": "count"}
+    ).withColumn("sum_value", F.round("sum_value", 2))
+    plain = ev.groupBy("event_type").agg(
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count("event_id").alias("count_event_id"),
+    )
+    got = {r["event_type"]: r for r in salted.collect()}
+    want = {r["event_type"]: r for r in plain.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k]["count_event_id"] == want[k]["count_event_id"]
+        assert abs(got[k]["sum_value"] - want[k]["sum_value"]) < 0.05
+
+
+def test_salted_join_matches_plain(spark, sf_smoke):
+    li = lake.load(spark, sf_smoke, "lineitem")
+    part = lake.load(spark, sf_smoke, "part")
+    salted = ops.salted_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"),
+        part,
+        ["p_partkey"],
+        n_salts=8,
+    )
+    plain = li.join(part, li.l_partkey == part.p_partkey)
+    assert salted.count() == plain.count()
