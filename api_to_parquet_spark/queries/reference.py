@@ -114,8 +114,53 @@ def q_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_synthetic_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the reference's synthetic row generators (startup sample
+    src/main.go:190-202; load batches tests/main.go:66-92) — Spark-native
+    via spark.range + hash-derived fields. Deterministic (md5 of the row
+    id, not rand()) so the oracle reproduces it bit-for-bit; swap md5 for
+    F.rand()/F.uuid() for true load-gen randomness."""
+    n = 1000
+    rows = spark.range(n)  # distributed id source, no driver loop
+    ids = F.col("id").cast("string")
+    return rows.select(
+        F.col("id").alias("seq"),
+        F.md5(ids).alias("point_id"),
+        (
+            F.conv(F.substring(F.md5(F.concat(ids, F.lit("v"))), 1, 8), 16, 10)
+            .cast("long")
+            % 100000
+        ).alias("raw_value"),
+        (F.col("id") % 24).alias("time_offset_hours"),
+    )
+
+
+def q_json_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: the JSON response sink (reference src/main.go:241-244,324-328)
+    — per-type state rows serialized as one JSON string column."""
+    stats = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.max(F.unix_millis("ts")).alias("maxTimestamp"),
+            F.count("*").alias("entries"),
+        )
+    )
+    return stats.select(
+        "event_type",
+        F.to_json(
+            F.struct(
+                F.col("maxTimestamp").alias("maxTimestamp"),
+                F.col("entries").alias("entries"),
+            )
+        ).alias("response"),
+    )
+
+
 QUERIES = {
     "take": q_take,
+    "synthetic_batch": q_synthetic_batch,
+    "json_response": q_json_response,
     "count_rows": q_count_rows,
     "state_get": q_state_get,
     "batch_stats": q_batch_stats,
@@ -126,6 +171,19 @@ QUERIES = {
 
 ORACLE = {
     "take": "SELECT * FROM events ORDER BY event_id LIMIT 100",
+    "synthetic_batch": (
+        "SELECT i AS seq, md5(i::VARCHAR) AS point_id,"
+        " ('0x' || substr(md5(i::VARCHAR || 'v'), 1, 8))::BIGINT % 100000"
+        "   AS raw_value,"
+        " i % 24 AS time_offset_hours"
+        " FROM generate_series(0, 999) t(i)"
+    ),
+    "json_response": (
+        "SELECT event_type, to_json(struct_pack("
+        "   maxTimestamp := max(epoch_ms(ts)),"
+        "   entries := count(*)))::VARCHAR AS response"
+        " FROM events GROUP BY event_type"
+    ),
     "count_rows": "SELECT count(*) AS n FROM events",
     "state_get": (
         "SELECT max(ts) AS max_timestamp, arg_max(ts, event_id) AS last_time_generated"
