@@ -170,6 +170,92 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_CENTROIDS = 16
+N_PROBE = 4
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a deterministic coarse
+    quantizer (centroids = evenly-strided corpus vectors, the k-means++
+    seeding idea without the iteration) assigns every vector to its
+    nearest centroid map-side; each query probes the N_PROBE nearest
+    cells and exact-cosine re-ranks only those cells' members.
+
+    Scale shape: the coarse quantizer is collected to the driver once
+    (N_CENTROIDS×dim doubles — kilobytes, like fitting any small model)
+    and inlined as literal array expressions, so cell assignment is a
+    pure map-side pass over the corpus: NO join, NO shuffle, regardless
+    of corpus size. The probe join is then an equi-join on cell id; at
+    real scale use more centroids ∝ sqrt(N) to keep cells balanced.
+    Approximate by construction → rows-only check; recall vs brute force
+    is asserted in tests/test_similarity.py."""
+    vecs = _vecs(spark, sf_dir)
+    # deterministic stride-sampled centroids (k-means++-style seeding
+    # without the iteration), collected once
+    n_total = vecs.count()
+    stride = max(1, n_total // N_CENTROIDS)
+    cents = (
+        vecs.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("vec_id", "v")
+        .collect()
+    )
+
+    def cell_scores(vcol: Column) -> Column:
+        """Array of (cosine-to-centroid, cell_id) structs — map-side."""
+        return F.array(
+            *[
+                F.struct(
+                    cosine(
+                        vcol, F.array(*[F.lit(float(x)) for x in r["v"]])
+                    ).alias("csim"),
+                    F.lit(int(r["vec_id"])).alias("cell_id"),
+                )
+                for r in cents
+            ]
+        )
+
+    # nearest cell: struct ordering compares csim first (cell_id ties)
+    corpus_cells = vecs.select(
+        "vec_id",
+        "v",
+        F.array_max(cell_scores(F.col("v"))).getField("cell_id").alias("cell"),
+    )
+    # N_PROBE nearest cells: sort ascending, keep the last N_PROBE
+    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    query_cells = queries.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(cell_scores(F.col("qv"))), -N_PROBE, N_PROBE
+                ),
+                lambda s: s.getField("cell_id"),
+            )
+        ).alias("cell"),
+    )
+    scored = (
+        corpus_cells.join(query_cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 _DUCK_COS = (
     "list_dot_product(a.v, b.v)"
     " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -179,6 +265,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,  # no oracle: approximate by design
+    "ann_ivf_topk": q_ann_ivf_topk,  # no oracle: approximate by design
 }
 
 ORACLE = {

@@ -154,6 +154,43 @@ def start_per_key_state_stream(
     )
 
 
+def start_dedup_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint: str,
+    query_name: str = "dedup_stream",
+) -> StreamingQuery:
+    """Streaming exact dedup: drop envelopes whose batch `id` was already
+    seen within the watermark horizon (dropDuplicatesWithinWatermark) —
+    the content-dedup the reference README *claims* ("uses a cache ... to
+    avoid duplicate writes", README.md:3,138) but never implements
+    (SURVEY.md §2.9: only blob-overwrite-by-key exists). The watermark
+    bounds state: duplicate ids older than the horizon age out of the
+    state store, so state stays O(ids per hour), not O(all ids ever)."""
+    envelopes = read_envelope_stream(spark, input_dir)
+    valid, _ = ingest.validate_envelopes(envelopes)
+    deduped = (
+        valid.withColumn(
+            "arrival_ts", F.timestamp_millis(F.col("timeGenerated"))
+        )
+        .withWatermark("arrival_ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    counts = ingest.explode_points(deduped).agg(
+        F.count("*").alias("n_points"),
+        # exact distinct is unsupported on streams; HLL sketch instead
+        F.approx_count_distinct("batch_id").alias("n_batches"),
+    )
+    return (
+        counts.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window aggregation (late data tolerated up to
     1 hour; state for closed windows is dropped — bounded state at any

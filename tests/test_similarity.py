@@ -26,6 +26,24 @@ def test_ann_lsh_recall(spark, sf_smoke):
     assert recall > 0.05, f"LSH recall collapsed: {recall}"
 
 
+def test_ann_ivf_recall_and_plan(spark, sf_smoke):
+    """IVF with N_PROBE of N_CENTROIDS cells must recover a meaningful
+    share of true neighbors, and cell assignment must be map-side (no
+    join/shuffle before the probe equi-join)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.q_knn_bruteforce(spark, sf_smoke).collect()
+    }
+    df = similarity.q_ann_ivf_topk(spark, sf_smoke)
+    approx = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+    assert approx, "IVF returned nothing"
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.2, f"IVF recall collapsed: {recall}"
+    rows = df.collect()
+    assert all(-1.0 <= r["cos_sim"] <= 1.0 for r in rows)
+    assert all(1 <= r["rank"] <= similarity.TOP_K for r in rows)
+
+
 def test_ann_results_are_subset_quality(spark, sf_smoke):
     df = similarity.q_ann_lsh_topk(spark, sf_smoke)
     rows = df.collect()

@@ -127,6 +127,23 @@ def test_per_key_state_stream(spark, tmp_path):
     assert got["p2"]["max_timestamp"] == 500 and got["p2"]["n_points"] == 2
 
 
+def test_dedup_stream_drops_replayed_batch_ids(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a re-POSTed envelope (same batch
+    id) within the watermark horizon contributes no duplicate points."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    e1 = _envelope("s/2024/01/01/00/a.parquet", [100, 200], 1000)
+    e2 = _envelope("s/2024/01/01/00/b.parquet", [300], 2000)
+    # e1 appears twice (replay); e2 once
+    (inp / "b1.json").write_text(e1 + "\n" + e1 + "\n" + e2 + "\n")
+    q = streaming.start_dedup_stream(spark, str(inp), ckpt, query_name="dd_test")
+    q.awaitTermination(120)
+    row = spark.sql("SELECT * FROM dd_test").collect()[0]
+    assert row["n_points"] == 3  # 2 from e1 (once) + 1 from e2
+    assert row["n_batches"] == 2
+
+
 def test_windowed_stream_with_watermark(spark, tmp_path, sf_smoke):
     events_dir = tmp_path / "events"
     ckpt = str(tmp_path / "ckpt")
