@@ -120,8 +120,45 @@ def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's (user_id < 20) event series onto an hourly
+    grid with forward-fill — the time-series gap-filling operator every
+    downstream consumer of the reference's lake ends up hand-rolling.
+
+    Shape: per-user hour grid via sequence+explode (map-side after one
+    tiny min/max agg), left join of observed hourly last-values, then one
+    last(ignorenulls) window per user — a single shuffle on user_id."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.expr("max_by(value, struct(ts, event_id))").alias("obs_value"))
+    span = hourly.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["user_id", "hour"], "left")
+        .withColumn(
+            "filled_value",
+            F.round(F.last("obs_value", ignorenulls=True).over(w), 2),
+        )
+        .select("user_id", "hour", "filled_value")
+    )
+
+
 QUERIES = {
     "window_topk_per_group": q_topk_per_group,
+    "gap_fill_resample": q_gap_fill_resample,
     "latest_per_key": q_latest_per_key,
     "window_running_sum": q_running_sum,
     "window_sequence_gaps": q_sequence_gaps,
@@ -130,6 +167,29 @@ QUERIES = {
 }
 
 ORACLE = {
+    "gap_fill_resample": """
+        WITH hourly AS (
+            SELECT user_id, hour, obs_value FROM (
+                SELECT user_id, date_trunc('hour', ts) AS hour,
+                       value AS obs_value,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE user_id < 20) WHERE rn = 1),
+        span AS (
+            SELECT user_id, min(hour) AS h0, max(hour) AS h1
+            FROM hourly GROUP BY user_id),
+        grid AS (
+            SELECT user_id, unnest(generate_series(h0, h1,
+                       INTERVAL 1 HOUR)) AS hour
+            FROM span)
+        SELECT g.user_id, g.hour,
+               ROUND(last_value(h.obs_value IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.hour
+                   ROWS UNBOUNDED PRECEDING), 2) AS filled_value
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour = h.hour
+    """,
     "window_topk_per_group": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,

@@ -9,6 +9,9 @@ candidate set from |Q|x|N| to per-bucket groups before exact re-ranking.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -109,7 +112,7 @@ def lsh_buckets(v: Column, dim: int) -> Column:
     for t in range(N_TABLES):
         bits = []
         for j in range(BITS_PER_TABLE):
-            plane = F.array(*[F.lit(p) for p in _plane(dim, t, j)])
+            plane = F.lit(_plane(dim, t, j))  # single array literal node
             bits.append(
                 F.when(dot(v, plane) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
             )
@@ -183,60 +186,59 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the coarse quantizer is collected to the driver once
     (N_CENTROIDS×dim doubles — kilobytes, like fitting any small model)
-    and inlined as literal array expressions, so cell assignment is a
-    pure map-side pass over the corpus: NO join, NO shuffle, regardless
-    of corpus size. The probe join is then an equi-join on cell id; at
-    real scale use more centroids ∝ sqrt(N) to keep cells balanced.
-    Approximate by construction → rows-only check; recall vs brute force
-    is asserted in tests/test_similarity.py."""
+    and shipped inside a vectorized pandas_udf closure, so cell
+    assignment is a pure map-side pass over the corpus — one Arrow batch
+    → one numpy matmul, NO join, NO shuffle, regardless of corpus size.
+    (Per-element array expressions were 10x slower here: higher-order-
+    function lambdas run interpreted, and 16 centroids × 3 dot-folds per
+    row adds up — this is the \"when you must use Python, use Arrow-
+    batched numpy\" case.) The probe join is then an equi-join on cell
+    id; at real scale use more centroids ∝ sqrt(N) to keep cells
+    balanced. Approximate by construction → rows-only check; recall vs
+    brute force is asserted in tests/test_similarity.py."""
+    from pyspark.sql.functions import pandas_udf
+
     vecs = _vecs(spark, sf_dir)
     # deterministic stride-sampled centroids (k-means++-style seeding
-    # without the iteration), collected once
-    n_total = vecs.count()
+    # without the iteration), collected once. The fit reads the RAW scan
+    # (no spread): count() is answered from parquet metadata and the
+    # stride filter pushes down — two trivial jobs instead of shuffles.
+    raw = load(spark, sf_dir, "embeddings")
+    n_total = raw.count()
     stride = max(1, n_total // N_CENTROIDS)
     cents = (
-        vecs.filter(F.col("vec_id") % stride == 0)
+        raw.filter(F.col("vec_id") % stride == 0)
         .orderBy("vec_id")
         .limit(N_CENTROIDS)
-        .select("vec_id", "v")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .collect()
     )
+    cell_ids = np.array([int(r["vec_id"]) for r in cents])
+    C = np.array([r["v"] for r in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
 
-    def cell_scores(vcol: Column) -> Column:
-        """Array of (cosine-to-centroid, cell_id) structs — map-side."""
-        return F.array(
-            *[
-                F.struct(
-                    cosine(
-                        vcol, F.array(*[F.lit(float(x)) for x in r["v"]])
-                    ).alias("csim"),
-                    F.lit(int(r["vec_id"])).alias("cell_id"),
-                )
-                for r in cents
-            ]
-        )
+    def _sims(vs: pd.Series) -> "np.ndarray":
+        M = np.array(vs.tolist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        return M @ Cn.T  # (batch, N_CENTROIDS) in one BLAS call
 
-    # nearest cell: struct ordering compares csim first (cell_id ties)
+    @pandas_udf("long")
+    def nearest_cell(vs: pd.Series) -> pd.Series:
+        return pd.Series(cell_ids[np.argmax(_sims(vs), axis=1)])
+
+    @pandas_udf("array<long>")
+    def probe_cells(vs: pd.Series) -> pd.Series:
+        top = np.argsort(-_sims(vs), axis=1)[:, :N_PROBE]
+        return pd.Series(list(cell_ids[top]))
+
     corpus_cells = vecs.select(
-        "vec_id",
-        "v",
-        F.array_max(cell_scores(F.col("v"))).getField("cell_id").alias("cell"),
+        "vec_id", "v", nearest_cell("v").alias("cell")
     )
-    # N_PROBE nearest cells: sort ascending, keep the last N_PROBE
     queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
     query_cells = queries.select(
-        "query_id",
-        "qv",
-        F.explode(
-            F.transform(
-                F.slice(
-                    F.array_sort(cell_scores(F.col("qv"))), -N_PROBE, N_PROBE
-                ),
-                lambda s: s.getField("cell_id"),
-            )
-        ).alias("cell"),
+        "query_id", "qv", F.explode(probe_cells("qv")).alias("cell")
     )
     scored = (
         corpus_cells.join(query_cells, "cell")
@@ -246,7 +248,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
         )
-        .distinct()
+        # no distinct needed: each corpus vector lives in exactly ONE
+        # cell, so a (query, neighbor) pair can only arise once — unlike
+        # the multi-table LSH variant above
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (

@@ -33,6 +33,11 @@ HEADLINE = [
     "minhash_lsh_pairs",  # MinHash+LSH near-dup
     "knn_bruteforce",  # cosine top-k over embeddings
     "text_token_stats",  # text analysis over documents
+    "scalar_subquery",  # correlated subquery (decorrelation)
+    "range_join",  # time-band self-join with equi key
+    "session_window_agg",  # per-user session windows
+    "gap_fill_resample",  # hourly grid + forward-fill
+    "ann_ivf_topk",  # IVF approximate nearest neighbors
 ]
 
 
