@@ -122,8 +122,95 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media_table(spark, sf_dir))
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+        T.StructField("out_width", T.LongType()),
+        T.StructField("out_height", T.LongType()),
+    ]
+)
+
+MAX_EDGE = 224  # standard vision-model input edge
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Resize stage: mapInPandas computing aspect-preserving target
+    dimensions (fit longest edge to MAX_EDGE, never upscale). A real
+    implementation calls PIL's resize on the decoded image here — the
+    dimension arithmetic, batch shape, and schema are exactly what that
+    version uses, so only the pixel work is faked."""
+
+    def resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            n_bytes = pdf["payload"].map(len)
+            w = (n_bytes % 640) + 1  # deterministic fake decode dims
+            h = ((n_bytes * 7) % 480) + 1
+            scale = (MAX_EDGE / w.combine(h, max)).clip(upper=1.0)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "fake_width": w,
+                    "fake_height": h,
+                    "out_width": (w * scale).astype("int64"),
+                    "out_height": (h * scale).astype("int64"),
+                }
+            )
+
+    return media.mapInPandas(resize_batch, RESIZE_SCHEMA)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(media_table(spark, sf_dir))
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+    ]
+)
+
+FRAME_STRIDE = 10  # keep every 10th frame
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Frame-sampling stage for video payloads: mapInPandas expanding
+    each payload into every FRAME_STRIDE-th frame index (a real version
+    decodes the container and yields the sampled frames as binary
+    columns; the expansion shape — one input row to many output rows,
+    batch-at-a-time — is the part that matters for Spark)."""
+
+    def frame_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            n_frames = (pdf["payload"].map(len) % 300) + 1  # fake decode
+            out_doc, out_n, out_idx = [], [], []
+            for doc_id, nf in zip(pdf["doc_id"], n_frames):
+                idxs = range(0, int(nf), FRAME_STRIDE)
+                out_doc.extend([doc_id] * len(idxs))
+                out_n.extend([int(nf)] * len(idxs))
+                out_idx.extend(idxs)
+            yield _pd.DataFrame(
+                {"doc_id": out_doc, "n_frames": out_n, "frame_idx": out_idx}
+            )
+
+    return media.mapInPandas(frame_batch, FRAME_SCHEMA)
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir))
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
+    "multimodal_resize": q_multimodal_resize,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 # The deterministic byte-level features are SQL-expressible, so even the
@@ -136,5 +223,26 @@ ORACLE = {
                CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
                CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS fake_height
         FROM documents
+    """,
+    "multimodal_resize": f"""
+        SELECT doc_id, fake_width, fake_height,
+               CAST(floor(fake_width * scale) AS BIGINT) AS out_width,
+               CAST(floor(fake_height * scale) AS BIGINT) AS out_height
+        FROM (
+            SELECT doc_id, fake_width, fake_height,
+                   least({MAX_EDGE}.0 / greatest(fake_width, fake_height),
+                         1.0) AS scale
+            FROM (
+                SELECT doc_id,
+                       octet_length(encode(text)) % 640 + 1 AS fake_width,
+                       octet_length(encode(text)) * 7 % 480 + 1 AS fake_height
+                FROM documents))
+    """,
+    "multimodal_frame_sample": f"""
+        SELECT doc_id, n_frames,
+               unnest(range(0, n_frames, {FRAME_STRIDE})) AS frame_idx
+        FROM (SELECT doc_id,
+                     octet_length(encode(text)) % 300 + 1 AS n_frames
+              FROM documents)
     """,
 }
