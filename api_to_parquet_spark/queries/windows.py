@@ -156,9 +156,65 @@ def q_gap_fill_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ranking-function family over one shared window sort —
+    rank/dense_rank/percent_rank/ntile/cume_dist all reuse the single
+    per-partition sort (one shuffle on o_custkey, one sort)."""
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.round(F.percent_rank().over(w), 6).alias("prnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+    )
+
+
+def q_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour average per user via a RANGE frame on event time —
+    the time-series smoothing query a RANGE BETWEEN frame exists for
+    (row frames would be wrong under irregular sampling)."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("trailing_1h_avg"),
+        F.count("*").over(w).alias("trailing_1h_n"),
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt) of lineitem's charge columns —
+    the inverse of pivot_event_counts; pure narrow Expand, no shuffle."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_extendedprice", "l_discount", "l_tax"],
+            "charge_kind",
+            "amount",
+        )
+    )
+
+
 QUERIES = {
     "window_topk_per_group": q_topk_per_group,
     "gap_fill_resample": q_gap_fill_resample,
+    "window_rank_family": q_rank_family,
+    "window_time_range_frame": q_time_range_frame,
+    "unpivot_charges": q_unpivot,
     "latest_per_key": q_latest_per_key,
     "window_running_sum": q_running_sum,
     "window_sequence_gaps": q_sequence_gaps,
@@ -167,6 +223,32 @@ QUERIES = {
 }
 
 ORACLE = {
+    "window_rank_family": """
+        SELECT o_custkey, o_orderkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ROUND(percent_rank() OVER w, 6) AS prnk,
+               ntile(4) OVER w AS quartile,
+               ROUND(cume_dist() OVER w, 6) AS cdist
+        FROM orders WHERE o_custkey < 100
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+    "window_time_range_frame": """
+        SELECT event_id, user_id,
+               ROUND(AVG(value) OVER w, 4) AS trailing_1h_avg,
+               COUNT(*) OVER w AS trailing_1h_n
+        FROM events WHERE user_id < 50
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    "unpivot_charges": """
+        SELECT l_orderkey, l_linenumber, charge_kind, amount
+        FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+                     l_tax
+              FROM lineitem WHERE l_orderkey < 100)
+        UNPIVOT (amount FOR charge_kind IN
+                 (l_extendedprice, l_discount, l_tax))
+    """,
     "gap_fill_resample": """
         WITH hourly AS (
             SELECT user_id, hour, obs_value FROM (
