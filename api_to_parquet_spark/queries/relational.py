@@ -157,6 +157,49 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MIN_COST_SUPPLIER_SQL = """
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_acctbal
+    FROM part p, supplier s
+    WHERE p.p_size = 10 AND p.p_partkey < 200
+      AND s.s_acctbal = (SELECT MIN(s2.s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s.s_nationkey)
+"""
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated MIN subquery selecting each nation's
+    cheapest-balance supplier. Catalyst decorrelates to a per-nation
+    aggregate joined back — no per-row rescan. Same ANSI string runs on
+    both engines."""
+    for t in ("part", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_MIN_COST_SUPPLIER_SQL)
+
+
+def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation + array functions: per-user sorted event-value
+    array (deterministic order), its length, head slice, and a JVM-side
+    fold (F.aggregate) — the array surface a feature-store pipeline
+    uses."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    arr = F.array_sort(F.collect_list(F.round("value", 2)))
+    return (
+        ev.groupBy("user_id")
+        .agg(arr.alias("vals"))
+        .select(
+            "user_id",
+            F.size("vals").alias("n_vals"),
+            F.slice("vals", 1, 3).alias("smallest3"),
+            F.round(
+                F.aggregate(
+                    "vals", F.lit(0.0), lambda acc, x: acc + x
+                ),
+                2,
+            ).alias("sum_vals"),
+        )
+    )
+
+
 def _jan(spark, sf_dir):
     return (
         load(spark, sf_dir, "orders")
@@ -250,6 +293,8 @@ QUERIES = {
     "broadcast_join": q_broadcast_join,
     "sort_topk": q_sort_topk,
     "distinct_agg": q_distinct_agg,
+    "min_cost_supplier": q_min_cost_supplier,
+    "array_agg": q_array_agg,
     "set_union": q_set_union,
     "set_intersect": q_set_intersect,
     "set_except": q_set_except,
@@ -320,6 +365,16 @@ ORACLE = {
     "sort_topk": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
+    "array_agg": """
+        SELECT user_id,
+               len(vals) AS n_vals,
+               vals[1:3] AS smallest3,
+               ROUND(list_sum(vals), 2) AS sum_vals
+        FROM (SELECT user_id,
+                     list_sort(list(ROUND(value, 2))) AS vals
+              FROM events WHERE user_id < 30 GROUP BY user_id)
     """,
     "distinct_agg": """
         SELECT count(DISTINCT o_custkey) AS n_customers,

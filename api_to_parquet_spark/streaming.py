@@ -191,6 +191,56 @@ def start_dedup_stream(
     )
 
 
+EVENTS_STREAM_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+    " event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def start_stream_stream_join(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint: str,
+    query_name: str = "attribution",
+) -> StreamingQuery:
+    """Stream-stream inner join: attribute each purchase to the views by
+    the same user in the preceding hour. Both sides carry event-time
+    watermarks and the join condition bounds the time skew, so the state
+    store retains only one hour of views per user — bounded state at any
+    scale (an unbounded stream-stream join would grow state forever)."""
+    src = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(events_dir)
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        src.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user_id"
+            " AND view_ts <= purchase_ts"
+            " AND view_ts >= purchase_ts - INTERVAL 1 HOUR"
+        ),
+    ).select("event_id", "user_id", "purchase_ts", "view_ts", "view_value")
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_event_counts(events_stream: DataFrame) -> DataFrame:
     """Watermarked tumbling-window aggregation (late data tolerated up to
     1 hour; state for closed windows is dropped — bounded state at any

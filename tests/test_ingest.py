@@ -113,6 +113,25 @@ def test_batch_stats(spark):
     assert stats["max_timestamp"] == 1698346800001
 
 
+def test_wire_format_numeric_coercion(spark):
+    """SURVEY.md §1.1: the wire format is 'whatever JSON numbers coerce
+    into' — the load generator sends Value as int and TimeOffsetHours as
+    int8 (reference tests/main.go:13-22). Integral JSON numbers land in
+    double/long columns; fractional stays exact."""
+    rows = [
+        dict(SPARSE_ROW, Timestamp=1, Value=7),  # int-valued Value
+        {"Timestamp": 2, "Value": 4.5, "TimeOffsetHours": 3, "Sequence": 9},
+    ]
+    points, rejected = ingest.ingest_batch(raw_df(spark, [envelope(rows)]))
+    assert rejected.count() == 0
+    got = {r["Timestamp"]: r for r in points.collect()}
+    assert got[1]["Value"] == 7.0 and isinstance(got[1]["Value"], float)
+    assert got[2]["Value"] == 4.5
+    assert got[2]["TimeOffsetHours"] == 3 and got[2]["Sequence"] == 9
+    # zero-fill applies to the omitted fields of the sparse rows
+    assert got[1]["TimeOffsetHours"] == 0 and got[1]["PointId"] == ""
+
+
 def test_mixed_epoch_units_left_opaque(spark):
     """SURVEY.md §1.4: engine never interprets epochs — seconds and millis
     coexist; comparisons only."""

@@ -127,6 +127,40 @@ def test_per_key_state_stream(spark, tmp_path):
     assert got["p2"]["max_timestamp"] == 500 and got["p2"]["n_points"] == 2
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path, sf_smoke):
+    """The watermarked stream-stream purchase←view attribution join must
+    produce exactly the rows the equivalent batch join produces (inner
+    join emits on match; the watermark only bounds state retention)."""
+    from pyspark.sql import functions as F
+
+    events_dir = tmp_path / "events"
+    ckpt = str(tmp_path / "ckpt")
+    lake.load(spark, sf_smoke, "events").coalesce(1).write.parquet(str(events_dir))
+    q = streaming.start_stream_stream_join(
+        spark, str(events_dir), ckpt, query_name="ssj_test"
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ssj_test").collect()[0]["n"]
+
+    ev = lake.load(spark, sf_smoke, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    want = purchases.join(
+        views,
+        F.expr(
+            "user_id = v_user_id AND view_ts <= purchase_ts"
+            " AND view_ts >= purchase_ts - INTERVAL 1 HOUR"
+        ),
+    ).count()
+    assert want > 0
+    assert got == want
+
+
 def test_dedup_stream_drops_replayed_batch_ids(spark, tmp_path):
     """dropDuplicatesWithinWatermark: a re-POSTed envelope (same batch
     id) within the watermark horizon contributes no duplicate points."""
