@@ -1,0 +1,115 @@
+"""Property-based invariants (hypothesis) over the ingest pipeline and
+state merge — the reference ships no property tests (SURVEY.md §5); these
+pin the engine's core contracts under arbitrary inputs:
+
+- row conservation: valid envelopes contribute exactly len(content) rows
+- zero-fill totality: normalized points never contain NULLs
+- state monotonicity: max_timestamp never decreases under any batch order
+- normalization idempotence: normalizing twice changes nothing
+
+One SparkSession, few examples (Spark actions are ~100ms each), no
+deadline — hypothesis still explores the envelope space far beyond the
+hand-written fixtures.
+"""
+
+from __future__ import annotations
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from api_to_parquet_spark import ingest
+from api_to_parquet_spark.schemas import POINT_COLUMNS
+
+point_st = st.fixed_dictionaries(
+    {},
+    optional={
+        "Timestamp": st.integers(min_value=0, max_value=2**53),
+        "TimeOffsetHours": st.integers(min_value=-24, max_value=24),
+        "PointId": st.text(max_size=8),
+        "Sequence": st.integers(min_value=0, max_value=99),
+        "Project": st.text(max_size=8),
+        "Value": st.one_of(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+        ),
+        "Res": st.text(max_size=4),
+        "Quality": st.integers(min_value=0, max_value=99),
+    },
+)
+
+envelope_st = st.fixed_dictionaries(
+    {
+        "content": st.lists(point_st, min_size=1, max_size=5),
+        "id": st.text(min_size=1, max_size=8),
+        "source": st.text(max_size=8),
+        "timeGenerated": st.integers(min_value=1, max_value=2**53),
+        "file": st.just("s/2024/01/02/03/x.parquet"),
+    }
+)
+
+SETTINGS = settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+FEW = settings(
+    max_examples=4, deadline=None, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@given(envs=st.lists(envelope_st, min_size=1, max_size=3))
+@SETTINGS
+def test_row_conservation_and_zero_fill(spark, envs):
+    raw = spark.createDataFrame(
+        [(json.dumps(e),) for e in envs], ["value"]
+    )
+    points, rejected = ingest.ingest_batch(raw)
+    rows = points.collect()
+    assert rejected.count() == 0
+    assert len(rows) == sum(len(e["content"]) for e in envs)
+    for r in rows:
+        for c in POINT_COLUMNS:
+            assert r[c] is not None, f"NULL leaked into {c}"
+
+
+@given(
+    maxima=st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=2, max_size=3
+    )
+)
+@FEW
+def test_state_max_monotone_under_any_order(spark, tmp_path_factory, maxima):
+    from api_to_parquet_spark import state
+
+    state_path = str(tmp_path_factory.mktemp("state") / "ctl")
+    running = None
+    for i, mx in enumerate(maxima):
+        env = json.dumps(
+            {
+                "content": [{"Timestamp": mx, "Value": 1.0}],
+                "id": f"b{i}",
+                "source": "s",
+                "timeGenerated": i + 1,
+                "file": "s/2024/01/02/03/x.parquet",
+            }
+        )
+        points, _ = ingest.ingest_batch(
+            spark.createDataFrame([(env,)], ["value"])
+        )
+        state.update_state(spark, state_path, points)
+        running = mx if running is None else max(running, mx)
+        st_row = state.read_state(spark, state_path)
+        assert st_row["max_timestamp"] == running
+        assert st_row["last_time_generated"] == i + 1
+
+
+@given(env=envelope_st)
+@SETTINGS
+def test_normalize_idempotent(spark, env):
+    raw = spark.createDataFrame([(json.dumps(env),)], ["value"])
+    valid, _ = ingest.validate_envelopes(ingest.parse_envelopes(raw))
+    once = ingest.normalize_points(ingest.explode_points(valid))
+    twice = ingest.normalize_points(once)
+    a = sorted(map(tuple, once.collect()))
+    b = sorted(map(tuple, twice.collect()))
+    assert a == b
