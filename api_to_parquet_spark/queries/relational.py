@@ -176,6 +176,29 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_MIN_COST_SUPPLIER_SQL)
 
 
+_DISJUNCTIVE_SQL = """
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+def q_disjunctive_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs mixing both join sides. Catalyst
+    extracts the common single-side conjuncts (brand/size on part,
+    quantity on lineitem) and pushes them below the join, so the scans
+    shrink before the hash join evaluates the residual disjunction."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_DISJUNCTIVE_SQL)
+
+
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation + array functions: per-user sorted event-value
     array (deterministic order), its length, head slice, and a JVM-side
@@ -294,6 +317,7 @@ QUERIES = {
     "sort_topk": q_sort_topk,
     "distinct_agg": q_distinct_agg,
     "min_cost_supplier": q_min_cost_supplier,
+    "disjunctive_filter_join": q_disjunctive_filter_join,
     "array_agg": q_array_agg,
     "set_union": q_set_union,
     "set_intersect": q_set_intersect,
@@ -367,6 +391,7 @@ ORACLE = {
         FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
     """,
     "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
+    "disjunctive_filter_join": _DISJUNCTIVE_SQL,
     "array_agg": """
         SELECT user_id,
                len(vals) AS n_vals,
