@@ -41,6 +41,60 @@ HEADLINE = [
 ]
 
 
+def ingest_throughput(
+    spark, n_envelopes: int = 10, rows_per_envelope: int = 80_000
+) -> float:
+    """Rows/sec through parse → validate → explode → normalize →
+    partitioned lake write for the reference's load shape: 10 concurrent
+    80 000-row POSTs (tests/hammertime.sh:7 × tests/main.go:72,
+    BASELINE.md). One envelope is one JSON string = one parse task, so
+    parallelism comes from envelope count — exactly as it does for the
+    reference's 10-concurrent HTTP handlers."""
+    import json
+    import random
+    import shutil
+    import tempfile
+
+    from api_to_parquet_spark import ingest, lake
+
+    rng = random.Random(42)
+    envs = []
+    for e in range(n_envelopes):
+        envs.append(
+            json.dumps(
+                {
+                    "content": [
+                        {
+                            "Timestamp": 1700000000000 + i,
+                            "PointId": f"p{rng.randint(0, 99)}",
+                            "Project": f"proj{rng.randint(0, 9)}",
+                            "Value": rng.uniform(1, 43),
+                        }
+                        for i in range(rows_per_envelope)
+                    ],
+                    "id": f"bench-{e}",
+                    "source": "factory-1",
+                    "timeGenerated": 1700000000000 + e,
+                    "file": f"factory-1/2023/10/26/{e:02d}/bench.parquet",
+                }
+            )
+        )
+    target = tempfile.mkdtemp(prefix="bench_lake_")
+    try:
+        raw = spark.createDataFrame(
+            [(e,) for e in envs], ["value"]
+        ).repartition(n_envelopes)
+        points, _ = ingest.ingest_batch(raw)
+        lake.write_lake(points, target)  # warm
+        t0 = time.perf_counter()
+        points2, _ = ingest.ingest_batch(raw)
+        lake.write_lake(points2, target)
+        dt = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(target, ignore_errors=True)
+    return round(n_envelopes * rows_per_envelope / dt, 1)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -65,6 +119,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_rows_per_sec": ingest_throughput(spark),
             }
         )
     )
