@@ -148,11 +148,11 @@ def lsh_bands(sig: Column) -> Column:
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, verified: shingle → 64 minhashes →
-    16 bands of 4 → band-bucket equi-join for candidates → exact Jaccard
+    16 bands of 4 → (band, bucket) group for candidates → exact Jaccard
     filter (j >= 0.5) on candidates only.
 
-    Scale shape: signatures are map-side; the candidate join shuffles on
-    (band, bucket) — tiny keys; exact verification touches only candidate
+    Scale shape: signatures are map-side; candidates come from ONE
+    shuffle on (band, bucket); exact verification touches only candidate
     pairs, never all pairs. For pairs with j >= 0.89 (this corpus's
     planted dups) band-recall is 1 - (1-0.89^4)^16 ≈ 1 - 1.4e-7, so the
     output equals the exact all-pairs oracle."""
@@ -163,19 +163,36 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sigs.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "bucket")
     )
-    b1, b2 = bands.alias("b1"), bands.alias("b2")
-    candidates = (
-        b1.join(
-            b2,
-            (F.col("b1.band") == F.col("b2.band"))
-            & (F.col("b1.bucket") == F.col("b2.bucket"))
-            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
-        )
-        .select(
-            F.col("b1.doc_id").alias("doc_a"), F.col("b2.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # Candidate pairs via ONE groupBy on (band, bucket) + in-array pair
+    # expansion — not a bands⋈bands self-join, which would compute the
+    # whole shingle→signature lineage twice and shuffle it twice. Bucket
+    # membership lists are tiny (near-dup groups), so the per-bucket
+    # pair expansion is bounded; a pathological mega-bucket would show up
+    # here and should be salted or capped before expansion.
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
     )
+    pairs = buckets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    candidates = pairs.select("p.doc_a", "p.doc_b").distinct()
     # Verification: two joins back to the shingle table. No broadcast hint —
     # candidate volume is data-dependent (tiny here, potentially huge at
     # 100 TB), so AQE picks broadcast-vs-shuffle from runtime stats.
