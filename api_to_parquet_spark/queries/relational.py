@@ -199,6 +199,49 @@ def q_disjunctive_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_DISJUNCTIVE_SQL)
 
 
+_PROMO_REVENUE_SQL = """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+               / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+               AS promo_revenue_pct,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01'
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation over a join — the CASE
+    folds into the partial aggregate, so both sums come out of one pass."""
+    for t in ("lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_PROMO_REVENUE_SQL)
+
+
+_DORMANT_CUSTOMERS_SQL = """
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_dormant,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+"""
+
+
+def q_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated AVG scalar subquery + NOT EXISTS
+    anti join + grouped aggregate — above-average-balance customers with
+    no urgent order, per segment."""
+    for t in ("customer", "orders"):
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_DORMANT_CUSTOMERS_SQL)
+
+
 def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation + array functions: per-user sorted event-value
     array (deterministic order), its length, head slice, and a JVM-side
@@ -318,6 +361,8 @@ QUERIES = {
     "distinct_agg": q_distinct_agg,
     "min_cost_supplier": q_min_cost_supplier,
     "disjunctive_filter_join": q_disjunctive_filter_join,
+    "promo_revenue": q_promo_revenue,
+    "dormant_customers": q_dormant_customers,
     "array_agg": q_array_agg,
     "set_union": q_set_union,
     "set_intersect": q_set_intersect,
@@ -392,6 +437,8 @@ ORACLE = {
     """,
     "min_cost_supplier": _MIN_COST_SUPPLIER_SQL,
     "disjunctive_filter_join": _DISJUNCTIVE_SQL,
+    "promo_revenue": _PROMO_REVENUE_SQL,
+    "dormant_customers": _DORMANT_CUSTOMERS_SQL,
     "array_agg": """
         SELECT user_id,
                len(vals) AS n_vals,
