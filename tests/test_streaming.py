@@ -127,6 +127,36 @@ def test_per_key_state_stream(spark, tmp_path):
     assert got["p2"]["max_timestamp"] == 500 and got["p2"]["n_points"] == 2
 
 
+def test_per_key_state_stream_on_rocksdb(spark, tmp_path):
+    """Same per-key stateful operator on the RocksDB state store provider
+    — the provider a 100 TB deployment runs (bounded executor memory,
+    changelog checkpointing). SQL confs are session-scoped, so a cloned
+    session flips the provider without touching other tests."""
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "b1.json").write_text(
+        _envelope_points(
+            "s/2024/01/01/00/a.parquet", [("p1", 7), ("p1", 9), ("p2", 3)], 1
+        )
+        + "\n"
+    )
+    q = streaming.start_per_key_state_stream(
+        s2, str(inp), str(tmp_path / "ckpt"), query_name="pk_rocks"
+    )
+    q.awaitTermination(120)
+    got = {
+        r["point_id"]: r for r in s2.sql("SELECT * FROM pk_rocks").collect()
+    }
+    assert got["p1"]["max_timestamp"] == 9 and got["p1"]["n_points"] == 2
+    assert got["p2"]["max_timestamp"] == 3 and got["p2"]["n_points"] == 1
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path, sf_smoke):
     """The watermarked stream-stream purchase←view attribution join must
     produce exactly the rows the equivalent batch join produces (inner
