@@ -251,8 +251,13 @@ def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= 10 (of 60 bits).
-    All-pairs here for oracle parity; the scale path bands the fingerprint
-    into chunks (pigeonhole) exactly like q_minhash_lsh_pairs."""
+
+    Deliberately all-pairs: pigeonhole banding (split 60 bits into 11
+    chunks; ham<=10 ⇒ some chunk matches exactly) only pays when the
+    threshold is tight — 11 bands are ~5.5 bits each, so on random
+    fingerprints candidate sets approach all-pairs anyway. Band (like
+    q_minhash_lsh_pairs) when the threshold is <= ~3 bits of 64; at this
+    loose threshold the dense O(n²) bit-XOR is the honest cost."""
     d = _simhashed(spark, sf_dir).select(
         "doc_id", F.col("simhash").alias("sh")
     )
