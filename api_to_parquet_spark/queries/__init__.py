@@ -20,6 +20,7 @@ from api_to_parquet_spark.queries import (
     reference,
     relational,
     scalars,
+    streamingq,
     windows,
 )
 
@@ -31,6 +32,7 @@ _MODULES = [
     windows,
     scalars,
     advanced,
+    streamingq,
     dedup,
     similarity,
     text,

@@ -1,0 +1,103 @@
+"""Streaming operators exposed as oracle-checkable queries: each runs a
+real Structured Streaming query (availableNow) over the events table fed
+through a file stream, in complete output mode, and returns the final
+result table. Complete mode emits every window/group, so the streaming
+answer must equal the batch answer — the strongest statement of the
+engine's one-logical-pipeline design (same transforms, two triggers;
+reference semantics at SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.lake import load
+from api_to_parquet_spark.streaming import EVENTS_STREAM_SCHEMA
+
+
+def _run_streaming(
+    spark: SparkSession,
+    sf_dir: str,
+    build: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Feed events through a file stream, run the aggregation to
+    completion (availableNow, complete mode), return the memory table.
+    The staging copy is deleted once the query terminates — the memory
+    sink holds the materialized result."""
+    tmp = tempfile.mkdtemp(prefix="stream_events_")
+    name = f"sq_{uuid.uuid4().hex[:12]}"
+    try:
+        load(spark, sf_dir, "events").write.mode("overwrite").parquet(
+            f"{tmp}/events"
+        )
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
+            f"{tmp}/events"
+        )
+        q = (
+            build(stream)
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
+def q_streaming_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming twin of tumbling_window_agg, checked against the
+    SAME oracle — batch and stream must agree to the last digit."""
+    return _run_streaming(
+        spark,
+        sf_dir,
+        lambda stream: stream.groupBy(
+            F.window("ts", "6 hours").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value")
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        ),
+    )
+
+
+def q_streaming_state_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's GET / state as a streaming aggregation (ST1/ST2,
+    src/main.go:313-322) — running max + arrival-max, state-store
+    maintained, identical to the batch state_get oracle."""
+    return _run_streaming(
+        spark,
+        sf_dir,
+        lambda stream: stream.agg(
+            F.max("ts").alias("max_timestamp"),
+            F.expr("max_by(ts, event_id)").alias("last_time_generated"),
+        ),
+    )
+
+
+QUERIES = {
+    "streaming_tumbling_agg": q_streaming_tumbling_agg,
+    "streaming_state_get": q_streaming_state_get,
+}
+
+ORACLE = {
+    # identical to their batch twins — that equality is the point
+    "streaming_tumbling_agg": """
+        SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+               event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
+    "streaming_state_get": (
+        "SELECT max(ts) AS max_timestamp,"
+        " arg_max(ts, event_id) AS last_time_generated FROM events"
+    ),
+}
