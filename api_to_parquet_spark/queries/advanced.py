@@ -90,21 +90,41 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_GROUPING_SETS_SQL)
 
 
-# --- Range join: time-band self-join with an equi key. The user_id equi
-# predicate drives a hash join (shuffle on user_id); the time band is a
-# post-join filter with bounded per-key fanout — this is the shape that
-# scales, vs. a pure non-equi join which would nested-loop.
+# --- Range join with interval bucketing. A bare (user_id) equi-join has
+# per-key fanout = (events per user)² before the time filter; bucketing
+# time into interval-width cells and joining on (user_id, bucket) bounds
+# the fanout to ±1 cell — each left row probes its own cell and the next
+# (any b with 0 < ts_b - ts_a <= W lives in floor(ts_a/W) or +1), so the
+# equi-join emits only near-in-time pairs. The classic interval-join
+# decomposition; essential when per-key history is long.
+
+RANGE_JOIN_WINDOW_S = 300
 
 
 def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    a = ev.select("user_id", F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a"))
-    b = ev.select("user_id", F.col("event_id").alias("event_b"), F.col("ts").alias("ts_b"))
+    w = RANGE_JOIN_WINDOW_S
+    bucket = (F.col("ts").cast("double") / w).cast("long")
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_a"),
+        F.col("ts").alias("ts_a"),
+        F.explode(F.array(bucket, bucket + 1)).alias("jb"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("event_b"),
+        F.col("ts").alias("ts_b"),
+        bucket.alias("jb"),
+    )
     return (
-        a.join(b, "user_id")
+        a.join(b, ["user_id", "jb"])
         .filter(
             (F.col("ts_b") > F.col("ts_a"))
-            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+            & (
+                F.col("ts_b").cast("double")
+                <= F.col("ts_a").cast("double") + w
+            )
         )
         .select(
             "user_id",
