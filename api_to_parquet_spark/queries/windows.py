@@ -209,12 +209,69 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: per user per 6h bucket, open/high/low/close of
+    value — one grouped aggregate pass (min_by/max_by carry the open and
+    close; no window sort needed)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id", F.window("ts", "6 hours")["start"].alias("bucket_start")
+        )
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.round(F.max("value"), 2).alias("high"),
+            F.round(F.min("value"), 2).alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "user_id",
+            "bucket_start",
+            F.round("open", 2).alias("open"),
+            "high",
+            "low",
+            F.round("close", 2).alias("close"),
+            "n",
+        )
+    )
+
+
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of each user's
+    (user_id < 20) value series — inherently sequential per key, so:
+    sort-collect the series per user (one shuffle), then a JVM-side
+    aggregate() fold computes the final EWMA. The fold runs inside the
+    executor, not Python; state per key is one array."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    series = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform("s", lambda x: x.getField("value"))
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise(
+            0.3 * x + 0.7 * acc
+        ),
+    )
+    return series.select(
+        "user_id",
+        F.size("s").alias("n_obs"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
 QUERIES = {
     "window_topk_per_group": q_topk_per_group,
     "gap_fill_resample": q_gap_fill_resample,
     "window_rank_family": q_rank_family,
     "window_time_range_frame": q_time_range_frame,
     "unpivot_charges": q_unpivot,
+    "ohlc_downsample": q_ohlc_downsample,
+    "ewma_smoothing": q_ewma,
     "latest_per_key": q_latest_per_key,
     "window_running_sum": q_running_sum,
     "window_sequence_gaps": q_sequence_gaps,
@@ -223,6 +280,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    # arg_min/arg_max need a scalar ordering key in DuckDB: epoch_ms*1e6
+    # + event_id reproduces the (ts, event_id) lexicographic order since
+    # event_id < 1e6 on this corpus.
+    "ohlc_downsample": """
+        SELECT user_id,
+               time_bucket(INTERVAL '6 hours', ts) AS bucket_start,
+               ROUND(arg_min(value, epoch_ms(ts) * 1000000 + event_id), 2)
+                   AS open,
+               ROUND(MAX(value), 2) AS high,
+               ROUND(MIN(value), 2) AS low,
+               ROUND(arg_max(value, epoch_ms(ts) * 1000000 + event_id), 2)
+                   AS close,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "ewma_smoothing": """
+        SELECT user_id, len(vals) AS n_obs,
+               ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 6)
+                   AS ewma_value
+        FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
+              FROM events WHERE user_id < 20 GROUP BY user_id)
+    """,
     "window_rank_family": """
         SELECT o_custkey, o_orderkey,
                rank() OVER w AS rnk,
