@@ -210,6 +210,74 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the LSH pair graph,
+    cluster id = smallest doc_id in the component — what a production
+    dedup actually keeps (one survivor per cluster), one step past
+    pairwise output.
+
+    Iterative min-label propagation: each round joins labels to edges,
+    takes the min neighbor label, and stops when no label changed. The
+    loop is over ROUNDS (O(component diameter), a handful); every round
+    is a distributed join+aggregate — the standard shape for iterative
+    graph algorithms on DataFrames. Rounds are persisted and the prior
+    round unpersisted so lineage stays flat."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    try:
+        while True:
+            neighbor_min = (
+                edges.join(
+                    labels.select(
+                        F.col("doc_id").alias("doc_b"),
+                        F.col("label").alias("nbr_label"),
+                    ),
+                    "doc_b",
+                )
+                .groupBy("doc_a")
+                .agg(F.min("nbr_label").alias("nbr_min"))
+            )
+            new_labels = (
+                labels.join(
+                    neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
+                )
+                .select(
+                    "doc_id",
+                    F.least(
+                        "label", F.coalesce("nbr_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.select(
+                        "doc_id", F.col("label").alias("old_label")
+                    ),
+                    "doc_id",
+                )
+                .filter(F.col("label") != F.col("old_label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            "doc_id", F.col("label").alias("cluster_id")
+        )
+    finally:
+        edges.unpersist()
+
+
 # SimHash: 60-bit fingerprint from md5-derived word hashes. md5 is the
 # common deterministic hash DuckDB shares, so the oracle can reproduce the
 # exact fingerprints (conv(md5[0:15], 16, 10) == ('0x'||md5[0:15])::BIGINT).
@@ -305,6 +373,7 @@ QUERIES = {
     "dedup_bag_of_words": q_dedup_bag_of_words,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_dup_pairs": q_simhash_dup_pairs,
 }
@@ -324,6 +393,24 @@ ORACLE = {
     # LSH recall is ~1 on this corpus (see q_minhash_lsh_pairs), so the
     # exact all-pairs result is the oracle for the LSH pipeline too.
     "minhash_lsh_pairs": _DUCK_JACCARD_PAIRS,
+    # connected components over the same pair graph via recursive CTE:
+    # seed every node with itself, propagate along (bidirected) edges,
+    # component id = min reachable doc_id.
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        prs AS ({_DUCK_JACCARD_PAIRS}),
+        edges AS (
+            SELECT doc_a, doc_b FROM prs
+            UNION ALL
+            SELECT doc_b AS doc_a, doc_a AS doc_b FROM prs),
+        nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.doc_a, reach.r
+            FROM reach JOIN edges e ON reach.doc_id = e.doc_b)
+        SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
     "simhash_fingerprint": _DUCK_SIMHASH,
     "simhash_dup_pairs": f"""
         SELECT * FROM (
