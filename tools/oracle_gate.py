@@ -1,0 +1,102 @@
+"""Full driver-style correctness gate: run EVERY queries() entry and
+value-compare against its DuckDB oracle on the same parquet tables —
+the local twin of the driver's CORRECTNESS_r{N}.json run.
+
+    python tools/oracle_gate.py [sf_dir]      # default /root/testdata/sf0.01
+
+Exit code 0 iff every oracle-backed query matches (columns sorted by
+name, rows sorted, values compared with rtol=1e-9); oracle-less queries
+get a rows-only smoke check.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events"
+    " documents embeddings"
+).split()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from api_to_parquet_spark import get_spark
+
+    spark = get_spark("oracle_gate", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs, oracles = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    fails: list[str] = []
+    for name in sorted(qs):
+        try:
+            if name not in oracles:
+                n = qs[name](spark, sf_dir).count()
+                print(f"rows-only {name}: {n} rows")
+                continue
+            sdf = qs[name](spark, sf_dir).toPandas()
+            odf = con.execute(oracles[name]).df()
+            cols = sorted(sdf.columns)
+            assert cols == sorted(odf.columns), (
+                f"columns {cols} vs {sorted(odf.columns)}"
+            )
+            sortable = [
+                c
+                for c in cols
+                if sdf[c].dtype != object
+                or (len(sdf) and isinstance(sdf[c].iloc[0], str))
+            ]
+            sdf = sdf[cols].sort_values(sortable or cols).reset_index(drop=True)
+            odf = odf[cols].sort_values(sortable or cols).reset_index(drop=True)
+            assert len(sdf) == len(odf), f"rows {len(sdf)} vs {len(odf)}"
+            for c in cols:
+                if c in sortable:
+                    pd.testing.assert_series_equal(
+                        sdf[c],
+                        odf[c],
+                        check_dtype=False,
+                        check_exact=False,
+                        rtol=1e-9,
+                        check_names=False,
+                    )
+                else:  # array-typed column
+                    a = [
+                        list(x)
+                        if hasattr(x, "__iter__") and not isinstance(x, str)
+                        else x
+                        for x in sdf[c]
+                    ]
+                    b = [
+                        list(x)
+                        if hasattr(x, "__iter__") and not isinstance(x, str)
+                        else x
+                        for x in odf[c]
+                    ]
+                    assert a == b, f"array column {c} mismatch"
+        except Exception as exc:  # noqa: BLE001 - report and continue
+            fails.append(name)
+            print(f"FAIL {name}: {str(exc)[:200]}")
+    print(f"checked {len(qs)} queries at {sf_dir}; fails: {len(fails)} {fails}")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
