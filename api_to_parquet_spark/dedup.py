@@ -1,11 +1,11 @@
 """Deduplication operators over the `documents` table — the training-data
 pipeline extension set (BASELINE.json north star): exact, bag-of-words,
-MinHash+LSH, SimHash, n-gram Jaccard.
+MinHash+LSH, SimHash, n-gram Jaccard, and connected-component clusters.
 
-All hashing stays JVM-side (xxhash64 / md5+conv) inside whole-stage
-codegen; signatures are computed map-side with zero shuffles, and the only
-shuffles are the LSH band-bucket join and the final pair verification —
-the shape that scales to 100 TB of documents.
+All hashing stays JVM-side (xxhash64 / md5+conv); signatures are computed
+map-side with zero shuffles, and the only shuffles are the (band, bucket)
+candidate grouping and the final pair verification — the shape that
+scales to 100 TB of documents.
 """
 
 from __future__ import annotations
