@@ -14,7 +14,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from api_to_parquet_spark import dedup, multimodal, similarity, text
+from api_to_parquet_spark import dedup, multimodal, sampling, similarity, text
 from api_to_parquet_spark.queries import (
     advanced,
     reference,
@@ -33,6 +33,7 @@ _MODULES = [
     scalars,
     advanced,
     streamingq,
+    sampling,
     dedup,
     similarity,
     text,
