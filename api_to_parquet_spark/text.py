@@ -125,6 +125,44 @@ def q_lang_id_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top-100 tokens by document frequency and
+    total count — the first step of tokenizer training. explode →
+    two-level aggregate (map-side combine absorbs the token explosion)
+    → deterministic top-k (count desc, token asc)."""
+    d = spread(load(spark, sf_dir, "documents"))
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(words())).alias("token")
+    )
+    all_tok = d.select("doc_id", F.explode(words()).alias("token"))
+    df_counts = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    tf_counts = all_tok.groupBy("token").agg(F.count("*").alias("term_freq"))
+    return (
+        df_counts.join(tf_counts, "token")
+        .orderBy(F.desc("term_freq"), "token")
+        .limit(100)
+    )
+
+
+def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment: docs hash into 16 shards (stable md5
+    bucketing, see sampling.py); output per-shard doc and token totals —
+    the balance report that decides whether hash sharding suffices or a
+    bin-packing pass is needed."""
+    from api_to_parquet_spark.sampling import split_bucket
+
+    d = spread(load(spark, sf_dir, "documents"))
+    shard = split_bucket(F.col("doc_id"), 16)
+    return (
+        d.select(shard.alias("shard"), F.size(words()).alias("n_tok"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: minimum 60-bit hash over word
     4-grams (winnowing-style min selection) — robust to local edits,
@@ -167,6 +205,8 @@ QUERIES = {
     "bpe_token_count": q_bpe_token_count,
     "text_quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "vocab_top_tokens": q_vocab_top_tokens,
+    "shard_assignment": q_shard_assignment,
     "lang_id_eval": q_lang_id_eval,
     "doc_fingerprint": q_doc_fingerprint,
 }
@@ -178,6 +218,24 @@ ORACLE = {
                ROUND(len(regexp_extract_all(text, '{BPE_PATTERN}'))::DOUBLE
                      / len({_DUCK_WS}), 4) AS tokens_per_word
         FROM documents
+    """,
+    "vocab_top_tokens": f"""
+        SELECT df.token, df.doc_freq, tf.term_freq
+        FROM (SELECT token, COUNT(*) AS doc_freq
+              FROM (SELECT doc_id, unnest(list_distinct({_DUCK_WS})) AS token
+                    FROM documents) GROUP BY token) df
+        JOIN (SELECT token, COUNT(*) AS term_freq
+              FROM (SELECT unnest({_DUCK_WS}) AS token
+                    FROM documents) GROUP BY token) tf
+          ON df.token = tf.token
+        ORDER BY tf.term_freq DESC, df.token LIMIT 100
+    """,
+    "shard_assignment": f"""
+        SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 16
+                   AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len({_DUCK_WS})) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY 1
     """,
     "text_token_stats": f"""
         SELECT lang, count(*) AS n_docs,
