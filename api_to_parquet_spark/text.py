@@ -163,6 +163,47 @@ def q_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (doc_id < 100): token explode →
+    per-doc term counts and corpus doc-frequencies (both map-side
+    combined), corpus size joined in as a broadcast single-row aggregate
+    (never a driver-side .count() in the plan), ranked per doc."""
+    from pyspark.sql import Window
+
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", F.explode(words()).alias("token"))
+    tf = (
+        toks.filter(F.col("doc_id") < 100)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("term_freq"))
+    )
+    df_counts = (
+        toks.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("term_freq")
+                * F.log(F.col("n_docs") / F.col("doc_freq")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprint: minimum 60-bit hash over word
     4-grams (winnowing-style min selection) — robust to local edits,
@@ -206,6 +247,7 @@ QUERIES = {
     "text_quality_score": q_quality_score,
     "lang_id": q_lang_id,
     "vocab_top_tokens": q_vocab_top_tokens,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "shard_assignment": q_shard_assignment,
     "lang_id_eval": q_lang_id_eval,
     "doc_fingerprint": q_doc_fingerprint,
@@ -218,6 +260,28 @@ ORACLE = {
                ROUND(len(regexp_extract_all(text, '{BPE_PATTERN}'))::DOUBLE
                      / len({_DUCK_WS}), 4) AS tokens_per_word
         FROM documents
+    """,
+    "tfidf_top_terms": f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({_DUCK_WS}) AS token FROM documents),
+        tf AS (
+            SELECT doc_id, token, COUNT(*) AS term_freq
+            FROM toks WHERE doc_id < 100 GROUP BY 1, 2),
+        dfc AS (
+            SELECT token, COUNT(*) AS doc_freq
+            FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, token, tfidf, rk FROM (
+            SELECT tf.doc_id, tf.token,
+                   ROUND(tf.term_freq * ln(n.n_docs::DOUBLE / dfc.doc_freq), 6)
+                       AS tfidf,
+                   row_number() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY ROUND(tf.term_freq
+                                * ln(n.n_docs::DOUBLE / dfc.doc_freq), 6)
+                                DESC, tf.token) AS rk
+            FROM tf JOIN dfc ON tf.token = dfc.token CROSS JOIN n)
+        WHERE rk <= 3
     """,
     "vocab_top_tokens": f"""
         SELECT df.token, df.doc_freq, tf.term_freq
