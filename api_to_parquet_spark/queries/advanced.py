@@ -217,8 +217,80 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RETURNED_ITEMS_SQL = """
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: 3-fact-dim join chain + grouped revenue + top-20.
+    nation broadcasts; the returnflag filter pushes into the lineitem
+    scan; order-by-limit plans TakeOrderedAndProject."""
+    _views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_RETURNED_ITEMS_SQL)
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: a user converts
+    a stage only if it happens AFTER their first previous-stage event.
+    One grouped pass computes each user's first qualifying timestamp per
+    stage (conditional min), then a single aggregate counts survivors —
+    no self-joins, no window sort."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_buy"
+        ),
+    )
+    # stage-2 qualifying click = first click after first view, etc. —
+    # approximated by timestamp ordering of the firsts (exact for the
+    # "first qualifying" funnel definition when stages are monotone)
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & F.col("t_click").isNotNull() & (
+        F.col("t_click") > F.col("t_view")
+    )
+    reached_buy = reached_click & F.col("t_buy").isNotNull() & (
+        F.col("t_buy") > F.col("t_click")
+    )
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(reached_view.cast("long")).alias("stage_view"),
+        F.sum(reached_click.cast("long")).alias("stage_click"),
+        F.sum(reached_buy.cast("long")).alias("stage_purchase"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-activity week,
+    counted per subsequent active week — two grouped passes + one join,
+    the standard retention matrix."""
+    ev = load(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / (7 * 86400)).cast("long")
+    first_week = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = ev.select("user_id", week.alias("active_week")).distinct()
+    return (
+        active.join(first_week, "user_id")
+        .groupBy("cohort_week", (F.col("active_week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count("*").alias("n_active_users"))
+    )
+
+
 QUERIES = {
     "scalar_subquery": q_scalar_subquery,
+    "returned_items": q_returned_items,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
     "exists_subquery": q_exists_subquery,
     "having_filter": q_having,
     "grouping_sets": q_grouping_sets,
@@ -233,6 +305,37 @@ QUERIES = {
 ORACLE = {
     # Engine-portable ANSI SQL: the Spark query runs the same string.
     "scalar_subquery": _SCALAR_SUBQUERY_SQL,
+    "returned_items": _RETURNED_ITEMS_SQL,
+    "funnel": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+            FROM events GROUP BY user_id)
+        SELECT COUNT(*) AS n_users,
+               SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                   AS stage_view,
+               SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                        THEN 1 ELSE 0 END) AS stage_click,
+               SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             AND t_buy > t_click
+                        THEN 1 ELSE 0 END) AS stage_purchase
+        FROM per_user
+    """,
+    "cohort_retention": """
+        WITH wk AS (
+            SELECT user_id,
+                   CAST(floor(epoch(ts) / (7 * 86400)) AS BIGINT) AS w
+            FROM events),
+        first_week AS (
+            SELECT user_id, MIN(w) AS cohort_week FROM wk GROUP BY user_id),
+        active AS (SELECT DISTINCT user_id, w AS active_week FROM wk)
+        SELECT f.cohort_week, a.active_week - f.cohort_week AS week_offset,
+               COUNT(*) AS n_active_users
+        FROM active a JOIN first_week f ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
     "exists_subquery": _EXISTS_SUBQUERY_SQL,
     "having_filter": _HAVING_SQL,
     "grouping_sets": _GROUPING_SETS_SQL,
