@@ -264,8 +264,24 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition counts (Markov bigrams) per user stream:
+    lag over the per-user time order, then a global bigram count — the
+    input to any user-behavior transition model. One window sort on
+    user_id + one small aggregate."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
     "window_topk_per_group": q_topk_per_group,
+    "event_transitions": q_event_transitions,
     "gap_fill_resample": q_gap_fill_resample,
     "window_rank_family": q_rank_family,
     "window_time_range_frame": q_time_range_frame,
@@ -280,6 +296,15 @@ QUERIES = {
 }
 
 ORACLE = {
+    "event_transitions": """
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        FROM (SELECT event_type,
+                     lag(event_type) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev_type
+              FROM events)
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     # arg_min/arg_max need a scalar ordering key in DuckDB: epoch_ms*1e6
     # + event_id reproduces the (ts, event_id) lexicographic order since
     # event_id < 1e6 on this corpus.
