@@ -21,6 +21,7 @@ from api_to_parquet_spark.queries import (
     relational,
     scalars,
     streamingq,
+    tpch,
     windows,
 )
 
@@ -29,6 +30,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = [
     reference,
     relational,
+    tpch,
     windows,
     scalars,
     advanced,
