@@ -54,3 +54,49 @@ def test_scalar_subquery_decorrelated(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "scalar_subquery")
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "InSubquery" not in plan and "ScalarSubquery" not in plan
+
+
+def test_volume_shipping_pair_filter_pushed_to_nation_scans(spark, sf_smoke):
+    """Q7: Catalyst derives the single-nation disjunction from the pair
+    filter and pushes it into BOTH broadcast nation scans — the filter
+    written above five joins still prunes at the leaves."""
+    plan = _plan(spark, sf_smoke, "volume_shipping")
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Or(EqualTo(n_name,NATION_") == 2
+
+
+def test_market_share_single_fact_shuffle(spark, sf_smoke):
+    """Q8: seven broadcast joins, and the only hash-partitioned exchange
+    is the lineitem⋈orders fact join — dimensions never shuffle."""
+    plan = _plan(spark, sf_smoke, "market_share")
+    assert plan.count("BroadcastHashJoin") == 7
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_large_volume_customers_aggregates_before_join(spark, sf_smoke):
+    """Q18: the HAVING pre-aggregation runs BELOW the orders join (the
+    qualifying-orderkey set shrinks lineitem first), and the final top-20
+    is TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_smoke, "large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+    first_join = plan.index("BroadcastHashJoin")
+    assert "partial_sum" in plan[first_join:]  # agg below the joins
+
+
+def test_blame_supplier_decorrelates_both_subqueries(spark, sf_smoke):
+    """Q21: the EXISTS becomes a semi join and the NOT EXISTS an anti
+    join — no per-row subquery execution survives."""
+    plan = _plan(spark, sf_smoke, "blame_supplier")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "InSubquery" not in plan
+
+
+def test_revenue_forecast_all_predicates_pushed(spark, sf_smoke):
+    """Q6: shipdate range, discount band, and quantity cap all reach the
+    parquet scan; no shuffle other than the single-partition final agg."""
+    plan = _plan(spark, sf_smoke, "revenue_forecast")
+    scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan
+    assert "Exchange hashpartitioning" not in plan
