@@ -1,0 +1,224 @@
+"""Training-data pipeline operators: benchmark decontamination, document
+chunking (built-in and Python-UDTF variants), and token-budget sequence
+packing.
+
+These extend the reference engine's surface the same way the dedup/
+text/similarity families do: the reference (abossard/api-to-parquet)
+stores opaque time-series rows and delegates analysis (SURVEY.md §2.3,
+`src/main.go:88-116`), so large-scale corpus-preparation operators are
+part of what its replacement query layer must provide natively.
+
+Scale notes:
+- `decontaminate` broadcasts the eval-set gram dictionary — eval sets
+  are small by construction (thousands of benchmark docs), while the
+  corpus side stays distributed and is touched exactly once.
+- `doc_chunks` is pure built-in (`sequence`/`slice`/`posexplode`) —
+  whole-stage-codegen, no Python. `udtf_doc_chunks` produces the same
+  rows through a Python UDTF (arrow-batched lateral join) purely to
+  exercise the §2.10 extension surface; the built-in path is the one to
+  run at 100 TB.
+- `sequence_packing` windows PARTITION BY shard, so packing
+  parallelizes per shard instead of serializing on one global
+  cumulative sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.lake import load
+
+NGRAM = 4  # decontamination gram width
+CHUNK = 32  # tokens per chunk
+STRIDE = 24  # chunk start spacing (8-token overlap)
+PACK_BUDGET = 2048  # tokens per packed bin
+PACK_SHARDS = 8
+EVAL_SOURCE = "src0"  # stand-in benchmark/eval subset
+
+
+def _tokens(df: DataFrame) -> DataFrame:
+    # Project the token array as a real column FIRST: expressions
+    # referenced inside higher-order-function lambdas are re-evaluated
+    # per element (interpreted, no CSE — see PLANS.md).
+    return df.withColumn("ws", F.split(F.trim("text"), r"\s+"))
+
+
+def _grams(df: DataFrame) -> DataFrame:
+    """doc_id, source, exploded DISTINCT word n-grams."""
+    toked = _tokens(df).withColumn(
+        "grams",
+        F.when(
+            F.size("ws") >= NGRAM,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - (NGRAM - 1)),
+                    lambda i: F.concat_ws(" ", F.slice("ws", i, NGRAM)),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    return toked.select("doc_id", "source", F.explode("grams").alias("gram"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any word 4-gram
+    with the eval subset (source = 'src0'), with the count of distinct
+    shared grams. The eval gram dictionary is broadcast (small side by
+    construction); the corpus is scanned once, map-side gram expansion,
+    one shuffle for the per-doc count."""
+    docs = load(spark, sf_dir, "documents")
+    grams = _grams(docs)
+    eval_grams = (
+        grams.filter(F.col("source") == EVAL_SOURCE).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("source") != EVAL_SOURCE)
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (32-token chunks every 24
+    tokens — 8-token overlap), the context-length-bound preprocessing
+    step. Pure built-ins: sequence → posexplode → slice, all
+    codegen'd, chunk token counts derived arithmetically instead of
+    re-tokenizing."""
+    toked = _tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id", "ws", F.size("ws").alias("n")
+    )
+    return (
+        toked.select(
+            "doc_id",
+            "ws",
+            "n",
+            F.posexplode(F.sequence(F.lit(1), F.col("n"), F.lit(STRIDE))).alias(
+                "chunk_idx", "start"
+            ),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.concat_ws(" ", F.slice("ws", F.col("start"), CHUNK)).alias("chunk"),
+            F.least(F.lit(CHUNK), F.col("n") - F.col("start") + 1).alias(
+                "chunk_tokens"
+            ),
+        )
+    )
+
+
+def q_udtf_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same output as doc_chunks, computed by a registered Python UDTF
+    in a LATERAL join — demonstrates the user-extensible table-function
+    surface. Row-at-a-time Python: the built-in doc_chunks plan is the
+    one to use at scale (docstring contract, PLANS.md)."""
+    from pyspark.sql.functions import udtf
+
+    stride, chunk = STRIDE, CHUNK
+
+    class ChunkDocUDTF:
+        # Defined function-locally so cloudpickle ships it BY VALUE —
+        # executor Python workers don't have this repo on sys.path.
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF signature
+            toks = text.strip().split()
+            for idx, start in enumerate(range(0, len(toks), stride)):
+                piece = toks[start : start + chunk]
+                yield doc_id, idx, " ".join(piece), len(piece)
+
+    chunker = udtf(
+        ChunkDocUDTF,
+        returnType=(
+            "doc_id: bigint, chunk_idx: int, chunk: string, chunk_tokens: int"
+        ),
+    )
+    spark.udtf.register("chunk_doc", chunker)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk, c.chunk_tokens"
+        " FROM documents d, LATERAL chunk_doc(d.doc_id, d.text) c"
+    )
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into 2048-token bins,
+    sharded: docs are pseudo-shuffled by a deterministic scrambled key,
+    a per-shard running token total assigns each doc to the bin where it
+    starts, and the result summarizes docs/tokens per (shard, bin).
+    PARTITION BY shard keeps the window parallel — the global-order
+    variant would serialize the whole corpus through one task."""
+    toked = _tokens(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(1000003)).alias("skey"),
+        F.size("ws").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("skey", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toked.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(float(PACK_BUDGET))),
+    )
+    return packed.groupBy("shard", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+QUERIES = {
+    "decontaminate": q_decontaminate,
+    "doc_chunks": q_doc_chunks,
+    "udtf_doc_chunks": q_udtf_doc_chunks,
+    "sequence_packing": q_sequence_packing,
+}
+
+_DUCK_WS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_CHUNKS_SQL = f"""
+    SELECT doc_id,
+           CAST((s.start - 1) // {STRIDE} AS INT) AS chunk_idx,
+           array_to_string(ws[s.start : s.start + {CHUNK - 1}], ' ') AS chunk,
+           CAST(least({CHUNK}, len(ws) - s.start + 1) AS INT) AS chunk_tokens
+    FROM (SELECT doc_id, {_DUCK_WS} AS ws FROM documents) t,
+         LATERAL (SELECT unnest(generate_series(1, len(t.ws), {STRIDE}))
+                  AS start) s
+"""
+
+ORACLE = {
+    "decontaminate": f"""
+        WITH toks AS (SELECT doc_id, source, {_DUCK_WS} AS ws FROM documents),
+        grams AS (SELECT doc_id, source,
+                   unnest(list_distinct(CASE WHEN len(ws) >= {NGRAM} THEN
+                       list_transform(generate_series(1, len(ws) - {NGRAM - 1}),
+                          i -> array_to_string(ws[i:i+{NGRAM - 1}], ' '))
+                       ELSE CAST([] AS VARCHAR[]) END)) AS gram
+                  FROM toks),
+        ev AS (SELECT DISTINCT gram FROM grams WHERE source = '{EVAL_SOURCE}')
+        SELECT g.doc_id, count(*) AS n_shared_grams
+        FROM grams g JOIN ev USING (gram)
+        WHERE g.source <> '{EVAL_SOURCE}'
+        GROUP BY g.doc_id
+    """,
+    "doc_chunks": _CHUNKS_SQL,
+    "udtf_doc_chunks": _CHUNKS_SQL,
+    "sequence_packing": f"""
+        WITH t AS (SELECT doc_id,
+                          doc_id % {PACK_SHARDS} AS shard,
+                          (doc_id * 2654435761) % 1000003 AS skey,
+                          len({_DUCK_WS}) AS n_tokens
+                   FROM documents),
+        c AS (SELECT shard, doc_id, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY shard
+                                         ORDER BY skey, doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT shard, CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT)
+                   AS bin,
+               count(*) AS n_docs, SUM(n_tokens) AS total_tokens
+        FROM c GROUP BY shard, bin
+    """,
+}

@@ -14,7 +14,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from api_to_parquet_spark import dedup, multimodal, sampling, similarity, text
+from api_to_parquet_spark import (
+    dedup,
+    multimodal,
+    pipeline,
+    sampling,
+    similarity,
+    text,
+)
 from api_to_parquet_spark.queries import (
     advanced,
     reference,
@@ -39,6 +46,7 @@ _MODULES = [
     dedup,
     similarity,
     text,
+    pipeline,
     multimodal,
 ]
 
