@@ -84,12 +84,18 @@ def ingest_throughput(
         raw = spark.createDataFrame(
             [(e,) for e in envs], ["value"]
         ).repartition(n_envelopes)
-        points, _ = ingest.ingest_batch(raw)
-        lake.write_lake(points, target)  # warm
-        t0 = time.perf_counter()
-        points2, _ = ingest.ingest_batch(raw)
-        lake.write_lake(points2, target)
-        dt = time.perf_counter() - t0
+        # Two warm passes: one is not enough JIT for the parse-heavy
+        # path (measured 99k -> 117k -> 175k rows/s on identical runs),
+        # and the steady state is what a long-running ingester sees.
+        # Report the median of three measured runs.
+        times: list[float] = []
+        for rep in range(5):
+            t0 = time.perf_counter()
+            points, _ = ingest.ingest_batch(raw)
+            lake.write_lake(points, target)
+            if rep >= 2:
+                times.append(time.perf_counter() - t0)
+        dt = sorted(times)[len(times) // 2]
     finally:
         shutil.rmtree(target, ignore_errors=True)
     return round(n_envelopes * rows_per_envelope / dt, 1)
