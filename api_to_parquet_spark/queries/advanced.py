@@ -286,8 +286,54 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-profiling (the quality gate a pipeline runs before
+    training): count / nulls / exact distinct / min / max / mean for every
+    numeric lineitem column — computed in ONE scan (all aggregates in a
+    single groupBy pass), then unpivoted to a tall (column, stats) table.
+    The single-pass shape is the scale requirement: profiling 100 TB must
+    not scan once per column."""
+    li = load(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.round(F.min(c), 6).alias(f"{c}__min"),
+            F.round(F.max(c), 6).alias(f"{c}__max"),
+            F.round(F.avg(c), 6).alias(f"{c}__mean"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__distinct,"
+        f" {c}__min, {c}__max, {c}__mean"
+        for c in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " AS (col_name, n, n_nulls, n_distinct, min_val, max_val, mean_val)"
+    )
+
+
+_PROFILE_ORACLE = " UNION ALL ".join(
+    f"""
+    SELECT '{c}' AS col_name, count({c}) AS n,
+           count(*) - count({c}) AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           ROUND(MIN({c}), 6) AS min_val, ROUND(MAX({c}), 6) AS max_val,
+           ROUND(AVG({c}), 6) AS mean_val
+    FROM lineitem"""
+    for c in _PROFILE_COLS
+)
+
+
 QUERIES = {
     "scalar_subquery": q_scalar_subquery,
+    "profile_table": q_profile_table,
     "returned_items": q_returned_items,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
@@ -305,6 +351,7 @@ QUERIES = {
 ORACLE = {
     # Engine-portable ANSI SQL: the Spark query runs the same string.
     "scalar_subquery": _SCALAR_SUBQUERY_SQL,
+    "profile_table": _PROFILE_ORACLE,
     "returned_items": _RETURNED_ITEMS_SQL,
     "funnel": """
         WITH per_user AS (

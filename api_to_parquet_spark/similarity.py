@@ -265,8 +265,35 @@ _DUCK_COS = (
     " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
+def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization of the embedding column — the standard prelude
+    to cosine retrieval (post-normalization, cosine = dot). One narrow
+    map-side pass: norm from the same sequential double fold as dot()
+    (bitwise-stable accumulation order), plus scalar digests of the
+    normalized vector so the oracle compares floats with tolerance
+    instead of arrays bit-for-bit."""
+    # norm and unit are projected as real columns BEFORE any lambda
+    # references them — expressions inside higher-order-function lambdas
+    # re-evaluate per element (interpreted, no CSE; PLANS.md).
+    withnorm = _vecs(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    unit = withnorm.withColumn(
+        "u", F.transform(F.col("v"), lambda x: x / F.col("nrm"))
+    )
+    return unit.select(
+        "vec_id",
+        F.round("nrm", 6).alias("l2_norm"),
+        F.round(F.element_at("u", 1), 6).alias("head_normalized"),
+        F.round(
+            F.aggregate("u", F.lit(0.0), lambda acc, x: acc + x), 6
+        ).alias("sum_normalized"),
+    )
+
+
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
+    "normalize_embeddings": q_normalize_embeddings,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,  # no oracle: approximate by design
     "ann_ivf_topk": q_ann_ivf_topk,  # no oracle: approximate by design
@@ -285,6 +312,14 @@ ORACLE = {
                 JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
                   ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id))
         WHERE rank <= {TOP_K}
+    """,
+    "normalize_embeddings": """
+        SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
+               ROUND(v[1] / nrm, 6) AS head_normalized,
+               ROUND(list_reduce(list_transform(v, x -> x / nrm),
+                                 (acc, x) -> acc + x), 6) AS sum_normalized
+        FROM (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+              FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings))
     """,
     "embedding_similar_pairs": f"""
         SELECT * FROM (
