@@ -137,6 +137,31 @@ def q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two per-day aggregates whose date ranges don't
+    overlap at all (orders 1995-2001, events 2024) — every row exercises
+    one null side; COALESCE restores the key and zero-fills the counts
+    (day stays timestamp-typed: the oracle compare treats dates as opaque
+    objects but timestamps as sortable values).
+    Both inputs pre-aggregate to |days| rows before the join, so the
+    full-outer shuffle is tiny regardless of fact size."""
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    return o.join(e, "day", "full").select(
+        "day",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+    )
+
+
 def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k: orderBy+limit plans TakeOrderedAndProject — per-partition
     heaps + single merge, never a global sort."""
@@ -356,6 +381,7 @@ QUERIES = {
     "revenue_by_nation": q_revenue_by_nation,
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
+    "full_outer_join": q_full_outer_join,
     "broadcast_join": q_broadcast_join,
     "sort_topk": q_sort_topk,
     "distinct_agg": q_distinct_agg,
@@ -424,6 +450,17 @@ ORACLE = {
     "anti_join": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "full_outer_join": """
+        SELECT COALESCE(o.day, e.day) AS day,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(e.n_events, 0) AS n_events
+        FROM (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders
+              FROM orders GROUP BY 1) o
+        FULL OUTER JOIN
+             (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+              FROM events GROUP BY 1) e
+          ON o.day = e.day
     """,
     "broadcast_join": """
         SELECT n_name, count(*) AS n_suppliers,
