@@ -203,6 +203,87 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p25/median/p75) of extended price per
+    return flag — Spark's ``percentile`` (linear interpolation, identical
+    definition to DuckDB ``quantile_cont``). Exact percentiles need the
+    group's values together (one shuffle, sort inside the aggregate); the
+    100 TB route is ``percentile_approx`` (q_approx_sketches), which is
+    mergeable and single-pass — both surfaces exist on purpose."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 4).alias("p75"),
+    )
+
+
+def q_mode_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent l_quantity per return
+    flag, ties broken by smallest value. Built as count-then-rank (two
+    shuffles on small keys) instead of the builtin ``mode()``, whose tie
+    winner is accumulation-order-dependent and therefore not reproducible
+    run-to-run — reproducibility is a pipeline requirement, not a nicety."""
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("n"), F.asc("l_quantity")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_quantity"),
+            F.col("n").alias("mode_count"),
+        )
+    )
+
+
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization by hand: merge each user's event
+    stream into sessions separated by >30 min of silence (lag → new-session
+    flag → running sum → group). All three windows share ONE partitioning
+    (user_id), so the whole query is a single shuffle; ordering ties are
+    broken by event_id for run-to-run determinism. This is the batch twin
+    of F.session_window (q_session_window_agg) — same islands, built from
+    primitives, which is what you need when the merge predicate is richer
+    than a fixed gap (e.g. gap depends on event_type)."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = flagged.withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/lateral surface: explode document tokens WITH position
+    (1-based) — posexplode is the built-in UDTF shape (row → many rows with
+    ordinal), map-side and pipelined: no shuffle, output partitioning
+    inherits the scan."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+
+
 # --- Approximate sketches: the 100 TB path for distinct counts and
 # quantiles. Approximate by construction → no value-level oracle; the
 # driver records a rows-only check, and tests/test_oracle_parity.py
@@ -346,6 +427,10 @@ QUERIES = {
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
     "approx_sketches": q_approx_sketches,  # no oracle: approximate by design
+    "percentile_agg": q_percentile_agg,
+    "mode_agg": q_mode_agg,
+    "merge_intervals": q_merge_intervals,
+    "posexplode_tokens": q_posexplode_tokens,
 }
 
 ORACLE = {
@@ -440,5 +525,49 @@ ORACLE = {
                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM sess GROUP BY user_id, sess_id
+    """,
+    "percentile_agg": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "mode_agg": """
+        WITH counts AS (
+            SELECT l_returnflag, l_quantity, COUNT(*) AS n
+            FROM lineitem GROUP BY 1, 2),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY n DESC, l_quantity ASC) AS rk
+            FROM counts)
+        SELECT l_returnflag, l_quantity AS mode_quantity, n AS mode_count
+        FROM ranked WHERE rk = 1
+    """,
+    # Strict > 1800 s gap (vs session_window's >= semantics above):
+    # deliberately the raw primitive form, event_id tie-break.
+    "merge_intervals": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800
+                             OR lag(ts) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        sess AS (
+            SELECT user_id, ts,
+                   CAST(SUM(new_sess) OVER (PARTITION BY user_id
+                        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS sess_id
+            FROM flagged)
+        SELECT user_id, sess_id, MIN(ts) AS session_start,
+               MAX(ts) AS session_end, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id, sess_id
+    """,
+    "posexplode_tokens": """
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents WHERE doc_id < 50
     """,
 }

@@ -162,6 +162,16 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims (region × nation) — the
+    one join shape that is ONLY safe when at least one side is tiny; Spark
+    plans BroadcastNestedLoopJoin here. Kept deliberately dim×dim: a
+    fact-side cross join is an anti-pattern this engine never emits."""
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
 def q_sort_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k: orderBy+limit plans TakeOrderedAndProject — per-partition
     heaps + single merge, never a global sort."""
@@ -382,6 +392,7 @@ QUERIES = {
     "semi_join": q_semi_join,
     "anti_join": q_anti_join,
     "full_outer_join": q_full_outer_join,
+    "cross_join": q_cross_join,
     "broadcast_join": q_broadcast_join,
     "sort_topk": q_sort_topk,
     "distinct_agg": q_distinct_agg,
@@ -461,6 +472,9 @@ ORACLE = {
              (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
               FROM events GROUP BY 1) e
           ON o.day = e.day
+    """,
+    "cross_join": """
+        SELECT r_name, n_name FROM region CROSS JOIN nation
     """,
     "broadcast_join": """
         SELECT n_name, count(*) AS n_suppliers,
