@@ -112,6 +112,97 @@ def write_bucketed(
     )
 
 
+def zorder_key(
+    df: DataFrame, cols: list[str], bits: int = 8
+) -> DataFrame:
+    """Append a Morton (Z-order) key `_z` interleaving the bit patterns of
+    the given numeric columns, each first rank-scaled to [0, 2^bits) with
+    EQUI-DEPTH buckets (approxQuantile boundaries + JVM binary-search
+    Bucketizer), so skewed value distributions still spread uniformly
+    along the curve — plain min/max scaling would collapse a heavy-tailed
+    column into a few codes and un-interleave the curve.
+
+    Everything stays JVM-side: boundary estimation is one sampled
+    aggregate (driver holds 2^bits doubles per column), bucket assignment
+    is a binary search per row, and the bit interleave is a static tree of
+    shift/and/or expressions inside whole-stage codegen.
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    n_buckets = 1 << bits
+    out = df
+    scaled_cols = []
+    for c in cols:
+        dcol = f"_zd_{c}"
+        scol = f"_zs_{c}"
+        out = out.withColumn(dcol, F.col(c).cast("double"))
+        qs = out.stat.approxQuantile(
+            dcol, [i / n_buckets for i in range(1, n_buckets)], 0.001
+        )
+        splits = sorted(set(qs))
+        buck = Bucketizer(
+            splits=[float("-inf"), *splits, float("inf")],
+            inputCol=dcol,
+            outputCol=scol,
+            handleInvalid="keep",  # nulls/NaN land in the top bucket
+        )
+        # Stretch codes over the FULL [0, 2^bits) range: a low-cardinality
+        # column (fewer distinct boundaries than buckets) must still reach
+        # the high-order interleaved bit positions, or it contributes
+        # nothing to the curve's coarse (file-boundary) ordering.
+        n_actual = len(splits) + 1
+        out = buck.transform(out).withColumn(
+            scol,
+            F.least(
+                (F.col(scol) * n_buckets / n_actual).cast("long"),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        scaled_cols.append(scol)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, scol in enumerate(scaled_cols):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(scol), i).bitwiseAND(F.lit(1)),
+                    i * len(cols) + j,
+                )
+            )
+    return out.withColumn("_z", z).drop(
+        *[f"_zd_{c}" for c in cols], *scaled_cols
+    )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 8,
+    n_files: int = 8,
+) -> None:
+    """Write `df` as parquet clustered along a Z-order curve over `cols`:
+    range-partition on the Morton key (sampled boundaries — no global
+    sort) and sort within each partition, so EVERY clustered column gets
+    tight per-file and per-row-group min/max statistics. A single-column
+    sort gives perfect skipping on that column and none on the others;
+    Z-ordering trades a little of each for skipping on all of them —
+    the standard layout for multi-predicate scan-heavy tables (the
+    `(PointId, Timestamp)` lake analogue when queries filter either key).
+
+    At scale: `repartitionByRange` samples O(partitions) keys on the
+    driver; choose n_files ≈ bytes / 128 MB so files align with row
+    groups. Plain parquet rewrite — pair with `compact_partition`'s
+    staging pattern when overwriting a live path."""
+    (
+        zorder_key(df, cols, bits)
+        .repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def salted_agg(
     df: DataFrame,
     key_cols: list[str],

@@ -128,3 +128,51 @@ def test_salted_join_matches_plain(spark, sf_smoke):
     )
     plain = li.join(part, li.l_partkey == part.p_partkey)
     assert salted.count() == plain.count()
+
+
+def test_zorder_write_clusters_all_columns(spark, sf_smoke, tmp_path):
+    """Z-ordered files carry tight min/max stats on EVERY clustered
+    column (multi-predicate skipping), where a single-column sort leaves
+    the second column's per-file span at ~100% of the global range; row
+    set is preserved exactly."""
+    import pyarrow.parquet as pq
+
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    cols = ["l_partkey", "l_suppkey"]
+    bounds = {
+        c: li.agg(F.min(c), F.max(c)).first() for c in cols
+    }
+
+    def avg_span(path):
+        spans = {c: [] for c in cols}
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                row = md.row_group(rg)
+                for i in range(row.num_columns):
+                    col = row.column(i)
+                    if col.path_in_schema in cols and col.statistics:
+                        lo, hi = bounds[col.path_in_schema]
+                        spans[col.path_in_schema].append(
+                            (col.statistics.max - col.statistics.min)
+                            / (hi - lo)
+                        )
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    z_path, s_path = str(tmp_path / "z"), str(tmp_path / "s")
+    ops.zorder_write(li, z_path, cols, bits=8, n_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+    z, s = avg_span(z_path), avg_span(s_path)
+    assert z["l_partkey"] < 0.6 and z["l_suppkey"] < 0.6, z
+    assert s["l_suppkey"] > 0.9, s  # the gap z-ordering closes
+    assert (
+        spark.read.parquet(z_path).orderBy("l_orderkey", "l_partkey", "l_suppkey").collect()
+        == li.orderBy("l_orderkey", "l_partkey", "l_suppkey").collect()
+    )
