@@ -154,6 +154,100 @@ def start_per_key_state_stream(
     )
 
 
+def start_transform_with_state_stream(
+    spark: SparkSession,
+    input_dir: str,
+    checkpoint: str,
+    query_name: str = "tws_state",
+    max_files_per_trigger: int | None = None,
+) -> StreamingQuery:
+    """Same per-key running max + count as start_per_key_state_stream,
+    on the transformWithStateInPandas API (Spark 4): typed state
+    variables (ValueState here; ListState/MapState and event/processing
+    timers available) managed by the state store instead of one opaque
+    GroupState tuple. This is the forward-looking custom-stateful surface
+    — richer TTL/timer semantics and composable state — and it REQUIRES
+    the RocksDB state store provider, which is the 100 TB deployment
+    choice anyway (bounded executor memory, changelog checkpointing);
+    the session is cloned so the provider flip stays scoped to this
+    query's session.
+
+    Environment gate: the PySpark<->JVM state protocol for this API rides
+    on protobuf, which is not a pyspark hard dependency — raise a clear
+    error where `google.protobuf` is unavailable instead of the opaque
+    "driver worker crashed" the stream would otherwise die with.
+    applyInPandasWithState (start_per_key_state_stream) is the
+    dependency-free twin."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the google.protobuf"
+            " package (PySpark state-server protocol); use"
+            " start_per_key_state_stream on environments without it"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "agg", "max_ts BIGINT, n BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (point_id,) = key
+            max_ts, n = (
+                self._agg.get() if self._agg.exists() else (None, 0)
+            )
+            for pdf in rows:
+                if len(pdf):
+                    m = int(pdf["Timestamp"].max())
+                    max_ts = m if max_ts is None or m > max_ts else max_ts
+                    n += len(pdf)
+            self._agg.update((max_ts, n))
+            yield pd.DataFrame(
+                {
+                    "point_id": [point_id],
+                    "max_timestamp": [max_ts],
+                    "n_points": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    reader = s2.readStream.schema("value STRING")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    envelopes = ingest.parse_envelopes(reader.text(input_dir))
+    valid, _ = ingest.validate_envelopes(envelopes)
+    points = ingest.explode_points(valid)
+    out = points.groupBy("PointId").transformWithStateInPandas(
+        statefulProcessor=RunningMax(),
+        outputStructType="point_id STRING, max_timestamp BIGINT,"
+        " n_points BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def start_dedup_stream(
     spark: SparkSession,
     input_dir: str,

@@ -223,3 +223,56 @@ def test_windowed_stream_with_watermark(spark, tmp_path, sf_smoke):
     expected = lake.load(spark, sf_smoke, "events").count()
     assert got["total"] is not None
     assert got["total"] >= expected * 0.9
+
+
+def test_transform_with_state_stream(spark, tmp_path):
+    """transformWithStateInPandas twin of the per-key operator: typed
+    ValueState accumulates across two micro-batches on RocksDB, monotonic
+    under out-of-order timestamps, matching applyInPandasWithState
+    semantics exactly. Skipped where google.protobuf (the API's state
+    protocol dependency) is absent; the import gate itself is asserted."""
+    import time
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            streaming.start_transform_with_state_stream(
+                spark, str(tmp_path), str(tmp_path / "ckpt")
+            )
+        pytest.skip("google.protobuf not installed")
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    (inp / "b1.json").write_text(
+        _envelope_points(
+            "s/2024/01/01/00/a.parquet",
+            [("p1", 100), ("p1", 300), ("p2", 50)],
+            1,
+        )
+        + "\n"
+    )
+    time.sleep(1.1)
+    (inp / "b2.json").write_text(
+        _envelope_points(
+            "s/2024/01/01/01/b.parquet", [("p1", 200), ("p2", 500)], 2
+        )
+        + "\n"
+    )
+    q = streaming.start_transform_with_state_stream(
+        spark, str(inp), str(tmp_path / "ckpt"), query_name="tws_test",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2
+    got = {
+        r["point_id"]: r
+        for r in spark.sql(
+            "SELECT point_id, max(max_timestamp) AS max_timestamp,"
+            " max(n_points) AS n_points FROM tws_test GROUP BY point_id"
+        ).collect()
+    }
+    assert got["p1"]["max_timestamp"] == 300 and got["p1"]["n_points"] == 3
+    assert got["p2"]["max_timestamp"] == 500 and got["p2"]["n_points"] == 2
