@@ -24,6 +24,7 @@ from api_to_parquet_spark import (
 )
 from api_to_parquet_spark.queries import (
     advanced,
+    kql,
     reference,
     relational,
     scalars,
@@ -42,6 +43,7 @@ _MODULES = [
     scalars,
     advanced,
     streamingq,
+    kql,
     sampling,
     dedup,
     similarity,

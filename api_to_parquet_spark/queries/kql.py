@@ -1,0 +1,321 @@
+"""KQL pipe-query frontend: the reference's user-facing query language,
+answered natively by Spark SQL.
+
+The reference's POST /query forwards raw KQL to an Azure Data Explorer
+pool (/root/reference/src/main.go:88-116); its committed queries are KQL
+pipes (`OmyaData | take 100`, `TelemetryData | count` —
+tests/test.http:49,62). A user switching to this engine keeps those
+queries: `kql(spark, text)` translates a KQL *subset* to Spark SQL over
+the registered lake views and executes it in-engine.
+
+Supported pipe operators (the committed shapes plus the everyday core):
+
+    T | where <expr>            -> WHERE        (==, !=, and, or, not,
+                                                 in, contains, startswith)
+    T | project c1, c2=expr     -> SELECT
+    T | extend c=expr           -> SELECT *, expr AS c
+    T | summarize a=agg(x), ... [by g1, bin(ts, 1h), ...]
+                                -> GROUP BY     (count/dcount/sum/avg/
+                                                 min/max; bin -> epoch
+                                                 floor)
+    T | top N by c [asc|desc]   -> ORDER BY c LIMIT N
+    T | sort by c [asc|desc]    -> ORDER BY
+    T | take N / limit N        -> LIMIT
+    T | count                   -> COUNT(*) AS count_
+    T | distinct c1, c2         -> SELECT DISTINCT
+
+Anything else raises ValueError naming the operator — a deliberate
+explicit-subset contract, not a silent mistranslation. Each stage wraps
+the previous as a subquery; Catalyst's CollapseProject/combine-filters
+rules flatten the nesting, so the physical plan is identical to the
+hand-written SQL (scan with pushed filters, partial aggregates, top-k as
+TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+_TIMESPAN_SECONDS = {
+    "s": 1,
+    "m": 60,
+    "h": 3600,
+    "d": 86400,
+}
+
+
+def _strings_to_sql(text: str) -> str:
+    """KQL double-quoted string literals -> SQL single-quoted."""
+
+    def repl(m: re.Match) -> str:
+        inner = m.group(1).replace("'", "''")
+        return f"'{inner}'"
+
+    return re.sub(r'"((?:[^"\\]|\\.)*)"', repl, text)
+
+
+def _bin_to_sql(text: str) -> str:
+    """bin(col, 1h) -> epoch-floor timestamp bucketing (works for any
+    bucket width, unlike date_trunc's fixed units)."""
+
+    def repl(m: re.Match) -> str:
+        col, n, unit = m.group(1).strip(), int(m.group(2)), m.group(3)
+        sec = n * _TIMESPAN_SECONDS[unit]
+        return (
+            f"to_timestamp(floor(unix_timestamp({col}) / {sec}) * {sec})"
+        )
+
+    return re.sub(r"bin\(([^,]+),\s*(\d+)([smhd])\)", repl, text)
+
+
+def _expr(kql_expr: str) -> str:
+    """Translate a KQL scalar/boolean expression to SQL."""
+    e = _bin_to_sql(_strings_to_sql(kql_expr))
+    e = re.sub(r"==", "=", e)
+    e = re.sub(r"!=", "<>", e)
+    e = re.sub(
+        r"(\S+)\s+contains\s+('(?:[^']|'')*')",
+        r"\1 LIKE concat('%', \2, '%')",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"(\S+)\s+startswith\s+('(?:[^']|'')*')",
+        r"\1 LIKE concat(\2, '%')",
+        e,
+        flags=re.IGNORECASE,
+    )
+    return e
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on `sep` outside parentheses and quotes."""
+    parts, depth, in_str, cur = [], 0, False, []
+    for ch in text:
+        if ch == "'" and not in_str:
+            in_str = True
+        elif ch == "'" and in_str:
+            in_str = False
+        if not in_str:
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+            if ch == sep and depth == 0:
+                parts.append("".join(cur).strip())
+                cur = []
+                continue
+        cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+_AGG_FNS = {"count", "dcount", "sum", "avg", "min", "max"}
+
+
+def _agg(item: str, auto_idx: int) -> str:
+    """One summarize aggregate -> SQL, with KQL's default naming."""
+    m = re.match(r"(?:(\w+)\s*=\s*)?(\w+)\s*\((.*)\)$", item.strip())
+    if not m or m.group(2).lower() not in _AGG_FNS:
+        raise ValueError(f"unsupported KQL aggregate: {item!r}")
+    alias, fn, arg = m.group(1), m.group(2).lower(), m.group(3).strip()
+    if fn == "count":
+        sql = "COUNT(*)"
+        default = "count_"
+    elif fn == "dcount":
+        sql = f"COUNT(DISTINCT {_expr(arg)})"
+        default = f"dcount_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    else:
+        sql = f"{fn.upper()}({_expr(arg)})"
+        default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    return f"{sql} AS {alias or default}"
+
+
+def _group_alias(g: str, idx: int) -> tuple[str, str]:
+    """A summarize group key -> (select item, group-by ref). Computed
+    keys group by their full EXPRESSION, never the alias: when the alias
+    shadows a source column (KQL names a bare bin(ts, …) key `ts`),
+    `GROUP BY alias` silently resolves to the raw column and explodes
+    the group count."""
+    m = re.match(r"(\w+)\s*=\s*(.+)$", g)
+    if m:
+        return f"{_expr(m.group(2))} AS {m.group(1)}", _expr(m.group(2))
+    if re.match(r"^\w+$", g):
+        return g, g
+    if g.startswith("bin("):
+        # KQL names a bare bin() key after its column
+        col = re.match(r"bin\(([^,]+),", g).group(1).strip()
+        return f"{_expr(g)} AS {col}", _expr(g)
+    return f"{_expr(g)} AS key{idx}", _expr(g)
+
+
+def kql_to_sql(kql: str) -> str:
+    """Translate a KQL pipe query to one Spark SQL statement."""
+    stages = _split_top_level(" ".join(kql.split()), "|")
+    if not stages or not re.match(r"^\w+$", stages[0]):
+        raise ValueError(f"KQL must start with a table name: {kql!r}")
+    sql = f"SELECT * FROM {stages[0]}"
+    for i, stage in enumerate(stages[1:], 1):
+        words = stage.split(None, 1)
+        op = words[0].lower()
+        body = words[1] if len(words) > 1 else ""
+        prev = f"({sql}) AS _s{i}"
+        if op in ("take", "limit"):
+            sql = f"SELECT * FROM {prev} LIMIT {int(body)}"
+        elif op == "count":
+            sql = f"SELECT COUNT(*) AS count_ FROM {prev}"
+        elif op == "where":
+            sql = f"SELECT * FROM {prev} WHERE {_expr(body)}"
+        elif op == "project":
+            items = []
+            for c in _split_top_level(_strings_to_sql(body)):
+                m = re.match(r"(\w+)\s*=\s*(.+)$", c)
+                items.append(
+                    f"{_expr(m.group(2))} AS {m.group(1)}" if m else _expr(c)
+                )
+            sql = f"SELECT {', '.join(items)} FROM {prev}"
+        elif op == "extend":
+            items = []
+            for c in _split_top_level(_strings_to_sql(body)):
+                m = re.match(r"(\w+)\s*=\s*(.+)$", c)
+                if not m:
+                    raise ValueError(f"extend needs name=expr: {c!r}")
+                items.append(f"{_expr(m.group(2))} AS {m.group(1)}")
+            sql = f"SELECT *, {', '.join(items)} FROM {prev}"
+        elif op == "summarize":
+            parts = re.split(r"\bby\b", body, maxsplit=1)
+            aggs = [
+                _agg(a, j)
+                for j, a in enumerate(_split_top_level(parts[0]))
+            ]
+            if len(parts) == 2:
+                pairs = [
+                    _group_alias(g.strip(), j)
+                    for j, g in enumerate(_split_top_level(parts[1]))
+                ]
+                sel = ", ".join([p[0] for p in pairs] + aggs)
+                grp = ", ".join(p[1] for p in pairs)
+                sql = f"SELECT {sel} FROM {prev} GROUP BY {grp}"
+            else:
+                sql = f"SELECT {', '.join(aggs)} FROM {prev}"
+        elif op == "top":
+            m = re.match(r"(\d+)\s+by\s+(.+)$", body, re.IGNORECASE)
+            if not m:
+                raise ValueError(f"top needs 'N by col': {body!r}")
+            order = m.group(2).strip()
+            if not re.search(r"\b(asc|desc)$", order, re.IGNORECASE):
+                order += " DESC"  # KQL top defaults to descending
+            sql = f"SELECT * FROM {prev} ORDER BY {_expr(order)} LIMIT {m.group(1)}"
+        elif op == "sort" or op == "order":
+            body = re.sub(r"^by\s+", "", body, flags=re.IGNORECASE)
+            orders = []
+            for o in _split_top_level(body):
+                if not re.search(r"\b(asc|desc)$", o, re.IGNORECASE):
+                    o += " DESC"  # KQL sort defaults to descending
+                orders.append(_expr(o))
+            sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
+        elif op == "distinct":
+            cols = ", ".join(
+                _expr(c) for c in _split_top_level(_strings_to_sql(body))
+            )
+            sql = f"SELECT DISTINCT {cols} FROM {prev}"
+        else:
+            raise ValueError(f"unsupported KQL operator: {op!r}")
+    return sql
+
+
+def kql(spark: SparkSession, text: str) -> DataFrame:
+    """Execute a KQL pipe query against registered views — the drop-in
+    for the reference's POST /query body."""
+    return spark.sql(kql_to_sql(text))
+
+
+# --- Driver-checked query entries: the reference's committed KQL shapes
+# (take, count — tests/test.http:49,62) plus the everyday pipe operators,
+# each executed THROUGH the translator and value-compared against a
+# hand-written DuckDB oracle. Pipes are fully ordered (tie-broken) where
+# row identity matters, so the comparison is deterministic.
+
+from api_to_parquet_spark.lake import load  # noqa: E402
+
+
+def _events_view(spark: SparkSession, sf_dir: str) -> None:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+
+def q_kql_take(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`T | take N` — the reference's first committed query shape, with a
+    where/project/sort pipe so the returned row set is deterministic."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | where event_type == "view"'
+        " | project event_id, user_id, ts"
+        " | sort by ts asc, event_id asc | take 100",
+    )
+
+
+def q_kql_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`T | count` — the reference's second committed query shape."""
+    _events_view(spark, sf_dir)
+    return kql(spark, "events | count")
+
+
+def q_kql_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """where + summarize-by with bin() time bucketing, dcount, and a
+    post-aggregation projection — the everyday KQL analytics pipe."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where value > 50"
+        " | summarize n=count(), users=dcount(user_id),"
+        " avg_value=avg(value) by event_type, bin(ts, 6h)"
+        " | project event_type, ts, n, users,"
+        " avg_value=round(avg_value, 4)",
+    )
+
+
+def q_kql_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summarize then fully-ordered top-k per the KQL idiom
+    (sort by n desc with key tie-break, then take)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | summarize n=count() by user_id"
+        " | sort by n desc, user_id asc | take 10",
+    )
+
+
+QUERIES = {
+    "kql_take": q_kql_take,
+    "kql_count": q_kql_count,
+    "kql_summarize": q_kql_summarize,
+    "kql_top": q_kql_top,
+}
+
+ORACLE = {
+    "kql_take": """
+        SELECT event_id, user_id, ts FROM events
+        WHERE event_type = 'view'
+        ORDER BY ts, event_id LIMIT 100
+    """,
+    "kql_count": """
+        SELECT COUNT(*) AS count_ FROM events
+    """,
+    "kql_summarize": """
+        SELECT event_type,
+               epoch_ms(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                        * 1000) AS ts,
+               COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events WHERE value > 50
+        GROUP BY 1, 2
+    """,
+    "kql_top": """
+        SELECT user_id, COUNT(*) AS n FROM events
+        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """,
+}

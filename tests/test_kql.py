@@ -1,0 +1,70 @@
+"""KQL frontend: translation correctness, the reference's committed
+query shapes, explicit-subset errors, and plan quality through the
+nested-subquery translation."""
+
+from __future__ import annotations
+
+import pytest
+
+from api_to_parquet_spark.lake import load
+from api_to_parquet_spark.queries.kql import kql, kql_to_sql
+
+
+def test_reference_committed_shapes(spark, sf_smoke):
+    """The two KQL queries committed in the reference repo
+    (tests/test.http:49,62) run verbatim once the lake view is
+    registered under the table name they target."""
+    ev = load(spark, sf_smoke, "events")
+    ev.createOrReplaceTempView("OmyaData")
+    ev.createOrReplaceTempView("TelemetryData")
+    assert kql(spark, "OmyaData | take 100").count() == 100
+    got = kql(spark, "TelemetryData | count").collect()[0]
+    assert got["count_"] == ev.count()
+
+
+def test_where_project_extend_distinct(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        'events | where event_type == "view" and value > 10'
+        " | extend v2 = value * 2 | project event_id, v2",
+    )
+    assert df.columns == ["event_id", "v2"]
+    rows = df.collect()
+    assert len(rows) > 0
+    langs = kql(spark, "events | distinct event_type").collect()
+    assert {r["event_type"] for r in langs} == {
+        r["event_type"]
+        for r in spark.table("events").select("event_type").distinct().collect()
+    }
+
+
+def test_string_ops_translate(spark, sf_smoke):
+    load(spark, sf_smoke, "documents").createOrReplaceTempView("documents")
+    n_contains = kql(
+        spark, 'documents | where text contains "the" | count'
+    ).collect()[0]["count_"]
+    n_like = spark.sql(
+        "SELECT COUNT(*) AS n FROM documents WHERE text LIKE '%the%'"
+    ).collect()[0]["n"]
+    assert n_contains == n_like
+
+
+def test_unsupported_operator_is_explicit():
+    with pytest.raises(ValueError, match="unsupported KQL operator"):
+        kql_to_sql("T | mv-expand col")
+    with pytest.raises(ValueError, match="unsupported KQL aggregate"):
+        kql_to_sql("T | summarize percentile(x, 95)")
+
+
+def test_filter_pushdown_survives_translation(spark, sf_smoke):
+    """The where stage must reach the parquet scan as a pushed filter
+    even though the translator nests each pipe stage as a subquery —
+    i.e. Catalyst flattens the translation artifact away."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        'events | where event_type == "view" | project event_id | take 5',
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "event_type" in plan
