@@ -1,0 +1,162 @@
+"""HTTP service parity: the reference's three routes, backed by the
+Spark engine.
+
+The reference is a Go HTTP service (/root/reference/src/main.go:224-330):
+
+    POST /       ingest one JSON envelope  -> parquet lake + state update
+    GET  /       read the two state scalars
+    POST /query  {db, csl, ...}            -> forwarded to Kusto (KQL)
+
+This module exposes the same surface on Python's stdlib http.server so a
+reference client can switch endpoints without changes: same `?key=` API
+gate (401, src/main.go:77-86), same per-field 400 messages
+(src/main.go:256-269), same 200 response shapes (src/main.go:324-328,
+241-244) — and POST /query executes the KQL body natively via the
+queries.kql translator (or raw Spark SQL) instead of proxying.
+
+Scale honesty: this in-process server is the *protocol adapter*, not the
+scale path. One POST = one micro-batch through the same
+parse→validate→explode→normalize→write pipeline the streaming mode runs
+(streaming.start_ingest_stream); a production deployment points many
+such stateless receivers at an envelope drop directory / queue and lets
+the single-writer streaming query own the lake and state (SURVEY.md
+§1.5), which is strictly stronger than the reference's cross-replica
+Redis race (src/main.go:315-322). Differences kept deliberately:
+rejected envelopes get a clean 400 where the reference panics on empty
+content (main.go:278), and a failed write returns 500 instead of
+log.Fatal-ing the process (main.go:308-310).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from pyspark.sql import SparkSession
+
+from api_to_parquet_spark import ingest, lake, state
+from api_to_parquet_spark.queries.kql import kql
+
+_REQUIRED = [
+    ("file", "Malformed request: property file is empty"),
+    ("timeGenerated", "Malformed request: property timeGenerated is empty"),
+    ("id", "Malformed request: property id is empty"),
+]
+
+
+class LakeService:
+    """Route handlers, separable from HTTP plumbing for direct testing."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        lake_root: str,
+        state_path: str,
+        api_key: str | None = None,
+        sql_dialect: str = "kql",
+    ) -> None:
+        self.spark = spark
+        self.lake_root = lake_root
+        self.state_path = state_path
+        self.api_key = api_key
+        self.sql_dialect = sql_dialect
+        # one POST at a time mutates state — the single-writer contract
+        self._write_lock = threading.Lock()
+
+    def ingest_envelope(self, body: bytes) -> tuple[int, dict]:
+        try:
+            record = json.loads(body)
+        except ValueError:
+            return 500, {"error": "invalid JSON"}
+        for field, msg in _REQUIRED:
+            if not record.get(field):
+                return 400, {"error": msg}
+        if not record.get("content"):
+            return 400, {"error": "Malformed request: content is empty"}
+        raw = self.spark.createDataFrame(
+            [(body.decode("utf-8"),)], ["value"]
+        )
+        points, _ = ingest.ingest_batch(raw)
+        with self._write_lock:
+            lake.write_batch_files(points, self.lake_root)
+            new_state = state.update_state(
+                self.spark, self.state_path, points
+            )
+        return 200, {
+            "id": record["id"],
+            "timeGenerated": record["timeGenerated"],
+            "maxTimestamp": new_state["max_timestamp"],
+        }
+
+    def get_state(self) -> tuple[int, dict]:
+        st = state.read_state(self.spark, self.state_path)
+        return 200, {
+            "lastTimeGenerated": st["last_time_generated"] or 0,
+            "maxTimestamp": st["max_timestamp"] or 0,
+        }
+
+    def query(self, body: bytes) -> tuple[int, dict]:
+        """POST /query — the body carries {db, csl, properties} per the
+        Kusto REST shape the reference forwards; `csl` runs natively
+        (KQL subset, or raw Spark SQL when sql_dialect='sql')."""
+        try:
+            record = json.loads(body)
+            text = record["csl"]
+        except (ValueError, KeyError):
+            return 400, {"error": "body must be JSON with a csl property"}
+        try:
+            if self.sql_dialect == "sql":
+                df = self.spark.sql(text)
+            else:
+                df = kql(self.spark, text)
+            rows = [r.asDict(recursive=True) for r in df.limit(10000).collect()]
+        except Exception as e:  # noqa: BLE001 — surface as HTTP error
+            return 400, {"error": str(e)[:2000]}
+        return 200, {"columns": df.columns, "rows": rows}
+
+
+def make_server(service: LakeService, port: int = 0) -> ThreadingHTTPServer:
+    """Bind the service to an HTTP server (port 0 = ephemeral)."""
+
+    class Handler(BaseHTTPRequestHandler):
+        def _send(self, status: int, payload: dict) -> None:
+            data = json.dumps(payload, default=str).encode("utf-8")
+            self.send_response(status)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _authorized(self) -> bool:
+            if service.api_key is None:
+                return True
+            qs = parse_qs(urlparse(self.path).query)
+            return qs.get("key", [None])[0] == service.api_key
+
+        def _route(self) -> None:
+            if not self._authorized():
+                self._send(401, {"error": "unauthorized"})
+                return
+            path = urlparse(self.path).path
+            if self.command == "GET" and path == "/":
+                self._send(*service.get_state())
+            elif self.command == "POST":
+                n = int(self.headers.get("Content-Length", 0))
+                body = self.rfile.read(n)
+                if path == "/":
+                    self._send(*service.ingest_envelope(body))
+                elif path == "/query":
+                    self._send(*service.query(body))
+                else:
+                    self._send(404, {"error": "not found"})
+            else:
+                self._send(404, {"error": "not found"})
+
+        do_GET = do_POST = _route
+
+        def log_message(self, *args) -> None:  # quiet test output
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)

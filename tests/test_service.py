@@ -1,0 +1,133 @@
+"""HTTP service parity: reference routes exercised over real HTTP
+(stdlib client against an ephemeral-port server thread)."""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from api_to_parquet_spark import service
+
+
+def _post(url: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        url,
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _get(url: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(url) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def _envelope(file: str, ts_values, time_generated: int) -> dict:
+    return {
+        "content": [
+            {"PointId": f"p{t % 3}", "Timestamp": t, "Value": float(t)}
+            for t in ts_values
+        ],
+        "id": "batch-1",
+        "source": "s",
+        "timeGenerated": time_generated,
+        "file": file,
+    }
+
+
+@pytest.fixture
+def server(spark, tmp_path):
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state")
+    )
+    httpd = service.make_server(svc)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", svc
+    httpd.shutdown()
+
+
+def test_ingest_state_replay_roundtrip(spark, server):
+    base, svc = server
+    key = "factory-1/2023/10/26/19/a.parquet"
+    status, body = _post(base + "/", _envelope(key, [100, 300, 200], 7))
+    assert status == 200
+    assert body == {"id": "batch-1", "timeGenerated": 7, "maxTimestamp": 300}
+
+    status, st = _get(base + "/")
+    assert (status, st["lastTimeGenerated"], st["maxTimestamp"]) == (200, 7, 300)
+
+    # replay the same file key with fewer rows: overwrite (no dup rows),
+    # state stays monotonic on max, last-write-wins on timeGenerated
+    status, body = _post(base + "/", _envelope(key, [150], 9))
+    assert status == 200 and body["maxTimestamp"] == 300
+    rows = spark.read.parquet(f"{svc.lake_root}/{key}").collect()
+    assert [r["Timestamp"] for r in rows] == [150]
+    _, st = _get(base + "/")
+    assert (st["lastTimeGenerated"], st["maxTimestamp"]) == (9, 300)
+
+
+def test_reference_error_contract(server):
+    base, _ = server
+    env = _envelope("f/2024/01/01/00/a.parquet", [1], 5)
+    for field, fragment in [
+        ("file", "property file is empty"),
+        ("timeGenerated", "property timeGenerated is empty"),
+        ("id", "property id is empty"),
+    ]:
+        bad = {**env, field: "" if field != "timeGenerated" else 0}
+        status, body = _post(base + "/", bad)
+        assert status == 400 and fragment in body["error"]
+    # empty content: clean 400 where the reference panics (main.go:278)
+    status, body = _post(base + "/", {**env, "content": []})
+    assert status == 400 and "content" in body["error"]
+
+
+def test_api_key_gate(spark, tmp_path):
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state"), api_key="s3cret"
+    )
+    httpd = service.make_server(svc)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        status, body = _get(base + "/")
+        assert status == 401 and body["error"] == "unauthorized"
+        status, _ = _get(base + "/?key=s3cret")
+        assert status == 200
+    finally:
+        httpd.shutdown()
+
+
+def test_query_route_runs_kql_natively(spark, server):
+    base, svc = server
+    key = "factory-1/2023/10/26/19/a.parquet"
+    _post(base + "/", _envelope(key, [100, 300, 200], 7))
+    (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(f"{svc.lake_root}/factory-1")
+        .createOrReplaceTempView("TelemetryData")
+    )
+    status, body = _post(base + "/query", {"db": "x", "csl": "TelemetryData | count"})
+    assert status == 200 and body["rows"] == [{"count_": 3}]
+    status, body = _post(
+        base + "/query",
+        {"csl": "TelemetryData | where Timestamp >= 200 | project PointId, Timestamp | sort by Timestamp asc"},
+    )
+    assert status == 200
+    assert [r["Timestamp"] for r in body["rows"]] == [200, 300]
+    status, body = _post(base + "/query", {"csl": "TelemetryData | mv-expand x"})
+    assert status == 400 and "unsupported" in body["error"]
