@@ -260,6 +260,148 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 8  # subspaces (64-dim -> 8 subvectors of 8 dims)
+PQ_K = 64  # codewords per subspace (256 = classic 1-byte codes)
+PQ_REFINE = 8  # exact-re-rank the top REFINE*TOP_K ADC candidates
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k — the memory-bound scale
+    path: each corpus vector is compressed to PQ_M one-byte codes (here
+    8 codes vs 64 float64s = 64× smaller), queries score candidates via
+    asymmetric distance (per-query lookup table of query-subvector ·
+    codeword dots, so an approximate cosine is PQ_M table lookups + adds,
+    no float vector ever re-read), and only the top REFINE*TOP_K ADC
+    candidates get exact re-ranking against the full vectors. At 100 TB
+    the codes table fits where the raw vectors cannot (RAM/SSD tier),
+    which is the entire point of PQ; compose with the IVF cell routing
+    above (IVF-PQ) when even the codes scan needs pruning.
+
+    Spark shape: codebooks are driver-fit once (deterministic stride
+    sample, like the IVF coarse quantizer; production would k-means) and
+    shipped in pandas_udf closures — encoding and ADC scoring are both
+    map-side Arrow-batched numpy passes, NO shuffle over the corpus; the
+    only wide ops are the per-query top-k windows over candidate rows and
+    the small re-rank join. Approximate by construction → rows-only
+    check; recall vs brute force asserted in tests/test_similarity.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    vecs = _vecs(spark, sf_dir)
+    raw = load(spark, sf_dir, "embeddings")
+    n_total = raw.count()
+    # bounded training sample: stride-thinned to <=4096 vectors on the
+    # driver (corpus-size-independent), then a few Lloyd iterations per
+    # subspace — deterministic k-means, seeded by stride like the IVF
+    # coarse quantizer
+    stride = max(1, n_total // 4096)
+    sample = (
+        raw.filter(F.col("vec_id") % stride == 0)
+        .select(F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    S = np.array([r["v"] for r in sample], dtype=np.float64)
+    S /= np.linalg.norm(S, axis=1, keepdims=True)
+    dim = S.shape[1]
+    sub = dim // PQ_M
+
+    def _fit_codebook(block: "np.ndarray") -> "np.ndarray":
+        centers = block[:: max(1, len(block) // PQ_K)][:PQ_K].copy()
+        for _ in range(8):
+            d = (
+                np.sum(centers * centers, axis=1)[None, :]
+                - 2.0 * (block @ centers.T)
+            )
+            assign = np.argmin(d, axis=1)
+            for k in range(len(centers)):
+                members = block[assign == k]
+                if len(members):
+                    centers[k] = members.mean(axis=0)
+        return centers
+
+    # codebooks[j]: (PQ_K, sub) — subspace j's codewords
+    codebooks = [
+        _fit_codebook(S[:, j * sub : (j + 1) * sub]) for j in range(PQ_M)
+    ]
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        codes = np.empty((len(M), PQ_M), dtype=np.int32)
+        for j, cb in enumerate(codebooks):
+            block = M[:, j * sub : (j + 1) * sub]
+            # nearest codeword by L2 == argmax(2·x·c - |c|²) per subspace
+            d = (
+                np.sum(cb * cb, axis=1)[None, :]
+                - 2.0 * (block @ cb.T)
+            )
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.Series(list(codes))
+
+    queries = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v")
+        .collect()
+    )
+    Q = np.array([r["v"] for r in queries], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    query_ids = np.array([int(r["vec_id"]) for r in queries])
+    # luts[q, j, k] = q's subvector_j · codeword_jk  => ADC cosine is
+    # sum_j luts[q, j, codes[j]] because both sides are L2-normalized
+    luts = np.stack(
+        [Q[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(PQ_M)],
+        axis=1,
+    )  # (n_queries, PQ_M, PQ_K)
+
+    @pandas_udf("array<double>")
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        C = np.array(codes.tolist(), dtype=np.int64)  # (batch, PQ_M)
+        # gather per query: scores (batch, n_queries)
+        out = np.zeros((len(C), len(query_ids)), dtype=np.float64)
+        for j in range(PQ_M):
+            out += luts[:, j, C[:, j]].T  # (batch, n_queries)
+        return pd.Series(list(out))
+
+    codes = vecs.select("vec_id", encode("v").alias("codes"))
+    cand = (
+        codes.select(
+            "vec_id",
+            F.posexplode(adc_scores("codes")).alias("qidx", "adc"),
+        )
+        .withColumn(
+            "query_id",
+            F.element_at(
+                F.array(*[F.lit(int(q)) for q in query_ids]),
+                F.col("qidx") + 1,
+            ),
+        )
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "vec_id")
+    shortlist = cand.withColumn("adc_rank", F.row_number().over(w)).filter(
+        F.col("adc_rank") <= PQ_REFINE * TOP_K
+    )
+    qdf = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+    rerank = (
+        shortlist.join(vecs.select("vec_id", "v"), "vec_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 _DUCK_COS = (
     "list_dot_product(a.v, b.v)"
     " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -297,6 +439,7 @@ QUERIES = {
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,  # no oracle: approximate by design
     "ann_ivf_topk": q_ann_ivf_topk,  # no oracle: approximate by design
+    "ann_pq_topk": q_ann_pq_topk,  # no oracle: approximate by design
 }
 
 ORACLE = {

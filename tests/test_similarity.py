@@ -67,3 +67,28 @@ def test_multimodal_feature_schema(spark, sf_smoke):
     row = feats.orderBy("doc_id").first()
     assert row["n_bytes"] > 0
     assert row["fake_width"] == row["n_bytes"] % 640
+
+
+def test_ann_pq_recall(spark, sf_smoke):
+    """PQ with exact re-rank: the 64x-compressed ADC shortlist must keep
+    most true neighbors, and every reported pair's cos_sim is exact (the
+    re-rank recomputes it from full vectors) — so results are a subset of
+    the brute-force candidate space with correct scores."""
+    from api_to_parquet_spark.similarity import (
+        q_ann_pq_topk,
+        q_knn_bruteforce,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_knn_bruteforce(spark, sf_smoke).collect()
+    }
+    approx_rows = q_ann_pq_topk(spark, sf_smoke).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.4, f"PQ recall collapsed: {recall}"
+    # per-query result-set size contract
+    from collections import Counter
+
+    per_q = Counter(r["query_id"] for r in approx_rows)
+    assert all(v == 5 for v in per_q.values())
