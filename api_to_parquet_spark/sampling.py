@@ -79,10 +79,43 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WS_N = 50  # weighted-sample size
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): weight-proportional
+    sampling without replacement, reproducible from content alone. Each
+    doc gets priority q = w / u with w = n_chars and u = md5-uniform of
+    doc_id; the WS_N largest priorities are the sample — long documents
+    are proportionally more likely, and the same corpus always yields
+    the same sample (rerunnable pipelines; no rand()).
+
+    All arithmetic is INTEGER (q computed as w * 2^32 div (h+1)), so the
+    selection boundary is bit-identical across engines — a float ln()/pow
+    formulation (classic Efraimidis-Spirakis) can flip boundary rows
+    between libm implementations, which the oracle compare would catch.
+    One narrow pass + a top-k (TakeOrderedAndProject), no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.expr(
+                f"(n_chars * {1 << 32}) div"
+                " (conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10)"
+                " + 1)"
+            ).alias("priority"),
+        )
+        .orderBy(F.desc("priority"), "doc_id")
+        .limit(WS_N)
+    )
+
+
 QUERIES = {
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "value_histogram": q_value_histogram,
+    "weighted_sample": q_weighted_sample,
 }
 
 _BUCKET = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
@@ -111,5 +144,13 @@ ORACLE = {
                ROUND(MIN(value), 2) AS lo,
                ROUND(MAX(value), 2) AS hi
         FROM events GROUP BY 1
+    """,
+    "weighted_sample": f"""
+        SELECT doc_id, n_chars,
+               (n_chars * {1 << 32})
+                   // (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                       + 1) AS priority
+        FROM documents
+        ORDER BY priority DESC, doc_id LIMIT {WS_N}
     """,
 }

@@ -3,10 +3,13 @@ scoring, language-ID heuristic, rolling-hash fingerprinting.
 
 All computed with JVM array/string expressions inside whole-stage codegen
 — one narrow pass per query, no shuffle except the final per-lang
-aggregations, no Python UDFs.
+aggregations. The single Python boundary is the Misra-Gries candidate
+pass in q_heavy_hitters (mapInPandas, O(k)-memory per partition).
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -228,6 +231,66 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HH_PHI = 0.004  # heavy-hitter threshold: freq >= HH_PHI * total tokens
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-guided two-pass EXACT heavy hitters: tokens occurring in at
+    least HH_PHI of the corpus token stream.
+
+    Pass 1 runs a Misra-Gries summary per partition (mapInPandas, k =
+    2/φ counters, O(k) memory regardless of partition size) to produce a
+    candidate set. Correctness: an item with global frequency > φ·N must
+    have frequency > φ·n_p in at least one partition (pigeonhole), and
+    MG with k ≥ 1/φ counters retains every item with partition frequency
+    > n_p/(k+1) — so the union of partition candidates is a SUPERSET of
+    the true heavy hitters. Pass 2 exactly counts ONLY the candidates
+    (broadcast semi-join, then one grouped count) and applies the
+    threshold — final answer exact, so it oracle-checks, unlike a pure
+    sketch. This is the 100 TB shape for "top tokens" when the full
+    vocabulary is too wide to group cheaply but candidates fit in a
+    broadcast; the one-pass exact twin is q_vocab_top_tokens."""
+    d = spread(load(spark, sf_dir, "documents")).select("text")
+    k = int(2 / HH_PHI)
+
+    def mg_partition(pdfs):
+        counters: dict[str, int] = {}
+        for pdf in pdfs:
+            for text in pdf["text"]:
+                for tok in text.strip().split():
+                    if tok in counters:
+                        counters[tok] += 1
+                    elif len(counters) < k:
+                        counters[tok] = 1
+                    else:  # decrement-all step
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = (
+        d.mapInPandas(mg_partition, "token STRING").distinct()
+    )
+    toks = d.select(F.explode(words()).alias("token"))
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("freq") >= HH_PHI * F.col("n_total"))
+        .select(
+            "token",
+            "freq",
+            F.round(F.col("freq") / F.col("n_total"), 6).alias("rel_freq"),
+        )
+    )
+
+
 _DUCK_WS = "regexp_split_to_array(trim(text), '\\s+')"
 
 
@@ -242,6 +305,7 @@ _FR = _duck_marker_count(LANG_MARKERS["fr"])
 _ES = _duck_marker_count(LANG_MARKERS["es"])
 
 QUERIES = {
+    "heavy_hitters": q_heavy_hitters,
     "text_token_stats": q_token_stats,
     "bpe_token_count": q_bpe_token_count,
     "text_quality_score": q_quality_score,
@@ -254,6 +318,16 @@ QUERIES = {
 }
 
 ORACLE = {
+    "heavy_hitters": f"""
+        WITH toks AS (
+            SELECT unnest({_DUCK_WS}) AS token FROM documents),
+        n AS (SELECT COUNT(*) AS n_total FROM toks)
+        SELECT token, COUNT(*) AS freq,
+               ROUND(COUNT(*) / ANY_VALUE(n.n_total), 6) AS rel_freq
+        FROM toks CROSS JOIN n
+        GROUP BY token
+        HAVING COUNT(*) >= {HH_PHI} * ANY_VALUE(n.n_total)
+    """,
     "bpe_token_count": f"""
         SELECT doc_id,
                len(regexp_extract_all(text, '{BPE_PATTERN}')) AS n_bpe_tokens,
