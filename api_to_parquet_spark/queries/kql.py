@@ -266,15 +266,23 @@ def q_kql_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kql_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """where + summarize-by with bin() time bucketing, dcount, and a
-    post-aggregation projection — the everyday KQL analytics pipe."""
+    post-aggregation projection — the everyday KQL analytics pipe.
+
+    The average is computed from exact integer cents (sum(round(v*100))
+    / n, no rounding): `value` carries 2 decimals, so small-group float
+    averages land EXACTLY on decimal half-ties (e.g. 102.07125) where
+    Spark (HALF_UP) and DuckDB (half-to-even) round in opposite
+    directions — and rounding exact ties at ANY precision keeps the
+    hazard. Identical integer inputs + IEEE division are bit-identical
+    across engines with no rounding at all."""
     _events_view(spark, sf_dir)
     return kql(
         spark,
         "events | where value > 50"
         " | summarize n=count(), users=dcount(user_id),"
-        " avg_value=avg(value) by event_type, bin(ts, 6h)"
+        " cents=sum(round(value * 100)) by event_type, bin(ts, 6h)"
         " | project event_type, ts, n, users,"
-        " avg_value=round(avg_value, 4)",
+        " avg_value=cents / n / 100.0",
     )
 
 
@@ -310,7 +318,7 @@ ORACLE = {
                epoch_ms(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                         * 1000) AS ts,
                COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
-               ROUND(AVG(value), 4) AS avg_value
+               SUM(ROUND(value * 100)) / COUNT(*) / 100.0 AS avg_value
         FROM events WHERE value > 50
         GROUP BY 1, 2
     """,

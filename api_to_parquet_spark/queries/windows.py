@@ -60,6 +60,30 @@ def q_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth-curve query. A
+    naive COUNT(DISTINCT) over an expanding window re-scans every prefix
+    (quadratic, and Spark refuses DISTINCT in window frames anyway); the
+    scalable identity is: cumulative uniques at day d = users whose FIRST
+    event day ≤ d. One grouped min per user, one count per first-day, one
+    tiny running sum over |days| rows."""
+    ev = load(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    per_day = first_day.groupBy("first_day").agg(
+        F.count("*").alias("new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.col("first_day").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )
+
+
 def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap detection via lag (the reference's Sequence field begs for
     this, SURVEY.md §2.5): millisecond delta to previous event per user."""
@@ -290,12 +314,26 @@ QUERIES = {
     "ewma_smoothing": q_ewma,
     "latest_per_key": q_latest_per_key,
     "window_running_sum": q_running_sum,
+    "cumulative_unique_users": q_cumulative_unique_users,
     "window_sequence_gaps": q_sequence_gaps,
     "asof_join": q_asof_join,
     "tumbling_window_agg": q_tumbling_window_agg,
 }
 
 ORACLE = {
+    "cumulative_unique_users": """
+        WITH fd AS (
+            SELECT user_id, date_trunc('day', MIN(ts)) AS first_day
+            FROM events GROUP BY user_id),
+        pd AS (
+            SELECT first_day AS day, COUNT(*) AS new_users
+            FROM fd GROUP BY 1)
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cumulative_users
+        FROM pd
+    """,
     "event_transitions": """
         SELECT prev_type, event_type AS next_type, COUNT(*) AS n
         FROM (SELECT event_type,
