@@ -265,34 +265,16 @@ PQ_K = 64  # codewords per subspace (256 = classic 1-byte codes)
 PQ_REFINE = 8  # exact-re-rank the top REFINE*TOP_K ADC candidates
 
 
-def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization approximate top-k — the memory-bound scale
-    path: each corpus vector is compressed to PQ_M one-byte codes (here
-    8 codes vs 64 float64s = 64× smaller), queries score candidates via
-    asymmetric distance (per-query lookup table of query-subvector ·
-    codeword dots, so an approximate cosine is PQ_M table lookups + adds,
-    no float vector ever re-read), and only the top REFINE*TOP_K ADC
-    candidates get exact re-ranking against the full vectors. At 100 TB
-    the codes table fits where the raw vectors cannot (RAM/SSD tier),
-    which is the entire point of PQ; compose with the IVF cell routing
-    above (IVF-PQ) when even the codes scan needs pruning.
-
-    Spark shape: codebooks are driver-fit once (deterministic stride
-    sample, like the IVF coarse quantizer; production would k-means) and
-    shipped in pandas_udf closures — encoding and ADC scoring are both
-    map-side Arrow-batched numpy passes, NO shuffle over the corpus; the
-    only wide ops are the per-query top-k windows over candidate rows and
-    the small re-rank join. Approximate by construction → rows-only
-    check; recall vs brute force asserted in tests/test_similarity.py."""
-    from pyspark.sql.functions import pandas_udf
-
-    vecs = _vecs(spark, sf_dir)
+def _pq_fit(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list["np.ndarray"], int]:
+    """Fit per-subspace PQ codebooks on a bounded driver-side sample:
+    stride-thinned to <=4096 vectors (corpus-size-independent), then 8
+    Lloyd iterations per subspace — deterministic k-means, stride-seeded
+    like the IVF coarse quantizer. Returns (codebooks, subvector_dim);
+    codebooks[j] is (PQ_K, sub)."""
     raw = load(spark, sf_dir, "embeddings")
     n_total = raw.count()
-    # bounded training sample: stride-thinned to <=4096 vectors on the
-    # driver (corpus-size-independent), then a few Lloyd iterations per
-    # subspace — deterministic k-means, seeded by stride like the IVF
-    # coarse quantizer
     stride = max(1, n_total // 4096)
     sample = (
         raw.filter(F.col("vec_id") % stride == 0)
@@ -301,8 +283,7 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     S = np.array([r["v"] for r in sample], dtype=np.float64)
     S /= np.linalg.norm(S, axis=1, keepdims=True)
-    dim = S.shape[1]
-    sub = dim // PQ_M
+    sub = S.shape[1] // PQ_M
 
     def _fit_codebook(block: "np.ndarray") -> "np.ndarray":
         centers = block[:: max(1, len(block) // PQ_K)][:PQ_K].copy()
@@ -318,10 +299,34 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centers[k] = members.mean(axis=0)
         return centers
 
-    # codebooks[j]: (PQ_K, sub) — subspace j's codewords
-    codebooks = [
+    return [
         _fit_codebook(S[:, j * sub : (j + 1) * sub]) for j in range(PQ_M)
-    ]
+    ], sub
+
+
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-k — the memory-bound scale
+    path: each corpus vector is compressed to PQ_M one-byte codes (here
+    8 codes vs 64 float64s = 64× smaller), queries score candidates via
+    asymmetric distance (per-query lookup table of query-subvector ·
+    codeword dots, so an approximate cosine is PQ_M table lookups + adds,
+    no float vector ever re-read), and only the top REFINE*TOP_K ADC
+    candidates get exact re-ranking against the full vectors. At 100 TB
+    the codes table fits where the raw vectors cannot (RAM/SSD tier),
+    which is the entire point of PQ; compose with the IVF cell routing
+    above (IVF-PQ) when even the codes scan needs pruning.
+
+    Spark shape: codebooks are driver-fit once (_pq_fit: deterministic
+    bounded-sample k-means, kilobytes of state) and
+    shipped in pandas_udf closures — encoding and ADC scoring are both
+    map-side Arrow-batched numpy passes, NO shuffle over the corpus; the
+    only wide ops are the per-query top-k windows over candidate rows and
+    the small re-rank join. Approximate by construction → rows-only
+    check; recall vs brute force asserted in tests/test_similarity.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    vecs = _vecs(spark, sf_dir)
+    codebooks, sub = _pq_fit(spark, sf_dir)
 
     @pandas_udf("array<int>")
     def encode(vs: pd.Series) -> pd.Series:
@@ -402,6 +407,108 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the production ANN composition (FAISS's default shape).
+    IVF alone still scans full vectors in probed cells; PQ alone still
+    ADC-scans the whole codes table. Composed: each vector lives in one
+    coarse cell AND is stored as PQ codes, a query touches only its
+    N_PROBE cells' codes (both prunings multiply), and the final
+    REFINE*TOP_K shortlist re-ranks against full vectors.
+
+    Spark shape: ONE map-side Arrow-batched pass computes (cell, codes)
+    per corpus vector; the candidate restriction is an equi-join on cell
+    id; ADC scoring runs vectorized on the joined rows; the corpus is
+    never shuffled except by cell id. Approximate by construction →
+    rows-only check; recall asserted in tests/test_similarity.py."""
+    from pyspark.sql.functions import pandas_udf
+
+    vecs = _vecs(spark, sf_dir)
+    codebooks, sub = _pq_fit(spark, sf_dir)
+    raw = load(spark, sf_dir, "embeddings")
+    n_total = raw.count()
+    stride = max(1, n_total // N_CENTROIDS)
+    cents = (
+        raw.filter(F.col("vec_id") % stride == 0)
+        .orderBy("vec_id")
+        .limit(N_CENTROIDS)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    cell_ids = np.array([int(r["vec_id"]) for r in cents])
+    C = np.array([r["v"] for r in cents], dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @pandas_udf("cell long, codes array<int>")
+    def cell_and_codes(vs: pd.Series) -> pd.DataFrame:
+        M = np.array(vs.tolist(), dtype=np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        cells = cell_ids[np.argmax(M @ Cn.T, axis=1)]
+        codes = np.empty((len(M), PQ_M), dtype=np.int32)
+        for j, cb in enumerate(codebooks):
+            block = M[:, j * sub : (j + 1) * sub]
+            d = np.sum(cb * cb, axis=1)[None, :] - 2.0 * (block @ cb.T)
+            codes[:, j] = np.argmin(d, axis=1)
+        return pd.DataFrame({"cell": cells, "codes": list(codes)})
+
+    corpus = vecs.select(
+        "vec_id", "v", cell_and_codes("v").alias("cc")
+    ).select("vec_id", "v", "cc.cell", "cc.codes")
+
+    queries = (
+        vecs.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "v")
+        .collect()
+    )
+    Q = np.array([r["v"] for r in queries], dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    query_ids = [int(r["vec_id"]) for r in queries]
+    qpos = {q: i for i, q in enumerate(query_ids)}
+    luts = np.stack(
+        [Q[:, j * sub : (j + 1) * sub] @ codebooks[j].T for j in range(PQ_M)],
+        axis=1,
+    )  # (n_queries, PQ_M, PQ_K)
+    probe = np.argsort(-(Q @ Cn.T), axis=1)[:, :N_PROBE]
+    probe_rows = [
+        (int(q), int(cell_ids[c]))
+        for qi, q in enumerate(query_ids)
+        for c in probe[qi]
+    ]
+    probes_df = spark.createDataFrame(probe_rows, "query_id long, cell long")
+
+    @pandas_udf("double")
+    def adc(qid: pd.Series, codes: pd.Series) -> pd.Series:
+        C_ = np.array(codes.tolist(), dtype=np.int64)
+        qi = np.array([qpos[q] for q in qid], dtype=np.int64)
+        out = np.zeros(len(C_), dtype=np.float64)
+        for j in range(PQ_M):
+            out += luts[qi, j, C_[:, j]]
+        return pd.Series(out)
+
+    cand = (
+        corpus.join(F.broadcast(probes_df), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "v", adc("query_id", "codes").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), "vec_id")
+    shortlist = cand.withColumn("adc_rank", F.row_number().over(w)).filter(
+        F.col("adc_rank") <= PQ_REFINE * TOP_K
+    )
+    qdf = _vecs(spark, sf_dir).filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    rerank = shortlist.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("qv"), F.col("v")), 6).alias("cos_sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        rerank.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 _DUCK_COS = (
     "list_dot_product(a.v, b.v)"
     " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
@@ -440,6 +547,7 @@ QUERIES = {
     "ann_lsh_topk": q_ann_lsh_topk,  # no oracle: approximate by design
     "ann_ivf_topk": q_ann_ivf_topk,  # no oracle: approximate by design
     "ann_pq_topk": q_ann_pq_topk,  # no oracle: approximate by design
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,  # no oracle: approximate by design
 }
 
 ORACLE = {

@@ -92,3 +92,24 @@ def test_ann_pq_recall(spark, sf_smoke):
 
     per_q = Counter(r["query_id"] for r in approx_rows)
     assert all(v == 5 for v in per_q.values())
+
+
+def test_ann_ivfpq_recall(spark, sf_smoke):
+    """IVF-PQ composition: recall is bounded by the coarse cell probing
+    (like IVF alone) while scanning only probed cells' CODES — both
+    prunings multiply. Scores are exact after re-rank."""
+    from api_to_parquet_spark.similarity import (
+        q_ann_ivfpq_topk,
+        q_knn_bruteforce,
+    )
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_knn_bruteforce(spark, sf_smoke).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in q_ann_ivfpq_topk(spark, sf_smoke).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.3, f"IVF-PQ recall collapsed: {recall}"
