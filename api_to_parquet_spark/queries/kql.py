@@ -233,6 +233,41 @@ def kql(spark: SparkSession, text: str) -> DataFrame:
     return spark.sql(kql_to_sql(text))
 
 
+# --- Synapse serverless-SQL shim: the reference README's OTHER committed
+# query dialect (README.md:94-99) — `SELECT TOP 100 * FROM OPENROWSET(
+# BULK '<url>/<source>/Y/M/D/H/*.parquet', FORMAT='PARQUET') AS data`.
+# Two T-SQL-isms separate it from Spark SQL: TOP n (→ LIMIT n) and
+# OPENROWSET over a blob URL (→ a parquet scan of the same wildcard path
+# under the local lake root). Everything else passes through to
+# spark.sql, and the wildcard partition path prunes exactly like the
+# reference promises ("efficient lookups", README.md:5): Spark globs the
+# directories before reading a single footer.
+
+
+def synapse_sql(spark: SparkSession, text: str, lake_root: str) -> DataFrame:
+    """Run a Synapse OPENROWSET query verbatim against the local lake:
+    blob-URL prefixes (https://account.blob.core.windows.net/container/
+    or abfss://...) are remapped onto lake_root, preserving the
+    source/Y/M/D/H wildcard tail."""
+    top = re.search(r"\bTOP\s+(\d+)\b", text, re.IGNORECASE)
+    sql = re.sub(r"\bTOP\s+\d+\b", "", text, flags=re.IGNORECASE)
+
+    def repl(m: re.Match) -> str:
+        url = m.group(1)
+        tail = re.sub(r"^\w+://[^/]+/[^/]+/", "", url)  # strip scheme+host+container
+        return f"parquet.`{lake_root}/{tail}`"
+
+    sql = re.sub(
+        r"OPENROWSET\s*\(\s*BULK\s*'([^']+)'\s*,\s*FORMAT\s*=\s*'PARQUET'\s*\)",
+        repl,
+        sql,
+        flags=re.IGNORECASE | re.DOTALL,
+    )
+    if top:
+        sql = f"{sql.strip()} LIMIT {top.group(1)}"
+    return spark.sql(sql)
+
+
 # --- Driver-checked query entries: the reference's committed KQL shapes
 # (take, count — tests/test.http:49,62) plus the everyday pipe operators,
 # each executed THROUGH the translator and value-compared against a

@@ -68,3 +68,52 @@ def test_filter_pushdown_survives_translation(spark, sf_smoke):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "event_type" in plan
+
+
+def test_synapse_openrowset_verbatim(spark, tmp_path):
+    """The README's committed Synapse query (README.md:94-99) runs
+    verbatim — blob URL remapped onto the local lake root — and the
+    wildcard path scans only the named hour partition."""
+    import json
+
+    from api_to_parquet_spark import ingest, lake
+    from api_to_parquet_spark.queries.kql import synapse_sql
+
+    root = str(tmp_path / "lake")
+    for hour, n in [(19, 7), (20, 3)]:
+        env = {
+            "content": [
+                {"PointId": "p1", "Timestamp": i, "Value": float(i)}
+                for i in range(n)
+            ],
+            "id": "b",
+            "source": "factory-1",
+            "timeGenerated": 1,
+            "file": f"factory-1/2023/10/26/{hour}/a.parquet",
+        }
+        raw = spark.createDataFrame([(json.dumps(env),)], ["value"])
+        points, _ = ingest.ingest_batch(raw)
+        lake.write_batch_files(points, root)
+
+    df = synapse_sql(
+        spark,
+        """SELECT TOP 100 *
+FROM
+    OPENROWSET(
+        BULK 'https://ACCOUNTNAME.blob.core.windows.net/CONTAINERNAME/factory-1/2023/10/26/19/*.parquet',
+        FORMAT='PARQUET'
+    ) AS data""",
+        root,
+    )
+    rows = df.collect()
+    assert len(rows) == 7  # hour 20's 3 rows pruned by the wildcard path
+    assert {r["PointId"] for r in rows} == {"p1"}
+    # TOP actually limits
+    df2 = synapse_sql(
+        spark,
+        "SELECT TOP 2 * FROM OPENROWSET(BULK "
+        "'https://a.blob.core.windows.net/c/factory-1/2023/10/26/19/*.parquet'"
+        ", FORMAT='PARQUET') AS data",
+        root,
+    )
+    assert df2.count() == 2
