@@ -220,8 +220,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes the min neighbor label, and stops when no label changed. The
     loop is over ROUNDS (O(component diameter), a handful); every round
     is a distributed join+aggregate — the standard shape for iterative
-    graph algorithms on DataFrames. Rounds are persisted and the prior
-    round unpersisted so lineage stays flat."""
+    graph algorithms on DataFrames. Each round is localCheckpoint-ed:
+    persist() alone does NOT cut lineage, so the logical plan (and
+    analysis/optimization time) grows with every iteration — the audit
+    sweep measured a 1242-Exchange plan text after convergence on
+    persist-only rounds, vs a flat LogicalRDD with checkpointing. On a
+    cluster use checkpoint() (HDFS-backed) if executor loss during the
+    loop must be survivable."""
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
@@ -230,7 +235,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     try:
         while True:
@@ -255,7 +260,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "label", F.coalesce("nbr_min", F.col("label"))
                     ).alias("label"),
                 )
-                .persist()
+                .localCheckpoint()
             )
             changed = (
                 new_labels.join(
@@ -267,7 +272,6 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .filter(F.col("label") != F.col("old_label"))
                 .count()
             )
-            labels.unpersist()
             labels = new_labels
             if changed == 0:
                 break
