@@ -2,7 +2,9 @@
 value-compare against its DuckDB oracle on the same parquet tables —
 the local twin of the driver's CORRECTNESS_r{N}.json run.
 
-    python tools/oracle_gate.py [sf_dir]      # default /root/testdata/sf0.01
+    python tools/oracle_gate.py [sf_dir] [name_substr ...]
+                                              # default /root/testdata/sf0.01;
+                                              # extra args filter query names
 
 Exit code 0 iff every oracle-backed query matches (columns sorted by
 name, rows sorted, values compared with rtol=1e-9); oracle-less queries
@@ -29,6 +31,7 @@ TABLES = (
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filters = sys.argv[2:]
     from api_to_parquet_spark import get_spark
 
     spark = get_spark("oracle_gate", shuffle_partitions=8)
@@ -46,7 +49,11 @@ def main() -> int:
             f" read_parquet('{sf_dir}/{t}.parquet')"
         )
     fails: list[str] = []
+    n_checked = 0
     for name in sorted(qs):
+        if name_filters and not any(f in name for f in name_filters):
+            continue
+        n_checked += 1
         try:
             if name not in oracles:
                 n = qs[name](spark, sf_dir).count()
@@ -94,7 +101,7 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 - report and continue
             fails.append(name)
             print(f"FAIL {name}: {str(exc)[:200]}")
-    print(f"checked {len(qs)} queries at {sf_dir}; fails: {len(fails)} {fails}")
+    print(f"checked {n_checked} queries at {sf_dir}; fails: {len(fails)} {fails}")
     return 1 if fails else 0
 
 
