@@ -131,3 +131,19 @@ def test_query_route_runs_kql_natively(spark, server):
     assert [r["Timestamp"] for r in body["rows"]] == [200, 300]
     status, body = _post(base + "/query", {"csl": "TelemetryData | mv-expand x"})
     assert status == 400 and "unsupported" in body["error"]
+
+
+def test_query_route_sql_dialect(spark, tmp_path):
+    """sql_dialect='sql' runs the body as raw Spark SQL instead of KQL."""
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state"),
+        sql_dialect="sql",
+    )
+    status, body = svc.query(
+        json.dumps({"csl": "SELECT 1 AS one, 'x' AS s"}).encode()
+    )
+    assert status == 200 and body["rows"] == [{"one": 1, "s": "x"}]
+    status, body = svc.query(json.dumps({"csl": "SELECT * FROM nope"}).encode())
+    assert status == 400 and "nope" in body["error"]
+    status, body = svc.query(b"not json")
+    assert status == 400
