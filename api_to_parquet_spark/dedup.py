@@ -10,7 +10,7 @@ scales to 100 TB of documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from api_to_parquet_spark.lake import load, spread
@@ -372,8 +372,67 @@ _DUCK_SIMHASH = f"""
           FROM documents)
 """
 
+CDC_MASK = 15  # boundary when word_hash % 16 == 0 → ~16-word chunks
+
+
+def q_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup: find document pairs sharing
+    verbatim PASSAGES even when surrounding text shifted — the case every
+    whole-document scheme (exact hash, MinHash on full doc, SimHash)
+    dilutes away. Chunk boundaries come from the CONTENT (a word's hash
+    matching a mask), not fixed offsets, so inserting a paragraph
+    re-aligns chunks after it — the rsync/LBFS trick applied to corpus
+    dedup.
+
+    Shape: one shuffle partitions words by doc (the running-sum window
+    that numbers chunks), chunk hashing is a grouped md5 over ordered
+    words, and the pair join keys on chunk hash — candidate volume is
+    shared-content-proportional, so AQE picks the join strategy. Same
+    SQL shape is the DuckDB oracle (string_agg ORDER BY)."""
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.posexplode(words()).alias("pos", "w")
+    ).withColumn("h", word_hash60(F.col("w")))
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    chunked = toks.withColumn(
+        "chunk_id",
+        F.sum((F.col("h") % (CDC_MASK + 1) == 0).cast("long")).over(win),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+            )
+        ).alias("chunk_hash"),
+        F.count("*").alias("n_words"),
+    ).filter(F.col("n_words") >= 3)  # drop sub-phrase noise
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_hash") == F.col("b.chunk_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.countDistinct("a.chunk_hash").alias("n_shared_chunks"))
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
+    "cdc_shared_chunks": q_cdc_shared_chunks,
     "dedup_bag_of_words": q_dedup_bag_of_words,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -383,6 +442,34 @@ QUERIES = {
 }
 
 ORACLE = {
+    "cdc_shared_chunks": """
+        WITH toks AS (
+            SELECT doc_id,
+                   generate_subscripts(
+                       regexp_split_to_array(trim(text), '\s+'), 1) AS pos,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+            FROM documents),
+        h AS (
+            SELECT doc_id, pos, w,
+                   ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+            FROM toks),
+        chunked AS (
+            SELECT doc_id, pos, w,
+                   SUM(CASE WHEN h % 16 = 0 THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS chunk_id
+            FROM h),
+        chunks AS (
+            SELECT doc_id, chunk_id,
+                   md5(string_agg(w, ' ' ORDER BY pos)) AS chunk_hash,
+                   COUNT(*) AS n_words
+            FROM chunked GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               COUNT(DISTINCT a.chunk_hash) AS n_shared_chunks
+        FROM chunks a JOIN chunks b
+          ON a.chunk_hash = b.chunk_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    """,
     "dedup_exact": """
         SELECT md5(text) AS text_md5, min(doc_id) AS keep_doc_id,
                count(*) AS n_copies

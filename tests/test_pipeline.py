@@ -107,3 +107,35 @@ def test_decontaminate_flags_eval_docs_planted_in_corpus(spark, sf_smoke):
         }
     planted_id = planted.first().doc_id
     assert planted_id in flagged
+
+
+def test_cdc_finds_shifted_duplicates(spark, tmp_path):
+    """Content-defined chunking must detect a shared passage even when
+    one document prefixes it with extra text (boundaries re-align after
+    the insertion) — the case whole-document hashing and full-doc
+    MinHash dilute away."""
+    import pandas as pd
+
+    from api_to_parquet_spark.dedup import q_cdc_shared_chunks
+
+    passage = " ".join(f"tok{i}" for i in range(120))
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                passage,
+                "totally different preamble inserted here " + passage,
+                " ".join(f"other{i}" for i in range(120)),
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [len(passage)] * 3,
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_chunks"]
+        for r in q_cdc_shared_chunks(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2  # shared passage found
+    assert not any(3 in p for p in pairs)  # unrelated doc stays unpaired
