@@ -203,6 +203,26 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly detection: events whose value deviates
+    >3σ from their event_type's mean — the monitoring query a time-series
+    lake exists to answer. Two-pass shape that scales: grouped mean/σ
+    first (tiny result), broadcast back onto the stream, filter map-side
+    — never a window sort over the fact table."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("z", F.round(z, 4))
+        .filter(F.abs("z") > 3)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
 def q_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact grouped percentiles (p25/median/p75) of extended price per
     return flag — Spark's ``percentile`` (linear interpolation, identical
@@ -428,6 +448,7 @@ QUERIES = {
     "session_window_agg": q_session_window_agg,
     "approx_sketches": q_approx_sketches,  # no oracle: approximate by design
     "percentile_agg": q_percentile_agg,
+    "value_outliers": q_value_outliers,
     "mode_agg": q_mode_agg,
     "merge_intervals": q_merge_intervals,
     "posexplode_tokens": q_posexplode_tokens,
@@ -525,6 +546,16 @@ ORACLE = {
                MAX(ts) + INTERVAL 30 MINUTE AS session_end,
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM sess GROUP BY user_id, sess_id
+    """,
+    "value_outliers": """
+        WITH stats AS (
+            SELECT event_type, AVG(value) AS mu,
+                   stddev_samp(value) AS sigma
+            FROM events GROUP BY event_type)
+        SELECT event_id, e.event_type, value,
+               ROUND((value - mu) / sigma, 4) AS z
+        FROM events e JOIN stats USING (event_type)
+        WHERE ABS(ROUND((value - mu) / sigma, 4)) > 3
     """,
     "percentile_agg": """
         SELECT l_returnflag,
