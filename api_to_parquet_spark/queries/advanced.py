@@ -203,6 +203,34 @@ def q_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RECURSIVE_CALENDAR_SQL = """
+    WITH RECURSIVE months(m) AS (
+        SELECT (SELECT date_trunc('month', MIN(o_orderdate)) FROM orders)
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < (SELECT date_trunc('month', MAX(o_orderdate)) FROM orders)
+    ),
+    per_month AS (
+        SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n_orders
+        FROM orders GROUP BY 1)
+    SELECT months.m AS month_start, COALESCE(n_orders, 0) AS n_orders
+    FROM months LEFT JOIN per_month ON months.m = per_month.m
+"""
+
+
+def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): build a complete month
+    spine from the data's own min/max and left-join per-month counts, so
+    empty months report 0 instead of vanishing — the calendar-spine
+    reporting idiom, engine-portable (same string runs on DuckDB).
+    Bounded acyclic recursion only: Spark caps depth at
+    spark.sql.cteRecursionLevelLimit (100) and rejects UNION-distinct
+    recursion, so cyclic reachability still goes through the iterative
+    DataFrame loop (dedup_clusters)."""
+    _views(spark, sf_dir, "orders")
+    return spark.sql(_RECURSIVE_CALENDAR_SQL)
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score anomaly detection: events whose value deviates
     >3σ from their event_type's mean — the monitoring query a time-series
@@ -449,6 +477,7 @@ QUERIES = {
     "approx_sketches": q_approx_sketches,  # no oracle: approximate by design
     "percentile_agg": q_percentile_agg,
     "value_outliers": q_value_outliers,
+    "recursive_calendar": q_recursive_calendar,
     "mode_agg": q_mode_agg,
     "merge_intervals": q_merge_intervals,
     "posexplode_tokens": q_posexplode_tokens,
@@ -547,6 +576,7 @@ ORACLE = {
                COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
         FROM sess GROUP BY user_id, sess_id
     """,
+    "recursive_calendar": _RECURSIVE_CALENDAR_SQL,
     "value_outliers": """
         WITH stats AS (
             SELECT event_type, AVG(value) AS mu,
