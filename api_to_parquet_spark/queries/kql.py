@@ -16,8 +16,12 @@ Supported pipe operators (the committed shapes plus the everyday core):
     T | extend c=expr           -> SELECT *, expr AS c
     T | summarize a=agg(x), ... [by g1, bin(ts, 1h), ...]
                                 -> GROUP BY     (count/dcount/sum/avg/
-                                                 min/max; bin -> epoch
+                                                 min/max/percentile ->
+                                                 percentile_approx —
+                                                 KQL's is approximate
+                                                 too; bin -> epoch
                                                  floor)
+    T | project-away c1, c2     -> SELECT * EXCEPT (c1, c2)
     T | top N by c [asc|desc]   -> ORDER BY c LIMIT N
     T | sort by c [asc|desc]    -> ORDER BY
     T | take N / limit N        -> LIMIT
@@ -113,7 +117,7 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [p for p in parts if p]
 
 
-_AGG_FNS = {"count", "dcount", "sum", "avg", "min", "max"}
+_AGG_FNS = {"count", "dcount", "sum", "avg", "min", "max", "percentile"}
 
 
 def _agg(item: str, auto_idx: int) -> str:
@@ -128,6 +132,12 @@ def _agg(item: str, auto_idx: int) -> str:
     elif fn == "dcount":
         sql = f"COUNT(DISTINCT {_expr(arg)})"
         default = f"dcount_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    elif fn == "percentile":
+        # KQL percentile() is approximate (T-digest in ADX) — the honest
+        # Spark twin is percentile_approx, same contract
+        col, p = [x.strip() for x in arg.split(",", 1)]
+        sql = f"percentile_approx({_expr(col)}, {float(p) / 100})"
+        default = f"percentile_{col}_{p}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
     else:
         sql = f"{fn.upper()}({_expr(arg)})"
         default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
@@ -217,6 +227,11 @@ def kql_to_sql(kql: str) -> str:
                     o += " DESC"  # KQL sort defaults to descending
                 orders.append(_expr(o))
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
+        elif op == "project-away":
+            cols = ", ".join(
+                c.strip() for c in _split_top_level(body)
+            )
+            sql = f"SELECT * EXCEPT ({cols}) FROM {prev}"
         elif op == "distinct":
             cols = ", ".join(
                 _expr(c) for c in _split_top_level(_strings_to_sql(body))

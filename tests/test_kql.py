@@ -54,7 +54,7 @@ def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
         kql_to_sql("T | mv-expand col")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
-        kql_to_sql("T | summarize percentile(x, 95)")
+        kql_to_sql("T | summarize make_list(x)")
 
 
 def test_filter_pushdown_survives_translation(spark, sf_smoke):
@@ -117,3 +117,16 @@ FROM
         root,
     )
     assert df2.count() == 2
+
+
+def test_project_away_and_percentile(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(spark, "events | project-away props, value | take 3")
+    assert df.columns == ["event_id", "ts", "user_id", "event_type"]
+    df2 = kql(
+        spark,
+        "events | summarize p95=percentile(value, 95), n=count()"
+        " by event_type",
+    )
+    rows = {r["event_type"]: r for r in df2.collect()}
+    assert len(rows) == 5 and all(r["p95"] is not None for r in rows.values())
