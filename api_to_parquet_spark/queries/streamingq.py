@@ -84,8 +84,34 @@ def q_streaming_state_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) as a STREAMING aggregation — the
+    state-store-backed merge path (sessions extend/merge as events
+    arrive) — checked against the same gaps-and-islands oracle as the
+    batch twin session_window_agg: stream and batch must agree exactly."""
+    return _run_streaming(
+        spark,
+        sf_dir,
+        lambda stream: stream.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        ),
+    )
+
+
 QUERIES = {
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
+    "streaming_session_window": q_streaming_session_window,
     "streaming_state_get": q_streaming_state_get,
 }
 
@@ -100,4 +126,23 @@ ORACLE = {
         "SELECT max(ts) AS max_timestamp,"
         " arg_max(ts, event_id) AS last_time_generated FROM events"
     ),
+    "streaming_session_window": """
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             >= INTERVAL 30 MINUTE
+                             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events),
+        sess AS (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id
+            FROM flagged)
+        SELECT user_id, MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+        FROM sess GROUP BY user_id, sess_id
+    """,
 }
