@@ -97,6 +97,21 @@ def read_partition(
     return df
 
 
+def read_batch_tree(
+    spark: SparkSession, lake_root: str, prefix: str = ""
+) -> DataFrame:
+    """Read the per-`file`-key lake written by write_batch_files. That
+    tree nests one directory per POST key (`<root>/<source>/Y/M/D/H/
+    <name>.parquet/part-*`), so plain partition discovery stops at the
+    first level — recursive lookup globs the whole subtree. `prefix`
+    narrows the scan to a source or any deeper path (directory pruning
+    happens at listing time, before any footer is read)."""
+    path = f"{lake_root}/{prefix}".rstrip("/")
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(path)
+    )
+
+
 def write_batch_files(points: DataFrame, lake_root: str) -> list[str]:
     """Exact per-file overwrite parity (ST3, reference README.md:88).
 

@@ -116,10 +116,10 @@ def test_query_route_runs_kql_natively(spark, server):
     base, svc = server
     key = "factory-1/2023/10/26/19/a.parquet"
     _post(base + "/", _envelope(key, [100, 300, 200], 7))
-    (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(f"{svc.lake_root}/factory-1")
-        .createOrReplaceTempView("TelemetryData")
+    from api_to_parquet_spark import lake
+
+    lake.read_batch_tree(spark, svc.lake_root, "factory-1").createOrReplaceTempView(
+        "TelemetryData"
     )
     status, body = _post(base + "/query", {"db": "x", "csl": "TelemetryData | count"})
     assert status == 200 and body["rows"] == [{"count_": 3}]
