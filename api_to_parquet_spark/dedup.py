@@ -42,9 +42,11 @@ def words(text_col: str = "text") -> Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
-def shingles(ws: Column, k: int = 3) -> Column:
-    """Distinct word k-gram shingles (strings), built with array
-    expressions — per-row, map-side, no explode needed.
+def shingles(ws: Column, k: int = 3, distinct: bool = True) -> Column:
+    """Word k-gram shingles (strings), built with array expressions —
+    per-row, map-side, no explode needed. distinct=True (the dedup
+    default) dedupes per doc; distinct=False keeps multiplicity (needed
+    by repetition metrics).
 
     `ws` MUST be a *projected column reference* (not a nested expression):
     higher-order-function lambdas are interpreted — no codegen, no common-
@@ -57,7 +59,7 @@ def shingles(ws: Column, k: int = 3) -> Column:
             " ", *[F.element_at(ws, i + off) for off in range(k)]
         ),
     )
-    return F.array_distinct(gram)
+    return F.array_distinct(gram) if distinct else gram
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

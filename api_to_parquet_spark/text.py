@@ -231,6 +231,31 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the Gopher-rules quality signal): the
+    share of the document's 3-grams taken by its single most repeated
+    3-gram — high share = boilerplate/spam/looping text. Grams keep
+    multiplicity (shingles distinct=False); two grouped passes, both
+    partitioned by doc_id so the second agg is map-side after the first
+    shuffle. Docs under 3 words are excluded (no 3-grams exist)."""
+    from api_to_parquet_spark.dedup import shingles
+
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", words().alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", shingles(F.col("ws"), distinct=False).alias("grams"))
+    )
+    per_gram = d.select(
+        "doc_id", F.explode("grams").alias("g")
+    ).groupBy("doc_id", "g").agg(F.count("*").alias("n"))
+    return per_gram.groupBy("doc_id").agg(
+        F.sum("n").alias("n_grams"),
+        F.round(F.max("n") / F.sum("n"), 6).alias("top_gram_share"),
+        F.expr("min_by(g, struct(-n, g))").alias("top_gram"),
+    )
+
+
 HH_PHI = 0.004  # heavy-hitter threshold: freq >= HH_PHI * total tokens
 
 
@@ -306,6 +331,7 @@ _ES = _duck_marker_count(LANG_MARKERS["es"])
 
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "doc_repetition": q_doc_repetition,
     "text_token_stats": q_token_stats,
     "bpe_token_count": q_bpe_token_count,
     "text_quality_score": q_quality_score,
@@ -318,6 +344,28 @@ QUERIES = {
 }
 
 ORACLE = {
+    # top_gram via row_number, not arg_min((-n, g)) — DuckDB arg_min
+    # rejects composite keys
+    "doc_repetition": f"""
+        WITH ws AS (
+            SELECT doc_id, {_DUCK_WS} AS w FROM documents
+            WHERE len({_DUCK_WS}) >= 3),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w) - 2),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+            FROM ws),
+        per_gram AS (
+            SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY 1, 2)
+        SELECT doc_id, n_grams, ROUND(n / n_grams, 6) AS top_gram_share,
+               g AS top_gram
+        FROM (SELECT doc_id, g, n,
+                     SUM(n) OVER (PARTITION BY doc_id) AS n_grams,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY n DESC, g) AS rk
+              FROM per_gram)
+        WHERE rk = 1
+    """,
     "heavy_hitters": f"""
         WITH toks AS (
             SELECT unnest({_DUCK_WS}) AS token FROM documents),
