@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from api_to_parquet_spark.lake import load
+from api_to_parquet_spark.lake import load, spread
 
 NGRAM = 4  # decontamination gram width
 CHUNK = 32  # tokens per chunk
@@ -169,7 +169,41 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning verdict: one narrow pass assigns every document
+    keep/drop with the FIRST failing rule (deterministic rule order, the
+    way production filters log their drops) — too_short (<20 tokens),
+    low_diversity (type-token ratio <0.3), no_stopwords (no top-language
+    marker at all, a gibberish signal). Rules are cheap array/string
+    expressions; heavier signals (dedup, repetition) run as their own
+    operators upstream and would join in here by doc_id."""
+    from api_to_parquet_spark.dedup import words
+    from api_to_parquet_spark.text import LANG_MARKERS
+
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", words().alias("ws")
+    )
+    ws = F.col("ws")
+    n_tok = F.size(ws)
+    ttr = F.size(F.array_distinct(ws)).cast("double") / n_tok
+    markers = [m for ms in LANG_MARKERS.values() for m in ms]
+    n_markers = F.size(F.filter(ws, lambda w: w.isin(*markers)))
+    reason = (
+        F.when(n_tok < 20, "too_short")
+        .when(ttr < 0.3, "low_diversity")
+        .when(n_markers == 0, "no_stopwords")
+        .otherwise("kept")
+    )
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        reason.alias("verdict"),
+        (reason == "kept").alias("keep"),
+    )
+
+
 QUERIES = {
+    "corpus_filter": q_corpus_filter,
     "decontaminate": q_decontaminate,
     "doc_chunks": q_doc_chunks,
     "udtf_doc_chunks": q_udtf_doc_chunks,
@@ -189,6 +223,26 @@ _CHUNKS_SQL = f"""
 """
 
 ORACLE = {
+    "corpus_filter": """
+        WITH d AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents),
+        m AS (
+            SELECT doc_id, len(ws) AS n_tokens,
+                   len(list_distinct(ws))::DOUBLE / len(ws) AS ttr,
+                   len(list_filter(ws, w -> w IN ('the', 'a', 'and', 'of', 'der', 'die', 'und', 'das', 'le', 'la', 'et', 'les', 'el', 'los', 'y', 'las'))) AS n_markers
+            FROM d)
+        SELECT doc_id, n_tokens,
+               CASE WHEN n_tokens < 20 THEN 'too_short'
+                    WHEN ttr < 0.3 THEN 'low_diversity'
+                    WHEN n_markers = 0 THEN 'no_stopwords'
+                    ELSE 'kept' END AS verdict,
+               (CASE WHEN n_tokens < 20 THEN 'too_short'
+                     WHEN ttr < 0.3 THEN 'low_diversity'
+                     WHEN n_markers = 0 THEN 'no_stopwords'
+                     ELSE 'kept' END) = 'kept' AS keep
+        FROM m
+    """,
     "decontaminate": f"""
         WITH toks AS (SELECT doc_id, source, {_DUCK_WS} AS ws FROM documents),
         grams AS (SELECT doc_id, source,
