@@ -128,6 +128,37 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each purchase gets the user's NEXT view value at or
+    after it (the look-ahead twin of q_asof_join — e.g. "what did they
+    look at after buying"). Same union+window shape, frame flipped to
+    CURRENT ROW .. UNBOUNDED FOLLOWING with first(ignorenulls); purchases
+    sort BEFORE views at identical ts so an exactly-simultaneous view
+    still counts as 'after'."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "view", F.col("value")).alias("view_value"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_purchase"), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    return (
+        tagged.withColumn(
+            "next_view_value", F.first("view_value", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_purchase") == 1)
+        .select("event_id", "user_id", "next_view_value")
+    )
+
+
 def q_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling window (6h) aggregation — the batch twin of the
     streaming windowed agg in streaming.py (same F.window operator)."""
@@ -317,6 +348,7 @@ QUERIES = {
     "cumulative_unique_users": q_cumulative_unique_users,
     "window_sequence_gaps": q_sequence_gaps,
     "asof_join": q_asof_join,
+    "asof_join_forward": q_asof_join_forward,
     "tumbling_window_agg": q_tumbling_window_agg,
 }
 
@@ -443,6 +475,22 @@ ORACLE = {
                epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "asof_join_forward": """
+        WITH tagged AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'view' THEN value END AS view_value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+            FROM events WHERE event_type IN ('view', 'purchase'))
+        SELECT event_id, user_id, next_view_value FROM (
+            SELECT event_id, user_id, is_purchase,
+                   first_value(view_value IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, is_purchase DESC, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                       AS next_view_value
+            FROM tagged)
+        WHERE is_purchase = 1
     """,
     "asof_join": """
         WITH tagged AS (
