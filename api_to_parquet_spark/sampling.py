@@ -111,11 +111,35 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RPG_N = 20  # fixed sample size per group
+
+
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-SIZE sample per group (exactly RPG_N docs per language,
+    fewer only if the group is smaller) — the per-stratum quota shape,
+    complementing q_stratified_sample's per-stratum RATE. Hash-ordering
+    by md5(doc_id) makes the draw uniform-ish yet fully reproducible
+    (rerunning the pipeline keeps the same sample — no rand()); one
+    window shuffle on the group key."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= RPG_N)
+        .select("lang", "doc_id", "n_chars", "rk")
+    )
+
+
 QUERIES = {
     "train_test_split": q_train_test_split,
     "stratified_sample": q_stratified_sample,
     "value_histogram": q_value_histogram,
     "weighted_sample": q_weighted_sample,
+    "reservoir_per_group": q_reservoir_per_group,
 }
 
 _BUCKET = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
@@ -144,6 +168,14 @@ ORACLE = {
                ROUND(MIN(value), 2) AS lo,
                ROUND(MAX(value), 2) AS hi
         FROM events GROUP BY 1
+    """,
+    "reservoir_per_group": f"""
+        SELECT lang, doc_id, n_chars, rk FROM (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+            FROM documents)
+        WHERE rk <= {RPG_N}
     """,
     "weighted_sample": f"""
         SELECT doc_id, n_chars,

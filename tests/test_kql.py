@@ -130,3 +130,12 @@ def test_project_away_and_percentile(spark, sf_smoke):
     )
     rows = {r["event_type"]: r for r in df2.collect()}
     assert len(rows) == 5 and all(r["p95"] is not None for r in rows.values())
+
+
+def test_top_plans_take_ordered(spark, sf_smoke):
+    """`top N by c` through the translator must plan
+    TakeOrderedAndProject (per-partition heaps), not a global sort."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(spark, "events | top 10 by value")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:400]
