@@ -113,3 +113,79 @@ def test_normalize_idempotent(spark, env):
     a = sorted(map(tuple, once.collect()))
     b = sorted(map(tuple, twice.collect()))
     assert a == b
+
+
+# --- KQL translator totality: any pipe the mini-grammar can produce must
+# translate to SQL that Spark ANALYZES successfully (schema resolution —
+# no job runs). The grammar tracks the column state across stages so the
+# generated pipes are semantically valid KQL.
+
+_KQL_NUM = ("value", "user_id", "event_id")
+_KQL_STR = ("event_type",)
+
+
+def _kql_stage_st(cols: tuple[str, ...]):
+    num = [c for c in _KQL_NUM if c in cols]
+    str_ = [c for c in _KQL_STR if c in cols]
+    opts = []
+    if num:
+        opts.append(
+            st.tuples(
+                st.just("where"),
+                st.sampled_from(num),
+                st.sampled_from([">", "<", ">=", "<=", "==", "!="]),
+                st.integers(0, 100),
+            ).map(lambda t: (f"where {t[1]} {t[2]} {t[3]}", cols))
+        )
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (f"extend x2 = {c} * 2", (*cols, "x2"))
+            )
+        )
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (f"top 5 by {c}", cols)
+            )
+        )
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"summarize n=count(), s=sum({c}) by "
+                    + (str_[0] if str_ else num[0]),
+                    ((str_[0] if str_ else num[0]), "n", "s"),
+                )
+            )
+        )
+    if str_:
+        opts.append(
+            st.just(("where event_type contains \"vi\"", cols))
+        )
+    opts.append(st.integers(1, 50).map(lambda n: (f"take {n}", cols)))
+    keep = st.lists(
+        st.sampled_from(sorted(cols)), min_size=1, max_size=len(cols), unique=True
+    )
+    opts.append(keep.map(lambda ks: ("project " + ", ".join(ks), tuple(ks))))
+    return st.one_of(opts)
+
+
+@st.composite
+def _kql_pipe_st(draw):
+    cols = ("event_id", "ts", "user_id", "event_type", "value")
+    stages = []
+    for _ in range(draw(st.integers(0, 4))):
+        stage, cols = draw(_kql_stage_st(cols))
+        stages.append(stage)
+    if draw(st.booleans()):
+        stages.append("count")
+    return " | ".join(["events", *stages])
+
+
+@FEW
+@given(pipe=_kql_pipe_st())
+def test_kql_translation_always_analyzes(spark, sf_smoke, pipe):
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(spark, pipe)  # analysis (schema resolution) happens here
+    assert df.columns, pipe
