@@ -100,7 +100,9 @@ class LakeService:
     def query(self, body: bytes) -> tuple[int, dict]:
         """POST /query — the body carries {db, csl, properties} per the
         Kusto REST shape the reference forwards; `csl` runs natively
-        (KQL subset, or raw Spark SQL when sql_dialect='sql')."""
+        (KQL subset, or raw Spark SQL when sql_dialect='sql').
+        {"explain": true} returns the physical plan instead of rows —
+        the engine-native twin of Kusto's `.show queryplan`."""
         try:
             record = json.loads(body)
             text = record["csl"]
@@ -111,6 +113,9 @@ class LakeService:
                 df = self.spark.sql(text)
             else:
                 df = kql(self.spark, text)
+            if record.get("explain"):
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                return 200, {"plan": plan}
             rows = [r.asDict(recursive=True) for r in df.limit(10000).collect()]
         except Exception as e:  # noqa: BLE001 — surface as HTTP error
             return 400, {"error": str(e)[:2000]}

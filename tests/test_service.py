@@ -147,3 +147,23 @@ def test_query_route_sql_dialect(spark, tmp_path):
     assert status == 400 and "nope" in body["error"]
     status, body = svc.query(b"not json")
     assert status == 400
+
+
+def test_query_route_explain(spark, server):
+    """{"explain": true} returns the physical plan (Kusto's
+    `.show queryplan` twin) — pushed filters visible to the caller."""
+    base, svc = server
+    key = "factory-1/2023/10/26/19/a.parquet"
+    _post(base + "/", _envelope(key, [100, 300], 7))
+    from api_to_parquet_spark import lake
+
+    lake.read_batch_tree(spark, svc.lake_root).createOrReplaceTempView(
+        "TelemetryData"
+    )
+    status, body = _post(
+        base + "/query",
+        {"csl": "TelemetryData | where Timestamp >= 200 | count",
+         "explain": True},
+    )
+    assert status == 200 and "Scan parquet" in body["plan"]
+    assert "PushedFilters" in body["plan"]
