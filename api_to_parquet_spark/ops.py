@@ -112,6 +112,125 @@ def write_bucketed(
     )
 
 
+def partition_stats(spark: SparkSession, lake_path: str) -> DataFrame:
+    """Lake health report: rows, files, and bytes per partition — the
+    input to compaction decisions (files ≫ rows/128 MB ⇒ fragmented).
+    One metadata-cheap pass: rows and file counts come from grouping the
+    scan by (partition cols, input_file_name); bytes per file from the
+    filesystem listing, joined in (file counts are small)."""
+    import posixpath
+
+    df = spark.read.parquet(lake_path).withColumn(
+        "_file", F.input_file_name()
+    )
+    per_file = df.groupBy(*PARTITION_COLUMNS, "_file").agg(
+        F.count("*").alias("rows")
+    )
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(lake_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    sizes = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if p.endswith(".parquet"):
+            sizes.append((posixpath.basename(p), int(st.getLen())))
+    size_df = spark.createDataFrame(sizes, "fname STRING, bytes LONG")
+    per_file = per_file.withColumn(
+        "fname", F.element_at(F.split("_file", "/"), -1)
+    ).join(size_df, "fname", "left")
+    return per_file.groupBy(*PARTITION_COLUMNS).agg(
+        F.sum("rows").alias("n_rows"),
+        F.count("*").alias("n_files"),
+        F.sum("bytes").alias("n_bytes"),
+    )
+
+
+def delete_rows(
+    spark: SparkSession,
+    lake_path: str,
+    predicate: F.Column,
+    touch_partitions: F.Column | None = None,
+) -> int:
+    """Row-level delete on a plain-parquet lake (GDPR erasure, bad-batch
+    surgery): rewrite ONLY the partitions that contain matching rows,
+    dropping those rows; untouched partitions' files are never opened
+    for write. `touch_partitions` optionally narrows the search scan
+    (e.g. a time-range bound when the caller knows the blast radius) —
+    partition pruning applies to the find phase too.
+
+    Plain parquet has no row-level transaction log, so this is the
+    honest mechanism: find affected partitions (one pruned scan), then
+    per-partition staging rewrite with dynamic partition overwrite —
+    the same replace-exactly-this-subtree contract compact_partition
+    uses. A transactional format (Delta/Iceberg deletion vectors) is
+    the documented upgrade when deletes are frequent. Returns the
+    number of rows deleted."""
+    df = spark.read.parquet(lake_path)
+    scan = df.filter(touch_partitions) if touch_partitions is not None else df
+    affected = (
+        scan.filter(predicate).select(*PARTITION_COLUMNS).distinct().collect()
+    )
+    if not affected:
+        return 0
+    part_filter = None
+    for r in affected:
+        clause = None
+        for c in PARTITION_COLUMNS:
+            eq = F.col(c) == r[c]
+            clause = eq if clause is None else (clause & eq)
+        part_filter = clause if part_filter is None else (part_filter | clause)
+    victims = df.filter(part_filter)
+    n_deleted = victims.filter(predicate).count()
+    survivors = victims.filter(~predicate)
+    n_survivors = survivors.count()
+    staging = tempfile.mkdtemp(prefix="delete_")
+    try:
+        kept: set = set()
+        if n_survivors:
+            survivors.write.mode("overwrite").parquet(staging)
+            staged = spark.read.parquet(staging)
+            kept = {
+                tuple(r[c] for c in PARTITION_COLUMNS)
+                for r in staged.select(*PARTITION_COLUMNS).distinct().collect()
+            }
+        if kept:
+            (
+                staged.write.mode("overwrite")
+                .partitionBy(*PARTITION_COLUMNS)
+                .parquet(lake_path)
+            )
+        # dynamic overwrite only replaces partitions PRESENT in staged —
+        # a partition whose every row matched must be removed directly
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(lake_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        root = jvm.org.apache.hadoop.fs.Path(lake_path)
+        for r in affected:
+            key = tuple(r[c] for c in PARTITION_COLUMNS)
+            if key not in kept:
+                sub = "/".join(
+                    f"{c}={r[c]}" for c in PARTITION_COLUMNS
+                )
+                leaf = jvm.org.apache.hadoop.fs.Path(f"{lake_path}/{sub}")
+                fs.delete(leaf, True)
+                # prune now-empty ancestors up to the lake root
+                parent = leaf.getParent()
+                while (
+                    parent is not None
+                    and str(parent) != str(root)
+                    and fs.exists(parent)
+                    and len(fs.listStatus(parent)) == 0
+                ):
+                    fs.delete(parent, False)
+                    parent = parent.getParent()
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return n_deleted
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 8
 ) -> DataFrame:

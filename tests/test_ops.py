@@ -176,3 +176,49 @@ def test_zorder_write_clusters_all_columns(spark, sf_smoke, tmp_path):
         spark.read.parquet(z_path).orderBy("l_orderkey", "l_partkey", "l_suppkey").collect()
         == li.orderBy("l_orderkey", "l_partkey", "l_suppkey").collect()
     )
+
+
+def test_delete_rows_rewrites_only_affected_partitions(spark, tmp_path):
+    """GDPR-style erasure: matching rows disappear, other rows in the
+    same partition survive, untouched partitions keep their original
+    FILES (mtime-identical — never rewritten), and a partition whose
+    every row matched is removed entirely."""
+    import os
+
+    lake_path = str(tmp_path / "lake")
+    p1 = _points(spark, "f1/2023/10/26/19/a.parquet", [1, 2, 3])
+    p2 = _points(spark, "f1/2023/10/26/20/b.parquet", [10, 11])
+    p3 = _points(spark, "f2/2023/10/26/19/c.parquet", [100])
+    for p in (p1, p2, p3):
+        lake.write_lake(p, lake_path, mode="append")
+
+    untouched = str(tmp_path / "lake/source=f1/year=2023/month=10/day=26/hour=20")
+    before = {f: os.path.getmtime(f"{untouched}/{f}") for f in os.listdir(untouched)}
+
+    # delete ts in {1, 2} (partial partition) and ts=100 (whole partition)
+    n = ops.delete_rows(
+        spark, lake_path, F.col("Timestamp").isin(1, 2, 100)
+    )
+    assert n == 3
+    left = spark.read.parquet(lake_path)
+    assert sorted(r["Timestamp"] for r in left.collect()) == [3, 10, 11]
+    # f2's hour-19 partition is gone from the directory tree
+    assert not os.path.exists(str(tmp_path / "lake/source=f2"))
+    # the untouched partition's files were not rewritten
+    after = {f: os.path.getmtime(f"{untouched}/{f}") for f in os.listdir(untouched)}
+    assert before == after
+
+    # no-match delete is a no-op returning 0
+    assert ops.delete_rows(spark, lake_path, F.col("Timestamp") == 999) == 0
+
+
+def test_partition_stats_reports_fragmentation(spark, tmp_path):
+    lake_path = str(tmp_path / "lake")
+    pts = _points(spark, "f1/2023/10/26/19/a.parquet", list(range(12)))
+    lake.write_lake(pts.repartition(6), lake_path, mode="append")
+    stats = {
+        (r["source"], r["hour"]): r
+        for r in ops.partition_stats(spark, lake_path).collect()
+    }
+    row = stats[("f1", 19)]
+    assert row["n_rows"] == 12 and row["n_files"] >= 2 and row["n_bytes"] > 0
