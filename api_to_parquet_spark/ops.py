@@ -231,6 +231,55 @@ def delete_rows(
     return n_deleted
 
 
+def upsert_rows(
+    spark: SparkSession,
+    lake_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+) -> None:
+    """Row-level MERGE into a plain-parquet lake: rows in `updates`
+    replace existing rows with the same key (and insert otherwise),
+    touching only the partitions the updates land in. `updates` must
+    carry the partition columns (run ingest.derive_partitions first for
+    raw points).
+
+    Mechanism mirrors delete_rows: affected partitions = distinct
+    partition tuples in `updates` (driver-side, small); merged content =
+    old rows anti-joined on key + all updates; staging rewrite with
+    dynamic partition overwrite replaces exactly those subtrees. The
+    whole merge costs one read+write of the touched partitions — the
+    plain-parquet floor; frequent fine-grained upserts are the cue to
+    move to Delta/Iceberg MERGE (documented upgrade path)."""
+    affected = updates.select(*PARTITION_COLUMNS).distinct().collect()
+    if not affected:
+        return
+    part_filter = None
+    for r in affected:
+        clause = None
+        for c in PARTITION_COLUMNS:
+            eq = F.col(c) == r[c]
+            clause = eq if clause is None else (clause & eq)
+        part_filter = clause if part_filter is None else (part_filter | clause)
+    try:
+        old = spark.read.parquet(lake_path).filter(part_filter)
+        merged = old.join(
+            updates.select(*key_cols).distinct(), key_cols, "left_anti"
+        ).unionByName(updates.select(*old.columns))
+    except Exception:  # first write into an empty/new lake
+        merged = updates
+    staging = tempfile.mkdtemp(prefix="upsert_")
+    try:
+        merged.write.mode("overwrite").parquet(staging)
+        (
+            spark.read.parquet(staging)
+            .write.mode("overwrite")
+            .partitionBy(*PARTITION_COLUMNS)
+            .parquet(lake_path)
+        )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 8
 ) -> DataFrame:

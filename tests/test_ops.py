@@ -222,3 +222,45 @@ def test_partition_stats_reports_fragmentation(spark, tmp_path):
     }
     row = stats[("f1", 19)]
     assert row["n_rows"] == 12 and row["n_files"] >= 2 and row["n_bytes"] > 0
+
+
+def test_upsert_rows_merges_by_key(spark, tmp_path):
+    """MERGE semantics: same-key rows are replaced, new keys insert,
+    rows in untouched partitions and non-matching rows survive."""
+    import os
+
+    lake_path = str(tmp_path / "lake")
+    lake.write_lake(
+        _points(spark, "f1/2023/10/26/19/a.parquet", [1, 2, 3]),
+        lake_path,
+        mode="append",
+    )
+    lake.write_lake(
+        _points(spark, "f1/2023/10/26/20/b.parquet", [10]),
+        lake_path,
+        mode="append",
+    )
+    untouched = str(
+        tmp_path / "lake/source=f1/year=2023/month=10/day=26/hour=20"
+    )
+    before = {
+        f: os.path.getmtime(f"{untouched}/{f}") for f in os.listdir(untouched)
+    }
+
+    # update ts=2's value and insert ts=50, both into hour 19
+    upd = _points(spark, "f1/2023/10/26/19/a.parquet", [2, 50])
+    upd = upd.withColumn("Value", F.col("Value") + 1000)
+    ops.upsert_rows(
+        spark, lake_path, upd, key_cols=["PointId", "Timestamp"]
+    )
+
+    got = {
+        r["Timestamp"]: r["Value"]
+        for r in spark.read.parquet(lake_path).collect()
+    }
+    assert got[2] == 1002.0 and got[50] == 1050.0  # replaced + inserted
+    assert got[1] == 1.0 and got[3] == 3.0 and got[10] == 10.0  # untouched
+    after = {
+        f: os.path.getmtime(f"{untouched}/{f}") for f in os.listdir(untouched)
+    }
+    assert before == after  # hour-20 partition never rewritten
