@@ -148,6 +148,38 @@ def lsh_bands(sig: Column) -> Column:
     )
 
 
+def _expand_id_pairs(buckets: DataFrame) -> DataFrame:
+    """(ids: sorted array<long>) -> distinct (doc_a, doc_b) pairs, a < b.
+    In-array expansion: each bucket's candidate pairs are generated
+    without a self-join, so the (re-used by LSH and prefix-filter paths)
+    candidate stage is ONE shuffle + map-side expansion. Bucket lists
+    are near-dup groups (small); a pathological mega-bucket would show
+    up here and should be salted or capped before expansion."""
+    return (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, verified: shingle → 64 minhashes →
     16 bands of 4 → (band, bucket) group for candidates → exact Jaccard
@@ -177,24 +209,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
     )
-    pairs = buckets.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ids",
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"), i + 2, F.greatest(F.size("ids") - i - 1, F.lit(0))
-                        ),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    candidates = pairs.select("p.doc_a", "p.doc_b").distinct()
+    pairs = _expand_id_pairs(buckets)
     # Verification: two joins back to the shingle table. No broadcast hint —
     # candidate volume is data-dependent (tiny here, potentially huge at
     # 100 TB), so AQE picks broadcast-vs-shuffle from runtime stats.
@@ -205,7 +220,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.size(F.array_union("sh_a", "sh_b"))
     )
     return (
-        candidates.join(sa, "doc_a")
+        pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
@@ -374,6 +389,63 @@ _DUCK_SIMHASH = f"""
           FROM documents)
 """
 
+def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the ppjoin family)
+    — the deterministic alternative to MinHash-LSH: if Jaccard(A, B) ≥ t,
+    the first |A| - ⌈t·|A|⌉ + 1 elements of A (in a fixed global order)
+    must intersect B's prefix, so candidates generated from prefixes
+    alone provably include EVERY qualifying pair — no false negatives,
+    unlike LSH's probabilistic recall. Ordering tokens by ascending
+    document frequency keeps prefixes maximally rare → smallest
+    candidate volume.
+
+    Shapes: gram DF is one grouped count; per-doc prefix sort is an
+    array sort_array over (df, gram) structs — map-side after one
+    broadcast-ish join on gram; candidates come from the same single
+    (gram)-bucket expansion the LSH path uses; exact Jaccard verifies
+    candidates only. Same oracle as ngram_jaccard_pairs — all three
+    candidate strategies (all-pairs, LSH, prefix-filter) must produce
+    the identical answer."""
+    t = JACCARD_THRESHOLD
+    docs = shingled_docs(spark, sf_dir)
+    grams = docs.select("doc_id", F.explode("sh").alias("g"))
+    dfc = grams.groupBy("g").agg(F.count("*").alias("df"))
+    ranked = grams.join(dfc, "g")
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("df"), F.col("g")))
+        ).alias("ordered")
+    )
+    n = F.size("ordered")
+    prefix_len = (n - F.ceil(n * F.lit(t)) + 1).cast("int")
+    prefixes = per_doc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.slice("ordered", 1, prefix_len), lambda s: s["g"]
+            )
+        ).alias("g"),
+    )
+    buckets = (
+        prefixes.groupBy("g")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pairs = _expand_id_pairs(buckets)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = inter.cast("double") / union
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= t)
+    )
+
+
 CDC_MASK = 15  # boundary when word_hash % 16 == 0 → ~16-word chunks
 
 
@@ -438,6 +510,7 @@ QUERIES = {
     "dedup_bag_of_words": q_dedup_bag_of_words,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "prefix_filter_pairs": q_prefix_filter_pairs,
     "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -486,6 +559,8 @@ ORACLE = {
     # LSH recall is ~1 on this corpus (see q_minhash_lsh_pairs), so the
     # exact all-pairs result is the oracle for the LSH pipeline too.
     "minhash_lsh_pairs": _DUCK_JACCARD_PAIRS,
+    # prefix filtering is EXACT by theorem — identical all-pairs oracle
+    "prefix_filter_pairs": _DUCK_JACCARD_PAIRS,
     # connected components over the same pair graph via recursive CTE:
     # seed every node with itself, propagate along (bidirected) edges,
     # component id = min reachable doc_id.
