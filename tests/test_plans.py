@@ -130,3 +130,35 @@ def test_aqe_splits_skewed_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "skew=true" in plan, plan[:800]
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_smoke):
+    """Runtime row-level filtering: a selective dim filter injects a
+    bloom-filter semi-filter (might_contain) into the FACT side of a
+    shuffle join, discarding non-matching rows before the shuffle — the
+    row-group-level complement to partition pruning. On by default in
+    Spark 4; thresholds lowered so the small test tables qualify."""
+    from pyspark.sql import functions as F
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        "10MB",
+    )
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold",
+        "0",
+    )
+    li = s2.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    orders = s2.read.parquet(f"{sf_smoke}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy()
+        .count()
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan, plan[:600]
