@@ -280,6 +280,76 @@ def upsert_rows(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def scd2_apply(
+    current: DataFrame,
+    updates: DataFrame,
+    key_cols: list[str],
+    attr_cols: list[str],
+    ts_col: str = "effective_ts",
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 merge, pure DataFrame (no
+    transactional format needed): history rows carry
+    (valid_from, valid_to); the current version has valid_to IS NULL.
+    An update whose attributes differ CLOSES the current row
+    (valid_to = update ts) and appends a new current row; unchanged
+    updates are no-ops; brand-new keys insert. Returns the full new
+    dimension table — write it back with an overwrite (dims are small
+    relative to facts; at 100 TB dims this becomes Delta MERGE).
+
+    One join on the key + one anti-join-free union: closed rows, new
+    versions, and untouched history are built from the same joined
+    intermediate, so the update set is scanned once."""
+    upd = updates.select(
+        *key_cols,
+        *[F.col(c).alias(f"_new_{c}") for c in attr_cols],
+        F.col(ts_col).alias("_new_ts"),
+    )
+    cur = current.filter(F.col("valid_to").isNull())
+    hist = current.filter(F.col("valid_to").isNotNull())
+    joined = cur.join(upd, key_cols, "full_outer")
+    changed = joined.filter(
+        F.col("_new_ts").isNotNull()
+        & F.col("valid_from").isNotNull()
+        & ~F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
+            F.struct(*[F.col(f"_new_{c}") for c in attr_cols])
+        )
+    )
+    closed = changed.select(
+        *key_cols,
+        *attr_cols,
+        "valid_from",
+        F.col("_new_ts").alias("valid_to"),
+    )
+    new_versions = joined.filter(
+        F.col("_new_ts").isNotNull()
+        & (
+            F.col("valid_from").isNull()  # brand-new key
+            | ~F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
+                F.struct(*[F.col(f"_new_{c}") for c in attr_cols])
+            )
+        )
+    ).select(
+        *key_cols,
+        *[F.col(f"_new_{c}").alias(c) for c in attr_cols],
+        F.col("_new_ts").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    untouched_current = joined.filter(
+        F.col("valid_from").isNotNull()
+        & (
+            F.col("_new_ts").isNull()
+            | F.struct(*[F.col(c) for c in attr_cols]).eqNullSafe(
+                F.struct(*[F.col(f"_new_{c}") for c in attr_cols])
+            )
+        )
+    ).select(*key_cols, *attr_cols, "valid_from", F.lit(None).cast("timestamp").alias("valid_to"))
+    return hist.select(
+        *key_cols, *attr_cols, "valid_from", "valid_to"
+    ).unionByName(closed).unionByName(new_versions).unionByName(
+        untouched_current
+    )
+
+
 def zorder_key(
     df: DataFrame, cols: list[str], bits: int = 8
 ) -> DataFrame:

@@ -264,3 +264,42 @@ def test_upsert_rows_merges_by_key(spark, tmp_path):
         f: os.path.getmtime(f"{untouched}/{f}") for f in os.listdir(untouched)
     }
     assert before == after  # hour-20 partition never rewritten
+
+
+def test_scd2_apply_tracks_history(spark):
+    """SCD2: a changed attribute closes the current row and opens a new
+    version; unchanged updates are no-ops; new keys insert; history
+    survives untouched."""
+    import datetime
+
+    t = lambda d: datetime.datetime(2024, 1, d)  # noqa: E731
+    current = spark.createDataFrame(
+        [
+            ("p1", "low", t(1), t(5)),   # old closed version
+            ("p1", "mid", t(5), None),   # current
+            ("p2", "hi", t(2), None),    # current, will be unchanged
+        ],
+        "point_id STRING, tier STRING, valid_from TIMESTAMP,"
+        " valid_to TIMESTAMP",
+    )
+    updates = spark.createDataFrame(
+        [
+            ("p1", "hi", t(9)),   # change -> close + new version
+            ("p2", "hi", t(9)),   # unchanged -> no-op
+            ("p3", "new", t(9)),  # brand-new key
+        ],
+        "point_id STRING, tier STRING, effective_ts TIMESTAMP",
+    )
+    out = ops.scd2_apply(
+        current, updates, key_cols=["point_id"], attr_cols=["tier"]
+    )
+    rows = {
+        (r["point_id"], r["valid_from"]): r for r in out.collect()
+    }
+    assert len(rows) == 5
+    assert rows[("p1", t(5))]["valid_to"] == t(9)       # closed
+    assert rows[("p1", t(9))]["tier"] == "hi"           # new current
+    assert rows[("p1", t(9))]["valid_to"] is None
+    assert rows[("p2", t(2))]["valid_to"] is None       # untouched no-op
+    assert rows[("p3", t(9))]["tier"] == "new"          # inserted
+    assert rows[("p1", t(1))]["valid_to"] == t(5)       # history intact
