@@ -280,6 +280,40 @@ def upsert_rows(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def diff_snapshots(
+    old: DataFrame, new: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Change-data capture between two table snapshots: one row per
+    changed key with change_type ∈ {inserted, deleted, updated} and the
+    old/new row images as structs — the diff that feeds incremental
+    downstream refreshes when the source has no CDC log (the reference's
+    lake is exactly that). One full-outer join on the key; unchanged
+    rows (null-safe struct equality) are dropped."""
+    val_cols = [c for c in old.columns if c not in key_cols]
+    o = old.select(
+        *key_cols, F.struct(*val_cols).alias("_old")
+    )
+    n = new.select(
+        *key_cols, F.struct(*val_cols).alias("_new")
+    )
+    joined = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), "inserted")
+        .when(F.col("_new").isNull(), "deleted")
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), "updated")
+    )
+    return (
+        joined.withColumn("change_type", change)
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *key_cols,
+            "change_type",
+            F.col("_old").alias("old_row"),
+            F.col("_new").alias("new_row"),
+        )
+    )
+
+
 def scd2_apply(
     current: DataFrame,
     updates: DataFrame,

@@ -303,3 +303,22 @@ def test_scd2_apply_tracks_history(spark):
     assert rows[("p2", t(2))]["valid_to"] is None       # untouched no-op
     assert rows[("p3", t(9))]["tier"] == "new"          # inserted
     assert rows[("p1", t(1))]["valid_to"] == t(5)       # history intact
+
+
+def test_diff_snapshots_classifies_changes(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id LONG, name STRING, v DOUBLE",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)],
+        "id LONG, name STRING, v DOUBLE",
+    )
+    got = {
+        r["id"]: r for r in ops.diff_snapshots(old, new, ["id"]).collect()
+    }
+    assert set(got) == {1, 3, 4}  # id=2 unchanged -> absent
+    assert got[1]["change_type"] == "deleted" and got[1]["new_row"] is None
+    assert got[3]["change_type"] == "updated"
+    assert got[3]["old_row"]["v"] == 30.0 and got[3]["new_row"]["v"] == 99.0
+    assert got[4]["change_type"] == "inserted" and got[4]["old_row"] is None
