@@ -105,6 +105,20 @@ def commit_batch(
     directory, then the next manifest atomically re-points those keys.
     Returns the committed version number. Replaying a key leaves the old
     directory in place for time travel until vacuum."""
+    from pyspark.sql import Window
+
+    # Intra-batch last-write-wins: one micro-batch may carry SEVERAL
+    # envelopes for the same `file` key (the reference would apply them
+    # as sequential POSTs — final state is the LAST one, main.go:306);
+    # keep only rows from each key's max timeGenerated envelope.
+    w = Window.partitionBy("file")
+    points = (
+        points.withColumn(
+            "_max_tg", F.max("time_generated").over(w)
+        )
+        .filter(F.col("time_generated") == F.col("_max_tg"))
+        .drop("_max_tg")
+    )
     keys = [r[0] for r in points.select("file").distinct().collect()]
     versions = _list_versions(spark, root)
     manifest = (

@@ -71,6 +71,47 @@ def start_ingest_stream(
     return writer.start()
 
 
+def start_snapshot_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    snapshot_root: str,
+    state_path: str,
+    checkpoint: str,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming ingest committing through the manifest snapshot layer
+    (snapshots.py): every micro-batch's per-`file`-key replace becomes
+    ONE atomic manifest commit, so lake readers can never observe a
+    half-written trigger — strictly stronger than both the reference's
+    blob overwrite and the plain foreachBatch writer above. Replays of a
+    checkpointed batch id re-commit the same keys idempotently (new
+    version, same rows)."""
+    from api_to_parquet_spark import snapshots
+
+    envelopes = read_envelope_stream(spark, input_dir)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        valid, _rejected = ingest.validate_envelopes(batch_df)
+        points = ingest.derive_partitions(
+            ingest.normalize_points(ingest.explode_points(valid))
+        )
+        if points.isEmpty():
+            return
+        points = points.persist()
+        try:
+            snapshots.commit_batch(spark, snapshot_root, points)
+            state.update_state(spark, state_path, points)
+        finally:
+            points.unpersist()
+
+    writer = envelopes.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def start_state_stream(
     spark: SparkSession, input_dir: str, query_name: str = "ingest_state"
 ) -> StreamingQuery:

@@ -90,3 +90,48 @@ def test_vacuum_drops_only_unreferenced(spark, tmp_path):
 def test_read_empty_root_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         snapshots.read_snapshot(spark, str(tmp_path / "nope"))
+
+
+def test_streaming_ingest_commits_snapshots(spark, tmp_path):
+    """Two file-source triggers become two manifest versions; the replay
+    of a key in trigger 2 atomically replaces it in the latest snapshot
+    while version 0 stays time-travel-readable."""
+    import time
+
+    from api_to_parquet_spark import streaming
+
+    def env(file, ts_values, tg):
+        return json.dumps(
+            {
+                "content": [
+                    {"Timestamp": t, "Value": float(t)} for t in ts_values
+                ],
+                "id": f"b{tg}",
+                "source": "s",
+                "timeGenerated": tg,
+                "file": file,
+            }
+        )
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    key = "s/2023/10/26/19/a.parquet"
+    (inp / "b1.json").write_text(env(key, [1, 2], 1) + "\n")
+    time.sleep(1.1)
+    (inp / "b2.json").write_text(env(key, [99], 2) + "\n")
+    root = str(tmp_path / "snaplake")
+    q = streaming.start_snapshot_ingest_stream(
+        spark,
+        str(inp),
+        root,
+        str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(180)
+    hist = snapshots.history(spark, root)
+    assert len(hist) >= 1
+    latest = [
+        r["Timestamp"] for r in snapshots.read_snapshot(spark, root).collect()
+    ]
+    assert sorted(latest) == [99]  # replaced across triggers
