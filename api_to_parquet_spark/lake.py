@@ -123,7 +123,21 @@ def write_batch_files(points: DataFrame, lake_root: str) -> list[str]:
 
     The loop is over *distinct batch keys in this micro-batch* (small:
     one per POST), not over rows — each write is a distributed job.
+
+    Intra-batch last-write-wins: a micro-batch carrying SEVERAL
+    envelopes for one key keeps only the max-timeGenerated envelope's
+    rows — the reference applies them as sequential POSTs
+    (src/main.go:306), so the final state is the last one, never the
+    union.
     """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("file")
+    points = (
+        points.withColumn("_max_tg", F.max("time_generated").over(w))
+        .filter(F.col("time_generated") == F.col("_max_tg"))
+        .drop("_max_tg")
+    )
     keys = [r[0] for r in points.select("file").distinct().collect()]
     for key in keys:
         target = posixpath.join(lake_root, key)

@@ -79,3 +79,34 @@ def test_per_file_overwrite_parity(spark, tmp_path):
     back = spark.read.parquet(f"{root}/{key}")
     vals = [r["Value"] for r in back.collect()]
     assert vals == [7.0]
+
+
+def test_write_batch_files_intra_batch_last_write_wins(spark, tmp_path):
+    """Two envelopes for the same file key inside ONE micro-batch: the
+    lake keeps only the later (max timeGenerated) envelope's rows — the
+    reference applies them as sequential POSTs, never a union."""
+    import json
+
+    key = "s/2023/10/26/19/a.parquet"
+
+    def env(ts_values, tg):
+        return (
+            json.dumps(
+                {
+                    "content": [
+                        {"Timestamp": t, "Value": float(t)}
+                        for t in ts_values
+                    ],
+                    "id": f"b{tg}",
+                    "source": "s",
+                    "timeGenerated": tg,
+                    "file": key,
+                }
+            ),
+        )
+
+    raw = spark.createDataFrame([env([1, 2], 1), env([99], 2)], ["value"])
+    points, _ = ingest.ingest_batch(raw)
+    lake.write_batch_files(points, str(tmp_path / "lake"))
+    rows = spark.read.parquet(str(tmp_path / "lake" / key)).collect()
+    assert [r["Timestamp"] for r in rows] == [99]
