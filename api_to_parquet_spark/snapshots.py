@@ -21,9 +21,12 @@ essentials:
 Single-writer by design (versions are assigned by listing — the same
 coordination level as the reference's last-write-wins blob PUT; a real
 multi-writer deployment puts a lock or log service in front, which is
-exactly what Delta's transaction log is). Citations:
-/root/reference/README.md:88 (overwrite contract), src/main.go:288-306
-(per-POST upload path).
+exactly what Delta's transaction log is). Scale bound worth naming: the
+manifest is a full key→dir map, O(live keys) JSON per version — fine to
+~10^5 keys; beyond that the log needs segmenting + checkpointing, which
+is precisely the part of Delta/Iceberg this module deliberately does
+not rebuild. Citations: /root/reference/README.md:88 (overwrite
+contract), src/main.go:288-306 (per-POST upload path).
 """
 
 from __future__ import annotations
