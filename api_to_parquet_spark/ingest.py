@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from api_to_parquet_spark.schemas import ENVELOPE_SCHEMA, POINT_COLUMNS, ZERO_FILL
+from api_to_parquet_spark.schemas import ENVELOPE_SCHEMA, ZERO_FILL
 
 
 def parse_envelopes(raw_json: DataFrame, json_col: str = "value") -> DataFrame:

@@ -24,7 +24,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from api_to_parquet_spark import ingest, lake, state
-from api_to_parquet_spark.schemas import ENVELOPE_SCHEMA
 
 
 def read_envelope_stream(spark: SparkSession, input_dir: str) -> DataFrame:
