@@ -97,6 +97,32 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling median of daily order counts. Spark has no
+    percentile aggregate over window FRAMES; for bounded frames the
+    workaround is collect_list over the frame → array_sort → interpolate
+    the middle (identical definition to quantile_cont 0.5, which the
+    DuckDB oracle runs natively over the same frame). Only sane for
+    SMALL frames — the per-row array is O(frame); an unbounded frame
+    needs a sketch instead. Base table is per-day counts, so the window
+    sees |days| rows, one tiny global sort."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    arr = F.array_sort(F.collect_list(F.col("n_orders").cast("double")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, F.ceil((n + 1) / 2).cast("int"))
+    return daily.select(
+        "day",
+        "n_orders",
+        ((lo + hi) / 2).alias("rolling_median_7d"),
+    )
+
+
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase gets the value of the user's most recent
     prior-or-equal view. Implemented as the scalable union+window pattern
@@ -349,6 +375,7 @@ QUERIES = {
     "window_sequence_gaps": q_sequence_gaps,
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
+    "rolling_median": q_rolling_median,
     "tumbling_window_agg": q_tumbling_window_agg,
 }
 
@@ -475,6 +502,17 @@ ORACLE = {
                epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "rolling_median": """
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY 1)
+        SELECT day, n_orders,
+               quantile_cont(n_orders::DOUBLE, 0.5) OVER (
+                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                   AS rolling_median_7d
+        FROM daily
     """,
     "asof_join_forward": """
         WITH tagged AS (
