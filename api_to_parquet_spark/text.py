@@ -256,6 +256,39 @@ def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIX_ALPHA = 0.3  # temperature for language-mixture rebalancing
+
+
+def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual sampling-weight computation (the mC4/NLLB recipe):
+    per-language token share p_l, then temperature-rebalanced sampling
+    weight q_l ∝ p_l^α (α = 0.3) — upsampling low-resource languages so
+    training mixtures aren't dominated by the head language. One grouped
+    pass for the shares; the normalization constant is a single-row
+    broadcast (never a driver-side collect in the plan)."""
+    d = load(spark, sf_dir, "documents")
+    shares = (
+        d.select("lang", F.size(words()).alias("n_tok"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("lang_tokens"))
+    )
+    total = shares.agg(F.sum("lang_tokens").alias("total_tokens"))
+    p = F.col("lang_tokens") / F.col("total_tokens")
+    powed = shares.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "lang_tokens",
+        F.round(p, 6).alias("p_share"),
+        F.pow(p, MIX_ALPHA).alias("_pa"),
+    )
+    z = powed.agg(F.sum("_pa").alias("_z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "lang_tokens",
+        "p_share",
+        F.round(F.col("_pa") / F.col("_z"), 6).alias("q_weight"),
+    )
+
+
 HH_PHI = 0.004  # heavy-hitter threshold: freq >= HH_PHI * total tokens
 
 
@@ -332,6 +365,7 @@ _ES = _duck_marker_count(LANG_MARKERS["es"])
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "doc_repetition": q_doc_repetition,
+    "lang_mixture": q_lang_mixture,
     "text_token_stats": q_token_stats,
     "bpe_token_count": q_bpe_token_count,
     "text_quality_score": q_quality_score,
@@ -344,6 +378,21 @@ QUERIES = {
 }
 
 ORACLE = {
+    "lang_mixture": f"""
+        WITH shares AS (
+            SELECT lang, SUM(len({_DUCK_WS})) AS lang_tokens
+            FROM documents GROUP BY lang),
+        t AS (SELECT SUM(lang_tokens) AS total_tokens FROM shares),
+        p AS (
+            SELECT lang, lang_tokens,
+                   lang_tokens / total_tokens AS p_raw,
+                   pow(lang_tokens / total_tokens, {MIX_ALPHA}) AS pa
+            FROM shares CROSS JOIN t),
+        z AS (SELECT SUM(pa) AS z FROM p)
+        SELECT lang, lang_tokens, ROUND(p_raw, 6) AS p_share,
+               ROUND(pa / z.z, 6) AS q_weight
+        FROM p CROSS JOIN z
+    """,
     # top_gram via row_number, not arg_min((-n, g)) — DuckDB arg_min
     # rejects composite keys
     "doc_repetition": f"""
