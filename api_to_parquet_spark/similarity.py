@@ -514,6 +514,34 @@ _DUCK_COS = (
     " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space QA per label: count, mean/min/max L2 norm, and the
+    norm of the label centroid (collapsed centroids flag degenerate or
+    mis-normalized embedding batches before any retrieval work runs).
+    Norms reuse dot()'s sequential fold (bitwise-stable); the centroid is
+    a per-dimension aggregate computed by posexplode + grouped avg —
+    map-side combine absorbs the dimension expansion."""
+    vecs = _vecs(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    norm_stats = vecs.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("nrm"), 6).alias("avg_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+    )
+    dims = vecs.select(
+        "label", F.posexplode("v").alias("dim", "x")
+    )
+    centroid = (
+        dims.groupBy("label", "dim")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"))
+    )
+    return norm_stats.join(centroid, "label")
+
+
 def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization of the embedding column — the standard prelude
     to cosine retrieval (post-normalization, cosine = dot). One narrow
@@ -543,6 +571,7 @@ def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "normalize_embeddings": q_normalize_embeddings,
+    "embedding_stats": q_embedding_stats,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,  # no oracle: approximate by design
     "ann_ivf_topk": q_ann_ivf_topk,  # no oracle: approximate by design
@@ -563,6 +592,28 @@ ORACLE = {
                 JOIN (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings) b
                   ON a.vec_id < {N_QUERIES} AND b.vec_id != a.vec_id))
         WHERE rank <= {TOP_K}
+    """,
+    "embedding_stats": """
+        WITH v AS (
+            SELECT label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])) AS nrm
+            FROM embeddings),
+        ns AS (
+            SELECT label, COUNT(*) AS n, ROUND(AVG(nrm), 6) AS avg_norm,
+                   ROUND(MIN(nrm), 6) AS min_norm,
+                   ROUND(MAX(nrm), 6) AS max_norm
+            FROM v GROUP BY label),
+        dims AS (
+            SELECT label, generate_subscripts(v, 1) - 1 AS dim,
+                   unnest(v) AS x
+            FROM v),
+        cent AS (
+            SELECT label, ROUND(sqrt(SUM(c * c)), 6) AS centroid_norm
+            FROM (SELECT label, dim, AVG(x) AS c FROM dims GROUP BY 1, 2)
+            GROUP BY label)
+        SELECT ns.label, n, avg_norm, min_norm, max_norm, centroid_norm
+        FROM ns JOIN cent ON ns.label = cent.label
     """,
     "normalize_embeddings": """
         SELECT vec_id, ROUND(nrm, 6) AS l2_norm,
