@@ -97,6 +97,27 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed dedup (debounce): keep an event only if the
+    previous event of the same (user, type) is more than 5 minutes
+    older — the telemetry retry/double-fire filter, and the batch twin
+    of streaming dropDuplicatesWithinWatermark. One lag over the
+    (user_id, event_type) partitioning; kept-row counts per type report
+    the squelch rate."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    ev = load(spark, sf_dir, "events")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    kept = ev.withColumn("gap_s", gap).filter(
+        F.col("gap_s").isNull() | (F.col("gap_s") > 300)
+    )
+    return kept.groupBy("event_type").agg(
+        F.count("*").alias("n_kept"),
+        F.round(F.sum("value"), 2).alias("sum_value_kept"),
+    )
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day rolling median of daily order counts. Spark has no
     percentile aggregate over window FRAMES; for bounded frames the
@@ -376,6 +397,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "asof_join_forward": q_asof_join_forward,
     "rolling_median": q_rolling_median,
+    "debounce_events": q_debounce_events,
     "tumbling_window_agg": q_tumbling_window_agg,
 }
 
@@ -502,6 +524,18 @@ ORACLE = {
                epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "debounce_events": """
+        WITH g AS (
+            SELECT event_type, value,
+                   epoch(ts) - lag(epoch(ts)) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id) AS gap_s
+            FROM events)
+        SELECT event_type, COUNT(*) AS n_kept,
+               ROUND(SUM(value), 2) AS sum_value_kept
+        FROM g WHERE gap_s IS NULL OR gap_s > 300
+        GROUP BY event_type
     """,
     "rolling_median": """
         WITH daily AS (
