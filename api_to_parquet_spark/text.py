@@ -263,29 +263,33 @@ def q_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multilingual sampling-weight computation (the mC4/NLLB recipe):
     per-language token share p_l, then temperature-rebalanced sampling
     weight q_l ∝ p_l^α (α = 0.3) — upsampling low-resource languages so
-    training mixtures aren't dominated by the head language. One grouped
-    pass for the shares; the normalization constant is a single-row
-    broadcast (never a driver-side collect in the plan)."""
+    training mixtures aren't dominated by the head language. ONE grouped
+    pass over the corpus; both normalization constants (total tokens,
+    Σp^α) are global windows over the already-aggregated |langs|-row
+    frame — a crossJoin-with-agg formulation re-expanded the corpus scan
+    once per constant (10-Exchange plan, caught by tools/plan_audit.py),
+    vs 2 exchanges here."""
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
     shares = (
         d.select("lang", F.size(words()).alias("n_tok"))
         .groupBy("lang")
         .agg(F.sum("n_tok").alias("lang_tokens"))
     )
-    total = shares.agg(F.sum("lang_tokens").alias("total_tokens"))
-    p = F.col("lang_tokens") / F.col("total_tokens")
-    powed = shares.crossJoin(F.broadcast(total)).select(
+    w = Window.partitionBy(F.lit(1))
+    p = F.col("lang_tokens") / F.sum("lang_tokens").over(w)
+    powed = shares.select(
         "lang",
         "lang_tokens",
         F.round(p, 6).alias("p_share"),
         F.pow(p, MIX_ALPHA).alias("_pa"),
     )
-    z = powed.agg(F.sum("_pa").alias("_z"))
-    return powed.crossJoin(F.broadcast(z)).select(
+    return powed.select(
         "lang",
         "lang_tokens",
         "p_share",
-        F.round(F.col("_pa") / F.col("_z"), 6).alias("q_weight"),
+        F.round(F.col("_pa") / F.sum("_pa").over(w), 6).alias("q_weight"),
     )
 
 
