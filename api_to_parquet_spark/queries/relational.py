@@ -162,6 +162,34 @@ def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("for all"): customers who have placed orders
+    in EVERY order-priority class. The count-distinct-equals-universe
+    formulation — one grouped pass plus a broadcast single-row universe
+    count — instead of the double-NOT-EXISTS textbook form, which
+    Catalyst would turn into two anti-joins; both are correct, this one
+    is one shuffle."""
+    o = load(spark, sf_dir, "orders")
+    universe = o.select(
+        F.countDistinct("o_orderpriority").alias("n_prio")
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_covered"),
+        F.count("*").alias("n_orders"),
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(universe))
+        .filter(F.col("n_covered") == F.col("n_prio"))
+        .join(cust, "o_custkey")
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "c_name", "n_orders"
+        )
+    )
+
+
 def q_cross_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cartesian product of the two smallest dims (region × nation) — the
     one join shape that is ONLY safe when at least one side is tiny; Spark
@@ -393,6 +421,7 @@ QUERIES = {
     "anti_join": q_anti_join,
     "full_outer_join": q_full_outer_join,
     "cross_join": q_cross_join,
+    "relational_division": q_relational_division,
     "broadcast_join": q_broadcast_join,
     "sort_topk": q_sort_topk,
     "distinct_agg": q_distinct_agg,
@@ -472,6 +501,18 @@ ORACLE = {
              (SELECT date_trunc('day', ts) AS day, count(*) AS n_events
               FROM events GROUP BY 1) e
           ON o.day = e.day
+    """,
+    "relational_division": """
+        WITH u AS (SELECT COUNT(DISTINCT o_orderpriority) AS n_prio
+                   FROM orders),
+        pc AS (SELECT o_custkey,
+                      COUNT(DISTINCT o_orderpriority) AS n_covered,
+                      COUNT(*) AS n_orders
+               FROM orders GROUP BY o_custkey)
+        SELECT c_custkey, c_name, n_orders
+        FROM pc CROSS JOIN u
+        JOIN customer ON c_custkey = o_custkey
+        WHERE n_covered = n_prio
     """,
     "cross_join": """
         SELECT r_name, n_name FROM region CROSS JOIN nation
