@@ -97,6 +97,37 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repurchase-interval distribution: days between a customer's
+    consecutive orders, bucketed — the retention curve's raw material.
+    One lag over the per-customer order sequence (epoch arithmetic, so
+    the same integer-day gaps compute identically in the oracle), then a
+    grouped histogram."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = load(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ: ANSI mode forbids a direct long cast,
+    # so hop through TIMESTAMP (UTC session -> same wall time) first
+    epoch = F.col("o_orderdate").cast("timestamp").cast("long")
+    gap_days = ((epoch - F.lag(epoch).over(w)) / 86400).cast("long")
+    g = F.col("gap_days")
+    bucket = (
+        F.when(g < 30, "lt_30d")
+        .when(g < 90, "30_90d")
+        .when(g < 180, "90_180d")
+        .when(g < 365, "180_365d")
+        .otherwise("gte_365d")
+    )
+    return (
+        o.withColumn("gap_days", gap_days)
+        .filter(g.isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("gap_days"), 4).alias("avg_gap_days"),
+        )
+    )
+
+
 def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-windowed dedup (debounce): keep an event only if the
     previous event of the same (user, type) is more than 5 minutes
@@ -398,6 +429,7 @@ QUERIES = {
     "asof_join_forward": q_asof_join_forward,
     "rolling_median": q_rolling_median,
     "debounce_events": q_debounce_events,
+    "repurchase_intervals": q_repurchase_intervals,
     "tumbling_window_agg": q_tumbling_window_agg,
 }
 
@@ -524,6 +556,22 @@ ORACLE = {
                epoch_ms(ts) - lag(epoch_ms(ts)) OVER w AS gap_ms
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "repurchase_intervals": """
+        WITH g AS (
+            SELECT CAST((epoch(o_orderdate) - lag(epoch(o_orderdate)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey)) / 86400 AS BIGINT)
+                       AS gap_days
+            FROM orders)
+        SELECT CASE WHEN gap_days < 30 THEN 'lt_30d'
+                    WHEN gap_days < 90 THEN '30_90d'
+                    WHEN gap_days < 180 THEN '90_180d'
+                    WHEN gap_days < 365 THEN '180_365d'
+                    ELSE 'gte_365d' END AS bucket,
+               COUNT(*) AS n, ROUND(AVG(gap_days), 4) AS avg_gap_days
+        FROM g WHERE gap_days IS NOT NULL
+        GROUP BY 1
     """,
     "debounce_events": """
         WITH g AS (
