@@ -231,6 +231,25 @@ def q_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_RECURSIVE_CALENDAR_SQL)
 
 
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour activity matrix (the ops-dashboard heatmap).
+    One grouped pass; Spark's dayofweek is 1=Sunday while DuckDB's dow
+    is 0=Sunday, so both sides normalize to 0=Sunday explicitly — the
+    kind of cross-engine calendar divergence the oracle layer exists to
+    pin down."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
 def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group z-score anomaly detection: events whose value deviates
     >3σ from their event_type's mean — the monitoring query a time-series
@@ -477,6 +496,7 @@ QUERIES = {
     "approx_sketches": q_approx_sketches,  # no oracle: approximate by design
     "percentile_agg": q_percentile_agg,
     "value_outliers": q_value_outliers,
+    "activity_heatmap": q_activity_heatmap,
     "recursive_calendar": q_recursive_calendar,
     "mode_agg": q_mode_agg,
     "merge_intervals": q_merge_intervals,
@@ -577,6 +597,11 @@ ORACLE = {
         FROM sess GROUP BY user_id, sess_id
     """,
     "recursive_calendar": _RECURSIVE_CALENDAR_SQL,
+    "activity_heatmap": """
+        SELECT date_part('dow', ts) AS dow, date_part('hour', ts) AS hour,
+               COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1, 2
+    """,
     "value_outliers": """
         WITH stats AS (
             SELECT event_type, AVG(value) AS mu,
