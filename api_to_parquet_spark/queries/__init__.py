@@ -25,6 +25,7 @@ from api_to_parquet_spark import (
 from api_to_parquet_spark.queries import (
     advanced,
     kql,
+    mining,
     reference,
     relational,
     scalars,
@@ -42,6 +43,7 @@ _MODULES = [
     windows,
     scalars,
     advanced,
+    mining,
     streamingq,
     kql,
     sampling,

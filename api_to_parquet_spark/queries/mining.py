@@ -1,0 +1,464 @@
+"""Corpus/data-mining extension operators: BM25 keyword retrieval, PII
+redaction, robust (median/MAD) outlier detection, bigram language-model
+statistics, referential-integrity auditing, and PageRank over the
+event-transition graph.
+
+The reference (abossard/api-to-parquet) delegates every analytical
+capability to Kusto/Synapse (`/root/reference/src/main.go:88-116`,
+SURVEY.md §3.3); these queries extend the native replacement surface the
+same way the dedup/similarity/text families do — they are the operations
+a large-scale training-data / analytics pipeline runs against the lake.
+
+Scale notes (each verified against `.explain`, see PLANS.md):
+- `bm25_search`: per-term document frequencies and the corpus-size
+  aggregate are broadcast single-digit-row DataFrames; the corpus is
+  token-exploded exactly once map-side, and only rows containing a query
+  term survive past the first filter. One shuffle (per-doc tf groupBy).
+- `pii_redact`: zero shuffles — regexp redaction is pure map-side
+  whole-stage-codegen work, the shape that scales linearly to 100 TB.
+- `robust_outliers`: exact per-group median/MAD in integer-cent space
+  (deterministic across engines); two grouped aggregates over the same
+  shuffle key, then the stats rejoin the facts via broadcast (the stats
+  side is |event_type| rows — the fact table is never re-shuffled).
+- `bigram_lm`: bigram expansion is map-side (`transform` over a
+  projected token array — interpreted-HOF rule, PLANS.md); one shuffle
+  for the bigram count; unigram counts derive from the bigram counts
+  (GROUP BY w1) so the corpus is scanned once.
+- `fk_integrity`: each constraint is a LEFT ANTI join counting orphans;
+  parent key sides are dimension tables (broadcast), so the fact scans
+  stream through without shuffling.
+- `pagerank_events`: the 100 TB-sized work is ONE grouped count (raw
+  events → edge weights over |event_type|² rows); the power iteration
+  then runs on that tiny aggregated graph with `localCheckpoint` per
+  round to keep the lineage flat (`checkpoint()` on a real cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from api_to_parquet_spark.dedup import words
+from api_to_parquet_spark.lake import load, spread
+
+# --- BM25 --------------------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window")  # fixed keyword query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 20
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-20 documents for the fixed query
+    {spark, join, window}. Exact integer tf/df/doclen feed a
+    fixed-order float expression, so scores are bit-identical across
+    engines. IDF uses the standard Robertson form
+    ln(1 + (N - df + 0.5)/(df + 0.5))."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.size(words()).alias("dl"), F.explode(words()).alias("token")
+    )
+    tf = (
+        toks.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    stats = d.agg(
+        F.count("*").alias("n_docs"), F.sum(F.size(words())).alias("total_dl")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    # Fixed evaluation order: idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl))
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1 - BM25_B)
+        + F.lit(BM25_B) * F.col("dl") / (F.col("total_dl") / F.col("n_docs"))
+    )
+    term_score = idf * (F.col("tf") * F.lit(BM25_K1 + 1)) / denom
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", term_score)
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("bm25"),
+            F.count("*").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# --- PII redaction -----------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backreferences, no lookaround.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+\d[\d-]{7,}\d"
+PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing, the compliance pass every training-data pipeline
+    needs: regex-redact emails, phone numbers, and IPv4 addresses.
+    The corpus tables carry no real PII, so the fixture builds a
+    deterministic contact line per customer (email/phone/IP derived
+    from c_custkey) and the operator redacts it — counts prove every
+    planted entity was caught. Redaction order matters: emails first
+    (before their dotted domains can be mistaken for IPs), then
+    phones, then IPs."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    contact = F.concat(
+        F.lit("reach "),
+        F.regexp_replace(F.lower("c_name"), "#", "."),
+        F.lit("@example.com or +1-"),
+        F.lpad((F.col("c_custkey") * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") * 13 % 10000).cast("string"), 4, "0"),
+        F.lit(" at "),
+        (F.col("c_custkey") * 3 % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("c_custkey") * 5 % 256).cast("string"),
+        F.lit(".1"),
+    )
+    withpii = c.select("c_custkey", contact.alias("contact"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("contact", PII_EMAIL, "[EMAIL]"),
+            PII_PHONE,
+            "[PHONE]",
+        ),
+        PII_IP,
+        "[IP]",
+    )
+    return withpii.select(
+        "c_custkey",
+        F.regexp_count("contact", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("contact", F.lit(PII_PHONE)).alias("n_phones"),
+        F.regexp_count("contact", F.lit(PII_IP)).alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+# --- Robust outliers (median / MAD) ------------------------------------
+
+MAD_K = 4.4478  # 3 * 1.4826 (normal-consistency constant), one multiply
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier counts via median absolute
+    deviation — the skew-resistant twin of the z-score query
+    (`value_outliers`). All stats run in integer-cent space: medians
+    interpolate on .5 steps, which doubles represent exactly, so both
+    engines agree bit-for-bit (events.value carries 2 decimals —
+    SURVEY float-determinism rule)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    med = e.groupBy("event_type").agg(F.median("cents").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.first("med") / 100.0, 4).alias("median_value"),
+            F.round(F.first("mad") / 100.0, 4).alias("mad_value"),
+            F.sum(
+                (F.col("adev") > F.lit(MAD_K) * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- Bigram language-model statistics ----------------------------------
+
+BIGRAM_TOPK = 30
+
+
+def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 corpus bigrams with conditional probability
+    P(w2|w1) = c(w1,w2)/c(w1) — the n-gram LM statistics pass. Bigram
+    expansion is map-side over a projected token array; unigram
+    (context) counts are derived from the bigram counts by a second
+    tiny GROUP BY, so the corpus is token-scanned exactly once."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", words().alias("ws")
+    )
+    pairs = d.select(
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.col("ws")[i - 1].alias("w1"), F.col("ws")[i].alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_bigram"))
+    uni = big.groupBy("w1").agg(F.sum("n_bigram").alias("n_context"))
+    return (
+        big.join(F.broadcast(uni), "w1")
+        .select(
+            "w1",
+            "w2",
+            "n_bigram",
+            "n_context",
+            F.round(F.col("n_bigram") / F.col("n_context"), 6).alias("p_cond"),
+        )
+        .orderBy(F.desc("n_bigram"), "w1", "w2")
+        .limit(BIGRAM_TOPK)
+    )
+
+
+# --- Referential-integrity audit ---------------------------------------
+
+_FK_CHECKS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit over the whole star schema: for every declared
+    foreign key, the child row count and the orphan count (child keys
+    with no parent — LEFT ANTI join). Parent sides are dimensions and
+    broadcast, so each fact table streams through map-side; the per-
+    constraint results (7 single-row aggregates) union into one report."""
+    out = None
+    for child, fk, parent, pk in _FK_CHECKS:
+        ch = load(spark, sf_dir, child)
+        pa = load(spark, sf_dir, parent).select(pk)
+        orphans = ch.join(F.broadcast(pa), ch[fk] == pa[pk], "left_anti")
+        row = (
+            ch.agg(F.count("*").alias("n_child"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk"),
+                "n_child",
+                "n_orphans",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fk")
+
+
+# --- PageRank over the event-transition graph --------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 20
+
+
+def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph. The full-scale
+    work is the single grouped count that collapses the raw event
+    stream into edge weights (|event_type|² rows); the power iteration
+    then runs on that aggregated graph — tiny by construction — with
+    `localCheckpoint` per round so the logical plan stays flat
+    (dedup_clusters lesson: persist() does not cut lineage). Iterative
+    and not SQL-expressible: verified against a numpy power iteration
+    in tests/test_mining.py instead of a DuckDB oracle."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.select("user_id", "ts", "event_id", F.col("event_type").alias("src"))
+        .withColumn("dst", F.lead("src").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_weight"))
+    # Row-stochastic transition probabilities on the aggregated graph.
+    trans = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_weight")).alias("p")
+    ).localCheckpoint()
+    nodes = trans.select(F.col("src").alias("node")).union(
+        trans.select("dst")
+    ).distinct().localCheckpoint()
+    n = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            ranks.join(trans, ranks["node"] == trans["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("p")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - PR_DAMPING) / n)
+                    + F.lit(PR_DAMPING) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy(F.desc("rank"), "node")
+
+
+QUERIES = {
+    "bm25_search": q_bm25_search,
+    "pii_redact": q_pii_redact,
+    "robust_outliers": q_robust_outliers,
+    "bigram_lm": q_bigram_lm,
+    "fk_integrity": q_fk_integrity,
+    "pagerank_events": q_pagerank_events,
+}
+
+_DUCK_WS = "regexp_split_to_array(trim(text), '\\s+')"
+_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+ORACLE = {
+    "bm25_search": f"""
+        WITH toks AS (
+            SELECT doc_id, len({_DUCK_WS}) AS dl,
+                   unnest({_DUCK_WS}) AS token
+            FROM documents),
+        tf AS (
+            SELECT doc_id, dl, token, COUNT(*) AS tf
+            FROM toks WHERE token IN ({_TERMS_SQL})
+            GROUP BY 1, 2, 3),
+        dfreq AS (
+            SELECT token, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1),
+        stats AS (
+            SELECT COUNT(*) AS n_docs, SUM(len({_DUCK_WS})) AS total_dl
+            FROM documents)
+        SELECT doc_id,
+               ROUND(SUM(
+                   ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * {BM25_K1 + 1}) /
+                   (tf + {BM25_K1} * ({1 - BM25_B} + {BM25_B} * dl /
+                        (total_dl / n_docs)))
+               ), 6) AS bm25,
+               COUNT(*) AS n_terms_hit
+        FROM tf JOIN dfreq USING (token) CROSS JOIN stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+    "pii_redact": f"""
+        WITH withpii AS (
+            SELECT c_custkey,
+                   'reach ' || replace(lower(c_name), '#', '.') ||
+                   '@example.com or +1-' ||
+                   lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0') || '-' ||
+                   lpad(CAST(c_custkey * 13 % 10000 AS VARCHAR), 4, '0') ||
+                   ' at ' || CAST(c_custkey * 3 % 256 AS VARCHAR) || '.0.' ||
+                   CAST(c_custkey * 5 % 256 AS VARCHAR) || '.1' AS contact
+            FROM customer WHERE c_custkey < 200)
+        SELECT c_custkey,
+               len(regexp_extract_all(contact, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(contact, '{PII_PHONE}')) AS n_phones,
+               len(regexp_extract_all(contact, '{PII_IP}')) AS n_ips,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(contact, '{PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{PII_PHONE}', '[PHONE]', 'g'),
+                   '{PII_IP}', '[IP]', 'g') AS redacted
+        FROM withpii
+    """,
+    "robust_outliers": f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(ROUND(value * 100) AS BIGINT) AS cents
+            FROM events),
+        med AS (
+            SELECT event_type, median(cents) AS med FROM e GROUP BY 1),
+        dev AS (
+            SELECT e.event_type, e.cents, med.med,
+                   abs(e.cents - med.med) AS adev
+            FROM e JOIN med USING (event_type)),
+        mad AS (
+            SELECT event_type, median(adev) AS mad FROM dev GROUP BY 1)
+        SELECT dev.event_type,
+               COUNT(*) AS n,
+               ROUND(ANY_VALUE(dev.med) / 100.0, 4) AS median_value,
+               ROUND(ANY_VALUE(mad.mad) / 100.0, 4) AS mad_value,
+               SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "bigram_lm": f"""
+        WITH docs AS (SELECT doc_id, {_DUCK_WS} AS ws FROM documents),
+        pairs AS (
+            SELECT ws[i] AS w1, ws[i + 1] AS w2
+            FROM docs, unnest(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2),
+        big AS (
+            SELECT w1, w2, COUNT(*) AS n_bigram FROM pairs GROUP BY 1, 2),
+        uni AS (
+            SELECT w1, SUM(n_bigram) AS n_context FROM big GROUP BY 1)
+        SELECT big.w1, big.w2, big.n_bigram, uni.n_context,
+               ROUND(big.n_bigram / CAST(uni.n_context AS DOUBLE), 6) AS p_cond
+        FROM big JOIN uni USING (w1)
+        ORDER BY n_bigram DESC, w1, w2
+        LIMIT {BIGRAM_TOPK}
+    """,
+    "fk_integrity": """
+        SELECT * FROM (
+            SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+                   (SELECT COUNT(*) FROM lineitem) AS n_child,
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey))
+                       AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part.p_partkey',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey))
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier.s_suppkey',
+                   (SELECT COUNT(*) FROM lineitem),
+                   (SELECT COUNT(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                      WHERE s.s_suppkey = l.l_suppkey))
+            UNION ALL
+            SELECT 'orders.o_custkey->customer.c_custkey',
+                   (SELECT COUNT(*) FROM orders),
+                   (SELECT COUNT(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation.n_nationkey',
+                   (SELECT COUNT(*) FROM customer),
+                   (SELECT COUNT(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey))
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation.n_nationkey',
+                   (SELECT COUNT(*) FROM supplier),
+                   (SELECT COUNT(*) FROM supplier s
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = s.s_nationkey))
+            UNION ALL
+            SELECT 'nation.n_regionkey->region.r_regionkey',
+                   (SELECT COUNT(*) FROM nation),
+                   (SELECT COUNT(*) FROM nation n
+                    WHERE NOT EXISTS (SELECT 1 FROM region r
+                                      WHERE r.r_regionkey = n.n_regionkey))
+        ) ORDER BY fk
+    """,
+}
