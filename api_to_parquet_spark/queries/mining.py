@@ -316,8 +316,143 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.desc("rank"), "node")
 
 
+# --- Fuzzy string matching (blocked Levenshtein join) ------------------
+
+FUZZY_MAXDIST = 3
+
+
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant entity matching: part-name pairs within edit
+    distance 3, blocked on the trailing noun so the self-join compares
+    only within-block candidates (the standard scalable shape — a full
+    N² cross join never materializes; at 100 TB the block key bounds
+    per-task fanout). Levenshtein is exact integer output, so the
+    oracle matches bit-for-bit."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_name").alias("name"),
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(b, "block")
+        .filter(F.col("a.p_partkey") < F.col("b.p_partkey"))
+        .select(
+            F.col("a.p_partkey").alias("key1"),
+            F.col("b.p_partkey").alias("key2"),
+            F.col("a.name").alias("name1"),
+            F.col("b.name").alias("name2"),
+            F.levenshtein("a.name", "b.name").alias("dist"),
+        )
+        .filter(
+            (F.col("dist") <= FUZZY_MAXDIST) & (F.col("name1") != F.col("name2"))
+        )
+        .orderBy("key1", "key2")
+    )
+
+
+# --- Per-document token entropy ----------------------------------------
+
+
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus
+    type-token ratio (lexical-diversity quality signals; low entropy =
+    repetitive boilerplate, a standard corpus-filter feature). Token
+    counts shuffle once on (doc_id, token); the entropy sum is a second
+    map-side-combined aggregate on doc_id."""
+    d = spread(load(spark, sf_dir, "documents"))
+    counts = (
+        d.select("doc_id", F.size(words()).alias("n"), F.explode(words()).alias("t"))
+        .groupBy("doc_id", "n", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    p = F.col("c") / F.col("n")
+    return (
+        counts.groupBy("doc_id", "n")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+            F.count("*").alias("distinct_tokens"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            "distinct_tokens",
+            "entropy",
+            F.round(F.col("distinct_tokens") / F.col("n"), 6).alias(
+                "type_token_ratio"
+            ),
+        )
+        .filter(F.col("doc_id") < 500)
+        .orderBy("doc_id")
+    )
+
+
+# --- BFS shortest hops (recursive CTE, same SQL on both engines) --------
+
+BFS_START = "signup"
+BFS_MAXDEPTH = 4
+
+_BFS_SQL = f"""
+    WITH RECURSIVE edges AS (
+        SELECT DISTINCT src, dst FROM (
+            SELECT event_type AS src,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS dst
+            FROM events) t
+        WHERE dst IS NOT NULL AND dst <> src),
+    walk AS (
+        SELECT '{BFS_START}' AS node, 0 AS hops
+        UNION ALL
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hops < {BFS_MAXDEPTH})
+    SELECT node, MIN(hops) AS hops
+    FROM walk GROUP BY node ORDER BY hops, node
+"""
+
+
+def q_shortest_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest hop count from '{BFS_START}' over the event-type
+    transition graph, written as a WITH RECURSIVE CTE (Spark 4
+    recursion surface) — the IDENTICAL SQL string is the DuckDB
+    oracle. The recursive fanout is depth-capped and runs on the
+    DISTINCT edge set (|event_type|² rows at most), so the walk stays
+    tiny no matter the raw event volume; the data-sized work is the
+    one window + distinct that builds the edges."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(_BFS_SQL)
+
+
+# --- Skyline (Pareto frontier) -----------------------------------------
+
+_SKYLINE_SQL = """
+    SELECT p_partkey, p_name, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    ORDER BY p_retailprice
+"""
+
+
+def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (cheaper,
+    bigger). Expressed as NOT EXISTS dominance — Catalyst plans the
+    anti-join; identical SQL is the oracle. For 100 TB inputs the
+    standard refinement is pre-filtering with a coarse grid (each
+    cell's best candidates) before the dominance join — the frontier
+    itself is small by construction."""
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SKYLINE_SQL)
+
+
 QUERIES = {
     "bm25_search": q_bm25_search,
+    "fuzzy_name_pairs": q_fuzzy_name_pairs,
+    "token_entropy": q_token_entropy,
+    "shortest_hops": q_shortest_hops,
+    "skyline_parts": q_skyline_parts,
     "pii_redact": q_pii_redact,
     "robust_outliers": q_robust_outliers,
     "bigram_lm": q_bigram_lm,
@@ -329,6 +464,36 @@ _DUCK_WS = "regexp_split_to_array(trim(text), '\\s+')"
 _TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_TERMS)
 
 ORACLE = {
+    "fuzzy_name_pairs": f"""
+        WITH p AS (
+            SELECT p_partkey, p_name AS name,
+                   regexp_split_to_array(p_name, ' ')[-1] AS block
+            FROM part)
+        SELECT a.p_partkey AS key1, b.p_partkey AS key2,
+               a.name AS name1, b.name AS name2,
+               levenshtein(a.name, b.name) AS dist
+        FROM p a JOIN p b USING (block)
+        WHERE a.p_partkey < b.p_partkey
+          AND levenshtein(a.name, b.name) <= {FUZZY_MAXDIST}
+          AND a.name <> b.name
+        ORDER BY key1, key2
+    """,
+    "token_entropy": f"""
+        WITH toks AS (
+            SELECT doc_id, len({_DUCK_WS}) AS n, unnest({_DUCK_WS}) AS t
+            FROM documents),
+        counts AS (
+            SELECT doc_id, n, t, COUNT(*) AS c
+            FROM toks GROUP BY 1, 2, 3)
+        SELECT doc_id, n AS n_tokens, COUNT(*) AS distinct_tokens,
+               ROUND(-SUM((c / CAST(n AS DOUBLE)) *
+                          ln(c / CAST(n AS DOUBLE))), 6) AS entropy,
+               ROUND(COUNT(*) / CAST(n AS DOUBLE), 6) AS type_token_ratio
+        FROM counts WHERE doc_id < 500
+        GROUP BY doc_id, n ORDER BY doc_id
+    """,
+    "shortest_hops": _BFS_SQL,
+    "skyline_parts": _SKYLINE_SQL,
     "bm25_search": f"""
         WITH toks AS (
             SELECT doc_id, len({_DUCK_WS}) AS dl,
