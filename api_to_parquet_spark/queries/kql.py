@@ -22,6 +22,10 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                                  too; bin -> epoch
                                                  floor)
     T | project-away c1, c2     -> SELECT * EXCEPT (c1, c2)
+    T | mv-expand c             -> LATERAL VIEW explode(c)
+    T | join kind=k (T2|…) on c -> JOIN/LEFT/RIGHT/FULL/SEMI/ANTI USING (c)
+                                   (innerunique maps to inner — divergence
+                                   documented: no left-side key dedup)
     T | top N by c [asc|desc]   -> ORDER BY c LIMIT N
     T | sort by c [asc|desc]    -> ORDER BY
     T | take N / limit N        -> LIMIT
@@ -77,6 +81,23 @@ def _bin_to_sql(text: str) -> str:
 def _expr(kql_expr: str) -> str:
     """Translate a KQL scalar/boolean expression to SQL."""
     e = _bin_to_sql(_strings_to_sql(kql_expr))
+    # Scalar-function surface: KQL name -> Spark SQL name. The to*()
+    # conversions use Spark's function-style casts (bigint()/double()/…)
+    # so no balanced-paren rewriting is needed; parse_json(c).k becomes
+    # a JSONPath extraction.
+    e = re.sub(r"\bparse_json\((\w+)\)\.(\w+)", r"get_json_object(\1, '$.\2')", e)
+    e = re.sub(r"\bstrlen\(", "length(", e)
+    e = re.sub(r"\bstrcat\(", "concat(", e)
+    e = re.sub(r"\biff\(", "if(", e)
+    e = re.sub(r"\btolong\(", "bigint(", e)
+    e = re.sub(r"\btoint\(", "int(", e)
+    e = re.sub(r"\btodouble\(", "double(", e)
+    e = re.sub(r"\btostring\(", "string(", e)
+    e = re.sub(
+        r"\bextract\(\s*('(?:[^']|'')*')\s*,\s*(\d+)\s*,\s*([^()]+)\)",
+        r"regexp_extract(\3, \1, \2)",
+        e,
+    )
     e = re.sub(r"==", "=", e)
     e = re.sub(r"!=", "<>", e)
     e = re.sub(
@@ -227,6 +248,45 @@ def kql_to_sql(kql: str) -> str:
                     o += " DESC"  # KQL sort defaults to descending
                 orders.append(_expr(o))
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
+        elif op == "mv-expand":
+            c = body.strip()
+            if not re.match(r"^\w+$", c):
+                raise ValueError(f"mv-expand needs a column name: {body!r}")
+            sql = (
+                f"SELECT * EXCEPT ({c}, _mv), _mv AS {c} FROM {prev} "
+                f"LATERAL VIEW explode({c}) _t AS _mv"
+            )
+        elif op == "join":
+            m = re.match(
+                r"(?:kind\s*=\s*(\w+)\s+)?\((.+)\)\s+on\s+(.+)$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"join needs [kind=k] (pipe) on cols: {body!r}")
+            kind = (m.group(1) or "inner").lower()
+            # KQL's default is innerunique (left side deduped on the key);
+            # we map it — and inner — to a plain inner join, documented
+            # divergence for the dedup-on-key nuance.
+            joins = {
+                "inner": "JOIN",
+                "innerunique": "JOIN",
+                "leftouter": "LEFT JOIN",
+                "rightouter": "RIGHT JOIN",
+                "fullouter": "FULL JOIN",
+                "leftsemi": "LEFT SEMI JOIN",
+                "leftanti": "LEFT ANTI JOIN",
+                "anti": "LEFT ANTI JOIN",
+            }
+            if kind not in joins:
+                raise ValueError(f"unsupported join kind: {kind!r}")
+            right = kql_to_sql(m.group(2).strip())
+            keys = ", ".join(
+                k.strip() for k in _split_top_level(m.group(3))
+            )
+            sql = (
+                f"SELECT * FROM {prev} {joins[kind]} ({right}) AS _r{i} "
+                f"USING ({keys})"
+            )
         elif op == "project-away":
             cols = ", ".join(
                 c.strip() for c in _split_top_level(body)
@@ -347,11 +407,62 @@ def q_kql_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL join pipe: per-user purchase spend joined to per-user event
+    counts through the translator (`join kind=inner (subpipe) on key`).
+    Spend is exact integer cents (float-determinism rule)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | where event_type == "purchase"'
+        " | summarize spend_cents=sum(round(value * 100)) by user_id"
+        " | join kind=inner (events | summarize n_events=count() by user_id)"
+        " on user_id"
+        " | sort by spend_cents desc, user_id asc | take 20",
+    )
+
+
+def q_kql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL mv-expand (array explode) + scalar functions through the
+    translator: split the props JSON into fragments, expand to rows,
+    count by fragment shape."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        ' | project event_id, parts=split(props, " ")'
+        " | mv-expand parts"
+        " | summarize n=count() by parts"
+        " | sort by n desc, parts asc | take 50",
+    )
+
+
+def q_kql_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL scalar-function surface: parse_json dynamic access, to*()
+    conversions, iff, strcat, strlen, extract — all rewritten to Spark
+    built-ins by the translator (no UDFs)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 100"
+        " | project event_id,"
+        " k=tolong(parse_json(props).k),"
+        ' tag=strcat(event_type, "-", tostring(event_id)),'
+        ' size_bucket=iff(value > 50, "big", "small"),'
+        " type_len=strlen(event_type),"
+        ' digits=extract("([0-9]+)", 1, props)'
+        " | sort by event_id asc",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_count": q_kql_count,
     "kql_summarize": q_kql_summarize,
     "kql_top": q_kql_top,
+    "kql_join": q_kql_join,
+    "kql_mv_expand": q_kql_mv_expand,
+    "kql_scalar_fns": q_kql_scalar_fns,
 }
 
 ORACLE = {
@@ -375,5 +486,32 @@ ORACLE = {
     "kql_top": """
         SELECT user_id, COUNT(*) AS n FROM events
         GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+    """,
+    "kql_join": """
+        WITH spend AS (
+            SELECT user_id, SUM(ROUND(value * 100)) AS spend_cents
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        cnt AS (
+            SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
+        SELECT user_id, spend_cents, n_events
+        FROM spend JOIN cnt USING (user_id)
+        ORDER BY spend_cents DESC, user_id LIMIT 20
+    """,
+    "kql_mv_expand": """
+        WITH parts AS (
+            SELECT event_id, unnest(string_split(props, ' ')) AS parts
+            FROM events)
+        SELECT parts, COUNT(*) AS n FROM parts GROUP BY parts
+        ORDER BY n DESC, parts LIMIT 50
+    """,
+    "kql_scalar_fns": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+               event_type || '-' || CAST(event_id AS VARCHAR) AS tag,
+               CASE WHEN value > 50 THEN 'big' ELSE 'small' END AS size_bucket,
+               length(event_type) AS type_len,
+               regexp_extract(props, '([0-9]+)', 1) AS digits
+        FROM events WHERE event_id < 100
+        ORDER BY event_id
     """,
 }

@@ -50,9 +50,28 @@ def test_string_ops_translate(spark, sf_smoke):
     assert n_contains == n_like
 
 
+def test_join_kinds_translate():
+    for kind, frag in [
+        ("inner", "JOIN ("),
+        ("leftouter", "LEFT JOIN ("),
+        ("leftsemi", "LEFT SEMI JOIN ("),
+        ("leftanti", "LEFT ANTI JOIN ("),
+    ]:
+        sql = kql_to_sql(f"T | join kind={kind} (U | where a == 1) on k")
+        assert frag in sql and "USING (k)" in sql, sql
+    with pytest.raises(ValueError, match="unsupported join kind"):
+        kql_to_sql("T | join kind=cross (U) on k")
+
+
+def test_mv_expand_translates_to_lateral_explode():
+    sql = kql_to_sql("T | mv-expand arr")
+    assert "LATERAL VIEW explode(arr)" in sql
+    assert "EXCEPT (arr, _mv)" in sql
+
+
 def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
-        kql_to_sql("T | mv-expand col")
+        kql_to_sql("T | facet by col")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
         kql_to_sql("T | summarize make_list(x)")
 
