@@ -438,13 +438,51 @@ _SKYLINE_SQL = """
 
 def q_skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline / Pareto frontier: parts not dominated on (cheaper,
-    bigger). Expressed as NOT EXISTS dominance — Catalyst plans the
-    anti-join; identical SQL is the oracle. For 100 TB inputs the
-    standard refinement is pre-filtering with a coarse grid (each
-    cell's best candidates) before the dominance join — the frontier
-    itself is small by construction."""
-    load(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(_SKYLINE_SQL)
+    bigger). The naive NOT EXISTS dominance (kept as the oracle) plans
+    a BroadcastNestedLoopJoin — O(N²) and dead at 100 TB. This
+    implementation exploits that the skyline is DISTRIBUTIVE: the
+    global frontier is a subset of the union of local frontiers. Three
+    cheap phases: (1) per-price best size (equal-price rows below the
+    max are strictly dominated); (2) bucket-local frontier via a
+    running-max window PARTITIONED by a coarse price bucket — parallel,
+    and it discards almost everything; (3) one global running-max pass
+    over the few survivors (single partition over a tiny set), then a
+    broadcast semi-join back to recover tied rows. No nested loop
+    anywhere; the window in phase 3 touches only local-frontier
+    survivors."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    best = p.groupBy("p_retailprice").agg(F.max("p_size").alias("best_size"))
+    local_w = (
+        Window.partitionBy(F.floor(F.col("p_retailprice") / 10.0))
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    survivors = best.withColumn(
+        "run_max", F.max("best_size").over(local_w)
+    ).filter(
+        F.col("run_max").isNull() | (F.col("best_size") > F.col("run_max"))
+    ).drop("run_max")
+    global_w = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = survivors.withColumn(
+        "run_max", F.max("best_size").over(global_w)
+    ).filter(
+        F.col("run_max").isNull() | (F.col("best_size") > F.col("run_max"))
+    )
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (p["p_retailprice"] == frontier["p_retailprice"])
+            & (p["p_size"] == frontier["best_size"]),
+            "left_semi",
+        )
+        .orderBy("p_retailprice")
+    )
 
 
 QUERIES = {
