@@ -207,15 +207,65 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media_table(spark, sf_dir))
 
 
+def extract_features_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow twin of extract_features: the same per-batch feature
+    extraction operating directly on pyarrow RecordBatches — no
+    Arrow→pandas conversion at all, the zero-copy path for decoders
+    that consume raw buffers (image/audio codecs want bytes, not
+    Series). Same schema, same narrow no-shuffle shape; the equality
+    with the pandas path is asserted in tests and by sharing the
+    multimodal_features oracle."""
+
+    def extract_batch(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            payloads = b.column("payload").to_pylist()
+            n_bytes = [len(p) for p in payloads]
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": b.column("doc_id"),
+                    "media_type": b.column("media_type"),
+                    "n_bytes": pa.array(n_bytes, pa.int64()),
+                    "head_byte": pa.array(
+                        [p[0] if len(p) else -1 for p in payloads], pa.int64()
+                    ),
+                    "fake_width": pa.array(
+                        [n % 640 for n in n_bytes], pa.int64()
+                    ),
+                    "fake_height": pa.array(
+                        [n * 7 % 480 for n in n_bytes], pa.int64()
+                    ),
+                }
+            )
+
+    return media.mapInArrow(extract_batch, FEATURE_SCHEMA)
+
+
+def q_multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_features_arrow(media_table(spark, sf_dir))
+
+
 QUERIES = {
     "multimodal_features": q_multimodal_features,
+    "multimodal_features_arrow": q_multimodal_features_arrow,
     "multimodal_resize": q_multimodal_resize,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 # The deterministic byte-level features are SQL-expressible, so even the
 # pandas-UDF path gets a value-level oracle.
+_FEATURES_ORACLE = """
+        SELECT doc_id, 'image/fake' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte,
+               CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+               CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS fake_height
+        FROM documents
+    """
+
 ORACLE = {
+    "multimodal_features_arrow": _FEATURES_ORACLE,
     "multimodal_features": """
         SELECT doc_id, 'image/fake' AS media_type,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

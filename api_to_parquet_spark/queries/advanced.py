@@ -169,6 +169,32 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VariantType: props is
+    parsed ONCE into a variant (binary-encoded, field-indexed — the
+    open-format twin of a shredded JSON column) and fields are read
+    with variant_get path extraction. At 100 TB this beats per-access
+    get_json_object re-parsing: one parse, many typed reads. The
+    oracle reads the same paths with DuckDB's JSON extraction."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("pv"), "value"
+    )
+    k = F.variant_get("pv", "$.k", "long")
+    return (
+        v.select("event_type", k.alias("k"), "value")
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").alias("sum_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- Event-time windows beyond tumbling (batch twins of the streaming
 # operators; watermarked streaming versions live in streaming.py).
 
@@ -491,6 +517,7 @@ QUERIES = {
     "range_join": q_range_join,
     "stats_agg": q_stats_agg,
     "json_extract": q_json_extract,
+    "json_variant": q_json_variant,
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
     "approx_sketches": q_approx_sketches,  # no oracle: approximate by design
@@ -562,6 +589,14 @@ ORACLE = {
         SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n,
                ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "json_variant": """
+        SELECT event_type, COUNT(*) AS n,
+               MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+        FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
+              FROM events)
+        WHERE k IS NOT NULL
+        GROUP BY event_type ORDER BY event_type
     """,
     # Each event belongs to windows starting at floor_6h(ts) and
     # floor_6h(ts) - 6h (epoch-aligned, matching Spark's origin).

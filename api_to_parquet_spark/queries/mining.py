@@ -221,6 +221,54 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under the corpus bigram LM with add-1
+    smoothing — the classic LM-based quality filter (wikipedia-LM
+    perplexity gates in C4/CCNet-style pipelines). The LM counts come
+    from one corpus-wide bigram aggregate; each document's bigram
+    instances then join to the counts (shuffle on (w1,w2)) and reduce
+    to a per-doc mean negative log-probability. exp() is left to the
+    consumer: avg-neg-logprob is monotone in perplexity and avoids
+    amplifying float error."""
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", words().alias("ws")
+    )
+    pairs = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.col("ws")[i - 1].alias("w1"), F.col("ws")[i].alias("w2")
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab = d.select(F.explode("ws").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    logp = F.log(
+        (F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    return (
+        pairs.join(big, ["w1", "w2"])
+        .join(F.broadcast(uni), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(-F.avg(logp), 6).alias("avg_neg_logprob"),
+        )
+        .filter(F.col("doc_id") < 300)
+        .orderBy("doc_id")
+    )
+
+
 # --- Referential-integrity audit ---------------------------------------
 
 _FK_CHECKS = [
@@ -494,6 +542,7 @@ QUERIES = {
     "pii_redact": q_pii_redact,
     "robust_outliers": q_robust_outliers,
     "bigram_lm": q_bigram_lm,
+    "bigram_perplexity": q_bigram_perplexity,
     "fk_integrity": q_fk_integrity,
     "pagerank_events": q_pagerank_events,
 }
@@ -617,6 +666,26 @@ ORACLE = {
         FROM big JOIN uni USING (w1)
         ORDER BY n_bigram DESC, w1, w2
         LIMIT {BIGRAM_TOPK}
+    """,
+    "bigram_perplexity": f"""
+        WITH docs AS (SELECT doc_id, {_DUCK_WS} AS ws FROM documents),
+        pairs AS (
+            SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+            FROM docs, unnest(range(1, len(ws))) AS t(i)
+            WHERE len(ws) >= 2),
+        big AS (
+            SELECT w1, w2, COUNT(*) AS c2 FROM pairs GROUP BY 1, 2),
+        uni AS (
+            SELECT w1, SUM(c2) AS c1 FROM big GROUP BY 1),
+        vocab AS (
+            SELECT COUNT(DISTINCT t) AS v
+            FROM (SELECT unnest(ws) AS t FROM docs))
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+               ROUND(-AVG(ln((c2 + 1.0) / (c1 + v))), 6) AS avg_neg_logprob
+        FROM pairs JOIN big USING (w1, w2) JOIN uni USING (w1)
+        CROSS JOIN vocab
+        WHERE doc_id < 300
+        GROUP BY doc_id ORDER BY doc_id
     """,
     "fk_integrity": """
         SELECT * FROM (
