@@ -129,7 +129,7 @@ def test_query_route_runs_kql_natively(spark, server):
     )
     assert status == 200
     assert [r["Timestamp"] for r in body["rows"]] == [200, 300]
-    status, body = _post(base + "/query", {"csl": "TelemetryData | mv-expand x"})
+    status, body = _post(base + "/query", {"csl": "TelemetryData | facet by x"})
     assert status == 400 and "unsupported" in body["error"]
 
 
