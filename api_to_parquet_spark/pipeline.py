@@ -202,8 +202,92 @@ def q_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus-prep story as ONE composed operator — the query a
+    100 TB training-data team actually runs: quality filter → exact
+    dedup (md5, keep-first) → near dedup (MinHash-LSH candidates, exact
+    Jaccard verify, greedy drop-larger-id) — returning the per-stage
+    survivor census (docs + tokens). Every stage is the scale path of
+    its standalone operator: the near-dup stage is the LSH pipeline
+    (one (band,bucket) shuffle, verification only on candidates), never
+    the all-pairs join; at this corpus's similarity threshold LSH
+    band-recall is ≈1, so the exact-Jaccard DuckDB oracle matches
+    (same argument as minhash_lsh_pairs)."""
+    from api_to_parquet_spark.dedup import (
+        JACCARD_THRESHOLD,
+        _expand_id_pairs,
+        hashed_shingles,
+        lsh_bands,
+        minhash_signature,
+        shingles,
+        words,
+    )
+    from api_to_parquet_spark.text import LANG_MARKERS
+
+    d = spread(load(spark, sf_dir, "documents")).select(
+        "doc_id", "text", words().alias("ws")
+    )
+    n_tok = F.size("ws")
+    ttr = F.size(F.array_distinct("ws")).cast("double") / n_tok
+    markers = [m for ms in LANG_MARKERS.values() for m in ms]
+    n_markers = F.size(F.filter("ws", lambda w: w.isin(*markers)))
+    q = d.filter((n_tok >= 20) & (ttr >= 0.3) & (n_markers > 0))
+
+    keep_exact = q.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    e = q.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+
+    sh = e.select("doc_id", shingles(F.col("ws")).alias("sh"))
+    sigs = sh.select(
+        "doc_id", hashed_shingles(F.col("sh")).alias("hs")
+    ).select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
+    bands = sigs.select(
+        "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "bucket")
+    )
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pairs = _expand_id_pairs(buckets)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
+    drops = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    n = e.join(drops, "doc_id", "left_anti")
+
+    def census(df: DataFrame, idx: int, stage: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("ws")).alias("n_tokens"),
+        ).select(
+            F.lit(idx).alias("stage_idx"), F.lit(stage).alias("stage"),
+            "n_docs", "n_tokens",
+        )
+
+    return (
+        census(d, 0, "input")
+        .unionByName(census(q, 1, "quality_filter"))
+        .unionByName(census(e, 2, "exact_dedup"))
+        .unionByName(census(n, 3, "near_dedup"))
+        .orderBy("stage_idx")
+    )
+
+
 QUERIES = {
     "corpus_filter": q_corpus_filter,
+    "corpus_pipeline": q_corpus_pipeline,
     "decontaminate": q_decontaminate,
     "doc_chunks": q_doc_chunks,
     "udtf_doc_chunks": q_udtf_doc_chunks,
@@ -222,7 +306,47 @@ _CHUNKS_SQL = f"""
                   AS start) s
 """
 
+_DUCK_MARKERS = (
+    "('the', 'a', 'and', 'of', 'der', 'die', 'und', 'das', "
+    "'le', 'la', 'et', 'les', 'el', 'los', 'y', 'las')"
+)
+
+_CORPUS_PIPELINE_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, text, {_DUCK_WS} AS ws FROM documents),
+    q AS (
+        SELECT * FROM d
+        WHERE len(ws) >= 20
+          AND len(list_distinct(ws))::DOUBLE / len(ws) >= 0.3
+          AND len(list_filter(ws, w -> w IN {_DUCK_MARKERS})) > 0),
+    ek AS (
+        SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
+    e AS (
+        SELECT q.* FROM q JOIN ek USING (doc_id)),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        FROM e),
+    drops AS (
+        SELECT DISTINCT b.doc_id
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5),
+    n AS (
+        SELECT * FROM e
+        WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = e.doc_id))
+    SELECT 0 AS stage_idx, 'input' AS stage,
+           COUNT(*) AS n_docs, SUM(len(ws)) AS n_tokens FROM d
+    UNION ALL SELECT 1, 'quality_filter', COUNT(*), SUM(len(ws)) FROM q
+    UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(len(ws)) FROM e
+    UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(len(ws)) FROM n
+    ORDER BY stage_idx
+"""
+
 ORACLE = {
+    "corpus_pipeline": _CORPUS_PIPELINE_SQL,
     "corpus_filter": """
         WITH d AS (
             SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
