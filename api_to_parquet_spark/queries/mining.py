@@ -269,6 +269,70 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PMI_MIN_DF = 5
+PMI_TOPK = 50
+
+
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level token
+    co-occurrence — the classic collocation/embedding-era statistic:
+    pmi(a,b) = ln(df_ab·N / (df_a·df_b)) with document frequencies as
+    the probability estimates. Pair expansion is MAP-SIDE over each
+    doc's sorted distinct-token array (no self-join of the token table
+    on doc_id, which would shuffle the corpus and fan out identically
+    anyway); all inputs are exact integers, so the score is
+    bit-identical across engines. Top-50 strongest collocations with
+    df_ab >= 5."""
+    d = spread(load(spark, sf_dir, "documents"))
+    toks = d.select(
+        "doc_id", F.array_sort(F.array_distinct(words())).alias("ts")
+    )
+    # ordered pairs (ts[i], ts[j]) for i < j, built per row
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ts"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ts"), i + 2, F.size("ts")),
+                        lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+                    ),
+                )
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.t1", "p.t2")
+    df_ab = pairs.groupBy("t1", "t2").agg(F.count("*").alias("df_ab"))
+    df_t = (
+        toks.select("doc_id", F.explode("ts").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    pmi = F.log(
+        F.col("df_ab") * F.col("n_docs")
+        / (F.col("df_a") * F.col("df_b"))
+    )
+    return (
+        df_ab.filter(F.col("df_ab") >= PMI_MIN_DF)
+        .join(
+            F.broadcast(df_t.select(F.col("t").alias("t1"), F.col("df").alias("df_a"))),
+            "t1",
+        )
+        .join(
+            F.broadcast(df_t.select(F.col("t").alias("t2"), F.col("df").alias("df_b"))),
+            "t2",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "t1", "t2", "df_ab", "df_a", "df_b",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "t1", "t2")
+        .limit(PMI_TOPK)
+    )
+
+
 # --- Referential-integrity audit ---------------------------------------
 
 _FK_CHECKS = [
@@ -543,6 +607,7 @@ QUERIES = {
     "robust_outliers": q_robust_outliers,
     "bigram_lm": q_bigram_lm,
     "bigram_perplexity": q_bigram_perplexity,
+    "token_pmi": q_token_pmi,
     "fk_integrity": q_fk_integrity,
     "pagerank_events": q_pagerank_events,
 }
@@ -666,6 +731,23 @@ ORACLE = {
         FROM big JOIN uni USING (w1)
         ORDER BY n_bigram DESC, w1, w2
         LIMIT {BIGRAM_TOPK}
+    """,
+    "token_pmi": f"""
+        WITH toks AS (
+            SELECT DISTINCT doc_id, unnest({_DUCK_WS}) AS t FROM documents),
+        dfab AS (
+            SELECT a.t AS t1, b.t AS t2, COUNT(*) AS df_ab
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+            GROUP BY 1, 2 HAVING COUNT(*) >= {PMI_MIN_DF}),
+        dft AS (SELECT t, COUNT(*) AS df FROM toks GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT t1, t2, df_ab, da.df AS df_a, db.df AS df_b,
+               ROUND(ln(df_ab * n_docs / CAST(da.df * db.df AS DOUBLE)), 6)
+                   AS pmi
+        FROM dfab JOIN dft da ON da.t = dfab.t1
+                  JOIN dft db ON db.t = dfab.t2
+        CROSS JOIN n
+        ORDER BY pmi DESC, t1, t2 LIMIT {PMI_TOPK}
     """,
     "bigram_perplexity": f"""
         WITH docs AS (SELECT doc_id, {_DUCK_WS} AS ws FROM documents),

@@ -397,6 +397,56 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HW_ALPHA = 0.3
+HW_BETA = 0.1
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's double exponential smoothing (level+trend, alpha=0.3,
+    beta=0.1) per user series — the step past EWMA for trending
+    time-series: l' = a·x + (1-a)(l+b); b' = B(l'-l) + (1-B)b; init
+    l=x1, b=0; one-step forecast = l+b. Same scale shape as EWMA: one
+    shuffle to sort-collect each key's series, then a JVM aggregate()
+    fold with a (level, trend) struct accumulator — sequential state
+    stays inside the executor, no Python, no per-row window. The
+    DuckDB oracle replays the identical recurrence as a recursive CTE,
+    textually matching arithmetic so results are bit-identical."""
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    series = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("s")
+    )
+    vals = F.transform("s", lambda x: x.getField("value"))
+    a, b = HW_ALPHA, HW_BETA
+
+    def step(acc, x):
+        new_l = a * x + (1 - a) * (acc["l"] + acc["b"])
+        new_b = (
+            b * ((a * x + (1 - a) * (acc["l"] + acc["b"])) - acc["l"])
+            + (1 - b) * acc["b"]
+        )
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(x.alias("l"), F.lit(0.0).alias("b")),
+        ).otherwise(F.struct(new_l.alias("l"), new_b.alias("b")))
+
+    hw = F.aggregate(
+        vals,
+        F.struct(
+            F.lit(None).cast("double").alias("l"), F.lit(0.0).alias("b")
+        ),
+        step,
+    )
+    return series.select(
+        "user_id",
+        F.size("s").alias("n_obs"),
+        F.round(hw["l"], 6).alias("level"),
+        F.round(hw["b"], 6).alias("trend"),
+        F.round(hw["l"] + hw["b"], 6).alias("forecast_next"),
+    )
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-type transition counts (Markov bigrams) per user stream:
     lag over the per-user time order, then a global bigram count — the
@@ -421,6 +471,7 @@ QUERIES = {
     "unpivot_charges": q_unpivot,
     "ohlc_downsample": q_ohlc_downsample,
     "ewma_smoothing": q_ewma,
+    "holt_winters": q_holt_winters,
     "latest_per_key": q_latest_per_key,
     "window_running_sum": q_running_sum,
     "cumulative_unique_users": q_cumulative_unique_users,
@@ -477,6 +528,34 @@ ORACLE = {
                    AS ewma_value
         FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
               FROM events WHERE user_id < 20 GROUP BY user_id)
+    """,
+    # The identical Holt recurrence replayed row-by-row as a recursive
+    # CTE; the arithmetic is textually the same as the Spark fold so the
+    # doubles match bit-for-bit before the final ROUND.
+    "holt_winters": f"""
+        WITH RECURSIVE series AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events WHERE user_id < 20),
+        counts AS (SELECT user_id, MAX(rn) AS n FROM series GROUP BY 1),
+        hw AS (
+            SELECT user_id, 1 AS rn, value AS l,
+                   CAST(0.0 AS DOUBLE) AS b
+            FROM series WHERE rn = 1
+            UNION ALL
+            SELECT s.user_id, s.rn,
+                   {HW_ALPHA} * s.value
+                       + {1 - HW_ALPHA} * (hw.l + hw.b),
+                   {HW_BETA} * (({HW_ALPHA} * s.value
+                       + {1 - HW_ALPHA} * (hw.l + hw.b)) - hw.l)
+                       + {1 - HW_BETA} * hw.b
+            FROM hw JOIN series s
+                 ON s.user_id = hw.user_id AND s.rn = hw.rn + 1)
+        SELECT hw.user_id, counts.n AS n_obs,
+               ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+               ROUND(l + b, 6) AS forecast_next
+        FROM hw JOIN counts USING (user_id) WHERE hw.rn = counts.n
     """,
     "window_rank_family": """
         SELECT o_custkey, o_orderkey,
