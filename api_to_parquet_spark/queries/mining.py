@@ -370,6 +370,81 @@ def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("fk")
 
 
+# --- Join-key skew report ----------------------------------------------
+
+_SKEW_COLS = [("events", "user_id"), ("events", "event_type"),
+              ("lineitem", "l_orderkey")]
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-join planning report: per candidate join/groupBy key,
+    row count, distinct keys, the heaviest key's row count and share,
+    and the p99 per-key count — exactly the numbers that decide
+    salting, AQE skew thresholds, and broadcast eligibility before a
+    100 TB shuffle. One grouped count per key column (map-side
+    combined), then a tiny stats aggregate over the count table."""
+    out = None
+    for table, col in _SKEW_COLS:
+        per_key = (
+            load(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count("*").alias("c"))
+        )
+        row = per_key.agg(
+            F.lit(f"{table}.{col}").alias("key_col"),
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("max_key_rows"),
+            F.round(F.max("c") / F.sum("c"), 6).alias("top_share"),
+            F.percentile("c", 0.99).alias("p99_key_rows"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("key_col")
+
+
+# --- Incremental aggregation (mergeable state) -------------------------
+
+INCR_SPLIT_DAY = 15
+
+
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ETL's core claim, verified by construction: per-group
+    aggregate STATE (count / sum / min / max in exact cents) built from
+    the historical slice (day < 15), merged with the new batch's
+    partial state (day >= 15) by re-aggregating the union of partials —
+    never rescanning history. The DuckDB oracle is the full recompute
+    over all rows, so the gate proves merge(old_state, batch_state) ==
+    recompute(everything), which is the invariant that lets a 100 TB
+    pipeline update aggregates per-batch at batch cost."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofmonth("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+
+    hist = partial(e.filter(F.col("day") < INCR_SPLIT_DAY))
+    batch = partial(e.filter(F.col("day") >= INCR_SPLIT_DAY))
+    return (
+        hist.unionByName(batch)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_cents").alias("sum_cents"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # --- PageRank over the event-transition graph --------------------------
 
 PR_DAMPING = 0.85
@@ -609,6 +684,8 @@ QUERIES = {
     "bigram_perplexity": q_bigram_perplexity,
     "token_pmi": q_token_pmi,
     "fk_integrity": q_fk_integrity,
+    "skew_report": q_skew_report,
+    "incremental_agg": q_incremental_agg,
     "pagerank_events": q_pagerank_events,
 }
 
@@ -768,6 +845,33 @@ ORACLE = {
         CROSS JOIN vocab
         WHERE doc_id < 300
         GROUP BY doc_id ORDER BY doc_id
+    """,
+    "skew_report": """
+        SELECT * FROM (
+            SELECT 'events.user_id' AS key_col, SUM(c) AS n_rows,
+                   COUNT(*) AS n_keys, MAX(c) AS max_key_rows,
+                   ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
+                   quantile_cont(c, 0.99) AS p99_key_rows
+            FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
+            UNION ALL
+            SELECT 'events.event_type', SUM(c), COUNT(*), MAX(c),
+                   ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6),
+                   quantile_cont(c, 0.99)
+            FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1)
+            UNION ALL
+            SELECT 'lineitem.l_orderkey', SUM(c), COUNT(*), MAX(c),
+                   ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6),
+                   quantile_cont(c, 0.99)
+            FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
+        ) ORDER BY key_col
+    """,
+    "incremental_agg": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+               MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
+               MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
+        FROM events
+        GROUP BY event_type ORDER BY event_type
     """,
     "fk_integrity": """
         SELECT * FROM (
