@@ -397,6 +397,70 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio_to_report) — each nation's share of
+    total order revenue, the share-of-whole window shape: one grouped
+    sum, then a windowed total over the TINY aggregate (|nations|
+    rows), never a second scan of the fact table. Share is exact
+    integer cents divided once (float-determinism rule)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    per_nation = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            )
+        )
+    )
+    total = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        "rev_cents",
+        F.round(
+            F.col("rev_cents") / F.sum("rev_cents").over(total), 6
+        ).alias("rev_share"),
+    ).orderBy(F.desc("rev_cents"), "n_name")
+
+
+TRAILING_DAYS = 7
+
+
+def q_trailing_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day, the trailing-7-day distinct user count — the windowed
+    COUNT(DISTINCT) no engine supports directly over frames. Shape:
+    distinct (user, day) pairs first (the big shrink — one shuffle),
+    then each pair expands into the <=7 window days it serves
+    (map-side sequence/explode), then a plain grouped distinct count
+    per window day. The expansion factor is the window length, applied
+    AFTER per-day dedup, so the shuffled volume is |users×days|×7, not
+    |events|×7."""
+    e = load(spark, sf_dir, "events")
+    pairs = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    days = F.transform(
+        F.sequence(F.lit(0), F.lit(TRAILING_DAYS - 1)),
+        lambda i: F.timestamp_add("DAY", i, F.col("day")),
+    )
+    expanded = pairs.select(
+        "user_id", F.explode(days).alias("win_day")
+    )
+    # only report days that actually occur in the data
+    present = e.select(F.date_trunc("day", "ts").alias("win_day")).distinct()
+    return (
+        expanded.join(present, "win_day", "left_semi")
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("trailing_users"))
+        .orderBy("win_day")
+    )
+
+
 HW_ALPHA = 0.3
 HW_BETA = 0.1
 
@@ -472,6 +536,8 @@ QUERIES = {
     "ohlc_downsample": q_ohlc_downsample,
     "ewma_smoothing": q_ewma,
     "holt_winters": q_holt_winters,
+    "ratio_to_report": q_ratio_to_report,
+    "trailing_unique_users": q_trailing_unique_users,
     "latest_per_key": q_latest_per_key,
     "window_running_sum": q_running_sum,
     "cumulative_unique_users": q_cumulative_unique_users,
@@ -528,6 +594,34 @@ ORACLE = {
                    AS ewma_value
         FROM (SELECT user_id, list(value ORDER BY ts, event_id) AS vals
               FROM events WHERE user_id < 20 GROUP BY user_id)
+    """,
+    "ratio_to_report": """
+        WITH per_nation AS (
+            SELECT n_name,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS rev_cents
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name)
+        SELECT n_name, rev_cents,
+               ROUND(rev_cents / CAST(SUM(rev_cents) OVER () AS DOUBLE), 6)
+                   AS rev_share
+        FROM per_nation
+        ORDER BY rev_cents DESC, n_name
+    """,
+    "trailing_unique_users": """
+        WITH pairs AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS day
+            FROM events),
+        expanded AS (
+            SELECT user_id, day + i * INTERVAL '1 day' AS win_day
+            FROM pairs, unnest(range(0, 7)) AS t(i)),
+        present AS (
+            SELECT DISTINCT date_trunc('day', ts) AS win_day FROM events)
+        SELECT win_day, COUNT(DISTINCT user_id) AS trailing_users
+        FROM expanded
+        WHERE win_day IN (SELECT win_day FROM present)
+        GROUP BY win_day ORDER BY win_day
     """,
     # The identical Holt recurrence replayed row-by-row as a recursive
     # CTE; the arithmetic is textually the same as the Spark fold so the
