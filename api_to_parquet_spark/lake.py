@@ -187,16 +187,30 @@ def spread(df: DataFrame) -> DataFrame:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table; transparently adapt TIMESTAMP(NANOS)
-    columns (read as int64 nanos via the legacy conf, then rebuilt as
-    microsecond timestamps with exact integer division — matches DuckDB's
-    ns→µs truncation)."""
+    """Read one testdata table, normalizing every timestamp flavor to a
+    plain TIMESTAMP under a UTC session zone so downstream queries (and
+    the DuckDB oracle, which reads the same naive parquet values) agree:
+
+    - TIMESTAMP(NANOS): read as int64 nanos via the legacy conf, rebuilt
+      as microsecond timestamps with exact integer division (matches
+      DuckDB's ns→µs truncation).
+    - TIMESTAMP_NTZ (parquet timestamp[us] with isAdjustedToUTC=false,
+      Spark 4's inferTimestampNTZ default): cast to TIMESTAMP. With the
+      session zone pinned to UTC the cast is value-preserving and
+      epoch-extraction functions (unix_millis etc.) match DuckDB's naive
+      interpretation.
+    """
+    from pyspark.sql.types import TimestampNTZType
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_columns(path)
-    if not ns_cols:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

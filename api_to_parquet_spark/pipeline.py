@@ -338,10 +338,10 @@ _CORPUS_PIPELINE_SQL = f"""
         SELECT * FROM e
         WHERE NOT EXISTS (SELECT 1 FROM drops WHERE drops.doc_id = e.doc_id))
     SELECT 0 AS stage_idx, 'input' AS stage,
-           COUNT(*) AS n_docs, SUM(len(ws)) AS n_tokens FROM d
-    UNION ALL SELECT 1, 'quality_filter', COUNT(*), SUM(len(ws)) FROM q
-    UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(len(ws)) FROM e
-    UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(len(ws)) FROM n
+           COUNT(*) AS n_docs, SUM(len(ws))::BIGINT AS n_tokens FROM d
+    UNION ALL SELECT 1, 'quality_filter', COUNT(*), SUM(len(ws))::BIGINT FROM q
+    UNION ALL SELECT 2, 'exact_dedup', COUNT(*), SUM(len(ws))::BIGINT FROM e
+    UNION ALL SELECT 3, 'near_dedup', COUNT(*), SUM(len(ws))::BIGINT FROM n
     ORDER BY stage_idx
 """
 
@@ -396,7 +396,7 @@ ORACLE = {
               FROM t)
         SELECT shard, CAST(FLOOR((cum - n_tokens) / {PACK_BUDGET}.0) AS BIGINT)
                    AS bin,
-               count(*) AS n_docs, SUM(n_tokens) AS total_tokens
+               count(*) AS n_docs, SUM(n_tokens)::BIGINT AS total_tokens
         FROM c GROUP BY shard, bin
     """,
 }

@@ -56,9 +56,19 @@ _MODULES = [
 
 
 def all_queries() -> dict[str, QueryFn]:
+    """Registry in round-robin module order: one query from each family in
+    turn. The correctness driver samples a prefix of this dict in
+    insertion order, so interleaving guarantees any prefix spans every
+    operator family (reference parity, relational, TPC-H, windows,
+    dedup, similarity, text, streaming, ...) instead of exhausting one
+    module before reaching the next."""
+    lists = [list(m.QUERIES.items()) for m in _MODULES]
     out: dict[str, QueryFn] = {}
-    for m in _MODULES:
-        out.update(m.QUERIES)
+    for i in range(max(len(lst) for lst in lists)):
+        for lst in lists:
+            if i < len(lst):
+                k, v = lst[i]
+                out[k] = v
     return out
 
 

@@ -543,13 +543,13 @@ ORACLE = {
                    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
             FROM events GROUP BY user_id)
         SELECT COUNT(*) AS n_users,
-               SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+               SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
                    AS stage_view,
                SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
-                        THEN 1 ELSE 0 END) AS stage_click,
+                        THEN 1 ELSE 0 END)::BIGINT AS stage_click,
                SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
                              AND t_buy > t_click
-                        THEN 1 ELSE 0 END) AS stage_purchase
+                        THEN 1 ELSE 0 END)::BIGINT AS stage_purchase
         FROM per_user
     """,
     "cohort_retention": """
@@ -592,7 +592,7 @@ ORACLE = {
     """,
     "json_variant": """
         SELECT event_type, COUNT(*) AS n,
-               MIN(k) AS min_k, MAX(k) AS max_k, SUM(k) AS sum_k
+               MIN(k) AS min_k, MAX(k) AS max_k, SUM(k)::BIGINT AS sum_k
         FROM (SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k
               FROM events)
         WHERE k IS NOT NULL

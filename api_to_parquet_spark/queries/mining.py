@@ -789,7 +789,7 @@ ORACLE = {
                ROUND(ANY_VALUE(dev.med) / 100.0, 4) AS median_value,
                ROUND(ANY_VALUE(mad.mad) / 100.0, 4) AS mad_value,
                SUM(CASE WHEN dev.adev > {MAD_K} * mad.mad
-                        THEN 1 ELSE 0 END) AS n_outliers
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
         FROM dev JOIN mad USING (event_type)
         GROUP BY 1 ORDER BY 1
     """,
@@ -803,7 +803,7 @@ ORACLE = {
             SELECT w1, w2, COUNT(*) AS n_bigram FROM pairs GROUP BY 1, 2),
         uni AS (
             SELECT w1, SUM(n_bigram) AS n_context FROM big GROUP BY 1)
-        SELECT big.w1, big.w2, big.n_bigram, uni.n_context,
+        SELECT big.w1, big.w2, big.n_bigram, uni.n_context::BIGINT AS n_context,
                ROUND(big.n_bigram / CAST(uni.n_context AS DOUBLE), 6) AS p_cond
         FROM big JOIN uni USING (w1)
         ORDER BY n_bigram DESC, w1, w2
@@ -848,18 +848,18 @@ ORACLE = {
     """,
     "skew_report": """
         SELECT * FROM (
-            SELECT 'events.user_id' AS key_col, SUM(c) AS n_rows,
+            SELECT 'events.user_id' AS key_col, SUM(c)::BIGINT AS n_rows,
                    COUNT(*) AS n_keys, MAX(c) AS max_key_rows,
                    ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_share,
                    quantile_cont(c, 0.99) AS p99_key_rows
             FROM (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1)
             UNION ALL
-            SELECT 'events.event_type', SUM(c), COUNT(*), MAX(c),
+            SELECT 'events.event_type', SUM(c)::BIGINT, COUNT(*), MAX(c),
                    ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6),
                    quantile_cont(c, 0.99)
             FROM (SELECT event_type, COUNT(*) AS c FROM events GROUP BY 1)
             UNION ALL
-            SELECT 'lineitem.l_orderkey', SUM(c), COUNT(*), MAX(c),
+            SELECT 'lineitem.l_orderkey', SUM(c)::BIGINT, COUNT(*), MAX(c),
                    ROUND(MAX(c) / CAST(SUM(c) AS DOUBLE), 6),
                    quantile_cont(c, 0.99)
             FROM (SELECT l_orderkey, COUNT(*) AS c FROM lineitem GROUP BY 1)
@@ -867,7 +867,7 @@ ORACLE = {
     """,
     "incremental_agg": """
         SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS sum_cents,
+               SUM(CAST(ROUND(value * 100) AS BIGINT))::BIGINT AS sum_cents,
                MIN(CAST(ROUND(value * 100) AS BIGINT)) AS min_cents,
                MAX(CAST(ROUND(value * 100) AS BIGINT)) AS max_cents
         FROM events

@@ -318,7 +318,9 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.size("vals").alias("n_vals"),
-            F.slice("vals", 1, 3).alias("smallest3"),
+            F.element_at(F.slice("vals", 1, 3), 1).alias("v1"),
+            F.element_at(F.slice("vals", 1, 3), 2).alias("v2"),
+            F.element_at(F.slice("vals", 1, 3), 3).alias("v3"),
             F.round(
                 F.aggregate(
                     "vals", F.lit(0.0), lambda acc, x: acc + x
@@ -534,7 +536,9 @@ ORACLE = {
     "array_agg": """
         SELECT user_id,
                len(vals) AS n_vals,
-               vals[1:3] AS smallest3,
+               vals[1] AS v1,
+               vals[2] AS v2,
+               vals[3] AS v3,
                ROUND(list_sum(vals), 2) AS sum_vals
         FROM (SELECT user_id,
                      list_sort(list(ROUND(value, 2))) AS vals

@@ -420,9 +420,9 @@ ORACLE = {
                     THEN 'normal'
                     ELSE 'slow' END AS delay_bucket,
                SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
+                        THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
                SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 0 ELSE 1 END) AS low_line_count
+                        THEN 0 ELSE 1 END)::BIGINT AS low_line_count
         FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
           AND l.l_shipdate <  TIMESTAMP '1998-01-01'

@@ -603,7 +603,7 @@ ORACLE = {
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name)
-        SELECT n_name, rev_cents,
+        SELECT n_name, rev_cents::BIGINT AS rev_cents,
                ROUND(rev_cents / CAST(SUM(rev_cents) OVER () AS DOUBLE), 6)
                    AS rev_share
         FROM per_nation

@@ -149,7 +149,7 @@ ORACLE = {
         SELECT CASE WHEN {_BUCKET} < {TRAIN_PCT} THEN 'train' ELSE 'test' END
                    AS split,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               SUM(n_chars)::BIGINT AS total_chars,
                ROUND(AVG(n_chars), 4) AS avg_chars
         FROM documents GROUP BY 1
     """,

@@ -384,7 +384,7 @@ QUERIES = {
 ORACLE = {
     "lang_mixture": f"""
         WITH shares AS (
-            SELECT lang, SUM(len({_DUCK_WS})) AS lang_tokens
+            SELECT lang, SUM(len({_DUCK_WS}))::BIGINT AS lang_tokens
             FROM documents GROUP BY lang),
         t AS (SELECT SUM(lang_tokens) AS total_tokens FROM shares),
         p AS (
@@ -410,7 +410,8 @@ ORACLE = {
             FROM ws),
         per_gram AS (
             SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY 1, 2)
-        SELECT doc_id, n_grams, ROUND(n / n_grams, 6) AS top_gram_share,
+        SELECT doc_id, n_grams::BIGINT AS n_grams,
+               ROUND(n / n_grams, 6) AS top_gram_share,
                g AS top_gram
         FROM (SELECT doc_id, g, n,
                      SUM(n) OVER (PARTITION BY doc_id) AS n_grams,

@@ -109,12 +109,18 @@ def main() -> None:
     qs = all_queries()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        for _ in range(2):  # two warm passes: JIT + IO cache (see ingest note)
+        # A single failing query must not zero out the whole bench run —
+        # record the error and keep timing the rest.
+        try:
+            for _ in range(2):  # two warm passes: JIT + IO cache (see ingest note)
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = str(exc).split("\n", 1)[0][:200]
 
     total = round(sum(timings.values()), 3)
     print(
@@ -126,6 +132,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_rows_per_sec": ingest_throughput(spark),
+                **({"errors": errors} if errors else {}),
             }
         )
     )

@@ -75,29 +75,42 @@ def main() -> int:
             odf = odf[cols].sort_values(sortable or cols).reset_index(drop=True)
             assert len(sdf) == len(odf), f"rows {len(sdf)} vs {len(odf)}"
             for c in cols:
-                if c in sortable:
-                    pd.testing.assert_series_equal(
-                        sdf[c],
-                        odf[c],
-                        check_dtype=False,
-                        check_exact=False,
-                        rtol=1e-9,
-                        check_names=False,
+                # Driver-mimic strictness: its compare value-HASHES every
+                # cell, so (a) no cell may be unhashable (list/ndarray —
+                # arrays must be flattened or serialized to strings in
+                # BOTH sides), and (b) int-vs-float dtype drift (e.g.
+                # DuckDB HUGEINT -> float64 via .df()) hashes differently
+                # even when values are numerically equal.
+                for frame, side in ((sdf, "spark"), (odf, "oracle")):
+                    if len(frame) and frame[c].dtype == object:
+                        v = frame[c].iloc[0]
+                        assert not hasattr(v, "__iter__") or isinstance(
+                            v, (str, bytes)
+                        ), f"column {c} ({side}) holds unhashable {type(v).__name__}"
+                s_int = pd.api.types.is_integer_dtype(sdf[c])
+                o_int = pd.api.types.is_integer_dtype(odf[c])
+                s_f = pd.api.types.is_float_dtype(sdf[c])
+                o_f = pd.api.types.is_float_dtype(odf[c])
+                assert s_int == o_int and s_f == o_f, (
+                    f"column {c} dtype drift: spark {sdf[c].dtype}"
+                    f" vs oracle {odf[c].dtype} (hash-unsafe)"
+                )
+                pd.testing.assert_series_equal(
+                    sdf[c],
+                    odf[c],
+                    check_dtype=False,
+                    check_exact=not s_f,
+                    rtol=1e-9,
+                    check_names=False,
+                )
+                if s_f and len(sdf):
+                    ne = (
+                        sdf[c].fillna(-1e308) != odf[c].fillna(-1e308)
+                    ).sum()
+                    assert ne == 0, (
+                        f"column {c}: {ne} float cells not bitwise-equal"
+                        " (driver hash would mismatch)"
                     )
-                else:  # array-typed column
-                    a = [
-                        list(x)
-                        if hasattr(x, "__iter__") and not isinstance(x, str)
-                        else x
-                        for x in sdf[c]
-                    ]
-                    b = [
-                        list(x)
-                        if hasattr(x, "__iter__") and not isinstance(x, str)
-                        else x
-                        for x in odf[c]
-                    ]
-                    assert a == b, f"array column {c} mismatch"
         except Exception as exc:  # noqa: BLE001 - report and continue
             fails.append(name)
             print(f"FAIL {name}: {str(exc)[:200]}")
