@@ -24,6 +24,7 @@ from api_to_parquet_spark import (
 )
 from api_to_parquet_spark.queries import (
     advanced,
+    formats,
     kql,
     mining,
     reference,
@@ -52,6 +53,7 @@ _MODULES = [
     text,
     pipeline,
     multimodal,
+    formats,
 ]
 
 

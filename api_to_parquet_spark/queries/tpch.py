@@ -324,6 +324,109 @@ def q_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_BLAME_SUPPLIER_SQL)
 
 
+# The corpus has no partsupp table (TESTDATA.md), so Q16/Q20 — the two
+# shapes SURVEY.md §2.11 marked as uncovered — run against a DERIVED
+# partsupp: 4 suppliers per part via modular arithmetic over p_partkey.
+# The derivation is pure integer math on existing columns, so the DuckDB
+# oracle rebuilds the identical table and the comparison stays value-exact.
+# Spark side: a part-scan × 4 explode with the supplier count broadcast —
+# no shuffle, scales as a map-side expansion of the part table.
+_PARTSUPP_DUCK_CTE = """
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               (p_partkey + t.i * 17) % ns.n_supp AS ps_suppkey,
+               (p_partkey * 7 + t.i * 13) % 9999 + 1 AS ps_availqty,
+               ((p_partkey * 31 + t.i * 19) % 100000) / 100.0 AS ps_supplycost
+        FROM part
+        CROSS JOIN (SELECT COUNT(*) AS n_supp FROM supplier) ns
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) t)
+"""
+
+_PARTS_SUPPLIER_CNT_SQL = """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'ECONOMY%'
+      AND p_size IN (3, 5, 11, 23, 28, 36, 42, 49)
+      AND ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+_PROMOTABLE_SUPPLIERS_SQL = """
+    SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT ps_suppkey
+        FROM partsupp
+        JOIN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') rp
+          ON ps_partkey = rp.p_partkey
+        JOIN (SELECT l_partkey, l_suppkey,
+                     0.5 * SUM(l_quantity) AS half_qty
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate <  TIMESTAMP '1998-01-01'
+              GROUP BY l_partkey, l_suppkey) sh
+          ON sh.l_partkey = ps_partkey AND sh.l_suppkey = ps_suppkey
+        WHERE ps_availqty > half_qty)
+      AND s_nationkey IN
+          (SELECT n_nationkey FROM nation WHERE n_name = 'NATION_3')
+    ORDER BY s_name
+"""
+
+
+def synthetic_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp (see _PARTSUPP_DUCK_CTE): map-side 4× expansion
+    of the part table; the supplier count arrives as a broadcast scalar,
+    so the whole build is shuffle-free at any scale."""
+    part = load(spark, sf_dir, "part").select("p_partkey")
+    n_supp = (
+        load(spark, sf_dir, "supplier").agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        part.crossJoin(F.broadcast(n_supp))
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            ((F.col("p_partkey") + F.col("i") * 17) % F.col("n_supp")).alias(
+                "ps_suppkey"
+            ),
+            ((F.col("p_partkey") * 7 + F.col("i") * 13) % 9999 + 1).alias(
+                "ps_availqty"
+            ),
+            (
+                ((F.col("p_partkey") * 31 + F.col("i") * 19) % 100000) / 100.0
+            ).alias("ps_supplycost"),
+        )
+    )
+
+
+def q_parts_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    over the derived partsupp, excluding flagged suppliers via a
+    null-aware NOT IN (plans as a broadcast anti join on the tiny
+    supplier exclusion set). The COUNT(DISTINCT) is the expensive part:
+    Spark's two-phase distinct-aggregate keeps it one shuffle on the
+    group keys."""
+    _views(spark, sf_dir, "part", "supplier")
+    synthetic_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+    return spark.sql(_PARTS_SUPPLIER_CNT_SQL)
+
+
+def q_promotable_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in one nation whose availability
+    exceeds half of what they actually shipped of 'red' parts in 1997.
+    The correlated availqty > half-of-shipped predicate decorrelates to
+    a pre-aggregated join on (partkey, suppkey); both IN-subqueries
+    become semi joins (nation filter broadcast)."""
+    _views(spark, sf_dir, "part", "supplier", "lineitem", "nation")
+    synthetic_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
+    return spark.sql(_PROMOTABLE_SUPPLIERS_SQL)
+
+
 QUERIES = {
     "revenue_forecast": q_revenue_forecast,
     "order_priority_check": q_order_priority_check,
@@ -336,6 +439,8 @@ QUERIES = {
     "important_parts": q_important_parts,
     "shipping_delay_buckets": q_shipping_delay_buckets,
     "blame_supplier": q_blame_supplier,
+    "parts_supplier_cnt": q_parts_supplier_cnt,
+    "promotable_suppliers": q_promotable_suppliers,
 }
 
 ORACLE = {
@@ -429,4 +534,6 @@ ORACLE = {
         GROUP BY 1
     """,
     "blame_supplier": _BLAME_SUPPLIER_SQL,
+    "parts_supplier_cnt": f"WITH {_PARTSUPP_DUCK_CTE.strip()}\n{_PARTS_SUPPLIER_CNT_SQL}",
+    "promotable_suppliers": f"WITH {_PARTSUPP_DUCK_CTE.strip()}\n{_PROMOTABLE_SUPPLIERS_SQL}",
 }

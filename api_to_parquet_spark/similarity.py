@@ -514,6 +514,96 @@ _DUCK_COS = (
     " / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
 )
 
+BAND_N = 4  # sign bands
+BAND_BITS = 8  # dims per band; 2^BITS codes per band bounds bucket size
+
+
+def _band_code(t: int) -> Column:
+    """8-bit sign code of dims [8t, 8t+8): deterministic, model-free, and
+    expressible identically in SQL — so the banded near-dup query keeps
+    an exact oracle (unlike the random-hyperplane LSH tables)."""
+    bits = [
+        F.when(
+            F.element_at("v", t * BAND_BITS + j + 1) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        for j in range(BAND_BITS)
+    ]
+    return sum(bits[1:], bits[0])
+
+
+def q_embedding_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, banded-signature scale path: candidates
+    are pairs agreeing on ALL sign bits of at least one 8-dim band; only
+    candidates get the exact cosine (>= 0.45 kept). vs the all-pairs
+    baseline (q_embedding_similar_pairs) this replaces the O(N^2) join
+    with one shuffle on (band, code) — at 100 TB the candidate join
+    touches ~N * avg_bucket_size rows, and BAND_BITS tunes bucket
+    granularity against recall (more bits = smaller buckets, fewer
+    accidental candidates, lower recall at a given cosine)."""
+    vecs = _vecs(spark, sf_dir)
+    codes = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[_band_code(t) for t in range(BAND_N)])
+        ).alias("band", "code"),
+    )
+    cand = (
+        codes.alias("a")
+        .join(
+            codes.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("v_a"), F.col("v_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+    )
+
+
+def _duck_band_code(t: int) -> str:
+    terms = [
+        f"{1 << j} * CAST((v[{t * BAND_BITS + j + 1}] >= 0) AS INT)"
+        for j in range(BAND_BITS)
+    ]
+    return " + ".join(terms)
+
+
+_DUCK_BAND_PAIRS = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS (
+        SELECT vec_id, t.band,
+               CASE t.band
+                   {" ".join(f"WHEN {t} THEN {_duck_band_code(t)}" for t in range(BAND_N))}
+               END AS code
+        FROM v CROSS JOIN
+             (SELECT unnest(generate_series(0, {BAND_N - 1})) AS band) t),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM codes a
+        JOIN codes b ON a.band = b.band AND a.code = b.code
+                    AND a.vec_id < b.vec_id)
+    SELECT * FROM (
+        SELECT vec_a, vec_b, ROUND({_DUCK_COS}, 6) AS cos_sim
+        FROM cand
+        JOIN v a ON a.vec_id = cand.vec_a
+        JOIN v b ON b.vec_id = cand.vec_b)
+    WHERE cos_sim >= 0.45
+"""
+
 def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space QA per label: count, mean/min/max L2 norm, and the
     norm of the label centroid (collapsed centroids flag degenerate or
@@ -573,6 +663,7 @@ QUERIES = {
     "normalize_embeddings": q_normalize_embeddings,
     "embedding_stats": q_embedding_stats,
     "embedding_similar_pairs": q_embedding_similar_pairs,
+    "embedding_band_pairs": q_embedding_band_pairs,
     "ann_lsh_topk": q_ann_lsh_topk,  # no oracle: approximate by design
     "ann_ivf_topk": q_ann_ivf_topk,  # no oracle: approximate by design
     "ann_pq_topk": q_ann_pq_topk,  # no oracle: approximate by design
@@ -580,6 +671,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_band_pairs": _DUCK_BAND_PAIRS,
     "knn_bruteforce": f"""
         SELECT query_id, neighbor_id, cos_sim, rank FROM (
             SELECT query_id, neighbor_id, cos_sim,

@@ -113,3 +113,26 @@ def test_ann_ivfpq_recall(spark, sf_smoke):
     }
     recall = len(exact & approx) / len(exact)
     assert recall > 0.3, f"IVF-PQ recall collapsed: {recall}"
+
+
+def test_band_pairs_subset_of_all_pairs(spark, sf_smoke):
+    """The banded sign-LSH near-dup result must be a strict candidate
+    subset of the all-pairs baseline at the same threshold, with
+    identical cosines for every surfaced pair (banding prunes, never
+    alters scores)."""
+    from api_to_parquet_spark.similarity import (
+        q_embedding_band_pairs,
+        q_embedding_similar_pairs,
+    )
+
+    full = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in q_embedding_similar_pairs(spark, sf_smoke).collect()
+    }
+    banded = {
+        (r["vec_a"], r["vec_b"]): r["cos_sim"]
+        for r in q_embedding_band_pairs(spark, sf_smoke).collect()
+    }
+    assert set(banded) <= set(full)
+    for pair, cos in banded.items():
+        assert cos == full[pair]
