@@ -203,6 +203,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql.types import TimestampNTZType
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # Prefer reading naive parquet timestamps as TIMESTAMP directly —
+        # plans then carry no cast nodes at all. The cast loop below stays
+        # as the fallback for sessions where this conf is unavailable.
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    except Exception:
+        pass
     path = f"{sf_dir}/{name}.parquet"
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
