@@ -224,6 +224,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from api_to_parquet_spark.text import LANG_MARKERS
 
+    from pyspark.sql import Window
+
     d = spread(load(spark, sf_dir, "documents")).select(
         "doc_id", "text", words().alias("ws")
     )
@@ -231,12 +233,21 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ttr = F.size(F.array_distinct("ws")).cast("double") / n_tok
     markers = [m for ms in LANG_MARKERS.values() for m in ms]
     n_markers = F.size(F.filter("ws", lambda w: w.isin(*markers)))
-    q = d.filter((n_tok >= 20) & (ttr >= 0.3) & (n_markers > 0))
-
-    keep_exact = q.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # Per-doc survival flags in ONE lineage (a 4-way union of per-stage
+    # aggregates recomputes the whole upstream per stage — measured 13.4s
+    # vs ~3s for this shape at sf0.01). Exact dedup keep-first is a
+    # window min over (q_pass, md5) — one shuffle, no self-semi-join.
+    w_md5 = Window.partitionBy("q_pass", F.md5("text"))
+    flagged = (
+        d.withColumn(
+            "q_pass", (n_tok >= 20) & (ttr >= 0.3) & (n_markers > 0)
+        )
+        .withColumn("first_id", F.min("doc_id").over(w_md5))
+        .withColumn(
+            "e_pass", F.col("q_pass") & (F.col("doc_id") == F.col("first_id"))
+        )
     )
-    e = q.join(keep_exact.select("doc_id"), "doc_id", "left_semi")
+    e = flagged.filter("e_pass").select("doc_id", "ws")
 
     sh = e.select("doc_id", shingles(F.col("ws")).alias("sh"))
     sigs = sh.select(
@@ -265,22 +276,43 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    n = e.join(drops, "doc_id", "left_anti")
+    full = flagged.join(
+        drops.withColumn("dropped", F.lit(True)), "doc_id", "left"
+    ).withColumn(
+        "n_pass", F.col("e_pass") & F.col("dropped").isNull()
+    )
 
-    def census(df: DataFrame, idx: int, stage: str) -> DataFrame:
-        return df.agg(
-            F.count("*").alias("n_docs"),
-            F.sum(F.size("ws")).alias("n_tokens"),
-        ).select(
-            F.lit(idx).alias("stage_idx"), F.lit(stage).alias("stage"),
-            "n_docs", "n_tokens",
-        )
+    # One conditional aggregate over the flagged rows → a single row of
+    # 8 counters, exploded driver-free into the 4-stage census.
+    def pair(flag, suffix):
+        return [
+            F.sum(F.when(flag, 1).otherwise(0)).alias(f"d_{suffix}"),
+            F.sum(F.when(flag, F.size("ws")).otherwise(0)).alias(
+                f"t_{suffix}"
+            ),
+        ]
 
+    one = full.agg(
+        *pair(F.lit(True), "0"),
+        *pair(F.col("q_pass"), "1"),
+        *pair(F.col("e_pass"), "2"),
+        *pair(F.col("n_pass"), "3"),
+    )
+    stages = ["input", "quality_filter", "exact_dedup", "near_dedup"]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"d_{i}").alias("n_docs"),
+                F.col(f"t_{i}").alias("n_tokens"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
     return (
-        census(d, 0, "input")
-        .unionByName(census(q, 1, "quality_filter"))
-        .unionByName(census(e, 2, "exact_dedup"))
-        .unionByName(census(n, 3, "near_dedup"))
+        one.select(F.explode(rows).alias("r"))
+        .select("r.*")
         .orderBy("stage_idx")
     )
 
