@@ -31,6 +31,16 @@ Supported pipe operators (the committed shapes plus the everyday core):
     T | take N / limit N        -> LIMIT
     T | count                   -> COUNT(*) AS count_
     T | distinct c1, c2         -> SELECT DISTINCT
+    T | project-keep c1, c2     -> SELECT c1, c2
+    T | project-rename n=old    -> SELECT * EXCEPT (old), old AS n
+    T | union [kind=k] (T2|…)   -> UNION ALL   (union-compatible schemas;
+                                   name-aligned null-fill not supported)
+    T | parse c with "l" n:t …  -> regexp_extract per capture + cast
+    let name = expr; T | …      -> scalar substitution into the pipe
+
+Predicates additionally cover endswith, !contains, has (word-boundary
+regexp — ADX tokenizes, same answer for alphanumeric terms), in/!in,
+between (a .. b), isempty/isnotempty.
 
 Anything else raises ValueError naming the operator — a deliberate
 explicit-subset contract, not a silent mistranslation. Each stage wraps
@@ -98,8 +108,23 @@ def _expr(kql_expr: str) -> str:
         r"regexp_extract(\3, \1, \2)",
         e,
     )
+    e = re.sub(r"\bisnotempty\(([^()]+)\)", r"(\1 IS NOT NULL AND \1 <> '')", e)
+    e = re.sub(r"\bisempty\(([^()]+)\)", r"(\1 IS NULL OR \1 = '')", e)
     e = re.sub(r"==", "=", e)
     e = re.sub(r"!=", "<>", e)
+    e = re.sub(
+        r"\bbetween\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
+        r"BETWEEN \1 AND \2",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(r"\s+!in\s+", " NOT IN ", e, flags=re.IGNORECASE)
+    e = re.sub(
+        r"(\S+)\s+!contains\s+('(?:[^']|'')*')",
+        r"\1 NOT LIKE concat('%', \2, '%')",
+        e,
+        flags=re.IGNORECASE,
+    )
     e = re.sub(
         r"(\S+)\s+contains\s+('(?:[^']|'')*')",
         r"\1 LIKE concat('%', \2, '%')",
@@ -109,6 +134,20 @@ def _expr(kql_expr: str) -> str:
     e = re.sub(
         r"(\S+)\s+startswith\s+('(?:[^']|'')*')",
         r"\1 LIKE concat(\2, '%')",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"(\S+)\s+endswith\s+('(?:[^']|'')*')",
+        r"\1 LIKE concat('%', \2)",
+        e,
+        flags=re.IGNORECASE,
+    )
+    # KQL `has` is whole-term match (tokenized in ADX); the Spark twin is
+    # a word-boundary regexp — same answer for alphanumeric terms.
+    e = re.sub(
+        r"(\S+)\s+has\s+('(?:[^']|'')*')",
+        r"\1 RLIKE concat('\\\\b', \2, '\\\\b')",
         e,
         flags=re.IGNORECASE,
     )
@@ -183,8 +222,61 @@ def _group_alias(g: str, idx: int) -> tuple[str, str]:
     return f"{_expr(g)} AS key{idx}", _expr(g)
 
 
+_TYPE_CASTS = {"long": "BIGINT", "int": "INT", "double": "DOUBLE", "string": ""}
+
+
+def _parse_to_selects(col: str, pattern: str) -> list[str]:
+    """`parse <col> with [*] "lit" name:type "lit" ...` -> one
+    regexp_extract per capture. ADX anchors at the string start unless
+    the pattern opens with *."""
+    toks = re.findall(r'"((?:[^"\\]|\\.)*)"|(\*)|(\w+)\s*:\s*(\w+)', pattern)
+    regex, caps = "", []
+    anchored = True
+    for lit, star, name, typ in toks:
+        if star:
+            if not regex and not caps:
+                anchored = False
+            regex += ".*?"
+        elif name:
+            regex += "(.*?)" if typ == "string" else r"(-?[0-9.]+)"
+            caps.append((name, typ))
+        else:
+            regex += re.escape(re.sub(r"\\(.)", r"\1", lit))
+    if anchored:
+        regex = "^" + regex
+    regex_sql = regex.replace("\\", "\\\\").replace("'", "''")
+    out = []
+    for i, (name, typ) in enumerate(caps, 1):
+        ex = f"regexp_extract({col}, '{regex_sql}', {i})"
+        cast = _TYPE_CASTS.get(typ)
+        if cast is None:
+            raise ValueError(f"unsupported parse type: {typ!r}")
+        # try_cast: a non-matching row extracts '' and must yield NULL
+        # (ADX parse semantics), not an ANSI cast error.
+        out.append(
+            f"try_cast({ex} AS {cast}) AS {name}" if cast else f"{ex} AS {name}"
+        )
+    return out
+
+
+def _apply_lets(text: str) -> str:
+    """Strip leading scalar `let name = expr;` statements and substitute
+    the expression (parenthesized) for each use in the query body."""
+    subs = {}
+    while True:
+        m = re.match(r"\s*let\s+(\w+)\s*=\s*([^;]+);", text)
+        if not m:
+            break
+        subs[m.group(1)] = m.group(2).strip()
+        text = text[m.end():]
+    for name, expr in subs.items():
+        text = re.sub(rf"\b{re.escape(name)}\b", f"({expr})", text)
+    return text
+
+
 def kql_to_sql(kql: str) -> str:
     """Translate a KQL pipe query to one Spark SQL statement."""
+    kql = _apply_lets(" ".join(kql.split()))
     stages = _split_top_level(" ".join(kql.split()), "|")
     if not stages or not re.match(r"^\w+$", stages[0]):
         raise ValueError(f"KQL must start with a table name: {kql!r}")
@@ -292,6 +384,40 @@ def kql_to_sql(kql: str) -> str:
                 c.strip() for c in _split_top_level(body)
             )
             sql = f"SELECT * EXCEPT ({cols}) FROM {prev}"
+        elif op == "project-keep":
+            cols = ", ".join(c.strip() for c in _split_top_level(body))
+            sql = f"SELECT {cols} FROM {prev}"
+        elif op == "project-rename":
+            pairs = []
+            for c in _split_top_level(body):
+                m = re.match(r"(\w+)\s*=\s*(\w+)$", c)
+                if not m:
+                    raise ValueError(f"project-rename needs new=old: {c!r}")
+                pairs.append((m.group(1), m.group(2)))
+            olds = ", ".join(o for _, o in pairs)
+            renames = ", ".join(f"{o} AS {n}" for n, o in pairs)
+            sql = f"SELECT * EXCEPT ({olds}), {renames} FROM {prev}"
+        elif op == "union":
+            m = re.match(
+                r"(?:kind\s*=\s*\w+\s+)?(?:\((.+)\)|(\w+))\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"union needs (pipe) or a table: {body!r}")
+            right = kql_to_sql((m.group(1) or m.group(2)).strip())
+            # KQL union aligns columns by NAME (kind=outer null-fills);
+            # union-compatible schemas are required here — the common
+            # same-shape case — and mismatches fail loudly at analysis.
+            sql = f"SELECT * FROM {prev} UNION ALL ({right})"
+        elif op == "parse":
+            m = re.match(
+                r"(?:kind\s*=\s*simple\s+)?(\w+)\s+with\s+(.+)$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"parse needs '<col> with <pattern>': {body!r}")
+            selects = _parse_to_selects(m.group(1), m.group(2))
+            sql = f"SELECT *, {', '.join(selects)} FROM {prev}"
         elif op == "distinct":
             cols = ", ".join(
                 _expr(c) for c in _split_top_level(_strings_to_sql(body))
@@ -455,6 +581,38 @@ def q_kql_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_union_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """let substitution + in-list/between predicates + project-rename /
+    project-keep + union of two pipes, aggregated — the multi-statement
+    KQL shapes an ADX dashboard tile typically combines."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "let hi = 80;"
+        ' events | where event_type in ("view", "click")'
+        " | project-rename uid=user_id"
+        " | project-keep uid, event_type, value"
+        " | where value between (hi .. 100)"
+        ' | union (events | where event_type == "purchase"'
+        "          | project-rename uid=user_id"
+        "          | project-keep uid, event_type, value)"
+        " | summarize n=count(), users=dcount(uid) by event_type"
+        " | sort by event_type asc",
+    )
+
+
+def q_kql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse` pattern extraction (literal/capture alternation compiled
+    to one anchored regexp, one regexp_extract + cast per capture)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | parse props with "{\\"k\\": " k:long "}"'
+        " | summarize n=count(), sum_k=sum(k) by event_type"
+        " | sort by event_type asc",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_count": q_kql_count,
@@ -463,6 +621,8 @@ QUERIES = {
     "kql_join": q_kql_join,
     "kql_mv_expand": q_kql_mv_expand,
     "kql_scalar_fns": q_kql_scalar_fns,
+    "kql_union_rename": q_kql_union_rename,
+    "kql_parse": q_kql_parse,
 }
 
 ORACLE = {
@@ -503,6 +663,22 @@ ORACLE = {
             FROM events)
         SELECT parts, COUNT(*) AS n FROM parts GROUP BY parts
         ORDER BY n DESC, parts LIMIT 50
+    """,
+    "kql_union_rename": """
+        SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT uid) AS users
+        FROM (
+            SELECT user_id AS uid, event_type, value FROM events
+            WHERE event_type IN ('view', 'click')
+              AND value BETWEEN 80 AND 100
+            UNION ALL
+            SELECT user_id, event_type, value FROM events
+            WHERE event_type = 'purchase')
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "kql_parse": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "kql_scalar_fns": """
         SELECT event_id,

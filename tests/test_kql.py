@@ -158,3 +158,43 @@ def test_top_plans_take_ordered(spark, sf_smoke):
     df = kql(spark, "events | top 10 by value")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan[:400]
+
+
+def test_let_union_rename_keep(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "let t = 50;"
+        " events | where value > t"
+        " | project-rename uid=user_id"
+        " | project-keep uid, event_type"
+        ' | union (events | where event_type == "purchase"'
+        "          | project-rename uid=user_id | project-keep uid, event_type)"
+        " | count",
+    )
+    assert df.columns == ["count_"]
+    assert df.collect()[0]["count_"] > 0
+
+
+def test_parse_extracts_typed_captures(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        'events | parse props with "{\\"k\\": " k:long "}"'
+        " | project event_id, k | take 5",
+    )
+    rows = df.collect()
+    assert all(isinstance(r["k"], int) for r in rows)
+
+
+def test_new_predicates_translate():
+    sql = kql_to_sql('events | where event_type endswith "w"')
+    assert "LIKE concat('%', 'w')" in sql
+    sql = kql_to_sql('events | where event_type has "view"')
+    assert "RLIKE" in sql
+    sql = kql_to_sql("events | where value between (10 .. 20)")
+    assert "BETWEEN 10 AND 20" in sql
+    sql = kql_to_sql('events | where event_type !in ("a", "b")')
+    assert "NOT IN" in sql
+    sql = kql_to_sql("events | where isnotempty(event_type)")
+    assert "IS NOT NULL" in sql
