@@ -57,10 +57,43 @@ def q_string_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGGREGATE pandas UDF — the UDAF shape of the §2.10
+    extension surface (scalar / grouped-map / mapInPandas / mapInArrow /
+    state / UDTF are exercised elsewhere). Geometric mean per event_type.
+    Scale note: unlike native aggregates, a grouped-agg pandas UDF gets
+    NO partial (map-side) aggregation — every group's raw values shuffle
+    to one task — which is exactly why the engine keeps Python out of
+    hot aggregates and this exists as the extension-point demo. The
+    oracle is the algebraic identity exp(avg(ln x)), so the Python path
+    is value-checked, not just smoke-tested. Round to 6 dp: numpy and
+    DuckDB accumulate the log-mean in different orders."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: `from __future__ import annotations`
+    # stringifies signatures, which breaks pandas_udf's type inference.
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    ev = load(spark, sf_dir, "events")
+    # Spark forbids mixing a grouped-agg pandas UDF with native aggregates
+    # in one agg(); the count comes from a separate native agg joined on
+    # the (tiny) group key.
+    gm = ev.groupBy("event_type").agg(
+        F.round(geomean("value"), 6).alias("geomean_value")
+    )
+    n = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return gm.join(n, "event_type").orderBy("event_type")
+
+
 QUERIES = {
     "scalar_functions": q_scalar_functions,
     "epoch_conversions": q_epoch_conversions,
     "string_cleanup": q_string_cleanup,
+    "pandas_udaf": q_pandas_udaf,
 }
 
 ORACLE = {
@@ -83,5 +116,12 @@ ORACLE = {
                regexp_replace(text, '[^a-z ]', '', 'g') AS alpha_only,
                len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
         FROM documents
+    """,
+    "pandas_udaf": """
+        SELECT event_type,
+               ROUND(exp(AVG(ln(value)) FILTER (value > 0)), 6)
+                   AS geomean_value,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
 }

@@ -38,6 +38,10 @@ HEADLINE = [
     "session_window_agg",  # per-user session windows
     "gap_fill_resample",  # hourly grid + forward-fill
     "ann_ivf_topk",  # IVF approximate nearest neighbors
+    "parts_supplier_cnt",  # TPC-H Q16 over derived partsupp
+    "embedding_band_pairs",  # sign-band bucketed embedding near-dup
+    "corpus_pipeline",  # composed quality->dedup corpus prep census
+    "kql_summarize",  # KQL frontend translation + grouped agg
 ]
 
 
