@@ -148,36 +148,76 @@ def lsh_bands(sig: Column) -> Column:
     )
 
 
+MEGA_BUCKET = 1024  # members; above this, pair expansion is block-joined
+
+
 def _expand_id_pairs(buckets: DataFrame) -> DataFrame:
     """(ids: sorted array<long>) -> distinct (doc_a, doc_b) pairs, a < b.
-    In-array expansion: each bucket's candidate pairs are generated
-    without a self-join, so the (re-used by LSH and prefix-filter paths)
-    candidate stage is ONE shuffle + map-side expansion. Bucket lists
-    are near-dup groups (small); a pathological mega-bucket would show
-    up here and should be salted or capped before expansion."""
-    return (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + 2,
-                                F.greatest(F.size("ids") - i - 1, F.lit(0)),
-                            ),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+
+    Two exactness-preserving paths, split on bucket size:
+
+    - Normal buckets (near-dup groups, small): in-array expansion — the
+      candidate stage stays ONE shuffle + map-side expansion, no
+      self-join.
+    - Mega-buckets (> MEGA_BUCKET members — a degenerate band value,
+      e.g. an all-identical boilerplate corpus): a single task expanding
+      size^2/2 pairs in one array would OOM the executor, so members are
+      hashed into ceil(size/MEGA_BUCKET) blocks and pairs come from a
+      block-pair join (i <= j), bounding any task to ~MEGA_BUCKET^2
+      comparisons. Same pair set, provably: every (a, b) lands in
+      exactly the (block(a), block(b)) cell.
+    """
+    n_blocks = F.greatest(
+        F.ceil(F.size("ids") / MEGA_BUCKET).cast("int"), F.lit(1)
     )
+    small = buckets.filter(F.size("ids") <= MEGA_BUCKET)
+    big = buckets.filter(F.size("ids") > MEGA_BUCKET)
+
+    small_pairs = small.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("ids"),
+                            i + 2,
+                            F.greatest(F.size("ids") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("doc_a"), y.alias("doc_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
+
+    # Mega path: explode members once with a stable bucket key + block id,
+    # then join block i x block j (i <= j) within the bucket and keep
+    # a < b. Runs only on the oversized buckets' rows.
+    members = big.select(
+        F.xxhash64("ids").alias("bk"),
+        n_blocks.alias("nb"),
+        F.explode("ids").alias("doc"),
+    ).select(
+        "bk", "nb", "doc", F.pmod(F.xxhash64("doc"), F.col("nb")).alias("blk")
+    )
+    ma, mb = members.alias("ma"), members.alias("mb")
+    # Every unordered pair {x, y} satisfies blk(x) <= blk(y) for one of
+    # its two orderings, so the half-open block condition enumerates each
+    # pair at least once; least/greatest normalizes and distinct dedupes
+    # the same-block double hit.
+    big_pairs = ma.join(
+        mb,
+        (F.col("ma.bk") == F.col("mb.bk"))
+        & (F.col("ma.blk") <= F.col("mb.blk"))
+        & (F.col("ma.doc") != F.col("mb.doc")),
+    ).select(
+        F.least("ma.doc", "mb.doc").alias("doc_a"),
+        F.greatest("ma.doc", "mb.doc").alias("doc_b"),
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
 
 
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
