@@ -239,10 +239,12 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Candidate pairs via ONE groupBy on (band, bucket) + in-array pair
     # expansion — not a bands⋈bands self-join, which would compute the
-    # whole shingle→signature lineage twice and shuffle it twice. Bucket
-    # membership lists are tiny (near-dup groups), so the per-bucket
-    # pair expansion is bounded; a pathological mega-bucket would show up
-    # here and should be salted or capped before expansion.
+    # whole shingle→signature lineage twice and shuffle it twice.
+    # Pathological mega-buckets take _expand_id_pairs' block-join path
+    # (per-task work bounded); the remaining per-bucket bound is the
+    # collect_list row itself, ~8 bytes/member — fine to ~10^8 members,
+    # beyond which the grouped-array stage should be replaced by feeding
+    # the raw (band, bucket, doc) rows straight into the block join.
     buckets = (
         bands.groupBy("band", "bucket")
         .agg(F.collect_list("doc_id").alias("ids"))

@@ -391,6 +391,35 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the pre-aggregated-cube pattern that
+    makes distinct counts O(1) to re-aggregate at 100 TB: fine-grained
+    (event_type, day) HLL sketches (Datasketches HLL_4, lgK=14) are
+    stored once, then ANY coarser grouping comes from hll_union_agg over
+    the tiny sketch table instead of a re-scan of raw events — the
+    property COUNT(DISTINCT) fundamentally lacks. The oracle is the
+    exact per-type distinct count: at this corpus's cardinalities
+    (~150 users/type, far below the 2^14 sketch threshold) the HLL
+    coupon list is still in exact mode, so estimate == exact and the
+    value-hash comparison is legitimate; at larger scale the same query
+    drops to a closeness contract (see approx_sketches)."""
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", "ts").alias("day")
+    daily = ev.groupBy("event_type", day).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count("*").alias("n"),
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("users_est"),
+            F.sum("n").alias("n_events"),
+            F.count("*").alias("n_days"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _RETURNED_ITEMS_SQL = """
     SELECT c.c_custkey, c.c_name, n.n_name,
            ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
@@ -521,6 +550,7 @@ QUERIES = {
     "sliding_window_agg": q_sliding_window_agg,
     "session_window_agg": q_session_window_agg,
     "approx_sketches": q_approx_sketches,  # no oracle: approximate by design
+    "sketch_rollup": q_sketch_rollup,
     "percentile_agg": q_percentile_agg,
     "value_outliers": q_value_outliers,
     "activity_heatmap": q_activity_heatmap,
@@ -589,6 +619,13 @@ ORACLE = {
         SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n,
                ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1
+    """,
+    "sketch_rollup": """
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS users_est,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT date_trunc('day', ts)) AS n_days
+        FROM events GROUP BY event_type ORDER BY event_type
     """,
     "json_variant": """
         SELECT event_type, COUNT(*) AS n,
