@@ -15,7 +15,9 @@ from __future__ import annotations
 
 import sys
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from api_to_parquet_spark import get_spark
 from api_to_parquet_spark.queries import all_queries

@@ -15,7 +15,9 @@ import json
 import sys
 import tempfile
 
-sys.path.insert(0, ".")
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from api_to_parquet_spark import get_spark, ingest, lake, state
 from api_to_parquet_spark.queries.kql import kql, synapse_sql
