@@ -162,3 +162,51 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_smoke):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "might_contain" in plan, plan[:600]
+
+
+def test_partsupp_derivation_is_shuffle_free(spark, sf_smoke):
+    """The derived partsupp (Q16/Q20 input) must be a map-side 4x
+    expansion of the part scan with the supplier count broadcast —
+    no Exchange inside the derivation subtree."""
+    from api_to_parquet_spark.queries.tpch import synthetic_partsupp
+
+    plan = (
+        synthetic_partsupp(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastExchange" in plan
+    assert "Exchange hashpartitioning" not in plan, plan[:800]
+
+
+def test_parts_supplier_cnt_pushes_part_filters(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "parts_supplier_cnt")
+    assert "Not(EqualTo(p_brand,Brand#2))" in plan
+    # The scan's filter list is elided in toString; the brand filter above
+    # plus the StartsWith in the Filter node prove both reached the scan.
+    assert "StartsWith(p_type" in plan
+
+
+def test_band_pairs_candidates_one_hash_join(spark, sf_smoke):
+    """The banded near-dup must join on (band, code) — never plan a
+    cartesian/nested-loop candidate stage like the all-pairs baseline."""
+    plan = _plan(spark, sf_smoke, "embedding_band_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_format_roundtrip_reads_with_schema(spark, sf_smoke):
+    """CSV read-back must carry the explicit schema (no inference scan)
+    and aggregate with a partial before the exchange."""
+    plan = _plan(spark, sf_smoke, "csv_roundtrip")
+    assert "Scan csv" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_sketch_rollup_reaggregates_sketches_not_rows(spark, sf_smoke):
+    """The coarse rollup must consume the fine-grained sketch table
+    (hll_union_agg), not re-scan raw events per grouping."""
+    plan = _plan(spark, sf_smoke, "sketch_rollup")
+    assert "hll_union_agg" in plan
+    assert plan.count("Scan parquet") == 1, plan[:800]
