@@ -162,10 +162,19 @@ def _expand_id_pairs(buckets: DataFrame) -> DataFrame:
     - Mega-buckets (> MEGA_BUCKET members — a degenerate band value,
       e.g. an all-identical boilerplate corpus): a single task expanding
       size^2/2 pairs in one array would OOM the executor, so members are
-      hashed into ceil(size/MEGA_BUCKET) blocks and pairs come from a
-      block-pair join (i <= j), bounding any task to ~MEGA_BUCKET^2
-      comparisons. Same pair set, provably: every (a, b) lands in
-      exactly the (block(a), block(b)) cell.
+      hashed into ceil(size/MEGA_BUCKET) blocks and each member is
+      exploded into its block-pair CELLS — row role (i = blk(x),
+      j = blk(x)..nb-1) and column role (i = 0..blk(y), j = blk(y)) —
+      so the join is a pure EQUI-join on (bucket, i, j). Every join key
+      holds ~2*MEGA_BUCKET rows, so per-task work is genuinely bounded
+      by ~MEGA_BUCKET^2 comparisons no matter the bucket size (a
+      bk-only equi-key would re-serialize the whole bucket through one
+      task). Replication cost is size*nb ≈ size^2/MEGA_BUCKET cell rows
+      — exactly comparisons/MEGA_BUCKET, the price of distributing
+      them. Same pair set, provably: an unordered pair {x, y} with
+      blk(x) < blk(y) matches only in cell (blk(x), blk(y)) with x in
+      the row role; same-block pairs hit cell (c, c) in both
+      orientations and are deduped by least/greatest + distinct.
     """
     n_blocks = F.greatest(
         F.ceil(F.size("ids") / MEGA_BUCKET).cast("int"), F.lit(1)
@@ -194,28 +203,39 @@ def _expand_id_pairs(buckets: DataFrame) -> DataFrame:
     ).select("p.doc_a", "p.doc_b")
 
     # Mega path: explode members once with a stable bucket key + block id,
-    # then join block i x block j (i <= j) within the bucket and keep
-    # a < b. Runs only on the oversized buckets' rows.
+    # then explode each member into its block-pair cells so (bk, bi, bj)
+    # is the JOIN KEY — Spark hash-partitions on all three, and no task
+    # ever sees more than one ~MEGA_BUCKET x ~MEGA_BUCKET cell. Runs only
+    # on the oversized buckets' rows.
     members = big.select(
         F.xxhash64("ids").alias("bk"),
         n_blocks.alias("nb"),
         F.explode("ids").alias("doc"),
     ).select(
-        "bk", "nb", "doc", F.pmod(F.xxhash64("doc"), F.col("nb")).alias("blk")
+        "bk",
+        "nb",
+        "doc",
+        F.pmod(F.xxhash64("doc"), F.col("nb")).cast("int").alias("blk"),
     )
-    ma, mb = members.alias("ma"), members.alias("mb")
-    # Every unordered pair {x, y} satisfies blk(x) <= blk(y) for one of
-    # its two orderings, so the half-open block condition enumerates each
-    # pair at least once; least/greatest normalizes and distinct dedupes
-    # the same-block double hit.
-    big_pairs = ma.join(
-        mb,
-        (F.col("ma.bk") == F.col("mb.bk"))
-        & (F.col("ma.blk") <= F.col("mb.blk"))
-        & (F.col("ma.doc") != F.col("mb.doc")),
-    ).select(
-        F.least("ma.doc", "mb.doc").alias("doc_a"),
-        F.greatest("ma.doc", "mb.doc").alias("doc_b"),
+    row_cells = members.select(
+        "bk",
+        "doc",
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("bj"),
+    )
+    col_cells = members.select(
+        "bk",
+        F.col("doc").alias("doc2"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    big_pairs = (
+        row_cells.join(col_cells, ["bk", "bi", "bj"])
+        .filter(F.col("doc") != F.col("doc2"))
+        .select(
+            F.least("doc", "doc2").alias("doc_a"),
+            F.greatest("doc", "doc2").alias("doc_b"),
+        )
     )
     return small_pairs.unionByName(big_pairs).distinct()
 
@@ -405,6 +425,56 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIMHASH_BAND_BITS = 15  # 60 bits -> 4 bands of 15
+SIMHASH_N_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+SIMHASH_BAND_HAM = SIMHASH_N_BANDS - 1  # pigeonhole-exact threshold
+
+
+def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BANDED SimHash near-dup pairs at Hamming <= 3 (of 60 bits) — the
+    scale path q_simhash_dup_pairs deliberately lacks at its loose
+    threshold. Pigeonhole: <= 3 differing bits spread over 4 disjoint
+    15-bit bands leave at least one band IDENTICAL, so grouping on
+    (band, band_value) yields a candidate set that provably contains
+    every qualifying pair — banding here is EXACT, not probabilistic.
+
+    Scale shape: fingerprints map-side; candidates from ONE shuffle on
+    (band, value) with the same mega-bucket cell-join bound as LSH
+    (_expand_id_pairs); exact bit_count verify on candidates only. On
+    random 15-bit band values collisions are ~n^2/2^15 — at this tight
+    threshold banding pays, unlike ham<=10 where ~5.5-bit bands
+    approach all-pairs (see q_simhash_dup_pairs). Oracle: the all-pairs
+    Hamming join at the same threshold."""
+    d = _simhashed(spark, sf_dir)
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit((1 << SIMHASH_BAND_BITS) - 1)
+            )
+            for b in range(SIMHASH_N_BANDS)
+        ]
+    )
+    bands = d.select(
+        "doc_id", F.posexplode(band_vals).alias("band", "val")
+    )
+    buckets = (
+        bands.groupBy("band", "val")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
+    )
+    pairs = _expand_id_pairs(buckets)
+    fa = d.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    fb = d.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_BAND_HAM)
+    )
+
+
 _DUCK_WORDS = "regexp_split_to_array(trim(text), '\\s+')"
 _DUCK_SHINGLES = (
     "list_distinct(list_transform("
@@ -574,10 +644,11 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_dup_pairs": q_simhash_dup_pairs,
+    "simhash_band_pairs": q_simhash_band_pairs,
 }
 
 ORACLE = {
-    "cdc_shared_chunks": """
+    "cdc_shared_chunks": r"""
         WITH toks AS (
             SELECT doc_id,
                    generate_subscripts(
@@ -647,5 +718,15 @@ ORACLE = {
                    bit_count(xor(a.simhash, b.simhash)) AS hamming
             FROM s a JOIN s b ON a.doc_id < b.doc_id)
         WHERE hamming <= 10
+    """,
+    # banding at ham <= 3 is pigeonhole-EXACT, so the all-pairs Hamming
+    # join at the same threshold is the oracle.
+    "simhash_band_pairs": f"""
+        SELECT * FROM (
+            WITH s AS ({_DUCK_SIMHASH})
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.simhash, b.simhash)) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id)
+        WHERE hamming <= {SIMHASH_BAND_HAM}
     """,
 }

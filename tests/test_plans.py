@@ -196,6 +196,44 @@ def test_band_pairs_candidates_one_hash_join(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_simhash_band_pairs_no_cartesian(spark, sf_smoke):
+    """The banded SimHash scale path must bucket on (band, value) —
+    candidates come from hash joins only, never a cartesian/nested-loop
+    stage like its all-pairs oracle twin (simhash_dup_pairs)."""
+    plan = _plan(spark, sf_smoke, "simhash_band_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_mega_bucket_block_join_is_equi_on_cells(spark):
+    """The mega-bucket path must hash-partition on (bk, bi, bj) — the
+    block-pair cell is the JOIN KEY, so per-task work is bounded by
+    ~MEGA_BUCKET^2 regardless of bucket size. A bk-only equi-key (with
+    the block condition as a post-filter) would stream the whole bucket
+    through one task."""
+    from pyspark.sql import functions as F
+
+    from api_to_parquet_spark import dedup
+
+    df = spark.createDataFrame(
+        [(list(range(3000)),)], "ids: array<long>"
+    ).select(F.array_sort("ids").alias("ids"))
+    plan = (
+        dedup._expand_id_pairs(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    keys = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any(
+        "bk" in k and "bi" in k and "bj" in k for k in keys
+    ), keys
+
+
 def test_format_roundtrip_reads_with_schema(spark, sf_smoke):
     """CSV read-back must carry the explicit schema (no inference scan)
     and aggregate with a partial before the exchange."""
