@@ -33,14 +33,27 @@ Supported pipe operators (the committed shapes plus the everyday core):
     T | distinct c1, c2         -> SELECT DISTINCT
     T | project-keep c1, c2     -> SELECT c1, c2
     T | project-rename n=old    -> SELECT * EXCEPT (old), old AS n
-    T | union [kind=k] (T2|…)   -> UNION ALL   (union-compatible schemas;
-                                   name-aligned null-fill not supported)
+    T | union [kind=k] (T2|…)   -> name-aligned UNION ALL with null-fill
+                                   (ADX semantics) when a session is
+                                   available; positional otherwise
     T | parse c with "l" n:t …  -> regexp_extract per capture + cast
-    let name = expr; T | …      -> scalar substitution into the pipe
+    T | mv-apply e = c on (…)   -> higher-order array fns (filter/
+                                   aggregate/size) — per-row, map-side
+    T | top-nested N of g by a(x), top-nested M of h by b(y)
+                                -> hierarchical top-k (grouped agg +
+                                   row_number per level)
+    let name = expr; T | …      -> scalar substitution (string-literal-
+                                   safe, lets may reference earlier lets)
+    let t = [materialize(]T|…[)]; t | …
+                                -> tabular let inlined as a subquery
 
-Predicates additionally cover endswith, !contains, has (word-boundary
-regexp — ADX tokenizes, same answer for alphanumeric terms), in/!in,
-between (a .. b), isempty/isnotempty.
+summarize additionally covers arg_max/arg_min (-> max_by/min_by per
+carried column). Predicates additionally cover endswith, !contains, has
+(word-boundary regexp with the term regex-quoted — ADX tokenizes, same
+answer for alphanumeric terms), in/!in, between (a .. b),
+isempty/isnotempty; contains/startswith/endswith/has are
+case-insensitive like ADX, with *_cs case-sensitive variants. Datetime:
+ago(), now(), startofday/month/year, datetime() literals, bin().
 
 Anything else raises ValueError naming the operator — a deliberate
 explicit-subset contract, not a silent mistranslation. Each stage wraps
@@ -110,6 +123,22 @@ def _expr(kql_expr: str) -> str:
     )
     e = re.sub(r"\bisnotempty\(([^()]+)\)", r"(\1 IS NOT NULL AND \1 <> '')", e)
     e = re.sub(r"\bisempty\(([^()]+)\)", r"(\1 IS NULL OR \1 = '')", e)
+    # Datetime surface: ago()/now() anchor to the query clock;
+    # startof*() are date_trunc; datetime(...) literals become TIMESTAMP
+    # literals (ADX ISO shapes are a subset of Spark's).
+    e = re.sub(
+        r"\bago\((\d+)([smhd])\)",
+        lambda m: (
+            "(current_timestamp() - INTERVAL"
+            f" {int(m.group(1)) * _TIMESPAN_SECONDS[m.group(2)]} SECOND)"
+        ),
+        e,
+    )
+    e = re.sub(r"\bnow\(\)", "current_timestamp()", e)
+    e = re.sub(r"\bstartofday\(", "date_trunc('DAY', ", e)
+    e = re.sub(r"\bstartofmonth\(", "date_trunc('MONTH', ", e)
+    e = re.sub(r"\bstartofyear\(", "date_trunc('YEAR', ", e)
+    e = re.sub(r"\bdatetime\(\s*([^)']+?)\s*\)", r"TIMESTAMP '\1'", e)
     e = re.sub(r"==", "=", e)
     e = re.sub(r"!=", "<>", e)
     e = re.sub(
@@ -119,35 +148,65 @@ def _expr(kql_expr: str) -> str:
         flags=re.IGNORECASE,
     )
     e = re.sub(r"\s+!in\s+", " NOT IN ", e, flags=re.IGNORECASE)
+    # String predicates. ADX semantics: contains/startswith/endswith/has
+    # are CASE-INSENSITIVE; the _cs suffix is the case-sensitive family.
+    # contains() / startswith() / endswith() built-ins are substring
+    # tests (no LIKE, so % and _ in the term stay literal).
+    _STR = r"('(?:[^']|'')*')"
     e = re.sub(
-        r"(\S+)\s+!contains\s+('(?:[^']|'')*')",
-        r"\1 NOT LIKE concat('%', \2, '%')",
+        rf"(\S+)\s+!contains_cs\s+{_STR}", r"NOT contains(\1, \2)", e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        rf"(\S+)\s+contains_cs\s+{_STR}", r"contains(\1, \2)", e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        rf"(\S+)\s+!contains\s+{_STR}",
+        r"NOT contains(lower(\1), lower(\2))",
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
-        r"(\S+)\s+contains\s+('(?:[^']|'')*')",
-        r"\1 LIKE concat('%', \2, '%')",
+        rf"(\S+)\s+contains\s+{_STR}",
+        r"contains(lower(\1), lower(\2))",
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
-        r"(\S+)\s+startswith\s+('(?:[^']|'')*')",
-        r"\1 LIKE concat(\2, '%')",
+        rf"(\S+)\s+startswith_cs\s+{_STR}", r"startswith(\1, \2)", e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        rf"(\S+)\s+startswith\s+{_STR}",
+        r"startswith(lower(\1), lower(\2))",
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
-        r"(\S+)\s+endswith\s+('(?:[^']|'')*')",
-        r"\1 LIKE concat('%', \2)",
+        rf"(\S+)\s+endswith_cs\s+{_STR}", r"endswith(\1, \2)", e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        rf"(\S+)\s+endswith\s+{_STR}",
+        r"endswith(lower(\1), lower(\2))",
         e,
         flags=re.IGNORECASE,
     )
     # KQL `has` is whole-term match (tokenized in ADX); the Spark twin is
-    # a word-boundary regexp — same answer for alphanumeric terms.
+    # a word-boundary regexp — same answer for alphanumeric terms. The
+    # term is regex-quoted (\Q…\E) so `has "c++"` can't inject a pattern,
+    # and (?i) matches ADX's case-insensitivity; has_cs is the
+    # case-sensitive variant.
     e = re.sub(
-        r"(\S+)\s+has\s+('(?:[^']|'')*')",
-        r"\1 RLIKE concat('\\\\b', \2, '\\\\b')",
+        rf"(\S+)\s+has_cs\s+{_STR}",
+        r"\1 RLIKE concat('\\\\b\\\\Q', \2, '\\\\E\\\\b')",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        rf"(\S+)\s+has\s+{_STR}",
+        r"\1 RLIKE concat('(?i)\\\\b\\\\Q', \2, '\\\\E\\\\b')",
         e,
         flags=re.IGNORECASE,
     )
@@ -178,6 +237,36 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 
 
 _AGG_FNS = {"count", "dcount", "sum", "avg", "min", "max", "percentile"}
+
+
+def _agg_items(item: str, auto_idx: int) -> list[str]:
+    """One summarize aggregate -> SQL select items. arg_max/arg_min
+    expand to MULTIPLE items (the extremal key plus max_by/min_by of
+    every carried column — KQL's most-typed aggregate, returning the
+    whole row at the extremum); everything else is a single _agg item.
+
+    Ties on the arg_max key pick an arbitrary row in BOTH ADX and
+    Spark's max_by — use a unique key when determinism matters."""
+    m = re.match(r"(?:(\w+)\s*=\s*)?(arg_max|arg_min)\s*\((.*)\)$", item.strip())
+    if not m:
+        return [_agg(item, auto_idx)]
+    alias, fn = m.group(1), m.group(2)
+    args = _split_top_level(m.group(3))
+    if len(args) < 2:
+        raise ValueError(f"{fn} needs (key, col, ...): {item!r}")
+    if any(a.strip() == "*" for a in args[1:]):
+        raise ValueError(
+            f"{fn}(key, *) unsupported: list the carried columns explicitly"
+        )
+    key = args[0].strip()
+    extremum, by = ("MAX", "max_by") if fn == "arg_max" else ("MIN", "min_by")
+    key_alias = alias or (key if re.match(r"^\w+$", key) else f"agg{auto_idx}")
+    items = [f"{extremum}({_expr(key)}) AS {key_alias}"]
+    for j, c in enumerate(args[1:]):
+        c = c.strip()
+        cal = c if re.match(r"^\w+$", c) else f"agg{auto_idx}_{j}"
+        items.append(f"{by}({_expr(c)}, {_expr(key)}) AS {cal}")
+    return items
 
 
 def _agg(item: str, auto_idx: int) -> str:
@@ -259,28 +348,73 @@ def _parse_to_selects(col: str, pattern: str) -> list[str]:
     return out
 
 
-def _apply_lets(text: str) -> str:
-    """Strip leading scalar `let name = expr;` statements and substitute
-    the expression (parenthesized) for each use in the query body."""
-    subs = {}
+_STR_SPAN = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
+
+
+def _sub_outside_strings(pattern: str, repl: str, text: str) -> str:
+    """re.sub that leaves quoted string literals untouched — a let named
+    `t` must not rewrite the literal in `where event_type == "t"`."""
+    out, last = [], 0
+    for m in _STR_SPAN.finditer(text):
+        out.append(re.sub(pattern, repl, text[last : m.start()]))
+        out.append(m.group(0))
+        last = m.end()
+    out.append(re.sub(pattern, repl, text[last:]))
+    return "".join(out)
+
+
+def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
+    """Strip leading `let name = …;` statements. Scalar lets substitute
+    the parenthesized expression for each use in the body (and in LATER
+    let bodies — lets may reference earlier lets), skipping string
+    literals. TABULAR lets (`let t = T | …;`, optionally wrapped in
+    materialize(...)) are returned as name -> pipe text for the
+    translator to inline wherever `t` heads a pipe. materialize() is a
+    caching hint in ADX; Spark's optimizer already reuses repeated
+    subtrees (ReusedExchange/Subquery), so stripping it preserves
+    semantics and lets AQE decide the physical reuse."""
+    scalar: dict[str, str] = {}
+    tabular: dict[str, str] = {}
     while True:
         m = re.match(r"\s*let\s+(\w+)\s*=\s*([^;]+);", text)
         if not m:
             break
-        subs[m.group(1)] = m.group(2).strip()
+        name, body = m.group(1), m.group(2).strip()
+        for n2, e2 in scalar.items():
+            body = _sub_outside_strings(rf"\b{re.escape(n2)}\b", f"({e2})", body)
+        mm = re.match(r"materialize\s*\(\s*(.+)\)\s*$", body, re.DOTALL)
+        if mm:
+            body = mm.group(1).strip()
+        head = re.match(r"^(\w+)\s*(\||$)", body)
+        if head and (head.group(2) == "|" or head.group(1) in tabular):
+            tabular[name] = body
+        else:
+            scalar[name] = body
         text = text[m.end():]
-    for name, expr in subs.items():
-        text = re.sub(rf"\b{re.escape(name)}\b", f"({expr})", text)
-    return text
+    for name, expr in scalar.items():
+        text = _sub_outside_strings(rf"\b{re.escape(name)}\b", f"({expr})", text)
+    return text, tabular
 
 
-def kql_to_sql(kql: str) -> str:
-    """Translate a KQL pipe query to one Spark SQL statement."""
-    kql = _apply_lets(" ".join(kql.split()))
+def kql_to_sql(
+    kql: str,
+    spark: SparkSession | None = None,
+    _tabular: dict[str, str] | None = None,
+) -> str:
+    """Translate a KQL pipe query to one Spark SQL statement. When a
+    SparkSession is passed, union stages align columns BY NAME via
+    schema analysis (ADX semantics); without one they fall back to
+    positional UNION ALL (same-shape pipes only)."""
+    if _tabular is None:
+        kql, _tabular = _apply_lets(" ".join(kql.split()))
     stages = _split_top_level(" ".join(kql.split()), "|")
     if not stages or not re.match(r"^\w+$", stages[0]):
         raise ValueError(f"KQL must start with a table name: {kql!r}")
-    sql = f"SELECT * FROM {stages[0]}"
+    if stages[0] in _tabular:
+        base = kql_to_sql(_tabular[stages[0]], spark, _tabular)
+        sql = f"SELECT * FROM ({base}) AS _let_{stages[0]}"
+    else:
+        sql = f"SELECT * FROM {stages[0]}"
     for i, stage in enumerate(stages[1:], 1):
         words = stage.split(None, 1)
         op = words[0].lower()
@@ -311,8 +445,9 @@ def kql_to_sql(kql: str) -> str:
         elif op == "summarize":
             parts = re.split(r"\bby\b", body, maxsplit=1)
             aggs = [
-                _agg(a, j)
+                it
                 for j, a in enumerate(_split_top_level(parts[0]))
+                for it in _agg_items(a, j)
             ]
             if len(parts) == 2:
                 pairs = [
@@ -371,7 +506,7 @@ def kql_to_sql(kql: str) -> str:
             }
             if kind not in joins:
                 raise ValueError(f"unsupported join kind: {kind!r}")
-            right = kql_to_sql(m.group(2).strip())
+            right = kql_to_sql(m.group(2).strip(), spark, _tabular)
             keys = ", ".join(
                 k.strip() for k in _split_top_level(m.group(3))
             )
@@ -404,11 +539,29 @@ def kql_to_sql(kql: str) -> str:
             )
             if not m:
                 raise ValueError(f"union needs (pipe) or a table: {body!r}")
-            right = kql_to_sql((m.group(1) or m.group(2)).strip())
-            # KQL union aligns columns by NAME (kind=outer null-fills);
-            # union-compatible schemas are required here — the common
-            # same-shape case — and mismatches fail loudly at analysis.
-            sql = f"SELECT * FROM {prev} UNION ALL ({right})"
+            right = kql_to_sql((m.group(1) or m.group(2)).strip(), spark, _tabular)
+            # KQL union aligns columns by NAME (default kind=outer
+            # null-fills missing columns). With a session, resolve both
+            # sides' schemas (analysis only — no execution) and emit an
+            # explicit name-aligned projection; Spark SQL has no
+            # UNION BY NAME syntax. Without a session, positional
+            # UNION ALL — same-shape pipes only.
+            if spark is not None:
+                lcols = spark.sql(sql).columns
+                rcols = spark.sql(right).columns
+                allc = list(lcols) + [c for c in rcols if c not in lcols]
+                lsel = ", ".join(
+                    c if c in lcols else f"NULL AS {c}" for c in allc
+                )
+                rsel = ", ".join(
+                    c if c in rcols else f"NULL AS {c}" for c in allc
+                )
+                sql = (
+                    f"SELECT {lsel} FROM {prev} UNION ALL "
+                    f"(SELECT {rsel} FROM ({right}) AS _u{i})"
+                )
+            else:
+                sql = f"SELECT * FROM {prev} UNION ALL ({right})"
         elif op == "parse":
             m = re.match(
                 r"(?:kind\s*=\s*simple\s+)?(\w+)\s+with\s+(.+)$", body,
@@ -423,6 +576,123 @@ def kql_to_sql(kql: str) -> str:
                 _expr(c) for c in _split_top_level(_strings_to_sql(body))
             )
             sql = f"SELECT DISTINCT {cols} FROM {prev}"
+        elif op == "mv-apply":
+            # `mv-apply [e =] arr on (where … | summarize …)` runs the
+            # subpipe over each row's ARRAY elements. Translated to
+            # higher-order array functions (filter/transform/aggregate/
+            # size) — per-row, map-side, ZERO shuffle, where ADX
+            # conceptually expands+regroups. Subset: optional where
+            # stages, optional final summarize (sum/count/min/max/avg of
+            # an element expression; sums/avgs compute as DOUBLE).
+            m = re.match(
+                r"(?:(\w+)\s*=\s*)?(\w+)\s+on\s+\((.+)\)\s*$", body, re.DOTALL
+            )
+            if not m:
+                raise ValueError(f"mv-apply needs '[e =] col on (pipe)': {body!r}")
+            elem, col = m.group(1) or m.group(2), m.group(2)
+            arr, items = col, None
+            for st in _split_top_level(m.group(3), "|"):
+                w = st.split(None, 1)
+                sop = w[0].lower()
+                sbody = w[1] if len(w) > 1 else ""
+                if sop == "where":
+                    arr = f"filter({arr}, {elem} -> {_expr(sbody)})"
+                elif sop == "summarize":
+                    items = []
+                    for j, a in enumerate(_split_top_level(sbody)):
+                        am = re.match(
+                            r"(?:(\w+)\s*=\s*)?(\w+)\s*\((.*)\)$", a.strip()
+                        )
+                        if not am:
+                            raise ValueError(f"bad mv-apply aggregate: {a!r}")
+                        al, fn, arg = am.group(1), am.group(2).lower(), am.group(3)
+                        mapped = (
+                            arr
+                            if arg.strip() in ("", "*", elem)
+                            else f"transform({arr}, {elem} -> {_expr(arg)})"
+                        )
+                        if fn == "count":
+                            expr_sql, dflt = f"CAST(size({arr}) AS BIGINT)", "count_"
+                        elif fn == "sum":
+                            expr_sql = (
+                                f"aggregate({mapped}, CAST(0 AS DOUBLE),"
+                                f" (_acc, {elem}) ->"
+                                f" _acc + CAST({elem} AS DOUBLE))"
+                            )
+                            dflt = f"sum_{arg.strip()}" if re.match(r"^\w+$", arg.strip()) else f"agg{j}"
+                        elif fn == "avg":
+                            expr_sql = (
+                                f"aggregate({mapped}, CAST(0 AS DOUBLE),"
+                                f" (_acc, {elem}) ->"
+                                f" _acc + CAST({elem} AS DOUBLE))"
+                                f" / nullif(size({arr}), 0)"
+                            )
+                            dflt = f"avg_{arg.strip()}" if re.match(r"^\w+$", arg.strip()) else f"agg{j}"
+                        elif fn in ("min", "max"):
+                            expr_sql = f"array_{fn}({mapped})"
+                            dflt = f"{fn}_{arg.strip()}" if re.match(r"^\w+$", arg.strip()) else f"agg{j}"
+                        else:
+                            raise ValueError(
+                                f"unsupported mv-apply aggregate: {fn!r}"
+                            )
+                        items.append(f"{expr_sql} AS {al or dflt}")
+                else:
+                    raise ValueError(f"unsupported mv-apply stage: {sop!r}")
+            if items is None:
+                # where-only subpipe: the column becomes its filtered self
+                sql = (
+                    f"SELECT * EXCEPT ({col}), {arr} AS {col} FROM {prev}"
+                )
+            else:
+                sql = f"SELECT *, {', '.join(items)} FROM {prev}"
+        elif op == "top-nested":
+            # `top-nested N1 of g1 by agg1, top-nested N2 of g2 by agg2`
+            # — hierarchical top-k. Shape: one grouped agg per level plus
+            # a row_number window; level 1's N1-row result joins the
+            # level-2 aggregate (AQE broadcasts it), so no stage ever
+            # sorts globally. ADX leaves ties unspecified; this
+            # translation tie-breaks by the group key ascending so
+            # results are deterministic.
+            clauses = []
+            for cl in _split_top_level(body):
+                cm = re.match(
+                    r"(?:top-nested\s+)?(\d+)\s+of\s+(\w+)\s+by\s+(.+)$",
+                    cl.strip(),
+                    re.IGNORECASE,
+                )
+                if not cm:
+                    raise ValueError(
+                        f"top-nested needs 'N of col by agg': {cl!r}"
+                    )
+                n, g, aggtext = int(cm.group(1)), cm.group(2), cm.group(3).strip()
+                agg_sql, agg_alias = _agg(aggtext, 0).rsplit(" AS ", 1)
+                if not re.match(r"\w+\s*=", aggtext):
+                    agg_alias = f"aggregated_{g}"  # ADX default naming
+                clauses.append((n, g, agg_sql, agg_alias))
+            if not 1 <= len(clauses) <= 2:
+                raise ValueError("top-nested supports 1 or 2 levels")
+            n1, g1, a1sql, a1 = clauses[0]
+            level1 = (
+                f"SELECT {g1}, {a1} FROM ("
+                f"SELECT {g1}, {a1},"
+                f" row_number() OVER (ORDER BY {a1} DESC, {g1} ASC) AS _rn"
+                f" FROM (SELECT {g1}, {a1sql} AS {a1} FROM {prev}"
+                f" GROUP BY {g1}) AS _tn1) AS _tn1r WHERE _rn <= {n1}"
+            )
+            if len(clauses) == 1:
+                sql = level1
+            else:
+                n2, g2, a2sql, a2 = clauses[1]
+                sql = (
+                    f"SELECT {g1}, {a1}, {g2}, {a2} FROM ("
+                    f"SELECT _l2.{g1}, _l1.{a1}, _l2.{g2}, _l2.{a2},"
+                    f" row_number() OVER (PARTITION BY _l2.{g1}"
+                    f" ORDER BY _l2.{a2} DESC, _l2.{g2} ASC) AS _rn2"
+                    f" FROM (SELECT {g1}, {g2}, {a2sql} AS {a2} FROM {prev}"
+                    f" GROUP BY {g1}, {g2}) AS _l2"
+                    f" JOIN ({level1}) AS _l1 ON _l2.{g1} = _l1.{g1}"
+                    f") AS _tn2 WHERE _rn2 <= {n2}"
+                )
         else:
             raise ValueError(f"unsupported KQL operator: {op!r}")
     return sql
@@ -431,7 +701,7 @@ def kql_to_sql(kql: str) -> str:
 def kql(spark: SparkSession, text: str) -> DataFrame:
     """Execute a KQL pipe query against registered views — the drop-in
     for the reference's POST /query body."""
-    return spark.sql(kql_to_sql(text))
+    return spark.sql(kql_to_sql(text, spark))
 
 
 # --- Synapse serverless-SQL shim: the reference README's OTHER committed
@@ -613,6 +883,73 @@ def q_kql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`summarize arg_max(...)` — the most-typed KQL aggregate: the
+    whole-row-at-the-extremum idiom, translated to max_by per carried
+    column. The maximand (event_id) is unique per group, so the result
+    is tie-free and deterministic in both engines."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | summarize arg_max(event_id, user_id, value)"
+        " by event_type | sort by event_type asc",
+    )
+
+
+def q_kql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime surface through the translator: a datetime() literal
+    filter + startofday() bucketing (date_trunc), the everyday ADX
+    time-series pipe. ago()/now() are covered by translation tests (a
+    wall-clock anchor can't be value-compared across engines)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where ts >= datetime(2024-01-15 00:00:00)"
+        " | extend d=startofday(ts)"
+        " | summarize n=count() by d | sort by d asc",
+    )
+
+
+def q_kql_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top-nested` hierarchical top-k: top-3 event types by exact spend
+    cents, and within each the top-2 users by event count. Ties
+    broken by the group key ascending (documented divergence: ADX
+    leaves ties unspecified)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | top-nested 3 of event_type by cents=sum(round(value * 100)),"
+        " top-nested 2 of user_id by n=count()",
+    )
+
+
+def q_kql_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mv-apply` with a where + summarize subpipe over each row's
+    array — translated to filter()/size() higher-order functions:
+    per-row, map-side, zero shuffle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | project event_id, ps=split(props, " ")'
+        " | mv-apply p = ps on (where strlen(p) >= 4 | summarize n=count())"
+        " | project event_id, n | sort by event_id asc",
+    )
+
+
+def q_kql_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabular let + materialize() + case-insensitive `has`: the cached-
+    subquery idiom an ADX dashboard uses. materialize() is stripped
+    (Spark reuses repeated subtrees itself); `has "VIEW"` must match
+    'view' rows — ADX term matching is case-insensitive."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'let base = materialize(events | where event_type has "VIEW");'
+        " base | summarize n=count(), cents=sum(round(value * 100))"
+        " by user_id | sort by user_id asc",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_count": q_kql_count,
@@ -623,6 +960,11 @@ QUERIES = {
     "kql_scalar_fns": q_kql_scalar_fns,
     "kql_union_rename": q_kql_union_rename,
     "kql_parse": q_kql_parse,
+    "kql_arg_max": q_kql_arg_max,
+    "kql_datetime": q_kql_datetime,
+    "kql_top_nested": q_kql_top_nested,
+    "kql_mv_apply": q_kql_mv_apply,
+    "kql_materialize": q_kql_materialize,
 }
 
 ORACLE = {
@@ -679,6 +1021,48 @@ ORACLE = {
         SELECT event_type, COUNT(*) AS n,
                SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "kql_arg_max": """
+        SELECT event_type, max(event_id) AS event_id,
+               arg_max(user_id, event_id) AS user_id,
+               arg_max(value, event_id) AS value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "kql_datetime": """
+        SELECT date_trunc('day', ts) AS d, COUNT(*) AS n
+        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1 ORDER BY 1
+    """,
+    "kql_top_nested": """
+        WITH l1 AS (
+            SELECT event_type, SUM(ROUND(value * 100)) AS cents
+            FROM events GROUP BY event_type),
+        l1k AS (
+            SELECT event_type, cents FROM (
+                SELECT event_type, cents,
+                       row_number() OVER (ORDER BY cents DESC, event_type)
+                           AS rn
+                FROM l1) WHERE rn <= 3),
+        l2 AS (
+            SELECT event_type, user_id, COUNT(*) AS n
+            FROM events GROUP BY event_type, user_id)
+        SELECT event_type, cents, user_id, n FROM (
+            SELECT l2.event_type, l1k.cents, l2.user_id, l2.n,
+                   row_number() OVER (PARTITION BY l2.event_type
+                                      ORDER BY l2.n DESC, l2.user_id) AS rn2
+            FROM l2 JOIN l1k USING (event_type))
+        WHERE rn2 <= 2
+    """,
+    "kql_mv_apply": """
+        SELECT event_id,
+               len(list_filter(string_split(props, ' '),
+                               p -> length(p) >= 4))::BIGINT AS n
+        FROM events ORDER BY event_id
+    """,
+    "kql_materialize": """
+        SELECT user_id, COUNT(*) AS n, SUM(ROUND(value * 100)) AS cents
+        FROM events WHERE event_type = 'view'
+        GROUP BY user_id ORDER BY user_id
     """,
     "kql_scalar_fns": """
         SELECT event_id,

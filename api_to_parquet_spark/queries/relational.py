@@ -318,9 +318,14 @@ def q_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.size("vals").alias("n_vals"),
-            F.element_at(F.slice("vals", 1, 3), 1).alias("v1"),
-            F.element_at(F.slice("vals", 1, 3), 2).alias("v2"),
-            F.element_at(F.slice("vals", 1, 3), 3).alias("v3"),
+            # try_element_at, not element_at: a user with < 3 events must
+            # yield NULL (the DuckDB oracle's vals[3] semantics), not an
+            # ANSI ARRAY_INDEX_OUT_OF_BOUNDS — the current testdata
+            # happens to guarantee >= 3 everywhere, but the query must
+            # not depend on that.
+            F.try_element_at("vals", F.lit(1)).alias("v1"),
+            F.try_element_at("vals", F.lit(2)).alias("v2"),
+            F.try_element_at("vals", F.lit(3)).alias("v3"),
             F.round(
                 F.aggregate(
                     "vals", F.lit(0.0), lambda acc, x: acc + x

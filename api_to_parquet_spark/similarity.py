@@ -522,9 +522,13 @@ def _band_code(t: int) -> Column:
     """8-bit sign code of dims [8t, 8t+8): deterministic, model-free, and
     expressible identically in SQL — so the banded near-dup query keeps
     an exact oracle (unlike the random-hyperplane LSH tables)."""
+    # try_element_at: a vector shorter than BAND_N*BAND_BITS dims yields
+    # NULL (-> 0-bit) instead of an ANSI out-of-bounds error; current
+    # embeddings are 64-dim but the operator must not depend on that.
     bits = [
         F.when(
-            F.element_at("v", t * BAND_BITS + j + 1) >= 0, F.lit(1 << j)
+            F.try_element_at("v", F.lit(t * BAND_BITS + j + 1)) >= 0,
+            F.lit(1 << j),
         ).otherwise(F.lit(0))
         for j in range(BAND_BITS)
     ]

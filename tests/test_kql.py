@@ -189,12 +189,127 @@ def test_parse_extracts_typed_captures(spark, sf_smoke):
 
 def test_new_predicates_translate():
     sql = kql_to_sql('events | where event_type endswith "w"')
-    assert "LIKE concat('%', 'w')" in sql
+    assert "endswith(lower(event_type), lower('w'))" in sql
+    sql = kql_to_sql('events | where event_type endswith_cs "w"')
+    assert "endswith(event_type, 'w')" in sql
     sql = kql_to_sql('events | where event_type has "view"')
-    assert "RLIKE" in sql
+    assert "RLIKE" in sql and "(?i)" in sql and "\\\\Q" in sql
+    sql = kql_to_sql('events | where event_type has_cs "view"')
+    assert "RLIKE" in sql and "(?i)" not in sql
     sql = kql_to_sql("events | where value between (10 .. 20)")
     assert "BETWEEN 10 AND 20" in sql
     sql = kql_to_sql('events | where event_type !in ("a", "b")')
     assert "NOT IN" in sql
     sql = kql_to_sql("events | where isnotempty(event_type)")
     assert "IS NOT NULL" in sql
+
+
+def test_has_regex_metacharacters_safe(spark, sf_smoke):
+    """`has "c++"` must not be a regex compile error: the term is
+    \\Q-quoted inside the word-boundary pattern."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    n = kql(spark, 'events | where props has "c++" | count').collect()[0]
+    assert n["count_"] == 0  # no such term, but the query RUNS
+
+
+def test_case_insensitive_string_predicates(spark, sf_smoke):
+    """ADX contains/has are case-insensitive; the _cs variants are not."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    n_ci = kql(spark, 'events | where event_type contains "VIEW" | count')
+    n_cs = kql(spark, 'events | where event_type contains_cs "VIEW" | count')
+    n_exact = kql(spark, 'events | where event_type == "view" | count')
+    assert n_ci.collect()[0]["count_"] >= n_exact.collect()[0]["count_"] > 0
+    assert n_cs.collect()[0]["count_"] == 0
+
+
+def test_let_substitution_skips_string_literals(spark, sf_smoke):
+    """A let named like a string literal's content must not rewrite the
+    literal: `let t = 5; … == "t"` keeps comparing against "t"."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    sql = kql_to_sql('let t = 5; events | where event_type == "t" and value > t')
+    assert "= 't'" in sql and "value > (5)" in sql
+
+
+def test_let_references_earlier_let():
+    sql = kql_to_sql("let a = 10; let b = a + 5; T | where x > b")
+    assert "x > ((10) + 5)" in sql
+
+
+def test_tabular_let_and_materialize():
+    sql = kql_to_sql(
+        "let base = materialize(T | where x > 1); base | count"
+    )
+    assert "WHERE x > 1" in sql and "_let_base" in sql
+    # tabular let chaining: a later let may extend an earlier one
+    sql = kql_to_sql(
+        "let a = T | where x > 1; let b = a | where y < 2; b | count"
+    )
+    assert "WHERE x > 1" in sql and "y < 2" in sql
+
+
+def test_union_aligns_columns_by_name(spark, sf_smoke):
+    """ADX union aligns by NAME and null-fills; two pipes with the same
+    columns in different order must not silently misalign."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | project event_id, value"
+        " | union (events | project value, event_id) | count",
+    )
+    n = spark.table("events").count()
+    assert df.collect()[0]["count_"] == 2 * n
+    # value stays a value (misalignment would put event_ids in it)
+    df2 = kql(
+        spark,
+        "events | project event_id, value"
+        " | union (events | project value, event_id)"
+        " | summarize m=max(value)",
+    )
+    vmax = spark.sql("SELECT max(value) AS m FROM events").collect()[0]["m"]
+    assert df2.collect()[0]["m"] == vmax
+
+
+def test_union_null_fills_missing_columns(spark, sf_smoke):
+    """Default kind=outer semantics: a column present on one side only
+    comes through null-filled, not as an analysis error."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | project event_id, value"
+        " | union (events | project event_id, user_id)"
+        " | where user_id >= 0 | count",
+    )
+    n = spark.table("events").count()
+    assert df.collect()[0]["count_"] == n
+
+
+def test_arg_max_star_is_explicit_error():
+    with pytest.raises(ValueError, match="list the carried columns"):
+        kql_to_sql("T | summarize arg_max(ts, *) by g")
+
+
+def test_ago_now_translate():
+    sql = kql_to_sql("T | where ts > ago(2h)")
+    assert "current_timestamp() - INTERVAL 7200 SECOND" in sql
+    sql = kql_to_sql("T | extend t=now()")
+    assert "current_timestamp()" in sql
+
+
+def test_top_nested_depth_cap():
+    with pytest.raises(ValueError, match="1 or 2 levels"):
+        kql_to_sql(
+            "T | top-nested 1 of a by count(),"
+            " top-nested 1 of b by count(), top-nested 1 of c by count()"
+        )
+
+
+def test_mv_apply_where_only_filters_array(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        'events | project event_id, ps=split(props, " ")'
+        " | mv-apply p = ps on (where strlen(p) >= 4)"
+        " | extend n=array_size(ps) | project event_id, n | take 5",
+    )
+    assert df.columns == ["event_id", "n"]
+    assert all(r["n"] is not None for r in df.collect())

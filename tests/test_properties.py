@@ -189,3 +189,27 @@ def test_kql_translation_always_analyzes(spark, sf_smoke, pipe):
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
     df = kql(spark, pipe)  # analysis (schema resolution) happens here
     assert df.columns, pipe
+
+
+def test_array_agg_short_arrays_yield_null_not_ansi_error(spark, tmp_path):
+    """A user with fewer than 3 events must produce NULL v3 (the DuckDB
+    oracle's vals[3] semantics), not ARRAY_INDEX_OUT_OF_BOUNDS under
+    Spark 4's ANSI mode — the testdata happens to guarantee >= 3 events
+    per user, so this guards the regenerated-corpus case."""
+    import datetime
+
+    from api_to_parquet_spark.queries.relational import q_array_agg
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [
+            (1, datetime.datetime(2024, 1, 1), 7, "view", 1.5, "{}"),
+            (2, datetime.datetime(2024, 1, 2), 7, "view", 2.5, "{}"),
+        ],
+        "event_id: long, ts: timestamp, user_id: long,"
+        " event_type: string, value: double, props: string",
+    ).coalesce(1).write.parquet(f"{sf}/events.parquet")
+    rows = {r["user_id"]: r for r in q_array_agg(spark, sf).collect()}
+    assert rows[7]["n_vals"] == 2
+    assert rows[7]["v1"] == 1.5 and rows[7]["v2"] == 2.5
+    assert rows[7]["v3"] is None
