@@ -289,76 +289,109 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = 64,
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected edge list via alternating
+    large-star / small-star rounds (the MapReduce CC algorithm of
+    Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14). Returns ((node, component), rounds) with component = the
+    smallest node id in the component.
+
+    Why not plain min-label propagation: propagation needs O(diameter)
+    rounds — a 10^6-node near-dup CHAIN (adversarial but real: template
+    drift) would take 10^6 join rounds. Star contraction halves tree
+    heights every alternation, converging in O(log^2 n) rounds (log n
+    observed), each round two shuffles (groupBy + join) — the shape
+    that survives 100 TB.
+
+    large-star: every node links its LARGER neighbors to the minimum of
+    its closed neighborhood; small-star links the smaller-or-equal ones.
+    Both preserve connectivity and strictly shrink tree height; the
+    fixpoint is a star forest rooted at component minima. Rounds are
+    localCheckpoint-ed — persist() alone would let the logical plan
+    grow per iteration (measured: a 1242-Exchange plan text; PLANS.md).
+    On a cluster swap in checkpoint() for executor-loss survival.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("u").alias("n"))
+        .union(e.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _star(e: DataFrame, large: bool) -> DataFrame:
+        adj = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = adj.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        linked = adj.join(m, "u").filter(
+            F.col("v") > F.col("u") if large else F.col("v") < F.col("u")
+        ).select(F.col("v").alias("u"), F.col("m").alias("v"))
+        if not large:
+            # small-star also re-links u itself to its neighborhood min
+            linked = linked.union(m.select("u", F.col("m").alias("v")))
+        return (
+            linked.filter(F.col("u") != F.col("v")).distinct().localCheckpoint()
+        )
+
+    def _fingerprint(e: DataFrame) -> tuple:
+        # bit_xor, not sum: an order-free combine that cannot overflow
+        # BIGINT under ANSI mode
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    rounds = 0
+    fp = _fingerprint(e)
+    while rounds < max_rounds:
+        e = _star(_star(e, large=True), large=False)
+        rounds += 1
+        fp2 = _fingerprint(e)
+        if fp2 == fp:
+            break
+        fp = fp2
+    # fixpoint: e is a star forest (child -> root); roots label themselves.
+    # The groupBy-min is a no-op at the fixpoint (one parent per child)
+    # but keeps the answer well-defined if max_rounds cut convergence.
+    labels = (
+        nodes.join(
+            e.select(F.col("u").alias("n"), F.col("v").alias("component")),
+            "n",
+            "left",
+        )
+        .groupBy("n")
+        .agg(
+            F.coalesce(F.min("component"), F.first("n")).alias("component")
+        )
+    )
+    return labels, rounds
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS: connected components over the LSH pair graph,
     cluster id = smallest doc_id in the component — what a production
     dedup actually keeps (one survivor per cluster), one step past
-    pairwise output.
-
-    Iterative min-label propagation: each round joins labels to edges,
-    takes the min neighbor label, and stops when no label changed. The
-    loop is over ROUNDS (O(component diameter), a handful); every round
-    is a distributed join+aggregate — the standard shape for iterative
-    graph algorithms on DataFrames. Each round is localCheckpoint-ed:
-    persist() alone does NOT cut lineage, so the logical plan (and
-    analysis/optimization time) grows with every iteration — the audit
-    sweep measured a 1242-Exchange plan text after convergence on
-    persist-only rounds, vs a flat LogicalRDD with checkpointing. On a
-    cluster use checkpoint() (HDFS-backed) if executor loss during the
-    loop must be survivable."""
+    pairwise output. Components via alternating star contraction
+    (connected_components): O(log^2 n) rounds worst-case vs
+    O(diameter) for label propagation — adversarial chain topologies
+    are covered by tests/test_mining.py round-count assertions."""
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+    labels, _ = connected_components(pairs)
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("component").alias("cluster_id")
     )
-    try:
-        while True:
-            neighbor_min = (
-                edges.join(
-                    labels.select(
-                        F.col("doc_id").alias("doc_b"),
-                        F.col("label").alias("nbr_label"),
-                    ),
-                    "doc_b",
-                )
-                .groupBy("doc_a")
-                .agg(F.min("nbr_label").alias("nbr_min"))
-            )
-            new_labels = (
-                labels.join(
-                    neighbor_min, labels.doc_id == neighbor_min.doc_a, "left"
-                )
-                .select(
-                    "doc_id",
-                    F.least(
-                        "label", F.coalesce("nbr_min", F.col("label"))
-                    ).alias("label"),
-                )
-                .localCheckpoint()
-            )
-            changed = (
-                new_labels.join(
-                    labels.select(
-                        "doc_id", F.col("label").alias("old_label")
-                    ),
-                    "doc_id",
-                )
-                .filter(F.col("label") != F.col("old_label"))
-                .count()
-            )
-            labels = new_labels
-            if changed == 0:
-                break
-        return labels.select(
-            "doc_id", F.col("label").alias("cluster_id")
-        )
-    finally:
-        edges.unpersist()
 
 
 # SimHash: 60-bit fingerprint from md5-derived word hashes. md5 is the

@@ -33,6 +33,34 @@ def _dir_bytes(spark: SparkSession, path: str) -> int:
     return int(fs.getContentSummary(jpath).getLength())
 
 
+class ConcurrentModificationError(RuntimeError):
+    """The live partition changed while a maintenance job held a staged
+    copy of it — committing would silently clobber the newer write."""
+
+
+def _listing_fingerprint(spark: SparkSession, path: str) -> frozenset:
+    """Recursive (path, length, mtime) set of a subtree — an optimistic-
+    concurrency snapshot. Any replayed POST (new/replaced/deleted file)
+    changes it."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return frozenset()
+    out = []
+    it = fs.listFiles(jpath, True)
+    while it.hasNext():
+        st = it.next()
+        out.append(
+            (
+                st.getPath().toString(),
+                int(st.getLen()),
+                int(st.getModificationTime()),
+            )
+        )
+    return frozenset(out)
+
+
 def compact_partition(
     spark: SparkSession,
     lake_path: str,
@@ -60,17 +88,32 @@ def compact_partition(
     partition overwrite (which replaces exactly this partition's
     subtree).
 
+    Optimistic concurrency vs replay: a re-POST of a `file` key in this
+    partition may land BETWEEN the staging copy and the overwrite —
+    committing the stale staged copy would silently undo it (lost
+    update). The live subtree's listing is fingerprinted after staging
+    and re-checked immediately before the overwrite; a change aborts
+    with ConcurrentModificationError, leaving the (newer) live data
+    untouched — the caller retries. The window between check and commit
+    is the residual race, same as every optimistic scheme on plain
+    parquet; closing it fully needs the manifest layer (snapshots.py)
+    or a transactional table format.
+
     Returns the number of coalesced write tasks.
     """
-    part = read_partition(spark, lake_path, source, year, month, day, hour)
-    n_bytes = _dir_bytes(
-        spark,
+    part_dir = (
         f"{lake_path}/source={source}/year={year}/month={month}"
-        f"/day={day}/hour={hour}",
+        f"/day={day}/hour={hour}"
     )
+    part = read_partition(spark, lake_path, source, year, month, day, hour)
+    n_bytes = _dir_bytes(spark, part_dir)
     n_files = max(1, math.ceil(n_bytes / target_file_bytes))
     staging = tempfile.mkdtemp(prefix="compact_")
     try:
+        # fingerprint BEFORE the staging copy: a replay landing while
+        # staging reads the live files is detected too, not just one in
+        # the staging→commit gap.
+        snapshot = _listing_fingerprint(spark, part_dir)
         part.write.mode("overwrite").parquet(staging)
         staged = spark.read.parquet(staging)
         # re-attach the partition columns pruned into the directory path
@@ -79,9 +122,13 @@ def compact_partition(
         ):
             if col not in staged.columns:
                 staged = staged.withColumn(col, F.lit(val))
+        plan = staged.coalesce(n_files)
+        if _listing_fingerprint(spark, part_dir) != snapshot:
+            raise ConcurrentModificationError(
+                f"partition {part_dir} changed during compaction; aborting"
+            )
         (
-            staged.coalesce(n_files)
-            .write.mode("overwrite")
+            plan.write.mode("overwrite")
             .partitionBy(*PARTITION_COLUMNS)
             .parquet(lake_path)
         )

@@ -89,11 +89,62 @@ def q_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gm.join(n, "event_type").orderBy("event_type")
 
 
+def q_pandas_udaf_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-TRUE sibling of q_pandas_udaf: two-level aggregation.
+    Geometric mean is algebraic (sum of logs + positive count), so
+    level 1 computes per-(group, salt) PARTIALS with grouped-agg pandas
+    UDFs — 16 salt subgroups bound any one task's rows to ~1/16 of a
+    group even under extreme key skew — and level 2 merges them with
+    NATIVE sum/exp (map-side combine, no Python). Same answer as the
+    single-shuffle UDAF, but no task ever materializes a whole group:
+    the pattern to reach for when a Python aggregate must run at
+    100 TB."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def sum_log_pos(v):
+        import numpy as np
+
+        return float(np.log(v[v > 0]).sum())
+
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_pos(v):
+        return int((v > 0).sum())
+
+    # Spark forbids mixing grouped-agg pandas UDFs with native
+    # aggregates in one agg(), so the row count is a pandas partial too.
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def count_all(v):
+        return len(v)
+
+    ev = load(spark, sf_dir, "events")
+    partials = (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            sum_log_pos("value").alias("slog"),
+            count_pos("value").alias("npos"),
+            count_all("value").alias("cnt"),
+        )
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.round(
+                F.exp(F.sum("slog") / F.sum("npos")), 6
+            ).alias("geomean_value"),
+            F.sum("cnt").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 QUERIES = {
     "scalar_functions": q_scalar_functions,
     "epoch_conversions": q_epoch_conversions,
     "string_cleanup": q_string_cleanup,
     "pandas_udaf": q_pandas_udaf,
+    "pandas_udaf_partial": q_pandas_udaf_partial,
 }
 
 ORACLE = {
@@ -120,6 +171,16 @@ ORACLE = {
     "pandas_udaf": """
         SELECT event_type,
                ROUND(exp(AVG(ln(value)) FILTER (value > 0)), 6)
+                   AS geomean_value,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    # the partial-merge identity: sum(ln)/count == avg(ln), so the
+    # two-level variant shares the single-level oracle
+    "pandas_udaf_partial": """
+        SELECT event_type,
+               ROUND(exp(SUM(ln(value)) FILTER (value > 0)
+                         / COUNT(*) FILTER (value > 0)), 6)
                    AS geomean_value,
                COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type

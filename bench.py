@@ -120,9 +120,17 @@ def main() -> None:
         try:
             for _ in range(2):  # two warm passes: JIT + IO cache (see ingest note)
                 qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            t0 = time.perf_counter()
-            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            # Median of 3 measured runs: single-shot timings swing ±40%
+            # run-to-run (GC, AQE re-plans, page cache), which made
+            # round-over-round comparison uninformative.
+            reps: list[float] = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                reps.append(time.perf_counter() - t0)
+            timings[name] = round(sorted(reps)[1], 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = str(exc).split("\n", 1)[0][:200]
 

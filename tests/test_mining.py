@@ -69,3 +69,72 @@ def test_fk_integrity_clean_star_schema(spark, sf_smoke):
     assert len(rows) == len(mining._FK_CHECKS)
     assert all(r["n_orphans"] == 0 for r in rows)
     assert all(r["n_child"] > 0 for r in rows)
+
+
+def test_connected_components_adversarial_topologies(spark):
+    """Star contraction must solve the topologies that break label
+    propagation: a long PATH (diameter = n, the worst case for
+    propagation's O(diameter) rounds) and a large STAR, converging in
+    O(log n) alternations, with exact components."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from api_to_parquet_spark.dedup import connected_components
+
+    # long path 0-1-2-...-255 (+ a disjoint triangle to prove isolation)
+    n = 256
+    path = [(i, i + 1) for i in range(n - 1)]
+    tri = [(1000, 1001), (1001, 1002), (1000, 1002)]
+    edges = spark.createDataFrame(path + tri, "doc_a: long, doc_b: long")
+    labels, rounds = connected_components(edges)
+    got = {r["n"]: r["component"] for r in labels.collect()}
+    assert all(got[i] == 0 for i in range(n))
+    assert all(got[i] == 1000 for i in (1000, 1001, 1002))
+    # label propagation would need ~n rounds; star contraction stays
+    # logarithmic (2x slack over lg 256 = 8 for the alternation constant)
+    assert rounds <= 2 * int(math.log2(n)) + 2, rounds
+
+    # large star: hub 5000 with 400 leaves, hub is NOT the min id
+    star = [(5000, 6000 + i) for i in range(400)] + [(5000, 10)]
+    edges = spark.createDataFrame(star, "doc_a: long, doc_b: long")
+    labels, rounds = connected_components(edges)
+    got = {r["n"]: r["component"] for r in labels.collect()}
+    assert set(got.values()) == {10}
+    assert rounds <= 4, rounds
+
+
+def test_connected_components_matches_bruteforce_random(spark):
+    """Random sparse graph: star-contraction components == a driver-side
+    union-find oracle (the graph is test-sized; the operator never
+    collects)."""
+    import random
+
+    from api_to_parquet_spark.dedup import connected_components
+
+    rng = random.Random(7)
+    nodes = list(range(300))
+    edges = [
+        (rng.choice(nodes), rng.choice(nodes)) for _ in range(200)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    parent = {i: i for i in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    expected = {}
+    touched = {x for e in edges for x in e}
+    for x in touched:
+        expected.setdefault(find(x), set()).add(x)
+    want = {x: min(members) for members in expected.values() for x in members}
+
+    df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    labels, _ = connected_components(df)
+    got = {r["n"]: r["component"] for r in labels.collect()}
+    assert got == want

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import glob
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from api_to_parquet_spark import ingest, lake, ops
@@ -322,3 +324,43 @@ def test_diff_snapshots_classifies_changes(spark):
     assert got[3]["change_type"] == "updated"
     assert got[3]["old_row"]["v"] == 30.0 and got[3]["new_row"]["v"] == 99.0
     assert got[4]["change_type"] == "inserted" and got[4]["old_row"] is None
+
+
+def test_compaction_aborts_on_concurrent_replay(spark, tmp_path, monkeypatch):
+    """A re-POST of a `file` key landing DURING compaction must never be
+    clobbered by the stale staged copy: the optimistic listing check
+    aborts the commit (ConcurrentModificationError), the replayed data
+    survives, and a retry compacts cleanly."""
+    lake_path = str(tmp_path / "lake")
+    for name in ["a", "b"]:
+        pts = _points(spark, f"f1/2023/10/26/19/{name}.parquet", list(range(6)))
+        lake.write_lake(pts.repartition(3), lake_path, mode="append")
+
+    real_fp = ops._listing_fingerprint
+    calls = {"n": 0}
+
+    def fp_with_interleaved_replay(spark_, path):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the pre-commit recheck: replay lands first
+            lake.write_lake(
+                _points(spark, "f1/2023/10/26/19/a.parquet", [99]), lake_path
+            )
+        return real_fp(spark_, path)
+
+    monkeypatch.setattr(ops, "_listing_fingerprint", fp_with_interleaved_replay)
+    with pytest.raises(ops.ConcurrentModificationError):
+        ops.compact_partition(spark, lake_path, "f1", 2023, 10, 26, 19)
+    monkeypatch.setattr(ops, "_listing_fingerprint", real_fp)
+
+    # the replayed POST survived (the stale staged copy did NOT commit):
+    # key "a" now holds ONLY its replayed row, key "b" is untouched
+    after = lake.read_partition(spark, lake_path, "f1", 2023, 10, 26, 19)
+    got = sorted(r["Timestamp"] for r in after.collect())
+    assert got == sorted([99, *range(6)])
+
+    # retry on the quiesced partition compacts and preserves rows exactly
+    assert ops.compact_partition(spark, lake_path, "f1", 2023, 10, 26, 19) == 1
+    retried = lake.read_partition(spark, lake_path, "f1", 2023, 10, 26, 19)
+    assert sorted(r["Timestamp"] for r in retried.collect()) == sorted(
+        [99, *range(6)]
+    )

@@ -276,3 +276,67 @@ def test_transform_with_state_stream(spark, tmp_path):
     }
     assert got["p1"]["max_timestamp"] == 300 and got["p1"]["n_points"] == 3
     assert got["p2"]["max_timestamp"] == 500 and got["p2"]["n_points"] == 2
+
+
+def test_crash_recovery_exactly_once(spark, tmp_path, monkeypatch):
+    """ST3 crash-recovery contract (reference README.md:88 replay
+    semantics): a query that dies MID-BATCH — after the lake write,
+    before the state merge — must, on restart from the same checkpoint,
+    REPLAY the uncommitted batch and converge to exactly-once results:
+    no duplicate lake rows (per-`file`-key overwrite) and a state row
+    reflecting the batch exactly once."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    lake_path = str(tmp_path / "lake")
+    state_path = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    (inp / "batch1.json").write_text(
+        _envelope("s/2024/01/01/00/a.parquet", [100, 200, 300], 1) + "\n"
+    )
+
+    real_update = state.update_state
+
+    def crash_once(*args, **kwargs):
+        monkeypatch.setattr(state, "update_state", real_update)
+        raise RuntimeError("injected crash between lake write and state merge")
+
+    monkeypatch.setattr(state, "update_state", crash_once)
+    q = streaming.start_ingest_stream(
+        spark, str(inp), lake_path, state_path, ckpt, available_now=True
+    )
+    try:
+        q.awaitTermination(120)
+    except Exception:
+        pass  # the injected crash kills the query
+    assert not q.isActive
+    # crash landed where intended: lake written, state missing
+    assert lake.read_lake(spark, lake_path).count() == 3
+    st = state.read_state(spark, state_path)
+    assert st is None or st["max_timestamp"] is None
+
+    # restart from the SAME checkpoint: batch 0 was never committed, so
+    # it replays; the lake overwrite is idempotent (same file key) and
+    # the state merge now lands — exactly once.
+    q = streaming.start_ingest_stream(
+        spark, str(inp), lake_path, state_path, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert lake.read_lake(spark, lake_path).count() == 3  # no duplicates
+    st = state.read_state(spark, state_path)
+    assert st["max_timestamp"] == 300
+    assert st["last_time_generated"] == 1
+
+    # the stream keeps going: a later batch processes normally on the
+    # recovered checkpoint
+    (inp / "batch2.json").write_text(
+        _envelope("s/2024/01/01/01/b.parquet", [50], 2) + "\n"
+    )
+    q = streaming.start_ingest_stream(
+        spark, str(inp), lake_path, state_path, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+    assert lake.read_lake(spark, lake_path).count() == 4
+    st = state.read_state(spark, state_path)
+    assert st["max_timestamp"] == 300  # monotonic
+    assert st["last_time_generated"] == 2
