@@ -95,7 +95,11 @@ def _write_manifest(
         out.write(json.dumps(manifest, sort_keys=True).encode("utf-8"))
     finally:
         out.close()
-    if not fs.rename(tmp, final):
+    # HDFS rename fails onto an existing destination, but POSIX (local
+    # fs) rename silently REPLACES it — check existence explicitly so
+    # the lost-commit guard holds on every filesystem. (The residual
+    # exists→rename window is the documented single-writer caveat.)
+    if fs.exists(final) or not fs.rename(tmp, final):
         fs.delete(tmp, False)
         raise RuntimeError(f"concurrent commit detected for v{version}")
 
@@ -146,14 +150,100 @@ def read_snapshot(
 ) -> DataFrame:
     """Read one consistent snapshot (latest, or a pinned version for
     time travel). The directory set is resolved from the manifest ONCE
-    — concurrent commits cannot change what this DataFrame reads."""
+    — concurrent commits cannot change what this DataFrame reads.
+
+    Each directory is filtered to the keys the manifest still maps to
+    it: after `compact` several keys share a directory, and a later
+    replay of one key re-points only that key — its stale rows in the
+    shared directory must never surface. The `file IN (...)` predicate
+    is pushed into the parquet scan (dictionary/stats skipping), and
+    for the common unshared-single-key case it is trivially true."""
     versions = _list_versions(spark, root)
     if not versions:
         raise FileNotFoundError(f"no snapshots at {root}")
     v = versions[-1] if version is None else version
     manifest = _read_manifest(spark, root, v)
-    dirs = [posixpath.join(root, d) for d in sorted(set(manifest.values()))]
-    return spark.read.parquet(*dirs)
+    by_dir: dict[str, list[str]] = {}
+    for key, d in manifest.items():
+        by_dir.setdefault(d, []).append(key)
+    parts = [
+        spark.read.parquet(posixpath.join(root, d)).filter(
+            F.col("file").isin(keys)
+        )
+        for d, keys in sorted(by_dir.items())
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Bin-pack the latest snapshot's per-key data directories into
+    shared compacted directories and commit the re-pointing as ONE
+    atomic manifest version — the OPTIMIZE analogue, and the
+    transactional answer to the maintenance-vs-replay race that
+    `ops.compact_partition` can only detect optimistically: here the
+    commit point is the manifest rename, so a replay landing mid-
+    compaction either commits before (compaction's rename fails —
+    caller retries against fresh state) or after (it re-points its key
+    away from the shared dir; `read_snapshot`'s per-dir key filter
+    hides the stale rows). Old versions keep reading their original
+    directories until vacuum. Returns the new version, or -1 if there
+    was nothing to compact."""
+    versions = _list_versions(spark, root)
+    if not versions:
+        return -1
+    base_version = versions[-1]
+    manifest = dict(_read_manifest(spark, root, base_version))
+    jvm, fs = _fs(spark, root)
+
+    def dir_bytes(rel: str) -> int:
+        p = jvm.org.apache.hadoop.fs.Path(posixpath.join(root, rel))
+        return int(fs.getContentSummary(p).getLength())
+
+    # bin-pack SMALL per-key dirs (skip anything already >= half target)
+    small = sorted(
+        (key, d, dir_bytes(d))
+        for key, d in manifest.items()
+        if dir_bytes(d) < target_bytes // 2
+    )
+    bins: list[list[tuple[str, str]]] = []
+    cur: list[tuple[str, str]] = []
+    cur_bytes = 0
+    for key, d, nb in small:
+        if cur and cur_bytes + nb > target_bytes:
+            bins.append(cur)
+            cur, cur_bytes = [], 0
+        cur.append((key, d))
+        cur_bytes += nb
+    if cur:
+        bins.append(cur)
+    bins = [b for b in bins if len(b) > 1]
+    if not bins:
+        return -1
+    for group in bins:
+        dirs = sorted({d for _, d in group})
+        keys = [k for k, _ in group]
+        new_dir = f"{_DATA}/compact-{uuid.uuid4().hex}"
+        (
+            spark.read.parquet(*[posixpath.join(root, d) for d in dirs])
+            .filter(F.col("file").isin(keys))
+            .coalesce(1)
+            .write.mode("error")
+            .parquet(posixpath.join(root, new_dir))
+        )
+        for k in keys:
+            manifest[k] = new_dir
+    # the atomic commit: if anything (a replay) committed base+1 first,
+    # the rename fails and nothing is re-pointed.
+    new_version = base_version + 1
+    _write_manifest(spark, root, new_version, manifest)
+    return new_version
 
 
 def history(spark: SparkSession, root: str) -> list[dict]:

@@ -42,6 +42,8 @@ HEADLINE = [
     "embedding_band_pairs",  # sign-band bucketed embedding near-dup
     "corpus_pipeline",  # composed quality->dedup corpus prep census
     "kql_summarize",  # KQL frontend translation + grouped agg
+    "simhash_band_pairs",  # pigeonhole-banded SimHash near-dup (r3)
+    "pandas_udaf_partial",  # salted Python partials + native merge (r3)
 ]
 
 

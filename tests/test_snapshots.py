@@ -135,3 +135,92 @@ def test_streaming_ingest_commits_snapshots(spark, tmp_path):
         r["Timestamp"] for r in snapshots.read_snapshot(spark, root).collect()
     ]
     assert sorted(latest) == [99]  # replaced across triggers
+
+
+def test_compact_binpacks_and_survives_replay(spark, tmp_path):
+    """OPTIMIZE analogue: many small per-key dirs bin-pack into one
+    shared dir committed as one atomic version; snapshot contents are
+    identical; a replay AFTER compaction re-points only its key and the
+    per-dir key filter hides the stale rows left in the shared dir;
+    pre-compaction versions still time-travel."""
+    root = str(tmp_path / "snaplake")
+    keys = [f"s/2023/10/26/{h:02d}/k{h}.parquet" for h in range(4)]
+    for i, k in enumerate(keys):
+        snapshots.commit_batch(spark, root, _points(spark, k, [i * 10, i * 10 + 1]))
+    before = sorted(
+        (r["file"], r["Timestamp"])
+        for r in snapshots.read_snapshot(spark, root).collect()
+    )
+    v_pre = snapshots.history(spark, root)[-1]["version"]
+
+    v_compact = snapshots.compact(spark, root)
+    assert v_compact == v_pre + 1
+    manifest = snapshots.history(spark, root)[-1]["keys"]
+    assert len(set(manifest.values())) == 1  # 4 key dirs -> 1 shared dir
+    after = sorted(
+        (r["file"], r["Timestamp"])
+        for r in snapshots.read_snapshot(spark, root).collect()
+    )
+    assert after == before  # byte-identical logical contents
+
+    # replay one key: only that key re-points; the shared dir's stale
+    # rows for it must NOT surface
+    snapshots.commit_batch(spark, root, _points(spark, keys[0], [999], tg=2))
+    latest = sorted(
+        (r["file"], r["Timestamp"])
+        for r in snapshots.read_snapshot(spark, root).collect()
+    )
+    want = sorted(
+        [(keys[0], 999)]
+        + [(k, t) for (k, t) in before if k != keys[0]]
+    )
+    assert latest == want
+
+    # time travel to the pre-compaction version still works
+    old = sorted(
+        (r["file"], r["Timestamp"])
+        for r in snapshots.read_snapshot(spark, root, version=v_pre).collect()
+    )
+    assert old == before
+
+    # vacuum drops the superseded per-key dirs, keeps the shared dir
+    removed = snapshots.vacuum(spark, root, keep_last=1)
+    assert removed >= 4  # the 4 original key dirs (+ old replay dir)
+    still = sorted(
+        (r["file"], r["Timestamp"])
+        for r in snapshots.read_snapshot(spark, root).collect()
+    )
+    assert still == want
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
+    """If a replay commits between compaction's manifest read and its
+    commit rename, the compaction version is already taken — the write
+    must fail loudly (and re-point nothing) instead of clobbering the
+    replay's manifest."""
+    root = str(tmp_path / "snaplake")
+    keys = [f"s/2023/10/26/{h:02d}/k{h}.parquet" for h in range(3)]
+    for i, k in enumerate(keys):
+        snapshots.commit_batch(spark, root, _points(spark, k, [i]))
+
+    real_write = snapshots._write_manifest
+
+    def commit_then_write(spark_, root_, version, manifest):
+        monkeypatch.setattr(snapshots, "_write_manifest", real_write)
+        snapshots.commit_batch(
+            spark, root, _points(spark, keys[0], [777], tg=2)
+        )  # the interleaved replay takes this version number
+        real_write(spark_, root_, version, manifest)
+
+    monkeypatch.setattr(snapshots, "_write_manifest", commit_then_write)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        snapshots.compact(spark, root)
+    monkeypatch.setattr(snapshots, "_write_manifest", real_write)
+
+    # the replay won; its data is intact and nothing was re-pointed
+    latest = sorted(
+        (r["file"], r["Timestamp"])
+        for r in snapshots.read_snapshot(spark, root).collect()
+    )
+    assert (keys[0], 777) in latest
+    assert (keys[0], 0) not in latest
