@@ -48,7 +48,10 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                 -> tabular let inlined as a subquery
 
 summarize additionally covers arg_max/arg_min (-> max_by/min_by per
-carried column). Predicates additionally cover endswith, !contains, has
+carried column) and the conditional family countif/sumif/avgif/minif/
+maxif/dcountif. Scalars additionally cover case(), toupper/tolower,
+0-based substring, format_datetime. Predicates additionally cover
+endswith, !contains, has
 (word-boundary regexp with the term regex-quoted — ADX tokenizes, same
 answer for alphanumeric terms), in/!in, between (a .. b),
 isempty/isnotempty; contains/startswith/endswith/has are
@@ -101,9 +104,62 @@ def _bin_to_sql(text: str) -> str:
     return re.sub(r"bin\(([^,]+),\s*(\d+)([smhd])\)", repl, text)
 
 
+def _rewrite_fn(e: str, name: str, build) -> str:
+    """Rewrite every `name(...)` call (balanced parens, top-level-comma
+    args) via build(args) — for KQL functions whose SQL shape is not a
+    1:1 rename (case, substring)."""
+    out = []
+    i = 0
+    pat = re.compile(rf"\b{name}\s*\(")
+    while True:
+        m = pat.search(e, i)
+        if not m:
+            out.append(e[i:])
+            return "".join(out)
+        out.append(e[i : m.start()])
+        depth, j, in_str = 1, m.end(), False
+        while j < len(e) and depth:
+            ch = e[j]
+            if ch == "'":
+                in_str = not in_str
+            elif not in_str and ch == "(":
+                depth += 1
+            elif not in_str and ch == ")":
+                depth -= 1
+            j += 1
+        args = _split_top_level(e[m.end() : j - 1])
+        out.append(build(args))
+        i = j
+
+
+def _case_sql(args: list[str]) -> str:
+    """KQL case(pred1, val1, …, default) -> CASE WHEN."""
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise ValueError(f"case() needs pred/value pairs + default: {args!r}")
+    whens = "".join(
+        f" WHEN {args[k]} THEN {args[k + 1]}"
+        for k in range(0, len(args) - 1, 2)
+    )
+    return f"(CASE{whens} ELSE {args[-1]} END)"
+
+
+def _substring_sql(args: list[str]) -> str:
+    """ADX substring is 0-based; Spark's is 1-based."""
+    if len(args) == 2:
+        return f"substring({args[0]}, ({args[1]}) + 1)"
+    if len(args) == 3:
+        return f"substring({args[0]}, ({args[1]}) + 1, {args[2]})"
+    raise ValueError(f"substring needs (s, start[, len]): {args!r}")
+
+
 def _expr(kql_expr: str) -> str:
     """Translate a KQL scalar/boolean expression to SQL."""
     e = _bin_to_sql(_strings_to_sql(kql_expr))
+    e = _rewrite_fn(e, "case", _case_sql)
+    e = _rewrite_fn(e, "substring", _substring_sql)
+    e = re.sub(r"\btoupper\(", "upper(", e)
+    e = re.sub(r"\btolower\(", "lower(", e)
+    e = re.sub(r"\bformat_datetime\(", "date_format(", e)
     # Scalar-function surface: KQL name -> Spark SQL name. The to*()
     # conversions use Spark's function-style casts (bigint()/double()/…)
     # so no balanced-paren rewriting is needed; parse_json(c).k becomes
@@ -236,7 +292,21 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
     return [p for p in parts if p]
 
 
-_AGG_FNS = {"count", "dcount", "sum", "avg", "min", "max", "percentile"}
+_AGG_FNS = {
+    "count",
+    "countif",
+    "dcount",
+    "dcountif",
+    "sum",
+    "sumif",
+    "avg",
+    "avgif",
+    "min",
+    "minif",
+    "max",
+    "maxif",
+    "percentile",
+}
 
 
 def _agg_items(item: str, auto_idx: int) -> list[str]:
@@ -287,6 +357,19 @@ def _agg(item: str, auto_idx: int) -> str:
         col, p = [x.strip() for x in arg.split(",", 1)]
         sql = f"percentile_approx({_expr(col)}, {float(p) / 100})"
         default = f"percentile_{col}_{p}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+    elif fn == "countif":
+        # COUNT_IF counts only true (null/false excluded) — ADX parity
+        sql = f"COUNT_IF({_expr(arg)})"
+        default = f"agg{auto_idx}"
+    elif fn == "dcountif":
+        col, pred = (x.strip() for x in _split_top_level(arg))
+        sql = f"COUNT(DISTINCT CASE WHEN {_expr(pred)} THEN {_expr(col)} END)"
+        default = f"dcountif_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+    elif fn in ("sumif", "avgif", "minif", "maxif"):
+        col, pred = (x.strip() for x in _split_top_level(arg))
+        base = fn[:-2].upper()
+        sql = f"{base}(CASE WHEN {_expr(pred)} THEN {_expr(col)} END)"
+        default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
     else:
         sql = f"{fn.upper()}({_expr(arg)})"
         default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
@@ -950,6 +1033,37 @@ def q_kql_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates — countif / sumif / dcountif / maxif, the
+    ADX dashboard staples — exact integer cents for float determinism."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | summarize n=count(),"
+        " big=countif(value > 50),"
+        " big_cents=sumif(round(value * 100), value > 50),"
+        ' buyers=dcountif(user_id, event_type == "purchase"),'
+        " max_small=maxif(round(value * 100), value <= 50)"
+        " by event_type | sort by event_type asc",
+    )
+
+
+def q_kql_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """case() multi-branch scalar + toupper + 0-based substring +
+    format_datetime, grouped — the scalar family an ADX report tile
+    leans on."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | extend band=case(value < 25, \"low\","
+        ' value < 75, "mid", "high"),'
+        " tag=toupper(substring(event_type, 0, 2)),"
+        ' day=format_datetime(ts, "yyyy-MM-dd")'
+        " | summarize n=count() by band, tag, day"
+        " | sort by band asc, tag asc, day asc",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_count": q_kql_count,
@@ -965,6 +1079,8 @@ QUERIES = {
     "kql_top_nested": q_kql_top_nested,
     "kql_mv_apply": q_kql_mv_apply,
     "kql_materialize": q_kql_materialize,
+    "kql_condagg": q_kql_condagg,
+    "kql_case": q_kql_case,
 }
 
 ORACLE = {
@@ -1063,6 +1179,23 @@ ORACLE = {
         SELECT user_id, COUNT(*) AS n, SUM(ROUND(value * 100)) AS cents
         FROM events WHERE event_type = 'view'
         GROUP BY user_id ORDER BY user_id
+    """,
+    "kql_condagg": """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(*) FILTER (value > 50) AS big,
+               SUM(ROUND(value * 100)) FILTER (value > 50) AS big_cents,
+               COUNT(DISTINCT user_id) FILTER (event_type = 'purchase')
+                   AS buyers,
+               MAX(ROUND(value * 100)) FILTER (value <= 50) AS max_small
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "kql_case": """
+        SELECT CASE WHEN value < 25 THEN 'low'
+                    WHEN value < 75 THEN 'mid' ELSE 'high' END AS band,
+               upper(substr(event_type, 1, 2)) AS tag,
+               strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """,
     "kql_scalar_fns": """
         SELECT event_id,

@@ -313,3 +313,30 @@ def test_mv_apply_where_only_filters_array(spark, sf_smoke):
     )
     assert df.columns == ["event_id", "n"]
     assert all(r["n"] is not None for r in df.collect())
+
+
+def test_conditional_aggregates_translate():
+    sql = kql_to_sql("T | summarize b=countif(v > 5), s=sumif(v, v > 5) by g")
+    assert "COUNT_IF(v > 5)" in sql
+    assert "SUM(CASE WHEN v > 5 THEN v END)" in sql
+    sql = kql_to_sql('T | summarize d=dcountif(u, t == "x")')
+    assert "COUNT(DISTINCT CASE WHEN t = 'x' THEN u END)" in sql
+
+
+def test_case_substring_scalar_translate():
+    sql = kql_to_sql('T | extend b=case(v < 1, "a", v < 2, "b", "c")')
+    assert (
+        "(CASE WHEN v < 1 THEN 'a' WHEN v < 2 THEN 'b' ELSE 'c' END)" in sql
+    )
+    # nested case + function args with commas survive balanced parsing
+    sql = kql_to_sql(
+        'T | extend b=case(strlen(strcat(x, y)) > 3, "long", "short")'
+    )
+    assert "CASE WHEN length(concat(x, y)) > 3" in sql
+    # ADX substring is 0-based; SQL is 1-based
+    sql = kql_to_sql("T | extend h=substring(s, 0, 2)")
+    assert "substring(s, (0) + 1, 2)" in sql
+    sql = kql_to_sql('T | extend d=format_datetime(ts, "yyyy-MM-dd")')
+    assert "date_format(ts, 'yyyy-MM-dd')" in sql
+    with pytest.raises(ValueError, match="pred/value pairs"):
+        kql_to_sql('T | extend b=case(v < 1, "a")')
