@@ -479,6 +479,22 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
     return text, tabular
 
 
+def _window_rewrite(expr_sql: str, order_keys: list[str]) -> str:
+    """Rewrite the serialized-row-set functions to SQL windows over the
+    pipe's current sort order: row_number() -> ROW_NUMBER() OVER,
+    prev/next -> LAG/LEAD, row_cumsum -> running SUM."""
+    over = f" OVER (ORDER BY {', '.join(order_keys)})"
+    over_rows = (
+        f" OVER (ORDER BY {', '.join(order_keys)}"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    e = re.sub(r"\brow_number\(\s*\)", f"ROW_NUMBER(){over}", expr_sql)
+    e = _rewrite_fn(e, "prev", lambda args: f"LAG({', '.join(args)}){over}")
+    e = _rewrite_fn(e, "next", lambda args: f"LEAD({', '.join(args)}){over}")
+    e = _rewrite_fn(e, "row_cumsum", lambda args: f"SUM({args[0]}){over_rows}")
+    return e
+
+
 def kql_to_sql(
     kql: str,
     spark: SparkSession | None = None,
@@ -498,6 +514,7 @@ def kql_to_sql(
         sql = f"SELECT * FROM ({base}) AS _let_{stages[0]}"
     else:
         sql = f"SELECT * FROM {stages[0]}"
+    order_keys: list[str] | None = None  # set by sort; used by serialize
     for i, stage in enumerate(stages[1:], 1):
         words = stage.split(None, 1)
         op = words[0].lower()
@@ -517,13 +534,29 @@ def kql_to_sql(
                     f"{_expr(m.group(2))} AS {m.group(1)}" if m else _expr(c)
                 )
             sql = f"SELECT {', '.join(items)} FROM {prev}"
-        elif op == "extend":
+        elif op in ("extend", "serialize"):
+            # serialize = extend whose expressions may use the ordered-
+            # row-set window functions (row_number/prev/next/row_cumsum)
+            # over the preceding `sort by` order. A bare `serialize` is a
+            # no-op marker. Scale note: these windows are a GLOBAL order
+            # — one-task beyond memory, inherent to ADX serialize
+            # semantics; partitioned windows (the scale path) live in
+            # queries/windows.py.
+            if op == "serialize" and not body.strip():
+                continue
+            if op == "serialize" and order_keys is None:
+                raise ValueError(
+                    "serialize window functions need a preceding sort by"
+                )
             items = []
             for c in _split_top_level(_strings_to_sql(body)):
                 m = re.match(r"(\w+)\s*=\s*(.+)$", c)
                 if not m:
-                    raise ValueError(f"extend needs name=expr: {c!r}")
-                items.append(f"{_expr(m.group(2))} AS {m.group(1)}")
+                    raise ValueError(f"{op} needs name=expr: {c!r}")
+                ex = _expr(m.group(2))
+                if op == "serialize":
+                    ex = _window_rewrite(ex, order_keys)
+                items.append(f"{ex} AS {m.group(1)}")
             sql = f"SELECT *, {', '.join(items)} FROM {prev}"
         elif op == "summarize":
             parts = re.split(r"\bby\b", body, maxsplit=1)
@@ -558,6 +591,7 @@ def kql_to_sql(
                     o += " DESC"  # KQL sort defaults to descending
                 orders.append(_expr(o))
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
+            order_keys = orders  # the serialize window order
         elif op == "mv-expand":
             c = body.strip()
             if not re.match(r"^\w+$", c):
@@ -1064,6 +1098,24 @@ def q_kql_case(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`serialize` windowed scalars over the pipe's sort order:
+    row_number, prev (delta in exact cents), and row_cumsum — the ADX
+    ordered-row-set idiom. Global-order window by design (ADX
+    semantics); the partitioned scale path is queries/windows.py."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 500"
+        " | sort by ts asc, event_id asc"
+        " | serialize rn=row_number(),"
+        " delta_cents=round(value * 100) - prev(round(value * 100)),"
+        " cum_cents=row_cumsum(round(value * 100))"
+        " | project event_id, rn, delta_cents, cum_cents"
+        " | sort by rn asc",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_count": q_kql_count,
@@ -1081,6 +1133,7 @@ QUERIES = {
     "kql_materialize": q_kql_materialize,
     "kql_condagg": q_kql_condagg,
     "kql_case": q_kql_case,
+    "kql_serialize": q_kql_serialize,
 }
 
 ORACLE = {
@@ -1179,6 +1232,20 @@ ORACLE = {
         SELECT user_id, COUNT(*) AS n, SUM(ROUND(value * 100)) AS cents
         FROM events WHERE event_type = 'view'
         GROUP BY user_id ORDER BY user_id
+    """,
+    "kql_serialize": """
+        SELECT event_id, rn, delta_cents, cum_cents FROM (
+            SELECT event_id,
+                   ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+                   ROUND(value * 100)
+                       - LAG(ROUND(value * 100))
+                             OVER (ORDER BY ts, event_id) AS delta_cents,
+                   SUM(ROUND(value * 100))
+                       OVER (ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cum_cents
+            FROM events WHERE event_id < 500)
+        ORDER BY rn
     """,
     "kql_condagg": """
         SELECT event_type, COUNT(*) AS n,

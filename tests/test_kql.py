@@ -340,3 +340,17 @@ def test_case_substring_scalar_translate():
     assert "date_format(ts, 'yyyy-MM-dd')" in sql
     with pytest.raises(ValueError, match="pred/value pairs"):
         kql_to_sql('T | extend b=case(v < 1, "a")')
+
+
+def test_serialize_window_translate():
+    sql = kql_to_sql(
+        "T | sort by ts asc | serialize rn=row_number(), p=prev(v), c=row_cumsum(v)"
+    )
+    assert "ROW_NUMBER() OVER (ORDER BY ts asc)" in sql
+    assert "LAG(v) OVER (ORDER BY ts asc)" in sql
+    assert "SUM(v) OVER (ORDER BY ts asc ROWS BETWEEN UNBOUNDED" in sql
+    with pytest.raises(ValueError, match="preceding sort"):
+        kql_to_sql("T | serialize rn=row_number()")
+    # bare serialize is a legal no-op marker
+    sql = kql_to_sql("T | sort by ts asc | serialize | take 5")
+    assert "LIMIT 5" in sql
