@@ -152,11 +152,48 @@ def _substring_sql(args: list[str]) -> str:
     raise ValueError(f"substring needs (s, start[, len]): {args!r}")
 
 
+def _split_sql(args: list[str]) -> str:
+    """ADX split() takes a LITERAL delimiter (no regex) and an optional
+    0-based index; Spark's split() is regex — quote the delimiter with
+    \\Q…\\E so `split(c, ".")` splits on dots, not on any-char."""
+    if len(args) not in (2, 3):
+        raise ValueError(f"split needs (s, delim[, index]): {args!r}")
+    arr = f"split({args[0]}, concat('\\\\Q', {args[1]}, '\\\\E'))"
+    if len(args) == 3:
+        # try_element_at: an out-of-range index is NULL in ADX, never an
+        # ANSI array-bounds error.
+        return f"try_element_at({arr}, ({args[2]}) + 1)"
+    return arr
+
+
+def _countof_sql(args: list[str]) -> str:
+    """countof(text, search) — non-overlapping occurrence count."""
+    if len(args) != 2:
+        raise ValueError(f"countof needs (text, search): {args!r}")
+    t, s = args
+    return (
+        f"CAST((length({t}) - length(replace({t}, {s}, '')))"
+        f" / length({s}) AS BIGINT)"
+    )
+
+
+def _strcat_sql(args: list[str]) -> str:
+    """ADX strcat() stringifies every arg and treats NULL as empty —
+    concat_ws('') skips NULLs, where Spark's concat() would null the
+    whole result."""
+    casted = ", ".join(f"string({a})" for a in args)
+    return f"concat_ws('', {casted})"
+
+
 def _expr(kql_expr: str) -> str:
     """Translate a KQL scalar/boolean expression to SQL."""
     e = _bin_to_sql(_strings_to_sql(kql_expr))
     e = _rewrite_fn(e, "case", _case_sql)
     e = _rewrite_fn(e, "substring", _substring_sql)
+    e = _rewrite_fn(e, "split", _split_sql)
+    e = _rewrite_fn(e, "countof", _countof_sql)
+    e = _rewrite_fn(e, "strcat", _strcat_sql)
+    e = re.sub(r"\breplace_string\(", "replace(", e)
     e = re.sub(r"\btoupper\(", "upper(", e)
     e = re.sub(r"\btolower\(", "lower(", e)
     e = re.sub(r"\bformat_datetime\(", "date_format(", e)
@@ -166,7 +203,7 @@ def _expr(kql_expr: str) -> str:
     # a JSONPath extraction.
     e = re.sub(r"\bparse_json\((\w+)\)\.(\w+)", r"get_json_object(\1, '$.\2')", e)
     e = re.sub(r"\bstrlen\(", "length(", e)
-    e = re.sub(r"\bstrcat\(", "concat(", e)
+    e = re.sub(r"\bstrcat_array\(", "array_join(", e)
     e = re.sub(r"\biff\(", "if(", e)
     e = re.sub(r"\btolong\(", "bigint(", e)
     e = re.sub(r"\btoint\(", "int(", e)
@@ -306,6 +343,8 @@ _AGG_FNS = {
     "max",
     "maxif",
     "percentile",
+    "make_list",
+    "make_set",
 }
 
 
@@ -365,6 +404,17 @@ def _agg(item: str, auto_idx: int) -> str:
         col, pred = (x.strip() for x in _split_top_level(arg))
         sql = f"COUNT(DISTINCT CASE WHEN {_expr(pred)} THEN {_expr(col)} END)"
         default = f"dcountif_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+    elif fn in ("make_list", "make_set"):
+        # ADX guarantees NO element order for either; sorting is a
+        # deterministic refinement (same multiset/set), which the
+        # oracle gate's value-hash compare requires anyway.
+        inner = (
+            f"collect_list({_expr(arg)})"
+            if fn == "make_list"
+            else f"collect_set({_expr(arg)})"
+        )
+        sql = f"sort_array({inner})"
+        default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
     elif fn in ("sumif", "avgif", "minif", "maxif"):
         col, pred = (x.strip() for x in _split_top_level(arg))
         base = fn[:-2].upper()
@@ -479,6 +529,115 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
     return text, tabular
 
 
+_SERIES_AGGS = {"count", "dcount", "sum", "avg", "min", "max"}
+
+
+def _make_series_sql(prev: str, body: str) -> str:
+    """`make-series [a=]agg(x) [default=D], … on ts from F to T step S
+    [by g, …]` -> one row per group with aligned array columns: the time
+    axis (bin starts, aligned to F, covering [F, T)) plus one DOUBLE
+    series per aggregate, empty bins filled with the default (ADX
+    default: null).
+
+    Spark shape — three nested aggregation levels, all shuffle-minimal:
+      1. heavy agg keyed by (group, bin): partial map-side combine, the
+         only real shuffle, cardinality bounded by groups x bins;
+      2. per-group map assembly: map_from_entries(collect_list(...)) —
+         one row per (group, bin) in, one per group out;
+      3. map-side transform(sequence(...)) materializes the dense axis
+         and gap-fills via try_element_at (NULL on missing key even
+         under ANSI mode).
+    Groups are those present in the [F, T) input — ADX likewise derives
+    them from the aggregated rows. from/to are REQUIRED (the explicit-
+    subset contract: ADX's data-driven axis inference would make the
+    output schema depend on the data)."""
+    m = re.match(
+        r"(.+?)\s+on\s+(\w+)\s+from\s+(.+?)\s+to\s+(.+?)"
+        r"\s+step\s+(\d+)([smhd])(?:\s+by\s+(.+))?$",
+        body,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise ValueError(
+            f"make-series needs 'agg on ts from F to T step S [by g]': {body!r}"
+        )
+    aggs_text, ts, frm, to, sn, su, by = m.groups()
+    step = int(sn) * _TIMESPAN_SECONDS[su]
+    f_sql, t_sql = _expr(frm), _expr(to)
+    f_ep = f"unix_timestamp({f_sql})"
+    nbins = f"CAST(ceil((unix_timestamp({t_sql}) - {f_ep}) / {step}) AS INT)"
+    bin_expr = (
+        f"to_timestamp({f_ep} + floor((unix_timestamp({ts}) - {f_ep})"
+        f" / {step}) * {step})"
+    )
+    series = []  # (alias, inner_agg_sql, default_sql | None)
+    for item in _split_top_level(aggs_text):
+        sm = re.match(
+            r"(?:(\w+)\s*=\s*)?(\w+)\s*\((.*?)\)"
+            r"(?:\s+default\s*=\s*(\S+))?$",
+            item.strip(),
+        )
+        if not sm or sm.group(2).lower() not in _SERIES_AGGS:
+            raise ValueError(f"unsupported make-series aggregate: {item!r}")
+        alias, fn, arg, dflt = sm.groups()
+        fn = fn.lower()
+        if fn == "count":
+            inner, default_name = "COUNT(*)", "count_"
+        elif fn == "dcount":
+            inner, default_name = f"COUNT(DISTINCT {_expr(arg)})", f"dcount_{arg}"
+        else:
+            inner, default_name = f"{fn.upper()}({_expr(arg)})", f"{fn}_{arg}"
+        name = alias or (
+            default_name
+            if re.match(r"^\w+$", default_name)
+            else f"series{len(series)}"
+        )
+        # ADX series are dynamic arrays of real — cast once, up front.
+        series.append(
+            (name, f"CAST({inner} AS DOUBLE)",
+             f"CAST({_expr(dflt)} AS DOUBLE)" if dflt is not None else None)
+        )
+    gpairs = (
+        [_group_alias(g.strip(), j) for j, g in enumerate(_split_top_level(by))]
+        if by
+        else []
+    )
+    gsel = [p[0] for p in gpairs]
+    gnames = [p[0].rsplit(" AS ", 1)[-1] if " AS " in p[0] else p[0]
+              for p in gpairs]
+    l1_vals = [f"{inner} AS _v{i}" for i, (_, inner, _d) in enumerate(series)]
+    l1 = (
+        f"SELECT {', '.join(gsel + [f'{bin_expr} AS _b'] + l1_vals)}"
+        f" FROM {prev} WHERE {ts} >= {f_sql} AND {ts} < {t_sql}"
+        f" GROUP BY {', '.join([p[1] for p in gpairs] + [bin_expr])}"
+    )
+    l2_maps = [
+        f"map_from_entries(collect_list(struct(_b, _v{i}))) AS _m{i}"
+        for i in range(len(series))
+    ]
+    l2 = f"SELECT {', '.join(gnames + l2_maps)} FROM ({l1}) AS _ms1"
+    if gnames:
+        l2 += f" GROUP BY {', '.join(gnames)}"
+    axis = (
+        f"transform(sequence(0, {nbins} - 1),"
+        f" i -> to_timestamp({f_ep} + i * {step})) AS {ts}"
+    )
+    cols = []
+    for i, (name, _inner, dflt) in enumerate(series):
+        cell = (
+            f"try_element_at(_m{i},"
+            f" to_timestamp({f_ep} + i * {step}))"
+        )
+        if dflt is not None:
+            cell = f"coalesce({cell}, {dflt})"
+        cols.append(
+            f"transform(sequence(0, {nbins} - 1), i -> {cell}) AS {name}"
+        )
+    return (
+        f"SELECT {', '.join(gnames + [axis] + cols)} FROM ({l2}) AS _ms2"
+    )
+
+
 def _window_rewrite(expr_sql: str, order_keys: list[str]) -> str:
     """Rewrite the serialized-row-set functions to SQL windows over the
     pipe's current sort order: row_number() -> ROW_NUMBER() OVER,
@@ -507,9 +666,34 @@ def kql_to_sql(
     if _tabular is None:
         kql, _tabular = _apply_lets(" ".join(kql.split()))
     stages = _split_top_level(" ".join(kql.split()), "|")
-    if not stages or not re.match(r"^\w+$", stages[0]):
+    rng = stages and re.match(
+        r"^range\s+(\w+)\s+from\s+(.+?)\s+to\s+(.+?)\s+step\s+(\S+)$",
+        stages[0],
+        re.IGNORECASE,
+    )
+    if rng:
+        # `range x from a to b step s` — the KQL table generator
+        # (numeric or datetime axis; stop INCLUSIVE, like ADX).
+        # sequence() builds the array on one task; fine for the control-
+        # table use this serves — a 100 TB-scale dense axis comes from
+        # make-series, which derives bins per-row instead.
+        name, frm, to, stp = rng.groups()
+        sm = re.match(r"^(\d+)([smhd])$", stp)
+        step_sql = (
+            f"INTERVAL {int(sm.group(1)) * _TIMESPAN_SECONDS[sm.group(2)]}"
+            " SECOND"
+            if sm
+            else _expr(stp)
+        )
+        sql = (
+            f"SELECT explode(sequence({_expr(frm)}, {_expr(to)},"
+            f" {step_sql})) AS {name}"
+        )
+    elif not stages or not re.match(r"^\w+$", stages[0]):
         raise ValueError(f"KQL must start with a table name: {kql!r}")
-    if stages[0] in _tabular:
+    if rng:
+        pass
+    elif stages[0] in _tabular:
         base = kql_to_sql(_tabular[stages[0]], spark, _tabular)
         sql = f"SELECT * FROM ({base}) AS _let_{stages[0]}"
     else:
@@ -593,12 +777,106 @@ def kql_to_sql(
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
             order_keys = orders  # the serialize window order
         elif op == "mv-expand":
-            c = body.strip()
-            if not re.match(r"^\w+$", c):
-                raise ValueError(f"mv-expand needs a column name: {body!r}")
+            cols = [c.strip() for c in _split_top_level(body)]
+            if not cols or not all(re.match(r"^\w+$", c) for c in cols):
+                raise ValueError(f"mv-expand needs column name(s): {body!r}")
+            if len(cols) == 1:
+                c = cols[0]
+                sql = (
+                    f"SELECT * EXCEPT ({c}, _mv), _mv AS {c} FROM {prev} "
+                    f"LATERAL VIEW explode({c}) _t AS _mv"
+                )
+            else:
+                # Multi-column mv-expand zips element-wise (ADX
+                # semantics), null-padding shorter arrays — arrays_zip
+                # does exactly that, one explode, zero shuffle.
+                zipped = ", ".join(cols)
+                unpack = ", ".join(f"_mv.{c} AS {c}" for c in cols)
+                sql = (
+                    f"SELECT * EXCEPT ({zipped}, _mv), {unpack} FROM {prev} "
+                    f"LATERAL VIEW explode(arrays_zip({zipped})) _t AS _mv"
+                )
+        elif op == "make-series":
+            sql = _make_series_sql(prev, body)
+        elif op == "top-hitters":
+            # ADX top-hitters is approximate (per-node sketches merged);
+            # the Spark twin is the exact grouped top-N — a strict
+            # refinement with ADX's own output column naming. Partial
+            # aggregation + TakeOrderedAndProject: no global sort.
+            m = re.match(
+                r"(\d+)\s+of\s+(\w+)(?:\s+by\s+(\w+))?\s*$", body,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    f"top-hitters needs 'N of col [by sumcol]': {body!r}"
+                )
+            n, c, sumcol = m.groups()
+            if sumcol:
+                agg = f"SUM({sumcol}) AS approximate_sum_{sumcol}"
+                ordc = f"approximate_sum_{sumcol}"
+            else:
+                agg = f"COUNT(*) AS approximate_count_{c}"
+                ordc = f"approximate_count_{c}"
             sql = (
-                f"SELECT * EXCEPT ({c}, _mv), _mv AS {c} FROM {prev} "
-                f"LATERAL VIEW explode({c}) _t AS _mv"
+                f"SELECT {c}, {agg} FROM {prev} GROUP BY {c}"
+                f" ORDER BY {ordc} DESC, {c} ASC LIMIT {int(n)}"
+            )
+        elif op == "getschema":
+            if spark is None:
+                raise ValueError("getschema needs a SparkSession")
+            schema = spark.sql(sql).schema
+            type_map = {
+                "bigint": "long", "int": "int", "smallint": "int",
+                "string": "string", "double": "real", "float": "real",
+                "timestamp": "datetime", "timestamp_ntz": "datetime",
+                "boolean": "bool", "date": "datetime",
+                "decimal": "decimal",
+            }
+            rows = ", ".join(
+                "('{n}', {i}, '{st}', '{kt}')".format(
+                    n=f.name, i=j, st=f.dataType.simpleString(),
+                    kt=type_map.get(
+                        f.dataType.simpleString().split("(")[0], "dynamic"
+                    ),
+                )
+                for j, f in enumerate(schema.fields)
+            )
+            sql = (
+                f"SELECT * FROM (VALUES {rows}) AS"
+                " _gs(ColumnName, ColumnOrdinal, DataType, ColumnType)"
+            )
+        elif op == "evaluate":
+            # `evaluate pivot(col, agg(x))` — ADX discovers the pivot
+            # columns from the data; Spark SQL PIVOT needs them listed,
+            # so resolve the distinct values first (bounded by
+            # construction: they become output COLUMNS, so they must be
+            # few — same implicit limit ADX has). Remaining columns
+            # become the implicit group-by, as in ADX.
+            m = re.match(r"pivot\s*\(\s*(\w+)\s*,\s*(.+)\)\s*$", body,
+                         re.IGNORECASE | re.DOTALL)
+            if not m:
+                raise ValueError(f"unsupported evaluate plugin: {body!r}")
+            if spark is None:
+                raise ValueError("evaluate pivot needs a SparkSession")
+            pc, aggtext = m.group(1), m.group(2).strip()
+            agg_sql = _agg(aggtext, 0).rsplit(" AS ", 1)[0]
+            vals = sorted(
+                r[0]
+                for r in spark.sql(
+                    f"SELECT DISTINCT {pc} FROM ({sql}) AS _pv"
+                ).collect()
+                if r[0] is not None
+            )
+            if not all(isinstance(v, str) for v in vals):
+                raise ValueError("evaluate pivot: string pivot column only")
+            in_list = ", ".join(
+                "'{v}' AS `{a}`".format(v=v.replace("'", "''"), a=v)
+                for v in vals
+            )
+            sql = (
+                f"SELECT * FROM {prev} PIVOT ({agg_sql} FOR {pc}"
+                f" IN ({in_list}))"
             )
         elif op == "join":
             m = re.match(
@@ -1116,8 +1394,110 @@ def q_kql_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`make-series` — THE KQL time-series idiom: dense per-group
+    series over a fixed [from, to) axis, gap-filled with defaults,
+    then `mv-expand ts, n, s` (multi-column zip) back to rows so every
+    cell is scalar-hashable. Reference context: the reference forwards
+    exactly this kind of telemetry rollup to ADX
+    (/root/reference/src/main.go:88-116)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        " | make-series n=count() default=0.0,"
+        " s=sum(round(value * 100)) default=0.0"
+        " on ts from datetime(2024-01-01) to datetime(2024-01-08)"
+        " step 1d by user_id"
+        " | mv-expand ts, n, s",
+    )
+
+
+def q_kql_make_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summarize make_list/make_set (sorted — deterministic refinement
+    of ADX's unordered contract), serialized with strcat_array so the
+    driver's cell-hash compare sees strings, not arrays."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 200"
+        " | summarize st=make_set(event_type),"
+        " n=dcount(event_type) by user_id"
+        " | project user_id, types=strcat_array(st, ','), n",
+    )
+
+
+def q_kql_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`range` table generator (datetime axis, stop-inclusive) joined
+    back to data — the ADX control-table idiom for calendars."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "range d from datetime(2024-01-01) to datetime(2024-01-10)"
+        " step 1d | extend ep = tolong(d)",
+    )
+
+
+def q_kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`top-hitters N of c by v` — translated to the EXACT grouped
+    top-N (strict refinement of ADX's sketch-approximate answer), with
+    ADX's output column naming. Plan: partial agg + single shuffle +
+    TakeOrderedAndProject — no global sort."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | extend cents = round(value * 100)"
+        " | top-hitters 3 of event_type by cents",
+    )
+
+
+def q_kql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate pivot(col, agg)` — pivot columns discovered from the
+    data (sorted for determinism), remaining columns form the implicit
+    group-by, exactly ADX's contract."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | project user_id, event_type, value"
+        " | extend cents = round(value * 100)"
+        " | project-away value"
+        " | evaluate pivot(event_type, sum(cents))",
+    )
+
+
+def q_kql_getschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`getschema` — schema-as-a-table with ADX's column contract
+    (ColumnName/ColumnOrdinal/DataType/ColumnType)."""
+    _events_view(spark, sf_dir)
+    return kql(spark, "events | getschema")
+
+
+def q_kql_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """split (literal delimiter + 0-based index), countof,
+    replace_string, null-tolerant strcat — the everyday ADX string
+    toolkit, all JVM-side expressions."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        " | extend head = split(event_type, 'r', 0),"
+        " nparts = strlen(strcat_array(split(event_type, 'e'), '|')),"
+        " rs = replace_string(event_type, 'e', '3'),"
+        " cnt = countof(event_type, 'e'),"
+        " tag = strcat(user_id, ':', event_type)"
+        " | project event_id, head, nparts, rs, cnt, tag",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
+    "kql_make_series": q_kql_make_series,
+    "kql_make_list": q_kql_make_list,
+    "kql_range": q_kql_range,
+    "kql_top_hitters": q_kql_top_hitters,
+    "kql_pivot": q_kql_pivot,
+    "kql_getschema": q_kql_getschema,
+    "kql_string_fns": q_kql_string_fns,
     "kql_count": q_kql_count,
     "kql_summarize": q_kql_summarize,
     "kql_top": q_kql_top,
@@ -1137,6 +1517,75 @@ QUERIES = {
 }
 
 ORACLE = {
+    "kql_make_series": """
+        WITH f AS (
+            SELECT user_id, date_trunc('day', ts) AS b, value FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        ), agg AS (
+            SELECT user_id, b,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(round(value * 100)) AS DOUBLE) AS s
+            FROM f GROUP BY 1, 2
+        ), g AS (SELECT DISTINCT user_id FROM f),
+        bins AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-07', INTERVAL 1 DAY)) AS ts
+        )
+        SELECT g.user_id, bins.ts,
+               coalesce(agg.n, 0.0) AS n, coalesce(agg.s, 0.0) AS s
+        FROM g CROSS JOIN bins
+        LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
+    """,
+    "kql_make_list": """
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), ',')
+                   AS types,
+               count(DISTINCT event_type) AS n
+        FROM events WHERE event_id < 200 GROUP BY user_id
+    """,
+    "kql_range": """
+        SELECT d, CAST(epoch(d) AS BIGINT) AS ep FROM (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-10', INTERVAL 1 DAY)) AS d
+        )
+    """,
+    "kql_top_hitters": """
+        SELECT event_type,
+               sum(round(value * 100)) AS approximate_sum_cents
+        FROM events GROUP BY event_type
+        ORDER BY approximate_sum_cents DESC, event_type ASC LIMIT 3
+    """,
+    "kql_pivot": """
+        SELECT user_id,
+               sum(CASE WHEN event_type = 'click' THEN round(value * 100) END) AS click,
+               sum(CASE WHEN event_type = 'error' THEN round(value * 100) END) AS error,
+               sum(CASE WHEN event_type = 'purchase' THEN round(value * 100) END) AS purchase,
+               sum(CASE WHEN event_type = 'signup' THEN round(value * 100) END) AS signup,
+               sum(CASE WHEN event_type = 'view' THEN round(value * 100) END) AS view
+        FROM events GROUP BY user_id
+    """,
+    "kql_getschema": """
+        SELECT * FROM (VALUES
+            ('event_id', 0, 'bigint', 'long'),
+            ('ts', 1, 'timestamp', 'datetime'),
+            ('user_id', 2, 'bigint', 'long'),
+            ('event_type', 3, 'string', 'string'),
+            ('value', 4, 'double', 'real'),
+            ('props', 5, 'string', 'string')
+        ) AS _gs(ColumnName, ColumnOrdinal, DataType, ColumnType)
+    """,
+    "kql_string_fns": """
+        SELECT event_id,
+               string_split(event_type, 'r')[1] AS head,
+               CAST(length(array_to_string(string_split(event_type, 'e'),
+                   '|')) AS INTEGER) AS nparts,
+               replace(event_type, 'e', '3') AS rs,
+               CAST((length(event_type)
+                     - length(replace(event_type, 'e', ''))) AS BIGINT)
+                   AS cnt,
+               CAST(user_id AS VARCHAR) || ':' || event_type AS tag
+        FROM events WHERE event_id < 300
+    """,
     "kql_take": """
         SELECT event_id, user_id, ts FROM events
         WHERE event_type = 'view'

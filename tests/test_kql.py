@@ -73,7 +73,7 @@ def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
         kql_to_sql("T | facet by col")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
-        kql_to_sql("T | summarize make_list(x)")
+        kql_to_sql("T | summarize hll(x)")
 
 
 def test_filter_pushdown_survives_translation(spark, sf_smoke):
@@ -332,7 +332,9 @@ def test_case_substring_scalar_translate():
     sql = kql_to_sql(
         'T | extend b=case(strlen(strcat(x, y)) > 3, "long", "short")'
     )
-    assert "CASE WHEN length(concat(x, y)) > 3" in sql
+    assert (
+        "CASE WHEN length(concat_ws('', string(x), string(y))) > 3" in sql
+    )
     # ADX substring is 0-based; SQL is 1-based
     sql = kql_to_sql("T | extend h=substring(s, 0, 2)")
     assert "substring(s, (0) + 1, 2)" in sql
@@ -354,3 +356,129 @@ def test_serialize_window_translate():
     # bare serialize is a legal no-op marker
     sql = kql_to_sql("T | sort by ts asc | serialize | take 5")
     assert "LIMIT 5" in sql
+
+
+def test_make_series_dense_axis_and_defaults(spark, sf_smoke):
+    """make-series emits one row per group with a dense [from, to)
+    axis: every group's arrays span all bins, and bins with no rows
+    carry the default."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    rows = kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-03) step 6h"
+        " by user_id",
+    ).collect()
+    assert rows, "expected at least one group"
+    for r in rows:
+        assert len(r["ts"]) == 8 and len(r["n"]) == 8
+        assert r["ts"][0].isoformat().startswith("2024-01-01T00")
+    # totals across bins must equal the plain windowed count
+    from pyspark.sql import functions as F
+
+    expect = (
+        spark.table("events")
+        .where("ts >= '2024-01-01' AND ts < '2024-01-03'")
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    got = {r["user_id"]: sum(r["n"]) for r in rows}
+    assert got == {r["user_id"]: float(r["count"]) for r in expect}
+
+
+def test_make_series_requires_from_to():
+    with pytest.raises(ValueError, match="make-series"):
+        kql_to_sql("events | make-series n=count() on ts step 1h")
+
+
+def test_mv_expand_multi_column_zips(spark, sf_smoke):
+    """Multi-column mv-expand zips element-wise with null padding for
+    shorter arrays (ADX semantics)."""
+    spark.sql(
+        "SELECT array(1, 2, 3) AS a, array('x', 'y') AS b"
+    ).createOrReplaceTempView("t")
+    rows = kql(spark, "t | mv-expand a, b").collect()
+    assert [(r["a"], r["b"]) for r in rows] == [
+        (1, "x"), (2, "y"), (3, None)
+    ]
+
+
+def test_make_list_make_set_sorted(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "events | summarize lst=make_list(event_type),"
+        " st=make_set(event_type)",
+    ).collect()[0]
+    assert r["lst"] == sorted(r["lst"])
+    assert r["st"] == sorted(set(r["lst"]))
+
+
+def test_range_generator(spark):
+    assert [r["x"] for r in kql(spark, "range x from 1 to 10 step 3").collect()] == [
+        1, 4, 7, 10
+    ]
+    days = kql(
+        spark,
+        "range d from datetime(2024-01-01) to datetime(2024-01-05) step 1d",
+    ).collect()
+    assert len(days) == 5  # ADX range is stop-INCLUSIVE
+
+
+def test_top_hitters_naming_and_order(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(spark, "events | top-hitters 2 of event_type")
+    assert df.columns == ["event_type", "approximate_count_event_type"]
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0][1] >= rows[1][1]
+
+
+def test_pivot_discovers_sorted_columns(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | project user_id, event_type, value"
+        " | evaluate pivot(event_type, sum(value))",
+    )
+    types = sorted(
+        r["event_type"]
+        for r in spark.table("events").select("event_type").distinct().collect()
+    )
+    assert df.columns == ["user_id"] + types
+
+
+def test_getschema_contract(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    rows = kql(spark, "events | getschema").collect()
+    assert [r["ColumnName"] for r in rows] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    ]
+    assert rows[1]["ColumnType"] == "datetime"
+
+
+def test_split_literal_delimiter(spark):
+    """ADX split() is literal: splitting on '.' must not behave as the
+    regex any-char."""
+    spark.sql("SELECT 'a.b.c' AS s").createOrReplaceTempView("t")
+    r = kql(
+        spark,
+        "t | extend parts = split(s, '.'), head = split(s, '.', 0)",
+    ).collect()[0]
+    assert r["parts"] == ["a", "b", "c"] and r["head"] == "a"
+    # out-of-range index is NULL, not an ANSI error
+    assert kql(spark, "t | extend x = split(s, '.', 9)").collect()[0]["x"] is None
+
+
+def test_strcat_null_tolerant_and_countof(spark):
+    spark.sql(
+        "SELECT CAST(NULL AS STRING) AS a, 'bb' AS b"
+    ).createOrReplaceTempView("t")
+    r = kql(
+        spark,
+        "t | extend s = strcat(a, '-', b), c = countof(b, 'b'),"
+        " rs = replace_string(b, 'b', 'x')",
+    ).collect()[0]
+    assert r["s"] == "-bb"  # ADX: null args stringify to empty
+    assert r["c"] == 2 and r["rs"] == "xx"
