@@ -366,8 +366,96 @@ _DE = _duck_marker_count(LANG_MARKERS["de"])
 _FR = _duck_marker_count(LANG_MARKERS["fr"])
 _ES = _duck_marker_count(LANG_MARKERS["es"])
 
+# The published Gopher quality-rule thresholds (Rae et al. 2021,
+# "Scaling Language Models: Methods, Analysis & Insights from Training
+# Gopher", table A1) — the de-facto standard pre-training text filter.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_BULLETS = ("•", "-", "*")
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule filter over `documents`: every rule is a
+    JVM-side array/string expression (filter/transform/aggregate over
+    the whitespace token array — zero Python, zero shuffle, one narrow
+    pass), emitting the per-rule signals plus the conjunctive verdict:
+
+      50 <= n_words <= 100000;  3 <= mean word length <= 10;
+      symbol-to-word ratio ('#' or '…'-as-'...') <= 0.1;
+      <= 90% of lines bullet-started;  <= 30% of lines ellipsis-ended;
+      >= 80% of words contain a letter;  >= 2 Gopher stopwords present.
+
+    Scale shape: embarrassingly parallel map over the corpus — the
+    100 TB plan is scan -> project -> write, no exchange at all."""
+    d = spread(load(spark, sf_dir, "documents"))
+    w = words()
+    lw = F.transform(w, F.lower)
+    n_words = F.size(w).cast("bigint")
+    nwd = F.nullif(n_words, F.lit(0)).cast("double")
+    mean_len = F.round(
+        F.aggregate(
+            w, F.lit(0).cast("bigint"), lambda a, x: a + F.length(x)
+        ).cast("double")
+        / nwd,
+        4,
+    )
+    alpha_frac = F.round(
+        F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]"))) / nwd, 4
+    )
+    hash_n = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    ell_n = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = F.round((hash_n + ell_n) / nwd, 4)
+    lines = F.split("text", "\n")
+    nl = F.nullif(F.size(lines), F.lit(0)).cast("double")
+    bullet_pred = " OR ".join(
+        f"startswith(ltrim(l), '{b}')" for b in GOPHER_BULLETS
+    )
+    bullet_frac = F.round(
+        F.size(F.expr(f"filter(split(text, '\\n'), l -> {bullet_pred})"))
+        / nl,
+        4,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.expr("filter(split(text, '\\n'), l -> endswith(rtrim(l), '...'))")
+        )
+        / nl,
+        4,
+    )
+    n_stop = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lw, s),
+        )
+    ).cast("bigint")
+    cols = {
+        "n_words": n_words,
+        "mean_word_len": mean_len,
+        "alpha_frac": alpha_frac,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": bullet_frac,
+        "ellipsis_frac": ellipsis_frac,
+        "n_stop": n_stop,
+    }
+    passes = (
+        n_words.between(50, 100000)
+        & mean_len.between(3, 10)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac <= 0.9)
+        & (ellipsis_frac <= 0.3)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id", *[c.alias(n) for n, c in cols.items()],
+        passes.alias("passes"),
+    )
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "gopher_rules": q_gopher_rules,
     "doc_repetition": q_doc_repetition,
     "lang_mixture": q_lang_mixture,
     "text_token_stats": q_token_stats,
@@ -382,6 +470,52 @@ QUERIES = {
 }
 
 ORACLE = {
+    "gopher_rules": r"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   regexp_split_to_array(trim(text), '\s+') AS ws,
+                   string_split(text, chr(10)) AS lines
+            FROM documents
+        ), m AS (
+            SELECT doc_id,
+                CAST(len(ws) AS BIGINT) AS n_words,
+                ROUND(CAST(list_sum(list_transform(ws, w -> length(w)))
+                        AS DOUBLE)
+                      / CAST(nullif(len(ws), 0) AS DOUBLE), 4)
+                    AS mean_word_len,
+                ROUND(len(list_filter(ws,
+                          w -> regexp_matches(w, '[A-Za-z]')))
+                      / CAST(nullif(len(ws), 0) AS DOUBLE), 4)
+                    AS alpha_frac,
+                ROUND(((length(text) - length(replace(text, '#', '')))
+                       + (length(text)
+                          - length(replace(text, '...', ''))) / 3)
+                      / CAST(nullif(len(ws), 0) AS DOUBLE), 4)
+                    AS symbol_ratio,
+                ROUND(len(list_filter(lines,
+                          l -> ltrim(l) LIKE '•%' OR ltrim(l) LIKE '-%'
+                               OR ltrim(l) LIKE '*%'))
+                      / CAST(nullif(len(lines), 0) AS DOUBLE), 4)
+                    AS bullet_frac,
+                ROUND(len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+                      / CAST(nullif(len(lines), 0) AS DOUBLE), 4)
+                    AS ellipsis_frac,
+                CAST(len(list_filter(
+                        ['the','be','to','of','and','that','have','with'],
+                        s -> list_contains(
+                            list_transform(ws, w -> lower(w)), s)))
+                    AS BIGINT) AS n_stop
+            FROM base
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+               bullet_frac, ellipsis_frac, n_stop,
+               (n_words BETWEEN 50 AND 100000
+                AND mean_word_len BETWEEN 3 AND 10
+                AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+                AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+                AND n_stop >= 2) AS passes
+        FROM m
+    """,
     "lang_mixture": f"""
         WITH shares AS (
             SELECT lang, SUM(len({_DUCK_WS}))::BIGINT AS lang_tokens

@@ -138,3 +138,21 @@ def test_connected_components_matches_bruteforce_random(spark):
     labels, _ = connected_components(df)
     got = {r["n"]: r["component"] for r in labels.collect()}
     assert got == want
+
+
+def test_gopher_rules_thresholds(spark, sf_smoke):
+    """The verdict is exactly the conjunction of the published
+    thresholds — spot-check the two rules the synthetic corpus actually
+    exercises (word-count floor, stopword minimum)."""
+    from api_to_parquet_spark.text import q_gopher_rules
+
+    rows = q_gopher_rules(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        if r["n_words"] < 50 or r["n_stop"] < 2:
+            assert not r["passes"]
+        if r["passes"]:
+            assert 50 <= r["n_words"] <= 100000 and r["n_stop"] >= 2
+            assert 3 <= r["mean_word_len"] <= 10
+    # every column is populated (no silent NULL verdicts on non-empty docs)
+    assert all(r["passes"] is not None for r in rows if r["n_words"])
