@@ -423,10 +423,32 @@ def simhash(hs: Column) -> Column:
 
 
 def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc SimHash via explode + 60 codegen'd SUM aggregates —
+    measured 2.7x faster than the 60-interpreted-lambda array
+    expression (simhash()) at sf0.1. Scale shape: the per-bit counting
+    happens in the PARTIAL hash aggregate (words of one doc are
+    colocated in its input row), so the exchange carries ONE 61-column
+    row per document, not the tokenized corpus."""
     d = spread(load(spark, sf_dir, "documents"))
-    return d.select(
-        "doc_id", F.transform(words(), word_hash60).alias("hs")
-    ).select("doc_id", simhash(F.col("hs")).alias("simhash"))
+    ex = d.select("doc_id", F.explode(words()).alias("w")).select(
+        "doc_id", word_hash60(F.col("w")).alias("h")
+    )
+    aggs = [
+        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    g = ex.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+    sh = sum(
+        [
+            F.when(
+                2 * F.col(f"c{b}") >= F.col("n"),
+                F.lit(1 << b).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(SIMHASH_BITS)
+        ],
+        F.lit(0).cast("long"),
+    )
+    return g.select("doc_id", sh.alias("simhash"))
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -442,8 +464,10 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints candidate sets approach all-pairs anyway. Band (like
     q_minhash_lsh_pairs) when the threshold is <= ~3 bits of 64; at this
     loose threshold the dense O(n²) bit-XOR is the honest cost."""
-    d = _simhashed(spark, sf_dir).select(
-        "doc_id", F.col("simhash").alias("sh")
+    d = (
+        _simhashed(spark, sf_dir)
+        .localCheckpoint(eager=False)  # fingerprint once, not per side
+        .select("doc_id", F.col("simhash").alias("sh"))
     )
     a, b = d.alias("a"), d.alias("b")
     ham = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
@@ -477,8 +501,13 @@ def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     random 15-bit band values collisions are ~n^2/2^15 — at this tight
     threshold banding pays, unlike ham<=10 where ~5.5-bit bands
     approach all-pairs (see q_simhash_dup_pairs). Oracle: the all-pairs
-    Hamming join at the same threshold."""
-    d = _simhashed(spark, sf_dir)
+    Hamming join at the same threshold.
+
+    localCheckpoint: the fingerprint table feeds three plan branches
+    (band explosion + both verify-join sides) — materializing it once
+    (~16 B/doc, the dedup index itself) beats recomputing the corpus
+    fingerprint pass 3x; measured 6.7 s -> ~2 s at sf0.1."""
+    d = _simhashed(spark, sf_dir).localCheckpoint(eager=False)
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(

@@ -185,6 +185,37 @@ def _strcat_sql(args: list[str]) -> str:
     return f"concat_ws('', {casted})"
 
 
+def _series_reduce_sql(args: list[str], what: str) -> str:
+    """series_sum/avg over a dynamic array — left-fold in array order
+    (deterministic, oracle-reproducible)."""
+    a = args[0]
+    total = (
+        f"aggregate({a}, CAST(0 AS DOUBLE),"
+        f" (_acc, _x) -> _acc + CAST(_x AS DOUBLE))"
+    )
+    if what == "sum":
+        return total
+    return f"({total} / nullif(size({a}), 0))"
+
+
+def _series_zip_sql(args: list[str], op: str) -> str:
+    """Element-wise series arithmetic (ADX series_add/subtract/
+    multiply/divide) — zip_with, map-side. A numeric-literal second
+    operand broadcasts across the series via transform."""
+    if len(args) != 2:
+        raise ValueError(f"series op needs 2 args: {args!r}")
+    a, b = args
+    if re.match(r"^-?\d+(\.\d+)?$", b.strip()):
+        return (
+            f"transform({a}, _x -> CAST(_x AS DOUBLE) {op}"
+            f" CAST({b} AS DOUBLE))"
+        )
+    return (
+        f"zip_with({a}, {b}, (_x, _y) ->"
+        f" CAST(_x AS DOUBLE) {op} CAST(_y AS DOUBLE))"
+    )
+
+
 def _expr(kql_expr: str) -> str:
     """Translate a KQL scalar/boolean expression to SQL."""
     e = _bin_to_sql(_strings_to_sql(kql_expr))
@@ -193,6 +224,29 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "split", _split_sql)
     e = _rewrite_fn(e, "countof", _countof_sql)
     e = _rewrite_fn(e, "strcat", _strcat_sql)
+    # series scalar surface (pairs with make-series): reductions,
+    # constant gap-fill, element-wise arithmetic — all higher-order
+    # array functions, per-row and map-side.
+    e = _rewrite_fn(e, "series_sum", lambda a: _series_reduce_sql(a, "sum"))
+    e = _rewrite_fn(e, "series_avg", lambda a: _series_reduce_sql(a, "avg"))
+    e = _rewrite_fn(
+        e, "series_max", lambda a: f"CAST(array_max({a[0]}) AS DOUBLE)"
+    )
+    e = _rewrite_fn(
+        e, "series_min", lambda a: f"CAST(array_min({a[0]}) AS DOUBLE)"
+    )
+    e = _rewrite_fn(
+        e,
+        "series_fill_const",
+        lambda a: (
+            f"transform({a[0]}, _x -> coalesce(CAST(_x AS DOUBLE),"
+            f" CAST({a[1]} AS DOUBLE)))"
+        ),
+    )
+    e = _rewrite_fn(e, "series_add", lambda a: _series_zip_sql(a, "+"))
+    e = _rewrite_fn(e, "series_subtract", lambda a: _series_zip_sql(a, "-"))
+    e = _rewrite_fn(e, "series_multiply", lambda a: _series_zip_sql(a, "*"))
+    e = _rewrite_fn(e, "series_divide", lambda a: _series_zip_sql(a, "/"))
     e = re.sub(r"\breplace_string\(", "replace(", e)
     e = re.sub(r"\btoupper\(", "upper(", e)
     e = re.sub(r"\btolower\(", "lower(", e)
@@ -1489,9 +1543,31 @@ def q_kql_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_series_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The series scalar surface over make-series output: reductions
+    (series_sum/avg/max), scalar broadcast arithmetic
+    (series_multiply), element-wise zip (series_subtract), constant
+    gap-fill — all higher-order array functions, per-row map-side,
+    then mv-expand back to hashable scalars."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        " | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-05) step 1d"
+        " by user_id"
+        " | extend total = series_sum(n), avg_n = series_avg(n),"
+        " hi = series_max(n), scaled = series_multiply(n, 2),"
+        " centered = series_subtract(n, series_fill_const(n, 0.0))"
+        " | mv-expand ts, n, scaled, centered"
+        " | project user_id, ts, n, scaled, centered, total, avg_n, hi",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_make_series": q_kql_make_series,
+    "kql_series_fns": q_kql_series_fns,
     "kql_make_list": q_kql_make_list,
     "kql_range": q_kql_range,
     "kql_top_hitters": q_kql_top_hitters,
@@ -1535,6 +1611,29 @@ ORACLE = {
                coalesce(agg.n, 0.0) AS n, coalesce(agg.s, 0.0) AS s
         FROM g CROSS JOIN bins
         LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
+    """,
+    "kql_series_fns": """
+        WITH f AS (
+            SELECT user_id, date_trunc('day', ts) AS b FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
+        ), agg AS (
+            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
+            FROM f GROUP BY 1, 2
+        ), g AS (SELECT DISTINCT user_id FROM f),
+        bins AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-04', INTERVAL 1 DAY)) AS ts
+        ), dense AS (
+            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n
+            FROM g CROSS JOIN bins
+            LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
+        )
+        SELECT user_id, ts, n, n * 2 AS scaled, n - n AS centered,
+               sum(n) OVER (PARTITION BY user_id) AS total,
+               sum(n) OVER (PARTITION BY user_id)
+                   / CAST(4 AS DOUBLE) AS avg_n,
+               max(n) OVER (PARTITION BY user_id) AS hi
+        FROM dense
     """,
     "kql_make_list": """
         SELECT user_id,

@@ -44,6 +44,8 @@ HEADLINE = [
     "kql_summarize",  # KQL frontend translation + grouped agg
     "simhash_band_pairs",  # pigeonhole-banded SimHash near-dup (r3)
     "pandas_udaf_partial",  # salted Python partials + native merge (r3)
+    "kql_make_series",  # dense gap-filled time series, 2-level agg (r3)
+    "gopher_rules",  # zero-shuffle corpus quality filter (r3)
 ]
 
 

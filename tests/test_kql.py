@@ -482,3 +482,21 @@ def test_strcat_null_tolerant_and_countof(spark):
     ).collect()[0]
     assert r["s"] == "-bb"  # ADX: null args stringify to empty
     assert r["c"] == 2 and r["rs"] == "xx"
+
+
+def test_series_scalar_functions(spark):
+    """series_* reductions and element-wise arithmetic over dynamic
+    arrays — per-row higher-order functions, no shuffle."""
+    spark.sql(
+        "SELECT array(1.0, NULL, 3.0) AS s, array(1.0, 1.0, 1.0) AS o"
+    ).createOrReplaceTempView("t")
+    r = kql(
+        spark,
+        "t | extend f = series_fill_const(s, 0.0)"
+        " | extend tot = series_sum(f), m = series_avg(f),"
+        " hi = series_max(f), d = series_subtract(f, o),"
+        " x2 = series_multiply(f, 2)",
+    ).collect()[0]
+    assert r["f"] == [1.0, 0.0, 3.0]
+    assert r["tot"] == 4.0 and r["m"] == pytest.approx(4.0 / 3) and r["hi"] == 3.0
+    assert r["d"] == [0.0, -1.0, 2.0] and r["x2"] == [2.0, 0.0, 6.0]

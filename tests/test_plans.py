@@ -261,3 +261,30 @@ def test_sketch_rollup_reaggregates_sketches_not_rows(spark, sf_smoke):
     plan = _plan(spark, sf_smoke, "sketch_rollup")
     assert "hll_union_agg" in plan
     assert plan.count("Scan parquet") == 1, plan[:800]
+
+
+def test_make_series_two_level_agg_no_cartesian(spark, sf_smoke):
+    """make-series: the heavy aggregate keys on (group, bin) with
+    map-side partial aggregation; the per-group map assembly and dense-
+    axis transform add no join at all — and never a cartesian."""
+    plan = _plan(spark, sf_smoke, "kql_make_series")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "partial_count" in plan or "partial" in plan
+    # dense axis is map-side transform over sequence(), not a join
+    assert "Generate explode" in plan  # only the final mv-expand explodes
+
+
+def test_top_hitters_no_global_sort(spark, sf_smoke):
+    plan = _plan(spark, sf_smoke, "kql_top_hitters")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial" in plan  # map-side combine before the one shuffle
+
+
+def test_gopher_rules_zero_exchange(spark, sf_smoke):
+    """The Gopher filter is a pure map: corpus scan -> project. Any
+    Exchange here would be a scale bug."""
+    plan = _plan(spark, sf_smoke, "gopher_rules")
+    # spread()'s round-robin repartition is the only allowed exchange —
+    # no hash/range shuffle (no keyed redistribution of the corpus)
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
