@@ -501,10 +501,10 @@ def _group_alias(g: str, idx: int) -> tuple[str, str]:
 _TYPE_CASTS = {"long": "BIGINT", "int": "INT", "double": "DOUBLE", "string": ""}
 
 
-def _parse_to_selects(col: str, pattern: str) -> list[str]:
-    """`parse <col> with [*] "lit" name:type "lit" ...` -> one
-    regexp_extract per capture. ADX anchors at the string start unless
-    the pattern opens with *."""
+def _parse_to_selects(col: str, pattern: str) -> tuple[list[str], str]:
+    """`parse <col> with [*] "lit" name:type "lit" ...` -> (one
+    regexp_extract per capture, the match regex for parse-where). ADX
+    anchors at the string start unless the pattern opens with *."""
     toks = re.findall(r'"((?:[^"\\]|\\.)*)"|(\*)|(\w+)\s*:\s*(\w+)', pattern)
     regex, caps = "", []
     anchored = True
@@ -532,7 +532,7 @@ def _parse_to_selects(col: str, pattern: str) -> list[str]:
         out.append(
             f"try_cast({ex} AS {cast}) AS {name}" if cast else f"{ex} AS {name}"
         )
-    return out
+    return out, regex_sql
 
 
 _STR_SPAN = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
@@ -1011,15 +1011,41 @@ def kql_to_sql(
                 )
             else:
                 sql = f"SELECT * FROM {prev} UNION ALL ({right})"
-        elif op == "parse":
+        elif op in ("parse", "parse-where"):
             m = re.match(
                 r"(?:kind\s*=\s*simple\s+)?(\w+)\s+with\s+(.+)$", body,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
-                raise ValueError(f"parse needs '<col> with <pattern>': {body!r}")
-            selects = _parse_to_selects(m.group(1), m.group(2))
+                raise ValueError(f"{op} needs '<col> with <pattern>': {body!r}")
+            selects, regex_sql = _parse_to_selects(m.group(1), m.group(2))
             sql = f"SELECT *, {', '.join(selects)} FROM {prev}"
+            if op == "parse-where":
+                # parse-where keeps only rows the pattern matches (ADX:
+                # parse emits nulls, parse-where filters) — same regex,
+                # so the filter costs one extra RLIKE, not a re-parse.
+                sql += f" WHERE {m.group(1)} RLIKE '{regex_sql}'"
+        elif op == "sample":
+            # ADX sample is non-deterministic; this translation is a
+            # DETERMINISTIC pseudo-random refinement — order by a hash
+            # of the whole row, take N. Plan: TakeOrderedAndProject
+            # (per-partition heaps), no global sort, reproducible runs.
+            sql = (
+                f"SELECT * EXCEPT (_sh) FROM (SELECT *,"
+                f" xxhash64(struct(*)) AS _sh FROM {prev}) AS _sm{i}"
+                f" ORDER BY _sh LIMIT {int(body)}"
+            )
+        elif op == "sample-distinct":
+            m = re.match(r"(\d+)\s+of\s+(\w+)\s*$", body, re.IGNORECASE)
+            if not m:
+                raise ValueError(
+                    f"sample-distinct needs 'N of col': {body!r}"
+                )
+            n, c = m.groups()
+            sql = (
+                f"SELECT {c} FROM (SELECT DISTINCT {c} FROM {prev})"
+                f" AS _sd{i} ORDER BY xxhash64({c}) LIMIT {int(n)}"
+            )
         elif op == "distinct":
             cols = ", ".join(
                 _expr(c) for c in _split_top_level(_strings_to_sql(body))
@@ -1564,10 +1590,32 @@ def q_kql_series_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse-where: parse + keep only matching rows (ADX contract) —
+    one extra RLIKE against the same compiled regex, no re-parse."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | parse-where event_type with "s" mid:string "nup"'
+        " | project event_id, mid",
+    )
+
+
+def q_kql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`sample N` — deterministic pseudo-random refinement of ADX's
+    random sample: order by a whole-row hash, TakeOrderedAndProject
+    plan (per-partition heaps, no global sort). Rows-only oracle: the
+    hash order is engine-specific by construction."""
+    _events_view(spark, sf_dir)
+    return kql(spark, "events | sample 100")
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_make_series": q_kql_make_series,
     "kql_series_fns": q_kql_series_fns,
+    "kql_parse_where": q_kql_parse_where,
+    "kql_sample": q_kql_sample,
     "kql_make_list": q_kql_make_list,
     "kql_range": q_kql_range,
     "kql_top_hitters": q_kql_top_hitters,
@@ -1634,6 +1682,10 @@ ORACLE = {
                    / CAST(4 AS DOUBLE) AS avg_n,
                max(n) OVER (PARTITION BY user_id) AS hi
         FROM dense
+    """,
+    "kql_parse_where": """
+        SELECT event_id, regexp_extract(event_type, '^s(.*?)nup', 1) AS mid
+        FROM events WHERE regexp_matches(event_type, '^s(.*?)nup')
     """,
     "kql_make_list": """
         SELECT user_id,

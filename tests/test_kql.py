@@ -500,3 +500,27 @@ def test_series_scalar_functions(spark):
     assert r["f"] == [1.0, 0.0, 3.0]
     assert r["tot"] == 4.0 and r["m"] == pytest.approx(4.0 / 3) and r["hi"] == 3.0
     assert r["d"] == [0.0, -1.0, 2.0] and r["x2"] == [2.0, 0.0, 6.0]
+
+
+def test_parse_where_filters_nonmatching(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        'events | parse-where event_type with "s" mid:string "nup"',
+    )
+    rows = df.collect()
+    assert rows and all(r["event_type"] == "signup" for r in rows)
+    # plain parse keeps everything
+    n_all = kql(
+        spark, 'events | parse event_type with "s" mid:string "nup"'
+    ).count()
+    assert n_all == spark.table("events").count()
+
+
+def test_sample_deterministic_and_bounded(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    a = kql(spark, "events | sample 9").collect()
+    b = kql(spark, "events | sample 9").collect()
+    assert len(a) == 9 and a == b
+    ds = kql(spark, "events | sample-distinct 2 of event_type").collect()
+    assert len(ds) == 2 and len({r[0] for r in ds}) == 2

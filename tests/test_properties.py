@@ -160,7 +160,42 @@ def _kql_stage_st(cols: tuple[str, ...]):
         opts.append(
             st.just(("where event_type contains \"vi\"", cols))
         )
+        opts.append(
+            st.integers(1, 5).map(
+                lambda n: (
+                    f"top-hitters {n} of {str_[0]}",
+                    (str_[0], f"approximate_count_{str_[0]}"),
+                )
+            )
+        )
+        opts.append(
+            st.just(
+                (
+                    f"summarize s=make_set({str_[0]}) by "
+                    + (num[0] if num else str_[0]),
+                    ((num[0] if num else str_[0]), "s"),
+                )
+            )
+        )
+    if "ts" in cols and num:
+        by = f" by {str_[0]}" if str_ else ""
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"make-series m=avg({c}) default=0.0 on ts"
+                    " from datetime(2024-01-01) to datetime(2024-01-03)"
+                    f" step 1d{by}",
+                    ((str_[0],) if str_ else ()) + ("ts", "m"),
+                )
+            )
+        )
     opts.append(st.integers(1, 50).map(lambda n: (f"take {n}", cols)))
+    opts.append(
+        st.lists(
+            st.sampled_from(sorted(cols)), min_size=1,
+            max_size=len(cols), unique=True,
+        ).map(lambda ks: ("distinct " + ", ".join(ks), tuple(ks)))
+    )
     keep = st.lists(
         st.sampled_from(sorted(cols)), min_size=1, max_size=len(cols), unique=True
     )
