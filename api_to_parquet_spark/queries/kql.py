@@ -907,6 +907,31 @@ def kql_to_sql(
             # construction: they become output COLUMNS, so they must be
             # few — same implicit limit ADX has). Remaining columns
             # become the implicit group-by, as in ADX.
+            bm = re.match(r"bag_unpack\s*\(\s*(\w+)\s*\)\s*$", body,
+                          re.IGNORECASE)
+            if bm:
+                # `evaluate bag_unpack(col)` — expand a JSON property
+                # bag into columns. Keys discovered from the data
+                # (bounded: they become output COLUMNS), sorted for
+                # determinism; values extracted via get_json_object
+                # (JVM-side JSONPath), strings like ADX's dynamic->
+                # column widening default.
+                if spark is None:
+                    raise ValueError("evaluate bag_unpack needs a SparkSession")
+                bc = bm.group(1)
+                keys = sorted(
+                    r[0]
+                    for r in spark.sql(
+                        f"SELECT DISTINCT explode(json_object_keys({bc}))"
+                        f" FROM ({sql}) AS _bu"
+                    ).collect()
+                    if r[0] is not None
+                )
+                cols = ", ".join(
+                    f"get_json_object({bc}, '$.{k}') AS `{k}`" for k in keys
+                )
+                sql = f"SELECT * EXCEPT ({bc}), {cols} FROM {prev}"
+                continue
             m = re.match(r"pivot\s*\(\s*(\w+)\s*,\s*(.+)\)\s*$", body,
                          re.IGNORECASE | re.DOTALL)
             if not m:
@@ -1601,6 +1626,17 @@ def q_kql_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluate bag_unpack: the events `props` JSON bag widened to
+    columns — keys discovered from the data (sorted), values via
+    JVM-side get_json_object."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate bag_unpack(props) | project event_id, k",
+    )
+
+
 def q_kql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sample N` — deterministic pseudo-random refinement of ADX's
     random sample: order by a whole-row hash, TakeOrderedAndProject
@@ -1615,6 +1651,7 @@ QUERIES = {
     "kql_make_series": q_kql_make_series,
     "kql_series_fns": q_kql_series_fns,
     "kql_parse_where": q_kql_parse_where,
+    "kql_bag_unpack": q_kql_bag_unpack,
     "kql_sample": q_kql_sample,
     "kql_make_list": q_kql_make_list,
     "kql_range": q_kql_range,
@@ -1686,6 +1723,10 @@ ORACLE = {
     "kql_parse_where": """
         SELECT event_id, regexp_extract(event_type, '^s(.*?)nup', 1) AS mid
         FROM events WHERE regexp_matches(event_type, '^s(.*?)nup')
+    """,
+    "kql_bag_unpack": """
+        SELECT event_id, json_extract_string(props, '$.k') AS k
+        FROM events
     """,
     "kql_make_list": """
         SELECT user_id,

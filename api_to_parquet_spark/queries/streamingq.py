@@ -109,14 +109,63 @@ def q_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup under replay: the events table is staged
+    TWICE (every row duplicated — the replayed-POST shape the
+    reference's idempotent `file` overwrite guards against,
+    README.md:88), streamed through a watermarked
+    dropDuplicatesWithinWatermark on (event_id), then aggregated; the
+    oracle is the plain batch answer over the UN-duplicated table, so
+    the result is right only if the dedup removed every replay.
+
+    Scale shape: dedup state is keyed by event_id in the state store
+    and EVICTED once the watermark passes an event's time — bounded
+    state under unbounded streams, vs plain dropDuplicates' forever
+    state."""
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    name = f"sq_{uuid.uuid4().hex[:12]}"
+    try:
+        ev = load(spark, sf_dir, "events")
+        ev.write.mode("overwrite").parquet(f"{tmp}/events/copy1")
+        ev.write.mode("overwrite").parquet(f"{tmp}/events/copy2")
+        stream = (
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+            .option("recursiveFileLookup", "true")
+            .parquet(f"{tmp}/events")
+        )
+        q = (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.table(name)
+
+
 QUERIES = {
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
+    "streaming_dedup": q_streaming_dedup,
     "streaming_session_window": q_streaming_session_window,
     "streaming_state_get": q_streaming_state_get,
 }
 
 ORACLE = {
     # identical to their batch twins — that equality is the point
+    "streaming_dedup": """
+        SELECT event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
+        FROM events GROUP BY 1
+    """,
     "streaming_tumbling_agg": """
         SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
                event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
