@@ -104,6 +104,67 @@ def _bin_to_sql(text: str) -> str:
     return re.sub(r"bin\(([^,]+),\s*(\d+)([smhd])\)", repl, text)
 
 
+def _bin_at_sql(args: list[str]) -> str:
+    """bin_at(col, size, fixedPoint) — bins aligned to fixedPoint, not
+    to epoch 0 (timespan sizes; numeric sizes pass through)."""
+    if len(args) != 3:
+        raise ValueError(f"bin_at needs (col, size, fixedPoint): {args!r}")
+    col, size, fp = (a.strip() for a in args)
+    m = re.match(r"^(\d+)([smhd])$", size)
+    if m:
+        sec = int(m.group(1)) * _TIMESPAN_SECONDS[m.group(2)]
+        return (
+            f"to_timestamp(unix_timestamp({fp})"
+            f" + floor((unix_timestamp({col}) - unix_timestamp({fp}))"
+            f" / {sec}) * {sec})"
+        )
+    return f"({fp} + floor(({col} - {fp}) / ({size})) * ({size}))"
+
+
+_DT_UNITS = {
+    "second": 1,
+    "minute": 60,
+    "hour": 3600,
+    "day": 86400,
+}
+
+
+def _datetime_diff_sql(args: list[str]) -> str:
+    """datetime_diff('unit', a, b) = a - b in unit BOUNDARIES crossed
+    (ADX semantics: 23:59 -> 00:01 is 1 day), not complete periods —
+    so truncate both sides to the unit first."""
+    if len(args) != 3:
+        raise ValueError(f"datetime_diff needs (unit, a, b): {args!r}")
+    unit = args[0].strip().strip("'").lower()
+    a, b = args[1], args[2]
+    if unit in _DT_UNITS:
+        s = _DT_UNITS[unit]
+        return (
+            f"CAST((unix_timestamp(date_trunc('{unit.upper()}', {a}))"
+            f" - unix_timestamp(date_trunc('{unit.upper()}', {b})))"
+            f" / {s} AS BIGINT)"
+        )
+    if unit == "month":
+        return (
+            f"CAST(months_between(date_trunc('MONTH', {a}),"
+            f" date_trunc('MONTH', {b})) AS BIGINT)"
+        )
+    if unit == "year":
+        return f"(year({a}) - year({b}))"
+    raise ValueError(f"unsupported datetime_diff unit: {unit!r}")
+
+
+def _datetime_add_sql(args: list[str]) -> str:
+    """datetime_add('unit', n, dt) -> timestampadd (1:1, no boundary
+    subtlety for addition)."""
+    if len(args) != 3:
+        raise ValueError(f"datetime_add needs (unit, n, dt): {args!r}")
+    unit = args[0].strip().strip("'").upper()
+    if unit not in ("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR"):
+        raise ValueError(f"unsupported datetime_add unit: {unit!r}")
+    return f"timestampadd({unit}, {args[1]}, {args[2]})"
+
+
 def _rewrite_fn(e: str, name: str, build) -> str:
     """Rewrite every `name(...)` call (balanced parens, top-level-comma
     args) via build(args) — for KQL functions whose SQL shape is not a
@@ -248,6 +309,34 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "series_multiply", lambda a: _series_zip_sql(a, "*"))
     e = _rewrite_fn(e, "series_divide", lambda a: _series_zip_sql(a, "/"))
     e = re.sub(r"\breplace_string\(", "replace(", e)
+    # bin_at / datetime arithmetic / part getters
+    e = _rewrite_fn(e, "bin_at", _bin_at_sql)
+    e = _rewrite_fn(e, "datetime_diff", _datetime_diff_sql)
+    e = _rewrite_fn(e, "datetime_add", _datetime_add_sql)
+    e = re.sub(r"\bgetyear\(", "year(", e)
+    e = re.sub(r"\bgetmonth\(", "month(", e)
+    e = re.sub(r"\bdayofmonth\(", "day(", e)
+    e = re.sub(r"\bhourofday\(", "hour(", e)
+    # ADX dayofweek returns a TIMESPAN of whole days since Sunday;
+    # the useful scalar is its day count: 0=Sunday..6=Saturday.
+    e = re.sub(r"\bdayofweek\(([^()]+)\)", r"(dayofweek(\1) - 1)", e)
+    # arrays & misc
+    e = re.sub(r"\bpack_array\(", "array(", e)
+    e = re.sub(r"\barray_length\(", "size(", e)
+    e = re.sub(r"\barray_concat\(", "concat(", e)
+    e = _rewrite_fn(
+        e,
+        "array_index_of",
+        # ADX is 0-based with -1 for missing; array_position is 1-based
+        # with 0 (and NULL-safe via coalesce for a NULL haystack)
+        lambda a: f"(coalesce(array_position({a[0]}, {a[1]}), 0) - 1)",
+    )
+    e = _rewrite_fn(
+        e,
+        "indexof",
+        lambda a: f"(instr({a[0]}, {a[1]}) - 1)",  # 0-based, -1 missing
+    )
+    e = re.sub(r"\bhash\(", "xxhash64(", e)
     e = re.sub(r"\btoupper\(", "upper(", e)
     e = re.sub(r"\btolower\(", "lower(", e)
     e = re.sub(r"\bformat_datetime\(", "date_format(", e)
@@ -410,6 +499,20 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
 
     Ties on the arg_max key pick an arbitrary row in BOTH ADX and
     Spark's max_by — use a unique key when determinism matters."""
+    pm = re.match(r"percentiles\s*\((.*)\)$", item.strip())
+    if pm:
+        # percentiles(x, p1, p2, …) -> one percentile_approx per p with
+        # ADX's percentile_<col>_<p> naming (KQL percentiles are
+        # approximate — T-digest there, percentile_approx here).
+        args = [a.strip() for a in _split_top_level(pm.group(1))]
+        if len(args) < 2:
+            raise ValueError(f"percentiles needs (col, p, ...): {item!r}")
+        col = args[0]
+        return [
+            f"percentile_approx({_expr(col)}, {float(p) / 100})"
+            f" AS percentile_{col}_{p.replace('.', '_')}"
+            for p in args[1:]
+        ]
     m = re.match(r"(?:(\w+)\s*=\s*)?(arg_max|arg_min)\s*\((.*)\)$", item.strip())
     if not m:
         return [_agg(item, auto_idx)]
@@ -1637,6 +1740,53 @@ def q_kql_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bin_at (fixed-point-aligned bins), datetime_diff (BOUNDARY
+    semantics, the ADX contract), datetime_add, and the part getters —
+    all JVM datetime expressions."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | extend d = bin_at(ts, 1d, datetime(2024-01-01)),"
+        " dd = datetime_diff('day', ts, datetime(2024-01-01)),"
+        " nxt = datetime_add('hour', 2, ts),"
+        " y = getyear(ts), mo = getmonth(ts), dom = dayofmonth(ts),"
+        " hh = hourofday(ts), dow = dayofweek(ts)"
+        " | project event_id, d, dd, nxt, y, mo, dom, hh, dow",
+    )
+
+
+def q_kql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """summarize percentiles(x, p1, p2, …) — the multi-quantile idiom,
+    one percentile_approx per p (KQL percentiles are approximate too —
+    T-digest in ADX). The event_id bound keeps every group within
+    percentile_approx's default-accuracy EXACT regime at every sf, so
+    the oracle can pin the exact lower-rank order statistic
+    (quantile_disc); on unbounded groups the contract is approximate,
+    like ADX's."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 5000"
+        " | summarize percentiles(value, 25, 50, 75) by event_type",
+    )
+
+
+def q_kql_array_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack_array/array_length/array_index_of (0-based, -1 missing),
+    indexof — the ADX dynamic-array toolkit."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | where event_id < 100'
+        ' | extend arr = pack_array(event_type, "x"),'
+        ' missing = array_index_of(pack_array(event_type), "zz")'
+        ' | extend n = array_length(arr), i = array_index_of(arr, "x"),'
+        ' p = indexof(event_type, "e")'
+        " | project event_id, n, i, missing, p",
+    )
+
+
 def q_kql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sample N` — deterministic pseudo-random refinement of ADX's
     random sample: order by a whole-row hash, TakeOrderedAndProject
@@ -1652,6 +1802,9 @@ QUERIES = {
     "kql_series_fns": q_kql_series_fns,
     "kql_parse_where": q_kql_parse_where,
     "kql_bag_unpack": q_kql_bag_unpack,
+    "kql_datetime_math": q_kql_datetime_math,
+    "kql_percentiles": q_kql_percentiles,
+    "kql_array_misc": q_kql_array_misc,
     "kql_sample": q_kql_sample,
     "kql_make_list": q_kql_make_list,
     "kql_range": q_kql_range,
@@ -1727,6 +1880,29 @@ ORACLE = {
     "kql_bag_unpack": """
         SELECT event_id, json_extract_string(props, '$.k') AS k
         FROM events
+    """,
+    "kql_datetime_math": """
+        SELECT event_id,
+               date_trunc('day', ts) AS d,
+               date_diff('day', TIMESTAMP '2024-01-01', ts) AS dd,
+               ts + INTERVAL 2 HOUR AS nxt,
+               year(ts) AS y, month(ts) AS mo, day(ts) AS dom,
+               hour(ts) AS hh, dayofweek(ts) AS dow
+        FROM events
+    """,
+    "kql_percentiles": """
+        SELECT event_type,
+               quantile_disc(value, 0.25) AS percentile_value_25,
+               quantile_disc(value, 0.50) AS percentile_value_50,
+               quantile_disc(value, 0.75) AS percentile_value_75
+        FROM events WHERE event_id < 5000 GROUP BY event_type
+    """,
+    "kql_array_misc": """
+        SELECT event_id,
+               CAST(2 AS INTEGER) AS n, CAST(1 AS BIGINT) AS i,
+               CAST(-1 AS BIGINT) AS missing,
+               CAST(strpos(event_type, 'e') - 1 AS INTEGER) AS p
+        FROM events WHERE event_id < 100
     """,
     "kql_make_list": """
         SELECT user_id,

@@ -524,3 +524,41 @@ def test_sample_deterministic_and_bounded(spark, sf_smoke):
     assert len(a) == 9 and a == b
     ds = kql(spark, "events | sample-distinct 2 of event_type").collect()
     assert len(ds) == 2 and len({r[0] for r in ds}) == 2
+
+
+def test_datetime_math_boundary_semantics(spark):
+    """datetime_diff counts unit BOUNDARIES crossed (ADX contract):
+    23:59 -> 00:01 is 1 day apart even though 2 minutes elapsed."""
+    spark.sql(
+        "SELECT TIMESTAMP '2024-01-02 00:01:00' AS a,"
+        " TIMESTAMP '2024-01-01 23:59:00' AS b"
+    ).createOrReplaceTempView("t")
+    r = kql(
+        spark,
+        "t | extend dd = datetime_diff('day', a, b),"
+        " hh = datetime_diff('hour', a, b),"
+        " plus = datetime_add('day', 1, b),"
+        " ba = bin_at(a, 1d, datetime(2024-01-01))",
+    ).collect()[0]
+    assert r["dd"] == 1 and r["hh"] == 1
+    assert r["plus"].isoformat().startswith("2024-01-02T23:59")
+    assert r["ba"].isoformat().startswith("2024-01-02T00:00")
+
+
+def test_indexof_array_fns_zero_based(spark):
+    spark.sql("SELECT 'hello' AS s").createOrReplaceTempView("t")
+    r = kql(
+        spark,
+        't | extend i = indexof(s, "ll"), miss = indexof(s, "zz"),'
+        ' arr = pack_array(s, "x"), ai = array_index_of(pack_array(s), s),'
+        " n = array_length(pack_array(s, s, s))",
+    ).collect()[0]
+    assert r["i"] == 2 and r["miss"] == -1
+    assert r["ai"] == 0 and r["n"] == 3
+
+
+def test_percentiles_expand_with_adx_naming():
+    sql = kql_to_sql("T | summarize percentiles(value, 25, 99.9) by g")
+    assert "AS percentile_value_25" in sql
+    assert "AS percentile_value_99_9" in sql
+    assert sql.count("percentile_approx") == 2
