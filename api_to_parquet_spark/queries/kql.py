@@ -36,21 +36,54 @@ Supported pipe operators (the committed shapes plus the everyday core):
     T | union [kind=k] (T2|…)   -> name-aligned UNION ALL with null-fill
                                    (ADX semantics) when a session is
                                    available; positional otherwise
-    T | parse c with "l" n:t …  -> regexp_extract per capture + cast
+    T | parse[-where] c with "l" n:t …
+                                -> regexp_extract per capture + cast
+                                   (parse-where filters non-matching
+                                   rows with one extra RLIKE)
     T | mv-apply e = c on (…)   -> higher-order array fns (filter/
                                    aggregate/size) — per-row, map-side
     T | top-nested N of g by a(x), top-nested M of h by b(y)
                                 -> hierarchical top-k (grouped agg +
                                    row_number per level)
+    T | make-series a=agg(x) [default=D] on ts from F to T step S [by g]
+                                -> dense gap-filled per-group series
+                                   arrays: (group, bin) agg + per-group
+                                   map + transform(sequence()) axis
+    T | mv-expand c1, c2, …     -> multi-column element-wise zip
+                                   (arrays_zip + one explode)
+    T | top-hitters N of c [by v] -> exact grouped top-N (refinement of
+                                   ADX's sketch), ADX column naming
+    T | evaluate pivot(c, agg)  -> Spark SQL PIVOT, columns discovered
+                                   from the data (sorted)
+    T | evaluate bag_unpack(c)  -> JSON property bag -> columns
+                                   (keys discovered, get_json_object)
+    T | getschema               -> schema as a table (ADX contract)
+    T | sample N / sample-distinct N of c
+                                -> deterministic hash-order refinement
+    range x from a to b step s  -> explode(sequence(...)) generator
+                                   (numeric or datetime, stop-inclusive)
     let name = expr; T | …      -> scalar substitution (string-literal-
                                    safe, lets may reference earlier lets)
     let t = [materialize(]T|…[)]; t | …
                                 -> tabular let inlined as a subquery
 
+Joins accept `on k` (USING, same-name merge) and `on $left.a ==
+$right.b` (qualified keys, both columns kept — ADX contract).
+
 summarize additionally covers arg_max/arg_min (-> max_by/min_by per
-carried column) and the conditional family countif/sumif/avgif/minif/
-maxif/dcountif. Scalars additionally cover case(), toupper/tolower,
-0-based substring, format_datetime. Predicates additionally cover
+carried column), make_list/make_set (sorted — deterministic refinement
+of ADX's unordered contract), percentiles(x, p1, p2, …) (ADX naming,
+percentile_approx), and the conditional family countif/sumif/avgif/
+minif/maxif/dcountif. Scalars additionally cover case(),
+toupper/tolower, 0-based substring, format_datetime, split (literal
+delimiter + 0-based index), countof, replace_string, strcat
+(null-tolerant), strcat_array, indexof/array_index_of (0-based, -1
+missing), pack_array, array_length, array_concat, hash (xxhash64),
+bin_at, datetime_add/datetime_diff (BOUNDARY-crossing semantics),
+getyear/getmonth/dayofmonth/hourofday/dayofweek, and the series family
+series_sum/avg/max/min, series_fill_const, series_add/subtract/
+multiply/divide (element-wise zip_with; numeric literals broadcast).
+Predicates additionally cover
 endswith, !contains, has
 (word-boundary regexp with the term regex-quoted — ADX tokenizes, same
 answer for alphanumeric terms), in/!in, between (a .. b),
@@ -1084,13 +1117,33 @@ def kql_to_sql(
             if kind not in joins:
                 raise ValueError(f"unsupported join kind: {kind!r}")
             right = kql_to_sql(m.group(2).strip(), spark, _tabular)
-            keys = ", ".join(
-                k.strip() for k in _split_top_level(m.group(3))
-            )
-            sql = (
-                f"SELECT * FROM {prev} {joins[kind]} ({right}) AS _r{i} "
-                f"USING ({keys})"
-            )
+            keys = [k.strip() for k in _split_top_level(m.group(3))]
+            if any("$left" in k or "$right" in k for k in keys):
+                # `on $left.a == $right.b` — the qualified-key form for
+                # differently-named join columns. ADX keeps BOTH key
+                # columns; so does this ON-join (same-name keys must use
+                # the bare `on k` USING form, which merges them).
+                conds = []
+                for k in keys:
+                    km = re.match(
+                        r"\$left\.(\w+)\s*==\s*\$right\.(\w+)$", k
+                    )
+                    if not km:
+                        raise ValueError(
+                            f"join needs '$left.a == $right.b': {k!r}"
+                        )
+                    conds.append(
+                        f"_l{i}.{km.group(1)} = _r{i}.{km.group(2)}"
+                    )
+                sql = (
+                    f"SELECT * FROM ({sql}) AS _l{i} {joins[kind]}"
+                    f" ({right}) AS _r{i} ON {' AND '.join(conds)}"
+                )
+            else:
+                sql = (
+                    f"SELECT * FROM {prev} {joins[kind]} ({right}) AS _r{i} "
+                    f"USING ({', '.join(keys)})"
+                )
         elif op == "project-away":
             cols = ", ".join(
                 c.strip() for c in _split_top_level(body)
@@ -1787,6 +1840,21 @@ def q_kql_array_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_join_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join `on $left.a == $right.b` — the qualified-key form for
+    differently-named columns; both key columns survive (ADX
+    contract)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | project event_id, value"
+        " | join kind=inner (events | where event_type == \"purchase\""
+        " | project eid2 = event_id, user_id)"
+        " on $left.event_id == $right.eid2"
+        " | project event_id, eid2, user_id, value",
+    )
+
+
 def q_kql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`sample N` — deterministic pseudo-random refinement of ADX's
     random sample: order by a whole-row hash, TakeOrderedAndProject
@@ -1803,6 +1871,7 @@ QUERIES = {
     "kql_parse_where": q_kql_parse_where,
     "kql_bag_unpack": q_kql_bag_unpack,
     "kql_datetime_math": q_kql_datetime_math,
+    "kql_join_qualified": q_kql_join_qualified,
     "kql_percentiles": q_kql_percentiles,
     "kql_array_misc": q_kql_array_misc,
     "kql_sample": q_kql_sample,
@@ -1880,6 +1949,11 @@ ORACLE = {
     "kql_bag_unpack": """
         SELECT event_id, json_extract_string(props, '$.k') AS k
         FROM events
+    """,
+    "kql_join_qualified": """
+        SELECT a.event_id, b.event_id AS eid2, b.user_id, a.value
+        FROM events a JOIN events b ON a.event_id = b.event_id
+        WHERE b.event_type = 'purchase'
     """,
     "kql_datetime_math": """
         SELECT event_id,

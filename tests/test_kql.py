@@ -562,3 +562,18 @@ def test_percentiles_expand_with_adx_naming():
     assert "AS percentile_value_25" in sql
     assert "AS percentile_value_99_9" in sql
     assert sql.count("percentile_approx") == 2
+
+
+def test_join_qualified_keys_keep_both_columns(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | project event_id, value"
+        " | join kind=inner (events | project eid2 = event_id)"
+        " on $left.event_id == $right.eid2 | take 5",
+    )
+    assert "event_id" in df.columns and "eid2" in df.columns
+    rows = df.collect()
+    assert rows and all(r["event_id"] == r["eid2"] for r in rows)
+    with pytest.raises(ValueError, match="join needs"):
+        kql_to_sql("T | join (U) on $left.a == b.c")
