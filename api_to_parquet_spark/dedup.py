@@ -375,6 +375,10 @@ def connected_components(
         .agg(
             F.coalesce(F.min("component"), F.first("n")).alias("component")
         )
+        # checkpoint the answer too: callers compose it into further
+        # joins (q_dedup_clusters), and the contract is a flat scan —
+        # no iteration lineage leaking into downstream plans
+        .localCheckpoint()
     )
     return labels, rounds
 

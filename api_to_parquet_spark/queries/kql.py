@@ -62,6 +62,15 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                 -> deterministic hash-order refinement
     range x from a to b step s  -> explode(sequence(...)) generator
                                    (numeric or datetime, stop-inclusive)
+    print [n=]expr, …           -> one-row SELECT (bare columns print_N)
+    datatable(c:type, …)[v, …]  -> VALUES with typed casts (row-major)
+    T | search [kind=case_sensitive] "term"
+                                -> substring match over every string
+                                   column in scope (schema-discovered)
+    T | partition by k (top N by x [asc|desc] | summarize …)
+                                -> window row_number per key / grouped
+                                   agg with k appended — one shuffle,
+                                   never per-key subqueries
     let name = expr; T | …      -> scalar substitution (string-literal-
                                    safe, lets may reference earlier lets)
     let t = [materialize(]T|…[)]; t | …
@@ -82,7 +91,13 @@ missing), pack_array, array_length, array_concat, hash (xxhash64),
 bin_at, datetime_add/datetime_diff (BOUNDARY-crossing semantics),
 getyear/getmonth/dayofmonth/hourofday/dayofweek, and the series family
 series_sum/avg/max/min, series_fill_const, series_add/subtract/
-multiply/divide (element-wise zip_with; numeric literals broadcast).
+multiply/divide (element-wise zip_with; numeric literals broadcast),
+and the series-analytics chains (extend-stage nested-SELECT expansion,
+all per-row array folds): series_fit_line (6-way multi-assign, ADX
+order), series_stats (7-way), series_outliers (Tukey-fence scores,
+discrete 10th/90th quantiles), series_decompose_anomalies (linefit
+trend + per-phase seasonal mean + residual Tukey flags; explicit
+integer period).
 Predicates additionally cover
 endswith, !contains, has
 (word-boundary regexp with the term regex-quoted — ADX tokenizes, same
@@ -110,6 +125,19 @@ _TIMESPAN_SECONDS = {
     "m": 60,
     "h": 3600,
     "d": 86400,
+}
+
+# datatable()/getschema type names (KQL scalar types -> Spark SQL)
+_KQL_TYPES = {
+    "string": "STRING",
+    "long": "BIGINT",
+    "int": "INT",
+    "real": "DOUBLE",
+    "double": "DOUBLE",
+    "decimal": "DECIMAL(38, 18)",
+    "datetime": "TIMESTAMP",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
 }
 
 
@@ -308,6 +336,252 @@ def _series_zip_sql(args: list[str], op: str) -> str:
         f"zip_with({a}, {b}, (_x, _y) ->"
         f" CAST(_x AS DOUBLE) {op} CAST(_y AS DOUBLE))"
     )
+
+
+_D0 = "CAST(0 AS DOUBLE)"
+
+# Multi-column series analytics handled as extend-stage CHAINS (nested
+# SELECTs sharing named intermediates) rather than scalar rewrites:
+# name -> number of assigned output columns.
+_SERIES_CHAIN_FNS = {
+    "series_fit_line": 6,  # rsquare, slope, variance, rvariance,
+    #                        interception, line_fit (ADX order)
+    "series_stats": 7,  # min, min_idx, max, max_idx, avg, variance, stdev
+    "series_outliers": 1,  # score array
+    "series_decompose_anomalies": 3,  # anomalies, score, baseline
+}
+
+
+def _series_chain_match(
+    items: list[str],
+) -> tuple[str, list[str], list[str]] | None:
+    """Detect an extend item of the form `(n1, …, nk) = series_fn(args)`
+    (or `n = series_fn(arg)` for the single-output fns). Returns
+    (fn, names, args) or None; raises if a chain fn is mixed with other
+    extend items (explicit-subset contract — the chain rewrites the
+    whole stage)."""
+    hits = []
+    for it in items:
+        m = re.match(
+            r"(?:\(\s*([\w\s,]+?)\s*\)|(\w+))\s*=\s*(\w+)\s*\((.+)\)\s*$",
+            it.strip(),
+        )
+        if m and m.group(3) in _SERIES_CHAIN_FNS:
+            hits.append(m)
+    if not hits:
+        return None
+    if len(hits) != 1 or len(items) != 1:
+        raise ValueError(
+            "series multi-assign must be the only extend item"
+        )
+    m = hits[0]
+    fn = m.group(3)
+    names = (
+        [n.strip() for n in m.group(1).split(",")]
+        if m.group(1)
+        else [m.group(2)]
+    )
+    if len(names) != _SERIES_CHAIN_FNS[fn]:
+        raise ValueError(
+            f"{fn} assigns {_SERIES_CHAIN_FNS[fn]} columns, got {names}"
+        )
+    return fn, names, _split_top_level(m.group(4))
+
+
+def _sum_sql(arr: str) -> str:
+    return f"aggregate({arr}, {_D0}, (_a, _x) -> _a + _x)"
+
+
+def _tukey_score_sql(arr: str, q10: str, q90: str, iqr: str, k: str) -> str:
+    """Per-element Tukey-fence anomaly score over an array: 0 inside
+    [q10 - k*iqr, q90 + k*iqr], signed exceedance beyond the fence in
+    IQR units outside. Documented refinement of ADX ctukey (which uses
+    the same 10th/90th custom quantiles); quantiles are DISCRETE
+    (sorted[floor(p*(n-1))]) for bitwise oracle reproducibility."""
+    hi = f"({q90} + {k} * {iqr})"
+    lo = f"({q10} - {k} * {iqr})"
+    return (
+        f"transform({arr}, _x -> CASE"
+        f" WHEN _x > {hi} THEN (_x - {hi}) / nullif({iqr}, {_D0})"
+        f" WHEN _x < {lo} THEN (_x - {lo}) / nullif({iqr}, {_D0})"
+        f" ELSE {_D0} END)"
+    )
+
+
+def _series_chain_sql(
+    prev: str, fn: str, names: list[str], args: list[str]
+) -> str:
+    """Expand a series-analytics extend into nested SELECT stages.
+    Intermediates (element sums, quantiles, fitted trend) are computed
+    ONCE as named `_sc_*` columns and dropped in the final projection;
+    Catalyst collapses the nest into a single Project. All math is
+    per-row higher-order array functions — map-side, zero shuffle,
+    independent of group count (the arrays come from make-series, whose
+    per-group rows are already distributed)."""
+    y = _expr(args[0])
+    stages: list[str] = []
+
+    def nest(extra: str) -> None:
+        stages.append(extra)
+
+    def build(final_extra: str, temps: list[str]) -> str:
+        sql = f"SELECT * FROM {prev}"
+        for j, extra in enumerate(stages):
+            sql = f"SELECT *, {extra} FROM ({sql}) AS _sc{j}"
+        return (
+            f"SELECT * EXCEPT ({', '.join(temps)}), {final_extra}"
+            f" FROM ({sql}) AS _scf"
+        )
+
+    ys = f"transform({y}, _x -> CAST(_x AS DOUBLE))"
+    if fn == "series_fit_line":
+        rsq, slope, var, rvar, icept, line = names
+        nest(f"{ys} AS _sc_ys")
+        nest("CAST(size(_sc_ys) AS DOUBLE) AS _sc_n")
+        nest(
+            f"{_sum_sql('_sc_ys')} AS _sc_sy, "
+            + _sum_sql("transform(_sc_ys, (_x, _i) -> _x * CAST(_i AS DOUBLE))")
+            + " AS _sc_sxy, "
+            + _sum_sql("transform(_sc_ys, _x -> _x * _x)")
+            + " AS _sc_syy, (_sc_n - 1) * _sc_n / 2 AS _sc_sx,"
+            " (_sc_n - 1) * _sc_n * (2 * _sc_n - 1) / 6 AS _sc_sxx"
+        )
+        nest(
+            "(_sc_n * _sc_sxy - _sc_sx * _sc_sy)"
+            f" / nullif(_sc_n * _sc_sxx - _sc_sx * _sc_sx, {_D0})"
+            f" AS {slope}"
+        )
+        nest(
+            f"(_sc_sy - {slope} * _sc_sx) / _sc_n AS {icept},"
+            f" _sc_syy / _sc_n - (_sc_sy / _sc_n) * (_sc_sy / _sc_n)"
+            f" AS {var}"
+        )
+        nest(
+            # (d * d), not pow(d, 2): the DuckDB oracle mirrors the
+            # multiplication textually, keeping the float ops identical
+            _sum_sql(
+                f"transform(_sc_ys, (_x, _i) ->"
+                f" (_x - ({icept} + {slope} * _i))"
+                f" * (_x - ({icept} + {slope} * _i)))"
+            )
+            + f" / _sc_n AS {rvar},"
+            f" transform(sequence(0, CAST(_sc_n AS INT) - 1),"
+            f" _i -> {icept} + {slope} * _i) AS {line}"
+        )
+        return build(
+            f"1 - {rvar} / nullif({var}, {_D0}) AS {rsq}",
+            ["_sc_ys", "_sc_n", "_sc_sy", "_sc_sxy", "_sc_syy",
+             "_sc_sx", "_sc_sxx"],
+        )
+    if fn == "series_stats":
+        mn, mn_i, mx, mx_i, avg, var, sd = names
+        nest(f"{ys} AS _sc_ys")
+        nest(
+            f"array_min(_sc_ys) AS {mn}, array_max(_sc_ys) AS {mx},"
+            f" CAST(size(_sc_ys) AS DOUBLE) AS _sc_n,"
+            f" {_sum_sql('_sc_ys')} AS _sc_sy, "
+            + _sum_sql("transform(_sc_ys, _x -> _x * _x)")
+            + " AS _sc_syy"
+        )
+        nest(
+            # first occurrence, 0-based (ADX contract)
+            f"coalesce(array_position(_sc_ys, {mn}), 0) - 1 AS {mn_i},"
+            f" coalesce(array_position(_sc_ys, {mx}), 0) - 1 AS {mx_i},"
+            f" _sc_sy / _sc_n AS {avg},"
+            f" _sc_syy / _sc_n - (_sc_sy / _sc_n) * (_sc_sy / _sc_n)"
+            f" AS {var}"
+        )
+        return build(
+            f"sqrt({var}) AS {sd}",
+            ["_sc_ys", "_sc_n", "_sc_sy", "_sc_syy"],
+        )
+    if fn == "series_outliers":
+        (score,) = names
+        k = _expr(args[1]) if len(args) > 1 else "1.5"
+        nest(f"{ys} AS _sc_ys")
+        nest(
+            "array_sort(_sc_ys) AS _sc_srt,"
+            " CAST(size(_sc_ys) AS INT) AS _sc_ni"
+        )
+        nest(
+            "try_element_at(_sc_srt,"
+            " CAST(floor(0.1 * (_sc_ni - 1)) AS INT) + 1) AS _sc_q10,"
+            " try_element_at(_sc_srt,"
+            " CAST(floor(0.9 * (_sc_ni - 1)) AS INT) + 1) AS _sc_q90"
+        )
+        nest("_sc_q90 - _sc_q10 AS _sc_iqr")
+        return build(
+            _tukey_score_sql("_sc_ys", "_sc_q10", "_sc_q90", "_sc_iqr", k)
+            + f" AS {score}",
+            ["_sc_ys", "_sc_srt", "_sc_ni", "_sc_q10", "_sc_q90", "_sc_iqr"],
+        )
+    if fn == "series_decompose_anomalies":
+        anom, score, base = names
+        if len(args) < 2 or not re.match(r"^\d+$", args[1].strip()):
+            raise ValueError(
+                "series_decompose_anomalies needs (series, period"
+                " [, threshold]) with an integer period (no seasonality"
+                " autodetection — explicit-subset contract)"
+            )
+        p = int(args[1])
+        k = _expr(args[2]) if len(args) > 2 else "1.5"
+        nest(f"{ys} AS _sc_ys")
+        nest("CAST(size(_sc_ys) AS DOUBLE) AS _sc_n")
+        nest(
+            f"{_sum_sql('_sc_ys')} AS _sc_sy, "
+            + _sum_sql("transform(_sc_ys, (_x, _i) -> _x * CAST(_i AS DOUBLE))")
+            + " AS _sc_sxy, (_sc_n - 1) * _sc_n / 2 AS _sc_sx,"
+            " (_sc_n - 1) * _sc_n * (2 * _sc_n - 1) / 6 AS _sc_sxx"
+        )
+        nest(
+            "(_sc_n * _sc_sxy - _sc_sx * _sc_sy)"
+            f" / nullif(_sc_n * _sc_sxx - _sc_sx * _sc_sx, {_D0})"
+            " AS _sc_slope"
+        )
+        nest("(_sc_sy - _sc_slope * _sc_sx) / _sc_n AS _sc_icept")
+        # trend = linefit; seasonal = per-phase mean of the detrended
+        # series (one conditional fold per phase — period is a small
+        # constant, arrays are per-row: map-side)
+        nest(
+            "transform(_sc_ys, (_x, _i) ->"
+            " _x - (_sc_icept + _sc_slope * _i)) AS _sc_det"
+        )
+        nest(
+            f"transform(sequence(0, {p - 1}), _p -> aggregate("
+            "transform(_sc_det, (_x, _i) -> named_struct('x', _x, 'i', _i)),"
+            f" named_struct('s', {_D0}, 'c', {_D0}),"
+            f" (_a, _e) -> IF(_e.i % {p} = _p,"
+            " named_struct('s', _a.s + _e.x, 'c', _a.c + 1), _a),"
+            f" _a -> _a.s / nullif(_a.c, {_D0}))) AS _sc_seas"
+        )
+        nest(
+            "transform(_sc_ys, (_x, _i) -> _sc_icept + _sc_slope * _i"
+            f" + element_at(_sc_seas, _i % {p} + 1)) AS {base}"
+        )
+        nest(f"zip_with(_sc_ys, {base}, (_x, _b) -> _x - _b) AS _sc_res")
+        nest(
+            "array_sort(_sc_res) AS _sc_srt,"
+            " CAST(size(_sc_res) AS INT) AS _sc_ni"
+        )
+        nest(
+            "try_element_at(_sc_srt,"
+            " CAST(floor(0.1 * (_sc_ni - 1)) AS INT) + 1) AS _sc_q10,"
+            " try_element_at(_sc_srt,"
+            " CAST(floor(0.9 * (_sc_ni - 1)) AS INT) + 1) AS _sc_q90"
+        )
+        nest("_sc_q90 - _sc_q10 AS _sc_iqr")
+        nest(
+            _tukey_score_sql("_sc_res", "_sc_q10", "_sc_q90", "_sc_iqr", k)
+            + f" AS {score}"
+        )
+        return build(
+            f"transform({score}, _s -> CASE WHEN _s > 0 THEN 1"
+            f" WHEN _s < 0 THEN -1 ELSE 0 END) AS {anom}",
+            ["_sc_ys", "_sc_n", "_sc_sy", "_sc_sxy", "_sc_sx", "_sc_sxx",
+             "_sc_slope", "_sc_icept", "_sc_det", "_sc_seas", "_sc_res",
+             "_sc_srt", "_sc_ni", "_sc_q10", "_sc_q90", "_sc_iqr"],
+        )
+    raise AssertionError(fn)
 
 
 def _expr(kql_expr: str) -> str:
@@ -879,9 +1153,58 @@ def kql_to_sql(
             f"SELECT explode(sequence({_expr(frm)}, {_expr(to)},"
             f" {step_sql})) AS {name}"
         )
-    elif not stages or not re.match(r"^\w+$", stages[0]):
+    prnt = not rng and stages and re.match(
+        r"^print\s+(.+)$", stages[0], re.IGNORECASE
+    )
+    if prnt:
+        # `print [name =] expr, …` — the ADX one-row statement; bare
+        # expressions get ADX's print_N names.
+        items = []
+        for j, c in enumerate(_split_top_level(_strings_to_sql(prnt.group(1)))):
+            m = re.match(r"(\w+)\s*=\s*(.+)$", c)
+            items.append(
+                f"{_expr(m.group(2))} AS {m.group(1)}"
+                if m
+                else f"{_expr(c)} AS print_{j}"
+            )
+        sql = f"SELECT {', '.join(items)}"
+    dtable = not rng and not prnt and stages and re.match(
+        r"^datatable\s*\(\s*(.*?)\s*\)\s*\[\s*(.*?)\s*\]$",
+        stages[0],
+        re.IGNORECASE | re.DOTALL,
+    )
+    if dtable:
+        # `datatable(c1:type, …)[v, v, …]` — inline literal table,
+        # values row-major (ADX contract) -> VALUES with typed casts.
+        cols = []
+        for cdef in _split_top_level(dtable.group(1)):
+            cm = re.match(r"(\w+)\s*:\s*(\w+)$", cdef.strip())
+            if not cm or cm.group(2).lower() not in _KQL_TYPES:
+                raise ValueError(f"datatable column needs name:type: {cdef!r}")
+            cols.append((cm.group(1), _KQL_TYPES[cm.group(2).lower()]))
+        vals = [
+            _expr(_strings_to_sql(v))
+            for v in _split_top_level(dtable.group(2))
+        ]
+        if not cols or not vals or len(vals) % len(cols):
+            raise ValueError(
+                f"datatable values ({len(vals)}) must fill whole rows"
+                f" of {len(cols)} columns"
+            )
+        rows = [
+            "(" + ", ".join(
+                f"CAST({vals[r * len(cols) + j]} AS {t})"
+                for j, (_, t) in enumerate(cols)
+            ) + ")"
+            for r in range(len(vals) // len(cols))
+        ]
+        names = ", ".join(n for n, _ in cols)
+        sql = f"SELECT * FROM (VALUES {', '.join(rows)}) AS _dt({names})"
+    if not (rng or prnt or dtable) and (
+        not stages or not re.match(r"^\w+$", stages[0])
+    ):
         raise ValueError(f"KQL must start with a table name: {kql!r}")
-    if rng:
+    if rng or prnt or dtable:
         pass
     elif stages[0] in _tabular:
         base = kql_to_sql(_tabular[stages[0]], spark, _tabular)
@@ -890,6 +1213,24 @@ def kql_to_sql(
         sql = f"SELECT * FROM {stages[0]}"
     order_keys: list[str] | None = None  # set by sort; used by serialize
     for i, stage in enumerate(stages[1:], 1):
+        # `partition by k (summarize …)` is EXACTLY `summarize … by k`
+        # (+ existing group keys) — rewrite the stage text and let the
+        # summarize branch translate it: one grouped aggregation, no
+        # per-partition subqueries (ADX's legacy strategy materializes
+        # 64 subqueries; the shuffle-native shape is the scale path).
+        pm = re.match(
+            r"^partition\s+by\s+(\w+)\s*\(\s*(summarize\s+.+?)\s*\)$",
+            stage,
+            re.IGNORECASE,
+        )
+        if pm:
+            key, sb = pm.group(1), pm.group(2)[len("summarize"):]
+            parts = re.split(r"\bby\b", sb, maxsplit=1)
+            stage = (
+                "summarize " + parts[0].strip() + " by "
+                + ((parts[1].strip() + ", ") if len(parts) == 2 else "")
+                + key
+            )
         words = stage.split(None, 1)
         op = words[0].lower()
         body = words[1] if len(words) > 1 else ""
@@ -922,16 +1263,33 @@ def kql_to_sql(
                 raise ValueError(
                     "serialize window functions need a preceding sort by"
                 )
-            items = []
-            for c in _split_top_level(_strings_to_sql(body)):
-                m = re.match(r"(\w+)\s*=\s*(.+)$", c)
-                if not m:
-                    raise ValueError(f"{op} needs name=expr: {c!r}")
-                ex = _expr(m.group(2))
-                if op == "serialize":
-                    ex = _window_rewrite(ex, order_keys)
-                items.append(f"{ex} AS {m.group(1)}")
-            sql = f"SELECT *, {', '.join(items)} FROM {prev}"
+            ext_items = _split_top_level(_strings_to_sql(body))
+            chain = _series_chain_match(ext_items)
+            if chain is not None:
+                # Series-analytics extend (series_fit_line/series_stats/
+                # series_outliers/series_decompose_anomalies): expands
+                # to a chain of nested SELECTs sharing intermediates
+                # (sums, quantiles, fitted trend) by NAME instead of
+                # duplicating the aggregate() folds per output column.
+                # Catalyst collapses the nest into one Project; all math
+                # is per-row higher-order array functions — map-side,
+                # zero shuffle, scale-independent of group count.
+                if len(ext_items) != 1:
+                    raise ValueError(
+                        "series multi-assign must be the only extend item"
+                    )
+                sql = _series_chain_sql(prev, *chain)
+            else:
+                items = []
+                for c in ext_items:
+                    m = re.match(r"(\w+)\s*=\s*(.+)$", c)
+                    if not m:
+                        raise ValueError(f"{op} needs name=expr: {c!r}")
+                    ex = _expr(m.group(2))
+                    if op == "serialize":
+                        ex = _window_rewrite(ex, order_keys)
+                    items.append(f"{ex} AS {m.group(1)}")
+                sql = f"SELECT *, {', '.join(items)} FROM {prev}"
         elif op == "summarize":
             parts = re.split(r"\bby\b", body, maxsplit=1)
             aggs = [
@@ -1227,6 +1585,67 @@ def kql_to_sql(
                 f"SELECT {c} FROM (SELECT DISTINCT {c} FROM {prev})"
                 f" AS _sd{i} ORDER BY xxhash64({c}) LIMIT {int(n)}"
             )
+        elif op == "partition":
+            # `partition by k ( top N by x [asc|desc] )` — per-key
+            # subquery; the top shape is a window row_number per key
+            # (one shuffle on k), not N materialized subqueries.
+            m = re.match(
+                r"^by\s+(\w+)\s*\(\s*top\s+(\d+)\s+by\s+(.+?)"
+                r"(?:\s+(asc|desc))?\s*\)$",
+                body,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise ValueError(
+                    "partition supports 'by k (top N by x [asc|desc])'"
+                    f" or 'by k (summarize …)': {body!r}"
+                )
+            key, n, expr, direction = m.groups()
+            direction = (direction or "desc").upper()
+            sql = (
+                f"SELECT * EXCEPT (_pr) FROM (SELECT *,"
+                f" ROW_NUMBER() OVER (PARTITION BY {key}"
+                f" ORDER BY {_expr(expr)} {direction}) AS _pr"
+                f" FROM {prev}) AS _pw{i} WHERE _pr <= {int(n)}"
+            )
+        elif op == "search":
+            # `search [kind=case_sensitive] "term"` — substring match
+            # across EVERY string column (schema discovered via
+            # analysis; needs a session). instr(), not LIKE: the term
+            # needs no wildcard escaping.
+            if spark is None:
+                raise ValueError(
+                    "search needs a SparkSession for schema discovery"
+                )
+            m = re.match(
+                r"^(?:kind\s*=\s*(\w+)\s+)?(\"(?:[^\"\\]|\\.)*\")\s*$",
+                body,
+            )
+            if not m:
+                raise ValueError(f'search needs a quoted term: {body!r}')
+            kind, term = m.groups()
+            term = _strings_to_sql(term)
+            cs = kind == "case_sensitive"
+            if kind not in (None, "case_sensitive"):
+                raise ValueError(f"unsupported search kind: {kind!r}")
+            from pyspark.sql.types import StringType
+
+            str_cols = [
+                f.name
+                for f in spark.sql(sql).schema.fields
+                if isinstance(f.dataType, StringType)
+            ]
+            if not str_cols:
+                raise ValueError("search: no string columns in scope")
+            preds = [
+                (
+                    f"instr(`{c}`, {term}) > 0"
+                    if cs
+                    else f"instr(lower(`{c}`), lower({term})) > 0"
+                )
+                for c in str_cols
+            ]
+            sql = f"SELECT * FROM {prev} WHERE {' OR '.join(preds)}"
         elif op == "distinct":
             cols = ", ".join(
                 _expr(c) for c in _split_top_level(_strings_to_sql(body))
@@ -1864,10 +2283,150 @@ def q_kql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kql(spark, "events | sample 100")
 
 
+def q_kql_series_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`extend (rsquare, slope, …) = series_fit_line(y)` — ADX's
+    linear-trend fit over make-series output, computed as per-row
+    higher-order array folds (map-side, zero shuffle beyond the
+    make-series agg). x axis is the element index 0..n-1 (ADX
+    contract); variance/rvariance are population (/n), rsquare =
+    1 - rvariance/variance."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
+        " by user_id"
+        " | extend (rsquare, slope, variance, rvariance, interception,"
+        " line_fit) = series_fit_line(n)"
+        " | project user_id, slope=round(slope, 6),"
+        " icept=round(interception, 6), rsq=round(rsquare, 6),"
+        " va=round(variance, 6), rva=round(rvariance, 6)"
+        " | sort by user_id asc",
+    )
+
+
+def q_kql_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`extend (min, min_idx, …) = series_stats(y)` — the ADX series
+    summary tuple; idx columns are 0-based first occurrence, variance
+    population (/n). All map-side array math."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
+        " by user_id"
+        " | extend (mn, mni, mx, mxi, av, va, sd) = series_stats(n)"
+        " | project user_id, mn, mni, mx, mxi, av=round(av, 6),"
+        " sd=round(sd, 6)"
+        " | sort by user_id asc",
+    )
+
+
+def q_kql_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`extend score = series_outliers(y)` — Tukey-fence anomaly score
+    per series element (ctukey 10th/90th custom quantiles, k=1.5):
+    0 inside the fences, signed exceedance/IQR outside. Quantiles are
+    discrete sorted[floor(p*(n-1))] — a deterministic refinement of
+    ADX's interpolation, so the DuckDB oracle reproduces it bitwise."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
+        " by user_id"
+        " | extend score = series_outliers(n)"
+        " | mv-expand ts, n, score"
+        " | project user_id, ts, n, s=round(score, 6)"
+        " | sort by user_id asc, ts asc",
+    )
+
+
+def q_kql_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`extend (anomalies, score, baseline) =
+    series_decompose_anomalies(y, period)` — seasonal decomposition +
+    anomaly flags: trend = line fit, seasonal = per-phase mean of the
+    detrended series (explicit integer period — no autodetection),
+    residual scored with Tukey fences, anomalies = sign(score). Every
+    stage is a per-row array fold; the only shuffle in the whole
+    pipeline is make-series' own grouped aggregation."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
+        " by user_id"
+        " | extend (an, sc, bl) = series_decompose_anomalies(n, 7)"
+        " | mv-expand ts, n, an, bl"
+        " | project user_id, ts, n, an, b=round(bl, 6)"
+        " | sort by user_id asc, ts asc",
+    )
+
+
+def q_kql_datatable_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`datatable(…)[…]` inline literal table used as a weight
+    dimension joined to the fact pipe — the ADX ad-hoc-dimension idiom.
+    The literal table is driver-side VALUES; the join broadcasts it
+    (AQE sees a tiny relation), so the fact side never shuffles."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'datatable(event_type: string, w: real)'
+        ' ["purchase", 2.0, "view", 1.0]'
+        " | join kind=inner (events) on event_type"
+        " | summarize score = sum(w * round(value * 100)) by event_type"
+        " | sort by event_type asc",
+    )
+
+
+def q_kql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`search "term"` — case-insensitive substring match across every
+    string column in scope (schema-discovered), the ADX grep idiom."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | search "purch" | summarize n = count() by event_type'
+        " | sort by event_type asc",
+    )
+
+
+def q_kql_partition_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`partition by k (top N by x)` — per-key top-N as ONE window
+    row_number over a single shuffle on k (ADX's legacy strategy
+    materializes up to 64 per-key subqueries; this is the shuffle-
+    native shape that scales with key count). Ordered by unique
+    event_id for a deterministic oracle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | partition by user_id (top 2 by event_id)"
+        " | project user_id, event_id, cents = round(value * 100)"
+        " | sort by user_id asc, event_id desc",
+    )
+
+
+def q_kql_print(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`print` one-row statement with named and bare (print_N)
+    columns."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'print x = 1 + 1, "hi", t = datetime(2024-01-02 03:00:00),'
+        " l = tolong(7) * 6",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
+    "kql_datatable_join": q_kql_datatable_join,
+    "kql_search": q_kql_search,
+    "kql_partition_top": q_kql_partition_top,
+    "kql_print": q_kql_print,
     "kql_make_series": q_kql_make_series,
     "kql_series_fns": q_kql_series_fns,
+    "kql_series_fit": q_kql_series_fit,
+    "kql_series_stats": q_kql_series_stats,
+    "kql_series_outliers": q_kql_series_outliers,
+    "kql_series_anomalies": q_kql_series_anomalies,
     "kql_parse_where": q_kql_parse_where,
     "kql_bag_unpack": q_kql_bag_unpack,
     "kql_datetime_math": q_kql_datetime_math,
@@ -1899,7 +2458,209 @@ QUERIES = {
     "kql_serialize": q_kql_serialize,
 }
 
+# Shared dense-series scaffold for the series-analytics oracles:
+# mirrors make-series' gap-filled per-group axis as ROWS (x = element
+# index), so array folds on the Spark side compare against grouped
+# sums on the DuckDB side with textually identical float arithmetic.
+_DENSE7 = """
+    WITH f AS (
+        SELECT user_id, date_trunc('day', ts) AS b FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+    ), agg AS (
+        SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
+        FROM f GROUP BY 1, 2
+    ), g AS (SELECT DISTINCT user_id FROM f),
+    bins AS (
+        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+               TIMESTAMP '2024-01-07', INTERVAL 1 DAY)) AS ts
+    ), dense AS (
+        SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
+               CAST(date_diff('day', TIMESTAMP '2024-01-01', bins.ts)
+                    AS DOUBLE) AS x
+        FROM g CROSS JOIN bins
+        LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
+    )
+"""
+
+_FIT_SUMS = """
+    sums AS (
+        SELECT user_id, CAST(count(*) AS DOUBLE) AS cnt,
+               sum(n) AS sy, sum(n * x) AS sxy, sum(n * n) AS syy,
+               sum(x) AS sx, sum(x * x) AS sxx
+        FROM dense GROUP BY user_id
+    ), fit AS (
+        SELECT user_id, cnt, sy, sx, syy,
+               (cnt * sxy - sx * sy)
+                   / nullif(cnt * sxx - sx * sx, 0) AS slope
+        FROM sums
+    ), fit2 AS (
+        SELECT user_id, cnt, slope,
+               (sy - slope * sx) / cnt AS icept,
+               syy / cnt - (sy / cnt) * (sy / cnt) AS va
+        FROM fit
+    )
+"""
+
 ORACLE = {
+    "kql_datatable_join": """
+        WITH dt AS (
+            SELECT * FROM (VALUES ('purchase', 2.0), ('view', 1.0))
+                AS t(event_type, w)
+        )
+        SELECT e.event_type, sum(dt.w * round(e.value * 100)) AS score
+        FROM events e JOIN dt USING (event_type)
+        GROUP BY e.event_type
+    """,
+    "kql_search": """
+        SELECT event_type, count(*) AS n FROM events
+        WHERE strpos(lower(event_type), 'purch') > 0
+           OR strpos(lower(props), 'purch') > 0
+        GROUP BY event_type
+    """,
+    "kql_partition_top": """
+        SELECT user_id, event_id, round(value * 100) AS cents
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id DESC) AS rn
+            FROM events
+        ) WHERE rn <= 2
+    """,
+    "kql_print": """
+        SELECT 2 AS x, 'hi' AS print_1,
+               TIMESTAMP '2024-01-02 03:00:00' AS t,
+               CAST(42 AS BIGINT) AS l
+    """,
+    "kql_series_fit": _DENSE7 + "," + _FIT_SUMS + """
+        , rv AS (
+            -- list_reduce over x-ordered residuals, not sum(): Spark's
+            -- aggregate() folds in array order, and float addition is
+            -- order-sensitive in the last ulp — a group-sum here loses
+            -- bitwise parity (seen: 1/1500 round(,6) boundary hit)
+            SELECT d.user_id,
+                   list_reduce(list(
+                       (d.n - (f.icept + f.slope * d.x))
+                       * (d.n - (f.icept + f.slope * d.x))
+                       ORDER BY d.x), (a, b) -> a + b)
+                       / max(f.cnt) AS rva,
+                   max(f.slope) AS slope, max(f.icept) AS icept,
+                   max(f.va) AS va
+            FROM dense d JOIN fit2 f USING (user_id)
+            GROUP BY d.user_id
+        )
+        SELECT user_id, round(slope, 6) AS slope,
+               round(icept, 6) AS icept,
+               round(1 - rva / nullif(va, 0), 6) AS rsq,
+               round(va, 6) AS va, round(rva, 6) AS rva
+        FROM rv
+    """,
+    "kql_series_stats": _DENSE7 + """
+        , s AS (
+            SELECT user_id, min(n) AS mn, max(n) AS mx,
+                   CAST(count(*) AS DOUBLE) AS cnt,
+                   sum(n) AS sy, sum(n * n) AS syy
+            FROM dense GROUP BY user_id
+        )
+        SELECT s.user_id, s.mn,
+               CAST(min(CASE WHEN d.n = s.mn THEN d.x END) AS BIGINT)
+                   AS mni,
+               s.mx,
+               CAST(min(CASE WHEN d.n = s.mx THEN d.x END) AS BIGINT)
+                   AS mxi,
+               round(s.sy / s.cnt, 6) AS av,
+               round(sqrt(s.syy / s.cnt - (s.sy / s.cnt) * (s.sy / s.cnt)),
+                     6) AS sd
+        FROM dense d JOIN s USING (user_id)
+        GROUP BY s.user_id, s.mn, s.mx, s.sy, s.syy, s.cnt
+    """,
+    "kql_series_outliers": _DENSE7 + """
+        , ranked AS (
+            SELECT user_id, n,
+                   row_number() OVER (PARTITION BY user_id ORDER BY n)
+                       AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS cnt
+            FROM dense
+        ), qs AS (
+            SELECT user_id,
+                   max(CASE WHEN rn = CAST(floor(0.1 * (cnt - 1)) AS INT)
+                       + 1 THEN n END) AS q10,
+                   max(CASE WHEN rn = CAST(floor(0.9 * (cnt - 1)) AS INT)
+                       + 1 THEN n END) AS q90
+            FROM ranked GROUP BY user_id
+        )
+        SELECT d.user_id, d.ts, d.n,
+               round(CASE
+                 WHEN d.n > q.q90 + 1.5 * (q.q90 - q.q10)
+                   THEN (d.n - (q.q90 + 1.5 * (q.q90 - q.q10)))
+                        / nullif(q.q90 - q.q10, 0)
+                 WHEN d.n < q.q10 - 1.5 * (q.q90 - q.q10)
+                   THEN (d.n - (q.q10 - 1.5 * (q.q90 - q.q10)))
+                        / nullif(q.q90 - q.q10, 0)
+                 ELSE 0.0 END, 6) AS s
+        FROM dense d JOIN qs q USING (user_id)
+    """,
+    "kql_series_anomalies": """
+        WITH f AS (
+            SELECT user_id, date_trunc('day', ts) AS b FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-15'
+        ), agg AS (
+            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
+            FROM f GROUP BY 1, 2
+        ), g AS (SELECT DISTINCT user_id FROM f),
+        bins AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS ts
+        ), dense AS (
+            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01', bins.ts)
+                        AS DOUBLE) AS x
+            FROM g CROSS JOIN bins
+            LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
+        ),
+    """ + _FIT_SUMS + """
+        , det AS (
+            SELECT d.user_id, d.ts, d.n, d.x, f.slope, f.icept,
+                   d.n - (f.icept + f.slope * d.x) AS dt
+            FROM dense d JOIN fit2 f USING (user_id)
+        ), seas AS (
+            SELECT *, avg(dt) OVER (PARTITION BY user_id,
+                                    CAST(x AS INT) % 7) AS sn
+            FROM det
+        ), based AS (
+            SELECT user_id, ts, n,
+                   icept + slope * x + sn AS bl,
+                   n - (icept + slope * x + sn) AS res
+            FROM seas
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                                         ORDER BY res) AS rn,
+                   count(*) OVER (PARTITION BY user_id) AS cnt
+            FROM based
+        ), qs AS (
+            SELECT user_id,
+                   max(CASE WHEN rn = CAST(floor(0.1 * (cnt - 1)) AS INT)
+                       + 1 THEN res END) AS q10,
+                   max(CASE WHEN rn = CAST(floor(0.9 * (cnt - 1)) AS INT)
+                       + 1 THEN res END) AS q90
+            FROM ranked GROUP BY user_id
+        ), scored AS (
+            SELECT b.user_id, b.ts, b.n, b.bl,
+                   CASE
+                     WHEN b.res > q.q90 + 1.5 * (q.q90 - q.q10)
+                       THEN (b.res - (q.q90 + 1.5 * (q.q90 - q.q10)))
+                            / nullif(q.q90 - q.q10, 0)
+                     WHEN b.res < q.q10 - 1.5 * (q.q90 - q.q10)
+                       THEN (b.res - (q.q10 - 1.5 * (q.q90 - q.q10)))
+                            / nullif(q.q90 - q.q10, 0)
+                     ELSE 0.0 END AS sc
+            FROM based b JOIN qs q USING (user_id)
+        )
+        SELECT user_id, ts, n,
+               CAST(CASE WHEN sc > 0 THEN 1 WHEN sc < 0 THEN -1
+                    ELSE 0 END AS INTEGER) AS an,
+               round(bl, 6) AS b
+        FROM scored
+    """,
     "kql_make_series": """
         WITH f AS (
             SELECT user_id, date_trunc('day', ts) AS b, value FROM events

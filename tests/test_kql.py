@@ -577,3 +577,137 @@ def test_join_qualified_keys_keep_both_columns(spark, sf_smoke):
     assert rows and all(r["event_id"] == r["eid2"] for r in rows)
     with pytest.raises(ValueError, match="join needs"):
         kql_to_sql("T | join (U) on $left.a == b.c")
+
+
+def test_series_fit_line_exact(spark):
+    """series_fit_line on a perfectly linear series: slope/interception
+    recovered exactly, rsquare = 1, rvariance = 0, line_fit == input."""
+    spark.range(1).createOrReplaceTempView("one")
+    df = kql(
+        spark,
+        "one | extend y = pack_array(1.0, 3.0, 5.0, 7.0)"
+        " | extend (rsq, slope, va, rva, icept, fit) = series_fit_line(y)"
+        " | project rsq, slope, va, rva, icept",
+    )
+    row = df.collect()[0]
+    assert row["slope"] == pytest.approx(2.0)
+    assert row["icept"] == pytest.approx(1.0)
+    assert row["rva"] == pytest.approx(0.0)
+    assert row["rsq"] == pytest.approx(1.0)
+    assert row["va"] == pytest.approx(5.0)  # population variance
+
+
+def test_series_stats_idx_first_occurrence(spark):
+    spark.range(1).createOrReplaceTempView("one")
+    row = kql(
+        spark,
+        "one | extend y = pack_array(4.0, 1.0, 4.0, 1.0, 9.0)"
+        " | extend (mn, mni, mx, mxi, av, va, sd) = series_stats(y)"
+        " | project mn, mni, mx, mxi, av",
+    ).collect()[0]
+    assert (row["mn"], row["mni"]) == (1.0, 1)  # first occurrence, 0-based
+    assert (row["mx"], row["mxi"]) == (9.0, 4)
+    assert row["av"] == pytest.approx(3.8)
+
+
+def test_series_outliers_flags_spike(spark):
+    """A flat series with one spike: only the spike scores nonzero,
+    and the score is positive (above the upper fence)."""
+    spark.range(1).createOrReplaceTempView("one")
+    row = kql(
+        spark,
+        "one | extend y = pack_array(1.0, 1.0, 2.0, 1.0, 2.0, 1.0,"
+        " 2.0, 1.0, 2.0, 50.0)"
+        " | extend s = series_outliers(y) | project s",
+    ).collect()[0]
+    scores = row["s"]
+    assert all(v == 0.0 for v in scores[:-1])
+    assert scores[-1] > 0
+
+
+def test_series_decompose_anomalies_finds_break(spark):
+    """Periodic series (period 2) with one broken element: the
+    decomposition's residual Tukey pass flags exactly that element."""
+    spark.range(1).createOrReplaceTempView("one")
+    vals = ", ".join(
+        str(v)
+        for v in ([10.0, 1.0] * 7 + [10.0, 30.0] + [10.0, 1.0] * 6)
+    )
+    row = kql(
+        spark,
+        f"one | extend y = pack_array({vals})"
+        " | extend (an, sc, bl) = series_decompose_anomalies(y, 2)"
+        " | project an",
+    ).collect()[0]
+    an = row["an"]
+    assert an[15] == 1  # the broken element (index 15)
+    assert sum(1 for v in an if v != 0) == 1
+
+
+def test_series_chain_must_be_only_extend_item():
+    with pytest.raises(ValueError, match="only extend item"):
+        kql_to_sql(
+            "t | extend a = 1, (r, s, v, rv, i, f) = series_fit_line(y)"
+        )
+
+
+def test_series_chain_arity_checked():
+    with pytest.raises(ValueError, match="assigns 6 columns"):
+        kql_to_sql("t | extend (a, b) = series_fit_line(y)")
+
+
+def test_print_and_datatable(spark):
+    row = kql(spark, 'print x = 2 + 3, "y"').collect()[0]
+    assert row["x"] == 5 and row["print_1"] == "y"
+    df = kql(
+        spark,
+        'datatable(a: string, n: long)["p", 1, "q", 2] | sort by a asc',
+    )
+    assert [tuple(r) for r in df.collect()] == [("p", 1), ("q", 2)]
+    assert dict(df.dtypes)["n"] == "bigint"
+
+
+def test_datatable_ragged_values_rejected():
+    with pytest.raises(ValueError, match="whole rows"):
+        kql_to_sql('datatable(a: string, n: long)["p", 1, "q"]')
+
+
+def test_search_matches_any_string_column(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # 'purch' appears in event_type; search is case-insensitive like ADX
+    n = kql(spark, 'events | search "PURCH" | count').collect()[0]["count_"]
+    direct = kql(
+        spark, 'events | where event_type contains "purch" | count'
+    ).collect()[0]["count_"]
+    assert n >= direct > 0
+    with pytest.raises(ValueError, match="SparkSession"):
+        kql_to_sql('events | search "x"')
+
+
+def test_partition_top_is_single_window_not_subqueries(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(spark, "events | partition by user_id (top 2 by event_id)")
+    per_user = (
+        df.groupBy("user_id").count().agg({"count": "max"}).collect()[0][0]
+    )
+    assert per_user <= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # window row_number over the partition key — no N-way union of
+    # per-key subqueries (the node name recurs in the plan text's
+    # argument lines, so presence not count)
+    assert "Window" in plan and "Union" not in plan
+
+
+def test_partition_summarize_rewrites_to_grouped_agg(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    a = kql(
+        spark,
+        "events | partition by event_type (summarize n = count())"
+        " | sort by event_type asc",
+    ).collect()
+    b = kql(
+        spark,
+        "events | summarize n = count() by event_type"
+        " | sort by event_type asc",
+    ).collect()
+    assert a == b
