@@ -134,8 +134,78 @@ def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_B = 1024  # hashed feature buckets
+DSIR_N = 100  # sample size
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): score each document by the log-likelihood ratio
+    of its hashed-unigram features under a TARGET distribution (here:
+    lang == 'en' docs) vs the full corpus, and keep the top-DSIR_N.
+
+    Scale shape: tokens explode map-side; bucket counts are ONE shuffle
+    onto DSIR_B=1024 keys with map-side partial aggregation; the weight
+    table is 1024 rows, broadcast back onto the token stream; per-doc
+    scores are one shuffle on doc_id. No driver-side model state —
+    totals ride along as a broadcast one-row crossJoin.
+
+    Float determinism for the oracle: weights are rounded to 8 decimals
+    (cross-engine ln() can differ in the last ulp), and the per-doc
+    score folds bucket terms in BUCKET ORDER via array_sort + aggregate
+    — a grouped float sum in arbitrary order would not hash-match."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    bucketed = toks.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long")
+            % DSIR_B
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.count("*").alias("all_c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_c"),
+    )
+    totals = counts.agg(
+        F.sum("all_c").alias("all_t"), F.sum("tgt_c").alias("tgt_t")
+    )
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "b",
+        F.round(
+            F.log((F.col("tgt_c") + 1.0) / (F.col("tgt_t") + float(DSIR_B)))
+            - F.log((F.col("all_c") + 1.0) / (F.col("all_t") + float(DSIR_B))),
+            8,
+        ).alias("wt"),
+    )
+    doc_b = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    terms = doc_b.join(F.broadcast(weights), "b").select(
+        "doc_id", "b", (F.col("c") * F.col("wt")).alias("term")
+    )
+    scores = (
+        terms.groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(F.struct("b", "term"))
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["term"],
+            ).alias("s")
+        )
+        .select("doc_id", F.round("s", 4).alias("score"))
+    )
+    return scores.orderBy(F.desc("score"), "doc_id").limit(DSIR_N)
+
+
 QUERIES = {
     "train_test_split": q_train_test_split,
+    "dsir_sample": q_dsir_sample,
     "stratified_sample": q_stratified_sample,
     "value_histogram": q_value_histogram,
     "weighted_sample": q_weighted_sample,
@@ -145,6 +215,39 @@ QUERIES = {
 _BUCKET = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100"
 
 ORACLE = {
+    "dsir_sample": f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ), bucketed AS (
+            SELECT doc_id, lang,
+                   ('0x' || substr(md5(w), 1, 15))::BIGINT % {DSIR_B} AS b
+            FROM toks
+        ), counts AS (
+            SELECT b, count(*) AS all_c,
+                   sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_c
+            FROM bucketed GROUP BY b
+        ), tot AS (
+            SELECT sum(all_c) AS all_t, sum(tgt_c) AS tgt_t FROM counts
+        ), w AS (
+            SELECT b,
+                   round(ln((tgt_c + 1.0) / (tgt_t + {DSIR_B}.0))
+                         - ln((all_c + 1.0) / (all_t + {DSIR_B}.0)), 8) AS wt
+            FROM counts CROSS JOIN tot
+        ), doc_b AS (
+            SELECT doc_id, b, count(*) AS c FROM bucketed GROUP BY doc_id, b
+        ), terms AS (
+            SELECT doc_id, b, c * wt AS term FROM doc_b JOIN w USING (b)
+        ), scores AS (
+            SELECT doc_id,
+                   round(list_reduce(list(term ORDER BY b),
+                                     (a, x) -> a + x), 4) AS score
+            FROM terms GROUP BY doc_id
+        )
+        SELECT doc_id, score FROM scores
+        ORDER BY score DESC, doc_id LIMIT {DSIR_N}
+    """,
     "train_test_split": f"""
         SELECT CASE WHEN {_BUCKET} < {TRAIN_PCT} THEN 'train' ELSE 'test' END
                    AS split,

@@ -578,6 +578,38 @@ def q_embedding_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): treat embedding-space near-neighbors as
+    duplicates, keep one representative per semantic cluster.
+
+    Shape: candidate pairs from the banded sign-signature join (ONE
+    (band, code) shuffle — q_embedding_band_pairs), exact cosine >= 0.45
+    keeps an edge, connected components (large/small-star, O(log n)
+    rounds) labels clusters, representative = min vec_id. Returns every
+    vector with (rep, kept) so downstream joins can either filter
+    (kept) or remap (rep). At 100 TB: no all-pairs stage anywhere —
+    candidates scale with bucket occupancy, CC rounds with log
+    diameter. Oracle: DuckDB recursive-CTE transitive closure over the
+    same banded edge set."""
+    from api_to_parquet_spark.dedup import connected_components
+
+    edges = q_embedding_band_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    labels, _ = connected_components(edges, "vec_a", "vec_b")
+    vecs = _vecs(spark, sf_dir).select("vec_id")
+    rep = F.coalesce("component", F.col("vec_id"))
+    return (
+        vecs.join(
+            labels.withColumnRenamed("n", "vec_id"), "vec_id", "left"
+        )
+        .select(
+            "vec_id",
+            rep.alias("rep"),
+            (rep == F.col("vec_id")).alias("kept"),
+        )
+    )
+
+
 def _duck_band_code(t: int) -> str:
     terms = [
         f"{1 << j} * CAST((v[{t * BAND_BITS + j + 1}] >= 0) AS INT)"
@@ -668,6 +700,7 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "embedding_similar_pairs": q_embedding_similar_pairs,
     "embedding_band_pairs": q_embedding_band_pairs,
+    "semantic_dedup": q_semantic_dedup,
     "ann_lsh_topk": q_ann_lsh_topk,  # no oracle: approximate by design
     "ann_ivf_topk": q_ann_ivf_topk,  # no oracle: approximate by design
     "ann_pq_topk": q_ann_pq_topk,  # no oracle: approximate by design
@@ -676,6 +709,25 @@ QUERIES = {
 
 ORACLE = {
     "embedding_band_pairs": _DUCK_BAND_PAIRS,
+    "semantic_dedup": f"""
+        WITH RECURSIVE pairs AS ({_DUCK_BAND_PAIRS}),
+        und AS (
+            SELECT vec_a AS a, vec_b AS b FROM pairs
+            UNION ALL
+            SELECT vec_b, vec_a FROM pairs
+        ), reach(n, m) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.n, u.b FROM reach r JOIN und u ON u.a = r.m
+        ), comp AS (
+            SELECT n, least(min(m), n) AS rep FROM reach GROUP BY n
+        )
+        SELECT e.vec_id,
+               coalesce(c.rep, e.vec_id) AS rep,
+               coalesce(c.rep, e.vec_id) = e.vec_id AS kept
+        FROM (SELECT vec_id FROM embeddings) e
+        LEFT JOIN comp c ON c.n = e.vec_id
+    """,
     "knn_bruteforce": f"""
         SELECT query_id, neighbor_id, cos_sim, rank FROM (
             SELECT query_id, neighbor_id, cos_sim,

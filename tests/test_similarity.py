@@ -136,3 +136,31 @@ def test_band_pairs_subset_of_all_pairs(spark, sf_smoke):
     assert set(banded) <= set(full)
     for pair, cos in banded.items():
         assert cos == full[pair]
+
+
+def test_semantic_dedup_contract(spark, sf_smoke):
+    """Representatives are self-kept minima; members of an edge share a
+    rep; kept count = total - (cluster members beyond their rep)."""
+    out = similarity.q_semantic_dedup(spark, sf_smoke).collect()
+    rep = {r["vec_id"]: r["rep"] for r in out}
+    kept = {r["vec_id"] for r in out if r["kept"]}
+    assert all(r["rep"] <= r["vec_id"] for r in out)  # min-id convention
+    assert all(rep[v] in kept for v in rep)  # every rep is itself kept
+    edges = similarity.q_embedding_band_pairs(spark, sf_smoke).collect()
+    for e in edges:
+        assert rep[e["vec_a"]] == rep[e["vec_b"]]
+    assert len(kept) == len({v for v in rep.values()})
+
+
+def test_dsir_sample_prefers_target_language(spark, sf_smoke):
+    """Top DSIR-scored docs should be dominated by the target (en)
+    distribution — the log-ratio must actually separate languages."""
+    from api_to_parquet_spark import sampling
+    from api_to_parquet_spark.lake import load
+
+    top = sampling.q_dsir_sample(spark, sf_smoke)
+    docs = load(spark, sf_smoke, "documents").select("doc_id", "lang")
+    langs = [r["lang"] for r in top.join(docs, "doc_id").collect()]
+    share_en = sum(1 for v in langs if v == "en") / len(langs)
+    base = docs.filter("lang = 'en'").count() / docs.count()
+    assert share_en > base  # enrichment over the corpus base rate
