@@ -71,6 +71,14 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                 -> window row_number per key / grouped
                                    agg with k appended — one shuffle,
                                    never per-key subqueries
+    T | sort by … | scan [by k, …] with (step s: cond; …)
+                                -> greedy sequence matching: map-side
+                                   step booleans + ONE grouped array
+                                   fold (size(acc) encodes step pointer
+                                   and match count); documented subset
+                                   (predicate steps, single active
+                                   instance, `by` keys instead of
+                                   state-referencing conditions)
     let name = expr; T | …      -> scalar substitution (string-literal-
                                    safe, lets may reference earlier lets)
     let t = [materialize(]T|…[)]; t | …
@@ -1585,6 +1593,105 @@ def kql_to_sql(
                 f"SELECT {c} FROM (SELECT DISTINCT {c} FROM {prev})"
                 f" AS _sd{i} ORDER BY xxhash64({c}) LIMIT {int(n)}"
             )
+        elif op == "scan":
+            # `scan [by k, …] with (step s1: cond1; step s2: cond2; …)`
+            # — greedy sequence matching: walking each group in the
+            # preceding `sort by` order, a row advances the single
+            # active sequence iff it satisfies the NEXT step's
+            # predicate; completing the last step restarts. Emits every
+            # advancing row with (step, match_id). Documented subset of
+            # ADX scan: predicate-only steps (no declare/assignments),
+            # one active instance (greedy non-overlap) instead of ADX's
+            # concurrent-instance model; `by` keys express what ADX
+            # writes as state-referencing conditions.
+            #
+            # Scale shape: step booleans are computed JVM-side BEFORE
+            # grouping (map-side); the sequential walk — inherently
+            # serial per group — is ONE grouped array fold (size(acc)
+            # encodes both step pointer and match count, since every
+            # advance appends exactly one row). One shuffle on the
+            # group keys; per-group memory = group size, the same
+            # bound mv-apply carries. Without `by` the walk is a
+            # single global fold (one task) — inherent to serialized
+            # scan semantics, same caveat as serialize.
+            if order_keys is None:
+                raise ValueError("scan needs a preceding sort by")
+            m = re.match(
+                r"^(?:by\s+([\w\s,]+?)\s+)?with\s*\(\s*(.+?)\s*;?\s*\)$",
+                body,
+            )
+            if not m:
+                raise ValueError(
+                    f"scan needs '[by k, …] with (step …)': {body!r}"
+                )
+            keys = (
+                [k.strip() for k in m.group(1).split(",")]
+                if m.group(1)
+                else []
+            )
+            steps = []
+            for st_txt in m.group(2).split(";"):
+                sm = re.match(
+                    r"^step\s+(\w+)\s*:\s*(.+)$", st_txt.strip()
+                )
+                if not sm:
+                    raise ValueError(f"bad scan step: {st_txt!r}")
+                steps.append((sm.group(1), _expr(sm.group(2))))
+            n = len(steps)
+            if n < 1:
+                raise ValueError("scan needs at least one step")
+            # comparator over the sort keys (simple columns only — the
+            # fold sorts collected structs by field access)
+            cmp_terms = []
+            for o in order_keys:
+                om = re.match(r"^(\w+)(?:\s+(asc|desc))?$", o.strip(),
+                              re.IGNORECASE)
+                if not om:
+                    raise ValueError(
+                        f"scan sort keys must be plain columns: {o!r}"
+                    )
+                k, d = om.group(1), (om.group(2) or "asc").lower()
+                lo, hi = ("-1", "1") if d == "asc" else ("1", "-1")
+                cmp_terms.append(
+                    f"WHEN _l.{k} < _r.{k} THEN {lo}"
+                    f" WHEN _l.{k} > _r.{k} THEN {hi}"
+                )
+            cmp = f"CASE {' '.join(cmp_terms)} ELSE 0 END"
+            bools = ", ".join(
+                f"({c}) AS _scan_c{j}" for j, (_, c) in enumerate(steps, 1)
+            )
+            bool_arr = ", ".join(
+                f"_r._scan_c{j}" for j in range(1, n + 1)
+            )
+            names_arr = ", ".join(f"'{nm}'" for nm, _ in steps)
+            keysel = (", ".join(keys) + ", ") if keys else ""
+            grp = f" GROUP BY {', '.join(keys)}" if keys else ""
+            sa = f"SELECT *, {bools} FROM {prev}"
+            sb = (
+                f"SELECT {keysel}array_sort(collect_list(struct(*)),"
+                f" (_l, _r) -> {cmp}) AS _scan_arr"
+                f" FROM ({sa}) AS _sca{i}{grp}"
+            )
+            sc = (
+                f"SELECT {keysel}aggregate(_scan_arr,"
+                f" slice(_scan_arr, 1, 0),"
+                f" (_a, _r) -> IF(element_at(array({bool_arr}),"
+                f" CAST(size(_a) % {n} AS INT) + 1) <=> true,"
+                f" array_append(_a, _r), _a)) AS _scan_out"
+                f" FROM ({sb}) AS _scb{i}"
+            )
+            sd = (
+                f"SELECT _pos, _r FROM ({sc}) AS _scc{i}"
+                f" LATERAL VIEW posexplode(_scan_out) _sct AS _pos, _r"
+            )
+            se = (
+                f"SELECT element_at(array({names_arr}),"
+                f" CAST(_pos % {n} AS INT) + 1) AS step,"
+                f" CAST(_pos div {n} AS BIGINT) AS match_id, _r.*"
+                f" FROM ({sd}) AS _scd{i}"
+            )
+            drop = ", ".join(f"_scan_c{j}" for j in range(1, n + 1))
+            sql = f"SELECT * EXCEPT ({drop}) FROM ({se}) AS _sce{i}"
         elif op == "partition":
             # `partition by k ( top N by x [asc|desc] )` — per-key
             # subquery; the top shape is a window row_number per key
@@ -2300,8 +2407,7 @@ def q_kql_series_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " line_fit) = series_fit_line(n)"
         " | project user_id, slope=round(slope, 6),"
         " icept=round(interception, 6), rsq=round(rsquare, 6),"
-        " va=round(variance, 6), rva=round(rvariance, 6)"
-        " | sort by user_id asc",
+        " va=round(variance, 6), rva=round(rvariance, 6)",
     )
 
 
@@ -2317,8 +2423,7 @@ def q_kql_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         " by user_id"
         " | extend (mn, mni, mx, mxi, av, va, sd) = series_stats(n)"
         " | project user_id, mn, mni, mx, mxi, av=round(av, 6),"
-        " sd=round(sd, 6)"
-        " | sort by user_id asc",
+        " sd=round(sd, 6)",
     )
 
 
@@ -2336,8 +2441,7 @@ def q_kql_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         " by user_id"
         " | extend score = series_outliers(n)"
         " | mv-expand ts, n, score"
-        " | project user_id, ts, n, s=round(score, 6)"
-        " | sort by user_id asc, ts asc",
+        " | project user_id, ts, n, s=round(score, 6)",
     )
 
 
@@ -2348,7 +2452,10 @@ def q_kql_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     detrended series (explicit integer period — no autodetection),
     residual scored with Tukey fences, anomalies = sign(score). Every
     stage is a per-row array fold; the only shuffle in the whole
-    pipeline is make-series' own grouped aggregation."""
+    pipeline is make-series' own grouped aggregation. Deliberately NO
+    trailing sort: a global ORDER BY re-evaluates the expensive child
+    during range-partition sampling (measured 2.6x slower); the
+    driver's oracle compare is order-insensitive."""
     _events_view(spark, sf_dir)
     return kql(
         spark,
@@ -2357,8 +2464,7 @@ def q_kql_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         " by user_id"
         " | extend (an, sc, bl) = series_decompose_anomalies(n, 7)"
         " | mv-expand ts, n, an, bl"
-        " | project user_id, ts, n, an, b=round(bl, 6)"
-        " | sort by user_id asc, ts asc",
+        " | project user_id, ts, n, an, b=round(bl, 6)",
     )
 
 
@@ -2415,8 +2521,27 @@ def q_kql_print(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scan` — greedy view→click→purchase sequence matching per user
+    in event-time order (the ADX process-mining idiom). Step booleans
+    are map-side; the serial walk is one grouped array fold keyed by
+    user_id (one shuffle). Oracle: DuckDB recursive CTE stepping the
+    same state machine row-by-row."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | sort by ts asc, event_id asc"
+        " | scan by user_id with ("
+        ' step s_view: event_type == "view";'
+        ' step s_click: event_type == "click";'
+        ' step s_purchase: event_type == "purchase")'
+        " | project user_id, event_id, step, match_id",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
+    "kql_scan": q_kql_scan,
     "kql_datatable_join": q_kql_datatable_join,
     "kql_search": q_kql_search,
     "kql_partition_top": q_kql_partition_top,
@@ -2502,6 +2627,40 @@ _FIT_SUMS = """
 """
 
 ORACLE = {
+    "kql_scan": """
+        WITH RECURSIVE ranked AS (
+            SELECT user_id, event_id,
+                   (event_type = 'view') AS c1,
+                   (event_type = 'click') AS c2,
+                   (event_type = 'purchase') AS c3,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), rec AS (
+            SELECT user_id, 0 AS rn, 0 AS p,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   FALSE AS emitted, 0 AS cnt
+            FROM (SELECT DISTINCT user_id FROM ranked)
+            UNION ALL
+            SELECT r.user_id, r.rn,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE)
+                        THEN (rec.p + 1) % 3 ELSE rec.p END,
+                   r.event_id,
+                   coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE),
+                   rec.cnt + CASE WHEN coalesce(CASE rec.p
+                        WHEN 0 THEN r.c1 WHEN 1 THEN r.c2
+                        ELSE r.c3 END, FALSE) THEN 1 ELSE 0 END
+            FROM rec JOIN ranked r
+              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        )
+        SELECT user_id, event_id,
+               CASE (cnt - 1) % 3 WHEN 0 THEN 's_view'
+                    WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
+               CAST((cnt - 1) // 3 AS BIGINT) AS match_id
+        FROM rec WHERE emitted
+    """,
     "kql_datatable_join": """
         WITH dt AS (
             SELECT * FROM (VALUES ('purchase', 2.0), ('view', 1.0))

@@ -46,6 +46,10 @@ HEADLINE = [
     "pandas_udaf_partial",  # salted Python partials + native merge (r3)
     "kql_make_series",  # dense gap-filled time series, 2-level agg (r3)
     "gopher_rules",  # zero-shuffle corpus quality filter (r3)
+    "kql_series_anomalies",  # seasonal decompose + Tukey flags (r3)
+    "semantic_dedup",  # SemDeDup: banded edges + connected components (r3)
+    "dsir_sample",  # hashed-ngram importance resampling (r3)
+    "kql_scan",  # greedy sequence matching via grouped fold (r3)
 ]
 
 

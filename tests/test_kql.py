@@ -711,3 +711,32 @@ def test_partition_summarize_rewrites_to_grouped_agg(spark, sf_smoke):
         " | sort by event_type asc",
     ).collect()
     assert a == b
+
+
+def test_scan_greedy_sequence_semantics(spark):
+    """Deterministic literal-table check of the documented scan
+    semantics: greedy single-instance advance, restart after the last
+    step, non-advancing rows dropped."""
+    out = kql(
+        spark,
+        'datatable(u: long, t: long, e: string)'
+        ' [1, 1, "view", 1, 2, "click", 1, 3, "buy",'
+        '  1, 4, "view", 1, 5, "view", 1, 6, "click",'
+        '  2, 1, "click", 2, 2, "view", 2, 3, "buy", 2, 4, "buy"]'
+        " | sort by u asc, t asc"
+        ' | scan by u with (step sv: e == "view";'
+        ' step sc: e == "click"; step sb: e == "buy")'
+        " | project u, t, step, match_id",
+    ).collect()
+    got = sorted((r["u"], r["t"], r["step"], r["match_id"]) for r in out)
+    assert got == [
+        (1, 1, "sv", 0), (1, 2, "sc", 0), (1, 3, "sb", 0),
+        (1, 4, "sv", 1),  # t=5 second view does NOT advance (needs click)
+        (1, 6, "sc", 1),  # match 1 left incomplete — still emitted
+        (2, 2, "sv", 0),  # user 2: leading click ignored, buys don't chain
+    ]
+
+
+def test_scan_requires_sort():
+    with pytest.raises(ValueError, match="sort"):
+        kql_to_sql('t | scan by u with (step a: x == 1)')

@@ -189,6 +189,34 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
+    if num:
+        opts.append(
+            st.tuples(
+                st.sampled_from(num), st.integers(1, 3)
+            ).map(
+                lambda t: (
+                    f"partition by {t[0]} (top {t[1]} by "
+                    f"{num[0]})",
+                    cols,
+                )
+            )
+        )
+    if str_:
+        opts.append(
+            st.sampled_from(["vi", "PUR", "x"]).map(
+                lambda term: (f'search "{term}"', cols)
+            )
+        )
+    if "m" in cols:  # make-series output array column
+        opts.append(st.just(("extend so = series_outliers(m)", (*cols, "so"))))
+        opts.append(
+            st.just(
+                (
+                    "extend (rq, sl, va, rv, ic, lf) = series_fit_line(m)",
+                    (*cols, "rq", "sl", "va", "rv", "ic", "lf"),
+                )
+            )
+        )
     opts.append(st.integers(1, 50).map(lambda n: (f"take {n}", cols)))
     opts.append(
         st.lists(
