@@ -57,6 +57,10 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                    from the data (sorted)
     T | evaluate bag_unpack(c)  -> JSON property bag -> columns
                                    (keys discovered, get_json_object)
+    T | evaluate basket([thr])  -> frequent attribute combinations:
+                                   ONE CUBE agg over the string columns
+                                   (2^k grouping sets, map-side
+                                   partials), support >= thr (5%)
     T | getschema               -> schema as a table (ADX contract)
     T | sample N / sample-distinct N of c
                                 -> deterministic hash-order refinement
@@ -1434,6 +1438,52 @@ def kql_to_sql(
                 )
                 sql = f"SELECT * EXCEPT ({bc}), {cols} FROM {prev}"
                 continue
+            km = re.match(
+                r"basket\s*\(\s*([\d.]+)?\s*\)\s*$", body, re.IGNORECASE
+            )
+            if km:
+                # `evaluate basket([threshold])` — frequent attribute
+                # combinations (the ADX diagnostics plugin): every
+                # combination of the string columns in scope (wildcard
+                # = NULL) with support >= threshold (default 5%).
+                # Expressed as ONE CUBE aggregation — 2^k grouping sets
+                # over k attribute columns, each with map-side partial
+                # aggregation; no candidate generation loop (apriori's
+                # level-wise passes collapse into the cube because k is
+                # small and known). Data NULLs read as wildcards —
+                # divergence documented (ADX ignores null cells).
+                if spark is None:
+                    raise ValueError("evaluate basket needs a SparkSession")
+                thr = float(km.group(1) or 0.05)
+                from pyspark.sql.types import StringType
+
+                bcols = [
+                    f.name
+                    for f in spark.sql(sql).schema.fields
+                    if isinstance(f.dataType, StringType)
+                ]
+                if not bcols:
+                    raise ValueError("evaluate basket: no string columns")
+                csl = ", ".join(bcols)
+                not_all_null = " OR ".join(
+                    f"{c} IS NOT NULL" for c in bcols
+                )
+                order = ", ".join(f"{c} ASC NULLS FIRST" for c in bcols)
+                sql = (
+                    f"SELECT CAST(row_number() OVER (ORDER BY Count DESC,"
+                    f" {order}) - 1 AS BIGINT) AS SegmentId,"
+                    f" {csl}, Count, Percent FROM ("
+                    f"SELECT {csl}, COUNT(*) AS Count,"
+                    # CAST, not a 100.0 literal: Spark parses that as DECIMAL
+                    f" round(CAST(100 AS DOUBLE) * COUNT(*) / max(_tot), 2)"
+                    f" AS Percent"
+                    f" FROM ({sql}) AS _bk CROSS JOIN"
+                    f" (SELECT COUNT(*) AS _tot FROM ({sql}) AS _bt) AS _bw"
+                    f" GROUP BY CUBE ({csl})"
+                    f" HAVING COUNT(*) >= {thr} * max(_tot)"
+                    f" AND ({not_all_null})) AS _bseg{i}"
+                )
+                continue
             m = re.match(r"pivot\s*\(\s*(\w+)\s*,\s*(.+)\)\s*$", body,
                          re.IGNORECASE | re.DOTALL)
             if not m:
@@ -2468,6 +2518,21 @@ def q_kql_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate basket(0.1)` — frequent attribute-combination mining
+    over (event_type, value band): ONE CUBE aggregation (2^k grouping
+    sets, map-side partials) instead of apriori's level-wise passes;
+    support filter in HAVING, ADX column contract (SegmentId, attrs,
+    Count, Percent)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | project event_type,"
+        ' band = case(value < 50, "low", "high")'
+        " | evaluate basket(0.1)",
+    )
+
+
 def q_kql_datatable_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`datatable(…)[…]` inline literal table used as a weight
     dimension joined to the fact pipe — the ADX ad-hoc-dimension idiom.
@@ -2542,6 +2607,7 @@ def q_kql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_scan": q_kql_scan,
+    "kql_basket": q_kql_basket,
     "kql_datatable_join": q_kql_datatable_join,
     "kql_search": q_kql_search,
     "kql_partition_top": q_kql_partition_top,
@@ -2627,6 +2693,25 @@ _FIT_SUMS = """
 """
 
 ORACLE = {
+    "kql_basket": """
+        WITH proj AS (
+            SELECT event_type,
+                   CASE WHEN value < 50 THEN 'low' ELSE 'high' END AS band
+            FROM events
+        ), seg AS (
+            SELECT event_type, band, COUNT(*) AS Count,
+                   round(100.0 * COUNT(*) / max(_tot), 2) AS Percent
+            FROM proj CROSS JOIN (SELECT COUNT(*) AS _tot FROM proj) t
+            GROUP BY CUBE (event_type, band)
+            HAVING COUNT(*) >= 0.1 * max(_tot)
+               AND (event_type IS NOT NULL OR band IS NOT NULL)
+        )
+        SELECT CAST(row_number() OVER (ORDER BY Count DESC,
+                    event_type ASC NULLS FIRST, band ASC NULLS FIRST)
+                    - 1 AS BIGINT) AS SegmentId,
+               event_type, band, Count, Percent
+        FROM seg
+    """,
     "kql_scan": """
         WITH RECURSIVE ranked AS (
             SELECT user_id, event_id,

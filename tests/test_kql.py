@@ -740,3 +740,23 @@ def test_scan_greedy_sequence_semantics(spark):
 def test_scan_requires_sort():
     with pytest.raises(ValueError, match="sort"):
         kql_to_sql('t | scan by u with (step a: x == 1)')
+
+
+def test_basket_segments_cover_marginals_and_pairs(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | project event_type,"
+        ' band = case(value < 50, "low", "high")'
+        " | evaluate basket(0.1)",
+    )
+    rows = df.collect()
+    total = spark.table("events").count()
+    assert all(r["Count"] >= 0.1 * total for r in rows)
+    # marginals present as wildcard (NULL) rows
+    assert any(r["event_type"] is None and r["band"] is not None for r in rows)
+    assert any(r["event_type"] is not None and r["band"] is None for r in rows)
+    # no all-wildcard segment
+    assert not any(r["event_type"] is None and r["band"] is None for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # ONE cube aggregation, not a union of passes
