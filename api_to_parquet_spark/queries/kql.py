@@ -101,7 +101,11 @@ delimiter + 0-based index), countof, replace_string, strcat
 (null-tolerant), strcat_array, indexof/array_index_of (0-based, -1
 missing), pack_array, array_length, array_concat, hash (xxhash64),
 bin_at, datetime_add/datetime_diff (BOUNDARY-crossing semantics),
-getyear/getmonth/dayofmonth/hourofday/dayofweek, and the series family
+getyear/getmonth/dayofmonth/hourofday/dayofweek,
+trim/trim_start/trim_end (repeated-regex-match trimming), strrep,
+reverse, tohex (lowercase), min_of/max_of, isnull/isnotnull,
+base64_encode_tostring/base64_decode_tostring, log/log10/log2/exp/
+sign/abs/sqrt/pow (pass-through), and the series family
 series_sum/avg/max/min, series_fill_const, series_add/subtract/
 multiply/divide (element-wise zip_with; numeric literals broadcast),
 and the series-analytics chains (extend-stage nested-SELECT expansion,
@@ -628,6 +632,38 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "series_multiply", lambda a: _series_zip_sql(a, "*"))
     e = _rewrite_fn(e, "series_divide", lambda a: _series_zip_sql(a, "/"))
     e = re.sub(r"\breplace_string\(", "replace(", e)
+    # trim family: ADX trims REPEATED regex matches from the ends
+    e = _rewrite_fn(
+        e,
+        "trim_start",
+        lambda a: f"regexp_replace({a[1]}, concat('^(', {a[0]}, ')+'), '')",
+    )
+    e = _rewrite_fn(
+        e,
+        "trim_end",
+        lambda a: f"regexp_replace({a[1]}, concat('(', {a[0]}, ')+$'), '')",
+    )
+    e = _rewrite_fn(
+        e,
+        "trim",
+        lambda a: (
+            f"regexp_replace({a[1]}, concat('^(', {a[0]}, ')+|(',"
+            f" {a[0]}, ')+$'), '')"
+        ),
+    )
+    e = re.sub(r"\bstrrep\(", "repeat(", e)
+    e = re.sub(r"\bmin_of\(", "least(", e)
+    e = re.sub(r"\bmax_of\(", "greatest(", e)
+    e = re.sub(r"\bisnull\(([^()]+)\)", r"(\1 IS NULL)", e)
+    e = re.sub(r"\bisnotnull\(([^()]+)\)", r"(\1 IS NOT NULL)", e)
+    # tohex: ADX returns LOWERCASE hex without leading zeros
+    e = _rewrite_fn(e, "tohex", lambda a: f"lower(hex({a[0]}))")
+    e = re.sub(r"\bbase64_encode_tostring\(", "base64(", e)
+    e = _rewrite_fn(
+        e, "base64_decode_tostring", lambda a: f"string(unbase64({a[0]}))"
+    )
+    # ADX log() is natural log (Spark's 1-arg log already is); log10/
+    # log2/exp/sign/abs/sqrt/pow pass through by name
     # bin_at / datetime arithmetic / part getters
     e = _rewrite_fn(e, "bin_at", _bin_at_sql)
     e = _rewrite_fn(e, "datetime_diff", _datetime_diff_sql)
@@ -2518,6 +2554,28 @@ def q_kql_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second scalar-function batch: trim/trim_start/trim_end (repeated
+    regex matches, ADX contract), strrep, reverse, tohex (lowercase),
+    min_of/max_of, isnull/isnotnull, base64 round-trip, log10 — all
+    JVM-side, zero shuffle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 200"
+        ' | extend padded = strcat("__", event_type, "__")'
+        ' | extend t = trim("_", padded),'
+        ' tst = trim_start("_", padded), ten = trim_end("_", padded),'
+        " r = reverse(event_type), rep = strrep(event_type, 2),"
+        " hx = tohex(event_id), lo = min_of(value, 50.0),"
+        " hi = max_of(value, 50.0), nn = isnotnull(props),"
+        " b64 = base64_decode_tostring(base64_encode_tostring(event_type)),"
+        " lg = round(log10(event_id + 1), 6)"
+        " | project event_id, t, tst, ten, r, rep, hx,"
+        " lo = round(lo, 2), hi = round(hi, 2), nn, b64, lg",
+    )
+
+
 def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate basket(0.1)` — frequent attribute-combination mining
     over (event_type, value band): ONE CUBE aggregation (2^k grouping
@@ -2608,6 +2666,7 @@ QUERIES = {
     "kql_take": q_kql_take,
     "kql_scan": q_kql_scan,
     "kql_basket": q_kql_basket,
+    "kql_scalar_fns2": q_kql_scalar_fns2,
     "kql_datatable_join": q_kql_datatable_join,
     "kql_search": q_kql_search,
     "kql_partition_top": q_kql_partition_top,
@@ -2693,6 +2752,24 @@ _FIT_SUMS = """
 """
 
 ORACLE = {
+    "kql_scalar_fns2": """
+        SELECT event_id,
+               regexp_replace('__' || event_type || '__',
+                              '^(_)+|(_)+$', '', 'g') AS t,
+               regexp_replace('__' || event_type || '__',
+                              '^(_)+', '', 'g') AS tst,
+               regexp_replace('__' || event_type || '__',
+                              '(_)+$', '', 'g') AS ten,
+               reverse(event_type) AS r,
+               repeat(event_type, 2) AS rep,
+               lower(to_hex(event_id)) AS hx,
+               round(least(value, 50.0), 2) AS lo,
+               round(greatest(value, 50.0), 2) AS hi,
+               props IS NOT NULL AS nn,
+               event_type AS b64,
+               round(log10(event_id + 1), 6) AS lg
+        FROM events WHERE event_id < 200
+    """,
     "kql_basket": """
         WITH proj AS (
             SELECT event_type,
