@@ -26,6 +26,11 @@ Supported pipe operators (the committed shapes plus the everyday core):
     T | join kind=k (T2|…) on c -> JOIN/LEFT/RIGHT/FULL/SEMI/ANTI USING (c)
                                    (innerunique maps to inner — divergence
                                    documented: no left-side key dedup)
+    T | lookup [kind=k] (dim) on c -> LEFT/INNER join with an explicit
+                                   BROADCAST hint (the dimension-join
+                                   physical strategy ADX promises)
+    T | render <chart> [with …] -> no-op (client-side directive) so
+                                   committed dashboard pipes run verbatim
     T | top N by c [asc|desc]   -> ORDER BY c LIMIT N
     T | sort by c [asc|desc]    -> ORDER BY
     T | take N / limit N        -> LIMIT
@@ -1596,6 +1601,39 @@ def kql_to_sql(
                     f"SELECT * FROM {prev} {joins[kind]} ({right}) AS _r{i} "
                     f"USING ({', '.join(keys)})"
                 )
+        elif op == "lookup":
+            # `lookup [kind=leftouter|inner] (dim) on k` — ADX's
+            # dimension-join: like join but the right side is a small
+            # dimension table, and its key column is not duplicated.
+            # Translated with an explicit BROADCAST hint — exactly the
+            # physical strategy ADX's lookup promises (dimension
+            # replicated to every node, fact side never shuffles).
+            m = re.match(
+                r"(?:kind\s*=\s*(\w+)\s+)?\((.+)\)\s+on\s+(.+)$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(
+                    f"lookup needs [kind=k] (dim) on cols: {body!r}"
+                )
+            kind = (m.group(1) or "leftouter").lower()
+            lk = {"leftouter": "LEFT JOIN", "inner": "JOIN"}
+            if kind not in lk:
+                raise ValueError(f"unsupported lookup kind: {kind!r}")
+            right = kql_to_sql(m.group(2).strip(), spark, _tabular)
+            keys = ", ".join(
+                k.strip() for k in _split_top_level(m.group(3))
+            )
+            sql = (
+                f"SELECT /*+ BROADCAST(_lk{i}) */ * FROM {prev}"
+                f" {lk[kind]} ({right}) AS _lk{i} USING ({keys})"
+            )
+        elif op == "render":
+            # `render timechart [with (…)]` — a client-side chart
+            # directive, not a relational operator: ADX returns the
+            # table unchanged and the UI draws it. No-op, so committed
+            # dashboards run verbatim.
+            continue
         elif op == "project-away":
             cols = ", ".join(
                 c.strip() for c in _split_top_level(body)
@@ -2576,6 +2614,22 @@ def q_kql_scalar_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`lookup` dimension join (explicit BROADCAST hint — the physical
+    strategy ADX promises) against an inline datatable, ending in a
+    `render` directive (no-op: charting is client-side in ADX too), so
+    a committed dashboard pipe runs verbatim."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | lookup (datatable(event_type: string, w: real)'
+        ' ["purchase", 2.0, "view", 1.0]) on event_type'
+        " | summarize cents = sum(round(value * 100 * coalesce(w, 0.5)))"
+        " by event_type | sort by event_type asc"
+        " | render columnchart",
+    )
+
+
 def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate basket(0.1)` — frequent attribute-combination mining
     over (event_type, value band): ONE CUBE aggregation (2^k grouping
@@ -2666,6 +2720,7 @@ QUERIES = {
     "kql_take": q_kql_take,
     "kql_scan": q_kql_scan,
     "kql_basket": q_kql_basket,
+    "kql_lookup": q_kql_lookup,
     "kql_scalar_fns2": q_kql_scalar_fns2,
     "kql_datatable_join": q_kql_datatable_join,
     "kql_search": q_kql_search,
@@ -2752,6 +2807,16 @@ _FIT_SUMS = """
 """
 
 ORACLE = {
+    "kql_lookup": """
+        WITH dim AS (
+            SELECT * FROM (VALUES ('purchase', 2.0), ('view', 1.0))
+                AS t(event_type, w)
+        )
+        SELECT e.event_type,
+               sum(round(e.value * 100 * coalesce(dim.w, 0.5))) AS cents
+        FROM events e LEFT JOIN dim USING (event_type)
+        GROUP BY e.event_type
+    """,
     "kql_scalar_fns2": """
         SELECT event_id,
                regexp_replace('__' || event_type || '__',

@@ -760,3 +760,16 @@ def test_basket_segments_cover_marginals_and_pairs(spark, sf_smoke):
     assert not any(r["event_type"] is None and r["band"] is None for r in rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # ONE cube aggregation, not a union of passes
+
+
+def test_lookup_broadcasts_dimension(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        'events | lookup (datatable(event_type: string, w: real)'
+        ' ["purchase", 2.0]) on event_type | render timechart',
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # left join: every event survives; non-matching rows carry NULL w
+    assert df.count() == spark.table("events").count()
