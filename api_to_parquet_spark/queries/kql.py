@@ -113,6 +113,8 @@ base64_encode_tostring/base64_decode_tostring, log/log10/log2/exp/
 sign/abs/sqrt/pow (pass-through), and the series family
 series_sum/avg/max/min, series_fill_const, series_add/subtract/
 multiply/divide (element-wise zip_with; numeric literals broadcast),
+series_fir/series_moving_avg (literal-coefficient FIR convolution,
+taps unrolled at translation time, zero edge padding),
 and the series-analytics chains (extend-stage nested-SELECT expansion,
 all per-row array folds): series_fit_line (6-way multi-assign, ADX
 order), series_stats (7-way), series_outliers (Tukey-fence scores,
@@ -605,6 +607,50 @@ def _series_chain_sql(
     raise AssertionError(fn)
 
 
+def _series_fir_sql(args: list[str], center: bool = False) -> str:
+    """series_fir(y, pack_array(c0, c1, …) [, normalize] [, center]) —
+    FIR convolution with LITERAL coefficients, unrolled into one tap
+    expression per coefficient (both engines evaluate the identical
+    arithmetic — no runtime loop). Out-of-range inputs read as 0
+    (documented edge padding); normalize=true divides the coefficients
+    by their sum at TRANSLATION time, so the runtime expression stays a
+    plain weighted sum. Per-row, map-side."""
+    if len(args) < 2:
+        raise ValueError("series_fir needs (series, coefficients)")
+    y = args[0].strip()
+    if not re.match(r"^\w+$", y):
+        raise ValueError(
+            "series_fir: series must be a plain column (it is referenced"
+            f" once per tap): {y!r}"
+        )
+    cm = re.match(
+        r"^(?:pack_array|dynamic)\s*\(\s*\[?\s*(.*?)\s*\]?\s*\)$",
+        args[1].strip(),
+    )
+    if not cm:
+        raise ValueError(
+            f"series_fir: coefficients must be literal: {args[1]!r}"
+        )
+    coeffs = [float(c) for c in cm.group(1).split(",")]
+    normalize = len(args) > 2 and args[2].strip().lower() == "true"
+    if len(args) > 3:
+        center = args[3].strip().lower() == "true"
+    if normalize:
+        tot = sum(coeffs)
+        coeffs = [c / tot for c in coeffs]
+    # tap j reads element (i - j [+ half for centered]); 1-based index k
+    half = len(coeffs) // 2 if center else 0
+    taps = []
+    for j, c in enumerate(coeffs):
+        k = f"(_i + 1 - {j} + {half})"
+        taps.append(
+            # CAST, not a bare literal: Spark parses decimals as DECIMAL
+            f"CAST({c!r} AS DOUBLE) * IF({k} >= 1 AND {k} <= size({y}),"
+            f" CAST(try_element_at({y}, {k}) AS DOUBLE), {_D0})"
+        )
+    return f"transform({y}, (_x, _i) -> {' + '.join(taps)})"
+
+
 def _expr(kql_expr: str) -> str:
     """Translate a KQL scalar/boolean expression to SQL."""
     e = _bin_to_sql(_strings_to_sql(kql_expr))
@@ -630,6 +676,15 @@ def _expr(kql_expr: str) -> str:
         lambda a: (
             f"transform({a[0]}, _x -> coalesce(CAST(_x AS DOUBLE),"
             f" CAST({a[1]} AS DOUBLE)))"
+        ),
+    )
+    e = _rewrite_fn(e, "series_fir", _series_fir_sql)
+    e = _rewrite_fn(
+        e,
+        "series_moving_avg",
+        lambda a: _series_fir_sql(
+            [a[0], f"pack_array({', '.join(['1'] * int(a[1]))})", "true"]
+            + list(a[2:])
         ),
     )
     e = _rewrite_fn(e, "series_add", lambda a: _series_zip_sql(a, "+"))
@@ -2514,6 +2569,25 @@ def q_kql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kql(spark, "events | sample 100")
 
 
+def q_kql_series_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series_moving_avg / series_fir smoothing over make-series output:
+    literal coefficients unrolled into one tap per element at
+    TRANSLATION time (no runtime loop), out-of-range reads as 0. The
+    DuckDB oracle mirrors the taps as lag() terms with the identical
+    coefficient literals, so the float ops match bitwise."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
+        " by user_id"
+        " | extend ma = series_moving_avg(n, 3),"
+        " fir = series_fir(n, pack_array(3, 1), true)"
+        " | mv-expand ts, n, ma, fir"
+        " | project user_id, ts, n, m = round(ma, 6), f = round(fir, 6)",
+    )
+
+
 def q_kql_series_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`extend (rsquare, slope, …) = series_fit_line(y)` — ADX's
     linear-trend fit over make-series output, computed as per-row
@@ -2729,6 +2803,7 @@ QUERIES = {
     "kql_make_series": q_kql_make_series,
     "kql_series_fns": q_kql_series_fns,
     "kql_series_fit": q_kql_series_fit,
+    "kql_series_fir": q_kql_series_fir,
     "kql_series_stats": q_kql_series_stats,
     "kql_series_outliers": q_kql_series_outliers,
     "kql_series_anomalies": q_kql_series_anomalies,
@@ -2807,6 +2882,19 @@ _FIT_SUMS = """
 """
 
 ORACLE = {
+    "kql_series_fir": _DENSE7 + """
+        SELECT user_id, ts, n,
+               round(CAST('0.3333333333333333' AS DOUBLE) * n
+                     + CAST('0.3333333333333333' AS DOUBLE)
+                       * coalesce(lag(n, 1) OVER w, 0.0)
+                     + CAST('0.3333333333333333' AS DOUBLE)
+                       * coalesce(lag(n, 2) OVER w, 0.0), 6) AS m,
+               round(CAST(0.75 AS DOUBLE) * n
+                     + CAST(0.25 AS DOUBLE)
+                       * coalesce(lag(n, 1) OVER w, 0.0), 6) AS f
+        FROM dense
+        WINDOW w AS (PARTITION BY user_id ORDER BY x)
+    """,
     "kql_lookup": """
         WITH dim AS (
             SELECT * FROM (VALUES ('purchase', 2.0), ('view', 1.0))

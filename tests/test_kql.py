@@ -773,3 +773,16 @@ def test_lookup_broadcasts_dimension(spark, sf_smoke):
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
     # left join: every event survives; non-matching rows carry NULL w
     assert df.count() == spark.table("events").count()
+
+
+def test_series_fir_and_moving_avg_values(spark):
+    row = kql(
+        spark,
+        "print y = pack_array(1.0, 2.0, 4.0, 8.0)"
+        " | extend ma = series_moving_avg(y, 2),"
+        " fc = series_fir(y, pack_array(1, 1, 1), true, true)",
+    ).collect()[0]
+    assert row["ma"] == [0.5, 1.5, 3.0, 6.0]  # causal, zero-padded edge
+    assert row["fc"] == pytest.approx([1.0, 7 / 3, 14 / 3, 4.0])  # centered
+    with pytest.raises(ValueError, match="literal"):
+        kql_to_sql("t | extend f = series_fir(y, c)")
