@@ -31,6 +31,10 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                    physical strategy ADX promises)
     T | render <chart> [with …] -> no-op (client-side directive) so
                                    committed dashboard pipes run verbatim
+    T | facet by c1, c2         -> per-column value counts unioned as
+                                   (facet_column, value, count_) —
+                                   single-table refinement of ADX's
+                                   one-table-per-column output
     T | top N by c [asc|desc]   -> ORDER BY c LIMIT N
     T | sort by c [asc|desc]    -> ORDER BY
     T | take N / limit N        -> LIMIT
@@ -1656,6 +1660,28 @@ def kql_to_sql(
                     f"SELECT * FROM {prev} {joins[kind]} ({right}) AS _r{i} "
                     f"USING ({', '.join(keys)})"
                 )
+        elif op == "facet":
+            # `facet by c1, c2, …` — ADX returns one value-count table
+            # PER column; a single-DataFrame engine emits the union as
+            # one long (facet_column, value, count_) table instead —
+            # documented refinement. Shape: one grouped agg per column
+            # over the same input, unioned; each agg is map-side
+            # partial + one shuffle bounded by that column's
+            # cardinality.
+            fcols = [
+                c.strip()
+                for c in re.sub(
+                    r"^by\s+", "", body, flags=re.IGNORECASE
+                ).split(",")
+            ]
+            if not fcols or not all(re.match(r"^\w+$", c) for c in fcols):
+                raise ValueError(f"facet needs 'by col, …': {body!r}")
+            parts = [
+                f"SELECT '{c}' AS facet_column, CAST({c} AS STRING)"
+                f" AS value, COUNT(*) AS count_ FROM {prev} GROUP BY {c}"
+                for c in fcols
+            ]
+            sql = " UNION ALL ".join(f"({p})" for p in parts)
         elif op == "lookup":
             # `lookup [kind=leftouter|inner] (dim) on k` — ADX's
             # dimension-join: like join but the right side is a small
@@ -2704,6 +2730,18 @@ def q_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`facet by c1, c2` — per-column value counts. ADX returns one
+    table per column; the single-DataFrame refinement unions them as
+    (facet_column, value, count_)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | extend band = case(value < 50, \"low\", \"high\")"
+        " | facet by event_type, band",
+    )
+
+
 def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate basket(0.1)` — frequent attribute-combination mining
     over (event_type, value band): ONE CUBE aggregation (2^k grouping
@@ -2795,6 +2833,7 @@ QUERIES = {
     "kql_scan": q_kql_scan,
     "kql_basket": q_kql_basket,
     "kql_lookup": q_kql_lookup,
+    "kql_facet": q_kql_facet,
     "kql_scalar_fns2": q_kql_scalar_fns2,
     "kql_datatable_join": q_kql_datatable_join,
     "kql_search": q_kql_search,
@@ -2894,6 +2933,17 @@ ORACLE = {
                        * coalesce(lag(n, 1) OVER w, 0.0), 6) AS f
         FROM dense
         WINDOW w AS (PARTITION BY user_id ORDER BY x)
+    """,
+    "kql_facet": """
+        WITH e AS (
+            SELECT event_type,
+                   CASE WHEN value < 50 THEN 'low' ELSE 'high' END AS band
+            FROM events
+        )
+        SELECT 'event_type' AS facet_column, event_type AS value,
+               COUNT(*) AS count_ FROM e GROUP BY event_type
+        UNION ALL
+        SELECT 'band', band, COUNT(*) FROM e GROUP BY band
     """,
     "kql_lookup": """
         WITH dim AS (

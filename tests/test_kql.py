@@ -71,7 +71,7 @@ def test_mv_expand_translates_to_lateral_explode():
 
 def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
-        kql_to_sql("T | facet by col")
+        kql_to_sql("T | graph-match (a)-[e]->(b)")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
         kql_to_sql("T | summarize hll(x)")
 
