@@ -170,7 +170,10 @@ ORACLE = {
     """,
     "pandas_udaf": """
         SELECT event_type,
-               ROUND(exp(AVG(ln(value)) FILTER (value > 0)), 6)
+               -- CASE, not FILTER alone: DuckDB evaluates ln(value)
+               -- vectorized before filtering, so a single zero value
+               -- in the corpus aborts the query (seen at sf0.1)
+               ROUND(exp(AVG(CASE WHEN value > 0 THEN ln(value) END)), 6)
                    AS geomean_value,
                COUNT(*) AS n
         FROM events GROUP BY event_type ORDER BY event_type
@@ -179,7 +182,7 @@ ORACLE = {
     # two-level variant shares the single-level oracle
     "pandas_udaf_partial": """
         SELECT event_type,
-               ROUND(exp(SUM(ln(value)) FILTER (value > 0)
+               ROUND(exp(SUM(CASE WHEN value > 0 THEN ln(value) END)
                          / COUNT(*) FILTER (value > 0)), 6)
                    AS geomean_value,
                COUNT(*) AS n
