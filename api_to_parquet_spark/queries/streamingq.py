@@ -153,8 +153,73 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming anomaly detection, split the way a production detector
+    is: the STREAM maintains the stateful rollup (per-event-type daily
+    counts — bounded state, watermark-evictable), and the DETECTOR
+    scores the rollup with Tukey fences (discrete 10th/90th quantiles,
+    k=1.5 — same convention as kql_series_outliers) as a cheap batch
+    pass over the tiny result table. The quantile pass needs the whole
+    per-key series, so it cannot live inside the streaming agg — the
+    rollup/detector split is the scale-correct factoring, not a
+    workaround."""
+    from pyspark.sql import Window
+
+    rollup = _run_streaming(
+        spark,
+        sf_dir,
+        lambda stream: stream.groupBy(
+            F.window("ts", "1 day").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("day"), "event_type", "n"),
+    )
+    byv = Window.partitionBy("event_type").orderBy("n")
+    part = Window.partitionBy("event_type")
+    ranked = rollup.select(
+        "event_type",
+        "day",
+        F.col("n").cast("double").alias("n"),
+        F.row_number().over(byv.orderBy(F.col("n"), F.col("day"))).alias("rn"),
+        F.count("*").over(part).alias("cnt"),
+    )
+    # quantiles as window aggregates over the same partition — no
+    # self-join back onto the rollup lineage
+    withq = ranked.withColumn(
+        "q10",
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(0.1 * (F.col("cnt") - 1)).cast("int") + 1,
+                F.col("n"),
+            )
+        ).over(part),
+    ).withColumn(
+        "q90",
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor(0.9 * (F.col("cnt") - 1)).cast("int") + 1,
+                F.col("n"),
+            )
+        ).over(part),
+    )
+    iqr = F.col("q90") - F.col("q10")
+    hi = F.col("q90") + 1.5 * iqr
+    lo = F.col("q10") - 1.5 * iqr
+    score = (
+        F.when(F.col("n") > hi, (F.col("n") - hi) / F.nullif(iqr, F.lit(0)))
+        .when(F.col("n") < lo, (F.col("n") - lo) / F.nullif(iqr, F.lit(0)))
+        .otherwise(F.lit(0.0))
+    )
+    return withq.select(
+        "event_type", "day", "n", F.round(score, 6).alias("score")
+    )
+
+
 QUERIES = {
     "streaming_tumbling_agg": q_streaming_tumbling_agg,
+    "streaming_anomaly": q_streaming_anomaly,
     "streaming_dedup": q_streaming_dedup,
     "streaming_session_window": q_streaming_session_window,
     "streaming_state_get": q_streaming_state_get,
@@ -162,6 +227,35 @@ QUERIES = {
 
 ORACLE = {
     # identical to their batch twins — that equality is the point
+    "streaming_anomaly": """
+        WITH rollup AS (
+            SELECT time_bucket(INTERVAL '1 day', ts) AS day, event_type,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM events GROUP BY 1, 2
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                                         ORDER BY n, day) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM rollup
+        ), qs AS (
+            SELECT event_type,
+                   max(CASE WHEN rn = CAST(floor(0.1 * (cnt - 1)) AS INT)
+                       + 1 THEN n END) AS q10,
+                   max(CASE WHEN rn = CAST(floor(0.9 * (cnt - 1)) AS INT)
+                       + 1 THEN n END) AS q90
+            FROM ranked GROUP BY event_type
+        )
+        SELECT r.event_type, r.day, r.n,
+               round(CASE
+                 WHEN r.n > q.q90 + 1.5 * (q.q90 - q.q10)
+                   THEN (r.n - (q.q90 + 1.5 * (q.q90 - q.q10)))
+                        / nullif(q.q90 - q.q10, 0)
+                 WHEN r.n < q.q10 - 1.5 * (q.q90 - q.q10)
+                   THEN (r.n - (q.q10 - 1.5 * (q.q90 - q.q10)))
+                        / nullif(q.q90 - q.q10, 0)
+                 ELSE 0.0 END, 6) AS score
+        FROM rollup r JOIN qs q USING (event_type)
+    """,
     "streaming_dedup": """
         SELECT event_type, count(*) AS n, ROUND(SUM(value), 2) AS sum_value
         FROM events GROUP BY 1
