@@ -1,0 +1,94 @@
+"""KQL frontend tour: the round-3 analytics surface in one script.
+
+    python examples/kql_tour.py [sf_dir]
+
+Runs, against the driver testdata, the KQL idioms a Kusto user of the
+reference's POST /query (/root/reference/src/main.go:88-116) reaches
+for beyond the basics: time-series analytics (make-series +
+series_fit_line / series_outliers / series_decompose_anomalies /
+series_moving_avg), sequence matching (scan), diagnostics (evaluate
+basket, facet), ad-hoc tables (datatable + lookup), and dashboards
+ending in render.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from api_to_parquet_spark import get_spark
+from api_to_parquet_spark.lake import load
+from api_to_parquet_spark.queries.kql import kql
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("kql_tour", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+
+    print("== trend fit per user (series_fit_line) ==")
+    kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
+        " by user_id"
+        " | extend (rsq, slope, va, rva, icept, fit) = series_fit_line(n)"
+        " | project user_id, slope = round(slope, 4), rsq = round(rsq, 4)"
+        " | top 5 by slope",
+    ).show()
+
+    print("== daily anomalies (series_decompose_anomalies) ==")
+    kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
+        " by user_id"
+        " | extend (an, sc, bl) = series_decompose_anomalies(n, 7)"
+        " | mv-expand ts, n, an"
+        " | where an != 0 | project user_id, ts, n | take 5",
+    ).show()
+
+    print("== smoothing (series_moving_avg) ==")
+    kql(
+        spark,
+        "print y = pack_array(1.0, 2.0, 4.0, 8.0, 16.0)"
+        " | extend ma = series_moving_avg(y, 3)",
+    ).show(truncate=False)
+
+    print("== funnel sequences (scan) ==")
+    kql(
+        spark,
+        "events | sort by ts asc, event_id asc"
+        " | scan by user_id with ("
+        ' step s_view: event_type == "view";'
+        ' step s_click: event_type == "click";'
+        ' step s_purchase: event_type == "purchase")'
+        " | summarize conversions = dcountif(match_id,"
+        ' step == "s_purchase") by user_id'
+        " | top 5 by conversions",
+    ).show()
+
+    print("== diagnostics (evaluate basket) ==")
+    kql(
+        spark,
+        "events | project event_type,"
+        ' band = case(value < 50, "low", "high")'
+        " | evaluate basket(0.15)",
+    ).show()
+
+    print("== ad-hoc dimension (datatable + lookup) + render ==")
+    kql(
+        spark,
+        'events | lookup (datatable(event_type: string, w: real)'
+        ' ["purchase", 2.0, "view", 1.0]) on event_type'
+        " | summarize weighted = sum(round(value * coalesce(w, 0.5), 2))"
+        " by event_type | sort by event_type asc"
+        " | render columnchart",
+    ).show()
+
+
+if __name__ == "__main__":
+    main()

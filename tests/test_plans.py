@@ -288,3 +288,57 @@ def test_gopher_rules_zero_exchange(spark, sf_smoke):
     # no hash/range shuffle (no keyed redistribution of the corpus)
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dsir_weight_table_broadcasts(spark, sf_smoke):
+    """dsir_sample: the 1024-row weight table must broadcast onto the
+    token stream — a shuffle join on the bucket id would move the full
+    token volume for a 1024-key dimension."""
+    from api_to_parquet_spark import sampling
+
+    plan = (
+        sampling.q_dsir_sample(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_no_allpairs(spark, sf_smoke):
+    """semantic_dedup candidates come from the (band, code) equi-join;
+    no cartesian/broadcast-nested-loop stage anywhere in the plan."""
+    from api_to_parquet_spark import similarity
+
+    plan = (
+        similarity.q_semantic_dedup(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kql_scan_single_group_shuffle(spark, sf_smoke):
+    """scan: step predicates are plain column comparisons BEFORE the
+    grouped fold; the plan has the grouping aggregate but no join, no
+    window, no Python."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "events | sort by ts asc, event_id asc"
+            ' | scan by user_id with (step a: event_type == "view";'
+            ' step b: event_type == "purchase")',
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
+    assert "Join" not in plan and "BatchEvalPython" not in plan

@@ -129,7 +129,7 @@ def test_query_route_runs_kql_natively(spark, server):
     )
     assert status == 200
     assert [r["Timestamp"] for r in body["rows"]] == [200, 300]
-    status, body = _post(base + "/query", {"csl": "TelemetryData | facet by x"})
+    status, body = _post(base + "/query", {"csl": "TelemetryData | graph-match (a)-[e]->(b)"})
     assert status == 400 and "unsupported" in body["error"]
 
 
