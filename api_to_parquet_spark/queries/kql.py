@@ -35,6 +35,11 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                    (facet_column, value, count_) —
                                    single-table refinement of ADX's
                                    one-table-per-column output
+    T | make-graph s --> d | graph-match (a)-[e]->(b)… where … project …
+                                -> fixed-length path patterns as k-1
+                                   chained equi-joins on dst=src (node
+                                   names are ids; edge names reach
+                                   edge columns; no variable-length)
     T | top N by c [asc|desc]   -> ORDER BY c LIMIT N
     T | sort by c [asc|desc]    -> ORDER BY
     T | take N / limit N        -> LIMIT
@@ -1324,6 +1329,7 @@ def kql_to_sql(
     else:
         sql = f"SELECT * FROM {stages[0]}"
     order_keys: list[str] | None = None  # set by sort; used by serialize
+    graph = None  # set by make-graph; consumed by graph-match
     for i, stage in enumerate(stages[1:], 1):
         # `partition by k (summarize …)` is EXACTLY `summarize … by k`
         # (+ existing group keys) — rewrite the stage text and let the
@@ -1660,6 +1666,93 @@ def kql_to_sql(
                     f"SELECT * FROM {prev} {joins[kind]} ({right}) AS _r{i} "
                     f"USING ({', '.join(keys)})"
                 )
+        elif op == "make-graph":
+            # `make-graph src --> dst` — declares the current pipe as an
+            # edge table. No materialization happens (ADX's in-memory
+            # graph build is an execution detail): the declaration just
+            # names the endpoint columns for the graph-match stage,
+            # which compiles patterns to relational joins.
+            gm = re.match(r"^(\w+)\s*-->\s*(\w+)\s*$", body)
+            if not gm:
+                raise ValueError(
+                    f"make-graph needs 'src --> dst': {body!r}"
+                )
+            graph = (sql, gm.group(1), gm.group(2))
+            continue
+        elif op == "graph-match":
+            # `graph-match (a)-[e1]->(b)-[e2]->(c) [where …] project …`
+            # — FIXED-LENGTH path patterns (no *1..3 variable length —
+            # explicit-subset contract) compiled to k-1 chained
+            # equi-joins on dst=src: hash-partitioned on node id, the
+            # relational shape that scales (AQE picks broadcast vs
+            # shuffle per hop). A node name in expressions is its id;
+            # edge names reach their columns (e1.w). Cycles are not
+            # filtered (ADX likewise) — constrain with where.
+            if graph is None:
+                raise ValueError("graph-match needs a preceding make-graph")
+            g_sql, g_src, g_dst = graph
+            pm = re.match(
+                r"^(\(.+?\))\s*(?:where\s+(.+?))?\s*project\s+(.+)$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not pm:
+                raise ValueError(
+                    f"graph-match needs '(pattern) [where …] project …':"
+                    f" {body!r}"
+                )
+            pat, wh, proj = pm.groups()
+            chain = re.match(
+                r"^\(\s*(\w+)\s*\)(?:\s*-\[\s*(\w+)\s*\]->\s*"
+                r"\(\s*(\w+)\s*\))+$",
+                pat.strip(),
+            )
+            hops = re.findall(r"-\[\s*(\w+)\s*\]->\s*\(\s*(\w+)\s*\)", pat)
+            first = re.match(r"^\(\s*(\w+)\s*\)", pat.strip())
+            if not chain or not hops or not first:
+                raise ValueError(
+                    f"graph-match pattern must be (n)-[e]->(n)…: {pat!r}"
+                )
+            node_sql = {first.group(1): f"_g1.{g_src}"}
+            edge_alias = {}
+            for j, (ename, nname) in enumerate(hops, 1):
+                edge_alias[ename] = f"_g{j}"
+                node_sql[nname] = f"_g{j}.{g_dst}"
+
+            def _subst(text: str) -> str:
+                for en, al in edge_alias.items():
+                    text = _sub_outside_strings(
+                        rf"\b{re.escape(en)}\.(\w+)", rf"{al}.\1", text
+                    )
+                for nn, ns in node_sql.items():
+                    text = _sub_outside_strings(
+                        rf"\b{re.escape(nn)}\b", ns, text
+                    )
+                return text
+
+            frm = f"({g_sql}) AS _g1"
+            for j in range(2, len(hops) + 1):
+                frm += (
+                    f" JOIN ({g_sql}) AS _g{j}"
+                    f" ON _g{j - 1}.{g_dst} = _g{j}.{g_src}"
+                )
+            items = []
+            for c in _split_top_level(_strings_to_sql(proj)):
+                m2 = re.match(r"(\w+)\s*=\s*(.+)$", c)
+                if m2:
+                    items.append(
+                        f"{_expr(_subst(m2.group(2)))} AS {m2.group(1)}"
+                    )
+                elif re.match(r"^\w+$", c.strip()):
+                    items.append(f"{_expr(_subst(c))} AS {c.strip()}")
+                else:
+                    raise ValueError(
+                        f"graph-match project needs name or name=expr: {c!r}"
+                    )
+            sql = f"SELECT {', '.join(items)} FROM {frm}"
+            if wh:
+                sql += f" WHERE {_expr(_subst(_strings_to_sql(wh)))}"
+            graph = None
         elif op == "facet":
             # `facet by c1, c2, …` — ADX returns one value-count table
             # PER column; a single-DataFrame engine emits the union as
@@ -2730,6 +2823,39 @@ def q_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_graph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make-graph + graph-match: a 2-hop path pattern over an inline
+    edge table — fixed-length patterns compile to chained equi-joins
+    on dst=src (hash-partitioned on node id; AQE picks broadcast vs
+    shuffle per hop). Node names in expressions are their ids; edge
+    names reach edge columns."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'datatable(src: string, dst: string, w: long)'
+        ' ["a","b",1, "b","c",2, "a","c",3, "c","d",1]'
+        " | make-graph src --> dst"
+        " | graph-match (x)-[e1]->(y)-[e2]->(z)"
+        " where x != z project x, y, z, wsum = e1.w + e2.w",
+    )
+
+
+def q_kql_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph-match over a DERIVED edge table (event_type -> user
+    engagement edges aggregated from the fact pipe): the make-graph
+    input is any pipe, so graph analytics compose with the relational
+    surface."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | summarize n = count()"
+        " by src = event_type, dst = tostring(user_id)"
+        " | make-graph src --> dst"
+        " | graph-match (t)-[e]->(u) where e.n >= 3"
+        " project t, u, n = e.n",
+    )
+
+
 def q_kql_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`facet by c1, c2` — per-column value counts. ADX returns one
     table per column; the single-DataFrame refinement unions them as
@@ -2834,6 +2960,8 @@ QUERIES = {
     "kql_basket": q_kql_basket,
     "kql_lookup": q_kql_lookup,
     "kql_facet": q_kql_facet,
+    "kql_graph_match": q_kql_graph_match,
+    "kql_graph_edges": q_kql_graph_edges,
     "kql_scalar_fns2": q_kql_scalar_fns2,
     "kql_datatable_join": q_kql_datatable_join,
     "kql_search": q_kql_search,
@@ -2933,6 +3061,25 @@ ORACLE = {
                        * coalesce(lag(n, 1) OVER w, 0.0), 6) AS f
         FROM dense
         WINDOW w AS (PARTITION BY user_id ORDER BY x)
+    """,
+    "kql_graph_match": """
+        WITH edges AS (
+            SELECT * FROM (VALUES ('a', 'b', CAST(1 AS BIGINT)),
+                                  ('b', 'c', 2), ('a', 'c', 3),
+                                  ('c', 'd', 1)) AS t(src, dst, w)
+        )
+        SELECT g1.src AS x, g1.dst AS y, g2.dst AS z,
+               g1.w + g2.w AS wsum
+        FROM edges g1 JOIN edges g2 ON g1.dst = g2.src
+        WHERE g1.src <> g2.dst
+    """,
+    "kql_graph_edges": """
+        WITH edges AS (
+            SELECT event_type AS src, CAST(user_id AS VARCHAR) AS dst,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT src AS t, dst AS u, n FROM edges WHERE n >= 3
     """,
     "kql_facet": """
         WITH e AS (

@@ -71,7 +71,7 @@ def test_mv_expand_translates_to_lateral_explode():
 
 def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
-        kql_to_sql("T | graph-match (a)-[e]->(b)")
+        kql_to_sql("T | fork (where a == 1) (where a == 2)")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
         kql_to_sql("T | summarize hll(x)")
 
@@ -786,3 +786,19 @@ def test_series_fir_and_moving_avg_values(spark):
     assert row["fc"] == pytest.approx([1.0, 7 / 3, 14 / 3, 4.0])  # centered
     with pytest.raises(ValueError, match="literal"):
         kql_to_sql("t | extend f = series_fir(y, c)")
+
+
+def test_graph_match_two_hop_joins(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        'datatable(src: string, dst: string, w: long)'
+        ' ["a","b",1, "b","c",2, "a","c",3, "c","d",1]'
+        " | make-graph src --> dst"
+        " | graph-match (x)-[e1]->(y)-[e2]->(z)"
+        " where x != z project x, y, z, wsum = e1.w + e2.w",
+    )
+    got = sorted(tuple(r) for r in df.collect())
+    assert got == [("a", "b", "c", 3), ("a", "c", "d", 4), ("b", "c", "d", 3)]
+    with pytest.raises(ValueError, match="make-graph"):
+        kql_to_sql("t | graph-match (a)-[e]->(b) project a")

@@ -129,7 +129,7 @@ def test_query_route_runs_kql_natively(spark, server):
     )
     assert status == 200
     assert [r["Timestamp"] for r in body["rows"]] == [200, 300]
-    status, body = _post(base + "/query", {"csl": "TelemetryData | graph-match (a)-[e]->(b)"})
+    status, body = _post(base + "/query", {"csl": "TelemetryData | fork (count) (take 1)"})
     assert status == 400 and "unsupported" in body["error"]
 
 
