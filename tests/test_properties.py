@@ -276,3 +276,43 @@ def test_array_agg_short_arrays_yield_null_not_ansi_error(spark, tmp_path):
     assert rows[7]["n_vals"] == 2
     assert rows[7]["v1"] == 1.5 and rows[7]["v2"] == 2.5
     assert rows[7]["v3"] is None
+
+
+@FEW
+@given(
+    seq=st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from("abc")),
+        min_size=0,
+        max_size=25,
+    )
+)
+def test_scan_matches_python_greedy_reference(spark, seq):
+    """KQL scan == a 10-line Python greedy state machine, on random
+    per-group event sequences: same emitted rows, steps, match ids."""
+    from api_to_parquet_spark.queries.kql import kql
+
+    steps = ["a", "b", "c"]
+    expected = []
+    state: dict[int, int] = {}
+    emitted: dict[int, int] = {}
+    for t, (u, e) in enumerate(seq):
+        p = state.get(u, 0)
+        if e == steps[p]:
+            n = emitted.get(u, 0)
+            expected.append((u, t, f"s{e}", n // 3))
+            emitted[u] = n + 1
+            state[u] = (p + 1) % 3
+    if not seq:
+        return
+    vals = ", ".join(f'{u}, {t}, "{e}"' for t, (u, e) in enumerate(seq))
+    got = kql(
+        spark,
+        f"datatable(u: long, t: long, e: string)[{vals}]"
+        " | sort by t asc"
+        ' | scan by u with (step sa: e == "a";'
+        ' step sb: e == "b"; step sc: e == "c")'
+        " | project u, t, step, match_id",
+    ).collect()
+    got_set = sorted((r["u"], r["t"], r["step"], r["match_id"]) for r in got)
+    exp = sorted(expected)
+    assert got_set == exp
