@@ -133,10 +133,11 @@ integer period).
 Predicates additionally cover
 endswith, !contains, has
 (word-boundary regexp with the term regex-quoted — ADX tokenizes, same
-answer for alphanumeric terms), in/!in, between (a .. b),
+answer for alphanumeric terms), has_any/has_all (OR/AND of the same),
+=~ / !~ (case-insensitive equality), in/!in, in~/!in~, between (a .. b),
 isempty/isnotempty; contains/startswith/endswith/has are
 case-insensitive like ADX, with *_cs case-sensitive variants. Datetime:
-ago(), now(), startofday/month/year, datetime() literals, bin().
+ago(), now(), startofday/week (Sunday start)/month/year, endofday/month/year (last microsecond), week_of_year/monthofyear, datetime() literals, bin(). Arrays additionally: array_slice (0-based inclusive), array_sort_asc/desc, array_reverse, array_sum.
 
 Anything else raises ValueError naming the operator — a deliberate
 explicit-subset contract, not a silent mistranslation. Each stage wraps
@@ -795,6 +796,61 @@ def _expr(kql_expr: str) -> str:
         e,
     )
     e = re.sub(r"\bnow\(\)", "current_timestamp()", e)
+    # startofweek: ADX weeks start SUNDAY (Spark date_trunc('WEEK') is
+    # ISO Monday); weekday() is 0=Mon..6=Sun, so Sunday-offset is
+    # (weekday+1) % 7. endof*: last representable instant of the period
+    # at microsecond resolution (ADX's 100 ns tick refined to Spark's
+    # timestamp precision — documented).
+    e = _rewrite_fn(
+        e,
+        "startofweek",
+        lambda a: (
+            f"CAST(date_sub(CAST({a[0]} AS DATE),"
+            f" (weekday({a[0]}) + 1) % 7) AS TIMESTAMP)"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "endofday",
+        lambda a: (
+            f"(date_trunc('DAY', {a[0]}) + INTERVAL 1 DAY"
+            " - INTERVAL 1 MICROSECOND)"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "endofmonth",
+        lambda a: (
+            f"(date_trunc('MONTH', {a[0]}) + INTERVAL 1 MONTH"
+            " - INTERVAL 1 MICROSECOND)"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "endofyear",
+        lambda a: (
+            f"(date_trunc('YEAR', {a[0]}) + INTERVAL 12 MONTH"
+            " - INTERVAL 1 MICROSECOND)"
+        ),
+    )
+    e = re.sub(r"\bweek_of_year\(", "weekofyear(", e)
+    e = re.sub(r"\bmonthofyear\(", "month(", e)
+    # array batch 2: 0-based inclusive slice (non-negative indexes),
+    # sort asc/desc, reverse, sum (left fold, matches series_sum)
+    e = _rewrite_fn(
+        e,
+        "array_slice",
+        lambda a: (
+            f"slice({a[0]}, CAST({a[1]} AS INT) + 1,"
+            f" CAST({a[2]} AS INT) - CAST({a[1]} AS INT) + 1)"
+        ),
+    )
+    e = re.sub(r"\barray_sort_asc\(", "array_sort(", e)
+    e = _rewrite_fn(
+        e, "array_sort_desc", lambda a: f"reverse(array_sort({a[0]}))"
+    )
+    e = re.sub(r"\barray_reverse\(", "reverse(", e)
+    e = _rewrite_fn(e, "array_sum", lambda a: _series_reduce_sql(a, "sum"))
     e = re.sub(r"\bstartofday\(", "date_trunc('DAY', ", e)
     e = re.sub(r"\bstartofmonth\(", "date_trunc('MONTH', ", e)
     e = re.sub(r"\bstartofyear\(", "date_trunc('YEAR', ", e)
@@ -813,6 +869,26 @@ def _expr(kql_expr: str) -> str:
     # contains() / startswith() / endswith() built-ins are substring
     # tests (no LIKE, so % and _ in the term stay literal).
     _STR = r"('(?:[^']|'')*')"
+    # =~ / !~: case-insensitive (in)equality; in~ / !in~: the same over
+    # a literal list — everyday ADX idioms.
+    e = re.sub(r"(\S+)\s*=~\s*(\S+)", r"lower(\1) = lower(\2)", e)
+    e = re.sub(r"(\S+)\s*!~\s*(\S+)", r"lower(\1) <> lower(\2)", e)
+    e = re.sub(
+        r"(\S+)\s+!in~\s*\(([^)]*)\)",
+        lambda m: f"lower({m.group(1)}) NOT IN ("
+        + ", ".join(f"lower({v.strip()})" for v in m.group(2).split(","))
+        + ")",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"(\S+)\s+in~\s*\(([^)]*)\)",
+        lambda m: f"lower({m.group(1)}) IN ("
+        + ", ".join(f"lower({v.strip()})" for v in m.group(2).split(","))
+        + ")",
+        e,
+        flags=re.IGNORECASE,
+    )
     e = re.sub(
         rf"(\S+)\s+!contains_cs\s+{_STR}", r"NOT contains(\1, \2)", e,
         flags=re.IGNORECASE,
@@ -858,6 +934,29 @@ def _expr(kql_expr: str) -> str:
     # term is regex-quoted (\Q…\E) so `has "c++"` can't inject a pattern,
     # and (?i) matches ADX's case-insensitivity; has_cs is the
     # case-sensitive variant.
+    # has_any / has_all: term-match over a literal list (OR / AND of
+    # the same word-boundary regexps `has` compiles to)
+    def _has_list(m: re.Match, joiner: str) -> str:
+        col = m.group(1)
+        terms = [t.strip() for t in m.group(2).split(",")]
+        preds = [
+            f"{col} RLIKE concat('(?i)\\\\b\\\\Q', {t}, '\\\\E\\\\b')"
+            for t in terms
+        ]
+        return "(" + f" {joiner} ".join(preds) + ")"
+
+    e = re.sub(
+        r"(\S+)\s+has_any\s*\(([^)]*)\)",
+        lambda m: _has_list(m, "OR"),
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"(\S+)\s+has_all\s*\(([^)]*)\)",
+        lambda m: _has_list(m, "AND"),
+        e,
+        flags=re.IGNORECASE,
+    )
     e = re.sub(
         rf"(\S+)\s+has_cs\s+{_STR}",
         r"\1 RLIKE concat('\\\\b\\\\Q', \2, '\\\\E\\\\b')",
@@ -2823,6 +2922,28 @@ def q_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_predicates2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate/datetime/array batch 2: =~ (case-insensitive equals),
+    in~, has_any, startofweek (ADX Sunday start), endofday/endofmonth
+    (last microsecond), array_slice (0-based inclusive),
+    array_sort_desc, array_sum."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        ' | extend ci = event_type =~ "PURCHASE",'
+        ' grp = event_type in~ ("VIEW", "Click"),'
+        ' anyof = props has_any ("k", "zz"),'
+        " sow = startofweek(ts), eod = endofday(ts),"
+        " eom = endofmonth(ts)"
+        " | extend arr = pack_array(3.0, 1.0, 2.0)"
+        " | extend sl = array_sum(array_slice(arr, 0, 1)),"
+        " top1 = array_sort_desc(arr)"
+        " | project event_id, ci, grp, anyof, sow, eod, eom,"
+        " sl, top1 = todouble(try_element_at(top1, 1))",
+    )
+
+
 def q_kql_graph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """make-graph + graph-match: a 2-hop path pattern over an inline
     edge table — fixed-length patterns compile to chained equi-joins
@@ -2961,6 +3082,7 @@ QUERIES = {
     "kql_lookup": q_kql_lookup,
     "kql_facet": q_kql_facet,
     "kql_graph_match": q_kql_graph_match,
+    "kql_predicates2": q_kql_predicates2,
     "kql_graph_edges": q_kql_graph_edges,
     "kql_scalar_fns2": q_kql_scalar_fns2,
     "kql_datatable_join": q_kql_datatable_join,
@@ -3061,6 +3183,24 @@ ORACLE = {
                        * coalesce(lag(n, 1) OVER w, 0.0), 6) AS f
         FROM dense
         WINDOW w AS (PARTITION BY user_id ORDER BY x)
+    """,
+    "kql_predicates2": """
+        SELECT event_id,
+               lower(event_type) = lower('PURCHASE') AS ci,
+               lower(event_type) IN (lower('VIEW'), lower('Click'))
+                   AS grp,
+               regexp_matches(props, '(?i)\\bk\\b')
+                   OR regexp_matches(props, '(?i)\\bzz\\b') AS anyof,
+               CAST(CAST(ts AS DATE)
+                    - to_days(CAST((dayofweek(CAST(ts AS DATE))) % 7
+                              AS INTEGER)) AS TIMESTAMP) AS sow,
+               date_trunc('day', ts) + INTERVAL 1 DAY
+                   - INTERVAL 1 MICROSECOND AS eod,
+               date_trunc('month', ts) + INTERVAL 1 MONTH
+                   - INTERVAL 1 MICROSECOND AS eom,
+               4.0 AS sl,
+               3.0 AS top1
+        FROM events WHERE event_id < 300
     """,
     "kql_graph_match": """
         WITH edges AS (
