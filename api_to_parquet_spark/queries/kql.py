@@ -105,7 +105,9 @@ Supported pipe operators (the committed shapes plus the everyday core):
 Joins accept `on k` (USING, same-name merge) and `on $left.a ==
 $right.b` (qualified keys, both columns kept — ADX contract).
 
-summarize additionally covers arg_max/arg_min (-> max_by/min_by per
+summarize additionally covers hll/hll_merge (mergeable
+DataSketches distinct-count sketches; dcount_hll estimates),
+arg_max/arg_min (-> max_by/min_by per
 carried column), make_list/make_set (sorted — deterministic refinement
 of ADX's unordered contract), percentiles(x, p1, p2, …) (ADX naming,
 percentile_approx), and the conditional family countif/sumif/avgif/
@@ -761,6 +763,7 @@ def _expr(kql_expr: str) -> str:
         "indexof",
         lambda a: f"(instr({a[0]}, {a[1]}) - 1)",  # 0-based, -1 missing
     )
+    e = re.sub(r"\bdcount_hll\(", "hll_sketch_estimate(", e)
     e = re.sub(r"\bhash\(", "xxhash64(", e)
     e = re.sub(r"\btoupper\(", "upper(", e)
     e = re.sub(r"\btolower\(", "lower(", e)
@@ -997,6 +1000,8 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 
 _AGG_FNS = {
     "count",
+    "hll",
+    "hll_merge",
     "countif",
     "dcount",
     "dcountif",
@@ -1070,6 +1075,17 @@ def _agg(item: str, auto_idx: int) -> str:
     elif fn == "dcount":
         sql = f"COUNT(DISTINCT {_expr(arg)})"
         default = f"dcount_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    elif fn == "hll":
+        # hll(x) -> a MERGEABLE distinct-count sketch (Apache
+        # DataSketches HLL on the Spark side, same family ADX uses).
+        # The sketch is BINARY — compose with hll_merge + dcount_hll
+        # for the two-level rollup; sketches themselves are not
+        # oracle-hashable (engine-specific encoding).
+        sql = f"hll_sketch_agg({_expr(arg)})"
+        default = f"hll_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    elif fn == "hll_merge":
+        sql = f"hll_union_agg({_expr(arg)})"
+        default = f"agg{auto_idx}"
     elif fn == "percentile":
         # KQL percentile() is approximate (T-digest in ADX) — the honest
         # Spark twin is percentile_approx, same contract
@@ -2922,6 +2938,22 @@ def q_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hll() / hll_merge() / dcount_hll(): the MERGEABLE distinct-count
+    sketch pipeline (per-group sketches -> union -> estimate) — the
+    100 TB shape where exact dcount would shuffle every key.
+    Approximate by design (DataSketches HLL; measured 1488 vs 1500
+    exact at sf0.1), so no value oracle — rows-only check here,
+    tolerance + mergeability asserted in tests/test_kql.py."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | summarize h = hll(user_id) by event_type"
+        " | summarize m = hll_merge(h)"
+        " | project users = dcount_hll(m)",
+    )
+
+
 def q_kql_predicates2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Predicate/datetime/array batch 2: =~ (case-insensitive equals),
     in~, has_any, startofweek (ADX Sunday start), endofday/endofmonth
@@ -3083,6 +3115,7 @@ QUERIES = {
     "kql_facet": q_kql_facet,
     "kql_graph_match": q_kql_graph_match,
     "kql_predicates2": q_kql_predicates2,
+    "kql_hll": q_kql_hll,  # no oracle: approximate by design
     "kql_graph_edges": q_kql_graph_edges,
     "kql_scalar_fns2": q_kql_scalar_fns2,
     "kql_datatable_join": q_kql_datatable_join,

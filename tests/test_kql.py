@@ -802,3 +802,24 @@ def test_graph_match_two_hop_joins(spark, sf_smoke):
     assert got == [("a", "b", "c", 3), ("a", "c", "d", 4), ("b", "c", "d", 3)]
     with pytest.raises(ValueError, match="make-graph"):
         kql_to_sql("t | graph-match (a)-[e]->(b) project a")
+
+
+def test_hll_sketch_merge_and_tolerance(spark, sf_smoke):
+    """hll/hll_merge/dcount_hll: the two-level merged estimate equals
+    the single-pass estimate (mergeability — the property that makes
+    sketch rollups valid), and both land within 5% of exact."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    merged = kql(
+        spark,
+        "events | summarize h = hll(user_id) by event_type"
+        " | summarize m = hll_merge(h) | project users = dcount_hll(m)",
+    ).collect()[0][0]
+    direct = kql(
+        spark,
+        "events | summarize h = hll(user_id) | project users = dcount_hll(h)",
+    ).collect()[0][0]
+    exact = kql(
+        spark, "events | summarize d = dcount(user_id)"
+    ).collect()[0][0]
+    assert merged == direct  # merge-invariance
+    assert abs(merged - exact) / exact < 0.05
