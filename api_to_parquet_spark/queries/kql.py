@@ -129,7 +129,8 @@ taps unrolled at translation time, zero edge padding),
 and the series-analytics chains (extend-stage nested-SELECT expansion,
 all per-row array folds): series_fit_line (6-way multi-assign, ADX
 order), series_stats (7-way), series_outliers (Tukey-fence scores,
-discrete 10th/90th quantiles), series_decompose_anomalies (linefit
+discrete 10th/90th quantiles), series_decompose (4-tuple:
+baseline/seasonal/trend/residual), series_decompose_anomalies (linefit
 trend + per-phase seasonal mean + residual Tukey flags; explicit
 integer period).
 Predicates additionally cover
@@ -384,6 +385,7 @@ _SERIES_CHAIN_FNS = {
     "series_stats": 7,  # min, min_idx, max, max_idx, avg, variance, stdev
     "series_outliers": 1,  # score array
     "series_decompose_anomalies": 3,  # anomalies, score, baseline
+    "series_decompose": 4,  # baseline, seasonal, trend, residual
 }
 
 
@@ -550,15 +552,61 @@ def _series_chain_sql(
             + f" AS {score}",
             ["_sc_ys", "_sc_srt", "_sc_ni", "_sc_q10", "_sc_q90", "_sc_iqr"],
         )
-    if fn == "series_decompose_anomalies":
-        anom, score, base = names
+    def _decompose_prelude() -> int:
+        """Stages through _sc_seas (linefit trend + per-phase seasonal
+        means of the detrended series); returns the period."""
         if len(args) < 2 or not re.match(r"^\d+$", args[1].strip()):
             raise ValueError(
-                "series_decompose_anomalies needs (series, period"
-                " [, threshold]) with an integer period (no seasonality"
-                " autodetection — explicit-subset contract)"
+                f"{fn} needs (series, period [, …]) with an integer"
+                " period (no seasonality autodetection —"
+                " explicit-subset contract)"
             )
-        p = int(args[1])
+        return int(args[1])
+
+    if fn == "series_decompose":
+        base, seas, trend, resid = names
+        p = _decompose_prelude()
+        nest(f"{ys} AS _sc_ys")
+        nest("CAST(size(_sc_ys) AS DOUBLE) AS _sc_n")
+        nest(
+            f"{_sum_sql('_sc_ys')} AS _sc_sy, "
+            + _sum_sql("transform(_sc_ys, (_x, _i) -> _x * CAST(_i AS DOUBLE))")
+            + " AS _sc_sxy, (_sc_n - 1) * _sc_n / 2 AS _sc_sx,"
+            " (_sc_n - 1) * _sc_n * (2 * _sc_n - 1) / 6 AS _sc_sxx"
+        )
+        nest(
+            "(_sc_n * _sc_sxy - _sc_sx * _sc_sy)"
+            f" / nullif(_sc_n * _sc_sxx - _sc_sx * _sc_sx, {_D0})"
+            " AS _sc_slope"
+        )
+        nest("(_sc_sy - _sc_slope * _sc_sx) / _sc_n AS _sc_icept")
+        nest(
+            "transform(_sc_ys, (_x, _i) ->"
+            " _x - (_sc_icept + _sc_slope * _i)) AS _sc_det"
+        )
+        nest(
+            f"transform(sequence(0, {p - 1}), _p -> aggregate("
+            "transform(_sc_det, (_x, _i) -> named_struct('x', _x, 'i', _i)),"
+            f" named_struct('s', {_D0}, 'c', {_D0}),"
+            f" (_a, _e) -> IF(_e.i % {p} = _p,"
+            " named_struct('s', _a.s + _e.x, 'c', _a.c + 1), _a),"
+            f" _a -> _a.s / nullif(_a.c, {_D0}))) AS _sc_seas"
+        )
+        nest(
+            "transform(_sc_ys, (_x, _i) ->"
+            f" _sc_icept + _sc_slope * _i) AS {trend},"
+            " transform(_sc_ys, (_x, _i) ->"
+            f" element_at(_sc_seas, _i % {p} + 1)) AS {seas}"
+        )
+        nest(f"zip_with({trend}, {seas}, (_t, _s) -> _t + _s) AS {base}")
+        return build(
+            f"zip_with(_sc_ys, {base}, (_x, _b) -> _x - _b) AS {resid}",
+            ["_sc_ys", "_sc_n", "_sc_sy", "_sc_sxy", "_sc_sx", "_sc_sxx",
+             "_sc_slope", "_sc_icept", "_sc_det", "_sc_seas"],
+        )
+    if fn == "series_decompose_anomalies":
+        anom, score, base = names
+        p = _decompose_prelude()
         k = _expr(args[2]) if len(args) > 2 else "1.5"
         nest(f"{ys} AS _sc_ys")
         nest("CAST(size(_sc_ys) AS DOUBLE) AS _sc_n")
@@ -2803,6 +2851,25 @@ def q_kql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kql(spark, "events | sample 100")
 
 
+def q_kql_series_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`(baseline, seasonal, trend, residual) = series_decompose(y, 7)`
+    — the 4-tuple decomposition (trend = linefit, seasonal = per-phase
+    mean of the detrended series, baseline = trend + seasonal,
+    residual = y - baseline); same chain as the anomalies variant minus
+    the Tukey scoring."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
+        " by user_id"
+        " | extend (bl, se, tr, re) = series_decompose(n, 7)"
+        " | mv-expand ts, n, bl, se, tr, re"
+        " | project user_id, ts, n, b = round(bl, 6), s = round(se, 6),"
+        " t = round(tr, 6), r = round(re, 6)",
+    )
+
+
 def q_kql_series_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """series_moving_avg / series_fir smoothing over make-series output:
     literal coefficients unrolled into one tap per element at
@@ -3126,6 +3193,7 @@ QUERIES = {
     "kql_series_fns": q_kql_series_fns,
     "kql_series_fit": q_kql_series_fit,
     "kql_series_fir": q_kql_series_fir,
+    "kql_series_decompose": q_kql_series_decompose,
     "kql_series_stats": q_kql_series_stats,
     "kql_series_outliers": q_kql_series_outliers,
     "kql_series_anomalies": q_kql_series_anomalies,
@@ -3204,6 +3272,42 @@ _FIT_SUMS = """
 """
 
 ORACLE = {
+    "kql_series_decompose": """
+        WITH f AS (
+            SELECT user_id, date_trunc('day', ts) AS b FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-15'
+        ), agg AS (
+            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
+            FROM f GROUP BY 1, 2
+        ), g AS (SELECT DISTINCT user_id FROM f),
+        bins AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS ts
+        ), dense AS (
+            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01', bins.ts)
+                        AS DOUBLE) AS x
+            FROM g CROSS JOIN bins
+            LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
+        ),
+    """ + _FIT_SUMS + """
+        , det AS (
+            SELECT d.user_id, d.ts, d.n, d.x, f.slope, f.icept,
+                   d.n - (f.icept + f.slope * d.x) AS dt
+            FROM dense d JOIN fit2 f USING (user_id)
+        ), seas AS (
+            SELECT *, avg(dt) OVER (PARTITION BY user_id,
+                                    CAST(x AS INT) % 7) AS sn
+            FROM det
+        )
+        SELECT user_id, ts, n,
+               round(icept + slope * x + sn, 6) AS b,
+               round(sn, 6) AS s,
+               round(icept + slope * x, 6) AS t,
+               round(n - (icept + slope * x + sn), 6) AS r
+        FROM seas
+    """,
     "kql_series_fir": _DENSE7 + """
         SELECT user_id, ts, n,
                round(CAST('0.3333333333333333' AS DOUBLE) * n
