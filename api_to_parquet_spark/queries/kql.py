@@ -36,10 +36,13 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                    single-table refinement of ADX's
                                    one-table-per-column output
     T | make-graph s --> d | graph-match (a)-[e]->(b)… where … project …
-                                -> fixed-length path patterns as k-1
-                                   chained equi-joins on dst=src (node
-                                   names are ids; edge names reach
-                                   edge columns; no variable-length)
+                                -> path patterns as chained equi-
+                                   joins on dst=src (node names are
+                                   ids; edge names reach edge columns);
+                                   ONE -[e*lo..hi]-> hop expands to a
+                                   UNION ALL of fixed-length chains
+                                   (hi <= 8, edge list not
+                                   referenceable)
     T | top N by c [asc|desc]   -> ORDER BY c LIMIT N
     T | sort by c [asc|desc]    -> ORDER BY
     T | take N / limit N        -> LIMIT
@@ -1844,13 +1847,16 @@ def kql_to_sql(
             continue
         elif op == "graph-match":
             # `graph-match (a)-[e1]->(b)-[e2]->(c) [where …] project …`
-            # — FIXED-LENGTH path patterns (no *1..3 variable length —
-            # explicit-subset contract) compiled to k-1 chained
-            # equi-joins on dst=src: hash-partitioned on node id, the
-            # relational shape that scales (AQE picks broadcast vs
-            # shuffle per hop). A node name in expressions is its id;
-            # edge names reach their columns (e1.w). Cycles are not
-            # filtered (ADX likewise) — constrain with where.
+            # — path patterns compiled to chained equi-joins on dst=src:
+            # hash-partitioned on node id, the relational shape that
+            # scales (AQE picks broadcast vs shuffle per hop). ONE hop
+            # may be variable-length `-[e*1..3]->`: it expands to a
+            # UNION ALL of the fixed-length chains (bounded hi —
+            # explicit-subset contract; a var-length edge name is a
+            # LIST in ADX and may not be referenced here). A node name
+            # in expressions is its id; fixed edge names reach their
+            # columns (e1.w). Cycles are not filtered (ADX likewise) —
+            # constrain with where.
             if graph is None:
                 raise ValueError("graph-match needs a preceding make-graph")
             g_sql, g_src, g_dst = graph
@@ -1865,56 +1871,97 @@ def kql_to_sql(
                     f" {body!r}"
                 )
             pat, wh, proj = pm.groups()
-            chain = re.match(
-                r"^\(\s*(\w+)\s*\)(?:\s*-\[\s*(\w+)\s*\]->\s*"
-                r"\(\s*(\w+)\s*\))+$",
-                pat.strip(),
+            hop_re = (
+                r"-\[\s*(\w+)(?:\s*\*\s*(\d+)\s*\.\.\s*(\d+))?\s*\]->"
+                r"\s*\(\s*(\w+)\s*\)"
             )
-            hops = re.findall(r"-\[\s*(\w+)\s*\]->\s*\(\s*(\w+)\s*\)", pat)
+            chain = re.match(
+                rf"^\(\s*(\w+)\s*\)(?:\s*{hop_re})+$", pat.strip()
+            )
+            raw_hops = re.findall(hop_re, pat)
             first = re.match(r"^\(\s*(\w+)\s*\)", pat.strip())
-            if not chain or not hops or not first:
+            if not chain or not raw_hops or not first:
                 raise ValueError(
                     f"graph-match pattern must be (n)-[e]->(n)…: {pat!r}"
                 )
-            node_sql = {first.group(1): f"_g1.{g_src}"}
-            edge_alias = {}
-            for j, (ename, nname) in enumerate(hops, 1):
-                edge_alias[ename] = f"_g{j}"
-                node_sql[nname] = f"_g{j}.{g_dst}"
-
-            def _subst(text: str) -> str:
-                for en, al in edge_alias.items():
-                    text = _sub_outside_strings(
-                        rf"\b{re.escape(en)}\.(\w+)", rf"{al}.\1", text
-                    )
-                for nn, ns in node_sql.items():
-                    text = _sub_outside_strings(
-                        rf"\b{re.escape(nn)}\b", ns, text
-                    )
-                return text
-
-            frm = f"({g_sql}) AS _g1"
-            for j in range(2, len(hops) + 1):
-                frm += (
-                    f" JOIN ({g_sql}) AS _g{j}"
-                    f" ON _g{j - 1}.{g_dst} = _g{j}.{g_src}"
+            var_hops = [h for h in raw_hops if h[1]]
+            if len(var_hops) > 1:
+                raise ValueError(
+                    "graph-match supports at most one variable-length hop"
                 )
-            items = []
-            for c in _split_top_level(_strings_to_sql(proj)):
-                m2 = re.match(r"(\w+)\s*=\s*(.+)$", c)
-                if m2:
-                    items.append(
-                        f"{_expr(_subst(m2.group(2)))} AS {m2.group(1)}"
-                    )
-                elif re.match(r"^\w+$", c.strip()):
-                    items.append(f"{_expr(_subst(c))} AS {c.strip()}")
-                else:
+            if var_hops:
+                ename = var_hops[0][0]
+                for text in (wh or "", proj):
+                    if re.search(rf"\b{re.escape(ename)}\b", text):
+                        raise ValueError(
+                            f"variable-length edge {ename!r} cannot be"
+                            " referenced (it is a path list in ADX)"
+                        )
+                lo, hi = int(var_hops[0][1]), int(var_hops[0][2])
+                if not (1 <= lo <= hi and hi <= 8):
                     raise ValueError(
-                        f"graph-match project needs name or name=expr: {c!r}"
+                        f"variable-length bounds must be 1 <= lo <= hi"
+                        f" <= 8: *{lo}..{hi}"
                     )
-            sql = f"SELECT {', '.join(items)} FROM {frm}"
-            if wh:
-                sql += f" WHERE {_expr(_subst(_strings_to_sql(wh)))}"
+            else:
+                lo = hi = 1  # unused
+
+            branches = []
+            for k in (range(lo, hi + 1) if var_hops else (1,)):
+                # concrete hop list: (edge_name | None, node_name | None)
+                hops: list[tuple[str | None, str | None]] = []
+                for ename, vlo, _vhi, nname in raw_hops:
+                    if vlo:
+                        hops.extend([(None, None)] * (k - 1))
+                        hops.append((None, nname))
+                    else:
+                        hops.append((ename, nname))
+                node_sql = {first.group(1): f"_g1.{g_src}"}
+                edge_alias = {}
+                for j, (ename, nname) in enumerate(hops, 1):
+                    if ename:
+                        edge_alias[ename] = f"_g{j}"
+                    if nname:
+                        node_sql[nname] = f"_g{j}.{g_dst}"
+
+                def _subst(text: str) -> str:
+                    for en, al in edge_alias.items():
+                        text = _sub_outside_strings(
+                            rf"\b{re.escape(en)}\.(\w+)", rf"{al}.\1", text
+                        )
+                    for nn, ns in node_sql.items():
+                        text = _sub_outside_strings(
+                            rf"\b{re.escape(nn)}\b", ns, text
+                        )
+                    return text
+
+                frm = f"({g_sql}) AS _g1"
+                for j in range(2, len(hops) + 1):
+                    frm += (
+                        f" JOIN ({g_sql}) AS _g{j}"
+                        f" ON _g{j - 1}.{g_dst} = _g{j}.{g_src}"
+                    )
+                items = []
+                for c in _split_top_level(_strings_to_sql(proj)):
+                    m2 = re.match(r"(\w+)\s*=\s*(.+)$", c)
+                    if m2:
+                        items.append(
+                            f"{_expr(_subst(m2.group(2)))} AS {m2.group(1)}"
+                        )
+                    elif re.match(r"^\w+$", c.strip()):
+                        items.append(f"{_expr(_subst(c))} AS {c.strip()}")
+                    else:
+                        raise ValueError(
+                            f"graph-match project needs name or"
+                            f" name=expr: {c!r}"
+                        )
+                b_sql = f"SELECT {', '.join(items)} FROM {frm}"
+                if wh:
+                    b_sql += (
+                        f" WHERE {_expr(_subst(_strings_to_sql(wh)))}"
+                    )
+                branches.append(b_sql)
+            sql = " UNION ALL ".join(f"({b})" for b in branches)
             graph = None
         elif op == "facet":
             # `facet by c1, c2, …` — ADX returns one value-count table

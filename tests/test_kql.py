@@ -73,7 +73,7 @@ def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
         kql_to_sql("T | fork (where a == 1) (where a == 2)")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
-        kql_to_sql("T | summarize hll(x)")
+        kql_to_sql("T | summarize tdigest(x)")
 
 
 def test_filter_pushdown_survives_translation(spark, sf_smoke):
@@ -823,3 +823,24 @@ def test_hll_sketch_merge_and_tolerance(spark, sf_smoke):
     ).collect()[0][0]
     assert merged == direct  # merge-invariance
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_graph_match_variable_length_reachability(spark):
+    df = kql(
+        spark,
+        'datatable(src: string, dst: string, w: long)'
+        ' ["a","b",1, "b","c",2, "c","d",3]'
+        " | make-graph src --> dst"
+        ' | graph-match (x)-[e*1..3]->(y) where x == "a" project x, y',
+    )
+    assert sorted(r["y"] for r in df.collect()) == ["b", "c", "d"]
+    with pytest.raises(ValueError, match="cannot be referenced"):
+        kql_to_sql(
+            "t | make-graph s --> d"
+            " | graph-match (x)-[e*1..2]->(y) project x, w = e.w"
+        )
+    with pytest.raises(ValueError, match="bounds"):
+        kql_to_sql(
+            "t | make-graph s --> d"
+            " | graph-match (x)-[e*1..99]->(y) project x, y"
+        )
