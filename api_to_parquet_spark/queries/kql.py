@@ -74,6 +74,9 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                    from the data (sorted)
     T | evaluate bag_unpack(c)  -> JSON property bag -> columns
                                    (keys discovered, get_json_object)
+    T | evaluate narrow()       -> transpose to (Row, Column, Value),
+                                   values stringified; Row from the
+                                   required preceding sort
     T | evaluate basket([thr])  -> frequent attribute combinations:
                                    ONE CUBE agg over the string columns
                                    (2^k grouping sets, map-side
@@ -108,7 +111,9 @@ Supported pipe operators (the committed shapes plus the everyday core):
 Joins accept `on k` (USING, same-name merge) and `on $left.a ==
 $right.b` (qualified keys, both columns kept — ADX contract).
 
-summarize additionally covers hll/hll_merge (mergeable
+summarize additionally covers arg_max/arg_min(x, *) (star
+expands to every other column via schema analysis),
+hll/hll_merge (mergeable
 DataSketches distinct-count sketches; dcount_hll estimates),
 arg_max/arg_min (-> max_by/min_by per
 carried column), make_list/make_set (sorted — deterministic refinement
@@ -1576,6 +1581,40 @@ def kql_to_sql(
                 sql = f"SELECT *, {', '.join(items)} FROM {prev}"
         elif op == "summarize":
             parts = re.split(r"\bby\b", body, maxsplit=1)
+            star = re.search(
+                r"\b(arg_max|arg_min)\s*\(\s*(\w+)\s*,\s*\*\s*\)", parts[0]
+            )
+            if star:
+                # `arg_max(x, *)` — carry EVERY other column of the
+                # extremum row (the most-typed ADX form). The star
+                # expands to the analyzed schema minus the arg column
+                # and the group keys (already in the output).
+                if spark is None:
+                    raise ValueError(
+                        "arg_max/arg_min(x, *) needs a SparkSession"
+                        " for schema discovery"
+                    )
+                by_names = (
+                    {
+                        g.strip()
+                        for g in _split_top_level(parts[1])
+                        if re.match(r"^\w+$", g.strip())
+                    }
+                    if len(parts) == 2
+                    else set()
+                )
+                rest = [
+                    f.name
+                    for f in spark.sql(sql).schema.fields
+                    if f.name != star.group(2) and f.name not in by_names
+                ]
+                parts[0] = re.sub(
+                    r"\b(arg_max|arg_min)\s*\(\s*(\w+)\s*,\s*\*\s*\)",
+                    lambda m: (
+                        f"{m.group(1)}({m.group(2)}, {', '.join(rest)})"
+                    ),
+                    parts[0],
+                )
             aggs = [
                 it
                 for j, a in enumerate(_split_top_level(parts[0]))
@@ -1709,6 +1748,37 @@ def kql_to_sql(
                     f"get_json_object({bc}, '$.{k}') AS `{k}`" for k in keys
                 )
                 sql = f"SELECT * EXCEPT ({bc}), {cols} FROM {prev}"
+                continue
+            nm = re.match(r"narrow\s*\(\s*\)\s*$", body, re.IGNORECASE)
+            if nm:
+                # `evaluate narrow()` — transpose every row into
+                # (Row, Column, Value) with Value stringified (ADX
+                # contract). Row numbering needs a deterministic order,
+                # so a preceding `sort by` is required (refinement of
+                # ADX's arrival order, which Spark does not have); the
+                # unpivot itself is one map-side stack generator.
+                if spark is None:
+                    raise ValueError("evaluate narrow needs a SparkSession")
+                if order_keys is None:
+                    raise ValueError(
+                        "evaluate narrow needs a preceding sort by"
+                        " (deterministic Row numbering)"
+                    )
+                ncols = [f.name for f in spark.sql(sql).schema.fields]
+                pairs = ", ".join(
+                    f"'{c}', CAST(`{c}` AS STRING)" for c in ncols
+                )
+                # generator outputs use temp names: an input column
+                # named `value`/`column` would otherwise be ambiguous
+                sql = (
+                    f"SELECT _nrow AS Row, _nc AS Column, _nv AS Value"
+                    f" FROM (SELECT CAST(ROW_NUMBER() OVER"
+                    f" (ORDER BY {', '.join(order_keys)}) - 1 AS BIGINT)"
+                    f" AS _nrow, *"
+                    f" FROM {prev}) AS _nr{i}"
+                    f" LATERAL VIEW stack({len(ncols)}, {pairs})"
+                    f" _nt AS _nc, _nv"
+                )
                 continue
             km = re.match(
                 r"basket\s*\(\s*([\d.]+)?\s*\)\s*$", body, re.IGNORECASE
@@ -3036,6 +3106,20 @@ def q_kql_scalar_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate narrow()` — transpose to (Row, Column, Value) with
+    stringified values (ADX contract); Row numbering from the required
+    preceding sort (deterministic refinement of arrival order). One
+    map-side stack generator. String/integer columns only here: float
+    to-string formatting is engine-specific."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 50 | project event_id, event_type"
+        " | sort by event_id asc | evaluate narrow()",
+    )
+
+
 def q_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`lookup` dimension join (explicit BROADCAST hint — the physical
     strategy ADX promises) against an inline datatable, ending in a
@@ -3226,6 +3310,7 @@ QUERIES = {
     "kql_scan": q_kql_scan,
     "kql_basket": q_kql_basket,
     "kql_lookup": q_kql_lookup,
+    "kql_narrow": q_kql_narrow,
     "kql_facet": q_kql_facet,
     "kql_graph_match": q_kql_graph_match,
     "kql_predicates2": q_kql_predicates2,
@@ -3415,6 +3500,17 @@ ORACLE = {
                COUNT(*) AS count_ FROM e GROUP BY event_type
         UNION ALL
         SELECT 'band', band, COUNT(*) FROM e GROUP BY band
+    """,
+    "kql_narrow": """
+        WITH p AS (
+            SELECT event_id, event_type,
+                   row_number() OVER (ORDER BY event_id) - 1 AS r
+            FROM events WHERE event_id < 50
+        )
+        SELECT r AS Row, 'event_id' AS Column,
+               CAST(event_id AS VARCHAR) AS Value FROM p
+        UNION ALL
+        SELECT r, 'event_type', event_type FROM p
     """,
     "kql_lookup": """
         WITH dim AS (

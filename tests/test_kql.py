@@ -283,8 +283,18 @@ def test_union_null_fills_missing_columns(spark, sf_smoke):
     assert df.collect()[0]["count_"] == n
 
 
-def test_arg_max_star_is_explicit_error():
-    with pytest.raises(ValueError, match="list the carried columns"):
+def test_arg_max_star_expands_from_schema(spark, sf_smoke):
+    """arg_max(x, *) carries every other column (schema-discovered);
+    without a session it still fails loudly."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | summarize arg_max(event_id, *) by event_type",
+    )
+    assert set(df.columns) == {
+        "event_type", "event_id", "ts", "user_id", "value", "props"
+    }
+    with pytest.raises(ValueError, match="SparkSession"):
         kql_to_sql("T | summarize arg_max(ts, *) by g")
 
 
