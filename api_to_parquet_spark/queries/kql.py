@@ -50,9 +50,15 @@ Supported pipe operators (the committed shapes plus the everyday core):
     T | distinct c1, c2         -> SELECT DISTINCT
     T | project-keep c1, c2     -> SELECT c1, c2
     T | project-rename n=old    -> SELECT * EXCEPT (old), old AS n
-    T | union [kind=k] (T2|…)   -> name-aligned UNION ALL with null-fill
+    T | union [kind=k] [isfuzzy=true] (T2|…)
+                                -> name-aligned UNION ALL with null-fill
                                    (ADX semantics) when a session is
-                                   available; positional otherwise
+                                   available; positional otherwise;
+                                   isfuzzy drops unresolvable sides
+    T | top-nested N of g [with others = "L"] by agg
+                                -> hierarchical top-k; the Others row
+                                   RE-aggregates excluded input rows
+                                   (correct for non-additive aggs)
     T | parse[-where] c with "l" n:t …
                                 -> regexp_extract per capture + cast
                                    (parse-where filters non-matching
@@ -2108,12 +2114,27 @@ def kql_to_sql(
             sql = f"SELECT * EXCEPT ({olds}), {renames} FROM {prev}"
         elif op == "union":
             m = re.match(
-                r"(?:kind\s*=\s*\w+\s+)?(?:\((.+)\)|(\w+))\s*$", body,
+                r"(?:kind\s*=\s*\w+\s+)?(?:isfuzzy\s*=\s*(true|false)\s+)?"
+                r"(?:\((.+)\)|(\w+))\s*$",
+                body,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"union needs (pipe) or a table: {body!r}")
-            right = kql_to_sql((m.group(1) or m.group(2)).strip(), spark, _tabular)
+            fuzzy = (m.group(1) or "").lower() == "true"
+            try:
+                right = kql_to_sql(
+                    (m.group(2) or m.group(3)).strip(), spark, _tabular
+                )
+                if fuzzy and spark is not None:
+                    spark.sql(right).columns  # analysis probes the tables
+            except Exception:
+                # isfuzzy=true: a missing/unresolvable side is silently
+                # dropped (ADX contract — dashboards over optional
+                # tables keep working)
+                if not fuzzy:
+                    raise
+                continue
             # KQL union aligns columns by NAME (default kind=outer
             # null-fills missing columns). With a session, resolve both
             # sides' schemas (analysis only — no execution) and emit an
@@ -2416,33 +2437,59 @@ def kql_to_sql(
             clauses = []
             for cl in _split_top_level(body):
                 cm = re.match(
-                    r"(?:top-nested\s+)?(\d+)\s+of\s+(\w+)\s+by\s+(.+)$",
+                    r"(?:top-nested\s+)?(\d+)\s+of\s+(\w+)"
+                    r"(?:\s+with\s+others\s*=\s*(\"(?:[^\"\\]|\\.)*\"))?"
+                    r"\s+by\s+(.+)$",
                     cl.strip(),
                     re.IGNORECASE,
                 )
                 if not cm:
                     raise ValueError(
-                        f"top-nested needs 'N of col by agg': {cl!r}"
+                        f"top-nested needs 'N of col [with others = \"L\"]"
+                        f" by agg': {cl!r}"
                     )
-                n, g, aggtext = int(cm.group(1)), cm.group(2), cm.group(3).strip()
+                n, g, others, aggtext = (
+                    int(cm.group(1)),
+                    cm.group(2),
+                    cm.group(3),
+                    cm.group(4).strip(),
+                )
                 agg_sql, agg_alias = _agg(aggtext, 0).rsplit(" AS ", 1)
                 if not re.match(r"\w+\s*=", aggtext):
                     agg_alias = f"aggregated_{g}"  # ADX default naming
-                clauses.append((n, g, agg_sql, agg_alias))
+                clauses.append((n, g, agg_sql, agg_alias, others))
             if not 1 <= len(clauses) <= 2:
                 raise ValueError("top-nested supports 1 or 2 levels")
-            n1, g1, a1sql, a1 = clauses[0]
+            n1, g1, a1sql, a1, others1 = clauses[0]
+            if others1 and len(clauses) > 1:
+                raise ValueError(
+                    "top-nested `with others` is supported on the"
+                    " single-level form only"
+                )
+            gsel = f"CAST({g1} AS STRING) AS {g1}" if others1 else g1
             level1 = (
-                f"SELECT {g1}, {a1} FROM ("
+                f"SELECT {gsel}, {a1} FROM ("
                 f"SELECT {g1}, {a1},"
                 f" row_number() OVER (ORDER BY {a1} DESC, {g1} ASC) AS _rn"
                 f" FROM (SELECT {g1}, {a1sql} AS {a1} FROM {prev}"
                 f" GROUP BY {g1}) AS _tn1) AS _tn1r WHERE _rn <= {n1}"
             )
+            if others1:
+                # the Others row RE-AGGREGATES the excluded input rows
+                # (correct for non-additive aggs like dcount, unlike
+                # summing the per-group results); stringifies the key
+                # column so the label fits — documented refinement.
+                label = _strings_to_sql(others1)
+                level1 = (
+                    f"({level1}) UNION ALL "
+                    f"(SELECT {label} AS {g1}, {a1sql} AS {a1}"
+                    f" FROM {prev} WHERE CAST({g1} AS STRING) NOT IN"
+                    f" (SELECT {g1} FROM ({level1}) AS _tno))"
+                )
             if len(clauses) == 1:
                 sql = level1
             else:
-                n2, g2, a2sql, a2 = clauses[1]
+                n2, g2, a2sql, a2, _others2 = clauses[1]
                 sql = (
                     f"SELECT {g1}, {a1}, {g2}, {a2} FROM ("
                     f"SELECT _l2.{g1}, _l1.{a1}, _l2.{g2}, _l2.{a2},"

@@ -854,3 +854,28 @@ def test_graph_match_variable_length_reachability(spark):
             "t | make-graph s --> d"
             " | graph-match (x)-[e*1..99]->(y) project x, y"
         )
+
+
+def test_top_nested_with_others_reaggregates(spark, sf_smoke):
+    """The Others row re-aggregates the EXCLUDED input rows (correct
+    for non-additive aggs) — totals must reconcile with the corpus."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    rows = kql(
+        spark,
+        'events | top-nested 2 of event_type with others = "Other"'
+        " by n = count()",
+    ).collect()
+    total = spark.table("events").count()
+    assert sum(r["n"] for r in rows) == total
+    assert {r["event_type"] for r in rows if r["event_type"] == "Other"}
+
+
+def test_union_isfuzzy_skips_missing_table(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    n = kql(
+        spark,
+        "events | union isfuzzy=true (no_such_table_xyz | take 5) | count",
+    ).collect()[0]["count_"]
+    assert n == spark.table("events").count()
+    with pytest.raises(Exception):
+        kql(spark, "events | union (no_such_table_xyz) | count").collect()
