@@ -1038,14 +1038,27 @@ def _expr(kql_expr: str) -> str:
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on `sep` outside parentheses and quotes."""
-    parts, depth, in_str, cur = [], 0, False, []
+    """Split on `sep` outside parentheses and quotes. Tracks BOTH
+    quote flavors: KQL input carries double-quoted literals (backslash
+    escapes), SQL-converted text carries single-quoted ones ('' doubling
+    — the naive toggle handles it); a `|` or `,` inside either must not
+    split."""
+    parts: list[str] = []
+    depth, quote, cur, skip = 0, None, [], False
     for ch in text:
-        if ch == "'" and not in_str:
-            in_str = True
-        elif ch == "'" and in_str:
-            in_str = False
-        if not in_str:
+        if skip:
+            cur.append(ch)
+            skip = False
+            continue
+        if quote == '"' and ch == "\\":
+            cur.append(ch)
+            skip = True
+            continue
+        if quote is None and ch in "'\"":
+            quote = ch
+        elif quote == ch:
+            quote = None
+        if quote is None:
             if ch in "([":
                 depth += 1
             elif ch in ")]":

@@ -879,3 +879,15 @@ def test_union_isfuzzy_skips_missing_table(spark, sf_smoke):
     assert n == spark.table("events").count()
     with pytest.raises(Exception):
         kql(spark, "events | union (no_such_table_xyz) | count").collect()
+
+
+def test_pipe_and_comma_inside_string_literals(spark, sf_smoke):
+    """A | or , inside a double-quoted literal must not split stages
+    or arguments (latent bug found in round 3)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    n = kql(
+        spark, 'events | where event_type == "a|b, c" | count'
+    ).collect()[0]["count_"]
+    assert n == 0  # no such type — but the pipe must parse and run
+    row = kql(spark, 'print s = strcat("x|y", ",", "z")').collect()[0]
+    assert row["s"] == "x|y,z"
