@@ -767,23 +767,34 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "series_divide", lambda a: _series_zip_sql(a, "/"))
     e = re.sub(r"\breplace_string\(", "replace(", e)
     # trim family: ADX trims REPEATED regex matches from the ends
+    def _trim2(a: list[str], name: str) -> tuple[str, str]:
+        if len(a) != 2:
+            raise ValueError(f"{name} needs (regex, text): {a!r}")
+        return a[0], a[1]
+
     e = _rewrite_fn(
         e,
         "trim_start",
-        lambda a: f"regexp_replace({a[1]}, concat('^(', {a[0]}, ')+'), '')",
+        lambda a: (
+            lambda rx, t: f"regexp_replace({t}, concat('^(', {rx}, ')+'), '')"
+        )(*_trim2(a, "trim_start")),
     )
     e = _rewrite_fn(
         e,
         "trim_end",
-        lambda a: f"regexp_replace({a[1]}, concat('(', {a[0]}, ')+$'), '')",
+        lambda a: (
+            lambda rx, t: f"regexp_replace({t}, concat('(', {rx}, ')+$'), '')"
+        )(*_trim2(a, "trim_end")),
     )
     e = _rewrite_fn(
         e,
         "trim",
         lambda a: (
-            f"regexp_replace({a[1]}, concat('^(', {a[0]}, ')+|(',"
-            f" {a[0]}, ')+$'), '')"
-        ),
+            lambda rx, t: (
+                f"regexp_replace({t}, concat('^(', {rx}, ')+|(',"
+                f" {rx}, ')+$'), '')"
+            )
+        )(*_trim2(a, "trim")),
     )
     e = re.sub(r"\bstrrep\(", "repeat(", e)
     e = re.sub(r"\bmin_of\(", "least(", e)
@@ -2242,7 +2253,7 @@ def kql_to_sql(
                 else []
             )
             steps = []
-            for st_txt in m.group(2).split(";"):
+            for st_txt in _split_top_level(m.group(2), ";"):
                 sm = re.match(
                     r"^step\s+(\w+)\s*:\s*(.+)$", st_txt.strip()
                 )
