@@ -451,10 +451,14 @@ def _tukey_score_sql(arr: str, q10: str, q90: str, iqr: str, k: str) -> str:
     (sorted[floor(p*(n-1))]) for bitwise oracle reproducibility."""
     hi = f"({q90} + {k} * {iqr})"
     lo = f"({q10} - {k} * {iqr})"
+    # zero-IQR fallback: a constant series with one spike has iqr = 0;
+    # dividing by nullif alone would NULL the clearest anomaly's score
+    # (round-3 review finding) — degrade to absolute exceedance instead
+    d = f"coalesce(nullif({iqr}, {_D0}), CAST(1 AS DOUBLE))"
     return (
         f"transform({arr}, _x -> CASE"
-        f" WHEN _x > {hi} THEN (_x - {hi}) / nullif({iqr}, {_D0})"
-        f" WHEN _x < {lo} THEN (_x - {lo}) / nullif({iqr}, {_D0})"
+        f" WHEN _x > {hi} THEN (_x - {hi}) / {d}"
+        f" WHEN _x < {lo} THEN (_x - {lo}) / {d}"
         f" ELSE {_D0} END)"
     )
 
@@ -753,14 +757,18 @@ def _expr(kql_expr: str) -> str:
         ),
     )
     e = _rewrite_fn(e, "series_fir", _series_fir_sql)
-    e = _rewrite_fn(
-        e,
-        "series_moving_avg",
-        lambda a: _series_fir_sql(
+    def _moving_avg_sql(a: list[str]) -> str:
+        if len(a) < 2 or not re.match(r"^\d+$", a[1].strip()):
+            raise ValueError(
+                "series_moving_avg needs (series, integer-literal"
+                f" window [, center]) — explicit-subset contract: {a!r}"
+            )
+        return _series_fir_sql(
             [a[0], f"pack_array({', '.join(['1'] * int(a[1]))})", "true"]
             + list(a[2:])
-        ),
-    )
+        )
+
+    e = _rewrite_fn(e, "series_moving_avg", _moving_avg_sql)
     e = _rewrite_fn(e, "series_add", lambda a: _series_zip_sql(a, "+"))
     e = _rewrite_fn(e, "series_subtract", lambda a: _series_zip_sql(a, "-"))
     e = _rewrite_fn(e, "series_multiply", lambda a: _series_zip_sql(a, "*"))
@@ -913,14 +921,24 @@ def _expr(kql_expr: str) -> str:
     e = re.sub(r"\bmonthofyear\(", "month(", e)
     # array batch 2: 0-based inclusive slice (non-negative indexes),
     # sort asc/desc, reverse, sum (left fold, matches series_sum)
-    e = _rewrite_fn(
-        e,
-        "array_slice",
-        lambda a: (
+    def _array_slice_sql(a: list[str]) -> str:
+        if len(a) != 3:
+            raise ValueError(f"array_slice needs (arr, start, end): {a!r}")
+        for idx in a[1:]:
+            if re.match(r"^\s*-", idx):
+                # ADX negative indices count from the END; Spark slice's
+                # negative start means something different — refuse
+                # rather than silently mistranslate (review finding)
+                raise ValueError(
+                    "array_slice: negative (from-end) indices are not"
+                    f" supported — explicit-subset contract: {idx!r}"
+                )
+        return (
             f"slice({a[0]}, CAST({a[1]} AS INT) + 1,"
             f" CAST({a[2]} AS INT) - CAST({a[1]} AS INT) + 1)"
-        ),
-    )
+        )
+
+    e = _rewrite_fn(e, "array_slice", _array_slice_sql)
     e = re.sub(r"\barray_sort_asc\(", "array_sort(", e)
     e = _rewrite_fn(
         e, "array_sort_desc", lambda a: f"reverse(array_sort({a[0]}))"
@@ -946,21 +964,32 @@ def _expr(kql_expr: str) -> str:
     # tests (no LIKE, so % and _ in the term stay literal).
     _STR = r"('(?:[^']|'')*')"
     # =~ / !~: case-insensitive (in)equality; in~ / !in~: the same over
-    # a literal list — everyday ADX idioms.
-    e = re.sub(r"(\S+)\s*=~\s*(\S+)", r"lower(\1) = lower(\2)", e)
-    e = re.sub(r"(\S+)\s*!~\s*(\S+)", r"lower(\1) <> lower(\2)", e)
+    # a literal list — everyday ADX idioms. Operands are a dotted
+    # identifier or a quoted literal (spaces inside literals are fine);
+    # a multi-token expression operand is left unrewritten so Spark's
+    # parser rejects it LOUDLY instead of a (\S+) capture silently
+    # corrupting it (round-3 review finding).
+    _OPND = r"((?<![\w)'])[\w.]+|'(?:[^']|'')*')"
+    # quote-aware list body: quoted spans may contain , and )
+    _LIST = r"\(((?:'(?:[^']|'')*'|[^)'])*)\)"
+    e = re.sub(rf"{_OPND}\s*=~\s*{_OPND}", r"lower(\1) = lower(\2)", e)
+    e = re.sub(rf"{_OPND}\s*!~\s*{_OPND}", r"lower(\1) <> lower(\2)", e)
     e = re.sub(
-        r"(\S+)\s+!in~\s*\(([^)]*)\)",
+        rf"{_OPND}\s+!in~\s*{_LIST}",
         lambda m: f"lower({m.group(1)}) NOT IN ("
-        + ", ".join(f"lower({v.strip()})" for v in m.group(2).split(","))
+        + ", ".join(
+            f"lower({v})" for v in _split_top_level(m.group(2))
+        )
         + ")",
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
-        r"(\S+)\s+in~\s*\(([^)]*)\)",
+        rf"{_OPND}\s+in~\s*{_LIST}",
         lambda m: f"lower({m.group(1)}) IN ("
-        + ", ".join(f"lower({v.strip()})" for v in m.group(2).split(","))
+        + ", ".join(
+            f"lower({v})" for v in _split_top_level(m.group(2))
+        )
         + ")",
         e,
         flags=re.IGNORECASE,
@@ -1014,7 +1043,7 @@ def _expr(kql_expr: str) -> str:
     # the same word-boundary regexps `has` compiles to)
     def _has_list(m: re.Match, joiner: str) -> str:
         col = m.group(1)
-        terms = [t.strip() for t in m.group(2).split(",")]
+        terms = _split_top_level(m.group(2))  # quote-aware: ',' in terms
         preds = [
             f"{col} RLIKE concat('(?i)\\\\b\\\\Q', {t}, '\\\\E\\\\b')"
             for t in terms
@@ -1022,13 +1051,13 @@ def _expr(kql_expr: str) -> str:
         return "(" + f" {joiner} ".join(preds) + ")"
 
     e = re.sub(
-        r"(\S+)\s+has_any\s*\(([^)]*)\)",
+        r"(\S+)\s+has_any\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)",
         lambda m: _has_list(m, "OR"),
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
-        r"(\S+)\s+has_all\s*\(([^)]*)\)",
+        r"(\S+)\s+has_all\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)",
         lambda m: _has_list(m, "AND"),
         e,
         flags=re.IGNORECASE,
@@ -1841,19 +1870,24 @@ def kql_to_sql(
                     f"{c} IS NOT NULL" for c in bcols
                 )
                 order = ", ".join(f"{c} ASC NULLS FIRST" for c in bcols)
+                # ONE scan: the cube's all-wildcard row IS the total, so
+                # the grand count comes from a window max over the cube
+                # result instead of a second CROSS JOIN scan of the
+                # upstream pipe (review finding)
+                all_null = " AND ".join(f"{c} IS NULL" for c in bcols)
                 sql = (
                     f"SELECT CAST(row_number() OVER (ORDER BY Count DESC,"
                     f" {order}) - 1 AS BIGINT) AS SegmentId,"
-                    f" {csl}, Count, Percent FROM ("
-                    f"SELECT {csl}, COUNT(*) AS Count,"
+                    f" {csl}, Count,"
                     # CAST, not a 100.0 literal: Spark parses that as DECIMAL
-                    f" round(CAST(100 AS DOUBLE) * COUNT(*) / max(_tot), 2)"
-                    f" AS Percent"
-                    f" FROM ({sql}) AS _bk CROSS JOIN"
-                    f" (SELECT COUNT(*) AS _tot FROM ({sql}) AS _bt) AS _bw"
-                    f" GROUP BY CUBE ({csl})"
-                    f" HAVING COUNT(*) >= {thr} * max(_tot)"
-                    f" AND ({not_all_null})) AS _bseg{i}"
+                    f" round(CAST(100 AS DOUBLE) * Count / _tot, 2)"
+                    f" AS Percent FROM ("
+                    f"SELECT *, max(CASE WHEN {all_null} THEN Count END)"
+                    f" OVER () AS _tot FROM ("
+                    f"SELECT {csl}, COUNT(*) AS Count"
+                    f" FROM ({sql}) AS _bk GROUP BY CUBE ({csl})"
+                    f") AS _bc{i}) AS _bw{i}"
+                    f" WHERE Count >= {thr} * _tot AND ({not_all_null})"
                 )
                 continue
             m = re.match(r"pivot\s*\(\s*(\w+)\s*,\s*(.+)\)\s*$", body,
@@ -2025,15 +2059,22 @@ def kql_to_sql(
                         node_sql[nname] = f"_g{j}.{g_dst}"
 
                 def _subst(text: str) -> str:
-                    for en, al in edge_alias.items():
-                        text = _sub_outside_strings(
-                            rf"\b{re.escape(en)}\.(\w+)", rf"{al}.\1", text
-                        )
-                    for nn, ns in node_sql.items():
-                        text = _sub_outside_strings(
-                            rf"\b{re.escape(nn)}\b", ns, text
-                        )
-                    return text
+                    # ONE pass over dotted-then-bare identifiers: a
+                    # sequence of per-name re.subs would re-substitute
+                    # inside earlier replacements when a node shares a
+                    # name with an endpoint column (review finding:
+                    # node named `src` corrupted `_g1.src` -> _g1._g1.dst)
+                    def repl(m: re.Match) -> str:
+                        if m.group(1) is not None:
+                            al = edge_alias.get(m.group(1))
+                            return (
+                                f"{al}.{m.group(2)}" if al else m.group(0)
+                            )
+                        return node_sql.get(m.group(3), m.group(0))
+
+                    return _sub_outside_strings(
+                        r"\b(\w+)\.(\w+)\b|\b(\w+)\b", repl, text
+                    )
 
                 frm = f"({g_sql}) AS _g1"
                 for j in range(2, len(hops) + 1):
@@ -2146,19 +2187,20 @@ def kql_to_sql(
             if not m:
                 raise ValueError(f"union needs (pipe) or a table: {body!r}")
             fuzzy = (m.group(1) or "").lower() == "true"
-            try:
-                right = kql_to_sql(
-                    (m.group(2) or m.group(3)).strip(), spark, _tabular
-                )
-                if fuzzy and spark is not None:
-                    spark.sql(right).columns  # analysis probes the tables
-            except Exception:
-                # isfuzzy=true: a missing/unresolvable side is silently
-                # dropped (ADX contract — dashboards over optional
-                # tables keep working)
-                if not fuzzy:
+            # translation errors ALWAYS propagate — isfuzzy only
+            # tolerates unresolved table references (the ADX contract);
+            # swallowing translator/typo errors would return partial
+            # results with no signal (review finding)
+            right = kql_to_sql(
+                (m.group(2) or m.group(3)).strip(), spark, _tabular
+            )
+            if fuzzy and spark is not None:
+                try:
+                    spark.sql(right).columns  # analysis probes tables
+                except Exception as ex:
+                    if "TABLE_OR_VIEW_NOT_FOUND" in str(ex):
+                        continue
                     raise
-                continue
             # KQL union aligns columns by NAME (default kind=outer
             # null-fills missing columns). With a session, resolve both
             # sides' schemas (analysis only — no execution) and emit an
@@ -2276,7 +2318,15 @@ def kql_to_sql(
                 k, d = om.group(1), (om.group(2) or "asc").lower()
                 lo, hi = ("-1", "1") if d == "asc" else ("1", "-1")
                 cmp_terms.append(
-                    f"WHEN _l.{k} < _r.{k} THEN {lo}"
+                    # explicit NULL arms mirroring ORDER BY (ASC NULLS
+                    # FIRST / DESC NULLS LAST): `<` on a NULL key yields
+                    # NULL -> ELSE 0, which would leave NULL-keyed rows
+                    # in nondeterministic fold positions (review finding)
+                    f"WHEN _l.{k} IS NULL AND _r.{k} IS NOT NULL"
+                    f" THEN {lo}"
+                    f" WHEN _r.{k} IS NULL AND _l.{k} IS NOT NULL"
+                    f" THEN {hi}"
+                    f" WHEN _l.{k} < _r.{k} THEN {lo}"
                     f" WHEN _l.{k} > _r.{k} THEN {hi}"
                 )
             cmp = f"CASE {' '.join(cmp_terms)} ELSE 0 END"
@@ -2491,12 +2541,17 @@ def kql_to_sql(
                     " single-level form only"
                 )
             gsel = f"CAST({g1} AS STRING) AS {g1}" if others1 else g1
+            # with others: NULL keys never rank (they route to the
+            # Others row) — otherwise a NULL group in the top-k both
+            # empties the NOT IN exclusion and double-counts
+            nn_where = f" WHERE {g1} IS NOT NULL" if others1 else ""
             level1 = (
                 f"SELECT {gsel}, {a1} FROM ("
                 f"SELECT {g1}, {a1},"
                 f" row_number() OVER (ORDER BY {a1} DESC, {g1} ASC) AS _rn"
                 f" FROM (SELECT {g1}, {a1sql} AS {a1} FROM {prev}"
-                f" GROUP BY {g1}) AS _tn1) AS _tn1r WHERE _rn <= {n1}"
+                f"{nn_where} GROUP BY {g1}) AS _tn1) AS _tn1r"
+                f" WHERE _rn <= {n1}"
             )
             if others1:
                 # the Others row RE-AGGREGATES the excluded input rows
@@ -2504,11 +2559,18 @@ def kql_to_sql(
                 # summing the per-group results); stringifies the key
                 # column so the label fits — documented refinement.
                 label = _strings_to_sql(others1)
+                # NULL-safe exclusion: NOT IN over a list containing
+                # NULL is never true, which would empty the Others row
+                # and silently drop NULL-keyed input rows (review
+                # finding) — NULL keys route to Others, and the top-k
+                # list is filtered to non-null before the NOT IN.
                 level1 = (
                     f"({level1}) UNION ALL "
                     f"(SELECT {label} AS {g1}, {a1sql} AS {a1}"
-                    f" FROM {prev} WHERE CAST({g1} AS STRING) NOT IN"
-                    f" (SELECT {g1} FROM ({level1}) AS _tno))"
+                    f" FROM {prev} WHERE {g1} IS NULL"
+                    f" OR CAST({g1} AS STRING) NOT IN"
+                    f" (SELECT {g1} FROM ({level1}) AS _tno"
+                    f" WHERE {g1} IS NOT NULL))"
                 )
             if len(clauses) == 1:
                 sql = level1
@@ -3753,10 +3815,10 @@ ORACLE = {
                round(CASE
                  WHEN d.n > q.q90 + 1.5 * (q.q90 - q.q10)
                    THEN (d.n - (q.q90 + 1.5 * (q.q90 - q.q10)))
-                        / nullif(q.q90 - q.q10, 0)
+                        / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
                  WHEN d.n < q.q10 - 1.5 * (q.q90 - q.q10)
                    THEN (d.n - (q.q10 - 1.5 * (q.q90 - q.q10)))
-                        / nullif(q.q90 - q.q10, 0)
+                        / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
                  ELSE 0.0 END, 6) AS s
         FROM dense d JOIN qs q USING (user_id)
     """,
@@ -3810,10 +3872,10 @@ ORACLE = {
                    CASE
                      WHEN b.res > q.q90 + 1.5 * (q.q90 - q.q10)
                        THEN (b.res - (q.q90 + 1.5 * (q.q90 - q.q10)))
-                            / nullif(q.q90 - q.q10, 0)
+                            / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
                      WHEN b.res < q.q10 - 1.5 * (q.q90 - q.q10)
                        THEN (b.res - (q.q10 - 1.5 * (q.q90 - q.q10)))
-                            / nullif(q.q90 - q.q10, 0)
+                            / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
                      ELSE 0.0 END AS sc
             FROM based b JOIN qs q USING (user_id)
         )

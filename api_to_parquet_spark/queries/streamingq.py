@@ -207,9 +207,11 @@ def q_streaming_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     iqr = F.col("q90") - F.col("q10")
     hi = F.col("q90") + 1.5 * iqr
     lo = F.col("q10") - 1.5 * iqr
+    # zero-IQR fallback: absolute exceedance (see kql._tukey_score_sql)
+    d = F.coalesce(F.nullif(iqr, F.lit(0)), F.lit(1.0))
     score = (
-        F.when(F.col("n") > hi, (F.col("n") - hi) / F.nullif(iqr, F.lit(0)))
-        .when(F.col("n") < lo, (F.col("n") - lo) / F.nullif(iqr, F.lit(0)))
+        F.when(F.col("n") > hi, (F.col("n") - hi) / d)
+        .when(F.col("n") < lo, (F.col("n") - lo) / d)
         .otherwise(F.lit(0.0))
     )
     return withq.select(
@@ -249,10 +251,10 @@ ORACLE = {
                round(CASE
                  WHEN r.n > q.q90 + 1.5 * (q.q90 - q.q10)
                    THEN (r.n - (q.q90 + 1.5 * (q.q90 - q.q10)))
-                        / nullif(q.q90 - q.q10, 0)
+                        / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
                  WHEN r.n < q.q10 - 1.5 * (q.q90 - q.q10)
                    THEN (r.n - (q.q10 - 1.5 * (q.q90 - q.q10)))
-                        / nullif(q.q90 - q.q10, 0)
+                        / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
                  ELSE 0.0 END, 6) AS score
         FROM rollup r JOIN qs q USING (event_type)
     """,

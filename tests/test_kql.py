@@ -891,3 +891,36 @@ def test_pipe_and_comma_inside_string_literals(spark, sf_smoke):
     assert n == 0  # no such type — but the pipe must parse and run
     row = kql(spark, 'print s = strcat("x|y", ",", "z")').collect()[0]
     assert row["s"] == "x|y,z"
+
+
+def test_review_fixes_round3(spark, sf_smoke):
+    """Round-3 review findings, pinned: (1) multi-token =~ operands are
+    left for the SQL parser to reject loudly, not silently corrupted;
+    (2) commas/parens inside in~/has_any literals; (5) NULL group keys
+    route to Others exactly once; (6) zero-IQR spikes still score."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    sql = kql_to_sql('t | where substring(x, 0, 3) =~ "ABC"')
+    assert "=~" in sql and "lower(3)" not in sql
+    n = kql(
+        spark, 'events | where event_type in~ ("VIEW", "a,b") | count'
+    ).collect()[0]["count_"]
+    direct = kql(
+        spark, 'events | where event_type == "view" | count'
+    ).collect()[0]["count_"]
+    assert n == direct > 0
+    spark.sql(
+        "SELECT CASE WHEN id % 3 = 0 THEN NULL ELSE concat('g', id % 3)"
+        " END AS g FROM range(30)"
+    ).createOrReplaceTempView("tn_nulls")
+    rows = kql(
+        spark,
+        'tn_nulls | top-nested 1 of g with others = "Other" by n = count()',
+    ).collect()
+    assert sum(r["n"] for r in rows) == 30
+    assert {r["g"] for r in rows} == {"g1", "Other"}
+    scores = kql(
+        spark,
+        "print y = pack_array(1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0,"
+        " 1.0, 100.0) | extend s = series_outliers(y)",
+    ).collect()[0]["s"]
+    assert scores[-1] > 0 and None not in scores
