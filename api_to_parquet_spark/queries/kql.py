@@ -283,11 +283,21 @@ def _rewrite_fn(e: str, name: str, build) -> str:
     out = []
     i = 0
     pat = re.compile(rf"\b{name}\s*\(")
+    spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
     while True:
         m = pat.search(e, i)
         if not m:
             out.append(e[i:])
             return "".join(out)
+        # a literal like 'case(a,b,c)' must stay text, not become SQL
+        # (round-3 review finding) — skip matches inside string spans
+        span = next(
+            (s for s in spans if s[0] <= m.start() < s[1]), None
+        )
+        if span is not None:
+            out.append(e[i : span[1]])
+            i = span[1]
+            continue
         out.append(e[i : m.start()])
         depth, j, in_str = 1, m.end(), False
         while j < len(e) and depth:
@@ -339,13 +349,17 @@ def _split_sql(args: list[str]) -> str:
 
 
 def _countof_sql(args: list[str]) -> str:
-    """countof(text, search) — non-overlapping occurrence count."""
+    """countof(text, search) — OVERLAPPING occurrence count (ADX
+    plain-string contract: countof("aaa", "aa") = 2; the replace-based
+    formula undercounts self-overlapping terms — review finding).
+    Positional scan via a sequence filter; textually mirrored by the
+    DuckDB oracle (list_filter over generate_series)."""
     if len(args) != 2:
         raise ValueError(f"countof needs (text, search): {args!r}")
     t, s = args
     return (
-        f"CAST((length({t}) - length(replace({t}, {s}, '')))"
-        f" / length({s}) AS BIGINT)"
+        f"CAST(size(filter(sequence(1, length({t})),"
+        f" _i -> substring({t}, _i, length({s})) = {s})) AS BIGINT)"
     )
 
 
@@ -773,7 +787,7 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "series_subtract", lambda a: _series_zip_sql(a, "-"))
     e = _rewrite_fn(e, "series_multiply", lambda a: _series_zip_sql(a, "*"))
     e = _rewrite_fn(e, "series_divide", lambda a: _series_zip_sql(a, "/"))
-    e = re.sub(r"\breplace_string\(", "replace(", e)
+    e = _sub_outside_strings(r"\breplace_string\(", "replace(", e)
     # trim family: ADX trims REPEATED regex matches from the ends
     def _trim2(a: list[str], name: str) -> tuple[str, str]:
         if len(a) != 2:
@@ -804,14 +818,14 @@ def _expr(kql_expr: str) -> str:
             )
         )(*_trim2(a, "trim")),
     )
-    e = re.sub(r"\bstrrep\(", "repeat(", e)
-    e = re.sub(r"\bmin_of\(", "least(", e)
-    e = re.sub(r"\bmax_of\(", "greatest(", e)
-    e = re.sub(r"\bisnull\(([^()]+)\)", r"(\1 IS NULL)", e)
-    e = re.sub(r"\bisnotnull\(([^()]+)\)", r"(\1 IS NOT NULL)", e)
+    e = _sub_outside_strings(r"\bstrrep\(", "repeat(", e)
+    e = _sub_outside_strings(r"\bmin_of\(", "least(", e)
+    e = _sub_outside_strings(r"\bmax_of\(", "greatest(", e)
+    e = _sub_outside_strings(r"\bisnull\(([^()]+)\)", r"(\1 IS NULL)", e)
+    e = _sub_outside_strings(r"\bisnotnull\(([^()]+)\)", r"(\1 IS NOT NULL)", e)
     # tohex: ADX returns LOWERCASE hex without leading zeros
     e = _rewrite_fn(e, "tohex", lambda a: f"lower(hex({a[0]}))")
-    e = re.sub(r"\bbase64_encode_tostring\(", "base64(", e)
+    e = _sub_outside_strings(r"\bbase64_encode_tostring\(", "base64(", e)
     e = _rewrite_fn(
         e, "base64_decode_tostring", lambda a: f"string(unbase64({a[0]}))"
     )
@@ -821,17 +835,17 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "bin_at", _bin_at_sql)
     e = _rewrite_fn(e, "datetime_diff", _datetime_diff_sql)
     e = _rewrite_fn(e, "datetime_add", _datetime_add_sql)
-    e = re.sub(r"\bgetyear\(", "year(", e)
-    e = re.sub(r"\bgetmonth\(", "month(", e)
-    e = re.sub(r"\bdayofmonth\(", "day(", e)
-    e = re.sub(r"\bhourofday\(", "hour(", e)
+    e = _sub_outside_strings(r"\bgetyear\(", "year(", e)
+    e = _sub_outside_strings(r"\bgetmonth\(", "month(", e)
+    e = _sub_outside_strings(r"\bdayofmonth\(", "day(", e)
+    e = _sub_outside_strings(r"\bhourofday\(", "hour(", e)
     # ADX dayofweek returns a TIMESPAN of whole days since Sunday;
     # the useful scalar is its day count: 0=Sunday..6=Saturday.
-    e = re.sub(r"\bdayofweek\(([^()]+)\)", r"(dayofweek(\1) - 1)", e)
+    e = _rewrite_fn(e, "dayofweek", lambda a: f"(dayofweek({a[0]}) - 1)")
     # arrays & misc
-    e = re.sub(r"\bpack_array\(", "array(", e)
-    e = re.sub(r"\barray_length\(", "size(", e)
-    e = re.sub(r"\barray_concat\(", "concat(", e)
+    e = _sub_outside_strings(r"\bpack_array\(", "array(", e)
+    e = _sub_outside_strings(r"\barray_length\(", "size(", e)
+    e = _sub_outside_strings(r"\barray_concat\(", "concat(", e)
     e = _rewrite_fn(
         e,
         "array_index_of",
@@ -839,39 +853,49 @@ def _expr(kql_expr: str) -> str:
         # with 0 (and NULL-safe via coalesce for a NULL haystack)
         lambda a: f"(coalesce(array_position({a[0]}, {a[1]}), 0) - 1)",
     )
-    e = _rewrite_fn(
-        e,
-        "indexof",
-        lambda a: f"(instr({a[0]}, {a[1]}) - 1)",  # 0-based, -1 missing
-    )
-    e = re.sub(r"\bdcount_hll\(", "hll_sketch_estimate(", e)
-    e = re.sub(r"\bhash\(", "xxhash64(", e)
-    e = re.sub(r"\btoupper\(", "upper(", e)
-    e = re.sub(r"\btolower\(", "lower(", e)
-    e = re.sub(r"\bformat_datetime\(", "date_format(", e)
+    def _indexof_sql(a: list[str]) -> str:
+        # 0-based, -1 missing; 3-arg form searches from a 0-based start
+        # via locate() (review finding: start was silently dropped)
+        if len(a) == 2:
+            return f"(instr({a[0]}, {a[1]}) - 1)"
+        if len(a) == 3:
+            return (
+                f"(locate({a[1]}, {a[0]},"
+                f" CAST({a[2]} AS INT) + 1) - 1)"
+            )
+        raise ValueError(
+            f"indexof supports (source, lookup [, start]): {a!r}"
+        )
+
+    e = _rewrite_fn(e, "indexof", _indexof_sql)
+    e = _sub_outside_strings(r"\bdcount_hll\(", "hll_sketch_estimate(", e)
+    e = _sub_outside_strings(r"\bhash\(", "xxhash64(", e)
+    e = _sub_outside_strings(r"\btoupper\(", "upper(", e)
+    e = _sub_outside_strings(r"\btolower\(", "lower(", e)
+    e = _sub_outside_strings(r"\bformat_datetime\(", "date_format(", e)
     # Scalar-function surface: KQL name -> Spark SQL name. The to*()
     # conversions use Spark's function-style casts (bigint()/double()/…)
     # so no balanced-paren rewriting is needed; parse_json(c).k becomes
     # a JSONPath extraction.
-    e = re.sub(r"\bparse_json\((\w+)\)\.(\w+)", r"get_json_object(\1, '$.\2')", e)
-    e = re.sub(r"\bstrlen\(", "length(", e)
-    e = re.sub(r"\bstrcat_array\(", "array_join(", e)
-    e = re.sub(r"\biff\(", "if(", e)
-    e = re.sub(r"\btolong\(", "bigint(", e)
-    e = re.sub(r"\btoint\(", "int(", e)
-    e = re.sub(r"\btodouble\(", "double(", e)
-    e = re.sub(r"\btostring\(", "string(", e)
+    e = _sub_outside_strings(r"\bparse_json\((\w+)\)\.(\w+)", r"get_json_object(\1, '$.\2')", e)
+    e = _sub_outside_strings(r"\bstrlen\(", "length(", e)
+    e = _sub_outside_strings(r"\bstrcat_array\(", "array_join(", e)
+    e = _sub_outside_strings(r"\biff\(", "if(", e)
+    e = _sub_outside_strings(r"\btolong\(", "bigint(", e)
+    e = _sub_outside_strings(r"\btoint\(", "int(", e)
+    e = _sub_outside_strings(r"\btodouble\(", "double(", e)
+    e = _sub_outside_strings(r"\btostring\(", "string(", e)
     e = re.sub(
         r"\bextract\(\s*('(?:[^']|'')*')\s*,\s*(\d+)\s*,\s*([^()]+)\)",
         r"regexp_extract(\3, \1, \2)",
         e,
     )
-    e = re.sub(r"\bisnotempty\(([^()]+)\)", r"(\1 IS NOT NULL AND \1 <> '')", e)
-    e = re.sub(r"\bisempty\(([^()]+)\)", r"(\1 IS NULL OR \1 = '')", e)
+    e = _sub_outside_strings(r"\bisnotempty\(([^()]+)\)", r"(\1 IS NOT NULL AND \1 <> '')", e)
+    e = _sub_outside_strings(r"\bisempty\(([^()]+)\)", r"(\1 IS NULL OR \1 = '')", e)
     # Datetime surface: ago()/now() anchor to the query clock;
     # startof*() are date_trunc; datetime(...) literals become TIMESTAMP
     # literals (ADX ISO shapes are a subset of Spark's).
-    e = re.sub(
+    e = _sub_outside_strings(
         r"\bago\((\d+)([smhd])\)",
         lambda m: (
             "(current_timestamp() - INTERVAL"
@@ -879,7 +903,7 @@ def _expr(kql_expr: str) -> str:
         ),
         e,
     )
-    e = re.sub(r"\bnow\(\)", "current_timestamp()", e)
+    e = _sub_outside_strings(r"\bnow\(\)", "current_timestamp()", e)
     # startofweek: ADX weeks start SUNDAY (Spark date_trunc('WEEK') is
     # ISO Monday); weekday() is 0=Mon..6=Sun, so Sunday-offset is
     # (weekday+1) % 7. endof*: last representable instant of the period
@@ -917,8 +941,8 @@ def _expr(kql_expr: str) -> str:
             " - INTERVAL 1 MICROSECOND)"
         ),
     )
-    e = re.sub(r"\bweek_of_year\(", "weekofyear(", e)
-    e = re.sub(r"\bmonthofyear\(", "month(", e)
+    e = _sub_outside_strings(r"\bweek_of_year\(", "weekofyear(", e)
+    e = _sub_outside_strings(r"\bmonthofyear\(", "month(", e)
     # array batch 2: 0-based inclusive slice (non-negative indexes),
     # sort asc/desc, reverse, sum (left fold, matches series_sum)
     def _array_slice_sql(a: list[str]) -> str:
@@ -939,18 +963,18 @@ def _expr(kql_expr: str) -> str:
         )
 
     e = _rewrite_fn(e, "array_slice", _array_slice_sql)
-    e = re.sub(r"\barray_sort_asc\(", "array_sort(", e)
+    e = _sub_outside_strings(r"\barray_sort_asc\(", "array_sort(", e)
     e = _rewrite_fn(
         e, "array_sort_desc", lambda a: f"reverse(array_sort({a[0]}))"
     )
-    e = re.sub(r"\barray_reverse\(", "reverse(", e)
+    e = _sub_outside_strings(r"\barray_reverse\(", "reverse(", e)
     e = _rewrite_fn(e, "array_sum", lambda a: _series_reduce_sql(a, "sum"))
-    e = re.sub(r"\bstartofday\(", "date_trunc('DAY', ", e)
-    e = re.sub(r"\bstartofmonth\(", "date_trunc('MONTH', ", e)
-    e = re.sub(r"\bstartofyear\(", "date_trunc('YEAR', ", e)
-    e = re.sub(r"\bdatetime\(\s*([^)']+?)\s*\)", r"TIMESTAMP '\1'", e)
-    e = re.sub(r"==", "=", e)
-    e = re.sub(r"!=", "<>", e)
+    e = _sub_outside_strings(r"\bstartofday\(", "date_trunc('DAY', ", e)
+    e = _sub_outside_strings(r"\bstartofmonth\(", "date_trunc('MONTH', ", e)
+    e = _sub_outside_strings(r"\bstartofyear\(", "date_trunc('YEAR', ", e)
+    e = _sub_outside_strings(r"\bdatetime\(\s*([^)']+?)\s*\)", r"TIMESTAMP '\1'", e)
+    e = _sub_outside_strings(r"==", "=", e)
+    e = _sub_outside_strings(r"!=", "<>", e)
     e = re.sub(
         r"\bbetween\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
         r"BETWEEN \1 AND \2",
@@ -1151,10 +1175,20 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
         if len(args) < 2:
             raise ValueError(f"percentiles needs (col, p, ...): {item!r}")
         col = args[0]
+        # expression arguments fall back to aggN naming — interpolating
+        # raw expression text into the alias is a ParseException
+        # (review finding)
+        base = col if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+        try:
+            ps = [float(p) for p in args[1:]]
+        except ValueError:
+            raise ValueError(
+                f"percentiles needs numeric percentiles: {item!r}"
+            ) from None
         return [
-            f"percentile_approx({_expr(col)}, {float(p) / 100})"
-            f" AS percentile_{col}_{p.replace('.', '_')}"
-            for p in args[1:]
+            f"percentile_approx({_expr(col)}, {p / 100})"
+            f" AS percentile_{base}_{str(raw).replace('.', '_')}"
+            for raw, p in zip(args[1:], ps)
         ]
     m = re.match(r"(?:(\w+)\s*=\s*)?(arg_max|arg_min)\s*\((.*)\)$", item.strip())
     if not m:
@@ -1461,7 +1495,16 @@ def _window_rewrite(expr_sql: str, order_keys: list[str]) -> str:
     e = re.sub(r"\brow_number\(\s*\)", f"ROW_NUMBER(){over}", expr_sql)
     e = _rewrite_fn(e, "prev", lambda args: f"LAG({', '.join(args)}){over}")
     e = _rewrite_fn(e, "next", lambda args: f"LEAD({', '.join(args)}){over}")
-    e = _rewrite_fn(e, "row_cumsum", lambda args: f"SUM({args[0]}){over_rows}")
+    def _row_cumsum(args: list[str]) -> str:
+        if len(args) > 1:
+            raise ValueError(
+                "row_cumsum restart argument is not supported —"
+                " explicit-subset contract (a silent global running"
+                " sum would be wrong)"
+            )
+        return f"SUM({args[0]}){over_rows}"
+
+    e = _rewrite_fn(e, "row_cumsum", _row_cumsum)
     return e
 
 
@@ -1803,6 +1846,17 @@ def kql_to_sql(
                     ).collect()
                     if r[0] is not None
                 )
+                # keys are DATA interpolated into SQL: restrict to
+                # identifier-shaped names (a backtick/quote in a JSON
+                # key would otherwise break or inject — review
+                # finding); unsafe keys are skipped, documented
+                # divergence from ADX's arbitrary column names
+                keys = [k for k in keys if re.match(r"^\w+$", k)]
+                if not keys:
+                    # no expandable keys: just drop the bag column
+                    # (an empty SELECT list was a ParseException)
+                    sql = f"SELECT * EXCEPT ({bc}) FROM {prev}"
+                    continue
                 cols = ", ".join(
                     f"get_json_object({bc}, '$.{k}') AS `{k}`" for k in keys
                 )
@@ -2207,10 +2261,26 @@ def kql_to_sql(
             # explicit name-aligned projection; Spark SQL has no
             # UNION BY NAME syntax. Without a session, positional
             # UNION ALL — same-shape pipes only.
+            ukind = re.match(r"kind\s*=\s*(\w+)", body, re.IGNORECASE)
+            ukind = (ukind.group(1).lower() if ukind else "outer")
+            if ukind not in ("outer", "inner"):
+                raise ValueError(f"unsupported union kind: {ukind!r}")
             if spark is not None:
                 lcols = spark.sql(sql).columns
                 rcols = spark.sql(right).columns
-                allc = list(lcols) + [c for c in rcols if c not in lcols]
+                if ukind == "inner":
+                    # inner union keeps only COMMON columns (review
+                    # finding: the kind token was accepted but outer
+                    # null-fill semantics silently applied)
+                    allc = [c for c in lcols if c in rcols]
+                    if not allc:
+                        raise ValueError(
+                            "union kind=inner: no common columns"
+                        )
+                else:
+                    allc = list(lcols) + [
+                        c for c in rcols if c not in lcols
+                    ]
                 lsel = ", ".join(
                     c if c in lcols else f"NULL AS {c}" for c in allc
                 )
@@ -2222,6 +2292,11 @@ def kql_to_sql(
                     f"(SELECT {rsel} FROM ({right}) AS _u{i})"
                 )
             else:
+                if ukind == "inner":
+                    raise ValueError(
+                        "union kind=inner needs a SparkSession"
+                        " (schema intersection)"
+                    )
                 sql = f"SELECT * FROM {prev} UNION ALL ({right})"
         elif op in ("parse", "parse-where"):
             m = re.match(
@@ -4007,8 +4082,10 @@ ORACLE = {
                CAST(length(array_to_string(string_split(event_type, 'e'),
                    '|')) AS INTEGER) AS nparts,
                replace(event_type, 'e', '3') AS rs,
-               CAST((length(event_type)
-                     - length(replace(event_type, 'e', ''))) AS BIGINT)
+               -- overlapping positional scan, mirroring the Spark
+               -- sequence-filter countof
+               CAST(len(list_filter(generate_series(1, length(event_type)),
+                    i -> substr(event_type, i, 1) = 'e')) AS BIGINT)
                    AS cnt,
                CAST(user_id AS VARCHAR) || ':' || event_type AS tag
         FROM events WHERE event_id < 300

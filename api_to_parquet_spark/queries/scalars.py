@@ -130,8 +130,13 @@ def q_pandas_udaf_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         partials.groupBy("event_type")
         .agg(
+            # nullif: a group with NO positive values must yield NULL
+            # like the oracle's FILTERed aggregates, not 0.0/0 = NaN
             F.round(
-                F.exp(F.sum("slog") / F.sum("npos")), 6
+                F.exp(
+                    F.sum("slog") / F.nullif(F.sum("npos"), F.lit(0))
+                ),
+                6,
             ).alias("geomean_value"),
             F.sum("cnt").alias("n"),
         )

@@ -206,11 +206,14 @@ def compact(
         p = jvm.org.apache.hadoop.fs.Path(posixpath.join(root, rel))
         return int(fs.getContentSummary(p).getLength())
 
-    # bin-pack SMALL per-key dirs (skip anything already >= half target)
+    # bin-pack SMALL per-key dirs (skip anything already >= half
+    # target). dir_bytes is measured once per distinct dir, and keys
+    # already sharing one compacted dir don't re-qualify below.
+    sizes = {d: dir_bytes(d) for d in set(manifest.values())}
     small = sorted(
-        (key, d, dir_bytes(d))
+        (key, d, sizes[d])
         for key, d in manifest.items()
-        if dir_bytes(d) < target_bytes // 2
+        if sizes[d] < target_bytes // 2
     )
     bins: list[list[tuple[str, str]]] = []
     cur: list[tuple[str, str]] = []
@@ -223,7 +226,14 @@ def compact(
         cur_bytes += nb
     if cur:
         bins.append(cur)
-    bins = [b for b in bins if len(b) > 1]
+    # a bin whose keys ALL already share one directory is already
+    # compacted — rewriting it would bump a version per maintenance run
+    # forever (review finding: compact() never converged)
+    bins = [
+        b
+        for b in bins
+        if len(b) > 1 and len({d for _, d in b}) > 1
+    ]
     if not bins:
         return -1
     for group in bins:

@@ -224,3 +224,20 @@ def test_compact_aborts_on_concurrent_commit(spark, tmp_path, monkeypatch):
     )
     assert (keys[0], 777) in latest
     assert (keys[0], 0) not in latest
+
+
+def test_compact_converges(spark, tmp_path):
+    """compact() must be idempotent at the fixpoint: a second call over
+    already-compacted data returns -1 instead of rewriting the same
+    rows into a fresh dir and bumping the version forever."""
+    from api_to_parquet_spark import snapshots
+
+    root = str(tmp_path / "snap")
+    for i in range(3):
+        df = spark.range(5).selectExpr(
+            "id", f"'k{i}' AS file", "1 AS time_generated"
+        )
+        snapshots.commit_batch(spark, root, df)
+    v = snapshots.compact(spark, root, target_bytes=10 * 1024 * 1024)
+    assert v >= 0
+    assert snapshots.compact(spark, root, target_bytes=10 * 1024 * 1024) == -1
