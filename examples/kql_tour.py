@@ -79,6 +79,16 @@ def main() -> None:
         " | evaluate basket(0.15)",
     ).show()
 
+    print("== graph analytics (make-graph + graph-match) ==")
+    kql(
+        spark,
+        'datatable(src: string, dst: string, w: long)'
+        ' ["a","b",1, "b","c",2, "a","c",3, "c","d",1]'
+        " | make-graph src --> dst"
+        " | graph-match (x)-[e*1..3]->(y)"
+        ' where x == "a" project x, y | sort by y asc',
+    ).show()
+
     print("== ad-hoc dimension (datatable + lookup) + render ==")
     kql(
         spark,

@@ -207,6 +207,19 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 lambda term: (f'search "{term}"', cols)
             )
         )
+        # literals carrying operator/pipe/function-call text: the
+        # translator must treat them as opaque strings (round-3
+        # review findings pinned as fuzz shapes)
+        opts.append(
+            st.sampled_from(
+                ["a|b", "x==y", "case(a,b,c)", "p, q", "n =~ m"]
+            ).map(
+                lambda lit: (
+                    f'where {str_[0]} != "{lit}"',
+                    cols,
+                )
+            )
+        )
     if "m" in cols:  # make-series output array column
         opts.append(st.just(("extend so = series_outliers(m)", (*cols, "so"))))
         opts.append(
