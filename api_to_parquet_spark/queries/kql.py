@@ -314,6 +314,32 @@ def _rewrite_fn(e: str, name: str, build) -> str:
         i = j
 
 
+def _pred_sub(pattern: str, repl, text: str) -> str:
+    """re.sub (case-insensitive) that skips matches STARTING inside a
+    quoted string literal. Unlike _sub_outside_strings — which rewrites
+    the between-literal gaps and so can never match a predicate whose
+    RHS terms are themselves quoted — this searches the full text and
+    only discards a match whose start position falls inside a literal:
+    the operand of `s != 'q has_any (x)'` stays text (round-4 review
+    finding), while `props has_any ('k', 'zz')` still rewrites."""
+    spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(text)]
+    pat = re.compile(pattern, re.IGNORECASE)
+    out, i = [], 0
+    while True:
+        m = pat.search(text, i)
+        if not m:
+            out.append(text[i:])
+            return "".join(out)
+        span = next((s for s in spans if s[0] <= m.start() < s[1]), None)
+        if span is not None:
+            out.append(text[i : span[1]])
+            i = span[1]
+            continue
+        out.append(text[i : m.start()])
+        out.append(repl(m) if callable(repl) else m.expand(repl))
+        i = m.end()
+
+
 def _case_sql(args: list[str]) -> str:
     """KQL case(pred1, val1, …, default) -> CASE WHEN."""
     if len(args) < 3 or len(args) % 2 == 0:
@@ -1018,45 +1044,37 @@ def _expr(kql_expr: str) -> str:
         e,
         flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+!contains_cs\s+{_STR}", r"NOT contains(\1, \2)", e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+contains_cs\s+{_STR}", r"contains(\1, \2)", e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+!contains\s+{_STR}",
         r"NOT contains(lower(\1), lower(\2))",
         e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+contains\s+{_STR}",
         r"contains(lower(\1), lower(\2))",
         e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+startswith_cs\s+{_STR}", r"startswith(\1, \2)", e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+startswith\s+{_STR}",
         r"startswith(lower(\1), lower(\2))",
         e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+endswith_cs\s+{_STR}", r"endswith(\1, \2)", e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+endswith\s+{_STR}",
         r"endswith(lower(\1), lower(\2))",
         e,
-        flags=re.IGNORECASE,
     )
     # KQL `has` is whole-term match (tokenized in ADX); the Spark twin is
     # a word-boundary regexp — same answer for alphanumeric terms. The
@@ -1074,29 +1092,27 @@ def _expr(kql_expr: str) -> str:
         ]
         return "(" + f" {joiner} ".join(preds) + ")"
 
-    e = re.sub(
-        r"(\S+)\s+has_any\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)",
+    # _OPND column operand + match-start span-skip (round-4 review
+    # finding): a literal containing "q has_any (x)" must stay text.
+    e = _pred_sub(
+        rf"{_OPND}\s+has_any\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)",
         lambda m: _has_list(m, "OR"),
         e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
-        r"(\S+)\s+has_all\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)",
+    e = _pred_sub(
+        rf"{_OPND}\s+has_all\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)",
         lambda m: _has_list(m, "AND"),
         e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+has_cs\s+{_STR}",
         r"\1 RLIKE concat('\\\\b\\\\Q', \2, '\\\\E\\\\b')",
         e,
-        flags=re.IGNORECASE,
     )
-    e = re.sub(
+    e = _pred_sub(
         rf"(\S+)\s+has\s+{_STR}",
         r"\1 RLIKE concat('(?i)\\\\b\\\\Q', \2, '\\\\E\\\\b')",
         e,
-        flags=re.IGNORECASE,
     )
     return e
 
@@ -1156,6 +1172,46 @@ _AGG_FNS = {
     "make_list",
     "make_set",
 }
+
+
+def _split_by(text: str) -> list[str]:
+    """Split `summarize`-style text on the first TOP-LEVEL `by` keyword
+    (depth 0, outside both quote flavors, word-bounded). A bare
+    re.split(r"\\bby\\b") corrupts an aggregate argument whose string
+    literal contains the word (countif(x == "a by b")) — review
+    finding. Returns [aggs] or [aggs, groups]."""
+    depth, quote, skip = 0, None, False
+    for i, ch in enumerate(text):
+        if skip:
+            skip = False
+            continue
+        if quote == '"' and ch == "\\":
+            skip = True
+            continue
+        if quote is None and ch in "'\"":
+            quote = ch
+            continue
+        if quote == ch:
+            quote = None
+            continue
+        if quote is not None:
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif (
+            depth == 0
+            and ch in "bB"
+            and text[i : i + 2].lower() == "by"
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (
+                i + 2 == len(text)
+                or not (text[i + 2].isalnum() or text[i + 2] == "_")
+            )
+        ):
+            return [text[:i], text[i + 2 :]]
+    return [text]
 
 
 def _agg_items(item: str, auto_idx: int) -> list[str]:
@@ -1616,7 +1672,7 @@ def kql_to_sql(
         )
         if pm:
             key, sb = pm.group(1), pm.group(2)[len("summarize"):]
-            parts = re.split(r"\bby\b", sb, maxsplit=1)
+            parts = _split_by(sb)
             stage = (
                 "summarize " + parts[0].strip() + " by "
                 + ((parts[1].strip() + ", ") if len(parts) == 2 else "")
@@ -1682,7 +1738,7 @@ def kql_to_sql(
                     items.append(f"{ex} AS {m.group(1)}")
                 sql = f"SELECT *, {', '.join(items)} FROM {prev}"
         elif op == "summarize":
-            parts = re.split(r"\bby\b", body, maxsplit=1)
+            parts = _split_by(body)
             star = re.search(
                 r"\b(arg_max|arg_min)\s*\(\s*(\w+)\s*,\s*\*\s*\)", parts[0]
             )
@@ -2620,12 +2676,14 @@ def kql_to_sql(
             # Others row) — otherwise a NULL group in the top-k both
             # empties the NOT IN exclusion and double-counts
             nn_where = f" WHERE {g1} IS NOT NULL" if others1 else ""
-            level1 = (
-                f"SELECT {gsel}, {a1} FROM ("
-                f"SELECT {g1}, {a1},"
+            ranked1 = (
+                f"SELECT {gsel}, {a1},"
                 f" row_number() OVER (ORDER BY {a1} DESC, {g1} ASC) AS _rn"
                 f" FROM (SELECT {g1}, {a1sql} AS {a1} FROM {prev}"
-                f"{nn_where} GROUP BY {g1}) AS _tn1) AS _tn1r"
+                f"{nn_where} GROUP BY {g1}) AS _tn1"
+            )
+            level1 = (
+                f"SELECT {g1}, {a1} FROM ({ranked1}) AS _tn1r"
                 f" WHERE _rn <= {n1}"
             )
             if others1:
@@ -2639,13 +2697,19 @@ def kql_to_sql(
                 # and silently drop NULL-keyed input rows (review
                 # finding) — NULL keys route to Others, and the top-k
                 # list is filtered to non-null before the NOT IN.
+                # The ranked grouped aggregate is a CTE computed ONCE:
+                # both the top-k branch and the Others exclusion read
+                # it, so the upstream pipe is embedded twice (grouped
+                # agg + raw-row Others re-aggregate), not three times
+                # (round-4 review finding — cf. the one-scan basket).
                 level1 = (
-                    f"({level1}) UNION ALL "
+                    f"WITH _tnb{i} AS ({ranked1}) "
+                    f"(SELECT {g1}, {a1} FROM _tnb{i} WHERE _rn <= {n1})"
+                    f" UNION ALL "
                     f"(SELECT {label} AS {g1}, {a1sql} AS {a1}"
                     f" FROM {prev} WHERE {g1} IS NULL"
                     f" OR CAST({g1} AS STRING) NOT IN"
-                    f" (SELECT {g1} FROM ({level1}) AS _tno"
-                    f" WHERE {g1} IS NOT NULL))"
+                    f" (SELECT {g1} FROM _tnb{i} WHERE _rn <= {n1}))"
                 )
             if len(clauses) == 1:
                 sql = level1
@@ -3755,7 +3819,8 @@ ORACLE = {
             FROM events
         ), seg AS (
             SELECT event_type, band, COUNT(*) AS Count,
-                   round(100.0 * COUNT(*) / max(_tot), 2) AS Percent
+                   round(CAST(100 AS DOUBLE) * COUNT(*) / max(_tot), 2)
+                       AS Percent
             FROM proj CROSS JOIN (SELECT COUNT(*) AS _tot FROM proj) t
             GROUP BY CUBE (event_type, band)
             HAVING COUNT(*) >= 0.1 * max(_tot)
