@@ -23,9 +23,13 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                                  floor)
     T | project-away c1, c2     -> SELECT * EXCEPT (c1, c2)
     T | mv-expand c             -> LATERAL VIEW explode(c)
-    T | join kind=k (T2|…) on c -> JOIN/LEFT/RIGHT/FULL/SEMI/ANTI USING (c)
-                                   (innerunique maps to inner — divergence
-                                   documented: no left-side key dedup)
+    T | join kind=k (T2|…) on c -> JOIN/LEFT/RIGHT/FULL/SEMI/ANTI/
+                                   RIGHTSEMI/RIGHTANTI USING (c);
+                                   innerunique (the ADX DEFAULT, kind
+                                   omitted) dedupes the left side on the
+                                   key first — deterministic kept row
+                                   (first by all orderable columns) when
+                                   a session allows schema discovery
     T | lookup [kind=k] (dim) on c -> LEFT/INNER join with an explicit
                                    BROADCAST hint (the dimension-join
                                    physical strategy ADX promises)
@@ -2032,10 +2036,15 @@ def kql_to_sql(
             )
             if not m:
                 raise ValueError(f"join needs [kind=k] (pipe) on cols: {body!r}")
-            kind = (m.group(1) or "inner").lower()
-            # KQL's default is innerunique (left side deduped on the key);
-            # we map it — and inner — to a plain inner join, documented
-            # divergence for the dedup-on-key nuance.
+            kind = (m.group(1) or "innerunique").lower()
+            # ADX's DEFAULT join kind is innerunique: the LEFT side is
+            # deduplicated on the join key (one arbitrary row per key)
+            # before an inner join. Faithful here: the left pipe gets a
+            # row_number-per-key dedup first. With a session, the kept
+            # row is deterministic (first by every orderable column —
+            # a refinement of ADX's "arbitrary", needed for oracle
+            # parity); without one, the window orders by the key alone
+            # (arbitrary row — exactly ADX's contract).
             joins = {
                 "inner": "JOIN",
                 "innerunique": "JOIN",
@@ -2045,12 +2054,54 @@ def kql_to_sql(
                 "leftsemi": "LEFT SEMI JOIN",
                 "leftanti": "LEFT ANTI JOIN",
                 "anti": "LEFT ANTI JOIN",
+                # Spark SQL has no RIGHT SEMI/ANTI syntax: the sides are
+                # swapped below and these become LEFT SEMI/ANTI (output =
+                # right-pipe columns only, the ADX contract).
+                "rightsemi": "LEFT SEMI JOIN",
+                "rightanti": "LEFT ANTI JOIN",
             }
             if kind not in joins:
                 raise ValueError(f"unsupported join kind: {kind!r}")
             right = kql_to_sql(m.group(2).strip(), spark, _tabular)
             keys = [k.strip() for k in _split_top_level(m.group(3))]
-            if any("$left" in k or "$right" in k for k in keys):
+            qualified = any("$left" in k or "$right" in k for k in keys)
+            if kind == "innerunique":
+                left_keys = keys
+                if qualified:
+                    left_keys = []
+                    for k in keys:
+                        km = re.match(r"\$left\.(\w+)\s*==", k.strip())
+                        if not km:
+                            raise ValueError(
+                                f"join needs '$left.a == $right.b': {k!r}"
+                            )
+                        left_keys.append(km.group(1))
+                from pyspark.sql.types import MapType
+
+                order_cols = left_keys
+                if spark is not None:
+                    # deterministic kept-row: order by every orderable
+                    # column (maps are not comparable in Spark)
+                    order_cols = [
+                        f.name
+                        for f in spark.sql(sql).schema.fields
+                        if not isinstance(f.dataType, MapType)
+                    ] or left_keys
+                sql = (
+                    f"SELECT * EXCEPT (_iu) FROM (SELECT *,"
+                    f" row_number() OVER (PARTITION BY"
+                    f" {', '.join(left_keys)} ORDER BY"
+                    f" {', '.join(order_cols)}) AS _iu"
+                    f" FROM ({sql}) AS _iul{i}) AS _iur{i} WHERE _iu = 1"
+                )
+                prev = f"({sql}) AS _s{i}"  # deduped left replaces prev
+            if kind in ("rightsemi", "rightanti"):
+                # swap: the RIGHT pipe drives, the left filters it
+                left_sql, right = right, sql
+                prev = f"({left_sql}) AS _s{i}"
+            else:
+                left_sql = sql
+            if qualified:
                 # `on $left.a == $right.b` — the qualified-key form for
                 # differently-named join columns. ADX keeps BOTH key
                 # columns; so does this ON-join (same-name keys must use
@@ -2064,11 +2115,12 @@ def kql_to_sql(
                         raise ValueError(
                             f"join needs '$left.a == $right.b': {k!r}"
                         )
-                    conds.append(
-                        f"_l{i}.{km.group(1)} = _r{i}.{km.group(2)}"
-                    )
+                    lk, rk = km.group(1), km.group(2)
+                    if kind in ("rightsemi", "rightanti"):
+                        lk, rk = rk, lk  # sides swapped above
+                    conds.append(f"_l{i}.{lk} = _r{i}.{rk}")
                 sql = (
-                    f"SELECT * FROM ({sql}) AS _l{i} {joins[kind]}"
+                    f"SELECT * FROM ({left_sql}) AS _l{i} {joins[kind]}"
                     f" ({right}) AS _r{i} ON {' AND '.join(conds)}"
                 )
             else:
@@ -2850,6 +2902,58 @@ def q_kql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_join_innerunique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX's DEFAULT join kind (`join` with no kind=): innerunique —
+    the left side is deduplicated on the join key before the inner
+    join. The left pipe here has many rows per user_id, so a plain
+    inner join would return more rows than ADX; the faithful
+    translation keeps exactly one (deterministic: first by every
+    orderable column — refinement of ADX's arbitrary pick, mirrored
+    textually in the DuckDB oracle's row_number)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | where event_type == "purchase"'
+        " | project user_id, event_id, cents = round(value * 100)"
+        " | join (events | summarize n_events = count() by user_id)"
+        " on user_id"
+        " | sort by user_id asc",
+    )
+
+
+def q_kql_join_rightsemi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`join kind=rightsemi` — rows of the RIGHT pipe whose key appears
+    in the left (right-side columns only, the ADX contract). Spark SQL
+    has no RIGHT SEMI syntax, so the translator swaps sides into a
+    LEFT SEMI JOIN."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | where event_type == "purchase"'
+        " | join kind=rightsemi"
+        ' (events | where event_type == "view"'
+        " | project user_id, event_id, value) on user_id"
+        " | summarize n = count(), cents = sum(round(value * 100))"
+        " by user_id"
+        " | sort by user_id asc",
+    )
+
+
+def q_kql_join_rightanti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`join kind=rightanti` — rows of the RIGHT pipe whose key does
+    NOT appear in the left (the sides-swapped twin of leftanti)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | where event_type == "purchase" and value > 95'
+        " | join kind=rightanti"
+        ' (events | where event_type == "click"'
+        " | project user_id, event_id) on user_id"
+        " | summarize n = count() by user_id"
+        " | sort by user_id asc",
+    )
+
+
 def q_kql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL mv-expand (array explode) + scalar functions through the
     translator: split the props JSON into fragments, expand to rows,
@@ -3618,6 +3722,9 @@ QUERIES = {
     "kql_summarize": q_kql_summarize,
     "kql_top": q_kql_top,
     "kql_join": q_kql_join,
+    "kql_join_innerunique": q_kql_join_innerunique,
+    "kql_join_rightsemi": q_kql_join_rightsemi,
+    "kql_join_rightanti": q_kql_join_rightanti,
     "kql_mv_expand": q_kql_mv_expand,
     "kql_scalar_fns": q_kql_scalar_fns,
     "kql_union_rename": q_kql_union_rename,
@@ -4185,6 +4292,40 @@ ORACLE = {
         SELECT user_id, spend_cents, n_events
         FROM spend JOIN cnt USING (user_id)
         ORDER BY spend_cents DESC, user_id LIMIT 20
+    """,
+    "kql_join_innerunique": """
+        WITH l AS (
+            SELECT user_id, event_id, round(value * 100) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), d AS (
+            SELECT user_id, event_id, cents FROM (
+                SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY user_id, event_id, cents) AS _iu FROM l
+            ) AS _r WHERE _iu = 1
+        ), r AS (
+            SELECT user_id, COUNT(*) AS n_events FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, event_id, cents, n_events
+        FROM d JOIN r USING (user_id) ORDER BY user_id
+    """,
+    "kql_join_rightsemi": """
+        SELECT user_id, COUNT(*) AS n,
+               SUM(ROUND(value * 100)) AS cents
+        FROM (SELECT user_id, event_id, value FROM events
+              WHERE event_type = 'view') AS v
+        WHERE user_id IN (SELECT user_id FROM events
+                          WHERE event_type = 'purchase')
+        GROUP BY user_id ORDER BY user_id
+    """,
+    "kql_join_rightanti": """
+        SELECT user_id, COUNT(*) AS n
+        FROM (SELECT user_id, event_id FROM events
+              WHERE event_type = 'click') AS c
+        WHERE user_id NOT IN (SELECT user_id FROM events
+                              WHERE event_type = 'purchase'
+                                AND value > 95)
+        GROUP BY user_id ORDER BY user_id
     """,
     "kql_mv_expand": """
         WITH parts AS (

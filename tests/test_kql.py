@@ -589,6 +589,66 @@ def test_join_qualified_keys_keep_both_columns(spark, sf_smoke):
         kql_to_sql("T | join (U) on $left.a == b.c")
 
 
+def test_join_innerunique_dedupes_left_on_key(spark):
+    """ADX's DEFAULT join kind dedupes the left side on the key before
+    the inner join: a dup-key left yields ONE output row per matched
+    key, and with a session the kept row is deterministic (first by
+    every orderable column)."""
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 'b'), (1, 'a'), (2, 'c'))"
+        " AS t(k, v)"
+    ).createOrReplaceTempView("iu_left")
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 10), (1, 11), (3, 30)) AS t(k, w)"
+    ).createOrReplaceTempView("iu_right")
+    rows = kql(
+        spark,
+        "iu_left | join (iu_right | project k, w) on k"
+        " | sort by k asc, w asc",
+    ).collect()
+    # left deduped to (1,'a') [first by (k, v)], then inner-joined:
+    # right dup keys are NOT deduped (ADX contract)
+    assert [(r["k"], r["v"], r["w"]) for r in rows] == [
+        (1, "a", 10),
+        (1, "a", 11),
+    ]
+    # explicit kind=inner keeps all left duplicates
+    n_inner = kql(
+        spark, "iu_left | join kind=inner (iu_right) on k | count"
+    ).collect()[0]["count_"]
+    assert n_inner == 4
+
+
+def test_join_right_semi_anti(spark):
+    """rightsemi/rightanti return RIGHT-pipe rows (and columns) by
+    left-key presence/absence — translated by swapping the sides into
+    Spark's LEFT SEMI/ANTI."""
+    spark.sql(
+        "SELECT * FROM (VALUES (1), (2)) AS t(k)"
+    ).createOrReplaceTempView("rs_left")
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 'x'), (2, 'y'), (3, 'z'))"
+        " AS t(k, v)"
+    ).createOrReplaceTempView("rs_right")
+    semi = kql(
+        spark,
+        "rs_left | join kind=rightsemi (rs_right) on k | sort by k asc",
+    ).collect()
+    assert [(r["k"], r["v"]) for r in semi] == [(1, "x"), (2, "y")]
+    anti = kql(
+        spark,
+        "rs_left | join kind=rightanti (rs_right) on k | sort by k asc",
+    ).collect()
+    assert [(r["k"], r["v"]) for r in anti] == [(3, "z")]
+    # qualified-key form swaps the condition sides too
+    qual = kql(
+        spark,
+        "rs_left | project k2 = k | join kind=rightsemi (rs_right)"
+        " on $left.k2 == $right.k | sort by k asc",
+    ).collect()
+    assert [(r["k"], r["v"]) for r in qual] == [(1, "x"), (2, "y")]
+
+
 def test_series_fit_line_exact(spark):
     """series_fit_line on a perfectly linear series: slope/interception
     recovered exactly, rsquare = 1, rvariance = 0, line_fit == input."""
