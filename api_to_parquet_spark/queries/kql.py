@@ -907,6 +907,70 @@ def _expr(kql_expr: str) -> str:
     # conversions use Spark's function-style casts (bigint()/double()/…)
     # so no balanced-paren rewriting is needed; parse_json(c).k becomes
     # a JSONPath extraction.
+    # scalar batch 3 (round-4): bag_keys / todynamic / extract_all /
+    # parse_url — the most-typed remaining ADX scalars. Dynamic values
+    # in this engine are JSON text (the lake's props shape), so
+    # todynamic is parse_json's synonym and bag_keys peels either
+    # wrapper before reading the keys of the JSON object itself.
+    def _bag_keys_sql(a: list[str]) -> str:
+        if len(a) != 1:
+            raise ValueError(f"bag_keys needs one argument: {a!r}")
+        arg = a[0].strip()
+        m = re.match(
+            r"^(?:parse_json|todynamic)\s*\((.+)\)$", arg, re.DOTALL
+        )
+        if m:
+            arg = m.group(1).strip()
+        return f"json_object_keys({arg})"
+
+    e = _rewrite_fn(e, "bag_keys", _bag_keys_sql)
+    e = _sub_outside_strings(r"\btodynamic\(", "parse_json(", e)
+
+    def _extract_all_sql(a: list[str]) -> str:
+        # ADX extract_all(regex, source): regex must carry 1..16
+        # capture groups; one group returns its matches, several
+        # return arrays of arrays (no Spark analogue) — explicit
+        # subset: exactly one group, literal pattern (inspected at
+        # translation time for the group count).
+        if len(a) != 2:
+            raise ValueError(f"extract_all needs (regex, source): {a!r}")
+        pat = a[0].strip()
+        if not re.match(r"^'(?:[^']|'')*'$", pat):
+            raise ValueError(
+                "extract_all needs a literal regex —"
+                f" explicit-subset contract: {pat!r}"
+            )
+        ngroups = len(re.findall(r"(?<!\\)\((?!\?)", pat[1:-1]))
+        if ngroups != 1:
+            raise ValueError(
+                "extract_all supports exactly one capture group"
+                f" (got {ngroups}; multi-group returns arrays of"
+                " arrays — unsupported)"
+            )
+        return f"regexp_extract_all({a[1].strip()}, {pat}, 1)"
+
+    e = _rewrite_fn(e, "extract_all", _extract_all_sql)
+
+    def _parse_url_sql(a: list[str]) -> str:
+        # ADX parse_url returns a property bag; here a STRUCT whose
+        # fields mirror the ADX keys (all strings), so .Host/.Port/…
+        # access works natively. "Query Parameters" (space in the
+        # key) is out of the subset — use .Query for the raw string.
+        if len(a) != 1:
+            raise ValueError(f"parse_url needs one argument: {a!r}")
+        u = a[0].strip()
+        return (
+            "named_struct("
+            f"'Scheme', parse_url({u}, 'PROTOCOL'),"
+            f" 'Host', parse_url({u}, 'HOST'),"
+            f" 'Port', regexp_extract(parse_url({u}, 'AUTHORITY'),"
+            f" ':([0-9]+)$', 1),"
+            f" 'Path', parse_url({u}, 'PATH'),"
+            f" 'Query', parse_url({u}, 'QUERY'),"
+            f" 'Fragment', parse_url({u}, 'REF'))"
+        )
+
+    e = _rewrite_fn(e, "parse_url", _parse_url_sql)
     e = _sub_outside_strings(r"\bparse_json\((\w+)\)\.(\w+)", r"get_json_object(\1, '$.\2')", e)
     e = _sub_outside_strings(r"\bstrlen\(", "length(", e)
     e = _sub_outside_strings(r"\bstrcat_array\(", "array_join(", e)
@@ -1568,6 +1632,69 @@ def _window_rewrite(expr_sql: str, order_keys: list[str]) -> str:
     return e
 
 
+def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
+    """localCheckpoint the translated child pipe and register it as a
+    uniquely-named temp view. evaluate pivot/bag_unpack must SCAN the
+    child twice (column discovery + the final query); without this an
+    expensive upstream pipe is evaluated twice (round-3 verdict
+    finding). The checkpoint breaks lineage, so the final plan reads
+    the materialized rows (Scan ExistingRDD — plan-asserted in
+    tests/test_kql.py)."""
+    import uuid
+
+    view = f"_kql_cache_{tag}_{uuid.uuid4().hex[:12]}"
+    spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+    return f"SELECT * FROM {view}"
+
+
+def _fork_branches(text: str) -> list[tuple[str | None, str]]:
+    """Parse `fork [name =] (pipe) [name =] (pipe) …` into
+    (name, branch_text) pairs — balanced-paren scan, quote-aware (a
+    `)` inside a branch's string literal must not close it)."""
+    branches: list[tuple[str | None, str]] = []
+    i, n = 0, len(text)
+    while True:
+        while i < n and text[i].isspace():
+            i += 1
+        if i >= n:
+            break
+        name = None
+        nm = re.match(r"(\w+)\s*=\s*", text[i:])
+        if nm:
+            name = nm.group(1)
+            i += nm.end()
+        if i >= n or text[i] != "(":
+            raise ValueError(
+                f"fork needs '[name =] (pipe)' branches: {text!r}"
+            )
+        depth, quote, skip, j = 0, None, False, i
+        while j < n:
+            ch = text[j]
+            if skip:
+                skip = False
+            elif quote == '"' and ch == "\\":
+                skip = True
+            elif quote is None and ch in "'\"":
+                quote = ch
+            elif quote == ch:
+                quote = None
+            elif quote is None:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            j += 1
+        if depth != 0:
+            raise ValueError(f"fork: unbalanced branch parens: {text!r}")
+        branches.append((name, text[i + 1 : j].strip()))
+        i = j + 1
+    if len(branches) < 2:
+        raise ValueError("fork needs at least two branches")
+    return branches
+
+
 def kql_to_sql(
     kql: str,
     spark: SparkSession | None = None,
@@ -1657,7 +1784,14 @@ def kql_to_sql(
     if rng or prnt or dtable:
         pass
     elif stages[0] in _tabular:
-        base = kql_to_sql(_tabular[stages[0]], spark, _tabular)
+        tdef = _tabular[stages[0]]
+        # plain str = tabular let (KQL text, translated on use);
+        # ("sql", s) = a subtree already translated — `as` names these
+        base = (
+            tdef[1]
+            if isinstance(tdef, tuple)
+            else kql_to_sql(tdef, spark, _tabular)
+        )
         sql = f"SELECT * FROM ({base}) AS _let_{stages[0]}"
     else:
         sql = f"SELECT * FROM {stages[0]}"
@@ -1682,6 +1816,25 @@ def kql_to_sql(
                 + ((parts[1].strip() + ", ") if len(parts) == 2 else "")
                 + key
             )
+        if spark is not None and re.search(
+            r"\bcolumn_ifexists\s*\(", stage, re.IGNORECASE
+        ):
+            # column_ifexists(name, default) — resolved at translation
+            # time against the CURRENT pipe schema (the only point
+            # where the set of columns is known); without a session
+            # the call falls through to Spark's parser, which rejects
+            # it loudly (explicit-subset contract).
+            names = {f.name for f in spark.sql(sql).schema.fields}
+
+            def _cie(a: list[str]) -> str:
+                if len(a) != 2:
+                    raise ValueError(
+                        f"column_ifexists needs (name, default): {a!r}"
+                    )
+                nm = a[0].strip().strip("'\"")
+                return nm if nm in names else a[1].strip()
+
+            stage = _rewrite_fn(stage, "column_ifexists", _cie)
         words = stage.split(None, 1)
         op = words[0].lower()
         body = words[1] if len(words) > 1 else ""
@@ -1898,6 +2051,8 @@ def kql_to_sql(
                 if spark is None:
                     raise ValueError("evaluate bag_unpack needs a SparkSession")
                 bc = bm.group(1)
+                sql = _cache_child(spark, sql, "bagunpack")
+                prev = f"({sql}) AS _s{i}"
                 keys = sorted(
                     r[0]
                     for r in spark.sql(
@@ -2012,6 +2167,8 @@ def kql_to_sql(
                 raise ValueError("evaluate pivot needs a SparkSession")
             pc, aggtext = m.group(1), m.group(2).strip()
             agg_sql = _agg(aggtext, 0).rsplit(" AS ", 1)[0]
+            sql = _cache_child(spark, sql, "pivot")
+            prev = f"({sql}) AS _s{i}"
             vals = sorted(
                 r[0]
                 for r in spark.sql(
@@ -2339,6 +2496,61 @@ def kql_to_sql(
             olds = ", ".join(o for _, o in pairs)
             renames = ", ".join(f"{o} AS {n}" for n, o in pairs)
             sql = f"SELECT * EXCEPT ({olds}), {renames} FROM {prev}"
+        elif op == "as":
+            # `| as name` — name the current subtree for later
+            # reference (union/join/fork subpipes or a later query in
+            # this statement share _tabular). Stored as ALREADY-
+            # TRANSLATED SQL: identical embedded subtrees let Spark's
+            # ReuseExchange/ReusedSubquery dedupe the physical work, so
+            # no materialization happens here (ADX's `as` is likewise a
+            # naming, not a caching, construct; materialize() is the
+            # caching hint and is handled in _apply_lets).
+            am = re.match(
+                r"^(?:hint\.materialized\s*=\s*\w+\s+)?(\w+)\s*$", body
+            )
+            if not am:
+                raise ValueError(f"as needs a name: {body!r}")
+            _tabular[am.group(1)] = ("sql", sql)
+            continue
+        elif op == "fork":
+            # `fork [n1 =] (pipe1) [n2 =] (pipe2) …` — ADX runs each
+            # branch over the SAME input and returns one table per
+            # branch; the single-DataFrame analogue (like facet) is a
+            # labeled, name-aligned UNION ALL with a fork_branch
+            # column. Every branch embeds the identical prefix SQL:
+            # when the prefix ends in an exchange (agg/join), Spark's
+            # ReuseExchange computes it once (plan-asserted in tests);
+            # a bare-scan prefix is re-scanned per branch — the same
+            # cost model as ADX's fork over a pass-through source.
+            if spark is None:
+                raise ValueError(
+                    "fork needs a SparkSession (schema alignment)"
+                )
+            branches = _fork_branches(body)
+            src = f"_fork_src{i}"
+            _tabular[src] = ("sql", sql)
+            bsqls: list[tuple[str, str]] = []
+            for j, (bname, btext) in enumerate(branches, 1):
+                label = bname or f"branch_{j}"
+                bsqls.append(
+                    (label, kql_to_sql(f"{src} | {btext}", spark, _tabular))
+                )
+            allc: list[str] = []
+            bcols = []
+            for label, bsql in bsqls:
+                cols = spark.sql(bsql).columns
+                bcols.append(cols)
+                allc.extend(c for c in cols if c not in allc)
+            parts = []
+            for (label, bsql), cols in zip(bsqls, bcols):
+                sel = ", ".join(
+                    c if c in cols else f"NULL AS {c}" for c in allc
+                )
+                parts.append(
+                    f"(SELECT '{label}' AS fork_branch, {sel}"
+                    f" FROM ({bsql}) AS _f{i}_{label})"
+                )
+            sql = " UNION ALL ".join(parts)
         elif op == "union":
             m = re.match(
                 r"(?:kind\s*=\s*\w+\s+)?(?:isfuzzy\s*=\s*(true|false)\s+)?"
@@ -2420,6 +2632,67 @@ def kql_to_sql(
                 # parse emits nulls, parse-where filters) — same regex,
                 # so the filter costs one extra RLIKE, not a re-parse.
                 sql += f" WHERE {m.group(1)} RLIKE '{regex_sql}'"
+        elif op == "parse-kv":
+            # `parse-kv col as (k1:t1, …) with (pair_delimiter="…",
+            # kv_delimiter="…")` — key-value extraction (the log-
+            # analytics staple). ONE map-side str_to_map per row, one
+            # try_element_at per requested key (NULL when absent),
+            # try_cast to the declared type. Spark's str_to_map
+            # delimiters are REGEXES, so the literal delimiters are
+            # regex-escaped at translation time. Explicit subset: the
+            # delimiter-based mode only (ADX's regex mode is `parse`).
+            km = re.match(
+                r"^(\w+)\s+as\s+\(\s*(.+?)\s*\)\s*"
+                r"with\s*\(\s*(.+?)\s*\)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not km:
+                raise ValueError(
+                    "parse-kv needs 'col as (k:type, …) with"
+                    f" (pair_delimiter=\"…\", kv_delimiter=\"…\")': {body!r}"
+                )
+            col, defs_text, opts_text = km.groups()
+            opts = {}
+            for o in _split_top_level(opts_text):
+                om = re.match(
+                    r"^(pair_delimiter|kv_delimiter)\s*=\s*"
+                    r'"((?:[^"\\]|\\.)*)"$',
+                    o.strip(),
+                    re.IGNORECASE,
+                )
+                if not om:
+                    raise ValueError(f"unsupported parse-kv option: {o!r}")
+                opts[om.group(1).lower()] = om.group(2)
+            if set(opts) != {"pair_delimiter", "kv_delimiter"}:
+                raise ValueError(
+                    "parse-kv needs BOTH pair_delimiter and kv_delimiter"
+                )
+
+            def _delim_lit(d: str) -> str:
+                # literal delimiter -> regex-escaped SQL string literal
+                return "'" + re.escape(d).replace("\\", "\\\\").replace(
+                    "'", "''"
+                ) + "'"
+
+            pd_lit = _delim_lit(opts["pair_delimiter"])
+            kv_lit = _delim_lit(opts["kv_delimiter"])
+            items = []
+            for cdef in _split_top_level(defs_text):
+                cm = re.match(r"^(\w+)\s*:\s*(\w+)$", cdef.strip())
+                if not cm or cm.group(2).lower() not in _KQL_TYPES:
+                    raise ValueError(
+                        f"parse-kv key needs name:type: {cdef!r}"
+                    )
+                name, ktype = cm.group(1), _KQL_TYPES[cm.group(2).lower()]
+                val = (
+                    f"try_element_at(str_to_map({col}, {pd_lit},"
+                    f" {kv_lit}), '{name}')"
+                )
+                if ktype != "STRING":
+                    val = f"try_cast({val} AS {ktype})"
+                items.append(f"{val} AS {name}")
+            sql = f"SELECT *, {', '.join(items)} FROM {prev}"
         elif op == "sample":
             # ADX sample is non-deterministic; this translation is a
             # DETERMINISTIC pseudo-random refinement — order by a hash
@@ -3482,6 +3755,69 @@ def q_kql_scalar_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third scalar-function batch (round-4): parse_url field access
+    (struct-bag refinement of ADX's property bag), extract_all (one
+    capture group), bag_keys/todynamic over JSON-text dynamics,
+    coalesce (pass-through), array_concat, and translation-time
+    column_ifexists schema resolution — all JVM-side, zero shuffle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 200"
+        ' | extend u = strcat("https://shop.example.com:8443/cat/",'
+        ' event_type, "?page=", tostring(event_id), "#top")'
+        " | extend scheme = parse_url(u).Scheme, host = parse_url(u).Host,"
+        " port = parse_url(u).Port, path = parse_url(u).Path,"
+        " qry = parse_url(u).Query, frag = parse_url(u).Fragment"
+        ' | extend numcat = strcat_array(extract_all("([0-9]+)", u), "-")'
+        ' | extend kset = strcat_array(bag_keys(props), ",")'
+        " | extend kval = tolong(todynamic(props).k)"
+        ' | extend ce = column_ifexists("no_such_column", "dflt"),'
+        ' co = column_ifexists("event_type", "dflt"),'
+        ' cv = coalesce(column_ifexists("also_missing", ""), event_type)'
+        " | extend pair = strcat_array(array_concat(pack_array(event_type),"
+        ' pack_array(ce)), "|")'
+        " | project event_id, scheme, host, port, path, qry, frag,"
+        " numcat, kset, kval, ce, co, cv, pair",
+    )
+
+
+def q_kql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`as` + `fork` — the multi-consumer pipe constructs: the per-user
+    aggregate is named with `as`, then fork runs two branches over it
+    as a labeled name-aligned union. Both branches embed the identical
+    aggregate subtree, which Spark executes ONCE via ReuseExchange
+    (plan-asserted in tests/test_kql.py)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        " | summarize n = count(), cents = sum(round(value * 100))"
+        " by user_id"
+        " | as peruser"
+        " | fork hi = (where n >= 30 | project user_id, n, cents)"
+        " lo = (summarize users = count())",
+    )
+
+
+def q_kql_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse-kv` — delimiter-based key-value extraction into typed
+    columns (one map-side str_to_map, NULL for absent keys), over a
+    kv-string constructed identically in the DuckDB oracle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        ' | extend kvs = strcat("kt=", event_type,'
+        ' " kid=", tostring(event_id), " kflag=on")'
+        " | parse-kv kvs as (kt:string, kid:long, kflag:string,"
+        " kmiss:string)"
+        ' with (pair_delimiter=" ", kv_delimiter="=")'
+        " | project event_id, kt, kid, kflag, kmiss",
+    )
+
+
 def q_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate narrow()` — transpose to (Row, Column, Value) with
     stringified values (ADX contract); Row numbering from the required
@@ -3693,6 +4029,9 @@ QUERIES = {
     "kql_hll": q_kql_hll,  # no oracle: approximate by design
     "kql_graph_edges": q_kql_graph_edges,
     "kql_scalar_fns2": q_kql_scalar_fns2,
+    "kql_scalar_fns3": q_kql_scalar_fns3,
+    "kql_parse_kv": q_kql_parse_kv,
+    "kql_fork": q_kql_fork,
     "kql_datatable_join": q_kql_datatable_join,
     "kql_search": q_kql_search,
     "kql_partition_top": q_kql_partition_top,
@@ -3918,6 +4257,61 @@ ORACLE = {
                event_type AS b64,
                round(log10(event_id + 1), 6) AS lg
         FROM events WHERE event_id < 200
+    """,
+    "kql_fork": """
+        WITH p AS (
+            SELECT user_id, COUNT(*) AS n,
+                   SUM(ROUND(value * 100)) AS cents
+            FROM events GROUP BY user_id
+        )
+        SELECT 'hi' AS fork_branch, user_id, n, cents,
+               CAST(NULL AS BIGINT) AS users
+        FROM p WHERE n >= 30
+        UNION ALL
+        SELECT 'lo', NULL, NULL, NULL, COUNT(*) FROM p
+    """,
+    "kql_parse_kv": """
+        WITH b AS (
+            SELECT event_id,
+                   concat('kt=', event_type, ' kid=',
+                          CAST(event_id AS VARCHAR), ' kflag=on') AS kvs
+            FROM events WHERE event_id < 300
+        )
+        SELECT event_id,
+               regexp_extract(kvs, '(?:^| )kt=([^ ]*)', 1) AS kt,
+               CAST(regexp_extract(kvs, '(?:^| )kid=([^ ]*)', 1)
+                    AS BIGINT) AS kid,
+               regexp_extract(kvs, '(?:^| )kflag=([^ ]*)', 1) AS kflag,
+               CASE WHEN regexp_matches(kvs, '(?:^| )kmiss=')
+                    THEN regexp_extract(kvs, '(?:^| )kmiss=([^ ]*)', 1)
+                    ELSE NULL END AS kmiss
+        FROM b
+    """,
+    "kql_scalar_fns3": """
+        WITH b AS (
+            SELECT event_id, event_type, props,
+                   concat('https://shop.example.com:8443/cat/',
+                          event_type, '?page=',
+                          CAST(event_id AS VARCHAR), '#top') AS u
+            FROM events WHERE event_id < 200
+        )
+        SELECT event_id,
+               regexp_extract(u, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+               regexp_extract(u, '^[a-z]+://([^/:?#]+)', 1) AS host,
+               regexp_extract(u, '^[a-z]+://[^/:?#]+:([0-9]+)', 1)
+                   AS port,
+               regexp_extract(u, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(u, '\\?([^#]*)', 1) AS qry,
+               regexp_extract(u, '#(.*)$', 1) AS frag,
+               array_to_string(regexp_extract_all(u, '([0-9]+)', 1), '-')
+                   AS numcat,
+               array_to_string(json_keys(props), ',') AS kset,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval,
+               'dflt' AS ce,
+               event_type AS co,
+               '' AS cv,
+               concat(event_type, '|', 'dflt') AS pair
+        FROM b
     """,
     "kql_basket": """
         WITH proj AS (

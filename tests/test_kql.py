@@ -71,9 +71,13 @@ def test_mv_expand_translates_to_lateral_explode():
 
 def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
-        kql_to_sql("T | fork (where a == 1) (where a == 2)")
+        kql_to_sql("T | invoke my_func()")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
         kql_to_sql("T | summarize tdigest(x)")
+    # fork is supported WITH a session; without one it must still be a
+    # loud error, not a silent mistranslation
+    with pytest.raises(ValueError, match="fork needs a SparkSession"):
+        kql_to_sql("T | fork (where a == 1) (where a == 2)")
 
 
 def test_filter_pushdown_survives_translation(spark, sf_smoke):
@@ -647,6 +651,118 @@ def test_join_right_semi_anti(spark):
         " on $left.k2 == $right.k | sort by k asc",
     ).collect()
     assert [(r["k"], r["v"]) for r in qual] == [(1, "x"), (2, "y")]
+
+
+def test_fork_reuses_shared_prefix_exchange(spark, sf_smoke):
+    """fork branches embed the identical aggregate prefix; Spark's
+    ReuseExchange must execute it once (the VERDICT's done-criterion
+    for the multi-consumer pipe translation)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | summarize n = count() by user_id"
+        " | fork a = (where n >= 1 | project user_id, n)"
+        " b = (top 2 by n | project user_id, n)",
+    )
+    rows = df.collect()  # AQE finalizes the plan; reuse appears after
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    labels = {r["fork_branch"] for r in rows}
+    assert labels == {"a", "b"}
+    with pytest.raises(ValueError, match="at least two branches"):
+        kql_to_sql("T | fork (take 5)", spark)
+
+
+def test_as_names_reusable_subtree(spark, sf_smoke):
+    """`| as name` makes the current subtree referenceable from later
+    subpipes (union/join) in the same statement."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        'events | where event_type == "purchase"'
+        " | summarize n = count() by user_id | as peruser"
+        " | where n >= 0"
+        " | union (peruser | summarize total = sum(n))",
+    )
+    rows = df.collect()
+    per_user = [r for r in rows if r["user_id"] is not None]
+    total = [r for r in rows if r["user_id"] is None]
+    assert len(total) == 1
+    assert total[0]["total"] == sum(r["n"] for r in per_user)
+
+
+def test_parse_kv_extracts_typed_columns(spark):
+    spark.sql(
+        "SELECT * FROM (VALUES ('a=1;b=x;c=2.5'), ('b=y'))"
+        " AS t(s)"
+    ).createOrReplaceTempView("pkv")
+    rows = kql(
+        spark,
+        "pkv | parse-kv s as (a:long, b:string, c:real)"
+        ' with (pair_delimiter=";", kv_delimiter="=")'
+        " | project a, b, c | sort by b asc",
+    ).collect()
+    assert [(r["a"], r["b"], r["c"]) for r in rows] == [
+        (1, "x", 2.5),
+        (None, "y", None),
+    ]
+    with pytest.raises(ValueError, match="BOTH pair_delimiter"):
+        kql_to_sql(
+            'T | parse-kv s as (a:long) with (pair_delimiter=";")'
+        )
+
+
+def test_scalar_batch3_error_shapes(spark):
+    """extract_all enforces the one-capture-group literal-regex subset;
+    column_ifexists without a session falls through to a loud parser
+    error instead of a silent guess."""
+    with pytest.raises(ValueError, match="exactly one capture group"):
+        kql_to_sql('T | extend x = extract_all("(a)(b)", s)')
+    with pytest.raises(ValueError, match="literal regex"):
+        kql_to_sql("T | extend x = extract_all(pat, s)")
+    # without a session the call reaches Spark's parser untranslated
+    sql = kql_to_sql('T | extend x = column_ifexists("a", 1)')
+    assert "column_ifexists" in sql
+
+
+def test_parse_url_field_access(spark):
+    spark.range(1).createOrReplaceTempView("one")
+    r = kql(
+        spark,
+        'one | extend u = "http://u:p@h.example.org:9090/a/b?x=1#f"'
+        " | project s = parse_url(u).Scheme, h = parse_url(u).Host,"
+        " pt = parse_url(u).Port, pa = parse_url(u).Path,"
+        " q = parse_url(u).Query, fr = parse_url(u).Fragment",
+    ).collect()[0]
+    assert (r["s"], r["h"], r["pt"], r["pa"], r["q"], r["fr"]) == (
+        "http", "h.example.org", "9090", "/a/b", "x=1", "f",
+    )
+
+
+def test_pivot_bag_unpack_child_cached_once(spark, sf_smoke):
+    """evaluate pivot/bag_unpack need the child twice (column discovery
+    + final query); the translator localCheckpoints it so the final
+    plan reads materialized rows instead of re-running an expensive
+    upstream pipe (round-3 verdict item)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | summarize n = count() by user_id, event_type"
+        " | evaluate pivot(event_type, sum(n))",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the aggregate ran once at translation time; the final plan scans
+    # the checkpointed result, not parquet
+    assert "ExistingRDD" in plan
+    assert "parquet" not in plan.lower()
+    assert df.count() > 0
+    df2 = kql(
+        spark,
+        "events | take 50 | evaluate bag_unpack(props)",
+    )
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan2 and "parquet" not in plan2.lower()
+    assert "k" in df2.columns
 
 
 def test_series_fit_line_exact(spark):
