@@ -50,7 +50,17 @@ HEADLINE = [
     "semantic_dedup",  # SemDeDup: banded edges + connected components (r3)
     "dsir_sample",  # hashed-ngram importance resampling (r3)
     "kql_scan",  # greedy sequence matching via grouped fold (r3)
+    "kql_join_innerunique",  # ADX default join: windowed key dedup (r4)
+    "kql_fork",  # multi-consumer pipes, shared-prefix ReuseExchange (r4)
+    "kql_parse_kv",  # map-side key-value extraction (r4)
 ]
+
+# Per-query medians pinned from the last judged round (bench_pins.json).
+# A headline query slower than 1.5x its pin is flagged in the output —
+# the mechanical regression gate the round-3 verdict asked for.
+PIN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "bench_pins.json")
+PIN_RATIO = 1.5
 
 
 def ingest_throughput(
@@ -143,6 +153,17 @@ def main() -> None:
             errors[name] = str(exc).split("\n", 1)[0][:200]
 
     total = round(sum(timings.values()), 3)
+    regressions: dict[str, dict[str, float]] = {}
+    try:
+        with open(PIN_FILE) as fh:
+            pins = json.load(fh)
+        if str(pins.get("sf")) == sf:  # pins are sf-specific
+            for name, t in timings.items():
+                pin = pins["queries"].get(name)
+                if pin and t > PIN_RATIO * pin:
+                    regressions[name] = {"now": t, "pin": pin}
+    except (OSError, ValueError, KeyError):
+        pass
     print(
         json.dumps(
             {
@@ -153,6 +174,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_rows_per_sec": ingest_throughput(spark),
                 **({"errors": errors} if errors else {}),
+                **({"regressions": regressions} if regressions else {}),
             }
         )
     )

@@ -220,6 +220,92 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
+    if str_:
+        # round-4 fuzz shapes: predicate-list literals carrying operator
+        # text (has_any operand safety), a quoted ` by ` inside a
+        # summarize aggregate argument, and basket/facet over the
+        # string columns in scope
+        opts.append(
+            st.sampled_from(
+                ['"vi", "q has_any (x)"', '"a)b", "c|d"']
+            ).map(
+                lambda terms: (
+                    f"where {str_[0]} has_any ({terms})",
+                    cols,
+                )
+            )
+        )
+        opts.append(
+            st.just(
+                (
+                    f'summarize n = countif({str_[0]} == "a by b")'
+                    f" by {str_[0]}",
+                    (str_[0], "n"),
+                )
+            )
+        )
+        opts.append(
+            st.just(
+                (
+                    "evaluate basket(0.3)",
+                    ("SegmentId", *str_, "Count", "Percent"),
+                )
+            )
+        )
+        opts.append(
+            st.lists(
+                st.sampled_from(str_), min_size=1, unique=True
+            ).map(
+                lambda ks: (
+                    "facet by " + ", ".join(ks),
+                    ("facet_column", "value", "count_"),
+                )
+            )
+        )
+        # parse-kv over a constructed kv string (two-stage fragment)
+        opts.append(
+            st.just(
+                (
+                    f'extend kvs = strcat("a=", {str_[0]})'
+                    " | parse-kv kvs as (a:string, zz:long)"
+                    ' with (pair_delimiter=";", kv_delimiter="=")',
+                    (*cols, "kvs", "a", "zz"),
+                )
+            )
+        )
+    if len(cols) >= 2:
+        # graph-match over the current pipe as an edge table
+        c1, c2 = sorted(cols)[0], sorted(cols)[1]
+        opts.append(
+            st.just(
+                (
+                    f"make-graph {c1} --> {c2}"
+                    " | graph-match (a)-[e1]->(b) project x = a, y = b",
+                    ("x", "y"),
+                )
+            )
+        )
+        # fork: labeled union of two branches over the same prefix
+        opts.append(
+            st.tuples(st.integers(1, 5), st.integers(1, 5)).map(
+                lambda t: (
+                    f"fork fa = (take {t[0]}) fb = (take {t[1]})",
+                    ("fork_branch", *cols),
+                )
+            )
+        )
+    if "user_id" in cols and "jx" not in cols:
+        # default-kind join = innerunique (left key dedup) — must
+        # analyze against any left schema carrying user_id
+        opts.append(
+            st.just(
+                (
+                    "join (events | project user_id,"
+                    " jx = value * 3) on user_id",
+                    (*cols, "jx"),
+                )
+            )
+        )
     if "m" in cols:  # make-series output array column
         opts.append(st.just(("extend so = series_outliers(m)", (*cols, "so"))))
         opts.append(
