@@ -113,6 +113,31 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                    (predicate steps, single active
                                    instance, `by` keys instead of
                                    state-referencing conditions)
+    T | parse-kv c as (k:t, …) with (pair_delimiter="…",
+        kv_delimiter="…")       -> typed key-value extraction: ONE
+                                   map-side str_to_map + try_cast per
+                                   key (NULL when absent); literal
+                                   delimiters regex-escaped
+    T | as name                 -> names the translated subtree for
+                                   later subpipes (no materialization;
+                                   identical embeddings dedupe via
+                                   ReuseExchange)
+    T | fork [n1 =] (pipe) [n2 =] (pipe) …
+                                -> multi-consumer pipes as a labeled
+                                   name-aligned UNION ALL with a
+                                   fork_branch column; shared prefix
+                                   computed once through ReuseExchange
+                                   when it ends in an exchange
+    T | invoke f()              -> applies `let f = (source:(*))
+                                   { source | … };` to the pipe
+                                   (parameterless subset)
+    externaldata (c:t, …) ["uri", …] [with (format="csv|json|parquet")]
+                                -> direct-path Spark table reads
+                                   (csv.`p`/json.`p`/parquet.`p`),
+                                   multiple URIs UNION ALL; headerless
+                                   positional CSV (ADX default),
+                                   by-name json/parquet, try_cast
+                                   leniency
     let name = expr; T | …      -> scalar substitution (string-literal-
                                    safe, lets may reference earlier lets)
     let t = [materialize(]T|…[)]; t | …
@@ -1487,6 +1512,19 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
         mm = re.match(r"materialize\s*\(\s*(.+)\)\s*$", body, re.DOTALL)
         if mm:
             body = mm.group(1).strip()
+        fm = re.match(
+            r"^\(\s*(\w+)\s*:\s*\(\s*\*\s*\)\s*\)\s*\{\s*(.+?)\s*\}$",
+            body,
+            re.DOTALL,
+        )
+        if fm:
+            # `let f = (source:(*)) { source | … };` — a tabular
+            # FUNCTION let (the shape `| invoke f()` consumes). Stored
+            # as ("fn", param, body); parameterized forms (extra scalar
+            # args) are out of the subset and fail loudly at invoke.
+            tabular[name] = ("fn", fm.group(1), fm.group(2).strip())
+            text = text[m.end():]
+            continue
         head = re.match(r"^(\w+)\s*(\||$)", body)
         if head and (head.group(2) == "|" or head.group(1) in tabular):
             tabular[name] = body
@@ -1777,16 +1815,82 @@ def kql_to_sql(
         ]
         names = ", ".join(n for n, _ in cols)
         sql = f"SELECT * FROM (VALUES {', '.join(rows)}) AS _dt({names})"
-    if not (rng or prnt or dtable) and (
+    xdata = not rng and not prnt and not dtable and stages and re.match(
+        r"^externaldata\s*\(\s*(.*?)\s*\)\s*\[\s*(.+?)\s*\]"
+        r'(?:\s*with\s*\(\s*format\s*=\s*"(\w+)"\s*\))?\s*$',
+        stages[0],
+        re.IGNORECASE | re.DOTALL,
+    )
+    if xdata:
+        # `externaldata (c1:type, …) ["uri", …] [with (format="…")]` —
+        # ADX's ad-hoc external table. Spark-native: each URI becomes a
+        # direct-path table read (csv.`p` / json.`p` / parquet.`p`),
+        # multiple URIs UNION ALL (one scan task set per file — the
+        # same parallelism ADX promises). CSV (the ADX default) is
+        # headerless positional _c0.._cN mapped to the declared columns
+        # with try_cast (bad cells -> NULL, the lenient ADX behavior);
+        # json/parquet match the declared columns BY NAME. Blob-store
+        # auth options are out of the subset — paths are whatever the
+        # Spark session can reach (file:/, hdfs:, s3a:, …).
+        xcols = []
+        for cdef in _split_top_level(xdata.group(1)):
+            cm = re.match(r"(\w+)\s*:\s*(\w+)$", cdef.strip())
+            if not cm or cm.group(2).lower() not in _KQL_TYPES:
+                raise ValueError(
+                    f"externaldata column needs name:type: {cdef!r}"
+                )
+            xcols.append((cm.group(1), _KQL_TYPES[cm.group(2).lower()]))
+        if not xcols:
+            raise ValueError("externaldata needs at least one column")
+        fmt = (xdata.group(3) or "csv").lower()
+        paths = []
+        for u in _split_top_level(xdata.group(2)):
+            um = re.match(r'^"((?:[^"\\]|\\.)*)"$', u.strip())
+            if not um:
+                raise ValueError(f"externaldata URI must be quoted: {u!r}")
+            p = um.group(1)
+            if "`" in p or "'" in p:
+                raise ValueError(f"unsupported character in URI: {p!r}")
+            paths.append(p)
+        if fmt == "csv":
+            sel = ", ".join(
+                f"_c{j} AS {n}" if t == "STRING"
+                else f"try_cast(_c{j} AS {t}) AS {n}"
+                for j, (n, t) in enumerate(xcols)
+            )
+        elif fmt in ("json", "multijson", "parquet"):
+            sel = ", ".join(
+                f"{n}" if t == "STRING"
+                else f"try_cast({n} AS {t}) AS {n}"
+                for n, t in xcols
+            )
+        else:
+            raise ValueError(f"unsupported externaldata format: {fmt!r}")
+        src = "parquet" if fmt == "parquet" else (
+            "csv" if fmt == "csv" else "json"
+        )
+        reads = [f"SELECT {sel} FROM {src}.`{p}`" for p in paths]
+        sql = (
+            reads[0]
+            if len(reads) == 1
+            else " UNION ALL ".join(f"({r})" for r in reads)
+        )
+    if not (rng or prnt or dtable or xdata) and (
         not stages or not re.match(r"^\w+$", stages[0])
     ):
         raise ValueError(f"KQL must start with a table name: {kql!r}")
-    if rng or prnt or dtable:
+    if rng or prnt or dtable or xdata:
         pass
     elif stages[0] in _tabular:
         tdef = _tabular[stages[0]]
         # plain str = tabular let (KQL text, translated on use);
-        # ("sql", s) = a subtree already translated — `as` names these
+        # ("sql", s) = a subtree already translated — `as` names these;
+        # ("fn", …) = a function let, only valid under `| invoke f()`
+        if isinstance(tdef, tuple) and tdef[0] == "fn":
+            raise ValueError(
+                f"{stages[0]} is a function let — pipe into"
+                f" '| invoke {stages[0]}()' instead"
+            )
         base = (
             tdef[1]
             if isinstance(tdef, tuple)
@@ -2496,6 +2600,30 @@ def kql_to_sql(
             olds = ", ".join(o for _, o in pairs)
             renames = ", ".join(f"{o} AS {n}" for n, o in pairs)
             sql = f"SELECT * EXCEPT ({olds}), {renames} FROM {prev}"
+        elif op == "invoke":
+            # `| invoke f()` — apply a function let to the current
+            # pipe: `let f = (source:(*)) { source | … };`. The body is
+            # translated with the parameter bound to the ALREADY-
+            # translated current subtree (a scoped copy, so the binding
+            # never shadows an outer let of the same name). Explicit
+            # subset: parameterless invocation only — extra scalar
+            # arguments raise here rather than mistranslate.
+            im = re.match(r"^(\w+)\s*\(\s*\)\s*$", body)
+            if not im:
+                raise ValueError(
+                    "invoke supports parameterless function lets"
+                    f" ('f()'): {body!r}"
+                )
+            fdef = _tabular.get(im.group(1))
+            if not (isinstance(fdef, tuple) and fdef[0] == "fn"):
+                raise ValueError(
+                    f"invoke: {im.group(1)!r} is not a function let"
+                    " ('let f = (source:(*)) { source | … };')"
+                )
+            _, fparam, fbody = fdef
+            scoped = dict(_tabular)
+            scoped[fparam] = ("sql", sql)
+            sql = kql_to_sql(fbody, spark, scoped)
         elif op == "as":
             # `| as name` — name the current subtree for later
             # reference (union/join/fork subpipes or a later query in
@@ -3783,6 +3911,39 @@ def q_kql_scalar_fns3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_invoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`invoke` — a function let (`let f = (source:(*)) { … };`)
+    applied to the pipe. The body translates with the parameter bound
+    to the already-translated upstream subtree."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "let daily = (source:(*)) { source"
+        " | summarize n = count(), cents = sum(round(value * 100))"
+        " by day = startofday(ts) };"
+        ' events | where event_type == "purchase" | invoke daily()'
+        " | sort by day asc",
+    )
+
+
+def q_kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`externaldata` — ad-hoc external table over a URI, here a
+    deterministic local CSV written by this query (headerless, the ADX
+    default format), joined back to the lake table. The DuckDB oracle
+    reads the same file."""
+    path = "/tmp/spark_graft_externaldata.csv"
+    with open(path, "w") as fh:
+        fh.write("view,0\nclick,1\npurchase,2\nsignup,3\nerror,4\n")
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        f'externaldata (etype:string, code:long) ["{path}"]'
+        " | join kind=inner (events | summarize n = count()"
+        " by event_type) on $left.etype == $right.event_type"
+        " | project etype, code, n | sort by code asc",
+    )
+
+
 def q_kql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`as` + `fork` — the multi-consumer pipe constructs: the per-user
     aggregate is named with `as`, then fork runs two branches over it
@@ -4032,6 +4193,8 @@ QUERIES = {
     "kql_scalar_fns3": q_kql_scalar_fns3,
     "kql_parse_kv": q_kql_parse_kv,
     "kql_fork": q_kql_fork,
+    "kql_invoke": q_kql_invoke,
+    "kql_externaldata": q_kql_externaldata,
     "kql_datatable_join": q_kql_datatable_join,
     "kql_search": q_kql_search,
     "kql_partition_top": q_kql_partition_top,
@@ -4257,6 +4420,24 @@ ORACLE = {
                event_type AS b64,
                round(log10(event_id + 1), 6) AS lg
         FROM events WHERE event_id < 200
+    """,
+    "kql_invoke": """
+        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
+               SUM(ROUND(value * 100)) AS cents
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1 ORDER BY day
+    """,
+    "kql_externaldata": """
+        WITH x AS (
+            SELECT column0 AS etype, CAST(column1 AS BIGINT) AS code
+            FROM read_csv_auto('/tmp/spark_graft_externaldata.csv',
+                               header=false)
+        ), e AS (
+            SELECT event_type, COUNT(*) AS n FROM events
+            GROUP BY event_type
+        )
+        SELECT etype, code, n FROM x JOIN e ON x.etype = e.event_type
+        ORDER BY code
     """,
     "kql_fork": """
         WITH p AS (

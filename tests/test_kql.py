@@ -71,7 +71,7 @@ def test_mv_expand_translates_to_lateral_explode():
 
 def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
-        kql_to_sql("T | invoke my_func()")
+        kql_to_sql("T | consume decodeblocks=true")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
         kql_to_sql("T | summarize tdigest(x)")
     # fork is supported WITH a session; without one it must still be a
@@ -763,6 +763,64 @@ def test_pivot_bag_unpack_child_cached_once(spark, sf_smoke):
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "ExistingRDD" in plan2 and "parquet" not in plan2.lower()
     assert "k" in df2.columns
+
+
+def test_invoke_function_let(spark, sf_smoke):
+    """`invoke f()` applies a `let f = (source:(*)) { … };` function
+    let to the pipe; referencing the let as a table head or invoking a
+    non-function is a loud error."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "let top3 = (src:(*)) { src | summarize n = count()"
+        " by event_type | top 3 by n };"
+        "events | invoke top3()",
+    )
+    rows = df.collect()
+    assert len(rows) == 3 and rows[0]["n"] >= rows[-1]["n"]
+    with pytest.raises(ValueError, match="function let"):
+        kql_to_sql(
+            "let f = (s:(*)) { s | count }; f | take 1"
+        )
+    with pytest.raises(ValueError, match="not a function let"):
+        kql_to_sql("let t = events | take 1; events | invoke t()")
+    with pytest.raises(ValueError, match="parameterless"):
+        kql_to_sql(
+            "let f = (s:(*)) { s | count }; events | invoke f(3)"
+        )
+
+
+def test_externaldata_csv_and_union(spark, tmp_path):
+    p1 = tmp_path / "a.csv"
+    p2 = tmp_path / "b.csv"
+    p1.write_text("1,x\n2,y\n")
+    p2.write_text("3,z\nbad,w\n")
+    rows = kql(
+        spark,
+        f'externaldata (k:long, v:string) ["{p1}", "{p2}"]'
+        " | sort by v asc",
+    ).collect()
+    # try_cast: the unparseable cell lands as NULL, not an ANSI error
+    assert [(r["k"], r["v"]) for r in rows] == [
+        (None, "w"), (1, "x"), (2, "y"), (3, "z"),
+    ]
+    with pytest.raises(ValueError, match="unsupported externaldata"):
+        kql_to_sql(
+            f'externaldata (k:long) ["{p1}"] with (format="avro")'
+        )
+    with pytest.raises(ValueError, match="must be quoted"):
+        kql_to_sql("externaldata (k:long) [/tmp/x.csv]")
+
+
+def test_externaldata_json(spark, tmp_path):
+    p = tmp_path / "d.json"
+    p.write_text('{"a": 1, "b": "u"}\n{"a": 2, "b": "v"}\n')
+    rows = kql(
+        spark,
+        f'externaldata (b:string, a:long) ["{p}"]'
+        ' with (format="json") | sort by a asc',
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(1, "u"), (2, "v")]
 
 
 def test_series_fit_line_exact(spark):
