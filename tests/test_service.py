@@ -129,7 +129,10 @@ def test_query_route_runs_kql_natively(spark, server):
     )
     assert status == 200
     assert [r["Timestamp"] for r in body["rows"]] == [200, 300]
+    # fork is supported since round 4 — it returns labeled branches
     status, body = _post(base + "/query", {"csl": "TelemetryData | fork (count) (take 1)"})
+    assert status == 200 and len(body["rows"]) == 2
+    status, body = _post(base + "/query", {"csl": "TelemetryData | consume"})
     assert status == 400 and "unsupported" in body["error"]
 
 
