@@ -1003,7 +1003,62 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\btolong\(", "bigint(", e)
     e = _sub_outside_strings(r"\btoint\(", "int(", e)
     e = _sub_outside_strings(r"\btodouble\(", "double(", e)
+    e = _sub_outside_strings(r"\btoreal\(", "double(", e)
     e = _sub_outside_strings(r"\btostring\(", "string(", e)
+    # lenient conversions (ADX to*() yields null on garbage; the
+    # function-style casts above are for clean-typed args, these two
+    # commonly see dirty strings)
+    e = _rewrite_fn(
+        e, "tobool", lambda a: f"try_cast({a[0]} AS BOOLEAN)"
+    )
+    e = _rewrite_fn(
+        e, "todatetime", lambda a: f"try_cast({a[0]} AS TIMESTAMP)"
+    )
+    # scalar batch 4 (round-4): ceiling, exp10, inf/nan tests, strcmp,
+    # string_size (BYTES — ADX contract), url_encode family, translate
+    # (ADX arg order (from, to, source) -> Spark (source, from, to))
+    e = _sub_outside_strings(r"\bceiling\(", "ceil(", e)
+    e = _rewrite_fn(
+        e, "exp10", lambda a: f"power(CAST(10 AS DOUBLE), {a[0]})"
+    )
+    e = _rewrite_fn(
+        e,
+        "isinf",
+        lambda a: (
+            f"({a[0]} = double('Infinity')"
+            f" OR {a[0]} = double('-Infinity'))"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "isfinite",
+        lambda a: (
+            f"(NOT isnan({a[0]})"
+            f" AND abs({a[0]}) <> double('Infinity'))"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "strcmp",
+        lambda a: (
+            f"(CASE WHEN {a[0]} < {a[1]} THEN -1"
+            f" WHEN {a[0]} > {a[1]} THEN 1"
+            f" WHEN {a[0]} = {a[1]} THEN 0 END)"
+        ),
+    )
+    e = _sub_outside_strings(r"\bstring_size\(", "octet_length(", e)
+    e = _rewrite_fn(
+        e,
+        "url_encode_component",
+        # Spark url_encode is form-style (space -> +), the ADX
+        # *_component variant is percent-style (space -> %20)
+        lambda a: f"replace(url_encode({a[0]}), '+', '%20')",
+    )
+    e = _rewrite_fn(
+        e,
+        "translate",
+        lambda a: f"translate({a[2]}, {a[0]}, {a[1]})",
+    )
     e = re.sub(
         r"\bextract\(\s*('(?:[^']|'')*')\s*,\s*(\d+)\s*,\s*([^()]+)\)",
         r"regexp_extract(\3, \1, \2)",
@@ -2067,6 +2122,26 @@ def kql_to_sql(
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
             order_keys = orders  # the serialize window order
         elif op == "mv-expand":
+            # single-column form accepts `to typeof(type)` — the ADX
+            # typed expansion: each element try_casts to the declared
+            # scalar type (bad elements -> NULL, ADX leniency)
+            tm = re.match(
+                r"^(\w+)\s+to\s+typeof\s*\(\s*(\w+)\s*\)\s*$",
+                body,
+                re.IGNORECASE,
+            )
+            if tm:
+                c, tname = tm.group(1), tm.group(2).lower()
+                if tname not in _KQL_TYPES:
+                    raise ValueError(
+                        f"mv-expand typeof: unknown type {tname!r}"
+                    )
+                sql = (
+                    f"SELECT * EXCEPT ({c}, _mv),"
+                    f" try_cast(_mv AS {_KQL_TYPES[tname]}) AS {c}"
+                    f" FROM {prev} LATERAL VIEW explode({c}) _t AS _mv"
+                )
+                continue
             cols = [c.strip() for c in _split_top_level(body)]
             if not cols or not all(re.match(r"^\w+$", c) for c in cols):
                 raise ValueError(f"mv-expand needs column name(s): {body!r}")
@@ -2590,6 +2665,28 @@ def kql_to_sql(
         elif op == "project-keep":
             cols = ", ".join(c.strip() for c in _split_top_level(body))
             sql = f"SELECT {cols} FROM {prev}"
+        elif op == "project-reorder":
+            # listed columns first (ADX contract), remaining columns
+            # appended in their existing order — needs the schema
+            if spark is None:
+                raise ValueError(
+                    "project-reorder needs a SparkSession (schema)"
+                )
+            listed = [c.strip() for c in _split_top_level(body)]
+            if not listed or not all(
+                re.match(r"^\w+$", c) for c in listed
+            ):
+                raise ValueError(
+                    f"project-reorder needs column names: {body!r}"
+                )
+            names = [f.name for f in spark.sql(sql).schema.fields]
+            missing = [c for c in listed if c not in names]
+            if missing:
+                raise ValueError(
+                    f"project-reorder: unknown columns {missing!r}"
+                )
+            ordered = listed + [n for n in names if n not in listed]
+            sql = f"SELECT {', '.join(ordered)} FROM {prev}"
         elif op == "project-rename":
             pairs = []
             for c in _split_top_level(body):
@@ -2680,6 +2777,16 @@ def kql_to_sql(
                 )
             sql = " UNION ALL ".join(parts)
         elif op == "union":
+            # `withsource=Col` labels each row with its originating
+            # table name (the head table of the contributing pipe;
+            # `union_arg` when a side has no single head table — ADX
+            # uses a synthetic name there too)
+            wsm = re.search(
+                r"\bwithsource\s*=\s*(\w+)\s+", body, re.IGNORECASE
+            )
+            wscol = wsm.group(1) if wsm else None
+            if wsm:
+                body = body[: wsm.start()] + body[wsm.end():]
             m = re.match(
                 r"(?:kind\s*=\s*\w+\s+)?(?:isfuzzy\s*=\s*(true|false)\s+)?"
                 r"(?:\((.+)\)|(\w+))\s*$",
@@ -2735,6 +2842,18 @@ def kql_to_sql(
                 rsel = ", ".join(
                     c if c in rcols else f"NULL AS {c}" for c in allc
                 )
+                if wscol:
+                    lname = (
+                        stages[0]
+                        if re.match(r"^\w+$", stages[0] or "")
+                        else "union_arg"
+                    )
+                    rhead = re.match(
+                        r"^(\w+)\s*(\||$)", (m.group(2) or m.group(3)).strip()
+                    )
+                    rname = rhead.group(1) if rhead else "union_arg"
+                    lsel = f"'{lname}' AS {wscol}, {lsel}"
+                    rsel = f"'{rname}' AS {wscol}, {rsel}"
                 sql = (
                     f"SELECT {lsel} FROM {prev} UNION ALL "
                     f"(SELECT {rsel} FROM ({right}) AS _u{i})"
@@ -2744,6 +2863,11 @@ def kql_to_sql(
                     raise ValueError(
                         "union kind=inner needs a SparkSession"
                         " (schema intersection)"
+                    )
+                if wscol:
+                    raise ValueError(
+                        "union withsource needs a SparkSession"
+                        " (schema alignment)"
                     )
                 sql = f"SELECT * FROM {prev} UNION ALL ({right})"
         elif op in ("parse", "parse-where"):
@@ -3962,6 +4086,51 @@ def q_kql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth scalar-function batch (round-4): ceiling, exp10,
+    isnan/isinf/isfinite over constructed specials, strcmp,
+    string_size (BYTES), url_encode family, translate (ADX arg
+    order), lenient tobool/todatetime, mv-expand to typeof, and
+    project-reorder — all JVM-side."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 200"
+        ' | extend sp = iff(event_id % 3 == 0, double("inf"),'
+        ' iff(event_id % 3 == 1, double("nan"), value))'
+        " | extend i_inf = isinf(sp), i_nan = isnan(sp),"
+        " i_fin = isfinite(sp), ce = ceiling(value),"
+        " e10 = round(exp10(2.0), 6),"
+        ' sc = strcmp(event_type, "purchase"),'
+        ' sz = string_size(strcat(event_type, "é")),'
+        ' ue = url_encode(strcat(event_type, " ", tostring(event_id))),'
+        ' uec = url_encode_component(strcat(event_type, " x")),'
+        ' ud = url_decode("a%20b+c"),'
+        ' tr = translate("aeiou", "AEIOU", event_type),'
+        " tb = tobool(event_type),"
+        ' td = todatetime("2024-02-03 04:05:06")'
+        ' | extend parts = split("1,2,x", ",")'
+        " | mv-expand parts to typeof(long)"
+        " | project-reorder event_id, ce"
+        " | project event_id, ce, e10, i_inf, i_nan, i_fin, sc, sz,"
+        " ue, uec, ud, tr, tb, td, parts",
+    )
+
+
+def q_kql_union_withsource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`union withsource=Col` — each row labeled with its originating
+    table (head table name; union_arg for a headless side), name-
+    aligned null-fill across differing schemas."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        'events | where event_type == "view" | project event_id, value'
+        " | union withsource=src"
+        " (datatable(event_id:long, cents:long)[1, 11, 2, 22])"
+        " | sort by src asc, event_id asc",
+    )
+
+
 def q_kql_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`parse-kv` — delimiter-based key-value extraction into typed
     columns (one map-side str_to_map, NULL for absent keys), over a
@@ -4193,6 +4362,8 @@ QUERIES = {
     "kql_scalar_fns3": q_kql_scalar_fns3,
     "kql_parse_kv": q_kql_parse_kv,
     "kql_fork": q_kql_fork,
+    "kql_scalar_fns4": q_kql_scalar_fns4,
+    "kql_union_withsource": q_kql_union_withsource,
     "kql_invoke": q_kql_invoke,
     "kql_externaldata": q_kql_externaldata,
     "kql_datatable_join": q_kql_datatable_join,
@@ -4420,6 +4591,46 @@ ORACLE = {
                event_type AS b64,
                round(log10(event_id + 1), 6) AS lg
         FROM events WHERE event_id < 200
+    """,
+    "kql_scalar_fns4": """
+        WITH b AS (
+            SELECT event_id, event_type, value,
+                   CASE WHEN event_id % 3 = 0 THEN CAST('inf' AS DOUBLE)
+                        WHEN event_id % 3 = 1 THEN CAST('nan' AS DOUBLE)
+                        ELSE value END AS sp
+            FROM events WHERE event_id < 200
+        )
+        SELECT event_id,
+               CAST(ceiling(value) AS BIGINT) AS ce,
+               round(power(10, CAST(2.0 AS DOUBLE)), 6) AS e10,
+               isinf(sp) AS i_inf,
+               isnan(sp) AS i_nan,
+               isfinite(sp) AS i_fin,
+               CASE WHEN event_type < 'purchase' THEN -1
+                    WHEN event_type > 'purchase' THEN 1
+                    ELSE 0 END AS sc,
+               strlen(concat(event_type, 'é')) AS sz,
+               replace(concat(event_type, ' ',
+                              CAST(event_id AS VARCHAR)), ' ', '+')
+                   AS ue,
+               replace(concat(event_type, ' x'), ' ', '%20') AS uec,
+               'a b c' AS ud,
+               translate(event_type, 'aeiou', 'AEIOU') AS tr,
+               TRY_CAST(event_type AS BOOLEAN) AS tb,
+               TIMESTAMP '2024-02-03 04:05:06' AS td,
+               p.parts
+        FROM b CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2),
+                                  (NULL)) AS p(parts)
+    """,
+    "kql_union_withsource": """
+        SELECT 'events' AS src, event_id, value,
+               CAST(NULL AS BIGINT) AS cents
+        FROM events WHERE event_type = 'view'
+        UNION ALL
+        SELECT 'union_arg', k, NULL, c
+        FROM (VALUES (CAST(1 AS BIGINT), CAST(11 AS BIGINT)),
+                     (2, 22)) AS t(k, c)
+        ORDER BY src, event_id
     """,
     "kql_invoke": """
         SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,

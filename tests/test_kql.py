@@ -823,6 +823,46 @@ def test_externaldata_json(spark, tmp_path):
     assert [(r["a"], r["b"]) for r in rows] == [(1, "u"), (2, "v")]
 
 
+def test_union_withsource_and_project_reorder(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | project event_id, value"
+        " | union withsource=src (datatable(event_id:long)[1, 2])"
+        " | take 5",
+    )
+    assert df.columns[0] == "src"
+    assert {r["src"] for r in kql(
+        spark,
+        "events | project event_id"
+        " | union withsource=src (datatable(event_id:long)[1])"
+        " | distinct src",
+    ).collect()} == {"events", "union_arg"}
+    with pytest.raises(ValueError, match="withsource needs a SparkSession"):
+        kql_to_sql("T | union withsource=s (U)")
+    # project-reorder: listed first, remainder in existing order
+    df2 = kql(
+        spark,
+        "events | project event_id, ts, user_id"
+        " | project-reorder user_id | take 1",
+    )
+    assert df2.columns == ["user_id", "event_id", "ts"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        kql(spark, "events | project-reorder nope")
+
+
+def test_mv_expand_typeof(spark):
+    spark.sql(
+        "SELECT array('1', 'x', '3') AS a"
+    ).createOrReplaceTempView("mvt")
+    rows = kql(
+        spark, "mvt | mv-expand a to typeof(long)"
+    ).collect()
+    assert [r["a"] for r in rows] == [1, None, 3]
+    with pytest.raises(ValueError, match="unknown type"):
+        kql_to_sql("T | mv-expand a to typeof(widget)")
+
+
 def test_series_fit_line_exact(spark):
     """series_fit_line on a perfectly linear series: slope/interception
     recovered exactly, rsquare = 1, rvariance = 0, line_fit == input."""
