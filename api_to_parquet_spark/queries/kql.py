@@ -3240,10 +3240,10 @@ def kql_to_sql(
                 if not re.match(r"\w+\s*=", aggtext):
                     agg_alias = f"aggregated_{g}"  # ADX default naming
                 clauses.append((n, g, agg_sql, agg_alias, others))
-            if not 1 <= len(clauses) <= 2:
-                raise ValueError("top-nested supports 1 or 2 levels")
             n1, g1, a1sql, a1, others1 = clauses[0]
-            if others1 and len(clauses) > 1:
+            if (others1 and len(clauses) > 1) or any(
+                c[4] for c in clauses[1:]
+            ):
                 raise ValueError(
                     "top-nested `with others` is supported on the"
                     " single-level form only"
@@ -3288,20 +3288,45 @@ def kql_to_sql(
                     f" OR CAST({g1} AS STRING) NOT IN"
                     f" (SELECT {g1} FROM _tnb{i} WHERE _rn <= {n1}))"
                 )
-            if len(clauses) == 1:
-                sql = level1
-            else:
-                n2, g2, a2sql, a2, _others2 = clauses[1]
-                sql = (
-                    f"SELECT {g1}, {a1}, {g2}, {a2} FROM ("
-                    f"SELECT _l2.{g1}, _l1.{a1}, _l2.{g2}, _l2.{a2},"
-                    f" row_number() OVER (PARTITION BY _l2.{g1}"
-                    f" ORDER BY _l2.{a2} DESC, _l2.{g2} ASC) AS _rn2"
-                    f" FROM (SELECT {g1}, {g2}, {a2sql} AS {a2} FROM {prev}"
-                    f" GROUP BY {g1}, {g2}) AS _l2"
-                    f" JOIN ({level1}) AS _l1 ON _l2.{g1} = _l1.{g1}"
-                    f") AS _tn2 WHERE _rn2 <= {n2}"
+            # Level k >= 2: grouped aggregate over (level-1..k keys),
+            # joined to the surviving level-(k-1) rows (AQE broadcasts
+            # the tiny top-k side), row_number per parent-key tuple.
+            # One grouped agg + one window per level, no global sorts —
+            # the loop generalizes the 2-level form to ADX's arbitrary
+            # nesting depth.
+            cur, out_cols = level1, [(g1, a1)]
+            for lvl, (nk, gk, aksql, ak, _o) in enumerate(clauses[1:], 2):
+                keys = [g for g, _ in out_cols]
+                if gk in keys:
+                    raise ValueError(
+                        f"top-nested: duplicate group column {gk!r}"
+                    )
+                gsel_agg = ", ".join(keys + [gk])
+                sel = ", ".join(
+                    x
+                    for g, a in out_cols
+                    for x in (f"_lk{lvl}.{g}", f"_pv{lvl}.{a}")
+                ) + f", _lk{lvl}.{gk}, _lk{lvl}.{ak}"
+                on = " AND ".join(
+                    f"_lk{lvl}.{g} = _pv{lvl}.{g}" for g in keys
                 )
+                part = ", ".join(f"_lk{lvl}.{g}" for g in keys)
+                flat = ", ".join(
+                    [x for pair in out_cols for x in pair] + [gk, ak]
+                )
+                cur = (
+                    f"SELECT {flat} FROM ("
+                    f"SELECT {sel},"
+                    f" row_number() OVER (PARTITION BY {part}"
+                    f" ORDER BY _lk{lvl}.{ak} DESC, _lk{lvl}.{gk} ASC)"
+                    f" AS _rn{lvl}"
+                    f" FROM (SELECT {gsel_agg}, {aksql} AS {ak}"
+                    f" FROM {prev} GROUP BY {gsel_agg}) AS _lk{lvl}"
+                    f" JOIN ({cur}) AS _pv{lvl} ON {on}"
+                    f") AS _tn{lvl} WHERE _rn{lvl} <= {nk}"
+                )
+                out_cols.append((gk, ak))
+            sql = cur
         else:
             raise ValueError(f"unsupported KQL operator: {op!r}")
     return sql

@@ -408,3 +408,34 @@ def start_windowed_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kql_stream(spark: SparkSession, text: str) -> DataFrame:
+    """Run a KQL pipe over STREAMING temp views — the reference's
+    POST /query surface (src/main.go:88-116) extended to live data,
+    which the reference cannot do at all (its ADX pool sees only
+    already-landed blobs).
+
+    The translation is the same one batch uses (`kql_to_sql`); what a
+    stream can execute is decided by Spark's analyzer, which makes the
+    subset explicit rather than silently wrong:
+
+    - stateless stages (where/project/extend/parse/parse-kv/mv-expand/
+      scalar functions) stream in append mode;
+    - `summarize … by bin(ts, …), …` becomes a grouped streaming
+      aggregation (epoch-floor bucketing — the same expression the
+      batch path emits — is a valid streaming grouping key; pair with
+      update/complete output mode downstream);
+    - batch-only shapes fail loudly BEFORE any data is processed:
+      pivot/bag_unpack's discovery collect raises here (streaming
+      child cannot be collected); sort/top/serialize pass analysis
+      but Spark's UnsupportedOperationChecker rejects them at stream
+      start.
+
+    The caller owns watermarking: apply `.withWatermark` on the source
+    DataFrame BEFORE registering the view when append-mode windowed
+    output is wanted (the translator never injects one — that is a
+    data-latency policy, not query semantics)."""
+    from api_to_parquet_spark.queries.kql import kql_to_sql
+
+    return spark.sql(kql_to_sql(text, spark))

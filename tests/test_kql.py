@@ -309,11 +309,18 @@ def test_ago_now_translate():
     assert "current_timestamp()" in sql
 
 
-def test_top_nested_depth_cap():
-    with pytest.raises(ValueError, match="1 or 2 levels"):
+def test_top_nested_deep_levels_translate():
+    # arbitrary depth since round 4: each level adds one grouped agg +
+    # one parent-key window
+    sql = kql_to_sql(
+        "T | top-nested 1 of a by count(),"
+        " top-nested 1 of b by count(), top-nested 1 of c by count()"
+    )
+    assert sql.count("row_number()") == 3
+    with pytest.raises(ValueError, match="duplicate group column"):
         kql_to_sql(
             "T | top-nested 1 of a by count(),"
-            " top-nested 1 of b by count(), top-nested 1 of c by count()"
+            " top-nested 1 of a by count()"
         )
 
 
@@ -849,6 +856,30 @@ def test_union_withsource_and_project_reorder(spark, sf_smoke):
     assert df2.columns == ["user_id", "event_id", "ts"]
     with pytest.raises(ValueError, match="unknown columns"):
         kql(spark, "events | project-reorder nope")
+
+
+def test_top_nested_three_levels(spark):
+    """top-nested generalizes past 2 levels: each level is one grouped
+    agg + one parent-key window, hand-checked hierarchy."""
+    rows = kql(
+        spark,
+        "datatable(r:string, t:string, u:long, v:long)["
+        ' "a", "x", 1, 10, "a", "x", 2, 20, "a", "y", 1, 5,'
+        ' "b", "x", 3, 7, "b", "z", 3, 9, "b", "z", 4, 1, "c", "q", 5, 2]'
+        " | top-nested 2 of r by s1 = sum(v),"
+        " top-nested 1 of t by s2 = sum(v),"
+        " top-nested 1 of u by s3 = sum(v)"
+        " | sort by r asc",
+    ).collect()
+    assert [tuple(r) for r in rows] == [
+        ("a", 35, "x", 30, 2, 20),
+        ("b", 17, "z", 10, 3, 9),
+    ]
+    with pytest.raises(ValueError, match="single-level"):
+        kql_to_sql(
+            "T | top-nested 2 of a by count(),"
+            ' top-nested 1 of b with others = "O" by count()'
+        )
 
 
 def test_mv_expand_typeof(spark):

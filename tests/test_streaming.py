@@ -340,3 +340,87 @@ def test_crash_recovery_exactly_once(spark, tmp_path, monkeypatch):
     st = state.read_state(spark, state_path)
     assert st["max_timestamp"] == 300  # monotonic
     assert st["last_time_generated"] == 2
+
+
+def test_kql_stream_matches_batch(spark, tmp_path, sf_smoke):
+    """The KQL frontend runs over STREAMING views: a stateless pipe and
+    a bin()-grouped summarize both produce exactly the batch answer
+    once the availableNow stream drains."""
+    events_dir = tmp_path / "kqlstream_events"
+    lake.load(spark, sf_smoke, "events").coalesce(1).write.parquet(
+        str(events_dir)
+    )
+    schema = (
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+        " event_type STRING, value DOUBLE, props STRING"
+    )
+    stream = spark.readStream.schema(schema).parquet(str(events_dir))
+    stream.createOrReplaceTempView("events_stream")
+
+    # stateless pipe -> append mode
+    df = streaming.kql_stream(
+        spark,
+        'events_stream | where event_type == "purchase"'
+        " | extend cents = tolong(round(value * 100))"
+        " | project event_id, cents",
+    )
+    assert df.isStreaming
+    q = (
+        df.writeStream.format("memory").queryName("kql_stateless")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    lake.load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    from api_to_parquet_spark.queries.kql import kql
+
+    batch = kql(
+        spark,
+        'events | where event_type == "purchase"'
+        " | extend cents = tolong(round(value * 100))"
+        " | project event_id, cents",
+    )
+    assert sorted(
+        map(tuple, spark.table("kql_stateless").collect())
+    ) == sorted(map(tuple, batch.collect()))
+
+    # bin()-grouped summarize -> streaming aggregation, complete mode
+    agg = streaming.kql_stream(
+        spark,
+        "events_stream | summarize n = count(),"
+        " cents = sum(round(value * 100))"
+        " by day = bin(ts, 1d), event_type",
+    )
+    assert agg.isStreaming
+    q2 = (
+        agg.writeStream.format("memory").queryName("kql_agg")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    batch_agg = kql(
+        spark,
+        "events | summarize n = count(), cents = sum(round(value * 100))"
+        " by day = bin(ts, 1d), event_type",
+    )
+    assert sorted(
+        map(tuple, spark.table("kql_agg").collect())
+    ) == sorted(map(tuple, batch_agg.collect()))
+
+    # batch-only shapes fail loudly at stream START (Spark's
+    # UnsupportedOperationChecker), before any data is processed
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    sorted_stream = streaming.kql_stream(
+        spark, "events_stream | sort by ts asc"
+    )
+    with pytest.raises(AnalysisException):
+        (
+            sorted_stream.writeStream.format("memory")
+            .queryName("kql_sorted")
+            .option("checkpointLocation", str(tmp_path / "ck3"))
+            .trigger(availableNow=True)
+            .start()
+        )
