@@ -1059,6 +1059,23 @@ def _expr(kql_expr: str) -> str:
         "translate",
         lambda a: f"translate({a[2]}, {a[0]}, {a[1]})",
     )
+    def _typed_extract(m: re.Match) -> str:
+        t = m.group(4).lower()
+        if t not in _KQL_TYPES:
+            raise ValueError(f"extract typeof: unknown type {t!r}")
+        return (
+            f"try_cast(regexp_extract({m.group(3)}, {m.group(1)},"
+            f" {m.group(2)}) AS {_KQL_TYPES[t]})"
+        )
+
+    # 4-arg typed form FIRST (extract(re, g, s, typeof(long)) -> NULL
+    # on cast failure, the ADX contract), then the plain 3-arg form
+    e = re.sub(
+        r"\bextract\(\s*('(?:[^']|'')*')\s*,\s*(\d+)\s*,"
+        r"\s*([^(),]+?)\s*,\s*typeof\s*\(\s*(\w+)\s*\)\s*\)",
+        _typed_extract,
+        e,
+    )
     e = re.sub(
         r"\bextract\(\s*('(?:[^']|'')*')\s*,\s*(\d+)\s*,\s*([^()]+)\)",
         r"regexp_extract(\3, \1, \2)",
@@ -2054,6 +2071,16 @@ def kql_to_sql(
                     items.append(f"{ex} AS {m.group(1)}")
                 sql = f"SELECT *, {', '.join(items)} FROM {prev}"
         elif op == "summarize":
+            # ADX hint.shufflekey= / hint.strategy=shuffle request a
+            # key-shuffled parallel aggregation. Spark's grouped
+            # aggregation IS always hash-partitioned on the group keys
+            # with map-side partials — the hinted strategy is the
+            # default physical shape here, so the hints are accepted
+            # and stripped (the plan already complies; not a silent
+            # mistranslation). Skewed keys route to ops.salted_agg.
+            body = re.sub(
+                r"^(?:hint\.\w+\s*=\s*[\w.]+\s+)+", "", body
+            )
             parts = _split_by(body)
             star = re.search(
                 r"\b(arg_max|arg_min)\s*\(\s*(\w+)\s*,\s*\*\s*\)", parts[0]
@@ -2367,12 +2394,24 @@ def kql_to_sql(
             )
         elif op == "join":
             m = re.match(
-                r"(?:kind\s*=\s*(\w+)\s+)?\((.+)\)\s+on\s+(.+)$", body,
+                r"(?:kind\s*=\s*(\w+)\s+)?"
+                r"(?:hint\.strategy\s*=\s*(\w+)\s+)?"
+                r"\((.+)\)\s+on\s+(.+)$",
+                body,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"join needs [kind=k] (pipe) on cols: {body!r}")
             kind = (m.group(1) or "innerunique").lower()
+            # hint.strategy: ADX broadcast BROADCASTS THE LEFT SIDE
+            # (its doc contract) -> Spark BROADCAST hint on the left
+            # alias; shuffle (key-partition both sides) -> SHUFFLE_HASH
+            # on the right. Physical hints only — semantics unchanged.
+            strategy = (m.group(2) or "").lower()
+            if strategy and strategy not in ("broadcast", "shuffle"):
+                raise ValueError(
+                    f"unsupported join hint.strategy: {strategy!r}"
+                )
             # ADX's DEFAULT join kind is innerunique: the LEFT side is
             # deduplicated on the join key (one arbitrary row per key)
             # before an inner join. Faithful here: the left pipe gets a
@@ -2398,9 +2437,15 @@ def kql_to_sql(
             }
             if kind not in joins:
                 raise ValueError(f"unsupported join kind: {kind!r}")
-            right = kql_to_sql(m.group(2).strip(), spark, _tabular)
-            keys = [k.strip() for k in _split_top_level(m.group(3))]
+            right = kql_to_sql(m.group(3).strip(), spark, _tabular)
+            keys = [k.strip() for k in _split_top_level(m.group(4))]
             qualified = any("$left" in k or "$right" in k for k in keys)
+            if strategy == "broadcast":
+                jhint = f"/*+ BROADCAST({'_l' if qualified else '_s'}{i}) */ "
+            elif strategy == "shuffle":
+                jhint = f"/*+ SHUFFLE_HASH(_r{i}) */ "
+            else:
+                jhint = ""
             if kind == "innerunique":
                 left_keys = keys
                 if qualified:
@@ -2456,12 +2501,14 @@ def kql_to_sql(
                         lk, rk = rk, lk  # sides swapped above
                     conds.append(f"_l{i}.{lk} = _r{i}.{rk}")
                 sql = (
-                    f"SELECT * FROM ({left_sql}) AS _l{i} {joins[kind]}"
+                    f"SELECT {jhint}* FROM ({left_sql}) AS _l{i}"
+                    f" {joins[kind]}"
                     f" ({right}) AS _r{i} ON {' AND '.join(conds)}"
                 )
             else:
                 sql = (
-                    f"SELECT * FROM {prev} {joins[kind]} ({right}) AS _r{i} "
+                    f"SELECT {jhint}* FROM {prev} {joins[kind]}"
+                    f" ({right}) AS _r{i} "
                     f"USING ({', '.join(keys)})"
                 )
         elif op == "make-graph":
@@ -2945,6 +2992,25 @@ def kql_to_sql(
                     val = f"try_cast({val} AS {ktype})"
                 items.append(f"{val} AS {name}")
             sql = f"SELECT *, {', '.join(items)} FROM {prev}"
+        elif op == "reduce":
+            # `reduce by c` — group string values into patterns. ADX's
+            # clustering algorithm is opaque/nondeterministic; this is
+            # a DETERMINISTIC refinement (the sample/top-hitters
+            # precedent): long hex runs then digit runs generalize to
+            # '*', Representative is the MIN value per pattern. One
+            # grouped aggregation, map-side pattern derivation.
+            rm = re.match(r"^by\s+(\w+)\s*$", body, re.IGNORECASE)
+            if not rm:
+                raise ValueError(f"reduce needs 'by column': {body!r}")
+            c = rm.group(1)
+            pat = (
+                f"regexp_replace(regexp_replace({c},"
+                f" '[0-9a-fA-F]{{8,}}', '*'), '[0-9]+', '*')"
+            )
+            sql = (
+                f"SELECT {pat} AS Pattern, COUNT(*) AS Count,"
+                f" min({c}) AS Representative FROM {prev} GROUP BY 1"
+            )
         elif op == "sample":
             # ADX sample is non-deterministic; this translation is a
             # DETERMINISTIC pseudo-random refinement — order by a hash
@@ -4156,6 +4222,21 @@ def q_kql_union_withsource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`reduce by` — log-pattern mining as one grouped aggregation over
+    a deterministic pattern projection (digit/hex runs -> '*'), the
+    documented refinement of ADX's opaque clustering."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        ' | extend msg = strcat("user-", tostring(user_id), " did ",'
+        ' event_type, " at item ", tostring(event_id))'
+        " | reduce by msg"
+        " | sort by Pattern asc",
+    )
+
+
 def q_kql_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`parse-kv` — delimiter-based key-value extraction into typed
     columns (one map-side str_to_map, NULL for absent keys), over a
@@ -4388,6 +4469,7 @@ QUERIES = {
     "kql_parse_kv": q_kql_parse_kv,
     "kql_fork": q_kql_fork,
     "kql_scalar_fns4": q_kql_scalar_fns4,
+    "kql_reduce": q_kql_reduce,
     "kql_union_withsource": q_kql_union_withsource,
     "kql_invoke": q_kql_invoke,
     "kql_externaldata": q_kql_externaldata,
@@ -4616,6 +4698,18 @@ ORACLE = {
                event_type AS b64,
                round(log10(event_id + 1), 6) AS lg
         FROM events WHERE event_id < 200
+    """,
+    "kql_reduce": """
+        WITH b AS (
+            SELECT concat('user-', CAST(user_id AS VARCHAR), ' did ',
+                          event_type, ' at item ',
+                          CAST(event_id AS VARCHAR)) AS msg
+            FROM events
+        )
+        SELECT regexp_replace(regexp_replace(msg, '[0-9a-fA-F]{8,}',
+                   '*', 'g'), '[0-9]+', '*', 'g') AS Pattern,
+               COUNT(*) AS Count, min(msg) AS Representative
+        FROM b GROUP BY 1 ORDER BY Pattern
     """,
     "kql_scalar_fns4": """
         WITH b AS (

@@ -882,6 +882,61 @@ def test_top_nested_three_levels(spark):
         )
 
 
+def test_join_hint_strategies(spark, sf_smoke):
+    """hint.strategy=broadcast hints the LEFT side (the ADX contract);
+    shuffle becomes a SHUFFLE_HASH hint on the right. summarize hints
+    are accepted and stripped (Spark's grouped agg is already the
+    hinted key-shuffled shape)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | summarize n = count() by user_id"
+        " | join kind=inner hint.strategy=broadcast"
+        " (events | summarize m = count() by user_id) on user_id",
+    )
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    df2 = kql(
+        spark,
+        "events | summarize n = count() by user_id"
+        " | join kind=inner hint.strategy=shuffle"
+        " (events | summarize m = count() by user_id) on user_id",
+    )
+    df2.collect()
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan2
+    with pytest.raises(ValueError, match="hint.strategy"):
+        kql_to_sql("T | join hint.strategy=banana (U) on k")
+    sql = kql_to_sql(
+        "T | summarize hint.shufflekey=k n = count() by k"
+    )
+    assert "GROUP BY" in sql and "hint" not in sql
+
+
+def test_extract_typed_and_reduce(spark):
+    spark.sql(
+        "SELECT * FROM (VALUES ('id=42 ok'), ('id=x bad'))"
+        " AS t(s)"
+    ).createOrReplaceTempView("tx")
+    rows = kql(
+        spark,
+        'tx | extend v = extract("id=([0-9a-z]+)", 1, s, typeof(long))'
+        " | project s, v | sort by s asc",
+    ).collect()
+    assert [(r["s"], r["v"]) for r in rows] == [
+        ("id=42 ok", 42), ("id=x bad", None),
+    ]
+    red = kql(
+        spark,
+        "tx | reduce by s | sort by Pattern asc",
+    ).collect()
+    assert [(r["Pattern"], r["Count"], r["Representative"])
+            for r in red] == [
+        ("id=* ok", 1, "id=42 ok"), ("id=x bad", 1, "id=x bad"),
+    ]
+
+
 def test_mv_expand_typeof(spark):
     spark.sql(
         "SELECT array('1', 'x', '3') AS a"
