@@ -700,7 +700,92 @@ def q_cdc_shared_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+REP_K = 8  # repeated-substring gram width (tokens)
+
+
+def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring signal — the fixed-width
+    refinement of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499) exact-substring dedup:
+    a REP_K-token gram occurring in >= 2 distinct documents marks a
+    repeated span, and each doc reports its repeated-gram count plus
+    the fraction of its tokens covered by such spans (the removal
+    candidate mass).
+
+    Spark shape — the suffix-array machinery of the paper collapses to
+    two bounded shuffles at fixed k: (1) map-side gram hashing
+    (xxhash64 of the 8-token window — per-row transform, no explode
+    until the gram rows) grouped BY GRAM to find cross-doc repeats;
+    (2) hits re-grouped BY DOC for count + interval-union coverage
+    (positions exploded, COUNT DISTINCT — overlap-correct without
+    interval logic). Never an all-pairs doc join; gram-shuffle width
+    is 8 bytes per gram (hash), not the gram text. The DuckDB oracle
+    groups the gram STRINGS themselves, so a hash collision would
+    surface as a mismatch (none at corpus scale: ~2^-40).
+    Reference scope: the reference repo has no text analytics — this
+    extends the training-data operator family (SURVEY.md §2 ext)."""
+    d = (
+        spread(load(spark, sf_dir, "documents"))
+        .select("doc_id", words().alias("ws"))
+        .select("doc_id", "ws", F.size("ws").alias("n_tokens"))
+    )
+    grams = (
+        d.filter(F.col("n_tokens") >= REP_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.col("n_tokens") - (REP_K - 1)
+                    ),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.xxhash64(
+                            F.concat_ws(" ", F.slice("ws", i, REP_K))
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    rep = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = grams.join(rep, "g")
+    nr = hits.groupBy("doc_id").agg(F.count("*").alias("n_rep"))
+    cov = (
+        hits.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (REP_K - 1))
+            ).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("p").alias("cov_tokens"))
+    )
+    return (
+        d.select("doc_id", "n_tokens")
+        .join(nr, "doc_id", "left")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_rep", F.lit(0)).alias("n_rep"),
+            F.round(
+                F.coalesce("cov_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("coverage"),
+        )
+    )
+
+
 QUERIES = {
+    "repeated_ngram_spans": q_repeated_ngram_spans,
     "dedup_exact": q_dedup_exact,
     "cdc_shared_chunks": q_cdc_shared_chunks,
     "dedup_bag_of_words": q_dedup_bag_of_words,
@@ -714,6 +799,39 @@ QUERIES = {
 }
 
 ORACLE = {
+    "repeated_ngram_spans": r"""
+        WITH w AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+            FROM documents
+        ), d AS (
+            SELECT doc_id, ws, len(ws) AS n_tokens FROM w
+        ), g0 AS (
+            SELECT doc_id, ws,
+                   unnest(generate_series(1, len(ws) - 7)) AS pos
+            FROM d WHERE len(ws) >= 8
+        ), g AS (
+            SELECT doc_id, pos,
+                   array_to_string(ws[pos : pos + 7], ' ') AS gram
+            FROM g0
+        ), rep AS (
+            SELECT gram FROM g GROUP BY gram
+            HAVING COUNT(DISTINCT doc_id) >= 2
+        ), hits AS (
+            SELECT g.doc_id, g.pos FROM g JOIN rep USING (gram)
+        ), nr AS (
+            SELECT doc_id, COUNT(*) AS n_rep FROM hits GROUP BY doc_id
+        ), cov AS (
+            SELECT doc_id, COUNT(DISTINCT p) AS cov_tokens FROM (
+                SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+                FROM hits
+            ) AS ps GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.n_tokens,
+               COALESCE(nr.n_rep, 0) AS n_rep,
+               round(CAST(COALESCE(cov.cov_tokens, 0) AS DOUBLE)
+                     / d.n_tokens, 6) AS coverage
+        FROM d LEFT JOIN nr USING (doc_id) LEFT JOIN cov USING (doc_id)
+    """,
     "cdc_shared_chunks": r"""
         WITH toks AS (
             SELECT doc_id,

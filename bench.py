@@ -53,6 +53,7 @@ HEADLINE = [
     "kql_join_innerunique",  # ADX default join: windowed key dedup (r4)
     "kql_fork",  # multi-consumer pipes, shared-prefix ReuseExchange (r4)
     "kql_parse_kv",  # map-side key-value extraction (r4)
+    "repeated_ngram_spans",  # Lee-et-al repeated-substring signal (r4)
 ]
 
 # Per-query medians pinned from the last judged round (bench_pins.json).
