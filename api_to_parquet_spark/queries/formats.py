@@ -52,10 +52,14 @@ def _roundtrip(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     writer = _typed_events(spark, sf_dir).write.mode("overwrite").format(fmt)
     if fmt == "csv":
         writer = writer.option("header", "true")
+    if fmt == "xml":
+        writer = writer.option("rootTag", "events").option("rowTag", "event")
     writer.save(target)
     reader = spark.read.format(fmt)
     if fmt == "csv":
         reader = reader.option("header", "true")
+    if fmt == "xml":
+        reader = reader.option("rowTag", "event")
     back = reader.schema(_SCHEMA).load(target)
     return (
         back.groupBy("event_type")
@@ -84,6 +88,13 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip(spark, sf_dir, "orc")
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML sink → XML source → aggregate, via Spark 4's native
+    XML data source (rowTag element per record) — the enterprise-feed
+    format the reference cannot read at all."""
+    return _roundtrip(spark, sf_dir, "xml")
+
+
 _AGG_ORACLE = """
     SELECT event_type, COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
@@ -96,10 +107,12 @@ QUERIES = {
     "csv_roundtrip": q_csv_roundtrip,
     "jsonl_roundtrip": q_jsonl_roundtrip,
     "orc_roundtrip": q_orc_roundtrip,
+    "xml_roundtrip": q_xml_roundtrip,
 }
 
 ORACLE = {
     "csv_roundtrip": _AGG_ORACLE,
     "jsonl_roundtrip": _AGG_ORACLE,
     "orc_roundtrip": _AGG_ORACLE,
+    "xml_roundtrip": _AGG_ORACLE,
 }

@@ -39,3 +39,23 @@ def test_roundtrip_preserves_rowcount(spark, sf_smoke, fmt):
     agg = q(spark, sf_smoke)
     total = agg.agg(F.sum("n").alias("t")).collect()[0]["t"]
     assert total == load(spark, sf_smoke, "events").count()
+
+
+def test_xml_roundtrip_escapes_markup(spark, tmp_path):
+    """XML entity escaping: values carrying markup characters survive
+    the write/read cycle byte-identically."""
+    src = spark.createDataFrame(
+        [(1, 'a<b>&"c'), (2, "plain")], "k BIGINT, v STRING"
+    )
+    path = str(tmp_path / "xml")
+    (
+        src.write.format("xml").option("rootTag", "rows")
+        .option("rowTag", "row").mode("overwrite").save(path)
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "row")
+        .schema("k BIGINT, v STRING").load(path)
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
