@@ -694,7 +694,61 @@ def q_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embedding_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (SQ8 — the FAISS
+    ScalarQuantizer storage default, 4x smaller than float32): codes =
+    round(255 * (x - min) / (max - min)), dequantized for the
+    reconstruction report. Pure map-side array expressions — ZERO
+    shuffle at any corpus size; the per-vector min/max live in the row.
+    Parity: code_sum is an EXACT integer fold (the quantizer itself is
+    value-checked, not just its error statistics); MAE/max-error use
+    the sequential index-ordered fold both engines share. Complements
+    ann_pq_topk (codebook quantization) with the codebook-free path."""
+    v = _vecs(spark, sf_dir)
+    d = v.select(
+        "vec_id",
+        "label",
+        "v",
+        F.array_min("v").alias("mn"),
+        F.array_max("v").alias("mx"),
+    ).withColumn(
+        "scale",
+        F.when(F.col("mx") == F.col("mn"), F.lit(1.0)).otherwise(
+            (F.col("mx") - F.col("mn")) / F.lit(255).cast("double")
+        ),
+    )
+    d = d.withColumn(
+        "codes",
+        F.transform(
+            "v",
+            lambda x: F.round((x - F.col("mn")) / F.col("scale")).cast(
+                "bigint"
+            ),
+        ),
+    )
+    errs = F.zip_with(
+        "v",
+        "codes",
+        lambda x, c: F.abs(
+            x - (F.col("mn") + c.cast("double") * F.col("scale"))
+        ),
+    )
+    d = d.withColumn("errs", errs)
+    esum = F.aggregate("errs", F.lit(0.0), lambda a, x: a + x)
+    return d.select(
+        "vec_id",
+        "label",
+        F.size("v").alias("n_dims"),
+        F.aggregate(
+            "codes", F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("code_sum"),
+        F.round(esum / F.size("v").cast("double"), 6).alias("mae"),
+        F.round(F.array_max("errs"), 6).alias("max_err"),
+    )
+
+
 QUERIES = {
+    "embedding_sq8": q_embedding_sq8,
     "knn_bruteforce": q_knn_bruteforce,
     "normalize_embeddings": q_normalize_embeddings,
     "embedding_stats": q_embedding_stats,
@@ -708,6 +762,38 @@ QUERIES = {
 }
 
 ORACLE = {
+    "embedding_sq8": """
+        WITH v AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v
+            FROM embeddings
+        ), p AS (
+            SELECT vec_id, label, v,
+                   list_min(v)::DOUBLE AS mn, list_max(v)::DOUBLE AS mx
+            FROM v
+        ), q AS (
+            SELECT vec_id, label, v, mn,
+                   CASE WHEN mx = mn THEN CAST(1.0 AS DOUBLE)
+                        ELSE (mx - mn) / CAST(255 AS DOUBLE) END AS scale
+            FROM p
+        ), c AS (
+            SELECT vec_id, label, v, mn, scale,
+                   list_transform(v, x ->
+                       CAST(round((x - mn) / scale) AS BIGINT)) AS codes
+            FROM q
+        ), e AS (
+            SELECT vec_id, label, v, codes,
+                   list_transform(generate_series(1, len(v)), i ->
+                       abs(v[i] - (mn + CAST(codes[i] AS DOUBLE)
+                                   * scale))) AS errs
+            FROM c
+        )
+        SELECT vec_id, label, len(v) AS n_dims,
+               list_reduce(codes, (a, x) -> a + x) AS code_sum,
+               round(list_reduce(errs, (a, x) -> a + x)
+                     / CAST(len(v) AS DOUBLE), 6) AS mae,
+               round(list_max(errs)::DOUBLE, 6) AS max_err
+        FROM e
+    """,
     "embedding_band_pairs": _DUCK_BAND_PAIRS,
     "semantic_dedup": f"""
         WITH RECURSIVE pairs AS ({_DUCK_BAND_PAIRS}),
