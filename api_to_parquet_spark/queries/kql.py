@@ -91,6 +91,12 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                    ONE CUBE agg over the string columns
                                    (2^k grouping sets, map-side
                                    partials), support >= thr (5%)
+    T | evaluate diffpatterns(split, "A", "B")
+                                -> attribute combos whose share differs
+                                   between two subsets: the same ONE-
+                                   CUBE shape with per-side conditional
+                                   counts, ranked by |PercentDiff|,
+                                   5% min support either side
     T | getschema               -> schema as a table (ADX contract)
     T | sample N / sample-distinct N of c
                                 -> deterministic hash-order refinement
@@ -169,7 +175,9 @@ series_sum/avg/max/min, series_fill_const, series_add/subtract/
 multiply/divide (element-wise zip_with; numeric literals broadcast),
 series_fir/series_moving_avg (literal-coefficient FIR convolution,
 taps unrolled at translation time, zero edge padding),
-and the series-analytics chains (extend-stage nested-SELECT expansion,
+and the series-analytics chains (extend-stage nested-SELECT expansion;
+series_periods_detect is the autocorrelation best-lag + score,
+num_periods=1 scalar subset;
 all per-row array folds): series_fit_line (6-way multi-assign, ADX
 order), series_stats (7-way), series_outliers (Tukey-fence scores,
 discrete 10th/90th quantiles), series_decompose (4-tuple:
@@ -469,6 +477,7 @@ _SERIES_CHAIN_FNS = {
     "series_outliers": 1,  # score array
     "series_decompose_anomalies": 3,  # anomalies, score, baseline
     "series_decompose": 4,  # baseline, seasonal, trend, residual
+    "series_periods_detect": 2,  # best period, its score (num_periods=1)
 }
 
 
@@ -618,6 +627,56 @@ def _series_chain_sql(
         return build(
             f"sqrt({var}) AS {sd}",
             ["_sc_ys", "_sc_n", "_sc_sy", "_sc_syy"],
+        )
+    if fn == "series_periods_detect":
+        p_name, s_name = names
+        if len(args) != 4 or args[3].strip() != "1":
+            raise ValueError(
+                "series_periods_detect supports (series, min_period,"
+                " max_period, 1) — scalar best-period subset"
+            )
+        try:
+            lo_i, hi_i = int(args[1]), int(args[2])
+        except ValueError:
+            raise ValueError(
+                "series_periods_detect needs literal integer periods"
+            )
+        if not 2 <= lo_i <= hi_i:
+            raise ValueError(
+                f"series_periods_detect: bad period range {lo_i}..{hi_i}"
+            )
+        # Deterministic autocorrelation refinement of ADX's detector:
+        # ac(L) = sum(dev[i]*dev[i+L]) / sum(dev^2) for L in lo..hi;
+        # best = max ac (first lag on ties via array_position). All
+        # per-row nested higher-order folds — map-side, zero shuffle;
+        # per-lag cost O(n*(hi-lo)) on arrays already bounded by
+        # make-series' explicit axis.
+        nest(f"{ys} AS _sc_ys")
+        nest(
+            f"CAST(size(_sc_ys) AS DOUBLE) AS _sc_n,"
+            f" {_sum_sql('_sc_ys')} AS _sc_sy"
+        )
+        nest("transform(_sc_ys, _x -> _x - _sc_sy / _sc_n) AS _sc_dev")
+        nest(
+            "coalesce(nullif("
+            + _sum_sql("transform(_sc_dev, _x -> _x * _x)")
+            + f", {_D0}), CAST(1 AS DOUBLE)) AS _sc_den"
+        )
+        nest(
+            f"transform(sequence({lo_i}, {hi_i}), _L -> CASE"
+            f" WHEN size(_sc_dev) - _L >= 1 THEN"
+            f" aggregate(sequence(1, size(_sc_dev) - _L), {_D0},"
+            f" (_a, _i) -> _a + element_at(_sc_dev, _i)"
+            f" * element_at(_sc_dev, _i + _L)) / _sc_den"
+            f" ELSE {_D0} END) AS _sc_acs"
+        )
+        nest("array_max(_sc_acs) AS _sc_best")
+        return build(
+            f"CAST({lo_i} + array_position(_sc_acs, _sc_best) - 1"
+            f" AS BIGINT) AS {p_name},"
+            f" round(_sc_best, 6) AS {s_name}",
+            ["_sc_ys", "_sc_n", "_sc_sy", "_sc_dev", "_sc_den",
+             "_sc_acs", "_sc_best"],
         )
     if fn == "series_outliers":
         (score,) = names
@@ -2365,6 +2424,79 @@ def kql_to_sql(
                     f" WHERE Count >= {thr} * _tot AND ({not_all_null})"
                 )
                 continue
+            dm = re.match(
+                r"diffpatterns\s*\(\s*(\w+)\s*,"
+                r'\s*("(?:[^"\\]|\\.)*")\s*,'
+                r'\s*("(?:[^"\\]|\\.)*")\s*\)\s*$',
+                body,
+                re.IGNORECASE,
+            )
+            if dm:
+                # `evaluate diffpatterns(SplitCol, "A", "B")` — which
+                # attribute combinations differ between two subsets
+                # (the ADX diagnostics plugin next to basket). Same ONE-
+                # CUBE shape as basket: 2^k grouping sets over the
+                # OTHER string columns with per-side conditional
+                # counts; totals come from the cube's all-wildcard row
+                # via a window max (no second scan); combos below 5 %
+                # support on BOTH sides are dropped (deterministic
+                # refinement of ADX's heuristic mining), ranked by
+                # |PercentA - PercentB|.
+                if spark is None:
+                    raise ValueError(
+                        "evaluate diffpatterns needs a SparkSession"
+                    )
+                split = dm.group(1)
+                val_a = _strings_to_sql(dm.group(2))
+                val_b = _strings_to_sql(dm.group(3))
+                from pyspark.sql.types import StringType
+
+                dcols = [
+                    f.name
+                    for f in spark.sql(sql).schema.fields
+                    if isinstance(f.dataType, StringType)
+                    and f.name != split
+                ]
+                if not dcols:
+                    raise ValueError(
+                        "evaluate diffpatterns: no attribute columns"
+                    )
+                csl = ", ".join(dcols)
+                all_null = " AND ".join(f"{c} IS NULL" for c in dcols)
+                not_all_null = " OR ".join(
+                    f"{c} IS NOT NULL" for c in dcols
+                )
+                order = ", ".join(
+                    f"{c} ASC NULLS FIRST" for c in dcols
+                )
+                sql = (
+                    f"SELECT CAST(row_number() OVER (ORDER BY"
+                    f" abs(PercentA - PercentB) DESC, {order}) - 1"
+                    f" AS BIGINT) AS SegmentId,"
+                    f" {csl}, CountA, CountB, PercentA, PercentB,"
+                    f" round(PercentA - PercentB, 2) AS PercentDiffAB"
+                    f" FROM (SELECT *,"
+                    f" round(CAST(100 AS DOUBLE) * CountA / _ta, 2)"
+                    f" AS PercentA,"
+                    f" round(CAST(100 AS DOUBLE) * CountB / _tb, 2)"
+                    f" AS PercentB FROM ("
+                    f"SELECT *, max(CASE WHEN {all_null} THEN CountA END)"
+                    f" OVER () AS _ta,"
+                    f" max(CASE WHEN {all_null} THEN CountB END)"
+                    f" OVER () AS _tb FROM ("
+                    f"SELECT {csl},"
+                    f" SUM(CASE WHEN {split} = {val_a} THEN 1 ELSE 0 END)"
+                    f" AS CountA,"
+                    f" SUM(CASE WHEN {split} = {val_b} THEN 1 ELSE 0 END)"
+                    f" AS CountB"
+                    f" FROM ({sql}) AS _dp{i}"
+                    f" WHERE {split} IN ({val_a}, {val_b})"
+                    f" GROUP BY CUBE ({csl})) AS _dpc{i}) AS _dpw{i})"
+                    f" AS _dpp{i}"
+                    f" WHERE ({not_all_null}) AND (CountA >= 0.05 * _ta"
+                    f" OR CountB >= 0.05 * _tb)"
+                )
+                continue
             m = re.match(r"pivot\s*\(\s*(\w+)\s*,\s*(.+)\)\s*$", body,
                          re.IGNORECASE | re.DOTALL)
             if not m:
@@ -4098,6 +4230,38 @@ def q_kql_scalar_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate diffpatterns` — attribute combinations whose share
+    differs between the low-value and high-value event subsets; one
+    CUBE aggregation with per-side conditional counts (basket's
+    sibling diagnostics plugin)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        ' | extend band = iff(value < 50, "lo", "hi"),'
+        " dow = tostring(dayofweek(ts))"
+        " | project band, event_type, dow"
+        ' | evaluate diffpatterns(band, "lo", "hi")',
+    )
+
+
+def q_kql_series_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series_periods_detect over 28-day per-user series: deterministic
+    autocorrelation refinement (best lag in 2..10 + its normalized
+    score), scalar num_periods=1 subset."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        " | make-series n = count() default = 0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-29) step 1d"
+        " by user_id"
+        " | extend (p, s) = series_periods_detect(n, 2, 10, 1)"
+        " | project user_id, p, s",
+    )
+
+
 def q_kql_scalar_fns3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third scalar-function batch (round-4): parse_url field access
     (struct-bag refinement of ADX's property bag), extract_all (one
@@ -4470,6 +4634,8 @@ QUERIES = {
     "kql_fork": q_kql_fork,
     "kql_scalar_fns4": q_kql_scalar_fns4,
     "kql_reduce": q_kql_reduce,
+    "kql_series_periods": q_kql_series_periods,
+    "kql_diffpatterns": q_kql_diffpatterns,
     "kql_union_withsource": q_kql_union_withsource,
     "kql_invoke": q_kql_invoke,
     "kql_externaldata": q_kql_externaldata,
@@ -4698,6 +4864,95 @@ ORACLE = {
                event_type AS b64,
                round(log10(event_id + 1), 6) AS lg
         FROM events WHERE event_id < 200
+    """,
+    "kql_diffpatterns": """
+        WITH proj AS (
+            SELECT CASE WHEN value < 50 THEN 'lo' ELSE 'hi' END AS band,
+                   event_type,
+                   CAST(dayofweek(ts) AS VARCHAR) AS dow
+            FROM events
+        ), cub AS (
+            SELECT event_type, dow,
+                   SUM(CASE WHEN band = 'lo' THEN 1 ELSE 0 END)::BIGINT
+                       AS CountA,
+                   SUM(CASE WHEN band = 'hi' THEN 1 ELSE 0 END)::BIGINT
+                       AS CountB
+            FROM proj WHERE band IN ('lo', 'hi')
+            GROUP BY CUBE (event_type, dow)
+        ), tot AS (
+            SELECT *,
+                   max(CASE WHEN event_type IS NULL AND dow IS NULL
+                       THEN CountA END) OVER () AS _ta,
+                   max(CASE WHEN event_type IS NULL AND dow IS NULL
+                       THEN CountB END) OVER () AS _tb
+            FROM cub
+        ), pct AS (
+            SELECT *,
+                   round(CAST(100 AS DOUBLE) * CountA / _ta, 2)
+                       AS PercentA,
+                   round(CAST(100 AS DOUBLE) * CountB / _tb, 2)
+                       AS PercentB
+            FROM tot
+        )
+        SELECT CAST(row_number() OVER (ORDER BY
+                   abs(PercentA - PercentB) DESC,
+                   event_type ASC NULLS FIRST, dow ASC NULLS FIRST) - 1
+                   AS BIGINT) AS SegmentId,
+               event_type, dow, CountA, CountB, PercentA, PercentB,
+               round(PercentA - PercentB, 2) AS PercentDiffAB
+        FROM pct
+        WHERE (event_type IS NOT NULL OR dow IS NOT NULL)
+          AND (CountA >= 0.05 * _ta OR CountB >= 0.05 * _tb)
+    """,
+    "kql_series_periods": """
+        WITH f AS (
+            SELECT user_id, date_trunc('day', ts) AS b FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-29'
+        ), agg AS (
+            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
+            FROM f GROUP BY 1, 2
+        ), g AS (SELECT DISTINCT user_id FROM f),
+        bins AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-28', INTERVAL 1 DAY)) AS ts
+        ), dense AS (
+            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n
+            FROM g CROSS JOIN bins
+            LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
+        ), arr AS (
+            SELECT user_id, list(n ORDER BY ts) AS ys
+            FROM dense GROUP BY user_id
+        ), st AS (
+            SELECT user_id, ys, CAST(len(ys) AS DOUBLE) AS nn,
+                   list_reduce(ys, (a, x) -> a + x) AS sy
+            FROM arr
+        ), dv AS (
+            SELECT user_id,
+                   list_transform(ys, x -> x - sy / nn) AS dev
+            FROM st
+        ), dn AS (
+            SELECT user_id, dev,
+                   coalesce(nullif(list_reduce(
+                       list_transform(dev, x -> x * x), (a, x) -> a + x),
+                       CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) AS den
+            FROM dv
+        ), ac AS (
+            SELECT user_id,
+                   list_transform(generate_series(2, 10), L -> CASE
+                       WHEN len(dev) - L >= 1 THEN
+                           list_reduce(list_transform(
+                               generate_series(1, len(dev) - L),
+                               i -> dev[i] * dev[i + L]),
+                               (a, x) -> a + x) / den
+                       ELSE CAST(0 AS DOUBLE) END) AS acs
+            FROM dn
+        )
+        SELECT user_id,
+               CAST(2 + list_position(acs, list_max(acs)) - 1
+                    AS BIGINT) AS p,
+               round(list_max(acs)::DOUBLE, 6) AS s
+        FROM ac
     """,
     "kql_reduce": """
         WITH b AS (
