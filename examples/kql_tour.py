@@ -99,6 +99,49 @@ def main() -> None:
         " | render columnchart",
     ).show()
 
+    print("== round-4: fork / as (multi-consumer pipes) ==")
+    kql(
+        spark,
+        "events | summarize n = count() by event_type | as pertype"
+        " | fork top2 = (top 2 by n) total = (summarize all_n = sum(n))",
+    ).show()
+
+    print("== round-4: invoke (function lets) ==")
+    kql(
+        spark,
+        "let hourly = (source:(*)) { source"
+        " | summarize n = count() by h = hourofday(ts) | top 3 by n };"
+        "events | invoke hourly()",
+    ).show()
+
+    print("== round-4: parse-kv + parse_url ==")
+    kql(
+        spark,
+        'events | take 3 | extend kvs = strcat("t=", event_type,'
+        ' ";u=", tostring(user_id))'
+        " | parse-kv kvs as (t:string, u:long)"
+        ' with (pair_delimiter=";", kv_delimiter="=")'
+        ' | extend link = strcat("https://ex.com:8080/e/", t, "#f")'
+        " | project t, u, host = parse_url(link).Host,"
+        " port = parse_url(link).Port",
+    ).show()
+
+    print("== round-4: diffpatterns (what differs between subsets) ==")
+    kql(
+        spark,
+        'events | extend band = iff(value < 50, "lo", "hi")'
+        " | project band, event_type"
+        ' | evaluate diffpatterns(band, "lo", "hi") | take 5',
+    ).show()
+
+    print("== round-4: reduce by (log-pattern mining) ==")
+    kql(
+        spark,
+        'events | take 200 | extend m = strcat("evt-",'
+        ' tostring(event_id), " ", event_type)'
+        " | reduce by m | top 5 by Count",
+    ).show()
+
 
 if __name__ == "__main__":
     main()
