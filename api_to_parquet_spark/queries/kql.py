@@ -2836,14 +2836,43 @@ def kql_to_sql(
             # table unchanged and the UI draws it. No-op, so committed
             # dashboards run verbatim.
             continue
-        elif op == "project-away":
-            cols = ", ".join(
-                c.strip() for c in _split_top_level(body)
-            )
-            sql = f"SELECT * EXCEPT ({cols}) FROM {prev}"
-        elif op == "project-keep":
-            cols = ", ".join(c.strip() for c in _split_top_level(body))
-            sql = f"SELECT {cols} FROM {prev}"
+        elif op in ("project-away", "project-keep"):
+            items = [c.strip() for c in _split_top_level(body)]
+            if any("*" in c for c in items):
+                # wildcard column patterns (ADX contract: fnmatch-style
+                # * against the current schema, expansion preserves
+                # schema order) — needs a session for the column list
+                if spark is None:
+                    raise ValueError(
+                        f"{op} wildcards need a SparkSession (schema)"
+                    )
+                import fnmatch
+
+                names = [f.name for f in spark.sql(sql).schema.fields]
+                expanded: list[str] = []
+                for it in items:
+                    hits = (
+                        fnmatch.filter(names, it)
+                        if "*" in it
+                        else ([it] if it in names else [])
+                    )
+                    if not hits and "*" not in it:
+                        raise ValueError(
+                            f"{op}: unknown column {it!r}"
+                        )
+                    expanded.extend(
+                        h for h in hits if h not in expanded
+                    )
+                if not expanded:
+                    raise ValueError(
+                        f"{op}: no columns match {body!r}"
+                    )
+                items = [n for n in names if n in set(expanded)]
+            cols = ", ".join(items)
+            if op == "project-away":
+                sql = f"SELECT * EXCEPT ({cols}) FROM {prev}"
+            else:
+                sql = f"SELECT {cols} FROM {prev}"
         elif op == "project-reorder":
             # listed columns first (ADX contract), remaining columns
             # appended in their existing order — needs the schema

@@ -937,6 +937,23 @@ def test_extract_typed_and_reduce(spark):
     ]
 
 
+def test_project_away_keep_wildcards(spark, sf_smoke):
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | extend tmp_a = 1, tmp_b = 2"
+        " | project-away tmp_*, props | take 1",
+    )
+    assert "tmp_a" not in df.columns and "props" not in df.columns
+    assert "event_id" in df.columns
+    df2 = kql(spark, "events | project-keep event_* | take 1")
+    assert df2.columns == ["event_id", "event_type"]
+    with pytest.raises(ValueError, match="no columns match"):
+        kql(spark, "events | project-keep zz_*")
+    with pytest.raises(ValueError, match="need a SparkSession"):
+        kql_to_sql("T | project-away tmp_*")
+
+
 def test_mv_expand_typeof(spark):
     spark.sql(
         "SELECT array('1', 'x', '3') AS a"
