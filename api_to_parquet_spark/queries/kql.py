@@ -2202,7 +2202,13 @@ def kql_to_sql(
             body = re.sub(r"^by\s+", "", body, flags=re.IGNORECASE)
             orders = []
             for o in _split_top_level(body):
-                if not re.search(r"\b(asc|desc)$", o, re.IGNORECASE):
+                # `asc|desc` may carry an ADX `nulls first|last` tail
+                # (passes through — Spark shares the syntax)
+                if not re.search(
+                    r"\b(asc|desc)(\s+nulls\s+(first|last))?$",
+                    o,
+                    re.IGNORECASE,
+                ):
                     o += " DESC"  # KQL sort defaults to descending
                 orders.append(_expr(o))
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"

@@ -1301,3 +1301,17 @@ def test_review_fixes_round3(spark, sf_smoke):
         " 1.0, 100.0) | extend s = series_outliers(y)",
     ).collect()[0]["s"]
     assert scores[-1] > 0 and None not in scores
+
+
+def test_sort_nulls_ordering_and_distinct_star(spark):
+    spark.sql(
+        "SELECT * FROM (VALUES (1, 'a'), (NULL, 'b'), (2, 'a'),"
+        " (1, 'a')) t(k, v)"
+    ).createOrReplaceTempView("sn")
+    rows = kql(
+        spark, "sn | sort by k asc nulls first, v asc"
+    ).collect()
+    assert [r["k"] for r in rows] == [None, 1, 1, 2]
+    rows = kql(spark, "sn | sort by k desc nulls last").collect()
+    assert [r["k"] for r in rows] == [2, 1, 1, None]
+    assert len(kql(spark, "sn | distinct *").collect()) == 3
