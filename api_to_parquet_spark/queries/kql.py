@@ -1398,13 +1398,14 @@ _AGG_FNS = {
 }
 
 
-def _split_by(text: str) -> list[str]:
-    """Split `summarize`-style text on the first TOP-LEVEL `by` keyword
+def _split_by(text: str, kw: str = "by") -> list[str]:
+    """Split on the first TOP-LEVEL occurrence of keyword `kw`
     (depth 0, outside both quote flavors, word-bounded). A bare
     re.split(r"\\bby\\b") corrupts an aggregate argument whose string
     literal contains the word (countif(x == "a by b")) — review
-    finding. Returns [aggs] or [aggs, groups]."""
+    finding. Returns [head] or [head, tail]."""
     depth, quote, skip = 0, None, False
+    k, kl = len(kw), kw.lower()
     for i, ch in enumerate(text):
         if skip:
             skip = False
@@ -1426,15 +1427,15 @@ def _split_by(text: str) -> list[str]:
             depth -= 1
         elif (
             depth == 0
-            and ch in "bB"
-            and text[i : i + 2].lower() == "by"
+            and ch.lower() == kl[0]
+            and text[i : i + k].lower() == kl
             and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
             and (
-                i + 2 == len(text)
-                or not (text[i + 2].isalnum() or text[i + 2] == "_")
+                i + k == len(text)
+                or not (text[i + k].isalnum() or text[i + k] == "_")
             )
         ):
-            return [text[:i], text[i + 2 :]]
+            return [text[:i], text[i + k :]]
     return [text]
 
 
