@@ -4482,7 +4482,8 @@ def q_kql_scalar_fns4(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' uec = url_encode_component(strcat(event_type, " x")),'
         ' ud = url_decode("a%20b+c"),'
         ' tr = translate("aeiou", "AEIOU", event_type),'
-        " tb = tobool(event_type),"
+        ' tb = tobool(iff(event_id % 4 == 0, "true",'
+        ' iff(event_id % 4 == 1, "false", event_type))),'
         ' td = todatetime("2024-02-03 04:05:06")'
         ' | extend parts = split("1,2,x", ",")'
         " | mv-expand parts to typeof(long)"
@@ -5110,7 +5111,9 @@ ORACLE = {
                replace(concat(event_type, ' x'), ' ', '%20') AS uec,
                'a b c' AS ud,
                translate(event_type, 'aeiou', 'AEIOU') AS tr,
-               TRY_CAST(event_type AS BOOLEAN) AS tb,
+               TRY_CAST(CASE WHEN event_id % 4 = 0 THEN 'true'
+                             WHEN event_id % 4 = 1 THEN 'false'
+                             ELSE event_type END AS BOOLEAN) AS tb,
                TIMESTAMP '2024-02-03 04:05:06' AS td,
                p.parts
         FROM b CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2),

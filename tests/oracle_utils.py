@@ -44,7 +44,17 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_bool_dtype(s):
             df[c] = s.astype("float64")
         else:
-            df[c] = s.astype("object").map(lambda v: "\x00NULL" if v is None else str(v))
+            # Bridge-dtype edge: an all-NULL column arrives as object None
+            # from Spark toPandas() but as object float-NaN from DuckDB
+            # .df(); map both (and pd.NA/NaT) to the same null marker.
+            df[c] = s.astype("object").map(
+                lambda v: "\x00NULL"
+                if v is None
+                or v is pd.NaT
+                or v is pd.NA
+                or (isinstance(v, float) and v != v)
+                else str(v)
+            )
     df = df.sort_values(by=list(df.columns), na_position="first").reset_index(
         drop=True
     )
