@@ -203,9 +203,16 @@ TakeOrderedAndProject).
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Globally unique suffix for fork's synthetic source names: a per-pipe
+# stage index collides when a nested fork inside a branch lands on the
+# same index and overwrites the outer entry in the shared _tabular dict
+# (round-4 review finding).
+_FORK_SEQ = itertools.count()
 
 _TIMESPAN_SECONDS = {
     "s": 1,
@@ -1239,11 +1246,17 @@ def _expr(kql_expr: str) -> str:
     _STR = r"('(?:[^']|'')*')"
     # =~ / !~: case-insensitive (in)equality; in~ / !in~: the same over
     # a literal list — everyday ADX idioms. Operands are a dotted
-    # identifier or a quoted literal (spaces inside literals are fine);
-    # a multi-token expression operand is left unrewritten so Spark's
-    # parser rejects it LOUDLY instead of a (\S+) capture silently
-    # corrupting it (round-3 review finding).
-    _OPND = r"((?<![\w)'])[\w.]+|'(?:[^']|'')*')"
+    # identifier, one function call whose arguments nest parens at most
+    # one level deep (`tostring(x) contains 'y'`, and the
+    # already-rewritten `substring(x, (0) + 1, 3)` — round-4 review
+    # finding), or a quoted literal (spaces inside literals are fine);
+    # a deeper expression operand is left unrewritten so Spark's parser
+    # rejects it LOUDLY instead of a (\S+) capture silently corrupting
+    # it (round-3 review finding). Quoted args may contain parens.
+    _QLIT = r"'(?:[^']|'')*'"
+    _ARGS0 = rf"(?:{_QLIT}|[^()'])*"
+    _CALL = rf"\((?:{_QLIT}|[^()']|\({_ARGS0}\))*\)"
+    _OPND = rf"((?<![\w)'])[\w.]+(?:{_CALL})?|{_QLIT})"
     # quote-aware list body: quoted spans may contain , and )
     _LIST = r"\(((?:'(?:[^']|'')*'|[^)'])*)\)"
     e = re.sub(rf"{_OPND}\s*=~\s*{_OPND}", r"lower(\1) = lower(\2)", e)
@@ -1819,7 +1832,16 @@ _CIE_OPS = frozenset(
 
 
 _CACHE_KEEP = 8  # live cached pivot/bag_unpack children per session
-_cache_ring: list[tuple[str, "DataFrame"]] = []
+# Ring is keyed PER SparkSession (round-4 review finding: a module-
+# global ring evicted views via the *current* session, leaking views
+# checkpointed under another session and unpersisting DataFrames the
+# other session's callers still held). WeakKeyDictionary: a closed,
+# collected session drops its ring with it.
+import weakref  # noqa: E402
+
+_cache_rings: "weakref.WeakKeyDictionary[SparkSession, list]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
@@ -1844,15 +1866,33 @@ def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
     view = f"_kql_cache_{tag}_{uuid.uuid4().hex[:12]}"
     df = spark.sql(sql).localCheckpoint()
     df.createOrReplaceTempView(view)
-    _cache_ring.append((view, df))
-    while len(_cache_ring) > _CACHE_KEEP:
-        old_view, old_df = _cache_ring.pop(0)
+    ring = _cache_rings.setdefault(spark, [])
+    ring.append((view, df))
+    while len(ring) > _CACHE_KEEP:
+        old_view, old_df = ring.pop(0)
         try:
             old_df.unpersist()
             spark.catalog.dropTempView(old_view)
         except Exception:  # session may already be gone
             pass
     return f"SELECT * FROM {view}"
+
+
+def _is_orderable(dt) -> bool:
+    """Spark's ORDER BY comparability walk: maps (and variants) are
+    never orderable, arrays are orderable iff their element is, structs
+    iff every field is. Used by innerunique's deterministic kept-row
+    ordering so a column typed array<map<…>> can't fail analysis
+    (round-4 review finding)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if isinstance(dt, MapType):
+        return False
+    if isinstance(dt, ArrayType):
+        return _is_orderable(dt.elementType)
+    if isinstance(dt, StructType):
+        return all(_is_orderable(f.dataType) for f in dt.fields)
+    return type(dt).__name__ != "VariantType"
 
 
 def _fork_branches(text: str) -> list[tuple[str | None, str]]:
@@ -2637,23 +2677,28 @@ def kql_to_sql(
                                 f"join needs '$left.a == $right.b': {k!r}"
                             )
                         left_keys.append(km.group(1))
-                from pyspark.sql.types import MapType
-
                 order_cols = left_keys
+                iu = "_iu"
                 if spark is not None:
                     # deterministic kept-row: order by every orderable
-                    # column (maps are not comparable in Spark)
+                    # column — RECURSIVELY orderable (a map nested in
+                    # an array/struct is just as un-comparable as a
+                    # top-level one; round-4 review finding) — and a
+                    # collision-proof row-number alias (a user column
+                    # literally named _iu must survive).
+                    fields = spark.sql(sql).schema.fields
                     order_cols = [
-                        f.name
-                        for f in spark.sql(sql).schema.fields
-                        if not isinstance(f.dataType, MapType)
+                        f.name for f in fields if _is_orderable(f.dataType)
                     ] or left_keys
+                    names = {f.name for f in fields}
+                    while iu in names:
+                        iu += "_"
                 sql = (
-                    f"SELECT * EXCEPT (_iu) FROM (SELECT *,"
+                    f"SELECT * EXCEPT ({iu}) FROM (SELECT *,"
                     f" row_number() OVER (PARTITION BY"
                     f" {', '.join(left_keys)} ORDER BY"
-                    f" {', '.join(order_cols)}) AS _iu"
-                    f" FROM ({sql}) AS _iul{i}) AS _iur{i} WHERE _iu = 1"
+                    f" {', '.join(order_cols)}) AS {iu}"
+                    f" FROM ({sql}) AS _iul{i}) AS _iur{i} WHERE {iu} = 1"
                 )
                 prev = f"({sql}) AS _s{i}"  # deduped left replaces prev
             if kind in ("rightsemi", "rightanti"):
@@ -3025,7 +3070,7 @@ def kql_to_sql(
                     "fork needs a SparkSession (schema alignment)"
                 )
             branches = _fork_branches(body)
-            src = f"_fork_src{i}"
+            src = f"_fork_src{next(_FORK_SEQ)}"
             _tabular[src] = ("sql", sql)
             bsqls: list[tuple[str, str]] = []
             for j, (bname, btext) in enumerate(branches, 1):

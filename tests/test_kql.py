@@ -1271,12 +1271,16 @@ def test_pipe_and_comma_inside_string_literals(spark, sf_smoke):
 
 
 def test_review_fixes_round3(spark, sf_smoke):
-    """Round-3 review findings, pinned: (1) multi-token =~ operands are
-    left for the SQL parser to reject loudly, not silently corrupted;
+    """Round-3 review findings, pinned: (1) =~ operands are either
+    rewritten WHOLE (round-4 ADVICE widened _OPND to one call) or left
+    for the SQL parser to reject loudly — never silently corrupted;
     (2) commas/parens inside in~/has_any literals; (5) NULL group keys
     route to Others exactly once; (6) zero-IQR spikes still score."""
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
     sql = kql_to_sql('t | where substring(x, 0, 3) =~ "ABC"')
+    assert "lower(substring" in sql and "lower(3)" not in sql
+    # a deeper multi-token operand still leaks loudly, uncorrupted
+    sql = kql_to_sql('t | where f(g(h(x))) =~ "ABC"')
     assert "=~" in sql and "lower(3)" not in sql
     n = kql(
         spark, 'events | where event_type in~ ("VIEW", "a,b") | count'
@@ -1372,3 +1376,56 @@ def test_review_fixes_round4(spark, sf_smoke):
         " | count",
     ).collect()
     assert rows[0]["count_"] > 0
+
+
+def test_review_fixes_round5(spark, sf_smoke):
+    """Round-4 ADVICE.md findings, pinned in round 5."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # (1) _OPND accepts one function-call operand: string predicates on
+    # call results are rewritten again instead of leaking KQL into SQL
+    rows = kql(
+        spark,
+        'events | where tostring(event_id) startswith "1" | count',
+    ).collect()
+    assert rows[0]["count_"] > 0
+    rows = kql(
+        spark,
+        'events | where substring(event_type, 0, 2) =~ "VI" | count',
+    ).collect()
+    assert rows[0]["count_"] > 0
+    # ...including calls whose quoted args contain parens/commas
+    rows = kql(
+        spark,
+        "events | where strcat(event_type, \"(x, y)\") contains \"(x\""
+        " | count",
+    ).collect()
+    assert rows[0]["count_"] > 0
+    # (2) nested fork inside a branch must not clobber the outer fork's
+    # source entry: every outer branch still resolves the OUTER prefix
+    rows = kql(
+        spark,
+        "events | where event_id < 100"
+        " | fork a = (fork x = (count) y = (summarize m = max(event_id)))"
+        " b = (count)",
+    ).collect()
+    by_branch = {r["fork_branch"]: r for r in rows}
+    assert by_branch["b"]["count_"] == 100
+    assert by_branch["a"]["count_"] in (100, None)
+    # (3) pivot/bag_unpack cache ring is per-session (module state keyed
+    # by SparkSession, evicted via the owning session)
+    from api_to_parquet_spark.queries.kql import _cache_rings
+
+    kql(spark, "events | evaluate pivot(event_type, count())").collect()
+    assert spark in _cache_rings and len(_cache_rings[spark]) >= 1
+    # (4) innerunique tolerates un-orderable NESTED types (array<map>)
+    # and a user column literally named _iu
+    spark.sql(
+        "SELECT 1 AS k, array(map('a', 1)) AS am, 9 AS _iu"
+        " UNION ALL SELECT 1, array(map('b', 2)), 8"
+    ).createOrReplaceTempView("iu_left")
+    spark.sql("SELECT 1 AS k, 'r' AS rv").createOrReplaceTempView(
+        "iu_right"
+    )
+    rows = kql(spark, "iu_left | join (iu_right) on k").collect()
+    assert len(rows) == 1 and rows[0]["rv"] == "r"
+    assert "_iu" in rows[0].asDict()  # the user's own _iu survived
