@@ -215,6 +215,7 @@ from pyspark.sql import DataFrame, SparkSession
 _FORK_SEQ = itertools.count()
 
 _TIMESPAN_SECONDS = {
+    "ms": 0.001,
     "s": 1,
     "m": 60,
     "h": 3600,
@@ -274,6 +275,153 @@ def _bin_at_sql(args: list[str]) -> str:
             f" / {sec}) * {sec})"
         )
     return f"({fp} + floor(({col} - {fp}) / ({size})) * ({size}))"
+
+
+# --- timespan as a first-class type -------------------------------
+# ADX timespans map to Spark's DayTimeIntervalType: bare literals
+# (`5m`, `1.5h`, `100ms`) become INTERVAL '<secs>' SECOND, datetime -
+# datetime is Spark-native interval subtraction, totimespan() parses
+# [d.]hh:mm:ss[.f] / '<n><unit>' strings into make_dt_interval, and
+# format_timespan() renders .NET-style d/hh/mm/ss/f tokens from total
+# seconds. Everything stays JVM-side scalar expressions.
+
+_TS_LIT = r"(\d+(?:\.\d+)?)(ms|[smhd])"
+# [d.]hh:mm:ss[.f] — the ADX timespan string shape totimespan accepts.
+# Doubled backslashes survive Spark's string-literal unescape: the SQL
+# text '\\d' reaches the regex engine as \d.
+_TS_CLOCK_RE = r"^(?:(\\d+)\\.)?(\\d{1,2}):(\\d{1,2}):(\\d{1,2}(?:\\.\\d+)?)$"
+
+
+def _ts_lit_seconds(num: str, unit: str) -> str:
+    """'1.5', 'h' -> '5400' (exact decimal text, no float repr drift)."""
+    from decimal import Decimal
+
+    v = Decimal(num) * Decimal(str(_TIMESPAN_SECONDS[unit]))
+    if v == v.to_integral_value():
+        return str(v.to_integral_value())
+    return format(v.normalize(), "f")
+
+
+def _ts_interval(num: str, unit: str) -> str:
+    return f"INTERVAL '{_ts_lit_seconds(num, unit)}' SECOND"
+
+
+def _iv_total_seconds(iv: str) -> str:
+    """Total seconds (DOUBLE) of a day-time interval expression —
+    epoch-anchored so it is timezone-proof at microsecond precision."""
+    return (
+        f"(unix_micros(timestamp_seconds(0) + ({iv}))"
+        " / CAST(1000000 AS DOUBLE))"
+    )
+
+
+def _totimespan_sql(args: list[str]) -> str:
+    """totimespan(x): timespan literal / INTERVAL passthrough resolve
+    at translate time; strings parse at runtime ([d.]hh:mm:ss[.f] and
+    '<n><unit>'), NULL on garbage — ADX's lenient contract."""
+    if len(args) != 1:
+        raise ValueError(f"totimespan needs one argument: {args!r}")
+    x = args[0].strip()
+    m = re.match(rf"^{_TS_LIT}$", x)
+    if m:
+        return _ts_interval(m.group(1), m.group(2))
+    if x.upper().startswith("INTERVAL "):
+        return f"({x})"
+    lit = re.match(r"^'((?:[^']|'')*)'$", x)
+    if lit:
+        s = lit.group(1)
+        lm = re.match(rf"^{_TS_LIT}$", s)
+        if lm:
+            return _ts_interval(lm.group(1), lm.group(2))
+        cm = re.match(r"^(?:(\d+)\.)?(\d{1,2}):(\d{1,2}):(\d{1,2}(?:\.\d+)?)$", s)
+        if cm:
+            d = int(cm.group(1) or 0)
+            secs = (
+                d * 86400
+                + int(cm.group(2)) * 3600
+                + int(cm.group(3)) * 60
+                + float(cm.group(4))
+            )
+            txt = str(int(secs)) if secs == int(secs) else repr(secs)
+            return f"INTERVAL '{txt}' SECOND"
+        return "CAST(NULL AS INTERVAL DAY TO SECOND)"
+    # runtime string parse: one regexp family, NULL when neither shape
+    # matches (try_cast keeps ANSI mode from aborting on garbage)
+    clock = _TS_CLOCK_RE
+    unit_re = r"^(\\d+(?:\\.\\d+)?)(ms|[smhd])$"
+    secs = (
+        f"CASE WHEN ({x}) RLIKE '{clock}' THEN"
+        f" coalesce(try_cast(nullif(regexp_extract({x}, '{clock}', 1), '')"
+        " AS DOUBLE), 0) * 86400"
+        f" + try_cast(regexp_extract({x}, '{clock}', 2) AS DOUBLE) * 3600"
+        f" + try_cast(regexp_extract({x}, '{clock}', 3) AS DOUBLE) * 60"
+        f" + try_cast(regexp_extract({x}, '{clock}', 4) AS DOUBLE)"
+        f" WHEN ({x}) RLIKE '{unit_re}' THEN"
+        f" try_cast(regexp_extract({x}, '{unit_re}', 1) AS DOUBLE)"
+        f" * CASE regexp_extract({x}, '{unit_re}', 2)"
+        " WHEN 'ms' THEN 0.001 WHEN 's' THEN 1 WHEN 'm' THEN 60"
+        " WHEN 'h' THEN 3600 ELSE 86400 END"
+        " ELSE NULL END"
+    )
+    return f"make_dt_interval(0, 0, 0, CAST(({secs}) AS DECIMAL(18, 6)))"
+
+
+def _format_timespan_sql(args: list[str]) -> str:
+    """format_timespan(iv, 'd.hh:mm:ss[.ff]') — .NET custom-format
+    tokens d/h/m/s runs (h/m/s mod their period, d total days) and f
+    fraction digits; everything else is a literal separator. The
+    format must be a string literal (resolved at translate time)."""
+    if len(args) != 2:
+        raise ValueError(f"format_timespan needs (timespan, format): {args!r}")
+    iv = args[0].strip()
+    fm = re.match(r"^'((?:[^']|'')*)'$", args[1].strip())
+    if not fm:
+        raise ValueError(
+            f"format_timespan needs a literal format string: {args[1]!r}"
+        )
+    f = fm.group(1)
+    total = _iv_total_seconds(iv)
+
+    def pad(expr: str, w: int) -> str:
+        s = f"CAST({expr} AS STRING)"
+        if w <= 1:
+            return s
+        return f"IF(length({s}) >= {w}, {s}, lpad({s}, {w}, '0'))"
+
+    parts, i = [], 0
+    while i < len(f):
+        ch = f[i]
+        if ch in "dhmsf":
+            j = i
+            while j < len(f) and f[j] == ch:
+                j += 1
+            w = j - i
+            if ch == "d":
+                parts.append(pad(f"CAST(floor({total} / 86400) AS BIGINT)", w))
+            elif ch == "h":
+                parts.append(
+                    pad(f"(CAST(floor({total} / 3600) AS BIGINT) % 24)", w)
+                )
+            elif ch == "m":
+                parts.append(
+                    pad(f"(CAST(floor({total} / 60) AS BIGINT) % 60)", w)
+                )
+            elif ch == "s":
+                parts.append(pad(f"(CAST(floor({total}) AS BIGINT) % 60)", w))
+            else:  # f: fraction digits of the sub-second part
+                parts.append(
+                    f"substring(lpad(CAST(CAST(round(({total}"
+                    f" - floor({total})) * 1000000) AS BIGINT) AS STRING),"
+                    f" 6, '0'), 1, {w})"
+                )
+            i = j
+        else:
+            j = i
+            while j < len(f) and f[j] not in "dhmsf":
+                j += 1
+            parts.append("'" + f[i:j].replace("'", "''") + "'")
+            i = j
+    return "concat(" + ", ".join(parts) + ")"
 
 
 _DT_UNITS = {
@@ -1080,6 +1228,11 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(
         e, "todatetime", lambda a: f"try_cast({a[0]} AS TIMESTAMP)"
     )
+    # timespan surface: totimespan FIRST so format_timespan embeds its
+    # already-translated output (rewrites run left-to-right, no
+    # re-entry); bare timespan literals are swept at the end of _expr.
+    e = _rewrite_fn(e, "totimespan", _totimespan_sql)
+    e = _rewrite_fn(e, "format_timespan", _format_timespan_sql)
     # scalar batch 4 (round-4): ceiling, exp10, inf/nan tests, strcmp,
     # string_size (BYTES — ADX contract), url_encode family, translate
     # (ADX arg order (from, to, source) -> Spark (source, from, to))
@@ -1153,10 +1306,10 @@ def _expr(kql_expr: str) -> str:
     # startof*() are date_trunc; datetime(...) literals become TIMESTAMP
     # literals (ADX ISO shapes are a subset of Spark's).
     e = _sub_outside_strings(
-        r"\bago\((\d+)([smhd])\)",
+        rf"\bago\({_TS_LIT}\)",
         lambda m: (
             "(current_timestamp() - INTERVAL"
-            f" {int(m.group(1)) * _TIMESPAN_SECONDS[m.group(2)]} SECOND)"
+            f" '{_ts_lit_seconds(m.group(1), m.group(2))}' SECOND)"
         ),
         e,
     )
@@ -1349,6 +1502,15 @@ def _expr(kql_expr: str) -> str:
     e = _pred_sub(
         rf"{_OPND}\s+has\s+{_STR}",
         r"\1 RLIKE concat('(?i)\\\\b\\\\Q', \2, '\\\\E\\\\b')",
+        e,
+    )
+    # Bare timespan literals (`5m`, `1.5h`, `100ms`) anywhere a scalar
+    # goes — comparisons against datetime differences, let values,
+    # datetime +/- arithmetic. LAST: ago()/bin()/bin_at() consumed
+    # theirs above, so only genuinely scalar uses remain.
+    e = _sub_outside_strings(
+        rf"(?<![\w.']){_TS_LIT}(?![\w.])",
+        lambda m: _ts_interval(m.group(1), m.group(2)),
         e,
     )
     return e
@@ -4584,6 +4746,30 @@ def q_kql_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_timespan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timespan as a first-class type (round-5): datetime - datetime
+    -> interval, bare timespan literals (`12h`, `1d`) in comparisons,
+    `now() - ts > 1h` lookback, totimespan() over literals AND a
+    data-derived string (runtime parse), format_timespan() with d/hh/
+    mm/ss and fractional tokens. All map-side interval arithmetic."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        " | summarize mn = min(ts), mx = max(ts), n = count()"
+        " by user_id"
+        " | extend dur = mx - mn"
+        " | where dur > 12h and now() - mx > 1h"
+        " | extend span_s = format_timespan(dur, 'd.hh:mm:ss'),"
+        " frac = format_timespan(dur, 'hh:mm:ss.fff'),"
+        " long3 = dur > totimespan('3.00:00:00'),"
+        " within = dur < 45d,"
+        " pf = format_timespan(totimespan(strcat(tostring(n % 24),"
+        ' ":00:30")), "hh:mm:ss")'
+        " | project user_id, n, span_s, frac, long3, within, pf",
+    )
+
+
 def q_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate narrow()` — transpose to (Row, Column, Value) with
     stringified values (ADX contract); Row numbering from the required
@@ -4797,6 +4983,7 @@ QUERIES = {
     "kql_scalar_fns2": q_kql_scalar_fns2,
     "kql_scalar_fns3": q_kql_scalar_fns3,
     "kql_parse_kv": q_kql_parse_kv,
+    "kql_timespan": q_kql_timespan,
     "kql_fork": q_kql_fork,
     "kql_scalar_fns4": q_kql_scalar_fns4,
     "kql_reduce": q_kql_reduce,
@@ -5220,6 +5407,44 @@ ORACLE = {
                     THEN regexp_extract(kvs, '(?:^| )kmiss=([^ ]*)', 1)
                     ELSE NULL END AS kmiss
         FROM b
+    """,
+    "kql_timespan": """
+        WITH g AS (
+            SELECT user_id, min(ts) AS mn, max(ts) AS mx,
+                   COUNT(*) AS n
+            FROM events GROUP BY user_id
+        ), d AS (
+            SELECT user_id, n,
+                   (epoch_us(mx) - epoch_us(mn))
+                       / CAST(1000000 AS DOUBLE) AS tot
+            FROM g
+            WHERE (mx - mn) > INTERVAL 12 HOUR
+              AND (CAST(now() AS TIMESTAMP) - mx) > INTERVAL 1 HOUR
+        )
+        SELECT user_id, n,
+               concat(CAST(CAST(floor(tot / 86400) AS BIGINT)
+                           AS VARCHAR), '.',
+                      lpad(CAST(CAST(floor(tot / 3600) AS BIGINT) % 24
+                                AS VARCHAR), 2, '0'), ':',
+                      lpad(CAST(CAST(floor(tot / 60) AS BIGINT) % 60
+                                AS VARCHAR), 2, '0'), ':',
+                      lpad(CAST(CAST(floor(tot) AS BIGINT) % 60
+                                AS VARCHAR), 2, '0')) AS span_s,
+               concat(lpad(CAST(CAST(floor(tot / 3600) AS BIGINT) % 24
+                                AS VARCHAR), 2, '0'), ':',
+                      lpad(CAST(CAST(floor(tot / 60) AS BIGINT) % 60
+                                AS VARCHAR), 2, '0'), ':',
+                      lpad(CAST(CAST(floor(tot) AS BIGINT) % 60
+                                AS VARCHAR), 2, '0'), '.',
+                      substr(lpad(CAST(CAST(round((tot - floor(tot))
+                                               * 1000000) AS BIGINT)
+                                       AS VARCHAR), 6, '0'),
+                             1, 3)) AS frac,
+               tot > 259200 AS long3,
+               tot < 3888000 AS within,
+               concat(lpad(CAST(n % 24 AS VARCHAR), 2, '0'),
+                      ':00:30') AS pf
+        FROM d
     """,
     "kql_scalar_fns3": """
         WITH b AS (

@@ -1429,3 +1429,39 @@ def test_review_fixes_round5(spark, sf_smoke):
     rows = kql(spark, "iu_left | join (iu_right) on k").collect()
     assert len(rows) == 1 and rows[0]["rv"] == "r"
     assert "_iu" in rows[0].asDict()  # the user's own _iu survived
+
+
+def test_timespan_type(spark, sf_smoke):
+    """Round-5: timespan surface — literals, totimespan (lenient),
+    format_timespan, datetime arithmetic, let-bound timespans."""
+    import re
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # bare literals compare against datetime subtraction; ms + frac
+    sql = kql_to_sql("t | where now() - ts > 1h")
+    assert "INTERVAL '3600' SECOND" in sql
+    assert "INTERVAL '5400' SECOND" in kql_to_sql("t | where d > 1.5h")
+    assert "INTERVAL '0.1' SECOND" in kql_to_sql("t | where d > 100ms")
+    # a timespan literal inside a string stays text
+    assert "'5m'" in kql_to_sql('t | where s == "5m"')
+    # totimespan: literal, clock string, garbage -> NULL; let-bound
+    r = kql(
+        spark,
+        "let win = 30m;"
+        " print a = totimespan('1.02:03:04') > 1d,"
+        " b = isnull(totimespan('garbage')),"
+        " c = totimespan('90s') == 1.5m,"
+        " d = win < 1h,"
+        " e = format_timespan(totimespan('2.05:06:07.25'),"
+        " 'd.hh:mm:ss.ff')",
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, True, True, True)
+    assert r["e"] == "2.05:06:07.25"
+    # datetime - datetime flows into both comparison and formatting
+    r = kql(
+        spark,
+        "events | summarize mn = min(ts), mx = max(ts)"
+        " | extend dur = mx - mn"
+        " | project ok = dur > 1s,"
+        " s = format_timespan(dur, 'd.hh:mm:ss')",
+    ).collect()[0]
+    assert r["ok"] is True and re.match(r"^\d+\.\d{2}:\d{2}:\d{2}$", r["s"])
