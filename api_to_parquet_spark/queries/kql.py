@@ -1163,6 +1163,57 @@ def _expr(kql_expr: str) -> str:
         return f"json_object_keys({arg})"
 
     e = _rewrite_fn(e, "bag_keys", _bag_keys_sql)
+
+    # pack()/bag_pack(): dynamic property-bag CONSTRUCTION, the inverse
+    # of evaluate bag_unpack. Bags are JSON text in this engine, so
+    # pack is to_json(named_struct(...)) — typed values, JVM-side.
+    # Keys must be string literals (explicit subset of ADX's
+    # expression keys). NULL values are omitted from the JSON (Spark's
+    # jsonGenerator default; ADX keeps them as null — documented).
+    def _pack_sql(a: list[str]) -> str:
+        if len(a) < 2 or len(a) % 2:
+            raise ValueError(
+                f"pack needs (key, value, ...) literal-key pairs: {a!r}"
+            )
+        parts = []
+        for k, v in zip(a[::2], a[1::2]):
+            k = k.strip()
+            if not re.match(r"^'(?:[^']|'')*'$", k):
+                raise ValueError(
+                    f"pack keys must be string literals: {k!r}"
+                )
+            parts.append(f"{k}, {v.strip()}")
+        return f"to_json(named_struct({', '.join(parts)}))"
+
+    e = _rewrite_fn(e, "bag_pack", _pack_sql)
+    e = _rewrite_fn(e, "pack", _pack_sql)
+    # pack_all(): every column of the pipe at this point
+    e = _sub_outside_strings(
+        r"\bpack_all\(\s*\)", "to_json(struct(*))", e
+    )
+
+    # bag_merge(b1, b2, ...): first-bag-wins key merge. Refinement:
+    # bags are merged through map<string,string>, so scalar values
+    # come out as JSON strings — the same widening bag_unpack applies
+    # (ADX keeps the original dynamic types).
+    def _bag_merge_sql(a: list[str]) -> str:
+        if len(a) < 2:
+            raise ValueError(f"bag_merge needs >= 2 bags: {a!r}")
+        maps = [
+            f"from_json(coalesce({b.strip()}, '{{}}'),"
+            " 'map<string,string>')"
+            for b in a
+        ]
+        ks = f"map_keys({maps[0]})"
+        for m_ in maps[1:]:
+            ks = f"array_union({ks}, map_keys({m_}))"
+        vals = ", ".join(f"element_at({m_}, _k)" for m_ in maps)
+        return (
+            f"to_json(map_from_arrays({ks},"
+            f" transform({ks}, _k -> coalesce({vals}))))"
+        )
+
+    e = _rewrite_fn(e, "bag_merge", _bag_merge_sql)
     e = _sub_outside_strings(r"\btodynamic\(", "parse_json(", e)
 
     def _extract_all_sql(a: list[str]) -> str:
@@ -4770,6 +4821,26 @@ def q_kql_timespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pack()/bag_pack()/pack_all()/bag_merge() (round-5): bag
+    CONSTRUCTION roundtripped through evaluate bag_unpack — pack's
+    typed JSON, bag_merge's first-bag-wins key precedence (props' k
+    beats the packed p-prefixed k), pack_all over the unpacked frame.
+    All map-side to_json/from_json expressions."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        ' | extend b = pack("etype", event_type, "eid", event_id,'
+        ' "k", strcat("p", tostring(event_id)))'
+        " | extend m = bag_merge(props, b)"
+        " | project event_id, m"
+        " | evaluate bag_unpack(m)"
+        " | extend pa = pack_all()"
+        " | project event_id, etype, eid, k, pa",
+    )
+
+
 def q_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate narrow()` — transpose to (Row, Column, Value) with
     stringified values (ADX contract); Row numbering from the required
@@ -4984,6 +5055,7 @@ QUERIES = {
     "kql_scalar_fns3": q_kql_scalar_fns3,
     "kql_parse_kv": q_kql_parse_kv,
     "kql_timespan": q_kql_timespan,
+    "kql_pack": q_kql_pack,
     "kql_fork": q_kql_fork,
     "kql_scalar_fns4": q_kql_scalar_fns4,
     "kql_reduce": q_kql_reduce,
@@ -5407,6 +5479,18 @@ ORACLE = {
                     THEN regexp_extract(kvs, '(?:^| )kmiss=([^ ]*)', 1)
                     ELSE NULL END AS kmiss
         FROM b
+    """,
+    "kql_pack": """
+        SELECT event_id,
+               event_type AS etype,
+               CAST(event_id AS VARCHAR) AS eid,
+               json_extract_string(props, '$.k') AS k,
+               concat('{"event_id":', CAST(event_id AS VARCHAR),
+                      ',"eid":"', CAST(event_id AS VARCHAR),
+                      '","etype":"', event_type,
+                      '","k":"', json_extract_string(props, '$.k'),
+                      '"}') AS pa
+        FROM events WHERE event_id < 300
     """,
     "kql_timespan": """
         WITH g AS (

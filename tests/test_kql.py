@@ -1465,3 +1465,32 @@ def test_timespan_type(spark, sf_smoke):
         " s = format_timespan(dur, 'd.hh:mm:ss')",
     ).collect()[0]
     assert r["ok"] is True and re.match(r"^\d+\.\d{2}:\d{2}:\d{2}$", r["s"])
+
+
+def test_pack_family(spark):
+    """Round-5: pack/bag_pack/pack_all/bag_merge construction surface."""
+    r = kql(
+        spark,
+        'print b = pack("a", 1, "s", "x"),'
+        ' bp = bag_pack("only", 7)',
+    ).collect()[0]
+    assert r["b"] == '{"a":1,"s":"x"}' and r["bp"] == '{"only":7}'
+    # bag_merge: FIRST bag wins on conflict; NULL bags tolerated
+    spark.sql("SELECT CAST(NULL AS STRING) AS nb").createOrReplaceTempView(
+        "nb_t"
+    )
+    r = kql(
+        spark,
+        'nb_t | extend m = bag_merge(pack("k", 1, "a", "x"),'
+        ' pack("k", 2, "b", "y")),'
+        ' n = bag_merge(pack("z", 3), nb)',
+    ).collect()[0]
+    assert r["m"] == '{"k":"1","a":"x","b":"y"}'
+    assert r["n"] == '{"z":"3"}'
+    # pack_all covers every pipe column at that point
+    spark.sql("SELECT 5 AS ii, 'v' AS ss").createOrReplaceTempView("pa_t")
+    r = kql(spark, "pa_t | extend j = pack_all()").collect()[0]
+    assert r["j"] == '{"ii":5,"ss":"v"}'
+    # non-literal pack keys are an explicit-subset error
+    with pytest.raises(ValueError, match="string literals"):
+        kql_to_sql("t | extend b = pack(colname, 1)")
