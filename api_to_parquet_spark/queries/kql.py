@@ -292,14 +292,19 @@ _TS_LIT = r"(\d+(?:\.\d+)?)(ms|[smhd])"
 _TS_CLOCK_RE = r"^(?:(\\d+)\\.)?(\\d{1,2}):(\\d{1,2}):(\\d{1,2}(?:\\.\\d+)?)$"
 
 
+def _dec_text(v) -> str:
+    """Decimal -> plain decimal text ('5400', '0.0000001' — never
+    scientific notation, which Spark's interval parser rejects)."""
+    if v == v.to_integral_value():
+        return str(v.to_integral_value())
+    return format(v.normalize(), "f")
+
+
 def _ts_lit_seconds(num: str, unit: str) -> str:
     """'1.5', 'h' -> '5400' (exact decimal text, no float repr drift)."""
     from decimal import Decimal
 
-    v = Decimal(num) * Decimal(str(_TIMESPAN_SECONDS[unit]))
-    if v == v.to_integral_value():
-        return str(v.to_integral_value())
-    return format(v.normalize(), "f")
+    return _dec_text(Decimal(num) * Decimal(str(_TIMESPAN_SECONDS[unit])))
 
 
 def _ts_interval(num: str, unit: str) -> str:
@@ -335,15 +340,18 @@ def _totimespan_sql(args: list[str]) -> str:
             return _ts_interval(lm.group(1), lm.group(2))
         cm = re.match(r"^(?:(\d+)\.)?(\d{1,2}):(\d{1,2}):(\d{1,2}(?:\.\d+)?)$", s)
         if cm:
-            d = int(cm.group(1) or 0)
+            # exact Decimal like the unit-literal path — binary float
+            # would drift and repr() can emit scientific notation for
+            # sub-microsecond fractions, which Spark's parser rejects
+            from decimal import Decimal
+
             secs = (
-                d * 86400
+                Decimal(int(cm.group(1) or 0)) * 86400
                 + int(cm.group(2)) * 3600
                 + int(cm.group(3)) * 60
-                + float(cm.group(4))
+                + Decimal(cm.group(4))
             )
-            txt = str(int(secs)) if secs == int(secs) else repr(secs)
-            return f"INTERVAL '{txt}' SECOND"
+            return f"INTERVAL '{_dec_text(secs)}' SECOND"
         return "CAST(NULL AS INTERVAL DAY TO SECOND)"
     # runtime string parse: one regexp family, NULL when neither shape
     # matches (try_cast keeps ANSI mode from aborting on garbage)
@@ -370,7 +378,12 @@ def _format_timespan_sql(args: list[str]) -> str:
     """format_timespan(iv, 'd.hh:mm:ss[.ff]') — .NET custom-format
     tokens d/h/m/s runs (h/m/s mod their period, d total days) and f
     fraction digits; everything else is a literal separator. The
-    format must be a string literal (resolved at translate time)."""
+    format must be a string literal (resolved at translate time).
+    All components derive from the EXACT integer microsecond count
+    (unix_micros), so fraction digits are true truncation (.NET 'f'
+    semantics — no rounding, so no round-up carry is possible) and
+    negative timespans render absolute component values (the tokens
+    carry no sign, matching ADX/.NET)."""
     if len(args) != 2:
         raise ValueError(f"format_timespan needs (timespan, format): {args!r}")
     iv = args[0].strip()
@@ -380,7 +393,7 @@ def _format_timespan_sql(args: list[str]) -> str:
             f"format_timespan needs a literal format string: {args[1]!r}"
         )
     f = fm.group(1)
-    total = _iv_total_seconds(iv)
+    am = f"abs(unix_micros(timestamp_seconds(0) + ({iv})))"
 
     def pad(expr: str, w: int) -> str:
         s = f"CAST({expr} AS STRING)"
@@ -397,21 +410,16 @@ def _format_timespan_sql(args: list[str]) -> str:
                 j += 1
             w = j - i
             if ch == "d":
-                parts.append(pad(f"CAST(floor({total} / 86400) AS BIGINT)", w))
+                parts.append(pad(f"({am} div 86400000000)", w))
             elif ch == "h":
-                parts.append(
-                    pad(f"(CAST(floor({total} / 3600) AS BIGINT) % 24)", w)
-                )
+                parts.append(pad(f"(({am} div 3600000000) % 24)", w))
             elif ch == "m":
-                parts.append(
-                    pad(f"(CAST(floor({total} / 60) AS BIGINT) % 60)", w)
-                )
+                parts.append(pad(f"(({am} div 60000000) % 60)", w))
             elif ch == "s":
-                parts.append(pad(f"(CAST(floor({total}) AS BIGINT) % 60)", w))
-            else:  # f: fraction digits of the sub-second part
+                parts.append(pad(f"(({am} div 1000000) % 60)", w))
+            else:  # f: leading digits of the exact microsecond part
                 parts.append(
-                    f"substring(lpad(CAST(CAST(round(({total}"
-                    f" - floor({total})) * 1000000) AS BIGINT) AS STRING),"
+                    f"substring(lpad(CAST(({am} % 1000000) AS STRING),"
                     f" 6, '0'), 1, {w})"
                 )
             i = j
@@ -1195,7 +1203,10 @@ def _expr(kql_expr: str) -> str:
     # bag_merge(b1, b2, ...): first-bag-wins key merge. Refinement:
     # bags are merged through map<string,string>, so scalar values
     # come out as JSON strings — the same widening bag_unpack applies
-    # (ADX keeps the original dynamic types).
+    # (ADX keeps the original dynamic types). First-wins is decided by
+    # key MEMBERSHIP, not value coalesce: an earlier bag holding an
+    # explicit JSON null for a key still wins (from_json keeps the
+    # null-valued key in map_keys, and to_json re-emits "k":null).
     def _bag_merge_sql(a: list[str]) -> str:
         if len(a) < 2:
             raise ValueError(f"bag_merge needs >= 2 bags: {a!r}")
@@ -1207,10 +1218,15 @@ def _expr(kql_expr: str) -> str:
         ks = f"map_keys({maps[0]})"
         for m_ in maps[1:]:
             ks = f"array_union({ks}, map_keys({m_}))"
-        vals = ", ".join(f"element_at({m_}, _k)" for m_ in maps)
+        pick = f"element_at({maps[-1]}, _k)"
+        for m_ in reversed(maps[:-1]):
+            pick = (
+                f"IF(array_contains(map_keys({m_}), _k),"
+                f" element_at({m_}, _k), {pick})"
+            )
         return (
             f"to_json(map_from_arrays({ks},"
-            f" transform({ks}, _k -> coalesce({vals}))))"
+            f" transform({ks}, _k -> {pick})))"
         )
 
     e = _rewrite_fn(e, "bag_merge", _bag_merge_sql)
@@ -5500,29 +5516,28 @@ ORACLE = {
         ), d AS (
             SELECT user_id, n,
                    (epoch_us(mx) - epoch_us(mn))
-                       / CAST(1000000 AS DOUBLE) AS tot
+                       / CAST(1000000 AS DOUBLE) AS tot,
+                   abs(epoch_us(mx) - epoch_us(mn)) AS um
             FROM g
             WHERE (mx - mn) > INTERVAL 12 HOUR
               AND (CAST(now() AS TIMESTAMP) - mx) > INTERVAL 1 HOUR
         )
         SELECT user_id, n,
-               concat(CAST(CAST(floor(tot / 86400) AS BIGINT)
-                           AS VARCHAR), '.',
-                      lpad(CAST(CAST(floor(tot / 3600) AS BIGINT) % 24
+               concat(CAST(um // 86400000000 AS VARCHAR), '.',
+                      lpad(CAST((um // 3600000000) % 24
                                 AS VARCHAR), 2, '0'), ':',
-                      lpad(CAST(CAST(floor(tot / 60) AS BIGINT) % 60
+                      lpad(CAST((um // 60000000) % 60
                                 AS VARCHAR), 2, '0'), ':',
-                      lpad(CAST(CAST(floor(tot) AS BIGINT) % 60
+                      lpad(CAST((um // 1000000) % 60
                                 AS VARCHAR), 2, '0')) AS span_s,
-               concat(lpad(CAST(CAST(floor(tot / 3600) AS BIGINT) % 24
+               concat(lpad(CAST((um // 3600000000) % 24
                                 AS VARCHAR), 2, '0'), ':',
-                      lpad(CAST(CAST(floor(tot / 60) AS BIGINT) % 60
+                      lpad(CAST((um // 60000000) % 60
                                 AS VARCHAR), 2, '0'), ':',
-                      lpad(CAST(CAST(floor(tot) AS BIGINT) % 60
+                      lpad(CAST((um // 1000000) % 60
                                 AS VARCHAR), 2, '0'), '.',
-                      substr(lpad(CAST(CAST(round((tot - floor(tot))
-                                               * 1000000) AS BIGINT)
-                                       AS VARCHAR), 6, '0'),
+                      substr(lpad(CAST(um % 1000000 AS VARCHAR),
+                                  6, '0'),
                              1, 3)) AS frac,
                tot > 259200 AS long3,
                tot < 3888000 AS within,

@@ -1494,3 +1494,46 @@ def test_pack_family(spark):
     # non-literal pack keys are an explicit-subset error
     with pytest.raises(ValueError, match="string literals"):
         kql_to_sql("t | extend b = pack(colname, 1)")
+
+
+def test_advice_fixes_round5(spark):
+    """Round-6: pins for the four round-5 ADVICE items.
+    (1) bag_merge first-wins on key MEMBERSHIP — an explicit JSON
+    null in an earlier bag beats a later value; (2) format_timespan
+    renders absolute component values for negative spans; (3)
+    totimespan clock literals go through exact Decimal (sub-µs text
+    must not hit Spark's parser as scientific notation); (4) 'f'
+    fraction digits are exact-microsecond truncation — a .9999995s
+    input can never emit a carried '10…' fraction."""
+    # (1) explicit-null first-wins
+    spark.sql(
+        "SELECT '{\"k\": null, \"a\": \"x\"}' AS jb"
+    ).createOrReplaceTempView("jb_t")
+    r = kql(
+        spark,
+        'jb_t | extend m = bag_merge(jb, pack("k", 2, "b", "y"))',
+    ).collect()[0]
+    assert r["m"] == '{"k":null,"a":"x","b":"y"}'
+    # (2) negative span from datetime subtraction: absolute components
+    r = kql(
+        spark,
+        "print s = format_timespan(datetime(2024-01-01)"
+        " - datetime(2024-01-02 01:30:00.250), 'd.hh:mm:ss.fff')",
+    ).collect()[0]
+    assert r["s"] == "1.01:30:00.250"
+    # (3) sub-microsecond clock fraction parses (Spark truncates to µs)
+    sql = kql_to_sql("t | extend d = totimespan('0:0:0.0000001')")
+    assert "INTERVAL '0.0000001' SECOND" in sql
+    r = kql(
+        spark,
+        "print z = totimespan('0:0:0.0000001') == 0s,"
+        " e = totimespan('1.02:03:04.5') == totimespan('93784500ms')",
+    ).collect()[0]
+    assert r["z"] is True and r["e"] is True
+    # (4) no round-up carry: exact-µs truncation
+    r = kql(
+        spark,
+        "print f = format_timespan(totimespan('0:0:1.9999995'),"
+        " 's.ffffff')",
+    ).collect()[0]
+    assert r["f"] == "1.999999"
