@@ -115,10 +115,13 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                 -> greedy sequence matching: map-side
                                    step booleans + ONE grouped array
                                    fold (size(acc) encodes step pointer
-                                   and match count); documented subset
-                                   (predicate steps, single active
-                                   instance, `by` keys instead of
-                                   state-referencing conditions)
+                                   and match count); conditions may
+                                   reference EARLIER steps' matched row
+                                   (`s2: x > s1.x` — resolved against
+                                   the accumulator tail inside the
+                                   fold); documented subset (predicate
+                                   steps, single active instance, no
+                                   self/forward state references)
     T | parse-kv c as (k:t, …) with (pair_delimiter="…",
         kv_delimiter="…")       -> typed key-value extraction: ONE
                                    map-side str_to_map + try_cast per
@@ -1815,10 +1818,24 @@ def _group_alias(g: str, idx: int) -> tuple[str, str]:
 _TYPE_CASTS = {"long": "BIGINT", "int": "INT", "double": "DOUBLE", "string": ""}
 
 
-def _parse_to_selects(col: str, pattern: str) -> tuple[list[str], str]:
+def _parse_to_selects(
+    col: str, pattern: str, regex_mode: bool = False, flags: str = ""
+) -> tuple[list[str], str]:
     """`parse <col> with [*] "lit" name:type "lit" ...` -> (one
     regexp_extract per capture, the match regex for parse-where). ADX
-    anchors at the string start unless the pattern opens with *."""
+    anchors at the string start unless the pattern opens with *.
+    regex_mode (`kind=regex`): the quoted fragments are regular
+    expressions inserted verbatim instead of escaped literals — they
+    must not add capture groups (ADX requires (?:) there too, or the
+    column group indices shift). flags: i/m/s become an inline (?…)
+    prefix; U (swap greediness) is out of the subset."""
+    if flags:
+        bad = set(flags) - set("ims")
+        if bad:
+            raise ValueError(
+                "parse kind=regex flags: only i/m/s are in the subset"
+                f" (U swaps greediness engine-wide): {flags!r}"
+            )
     toks = re.findall(r'"((?:[^"\\]|\\.)*)"|(\*)|(\w+)\s*:\s*(\w+)', pattern)
     regex, caps = "", []
     anchored = True
@@ -1831,9 +1848,21 @@ def _parse_to_selects(col: str, pattern: str) -> tuple[list[str], str]:
             regex += "(.*?)" if typ == "string" else r"(-?[0-9.]+)"
             caps.append((name, typ))
         else:
-            regex += re.escape(re.sub(r"\\(.)", r"\1", lit))
+            frag = re.sub(r"\\(.)", r"\1", lit)
+            if regex_mode:
+                ngroups = len(re.findall(r"(?<!\\)\((?!\?)", frag))
+                if ngroups:
+                    raise ValueError(
+                        "parse kind=regex: regex fragments must use"
+                        f" non-capturing (?:) groups: {frag!r}"
+                    )
+                regex += frag
+            else:
+                regex += re.escape(frag)
     if anchored:
         regex = "^" + regex
+    if flags:
+        regex = f"(?{''.join(sorted(set(flags)))})" + regex
     regex_sql = regex.replace("\\", "\\\\").replace("'", "''")
     out = []
     for i, (name, typ) in enumerate(caps, 1):
@@ -2747,6 +2776,160 @@ def kql_to_sql(
                     f" WHERE Count >= {thr} * _tot AND ({not_all_null})"
                 )
                 continue
+            pym = re.match(
+                r"python\s*\(\s*typeof\s*\(([^)]*)\)\s*,\s*"
+                r"'((?:[^']|'')*)'\s*\)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if pym:
+                # `evaluate python(typeof(…), 'script')` — ADX's
+                # inline-Python plugin mapped onto mapInPandas, the
+                # natural Spark bridge: ADX's sandbox binds the input
+                # batch to `df` and reads `result`; mapInPandas gives
+                # the identical Arrow-batched pandas contract. Explicit
+                # subset: output schema from typeof (`*` = passthrough
+                # input columns, `name:type` adds/selects), script is a
+                # string literal with no `|` (the pipe splitter) and no
+                # kargs/external_artifacts. The script runs in the
+                # Python WORKER process — the same trust boundary as
+                # every pandas UDF in this engine (ADX's hydrated
+                # sandbox image is an ops concern, not query
+                # semantics).
+                if spark is None:
+                    raise ValueError("evaluate python needs a SparkSession")
+                import uuid
+
+                code = pym.group(2).replace("''", "'")
+                child = spark.sql(sql)
+                in_ddl = [
+                    (f.name, f.dataType.simpleString())
+                    for f in child.schema.fields
+                ]
+                py_types = {
+                    "long": "bigint",
+                    "int": "int",
+                    "real": "double",
+                    "double": "double",
+                    "string": "string",
+                    "bool": "boolean",
+                    "boolean": "boolean",
+                    "datetime": "timestamp",
+                }
+                fields: list[tuple[str, str]] = []
+                for part in (
+                    p.strip() for p in pym.group(1).split(",") if p.strip()
+                ):
+                    if part == "*":
+                        fields.extend(in_ddl)
+                        continue
+                    tm = re.match(r"^(\w+)\s*:\s*(\w+)$", part)
+                    if not tm or tm.group(2).lower() not in py_types:
+                        raise ValueError(
+                            "evaluate python typeof: unsupported"
+                            f" field {part!r}"
+                        )
+                    fields.append(
+                        (tm.group(1), py_types[tm.group(2).lower()])
+                    )
+                if not fields:
+                    raise ValueError("evaluate python: empty typeof schema")
+                names = tuple(n for n, _ in fields)
+                ddl = ", ".join(f"{n} {t}" for n, t in fields)
+
+                def _py_runner(batches, _code=code, _names=names):
+                    for pdf in batches:
+                        ns = {"df": pdf}
+                        exec(_code, ns)  # noqa: S102 — the plugin IS code
+                        res = ns.get("result")
+                        if res is None:
+                            raise ValueError(
+                                "evaluate python: script must set `result`"
+                            )
+                        yield res[list(_names)]
+
+                out = child.mapInPandas(_py_runner, schema=ddl)
+                view = f"_kql_python_{uuid.uuid4().hex[:12]}"
+                out.createOrReplaceTempView(view)
+                # bounded catalog retention, same ring as pivot/bag_unpack
+                ring = _cache_rings.setdefault(spark, [])
+                ring.append((view, out))
+                while len(ring) > _CACHE_KEEP:
+                    old_view, old_df = ring.pop(0)
+                    try:
+                        old_df.unpersist()
+                        spark.catalog.dropTempView(old_view)
+                    except Exception:
+                        pass
+                sql = f"SELECT * FROM {view}"
+                continue
+            acm = re.match(
+                r"autocluster\s*\(\s*([\d.]+)?\s*\)\s*$", body, re.IGNORECASE
+            )
+            if acm:
+                # `evaluate autocluster([size_weight])` — the third ADX
+                # diagnostics plugin beside basket/diffpatterns: a small
+                # set of attribute-combination segments balancing
+                # coverage (segment size) against informativeness (how
+                # many attributes the segment pins). Same ONE-CUBE shape
+                # as basket. Deterministic refinement of ADX's
+                # seed-and-grow heuristic: the published tradeoff score
+                # (C/total)^w * (depth/k)^(1-w) ranks an EXHAUSTIVE cube
+                # instead of stochastic seeds; at the default w = 0.5
+                # the score is monotone in the exact integer
+                # Count * depth, so ranking is ulp-stable across
+                # engines. Only w = 0.5 is in the subset (any other w
+                # needs cross-engine float pow ordering); segments below
+                # 5 % support are dropped (basket's default), data NULLs
+                # read as wildcards.
+                if spark is None:
+                    raise ValueError(
+                        "evaluate autocluster needs a SparkSession"
+                    )
+                w = float(acm.group(1) or 0.5)
+                if w != 0.5:
+                    raise ValueError(
+                        "evaluate autocluster: only the default"
+                        " size_weight 0.5 is in the explicit subset"
+                        " (its rank order is exact-integer Count*depth;"
+                        f" other weights need float pow): {w!r}"
+                    )
+                from pyspark.sql.types import StringType
+
+                acols = [
+                    f.name
+                    for f in spark.sql(sql).schema.fields
+                    if isinstance(f.dataType, StringType)
+                ]
+                if not acols:
+                    raise ValueError(
+                        "evaluate autocluster: no string columns"
+                    )
+                csl = ", ".join(acols)
+                all_null = " AND ".join(f"{c} IS NULL" for c in acols)
+                not_all_null = " OR ".join(
+                    f"{c} IS NOT NULL" for c in acols
+                )
+                order = ", ".join(f"{c} ASC NULLS FIRST" for c in acols)
+                depth = " + ".join(
+                    f"(CASE WHEN {c} IS NOT NULL THEN 1 ELSE 0 END)"
+                    for c in acols
+                )
+                sql = (
+                    f"SELECT CAST(row_number() OVER (ORDER BY"
+                    f" Count * ({depth}) DESC, Count DESC, {order}) - 1"
+                    f" AS BIGINT) AS SegmentId,"
+                    f" {csl}, Count,"
+                    f" round(CAST(100 AS DOUBLE) * Count / _tot, 2)"
+                    f" AS Percent FROM ("
+                    f"SELECT *, max(CASE WHEN {all_null} THEN Count END)"
+                    f" OVER () AS _tot FROM ("
+                    f"SELECT {csl}, COUNT(*) AS Count"
+                    f" FROM ({sql}) AS _ac GROUP BY CUBE ({csl})"
+                    f") AS _acc{i}) AS _acw{i}"
+                    f" WHERE Count >= 0.05 * _tot AND ({not_all_null})"
+                )
+                continue
             dm = re.match(
                 r"diffpatterns\s*\(\s*(\w+)\s*,"
                 r'\s*("(?:[^"\\]|\\.)*")\s*,'
@@ -3438,18 +3621,31 @@ def kql_to_sql(
                 sql = f"SELECT * FROM {prev} UNION ALL ({right})"
         elif op in ("parse", "parse-where"):
             m = re.match(
-                r"(?:kind\s*=\s*simple\s+)?(\w+)\s+with\s+(.+)$", body,
+                r"(?:kind\s*=\s*(simple|regex)\s+)?"
+                r"(?:flags\s*=\s*(\w+)\s+)?"
+                r"(\w+)\s+with\s+(.+)$",
+                body,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"{op} needs '<col> with <pattern>': {body!r}")
-            selects, regex_sql = _parse_to_selects(m.group(1), m.group(2))
+            kind = (m.group(1) or "simple").lower()
+            if m.group(2) and kind != "regex":
+                raise ValueError(
+                    f"parse flags= requires kind=regex: {body!r}"
+                )
+            selects, regex_sql = _parse_to_selects(
+                m.group(3),
+                m.group(4),
+                regex_mode=(kind == "regex"),
+                flags=m.group(2) or "",
+            )
             sql = f"SELECT *, {', '.join(selects)} FROM {prev}"
             if op == "parse-where":
                 # parse-where keeps only rows the pattern matches (ADX:
                 # parse emits nulls, parse-where filters) — same regex,
                 # so the filter costs one extra RLIKE, not a re-parse.
-                sql += f" WHERE {m.group(1)} RLIKE '{regex_sql}'"
+                sql += f" WHERE {m.group(3)} RLIKE '{regex_sql}'"
         elif op == "parse-kv":
             # `parse-kv col as (k1:t1, …) with (pair_delimiter="…",
             # kv_delimiter="…")` — key-value extraction (the log-
@@ -3605,6 +3801,59 @@ def kql_to_sql(
             n = len(steps)
             if n < 1:
                 raise ValueError("scan needs at least one step")
+            # State-referencing conditions (round-6): `step s2: x >
+            # s1.x` reads a column of the row that matched an EARLIER
+            # step in the CURRENT in-progress match. Those rows are
+            # the last (size(_a) % n) elements of the fold accumulator,
+            # so step i's row is element_at(_a, size(_a) - (j-1) + i)
+            # when step j's condition runs (the pointer is then j-1).
+            # Self/forward references (ADX's iterating-step model) stay
+            # out of the documented subset. Stateful conditions can't
+            # precompute map-side booleans — they evaluate inside the
+            # fold lambda, with bare columns qualified to the lambda
+            # row `_r` (schema-aware, so a session is required).
+            step_names = [nm for nm, _ in steps]
+            ref_pat = re.compile(
+                r"\b(" + "|".join(map(re.escape, step_names)) + r")\.(\w+)"
+            )
+            stateful: dict[int, str] = {}
+            for j, (nm, cond) in enumerate(steps, 1):
+                refs = {mm.group(1) for mm in ref_pat.finditer(cond)}
+                if not refs:
+                    continue
+                for rn_ in sorted(refs):
+                    ri = step_names.index(rn_) + 1
+                    if ri >= j:
+                        raise ValueError(
+                            f"scan step {nm}: only EARLIER steps'"
+                            f" state is referenceable ({rn_!r} is"
+                            f" step {ri}; ADX self/forward state"
+                            " references are out of the subset)"
+                        )
+                if spark is None:
+                    raise ValueError(
+                        "scan state-referencing conditions need a"
+                        " SparkSession (column qualification)"
+                    )
+
+                def _resolve(mm, _j=j):
+                    ri = step_names.index(mm.group(1)) + 1
+                    off = (_j - 1) - ri
+                    idx = (
+                        "size(_a)" if off == 0 else f"size(_a) - {off}"
+                    )
+                    return f"element_at(_a, {idx}).{mm.group(2)}"
+
+                c2 = _sub_outside_strings(ref_pat.pattern, _resolve, cond)
+                for col in sorted(
+                    spark.sql(sql).columns, key=len, reverse=True
+                ):
+                    c2 = _sub_outside_strings(
+                        rf"(?<![\w.]){re.escape(col)}(?!\w)",
+                        f"_r.{col}",
+                        c2,
+                    )
+                stateful[j] = c2
             # comparator over the sort keys (simple columns only — the
             # fold sorts collected structs by field access)
             cmp_terms = []
@@ -3630,26 +3879,48 @@ def kql_to_sql(
                     f" WHEN _l.{k} > _r.{k} THEN {hi}"
                 )
             cmp = f"CASE {' '.join(cmp_terms)} ELSE 0 END"
+            stateless_js = [
+                j for j in range(1, n + 1) if j not in stateful
+            ]
             bools = ", ".join(
-                f"({c}) AS _scan_c{j}" for j, (_, c) in enumerate(steps, 1)
-            )
-            bool_arr = ", ".join(
-                f"_r._scan_c{j}" for j in range(1, n + 1)
+                f"({steps[j - 1][1]}) AS _scan_c{j}" for j in stateless_js
             )
             names_arr = ", ".join(f"'{nm}'" for nm, _ in steps)
             keysel = (", ".join(keys) + ", ") if keys else ""
             grp = f" GROUP BY {', '.join(keys)}" if keys else ""
-            sa = f"SELECT *, {bools} FROM {prev}"
+            sa = (
+                f"SELECT *, {bools} FROM {prev}"
+                if bools
+                else f"SELECT * FROM {prev}"
+            )
             sb = (
                 f"SELECT {keysel}array_sort(collect_list(struct(*)),"
                 f" (_l, _r) -> {cmp}) AS _scan_arr"
                 f" FROM ({sa}) AS _sca{i}{grp}"
             )
+            if stateful:
+                arms = " ".join(
+                    f"WHEN {j - 1} THEN"
+                    + (
+                        f" ({stateful[j]})"
+                        if j in stateful
+                        else f" _r._scan_c{j}"
+                    )
+                    for j in range(1, n + 1)
+                )
+                advance = f"CASE CAST(size(_a) % {n} AS INT) {arms} END"
+            else:
+                bool_arr = ", ".join(
+                    f"_r._scan_c{j}" for j in range(1, n + 1)
+                )
+                advance = (
+                    f"element_at(array({bool_arr}),"
+                    f" CAST(size(_a) % {n} AS INT) + 1)"
+                )
             sc = (
                 f"SELECT {keysel}aggregate(_scan_arr,"
                 f" slice(_scan_arr, 1, 0),"
-                f" (_a, _r) -> IF(element_at(array({bool_arr}),"
-                f" CAST(size(_a) % {n} AS INT) + 1) <=> true,"
+                f" (_a, _r) -> IF(({advance}) <=> true,"
                 f" array_append(_a, _r), _a)) AS _scan_out"
                 f" FROM ({sb}) AS _scb{i}"
             )
@@ -3663,8 +3934,11 @@ def kql_to_sql(
                 f" CAST(_pos div {n} AS BIGINT) AS match_id, _r.*"
                 f" FROM ({sd}) AS _scd{i}"
             )
-            drop = ", ".join(f"_scan_c{j}" for j in range(1, n + 1))
-            sql = f"SELECT * EXCEPT ({drop}) FROM ({se}) AS _sce{i}"
+            if stateless_js:
+                drop = ", ".join(f"_scan_c{j}" for j in stateless_js)
+                sql = f"SELECT * EXCEPT ({drop}) FROM ({se}) AS _sce{i}"
+            else:
+                sql = f"SELECT * FROM ({se}) AS _sce{i}"
         elif op == "partition":
             # `partition by k ( top N by x [asc|desc] )` — per-key
             # subquery; the top shape is a window row_number per key
@@ -4158,6 +4432,26 @@ def q_kql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         'events | parse props with "{\\"k\\": " k:long "}"'
         " | summarize n=count(), sum_k=sum(k) by event_type"
         " | sort by event_type asc",
+    )
+
+
+def q_kql_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`parse kind=regex` (round-6): quoted pattern fragments are
+    regexes (here \\d-classes, +-quantifiers, case-insensitive flag),
+    captures typed like simple mode; parse-where regex-mode filters
+    non-matching rows with the SAME compiled regex. One map-side
+    regexp_extract per capture — no Python, no shuffle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 600"
+        ' | extend msg = strcat("EV-", tostring(event_id),'
+        ' " took ", tostring(event_id % 97), "ms on ",'
+        " event_type)"
+        " | parse-where kind=regex flags=i msg with"
+        ' "ev-" eid:long "\\\\s+TOOK\\\\s+" ms:int "MS ON\\\\s" host:string "$"'
+        " | project event_id, eid, ms, host"
+        " | where ms >= 0",
     )
 
 
@@ -4985,6 +5279,41 @@ def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate python()` (round-6): ADX's inline-Python plugin over
+    mapInPandas — the script sees the Arrow batch as `df` and returns
+    `result`, exactly ADX's sandbox contract (ref delegates the plugin
+    via src/main.go's KQL passthrough). Deterministic body (per-row
+    IEEE multiply, no reduction), so the DuckDB oracle matches
+    bit-for-bit."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 500 | project event_id, value"
+        " | evaluate python(typeof(*, vsq:real),"
+        " 'result = df.assign(vsq = df.value * df.value)')"
+        " | project event_id, vsq",
+    )
+
+
+def q_kql_autocluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate autocluster()` — coverage-vs-informativeness segment
+    mining over three event attributes (the third ADX diagnostics
+    plugin; ref delegates it via src/main.go's KQL passthrough). Same
+    ONE-CUBE shape as basket; rank order is the exact integer
+    Count*depth (the published w=0.5 tradeoff score is monotone in
+    it), so the DuckDB oracle matches bit-for-bit."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | project event_type,"
+        ' band = case(value < 50, "low", "high"),'
+        ' ub = case(user_id % 3 == 0, "u0",'
+        ' user_id % 3 == 1, "u1", "u2")'
+        " | evaluate autocluster()",
+    )
+
+
 def q_kql_datatable_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`datatable(…)[…]` inline literal table used as a weight
     dimension joined to the fact pipe — the ADX ad-hoc-dimension idiom.
@@ -5056,10 +5385,32 @@ def q_kql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scan` with a state-referencing step condition (round-6): the
+    purchase step must beat the value of THIS match's view row
+    (`value > s1.value`) — ADX's cross-step state model. The stateful
+    condition evaluates inside the same single grouped fold (the
+    matched s1 row is the accumulator tail), so the plan is unchanged:
+    one shuffle on user_id, no extra pass. Oracle: recursive CTE
+    carrying the s1 value through the recursion."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | sort by ts asc, event_id asc"
+        " | scan by user_id with ("
+        ' step s1: event_type == "view";'
+        ' step s2: event_type == "purchase" and value > s1.value)'
+        " | project user_id, event_id, step, match_id",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_scan": q_kql_scan,
+    "kql_scan_state": q_kql_scan_state,
     "kql_basket": q_kql_basket,
+    "kql_autocluster": q_kql_autocluster,
+    "kql_python": q_kql_python,
     "kql_lookup": q_kql_lookup,
     "kql_narrow": q_kql_narrow,
     "kql_facet": q_kql_facet,
@@ -5116,6 +5467,7 @@ QUERIES = {
     "kql_scalar_fns": q_kql_scalar_fns,
     "kql_union_rename": q_kql_union_rename,
     "kql_parse": q_kql_parse,
+    "kql_parse_regex": q_kql_parse_regex,
     "kql_arg_max": q_kql_arg_max,
     "kql_datetime": q_kql_datetime,
     "kql_top_nested": q_kql_top_nested,
@@ -5571,6 +5923,41 @@ ORACLE = {
                concat(event_type, '|', 'dflt') AS pair
         FROM b
     """,
+    "kql_python": """
+        SELECT event_id, value * value AS vsq
+        FROM events WHERE event_id < 500
+    """,
+    "kql_autocluster": """
+        WITH proj AS (
+            SELECT event_type,
+                   CASE WHEN value < 50 THEN 'low' ELSE 'high' END AS band,
+                   CASE WHEN user_id % 3 = 0 THEN 'u0'
+                        WHEN user_id % 3 = 1 THEN 'u1'
+                        ELSE 'u2' END AS ub
+            FROM events
+        ), seg AS (
+            SELECT event_type, band, ub, COUNT(*) AS Count,
+                   round(CAST(100 AS DOUBLE) * COUNT(*) / max(_tot), 2)
+                       AS Percent
+            FROM proj CROSS JOIN (SELECT COUNT(*) AS _tot FROM proj) t
+            GROUP BY CUBE (event_type, band, ub)
+            HAVING COUNT(*) >= 0.05 * max(_tot)
+               AND (event_type IS NOT NULL OR band IS NOT NULL
+                    OR ub IS NOT NULL)
+        )
+        SELECT CAST(row_number() OVER (ORDER BY
+                    Count * ((CASE WHEN event_type IS NOT NULL
+                              THEN 1 ELSE 0 END)
+                           + (CASE WHEN band IS NOT NULL
+                              THEN 1 ELSE 0 END)
+                           + (CASE WHEN ub IS NOT NULL
+                              THEN 1 ELSE 0 END)) DESC,
+                    Count DESC,
+                    event_type ASC NULLS FIRST, band ASC NULLS FIRST,
+                    ub ASC NULLS FIRST) - 1 AS BIGINT) AS SegmentId,
+               event_type, band, ub, Count, Percent
+        FROM seg
+    """,
     "kql_basket": """
         WITH proj AS (
             SELECT event_type,
@@ -5623,6 +6010,45 @@ ORACLE = {
                CASE (cnt - 1) % 3 WHEN 0 THEN 's_view'
                     WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
                CAST((cnt - 1) // 3 AS BIGINT) AS match_id
+        FROM rec WHERE emitted
+    """,
+    "kql_scan_state": """
+        WITH RECURSIVE ranked AS (
+            SELECT user_id, event_id, value,
+                   (event_type = 'view') AS c1,
+                   (event_type = 'purchase') AS c2p,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), rec AS (
+            SELECT user_id, 0 AS rn, 0 AS p,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   FALSE AS emitted, 0 AS cnt,
+                   CAST(NULL AS DOUBLE) AS s1v
+            FROM (SELECT DISTINCT user_id FROM ranked)
+            UNION ALL
+            SELECT r.user_id, r.rn,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        ELSE r.c2p AND r.value > rec.s1v END, FALSE)
+                        THEN (rec.p + 1) % 2 ELSE rec.p END,
+                   r.event_id,
+                   coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        ELSE r.c2p AND r.value > rec.s1v END, FALSE),
+                   rec.cnt + CASE WHEN coalesce(CASE rec.p
+                        WHEN 0 THEN r.c1
+                        ELSE r.c2p AND r.value > rec.s1v END, FALSE)
+                        THEN 1 ELSE 0 END,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        ELSE r.c2p AND r.value > rec.s1v END, FALSE)
+                        THEN CASE WHEN rec.p = 0 THEN r.value
+                             ELSE CAST(NULL AS DOUBLE) END
+                        ELSE rec.s1v END
+            FROM rec JOIN ranked r
+              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        )
+        SELECT user_id, event_id,
+               CASE (cnt - 1) % 2 WHEN 0 THEN 's1' ELSE 's2' END AS step,
+               CAST((cnt - 1) // 2 AS BIGINT) AS match_id
         FROM rec WHERE emitted
     """,
     "kql_datatable_join": """
@@ -6001,6 +6427,30 @@ ORACLE = {
         SELECT event_type, COUNT(*) AS n,
                SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k
         FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "kql_parse_regex": """
+        WITH b AS (
+            SELECT event_id,
+                   concat('EV-', CAST(event_id AS VARCHAR), ' took ',
+                          CAST(event_id % 97 AS VARCHAR), 'ms on ',
+                          event_type) AS msg
+            FROM events WHERE event_id < 600
+        ), p AS (
+            SELECT event_id,
+                   TRY_CAST(regexp_extract(msg,
+                       '(?i)^ev-(-?[0-9.]+)\\s+TOOK\\s+(-?[0-9.]+)MS ON\\s(.*?)$',
+                       1) AS BIGINT) AS eid,
+                   TRY_CAST(regexp_extract(msg,
+                       '(?i)^ev-(-?[0-9.]+)\\s+TOOK\\s+(-?[0-9.]+)MS ON\\s(.*?)$',
+                       2) AS INTEGER) AS ms,
+                   regexp_extract(msg,
+                       '(?i)^ev-(-?[0-9.]+)\\s+TOOK\\s+(-?[0-9.]+)MS ON\\s(.*?)$',
+                       3) AS host
+            FROM b
+            WHERE regexp_matches(msg,
+                '(?i)^ev-(-?[0-9.]+)\\s+TOOK\\s+(-?[0-9.]+)MS ON\\s(.*?)$')
+        )
+        SELECT event_id, eid, ms, host FROM p WHERE ms >= 0
     """,
     "kql_arg_max": """
         SELECT event_type, max(event_id) AS event_id,

@@ -154,6 +154,7 @@ def main() -> None:
             errors[name] = str(exc).split("\n", 1)[0][:200]
 
     total = round(sum(timings.values()), 3)
+    ingest_rps = ingest_throughput(spark)
     regressions: dict[str, dict[str, float]] = {}
     try:
         with open(PIN_FILE) as fh:
@@ -163,6 +164,14 @@ def main() -> None:
                 pin = pins["queries"].get(name)
                 if pin and t > PIN_RATIO * pin:
                     regressions[name] = {"now": t, "pin": pin}
+            # throughput pin is a FLOOR: flag when ingest drops below
+            # pin/1.5 (the round-4 345k->308k dip went unflagged)
+            rps_pin = pins.get("ingest_rows_per_sec")
+            if rps_pin and ingest_rps < rps_pin / PIN_RATIO:
+                regressions["ingest_rows_per_sec"] = {
+                    "now": ingest_rps,
+                    "pin": rps_pin,
+                }
     except (OSError, ValueError, KeyError):
         pass
     print(
@@ -173,7 +182,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "ingest_rows_per_sec": ingest_throughput(spark),
+                "ingest_rows_per_sec": ingest_rps,
                 **({"errors": errors} if errors else {}),
                 **({"regressions": regressions} if regressions else {}),
             }

@@ -304,7 +304,7 @@ def test_arg_max_star_expands_from_schema(spark, sf_smoke):
 
 def test_ago_now_translate():
     sql = kql_to_sql("T | where ts > ago(2h)")
-    assert "current_timestamp() - INTERVAL 7200 SECOND" in sql
+    assert "current_timestamp() - INTERVAL '7200' SECOND" in sql
     sql = kql_to_sql("T | extend t=now()")
     assert "current_timestamp()" in sql
 
@@ -1147,6 +1147,155 @@ def test_basket_segments_cover_marginals_and_pairs(spark, sf_smoke):
     assert not any(r["event_type"] is None and r["band"] is None for r in rows)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Expand" in plan  # ONE cube aggregation, not a union of passes
+
+
+def test_scan_state_references(spark):
+    """Round-6: scan step conditions referencing EARLIER steps' matched
+    row (`s2: v > s1.v`) — evaluated inside the same grouped fold;
+    forward/self references are subset errors."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " ('a', 1, 'start', 10.0), ('a', 2, 'end', 5.0),"
+        " ('a', 3, 'start', 7.0), ('a', 4, 'end', 9.0),"
+        " ('b', 5, 'start', 1.0), ('b', 6, 'end', 2.0)"
+        " AS t(g, seq, kind, v)"
+    ).createOrReplaceTempView("ss_t")
+    rows = kql(
+        spark,
+        "ss_t | sort by seq asc | scan by g with ("
+        ' step s1: kind == "start";'
+        ' step s2: kind == "end" and v > s1.v)',
+    ).collect()
+    got = sorted((r["g"], r["seq"], r["step"]) for r in rows)
+    # a: start@1 (v=10) -> end@2 (5>10 no) -> end@4 (9>10 no): s2 never
+    #    fires for the v=10 start; start@3 can't open (s1 active).
+    # Greedy single-instance: the v=10 match stays open, so 'a' emits
+    # only the s1 row. b: start@5 (v=1) -> end@6 (2>1 yes).
+    assert got == [
+        ("a", 1, "s1"),
+        ("b", 5, "s1"),
+        ("b", 6, "s2"),
+    ]
+    # forward/self references are out of the subset
+    with pytest.raises(ValueError, match="EARLIER"):
+        kql(
+            spark,
+            "ss_t | sort by seq asc | scan by g with ("
+            " step s1: v > s2.v; step s2: kind == \"end\")",
+        )
+    with pytest.raises(ValueError, match="EARLIER"):
+        kql(
+            spark,
+            "ss_t | sort by seq asc | scan by g with ("
+            " step s1: v > s1.v)",
+        )
+
+
+def test_evaluate_python_plugin(spark):
+    """Round-6: `evaluate python()` over mapInPandas — `df` in,
+    `result` out; typeof(*) passthrough + additions, exact typeof
+    schema selects/renames, missing `result` and bad typeof fail
+    loudly."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10.0), (2, 20.0) AS t(k, v)"
+    ).createOrReplaceTempView("py_t")
+    # typeof(*, add) passthrough + derived column; two statements
+    rows = kql(
+        spark,
+        "py_t | evaluate python(typeof(*, dbl:real),"
+        " 'tmp = df.v * 2; result = df.assign(dbl = tmp)')"
+        " | sort by k asc",
+    ).collect()
+    assert [(r["k"], r["v"], r["dbl"]) for r in rows] == [
+        (1, 10.0, 20.0),
+        (2, 20.0, 40.0),
+    ]
+    # exact typeof schema: only the listed columns come back
+    rows = kql(
+        spark,
+        "py_t | evaluate python(typeof(kk:long),"
+        " 'result = df.assign(kk = df.k + 100)') | sort by kk asc",
+    ).collect()
+    assert [r["kk"] for r in rows] == [101, 102]
+    # script that never sets `result` fails at execution
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    with pytest.raises((Py4JJavaError, PythonException, Exception)):
+        kql(
+            spark,
+            "py_t | evaluate python(typeof(*), 'x = 1')",
+        ).collect()
+    # unsupported typeof field type is a translate-time subset error
+    with pytest.raises(ValueError, match="unsupported"):
+        kql(spark, "py_t | evaluate python(typeof(b:blob), 'result = df')")
+
+
+def test_parse_kind_regex(spark):
+    """Round-6: `parse kind=regex` — fragments are verbatim regexes,
+    flags=i works, capture-group fragments and U flag are subset
+    errors, parse-where filters with the same regex."""
+    spark.sql(
+        "SELECT * FROM VALUES ('ID=42 Host=WEB-1'), ('garbage')"
+        " AS t(line)"
+    ).createOrReplaceTempView("pr_t")
+    rows = kql(
+        spark,
+        "pr_t | parse-where kind=regex flags=i line with"
+        ' "id=" n:long "\\\\s+HOST=" h:string "$"',
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 42 and rows[0]["h"] == "WEB-1"
+    # plain parse (no -where) emits NULLs for non-matching rows
+    rows = kql(
+        spark,
+        'pr_t | parse kind=regex line with "ID=" n:long "\\\\s" ',
+    ).collect()
+    assert sorted([r["n"] for r in rows], key=lambda x: (x is None, x)) \
+        == [42, None]
+    # subset errors
+    with pytest.raises(ValueError, match="non-capturing"):
+        kql_to_sql('t | parse kind=regex line with "(a|b)" x:string')
+    with pytest.raises(ValueError, match="i/m/s"):
+        kql_to_sql('t | parse kind=regex flags=U line with "a" x:string')
+    with pytest.raises(ValueError, match="requires kind=regex"):
+        kql_to_sql('t | parse flags=i line with "a" x:string')
+    # non-capturing groups in fragments are fine
+    sql = kql_to_sql(
+        't | parse kind=regex line with "(?:id|ID)=" n:long'
+    )
+    assert "regexp_extract" in sql
+
+
+def test_autocluster_ranks_specific_large_segments(spark, sf_smoke):
+    """Round-6: `evaluate autocluster()` — ONE-CUBE segments ranked by
+    the exact-integer Count*depth equivalent of the w=0.5 score; only
+    the default size_weight is in the subset."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | project event_type,"
+        ' band = case(value < 50, "low", "high")'
+        " | evaluate autocluster()",
+    )
+    rows = df.collect()
+    total = spark.table("events").count()
+    assert [r["SegmentId"] for r in rows] == list(range(len(rows)))
+    assert all(r["Count"] >= 0.05 * total for r in rows)
+    assert not any(
+        r["event_type"] is None and r["band"] is None for r in rows
+    )
+    # rank order is Count * depth descending (the w=0.5 score)
+    def score(r):
+        depth = (r["event_type"] is not None) + (r["band"] is not None)
+        return r["Count"] * depth
+    assert [score(r) for r in rows] == sorted(
+        (score(r) for r in rows), reverse=True
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Expand" in plan  # ONE cube aggregation
+    with pytest.raises(ValueError, match="size_weight"):
+        kql(spark, "events | evaluate autocluster(0.9)")
 
 
 def test_lookup_broadcasts_dimension(spark, sf_smoke):
