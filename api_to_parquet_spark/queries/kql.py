@@ -1023,8 +1023,44 @@ def _series_fir_sql(args: list[str], center: bool = False) -> str:
     return f"transform({y}, (_x, _i) -> {' + '.join(taps)})"
 
 
+def _extract_toscalar(text: str) -> tuple[str, list[tuple[str, str]]]:
+    """Pull `toscalar(<pipe>)` spans out BEFORE scalar rewriting (the
+    pipe body must reach the full translator verbatim, not half-
+    rewritten as a scalar). Returns (text-with-placeholders,
+    [(placeholder, pipe_body), ...]); quote-aware balanced parens."""
+    subs: list[tuple[str, str]] = []
+    while True:
+        m = re.search(r"\btoscalar\s*\(", text)
+        if not m:
+            return text, subs
+        depth, j, quote = 1, m.end(), None
+        while j < len(text) and depth:
+            ch = text[j]
+            if quote:
+                if ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced toscalar( in {text!r}")
+        ph = f"__TOSCALAR_{len(subs)}__"
+        subs.append((ph, text[m.end() : j - 1].strip()))
+        text = text[: m.start()] + ph + text[j:]
+
+
 def _expr(kql_expr: str) -> str:
     """Translate a KQL scalar/boolean expression to SQL."""
+    # toscalar(T | ...) -> an uncorrelated scalar subquery (ADX: first
+    # column of the first row; the LIMIT 1 makes that explicit and the
+    # inner pipe must yield ONE column — Spark's analyzer enforces it).
+    # Translated without a session (subset: session-requiring stages
+    # inside toscalar raise their own clear errors).
+    kql_expr, _ts_subs = _extract_toscalar(kql_expr)
     e = _bin_to_sql(_strings_to_sql(kql_expr))
     e = _rewrite_fn(e, "case", _case_sql)
     e = _rewrite_fn(e, "substring", _substring_sql)
@@ -1050,6 +1086,58 @@ def _expr(kql_expr: str) -> str:
             f" CAST({a[1]} AS DOUBLE)))"
         ),
     )
+    # series_fill_forward/backward/linear (round-6): per-element
+    # higher-order lookups — O(n²) per row in the series length, which
+    # make-series bounds by the bin count; all map-side, zero shuffle.
+    def _fill_fwd_sql(a: list[str]) -> str:
+        arr = a[0].strip()
+        # last non-null at or before i; ADX keeps LEADING nulls
+        return (
+            f"transform({arr}, (_e, _i) -> coalesce(_e,"
+            f" try_element_at(filter(slice({arr}, 1, _i + 1),"
+            f" _x -> _x IS NOT NULL), -1)))"
+        )
+
+    def _fill_bwd_sql(a: list[str]) -> str:
+        arr = a[0].strip()
+        # first non-null at or after i; ADX keeps TRAILING nulls
+        return (
+            f"transform({arr}, (_e, _i) -> coalesce(_e,"
+            f" try_element_at(filter(slice({arr}, _i + 1,"
+            f" size({arr}) - _i), _x -> _x IS NOT NULL), 1)))"
+        )
+
+    def _fill_linear_sql(a: list[str]) -> str:
+        arr = a[0].strip()
+        # interior nulls interpolate between the nearest non-null
+        # neighbors; edge nulls take the nearest non-null value (ADX
+        # contract). pidx/nidx are 0-based neighbor indexes.
+        pidx = (
+            f"try_element_at(filter(sequence(0, size({arr}) - 1),"
+            f" _j -> _j <= _i AND element_at({arr}, _j + 1)"
+            " IS NOT NULL), -1)"
+        )
+        nidx = (
+            f"try_element_at(filter(sequence(0, size({arr}) - 1),"
+            f" _j -> _j >= _i AND element_at({arr}, _j + 1)"
+            " IS NOT NULL), 1)"
+        )
+        return (
+            f"transform({arr}, (_e, _i) -> coalesce(_e,"
+            f" CASE WHEN ({pidx}) IS NULL THEN"
+            f" try_element_at({arr}, ({nidx}) + 1)"
+            f" WHEN ({nidx}) IS NULL THEN"
+            f" try_element_at({arr}, ({pidx}) + 1)"
+            f" ELSE try_element_at({arr}, ({pidx}) + 1)"
+            f" + (try_element_at({arr}, ({nidx}) + 1)"
+            f" - try_element_at({arr}, ({pidx}) + 1))"
+            f" * (CAST(_i - ({pidx}) AS DOUBLE)"
+            f" / CAST(({nidx}) - ({pidx}) AS DOUBLE)) END))"
+        )
+
+    e = _rewrite_fn(e, "series_fill_forward", _fill_fwd_sql)
+    e = _rewrite_fn(e, "series_fill_backward", _fill_bwd_sql)
+    e = _rewrite_fn(e, "series_fill_linear", _fill_linear_sql)
     e = _rewrite_fn(e, "series_fir", _series_fir_sql)
     def _moving_avg_sql(a: list[str]) -> str:
         if len(a) < 2 or not re.match(r"^\d+$", a[1].strip()):
@@ -1098,6 +1186,10 @@ def _expr(kql_expr: str) -> str:
             )
         )(*_trim2(a, "trim")),
     )
+    # ADX repeat(value, count) builds an ARRAY — must rewrite BEFORE
+    # strrep maps to Spark's string repeat() (round-6: Spark repeat(1,3)
+    # silently produced '111' instead of [1,1,1])
+    e = _sub_outside_strings(r"\brepeat\(", "array_repeat(", e)
     e = _sub_outside_strings(r"\bstrrep\(", "repeat(", e)
     e = _sub_outside_strings(r"\bmin_of\(", "least(", e)
     e = _sub_outside_strings(r"\bmax_of\(", "greatest(", e)
@@ -1148,6 +1240,331 @@ def _expr(kql_expr: str) -> str:
         )
 
     e = _rewrite_fn(e, "indexof", _indexof_sql)
+
+    # --- scalar batch 5 (round-6): set ops, array rotate/shift/iff/
+    # zip, crypto hashes, datetime constructors, regex count/index,
+    # ipv4 family, parse_version, strcat_delim, isascii/isutf8,
+    # todecimal/toguid, format_bytes ---
+    def _set_fold(a: list[str], fn: str) -> str:
+        if len(a) < 2:
+            raise ValueError(f"set op needs >= 2 arrays: {a!r}")
+        out = a[0].strip()
+        for nxt in a[1:]:
+            out = f"{fn}({out}, {nxt.strip()})"
+        return out
+
+    e = _rewrite_fn(e, "set_union", lambda a: _set_fold(a, "array_union"))
+    e = _rewrite_fn(
+        e, "set_intersect", lambda a: _set_fold(a, "array_intersect")
+    )
+    e = _rewrite_fn(
+        e, "set_difference", lambda a: _set_fold(a, "array_except")
+    )
+
+    def _array_iff_sql(a: list[str]) -> str:
+        # element-wise conditional; output length = condition length,
+        # shorter value arrays read as NULL (ADX contract). NULL
+        # condition cells yield NULL (neither branch), like ADX.
+        if len(a) != 3:
+            raise ValueError(f"array_iff needs (cond, x, y): {a!r}")
+        c, x, y = (s.strip() for s in a)
+        return (
+            f"transform({c}, (_c, _i) -> CASE WHEN _c THEN"
+            f" try_element_at({x}, _i + 1) WHEN NOT _c THEN"
+            f" try_element_at({y}, _i + 1) END)"
+        )
+
+    e = _rewrite_fn(e, "array_iff", _array_iff_sql)
+    e = _rewrite_fn(e, "array_if", _array_iff_sql)  # documented alias
+
+    def _array_rotate_sql(a: list[str], sign: str) -> str:
+        if len(a) != 2:
+            raise ValueError(f"array_rotate needs (arr, n): {a!r}")
+        arr, n = a[0].strip(), a[1].strip()
+        # pmod handles negative rotations (rotate_right = negative
+        # left-rotation); empty arrays pass through
+        k = f"pmod({sign}({n}), size({arr}))"
+        return (
+            f"IF(size({arr}) <= 1 OR {k} = 0, {arr},"
+            f" concat(slice({arr}, {k} + 1, size({arr}) - {k}),"
+            f" slice({arr}, 1, {k})))"
+        )
+
+    e = _rewrite_fn(
+        e, "array_rotate_left", lambda a: _array_rotate_sql(a, "")
+    )
+    e = _rewrite_fn(
+        e, "array_rotate_right", lambda a: _array_rotate_sql(a, "-")
+    )
+
+    def _array_shift_sql(a: list[str], sign: str) -> str:
+        # shift keeps the length; vacated cells take the fill value
+        # (default NULL). BETWEEN guard: Spark's negative element_at
+        # indexes count from the END, which would wrap the shift.
+        if len(a) not in (2, 3):
+            raise ValueError(f"array_shift needs (arr, n[, fill]): {a!r}")
+        arr, n = a[0].strip(), a[1].strip()
+        fill = a[2].strip() if len(a) == 3 else "NULL"
+        return (
+            f"transform({arr}, (_e, _i) -> IF(_i + 1 + {sign}({n})"
+            f" BETWEEN 1 AND size({arr}),"
+            f" try_element_at({arr}, _i + 1 + {sign}({n})), {fill}))"
+        )
+
+    e = _rewrite_fn(
+        e, "array_shift_left", lambda a: _array_shift_sql(a, "")
+    )
+    e = _rewrite_fn(
+        e, "array_shift_right", lambda a: _array_shift_sql(a, "-")
+    )
+
+    def _zip_sql(a: list[str]) -> str:
+        # ADX zip: array of 2-element arrays. Same-typed arrays only
+        # (Spark arrays are homogeneous — ADX's mixed dynamics are out
+        # of the subset); exactly two inputs.
+        if len(a) != 2:
+            raise ValueError(f"zip supports exactly two arrays: {a!r}")
+        return (
+            f"zip_with({a[0].strip()}, {a[1].strip()},"
+            " (_l, _r) -> array(_l, _r))"
+        )
+
+    e = _rewrite_fn(e, "zip", _zip_sql)
+    e = _rewrite_fn(e, "hash_sha256", lambda a: f"sha2({a[0]}, 256)")
+    e = _sub_outside_strings(r"\bhash_sha1\(", "sha1(", e)
+    e = _sub_outside_strings(r"\bhash_md5\(", "md5(", e)
+
+    def _make_datetime_sql(a: list[str]) -> str:
+        if len(a) == 3:
+            return (
+                f"make_timestamp({a[0]}, {a[1]}, {a[2]}, 0, 0, 0)"
+            )
+        if len(a) == 6:
+            return "make_timestamp(" + ", ".join(s.strip() for s in a) + ")"
+        raise ValueError(
+            f"make_datetime needs (y,m,d) or (y,m,d,h,mi,s): {a!r}"
+        )
+
+    e = _rewrite_fn(e, "make_datetime", _make_datetime_sql)
+    e = _sub_outside_strings(
+        r"\bunixtime_seconds_todatetime\(", "timestamp_seconds(", e
+    )
+    e = _sub_outside_strings(
+        r"\bunixtime_milliseconds_todatetime\(", "timestamp_millis(", e
+    )
+    e = _sub_outside_strings(
+        r"\bunixtime_microseconds_todatetime\(", "timestamp_micros(", e
+    )
+    e = _rewrite_fn(
+        e,
+        "unixtime_nanoseconds_todatetime",
+        lambda a: f"timestamp_micros(CAST(({a[0]}) div 1000 AS BIGINT))",
+    )
+    e = _sub_outside_strings(r"\bnew_guid\(\)", "uuid()", e)
+    e = _rewrite_fn(
+        e,
+        "countof_regex",
+        lambda a: f"size(regexp_extract_all({a[0]}, {a[1]}, 0))",
+    )
+    e = _rewrite_fn(
+        e,
+        "indexof_regex",
+        # 0-based first-match position, -1 when absent (regexp_instr
+        # is 1-based with 0-absent — one subtraction aligns both)
+        lambda a: f"(regexp_instr({a[0]}, {a[1]}) - 1)",
+    )
+
+    _IPV4_OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    _IPV4_RE = rf"{_IPV4_OCT}\\.{_IPV4_OCT}\\.{_IPV4_OCT}\\.{_IPV4_OCT}"
+
+    def _parse_ipv4_sql(a: list[str]) -> str:
+        # dotted quad -> BIGINT; NULL on anything else (ADX's lenient
+        # contract). One regexp + one 4-element fold, map-side.
+        s = a[0].strip()
+        return (
+            f"CASE WHEN {s} RLIKE '^{_IPV4_RE}$' THEN"
+            f" aggregate(transform(split({s}, '\\\\.'),"
+            " _o -> CAST(_o AS BIGINT)), CAST(0 AS BIGINT),"
+            " (_a, _x) -> _a * 256 + _x) END"
+        )
+
+    e = _rewrite_fn(e, "parse_ipv4", _parse_ipv4_sql)
+    e = _rewrite_fn(
+        e,
+        "has_ipv4",
+        # a properly-delimited valid dotted quad anywhere in the text
+        lambda a: (
+            f"coalesce({a[0].strip()} RLIKE"
+            f" '(^|[^0-9.]){_IPV4_RE}($|[^0-9.])', false)"
+        ),
+    )
+
+    def _ipv4_in_range_sql(a: list[str]) -> str:
+        # range must be a 'base/prefix' literal (resolved at translate
+        # time); the ip side is any expression
+        if len(a) != 2:
+            raise ValueError(f"ipv4_is_in_range needs (ip, range): {a!r}")
+        rm = re.match(
+            r"^'(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})/(\d{1,2})'$",
+            a[1].strip(),
+        )
+        if not rm:
+            raise ValueError(
+                "ipv4_is_in_range needs a literal 'a.b.c.d/nn' range"
+                f" (explicit subset): {a[1]!r}"
+            )
+        o = [int(rm.group(i)) for i in range(1, 5)]
+        bits = int(rm.group(5))
+        if bits > 32 or any(x > 255 for x in o):
+            raise ValueError(f"bad ipv4 range: {a[1]!r}")
+        base = (o[0] << 24) + (o[1] << 16) + (o[2] << 8) + o[3]
+        shift = 2 ** (32 - bits)
+        return (
+            f"(({_parse_ipv4_sql([a[0]])}) div {shift}"
+            f" = {base // shift})"
+        )
+
+    e = _rewrite_fn(e, "ipv4_is_in_range", _ipv4_in_range_sql)
+    e = _rewrite_fn(
+        e,
+        "ipv4_compare",
+        lambda a: (
+            f"CAST(sign(({_parse_ipv4_sql([a[0]])})"
+            f" - ({_parse_ipv4_sql([a[1]])})) AS INT)"
+        ),
+    )
+
+    def _parse_version_sql(a: list[str]) -> str:
+        # up to 4 dotted numeric components, each weighted 1e8 (the
+        # ADX comparable-decimal encoding); NULL on malformed input
+        s = a[0].strip()
+        return (
+            f"CASE WHEN {s} RLIKE '^[0-9]+(\\\\.[0-9]+){{0,3}}$' THEN"
+            f" aggregate(transform(sequence(1, 4), _i ->"
+            f" coalesce(try_cast(try_element_at(split({s}, '\\\\.'),"
+            " _i) AS DECIMAL(38, 0)), CAST(0 AS DECIMAL(38, 0)))),"
+            " CAST(0 AS DECIMAL(38, 0)),"
+            " (_a, _x) -> _a * 100000000 + _x) END"
+        )
+
+    e = _rewrite_fn(e, "parse_version", _parse_version_sql)
+    e = _rewrite_fn(
+        e,
+        "strcat_delim",
+        # ADX keeps the delimiter around null-as-empty args; concat_ws
+        # SKIPS nulls — coalesce each arg to '' to match ADX
+        lambda a: "concat_ws("
+        + a[0].strip()
+        + ", "
+        + ", ".join(f"coalesce({x.strip()}, '')" for x in a[1:])
+        + ")",
+    )
+    e = _rewrite_fn(
+        e,
+        "isascii",
+        lambda a: (
+            f"coalesce(NOT {a[0].strip()} RLIKE"
+            " '[^\\\\x00-\\\\x7F]', false)"
+        ),
+    )
+    # Spark strings are always valid UTF-8 — isutf8 is a null check
+    e = _rewrite_fn(
+        e, "isutf8", lambda a: f"({a[0].strip()} IS NOT NULL)"
+    )
+    # ADX decimal is 128-bit; DECIMAL(38,18) is the widest Spark twin
+    e = _rewrite_fn(
+        e, "todecimal", lambda a: f"try_cast({a[0]} AS DECIMAL(38, 18))"
+    )
+    e = _rewrite_fn(
+        e,
+        "toguid",
+        # canonical lowercase 8-4-4-4-12 or NULL (ADX guid contract)
+        lambda a: (
+            f"CASE WHEN {a[0].strip()} RLIKE"
+            " '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+            "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'"
+            f" THEN lower({a[0].strip()}) END"
+        ),
+    )
+
+    def _format_bytes_sql(a: list[str]) -> str:
+        # format_bytes(v[, precision]) with AUTO units (KB=1024):
+        # nested CASE over magnitude; precision defaults to 0. The
+        # explicit-units third argument is out of the subset.
+        if len(a) not in (1, 2):
+            raise ValueError(
+                f"format_bytes supports (value[, precision]): {a!r}"
+            )
+        v = a[0].strip()
+        p = a[1].strip() if len(a) == 2 else "0"
+        if not re.match(r"^\d+$", p):
+            raise ValueError(
+                f"format_bytes precision must be a literal int: {p!r}"
+            )
+
+        def _amt(expr: str) -> str:
+            # precision 0 renders integers (ADX '1 KB', not '1.0 KB')
+            if p == "0":
+                return f"CAST(CAST(round({expr}, 0) AS BIGINT) AS STRING)"
+            return f"CAST(round({expr}, {p}) AS STRING)"
+
+        arms = []
+        for unit, power in (
+            ("EB", 6), ("PB", 5), ("TB", 4), ("GB", 3), ("MB", 2),
+            ("KB", 1),
+        ):
+            div = 1024 ** power
+            arms.append(
+                f"WHEN abs({v}) >= {div} THEN"
+                f" concat({_amt(f'({v}) / {div}')}, ' {unit}')"
+            )
+        return (
+            f"CASE {' '.join(arms)} ELSE"
+            f" concat({_amt(f'({v}) * CAST(1 AS DOUBLE)')},"
+            " ' Bytes') END"
+        )
+
+    e = _rewrite_fn(e, "format_bytes", _format_bytes_sql)
+    # replace_regex(source, regex, rewrite) — same arg order as
+    # regexp_replace; replace_string already maps elsewhere
+    e = _sub_outside_strings(r"\breplace_regex\(", "regexp_replace(", e)
+
+    def _extract_json_sql(a: list[str]) -> str:
+        # ADX extract_json(path, doc[, typeof(t)]) — note the
+        # path-first order (get_json_object is doc-first)
+        if len(a) == 2:
+            return f"get_json_object({a[1].strip()}, {a[0].strip()})"
+        if len(a) == 3:
+            tm = re.match(
+                r"^typeof\s*\(\s*(\w+)\s*\)$", a[2].strip(), re.IGNORECASE
+            )
+            if not tm or tm.group(1).lower() not in _KQL_TYPES:
+                raise ValueError(
+                    f"extract_json needs typeof(<kql type>): {a[2]!r}"
+                )
+            t = _KQL_TYPES[tm.group(1).lower()]
+            inner = f"get_json_object({a[1].strip()}, {a[0].strip()})"
+            return inner if t == "STRING" else f"try_cast({inner} AS {t})"
+        raise ValueError(
+            f"extract_json needs (path, doc[, typeof(t)]): {a!r}"
+        )
+
+    e = _rewrite_fn(e, "extract_json", _extract_json_sql)
+    e = _rewrite_fn(e, "extractjson", _extract_json_sql)
+
+    def _array_split_sql(a: list[str]) -> str:
+        # single 0-based split index -> [prefix, suffix] pair (ADX's
+        # index-ARRAY form is out of the subset)
+        if len(a) != 2:
+            raise ValueError(f"array_split needs (arr, index): {a!r}")
+        arr, ix = a[0].strip(), a[1].strip()
+        return (
+            f"array(slice({arr}, 1, {ix}),"
+            f" slice({arr}, ({ix}) + 1, size({arr}) - ({ix})))"
+        )
+
+    e = _rewrite_fn(e, "array_split", _array_split_sql)
+    # --- end scalar batch 5 ---
     e = _sub_outside_strings(r"\bdcount_hll\(", "hll_sketch_estimate(", e)
     e = _sub_outside_strings(r"\bhash\(", "xxhash64(", e)
     e = _sub_outside_strings(r"\btoupper\(", "upper(", e)
@@ -1176,25 +1593,27 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "bag_keys", _bag_keys_sql)
 
     # pack()/bag_pack(): dynamic property-bag CONSTRUCTION, the inverse
-    # of evaluate bag_unpack. Bags are JSON text in this engine, so
-    # pack is to_json(named_struct(...)) — typed values, JVM-side.
-    # Keys must be string literals (explicit subset of ADX's
-    # expression keys). NULL values are omitted from the JSON (Spark's
+    # of evaluate bag_unpack. Bags are JSON text in this engine. With
+    # literal keys, pack is to_json(named_struct(...)) — typed values,
+    # JVM-side. EXPRESSION keys (round-6) go through to_json(map(...)):
+    # values widen to JSON strings there (named_struct needs literal
+    # field names), the same documented widening bag_unpack/bag_merge
+    # carry. NULL values are omitted from the JSON (Spark's
     # jsonGenerator default; ADX keeps them as null — documented).
     def _pack_sql(a: list[str]) -> str:
         if len(a) < 2 or len(a) % 2:
             raise ValueError(
-                f"pack needs (key, value, ...) literal-key pairs: {a!r}"
+                f"pack needs (key, value, ...) pairs: {a!r}"
             )
-        parts = []
-        for k, v in zip(a[::2], a[1::2]):
-            k = k.strip()
-            if not re.match(r"^'(?:[^']|'')*'$", k):
-                raise ValueError(
-                    f"pack keys must be string literals: {k!r}"
-                )
-            parts.append(f"{k}, {v.strip()}")
-        return f"to_json(named_struct({', '.join(parts)}))"
+        keys = [k.strip() for k in a[::2]]
+        vals = [v.strip() for v in a[1::2]]
+        if all(re.match(r"^'(?:[^']|'')*'$", k) for k in keys):
+            parts = [f"{k}, {v}" for k, v in zip(keys, vals)]
+            return f"to_json(named_struct({', '.join(parts)}))"
+        parts = [
+            f"{k}, CAST({v} AS STRING)" for k, v in zip(keys, vals)
+        ]
+        return f"to_json(map({', '.join(parts)}))"
 
     e = _rewrite_fn(e, "bag_pack", _pack_sql)
     e = _rewrite_fn(e, "pack", _pack_sql)
@@ -1583,6 +2002,11 @@ def _expr(kql_expr: str) -> str:
         lambda m: _ts_interval(m.group(1), m.group(2)),
         e,
     )
+    for k, (ph, pipe) in enumerate(_ts_subs):
+        e = e.replace(
+            ph,
+            f"(SELECT * FROM ({kql_to_sql(pipe)}) AS _tsc{k} LIMIT 1)",
+        )
     return e
 
 
@@ -1640,6 +2064,21 @@ _AGG_FNS = {
     "percentile",
     "make_list",
     "make_set",
+    # aggregate batch 2 (round-6)
+    "make_bag",
+    "make_bag_if",
+    "stdev",
+    "stdevp",
+    "variance",
+    "variancep",
+    "binary_all_or",
+    "binary_all_and",
+    "binary_all_xor",
+    "take_any",
+    "count_distinct",
+    "count_distinctif",
+    "make_list_if",
+    "make_set_if",
 }
 
 
@@ -1692,6 +2131,30 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
 
     Ties on the arg_max key pick an arbitrary row in BOTH ADX and
     Spark's max_by — use a unique key when determinism matters."""
+    am = re.match(
+        r"^\(\s*([\w\s,]+?)\s*\)\s*=\s*percentiles\s*\((.*)\)$",
+        item.strip(),
+    )
+    if am:
+        # `(a, b) = percentiles(x, 25, 75)` — ADX multi-assign form:
+        # caller-chosen names instead of percentile_<col>_<p>
+        names = [x.strip() for x in am.group(1).split(",")]
+        args = [a.strip() for a in _split_top_level(am.group(2))]
+        if len(args) != len(names) + 1:
+            raise ValueError(
+                "percentiles multi-assign needs one name per"
+                f" percentile: {item!r}"
+            )
+        try:
+            ps = [float(p) for p in args[1:]]
+        except ValueError:
+            raise ValueError(
+                f"percentiles needs numeric percentiles: {item!r}"
+            ) from None
+        return [
+            f"percentile_approx({_expr(args[0])}, {p / 100}) AS {nm}"
+            for nm, p in zip(names, ps)
+        ]
     pm = re.match(r"percentiles\s*\((.*)\)$", item.strip())
     if pm:
         # percentiles(x, p1, p2, …) -> one percentile_approx per p with
@@ -1791,6 +2254,83 @@ def _agg(item: str, auto_idx: int) -> str:
         base = fn[:-2].upper()
         sql = f"{base}(CASE WHEN {_expr(pred)} THEN {_expr(col)} END)"
         default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+    elif fn in ("stdev", "stdevp", "variance", "variancep"):
+        # ADX stdev/variance are SAMPLE estimators; the -p suffix is
+        # the population variant — same split as Spark's _samp/_pop
+        base = {
+            "stdev": "STDDEV_SAMP",
+            "stdevp": "STDDEV_POP",
+            "variance": "VAR_SAMP",
+            "variancep": "VAR_POP",
+        }[fn]
+        sql = f"{base}({_expr(arg)})"
+        default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    elif fn in ("binary_all_or", "binary_all_and", "binary_all_xor"):
+        base = {"or": "bit_or", "and": "bit_and", "xor": "bit_xor"}[
+            fn.rsplit("_", 1)[1]
+        ]
+        sql = f"{base}({_expr(arg)})"
+        default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    elif fn == "take_any":
+        # ADX take_any picks an ARBITRARY value; min() is the
+        # deterministic refinement (same sample/top-hitters precedent)
+        sql = f"MIN({_expr(arg)})"
+        default = arg if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    elif fn == "count_distinct":
+        # the EXACT distinct count (dcount is the approximate one)
+        sql = f"COUNT(DISTINCT {_expr(arg)})"
+        default = (
+            f"count_distinct_{arg}"
+            if re.match(r"^\w+$", arg)
+            else f"agg{auto_idx}"
+        )
+    elif fn == "count_distinctif":
+        col, pred = (x.strip() for x in _split_top_level(arg))
+        sql = (
+            f"COUNT(DISTINCT CASE WHEN {_expr(pred)}"
+            f" THEN {_expr(col)} END)"
+        )
+        default = (
+            f"count_distinctif_{col}"
+            if re.match(r"^\w+$", col)
+            else f"agg{auto_idx}"
+        )
+    elif fn in ("make_bag", "make_bag_if"):
+        # merge the group's property bags into one. ADX's property
+        # precedence is unspecified; the deterministic refinement
+        # (sample/take_any precedent) merges in SORTED bag-text order
+        # with first-bag-wins per key — the same membership-based pick
+        # as bag_merge, folded over the collected bags. Values widen
+        # to JSON strings (the documented map<string,string> bridge).
+        if fn == "make_bag_if":
+            col, pred = (x.strip() for x in _split_top_level(arg))
+            inner = f"CASE WHEN {_expr(pred)} THEN {_expr(col)} END"
+        else:
+            col = arg
+            inner = _expr(arg)
+        ma = "from_json(coalesce(_ac, '{}'), 'map<string,string>')"
+        mb = "from_json(coalesce(_b, '{}'), 'map<string,string>')"
+        ks = f"array_union(map_keys({ma}), map_keys({mb}))"
+        merge = (
+            f"to_json(map_from_arrays({ks}, transform({ks},"
+            f" _k -> IF(array_contains(map_keys({ma}), _k),"
+            f" element_at({ma}, _k), element_at({mb}, _k)))))"
+        )
+        sql = (
+            f"aggregate(sort_array(collect_list({inner})),"
+            f" '{{}}', (_ac, _b) -> {merge})"
+        )
+        default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+    elif fn in ("make_list_if", "make_set_if"):
+        # conditional collect: CASE yields NULL on false rows and
+        # collect_list/set skip NULLs; sorted like make_list/make_set
+        col, pred = (x.strip() for x in _split_top_level(arg))
+        inner = "collect_list" if fn == "make_list_if" else "collect_set"
+        sql = (
+            f"sort_array({inner}(CASE WHEN {_expr(pred)}"
+            f" THEN {_expr(col)} END))"
+        )
+        default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
     else:
         sql = f"{fn.upper()}({_expr(arg)})"
         default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
@@ -1877,6 +2417,11 @@ def _parse_to_selects(
         )
     return out, regex_sql
 
+
+# kql()'s retry pass sets this to enable the schema-analysis-backed
+# replace-on-clash blocks in extend/parse/parse-kv (single-threaded
+# translate; see kql() for the two-phase contract)
+_RESOLVE_CLASHES = False
 
 _STR_SPAN = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
 
@@ -2465,16 +3010,36 @@ def kql_to_sql(
                     )
                 sql = _series_chain_sql(prev, *chain)
             else:
-                items = []
+                items, names = [], []
                 for c in ext_items:
                     m = re.match(r"(\w+)\s*=\s*(.+)$", c)
                     if not m:
                         raise ValueError(f"{op} needs name=expr: {c!r}")
                     ex = _expr(m.group(2))
-                    if op == "serialize":
-                        ex = _window_rewrite(ex, order_keys)
+                    if op == "serialize" or order_keys is not None:
+                        # ADX: a preceding `sort by` serializes the row
+                        # set, so extend may use prev/next/row_number/
+                        # row_cumsum too (round-6; no-op when the
+                        # expression has none of them)
+                        ex = _window_rewrite(ex, order_keys or [])
                     items.append(f"{ex} AS {m.group(1)}")
-                sql = f"SELECT *, {', '.join(items)} FROM {prev}"
+                    names.append(m.group(1))
+                # ADX extend REPLACES an existing column of the same
+                # name (round-6 fuzz finding: the bare `SELECT *, e AS
+                # x` duplicated x and later references became
+                # ambiguous). Schema-aware, but only on kql()'s retry
+                # pass (_RESOLVE_CLASHES) — the per-stage analysis is
+                # too expensive for the common no-clash case.
+                star = "*"
+                if spark is not None and _RESOLVE_CLASHES:
+                    clash = [
+                        c
+                        for c in spark.sql(sql).columns
+                        if c in names
+                    ]
+                    if clash:
+                        star = f"* EXCEPT ({', '.join(clash)})"
+                sql = f"SELECT {star}, {', '.join(items)} FROM {prev}"
         elif op == "summarize":
             # ADX hint.shufflekey= / hint.strategy=shuffle request a
             # key-shuffled parallel aggregation. Spark's grouped
@@ -2560,6 +3125,24 @@ def kql_to_sql(
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
             order_keys = orders  # the serialize window order
         elif op == "mv-expand":
+            # `with_itemindex=Ix` prefixes a 0-based element-index
+            # column (round-6) — posexplode instead of explode
+            ixm = re.match(
+                r"^with_itemindex\s*=\s*(\w+)\s+(.+)$", body, re.IGNORECASE
+            )
+            if ixm:
+                ixcol, c = ixm.group(1), ixm.group(2).strip()
+                if not re.match(r"^\w+$", c):
+                    raise ValueError(
+                        "mv-expand with_itemindex supports a single"
+                        f" plain column: {c!r}"
+                    )
+                sql = (
+                    f"SELECT * EXCEPT ({c}, _mvi, _mv),"
+                    f" _mvi AS {ixcol}, _mv AS {c} FROM {prev}"
+                    f" LATERAL VIEW posexplode({c}) _t AS _mvi, _mv"
+                )
+                continue
             # single-column form accepts `to typeof(type)` — the ADX
             # typed expansion: each element try_casts to the declared
             # scalar type (bad elements -> NULL, ADX leniency)
@@ -2834,6 +3417,13 @@ def kql_to_sql(
                     )
                 if not fields:
                     raise ValueError("evaluate python: empty typeof schema")
+                # an explicit field overrides a same-named passthrough
+                # from `*` (round-6 fuzz: typeof(*, x:long) with x
+                # already in the input duplicated the column)
+                dedup: dict[str, str] = {}
+                for fn, ft in fields:
+                    dedup[fn] = ft
+                fields = list(dedup.items())
                 names = tuple(n for n, _ in fields)
                 ddl = ", ".join(f"{n} {t}" for n, t in fields)
 
@@ -3640,7 +4230,18 @@ def kql_to_sql(
                 regex_mode=(kind == "regex"),
                 flags=m.group(2) or "",
             )
-            sql = f"SELECT *, {', '.join(selects)} FROM {prev}"
+            # same replace-on-clash semantics as extend (ADX errors on
+            # an existing target column; replacing is the documented
+            # lenient refinement, resolved on kql()'s retry pass)
+            star = "*"
+            if spark is not None and _RESOLVE_CLASHES:
+                tgts = [s.rsplit(" AS ", 1)[1] for s in selects]
+                clash = [
+                    c for c in spark.sql(sql).columns if c in tgts
+                ]
+                if clash:
+                    star = f"* EXCEPT ({', '.join(clash)})"
+            sql = f"SELECT {star}, {', '.join(selects)} FROM {prev}"
             if op == "parse-where":
                 # parse-where keeps only rows the pattern matches (ADX:
                 # parse emits nulls, parse-where filters) — same regex,
@@ -3713,7 +4314,17 @@ def kql_to_sql(
                 if ktype != "STRING":
                     val = f"try_cast({val} AS {ktype})"
                 items.append(f"{val} AS {name}")
-            sql = f"SELECT *, {', '.join(items)} FROM {prev}"
+            # replace-on-clash like extend/parse (round-6 fuzz),
+            # resolved on kql()'s retry pass only
+            star = "*"
+            if spark is not None and _RESOLVE_CLASHES:
+                tgts = [s.rsplit(" AS ", 1)[1] for s in items]
+                clash = [
+                    c for c in spark.sql(sql).columns if c in tgts
+                ]
+                if clash:
+                    star = f"* EXCEPT ({', '.join(clash)})"
+            sql = f"SELECT {star}, {', '.join(items)} FROM {prev}"
         elif op == "reduce":
             # `reduce by c` — group string values into patterns. ADX's
             # clustering algorithm is opaque/nondeterministic; this is
@@ -4200,8 +4811,33 @@ def kql_to_sql(
 
 def kql(spark: SparkSession, text: str) -> DataFrame:
     """Execute a KQL pipe query against registered views — the drop-in
-    for the reference's POST /query body."""
-    return spark.sql(kql_to_sql(text, spark))
+    for the reference's POST /query body.
+
+    Two-phase translation (round-6): the fast path skips the
+    replace-on-clash schema analyses (extend/parse/parse-kv re-using an
+    existing column name — rare, but ADX replaces); if the fast plan
+    fails analysis with an ambiguity/duplicate error, ONE retry
+    re-translates with clash resolution on. Keeps the common case at
+    zero extra driver-side analyses (a per-stage spark.sql() schema
+    probe cost ~1s on fork/parse-kv benches)."""
+    global _RESOLVE_CLASHES
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        return spark.sql(kql_to_sql(text, spark))
+    except AnalysisException as ex:
+        msg = str(ex)
+        if not any(
+            t in msg
+            for t in ("AMBIGUOUS_REFERENCE", "ALREADY_EXISTS", "DUPLICATE")
+        ):
+            raise
+        prev_flag = _RESOLVE_CLASHES
+        _RESOLVE_CLASHES = True
+        try:
+            return spark.sql(kql_to_sql(text, spark))
+        finally:
+            _RESOLVE_CLASHES = prev_flag
 
 
 # --- Synapse serverless-SQL shim: the reference README's OTHER committed
@@ -5061,6 +5697,188 @@ def q_kql_scalar_fns4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth scalar batch, array family (round-6): set_union/
+    set_intersect/set_difference (array_union/intersect/except
+    folds), array_rotate_left/right + array_shift_left/right (pmod
+    slicing / index-guarded transform), array_iff (element-wise
+    conditional with NULL-on-NULL-cond), zip, repeat (ARRAY
+    constructor — not Spark's string repeat). Arrays are flattened
+    with array_join for the hash compare; all map-side."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 400"
+        " | extend x = pack_array(event_id % 5, event_id % 7,"
+        " event_id % 3),"
+        " y = pack_array(event_id % 7, event_id % 4, event_id % 2)"
+        " | project event_id,"
+        ' su = strcat_array(array_sort(set_union(x, y)), "-"),'
+        ' si = strcat_array(array_sort(set_intersect(x, y)), "-"),'
+        ' sd = strcat_array(array_sort(set_difference(x, y)), "-"),'
+        ' rl = strcat_array(array_rotate_left(x, 1), "-"),'
+        ' rr = strcat_array(array_rotate_right(x, 1), "-"),'
+        ' sl = strcat_array(array_shift_left(x, 1, -1), "-"),'
+        ' sr = strcat_array(array_shift_right(x, 1, -1), "-"),'
+        " ai = strcat_array(array_iff(pack_array(event_id % 2 == 0,"
+        ' event_id % 3 == 0, true), x, y), "-"),'
+        ' zp = strcat_array(zip(x, y)[1], "-"),'
+        ' rp = strcat_array(repeat(event_id % 9, 3), "-")',
+    )
+
+
+def q_kql_scalar_fns6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth scalar batch (round-6): crypto hashes (sha256/md5),
+    make_datetime + unixtime_*_todatetime constructors, countof_regex/
+    indexof_regex, the ipv4 family (parse/has/in_range/compare as
+    regex-guarded integer folds), parse_version (1e8-weighted
+    comparable decimal), strcat_delim (ADX null-as-empty), isascii
+    (non-vacuous: é injected on even ids), isutf8, toguid,
+    format_bytes (auto units, exact-division inputs). All JVM-side
+    expressions."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 400"
+        " | extend ip = strcat(tostring(10 + event_id % 90),"
+        ' ".", tostring(event_id % 256), ".7.",'
+        " tostring(event_id % 100)),"
+        ' ver = strcat(tostring(event_id % 4), ".",'
+        ' tostring(event_id % 10), ".", tostring(event_id % 100))'
+        " | project event_id,"
+        " h2 = hash_sha256(event_type),"
+        " hm = hash_md5(event_type),"
+        " md = make_datetime(2024, 1 + event_id % 12,"
+        " 1 + event_id % 28),"
+        " ut = unixtime_seconds_todatetime(1700000000 + event_id),"
+        " um = unixtime_milliseconds_todatetime(1700000000000"
+        " + event_id),"
+        ' cr = countof_regex(event_type, "[aeiou]"),'
+        ' ir = indexof_regex(event_type, "[su]"),'
+        " p4 = parse_ipv4(ip),"
+        ' rng = ipv4_is_in_range(ip, "10.0.0.0/8"),'
+        ' cmp = ipv4_compare(ip, "50.0.0.0"),'
+        " pv = tostring(parse_version(ver)),"
+        ' sdl = strcat_delim("|", event_type, ip),'
+        " ia = isascii(strcat(event_type,"
+        ' iff(event_id % 2 == 0, "é", "e"))),'
+        " iu = isutf8(event_type),"
+        " fb = format_bytes(event_id * 1024),"
+        " fb2 = format_bytes(event_id * 1048576, 2),"
+        ' gd = toguid(strcat("00000000-0000-0000-0000-",'
+        " substring(hash_md5(event_type), 0, 12)))",
+    )
+
+
+def q_kql_agg_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second aggregate batch (round-6): stdev/stdevp/variance/
+    variancep (sample/population split; last-ulp engine divergence on
+    the streaming moments, so both sides round(,6)), binary_all_or/
+    and/xor (bit aggregates), take_any (min() deterministic
+    refinement), exact count_distinct(+if), make_list_if/make_set_if
+    (conditional collects), and the (a, b) = percentiles(...)
+    multi-assign form. One hash-partitioned grouped aggregation with
+    map-side partials."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 5000 | summarize"
+        " sd0 = stdev(event_id % 50),"
+        " sdp0 = stdevp(event_id % 50),"
+        " va0 = variance(event_id % 50),"
+        " vap0 = variancep(event_id % 50),"
+        " bo = binary_all_or(event_id),"
+        " ba = binary_all_and(event_id),"
+        " bx = binary_all_xor(event_id),"
+        " ta = take_any(event_type),"
+        " cd = count_distinct(user_id),"
+        " cdi = count_distinctif(user_id, value > 50),"
+        " (p25, p75) = percentiles(event_id, 25, 75),"
+        " ml0 = make_list_if(event_id, event_id % 97 == 0),"
+        " ms0 = make_set_if(user_id % 10, event_id % 3 == 0)"
+        " by event_type"
+        " | project event_type, sd = round(sd0, 6),"
+        " sdp = round(sdp0, 6), va = round(va0, 6),"
+        " vap = round(vap0, 6), bo, ba, bx, ta, cd, cdi, p25, p75,"
+        ' mli = strcat_array(ml0, ","), msi = strcat_array(ms0, ",")'
+        " | sort by event_type asc",
+    )
+
+
+def q_kql_scalar_fns7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh scalar batch (round-6): series_fill_forward/backward/
+    linear (per-element higher-order lookups over a 4-bin series with
+    deterministic null positions; summed in fold order so the DuckDB
+    mirror is the same IEEE sequence), replace_regex, extract_json
+    (path-first, typed), array_split. All map-side."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        " | extend vv = 1.0 * (event_id % 10)"
+        " | extend m = pack_array(vv,"
+        " iff(event_id % 3 == 0, double(null), vv * 2),"
+        " iff(event_id % 4 == 0, double(null), vv * 3),"
+        " vv + 10)"
+        " | project event_id,"
+        " fs = series_sum(series_fill_forward(m)),"
+        " bs = series_sum(series_fill_backward(m)),"
+        " ls = series_sum(series_fill_linear(m)),"
+        ' rr = replace_regex(event_type, "[aeiou]+", "_"),'
+        ' ej = extract_json("$.k", props, typeof(long)),'
+        " sp = strcat_array(array_split(pack_array(event_id % 5,"
+        ' event_id % 7, event_id % 9), 1)[1], "-")',
+    )
+
+
+def q_kql_mv_itemindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`mv-expand with_itemindex=Ix` (round-6): element expansion
+    carrying the 0-based position — ONE posexplode, zero shuffle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 200"
+        " | extend a = pack_array(event_id % 3, event_id % 5)"
+        " | mv-expand with_itemindex=ix a"
+        " | project event_id, ix, a",
+    )
+
+
+def q_kql_toscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`toscalar(T | ...)` (round-6): an uncorrelated scalar subquery —
+    the inner pipe's single column, first row. Spark plans it as a
+    reusable subquery result broadcast into the filter, so the outer
+    scan stays a single pass."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id >"
+        " toscalar(events | summarize m = max(event_id)"
+        " | project m2 = m / 2)"
+        " | summarize n = count(), mx = max(event_id),"
+        " s = sum(user_id)",
+    )
+
+
+def q_kql_make_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`summarize make_bag()/make_bag_if()` (round-6): per-group
+    property-bag merge. Deterministic refinement of ADX's unspecified
+    precedence: bags fold in SORTED bag-text order, first-bag-wins per
+    key (the bag_merge membership pick). Here each row packs one
+    single-digit value under k<id%3>, so the winner per key is the
+    minimum value — mirrored in the oracle as min() + JSON concat."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 2000"
+        ' | extend b = pack(strcat("k", tostring(event_id % 3)),'
+        " event_id % 7)"
+        " | summarize bag = make_bag(b),"
+        " bagif = make_bag_if(b, event_id % 2 == 0) by event_type"
+        " | sort by event_type asc",
+    )
+
+
 def q_kql_union_withsource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`union withsource=Col` — each row labeled with its originating
     table (head table name; union_arg for a headless side), name-
@@ -5425,6 +6243,13 @@ QUERIES = {
     "kql_pack": q_kql_pack,
     "kql_fork": q_kql_fork,
     "kql_scalar_fns4": q_kql_scalar_fns4,
+    "kql_scalar_fns5": q_kql_scalar_fns5,
+    "kql_scalar_fns6": q_kql_scalar_fns6,
+    "kql_scalar_fns7": q_kql_scalar_fns7,
+    "kql_agg_fns2": q_kql_agg_fns2,
+    "kql_mv_itemindex": q_kql_mv_itemindex,
+    "kql_toscalar": q_kql_toscalar,
+    "kql_make_bag": q_kql_make_bag,
     "kql_reduce": q_kql_reduce,
     "kql_series_periods": q_kql_series_periods,
     "kql_diffpatterns": q_kql_diffpatterns,
@@ -5758,6 +6583,207 @@ ORACLE = {
                    '*', 'g'), '[0-9]+', '*', 'g') AS Pattern,
                COUNT(*) AS Count, min(msg) AS Representative
         FROM b GROUP BY 1 ORDER BY Pattern
+    """,
+    "kql_scalar_fns5": """
+        WITH b AS (
+            SELECT event_id,
+                   [event_id % 5, event_id % 7, event_id % 3] AS x,
+                   [event_id % 7, event_id % 4, event_id % 2] AS y
+            FROM events WHERE event_id < 400
+        )
+        SELECT event_id,
+               array_to_string(list_sort(list_distinct(
+                   list_concat(x, y))), '-') AS su,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list_filter(x, _e -> list_contains(y, _e)))), '-'),
+                   '') AS si,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list_filter(x, _e -> NOT list_contains(y, _e)))),
+                   '-'), '') AS sd,
+               array_to_string([x[2], x[3], x[1]], '-') AS rl,
+               array_to_string([x[3], x[1], x[2]], '-') AS rr,
+               array_to_string([x[2], x[3], -1], '-') AS sl,
+               array_to_string([-1, x[1], x[2]], '-') AS sr,
+               array_to_string([
+                   CASE WHEN event_id % 2 = 0 THEN x[1] ELSE y[1] END,
+                   CASE WHEN event_id % 3 = 0 THEN x[2] ELSE y[2] END,
+                   x[3]], '-') AS ai,
+               array_to_string([x[2], y[2]], '-') AS zp,
+               array_to_string([event_id % 9, event_id % 9,
+                                event_id % 9], '-') AS rp
+        FROM b
+    """,
+    "kql_scalar_fns6": """
+        WITH b AS (
+            SELECT event_id, event_type,
+                   concat(CAST(10 + event_id % 90 AS VARCHAR), '.',
+                          CAST(event_id % 256 AS VARCHAR), '.7.',
+                          CAST(event_id % 100 AS VARCHAR)) AS ip,
+                   concat(CAST(event_id % 4 AS VARCHAR), '.',
+                          CAST(event_id % 10 AS VARCHAR), '.',
+                          CAST(event_id % 100 AS VARCHAR)) AS ver
+            FROM events WHERE event_id < 400
+        ), p AS (
+            SELECT *,
+                   list_reduce(list_transform(string_split(ip, '.'),
+                       _o -> CAST(_o AS BIGINT)),
+                       (_a, _x) -> _a * 256 + _x) AS p4l
+            FROM b
+        )
+        SELECT event_id,
+               sha256(event_type) AS h2,
+               md5(event_type) AS hm,
+               make_timestamp(2024, 1 + event_id % 12,
+                              1 + event_id % 28, 0, 0, 0) AS md,
+               epoch_ms((1700000000 + event_id) * 1000) AS ut,
+               epoch_ms(1700000000000 + event_id) AS um,
+               CAST(len(regexp_extract_all(event_type, '[aeiou]'))
+                    AS INTEGER) AS cr,
+               CAST(CASE WHEN regexp_matches(event_type, '[su]')
+                    THEN length(regexp_extract(event_type,
+                         '^(.*?)[su]', 1))
+                    ELSE -1 END AS INTEGER) AS ir,
+               p4l AS p4,
+               (p4l // 16777216) = 10 AS rng,
+               CAST(sign(p4l - 838860800) AS INTEGER) AS cmp,
+               CAST(list_reduce(list_concat(
+                   list_transform(string_split(ver, '.'),
+                       _o -> CAST(_o AS HUGEINT)),
+                   [CAST(0 AS HUGEINT)]),
+                   (_a, _x) -> _a * 100000000 + _x) AS VARCHAR) AS pv,
+               concat_ws('|', event_type, ip) AS sdl,
+               (event_id % 2 <> 0) AS ia,
+               (event_type IS NOT NULL) AS iu,
+               CASE WHEN event_id * 1024 >= 1048576
+                    THEN concat(CAST(CAST(round(event_id * 1024
+                         / 1048576.0, 0) AS BIGINT) AS VARCHAR), ' MB')
+                    WHEN event_id * 1024 >= 1024
+                    THEN concat(CAST(CAST(round(event_id * 1024
+                         / 1024.0, 0) AS BIGINT) AS VARCHAR), ' KB')
+                    ELSE concat(CAST(CAST(round(event_id * 1024 * 1.0,
+                         0) AS BIGINT) AS VARCHAR), ' Bytes') END AS fb,
+               CASE WHEN event_id * 1048576 >= 1073741824
+                    THEN concat(CAST(round(event_id * 1048576
+                         / 1073741824.0, 2) AS VARCHAR), ' GB')
+                    WHEN event_id * 1048576 >= 1048576
+                    THEN concat(CAST(round(event_id * 1048576
+                         / 1048576.0, 2) AS VARCHAR), ' MB')
+                    ELSE concat(CAST(round(event_id * 1048576 * 1.0,
+                         2) AS VARCHAR), ' Bytes') END AS fb2,
+               concat('00000000-0000-0000-0000-',
+                      substr(md5(event_type), 1, 12)) AS gd
+        FROM p
+    """,
+    "kql_agg_fns2": """
+        SELECT event_type,
+               round(stddev_samp(event_id % 50), 6) AS sd,
+               round(stddev_pop(event_id % 50), 6) AS sdp,
+               round(var_samp(event_id % 50), 6) AS va,
+               round(var_pop(event_id % 50), 6) AS vap,
+               bit_or(event_id) AS bo,
+               bit_and(event_id) AS ba,
+               bit_xor(event_id) AS bx,
+               min(event_type) AS ta,
+               COUNT(DISTINCT user_id) AS cd,
+               COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END)
+                   AS cdi,
+               quantile_disc(event_id, 0.25) AS p25,
+               quantile_disc(event_id, 0.75) AS p75,
+               coalesce(array_to_string(list_sort(list(event_id)
+                   FILTER (WHERE event_id % 97 = 0)), ','), '') AS mli,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list(user_id % 10)
+                   FILTER (WHERE event_id % 3 = 0))), ','), '') AS msi
+        FROM events WHERE event_id < 5000
+        GROUP BY event_type ORDER BY event_type
+    """,
+    "kql_scalar_fns7": """
+        WITH b AS (
+            SELECT event_id, event_type, props,
+                   1.0 * (event_id % 10) AS a1,
+                   CASE WHEN event_id % 3 = 0 THEN NULL
+                        ELSE (1.0 * (event_id % 10)) * 2 END AS a2,
+                   CASE WHEN event_id % 4 = 0 THEN NULL
+                        ELSE (1.0 * (event_id % 10)) * 3 END AS a3,
+                   (1.0 * (event_id % 10)) + 10 AS a4
+            FROM events WHERE event_id < 300
+        ), f AS (
+            SELECT *,
+                   coalesce(a2, a1) AS f2,
+                   coalesce(a3, a2, a1) AS f3,
+                   coalesce(a2, a3, a4) AS b2,
+                   coalesce(a3, a4) AS b3,
+                   CASE WHEN a2 IS NOT NULL THEN a2
+                        WHEN a3 IS NOT NULL THEN a1 + (a3 - a1)
+                             * (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))
+                        ELSE a1 + (a4 - a1)
+                             * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
+                        END AS l2,
+                   CASE WHEN a3 IS NOT NULL THEN a3
+                        WHEN a2 IS NOT NULL THEN a2 + (a4 - a2)
+                             * (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))
+                        ELSE a1 + (a4 - a1)
+                             * (CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE))
+                        END AS l3
+            FROM b
+        )
+        SELECT event_id,
+               ((((CAST(0 AS DOUBLE) + a1) + f2) + f3) + a4) AS fs,
+               ((((CAST(0 AS DOUBLE) + a1) + b2) + b3) + a4) AS bs,
+               ((((CAST(0 AS DOUBLE) + a1) + l2) + l3) + a4) AS ls,
+               regexp_replace(event_type, '[aeiou]+', '_', 'g') AS rr,
+               TRY_CAST(props->>'$.k' AS BIGINT) AS ej,
+               concat(CAST(event_id % 7 AS VARCHAR), '-',
+                      CAST(event_id % 9 AS VARCHAR)) AS sp
+        FROM f
+    """,
+    "kql_mv_itemindex": """
+        SELECT event_id, CAST(0 AS INTEGER) AS ix,
+               event_id % 3 AS a
+        FROM events WHERE event_id < 200
+        UNION ALL
+        SELECT event_id, CAST(1 AS INTEGER), event_id % 5
+        FROM events WHERE event_id < 200
+    """,
+    "kql_toscalar": """
+        SELECT COUNT(*) AS n, max(event_id) AS mx,
+               SUM(user_id)::BIGINT AS s
+        FROM events
+        WHERE event_id > (SELECT max(event_id) / 2 FROM events)
+    """,
+    "kql_make_bag": """
+        WITH g AS (
+            SELECT event_type,
+                   min(CASE WHEN event_id % 3 = 0
+                       THEN event_id % 7 END) AS v0,
+                   min(CASE WHEN event_id % 3 = 1
+                       THEN event_id % 7 END) AS v1,
+                   min(CASE WHEN event_id % 3 = 2
+                       THEN event_id % 7 END) AS v2,
+                   min(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
+                       THEN event_id % 7 END) AS w0,
+                   min(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 1
+                       THEN event_id % 7 END) AS w1,
+                   min(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 2
+                       THEN event_id % 7 END) AS w2
+            FROM events WHERE event_id < 2000 GROUP BY event_type
+        )
+        SELECT event_type,
+               concat('{', concat_ws(',',
+                   CASE WHEN v0 IS NOT NULL THEN concat('"k0":"',
+                        CAST(v0 AS VARCHAR), '"') END,
+                   CASE WHEN v1 IS NOT NULL THEN concat('"k1":"',
+                        CAST(v1 AS VARCHAR), '"') END,
+                   CASE WHEN v2 IS NOT NULL THEN concat('"k2":"',
+                        CAST(v2 AS VARCHAR), '"') END), '}') AS bag,
+               concat('{', concat_ws(',',
+                   CASE WHEN w0 IS NOT NULL THEN concat('"k0":"',
+                        CAST(w0 AS VARCHAR), '"') END,
+                   CASE WHEN w1 IS NOT NULL THEN concat('"k1":"',
+                        CAST(w1 AS VARCHAR), '"') END,
+                   CASE WHEN w2 IS NOT NULL THEN concat('"k2":"',
+                        CAST(w2 AS VARCHAR), '"') END), '}') AS bagif
+        FROM g ORDER BY event_type
     """,
     "kql_scalar_fns4": """
         WITH b AS (

@@ -1149,6 +1149,162 @@ def test_basket_segments_cover_marginals_and_pairs(spark, sf_smoke):
     assert "Expand" in plan  # ONE cube aggregation, not a union of passes
 
 
+def test_scalar_batch5_values(spark):
+    """Round-6 scalar batch 5: spot value checks for each family (the
+    oracle entries kql_scalar_fns5/6 carry the exhaustive compare)."""
+    spark.sql(
+        "SELECT array(1,2,3) AS x, array(2,3,4) AS y, 'abc' AS s,"
+        " '10.2.3.4' AS ip, 2048 AS n"
+    ).createOrReplaceTempView("sb5_t")
+    r = kql(
+        spark,
+        "sb5_t | project"
+        ' su = strcat_array(set_union(x, y), "-"),'
+        ' rl = strcat_array(array_rotate_left(x, 1), "-"),'
+        ' sh = strcat_array(array_shift_right(x, 1, 0), "-"),'
+        ' rp = strcat_array(repeat(7, 3), "-"),'
+        " p4 = parse_ipv4(ip),"
+        ' bad4 = parse_ipv4("999.1.1.1"),'
+        ' rng = ipv4_is_in_range(ip, "10.0.0.0/8"),'
+        ' ir = indexof_regex(s, "z"),'
+        ' pv = tostring(parse_version("1.2.3")),'
+        " fb = format_bytes(n),"
+        ' gu = toguid("nope"),'
+        " dec = todecimal(\"1.5\") == todecimal(\"1.50\")",
+    ).collect()[0]
+    assert r["su"] == "1-2-3-4" and r["rl"] == "2-3-1"
+    assert r["sh"] == "0-1-2" and r["rp"] == "7-7-7"
+    assert r["p4"] == 167904004 and r["bad4"] is None
+    assert r["rng"] is True and r["ir"] == -1
+    assert r["pv"] == "1000000020000000300000000"
+    assert r["fb"] == "2 KB" and r["gu"] is None and r["dec"] is True
+    # subset errors
+    with pytest.raises(ValueError, match="literal"):
+        kql_to_sql("t | extend a = ipv4_is_in_range(ip, rangecol)")
+    with pytest.raises(ValueError, match="two arrays"):
+        kql_to_sql("t | extend a = zip(x, y, z)")
+
+
+def test_agg_batch2_values(spark):
+    """Round-6 aggregate batch 2: exact spot checks on a tiny frame."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'g'), (4, 'g'), (4, 'g'), (7, 'h')"
+        " AS t(v, g)"
+    ).createOrReplaceTempView("ab2_t")
+    rows = {
+        r["g"]: r
+        for r in kql(
+            spark,
+            "ab2_t | summarize va = variance(v), vap = variancep(v),"
+            " bo = binary_all_or(v), bx = binary_all_xor(v),"
+            " ta = take_any(v), cd = count_distinct(v),"
+            " ml = make_list_if(v, v > 1) by g",
+        ).collect()
+    }
+    g = rows["g"]
+    assert g["va"] == 3.0 and g["vap"] == 2.0
+    assert g["bo"] == 5 and g["bx"] == 1
+    assert g["ta"] == 1 and g["cd"] == 2 and g["ml"] == [4, 4]
+    # multi-assign percentiles takes the caller's names
+    r = kql(
+        spark,
+        "ab2_t | summarize (lo, hi) = percentiles(v, 25, 75) by g"
+        " | sort by g asc",
+    ).collect()
+    assert [c for c in r[0].asDict()] == ["g", "lo", "hi"]
+    with pytest.raises(ValueError, match="one name per"):
+        kql_to_sql("t | summarize (a) = percentiles(x, 25, 75) by g")
+
+
+def test_series_fill_toscalar_make_bag(spark):
+    """Round-6: series_fill_forward/backward/linear edge semantics,
+    toscalar scalar subqueries, make_bag sorted first-wins merge,
+    mv-expand with_itemindex, prev/next in a sorted extend."""
+    spark.sql(
+        "SELECT array(CAST(NULL AS DOUBLE), 2.0, NULL, NULL, 8.0,"
+        " NULL) AS m, 1 AS v"
+    ).createOrReplaceTempView("sf_t")
+    r = kql(
+        spark,
+        "sf_t | project f = series_fill_forward(m),"
+        " b = series_fill_backward(m), l = series_fill_linear(m)",
+    ).collect()[0]
+    assert r["f"] == [None, 2.0, 2.0, 2.0, 8.0, 8.0]  # leading kept
+    assert r["b"] == [2.0, 2.0, 8.0, 8.0, 8.0, None]  # trailing kept
+    assert r["l"] == [2.0, 2.0, 4.0, 6.0, 8.0, 8.0]  # edges constant
+    # toscalar: uncorrelated scalar subquery
+    spark.sql(
+        "SELECT * FROM VALUES (1), (5), (9) AS t(v)"
+    ).createOrReplaceTempView("ts_t")
+    rows = kql(
+        spark, "ts_t | where v > toscalar(ts_t | summarize avg(v))"
+    ).collect()
+    assert [r["v"] for r in rows] == [9]
+    # make_bag: sorted bag text, first-wins per key
+    spark.sql(
+        "SELECT * FROM VALUES ('{\"a\": 1}', 1, 'g'),"
+        " ('{\"b\": 2}', 2, 'g'), ('{\"a\": 9}', 3, 'g')"
+        " AS t(bag, v, g)"
+    ).createOrReplaceTempView("mb_t")
+    r = kql(
+        spark,
+        "mb_t | summarize mb = make_bag(bag),"
+        " mbi = make_bag_if(bag, v > 1) by g",
+    ).collect()[0]
+    assert r["mb"] == '{"a":"1","b":"2"}'
+    assert r["mbi"] == '{"a":"9","b":"2"}'
+    # with_itemindex + serialized-extend windows
+    rows = kql(
+        spark,
+        "ts_t | sort by v asc | extend nx = next(v), rn = row_number()",
+    ).collect()
+    assert [(r["v"], r["nx"], r["rn"]) for r in rows] == [
+        (1, 5, 1), (5, 9, 2), (9, None, 3)
+    ]
+    rows = kql(
+        spark,
+        "sf_t | extend a = pack_array(v, v + 1)"
+        " | mv-expand with_itemindex=ix a | project ix, a",
+    ).collect()
+    assert sorted((r["ix"], r["a"]) for r in rows) == [(0, 1), (1, 2)]
+
+
+def test_extend_parse_replace_on_clash(spark):
+    """Round-6 fuzz findings: extend with an existing name REPLACES the
+    column (ADX contract); parse/parse-kv targets and evaluate python
+    typeof(*, x) additions follow the same replace-on-clash rule
+    instead of emitting ambiguous duplicates."""
+    spark.sql("SELECT 1 AS x, 'a=7' AS kvs").createOrReplaceTempView(
+        "rc_t"
+    )
+    r = kql(spark, "rc_t | extend x = x * 10 | extend x = x + 1") \
+        .collect()[0]
+    assert r["x"] == 11
+    # parse over an existing target column
+    r = kql(
+        spark,
+        'rc_t | extend m = strcat("v=", tostring(x))'
+        ' | parse m with "v=" x:long | project x',
+    ).collect()[0]
+    assert r["x"] == 1
+    # parse-kv re-extracting the same key twice analyzes cleanly
+    r = kql(
+        spark,
+        "rc_t | parse-kv kvs as (a:long) with"
+        ' (pair_delimiter=";", kv_delimiter="=")'
+        " | parse-kv kvs as (a:long) with"
+        ' (pair_delimiter=";", kv_delimiter="=")',
+    ).collect()[0]
+    assert r["a"] == 7
+    # python plugin: explicit typeof field overrides the * passthrough
+    r = kql(
+        spark,
+        "rc_t | evaluate python(typeof(*, x:long),"
+        " 'result = df.assign(x = df.x + 5)') | project x",
+    ).collect()[0]
+    assert r["x"] == 6
+
+
 def test_scan_state_references(spark):
     """Round-6: scan step conditions referencing EARLIER steps' matched
     row (`s2: v > s1.v`) — evaluated inside the same grouped fold;
@@ -1640,9 +1796,15 @@ def test_pack_family(spark):
     spark.sql("SELECT 5 AS ii, 'v' AS ss").createOrReplaceTempView("pa_t")
     r = kql(spark, "pa_t | extend j = pack_all()").collect()[0]
     assert r["j"] == '{"ii":5,"ss":"v"}'
-    # non-literal pack keys are an explicit-subset error
-    with pytest.raises(ValueError, match="string literals"):
-        kql_to_sql("t | extend b = pack(colname, 1)")
+    # expression keys (round-6): string-widened map path — values come
+    # out as JSON strings, keys may be computed
+    r = kql(
+        spark,
+        'pa_t | extend b = pack(strcat("k", tostring(ii)), ii * 2)',
+    ).collect()[0]
+    assert r["b"] == '{"k5":"10"}'
+    with pytest.raises(ValueError, match="pairs"):
+        kql_to_sql("t | extend b = pack(onlykey)")
 
 
 def test_advice_fixes_round5(spark):

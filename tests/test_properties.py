@@ -262,6 +262,44 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
+        # round-6 fuzz shapes: reduce by, autocluster, the python
+        # plugin, and parse kind=regex (regex fragments must survive
+        # arbitrary surrounding stages)
+        opts.append(
+            st.just(
+                (
+                    f"reduce by {str_[0]}",
+                    ("Pattern", "Count", "Representative"),
+                )
+            )
+        )
+        opts.append(
+            st.just(
+                (
+                    "evaluate autocluster()",
+                    ("SegmentId", *str_, "Count", "Percent"),
+                )
+            )
+        )
+        opts.append(
+            st.integers(1, 9).map(
+                lambda k: (
+                    "evaluate python(typeof(*, py1:long),"
+                    f" 'result = df.assign(py1 = {k})')",
+                    (*cols, "py1"),
+                )
+            )
+        )
+        opts.append(
+            st.just(
+                (
+                    f'extend rmsg = strcat("k=", {str_[0]})'
+                    " | parse kind=regex rmsg with"
+                    ' "k=" rk:string "$"',
+                    (*cols, "rmsg", "rk"),
+                )
+            )
+        )
         # parse-kv over a constructed kv string (two-stage fragment)
         opts.append(
             st.just(
@@ -332,14 +370,36 @@ def _kql_stage_st(cols: tuple[str, ...]):
 
 @st.composite
 def _kql_pipe_st(draw):
-    cols = ("event_id", "ts", "user_id", "event_type", "value")
+    # round-6: the pipe head is sometimes an externaldata ad-hoc
+    # table over the same events parquet (the __SFDIR__ placeholder is
+    # substituted with the fixture path by the test) — no ts column,
+    # declared schema matches by name
+    if draw(st.booleans()):
+        head = "events"
+        cols = ("event_id", "ts", "user_id", "event_type", "value")
+    else:
+        head = (
+            "externaldata (event_id: long, user_id: long,"
+            " event_type: string, value: real)"
+            ' ["__SFDIR__/events.parquet"] with (format="parquet")'
+        )
+        cols = ("event_id", "user_id", "event_type", "value")
     stages = []
     for _ in range(draw(st.integers(0, 4))):
         stage, cols = draw(_kql_stage_st(cols))
         stages.append(stage)
     if draw(st.booleans()):
         stages.append("count")
-    return " | ".join(["events", *stages])
+    pipe = " | ".join([head, *stages])
+    # round-6: sometimes run the whole pipe through a function let +
+    # invoke (the tabular-function application path)
+    if draw(st.booleans()):
+        pipe = (
+            "let _fz = (source:(*)) { source | take 7 }; "
+            + pipe
+            + " | invoke _fz()"
+        )
+    return pipe
 
 
 @FEW
@@ -349,6 +409,7 @@ def test_kql_translation_always_analyzes(spark, sf_smoke, pipe):
     from api_to_parquet_spark.queries.kql import kql
 
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    pipe = pipe.replace("__SFDIR__", str(sf_smoke))
     df = kql(spark, pipe)  # analysis (schema resolution) happens here
     assert df.columns, pipe
 
