@@ -2994,6 +2994,76 @@ def kql_to_sql(
                     "serialize window functions need a preceding sort by"
                 )
             ext_items = _split_top_level(_strings_to_sql(body))
+            # row_rank_dense/row_rank_min (round-6): run-length ranks
+            # over the serialized order — rank by CHANGES of the term
+            # (10,20,20,10 -> dense 1,2,2,3; NOT a re-sort, unlike
+            # dense_rank). Needs two window layers (a change flag via
+            # LAG, then a running SUM/MAX over it), so these items
+            # compile to one nested SELECT pair; other extend items in
+            # the same stage ride along in the outer layer.
+            rank_items = {}
+            for c in ext_items:
+                rm_ = re.match(
+                    r"(\w+)\s*=\s*row_rank_(dense|min)"
+                    r"\(\s*(\w+)\s*\)\s*$",
+                    c.strip(),
+                )
+                if rm_:
+                    rank_items[c] = rm_.groups()
+            if rank_items:
+                if order_keys is None:
+                    raise ValueError(
+                        "row_rank_* needs a preceding sort by"
+                    )
+                over = f"OVER (ORDER BY {', '.join(order_keys)})"
+                run = (
+                    f"OVER (ORDER BY {', '.join(order_keys)}"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+                )
+                cols_needed = sorted(
+                    {t for _, _, t in rank_items.values()}
+                )
+                chgs = ", ".join(
+                    f"IF({t} IS DISTINCT FROM LAG({t}) {over}, 1, 0)"
+                    f" AS _rchg_{t}" for t in cols_needed
+                )
+                inner = (
+                    f"SELECT *, ROW_NUMBER() {over} AS _rrn,"
+                    f" {chgs} FROM {prev}"
+                )
+                outs = []
+                for c in ext_items:
+                    if c in rank_items:
+                        nm, kind, t = rank_items[c]
+                        if kind == "dense":
+                            outs.append(
+                                f"CAST(SUM(_rchg_{t}) {run} AS BIGINT)"
+                                f" AS {nm}"
+                            )
+                        else:
+                            outs.append(
+                                f"CAST(MAX(CASE WHEN _rchg_{t} = 1"
+                                f" THEN _rrn END) {run} AS BIGINT)"
+                                f" AS {nm}"
+                            )
+                    else:
+                        m2 = re.match(r"(\w+)\s*=\s*(.+)$", c)
+                        if not m2:
+                            raise ValueError(
+                                f"{op} needs name=expr: {c!r}"
+                            )
+                        outs.append(
+                            f"{_window_rewrite(_expr(m2.group(2)), order_keys)}"
+                            f" AS {m2.group(1)}"
+                        )
+                helpers = ", ".join(
+                    ["_rrn"] + [f"_rchg_{t}" for t in cols_needed]
+                )
+                sql = (
+                    f"SELECT * EXCEPT ({helpers}), {', '.join(outs)}"
+                    f" FROM ({inner}) AS _rr{i}"
+                )
+                continue
             chain = _series_chain_match(ext_items)
             if chain is not None:
                 # Series-analytics extend (series_fit_line/series_stats/
@@ -3358,6 +3428,125 @@ def kql_to_sql(
                     f") AS _bc{i}) AS _bw{i}"
                     f" WHERE Count >= {thr} * _tot AND ({not_all_null})"
                 )
+                continue
+            sqm = re.match(
+                r"sequence_detect\s*\((.*)\)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if sqm:
+                # `evaluate sequence_detect(Timeline, MaxStepWindow,
+                # MaxSpanWindow, Expr1..ExprN, Key1..KeyM)` — funnel
+                # mining. Compiles onto the scan machinery: prefilter
+                # to step rows, sort by the timeline, a scan whose
+                # step j condition carries the ADX window constraints
+                # as cross-step state references (ts - s_{j-1}.ts <=
+                # step window, ts - s1.ts <= span window), then one
+                # grouped pivot of each match's step timestamps.
+                # Deterministic refinement: greedy non-overlapping
+                # matches in timeline order (the scan contract; ADX's
+                # overlap behavior is unspecified). Args after the
+                # three scalars split by analysis: a plain non-boolean
+                # column is a KEY, everything else a step expression
+                # (a session is required; boolean-typed key columns
+                # are out of the subset).
+                if spark is None:
+                    raise ValueError(
+                        "evaluate sequence_detect needs a SparkSession"
+                    )
+                import uuid as _uuid
+
+                sargs = [
+                    s.strip() for s in _split_top_level(sqm.group(1))
+                ]
+                if len(sargs) < 4:
+                    raise ValueError(
+                        "sequence_detect needs (timeline, step_window,"
+                        f" span_window, expr1, ...): {sargs!r}"
+                    )
+                timeline, stepw, spanw = sargs[0], sargs[1], sargs[2]
+                if not re.match(r"^\w+$", timeline):
+                    raise ValueError(
+                        f"sequence_detect timeline must be a column:"
+                        f" {timeline!r}"
+                    )
+                from pyspark.sql.types import BooleanType
+
+                child = spark.sql(sql)
+                coltypes = {
+                    f.name: f.dataType for f in child.schema.fields
+                }
+                exprs, seq_keys = [], []
+                for a_ in sargs[3:]:
+                    if (
+                        re.match(r"^\w+$", a_)
+                        and a_ in coltypes
+                        and not isinstance(coltypes[a_], BooleanType)
+                    ):
+                        seq_keys.append(a_)
+                    else:
+                        if seq_keys:
+                            raise ValueError(
+                                "sequence_detect: key columns must"
+                                f" come after all step exprs: {a_!r}"
+                            )
+                        exprs.append(a_)
+                if not exprs:
+                    raise ValueError(
+                        "sequence_detect needs at least one step expr"
+                    )
+                view = f"_kql_seq_{_uuid.uuid4().hex[:12]}"
+                child.createOrReplaceTempView(view)
+                ring = _cache_rings.setdefault(spark, [])
+                ring.append((view, child))
+                while len(ring) > _CACHE_KEEP:
+                    ov, od = ring.pop(0)
+                    try:
+                        od.unpersist()
+                        spark.catalog.dropTempView(ov)
+                    except Exception:
+                        pass
+                n_ = len(exprs)
+                steps_txt = [f"step q1: ({exprs[0]})"]
+                for j in range(2, n_ + 1):
+                    cond = (
+                        f"({exprs[j - 1]}) and {timeline}"
+                        f" - q{j - 1}.{timeline} <= {stepw}"
+                    )
+                    if j > 2:
+                        cond += (
+                            f" and {timeline} - q1.{timeline}"
+                            f" <= {spanw}"
+                        )
+                    steps_txt.append(f"step q{j}: {cond}")
+                prefilter = " or ".join(f"({x})" for x in exprs)
+                byk = f" by {', '.join(seq_keys)}" if seq_keys else ""
+                pivots = ", ".join(
+                    f"_t{j} = minif({timeline}, step == \"q{j}\")"
+                    for j in range(1, n_ + 1)
+                )
+                complete = " and ".join(
+                    f"isnotnull(_t{j})" for j in range(1, n_ + 1)
+                )
+                outs = []
+                for j, x in enumerate(exprs, 1):
+                    base_ = x if re.match(r"^\w+$", x) else f"expr{j}"
+                    outs.append(f"{base_}_{timeline} = _t{j}")
+                proj = (
+                    (", ".join(seq_keys) + ", " if seq_keys else "")
+                    + ", ".join(outs)
+                )
+                gen = (
+                    f"{view} | where {prefilter}"
+                    f" | sort by {timeline} asc"
+                    f" | scan{byk.replace(' by ', ' by ', 1)} with"
+                    f" ({'; '.join(steps_txt)})"
+                    f" | summarize {pivots}"
+                    f" by {', '.join(seq_keys + ['match_id'])}"
+                    f" | where {complete}"
+                    f" | project {proj}"
+                )
+                sql = kql_to_sql(gen, spark, _tabular)
                 continue
             pym = re.match(
                 r"python\s*\(\s*typeof\s*\(([^)]*)\)\s*,\s*"
@@ -5879,6 +6068,39 @@ def q_kql_make_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate sequence_detect` (round-6): view→click funnels per
+    user within a 30-minute step window, compiled onto the scan fold
+    (prefilter → sort → state-referencing scan → one grouped pivot).
+    The synthetic per-event timeline is collision-free so the greedy
+    match order is deterministic in both engines. Oracle: recursive
+    CTE carrying the step-1 timestamp through the recursion."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | extend t = unixtime_seconds_todatetime(1700000000"
+        " + event_id * 60),"
+        ' is_v = event_type == "view", is_c = event_type == "click"'
+        " | evaluate sequence_detect(t, 30m, 1h, is_v, is_c, user_id)",
+    )
+
+
+def q_kql_row_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_rank_dense/row_rank_min (round-6): run-length ranks over
+    the serialized order — rank follows CHANGES of the term (not a
+    re-sort; a value recurring later gets a NEW rank, unlike SQL
+    dense_rank). Two window layers: a LAG change flag, then running
+    SUM/MAX. Global order is inherent to ADX serialize semantics."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 3000 | sort by event_id asc"
+        " | extend d = row_rank_dense(event_type),"
+        " m = row_rank_min(event_type)"
+        " | project event_id, d, m",
+    )
+
+
 def q_kql_union_withsource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`union withsource=Col` — each row labeled with its originating
     table (head table name; union_arg for a headless side), name-
@@ -6250,6 +6472,8 @@ QUERIES = {
     "kql_mv_itemindex": q_kql_mv_itemindex,
     "kql_toscalar": q_kql_toscalar,
     "kql_make_bag": q_kql_make_bag,
+    "kql_row_rank": q_kql_row_rank,
+    "kql_sequence_detect": q_kql_sequence_detect,
     "kql_reduce": q_kql_reduce,
     "kql_series_periods": q_kql_series_periods,
     "kql_diffpatterns": q_kql_diffpatterns,
@@ -6744,6 +6968,76 @@ ORACLE = {
         UNION ALL
         SELECT event_id, CAST(1 AS INTEGER), event_id % 5
         FROM events WHERE event_id < 200
+    """,
+    "kql_sequence_detect": """
+        WITH RECURSIVE pre AS (
+            SELECT user_id,
+                   epoch_ms((1700000000 + event_id * 60) * 1000) AS t,
+                   (event_type = 'view') AS c1,
+                   (event_type = 'click') AS c2,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id) AS rn
+            FROM events WHERE event_type IN ('view', 'click')
+        ), rec AS (
+            SELECT user_id, 0 AS rn, 0 AS p,
+                   CAST(NULL AS TIMESTAMP) AS t_out,
+                   FALSE AS emitted, 0 AS cnt,
+                   CAST(NULL AS TIMESTAMP) AS s1t
+            FROM (SELECT DISTINCT user_id FROM pre)
+            UNION ALL
+            SELECT r.user_id, r.rn,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        ELSE r.c2 AND (r.t - rec.s1t
+                             <= INTERVAL 30 MINUTE) END, FALSE)
+                        THEN (rec.p + 1) % 2 ELSE rec.p END,
+                   r.t,
+                   coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        ELSE r.c2 AND (r.t - rec.s1t
+                             <= INTERVAL 30 MINUTE) END, FALSE),
+                   rec.cnt + CASE WHEN coalesce(CASE rec.p
+                        WHEN 0 THEN r.c1
+                        ELSE r.c2 AND (r.t - rec.s1t
+                             <= INTERVAL 30 MINUTE) END, FALSE)
+                        THEN 1 ELSE 0 END,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        ELSE r.c2 AND (r.t - rec.s1t
+                             <= INTERVAL 30 MINUTE) END, FALSE)
+                        THEN CASE WHEN rec.p = 0 THEN r.t
+                             ELSE CAST(NULL AS TIMESTAMP) END
+                        ELSE rec.s1t END
+            FROM rec JOIN pre r
+              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        ), em AS (
+            SELECT user_id, t_out, (cnt - 1) % 2 AS stp,
+                   (cnt - 1) // 2 AS mid
+            FROM rec WHERE emitted
+        ), pv AS (
+            SELECT user_id, mid,
+                   min(CASE WHEN stp = 0 THEN t_out END) AS t1,
+                   min(CASE WHEN stp = 1 THEN t_out END) AS t2
+            FROM em GROUP BY user_id, mid
+        )
+        SELECT user_id, t1 AS is_v_t, t2 AS is_c_t FROM pv
+        WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+    """,
+    "kql_row_rank": """
+        WITH r AS (
+            SELECT event_id, event_type,
+                   row_number() OVER (ORDER BY event_id) AS rn,
+                   CASE WHEN event_type IS DISTINCT FROM
+                        lag(event_type) OVER (ORDER BY event_id)
+                        THEN 1 ELSE 0 END AS chg
+            FROM events WHERE event_id < 3000
+        )
+        SELECT event_id,
+               CAST(SUM(chg) OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS d,
+               CAST(MAX(CASE WHEN chg = 1 THEN rn END)
+                    OVER (ORDER BY event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS m
+        FROM r
     """,
     "kql_toscalar": """
         SELECT COUNT(*) AS n, max(event_id) AS mx,

@@ -1216,6 +1216,60 @@ def test_agg_batch2_values(spark):
         kql_to_sql("t | summarize (a) = percentiles(x, 25, 75) by g")
 
 
+def test_sequence_detect(spark):
+    """Round-6: evaluate sequence_detect — step window enforced via
+    cross-step state reference, greedy non-overlap per key."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (101, timestamp'2024-01-01 10:00:00', 'login'),"
+        " (101, timestamp'2024-01-01 10:03:00', 'launch'),"
+        " (101, timestamp'2024-01-01 12:00:00', 'login'),"
+        " (101, timestamp'2024-01-01 14:00:00', 'launch'),"
+        " (202, timestamp'2024-01-01 09:00:00', 'launch'),"
+        " (202, timestamp'2024-01-01 09:30:00', 'login'),"
+        " (202, timestamp'2024-01-01 09:34:00', 'launch')"
+        " AS t(actor, ts, ev)"
+    ).createOrReplaceTempView("seq_t")
+    rows = kql(
+        spark,
+        'seq_t | extend e_login = ev == "login",'
+        ' e_launch = ev == "launch"'
+        " | evaluate sequence_detect(ts, 5m, 1h, e_login, e_launch,"
+        " actor)",
+    ).collect()
+    got = sorted(
+        (r["actor"], str(r["e_login_ts"]), str(r["e_launch_ts"]))
+        for r in rows
+    )
+    # 101's 12:00 login never completes (14:00 launch is 2h > 5m);
+    # 202's prior launch doesn't open a sequence
+    assert got == [
+        (101, "2024-01-01 10:00:00", "2024-01-01 10:03:00"),
+        (202, "2024-01-01 09:30:00", "2024-01-01 09:34:00"),
+    ]
+    with pytest.raises(ValueError, match="at least one step"):
+        kql(spark, "seq_t | evaluate sequence_detect(ts, 5m, 1h, actor)")
+
+
+def test_row_rank_run_length(spark):
+    """Round-6: row_rank_dense/min rank by CHANGES of the term — a
+    recurring value gets a NEW rank (not SQL dense_rank's re-sort)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10), (2, 20), (3, 20), (4, 10)"
+        " AS t(i, term)"
+    ).createOrReplaceTempView("rrk_t")
+    rows = kql(
+        spark,
+        "rrk_t | sort by i asc | extend d = row_rank_dense(term),"
+        " m = row_rank_min(term), nx = next(i)",
+    ).collect()
+    assert [(r["d"], r["m"], r["nx"]) for r in rows] == [
+        (1, 1, 2), (2, 2, 3), (2, 2, 4), (3, 4, None)
+    ]
+    with pytest.raises(ValueError, match="sort by"):
+        kql_to_sql("t | extend d = row_rank_dense(term)")
+
+
 def test_series_fill_toscalar_make_bag(spark):
     """Round-6: series_fill_forward/backward/linear edge semantics,
     toscalar scalar subqueries, make_bag sorted first-wins merge,
