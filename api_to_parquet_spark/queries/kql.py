@@ -1569,7 +1569,24 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bhash\(", "xxhash64(", e)
     e = _sub_outside_strings(r"\btoupper\(", "upper(", e)
     e = _sub_outside_strings(r"\btolower\(", "lower(", e)
-    e = _sub_outside_strings(r"\bformat_datetime\(", "date_format(", e)
+    def _format_datetime_sql(a: list[str]) -> str:
+        # ADX custom tokens mostly coincide with Java's; the two that
+        # differ map here when the format is a literal: f-runs
+        # (fraction digits) -> S-runs, tt (AM/PM) -> a. Non-literal
+        # formats pass through untouched (shared-token subset).
+        if len(a) != 2:
+            raise ValueError(
+                f"format_datetime needs (datetime, format): {a!r}"
+            )
+        fm = re.match(r"^'((?:[^']|'')*)'$", a[1].strip())
+        if not fm:
+            return f"date_format({a[0]}, {a[1]})"
+        f = fm.group(1)
+        f = re.sub(r"f+", lambda m: "S" * len(m.group(0)), f)
+        f = f.replace("tt", "a")
+        return f"date_format({a[0].strip()}, '{f}')"
+
+    e = _rewrite_fn(e, "format_datetime", _format_datetime_sql)
     # Scalar-function surface: KQL name -> Spark SQL name. The to*()
     # conversions use Spark's function-style casts (bigint()/double()/…)
     # so no balanced-paren rewriting is needed; parse_json(c).k becomes
@@ -4648,8 +4665,11 @@ def kql_to_sql(
                 for col in sorted(
                     spark.sql(sql).columns, key=len, reverse=True
                 ):
+                    # (?!\s*\() — a column that shadows a SQL function
+                    # name must not capture call sites like size(_a)
+                    # inside the resolved state lookups
                     c2 = _sub_outside_strings(
-                        rf"(?<![\w.]){re.escape(col)}(?!\w)",
+                        rf"(?<![\w.]){re.escape(col)}(?!\w)(?!\s*\()",
                         f"_r.{col}",
                         c2,
                     )

@@ -1251,6 +1251,20 @@ def test_sequence_detect(spark):
         kql(spark, "seq_t | evaluate sequence_detect(ts, 5m, 1h, actor)")
 
 
+def test_format_datetime_adx_tokens(spark):
+    """Round-6: ADX-only format tokens map on literal formats —
+    f-runs (fractions) -> Java S-runs, tt -> AM/PM marker."""
+    r = kql(
+        spark,
+        "print a = format_datetime(datetime(2024-03-05 14:07:08.1234),"
+        " 'yyyy-MM-dd HH:mm:ss.fff'),"
+        " b = format_datetime(datetime(2024-03-05 14:07:08),"
+        " 'hh:mm tt')",
+    ).collect()[0]
+    assert r["a"] == "2024-03-05 14:07:08.123"
+    assert r["b"] == "02:07 PM"
+
+
 def test_row_rank_run_length(spark):
     """Round-6: row_rank_dense/min rank by CHANGES of the term — a
     recurring value gets a NEW rank (not SQL dense_rank's re-sort)."""
