@@ -111,17 +111,21 @@ Supported pipe operators (the committed shapes plus the everyday core):
                                 -> window row_number per key / grouped
                                    agg with k appended — one shuffle,
                                    never per-key subqueries
-    T | sort by … | scan [by k, …] with (step s: cond; …)
+    T | sort by … | scan [by k, …] [declare (x: t = init, …)]
+        with (step s: cond [=> x = expr, …]; …)
                                 -> greedy sequence matching: map-side
                                    step booleans + ONE grouped array
                                    fold (size(acc) encodes step pointer
                                    and match count); conditions may
                                    reference EARLIER steps' matched row
-                                   (`s2: x > s1.x` — resolved against
-                                   the accumulator tail inside the
-                                   fold); documented subset (predicate
-                                   steps, single active instance, no
-                                   self/forward state references)
+                                   (`s2: x > s1.x`) and declared
+                                   accumulator variables (assigned on
+                                   advance, reset per instance) — both
+                                   resolved against the accumulator
+                                   inside the fold; documented subset
+                                   (one row per step advance, single
+                                   active instance, no self/forward
+                                   state references)
     T | parse-kv c as (k:t, …) with (pair_delimiter="…",
         kv_delimiter="…")       -> typed key-value extraction: ONE
                                    map-side str_to_map + try_cast per
@@ -4578,10 +4582,12 @@ def kql_to_sql(
             # active sequence iff it satisfies the NEXT step's
             # predicate; completing the last step restarts. Emits every
             # advancing row with (step, match_id). Documented subset of
-            # ADX scan: predicate-only steps (no declare/assignments),
-            # one active instance (greedy non-overlap) instead of ADX's
-            # concurrent-instance model; `by` keys express what ADX
-            # writes as state-referencing conditions.
+            # ADX scan: each step advances on ONE matching row (ADX
+            # steps can also absorb multiple consecutive rows), one
+            # active instance (greedy non-overlap) instead of ADX's
+            # concurrent-instance model. declare(...) accumulator
+            # variables with per-step `=> x = expr` assignments are
+            # supported (round-6), reset when a new instance opens.
             #
             # Scale shape: step booleans are computed JVM-side BEFORE
             # grouping (map-side); the sequential walk — inherently
@@ -4595,26 +4601,99 @@ def kql_to_sql(
             if order_keys is None:
                 raise ValueError("scan needs a preceding sort by")
             m = re.match(
-                r"^(?:by\s+([\w\s,]+?)\s+)?with\s*\(\s*(.+?)\s*;?\s*\)$",
+                r"^(?:by\s+([\w\s,]+?)\s+)?"
+                r"(?:declare\s*\(([^)]*)\)\s*)?"
+                r"with\s*\(\s*(.+?)\s*;?\s*\)$",
                 body,
             )
             if not m:
                 raise ValueError(
-                    f"scan needs '[by k, …] with (step …)': {body!r}"
+                    f"scan needs '[by k, …] [declare (…)] with"
+                    f" (step …)': {body!r}"
                 )
             keys = (
                 [k.strip() for k in m.group(1).split(",")]
                 if m.group(1)
                 else []
             )
+            # `declare (x: long [= init], …)` (round-6): per-instance
+            # accumulator variables. Fold elements become
+            # struct(_r: row, _v: vars); vars reset to their defaults
+            # when a new match instance opens (pointer wrapped to 0).
+            # Assignments (`step s: cond => x = expr, …`) execute when
+            # the row ADVANCES that step; conditions and RHS may read
+            # the pre-assignment var state, the current row, and
+            # earlier steps' matched rows.
+            declares: list[tuple[str, str, str]] = []
+            if m.group(2) is not None:
+                for d in _split_top_level(m.group(2)):
+                    dm = re.match(
+                        r"^(\w+)\s*:\s*(\w+)(?:\s*=\s*(.+))?$",
+                        d.strip(),
+                    )
+                    if not dm or dm.group(2).lower() not in _KQL_TYPES:
+                        raise ValueError(
+                            f"scan declare needs name:type[=init]: {d!r}"
+                        )
+                    t_ = _KQL_TYPES[dm.group(2).lower()] or "STRING"
+                    init = (
+                        f"CAST({_expr(dm.group(3))} AS {t_})"
+                        if dm.group(3)
+                        else f"CAST(NULL AS {t_})"
+                    )
+                    declares.append((dm.group(1), t_, init))
+                if spark is None:
+                    raise ValueError(
+                        "scan declare needs a SparkSession"
+                        " (column qualification)"
+                    )
+
+            def _split_arrow(txt: str) -> tuple[str, str | None]:
+                quote = None
+                for ii in range(len(txt) - 1):
+                    ch = txt[ii]
+                    if quote:
+                        if ch == quote:
+                            quote = None
+                    elif ch in "'\"":
+                        quote = ch
+                    elif ch == "=" and txt[ii + 1] == ">":
+                        return txt[:ii], txt[ii + 2:]
+                return txt, None
+
             steps = []
-            for st_txt in _split_top_level(m.group(2), ";"):
+            step_assigns: list[list[tuple[str, str]]] = []
+            for st_txt in _split_top_level(m.group(3), ";"):
                 sm = re.match(
-                    r"^step\s+(\w+)\s*:\s*(.+)$", st_txt.strip()
+                    r"^step\s+(\w+)\s*:\s*(.+)$", st_txt.strip(),
+                    re.DOTALL,
                 )
                 if not sm:
                     raise ValueError(f"bad scan step: {st_txt!r}")
-                steps.append((sm.group(1), _expr(sm.group(2))))
+                cond_txt, assign_txt = _split_arrow(sm.group(2))
+                assigns: list[tuple[str, str]] = []
+                if assign_txt is not None:
+                    if not declares:
+                        raise ValueError(
+                            "scan step assignments need a declare"
+                            f" clause: {st_txt!r}"
+                        )
+                    for a_ in _split_top_level(assign_txt):
+                        am_ = re.match(
+                            r"^(\w+)\s*=\s*(.+)$", a_.strip(), re.DOTALL
+                        )
+                        if not am_ or am_.group(1) not in {
+                            dn for dn, _, _ in declares
+                        }:
+                            raise ValueError(
+                                "scan assignment must target a"
+                                f" declared variable: {a_!r}"
+                            )
+                        assigns.append(
+                            (am_.group(1), _expr(am_.group(2)))
+                        )
+                steps.append((sm.group(1), _expr(cond_txt.strip())))
+                step_assigns.append(assigns)
             n = len(steps)
             if n < 1:
                 raise ValueError("scan needs at least one step")
@@ -4633,10 +4712,60 @@ def kql_to_sql(
             ref_pat = re.compile(
                 r"\b(" + "|".join(map(re.escape, step_names)) + r")\.(\w+)"
             )
+            var_names = [dn for dn, _, _ in declares]
+            if declares:
+                init_struct = "named_struct(" + ", ".join(
+                    f"'{dn}', {di}" for dn, _, di in declares
+                ) + ")"
+                vb = (
+                    f"IF(size(_a) % {n} = 0, {init_struct},"
+                    f" element_at(_a, size(_a))._v)"
+                )
+            row_suffix = "._r" if declares else ""
+            cols_sorted: list[str] | None = None
+
+            def _qualify(txt: str, j: int) -> str:
+                # fold-evaluated text: earlier-step row refs -> the
+                # accumulator tail, declared vars -> the pre-assignment
+                # state (reset on instance wrap), bare columns -> the
+                # lambda row _r. (?!\s*\() keeps call sites (size(_a),
+                # element_at(…)) out of column capture.
+                def _resolve(mm, _j=j):
+                    ri = step_names.index(mm.group(1)) + 1
+                    off = (_j - 1) - ri
+                    idx = (
+                        "size(_a)" if off == 0 else f"size(_a) - {off}"
+                    )
+                    return (
+                        f"element_at(_a, {idx}){row_suffix}"
+                        f".{mm.group(2)}"
+                    )
+
+                t = _sub_outside_strings(ref_pat.pattern, _resolve, txt)
+                for vn in sorted(var_names, key=len, reverse=True):
+                    t = _sub_outside_strings(
+                        rf"(?<![\w.]){re.escape(vn)}(?!\w)(?!\s*\()",
+                        f"({vb}).{vn}",
+                        t,
+                    )
+                for col in cols_sorted:
+                    t = _sub_outside_strings(
+                        rf"(?<![\w.]){re.escape(col)}(?!\w)(?!\s*\()",
+                        f"_r.{col}",
+                        t,
+                    )
+                return t
+
+            def _has_var(txt: str) -> bool:
+                return any(
+                    re.search(rf"(?<![\w.]){re.escape(vn)}(?!\w)", txt)
+                    for vn in var_names
+                )
+
             stateful: dict[int, str] = {}
             for j, (nm, cond) in enumerate(steps, 1):
                 refs = {mm.group(1) for mm in ref_pat.finditer(cond)}
-                if not refs:
+                if not refs and not _has_var(cond):
                     continue
                 for rn_ in sorted(refs):
                     ri = step_names.index(rn_) + 1
@@ -4652,28 +4781,27 @@ def kql_to_sql(
                         "scan state-referencing conditions need a"
                         " SparkSession (column qualification)"
                     )
-
-                def _resolve(mm, _j=j):
-                    ri = step_names.index(mm.group(1)) + 1
-                    off = (_j - 1) - ri
-                    idx = (
-                        "size(_a)" if off == 0 else f"size(_a) - {off}"
+                if cols_sorted is None:
+                    cols_sorted = sorted(
+                        spark.sql(sql).columns, key=len, reverse=True
                     )
-                    return f"element_at(_a, {idx}).{mm.group(2)}"
-
-                c2 = _sub_outside_strings(ref_pat.pattern, _resolve, cond)
-                for col in sorted(
-                    spark.sql(sql).columns, key=len, reverse=True
-                ):
-                    # (?!\s*\() — a column that shadows a SQL function
-                    # name must not capture call sites like size(_a)
-                    # inside the resolved state lookups
-                    c2 = _sub_outside_strings(
-                        rf"(?<![\w.]){re.escape(col)}(?!\w)(?!\s*\()",
-                        f"_r.{col}",
-                        c2,
+                stateful[j] = _qualify(cond, j)
+            newv: dict[int, str] = {}
+            if declares:
+                if cols_sorted is None:
+                    cols_sorted = sorted(
+                        spark.sql(sql).columns, key=len, reverse=True
                     )
-                stateful[j] = c2
+                for j in range(1, n + 1):
+                    assigned = {
+                        dn: _qualify(rhs, j)
+                        for dn, rhs in step_assigns[j - 1]
+                    }
+                    newv[j] = "named_struct(" + ", ".join(
+                        f"'{dn}', CAST({assigned.get(dn, f'({vb}).{dn}')}"
+                        f" AS {dt})"
+                        for dn, dt, _ in declares
+                    ) + ")"
             # comparator over the sort keys (simple columns only — the
             # fold sorts collected structs by field access)
             cmp_terms = []
@@ -4737,23 +4865,58 @@ def kql_to_sql(
                     f"element_at(array({bool_arr}),"
                     f" CAST(size(_a) % {n} AS INT) + 1)"
                 )
-            sc = (
-                f"SELECT {keysel}aggregate(_scan_arr,"
-                f" slice(_scan_arr, 1, 0),"
-                f" (_a, _r) -> IF(({advance}) <=> true,"
-                f" array_append(_a, _r), _a)) AS _scan_out"
-                f" FROM ({sb}) AS _scb{i}"
-            )
-            sd = (
-                f"SELECT _pos, _r FROM ({sc}) AS _scc{i}"
-                f" LATERAL VIEW posexplode(_scan_out) _sct AS _pos, _r"
-            )
-            se = (
-                f"SELECT element_at(array({names_arr}),"
-                f" CAST(_pos % {n} AS INT) + 1) AS step,"
-                f" CAST(_pos div {n} AS BIGINT) AS match_id, _r.*"
-                f" FROM ({sd}) AS _scd{i}"
-            )
+            if declares:
+                newv_arms = " ".join(
+                    f"WHEN {j - 1} THEN {newv[j]}"
+                    for j in range(1, n + 1)
+                )
+                newv_case = (
+                    f"CASE CAST(size(_a) % {n} AS INT) {newv_arms} END"
+                )
+                elem = f"named_struct('_r', _r, '_v', {newv_case})"
+                init_empty = (
+                    f"slice(transform(_scan_arr, _x ->"
+                    f" named_struct('_r', _x, '_v', {init_struct})),"
+                    " 1, 0)"
+                )
+                sc = (
+                    f"SELECT {keysel}aggregate(_scan_arr,"
+                    f" {init_empty},"
+                    f" (_a, _r) -> IF(({advance}) <=> true,"
+                    f" array_append(_a, {elem}), _a)) AS _scan_out"
+                    f" FROM ({sb}) AS _scb{i}"
+                )
+                sd = (
+                    f"SELECT _pos, _el FROM ({sc}) AS _scc{i}"
+                    f" LATERAL VIEW posexplode(_scan_out)"
+                    " _sct AS _pos, _el"
+                )
+                se = (
+                    f"SELECT element_at(array({names_arr}),"
+                    f" CAST(_pos % {n} AS INT) + 1) AS step,"
+                    f" CAST(_pos div {n} AS BIGINT) AS match_id,"
+                    f" _el._r.*, _el._v.*"
+                    f" FROM ({sd}) AS _scd{i}"
+                )
+            else:
+                sc = (
+                    f"SELECT {keysel}aggregate(_scan_arr,"
+                    f" slice(_scan_arr, 1, 0),"
+                    f" (_a, _r) -> IF(({advance}) <=> true,"
+                    f" array_append(_a, _r), _a)) AS _scan_out"
+                    f" FROM ({sb}) AS _scb{i}"
+                )
+                sd = (
+                    f"SELECT _pos, _r FROM ({sc}) AS _scc{i}"
+                    f" LATERAL VIEW posexplode(_scan_out)"
+                    " _sct AS _pos, _r"
+                )
+                se = (
+                    f"SELECT element_at(array({names_arr}),"
+                    f" CAST(_pos % {n} AS INT) + 1) AS step,"
+                    f" CAST(_pos div {n} AS BIGINT) AS match_id, _r.*"
+                    f" FROM ({sd}) AS _scd{i}"
+                )
             if stateless_js:
                 drop = ", ".join(f"_scan_c{j}" for j in stateless_js)
                 sql = f"SELECT * EXCEPT ({drop}) FROM ({se}) AS _sce{i}"
@@ -6464,10 +6627,32 @@ def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scan_declare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scan declare` (round-6): per-instance accumulator variables
+    with per-step assignments — a running value total over each
+    view→click→purchase funnel instance, reset when a new instance
+    opens. The vars ride in the same single grouped fold (elements
+    become struct(row, vars)), so the plan is still one shuffle on
+    user_id. Oracle: the kql_scan recursive CTE carrying the
+    accumulator (identical fold order, so the DOUBLE sums are
+    bit-equal)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | sort by ts asc, event_id asc"
+        " | scan by user_id declare (sv: real = 0.0) with ("
+        ' step s1: event_type == "view" => sv = sv + value;'
+        ' step s2: event_type == "click" => sv = sv + value;'
+        ' step s3: event_type == "purchase" => sv = sv + value)'
+        " | project user_id, event_id, step, match_id, sv",
+    )
+
+
 QUERIES = {
     "kql_take": q_kql_take,
     "kql_scan": q_kql_scan,
     "kql_scan_state": q_kql_scan_state,
+    "kql_scan_declare": q_kql_scan_declare,
     "kql_basket": q_kql_basket,
     "kql_autocluster": q_kql_autocluster,
     "kql_python": q_kql_python,
@@ -7350,6 +7535,47 @@ ORACLE = {
                CASE (cnt - 1) % 3 WHEN 0 THEN 's_view'
                     WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
                CAST((cnt - 1) // 3 AS BIGINT) AS match_id
+        FROM rec WHERE emitted
+    """,
+    "kql_scan_declare": """
+        WITH RECURSIVE ranked AS (
+            SELECT user_id, event_id, value,
+                   (event_type = 'view') AS c1,
+                   (event_type = 'click') AS c2,
+                   (event_type = 'purchase') AS c3,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), rec AS (
+            SELECT user_id, 0 AS rn, 0 AS p,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   FALSE AS emitted, 0 AS cnt,
+                   CAST(0 AS DOUBLE) AS sv
+            FROM (SELECT DISTINCT user_id FROM ranked)
+            UNION ALL
+            SELECT r.user_id, r.rn,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE)
+                        THEN (rec.p + 1) % 3 ELSE rec.p END,
+                   r.event_id,
+                   coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE),
+                   rec.cnt + CASE WHEN coalesce(CASE rec.p
+                        WHEN 0 THEN r.c1 WHEN 1 THEN r.c2
+                        ELSE r.c3 END, FALSE) THEN 1 ELSE 0 END,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
+                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE)
+                        THEN (CASE WHEN rec.p = 0
+                              THEN CAST(0 AS DOUBLE)
+                              ELSE rec.sv END) + r.value
+                        ELSE rec.sv END
+            FROM rec JOIN ranked r
+              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        )
+        SELECT user_id, event_id,
+               CASE (cnt - 1) % 3 WHEN 0 THEN 's1'
+                    WHEN 1 THEN 's2' ELSE 's3' END AS step,
+               CAST((cnt - 1) // 3 AS BIGINT) AS match_id, sv
         FROM rec WHERE emitted
     """,
     "kql_scan_state": """

@@ -1415,6 +1415,52 @@ def test_scan_state_references(spark):
         )
 
 
+def test_scan_declare_accumulators(spark):
+    """Round-6: scan declare — per-instance variables assigned on step
+    advance, reset when a new match instance opens; assignments
+    require a declare clause and must target declared names."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " ('u1', 1, 'add', 10.0), ('u1', 2, 'add', 5.0),"
+        " ('u1', 3, 'buy', 0.0), ('u1', 4, 'add', 7.0),"
+        " ('u1', 5, 'buy', 0.0), ('u2', 6, 'add', 3.0)"
+        " AS t(u, seq, ev, amt)"
+    ).createOrReplaceTempView("sdcl_t")
+    rows = kql(
+        spark,
+        "sdcl_t | sort by seq asc"
+        " | scan by u declare (tot: real = 0.0, nmatch: long = 0)"
+        ' with (step s1: ev == "add" => tot = tot + amt,'
+        " nmatch = nmatch + 1;"
+        ' step s2: ev == "buy" => nmatch = nmatch + 1)',
+    ).collect()
+    got = sorted(
+        (r["u"], r["seq"], r["step"], r["tot"], r["nmatch"])
+        for r in rows
+    )
+    # seq=2 doesn't advance (s1 already matched); instance 2 resets tot
+    assert got == [
+        ("u1", 1, "s1", 10.0, 1),
+        ("u1", 3, "s2", 10.0, 2),
+        ("u1", 4, "s1", 7.0, 1),
+        ("u1", 5, "s2", 7.0, 2),
+        ("u2", 6, "s1", 3.0, 1),
+    ]
+    with pytest.raises(ValueError, match="declared variable"):
+        kql(
+            spark,
+            "sdcl_t | sort by seq asc | scan by u"
+            " declare (x: long = 0)"
+            ' with (step s1: ev == "add" => y = 1)',
+        )
+    with pytest.raises(ValueError, match="declare clause"):
+        kql(
+            spark,
+            "sdcl_t | sort by seq asc | scan by u"
+            ' with (step s1: ev == "add" => x = 1)',
+        )
+
+
 def test_evaluate_python_plugin(spark):
     """Round-6: `evaluate python()` over mapInPandas — `df` in,
     `result` out; typeof(*) passthrough + additions, exact typeof
