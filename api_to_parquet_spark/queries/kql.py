@@ -3450,6 +3450,106 @@ def kql_to_sql(
                     f" WHERE Count >= {thr} * _tot AND ({not_all_null})"
                 )
                 continue
+            swm = re.match(
+                r"sliding_window_counts\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if swm:
+                # `evaluate sliding_window_counts(Id, Timeline, Start,
+                # End, LookbackWindow, Bin)` — per output bin b, the
+                # row count and distinct-Id count over the lookback
+                # window of whole bins ending at b (inclusive; the
+                # deterministic whole-bin refinement of ADX's window).
+                # NOT a per-bin rescan: each event explodes into the
+                # Lookback/Bin bins it covers (a bounded map-side
+                # factor), then ONE grouped aggregation — the same
+                # shape at any scale.
+                sa_ = [s.strip() for s in _split_top_level(swm.group(1))]
+                if len(sa_) != 6:
+                    raise ValueError(
+                        "sliding_window_counts needs (id, timeline,"
+                        f" start, end, lookback, bin): {sa_!r}"
+                    )
+                idc, tc, start_k, end_k, look_k, bin_k = sa_
+                lm_ = re.match(rf"^{_TS_LIT}$", look_k)
+                bm_ = re.match(rf"^{_TS_LIT}$", bin_k)
+                if not lm_ or not bm_:
+                    raise ValueError(
+                        "sliding_window_counts lookback/bin must be"
+                        f" timespan literals: {look_k!r}, {bin_k!r}"
+                    )
+                from decimal import Decimal
+
+                looks = Decimal(_ts_lit_seconds(lm_.group(1), lm_.group(2)))
+                bins = Decimal(_ts_lit_seconds(bm_.group(1), bm_.group(2)))
+                if bins <= 0 or looks % bins != 0 or bins != int(bins):
+                    raise ValueError(
+                        "sliding_window_counts: lookback must be a"
+                        " whole-second multiple of bin:"
+                        f" {look_k!r}, {bin_k!r}"
+                    )
+                k_ = int(looks // bins)
+                binsec = int(bins)
+                start_sql = _expr(start_k)
+                end_sql = _expr(end_k)
+                ebin = (
+                    f"({start_sql} + make_dt_interval(0, 0, 0,"
+                    f" CAST(floor(CAST(unix_micros({tc})"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {binsec * 1000000}) * {binsec} AS"
+                    " DECIMAL(18, 6))))"
+                )
+                sql = (
+                    f"SELECT _wt AS {tc}, COUNT(*) AS Count,"
+                    f" COUNT(DISTINCT {idc}) AS Dcount FROM ("
+                    f"SELECT {idc}, explode(sequence({ebin},"
+                    f" {ebin} + INTERVAL '{(k_ - 1) * binsec}' SECOND,"
+                    f" INTERVAL '{binsec}' SECOND)) AS _wt"
+                    f" FROM {prev}"
+                    f" WHERE {tc} <= {end_sql} AND {tc} >"
+                    f" {start_sql} - INTERVAL '{int(looks)}' SECOND"
+                    f") AS _sw{i}"
+                    f" WHERE _wt BETWEEN {start_sql} AND {end_sql}"
+                    f" GROUP BY _wt"
+                )
+                continue
+            rnm = re.match(
+                r"rows_near\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if rnm:
+                # `evaluate rows_near(Condition, NumRows[, RowsAfter])`
+                # — keep rows within NumRows before / RowsAfter (default
+                # NumRows) after any row matching Condition, in the
+                # serialized order. ONE window max over a bounded ROWS
+                # frame (roles swap: row r is kept iff a match exists in
+                # r's [RowsAfter PRECEDING, NumRows FOLLOWING] frame) —
+                # map-side after the sort, no extra shuffle.
+                if order_keys is None:
+                    raise ValueError(
+                        "evaluate rows_near needs a preceding sort by"
+                    )
+                ra = _split_top_level(rnm.group(1))
+                if len(ra) not in (2, 3):
+                    raise ValueError(
+                        "rows_near needs (condition, rows_before"
+                        f"[, rows_after]): {ra!r}"
+                    )
+                nb = int(ra[1])
+                na = int(ra[2]) if len(ra) == 3 else nb
+                cond = _expr(ra[0].strip())
+                frame = (
+                    f"OVER (ORDER BY {', '.join(order_keys)}"
+                    f" ROWS BETWEEN {na} PRECEDING"
+                    f" AND {nb} FOLLOWING)"
+                )
+                sql = (
+                    f"SELECT * EXCEPT (_rnear) FROM (SELECT *,"
+                    f" MAX(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+                    f" {frame} AS _rnear FROM {prev}) AS _rn{i}"
+                    f" WHERE _rnear = 1"
+                )
+                continue
             sqm = re.match(
                 r"sequence_detect\s*\((.*)\)\s*$",
                 body,
@@ -6627,6 +6727,33 @@ def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate sliding_window_counts` (round-6): 3-day sliding
+    active-user counts at 1-day bins — each event explodes into the 3
+    bins it covers (bounded map-side factor), then ONE grouped
+    count + exact distinct count. No per-bin rescans at any scale."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate sliding_window_counts(user_id, ts,"
+        " datetime(2024-01-05), datetime(2024-01-25), 3d, 1d)",
+    )
+
+
+def q_kql_rows_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate rows_near` (round-6): ±2 rows of context around
+    high-value purchases in event order — ONE bounded-frame window max
+    over the serialized order, then a filter; no extra shuffle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 3000 | sort by event_id asc"
+        " | evaluate rows_near(event_type == \"purchase\""
+        " and value > 90, 2)"
+        " | project event_id, event_type, value",
+    )
+
+
 def q_kql_scan_declare(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`scan declare` (round-6): per-instance accumulator variables
     with per-step assignments — a running value total over each
@@ -6653,6 +6780,8 @@ QUERIES = {
     "kql_scan": q_kql_scan,
     "kql_scan_state": q_kql_scan_state,
     "kql_scan_declare": q_kql_scan_declare,
+    "kql_rows_near": q_kql_rows_near,
+    "kql_sliding_window": q_kql_sliding_window,
     "kql_basket": q_kql_basket,
     "kql_autocluster": q_kql_autocluster,
     "kql_python": q_kql_python,
@@ -7536,6 +7665,44 @@ ORACLE = {
                     WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
                CAST((cnt - 1) // 3 AS BIGINT) AS match_id
         FROM rec WHERE emitted
+    """,
+    "kql_sliding_window": """
+        WITH ev AS (
+            SELECT user_id,
+                   TIMESTAMP '2024-01-05 00:00:00'
+                   + to_seconds(CAST(floor(
+                         CAST(epoch_us(ts) - epoch_us(
+                              TIMESTAMP '2024-01-05 00:00:00')
+                              AS DOUBLE) / 86400000000) * 86400
+                     AS BIGINT)) AS e
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+              AND ts > TIMESTAMP '2024-01-05 00:00:00'
+                  - INTERVAL 259200 SECOND
+        ), b AS (
+            SELECT user_id,
+                   unnest(generate_series(e,
+                       e + INTERVAL 172800 SECOND,
+                       INTERVAL 86400 SECOND)) AS wt
+            FROM ev
+        )
+        SELECT wt AS ts, COUNT(*) AS Count,
+               COUNT(DISTINCT user_id) AS Dcount
+        FROM b
+        WHERE wt BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                     AND TIMESTAMP '2024-01-25 00:00:00'
+        GROUP BY wt
+    """,
+    "kql_rows_near": """
+        SELECT event_id, event_type, value FROM (
+            SELECT event_id, event_type, value,
+                   MAX(CASE WHEN event_type = 'purchase'
+                       AND value > 90 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY event_id
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+                       AS near
+            FROM events WHERE event_id < 3000
+        ) WHERE near = 1
     """,
     "kql_scan_declare": """
         WITH RECURSIVE ranked AS (

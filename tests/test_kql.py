@@ -1216,6 +1216,55 @@ def test_agg_batch2_values(spark):
         kql_to_sql("t | summarize (a) = percentiles(x, 25, 75) by g")
 
 
+def test_rows_near_and_sliding_window(spark):
+    """Round-6: rows_near bounded-frame context; sliding_window_counts
+    whole-bin window semantics."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'a'), (3, 'HIT'),"
+        " (4, 'a'), (5, 'a'), (6, 'a'), (9, 'HIT') AS t(i, s)"
+    ).createOrReplaceTempView("rn_t")
+    rows = kql(
+        spark,
+        "rn_t | sort by i asc"
+        ' | evaluate rows_near(s == "HIT", 1) | project i',
+    ).collect()
+    assert sorted(r["i"] for r in rows) == [2, 3, 4, 6, 9]
+    # asymmetric: 0 before, 2 after
+    rows = kql(
+        spark,
+        "rn_t | sort by i asc"
+        ' | evaluate rows_near(s == "HIT", 0, 2) | project i',
+    ).collect()
+    assert sorted(r["i"] for r in rows) == [3, 4, 5, 9]
+    # sliding window: ids at days 1, 2, 4 with a 2-day window
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (7, timestamp'2024-01-01 05:00:00'),"
+        " (7, timestamp'2024-01-02 05:00:00'),"
+        " (8, timestamp'2024-01-02 06:00:00'),"
+        " (7, timestamp'2024-01-04 05:00:00')"
+        " AS t(id, ts)"
+    ).createOrReplaceTempView("sw_t")
+    rows = kql(
+        spark,
+        "sw_t | evaluate sliding_window_counts(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-05), 2d, 1d)",
+    ).collect()
+    got = {str(r["ts"])[:10]: (r["Count"], r["Dcount"]) for r in rows}
+    assert got == {
+        "2024-01-01": (1, 1),  # day1 event
+        "2024-01-02": (3, 2),  # day1+day2 events, ids {7,8}
+        "2024-01-03": (2, 2),  # day2 events
+        "2024-01-04": (1, 1),  # day4 event
+        "2024-01-05": (1, 1),  # day4 in 2-day window
+    }
+    with pytest.raises(ValueError, match="whole-second multiple"):
+        kql_to_sql(
+            "t | evaluate sliding_window_counts(id, ts,"
+            " datetime(2024-01-01), datetime(2024-01-05), 5h, 2h)"
+        )
+
+
 def test_sequence_detect(spark):
     """Round-6: evaluate sequence_detect — step window enforced via
     cross-step state reference, greedy non-overlap per key."""
