@@ -299,6 +299,22 @@ _TS_LIT = r"(\d+(?:\.\d+)?)(ms|[smhd])"
 _TS_CLOCK_RE = r"^(?:(\\d+)\\.)?(\\d{1,2}):(\\d{1,2}):(\\d{1,2}(?:\\.\\d+)?)$"
 
 
+_IPV4_OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_IPV4_RE = rf"{_IPV4_OCT}\\.{_IPV4_OCT}\\.{_IPV4_OCT}\\.{_IPV4_OCT}"
+
+
+def _parse_ipv4_expr(s: str) -> str:
+    """Dotted quad -> BIGINT; NULL on anything else (ADX's lenient
+    contract). One regexp + one 4-element fold, map-side."""
+    s = s.strip()
+    return (
+        f"CASE WHEN {s} RLIKE '^{_IPV4_RE}$' THEN"
+        f" aggregate(transform(split({s}, '\\\\.'),"
+        " _o -> CAST(_o AS BIGINT)), CAST(0 AS BIGINT),"
+        " (_a, _x) -> _a * 256 + _x) END"
+    )
+
+
 def _dec_text(v) -> str:
     """Decimal -> plain decimal text ('5400', '0.0000001' — never
     scientific notation, which Spark's interval parser rejects)."""
@@ -1378,21 +1394,7 @@ def _expr(kql_expr: str) -> str:
         lambda a: f"(regexp_instr({a[0]}, {a[1]}) - 1)",
     )
 
-    _IPV4_OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
-    _IPV4_RE = rf"{_IPV4_OCT}\\.{_IPV4_OCT}\\.{_IPV4_OCT}\\.{_IPV4_OCT}"
-
-    def _parse_ipv4_sql(a: list[str]) -> str:
-        # dotted quad -> BIGINT; NULL on anything else (ADX's lenient
-        # contract). One regexp + one 4-element fold, map-side.
-        s = a[0].strip()
-        return (
-            f"CASE WHEN {s} RLIKE '^{_IPV4_RE}$' THEN"
-            f" aggregate(transform(split({s}, '\\\\.'),"
-            " _o -> CAST(_o AS BIGINT)), CAST(0 AS BIGINT),"
-            " (_a, _x) -> _a * 256 + _x) END"
-        )
-
-    e = _rewrite_fn(e, "parse_ipv4", _parse_ipv4_sql)
+    e = _rewrite_fn(e, "parse_ipv4", lambda a: _parse_ipv4_expr(a[0]))
     e = _rewrite_fn(
         e,
         "has_ipv4",
@@ -1424,7 +1426,7 @@ def _expr(kql_expr: str) -> str:
         base = (o[0] << 24) + (o[1] << 16) + (o[2] << 8) + o[3]
         shift = 2 ** (32 - bits)
         return (
-            f"(({_parse_ipv4_sql([a[0]])}) div {shift}"
+            f"(({_parse_ipv4_expr(a[0])}) div {shift}"
             f" = {base // shift})"
         )
 
@@ -1433,8 +1435,8 @@ def _expr(kql_expr: str) -> str:
         e,
         "ipv4_compare",
         lambda a: (
-            f"CAST(sign(({_parse_ipv4_sql([a[0]])})"
-            f" - ({_parse_ipv4_sql([a[1]])})) AS INT)"
+            f"CAST(sign(({_parse_ipv4_expr(a[0])})"
+            f" - ({_parse_ipv4_expr(a[1])})) AS INT)"
         ),
     )
 
@@ -3448,6 +3450,319 @@ def kql_to_sql(
                     f" FROM ({sql}) AS _bk GROUP BY CUBE ({csl})"
                     f") AS _bc{i}) AS _bw{i}"
                     f" WHERE Count >= {thr} * _tot AND ({not_all_null})"
+                )
+                continue
+            ipm = re.match(
+                r"ipv4_lookup\s*\((.+)\)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if ipm:
+                # `evaluate ipv4_lookup(LookupTable, SourceIp,
+                # RangeColumn[, return_unmatched])` — longest-prefix
+                # match against CIDR ranges. NOT a non-equi join: the
+                # source side explodes per DISTINCT prefix length in
+                # the lookup (discovered by one scan of the small dim,
+                # bounded by 33) into (truncated_ip, bits) keys, the
+                # lookup side precomputes the same key — ONE equi-join
+                # + a longest-prefix window. return_unmatched=true
+                # keeps sources with no range (left join contract).
+                if spark is None:
+                    raise ValueError(
+                        "evaluate ipv4_lookup needs a SparkSession"
+                    )
+                ipa = [
+                    s.strip() for s in _split_top_level(ipm.group(1))
+                ]
+                if len(ipa) not in (3, 4):
+                    raise ValueError(
+                        "ipv4_lookup needs (lookup, source_ip,"
+                        f" range_col[, return_unmatched]): {ipa!r}"
+                    )
+                lk_name, srcc, rngc = ipa[0], ipa[1], ipa[2]
+                keep_unmatched = (
+                    (ipa[3] if len(ipa) == 4 else "").lower()
+                    in ("true", "1")
+                )
+                if not re.match(r"^\w+$", srcc) or not re.match(
+                    r"^\w+$", rngc
+                ):
+                    raise ValueError(
+                        "ipv4_lookup source/range must be plain"
+                        f" columns: {srcc!r}, {rngc!r}"
+                    )
+                if re.match(r"^\w+$", lk_name) and lk_name in _tabular:
+                    td = _tabular[lk_name]
+                    if isinstance(td, tuple) and td[0] == "fn":
+                        raise ValueError(
+                            f"ipv4_lookup: {lk_name} is a function let"
+                        )
+                    lk_sql = (
+                        td[1]
+                        if isinstance(td, tuple)
+                        else kql_to_sql(td, spark, _tabular)
+                    )
+                elif re.match(r"^\w+$", lk_name):
+                    lk_sql = f"SELECT * FROM {lk_name}"
+                elif lk_name.startswith("(") and lk_name.endswith(")"):
+                    # a substituted tabular-let body (datatable(...) or
+                    # a parenthesized pipe) — translate it as a pipe
+                    lk_sql = kql_to_sql(
+                        lk_name[1:-1].strip(), spark, _tabular
+                    )
+                else:
+                    raise ValueError(
+                        f"ipv4_lookup: unsupported lookup arg"
+                        f" {lk_name!r}"
+                    )
+                bits_rows = spark.sql(
+                    "SELECT DISTINCT coalesce(try_cast("
+                    f" split({rngc}, '/')[1] AS INT), 32) AS _b"
+                    f" FROM ({lk_sql}) AS _ipb"
+                ).collect()
+                bit_lens = sorted(
+                    {
+                        r["_b"]
+                        for r in bits_rows
+                        if r["_b"] is not None and 0 <= r["_b"] <= 32
+                    }
+                )
+                if not bit_lens:
+                    raise ValueError(
+                        "ipv4_lookup: no parseable prefix lengths in"
+                        f" {lk_name}"
+                    )
+                src_long = _parse_ipv4_expr(srcc)
+                base_long = _parse_ipv4_expr(
+                    f"split({rngc}, '/')[0]"
+                )
+                lkp = (
+                    f"SELECT *, coalesce(try_cast(split({rngc},"
+                    " '/')[1] AS INT), 32) AS _bits,"
+                    f" ({base_long}) div CAST(pow(2, 32 -"
+                    f" coalesce(try_cast(split({rngc}, '/')[1]"
+                    " AS INT), 32)) AS BIGINT) AS _netkey"
+                    f" FROM ({lk_sql}) AS _ipl"
+                )
+                bits_arr = ", ".join(str(b_) for b_ in bit_lens)
+                srcx = (
+                    f"SELECT *, monotonically_increasing_id() AS _sid,"
+                    f" ({src_long}) AS _iplong FROM {prev}"
+                )
+                exploded = (
+                    f"SELECT *, _iplong div CAST(pow(2, 32 - _bits)"
+                    " AS BIGINT) AS _netkey FROM ("
+                    f"SELECT *, explode(array({bits_arr})) AS _bits"
+                    f" FROM ({srcx}) AS _ips) AS _ipx"
+                )
+                joined = (
+                    f"SELECT _s.*, _l.* EXCEPT (_bits, _netkey),"
+                    " ROW_NUMBER() OVER (PARTITION BY _s._sid"
+                    f" ORDER BY _s._bits DESC, _l.{rngc} ASC) AS _rk"
+                    f" FROM ({exploded}) AS _s JOIN ({lkp}) AS _l"
+                    " ON _s._netkey = _l._netkey"
+                    " AND _s._bits = _l._bits"
+                )
+                matched = (
+                    f"SELECT * EXCEPT (_sid, _iplong, _bits, _netkey,"
+                    f" _rk) FROM ({joined}) AS _ipj{i} WHERE _rk = 1"
+                )
+                if keep_unmatched:
+                    null_lk = ", ".join(
+                        f"CAST(NULL AS {f.dataType.simpleString()})"
+                        f" AS {f.name}"
+                        for f in spark.sql(lk_sql).schema.fields
+                    )
+                    unmatched = (
+                        f"SELECT _s0.* EXCEPT (_sid, _iplong),"
+                        f" {null_lk} FROM ({srcx}) AS _s0"
+                        " LEFT ANTI JOIN ("
+                        f"SELECT DISTINCT _sid FROM ({joined})"
+                        f" AS _ipm{i}) AS _m ON _s0._sid = _m._sid"
+                    )
+                    sql = f"({matched}) UNION ALL ({unmatched})"
+                else:
+                    sql = matched
+                continue
+            fsm = re.match(
+                r"funnel_sequence_completion\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if fsm:
+                # `evaluate funnel_sequence_completion(Id, Timeline,
+                # Start, End, BinSize, StateColumn, Sequence)` — per
+                # period and sequence PREFIX, the distinct Ids that
+                # completed the prefix inside the period (earliest-
+                # occurrence chain: t1 = min t at state1, t_k = min t
+                # at state_k with t > t_{k-1} — greedy-earliest is
+                # completion-optimal). Shape: one grouped MIN per
+                # step, each joined co-partitioned on (id, period) —
+                # N-1 equi-joins on the same key, no all-pairs work.
+                fa = [s.strip() for s in _split_top_level(fsm.group(1))]
+                if len(fa) != 7:
+                    raise ValueError(
+                        "funnel_sequence_completion needs (id,"
+                        " timeline, start, end, bin, state_col,"
+                        f" sequence): {fa!r}"
+                    )
+                idc, tc, start_k, end_k, bin_k, stc, seq_k = fa
+                bm_ = re.match(rf"^{_TS_LIT}$", bin_k)
+                if not bm_:
+                    raise ValueError(
+                        "funnel_sequence_completion bin must be a"
+                        f" timespan literal: {bin_k!r}"
+                    )
+                from decimal import Decimal
+
+                bins = Decimal(_ts_lit_seconds(bm_.group(1), bm_.group(2)))
+                if bins <= 0 or bins != int(bins):
+                    raise ValueError(
+                        f"funnel_sequence_completion: whole-second"
+                        f" bins only: {bin_k!r}"
+                    )
+                bsec = int(bins)
+                sm_ = re.match(
+                    r"^(?:dynamic\s*\(\s*\[(.*)\]\s*\)|"
+                    r"pack_array\s*\((.*)\))$",
+                    seq_k,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not sm_:
+                    raise ValueError(
+                        "funnel_sequence_completion sequence must be"
+                        " a dynamic([...]) / pack_array(...) literal:"
+                        f" {seq_k!r}"
+                    )
+                states = []
+                for s_ in _split_top_level(sm_.group(1) or sm_.group(2)):
+                    qm_ = re.match(
+                        r"^(?:\"((?:[^\"\\]|\\.)*)\"|"
+                        r"'((?:[^'\\]|\\.)*)')$",
+                        s_.strip(),
+                    )
+                    if not qm_:
+                        raise ValueError(
+                            "funnel sequence entries must be string"
+                            f" literals: {s_!r}"
+                        )
+                    states.append(
+                        (qm_.group(1) or qm_.group(2)).replace("'", "''")
+                    )
+                if not states:
+                    raise ValueError("funnel sequence is empty")
+                start_sql = _expr(start_k)
+                end_sql = _expr(end_k)
+                pbin = (
+                    f"({start_sql} + make_dt_interval(0, 0, 0,"
+                    f" CAST(floor(CAST(unix_micros({tc})"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {bsec * 1000000}) * {bsec} AS"
+                    " DECIMAL(18, 6))))"
+                )
+                ev = (
+                    f"SELECT {idc}, {tc}, {stc}, {pbin} AS _fp"
+                    f" FROM {prev} WHERE {tc} >= {start_sql}"
+                    f" AND {tc} <= {end_sql}"
+                )
+                g_prev = (
+                    f"SELECT {idc}, _fp, MIN({tc}) AS _t FROM ({ev})"
+                    f" AS _fe{i} WHERE {stc} = '{states[0]}'"
+                    f" GROUP BY {idc}, _fp"
+                )
+                levels = [g_prev]
+                for j in range(1, len(states)):
+                    g_prev = (
+                        f"SELECT _g.{idc}, _g._fp, MIN(_e.{tc}) AS _t"
+                        f" FROM ({g_prev}) AS _g JOIN ({ev}) AS _e"
+                        f" ON _e.{idc} = _g.{idc}"
+                        f" AND _e._fp = _g._fp"
+                        f" WHERE _e.{stc} = '{states[j]}'"
+                        f" AND _e.{tc} > _g._t"
+                        f" GROUP BY _g.{idc}, _g._fp"
+                    )
+                    levels.append(g_prev)
+                unions = " UNION ALL ".join(
+                    f"(SELECT _fp AS {tc}, '{states[j]}' AS {stc},"
+                    f" COUNT(*) AS dcount FROM ({lv}) AS _fl{i}_{j}"
+                    f" GROUP BY _fp)"
+                    for j, lv in enumerate(levels)
+                )
+                sql = unions
+                continue
+            aum = re.match(
+                r"active_users_count\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if aum:
+                # `evaluate active_users_count(Id, Timeline, Start,
+                # End, LookbackWindow, Period, ActivePeriodsCount
+                # [, Bin])` — per bin b, the count of distinct Ids
+                # active in >= ActivePeriodsCount DISTINCT periods
+                # within the lookback window ending at b. Explicit
+                # subset: Bin == Period (whole-bin windows). Shape:
+                # dedupe (id, period) -> bounded explode into the
+                # lookback/period bins each period covers -> per
+                # (bin, id) distinct-period count -> per bin id count.
+                # Three key-partitioned aggregations, zero per-bin
+                # rescans.
+                aa = [s.strip() for s in _split_top_level(aum.group(1))]
+                if len(aa) not in (7, 8):
+                    raise ValueError(
+                        "active_users_count needs (id, timeline,"
+                        " start, end, lookback, period,"
+                        f" active_periods[, bin]): {aa!r}"
+                    )
+                idc, tc, start_k, end_k, look_k, per_k = aa[:6]
+                minp = int(aa[6])
+                if len(aa) == 8 and aa[7].strip() != per_k.strip():
+                    raise ValueError(
+                        "active_users_count: Bin must equal Period"
+                        " (whole-bin-window explicit subset)"
+                    )
+                lm_ = re.match(rf"^{_TS_LIT}$", look_k)
+                pm_ = re.match(rf"^{_TS_LIT}$", per_k)
+                if not lm_ or not pm_:
+                    raise ValueError(
+                        "active_users_count lookback/period must be"
+                        f" timespan literals: {look_k!r}, {per_k!r}"
+                    )
+                from decimal import Decimal
+
+                looks = Decimal(_ts_lit_seconds(lm_.group(1), lm_.group(2)))
+                pers = Decimal(_ts_lit_seconds(pm_.group(1), pm_.group(2)))
+                if pers <= 0 or looks % pers != 0 or pers != int(pers):
+                    raise ValueError(
+                        "active_users_count: lookback must be a"
+                        " whole-second multiple of period:"
+                        f" {look_k!r}, {per_k!r}"
+                    )
+                k_ = int(looks // pers)
+                psec = int(pers)
+                start_sql = _expr(start_k)
+                end_sql = _expr(end_k)
+                pbin = (
+                    f"({start_sql} + make_dt_interval(0, 0, 0,"
+                    f" CAST(floor(CAST(unix_micros({tc})"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {psec * 1000000}) * {psec} AS"
+                    " DECIMAL(18, 6))))"
+                )
+                sql = (
+                    f"SELECT _wt AS {tc},"
+                    f" COUNT(*) AS dcount_{idc} FROM ("
+                    f"SELECT _wt, {idc} FROM ("
+                    f"SELECT {idc}, explode(sequence(_p,"
+                    f" _p + INTERVAL '{(k_ - 1) * psec}' SECOND,"
+                    f" INTERVAL '{psec}' SECOND)) AS _wt, _p FROM ("
+                    f"SELECT DISTINCT {idc}, {pbin} AS _p"
+                    f" FROM {prev}"
+                    f" WHERE {tc} <= {end_sql} AND {tc} >"
+                    f" {start_sql} - INTERVAL '{int(looks)}' SECOND"
+                    f") AS _aud{i}) AS _aux{i}"
+                    f" WHERE _wt BETWEEN {start_sql} AND {end_sql}"
+                    f" GROUP BY _wt, {idc}"
+                    f" HAVING COUNT(DISTINCT _p) >= {minp}"
+                    f") AS _auh{i} GROUP BY _wt"
                 )
                 continue
             swm = re.match(
@@ -6727,6 +7042,54 @@ def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_ipv4_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate ipv4_lookup` (round-6): longest-prefix-match CIDR
+    join. The source explodes per DISTINCT prefix length in the
+    lookup (bounded by 33) into (truncated_ip, bits) keys — ONE
+    equi-join + a longest-prefix window, never a non-equi range join;
+    return_unmatched=true keeps sources with no range."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "let NetZones = datatable(network: string, zone: string)"
+        '["10.0.0.0/8", "ten", "10.5.0.0/16", "tenfive",'
+        ' "40.0.0.0/8", "forty"];'
+        " events | where event_id < 2000"
+        ' | extend ip = strcat(tostring(10 + event_id % 90), ".",'
+        ' tostring(event_id % 256), ".7.",'
+        " tostring(event_id % 100))"
+        " | project event_id, ip"
+        " | evaluate ipv4_lookup(NetZones, ip, network, true)",
+    )
+
+
+def q_kql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate funnel_sequence_completion` (round-6): weekly
+    view→click→purchase funnel — per period and prefix, distinct users
+    completing the prefix via the earliest-occurrence chain (one
+    grouped MIN per step, co-partitioned (id, period) equi-joins)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate funnel_sequence_completion(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-29), 7d, event_type,"
+        ' dynamic(["view", "click", "purchase"]))',
+    )
+
+
+def q_kql_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate active_users_count` (round-6): users active on >= 2
+    distinct days within each 4-day lookback — dedupe (id, period),
+    bounded explode into covered bins, per-(bin,id) distinct-period
+    HAVING, per-bin id count. Three key-partitioned aggregations."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate active_users_count(user_id, ts,"
+        " datetime(2024-01-05), datetime(2024-01-25), 4d, 1d, 2)",
+    )
+
+
 def q_kql_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate sliding_window_counts` (round-6): 3-day sliding
     active-user counts at 1-day bins — each event explodes into the 3
@@ -6782,6 +7145,9 @@ QUERIES = {
     "kql_scan_declare": q_kql_scan_declare,
     "kql_rows_near": q_kql_rows_near,
     "kql_sliding_window": q_kql_sliding_window,
+    "kql_active_users": q_kql_active_users,
+    "kql_funnel": q_kql_funnel,
+    "kql_ipv4_lookup": q_kql_ipv4_lookup,
     "kql_basket": q_kql_basket,
     "kql_autocluster": q_kql_autocluster,
     "kql_python": q_kql_python,
@@ -7665,6 +8031,88 @@ ORACLE = {
                     WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
                CAST((cnt - 1) // 3 AS BIGINT) AS match_id
         FROM rec WHERE emitted
+    """,
+    "kql_ipv4_lookup": """
+        SELECT event_id,
+               concat(CAST(10 + event_id % 90 AS VARCHAR), '.',
+                      CAST(event_id % 256 AS VARCHAR), '.7.',
+                      CAST(event_id % 100 AS VARCHAR)) AS ip,
+               CASE WHEN 10 + event_id % 90 = 10
+                         AND event_id % 256 = 5 THEN '10.5.0.0/16'
+                    WHEN 10 + event_id % 90 = 10 THEN '10.0.0.0/8'
+                    WHEN 10 + event_id % 90 = 40 THEN '40.0.0.0/8'
+                    END AS network,
+               CASE WHEN 10 + event_id % 90 = 10
+                         AND event_id % 256 = 5 THEN 'tenfive'
+                    WHEN 10 + event_id % 90 = 10 THEN 'ten'
+                    WHEN 10 + event_id % 90 = 40 THEN 'forty'
+                    END AS zone
+        FROM events WHERE event_id < 2000
+    """,
+    "kql_funnel": """
+        WITH ev AS (
+            SELECT user_id, ts, event_type,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                   + to_seconds(CAST(floor(
+                         CAST(epoch_us(ts) - epoch_us(
+                              TIMESTAMP '2024-01-01 00:00:00')
+                              AS DOUBLE) / 604800000000) * 604800
+                     AS BIGINT)) AS fp
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-29 00:00:00'
+        ), g1 AS (
+            SELECT user_id, fp, MIN(ts) AS t FROM ev
+            WHERE event_type = 'view' GROUP BY user_id, fp
+        ), g2 AS (
+            SELECT g1.user_id, g1.fp, MIN(e.ts) AS t
+            FROM g1 JOIN ev e
+              ON e.user_id = g1.user_id AND e.fp = g1.fp
+            WHERE e.event_type = 'click' AND e.ts > g1.t
+            GROUP BY g1.user_id, g1.fp
+        ), g3 AS (
+            SELECT g2.user_id, g2.fp, MIN(e.ts) AS t
+            FROM g2 JOIN ev e
+              ON e.user_id = g2.user_id AND e.fp = g2.fp
+            WHERE e.event_type = 'purchase' AND e.ts > g2.t
+            GROUP BY g2.user_id, g2.fp
+        )
+        SELECT fp AS ts, 'view' AS event_type,
+               COUNT(*) AS dcount FROM g1 GROUP BY fp
+        UNION ALL
+        SELECT fp, 'click', COUNT(*) FROM g2 GROUP BY fp
+        UNION ALL
+        SELECT fp, 'purchase', COUNT(*) FROM g3 GROUP BY fp
+    """,
+    "kql_active_users": """
+        WITH dedup AS (
+            SELECT DISTINCT user_id,
+                   TIMESTAMP '2024-01-05 00:00:00'
+                   + to_seconds(CAST(floor(
+                         CAST(epoch_us(ts) - epoch_us(
+                              TIMESTAMP '2024-01-05 00:00:00')
+                              AS DOUBLE) / 86400000000) * 86400
+                     AS BIGINT)) AS p
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+              AND ts > TIMESTAMP '2024-01-05 00:00:00'
+                  - INTERVAL 345600 SECOND
+        ), b AS (
+            SELECT user_id, p,
+                   unnest(generate_series(p,
+                       p + INTERVAL 259200 SECOND,
+                       INTERVAL 86400 SECOND)) AS wt
+            FROM dedup
+        ), h AS (
+            SELECT wt, user_id
+            FROM b
+            WHERE wt BETWEEN TIMESTAMP '2024-01-05 00:00:00'
+                         AND TIMESTAMP '2024-01-25 00:00:00'
+            GROUP BY wt, user_id
+            HAVING COUNT(DISTINCT p) >= 2
+        )
+        SELECT wt AS ts, COUNT(*) AS dcount_user_id
+        FROM h GROUP BY wt
     """,
     "kql_sliding_window": """
         WITH ev AS (

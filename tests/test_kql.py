@@ -1265,6 +1265,66 @@ def test_rows_near_and_sliding_window(spark):
         )
 
 
+def test_activity_plugins(spark):
+    """Round-6: active_users_count, funnel_sequence_completion,
+    ipv4_lookup — value-checked on tiny frames."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (7, timestamp'2024-01-01 05:00:00'),"
+        " (7, timestamp'2024-01-02 05:00:00'),"
+        " (8, timestamp'2024-01-02 06:00:00'),"
+        " (8, timestamp'2024-01-03 06:00:00'),"
+        " (9, timestamp'2024-01-03 07:00:00')"
+        " AS t(id, ts)"
+    ).createOrReplaceTempView("au_t")
+    rows = kql(
+        spark,
+        "au_t | evaluate active_users_count(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-04), 2d, 1d, 2)",
+    ).collect()
+    got = {str(r["ts"])[:10]: r["dcount_id"] for r in rows}
+    # 2-day windows needing >= 2 active days: id7 on days 1+2 -> bin 2;
+    # id8 on days 2+3 -> bin 3
+    assert got == {"2024-01-02": 1, "2024-01-03": 1}
+    # Bin != Period is a subset error
+    with pytest.raises(ValueError, match="Bin must equal Period"):
+        kql_to_sql(
+            "t | evaluate active_users_count(id, ts,"
+            " datetime(2024-01-01), datetime(2024-01-04),"
+            " 2d, 1d, 2, 12h)"
+        )
+    # funnel: u1 completes A->B in week 1; u2 only A
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, timestamp'2024-01-01 01:00:00', 'A'),"
+        " (1, timestamp'2024-01-02 01:00:00', 'B'),"
+        " (2, timestamp'2024-01-03 01:00:00', 'A'),"
+        " (2, timestamp'2024-01-02 01:00:00', 'B')"
+        " AS t(id, ts, st)"
+    ).createOrReplaceTempView("fn_t")
+    rows = kql(
+        spark,
+        "fn_t | evaluate funnel_sequence_completion(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-08), 7d, st,"
+        ' dynamic(["A", "B"]))',
+    ).collect()
+    got = {r["st"]: r["dcount"] for r in rows}
+    # both reached A; only u1's B comes AFTER its A
+    assert got == {"A": 2, "B": 1}
+    # ipv4_lookup longest-prefix + unmatched
+    spark.sql(
+        "SELECT * FROM VALUES ('10.1.2.3'), ('8.8.8.8') AS t(ip)"
+    ).createOrReplaceTempView("ipl_t")
+    rows = kql(
+        spark,
+        "let L = datatable(network: string, zone: string)"
+        '["10.0.0.0/8", "corp", "10.1.0.0/16", "lab"];'
+        " ipl_t | evaluate ipv4_lookup(L, ip, network, true)",
+    ).collect()
+    got = {r["ip"]: r["zone"] for r in rows}
+    assert got == {"10.1.2.3": "lab", "8.8.8.8": None}
+
+
 def test_sequence_detect(spark):
     """Round-6: evaluate sequence_detect — step window enforced via
     cross-step state reference, greedy non-overlap per key."""
