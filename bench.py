@@ -54,6 +54,10 @@ HEADLINE = [
     "kql_fork",  # multi-consumer pipes, shared-prefix ReuseExchange (r4)
     "kql_parse_kv",  # map-side key-value extraction (r4)
     "repeated_ngram_spans",  # Lee-et-al repeated-substring signal (r4)
+    "kql_sequence_detect",  # funnel mining on the scan fold (r6)
+    "kql_sliding_window",  # sliding dcount via bounded bin-explode (r6)
+    "kql_autocluster",  # diagnostics ONE-CUBE segment mining (r6)
+    "kql_ipv4_lookup",  # longest-prefix CIDR equi-join (r6)
 ]
 
 # Per-query medians pinned from the last judged round (bench_pins.json).
