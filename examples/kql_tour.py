@@ -142,6 +142,62 @@ def main() -> None:
         " | reduce by m | top 5 by Count",
     ).show()
 
+    print("== round-6: timespan + format_timespan ==")
+    kql(
+        spark,
+        "events | summarize mn = min(ts), mx = max(ts) by user_id"
+        " | extend dur = mx - mn | where dur > 12h | take 3"
+        " | project user_id, span = format_timespan(dur, 'd.hh:mm:ss')",
+    ).show()
+
+    print("== round-6: scan declare (running total per instance) ==")
+    kql(
+        spark,
+        "events | take 500 | sort by ts asc, event_id asc"
+        " | scan by user_id declare (sv: real = 0.0) with ("
+        ' step s1: event_type == "view" => sv = sv + value;'
+        ' step s2: event_type == "purchase" => sv = sv + value)'
+        " | take 5 | project user_id, step, match_id, sv",
+    ).show()
+
+    print("== round-6: sequence_detect (view->click funnels) ==")
+    kql(
+        spark,
+        "events | extend t = unixtime_seconds_todatetime(1700000000"
+        " + event_id * 60),"
+        ' is_v = event_type == "view", is_c = event_type == "click"'
+        " | evaluate sequence_detect(t, 30m, 1h, is_v, is_c, user_id)"
+        " | take 5",
+    ).show()
+
+    print("== round-6: sliding_window_counts (3d active users) ==")
+    kql(
+        spark,
+        "events | evaluate sliding_window_counts(user_id, ts,"
+        " datetime(2024-01-05), datetime(2024-01-12), 3d, 1d)"
+        " | sort by ts asc",
+    ).show()
+
+    print("== round-6: ipv4_lookup (longest-prefix CIDR zones) ==")
+    kql(
+        spark,
+        "let L = datatable(network: string, zone: string)"
+        '["10.0.0.0/8", "corp", "10.5.0.0/16", "lab"];'
+        " events | take 200"
+        ' | extend ip = strcat("10.", tostring(event_id % 10),'
+        ' ".0.1") | project event_id, ip'
+        " | evaluate ipv4_lookup(L, ip, network) | take 5",
+    ).show()
+
+    print("== round-6: evaluate python (inline script) ==")
+    kql(
+        spark,
+        "events | take 100 | project event_id, value"
+        " | evaluate python(typeof(*, vsq:real),"
+        " 'result = df.assign(vsq = df.value * df.value)')"
+        " | take 3",
+    ).show()
+
 
 if __name__ == "__main__":
     main()

@@ -342,3 +342,75 @@ def test_kql_scan_single_group_shuffle(spark, sf_smoke):
     )
     assert "ObjectHashAggregate" in plan or "SortAggregate" in plan
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ipv4_lookup_equi_join_no_range_join(spark, sf_smoke):
+    """ipv4_lookup: the CIDR match is an EQUI join on (netkey, bits)
+    with the tiny lookup broadcast — never a BroadcastNestedLoopJoin
+    (the non-equi range-join failure mode at scale)."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "let L = datatable(network: string, zone: string)"
+            '["10.0.0.0/8", "corp", "10.1.0.0/16", "lab"];'
+            ' events | extend ip = strcat("10.",'
+            ' tostring(event_id % 256), ".0.1")'
+            " | project event_id, ip"
+            " | evaluate ipv4_lookup(L, ip, network)",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_sliding_window_single_agg_no_rescan(spark, sf_smoke):
+    """sliding_window_counts: ONE grouped aggregation over the
+    exploded bins — no join, no window function, no per-bin rescans
+    (a second scan of events would show two FileScans)."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "events | evaluate sliding_window_counts(user_id, ts,"
+            " datetime(2024-01-05), datetime(2024-01-25), 3d, 1d)",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") <= 1
+
+
+def test_sequence_detect_funnel_shuffles_on_key(spark, sf_smoke):
+    """sequence_detect: the scan fold and the pivot both shuffle on
+    the user key — no cartesian/nested-loop stage, no Python."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "events | extend t = unixtime_seconds_todatetime("
+            "1700000000 + event_id * 60),"
+            ' is_v = event_type == "view", is_c = event_type == "click"'
+            " | evaluate sequence_detect(t, 30m, 1h, is_v, is_c,"
+            " user_id)",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "BatchEvalPython" not in plan
