@@ -1050,7 +1050,17 @@ def _extract_toscalar(text: str) -> tuple[str, list[tuple[str, str]]]:
     [(placeholder, pipe_body), ...]); quote-aware balanced parens."""
     subs: list[tuple[str, str]] = []
     while True:
-        m = re.search(r"\btoscalar\s*\(", text)
+        m = None
+        for cand in re.finditer(r"\btoscalar\s*\(", text):
+            # skip matches inside string literals ("toscalar(" as TEXT
+            # must stay text — round-6 review finding)
+            inside = any(
+                s.start() < cand.start() < s.end()
+                for s in _STR_SPAN.finditer(text)
+            )
+            if not inside:
+                m = cand
+                break
         if not m:
             return text, subs
         depth, j, quote = 1, m.end(), None
@@ -3606,6 +3616,14 @@ def kql_to_sql(
                         f" sequence): {fa!r}"
                     )
                 idc, tc, start_k, end_k, bin_k, stc, seq_k = fa
+                if not all(
+                    re.match(r"^\w+$", c) for c in (idc, tc, stc)
+                ):
+                    raise ValueError(
+                        "funnel_sequence_completion id/timeline/state"
+                        f" must be plain columns: {idc!r}, {tc!r},"
+                        f" {stc!r}"
+                    )
                 bm_ = re.match(rf"^{_TS_LIT}$", bin_k)
                 if not bm_:
                     raise ValueError(
@@ -3713,6 +3731,13 @@ def kql_to_sql(
                         f" active_periods[, bin]): {aa!r}"
                     )
                 idc, tc, start_k, end_k, look_k, per_k = aa[:6]
+                if not re.match(r"^\w+$", idc) or not re.match(
+                    r"^\w+$", tc
+                ):
+                    raise ValueError(
+                        "active_users_count id/timeline must be plain"
+                        f" columns: {idc!r}, {tc!r}"
+                    )
                 minp = int(aa[6])
                 if len(aa) == 8 and aa[7].strip() != per_k.strip():
                     raise ValueError(
@@ -3786,6 +3811,13 @@ def kql_to_sql(
                         f" start, end, lookback, bin): {sa_!r}"
                     )
                 idc, tc, start_k, end_k, look_k, bin_k = sa_
+                if not re.match(r"^\w+$", idc) or not re.match(
+                    r"^\w+$", tc
+                ):
+                    raise ValueError(
+                        "sliding_window_counts id/timeline must be"
+                        f" plain columns: {idc!r}, {tc!r}"
+                    )
                 lm_ = re.match(rf"^{_TS_LIT}$", look_k)
                 bm_ = re.match(rf"^{_TS_LIT}$", bin_k)
                 if not lm_ or not bm_:
@@ -4024,12 +4056,18 @@ def kql_to_sql(
                     "boolean": "boolean",
                     "datetime": "timestamp",
                 }
-                fields: list[tuple[str, str]] = []
+                # (name, type, is_explicit) in declaration order; an
+                # explicit field overrides a same-named `*` passthrough
+                # REGARDLESS of order (round-6 fuzz found the duplicate
+                # column; review: typeof(x:long, *) keeps x's explicit
+                # type — star expansion must not overwrite it). First
+                # appearance fixes the position.
+                raw: list[tuple[str, str, bool]] = []
                 for part in (
                     p.strip() for p in pym.group(1).split(",") if p.strip()
                 ):
                     if part == "*":
-                        fields.extend(in_ddl)
+                        raw.extend((n, t, False) for n, t in in_ddl)
                         continue
                     tm = re.match(r"^(\w+)\s*:\s*(\w+)$", part)
                     if not tm or tm.group(2).lower() not in py_types:
@@ -4037,17 +4075,20 @@ def kql_to_sql(
                             "evaluate python typeof: unsupported"
                             f" field {part!r}"
                         )
-                    fields.append(
-                        (tm.group(1), py_types[tm.group(2).lower()])
+                    raw.append(
+                        (tm.group(1), py_types[tm.group(2).lower()], True)
                     )
-                if not fields:
+                if not raw:
                     raise ValueError("evaluate python: empty typeof schema")
-                # an explicit field overrides a same-named passthrough
-                # from `*` (round-6 fuzz: typeof(*, x:long) with x
-                # already in the input duplicated the column)
                 dedup: dict[str, str] = {}
-                for fn, ft in fields:
-                    dedup[fn] = ft
+                explicit_seen: set[str] = set()
+                for fn, ft, is_exp in raw:
+                    if fn not in dedup or (
+                        is_exp and fn not in explicit_seen
+                    ):
+                        dedup[fn] = ft
+                    if is_exp:
+                        explicit_seen.add(fn)
                 fields = list(dedup.items())
                 names = tuple(n for n, _ in fields)
                 ddl = ", ".join(f"{n} {t}" for n, t in fields)

@@ -1265,6 +1265,38 @@ def test_rows_near_and_sliding_window(spark):
         )
 
 
+def test_review_fixes_round6(spark):
+    """Round-6 adversarial review pins: (1) `toscalar(` inside a
+    string literal stays text; (2) typeof(x:t, *) keeps the EXPLICIT
+    type when the star would re-add x; (3) activity plugins reject
+    expression id/timeline args instead of interpolating them."""
+    spark.sql("SELECT 1 AS x, 2.0 AS v").createOrReplaceTempView(
+        "rv6_t"
+    )
+    r = kql(
+        spark, 'rv6_t | extend s = "toscalar(7)" | project s'
+    ).collect()[0]
+    assert r["s"] == "toscalar(7)"
+    df = kql(
+        spark,
+        "rv6_t | evaluate python(typeof(x:real, *),"
+        " 'result = df.assign(x = df.x * 1.5)')",
+    )
+    assert dict(df.dtypes)["x"] == "double"
+    assert df.collect()[0]["x"] == 1.5
+    for bad in (
+        "t | evaluate active_users_count(id + 1, ts,"
+        " datetime(2024-01-01), datetime(2024-01-04), 2d, 1d, 2)",
+        "t | evaluate sliding_window_counts(id, ts + 1h,"
+        " datetime(2024-01-01), datetime(2024-01-04), 2d, 1d)",
+        "t | evaluate funnel_sequence_completion(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-08), 7d,"
+        ' tolower(st), dynamic(["A"]))',
+    ):
+        with pytest.raises(ValueError, match="plain columns"):
+            kql_to_sql(bad)
+
+
 def test_activity_plugins(spark):
     """Round-6: active_users_count, funnel_sequence_completion,
     ipv4_lookup — value-checked on tiny frames."""
