@@ -2098,6 +2098,7 @@ _AGG_FNS = {
     "make_list",
     "make_set",
     # aggregate batch 2 (round-6)
+    "percentilew",
     "make_bag",
     "make_bag_if",
     "stdev",
@@ -2325,6 +2326,49 @@ def _agg(item: str, auto_idx: int) -> str:
         )
         default = (
             f"count_distinctif_{col}"
+            if re.match(r"^\w+$", col)
+            else f"agg{auto_idx}"
+        )
+    elif fn == "percentilew":
+        # weighted percentile, EXACT: the smallest value whose
+        # cumulative weight reaches p% of the total, values walked in
+        # sorted order (ADX's T-digest weighted estimate replaced by
+        # the exact refinement — the percentile/percentile_approx
+        # precedent in reverse; values/weights widen to DOUBLE). Two
+        # folds over ONE sorted collect (Catalyst dedups the repeated
+        # aggregate), per-group memory = group size like make_list.
+        pa_ = [x.strip() for x in _split_top_level(arg)]
+        if len(pa_) != 3:
+            raise ValueError(
+                f"percentilew needs (col, weight, p): {item!r}"
+            )
+        col, wt, p_ = pa_
+        try:
+            frac = float(p_) / 100
+        except ValueError:
+            raise ValueError(
+                f"percentilew needs a numeric percentile: {p_!r}"
+            ) from None
+        arr = (
+            f"sort_array(collect_list(named_struct('v',"
+            f" CAST({_expr(col)} AS DOUBLE), 'w',"
+            f" CAST({_expr(wt)} AS DOUBLE))))"
+        )
+        thr = (
+            f"(CAST({frac!r} AS DOUBLE) * aggregate({arr},"
+            " CAST(0 AS DOUBLE), (_tw, _x) -> _tw + _x.w))"
+        )
+        sql = (
+            f"aggregate({arr}, named_struct('c', CAST(0 AS DOUBLE),"
+            " 'r', CAST(NULL AS DOUBLE)), (_s, _x) ->"
+            " IF(_s.r IS NOT NULL, _s,"
+            f" IF(_s.c + _x.w >= {thr},"
+            " named_struct('c', _s.c + _x.w, 'r', _x.v),"
+            " named_struct('c', _s.c + _x.w, 'r',"
+            " CAST(NULL AS DOUBLE))))).r"
+        )
+        default = (
+            f"percentile_{col}_{p_}".replace(".", "_")
             if re.match(r"^\w+$", col)
             else f"agg{auto_idx}"
         )
@@ -2921,11 +2965,84 @@ def kql_to_sql(
             if len(reads) == 1
             else " UNION ALL ".join(f"({r})" for r in reads)
         )
-    if not (rng or prnt or dtable or xdata) and (
+    fnd = (
+        not rng
+        and not prnt
+        and not dtable
+        and not xdata
+        and stages
+        and re.match(
+            r"^find\s+(?:withsource\s*=\s*(\w+)\s+)?"
+            r"in\s*\(([^)]*)\)\s+where\s+(.+)$",
+            stages[0],
+            re.IGNORECASE | re.DOTALL,
+        )
+    )
+    if fnd:
+        # `find [withsource=Col] in (T1, T2, …) where Pred
+        # [project c1, …]` — cross-table search. Union-by-name with a
+        # source label (the same null-fill alignment the union stage
+        # uses; a deterministic refinement of ADX's pack_-column
+        # "project smart" default), then the predicate. Needs a
+        # session for schema alignment.
+        if spark is None:
+            raise ValueError(
+                "find needs a SparkSession (schema alignment)"
+            )
+        srccol = fnd.group(1) or "source_"
+        parts_ = _split_by(fnd.group(3).strip(), "project")
+        pred = _expr(parts_[0].strip())
+        proj = parts_[1].strip() if len(parts_) == 2 else None
+        tables = [t.strip() for t in fnd.group(2).split(",")]
+        if not tables or not all(
+            re.match(r"^\w+$", t) for t in tables
+        ):
+            raise ValueError(
+                f"find sources must be table names: {fnd.group(2)!r}"
+            )
+        tsqls: dict[str, str] = {}
+        tcols: dict[str, list[str]] = {}
+        allc: list[str] = []
+        for t in tables:
+            if t in _tabular:
+                td = _tabular[t]
+                if isinstance(td, tuple) and td[0] == "fn":
+                    raise ValueError(f"find: {t} is a function let")
+                tsqls[t] = (
+                    td[1]
+                    if isinstance(td, tuple)
+                    else kql_to_sql(td, spark, _tabular)
+                )
+            else:
+                tsqls[t] = f"SELECT * FROM {t}"
+            tcols[t] = spark.sql(tsqls[t]).columns
+            for c in tcols[t]:
+                if c not in allc:
+                    allc.append(c)
+        sels = []
+        for t in tables:
+            have = set(tcols[t])
+            sel = ", ".join(
+                c if c in have else f"NULL AS {c}" for c in allc
+            )
+            sels.append(
+                f"(SELECT '{t}' AS {srccol}, {sel}"
+                f" FROM ({tsqls[t]}) AS _fd_{t})"
+            )
+        sql = (
+            f"SELECT * FROM ({' UNION ALL '.join(sels)}) AS _fnd"
+            f" WHERE {pred}"
+        )
+        if proj:
+            plist = ", ".join(
+                p.strip() for p in _split_top_level(proj)
+            )
+            sql = f"SELECT {srccol}, {plist} FROM ({sql}) AS _fnp"
+    if not (rng or prnt or dtable or xdata or fnd) and (
         not stages or not re.match(r"^\w+$", stages[0])
     ):
         raise ValueError(f"KQL must start with a table name: {kql!r}")
-    if rng or prnt or dtable or xdata:
+    if rng or prnt or dtable or xdata or fnd:
         pass
     elif stages[0] in _tabular:
         tdef = _tabular[stages[0]]
@@ -7083,6 +7200,43 @@ def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_percentilew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`summarize percentilew(col, weight, p)` (round-6): EXACT
+    weighted percentile — smallest value whose cumulative weight
+    reaches p% of the total in sorted order (exact refinement of ADX's
+    weighted T-digest). Integral weights keep every sum order-proof,
+    so the window-cumsum oracle matches bit-for-bit."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 5000"
+        " | extend wv = 1.0 * (event_id % 100),"
+        " wt = 1 + event_id % 5"
+        " | summarize p60 = percentilew(wv, wt, 60),"
+        " p90 = percentilew(wv, wt, 90) by event_type"
+        " | sort by event_type asc",
+    )
+
+
+def q_kql_find(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`find in (T1, T2) where …` (round-6): cross-table search —
+    union-by-name with a source_ label (null-fill alignment, the
+    documented refinement of ADX's pack_-column project-smart), one
+    predicate over the union, explicit projection."""
+    _events_view(spark, sf_dir)
+    from api_to_parquet_spark.lake import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return kql(
+        spark,
+        "find in (events, documents)"
+        " where event_id < 500 or doc_id < 50"
+        " project event_id, doc_id, event_type, lang, n_chars",
+    )
+
+
 def q_kql_ipv4_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate ipv4_lookup` (round-6): longest-prefix-match CIDR
     join. The source explodes per DISTINCT prefix length in the
@@ -7189,6 +7343,8 @@ QUERIES = {
     "kql_active_users": q_kql_active_users,
     "kql_funnel": q_kql_funnel,
     "kql_ipv4_lookup": q_kql_ipv4_lookup,
+    "kql_find": q_kql_find,
+    "kql_percentilew": q_kql_percentilew,
     "kql_basket": q_kql_basket,
     "kql_autocluster": q_kql_autocluster,
     "kql_python": q_kql_python,
@@ -8072,6 +8228,38 @@ ORACLE = {
                     WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
                CAST((cnt - 1) // 3 AS BIGINT) AS match_id
         FROM rec WHERE emitted
+    """,
+    "kql_percentilew": """
+        WITH b AS (
+            SELECT event_type, 1.0 * (event_id % 100) AS wv,
+                   CAST(1 + event_id % 5 AS DOUBLE) AS wt
+            FROM events WHERE event_id < 5000
+        ), c AS (
+            SELECT event_type, wv,
+                   SUM(wt) OVER (PARTITION BY event_type
+                       ORDER BY wv, wt
+                       ROWS UNBOUNDED PRECEDING) AS cum,
+                   0.6 * SUM(wt) OVER (PARTITION BY event_type)
+                       AS thr60,
+                   0.9 * SUM(wt) OVER (PARTITION BY event_type)
+                       AS thr90
+            FROM b
+        )
+        SELECT event_type,
+               min(wv) FILTER (WHERE cum >= thr60) AS p60,
+               min(wv) FILTER (WHERE cum >= thr90) AS p90
+        FROM c GROUP BY event_type ORDER BY event_type
+    """,
+    "kql_find": """
+        SELECT 'events' AS source_, event_id,
+               CAST(NULL AS BIGINT) AS doc_id, event_type,
+               CAST(NULL AS VARCHAR) AS lang,
+               CAST(NULL AS BIGINT) AS n_chars
+        FROM events WHERE event_id < 500
+        UNION ALL
+        SELECT 'documents', CAST(NULL AS BIGINT), doc_id,
+               CAST(NULL AS VARCHAR), lang, n_chars
+        FROM documents WHERE doc_id < 50
     """,
     "kql_ipv4_lookup": """
         SELECT event_id,

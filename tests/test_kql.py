@@ -1265,6 +1265,48 @@ def test_rows_near_and_sliding_window(spark):
         )
 
 
+def test_percentilew_exact(spark):
+    """Round-6: percentilew — smallest value whose cumulative weight
+    reaches p% of the total in sorted order."""
+    spark.sql(
+        "SELECT * FROM VALUES (1.0, 1, 'g'), (2.0, 1, 'g'),"
+        " (3.0, 8, 'g') AS t(v, w, g)"
+    ).createOrReplaceTempView("pw_t")
+    r = kql(
+        spark,
+        "pw_t | summarize p50 = percentilew(v, w, 50),"
+        " p20 = percentilew(v, w, 20), p100 = percentilew(v, w, 100)"
+        " by g",
+    ).collect()[0]
+    assert (r["p50"], r["p20"], r["p100"]) == (3.0, 2.0, 3.0)
+    with pytest.raises(ValueError, match="col, weight, p"):
+        kql_to_sql("t | summarize a = percentilew(v, 50) by g")
+
+
+def test_find_cross_table(spark):
+    """Round-6: find in (T1, T2) — union-by-name + source label,
+    predicate over the union, optional projection; `project` inside a
+    string literal in the predicate must stay text."""
+    spark.sql("SELECT 1 AS a, 'x' AS s").createOrReplaceTempView("f1_t")
+    spark.sql("SELECT 2 AS b, 'y' AS s").createOrReplaceTempView("f2_t")
+    rows = kql(
+        spark,
+        'find in (f1_t, f2_t) where s == "x" or b == 2',
+    ).collect()
+    got = sorted((r["source_"], r["a"], r["b"], r["s"]) for r in rows)
+    assert got == [("f1_t", 1, None, "x"), ("f2_t", None, 2, "y")]
+    rows = kql(
+        spark,
+        "find withsource=tbl in (f1_t, f2_t)"
+        ' where s != "project me" project s',
+    ).collect()
+    assert sorted((r["tbl"], r["s"]) for r in rows) == [
+        ("f1_t", "x"), ("f2_t", "y")
+    ]
+    with pytest.raises(ValueError, match="SparkSession"):
+        kql_to_sql('find in (a, b) where x == 1')
+
+
 def test_review_fixes_round6(spark):
     """Round-6 adversarial review pins: (1) `toscalar(` inside a
     string literal stays text; (2) typeof(x:t, *) keeps the EXPLICIT
