@@ -1624,6 +1624,28 @@ def _expr(kql_expr: str) -> str:
         return f"json_object_keys({arg})"
 
     e = _rewrite_fn(e, "bag_keys", _bag_keys_sql)
+    # bag_has_key / bag_remove_keys (round-6): top-level keys only
+    # (ADX's JSONPath keys are out of the subset); removal goes
+    # through map<string,string>, so the usual value string-widening
+    # applies. Keys argument: any array<string> expression
+    # (pack_array(...) is the literal form).
+    e = _rewrite_fn(
+        e,
+        "bag_has_key",
+        lambda a: (
+            f"coalesce(array_contains(json_object_keys({a[0].strip()}),"
+            f" {a[1].strip()}), false)"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "bag_remove_keys",
+        lambda a: (
+            "to_json(map_filter(from_json(coalesce("
+            f"{a[0].strip()}, '{{}}'), 'map<string,string>'),"
+            f" (_k, _v) -> NOT array_contains({a[1].strip()}, _k)))"
+        ),
+    )
 
     # pack()/bag_pack(): dynamic property-bag CONSTRUCTION, the inverse
     # of evaluate bag_unpack. Bags are JSON text in this engine. With
@@ -4303,6 +4325,59 @@ def kql_to_sql(
                     f" WHERE Count >= 0.05 * _tot AND ({not_all_null})"
                 )
                 continue
+            dtm = re.match(
+                r"diffpatterns_text\s*\(\s*(\w+)\s*,\s*(\w+)\s*,"
+                r'\s*("(?:[^"\\]|\\.)*")\s*,'
+                r'\s*("(?:[^"\\]|\\.)*")\s*\)\s*$',
+                body,
+                re.IGNORECASE,
+            )
+            if dtm:
+                # `evaluate diffpatterns_text(TextCol, SplitCol, "A",
+                # "B")` — which TOKENS are over-represented in one
+                # subset. Deterministic refinement: tokens are
+                # lowercased whitespace splits, counted by row
+                # PRESENCE (distinct per row); support >= 5% of either
+                # side's rows; ranked by |PercentA - PercentB|. Shape:
+                # one map-side explode + ONE grouped agg with
+                # side-conditional counts; totals broadcast from a
+                # 1-row aggregate.
+                txtc, split = dtm.group(1), dtm.group(2)
+                val_a = _strings_to_sql(dtm.group(3))
+                val_b = _strings_to_sql(dtm.group(4))
+                base = (
+                    f"SELECT {split},"
+                    f" explode(array_distinct(filter(split(lower("
+                    f"{txtc}), '\\\\s+'), _t -> _t != ''))) AS Pattern"
+                    f" FROM {prev}"
+                    f" WHERE {split} IN ({val_a}, {val_b})"
+                )
+                tot = (
+                    f"SELECT SUM(IF({split} = {val_a}, 1, 0)) AS _ta,"
+                    f" SUM(IF({split} = {val_b}, 1, 0)) AS _tb"
+                    f" FROM {prev}"
+                    f" WHERE {split} IN ({val_a}, {val_b})"
+                )
+                sql = (
+                    f"SELECT CAST(row_number() OVER (ORDER BY"
+                    f" abs(PercentA - PercentB) DESC, Pattern ASC)"
+                    f" - 1 AS BIGINT) AS SegmentId,"
+                    f" Pattern, CountA, CountB, PercentA, PercentB,"
+                    f" round(PercentA - PercentB, 2) AS PercentDiffAB"
+                    f" FROM (SELECT Pattern, CountA, CountB,"
+                    f" round(CAST(100 AS DOUBLE) * CountA / _ta, 2)"
+                    f" AS PercentA,"
+                    f" round(CAST(100 AS DOUBLE) * CountB / _tb, 2)"
+                    f" AS PercentB FROM ("
+                    f"SELECT Pattern,"
+                    f" SUM(IF({split} = {val_a}, 1, 0)) AS CountA,"
+                    f" SUM(IF({split} = {val_b}, 1, 0)) AS CountB"
+                    f" FROM ({base}) AS _dtb{i} GROUP BY Pattern"
+                    f") AS _dtc{i} CROSS JOIN ({tot}) AS _dtt{i}"
+                    f" WHERE CountA >= 0.05 * _ta"
+                    f" OR CountB >= 0.05 * _tb) AS _dtp{i}"
+                )
+                continue
             dm = re.match(
                 r"diffpatterns\s*\(\s*(\w+)\s*,"
                 r'\s*("(?:[^"\\]|\\.)*")\s*,'
@@ -4869,6 +4944,10 @@ def kql_to_sql(
                 cols = spark.sql(bsql).columns
                 bcols.append(cols)
                 allc.extend(c for c in cols if c not in allc)
+            # a previous fork's label column must not duplicate — the
+            # new fork_branch REPLACES it (deep-fuzz finding: fork
+            # twice produced an ambiguous fork_branch)
+            allc = [c for c in allc if c != "fork_branch"]
             parts = []
             for (label, bsql), cols in zip(bsqls, bcols):
                 sel = ", ".join(
@@ -7200,6 +7279,25 @@ def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_diffpatterns_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate diffpatterns_text` (round-6): tokens over-represented
+    in English vs German documents — one map-side distinct-token
+    explode + ONE grouped agg with side-conditional counts; totals
+    broadcast from a 1-row aggregate. Deterministic refinement:
+    lowercase whitespace tokens, row-presence counting, >=5 % support,
+    ranked by |PercentA − PercentB|."""
+    from api_to_parquet_spark.lake import load
+
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return kql(
+        spark,
+        "documents"
+        ' | evaluate diffpatterns_text(text, lang, "en", "de")',
+    )
+
+
 def q_kql_percentilew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`summarize percentilew(col, weight, p)` (round-6): EXACT
     weighted percentile — smallest value whose cumulative weight
@@ -7345,6 +7443,7 @@ QUERIES = {
     "kql_ipv4_lookup": q_kql_ipv4_lookup,
     "kql_find": q_kql_find,
     "kql_percentilew": q_kql_percentilew,
+    "kql_diffpatterns_text": q_kql_diffpatterns_text,
     "kql_basket": q_kql_basket,
     "kql_autocluster": q_kql_autocluster,
     "kql_python": q_kql_python,
@@ -8228,6 +8327,42 @@ ORACLE = {
                     WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
                CAST((cnt - 1) // 3 AS BIGINT) AS match_id
         FROM rec WHERE emitted
+    """,
+    "kql_diffpatterns_text": """
+        WITH base AS (
+            SELECT lang,
+                   unnest(list_distinct(list_filter(
+                       string_split_regex(lower(text), '\\s+'),
+                       _t -> _t != ''))) AS Pattern
+            FROM documents WHERE lang IN ('en', 'de')
+        ), tot AS (
+            SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       ::BIGINT AS ta,
+                   SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       ::BIGINT AS tb
+            FROM documents WHERE lang IN ('en', 'de')
+        ), c AS (
+            SELECT Pattern,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                       ::BIGINT AS CountA,
+                   SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
+                       ::BIGINT AS CountB
+            FROM base GROUP BY Pattern
+        ), p AS (
+            SELECT Pattern, CountA, CountB,
+                   round(CAST(100 AS DOUBLE) * CountA / ta, 2)
+                       AS PercentA,
+                   round(CAST(100 AS DOUBLE) * CountB / tb, 2)
+                       AS PercentB
+            FROM c CROSS JOIN tot
+            WHERE CountA >= 0.05 * ta OR CountB >= 0.05 * tb
+        )
+        SELECT CAST(row_number() OVER (ORDER BY
+                    abs(PercentA - PercentB) DESC, Pattern ASC) - 1
+                    AS BIGINT) AS SegmentId,
+               Pattern, CountA, CountB, PercentA, PercentB,
+               round(PercentA - PercentB, 2) AS PercentDiffAB
+        FROM p
     """,
     "kql_percentilew": """
         WITH b AS (

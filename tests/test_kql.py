@@ -1265,6 +1265,47 @@ def test_rows_near_and_sliding_window(spark):
         )
 
 
+def test_diffpatterns_text_and_bag_utils(spark):
+    """Round-6: diffpatterns_text token diffing; bag_has_key /
+    bag_remove_keys; a second fork REPLACES the fork_branch label."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " ('alpha beta', 'A'), ('alpha gamma', 'A'),"
+        " ('beta delta', 'B'), ('delta gamma', 'B')"
+        " AS t(txt, side)"
+    ).createOrReplaceTempView("dpt_t")
+    rows = kql(
+        spark,
+        'dpt_t | evaluate diffpatterns_text(txt, side, "A", "B")',
+    ).collect()
+    got = {r["Pattern"]: (r["CountA"], r["CountB"]) for r in rows}
+    assert got["alpha"] == (2, 0) and got["delta"] == (0, 2)
+    assert got["beta"] == (1, 1) and got["gamma"] == (1, 1)
+    assert [r["SegmentId"] for r in rows] == list(range(len(rows)))
+    # bag utils
+    spark.sql(
+        "SELECT '{\"a\": 1, \"b\": 2}' AS bag"
+    ).createOrReplaceTempView("bu_t")
+    r = kql(
+        spark,
+        'bu_t | extend h = bag_has_key(bag, "a"),'
+        ' hz = bag_has_key(bag, "z"),'
+        ' rm = bag_remove_keys(bag, pack_array("a"))',
+    ).collect()[0]
+    assert r["h"] is True and r["hz"] is False
+    assert r["rm"] == '{"b":"2"}'
+    # double fork: one fork_branch column, from the second fork
+    df = kql(
+        spark,
+        "bu_t | fork fa = (take 1) fb = (take 1)"
+        " | fork g1 = (take 1) g2 = (take 1)",
+    )
+    assert df.columns.count("fork_branch") == 1
+    assert sorted(
+        {r["fork_branch"] for r in df.collect()}
+    ) == ["g1", "g2"]
+
+
 def test_percentilew_exact(spark):
     """Round-6: percentilew — smallest value whose cumulative weight
     reaches p% of the total in sorted order."""

@@ -300,6 +300,17 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
+        # rows_near over a fresh sort (two-stage fragment, round-6)
+        if num:
+            opts.append(
+                st.sampled_from(num).map(
+                    lambda c: (
+                        f"sort by {c} asc"
+                        f" | evaluate rows_near({c} > 50, 2)",
+                        cols,
+                    )
+                )
+            )
         # parse-kv over a constructed kv string (two-stage fragment)
         opts.append(
             st.just(
