@@ -2297,14 +2297,31 @@ def _agg(item: str, auto_idx: int) -> str:
     elif fn in ("make_list", "make_set"):
         # ADX guarantees NO element order for either; sorting is a
         # deterministic refinement (same multiset/set), which the
-        # oracle gate's value-hash compare requires anyway.
+        # oracle gate's value-hash compare requires anyway. The
+        # optional maxSize argument keeps the first N SORTED elements
+        # (refinement of ADX's arbitrary retained subset, round-6).
+        parts_ = [x.strip() for x in _split_top_level(arg)]
+        cap = None
+        if len(parts_) == 2:
+            if not re.match(r"^\d+$", parts_[1]):
+                raise ValueError(
+                    f"{fn} maxSize must be a literal int: {parts_[1]!r}"
+                )
+            cap = int(parts_[1])
+        elif len(parts_) != 1:
+            raise ValueError(f"{fn} needs (col[, maxSize]): {item!r}")
+        col0 = parts_[0]
         inner = (
-            f"collect_list({_expr(arg)})"
+            f"collect_list({_expr(col0)})"
             if fn == "make_list"
-            else f"collect_set({_expr(arg)})"
+            else f"collect_set({_expr(col0)})"
         )
         sql = f"sort_array({inner})"
-        default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+        if cap is not None:
+            sql = f"slice({sql}, 1, {cap})"
+        default = (
+            f"{fn}_{col0}" if re.match(r"^\w+$", col0) else f"agg{auto_idx}"
+        )
     elif fn in ("sumif", "avgif", "minif", "maxif"):
         col, pred = (x.strip() for x in _split_top_level(arg))
         base = fn[:-2].upper()

@@ -1265,6 +1265,22 @@ def test_rows_near_and_sliding_window(spark):
         )
 
 
+def test_make_list_max_size(spark):
+    """Round-6: make_list/make_set optional maxSize keeps the first N
+    sorted elements (deterministic refinement)."""
+    spark.sql(
+        "SELECT * FROM VALUES (3, 'g'), (1, 'g'), (2, 'g') AS t(v, g)"
+    ).createOrReplaceTempView("mls_t")
+    r = kql(
+        spark,
+        "mls_t | summarize a = make_list(v, 2), b = make_set(v, 1),"
+        " c = make_list(v) by g",
+    ).collect()[0]
+    assert r["a"] == [1, 2] and r["b"] == [1] and r["c"] == [1, 2, 3]
+    with pytest.raises(ValueError, match="literal int"):
+        kql_to_sql("t | summarize a = make_list(v, n) by g")
+
+
 def test_diffpatterns_text_and_bag_utils(spark):
     """Round-6: diffpatterns_text token diffing; bag_has_key /
     bag_remove_keys; a second fork REPLACES the fork_branch label."""
