@@ -1235,6 +1235,20 @@ def _expr(kql_expr: str) -> str:
     # log2/exp/sign/abs/sqrt/pow pass through by name
     # bin_at / datetime arithmetic / part getters
     e = _rewrite_fn(e, "bin_at", _bin_at_sql)
+
+    def _bin2_sql(a: list[str]) -> str:
+        # timespan-literal bins were consumed by _bin_to_sql above;
+        # what reaches here is the NUMERIC form — the same snap-down
+        # as 2-arg floor (ADX: floor() and bin() are synonyms).
+        if len(a) != 2:
+            raise ValueError(f"bin needs (value, roundTo): {a!r}")
+        v, s_ = a[0].strip(), a[1].strip()
+        return (
+            f"(floor(CAST({v} AS DOUBLE) / CAST({s_} AS DOUBLE))"
+            f" * CAST({s_} AS DOUBLE))"
+        )
+
+    e = _rewrite_fn(e, "bin", _bin2_sql)
     e = _rewrite_fn(e, "datetime_diff", _datetime_diff_sql)
     e = _rewrite_fn(e, "datetime_add", _datetime_add_sql)
     e = _sub_outside_strings(r"\bgetyear\(", "year(", e)
@@ -1541,6 +1555,106 @@ def _expr(kql_expr: str) -> str:
         )
 
     e = _rewrite_fn(e, "format_bytes", _format_bytes_sql)
+
+    # --- scalar batch 8 (round-6): bit ops, exp2, 2-arg floor (= bin),
+    # datetime_part, timezone converters, gettype, hash_combine,
+    # bounded rand ---
+    e = _rewrite_fn(
+        e, "binary_and", lambda a: f"(({a[0]}) & ({a[1]}))"
+    )
+    e = _rewrite_fn(
+        e, "binary_or", lambda a: f"(({a[0]}) | ({a[1]}))"
+    )
+    e = _rewrite_fn(
+        e, "binary_xor", lambda a: f"(({a[0]}) ^ ({a[1]}))"
+    )
+    e = _rewrite_fn(e, "binary_not", lambda a: f"(~({a[0]}))")
+    e = _sub_outside_strings(r"\bbinary_shift_left\(", "shiftleft(", e)
+    e = _sub_outside_strings(r"\bbinary_shift_right\(", "shiftright(", e)
+    e = _sub_outside_strings(r"\bbitset_count_ones\(", "bit_count(", e)
+    e = _rewrite_fn(
+        e, "exp2", lambda a: f"power(CAST(2 AS DOUBLE), {a[0]})"
+    )
+
+    def _floor2_sql(a: list[str]) -> str:
+        # ADX floor(value, roundTo) IS bin(): snap down to a multiple
+        # of roundTo. 1-arg floor passes through natively.
+        if len(a) == 1:
+            return f"floor({a[0]})"
+        if len(a) != 2:
+            raise ValueError(f"floor needs (value[, roundTo]): {a!r}")
+        v, s_ = a[0].strip(), a[1].strip()
+        return (
+            f"(floor(CAST({v} AS DOUBLE) / CAST({s_} AS DOUBLE))"
+            f" * CAST({s_} AS DOUBLE))"
+        )
+
+    e = _rewrite_fn(e, "floor", _floor2_sql)
+
+    _DT_PARTS = {
+        "year": "year({t})",
+        "quarter": "quarter({t})",
+        "month": "month({t})",
+        "week_of_year": "weekofyear({t})",
+        "day": "day({t})",
+        "dayofyear": "dayofyear({t})",
+        "hour": "hour({t})",
+        "minute": "minute({t})",
+        "second": "second({t})",
+        "millisecond": "CAST((unix_micros({t}) % 1000000)"
+        " div 1000 AS INT)",
+        "microsecond": "CAST(unix_micros({t}) % 1000000 AS INT)",
+    }
+
+    def _datetime_part_sql(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ValueError(f"datetime_part needs (part, dt): {a!r}")
+        pm_ = re.match(r"^'((?:[^']|'')*)'$", a[0].strip())
+        part = (pm_.group(1) if pm_ else a[0]).strip().lower()
+        if part not in _DT_PARTS:
+            raise ValueError(
+                f"datetime_part: unsupported part {part!r}"
+                f" (subset: {sorted(_DT_PARTS)})"
+            )
+        return f"CAST({_DT_PARTS[part].format(t=a[1].strip())} AS INT)"
+
+    e = _rewrite_fn(e, "datetime_part", _datetime_part_sql)
+    e = _rewrite_fn(
+        e,
+        "datetime_utc_to_local",
+        lambda a: f"from_utc_timestamp({a[0]}, {a[1]})",
+    )
+    e = _rewrite_fn(
+        e,
+        "datetime_local_to_utc",
+        lambda a: f"to_utc_timestamp({a[0]}, {a[1]})",
+    )
+
+    def _gettype_sql(a: list[str]) -> str:
+        # Spark type names -> ADX names for the shared scalar types
+        x = a[0].strip()
+        return (
+            f"CASE typeof({x}) WHEN 'bigint' THEN 'long'"
+            " WHEN 'int' THEN 'int' WHEN 'smallint' THEN 'int'"
+            " WHEN 'double' THEN 'real' WHEN 'float' THEN 'real'"
+            " WHEN 'string' THEN 'string'"
+            " WHEN 'timestamp' THEN 'datetime'"
+            " WHEN 'boolean' THEN 'bool'"
+            f" ELSE typeof({x}) END"
+        )
+
+    e = _rewrite_fn(e, "gettype", _gettype_sql)
+    # hash_combine: deterministic refinement — xxhash64 over the input
+    # hashes (ADX's combiner constants are unspecified)
+    e = _sub_outside_strings(r"\bhash_combine\(", "xxhash64(", e)
+
+    def _rand_sql(a: list[str]) -> str:
+        if not a or not a[0].strip():
+            return "rand()"
+        return f"CAST(floor(rand() * ({a[0].strip()})) AS BIGINT)"
+
+    e = _rewrite_fn(e, "rand", _rand_sql)
+    # --- end scalar batch 8 ---
     # replace_regex(source, regex, rewrite) — same arg order as
     # regexp_replace; replace_string already maps elsewhere
     e = _sub_outside_strings(r"\breplace_regex\(", "regexp_replace(", e)
@@ -7296,6 +7410,31 @@ def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eighth scalar batch (round-6): bit operators (&/|/^/~/shifts/
+    bit_count), exp2 (integer exponents — exact powers of two),
+    2-arg floor (= bin snapping), datetime_part, gettype. All map-side
+    integer/exact arithmetic, bit-equal in the oracle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 400"
+        " | project event_id,"
+        " ba = binary_and(event_id, 12),"
+        " bo = binary_or(event_id, 5),"
+        " bx = binary_xor(event_id, 255),"
+        " bn = binary_not(event_id),"
+        " sl = binary_shift_left(event_id, 3),"
+        " sr = binary_shift_right(event_id, 2),"
+        " co = bitset_count_ones(event_id),"
+        " e2 = exp2(event_id % 10),"
+        " fl = floor(value, 0.5),"
+        ' dm = datetime_part("month", ts),'
+        ' dh = datetime_part("hour", ts),'
+        " gt = gettype(value), gs = gettype(event_type)",
+    )
+
+
 def q_kql_diffpatterns_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate diffpatterns_text` (round-6): tokens over-represented
     in English vs German documents — one map-side distinct-token
@@ -7461,6 +7600,7 @@ QUERIES = {
     "kql_find": q_kql_find,
     "kql_percentilew": q_kql_percentilew,
     "kql_diffpatterns_text": q_kql_diffpatterns_text,
+    "kql_scalar_fns8": q_kql_scalar_fns8,
     "kql_basket": q_kql_basket,
     "kql_autocluster": q_kql_autocluster,
     "kql_python": q_kql_python,
@@ -8344,6 +8484,23 @@ ORACLE = {
                     WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
                CAST((cnt - 1) // 3 AS BIGINT) AS match_id
         FROM rec WHERE emitted
+    """,
+    "kql_scalar_fns8": """
+        SELECT event_id,
+               event_id & 12 AS ba,
+               event_id | 5 AS bo,
+               xor(event_id, 255) AS bx,
+               ~event_id AS bn,
+               event_id << 3 AS sl,
+               event_id >> 2 AS sr,
+               CAST(bit_count(event_id) AS INT) AS co,
+               pow(CAST(2 AS DOUBLE), event_id % 10) AS e2,
+               (floor(CAST(value AS DOUBLE) / CAST(0.5 AS DOUBLE))
+                * CAST(0.5 AS DOUBLE)) AS fl,
+               CAST(month(ts) AS INT) AS dm,
+               CAST(hour(ts) AS INT) AS dh,
+               'real' AS gt, 'string' AS gs
+        FROM events WHERE event_id < 400
     """,
     "kql_diffpatterns_text": """
         WITH base AS (

@@ -1265,6 +1265,38 @@ def test_rows_near_and_sliding_window(spark):
         )
 
 
+def test_scalar_batch8_values(spark):
+    """Round-6 scalar batch 8: bit ops, exp2, 2-arg floor/bin
+    synonyms, datetime_part, tz converters, gettype, bounded rand."""
+    spark.sql(
+        "SELECT 5 AS n, CAST(2.7 AS DOUBLE) AS x,"
+        " timestamp'2024-03-05 14:07:08' AS ts"
+    ).createOrReplaceTempView("sb8_t")
+    r = kql(
+        spark,
+        "sb8_t | extend ba = binary_and(n, 3), bo = binary_or(n, 2),"
+        " bx = binary_xor(n, 1), bn = binary_not(n),"
+        " sl = binary_shift_left(n, 2), sr = binary_shift_right(n, 1),"
+        " co = bitset_count_ones(n), e2 = exp2(3),"
+        " fl = floor(x, 0.5), b = bin(x, 0.5),"
+        ' dm = datetime_part("month", ts),'
+        ' ul = tostring(datetime_utc_to_local(ts, "US/Pacific")),'
+        " gt = gettype(x), gd = gettype(ts),"
+        " rr = rand(10) < 10 and rand(10) >= 0",
+    ).collect()[0]
+    assert (r["ba"], r["bo"], r["bx"], r["bn"]) == (1, 7, 4, -6)
+    assert (r["sl"], r["sr"], r["co"], r["e2"]) == (20, 2, 2, 8.0)
+    assert r["fl"] == 2.5 and r["b"] == 2.5
+    assert r["dm"] == 3 and r["ul"] == "2024-03-05 06:07:08"
+    assert r["gt"] == "real" and r["gd"] == "datetime"
+    assert r["rr"] is True
+    # datetime bin() unchanged by the numeric-bin rewrite
+    r2 = kql(spark, "sb8_t | extend b2 = bin(ts, 1h)").collect()[0]
+    assert str(r2["b2"]) == "2024-03-05 14:00:00"
+    with pytest.raises(ValueError, match="unsupported part"):
+        kql_to_sql('t | extend a = datetime_part("fortnight", ts)')
+
+
 def test_make_list_max_size(spark):
     """Round-6: make_list/make_set optional maxSize keeps the first N
     sorted elements (deterministic refinement)."""
