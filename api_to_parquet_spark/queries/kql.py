@@ -3977,6 +3977,104 @@ def kql_to_sql(
                 )
                 sql = unions
                 continue
+            scm = re.match(
+                r"session_count\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if scm:
+                # `evaluate session_count(Id, Timeline, Start, End,
+                # Bin, LookBackWindow)` — sessions per bin point. A
+                # session is a maximal activity run with consecutive
+                # gaps <= lookback; because gaps inside a session are
+                # bounded, the union of its [ts, ts+lookback) activity
+                # intervals is EXACTLY [first, last + lookback), so a
+                # session is active at point p iff first <= p <
+                # last + lookback. Shape: per-id sessionization (one
+                # window), per-session bounds (one grouped agg), then
+                # each session explodes into the aligned points it
+                # covers (factor = session span / bin, the inherent
+                # cost of the answer) and ONE grouped count.
+                sa_ = [s.strip() for s in _split_top_level(scm.group(1))]
+                if len(sa_) != 6:
+                    raise ValueError(
+                        "session_count needs (id, timeline, start,"
+                        f" end, bin, lookback): {sa_!r}"
+                    )
+                idc, tc, start_k, end_k, bin_k, look_k = sa_
+                if not re.match(r"^\w+$", idc) or not re.match(
+                    r"^\w+$", tc
+                ):
+                    raise ValueError(
+                        "session_count id/timeline must be plain"
+                        f" columns: {idc!r}, {tc!r}"
+                    )
+                bm_ = re.match(rf"^{_TS_LIT}$", bin_k)
+                lm_ = re.match(rf"^{_TS_LIT}$", look_k)
+                if not bm_ or not lm_:
+                    raise ValueError(
+                        "session_count bin/lookback must be timespan"
+                        f" literals: {bin_k!r}, {look_k!r}"
+                    )
+                from decimal import Decimal
+
+                bins = Decimal(_ts_lit_seconds(bm_.group(1), bm_.group(2)))
+                looks = Decimal(_ts_lit_seconds(lm_.group(1), lm_.group(2)))
+                if bins <= 0 or bins != int(bins) or looks != int(looks):
+                    raise ValueError(
+                        "session_count: whole-second bin/lookback"
+                        f" only: {bin_k!r}, {look_k!r}"
+                    )
+                bsec, lsec = int(bins), int(looks)
+                start_sql = _expr(start_k)
+                end_sql = _expr(end_k)
+                sess = (
+                    f"SELECT {idc}, {tc},"
+                    f" SUM(IF(_plag IS NULL OR {tc} - _plag >"
+                    f" INTERVAL '{lsec}' SECOND, 1, 0))"
+                    f" OVER (PARTITION BY {idc} ORDER BY {tc}"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+                    " ROW) AS _sid FROM ("
+                    f"SELECT {idc}, {tc}, LAG({tc})"
+                    f" OVER (PARTITION BY {idc} ORDER BY {tc})"
+                    f" AS _plag FROM {prev}"
+                    f" WHERE {tc} <= {end_sql} AND {tc} >"
+                    f" {start_sql} - INTERVAL '{lsec}' SECOND"
+                    f") AS _ssl{i}"
+                )
+                bnd = (
+                    f"SELECT {idc}, _sid, MIN({tc}) AS _fts,"
+                    f" MAX({tc}) AS _lts FROM ({sess}) AS _ssb{i}"
+                    f" GROUP BY {idc}, _sid"
+                )
+                # aligned point indexes k: p = start + k*bin with
+                # first <= p (k0) and p < last + lookback, p <= end
+                k0 = (
+                    "GREATEST(CAST(0 AS BIGINT),"
+                    " CAST(ceil(CAST(unix_micros(_fts)"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {bsec * 1000000}) AS BIGINT))"
+                )
+                ke = (
+                    "LEAST(CAST(floor(CAST(unix_micros(_lts)"
+                    f" + {lsec * 1000000} - 1"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {bsec * 1000000}) AS BIGINT),"
+                    f" CAST(floor(CAST(unix_micros({end_sql})"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {bsec * 1000000}) AS BIGINT))"
+                )
+                sql = (
+                    f"SELECT {start_sql} + make_dt_interval(0, 0, 0,"
+                    f" CAST(_k * {bsec} AS DECIMAL(18, 6))) AS {tc},"
+                    f" COUNT(*) AS count_sessions FROM ("
+                    f"SELECT explode(IF({k0} <= {ke},"
+                    f" sequence({k0}, {ke}),"
+                    " slice(sequence(CAST(0 AS BIGINT),"
+                    " CAST(0 AS BIGINT)), 1, 0))) AS _k"
+                    f" FROM ({bnd}) AS _ssk{i}) AS _ssc{i}"
+                    f" GROUP BY _k"
+                )
+                continue
             aum = re.match(
                 r"active_users_count\s*\((.+)\)\s*$", body,
                 re.IGNORECASE | re.DOTALL,
@@ -7526,6 +7624,21 @@ def q_kql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate session_count` (round-6): sessions active at each
+    daily point, 4-hour idle timeout. Exactness hinges on the interval
+    identity: in-session gaps are <= lookback, so the union of
+    per-activity [ts, ts+lookback) windows is [first, last+lookback).
+    One sessionization window + per-session bounds + bounded point
+    explode + ONE grouped count."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate session_count(user_id, ts,"
+        " datetime(2024-01-05), datetime(2024-01-25), 1d, 4h)",
+    )
+
+
 def q_kql_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate active_users_count` (round-6): users active on >= 2
     distinct days within each 4-day lookback — dedupe (id, period),
@@ -7595,6 +7708,7 @@ QUERIES = {
     "kql_rows_near": q_kql_rows_near,
     "kql_sliding_window": q_kql_sliding_window,
     "kql_active_users": q_kql_active_users,
+    "kql_session_count": q_kql_session_count,
     "kql_funnel": q_kql_funnel,
     "kql_ipv4_lookup": q_kql_ipv4_lookup,
     "kql_find": q_kql_find,
@@ -8621,6 +8735,49 @@ ORACLE = {
         SELECT fp, 'click', COUNT(*) FROM g2 GROUP BY fp
         UNION ALL
         SELECT fp, 'purchase', COUNT(*) FROM g3 GROUP BY fp
+    """,
+    "kql_session_count": """
+        WITH f AS (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       AS plag
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+              AND ts > TIMESTAMP '2024-01-05 00:00:00'
+                  - INTERVAL 14400 SECOND
+        ), s AS (
+            SELECT user_id, ts,
+                   SUM(CASE WHEN plag IS NULL
+                       OR ts - plag > INTERVAL 14400 SECOND
+                       THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+            FROM f
+        ), b AS (
+            SELECT user_id, sid, MIN(ts) AS fts, MAX(ts) AS lts
+            FROM s GROUP BY user_id, sid
+        ), k AS (
+            SELECT GREATEST(CAST(0 AS BIGINT),
+                       CAST(ceil(CAST(epoch_us(fts)
+                           - epoch_us(TIMESTAMP '2024-01-05 00:00:00')
+                           AS DOUBLE) / 86400000000) AS BIGINT)) AS k0,
+                   LEAST(CAST(floor(CAST(epoch_us(lts) + 14400000000
+                           - 1 - epoch_us(
+                               TIMESTAMP '2024-01-05 00:00:00')
+                           AS DOUBLE) / 86400000000) AS BIGINT),
+                       CAST(floor(CAST(epoch_us(
+                               TIMESTAMP '2024-01-25 00:00:00')
+                           - epoch_us(TIMESTAMP '2024-01-05 00:00:00')
+                           AS DOUBLE) / 86400000000) AS BIGINT)) AS ke
+            FROM b
+        ), e AS (
+            SELECT unnest(generate_series(k0, ke)) AS kk
+            FROM k WHERE k0 <= ke
+        )
+        SELECT TIMESTAMP '2024-01-05 00:00:00'
+                   + to_seconds(kk * 86400) AS ts,
+               COUNT(*) AS count_sessions
+        FROM e GROUP BY kk
     """,
     "kql_active_users": """
         WITH dedup AS (

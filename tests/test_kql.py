@@ -1428,6 +1428,29 @@ def test_review_fixes_round6(spark):
             kql_to_sql(bad)
 
 
+def test_session_count(spark):
+    """Round-6: session_count — sessions active at aligned points;
+    in-session gaps <= lookback make [first, last+lookback) exact."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (7, timestamp'2024-01-01 23:00:00'),"
+        " (7, timestamp'2024-01-02 01:00:00'),"
+        " (7, timestamp'2024-01-03 22:00:00'),"
+        " (8, timestamp'2024-01-01 21:30:00'),"
+        " (9, timestamp'2024-01-02 00:00:00')"
+        " AS t(id, ts)"
+    ).createOrReplaceTempView("sct_t")
+    rows = kql(
+        spark,
+        "sct_t | evaluate session_count(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-05), 1d, 6h)",
+    ).collect()
+    got = {str(r["ts"])[:10]: r["count_sessions"] for r in rows}
+    # midnight 01-02: id7 (23:00->01:00+6h), id8 (21:30->03:30),
+    # id9 (00:00->06:00); midnight 01-04: id7's second session
+    assert got == {"2024-01-02": 3, "2024-01-04": 1}
+
+
 def test_activity_plugins(spark):
     """Round-6: active_users_count, funnel_sequence_completion,
     ipv4_lookup — value-checked on tiny frames."""
