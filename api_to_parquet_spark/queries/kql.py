@@ -3977,6 +3977,84 @@ def kql_to_sql(
                 )
                 sql = unions
                 continue
+            aem = re.match(
+                r"activity_engagement\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if aem:
+                # `evaluate activity_engagement(Id, Timeline, Start,
+                # End, InnerWindow, OuterWindow)` — the DAU/MAU-style
+                # engagement ratio: per inner-aligned bin b, distinct
+                # Ids active in bin b (inner) over distinct Ids active
+                # in the Outer/Inner whole bins ending at b (outer).
+                # ONE pass: dedupe (id, inner-bin) -> bounded explode
+                # into covered outer windows -> per-(bin, id) inner
+                # flag -> per-bin counts + ratio. Outer must be a
+                # whole multiple of Inner (whole-bin subset).
+                ea = [s.strip() for s in _split_top_level(aem.group(1))]
+                if len(ea) != 6:
+                    raise ValueError(
+                        "activity_engagement needs (id, timeline,"
+                        f" start, end, inner, outer): {ea!r}"
+                    )
+                idc, tc, start_k, end_k, in_k, out_k = ea
+                if not re.match(r"^\w+$", idc) or not re.match(
+                    r"^\w+$", tc
+                ):
+                    raise ValueError(
+                        "activity_engagement id/timeline must be"
+                        f" plain columns: {idc!r}, {tc!r}"
+                    )
+                im_ = re.match(rf"^{_TS_LIT}$", in_k)
+                om_ = re.match(rf"^{_TS_LIT}$", out_k)
+                if not im_ or not om_:
+                    raise ValueError(
+                        "activity_engagement inner/outer must be"
+                        f" timespan literals: {in_k!r}, {out_k!r}"
+                    )
+                from decimal import Decimal
+
+                ins = Decimal(_ts_lit_seconds(im_.group(1), im_.group(2)))
+                outs = Decimal(_ts_lit_seconds(om_.group(1), om_.group(2)))
+                if ins <= 0 or outs % ins != 0 or ins != int(ins):
+                    raise ValueError(
+                        "activity_engagement: outer must be a"
+                        " whole-second multiple of inner:"
+                        f" {in_k!r}, {out_k!r}"
+                    )
+                k_ = int(outs // ins)
+                isec = int(ins)
+                start_sql = _expr(start_k)
+                end_sql = _expr(end_k)
+                ibin = (
+                    f"({start_sql} + make_dt_interval(0, 0, 0,"
+                    f" CAST(floor(CAST(unix_micros({tc})"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {isec * 1000000}) * {isec} AS"
+                    " DECIMAL(18, 6))))"
+                )
+                sql = (
+                    f"SELECT _wt AS {tc},"
+                    " CAST(SUM(_mi) AS BIGINT)"
+                    " AS dcount_activities_inner,"
+                    " COUNT(*) AS dcount_activities_outer,"
+                    " CAST(SUM(_mi) AS DOUBLE) / COUNT(*)"
+                    " AS activity_ratio FROM ("
+                    f"SELECT _wt, {idc}, MAX(IF(_p = _wt, 1, 0)) AS _mi"
+                    " FROM ("
+                    f"SELECT {idc}, _p, explode(sequence(_p,"
+                    f" _p + INTERVAL '{(k_ - 1) * isec}' SECOND,"
+                    f" INTERVAL '{isec}' SECOND)) AS _wt FROM ("
+                    f"SELECT DISTINCT {idc}, {ibin} AS _p"
+                    f" FROM {prev}"
+                    f" WHERE {tc} <= {end_sql} AND {tc} >"
+                    f" {start_sql} - INTERVAL '{int(outs)}' SECOND"
+                    f") AS _ae{i}) AS _aex{i}"
+                    f" WHERE _wt BETWEEN {start_sql} AND {end_sql}"
+                    f" GROUP BY _wt, {idc}"
+                    f") AS _aeg{i} GROUP BY _wt"
+                )
+                continue
             scm = re.match(
                 r"session_count\s*\((.+)\)\s*$", body,
                 re.IGNORECASE | re.DOTALL,
@@ -7624,6 +7702,19 @@ def q_kql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate activity_engagement` (round-6): daily-over-weekly
+    active-user ratio (DAU/WAU) — dedupe (id, day), bounded explode
+    into the 7 covered weekly windows, per-(bin, id) inner flag, one
+    grouped count + exact integer-over-integer ratio."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate activity_engagement(user_id, ts,"
+        " datetime(2024-01-08), datetime(2024-01-25), 1d, 7d)",
+    )
+
+
 def q_kql_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate session_count` (round-6): sessions active at each
     daily point, 4-hour idle timeout. Exactness hinges on the interval
@@ -7709,6 +7800,7 @@ QUERIES = {
     "kql_sliding_window": q_kql_sliding_window,
     "kql_active_users": q_kql_active_users,
     "kql_session_count": q_kql_session_count,
+    "kql_engagement": q_kql_engagement,
     "kql_funnel": q_kql_funnel,
     "kql_ipv4_lookup": q_kql_ipv4_lookup,
     "kql_find": q_kql_find,
@@ -8735,6 +8827,39 @@ ORACLE = {
         SELECT fp, 'click', COUNT(*) FROM g2 GROUP BY fp
         UNION ALL
         SELECT fp, 'purchase', COUNT(*) FROM g3 GROUP BY fp
+    """,
+    "kql_engagement": """
+        WITH dd AS (
+            SELECT DISTINCT user_id,
+                   TIMESTAMP '2024-01-08 00:00:00'
+                   + to_seconds(CAST(floor(
+                         CAST(epoch_us(ts) - epoch_us(
+                              TIMESTAMP '2024-01-08 00:00:00')
+                              AS DOUBLE) / 86400000000) * 86400
+                     AS BIGINT)) AS p
+            FROM events
+            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
+              AND ts > TIMESTAMP '2024-01-08 00:00:00'
+                  - INTERVAL 604800 SECOND
+        ), b AS (
+            SELECT user_id, p,
+                   unnest(generate_series(p,
+                       p + INTERVAL 518400 SECOND,
+                       INTERVAL 86400 SECOND)) AS wt
+            FROM dd
+        ), g AS (
+            SELECT wt, user_id,
+                   MAX(CASE WHEN p = wt THEN 1 ELSE 0 END) AS mi
+            FROM b
+            WHERE wt BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+                         AND TIMESTAMP '2024-01-25 00:00:00'
+            GROUP BY wt, user_id
+        )
+        SELECT wt AS ts,
+               SUM(mi)::BIGINT AS dcount_activities_inner,
+               COUNT(*) AS dcount_activities_outer,
+               CAST(SUM(mi) AS DOUBLE) / COUNT(*) AS activity_ratio
+        FROM g GROUP BY wt
     """,
     "kql_session_count": """
         WITH f AS (

@@ -1428,6 +1428,43 @@ def test_review_fixes_round6(spark):
             kql_to_sql(bad)
 
 
+def test_activity_engagement(spark):
+    """Round-6: activity_engagement — inner/outer distinct ratio over
+    whole bins (2-day outer, 1-day inner on a tiny frame)."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, timestamp'2024-01-01 10:00:00'),"
+        " (2, timestamp'2024-01-01 11:00:00'),"
+        " (1, timestamp'2024-01-02 10:00:00')"
+        " AS t(id, ts)"
+    ).createOrReplaceTempView("ae_t")
+    rows = kql(
+        spark,
+        "ae_t | evaluate activity_engagement(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-03), 1d, 2d)",
+    ).collect()
+    got = {
+        str(r["ts"])[:10]: (
+            r["dcount_activities_inner"],
+            r["dcount_activities_outer"],
+            round(r["activity_ratio"], 3),
+        )
+        for r in rows
+    }
+    # day1: inner {1,2} outer {1,2}; day2: inner {1}, outer {1,2};
+    # day3: inner {}, outer {1} (day2's activity still in window)
+    assert got == {
+        "2024-01-01": (2, 2, 1.0),
+        "2024-01-02": (1, 2, 0.5),
+        "2024-01-03": (0, 1, 0.0),
+    }
+    with pytest.raises(ValueError, match="whole-second multiple"):
+        kql_to_sql(
+            "t | evaluate activity_engagement(id, ts,"
+            " datetime(2024-01-01), datetime(2024-01-03), 5h, 12h)"
+        )
+
+
 def test_session_count(spark):
     """Round-6: session_count — sessions active at aligned points;
     in-session gaps <= lookback make [first, last+lookback) exact."""
