@@ -3977,6 +3977,97 @@ def kql_to_sql(
                 )
                 sql = unions
                 continue
+            amm = re.match(
+                r"activity_metrics\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if amm:
+                # `evaluate activity_metrics(Id, Timeline, Start, End,
+                # Window)` — per period: distinct actives, NEW actives
+                # (first period of that Id within the analyzed range),
+                # retention (share of the previous period's actives
+                # still active) and churn (1 − retention; 0 when there
+                # is no previous period — documented refinement).
+                # Shape: dedupe (id, period), then three key-
+                # partitioned aggregations and one co-partitioned
+                # (id, period−window) self equi-join — no windows over
+                # the fact table, no per-period rescans.
+                ma = [s.strip() for s in _split_top_level(amm.group(1))]
+                if len(ma) != 5:
+                    raise ValueError(
+                        "activity_metrics needs (id, timeline, start,"
+                        f" end, window): {ma!r}"
+                    )
+                idc, tc, start_k, end_k, win_k = ma
+                if not re.match(r"^\w+$", idc) or not re.match(
+                    r"^\w+$", tc
+                ):
+                    raise ValueError(
+                        "activity_metrics id/timeline must be plain"
+                        f" columns: {idc!r}, {tc!r}"
+                    )
+                wm_ = re.match(rf"^{_TS_LIT}$", win_k)
+                if not wm_:
+                    raise ValueError(
+                        "activity_metrics window must be a timespan"
+                        f" literal: {win_k!r}"
+                    )
+                from decimal import Decimal
+
+                wins = Decimal(_ts_lit_seconds(wm_.group(1), wm_.group(2)))
+                if wins <= 0 or wins != int(wins):
+                    raise ValueError(
+                        f"activity_metrics: whole-second window only:"
+                        f" {win_k!r}"
+                    )
+                wsec = int(wins)
+                start_sql = _expr(start_k)
+                end_sql = _expr(end_k)
+                pbin = (
+                    f"({start_sql} + make_dt_interval(0, 0, 0,"
+                    f" CAST(floor(CAST(unix_micros({tc})"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {wsec * 1000000}) * {wsec} AS"
+                    " DECIMAL(18, 6))))"
+                )
+                dd = (
+                    f"SELECT DISTINCT {idc}, {pbin} AS _p"
+                    f" FROM {prev}"
+                    f" WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
+                )
+                cnts = (
+                    f"SELECT _p, COUNT(*) AS _dc FROM ({dd})"
+                    f" AS _amd{i} GROUP BY _p"
+                )
+                news = (
+                    f"SELECT _fp AS _p, COUNT(*) AS _nv FROM ("
+                    f"SELECT {idc}, MIN(_p) AS _fp FROM ({dd})"
+                    f" AS _amf{i} GROUP BY {idc}) AS _amn{i}"
+                    f" GROUP BY _fp"
+                )
+                rets = (
+                    f"SELECT _a._p, COUNT(*) AS _rt FROM ({dd}) AS _a"
+                    f" JOIN ({dd}) AS _b ON _b.{idc} = _a.{idc}"
+                    f" AND _b._p = _a._p - INTERVAL '{wsec}' SECOND"
+                    f" GROUP BY _a._p"
+                )
+                sql = (
+                    f"SELECT _c._p AS {tc},"
+                    " _c._dc AS dcount_values,"
+                    " coalesce(_n._nv, CAST(0 AS BIGINT))"
+                    " AS dcount_newvalues,"
+                    " coalesce(CAST(_r._rt AS DOUBLE) / _pc._dc,"
+                    " CAST(0 AS DOUBLE)) AS retention_rate,"
+                    " coalesce(CAST(_pc._dc - coalesce(_r._rt,"
+                    " CAST(0 AS BIGINT)) AS DOUBLE) / _pc._dc,"
+                    " CAST(0 AS DOUBLE)) AS churn_rate"
+                    f" FROM ({cnts}) AS _c"
+                    f" LEFT JOIN ({news}) AS _n ON _n._p = _c._p"
+                    f" LEFT JOIN ({cnts}) AS _pc ON _pc._p = _c._p"
+                    f" - INTERVAL '{wsec}' SECOND"
+                    f" LEFT JOIN ({rets}) AS _r ON _r._p = _c._p"
+                )
+                continue
             aem = re.match(
                 r"activity_engagement\s*\((.+)\)\s*$", body,
                 re.IGNORECASE | re.DOTALL,
@@ -7702,6 +7793,19 @@ def q_kql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate activity_metrics` (round-6): per-day actives, new
+    actives, retention and churn — dedupe (id, period) + three
+    grouped aggs + one co-partitioned (id, period−window) self
+    equi-join. Exact integer ratios."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate activity_metrics(user_id, ts,"
+        " datetime(2024-01-05), datetime(2024-01-25), 1d)",
+    )
+
+
 def q_kql_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate activity_engagement` (round-6): daily-over-weekly
     active-user ratio (DAU/WAU) — dedupe (id, day), bounded explode
@@ -7801,6 +7905,7 @@ QUERIES = {
     "kql_active_users": q_kql_active_users,
     "kql_session_count": q_kql_session_count,
     "kql_engagement": q_kql_engagement,
+    "kql_activity_metrics": q_kql_activity_metrics,
     "kql_funnel": q_kql_funnel,
     "kql_ipv4_lookup": q_kql_ipv4_lookup,
     "kql_find": q_kql_find,
@@ -8827,6 +8932,43 @@ ORACLE = {
         SELECT fp, 'click', COUNT(*) FROM g2 GROUP BY fp
         UNION ALL
         SELECT fp, 'purchase', COUNT(*) FROM g3 GROUP BY fp
+    """,
+    "kql_activity_metrics": """
+        WITH dd AS (
+            SELECT DISTINCT user_id,
+                   TIMESTAMP '2024-01-05 00:00:00'
+                   + to_seconds(CAST(floor(
+                         CAST(epoch_us(ts) - epoch_us(
+                              TIMESTAMP '2024-01-05 00:00:00')
+                              AS DOUBLE) / 86400000000) * 86400
+                     AS BIGINT)) AS p
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+        ), cnts AS (
+            SELECT p, COUNT(*) AS dc FROM dd GROUP BY p
+        ), news AS (
+            SELECT fp AS p, COUNT(*) AS nv FROM (
+                SELECT user_id, MIN(p) AS fp FROM dd GROUP BY user_id
+            ) GROUP BY fp
+        ), rets AS (
+            SELECT a.p, COUNT(*) AS rt
+            FROM dd a JOIN dd b
+              ON b.user_id = a.user_id
+             AND b.p = a.p - INTERVAL 86400 SECOND
+            GROUP BY a.p
+        )
+        SELECT c.p AS ts, c.dc AS dcount_values,
+               coalesce(n.nv, CAST(0 AS BIGINT)) AS dcount_newvalues,
+               coalesce(CAST(r.rt AS DOUBLE) / pc.dc,
+                        CAST(0 AS DOUBLE)) AS retention_rate,
+               coalesce(CAST(pc.dc - coalesce(r.rt,
+                        CAST(0 AS BIGINT)) AS DOUBLE) / pc.dc,
+                        CAST(0 AS DOUBLE)) AS churn_rate
+        FROM cnts c
+        LEFT JOIN news n ON n.p = c.p
+        LEFT JOIN cnts pc ON pc.p = c.p - INTERVAL 86400 SECOND
+        LEFT JOIN rets r ON r.p = c.p
     """,
     "kql_engagement": """
         WITH dd AS (

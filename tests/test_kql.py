@@ -1428,6 +1428,39 @@ def test_review_fixes_round6(spark):
             kql_to_sql(bad)
 
 
+def test_activity_metrics(spark):
+    """Round-6: activity_metrics — actives/new/retention/churn per
+    period on a hand-checked frame."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, timestamp'2024-01-01 10:00:00'),"
+        " (2, timestamp'2024-01-01 11:00:00'),"
+        " (1, timestamp'2024-01-02 10:00:00'),"
+        " (3, timestamp'2024-01-02 11:00:00')"
+        " AS t(id, ts)"
+    ).createOrReplaceTempView("am_t")
+    rows = kql(
+        spark,
+        "am_t | evaluate activity_metrics(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-03), 1d)",
+    ).collect()
+    got = {
+        str(r["ts"])[:10]: (
+            r["dcount_values"],
+            r["dcount_newvalues"],
+            round(r["retention_rate"], 3),
+            round(r["churn_rate"], 3),
+        )
+        for r in rows
+    }
+    # day1: {1,2} all new, no previous -> retention/churn 0
+    # day2: {1,3}, new {3}; retained {1} of day1's 2 -> 0.5/0.5
+    assert got == {
+        "2024-01-01": (2, 2, 0.0, 0.0),
+        "2024-01-02": (2, 1, 0.5, 0.5),
+    }
+
+
 def test_activity_engagement(spark):
     """Round-6: activity_engagement — inner/outer distinct ratio over
     whole bins (2-day outer, 1-day inner on a tiny frame)."""
