@@ -3977,6 +3977,87 @@ def kql_to_sql(
                 )
                 sql = unions
                 continue
+            nam = re.match(
+                r"new_activity_metrics\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if nam:
+                # `evaluate new_activity_metrics(Id, Timeline, Start,
+                # End, Window)` — the cohort-retention matrix: for
+                # each (from, to) period pair, the cohort size (Ids
+                # FIRST seen in `from`) and how many of them were
+                # active in `to`, plus retention/churn. Shape: dedupe
+                # (id, period), per-id first period, then ONE
+                # co-partitioned join of firsts back to activity —
+                # the (from, to) matrix is at most (range/window)²
+                # rows, never a fact-table blowup.
+                na_ = [s.strip() for s in _split_top_level(nam.group(1))]
+                if len(na_) != 5:
+                    raise ValueError(
+                        "new_activity_metrics needs (id, timeline,"
+                        f" start, end, window): {na_!r}"
+                    )
+                idc, tc, start_k, end_k, win_k = na_
+                if not re.match(r"^\w+$", idc) or not re.match(
+                    r"^\w+$", tc
+                ):
+                    raise ValueError(
+                        "new_activity_metrics id/timeline must be"
+                        f" plain columns: {idc!r}, {tc!r}"
+                    )
+                wm_ = re.match(rf"^{_TS_LIT}$", win_k)
+                if not wm_:
+                    raise ValueError(
+                        "new_activity_metrics window must be a"
+                        f" timespan literal: {win_k!r}"
+                    )
+                from decimal import Decimal
+
+                wins = Decimal(_ts_lit_seconds(wm_.group(1), wm_.group(2)))
+                if wins <= 0 or wins != int(wins):
+                    raise ValueError(
+                        "new_activity_metrics: whole-second window"
+                        f" only: {win_k!r}"
+                    )
+                wsec = int(wins)
+                start_sql = _expr(start_k)
+                end_sql = _expr(end_k)
+                pbin = (
+                    f"({start_sql} + make_dt_interval(0, 0, 0,"
+                    f" CAST(floor(CAST(unix_micros({tc})"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {wsec * 1000000}) * {wsec} AS"
+                    " DECIMAL(18, 6))))"
+                )
+                dd = (
+                    f"SELECT DISTINCT {idc}, {pbin} AS _p"
+                    f" FROM {prev}"
+                    f" WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
+                )
+                firsts = (
+                    f"SELECT {idc}, MIN(_p) AS _fp FROM ({dd})"
+                    f" AS _naf{i} GROUP BY {idc}"
+                )
+                ret = (
+                    f"SELECT _f._fp, _d._p, COUNT(*) AS _ret"
+                    f" FROM ({firsts}) AS _f JOIN ({dd}) AS _d"
+                    f" ON _d.{idc} = _f.{idc}"
+                    f" GROUP BY _f._fp, _d._p"
+                )
+                sql = (
+                    f"SELECT _r._fp AS from_{tc}, _r._p AS to_{tc},"
+                    " _c._nv AS dcount_new_values,"
+                    " _r._ret AS dcount_retained_values,"
+                    " CAST(_r._ret AS DOUBLE) / _c._nv"
+                    " AS retention_rate,"
+                    " CAST(_c._nv - _r._ret AS DOUBLE) / _c._nv"
+                    " AS churn_rate"
+                    f" FROM ({ret}) AS _r JOIN ("
+                    f"SELECT _fp, COUNT(*) AS _nv FROM ({firsts})"
+                    f" AS _nac{i} GROUP BY _fp) AS _c"
+                    " ON _c._fp = _r._fp"
+                )
+                continue
             amm = re.match(
                 r"activity_metrics\s*\((.+)\)\s*$", body,
                 re.IGNORECASE | re.DOTALL,
@@ -7793,6 +7874,20 @@ def q_kql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate new_activity_metrics` (round-6): the weekly cohort-
+    retention matrix — per (from, to) period pair, cohort size (first
+    seen in `from`) and retained actives, with exact integer ratios.
+    Dedupe + per-id first + one co-partitioned join; the matrix is
+    bounded by (range/window)²."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate new_activity_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-29), 7d)",
+    )
+
+
 def q_kql_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate activity_metrics` (round-6): per-day actives, new
     actives, retention and churn — dedupe (id, period) + three
@@ -7906,6 +8001,7 @@ QUERIES = {
     "kql_session_count": q_kql_session_count,
     "kql_engagement": q_kql_engagement,
     "kql_activity_metrics": q_kql_activity_metrics,
+    "kql_cohort_retention": q_kql_cohort_retention,
     "kql_funnel": q_kql_funnel,
     "kql_ipv4_lookup": q_kql_ipv4_lookup,
     "kql_find": q_kql_find,
@@ -8932,6 +9028,34 @@ ORACLE = {
         SELECT fp, 'click', COUNT(*) FROM g2 GROUP BY fp
         UNION ALL
         SELECT fp, 'purchase', COUNT(*) FROM g3 GROUP BY fp
+    """,
+    "kql_cohort_retention": """
+        WITH dd AS (
+            SELECT DISTINCT user_id,
+                   TIMESTAMP '2024-01-01 00:00:00'
+                   + to_seconds(CAST(floor(
+                         CAST(epoch_us(ts) - epoch_us(
+                              TIMESTAMP '2024-01-01 00:00:00')
+                              AS DOUBLE) / 604800000000) * 604800
+                     AS BIGINT)) AS p
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-29 00:00:00'
+        ), firsts AS (
+            SELECT user_id, MIN(p) AS fp FROM dd GROUP BY user_id
+        ), coh AS (
+            SELECT fp, COUNT(*) AS nv FROM firsts GROUP BY fp
+        ), ret AS (
+            SELECT f.fp, d.p, COUNT(*) AS rt
+            FROM firsts f JOIN dd d ON d.user_id = f.user_id
+            GROUP BY f.fp, d.p
+        )
+        SELECT r.fp AS from_ts, r.p AS to_ts,
+               c.nv AS dcount_new_values,
+               r.rt AS dcount_retained_values,
+               CAST(r.rt AS DOUBLE) / c.nv AS retention_rate,
+               CAST(c.nv - r.rt AS DOUBLE) / c.nv AS churn_rate
+        FROM ret r JOIN coh c ON c.fp = r.fp
     """,
     "kql_activity_metrics": """
         WITH dd AS (

@@ -1428,6 +1428,38 @@ def test_review_fixes_round6(spark):
             kql_to_sql(bad)
 
 
+def test_new_activity_metrics_cohorts(spark):
+    """Round-6: new_activity_metrics — (from, to) cohort matrix."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, timestamp'2024-01-01 10:00:00'),"
+        " (2, timestamp'2024-01-01 11:00:00'),"
+        " (1, timestamp'2024-01-02 10:00:00'),"
+        " (3, timestamp'2024-01-02 11:00:00')"
+        " AS t(id, ts)"
+    ).createOrReplaceTempView("nam_t")
+    rows = kql(
+        spark,
+        "nam_t | evaluate new_activity_metrics(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-03), 1d)",
+    ).collect()
+    got = {
+        (str(r["from_ts"])[:10], str(r["to_ts"])[:10]): (
+            r["dcount_new_values"],
+            r["dcount_retained_values"],
+            round(r["retention_rate"], 3),
+        )
+        for r in rows
+    }
+    # cohort day1 = {1,2}: day1 2/2 retained, day2 1/2 (id1);
+    # cohort day2 = {3}: day2 1/1
+    assert got == {
+        ("2024-01-01", "2024-01-01"): (2, 2, 1.0),
+        ("2024-01-01", "2024-01-02"): (2, 1, 0.5),
+        ("2024-01-02", "2024-01-02"): (1, 1, 1.0),
+    }
+
+
 def test_activity_metrics(spark):
     """Round-6: activity_metrics — actives/new/retention/churn per
     period on a hand-checked frame."""
