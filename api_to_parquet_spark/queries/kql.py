@@ -3305,6 +3305,7 @@ def kql_to_sql(
             # compile to one nested SELECT pair; other extend items in
             # the same stage ride along in the outer layer.
             rank_items = {}
+            sess_items = {}
             for c in ext_items:
                 rm_ = re.match(
                     r"(\w+)\s*=\s*row_rank_(dense|min)"
@@ -3313,10 +3314,28 @@ def kql_to_sql(
                 )
                 if rm_:
                     rank_items[c] = rm_.groups()
-            if rank_items:
+                    continue
+                # row_window_session(tcol, maxGap) — each row tagged
+                # with its session's START timestamp (a new session
+                # opens when the gap to the previous row exceeds
+                # maxGap). Same two-layer shape as row_rank_* (a LAG
+                # gap flag, then a running MAX of flagged starts).
+                sm_ = re.match(
+                    r"(\w+)\s*=\s*row_window_session"
+                    rf"\(\s*(\w+)\s*,\s*({_TS_LIT})\s*\)\s*$",
+                    c.strip(),
+                )
+                if sm_:
+                    sess_items[c] = (
+                        sm_.group(1),
+                        sm_.group(2),
+                        _ts_lit_seconds(sm_.group(4), sm_.group(5)),
+                    )
+            if rank_items or sess_items:
                 if order_keys is None:
                     raise ValueError(
-                        "row_rank_* needs a preceding sort by"
+                        "row_rank_* / row_window_session need a"
+                        " preceding sort by"
                     )
                 over = f"OVER (ORDER BY {', '.join(order_keys)})"
                 run = (
@@ -3326,13 +3345,20 @@ def kql_to_sql(
                 cols_needed = sorted(
                     {t for _, _, t in rank_items.values()}
                 )
-                chgs = ", ".join(
+                chg_list = [
                     f"IF({t} IS DISTINCT FROM LAG({t}) {over}, 1, 0)"
                     f" AS _rchg_{t}" for t in cols_needed
-                )
+                ]
+                for nm, tcol, gaps in sess_items.values():
+                    chg_list.append(
+                        f"IF(LAG({tcol}) {over} IS NULL"
+                        f" OR {tcol} - LAG({tcol}) {over} >"
+                        f" INTERVAL '{gaps}' SECOND, 1, 0)"
+                        f" AS _schg_{nm}"
+                    )
                 inner = (
                     f"SELECT *, ROW_NUMBER() {over} AS _rrn,"
-                    f" {chgs} FROM {prev}"
+                    f" {', '.join(chg_list)} FROM {prev}"
                 )
                 outs = []
                 for c in ext_items:
@@ -3349,6 +3375,12 @@ def kql_to_sql(
                                 f" THEN _rrn END) {run} AS BIGINT)"
                                 f" AS {nm}"
                             )
+                    elif c in sess_items:
+                        nm, tcol, _gaps = sess_items[c]
+                        outs.append(
+                            f"MAX(CASE WHEN _schg_{nm} = 1"
+                            f" THEN {tcol} END) {run} AS {nm}"
+                        )
                     else:
                         m2 = re.match(r"(\w+)\s*=\s*(.+)$", c)
                         if not m2:
@@ -3360,7 +3392,12 @@ def kql_to_sql(
                             f" AS {m2.group(1)}"
                         )
                 helpers = ", ".join(
-                    ["_rrn"] + [f"_rchg_{t}" for t in cols_needed]
+                    ["_rrn"]
+                    + [f"_rchg_{t}" for t in cols_needed]
+                    + [
+                        f"_schg_{nm}"
+                        for nm, _, _ in sess_items.values()
+                    ]
                 )
                 sql = (
                     f"SELECT * EXCEPT ({helpers}), {', '.join(outs)}"
@@ -7874,6 +7911,21 @@ def q_kql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_row_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_window_session (round-6): each row tagged with its
+    session's start timestamp (30-minute idle gap) over the serialized
+    order — a LAG gap flag + running MAX, the row_rank_* two-layer
+    shape. Global order is inherent to serialize semantics."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 3000"
+        " | sort by ts asc, event_id asc"
+        " | extend s = row_window_session(ts, 30m)"
+        " | project event_id, s",
+    )
+
+
 def q_kql_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate new_activity_metrics` (round-6): the weekly cohort-
     retention matrix — per (from, to) period pair, cohort size (first
@@ -8002,6 +8054,7 @@ QUERIES = {
     "kql_engagement": q_kql_engagement,
     "kql_activity_metrics": q_kql_activity_metrics,
     "kql_cohort_retention": q_kql_cohort_retention,
+    "kql_row_window_session": q_kql_row_window_session,
     "kql_funnel": q_kql_funnel,
     "kql_ipv4_lookup": q_kql_ipv4_lookup,
     "kql_find": q_kql_find,
@@ -9028,6 +9081,23 @@ ORACLE = {
         SELECT fp, 'click', COUNT(*) FROM g2 GROUP BY fp
         UNION ALL
         SELECT fp, 'purchase', COUNT(*) FROM g3 GROUP BY fp
+    """,
+    "kql_row_window_session": """
+        WITH i AS (
+            SELECT event_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                        OR ts - LAG(ts) OVER w
+                           > INTERVAL 1800 SECOND
+                        THEN 1 ELSE 0 END AS chg
+            FROM events WHERE event_id < 3000
+            WINDOW w AS (ORDER BY ts, event_id)
+        )
+        SELECT event_id,
+               MAX(CASE WHEN chg = 1 THEN ts END)
+               OVER (ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS s
+        FROM i
     """,
     "kql_cohort_retention": """
         WITH dd AS (

@@ -1662,6 +1662,30 @@ def test_format_datetime_adx_tokens(spark):
     assert r["b"] == "02:07 PM"
 
 
+def test_row_window_session(spark):
+    """Round-6: row_window_session — session-start tagging over the
+    serialized order; composes with other extend items."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, timestamp'2024-01-01 10:00:00'),"
+        " (2, timestamp'2024-01-01 10:30:00'),"
+        " (3, timestamp'2024-01-01 13:00:00')"
+        " AS t(i, ts)"
+    ).createOrReplaceTempView("rws_t")
+    rows = kql(
+        spark,
+        "rws_t | sort by ts asc"
+        " | extend s = row_window_session(ts, 1h), rn = row_number()",
+    ).collect()
+    assert [(r["i"], str(r["s"])[:16], r["rn"]) for r in rows] == [
+        (1, "2024-01-01 10:00", 1),
+        (2, "2024-01-01 10:00", 2),
+        (3, "2024-01-01 13:00", 3),
+    ]
+    with pytest.raises(ValueError, match="sort by"):
+        kql_to_sql("t | extend s = row_window_session(ts, 1h)")
+
+
 def test_row_rank_run_length(spark):
     """Round-6: row_rank_dense/min rank by CHANGES of the term — a
     recurring value gets a NEW rank (not SQL dense_rank's re-sort)."""
