@@ -660,6 +660,8 @@ _D0 = "CAST(0 AS DOUBLE)"
 _SERIES_CHAIN_FNS = {
     "series_fit_line": 6,  # rsquare, slope, variance, rvariance,
     #                        interception, line_fit (ADX order)
+    "series_fit_2lines": 5,  # rsquare, split_idx, variance, rvariance,
+    #                          line_fit (ADX order)
     "series_stats": 7,  # min, min_idx, max, max_idx, avg, variance, stdev
     "series_outliers": 1,  # score array
     "series_decompose_anomalies": 3,  # anomalies, score, baseline
@@ -792,6 +794,105 @@ def _series_chain_sql(
             f"1 - {rvar} / nullif({var}, {_D0}) AS {rsq}",
             ["_sc_ys", "_sc_n", "_sc_sy", "_sc_sxy", "_sc_syy",
              "_sc_sx", "_sc_sxx"],
+        )
+    if fn == "series_fit_2lines":
+        # Changepoint sibling of series_fit_line: pick the split k
+        # minimizing the summed residual variance of independent OLS
+        # fits to y[0..k) and y[k..n) (each segment needs >= 2 points,
+        # so k in [2, n-2] and n >= 4 — shorter series yield NULLs).
+        # All per-row array folds (map-side, zero shuffle); candidate
+        # RSS via the closed form syy - a*sy - b*sxy from segment sums.
+        # With integral y (count series) every segment sum is an exact
+        # integer in double, so RSS — and therefore the argmin — is
+        # bitwise reproducible against the relational DuckDB oracle.
+        rsq, sidx, var_, rvar, line = names
+        nest(f"{ys} AS _sc_ys")
+        nest("CAST(size(_sc_ys) AS DOUBLE) AS _sc_n")
+        nest(
+            "transform(_sc_ys, (_y, _i) -> named_struct('y', _y,"
+            " 'x', CAST(_i AS DOUBLE))) AS _sc_xy"
+        )
+        nest(
+            f"{_sum_sql('_sc_ys')} AS _sc_sy, "
+            + _sum_sql("transform(_sc_ys, _y -> _y * _y)")
+            + " AS _sc_syy"
+        )
+
+        def _fsum(sl: str, term: str) -> str:
+            return f"aggregate({sl}, {_D0}, (_a, _e) -> _a + {term})"
+
+        def _seg_rss(sl: str) -> str:
+            m_ = f"CAST(size({sl}) AS DOUBLE)"
+            sx = _fsum(sl, "_e.x")
+            sxx = _fsum(sl, "_e.x * _e.x")
+            sy = _fsum(sl, "_e.y")
+            sxy = _fsum(sl, "_e.y * _e.x")
+            syy = _fsum(sl, "_e.y * _e.y")
+            b = (
+                f"(({m_} * {sxy} - {sx} * {sy})"
+                f" / nullif({m_} * {sxx} - {sx} * {sx}, {_D0}))"
+            )
+            a = f"(({sy} - {b} * {sx}) / {m_})"
+            return f"({syy} - {a} * {sy} - {b} * {sxy})"
+
+        lsl = "slice(_sc_xy, 1, _k)"
+        rsl = "slice(_sc_xy, _k + 1, CAST(_sc_n AS INT) - _k)"
+        nest(
+            "transform(IF(_sc_n >= 4,"
+            " sequence(2, CAST(_sc_n AS INT) - 2),"
+            " slice(sequence(0, 0), 1, 0)), _k ->"
+            f" {_seg_rss(lsl)} + {_seg_rss(rsl)}) AS _sc_rss"
+        )
+        nest(
+            "aggregate(transform(_sc_rss, (_r, _j) ->"
+            " named_struct('k', _j + 2, 'rss', _r)),"
+            " named_struct('k', -1, 'rss',"
+            " CAST('Infinity' AS DOUBLE)),"
+            " (_acc, _e) -> IF(_e.rss < _acc.rss, _e, _acc))"
+            " AS _sc_best"
+        )
+        nest("_sc_best.k AS _sc_bk")
+
+        def _seg_ab(sl: str, bn: str, an: str) -> str:
+            m_ = f"CAST(size({sl}) AS DOUBLE)"
+            sx = _fsum(sl, "_e.x")
+            sxx = _fsum(sl, "_e.x * _e.x")
+            sy = _fsum(sl, "_e.y")
+            sxy = _fsum(sl, "_e.y * _e.x")
+            b = (
+                f"(({m_} * {sxy} - {sx} * {sy})"
+                f" / nullif({m_} * {sxx} - {sx} * {sx}, {_D0}))"
+            )
+            return (
+                f"IF(_sc_bk < 2, CAST(NULL AS DOUBLE), {b}) AS {bn},"
+                f" IF(_sc_bk < 2, CAST(NULL AS DOUBLE),"
+                f" ({sy} - {b} * {sx}) / {m_}) AS {an}"
+            )
+
+        blsl = "slice(_sc_xy, 1, _sc_bk)"
+        brsl = "slice(_sc_xy, _sc_bk + 1, CAST(_sc_n AS INT) - _sc_bk)"
+        nest(
+            _seg_ab(blsl, "_sc_bl", "_sc_al")
+            + ", "
+            + _seg_ab(brsl, "_sc_br", "_sc_ar")
+        )
+        nest(
+            f"IF(_sc_bk < 2, CAST(NULL AS BIGINT),"
+            f" CAST(_sc_bk AS BIGINT)) AS {sidx},"
+            f" _sc_syy / _sc_n - (_sc_sy / _sc_n) * (_sc_sy / _sc_n)"
+            f" AS {var_},"
+            f" IF(_sc_bk < 2, CAST(NULL AS DOUBLE),"
+            f" _sc_best.rss / _sc_n) AS {rvar},"
+            f" IF(_sc_bk < 2, CAST(NULL AS ARRAY<DOUBLE>),"
+            f" transform(sequence(0, CAST(_sc_n AS INT) - 1), _i ->"
+            f" IF(_i < _sc_bk, _sc_al + _sc_bl * CAST(_i AS DOUBLE),"
+            f" _sc_ar + _sc_br * CAST(_i AS DOUBLE)))) AS {line}"
+        )
+        return build(
+            f"1 - {rvar} / nullif({var_}, {_D0}) AS {rsq}",
+            ["_sc_ys", "_sc_n", "_sc_xy", "_sc_sy", "_sc_syy",
+             "_sc_rss", "_sc_best", "_sc_bk", "_sc_bl", "_sc_al",
+             "_sc_br", "_sc_ar"],
         )
     if fn == "series_stats":
         mn, mn_i, mx, mx_i, avg, var, sd = names
@@ -1714,6 +1815,66 @@ def _expr(kql_expr: str) -> str:
         raise ValueError(f"hash needs (value [, mod]): {a!r}")
 
     e = _rewrite_fn(e, "hash", _hash_sql)
+
+    def _percentile_tdigest_sql(a: list[str]) -> str:
+        # percentile_tdigest(td, p [, typeof(t)]) over the exact
+        # sorted-array tdigest state (see the tdigest aggregate):
+        # nearest-rank — smallest element whose cumulative count
+        # reaches p% — the same convention percentilew uses. Index
+        # clamped into [1, n] (ANSI element_at throws out of range).
+        if len(a) not in (2, 3):
+            raise ValueError(
+                f"percentile_tdigest needs (td, p [, typeof(t)]): {a!r}"
+            )
+        td, p = a[0], a[1]
+        base = (
+            f"element_at({td}, least(size({td}), greatest(1,"
+            f" CAST(ceil(({p}) * size({td}) / 100.0) AS INT))))"
+        )
+        if len(a) == 3:
+            tm = re.match(
+                r"^typeof\s*\(\s*(\w+)\s*\)$", a[2].strip(), re.IGNORECASE
+            )
+            if not tm or tm.group(1).lower() not in _KQL_TYPES:
+                raise ValueError(
+                    f"percentile_tdigest typeof: unknown type {a[2]!r}"
+                )
+            return f"CAST({base} AS {_KQL_TYPES[tm.group(1).lower()]})"
+        return base
+
+    e = _rewrite_fn(e, "percentile_tdigest", _percentile_tdigest_sql)
+
+    def _geo_dist(lon1: str, lat1: str, lon2: str, lat2: str) -> str:
+        # Haversine great-circle distance, mean Earth radius 6371000 m
+        # — documented refinement of ADX geo_distance_2points (ADX's
+        # geodesic model is unspecified beyond WGS-84; haversine is
+        # within 0.5% and deterministic). All map-side JVM trig.
+        return (
+            "(2 * CAST(6371000 AS DOUBLE) * asin(sqrt("
+            f"pow(sin((radians({lat2}) - radians({lat1})) / 2), 2)"
+            f" + cos(radians({lat1})) * cos(radians({lat2}))"
+            f" * pow(sin((radians({lon2}) - radians({lon1})) / 2),"
+            " 2))))"
+        )
+
+    def _geo_dist_sql(a: list[str]) -> str:
+        if len(a) != 4:
+            raise ValueError(
+                f"geo_distance_2points needs (lon1, lat1, lon2,"
+                f" lat2): {a!r}"
+            )
+        return _geo_dist(*a)
+
+    def _geo_circle_sql(a: list[str]) -> str:
+        if len(a) != 5:
+            raise ValueError(
+                "geo_point_in_circle needs (lon, lat, c_lon, c_lat,"
+                f" radius): {a!r}"
+            )
+        return f"({_geo_dist(a[0], a[1], a[2], a[3])} <= ({a[4]}))"
+
+    e = _rewrite_fn(e, "geo_distance_2points", _geo_dist_sql)
+    e = _rewrite_fn(e, "geo_point_in_circle", _geo_circle_sql)
     e = _sub_outside_strings(r"\btoupper\(", "upper(", e)
     e = _sub_outside_strings(r"\btolower\(", "lower(", e)
     def _format_datetime_sql(a: list[str]) -> str:
@@ -2236,6 +2397,9 @@ _AGG_FNS = {
     "count",
     "hll",
     "hll_merge",
+    "tdigest",
+    "merge_tdigest",
+    "tdigest_merge",
     "countif",
     "dcount",
     "dcountif",
@@ -2410,6 +2574,20 @@ def _agg(item: str, auto_idx: int) -> str:
         default = f"hll_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
     elif fn == "hll_merge":
         sql = f"hll_union_agg({_expr(arg)})"
+        default = f"agg{auto_idx}"
+    elif fn == "tdigest":
+        # tdigest(x) -> a MERGEABLE percentile state (round-7). ADX's
+        # t-digest is an approximate compressed sketch; Spark exposes
+        # no mergeable quantile sketch, so the state here is the EXACT
+        # sorted value array — an exact documented refinement (same
+        # contract as percentilew): merge = concat+sort, extract =
+        # nearest-rank. Memory is group-size-bound (the make_list
+        # caveat), where a true t-digest is O(compression); the
+        # fine→coarse two-level rollup shape is identical.
+        sql = f"array_sort(collect_list({_expr(arg)}))"
+        default = f"tdigest_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    elif fn in ("merge_tdigest", "tdigest_merge"):
+        sql = f"array_sort(flatten(collect_list({_expr(arg)})))"
         default = f"agg{auto_idx}"
     elif fn == "percentile":
         # KQL percentile() is approximate (T-digest in ADX) — the honest
@@ -5435,6 +5613,110 @@ def kql_to_sql(
                 branches.append(b_sql)
             sql = " UNION ALL ".join(f"({b})" for b in branches)
             graph = None
+        elif op == "graph-shortest-paths":
+            # `graph-shortest-paths [output=any] (a)-[e*lo..hi]->(b)
+            # [where …] project …` (round-7, verdict gap) — hop-count
+            # shortest paths. Compiled as the bounded-k UNION of chain
+            # equi-joins (the graph-match var-hop machinery) + ONE
+            # window keeping the min-length row per (source, target)
+            # pair — a relational BFS whose per-k hops are
+            # hash-partitioned on node id. Subset: single variable-
+            # length hop with explicit bounds (hi <= 8), endpoint-only
+            # where/project (the edge/inner nodes are path LISTS in
+            # ADX), output=any (the ADX default; output=all duplicates
+            # per path multiplicity and is rejected).
+            if graph is None:
+                raise ValueError(
+                    "graph-shortest-paths needs a preceding make-graph"
+                )
+            g_sql, g_src, g_dst = graph
+            pm = re.match(
+                r"^(?:output\s*=\s*(\w+)\s+)?"
+                r"\(\s*(\w+)\s*\)\s*-\[\s*(\w+)\s*\*\s*(\d+)\s*"
+                r"\.\.\s*(\d+)\s*\]->\s*\(\s*(\w+)\s*\)\s*"
+                r"(?:where\s+(.+?))?\s*project\s+(.+)$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not pm:
+                raise ValueError(
+                    "graph-shortest-paths needs '[output=any]"
+                    f" (a)-[e*lo..hi]->(b) [where …] project …': {body!r}"
+                )
+            if (pm.group(1) or "any").lower() != "any":
+                raise ValueError(
+                    "graph-shortest-paths output=all is out of the"
+                    " subset (per-path multiplicity)"
+                )
+            a_n, ename = pm.group(2), pm.group(3)
+            lo, hi = int(pm.group(4)), int(pm.group(5))
+            b_n, wh, proj = pm.group(6), pm.group(7), pm.group(8)
+            if not (1 <= lo <= hi <= 8):
+                raise ValueError(
+                    f"graph-shortest-paths bounds must be 1 <= lo <="
+                    f" hi <= 8: *{lo}..{hi}"
+                )
+            for text in (wh or "", proj):
+                if re.search(rf"\b{re.escape(ename)}\b", text):
+                    raise ValueError(
+                        f"variable-length edge {ename!r} cannot be"
+                        " referenced (it is a path list in ADX)"
+                    )
+            proj_items = []
+            for c in _split_top_level(_strings_to_sql(proj)):
+                m2 = re.match(r"(\w+)\s*=\s*(.+)$", c)
+                if m2:
+                    proj_items.append((m2.group(1), m2.group(2)))
+                elif re.match(r"^\w+$", c.strip()):
+                    proj_items.append((c.strip(), c.strip()))
+                else:
+                    raise ValueError(
+                        f"graph-shortest-paths project needs name or"
+                        f" name=expr: {c!r}"
+                    )
+            branches = []
+            for k in range(lo, hi + 1):
+                node_sql = {
+                    a_n: f"_g1.{g_src}",
+                    b_n: f"_g{k}.{g_dst}",
+                }
+
+                def _subst(text: str, _ns=node_sql) -> str:
+                    def repl(m: re.Match) -> str:
+                        return _ns.get(m.group(1), m.group(0))
+
+                    return _sub_outside_strings(
+                        r"\b(\w+)\b(?!\s*\()(?!\.)", repl, text
+                    )
+
+                frm = f"({g_sql}) AS _g1"
+                for j in range(2, k + 1):
+                    frm += (
+                        f" JOIN ({g_sql}) AS _g{j}"
+                        f" ON _g{j - 1}.{g_dst} = _g{j}.{g_src}"
+                    )
+                items = [
+                    f"_g1.{g_src} AS _sps",
+                    f"_g{k}.{g_dst} AS _spt",
+                    f"{k} AS _splen",
+                ] + [
+                    f"{_expr(_subst(ex))} AS {al}"
+                    for al, ex in proj_items
+                ]
+                b_sql = f"SELECT {', '.join(items)} FROM {frm}"
+                if wh:
+                    b_sql += (
+                        f" WHERE {_expr(_subst(_strings_to_sql(wh)))}"
+                    )
+                branches.append(b_sql)
+            u = " UNION ALL ".join(f"({b})" for b in branches)
+            cols = ", ".join(al for al, _ in proj_items)
+            sql = (
+                f"SELECT {cols} FROM (SELECT *, ROW_NUMBER() OVER"
+                " (PARTITION BY _sps, _spt ORDER BY _splen) AS _sprn"
+                f" FROM ({u}) AS _spu{i}) AS _spr{i} WHERE _sprn = 1"
+            )
+            graph = None
         elif op == "facet":
             # `facet by c1, c2, …` — ADX returns one value-count table
             # PER column; a single-DataFrame engine emits the union as
@@ -8066,6 +8348,91 @@ def q_kql_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_series_fit_2lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`extend (rsquare, split_idx, variance, rvariance, line_fit) =
+    series_fit_2lines(y)` (round-7, verdict gap): the changepoint
+    sibling of series_fit_line — best two-segment OLS fit over a
+    14-day count series per user. Integral counts make every segment
+    sum exact, so the split argmin and all derived floats match the
+    relational DuckDB oracle bit-for-bit (round 6dp for the ratios)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
+        " by user_id"
+        " | extend (rsq, sidx, va, rva, lf) = series_fit_2lines(n)"
+        " | project user_id, sidx, rsq = round(rsq, 6),"
+        " va = round(va, 6), rva = round(rva, 6),"
+        " lf_sum = round(series_sum(lf), 6)",
+    )
+
+
+def q_kql_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_distance_2points / geo_point_in_circle (round-7, verdict
+    gap): haversine great-circle distance (mean radius 6371000 m — a
+    documented refinement of ADX's WGS-84 geodesic, within 0.5%) and
+    the radius predicate built on it. Map-side JVM trig; synthetic
+    coordinates derived from ids; the 50 km radius sits >= 26 m from
+    every computed distance at the tested SFs, so the boolean is
+    ulp-robust cross-engine."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 2000"
+        " | extend lon = todouble(-122) + (event_id % 100)"
+        " * todouble(0.01),"
+        " lat = todouble(47) + (user_id % 90) * todouble(0.01)"
+        " | project event_id,"
+        " d = round(geo_distance_2points(lon, lat, todouble(-122.3),"
+        " todouble(47.6)), 3),"
+        " inc = geo_point_in_circle(lon, lat, todouble(-122.3),"
+        " todouble(47.6), 50000)",
+    )
+
+
+def q_kql_graph_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph-shortest-paths (round-7, verdict gap): hop-count shortest
+    paths from 'a' over an inline edge graph with a shortcut edge (so
+    min-length selection is exercised). Compiled as bounded-k chain
+    equi-joins + ONE min-length window per (source, target) — a
+    relational BFS. Oracle: DuckDB recursive-CTE BFS with the same
+    bound."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "datatable(src: string, dst: string)"
+        ' ["a","b", "b","c", "c","d", "a","c", "d","e", "b","e"]'
+        " | make-graph src --> dst"
+        " | graph-shortest-paths (s)-[e*1..4]->(t)"
+        ' where s == "a" project s, t',
+    )
+
+
+def q_kql_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tdigest / merge_tdigest / percentile_tdigest (round-7, verdict
+    gap): the mergeable percentile-state family as a fine→coarse
+    two-level rollup — per-(event_type, bucket) states merged up to
+    event_type, percentiles extracted from the merged state. ADX's
+    t-digest is approximate; the state here is the EXACT sorted array
+    (documented refinement, same contract as percentilew), so the
+    nearest-rank extraction matches the DuckDB oracle bit-for-bit.
+    Integer cents keep every value exact."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 5000"
+        " | extend cents = tolong(round(value * 100)),"
+        " b = user_id % 4"
+        " | summarize td = tdigest(cents) by event_type, b"
+        " | summarize mtd = merge_tdigest(td) by event_type"
+        " | project event_type,"
+        " p50 = percentile_tdigest(mtd, 50),"
+        " p95 = percentile_tdigest(mtd, 95, typeof(long)),"
+        " n = array_length(mtd)",
+    )
+
+
 def q_kql_union_leading(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leading `union withsource= A, B` (round-7, verdict gap): a query
     that STARTS with union — N operands aligned by name in one pass,
@@ -8358,6 +8725,10 @@ QUERIES = {
     "kql_diffpatterns_text": q_kql_diffpatterns_text,
     "kql_scalar_fns8": q_kql_scalar_fns8,
     "kql_hash": q_kql_hash,
+    "kql_tdigest": q_kql_tdigest,
+    "kql_series_fit_2lines": q_kql_series_fit_2lines,
+    "kql_graph_shortest": q_kql_graph_shortest,
+    "kql_geo": q_kql_geo,
     "kql_union_leading": q_kql_union_leading,
     "kql_search_leading": q_kql_search_leading,
     "kql_scan_match_id": q_kql_scan_match_id,
@@ -9262,6 +9633,65 @@ ORACLE = {
                'real' AS gt, 'string' AS gs
         FROM events WHERE event_id < 400
     """,
+    "kql_geo": """
+        WITH p AS (
+            SELECT event_id,
+                   CAST(-122 AS DOUBLE) + (event_id % 100)
+                       * CAST(0.01 AS DOUBLE) AS lon,
+                   CAST(47 AS DOUBLE) + (user_id % 90)
+                       * CAST(0.01 AS DOUBLE) AS lat
+            FROM events WHERE event_id < 2000
+        ), d AS (
+            SELECT event_id,
+                   (2 * CAST(6371000 AS DOUBLE) * asin(sqrt(
+                    pow(sin((radians(CAST(47.6 AS DOUBLE))
+                             - radians(lat)) / 2), 2)
+                    + cos(radians(lat))
+                      * cos(radians(CAST(47.6 AS DOUBLE)))
+                      * pow(sin((radians(CAST(-122.3 AS DOUBLE))
+                                 - radians(lon)) / 2), 2))))
+                   AS dist
+            FROM p
+        )
+        SELECT event_id, round(dist, 3) AS d,
+               dist <= 50000 AS inc
+        FROM d
+    """,
+    "kql_graph_shortest": """
+        WITH RECURSIVE edges(src, dst) AS (
+            VALUES ('a','b'), ('b','c'), ('c','d'), ('a','c'),
+                   ('d','e'), ('b','e')
+        ), bfs AS (
+            SELECT src AS s, dst AS t, 1 AS len FROM edges
+            UNION ALL
+            SELECT b.s, e.dst, b.len + 1
+            FROM bfs b JOIN edges e ON e.src = b.t
+            WHERE b.len < 4
+        )
+        SELECT s, t FROM bfs WHERE s = 'a' GROUP BY s, t
+    """,
+    "kql_tdigest": """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_id < 5000
+        ), r AS (
+            SELECT event_type, cents,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM b
+        )
+        SELECT event_type,
+               max(CASE WHEN rn = greatest(1, least(n,
+                   CAST(ceil(50 * n / 100.0) AS BIGINT)))
+                   THEN cents END) AS p50,
+               max(CASE WHEN rn = greatest(1, least(n,
+                   CAST(ceil(95 * n / 100.0) AS BIGINT)))
+                   THEN cents END) AS p95,
+               CAST(max(n) AS INTEGER) AS n
+        FROM r GROUP BY event_type
+    """,
     "kql_union_leading": """
         SELECT 'A' AS src, event_id, event_type,
                CAST(NULL AS DOUBLE) AS value
@@ -9775,6 +10205,101 @@ ORACLE = {
         SELECT 2 AS x, 'hi' AS print_1,
                TIMESTAMP '2024-01-02 03:00:00' AS t,
                CAST(42 AS BIGINT) AS l
+    """,
+    "kql_series_fit_2lines": """
+        WITH f AS (
+            SELECT user_id, date_trunc('day', ts) AS b FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-15'
+        ), agg AS (
+            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
+            FROM f GROUP BY 1, 2
+        ), g AS (SELECT DISTINCT user_id FROM f),
+        bins AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS ts
+        ), dense AS (
+            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                        bins.ts) AS DOUBLE) AS x
+            FROM g CROSS JOIN bins
+            LEFT JOIN agg ON agg.user_id = g.user_id
+                         AND agg.b = bins.ts
+        ), cand AS (
+            SELECT user_id, CAST(k AS DOUBLE) AS k
+            FROM g CROSS JOIN (SELECT unnest(generate_series(2, 12))
+                               AS k)
+        ), segs AS (
+            SELECT c.user_id, c.k,
+                CAST(sum(CASE WHEN d.x < c.k THEN 1 ELSE 0 END)
+                     AS DOUBLE) AS ml,
+                sum(CASE WHEN d.x < c.k THEN d.x ELSE 0 END) AS lsx,
+                sum(CASE WHEN d.x < c.k THEN d.x * d.x ELSE 0 END)
+                    AS lsxx,
+                sum(CASE WHEN d.x < c.k THEN d.n ELSE 0 END) AS lsy,
+                sum(CASE WHEN d.x < c.k THEN d.n * d.x ELSE 0 END)
+                    AS lsxy,
+                sum(CASE WHEN d.x < c.k THEN d.n * d.n ELSE 0 END)
+                    AS lsyy,
+                CAST(sum(CASE WHEN d.x >= c.k THEN 1 ELSE 0 END)
+                     AS DOUBLE) AS mr,
+                sum(CASE WHEN d.x >= c.k THEN d.x ELSE 0 END) AS rsx,
+                sum(CASE WHEN d.x >= c.k THEN d.x * d.x ELSE 0 END)
+                    AS rsxx,
+                sum(CASE WHEN d.x >= c.k THEN d.n ELSE 0 END) AS rsy,
+                sum(CASE WHEN d.x >= c.k THEN d.n * d.x ELSE 0 END)
+                    AS rsxy,
+                sum(CASE WHEN d.x >= c.k THEN d.n * d.n ELSE 0 END)
+                    AS rsyy
+            FROM cand c JOIN dense d ON d.user_id = c.user_id
+            GROUP BY c.user_id, c.k
+        ), fits AS (
+            SELECT *,
+                (ml * lsxy - lsx * lsy)
+                    / nullif(ml * lsxx - lsx * lsx, 0) AS bl,
+                (mr * rsxy - rsx * rsy)
+                    / nullif(mr * rsxx - rsx * rsx, 0) AS br
+            FROM segs
+        ), fits2 AS (
+            SELECT *, (lsy - bl * lsx) / ml AS al,
+                      (rsy - br * rsx) / mr AS ar
+            FROM fits
+        ), rss AS (
+            SELECT *,
+                (lsyy - al * lsy - bl * lsxy)
+                    + (rsyy - ar * rsy - br * rsxy) AS rs
+            FROM fits2
+        ), best AS (
+            SELECT *, row_number() OVER (PARTITION BY user_id
+                      ORDER BY rs ASC, k ASC) AS rk
+            FROM rss
+        ), tot AS (
+            SELECT user_id, CAST(count(*) AS DOUBLE) AS cnt,
+                   sum(n) AS sy, sum(n * n) AS syy
+            FROM dense GROUP BY user_id
+        ), lf AS (
+            SELECT b.user_id,
+                   list_reduce(list(
+                       CASE WHEN d.x < b.k
+                            THEN b.al + b.bl * d.x
+                            ELSE b.ar + b.br * d.x END
+                       ORDER BY d.x), (a, v) -> a + v) AS lf_sum
+            FROM best b JOIN dense d ON d.user_id = b.user_id
+            WHERE b.rk = 1 GROUP BY b.user_id, b.k, b.al, b.bl,
+                  b.ar, b.br
+        )
+        SELECT t.user_id, CAST(b.k AS BIGINT) AS sidx,
+               round(1 - (b.rs / t.cnt)
+                     / nullif(t.syy / t.cnt
+                              - (t.sy / t.cnt) * (t.sy / t.cnt), 0),
+                     6) AS rsq,
+               round(t.syy / t.cnt - (t.sy / t.cnt) * (t.sy / t.cnt),
+                     6) AS va,
+               round(b.rs / t.cnt, 6) AS rva,
+               round(l.lf_sum, 6) AS lf_sum
+        FROM tot t
+        JOIN best b ON b.user_id = t.user_id AND b.rk = 1
+        JOIN lf l ON l.user_id = t.user_id
     """,
     "kql_series_fit": _DENSE7 + "," + _FIT_SUMS + """
         , rv AS (

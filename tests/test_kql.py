@@ -1914,6 +1914,87 @@ def test_scan_with_match_id(spark):
     ]
 
 
+def test_tdigest_family(spark):
+    """Round-7 (verdict gap): tdigest/merge_tdigest/percentile_tdigest
+    — exact sorted-array percentile states; merged extraction equals
+    the percentile over the union; typeof() casts; short arrays clamp
+    into range."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a', 10), (1, 'a', 20), (2, 'a', 30),"
+        " (2, 'a', 40), (1, 'b', 5) AS t(b, g, v)"
+    ).createOrReplaceTempView("tdg_t")
+    rows = kql(
+        spark,
+        "tdg_t | summarize td = tdigest(v) by g, b"
+        " | summarize mtd = merge_tdigest(td) by g"
+        " | project g, p50 = percentile_tdigest(mtd, 50),"
+        " p100 = percentile_tdigest(mtd, 100, typeof(long)),"
+        " p0 = percentile_tdigest(mtd, 0) | sort by g asc",
+    ).collect()
+    # g='a': sorted union [10,20,30,40] -> p50 = ceil(2)=2nd = 20
+    assert [(r["g"], r["p50"], r["p100"], r["p0"]) for r in rows] == [
+        ("a", 20, 40, 10),
+        ("b", 5, 5, 5),
+    ]
+
+
+def test_series_fit_2lines(spark):
+    """Round-7 (verdict gap): series_fit_2lines picks the RSS-minimal
+    split; a perfect two-segment series yields rsquare 1 and the true
+    changepoint; series shorter than 4 yield NULLs."""
+    # y = [0,1,2,3, 10,10,10,10] — exact fit with split at k=4
+    spark.sql(
+        "SELECT array(0.0, 1.0, 2.0, 3.0, 10.0, 10.0, 10.0, 10.0) AS y"
+    ).createOrReplaceTempView("f2_t")
+    r = kql(
+        spark,
+        "f2_t | extend (rsq, sidx, va, rva, lf) = series_fit_2lines(y)"
+        " | project rsq, sidx, rva, lfs = series_sum(lf)",
+    ).collect()[0]
+    assert r["sidx"] == 4
+    assert abs(r["rsq"] - 1.0) < 1e-12 and abs(r["rva"]) < 1e-12
+    assert abs(r["lfs"] - 46.0) < 1e-9  # 0+1+2+3 + 4*10
+    spark.sql("SELECT array(1.0, 2.0, 3.0) AS y").createOrReplaceTempView(
+        "f2s_t"
+    )
+    r = kql(
+        spark,
+        "f2s_t | extend (rsq, sidx, va, rva, lf) = series_fit_2lines(y)"
+        " | project rsq, sidx, rva",
+    ).collect()[0]
+    assert r["sidx"] is None and r["rsq"] is None and r["rva"] is None
+
+
+def test_graph_shortest_paths(spark):
+    """Round-7 (verdict gap): graph-shortest-paths — min-hop selection
+    (shortcut beats 2-hop), bound respected, output=all and edge refs
+    rejected as subset errors."""
+    q = (
+        "datatable(src: string, dst: string)"
+        ' ["a","b", "b","c", "c","d", "a","c"]'
+        " | make-graph src --> dst"
+        " | graph-shortest-paths (s)-[e*1..3]->(t)"
+        ' where s == "a" project s, t, pair = strcat(s, t)'
+        " | sort by t asc"
+    )
+    rows = kql(spark, q).collect()
+    assert [(r["s"], r["t"], r["pair"]) for r in rows] == [
+        ("a", "b", "ab"),
+        ("a", "c", "ac"),
+        ("a", "d", "ad"),
+    ]
+    base = (
+        'datatable(src: string, dst: string) ["a","b"]'
+        " | make-graph src --> dst | graph-shortest-paths"
+    )
+    with pytest.raises(ValueError, match="output=all"):
+        kql(spark, f"{base} output=all (s)-[e*1..2]->(t) project s, t")
+    with pytest.raises(ValueError, match="cannot be referenced"):
+        kql(spark, f"{base} (s)-[e*1..2]->(t) project s, n = e.w")
+    with pytest.raises(ValueError, match="bounds"):
+        kql(spark, f"{base} (s)-[e*1..99]->(t) project s, t")
+
+
 def test_extend_parse_replace_on_clash(spark):
     """Round-6 fuzz findings: extend with an existing name REPLACES the
     column (ADX contract); parse/parse-kv targets and evaluate python

@@ -365,6 +365,74 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
+        # round-7: the changepoint sibling
+        opts.append(
+            st.just(
+                (
+                    "extend (rq2, si2, va2, rv2, lf2)"
+                    " = series_fit_2lines(m)",
+                    (*cols, "rq2", "si2", "va2", "rv2", "lf2"),
+                )
+            )
+        )
+    if num:
+        # round-7 fuzz shapes: 2-arg hash must reduce modulo (never
+        # hash the modulus), geo scalars are plain map-side exprs,
+        # tdigest summarize + percentile_tdigest extraction, mv-apply
+        # with the typed element clause, scan with_match_id over a
+        # fresh sort
+        opts.append(
+            st.tuples(st.sampled_from(num), st.integers(2, 50)).map(
+                lambda t: (
+                    f"extend hz = hash({t[0]}, {t[1]})"
+                    f" | where hz >= 0 and hz < {t[1]}",
+                    (*cols, "hz"),
+                )
+            )
+        )
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"extend gd = geo_distance_2points({c} % 180 - 90,"
+                    f" {c} % 80 - 40, todouble(10), todouble(20)),"
+                    f" gc = geo_point_in_circle({c} % 180 - 90,"
+                    f" {c} % 80 - 40, todouble(10), todouble(20),"
+                    " 1000000)",
+                    (*cols, "gd", "gc"),
+                )
+            )
+        )
+        opts.append(
+            st.tuples(
+                st.sampled_from(num), st.integers(1, 99)
+            ).map(
+                lambda t: (
+                    f"summarize tdg = tdigest({t[0]})"
+                    f" | project ptd = percentile_tdigest(tdg, {t[1]})",
+                    ("ptd",),
+                )
+            )
+        )
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"extend arr7 = pack_array({c}, {c} + 1)"
+                    " | mv-apply _el = arr7 to typeof(long) on"
+                    " (where _el >= 0 | summarize s7 = sum(_el))",
+                    (*cols, "arr7", "s7"),
+                )
+            )
+        )
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"sort by {c} asc"
+                    " | scan with_match_id=m7 with"
+                    f" (step s1: {c} >= 0)",
+                    ("step", "m7", *cols),
+                )
+            )
+        )
     opts.append(st.integers(1, 50).map(lambda n: (f"take {n}", cols)))
     opts.append(
         st.lists(
@@ -385,16 +453,29 @@ def _kql_pipe_st(draw):
     # table over the same events parquet (the __SFDIR__ placeholder is
     # substituted with the fixture path by the test) — no ts column,
     # declared schema matches by name
-    if draw(st.booleans()):
+    head_kind = draw(st.integers(0, 3))
+    if head_kind == 0:
         head = "events"
         cols = ("event_id", "ts", "user_id", "event_type", "value")
-    else:
+    elif head_kind == 1:
         head = (
             "externaldata (event_id: long, user_id: long,"
             " event_type: string, value: real)"
             ' ["__SFDIR__/events.parquet"] with (format="parquet")'
         )
         cols = ("event_id", "user_id", "event_type", "value")
+    elif head_kind == 2:
+        # round-7: leading-union entry form (self-union keeps schema)
+        head = "union events, (events | take 5)"
+        cols = ("event_id", "ts", "user_id", "event_type", "value")
+    else:
+        # round-7: leading-search entry form (adds the source_ label)
+        term = draw(st.sampled_from(["vi", "PUR", "zz"]))
+        head = f'search in (events) "{term}"'
+        cols = (
+            "source_", "event_id", "ts", "user_id", "event_type",
+            "value",
+        )
     stages = []
     for _ in range(draw(st.integers(0, 4))):
         stage, cols = draw(_kql_stage_st(cols))
@@ -421,7 +502,9 @@ def test_kql_translation_always_analyzes(spark, sf_smoke, pipe):
 
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
     pipe = pipe.replace("__SFDIR__", str(sf_smoke))
-    df = kql(spark, pipe)  # analysis (schema resolution) happens here
+    # enable_python: the fuzz deck includes the python-plugin shape,
+    # which is opt-in since round 7 (the service never sets this)
+    df = kql(spark, pipe, enable_python=True)
     assert df.columns, pipe
 
 
