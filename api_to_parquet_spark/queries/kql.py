@@ -1467,15 +1467,21 @@ def _expr(kql_expr: str) -> str:
     )
 
     def _zip_sql(a: list[str]) -> str:
-        # ADX zip: array of 2-element arrays. Same-typed arrays only
+        # ADX zip: array of N-element arrays. Same-typed arrays only
         # (Spark arrays are homogeneous — ADX's mixed dynamics are out
-        # of the subset); exactly two inputs.
-        if len(a) != 2:
-            raise ValueError(f"zip supports exactly two arrays: {a!r}")
-        return (
+        # of the subset); N >= 2 inputs fold pairwise (round-7).
+        if len(a) < 2:
+            raise ValueError(f"zip needs at least two arrays: {a!r}")
+        out = (
             f"zip_with({a[0].strip()}, {a[1].strip()},"
             " (_l, _r) -> array(_l, _r))"
         )
+        for nxt in a[2:]:
+            out = (
+                f"zip_with({out}, {nxt.strip()},"
+                " (_l, _r) -> array_append(_l, _r))"
+            )
+        return out
 
     e = _rewrite_fn(e, "zip", _zip_sql)
     e = _rewrite_fn(e, "hash_sha256", lambda a: f"sha2({a[0]}, 256)")
@@ -1875,6 +1881,163 @@ def _expr(kql_expr: str) -> str:
 
     e = _rewrite_fn(e, "geo_distance_2points", _geo_dist_sql)
     e = _rewrite_fn(e, "geo_point_in_circle", _geo_circle_sql)
+
+    # --- round-7 gap-sweep batch: everyday scalars found missing by a
+    # 60-idiom probe of the translator (all were loud subset errors;
+    # now implemented as map-side JVM expressions) ---
+    e = _rewrite_fn(
+        e,
+        "around",
+        lambda a: (
+            f"({a[0]} BETWEEN ({a[1]}) - ({a[2]})"
+            f" AND ({a[1]}) + ({a[2]}))"
+        ),
+    )
+    e = _rewrite_fn(
+        e, "set_has_element", lambda a: f"array_contains({a[0]}, {a[1]})"
+    )
+    e = _rewrite_fn(
+        e,
+        "jaccard_index",
+        lambda a: (
+            f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE)"
+            f" / nullif(CAST(size(array_union({a[0]}, {a[1]}))"
+            " AS DOUBLE), CAST(0 AS DOUBLE)))"
+        ),
+    )
+    # scalar range(start, stop [, step]) — the array generator (the
+    # leading `range x from …` TABLE operator is handled before stage
+    # translation and never reaches _expr). Inclusive stop, like ADX.
+    e = _rewrite_fn(
+        e, "range", lambda a: f"sequence({', '.join(a)})"
+    )
+
+    def _format_ipv4_sql(a: list[str]) -> str:
+        # numeric input (the engine-side representation parse_ipv4
+        # produces); optional prefix masks the low bits first.
+        if len(a) not in (1, 2):
+            raise ValueError(f"format_ipv4 needs (ip [, prefix]): {a!r}")
+        ip = f"CAST({a[0]} AS BIGINT)"
+        if len(a) == 2:
+            ip = (
+                f"(({ip}) div CAST(pow(2, 32 - ({a[1]})) AS BIGINT))"
+                f" * CAST(pow(2, 32 - ({a[1]})) AS BIGINT)"
+            )
+        return (
+            f"concat(CAST(({ip}) div 16777216 % 256 AS STRING), '.',"
+            f" CAST(({ip}) div 65536 % 256 AS STRING), '.',"
+            f" CAST(({ip}) div 256 % 256 AS STRING), '.',"
+            f" CAST(({ip}) % 256 AS STRING))"
+        )
+
+    e = _rewrite_fn(e, "format_ipv4", _format_ipv4_sql)
+
+    def _ipv4_is_private_sql(a: list[str]) -> str:
+        # RFC1918: 10/8, 172.16/12, 192.168/16 (prefix tail ignored —
+        # ADX checks the address part)
+        if len(a) != 1:
+            raise ValueError(f"ipv4_is_private needs (ip): {a!r}")
+        ip = _parse_ipv4_expr(f"split({a[0]}, '/')[0]")
+        return (
+            f"(({ip}) BETWEEN 167772160 AND 184549375"
+            f" OR ({ip}) BETWEEN 2886729728 AND 2887778303"
+            f" OR ({ip}) BETWEEN 3232235520 AND 3232301055)"
+        )
+
+    e = _rewrite_fn(e, "ipv4_is_private", _ipv4_is_private_sql)
+    e = _rewrite_fn(
+        e,
+        "ipv4_netmask_suffix",
+        lambda a: (
+            f"coalesce(try_cast(split({a[0]}, '/')[1] AS INT), 32)"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "unicode_codepoints_from_string",
+        lambda a: (
+            f"transform(sequence(1, char_length({a[0]})),"
+            f" _ucp -> ascii(substring({a[0]}, _ucp, 1)))"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "parse_urlquery",
+        lambda a: (
+            "to_json(named_struct('Query Parameters',"
+            f" str_to_map(regexp_replace({a[0]}, '^[^?]*\\\\?', ''),"
+            " '&', '=')))"
+        ),
+    )
+
+    def _parse_path_sql(a: list[str]) -> str:
+        # the ADX bag fields computable from the path text alone;
+        # AlternateDataStreamName (NTFS streams) stays out of the
+        # subset. Separators: / or \.
+        if len(a) != 1:
+            raise ValueError(f"parse_path needs (path): {a!r}")
+        p = a[0]
+        sep = r"[/\\\\]"
+        dirpath = (
+            f"regexp_extract({p}, '^(.*){sep}[^/\\\\\\\\]*$', 1)"
+        )
+        return (
+            "to_json(named_struct("
+            f"'Scheme', regexp_extract({p}, '^(\\\\w+)://', 1),"
+            f" 'RootPath', regexp_extract({p}, '^(\\\\w+:){sep}', 1),"
+            f" 'DirectoryPath', {dirpath},"
+            f" 'DirectoryName', regexp_extract({dirpath},"
+            f" '([^/\\\\\\\\]+)$', 1),"
+            f" 'Filename', regexp_extract({p},"
+            f" '([^/\\\\\\\\]*)$', 1),"
+            f" 'Extension', regexp_extract({p},"
+            " '\\\\.([^./\\\\\\\\]+)$', 1)))"
+        )
+
+    e = _rewrite_fn(e, "parse_path", _parse_path_sql)
+
+    def _dynamic_sql(a: list[str]) -> str:
+        # dynamic(...) literals anywhere a scalar goes: JSON arrays
+        # become Spark array(...) literals (nested arrays recurse);
+        # JSON objects become compact JSON STRING literals — the same
+        # string-widened bag representation pack()/bag_merge use; bare
+        # scalars pass through. Validated at translate time.
+        # the arg splitter tracks ()/[] but not {} — an object literal
+        # with multiple keys arrives split on its top-level commas;
+        # rejoin (dynamic() always takes exactly one literal)
+        v = ", ".join(a).strip()
+
+        def conv(t: str) -> str:
+            t = t.strip()
+            if t.startswith("[") and t.endswith("]"):
+                inner = _split_top_level(t[1:-1])
+                return f"array({', '.join(conv(x) for x in inner)})"
+            if t.startswith("{") and t.endswith("}"):
+                import json as _json
+
+                # object text carries SQL-quoted ('') strings by now;
+                # convert back to JSON quoting, parse, re-emit compact
+                jt = re.sub(
+                    r"'((?:[^']|'')*)'",
+                    lambda m: _json.dumps(m.group(1).replace("''", "'")),
+                    t,
+                )
+                try:
+                    obj = _json.loads(jt)
+                except ValueError as ex:
+                    raise ValueError(
+                        f"dynamic object literal is not valid JSON:"
+                        f" {t!r}"
+                    ) from ex
+                lit = _json.dumps(obj, separators=(",", ":"))
+                return "'" + lit.replace("'", "''") + "'"
+            if t.lower() == "null":
+                return "NULL"
+            return t
+
+        return conv(v)
+
+    e = _rewrite_fn(e, "dynamic", _dynamic_sql)
     e = _sub_outside_strings(r"\btoupper\(", "upper(", e)
     e = _sub_outside_strings(r"\btolower\(", "lower(", e)
     def _format_datetime_sql(a: list[str]) -> str:
@@ -2050,6 +2213,7 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bstrlen\(", "length(", e)
     e = _sub_outside_strings(r"\bstrcat_array\(", "array_join(", e)
     e = _sub_outside_strings(r"\biff\(", "if(", e)
+    e = _sub_outside_strings(r"\biif\(", "if(", e)  # documented alias
     e = _sub_outside_strings(r"\btolong\(", "bigint(", e)
     e = _sub_outside_strings(r"\btoint\(", "int(", e)
     e = _sub_outside_strings(r"\btodouble\(", "double(", e)
@@ -2218,9 +2382,29 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bstartofday\(", "date_trunc('DAY', ", e)
     e = _sub_outside_strings(r"\bstartofmonth\(", "date_trunc('MONTH', ", e)
     e = _sub_outside_strings(r"\bstartofyear\(", "date_trunc('YEAR', ", e)
+    # typed null literals — long(null), real(null), datetime(null), … —
+    # the ADX way to write a NULL of a specific type (round-7; must run
+    # BEFORE the datetime() literal rewrite or datetime(null) would
+    # become TIMESTAMP 'null')
+    def _typed_null(m: re.Match) -> str:
+        t = _KQL_TYPES.get(m.group(1).lower())
+        return f"CAST(NULL AS {t or 'STRING'})"
+
+    e = _sub_outside_strings(
+        r"\b(long|int|real|double|string|bool|boolean|datetime"
+        r"|decimal|guid)\s*\(\s*null\s*\)",
+        _typed_null,
+        e,
+    )
     e = _sub_outside_strings(r"\bdatetime\(\s*([^)']+?)\s*\)", r"TIMESTAMP '\1'", e)
     e = _sub_outside_strings(r"==", "=", e)
     e = _sub_outside_strings(r"!=", "<>", e)
+    e = re.sub(
+        r"!between\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
+        r"NOT BETWEEN \1 AND \2",
+        e,
+        flags=re.IGNORECASE,
+    )
     e = re.sub(
         r"\bbetween\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
         r"BETWEEN \1 AND \2",
@@ -2302,6 +2486,40 @@ def _expr(kql_expr: str) -> str:
         r"endswith(lower(\1), lower(\2))",
         e,
     )
+    # `matches regex` — RE2 partial (unanchored) match in ADX; Spark
+    # RLIKE is the same partial-match contract (java.util.regex — the
+    # shared syntax subset behaves identically; RE2-specific constructs
+    # pass through to the engine's regex compiler and fail loudly).
+    e = _pred_sub(
+        rf"{_OPND}\s+matches\s+regex\s+{_STR}", r"\1 RLIKE \2", e,
+    )
+    # hasprefix / hassuffix (round-7): term-PREFIX / term-SUFFIX match —
+    # some indexed TERM starts (ends) with the operand, case-insensitive
+    # (same tokenized model as `has`, so the same word-boundary regexp
+    # with the boundary on one side only); _cs variants case-sensitive,
+    # ! variants negated.
+    for neg in ("!", ""):
+        n_ = "NOT " if neg else ""
+        e = _pred_sub(
+            rf"{_OPND}\s+{neg}hasprefix_cs\s+{_STR}",
+            rf"{n_}\1 RLIKE concat('\\\\b\\\\Q', \2, '\\\\E')",
+            e,
+        )
+        e = _pred_sub(
+            rf"{_OPND}\s+{neg}hasprefix\s+{_STR}",
+            rf"{n_}\1 RLIKE concat('(?i)\\\\b\\\\Q', \2, '\\\\E')",
+            e,
+        )
+        e = _pred_sub(
+            rf"{_OPND}\s+{neg}hassuffix_cs\s+{_STR}",
+            rf"{n_}\1 RLIKE concat('\\\\Q', \2, '\\\\E\\\\b')",
+            e,
+        )
+        e = _pred_sub(
+            rf"{_OPND}\s+{neg}hassuffix\s+{_STR}",
+            rf"{n_}\1 RLIKE concat('(?i)\\\\Q', \2, '\\\\E\\\\b')",
+            e,
+        )
     # KQL `has` is whole-term match (tokenized in ADX); the Spark twin is
     # a word-boundary regexp — same answer for alphanumeric terms. The
     # term is regex-quoted (\Q…\E) so `has "c++"` can't inject a pattern,
@@ -2331,13 +2549,33 @@ def _expr(kql_expr: str) -> str:
         e,
     )
     e = _pred_sub(
+        rf"{_OPND}\s+!has_cs\s+{_STR}",
+        r"NOT \1 RLIKE concat('\\\\b\\\\Q', \2, '\\\\E\\\\b')",
+        e,
+    )
+    e = _pred_sub(
         rf"{_OPND}\s+has_cs\s+{_STR}",
         r"\1 RLIKE concat('\\\\b\\\\Q', \2, '\\\\E\\\\b')",
         e,
     )
     e = _pred_sub(
+        rf"{_OPND}\s+!has\s+{_STR}",
+        r"NOT \1 RLIKE concat('(?i)\\\\b\\\\Q', \2, '\\\\E\\\\b')",
+        e,
+    )
+    e = _pred_sub(
         rf"{_OPND}\s+has\s+{_STR}",
         r"\1 RLIKE concat('(?i)\\\\b\\\\Q', \2, '\\\\E\\\\b')",
+        e,
+    )
+    e = _pred_sub(
+        rf"{_OPND}\s+!startswith\s+{_STR}",
+        r"NOT startswith(lower(\1), lower(\2))",
+        e,
+    )
+    e = _pred_sub(
+        rf"{_OPND}\s+!endswith\s+{_STR}",
+        r"NOT endswith(lower(\1), lower(\2))",
         e,
     )
     # Bare timespan literals (`5m`, `1.5h`, `100ms`) anywhere a scalar
@@ -2395,6 +2633,8 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
 
 _AGG_FNS = {
     "count",
+    "take_anyif",
+    "percentiles_array",
     "hll",
     "hll_merge",
     "tdigest",
@@ -2562,6 +2802,12 @@ def _agg(item: str, auto_idx: int) -> str:
         sql = "COUNT(*)"
         default = "count_"
     elif fn == "dcount":
+        # optional 2nd arg = ADX accuracy level; dropped — the count is
+        # exact here (documented refinement; round-7: previously the
+        # accuracy rode into COUNT(DISTINCT col, 3) as a tuple member)
+        dparts = [x.strip() for x in _split_top_level(arg)]
+        if len(dparts) == 2 and re.match(r"^\d+$", dparts[1]):
+            arg = dparts[0]
         sql = f"COUNT(DISTINCT {_expr(arg)})"
         default = f"dcount_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
     elif fn == "hll":
@@ -2600,9 +2846,43 @@ def _agg(item: str, auto_idx: int) -> str:
         sql = f"COUNT_IF({_expr(arg)})"
         default = f"agg{auto_idx}"
     elif fn == "dcountif":
-        col, pred = (x.strip() for x in _split_top_level(arg))
+        # optional 3rd arg = ADX accuracy level (0-4); the count here
+        # is EXACT (documented refinement), so the hint is accepted
+        # and dropped — same policy as summarize shuffle hints.
+        # (round-7 fix: the 2-tuple unpack crashed on the 3-arg form.)
+        parts = [x.strip() for x in _split_top_level(arg)]
+        if len(parts) == 3 and re.match(r"^\d+$", parts[2]):
+            parts = parts[:2]
+        if len(parts) != 2:
+            raise ValueError(
+                f"dcountif needs (col, predicate [, accuracy]): {arg!r}"
+            )
+        col, pred = parts
         sql = f"COUNT(DISTINCT CASE WHEN {_expr(pred)} THEN {_expr(col)} END)"
         default = f"dcountif_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+    elif fn == "take_anyif":
+        # take_any's conditional sibling: deterministic MIN refinement
+        # over rows passing the predicate (ADX picks an arbitrary one)
+        parts = [x.strip() for x in _split_top_level(arg)]
+        if len(parts) != 2:
+            raise ValueError(f"take_anyif needs (col, predicate): {arg!r}")
+        sql = (
+            f"MIN(CASE WHEN {_expr(parts[1])}"
+            f" THEN {_expr(parts[0])} END)"
+        )
+        default = f"agg{auto_idx}"
+    elif fn == "percentiles_array":
+        # percentiles_array(col, p1, …, pn) -> ONE array column (the
+        # multi-assign (a,b)=percentiles(…) twin). Same approximate
+        # percentile_approx contract as percentile().
+        parts = [x.strip() for x in _split_top_level(arg)]
+        if len(parts) < 2:
+            raise ValueError(
+                f"percentiles_array needs (col, p1, …): {arg!r}"
+            )
+        ps = ", ".join(str(float(x) / 100) for x in parts[1:])
+        sql = f"percentile_approx({_expr(parts[0])}, array({ps}))"
+        default = f"agg{auto_idx}"
     elif fn in ("make_list", "make_set"):
         # ADX guarantees NO element order for either; sorting is a
         # deterministic refinement (same multiset/set), which the
@@ -2890,6 +3170,31 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
     semantics and lets AQE decide the physical reuse."""
     scalar: dict[str, str] = {}
     tabular: dict[str, str] = {}
+    fnscalar: dict[str, tuple[list[str], str]] = {}
+
+    def _expand_fns(txt: str) -> str:
+        # scalar-function lets are textual MACROS: f(a, b) -> the body
+        # with each parameter replaced by its (parenthesized) argument
+        for fname, (params, fbody) in fnscalar.items():
+
+            def _call(args: list[str], _p=params, _b=fbody) -> str:
+                if len(args) != len(_p):
+                    raise ValueError(
+                        f"{fname} takes {len(_p)} argument(s),"
+                        f" got {args!r}"
+                    )
+                out = _b
+                for pn, av in zip(_p, args):
+                    out = _sub_outside_strings(
+                        rf"(?<![\w.]){re.escape(pn)}(?!\w)",
+                        f"({av.strip()})",
+                        out,
+                    )
+                return f"({out})"
+
+            txt = _rewrite_fn(txt, fname, _call)
+        return txt
+
     while True:
         m = re.match(r"\s*let\s+(\w+)\s*=\s*([^;]+);", text)
         if not m:
@@ -2897,6 +3202,7 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
         name, body = m.group(1), m.group(2).strip()
         for n2, e2 in scalar.items():
             body = _sub_outside_strings(rf"\b{re.escape(n2)}\b", f"({e2})", body)
+        body = _expand_fns(body)
         mm = re.match(r"materialize\s*\(\s*(.+)\)\s*$", body, re.DOTALL)
         if mm:
             body = mm.group(1).strip()
@@ -2913,6 +3219,27 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
             tabular[name] = ("fn", fm.group(1), fm.group(2).strip())
             text = text[m.end():]
             continue
+        sfm = re.match(
+            r"^\(\s*(\w+\s*:\s*\w+(?:\s*,\s*\w+\s*:\s*\w+)*)\s*\)"
+            r"\s*\{\s*([^|{}]+?)\s*\}$",
+            body,
+            re.DOTALL,
+        )
+        if sfm:
+            # `let f = (x: long, y: string) { <expr> };` — a SCALAR
+            # function let (round-7): single-expression body, applied
+            # as f(args) anywhere a scalar goes. Expanded textually
+            # (macro), so the translated plan is exactly the inlined
+            # expression — no UDF, stays in codegen. Multi-statement
+            # bodies and tabular parameters stay out of the subset
+            # (the `|`-free body guard above fails them loudly).
+            params = [
+                p.split(":")[0].strip()
+                for p in _split_top_level(sfm.group(1))
+            ]
+            fnscalar[name] = (params, sfm.group(2).strip())
+            text = text[m.end():]
+            continue
         head = re.match(r"^(\w+)\s*(\||$)", body)
         if head and (head.group(2) == "|" or head.group(1) in tabular):
             tabular[name] = body
@@ -2921,7 +3248,7 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
         text = text[m.end():]
     for name, expr in scalar.items():
         text = _sub_outside_strings(rf"\b{re.escape(name)}\b", f"({expr})", text)
-    return text, tabular
+    return _expand_fns(text), tabular
 
 
 _SERIES_AGGS = {"count", "dcount", "sum", "avg", "min", "max"}
@@ -4851,6 +5178,162 @@ def kql_to_sql(
                     f") AS _sw{i}"
                     f" WHERE _wt BETWEEN {start_sql} AND {end_sql}"
                     f" GROUP BY _wt"
+                )
+                continue
+            rpm = re.match(
+                r"rolling_percentile\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if rpm:
+                # `evaluate rolling_percentile(Value, Percentile,
+                # Index, BinSize, WindowSize [, dim, …])` — per bin b
+                # (and dims), the EXACT nearest-rank percentile of
+                # Value over the last WindowSize bins ending at b
+                # (documented exact refinement of ADX's t-digest, the
+                # percentilew convention). Shape: each row explodes
+                # into the WindowSize bins it feeds (bounded map-side
+                # factor) → ONE grouped sorted-collect; a bin emits
+                # only if one of its own rows landed in it (max(_own)
+                # flag — no second scan/join of the input). Memory is
+                # window-rows-per-bin (the make_list caveat).
+                ra_ = [s.strip() for s in _split_top_level(rpm.group(1))]
+                if len(ra_) < 5:
+                    raise ValueError(
+                        "rolling_percentile needs (value, percentile,"
+                        f" index, bin, window [, dims…]): {ra_!r}"
+                    )
+                val_c, pct_k, idx_c, bin_k, win_k = ra_[:5]
+                dims = ra_[5:]
+                if not re.match(r"^\w+$", val_c) or not re.match(
+                    r"^\w+$", idx_c
+                ):
+                    raise ValueError(
+                        "rolling_percentile value/index must be plain"
+                        f" columns: {val_c!r}, {idx_c!r}"
+                    )
+                if not all(re.match(r"^\w+$", d) for d in dims):
+                    raise ValueError(
+                        f"rolling_percentile dims must be plain"
+                        f" columns: {dims!r}"
+                    )
+                try:
+                    pct_v = float(pct_k)
+                    win_n = int(win_k)
+                except ValueError:
+                    raise ValueError(
+                        "rolling_percentile percentile/window must be"
+                        f" numeric literals: {pct_k!r}, {win_k!r}"
+                    )
+                if win_n < 1:
+                    raise ValueError(
+                        f"rolling_percentile window must be >= 1:"
+                        f" {win_k!r}"
+                    )
+                tm_ = re.match(rf"^{_TS_LIT}$", bin_k)
+                if tm_:
+                    from decimal import Decimal
+
+                    bsec = Decimal(
+                        _ts_lit_seconds(tm_.group(1), tm_.group(2))
+                    )
+                    if bsec <= 0 or bsec != int(bsec):
+                        raise ValueError(
+                            "rolling_percentile: whole-second bins"
+                            f" only: {bin_k!r}"
+                        )
+                    bsec = int(bsec)
+                    rb = (
+                        f"timestamp_micros(CAST(floor("
+                        f"CAST(unix_micros({idx_c}) AS DOUBLE)"
+                        f" / {bsec * 1000000}) AS BIGINT)"
+                        f" * {bsec * 1000000})"
+                    )
+                    seq = (
+                        f"sequence(_rb, _rb +"
+                        f" INTERVAL '{(win_n - 1) * bsec}' SECOND,"
+                        f" INTERVAL '{bsec}' SECOND)"
+                    )
+                elif re.match(r"^\d+(\.\d+)?$", bin_k):
+                    rb = (
+                        f"floor(CAST({idx_c} AS DOUBLE) / {bin_k})"
+                        f" * {bin_k}"
+                    )
+                    seq = (
+                        f"sequence(CAST(_rb AS BIGINT), CAST(_rb +"
+                        f" {(win_n - 1)} * {bin_k} AS BIGINT),"
+                        f" CAST({bin_k} AS BIGINT))"
+                    )
+                else:
+                    raise ValueError(
+                        "rolling_percentile bin must be a timespan or"
+                        f" numeric literal: {bin_k!r}"
+                    )
+                dsel = "".join(f"{d}, " for d in dims)
+                grp = ", ".join(["_wt", *dims])
+                out_c = f"percentile_{val_c}_{int(pct_v)}"
+                rank = (
+                    "least(size(_arr), greatest(1,"
+                    f" CAST(ceil({pct_v} * size(_arr) / 100.0)"
+                    " AS INT)))"
+                )
+                sql = (
+                    f"SELECT {dsel}_wt AS {idx_c},"
+                    f" element_at(_arr, {rank}) AS {out_c} FROM ("
+                    f"SELECT {dsel}_wt,"
+                    f" sort_array(collect_list({val_c})) AS _arr,"
+                    " max(CASE WHEN _wt = _rb THEN 1 ELSE 0 END)"
+                    " AS _own FROM ("
+                    f"SELECT {dsel}{val_c}, _rb, explode({seq}) AS _wt"
+                    f" FROM (SELECT *, {rb} AS _rb FROM {prev})"
+                    f" AS _rp0{i}) AS _rp1{i}"
+                    f" GROUP BY {grp}) AS _rp2{i} WHERE _own = 1"
+                )
+                continue
+            dim_ = re.match(
+                r"dcount_intersect\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if dim_:
+                # `evaluate dcount_intersect(hll_1, hll_2 [, hll_3])`
+                # — intersection distinct counts from MERGEABLE hll
+                # sketches via inclusion-exclusion (|A∩B| = |A| + |B|
+                # − |A∪B|; the 3-set case adds the pairwise and triple
+                # unions). Same DataSketches family ADX uses;
+                # approximate, tolerance-tested like kql_hll. The hll
+                # columns are replaced by s0..s{n-1} (ADX shape).
+                hcols = [
+                    s.strip() for s in _split_top_level(dim_.group(1))
+                ]
+                if not (2 <= len(hcols) <= 3) or not all(
+                    re.match(r"^\w+$", c) for c in hcols
+                ):
+                    raise ValueError(
+                        "dcount_intersect needs 2-3 hll columns:"
+                        f" {hcols!r}"
+                    )
+
+                def _est(*cs: str) -> str:
+                    u = cs[0]
+                    for c in cs[1:]:
+                        u = f"hll_union({u}, {c})"
+                    return f"hll_sketch_estimate({u})"
+
+                h = hcols
+                items = [f"{_est(h[0])} AS s0"]
+                items.append(
+                    f"{_est(h[0])} + {_est(h[1])}"
+                    f" - {_est(h[0], h[1])} AS s1"
+                )
+                if len(h) == 3:
+                    items.append(
+                        f"{_est(h[0])} + {_est(h[1])} + {_est(h[2])}"
+                        f" - {_est(h[0], h[1])} - {_est(h[0], h[2])}"
+                        f" - {_est(h[1], h[2])}"
+                        f" + {_est(h[0], h[1], h[2])} AS s2"
+                    )
+                sql = (
+                    f"SELECT * EXCEPT ({', '.join(h)}),"
+                    f" {', '.join(items)} FROM {prev}"
                 )
                 continue
             rnm = re.match(
@@ -8368,6 +8851,110 @@ def q_kql_series_fit_2lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ninth scalar batch (round-7 gap sweep): iif alias, around,
+    set_has_element, jaccard_index (exact integer-set fractions),
+    scalar range(), format_ipv4 (+prefix mask), ipv4_is_private,
+    ipv4_netmask_suffix, unicode_codepoints_from_string,
+    parse_urlquery/parse_path (JSON-string bags), dynamic([...]) /
+    dynamic({...}) literals, N-ary zip, and scalar function lets
+    (textual macros — the translated plan is the inlined expression,
+    no UDF). All map-side JVM expressions."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "let dbl = (x: real) { x * 2 };"
+        " events | where event_id < 400"
+        " | extend ip = 167772160 + event_id * 65536"
+        " | project event_id,"
+        " i1 = iif(value > 50, 1, 0),"
+        " ar = around(value, 50, 10),"
+        " she = set_has_element(dynamic([1, 2, 3]), event_id % 4),"
+        " ji = jaccard_index(pack_array(event_id % 3, 7),"
+        " pack_array(7, event_id % 5)),"
+        " rs = array_length(range(1, 1 + event_id % 5, 1)),"
+        " f4 = format_ipv4(ip),"
+        " f4m = format_ipv4(ip, 12),"
+        " priv = ipv4_is_private(format_ipv4(ip)),"
+        ' nm = ipv4_netmask_suffix(strcat(format_ipv4(ip), "/",'
+        " tostring(8 + event_id % 17))),"
+        " us = series_sum(unicode_codepoints_from_string("
+        " substring(event_type, 0, 2))),"
+        ' uq = parse_urlquery(strcat("x?k=",'
+        " tostring(event_id % 7))),"
+        ' pp = parse_path(strcat("/data/", event_type, "/f",'
+        ' tostring(event_id % 3), ".bin")),'
+        ' dy = dynamic({"a": 1}),'
+        " zl = array_length(zip(pack_array(1, 2), pack_array(3, 4),"
+        " pack_array(5, 6))),"
+        " dv = dbl(value)",
+    )
+
+
+def q_kql_predicates3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate batch 3 (round-7 gap sweep): hasprefix/hassuffix
+    (term-prefix/-suffix match), the ! negation family (!has,
+    !hasprefix, !startswith, !endswith, !between), matches regex, and
+    the aggregate gaps (take_anyif, 3-arg dcountif / 2-arg dcount
+    accuracy hints, percentiles_array). One grouped scan."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 3000"
+        ' | summarize hp = countif(event_type hasprefix "vi"),'
+        ' hs = countif(event_type hassuffix "EW"),'
+        ' nh = countif(event_type !has "view"),'
+        ' mr = countif(event_type matches regex "v.+w"),'
+        " nb = countif(value !between (10 .. 100)),"
+        ' ns = countif(event_type !startswith "v"),'
+        ' ne = countif(event_type !endswith "W"),'
+        ' nhp = countif(event_type !hasprefix "cl"),'
+        ' ta = take_anyif(event_id, event_type == "view"),'
+        " da = dcountif(user_id, value > 50, 2),"
+        " dc2 = dcount(user_id, 3),"
+        " pa = percentiles_array(value, 25, 50, 75)"
+        " | project hp, hs, nh, mr, nb, ns, ne, nhp, ta, da, dc2,"
+        " p25 = pa[0], p50 = pa[1], p75 = pa[2]",
+    )
+
+
+def q_kql_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate rolling_percentile` (round-7, verdict gap): per daily
+    bin and event_type, the EXACT nearest-rank p50 of value over the
+    last 3 bins (documented exact refinement of ADX's t-digest,
+    percentilew convention). Each row explodes into the 3 bins it
+    feeds → ONE grouped sorted-collect, bins emitted only when their
+    own rows exist — never a per-bin rescan. Integer cents keep the
+    ranked values exact."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where ts >= datetime(2024-01-01)"
+        " and ts < datetime(2024-01-10)"
+        " | extend cents = tolong(round(value * 100))"
+        " | evaluate rolling_percentile(cents, 50, ts, 1d, 3,"
+        " event_type)",
+    )
+
+
+def q_kql_dcount_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate dcount_intersect` (round-7, verdict gap): distinct
+    users active at low values ∩ high values, from MERGEABLE hll
+    sketches via inclusion-exclusion (|A∩B| = |A|+|B|−|A∪B|) —
+    DataSketches hll_union + estimate, the kql_hll family. The
+    typed-null literal (long(null)) routes non-qualifying rows out of
+    each sketch. Approximate by design: rows-only driver check;
+    tolerance vs the exact intersection is pytest-checked."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | summarize"
+        " h0 = hll(iif(value <= 60, user_id, long(null))),"
+        " h1 = hll(iif(value > 30, user_id, long(null)))"
+        " | evaluate dcount_intersect(h0, h1)",
+    )
+
+
 def q_kql_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """geo_distance_2points / geo_point_in_circle (round-7, verdict
     gap): haversine great-circle distance (mean radius 6371000 m — a
@@ -8729,6 +9316,10 @@ QUERIES = {
     "kql_series_fit_2lines": q_kql_series_fit_2lines,
     "kql_graph_shortest": q_kql_graph_shortest,
     "kql_geo": q_kql_geo,
+    "kql_rolling_percentile": q_kql_rolling_percentile,
+    "kql_dcount_intersect": q_kql_dcount_intersect,
+    "kql_scalar_fns9": q_kql_scalar_fns9,
+    "kql_predicates3": q_kql_predicates3,
     "kql_union_leading": q_kql_union_leading,
     "kql_search_leading": q_kql_search_leading,
     "kql_scan_match_id": q_kql_scan_match_id,
@@ -9632,6 +10223,110 @@ ORACLE = {
                CAST(hour(ts) AS INT) AS dh,
                'real' AS gt, 'string' AS gs
         FROM events WHERE event_id < 400
+    """,
+    "kql_scalar_fns9": """
+        WITH b AS (
+            SELECT event_id, event_type, value,
+                   167772160 + event_id * 65536 AS ip
+            FROM events WHERE event_id < 400
+        ), f AS (
+            SELECT *,
+                   concat(CAST(ip // 16777216 % 256 AS VARCHAR), '.',
+                          CAST(ip // 65536 % 256 AS VARCHAR), '.',
+                          CAST(ip // 256 % 256 AS VARCHAR), '.',
+                          CAST(ip % 256 AS VARCHAR)) AS f4,
+                   (ip // 1048576) * 1048576 AS ipm
+            FROM b
+        )
+        SELECT event_id,
+               CASE WHEN value > 50 THEN 1 ELSE 0 END AS i1,
+               value BETWEEN 40 AND 60 AS ar,
+               (event_id % 4) IN (1, 2, 3) AS she,
+               CAST(len(list_intersect([event_id % 3, 7],
+                        [7, event_id % 5])) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(
+                        [event_id % 3, 7], [7, event_id % 5])))
+                     AS DOUBLE) AS ji,
+               CAST(1 + event_id % 5 AS INTEGER) AS rs,
+               f4,
+               concat(CAST(ipm // 16777216 % 256 AS VARCHAR), '.',
+                      CAST(ipm // 65536 % 256 AS VARCHAR), '.',
+                      CAST(ipm // 256 % 256 AS VARCHAR), '.',
+                      CAST(ipm % 256 AS VARCHAR)) AS f4m,
+               (ip BETWEEN 167772160 AND 184549375
+                OR ip BETWEEN 2886729728 AND 2887778303
+                OR ip BETWEEN 3232235520 AND 3232301055) AS priv,
+               CAST(8 + event_id % 17 AS INTEGER) AS nm,
+               CAST(ascii(substr(event_type, 1, 1))
+                    + ascii(substr(event_type, 2, 1)) AS DOUBLE) AS us,
+               concat('{"Query Parameters":{"k":"',
+                      CAST(event_id % 7 AS VARCHAR), '"}}') AS uq,
+               concat('{"Scheme":"","RootPath":"",',
+                      '"DirectoryPath":"/data/', event_type, '",',
+                      '"DirectoryName":"', event_type, '",',
+                      '"Filename":"f', CAST(event_id % 3 AS VARCHAR),
+                      '.bin","Extension":"bin"}') AS pp,
+               '{"a":1}' AS dy,
+               CAST(2 AS INTEGER) AS zl,
+               value * 2 AS dv
+        FROM f
+    """,
+    "kql_predicates3": """
+        WITH b AS (
+            SELECT event_id, event_type, value, user_id
+            FROM events WHERE event_id < 3000
+        )
+        SELECT count(*) FILTER (regexp_matches(event_type,
+                   '(?i)\\bvi')) AS hp,
+               count(*) FILTER (regexp_matches(event_type,
+                   '(?i)EW\\b')) AS hs,
+               count(*) FILTER (NOT regexp_matches(event_type,
+                   '(?i)\\bview\\b')) AS nh,
+               count(*) FILTER (regexp_matches(event_type,
+                   'v.+w')) AS mr,
+               count(*) FILTER (value NOT BETWEEN 10 AND 100) AS nb,
+               count(*) FILTER (NOT starts_with(lower(event_type),
+                   'v')) AS ns,
+               count(*) FILTER (NOT ends_with(lower(event_type),
+                   lower('W'))) AS ne,
+               count(*) FILTER (NOT regexp_matches(event_type,
+                   '(?i)\\bcl')) AS nhp,
+               min(CASE WHEN event_type = 'view' THEN event_id END)
+                   AS ta,
+               count(DISTINCT CASE WHEN value > 50 THEN user_id END)
+                   AS da,
+               count(DISTINCT user_id) AS dc2,
+               quantile_disc(value, 0.25) AS p25,
+               quantile_disc(value, 0.50) AS p50,
+               quantile_disc(value, 0.75) AS p75
+        FROM b
+    """,
+    "kql_rolling_percentile": """
+        WITH b AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   date_trunc('day', ts) AS rb
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-10'
+        ), bins AS (
+            SELECT DISTINCT event_type, rb FROM b
+        ), j AS (
+            SELECT bins.event_type, bins.rb AS wt, b.cents
+            FROM bins JOIN b ON b.event_type = bins.event_type
+             AND b.rb BETWEEN bins.rb - INTERVAL 2 DAY AND bins.rb
+        ), r AS (
+            SELECT event_type, wt, cents,
+                   row_number() OVER (PARTITION BY event_type, wt
+                                      ORDER BY cents) AS rn,
+                   count(*) OVER (PARTITION BY event_type, wt) AS n
+            FROM j
+        )
+        SELECT event_type, wt AS ts,
+               max(CASE WHEN rn = greatest(1, least(n,
+                   CAST(ceil(50 * n / 100.0) AS BIGINT)))
+                   THEN cents END) AS percentile_cents_50
+        FROM r GROUP BY event_type, wt
     """,
     "kql_geo": """
         WITH p AS (

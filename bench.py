@@ -58,6 +58,8 @@ HEADLINE = [
     "kql_sliding_window",  # sliding dcount via bounded bin-explode (r6)
     "kql_autocluster",  # diagnostics ONE-CUBE segment mining (r6)
     "kql_ipv4_lookup",  # longest-prefix CIDR equi-join (r6)
+    "kql_rolling_percentile",  # windowed exact percentile, bin-explode (r7)
+    "kql_graph_shortest",  # bounded-k relational BFS (r7)
 ]
 
 # Per-query medians pinned from the last judged round (bench_pins.json).

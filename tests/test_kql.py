@@ -73,7 +73,7 @@ def test_unsupported_operator_is_explicit():
     with pytest.raises(ValueError, match="unsupported KQL operator"):
         kql_to_sql("T | consume decodeblocks=true")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
-        kql_to_sql("T | summarize tdigest(x)")
+        kql_to_sql("T | summarize covariance(x, y)")
     # fork is supported WITH a session; without one it must still be a
     # loud error, not a silent mistranslation
     with pytest.raises(ValueError, match="fork needs a SparkSession"):
@@ -1181,8 +1181,10 @@ def test_scalar_batch5_values(spark):
     # subset errors
     with pytest.raises(ValueError, match="literal"):
         kql_to_sql("t | extend a = ipv4_is_in_range(ip, rangecol)")
-    with pytest.raises(ValueError, match="two arrays"):
-        kql_to_sql("t | extend a = zip(x, y, z)")
+    # round-7: N-ary zip folds pairwise (was a 2-array subset error)
+    assert "array_append" in kql_to_sql("t | extend a = zip(x, y, z)")
+    with pytest.raises(ValueError, match="at least two"):
+        kql_to_sql("t | extend a = zip(x)")
 
 
 def test_agg_batch2_values(spark):
@@ -1993,6 +1995,96 @@ def test_graph_shortest_paths(spark):
         kql(spark, f"{base} (s)-[e*1..2]->(t) project s, n = e.w")
     with pytest.raises(ValueError, match="bounds"):
         kql(spark, f"{base} (s)-[e*1..99]->(t) project s, t")
+
+
+def test_scalar_function_lets(spark):
+    """Round-7 (gap sweep): `let f = (x: long) { expr };` applied as
+    f(args) in scalar positions — expanded as a textual macro (the
+    plan is the inlined expression, no UDF). Multi-param, nested
+    calls, use inside later lets; tabular-param and piped bodies stay
+    with invoke."""
+    spark.sql("SELECT 5 AS k, 3.0 AS v").createOrReplaceTempView("fl_t")
+    r = kql(
+        spark,
+        "let dbl = (x: long) { x * 2 };"
+        " let addm = (a: long, b: long) { dbl(a) + b };"
+        " fl_t | extend d = dbl(k), m = addm(k, 1) | project d, m",
+    ).collect()[0]
+    assert (r["d"], r["m"]) == (10, 11)
+    # parameter substitution must not capture same-named columns in
+    # quoted strings or call sites
+    r = kql(
+        spark,
+        'let f = (k: long) { k + strlen("k") };'
+        " fl_t | project d = f(100)",
+    ).collect()[0]
+    assert r["d"] == 101
+    with pytest.raises(ValueError, match="takes 1 argument"):
+        kql(spark, "let f = (x: long) { x }; fl_t | project d = f(1, 2)")
+
+
+def test_dynamic_literals(spark):
+    """Round-7 (gap sweep): dynamic() literals in scalar positions —
+    arrays (nested too) become array(...), objects become the compact
+    JSON string the pack()/bag family uses, scalars pass through."""
+    spark.sql("SELECT 1 AS k").createOrReplaceTempView("dy_t")
+    r = kql(
+        spark,
+        "dy_t | extend a = dynamic([1, 2, 3]),"
+        " n = dynamic([[1, 2], [3, 4]]),"
+        ' o = dynamic({"x": 1, "s": "a,b"}), s = dynamic(7)',
+    ).collect()[0]
+    assert r["a"] == [1, 2, 3] and r["n"] == [[1, 2], [3, 4]]
+    assert r["o"] == '{"x":1,"s":"a,b"}' and r["s"] == 7
+    with pytest.raises(ValueError, match="not valid JSON"):
+        kql(spark, 'dy_t | extend o = dynamic({"a": })')
+
+
+def test_dcount_intersect_tolerance(spark, sf_smoke):
+    """Round-7 (verdict gap): dcount_intersect estimates the exact
+    intersection within HLL tolerance (same 5% envelope the kql_hll
+    family is held to); typed-null routing keeps non-qualifying rows
+    out of each sketch."""
+    from api_to_parquet_spark.lake import load
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "events | summarize"
+        " h0 = hll(iif(value <= 60, user_id, long(null))),"
+        " h1 = hll(iif(value > 30, user_id, long(null)))"
+        " | evaluate dcount_intersect(h0, h1)",
+    ).collect()[0]
+    exact = spark.sql(
+        "SELECT count(DISTINCT CASE WHEN value <= 60 THEN user_id END)"
+        " AS s0, count(DISTINCT CASE WHEN value <= 60 AND value > 30"
+        " THEN user_id END) AS s1 FROM events"
+    ).collect()[0]
+    assert abs(r["s0"] - exact["s0"]) <= max(2, 0.05 * exact["s0"])
+    assert abs(r["s1"] - exact["s1"]) <= max(2, 0.05 * exact["s1"])
+    with pytest.raises(ValueError, match="2-3 hll columns"):
+        kql(spark, "events | evaluate dcount_intersect(h0)")
+
+
+def test_rolling_percentile_edges(spark):
+    """Round-7: rolling_percentile emits a bin only when its own rows
+    exist (no phantom trailing bins), and the window covers exactly
+    the last W bins."""
+    spark.sql(
+        "SELECT * FROM VALUES (0, 10.0), (1, 20.0), (10, 90.0)"
+        " AS t(ix, v)"
+    ).createOrReplaceTempView("rp_t")
+    rows = kql(
+        spark,
+        "rp_t | evaluate rolling_percentile(v, 100, ix, 5, 2)"
+        " | sort by ix asc",
+    ).collect()
+    # bins present: 0 (rows 10,20) and 10 (row 90); bin 5 has no own
+    # rows and must not appear even though bin-0 rows feed it
+    assert [(r["ix"], r["percentile_v_100"]) for r in rows] == [
+        (0, 20.0),
+        (10, 90.0),
+    ]
 
 
 def test_extend_parse_replace_on_clash(spark):

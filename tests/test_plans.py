@@ -414,3 +414,76 @@ def test_sequence_detect_funnel_shuffles_on_key(spark, sf_smoke):
     )
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rolling_percentile_single_scan_no_join(spark, sf_smoke):
+    """rolling_percentile (round-7): bounded bin-explode + ONE grouped
+    sorted-collect; bin presence comes from the own-row flag, so there
+    is no join and no second scan of the input."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "events | evaluate rolling_percentile(value, 50, ts,"
+            " 1d, 3, event_type)",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Scan parquet") <= 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_graph_shortest_paths_equi_joins_only(spark, sf_smoke):
+    """graph-shortest-paths (round-7): bounded-k chain EQUI joins +
+    one min-length window — never a nested-loop/cartesian stage."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "events | summarize n = count()"
+            " by src = event_type, dst = tostring(user_id % 50)"
+            " | make-graph src --> dst"
+            " | graph-shortest-paths (a)-[e*1..3]->(b)"
+            " project x = a, y = b",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_ipv4_lookup_unmatched_single_subtree(spark, sf_smoke):
+    """ipv4_lookup return_unmatched (round-7 advice fix): ONE subtree
+    with a left outer equi-join — the source (and its nondeterministic
+    row ids) is evaluated once, so exactly one parquet scan of the
+    fact side and no BroadcastNestedLoopJoin."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "let L = datatable(network: string, zone: string)"
+            '["10.0.0.0/8", "corp"];'
+            ' events | extend ip = strcat("10.",'
+            ' tostring(event_id % 256), ".0.1")'
+            " | project event_id, ip"
+            " | evaluate ipv4_lookup(L, ip, network, true)",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Scan parquet") <= 1
