@@ -1187,6 +1187,60 @@ def _extract_toscalar(text: str) -> tuple[str, list[tuple[str, str]]]:
         text = text[: m.start()] + ph + text[j:]
 
 
+def _extract_in_subqueries(text: str) -> tuple[str, list[tuple[str, str]]]:
+    """Carve out `x in ((pipe))` / `x !in ((pipe))` tabular operands
+    (round-7): the double-paren form is ADX's unambiguous in-tabular
+    syntax; it becomes an IN (SELECT …) subquery (Spark plans a
+    left-semi/anti join). Single-paren lists stay literal lists. The
+    pipe text is shielded behind a placeholder so scalar rewrites
+    never touch it; quote-aware balanced scan, same contract as
+    _extract_toscalar."""
+    subs: list[tuple[str, str]] = []
+    while True:
+        m = None
+        for cand in re.finditer(r"\b(!?in~?)\s*\(\s*\(", text):
+            inside = any(
+                s.start() < cand.start() < s.end()
+                for s in _STR_SPAN.finditer(text)
+            )
+            if not inside:
+                m = cand
+                break
+        if not m:
+            return text, subs
+        if m.group(1).endswith("~"):
+            raise ValueError(
+                "in~ with a tabular operand is out of the subset"
+                " (case-insensitive tabular in)"
+            )
+        # balanced scan from the OUTER '(' (first paren after in)
+        start = text.index("(", m.end(1))
+        depth, j, quote = 1, start + 1, None
+        while j < len(text) and depth:
+            ch = text[j]
+            if quote:
+                if ch == "\\" and j + 1 < len(text):
+                    j += 1
+                elif ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ValueError(f"unbalanced in ((…)) in {text!r}")
+        inner = text[start + 1 : j - 1].strip()
+        if not (inner.startswith("(") and inner.endswith(")")):
+            raise ValueError(f"in ((…)) needs a parenthesized pipe: {inner!r}")
+        ph = f"__INSUBQ_{len(subs)}__"
+        subs.append((ph, inner[1:-1].strip()))
+        neg = "NOT IN" if m.group(1).startswith("!") else "IN"
+        text = text[: m.start()] + f"{neg} {ph}" + text[j:]
+
+
 def _expr(kql_expr: str) -> str:
     """Translate a KQL scalar/boolean expression to SQL."""
     # toscalar(T | ...) -> an uncorrelated scalar subquery (ADX: first
@@ -1195,6 +1249,7 @@ def _expr(kql_expr: str) -> str:
     # Translated without a session (subset: session-requiring stages
     # inside toscalar raise their own clear errors).
     kql_expr, _ts_subs = _extract_toscalar(kql_expr)
+    kql_expr, _in_subs = _extract_in_subqueries(kql_expr)
     e = _bin_to_sql(_strings_to_sql(kql_expr))
     e = _rewrite_fn(e, "case", _case_sql)
     e = _rewrite_fn(e, "substring", _substring_sql)
@@ -2209,7 +2264,32 @@ def _expr(kql_expr: str) -> str:
         )
 
     e = _rewrite_fn(e, "parse_url", _parse_url_sql)
-    e = _sub_outside_strings(r"\bparse_json\((\w+)\)\.(\w+)", r"get_json_object(\1, '$.\2')", e)
+    # dynamic path access on parse_json/todynamic results: dot chains,
+    # bracket keys and bracket ARRAY indexes (round-7: brackets and
+    # multi-level paths) — all compile to ONE get_json_object JSONPath
+    def _json_path(m: re.Match) -> str:
+        path = "$"
+        for acc in re.finditer(
+            r"\.(\w+)|\[\s*'((?:[^']|'')*)'\s*\]|\[\s*(\d+)\s*\]",
+            m.group(2),
+        ):
+            if acc.group(1):
+                path += f".{acc.group(1)}"
+            elif acc.group(2) is not None:
+                path += f".{acc.group(2)}"
+            else:
+                path += f"[{acc.group(3)}]"
+        return f"get_json_object({m.group(1)}, '{path}')"
+
+    # _pred_sub, not _sub_outside_strings: the accessor pattern itself
+    # spans string literals ('k' keys, literal JSON args), which the
+    # between-literal-gap rewriter can never match
+    e = _pred_sub(
+        r"\bparse_json\((\w+|'(?:[^']|'')*')\)"
+        r"((?:\.\w+|\[\s*(?:'(?:[^']|'')*'|\d+)\s*\])+)",
+        _json_path,
+        e,
+    )
     e = _sub_outside_strings(r"\bstrlen\(", "length(", e)
     e = _sub_outside_strings(r"\bstrcat_array\(", "array_join(", e)
     e = _sub_outside_strings(r"\biff\(", "if(", e)
@@ -2329,6 +2409,17 @@ def _expr(kql_expr: str) -> str:
     )
     e = _rewrite_fn(
         e,
+        "endofweek",
+        # last microsecond of the Sunday-start week (startofweek + 7d
+        # - 1 tick; round-7)
+        lambda a: (
+            f"(CAST(date_sub(CAST({a[0]} AS DATE),"
+            f" (weekday({a[0]}) + 1) % 7) AS TIMESTAMP)"
+            " + INTERVAL 7 DAY - INTERVAL 1 MICROSECOND)"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
         "endofday",
         lambda a: (
             f"(date_trunc('DAY', {a[0]}) + INTERVAL 1 DAY"
@@ -2399,15 +2490,24 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bdatetime\(\s*([^)']+?)\s*\)", r"TIMESTAMP '\1'", e)
     e = _sub_outside_strings(r"==", "=", e)
     e = _sub_outside_strings(r"!=", "<>", e)
+    def _between_sub(m: re.Match, neg: bool = False) -> str:
+        lo, hi = m.group(1), m.group(2)
+        # ADX: `x between (start .. duration)` — a timespan end means
+        # [start, start + duration] (round-7)
+        tm = re.match(rf"^{_TS_LIT}$", hi.strip())
+        if tm:
+            hi = f"{lo} + {_ts_interval(tm.group(1), tm.group(2))}"
+        return f"{'NOT ' if neg else ''}BETWEEN {lo} AND {hi}"
+
     e = re.sub(
         r"!between\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
-        r"NOT BETWEEN \1 AND \2",
+        lambda m: _between_sub(m, True),
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
         r"\bbetween\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
-        r"BETWEEN \1 AND \2",
+        _between_sub,
         e,
         flags=re.IGNORECASE,
     )
@@ -2587,10 +2687,21 @@ def _expr(kql_expr: str) -> str:
         lambda m: _ts_interval(m.group(1), m.group(2)),
         e,
     )
+    # ago(<expression>) fallback (round-7): the literal form was
+    # consumed above; anything left is an interval EXPRESSION
+    # (`ago(365d * 2)`) — now() minus it
+    e = _rewrite_fn(
+        e, "ago", lambda a: f"(current_timestamp() - ({a[0]}))"
+    )
     for k, (ph, pipe) in enumerate(_ts_subs):
         e = e.replace(
             ph,
             f"(SELECT * FROM ({kql_to_sql(pipe)}) AS _tsc{k} LIMIT 1)",
+        )
+    for k, (ph, pipe) in enumerate(_in_subs):
+        e = e.replace(
+            ph,
+            f"(SELECT * FROM ({kql_to_sql(pipe)}) AS _inq{k})",
         )
     return e
 
@@ -2793,11 +2904,57 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
 
 
 def _agg(item: str, auto_idx: int) -> str:
-    """One summarize aggregate -> SQL, with KQL's default naming."""
+    """One summarize aggregate -> SQL, with KQL's default naming.
+    An item that is not a single agg call routes to the composite
+    path — scalar expressions OVER aggregates, e.g.
+    `pct = 100.0 * countif(p) / count()` (round-7 gap sweep)."""
     m = re.match(r"(?:(\w+)\s*=\s*)?(\w+)\s*\((.*)\)$", item.strip())
-    if not m or m.group(2).lower() not in _AGG_FNS:
-        raise ValueError(f"unsupported KQL aggregate: {item!r}")
+    if (
+        not m
+        or m.group(2).lower() not in _AGG_FNS
+        # `spread = max(v) - min(v)`: the greedy regex "matches" with
+        # an unbalanced arg spanning both calls — that is a composite
+        # item, not a single agg call
+        or m.group(3).count("(") != m.group(3).count(")")
+    ):
+        return _composite_agg(item, auto_idx)
     alias, fn, arg = m.group(1), m.group(2).lower(), m.group(3).strip()
+    sql, default = _agg_sql(fn, arg, auto_idx)
+    return f"{sql} AS {alias or default}"
+
+
+def _composite_agg(item: str, auto_idx: int) -> str:
+    """`[alias =] <scalar expr over aggregate calls>` — each inner
+    agg call translates through _agg_sql and is carved out behind a
+    placeholder so the surrounding scalar text can run through _expr
+    without re-mangling the generated SQL; Spark evaluates the whole
+    item as one post-aggregation projection (same single grouped agg,
+    no extra pass)."""
+    am = re.match(r"(?:(\w+)\s*=\s*)?(.+)$", item.strip(), re.DOTALL)
+    holes: list[tuple[str, str]] = []
+    out = am.group(2)
+    for fn in _AGG_FNS:
+
+        def _inner(args: list[str], _fn=fn) -> str:
+            sql, _ = _agg_sql(
+                _fn, ", ".join(args), f"{auto_idx}_{len(holes)}"
+            )
+            ph = f"__KQLAGG{len(holes)}__"
+            holes.append((ph, sql))
+            return ph
+
+        out = _rewrite_fn(out, fn, _inner)
+    if not holes:
+        raise ValueError(f"unsupported KQL aggregate: {item!r}")
+    out = _expr(out)
+    for ph, sql in holes:
+        out = out.replace(ph, f"({sql})")
+    return f"{out} AS {am.group(1) or f'agg{auto_idx}'}"
+
+
+def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
+    """ONE aggregate call (fn name + raw KQL arg text) -> (SQL
+    aggregate expression, ADX default column name)."""
     if fn == "count":
         sql = "COUNT(*)"
         default = "count_"
@@ -2898,7 +3055,7 @@ def _agg(item: str, auto_idx: int) -> str:
                 )
             cap = int(parts_[1])
         elif len(parts_) != 1:
-            raise ValueError(f"{fn} needs (col[, maxSize]): {item!r}")
+            raise ValueError(f"{fn} needs (col[, maxSize]): {arg!r}")
         col0 = parts_[0]
         inner = (
             f"collect_list({_expr(col0)})"
@@ -2968,7 +3125,7 @@ def _agg(item: str, auto_idx: int) -> str:
         pa_ = [x.strip() for x in _split_top_level(arg)]
         if len(pa_) != 3:
             raise ValueError(
-                f"percentilew needs (col, weight, p): {item!r}"
+                f"percentilew needs (col, weight, p): {arg!r}"
             )
         col, wt, p_ = pa_
         try:
@@ -3039,7 +3196,7 @@ def _agg(item: str, auto_idx: int) -> str:
     else:
         sql = f"{fn.upper()}({_expr(arg)})"
         default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
-    return f"{sql} AS {alias or default}"
+    return sql, default
 
 
 def _group_alias(g: str, idx: int) -> tuple[str, str]:
@@ -3206,6 +3363,13 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
         mm = re.match(r"materialize\s*\(\s*(.+)\)\s*$", body, re.DOTALL)
         if mm:
             body = mm.group(1).strip()
+        vm = re.match(r"^view\s*\(\s*\)\s*\{\s*(.+?)\s*\}$", body, re.DOTALL)
+        if vm:
+            # `let v = view () { pipe };` — ADX's view wrapper is a
+            # zero-parameter tabular let (the view keyword only affects
+            # wildcard resolution in union/search, which this engine
+            # resolves explicitly anyway; round-7)
+            body = vm.group(1).strip()
         fm = re.match(
             r"^\(\s*(\w+)\s*:\s*\(\s*\*\s*\)\s*\)\s*\{\s*(.+?)\s*\}$",
             body,
@@ -3598,9 +3762,16 @@ def kql_to_sql(
         cols = []
         for cdef in _split_top_level(dtable.group(1)):
             cm = re.match(r"(\w+)\s*:\s*(\w+)$", cdef.strip())
-            if not cm or cm.group(2).lower() not in _KQL_TYPES:
+            if not cm or (
+                cm.group(2).lower() not in _KQL_TYPES
+                and cm.group(2).lower() != "dynamic"
+            ):
                 raise ValueError(f"datatable column needs name:type: {cdef!r}")
-            cols.append((cm.group(1), _KQL_TYPES[cm.group(2).lower()]))
+            # dynamic columns (round-7) take their literal values as-is
+            # (the dynamic()/array rewrites type them); None = no cast
+            cols.append(
+                (cm.group(1), _KQL_TYPES.get(cm.group(2).lower()))
+            )
         vals = [
             _expr(_strings_to_sql(v))
             for v in _split_top_level(dtable.group(2))
@@ -3613,6 +3784,8 @@ def kql_to_sql(
         rows = [
             "(" + ", ".join(
                 f"CAST({vals[r * len(cols) + j]} AS {t})"
+                if t
+                else vals[r * len(cols) + j]
                 for j, (_, t) in enumerate(cols)
             ) + ")"
             for r in range(len(vals) // len(cols))
@@ -4088,6 +4261,7 @@ def kql_to_sql(
                     m = re.match(r"(\w+)\s*=\s*(.+)$", c)
                     if not m:
                         raise ValueError(f"{op} needs name=expr: {c!r}")
+
                     ex = _expr(m.group(2))
                     if op == "serialize" or order_keys is not None:
                         # ADX: a preceding `sort by` serializes the row
@@ -4095,6 +4269,20 @@ def kql_to_sql(
                         # row_cumsum too (round-6; no-op when the
                         # expression has none of them)
                         ex = _window_rewrite(ex, order_keys or [])
+                    elif re.search(
+                        r"\b(?:prev|next|row_cumsum|row_number"
+                        r"|row_window_session|row_rank_dense"
+                        r"|row_rank_min)\s*\(",
+                        m.group(2),
+                    ):
+                        # translate-time subset error instead of a
+                        # confusing UNRESOLVED_ROUTINE from Spark
+                        # (round-7 sweep finding)
+                        raise ValueError(
+                            "prev/next/row_number/row_cumsum need a"
+                            " serialized row set — add a preceding"
+                            " `sort by`"
+                        )
                     items.append(f"{ex} AS {m.group(1)}")
                     names.append(m.group(1))
                 # ADX extend REPLACES an existing column of the same
@@ -4236,14 +4424,24 @@ def kql_to_sql(
                     f" FROM {prev} LATERAL VIEW explode({c}) _t AS _mv"
                 )
                 continue
+            # trailing `limit N` (round-7): ADX caps the expansion to
+            # the first N elements PER ROW — a map-side slice before
+            # the explode, no extra pass
+            lim_m = re.match(
+                r"^(.*?)\s+limit\s+(\d+)\s*$", body, re.IGNORECASE
+            )
+            mv_lim = None
+            if lim_m:
+                body, mv_lim = lim_m.group(1), int(lim_m.group(2))
             cols = [c.strip() for c in _split_top_level(body)]
             if not cols or not all(re.match(r"^\w+$", c) for c in cols):
                 raise ValueError(f"mv-expand needs column name(s): {body!r}")
             if len(cols) == 1:
                 c = cols[0]
+                src = f"slice({c}, 1, {mv_lim})" if mv_lim else c
                 sql = (
                     f"SELECT * EXCEPT ({c}, _mv), _mv AS {c} FROM {prev} "
-                    f"LATERAL VIEW explode({c}) _t AS _mv"
+                    f"LATERAL VIEW explode({src}) _t AS _mv"
                 )
             else:
                 # Multi-column mv-expand zips element-wise (ADX
@@ -4251,9 +4449,14 @@ def kql_to_sql(
                 # does exactly that, one explode, zero shuffle.
                 zipped = ", ".join(cols)
                 unpack = ", ".join(f"_mv.{c} AS {c}" for c in cols)
+                zsrc = f"arrays_zip({zipped})"
+                if mv_lim:
+                    # slice AFTER the zip so struct field names stay
+                    # the column names
+                    zsrc = f"slice({zsrc}, 1, {mv_lim})"
                 sql = (
                     f"SELECT * EXCEPT ({zipped}, _mv), {unpack} FROM {prev} "
-                    f"LATERAL VIEW explode(arrays_zip({zipped})) _t AS _mv"
+                    f"LATERAL VIEW explode({zsrc}) _t AS _mv"
                 )
         elif op == "make-series":
             sql = _make_series_sql(prev, body)
@@ -8918,6 +9121,47 @@ def q_kql_predicates3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite aggregate expressions (round-7 gap sweep): summarize
+    items that are scalar expressions OVER aggregate calls — ratios,
+    spreads, rounded means. Each inner agg translates through the
+    normal agg path and the surrounding scalar text rides the same
+    single grouped aggregation (one post-agg projection, no extra
+    pass). Exact arithmetic: integer counts and cents keep division
+    operands bitwise-identical cross-engine."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 3000"
+        " | summarize"
+        " pct = round(todouble(100) * countif(value > 50) / count(), 2),"
+        " spread = max(value) - min(value),"
+        " ratio = todouble(dcount(user_id)) / count(),"
+        " cents_avg = round(sum(round(value * 100)) / count(), 2)"
+        " by event_type",
+    )
+
+
+def q_kql_idioms2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 sweep-2 idioms in one pipe: `between (start .. duration)`
+    timespan ends, `in ((pipe))` tabular membership (Spark plans a
+    left-semi join), JSON bracket paths on todynamic, endofweek,
+    and `mv-expand … limit N` (map-side slice before the explode)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where ts between (datetime(2024-01-01) .. 5d)"
+        " | where user_id in ((events | where value > 99"
+        " | project user_id))"
+        " | extend eow = endofweek(ts),"
+        ' k = tolong(todynamic(props)["k"])'
+        " | extend a = pack_array(k, k + 1, k + 2)"
+        " | mv-expand a limit 2"
+        " | summarize n = count(), ks = sum(a), mx = max(eow)"
+        " by user_id",
+    )
+
+
 def q_kql_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate rolling_percentile` (round-7, verdict gap): per daily
     bin and event_type, the EXACT nearest-rank p50 of value over the
@@ -9316,6 +9560,8 @@ QUERIES = {
     "kql_series_fit_2lines": q_kql_series_fit_2lines,
     "kql_graph_shortest": q_kql_graph_shortest,
     "kql_geo": q_kql_geo,
+    "kql_agg_composite": q_kql_agg_composite,
+    "kql_idioms2": q_kql_idioms2,
     "kql_rolling_percentile": q_kql_rolling_percentile,
     "kql_dcount_intersect": q_kql_dcount_intersect,
     "kql_scalar_fns9": q_kql_scalar_fns9,
@@ -10300,6 +10546,42 @@ ORACLE = {
                quantile_disc(value, 0.50) AS p50,
                quantile_disc(value, 0.75) AS p75
         FROM b
+    """,
+    "kql_agg_composite": """
+        SELECT event_type,
+               round(CAST(100 AS DOUBLE)
+                     * count(*) FILTER (value > 50) / count(*), 2)
+                   AS pct,
+               max(value) - min(value) AS spread,
+               CAST(count(DISTINCT user_id) AS DOUBLE) / count(*)
+                   AS ratio,
+               round(sum(round(value * 100)) / count(*), 2)
+                   AS cents_avg
+        FROM events WHERE event_id < 3000
+        GROUP BY event_type
+    """,
+    "kql_idioms2": """
+        WITH f AS (
+            SELECT user_id, ts,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS k
+            FROM events
+            WHERE ts BETWEEN TIMESTAMP '2024-01-01'
+                  AND TIMESTAMP '2024-01-01' + INTERVAL '432000' SECOND
+              AND user_id IN (SELECT user_id FROM events
+                              WHERE value > 99)
+        ), x AS (
+            SELECT user_id, k,
+                   CAST(CAST(ts AS DATE)
+                        - CAST(dayofweek(ts) AS INTEGER)
+                        AS TIMESTAMP)
+                   + INTERVAL 7 DAY - INTERVAL 1 MICROSECOND AS eow
+            FROM f
+        )
+        SELECT user_id, 2 * count(*) AS n,
+               CAST(SUM(2 * k + 1) AS BIGINT) AS ks,
+               max(eow) AS mx
+        FROM x GROUP BY user_id
     """,
     "kql_rolling_percentile": """
         WITH b AS (

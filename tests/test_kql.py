@@ -2087,6 +2087,69 @@ def test_rolling_percentile_edges(spark):
     ]
 
 
+def test_composite_aggregates(spark):
+    """Round-7 (gap sweep): summarize items that are expressions OVER
+    aggregate calls — one grouped agg, post-agg scalar math; items
+    with no aggregate stay loud."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, 10.0, 'a'), (2, 30.0, 'a'),"
+        " (3, 20.0, 'b') AS t(k, v, g)"
+    ).createOrReplaceTempView("ca_t")
+    rows = kql(
+        spark,
+        "ca_t | summarize spread = max(v) - min(v),"
+        " pct = todouble(100) * countif(v > 15) / count(),"
+        " r = round(avg(v), 1) by g | sort by g asc",
+    ).collect()
+    assert [(r["g"], r["spread"], r["pct"], r["r"]) for r in rows] == [
+        ("a", 20.0, 50.0, 20.0),
+        ("b", 0.0, 100.0, 20.0),
+    ]
+    with pytest.raises(ValueError, match="unsupported KQL aggregate"):
+        kql(spark, "ca_t | summarize z = v + 1")
+
+
+def test_sweep2_idioms(spark):
+    """Round-7 (gap sweep 2): in ((pipe)) membership, mv-expand limit,
+    view lets, datatable dynamic columns, prev/next serialized guard,
+    bracket JSON paths."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, '{\"k\": 5}'), (2, '{\"k\": 9}')"
+        " AS t(id, js)"
+    ).createOrReplaceTempView("sw_t")
+    rows = kql(
+        spark,
+        "sw_t | where id in ((sw_t | where id == 2 | project id))"
+        ' | extend k = tolong(todynamic(js)["k"])'
+        " | extend a = pack_array(k, k + 1, k + 2)"
+        " | mv-expand a limit 2 | project id, a",
+    ).collect()
+    assert [(r["id"], r["a"]) for r in rows] == [(2, 9), (2, 10)]
+    # view () {} wrapper is a zero-parameter tabular let
+    rows = kql(
+        spark,
+        "let keep = view () { sw_t | where id == 2 };"
+        " keep | project id",
+    ).collect()
+    assert [r["id"] for r in rows] == [2]
+    rows = kql(
+        spark,
+        "datatable(b: bool, d: dynamic)"
+        " [true, dynamic([1, 2]), false, dynamic([3])]"
+        " | where b | mv-expand d | project d",
+    ).collect()
+    assert [r["d"] for r in rows] == [1, 2]
+    with pytest.raises(ValueError, match="serialized row set"):
+        kql(spark, "sw_t | extend p = prev(id)")
+    # !in ((pipe)) is the anti form
+    rows = kql(
+        spark,
+        "sw_t | where id !in ((sw_t | where id == 2 | project id))"
+        " | project id",
+    ).collect()
+    assert [r["id"] for r in rows] == [1]
+
+
 def test_extend_parse_replace_on_clash(spark):
     """Round-6 fuzz findings: extend with an existing name REPLACES the
     column (ADX contract); parse/parse-kv targets and evaluate python

@@ -433,6 +433,26 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
+        # round-7: composite aggregate expressions and tabular IN
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    "summarize cr = todouble(100)"
+                    f" * countif({c} > 5) / count(),"
+                    f" sp = max({c}) - min({c})",
+                    ("cr", "sp"),
+                )
+            )
+        )
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"where {c} in ((events | take 9"
+                    f" | project event_id))",
+                    cols,
+                )
+            )
+        )
     opts.append(st.integers(1, 50).map(lambda n: (f"take {n}", cols)))
     opts.append(
         st.lists(
