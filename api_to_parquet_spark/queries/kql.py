@@ -664,6 +664,7 @@ _SERIES_CHAIN_FNS = {
     #                          line_fit (ADX order)
     "series_stats": 7,  # min, min_idx, max, max_idx, avg, variance, stdev
     "series_outliers": 1,  # score array
+    "series_decompose_forecast": 1,  # baseline incl. forecast tail
     "series_decompose_anomalies": 3,  # anomalies, score, baseline
     "series_decompose": 4,  # baseline, seasonal, trend, residual
     "series_periods_detect": 2,  # best period, its score (num_periods=1)
@@ -997,6 +998,67 @@ def _series_chain_sql(
             )
         return int(args[1])
 
+    if fn == "series_decompose_forecast":
+        # series_decompose_forecast(y, points, period) (round-7,
+        # subset: integer points + explicit integer period like the
+        # decompose family): the model — linefit trend + per-phase
+        # seasonal means — is fit on the first n-points elements ONLY,
+        # then evaluated over the whole axis, so the trailing `points`
+        # positions are a true out-of-sample forecast. One output
+        # series; NULL when the training prefix is shorter than
+        # max(2, period). Per-row array folds, map-side.
+        (fc_,) = names
+        if (
+            len(args) != 3
+            or not re.match(r"^\d+$", args[1].strip())
+            or not re.match(r"^\d+$", args[2].strip())
+        ):
+            raise ValueError(
+                "series_decompose_forecast needs (series, points,"
+                f" period) with integer literals: {args!r}"
+            )
+        pts, p = int(args[1]), int(args[2])
+        nest(f"{ys} AS _sc_ys")
+        nest("CAST(size(_sc_ys) AS DOUBLE) AS _sc_n")
+        nest(f"_sc_n - {pts} AS _sc_m")
+        nest(
+            "slice(transform(_sc_ys, (_x, _i) -> named_struct("
+            "'x', _x, 'i', CAST(_i AS DOUBLE))), 1,"
+            " greatest(CAST(_sc_m AS INT), 0)) AS _sc_pre"
+        )
+        nest(
+            f"aggregate(_sc_pre, {_D0}, (_a, _e) -> _a + _e.x)"
+            " AS _sc_sy,"
+            f" aggregate(_sc_pre, {_D0}, (_a, _e) -> _a + _e.x * _e.i)"
+            " AS _sc_sxy,"
+            " (_sc_m - 1) * _sc_m / 2 AS _sc_sx,"
+            " (_sc_m - 1) * _sc_m * (2 * _sc_m - 1) / 6 AS _sc_sxx"
+        )
+        nest(
+            "(_sc_m * _sc_sxy - _sc_sx * _sc_sy)"
+            f" / nullif(_sc_m * _sc_sxx - _sc_sx * _sc_sx, {_D0})"
+            " AS _sc_slope"
+        )
+        nest("(_sc_sy - _sc_slope * _sc_sx) / _sc_m AS _sc_icept")
+        nest(
+            f"transform(sequence(0, {p - 1}), _p -> aggregate("
+            "_sc_pre,"
+            f" named_struct('s', {_D0}, 'c', {_D0}),"
+            f" (_a, _e) -> IF(CAST(_e.i AS INT) % {p} = _p,"
+            " named_struct('s', _a.s + (_e.x - (_sc_icept"
+            " + _sc_slope * _e.i)), 'c', _a.c + 1), _a),"
+            f" _a -> _a.s / nullif(_a.c, {_D0}))) AS _sc_seas"
+        )
+        return build(
+            f"IF(_sc_m < greatest(2, {p}),"
+            " CAST(NULL AS ARRAY<DOUBLE>),"
+            " transform(_sc_ys, (_x, _i) -> _sc_icept"
+            f" + _sc_slope * _i"
+            f" + element_at(_sc_seas, _i % {p} + 1))) AS {fc_}",
+            ["_sc_ys", "_sc_n", "_sc_m", "_sc_pre", "_sc_sy",
+             "_sc_sxy", "_sc_sx", "_sc_sxx", "_sc_slope",
+             "_sc_icept", "_sc_seas"],
+        )
     if fn == "series_decompose":
         base, seas, trend, resid = names
         p = _decompose_prelude()
@@ -4961,6 +5023,95 @@ def kql_to_sql(
                     f"SELECT _fp, COUNT(*) AS _nv FROM ({firsts})"
                     f" AS _nac{i} GROUP BY _fp) AS _c"
                     " ON _c._fp = _r._fp"
+                )
+                continue
+            acm_ = re.match(
+                r"activity_counts_metrics\s*\((.+)\)\s*$", body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if acm_:
+                # `evaluate activity_counts_metrics(Id, Timeline,
+                # Start, End, Step)` (round-7) — per period: total row
+                # count, distinct Ids, NEW distinct Ids (first period
+                # within the range), and the cumulative distinct count
+                # from Start through the period. Shape: one raw grouped
+                # count + one (id, period) dedupe feeding dcount and
+                # per-id-first-period news; aggregated_dcount is a
+                # running SUM of new_dcount over the PERIOD axis (rows
+                # = bins, a bounded window — never a fact-table
+                # window). All equi-joins on the period key.
+                ca_ = [s.strip() for s in _split_top_level(acm_.group(1))]
+                if len(ca_) != 5:
+                    raise ValueError(
+                        "activity_counts_metrics needs (id, timeline,"
+                        f" start, end, step): {ca_!r}"
+                    )
+                idc, tc, start_k, end_k, win_k = ca_
+                if not re.match(r"^\w+$", idc) or not re.match(
+                    r"^\w+$", tc
+                ):
+                    raise ValueError(
+                        "activity_counts_metrics id/timeline must be"
+                        f" plain columns: {idc!r}, {tc!r}"
+                    )
+                wm_ = re.match(rf"^{_TS_LIT}$", win_k)
+                if not wm_:
+                    raise ValueError(
+                        "activity_counts_metrics step must be a"
+                        f" timespan literal: {win_k!r}"
+                    )
+                from decimal import Decimal
+
+                wins = Decimal(_ts_lit_seconds(wm_.group(1), wm_.group(2)))
+                if wins <= 0 or wins != int(wins):
+                    raise ValueError(
+                        "activity_counts_metrics: whole-second step"
+                        f" only: {win_k!r}"
+                    )
+                wsec = int(wins)
+                start_sql = _expr(start_k)
+                end_sql = _expr(end_k)
+                pbin = (
+                    f"({start_sql} + make_dt_interval(0, 0, 0,"
+                    f" CAST(floor(CAST(unix_micros({tc})"
+                    f" - unix_micros({start_sql}) AS DOUBLE)"
+                    f" / {wsec * 1000000}) * {wsec} AS"
+                    " DECIMAL(18, 6))))"
+                )
+                filt = (
+                    f"WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
+                )
+                raw = (
+                    f"SELECT _p, COUNT(*) AS _ct FROM (SELECT {pbin}"
+                    f" AS _p FROM {prev} {filt}) AS _acr{i}"
+                    " GROUP BY _p"
+                )
+                dd = (
+                    f"SELECT DISTINCT {idc}, {pbin} AS _p"
+                    f" FROM {prev} {filt}"
+                )
+                dcs = (
+                    f"SELECT _p, COUNT(*) AS _dc FROM ({dd})"
+                    f" AS _acd{i} GROUP BY _p"
+                )
+                news = (
+                    f"SELECT _fp AS _p, COUNT(*) AS _nv FROM ("
+                    f"SELECT {idc}, MIN(_p) AS _fp FROM ({dd})"
+                    f" AS _acf{i} GROUP BY {idc}) AS _acn{i}"
+                    f" GROUP BY _fp"
+                )
+                sql = (
+                    f"SELECT _p AS {tc}, count, dcount, new_dcount,"
+                    " SUM(new_dcount) OVER (ORDER BY _p"
+                    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
+                    " ROW) AS aggregated_dcount FROM ("
+                    "SELECT _c._p, _c._ct AS count, _d._dc AS dcount,"
+                    " coalesce(_n._nv, CAST(0 AS BIGINT))"
+                    " AS new_dcount"
+                    f" FROM ({raw}) AS _c"
+                    f" JOIN ({dcs}) AS _d ON _d._p = _c._p"
+                    f" LEFT JOIN ({news}) AS _n ON _n._p = _c._p"
+                    f") AS _acm{i}"
                 )
                 continue
             amm = re.match(
@@ -9121,6 +9272,40 @@ def q_kql_predicates3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate activity_counts_metrics` (round-7): per daily period —
+    total rows, distinct users, NEW distinct users, and the cumulative
+    distinct count from range start. One raw grouped count + one
+    (id, period) dedupe; aggregated_dcount is a running SUM of
+    new_dcount over the PERIOD axis (rows = bins), never a fact-table
+    window. Completes the ADX activity-analytics family."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate activity_counts_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-08), 1d)",
+    )
+
+
+def q_kql_series_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """series_decompose_forecast (round-7): the model (linefit trend +
+    per-phase seasonal means) fits on the first 10 of 14 daily bins
+    only; the last 4 positions are out-of-sample forecast. Integral
+    count series keep the fit sums exact, and per-phase sums have at
+    most two members (commutative adds), so the oracle matches at
+    round(6dp)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | make-series n=count() default=0.0 on ts"
+        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
+        " by user_id"
+        " | extend fc = series_decompose_forecast(n, 4, 7)"
+        " | project user_id, fc_sum = round(series_sum(fc), 6),"
+        " fc_last = round(fc[13], 6)",
+    )
+
+
 def q_kql_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite aggregate expressions (round-7 gap sweep): summarize
     items that are scalar expressions OVER aggregate calls — ratios,
@@ -9560,6 +9745,8 @@ QUERIES = {
     "kql_series_fit_2lines": q_kql_series_fit_2lines,
     "kql_graph_shortest": q_kql_graph_shortest,
     "kql_geo": q_kql_geo,
+    "kql_activity_counts": q_kql_activity_counts,
+    "kql_series_forecast": q_kql_series_forecast,
     "kql_agg_composite": q_kql_agg_composite,
     "kql_idioms2": q_kql_idioms2,
     "kql_rolling_percentile": q_kql_rolling_percentile,
@@ -10546,6 +10733,85 @@ ORACLE = {
                quantile_disc(value, 0.50) AS p50,
                quantile_disc(value, 0.75) AS p75
         FROM b
+    """,
+    "kql_activity_counts": """
+        WITH f AS (
+            SELECT user_id, date_trunc('day', ts) AS p FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts <= TIMESTAMP '2024-01-08'
+        ), raw AS (
+            SELECT p, count(*) AS cnt FROM f GROUP BY p
+        ), dd AS (
+            SELECT DISTINCT user_id, p FROM f
+        ), dcs AS (
+            SELECT p, count(*) AS dc FROM dd GROUP BY p
+        ), news AS (
+            SELECT fp AS p, count(*) AS nv FROM (
+                SELECT user_id, min(p) AS fp FROM dd GROUP BY user_id
+            ) GROUP BY fp
+        )
+        SELECT r.p AS ts, r.cnt AS count, d.dc AS dcount,
+               coalesce(n.nv, CAST(0 AS BIGINT)) AS new_dcount,
+               CAST(SUM(coalesce(n.nv, 0)) OVER (ORDER BY r.p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS aggregated_dcount
+        FROM raw r JOIN dcs d ON d.p = r.p
+        LEFT JOIN news n ON n.p = r.p
+    """,
+    "kql_series_forecast": """
+        WITH f AS (
+            SELECT user_id, date_trunc('day', ts) AS b FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-01-15'
+        ), agg AS (
+            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
+            FROM f GROUP BY 1, 2
+        ), g AS (SELECT DISTINCT user_id FROM f),
+        bins AS (
+            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+                   TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS ts
+        ), dense AS (
+            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
+                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
+                        bins.ts) AS DOUBLE) AS x
+            FROM g CROSS JOIN bins
+            LEFT JOIN agg ON agg.user_id = g.user_id
+                         AND agg.b = bins.ts
+        ), sums AS (
+            SELECT user_id, CAST(10 AS DOUBLE) AS m,
+                   sum(CASE WHEN x < 10 THEN n ELSE 0 END) AS sy,
+                   sum(CASE WHEN x < 10 THEN n * x ELSE 0 END) AS sxy
+            FROM dense GROUP BY user_id
+        ), fit AS (
+            SELECT user_id, m, sy, sxy,
+                   (m * sxy - ((m - 1) * m / 2) * sy)
+                   / nullif(m * ((m - 1) * m * (2 * m - 1) / 6)
+                     - ((m - 1) * m / 2) * ((m - 1) * m / 2), 0)
+                   AS slope
+            FROM sums
+        ), fit2 AS (
+            SELECT user_id, slope,
+                   (sy - slope * ((m - 1) * m / 2)) / m AS icept
+            FROM fit
+        ), seas AS (
+            SELECT d.user_id, CAST(d.x AS INT) % 7 AS ph,
+                   sum(d.n - (f2.icept + f2.slope * d.x))
+                   / count(*) AS sn
+            FROM dense d JOIN fit2 f2 ON f2.user_id = d.user_id
+            WHERE d.x < 10 GROUP BY d.user_id, CAST(d.x AS INT) % 7
+        ), fc AS (
+            SELECT d.user_id, d.x,
+                   f2.icept + f2.slope * d.x + s.sn AS v
+            FROM dense d
+            JOIN fit2 f2 ON f2.user_id = d.user_id
+            JOIN seas s ON s.user_id = d.user_id
+                       AND s.ph = CAST(d.x AS INT) % 7
+        )
+        SELECT user_id,
+               round(list_reduce(list(v ORDER BY x),
+                     (a, b) -> a + b), 6) AS fc_sum,
+               round(max(CASE WHEN x = 13 THEN v END), 6) AS fc_last
+        FROM fc GROUP BY user_id
     """,
     "kql_agg_composite": """
         SELECT event_type,

@@ -2150,6 +2150,53 @@ def test_sweep2_idioms(spark):
     assert [r["id"] for r in rows] == [1]
 
 
+def test_series_decompose_forecast_edges(spark):
+    """Round-7: the model fits on the training prefix only (the
+    forecast tail is out-of-sample), and a prefix shorter than
+    max(2, period) yields NULL."""
+    spark.sql(
+        "SELECT array(1.0,3.0,3.0,5.0,5.0,7.0,7.0,9.0) AS y"
+    ).createOrReplaceTempView("fct_t")
+    r = kql(
+        spark,
+        "fct_t | extend f = series_decompose_forecast(y, 2, 2)"
+        " | project l6 = round(f[6], 4), l7 = round(f[7], 4)",
+    ).collect()[0]
+    # linear+period-2 series: forecast tracks within the fit residual
+    assert abs(r["l6"] - 7.0) < 0.5 and abs(r["l7"] - 9.0) < 0.5
+    r = kql(
+        spark,
+        "fct_t | extend f = series_decompose_forecast(y, 7, 2)"
+        " | project f",
+    ).collect()[0]
+    assert r["f"] is None
+    with pytest.raises(ValueError, match="integer literals"):
+        kql(spark, "fct_t | extend f = series_decompose_forecast(y, 2)")
+
+
+def test_activity_counts_metrics(spark):
+    """Round-7: per-period count/dcount/new_dcount and the cumulative
+    aggregated_dcount."""
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, timestamp'2024-01-01 10:00'),"
+        " (1, timestamp'2024-01-01 11:00'),"
+        " (2, timestamp'2024-01-01 12:00'),"
+        " (1, timestamp'2024-01-02 10:00'),"
+        " (3, timestamp'2024-01-02 11:00') AS t(id, ts)"
+    ).createOrReplaceTempView("acm_t")
+    rows = kql(
+        spark,
+        "acm_t | evaluate activity_counts_metrics(id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-03), 1d)"
+        " | sort by ts asc",
+    ).collect()
+    assert [
+        (r["count"], r["dcount"], r["new_dcount"], r["aggregated_dcount"])
+        for r in rows
+    ] == [(3, 2, 2, 2), (2, 2, 1, 3)]
+
+
 def test_extend_parse_replace_on_clash(spark):
     """Round-6 fuzz findings: extend with an existing name REPLACES the
     column (ADX contract); parse/parse-kv targets and evaluate python
