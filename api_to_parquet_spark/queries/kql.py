@@ -1406,6 +1406,88 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "series_subtract", lambda a: _series_zip_sql(a, "-"))
     e = _rewrite_fn(e, "series_multiply", lambda a: _series_zip_sql(a, "*"))
     e = _rewrite_fn(e, "series_divide", lambda a: _series_zip_sql(a, "/"))
+
+    # element-wise unary series math (round-7 sweep): one transform,
+    # map-side; values computed as DOUBLE like the binary family
+    def _series_unary(fn_sql: str):
+        return lambda a: (
+            f"transform({a[0]}, _x -> {fn_sql}(CAST(_x AS DOUBLE)))"
+        )
+
+    e = _rewrite_fn(e, "series_abs", _series_unary("abs"))
+    e = _rewrite_fn(e, "series_exp", _series_unary("exp"))
+    e = _rewrite_fn(e, "series_log", _series_unary("ln"))
+    e = _rewrite_fn(e, "series_sqrt", _series_unary("sqrt"))
+    e = _rewrite_fn(e, "series_sign", _series_unary("sign"))
+    e = _rewrite_fn(e, "series_floor", _series_unary("floor"))
+    e = _rewrite_fn(e, "series_ceiling", _series_unary("ceiling"))
+
+    def _series_pow_sql(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ValueError(f"series_pow needs (series, exp): {a!r}")
+        if re.match(r"^-?\d+(\.\d+)?$", a[1].strip()):
+            return (
+                f"transform({a[0]}, _x -> pow(CAST(_x AS DOUBLE),"
+                f" CAST({a[1]} AS DOUBLE)))"
+            )
+        return (
+            f"zip_with({a[0]}, {a[1]}, (_x, _y) ->"
+            " pow(CAST(_x AS DOUBLE), CAST(_y AS DOUBLE)))"
+        )
+
+    e = _rewrite_fn(e, "series_pow", _series_pow_sql)
+    # element-wise comparisons -> boolean series
+    for _nm, _cmp in (
+        ("series_greater_equals", ">="),
+        ("series_less_equals", "<="),
+        ("series_not_equals", "<>"),
+        ("series_greater", ">"),
+        ("series_less", "<"),
+        ("series_equals", "="),
+    ):
+        e = _rewrite_fn(
+            e,
+            _nm,
+            lambda a, _op=_cmp: (
+                f"transform({a[0]}, _x -> CAST(_x AS DOUBLE)"
+                f" {_op} CAST({a[1]} AS DOUBLE))"
+                if len(a) == 2
+                and re.match(r"^-?\d+(\.\d+)?$", a[1].strip())
+                else f"zip_with({a[0]}, {a[1]}, (_x, _y) ->"
+                f" CAST(_x AS DOUBLE) {_op} CAST(_y AS DOUBLE))"
+            ),
+        )
+
+    def _make_timespan_sql(a: list[str]) -> str:
+        # ADX forms: (hour, minute), (hour, minute, second),
+        # (day, hour, minute, second)
+        if len(a) == 2:
+            d, h, m_, s_ = "0", a[0], a[1], "0"
+        elif len(a) == 3:
+            d, h, m_, s_ = "0", a[0], a[1], a[2]
+        elif len(a) == 4:
+            d, h, m_, s_ = a
+        else:
+            raise ValueError(
+                f"make_timespan needs 2-4 arguments: {a!r}"
+            )
+        return (
+            f"make_dt_interval({d}, {h}, {m_},"
+            f" CAST({s_} AS DECIMAL(18, 6)))"
+        )
+
+    e = _rewrite_fn(e, "make_timespan", _make_timespan_sql)
+    # now(offset) — now() plus a (negative) timespan (round-7; the
+    # bare form is handled by the generic rename below)
+    e = _rewrite_fn(
+        e,
+        "now",
+        lambda a: (
+            "current_timestamp()"
+            if not a
+            else f"(current_timestamp() + ({a[0]}))"
+        ),
+    )
     e = _sub_outside_strings(r"\breplace_string\(", "replace(", e)
     # trim family: ADX trims REPEATED regex matches from the ends
     def _trim2(a: list[str], name: str) -> tuple[str, str]:
@@ -2825,6 +2907,7 @@ _AGG_FNS = {
     "max",
     "maxif",
     "percentile",
+    "percentileif",
     "make_list",
     "make_set",
     # aggregate batch 2 (round-6)
@@ -3060,6 +3143,23 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
         col, p = [x.strip() for x in arg.split(",", 1)]
         sql = f"percentile_approx({_expr(col)}, {float(p) / 100})"
         default = f"percentile_{col}_{p}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+    elif fn == "percentileif":
+        # percentile over rows passing the predicate (round-7 sweep)
+        parts = [x.strip() for x in _split_top_level(arg)]
+        if len(parts) != 3:
+            raise ValueError(
+                f"percentileif needs (col, p, predicate): {arg!r}"
+            )
+        col, p, pred = parts
+        sql = (
+            f"percentile_approx(CASE WHEN {_expr(pred)}"
+            f" THEN {_expr(col)} END, {float(p) / 100})"
+        )
+        default = (
+            f"percentile_{col}_{p}"
+            if re.match(r"^\w+$", col)
+            else f"agg{auto_idx}"
+        )
     elif fn == "countif":
         # COUNT_IF counts only true (null/false excluded) — ADX parity
         sql = f"COUNT_IF({_expr(arg)})"
@@ -9306,6 +9406,29 @@ def q_kql_series_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_series_elem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise series math batch (round-7 sweep): unary
+    series_abs/log (+ the binary family composing with them),
+    series_pow, boolean comparison series, make_timespan +
+    format_timespan. All per-row transforms, map-side; integral
+    inputs keep abs/pow exact and ln rounds at 6dp."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 500"
+        " | extend a = pack_array(todouble(event_id % 7),"
+        " todouble(event_id % 5 + 1))"
+        " | project event_id,"
+        " sab = series_sum(series_abs(series_subtract(a, 3.0))),"
+        " slg = round(series_sum(series_log(series_add(a, 1.0))), 6),"
+        " spw = series_sum(series_pow(a, 2.0)),"
+        ' g0 = tostring(series_greater(a, 3.0)[0]),'
+        " eq1 = tostring(series_equals(a,"
+        " pack_array(todouble(3), todouble(3)))[1]),"
+        ' mts = format_timespan(make_timespan(1, 2, 3), "hh:mm:ss")',
+    )
+
+
 def q_kql_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite aggregate expressions (round-7 gap sweep): summarize
     items that are scalar expressions OVER aggregate calls — ratios,
@@ -9322,7 +9445,8 @@ def q_kql_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         " pct = round(todouble(100) * countif(value > 50) / count(), 2),"
         " spread = max(value) - min(value),"
         " ratio = todouble(dcount(user_id)) / count(),"
-        " cents_avg = round(sum(round(value * 100)) / count(), 2)"
+        " cents_avg = round(sum(round(value * 100)) / count(), 2),"
+        " pif = percentileif(value, 50, value > 50)"
         " by event_type",
     )
 
@@ -9747,6 +9871,7 @@ QUERIES = {
     "kql_geo": q_kql_geo,
     "kql_activity_counts": q_kql_activity_counts,
     "kql_series_forecast": q_kql_series_forecast,
+    "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
     "kql_idioms2": q_kql_idioms2,
     "kql_rolling_percentile": q_kql_rolling_percentile,
@@ -10813,6 +10938,25 @@ ORACLE = {
                round(max(CASE WHEN x = 13 THEN v END), 6) AS fc_last
         FROM fc GROUP BY user_id
     """,
+    "kql_series_elem": """
+        WITH b AS (
+            SELECT event_id,
+                   CAST(event_id % 7 AS DOUBLE) AS x1,
+                   CAST(event_id % 5 + 1 AS DOUBLE) AS x2
+            FROM events WHERE event_id < 500
+        )
+        SELECT event_id,
+               abs(x1 - CAST(3 AS DOUBLE))
+                   + abs(x2 - CAST(3 AS DOUBLE)) AS sab,
+               round(ln(x1 + CAST(1 AS DOUBLE))
+                     + ln(x2 + CAST(1 AS DOUBLE)), 6) AS slg,
+               pow(x1, CAST(2 AS DOUBLE))
+                   + pow(x2, CAST(2 AS DOUBLE)) AS spw,
+               CAST(x1 > CAST(3 AS DOUBLE) AS VARCHAR) AS g0,
+               CAST(x2 = CAST(3 AS DOUBLE) AS VARCHAR) AS eq1,
+               '01:02:03' AS mts
+        FROM b
+    """,
     "kql_agg_composite": """
         SELECT event_type,
                round(CAST(100 AS DOUBLE)
@@ -10822,7 +10966,8 @@ ORACLE = {
                CAST(count(DISTINCT user_id) AS DOUBLE) / count(*)
                    AS ratio,
                round(sum(round(value * 100)) / count(*), 2)
-                   AS cents_avg
+                   AS cents_avg,
+               quantile_disc(value, 0.50) FILTER (value > 50) AS pif
         FROM events WHERE event_id < 3000
         GROUP BY event_type
     """,

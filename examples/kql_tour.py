@@ -190,12 +190,15 @@ def main() -> None:
     ).show()
 
     print("== round-6: evaluate python (inline script) ==")
+    # round-7: the plugin exec()s query-supplied code, so it is an
+    # explicit engine-level opt-in (the HTTP service never sets it)
     kql(
         spark,
         "events | take 100 | project event_id, value"
         " | evaluate python(typeof(*, vsq:real),"
         " 'result = df.assign(vsq = df.value * df.value)')"
         " | take 3",
+        enable_python=True,
     ).show()
 
 
