@@ -5634,6 +5634,28 @@ def kql_to_sql(
                     f" GROUP BY _wt"
                 )
                 continue
+            smm = re.match(
+                r"schema_merge\s*\(\s*(?:\"[^\"]*\"\s*)?\)\s*$", body,
+                re.IGNORECASE,
+            )
+            if smm:
+                # `evaluate schema_merge()` (round-7, the last verdict
+                # gap): merges a union of getschema outputs — one row
+                # per ColumnName keeping the smallest ordinal; a type
+                # conflict widens to 'dynamic' (the ADX rule). The
+                # PreserveOrder string option is accepted and ignored
+                # (ordinals are preserved either way here). ONE small
+                # grouped agg over schema rows.
+                sql = (
+                    "SELECT ColumnName,"
+                    " MIN(ColumnOrdinal) AS ColumnOrdinal,"
+                    " IF(COUNT(DISTINCT DataType) = 1,"
+                    " MIN(DataType), 'dynamic') AS DataType,"
+                    " IF(COUNT(DISTINCT ColumnType) = 1,"
+                    " MIN(ColumnType), 'dynamic') AS ColumnType"
+                    f" FROM {prev} GROUP BY ColumnName"
+                )
+                continue
             rpm = re.match(
                 r"rolling_percentile\s*\((.+)\)\s*$", body,
                 re.IGNORECASE | re.DOTALL,
@@ -9406,6 +9428,21 @@ def q_kql_series_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate schema_merge()` (round-7, verdict gap): merges a
+    leading-union of getschema outputs — smallest ordinal per column,
+    type conflicts widen to 'dynamic' (the ADX rule). Exercises the
+    leading-union entry form feeding an evaluate plugin."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "union (events | project event_id, v = value | getschema),"
+        " (events | project event_id, v = tostring(value), event_type"
+        " | getschema)"
+        " | evaluate schema_merge()",
+    )
+
+
 def q_kql_series_elem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise series math batch (round-7 sweep): unary
     series_abs/log (+ the binary family composing with them),
@@ -9871,6 +9908,7 @@ QUERIES = {
     "kql_geo": q_kql_geo,
     "kql_activity_counts": q_kql_activity_counts,
     "kql_series_forecast": q_kql_series_forecast,
+    "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
     "kql_idioms2": q_kql_idioms2,
@@ -10937,6 +10975,15 @@ ORACLE = {
                      (a, b) -> a + b), 6) AS fc_sum,
                round(max(CASE WHEN x = 13 THEN v END), 6) AS fc_last
         FROM fc GROUP BY user_id
+    """,
+    "kql_schema_merge": """
+        SELECT 'event_id' AS ColumnName,
+               CAST(0 AS INTEGER) AS ColumnOrdinal,
+               'bigint' AS DataType, 'long' AS ColumnType
+        UNION ALL
+        SELECT 'v', 1, 'dynamic', 'dynamic'
+        UNION ALL
+        SELECT 'event_type', 2, 'string', 'string'
     """,
     "kql_series_elem": """
         WITH b AS (
