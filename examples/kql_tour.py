@@ -201,6 +201,62 @@ def main() -> None:
         enable_python=True,
     ).show()
 
+    print("== round-7: leading union + composite aggregates ==")
+    kql(
+        spark,
+        "union withsource=src (events | where value > 99),"
+        " (events | where value < 1)"
+        " | summarize n = count(),"
+        " pct_hi = round(todouble(100) * countif(value > 99)"
+        " / count(), 1) by src",
+    ).show()
+
+    print("== round-7: tdigest rollup + rolling percentile ==")
+    kql(
+        spark,
+        "events | extend cents = tolong(round(value * 100)),"
+        " b = user_id % 4"
+        " | summarize td = tdigest(cents) by event_type, b"
+        " | summarize mtd = merge_tdigest(td) by event_type"
+        " | project event_type, p50 = percentile_tdigest(mtd, 50),"
+        " p95 = percentile_tdigest(mtd, 95, typeof(long))",
+    ).show()
+    kql(
+        spark,
+        "events | evaluate rolling_percentile(value, 50, ts, 1d, 3)"
+        " | sort by ts asc | take 5",
+    ).show()
+
+    print("== round-7: graph-shortest-paths ==")
+    kql(
+        spark,
+        "datatable(src: string, dst: string)"
+        ' ["a","b", "b","c", "c","d", "a","c", "d","e"]'
+        " | make-graph src --> dst"
+        " | graph-shortest-paths (s)-[e*1..4]->(t)"
+        ' where s == "a" project s, t | sort by t asc',
+    ).show()
+
+    print("== round-7: in ((pipe)), dynamic literals, fn lets ==")
+    kql(
+        spark,
+        "let dbl = (x: real) { x * 2 };"
+        " events | where user_id in ((events | where value > 120"
+        " | project user_id))"
+        " | extend tags = dynamic([1, 2, 3]), dv = dbl(value)"
+        " | mv-expand tags limit 2"
+        " | summarize n = count(), mx = max(dv) by tags"
+        " | sort by tags asc",
+    ).show()
+
+    print("== round-7: activity_counts_metrics ==")
+    kql(
+        spark,
+        "events | evaluate activity_counts_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-08), 1d)"
+        " | sort by ts asc",
+    ).show()
+
 
 if __name__ == "__main__":
     main()
