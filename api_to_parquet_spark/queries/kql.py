@@ -1887,12 +1887,21 @@ def _expr(kql_expr: str) -> str:
 
     def _floor2_sql(a: list[str]) -> str:
         # ADX floor(value, roundTo) IS bin(): snap down to a multiple
-        # of roundTo. 1-arg floor passes through natively.
+        # of roundTo. 1-arg floor passes through natively; a timespan
+        # roundTo means datetime bucketing (round-7: the same
+        # epoch-floor shape _bin_to_sql emits for bin(ts, 1d)).
         if len(a) == 1:
             return f"floor({a[0]})"
         if len(a) != 2:
             raise ValueError(f"floor needs (value[, roundTo]): {a!r}")
         v, s_ = a[0].strip(), a[1].strip()
+        tm = re.match(r"^(\d+)([smhd])$", s_)
+        if tm:
+            sec = int(tm.group(1)) * _TIMESPAN_SECONDS[tm.group(2)]
+            return (
+                f"to_timestamp(floor(unix_timestamp({v}) / {sec})"
+                f" * {sec})"
+            )
         return (
             f"(floor(CAST({v} AS DOUBLE) / CAST({s_} AS DOUBLE))"
             f" * CAST({s_} AS DOUBLE))"
@@ -2617,6 +2626,17 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bstartofday\(", "date_trunc('DAY', ", e)
     e = _sub_outside_strings(r"\bstartofmonth\(", "date_trunc('MONTH', ", e)
     e = _sub_outside_strings(r"\bstartofyear\(", "date_trunc('YEAR', ", e)
+    e = _sub_outside_strings(
+        r"\bstartofquarter\(", "date_trunc('QUARTER', ", e
+    )
+    e = _rewrite_fn(
+        e,
+        "endofquarter",
+        lambda a: (
+            f"(date_trunc('QUARTER', {a[0]}) + INTERVAL 3 MONTH"
+            " - INTERVAL 1 MICROSECOND)"
+        ),
+    )
     # typed null literals — long(null), real(null), datetime(null), … —
     # the ADX way to write a NULL of a specific type (round-7; must run
     # BEFORE the datetime() literal rewrite or datetime(null) would
@@ -3026,6 +3046,21 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
             f" AS percentile_{base}_{str(raw).replace('.', '_')}"
             for raw, p in zip(args[1:], ps)
         ]
+    tam = re.match(r"^take_any\s*\((.*)\)$", item.strip(), re.DOTALL)
+    if tam and len(_split_top_level(tam.group(1))) > 1:
+        # multi-column take_any (round-7): values must come from ONE
+        # row (ADX picks an arbitrary row; the deterministic
+        # refinement picks the row whose listed tuple is
+        # lexicographically minimal) — min_by each column over the
+        # SHARED struct key keeps them row-consistent.
+        tcols = [c.strip() for c in _split_top_level(tam.group(1))]
+        if not all(re.match(r"^\w+$", c) for c in tcols):
+            raise ValueError(
+                "multi-column take_any needs plain columns:"
+                f" {item!r}"
+            )
+        tkey = f"struct({', '.join(tcols)})"
+        return [f"min_by({c}, {tkey}) AS {c}" for c in tcols]
     m = re.match(r"(?:(\w+)\s*=\s*)?(arg_max|arg_min)\s*\((.*)\)$", item.strip())
     if not m:
         return [_agg(item, auto_idx)]
@@ -4509,6 +4544,36 @@ def kql_to_sql(
                     ),
                     parts[0],
                 )
+            ta_star = re.search(r"\btake_any\s*\(\s*\*\s*\)", parts[0])
+            if ta_star:
+                # `take_any(*)` (round-7): one deterministic whole row
+                # — expands to the analyzed schema minus the group
+                # keys, then the multi-column take_any path keeps the
+                # columns ROW-CONSISTENT (min_by a shared key).
+                if spark is None:
+                    raise ValueError(
+                        "take_any(*) needs a SparkSession for schema"
+                        " discovery"
+                    )
+                by_names2 = (
+                    {
+                        g.strip()
+                        for g in _split_top_level(parts[1])
+                        if re.match(r"^\w+$", g.strip())
+                    }
+                    if len(parts) == 2
+                    else set()
+                )
+                rest2 = [
+                    f.name
+                    for f in spark.sql(sql).schema.fields
+                    if f.name not in by_names2
+                ]
+                parts[0] = re.sub(
+                    r"\btake_any\s*\(\s*\*\s*\)",
+                    f"take_any({', '.join(rest2)})",
+                    parts[0],
+                )
             aggs = [
                 it
                 for j, a in enumerate(_split_top_level(parts[0]))
@@ -4555,6 +4620,18 @@ def kql_to_sql(
             )
             if ixm:
                 ixcol, c = ixm.group(1), ixm.group(2).strip()
+                # optional typed element clause composes (round-7)
+                ixt = re.match(
+                    r"^(\w+)\s+to\s+typeof\s*\(\s*(\w+)\s*\)\s*$", c
+                )
+                elem_sql = "_mv"
+                if ixt:
+                    c, tname = ixt.group(1), ixt.group(2).lower()
+                    if tname not in _KQL_TYPES:
+                        raise ValueError(
+                            f"mv-expand typeof: unknown type {tname!r}"
+                        )
+                    elem_sql = f"try_cast(_mv AS {_KQL_TYPES[tname]})"
                 if not re.match(r"^\w+$", c):
                     raise ValueError(
                         "mv-expand with_itemindex supports a single"
@@ -4562,7 +4639,7 @@ def kql_to_sql(
                     )
                 sql = (
                     f"SELECT * EXCEPT ({c}, _mvi, _mv),"
-                    f" _mvi AS {ixcol}, _mv AS {c} FROM {prev}"
+                    f" _mvi AS {ixcol}, {elem_sql} AS {c} FROM {prev}"
                     f" LATERAL VIEW posexplode({c}) _t AS _mvi, _mv"
                 )
                 continue
@@ -9428,6 +9505,23 @@ def q_kql_series_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_idioms3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 sweep-4 idioms: floor(ts, timespan) as a bin() synonym
+    on datetimes, startofquarter/endofquarter, and multi-column
+    take_any — values from ONE row, kept consistent via min_by over
+    the shared tuple key (deterministic refinement of ADX's arbitrary
+    row)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 2000"
+        " | extend fb = floor(ts, 1d), sq = startofquarter(ts),"
+        " eq = endofquarter(ts)"
+        " | summarize take_any(event_id, value), n = count(),"
+        " q1 = min(sq), q2 = max(eq) by fb",
+    )
+
+
 def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate schema_merge()` (round-7, verdict gap): merges a
     leading-union of getschema outputs — smallest ordinal per column,
@@ -9908,6 +10002,7 @@ QUERIES = {
     "kql_geo": q_kql_geo,
     "kql_activity_counts": q_kql_activity_counts,
     "kql_series_forecast": q_kql_series_forecast,
+    "kql_idioms3": q_kql_idioms3,
     "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
@@ -10975,6 +11070,25 @@ ORACLE = {
                      (a, b) -> a + b), 6) AS fc_sum,
                round(max(CASE WHEN x = 13 THEN v END), 6) AS fc_last
         FROM fc GROUP BY user_id
+    """,
+    "kql_idioms3": """
+        WITH b AS (
+            SELECT event_id, value, date_trunc('day', ts) AS fb,
+                   date_trunc('quarter', ts) AS sq
+            FROM events WHERE event_id < 2000
+        ), r AS (
+            SELECT *, row_number() OVER (PARTITION BY fb
+                      ORDER BY event_id, value) AS rn
+            FROM b
+        )
+        SELECT fb,
+               max(CASE WHEN rn = 1 THEN event_id END) AS event_id,
+               max(CASE WHEN rn = 1 THEN value END) AS value,
+               count(*) AS n,
+               min(sq) AS q1,
+               max(sq + INTERVAL 3 MONTH - INTERVAL 1 MICROSECOND)
+                   AS q2
+        FROM r GROUP BY fb
     """,
     "kql_schema_merge": """
         SELECT 'event_id' AS ColumnName,

@@ -2197,6 +2197,38 @@ def test_activity_counts_metrics(spark):
     ] == [(3, 2, 2, 2), (2, 2, 1, 3)]
 
 
+def test_take_any_star_and_typed_itemindex(spark):
+    """Round-7 sweep 4: take_any(*) returns one ROW-CONSISTENT record
+    (min_by over the shared tuple key — deterministic refinement);
+    mv-expand with_itemindex composes with to typeof."""
+    spark.sql(
+        "SELECT * FROM VALUES (2, 'b', 20.0), (1, 'a', 10.0),"
+        " (1, 'z', 99.0) AS t(k, s, v)"
+    ).createOrReplaceTempView("tas_t")
+    r = kql(spark, "tas_t | summarize take_any(*)").collect()[0]
+    assert (r["k"], r["s"], r["v"]) == (1, "a", 10.0)
+    rows = kql(
+        spark, "tas_t | summarize take_any(s, v) by k | sort by k asc"
+    ).collect()
+    assert [(r["k"], r["s"], r["v"]) for r in rows] == [
+        (1, "a", 10.0),
+        (2, "b", 20.0),
+    ]
+    spark.sql(
+        "SELECT array('5', 'x', '7') AS a"
+    ).createOrReplaceTempView("tix_t")
+    rows = kql(
+        spark,
+        "tix_t | mv-expand with_itemindex=ix a to typeof(long)"
+        " | project ix, a",
+    ).collect()
+    assert [(r["ix"], r["a"]) for r in rows] == [
+        (0, 5),
+        (1, None),
+        (2, 7),
+    ]
+
+
 def test_extend_parse_replace_on_clash(spark):
     """Round-6 fuzz findings: extend with an existing name REPLACES the
     column (ADX contract); parse/parse-kv targets and evaluate python
