@@ -2533,8 +2533,19 @@ def _expr(kql_expr: str) -> str:
         r"regexp_extract(\3, \1, \2)",
         e,
     )
-    e = _sub_outside_strings(r"\bisnotempty\(([^()]+)\)", r"(\1 IS NOT NULL AND \1 <> '')", e)
-    e = _sub_outside_strings(r"\bisempty\(([^()]+)\)", r"(\1 IS NULL OR \1 = '')", e)
+    # CAST to STRING before the ''-compare: ADX isempty applies to ANY
+    # scalar (non-null non-strings are never empty); the bare compare
+    # threw CAST_INVALID_INPUT on numerics under ANSI (round-7 sweep)
+    e = _sub_outside_strings(
+        r"\bisnotempty\(([^()]+)\)",
+        r"(\1 IS NOT NULL AND CAST(\1 AS STRING) <> '')",
+        e,
+    )
+    e = _sub_outside_strings(
+        r"\bisempty\(([^()]+)\)",
+        r"(\1 IS NULL OR CAST(\1 AS STRING) = '')",
+        e,
+    )
     # Datetime surface: ago()/now() anchor to the query clock;
     # startof*() are date_trunc; datetime(...) literals become TIMESTAMP
     # literals (ADX ISO shapes are a subset of Spark's).
