@@ -206,6 +206,19 @@ the previous as a subquery; Catalyst's CollapseProject/combine-filters
 rules flatten the nesting, so the physical plan is identical to the
 hand-written SQL (scan with pushed filters, partial aggregates, top-k as
 TakeOrderedAndProject).
+
+Known out-of-subset surface (round-7 sweep inventory — each fails
+LOUDLY at translate or analysis time, verified by 4 × ~50-idiom probe
+batteries): `consume`; bracket-quoted column names (['my col']);
+string indexing s[i]; `in~ ((pipe))` (case-insensitive tabular in);
+mv-expand over property BAGS (arrays only; bags via bag_keys/
+get_json_object); tabular lets inside toscalar()/in((…)) bodies;
+bin_auto (needs `set` statements); parse_user_agent (lookup-table
+corpus); gamma/beta_cdf (no JVM builtin); series_iir /
+series_stats_dynamic; base64_decode_toarray; timespan/timespan
+division; graph-shortest-paths output=all (per-path multiplicity) and
+multi-hop patterns; scan self/forward state references (ADX's
+iterating-step model); take_any(*) with expression arguments.
 """
 
 from __future__ import annotations
