@@ -5282,22 +5282,20 @@ def kql_to_sql(
                 filt = (
                     f"WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
                 )
-                raw = (
-                    f"SELECT _p, COUNT(*) AS _ct FROM (SELECT {pbin}"
-                    f" AS _p FROM {prev} {filt}) AS _acr{i}"
-                    " GROUP BY _p"
+                base = (
+                    f"SELECT {idc}, {pbin} AS _p FROM {prev} {filt}"
                 )
-                dd = (
-                    f"SELECT DISTINCT {idc}, {pbin} AS _p"
-                    f" FROM {prev} {filt}"
-                )
-                dcs = (
-                    f"SELECT _p, COUNT(*) AS _dc FROM ({dd})"
-                    f" AS _acd{i} GROUP BY _p"
+                # count + dcount in ONE grouped aggregation (Spark
+                # plans COUNT DISTINCT beside plain aggs as a two-phase
+                # expand over the same single scan)
+                cnts = (
+                    f"SELECT _p, COUNT(*) AS _ct,"
+                    f" COUNT(DISTINCT {idc}) AS _dc"
+                    f" FROM ({base}) AS _acr{i} GROUP BY _p"
                 )
                 news = (
                     f"SELECT _fp AS _p, COUNT(*) AS _nv FROM ("
-                    f"SELECT {idc}, MIN(_p) AS _fp FROM ({dd})"
+                    f"SELECT {idc}, MIN(_p) AS _fp FROM ({base})"
                     f" AS _acf{i} GROUP BY {idc}) AS _acn{i}"
                     f" GROUP BY _fp"
                 )
@@ -5306,11 +5304,10 @@ def kql_to_sql(
                     " SUM(new_dcount) OVER (ORDER BY _p"
                     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
                     " ROW) AS aggregated_dcount FROM ("
-                    "SELECT _c._p, _c._ct AS count, _d._dc AS dcount,"
+                    "SELECT _c._p, _c._ct AS count, _c._dc AS dcount,"
                     " coalesce(_n._nv, CAST(0 AS BIGINT))"
                     " AS new_dcount"
-                    f" FROM ({raw}) AS _c"
-                    f" JOIN ({dcs}) AS _d ON _d._p = _c._p"
+                    f" FROM ({cnts}) AS _c"
                     f" LEFT JOIN ({news}) AS _n ON _n._p = _c._p"
                     f") AS _acm{i}"
                 )

@@ -487,3 +487,25 @@ def test_ipv4_lookup_unmatched_single_subtree(spark, sf_smoke):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("Scan parquet") <= 1
+
+
+def test_activity_counts_two_scans_max(spark, sf_smoke):
+    """activity_counts_metrics (round-7): count+dcount share ONE
+    grouped aggregation, so the fact table is scanned at most twice
+    (per-bin counts + per-id first periods), never per-metric."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "events | evaluate activity_counts_metrics(user_id, ts,"
+            " datetime(2024-01-01), datetime(2024-01-08), 1d)",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") <= 2
+    assert "BatchEvalPython" not in plan
