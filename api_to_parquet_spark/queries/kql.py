@@ -5202,6 +5202,12 @@ def kql_to_sql(
                     f" FROM {prev}"
                     f" WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
                 )
+                if spark is not None:
+                    # dd feeds the firsts aggregate (referenced twice)
+                    # AND the retention join — materialize once
+                    # (bounded ids × periods rows) instead of three
+                    # fact scans (round-7 scale fix)
+                    dd = _cache_child(spark, dd, "cohort")
                 firsts = (
                     f"SELECT {idc}, MIN(_p) AS _fp FROM ({dd})"
                     f" AS _naf{i} GROUP BY {idc}"
@@ -5370,6 +5376,13 @@ def kql_to_sql(
                     f" FROM {prev}"
                     f" WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
                 )
+                if spark is not None:
+                    # the deduped (id, period) set feeds FOUR
+                    # downstream subqueries; materialize it once
+                    # (bounded ids × periods rows) instead of five
+                    # fact-table scans (round-7 scale fix, the pivot
+                    # _cache_child precedent)
+                    dd = _cache_child(spark, dd, "actm")
                 cnts = (
                     f"SELECT _p, COUNT(*) AS _dc FROM ({dd})"
                     f" AS _amd{i} GROUP BY _p"

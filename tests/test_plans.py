@@ -509,3 +509,28 @@ def test_activity_counts_two_scans_max(spark, sf_smoke):
     )
     assert plan.count("Scan parquet") <= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_activity_metrics_single_fact_scan(spark, sf_smoke):
+    """activity_metrics / new_activity_metrics (round-7): the deduped
+    (id, period) set is materialized once (_cache_child), so the fact
+    table appears as at most ONE parquet scan — the four downstream
+    subqueries read the checkpointed rows (Scan ExistingRDD)."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    for q in (
+        "events | evaluate activity_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-15), 1d)",
+        "events | evaluate new_activity_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-15), 1d)",
+    ):
+        plan = (
+            kql(spark, q)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") <= 1, q
+        assert "Scan ExistingRDD" in plan, q
