@@ -5125,8 +5125,20 @@ def kql_to_sql(
                     f" AS _fe{i} WHERE {stc} = '{states[0]}'"
                     f" GROUP BY {idc}, _fp"
                 )
-                levels = [g_prev]
-                for j in range(1, len(states)):
+                levels = []
+                for j in range(1, len(states) + 1):
+                    if spark is not None and j < len(states):
+                        # each level nests ALL previous levels — left
+                        # inline, level j re-embeds the fact scan j+1
+                        # times (O(N²) scans for an N-state funnel).
+                        # Materializing each (id, period)-bounded
+                        # level through the _cache_child ring keeps it
+                        # to one fact scan per step (round-7 scale
+                        # fix).
+                        g_prev = _cache_child(spark, g_prev, "funnel")
+                    levels.append(g_prev)
+                    if j == len(states):
+                        break
                     g_prev = (
                         f"SELECT _g.{idc}, _g._fp, MIN(_e.{tc}) AS _t"
                         f" FROM ({g_prev}) AS _g JOIN ({ev}) AS _e"
@@ -5136,7 +5148,6 @@ def kql_to_sql(
                         f" AND _e.{tc} > _g._t"
                         f" GROUP BY _g.{idc}, _g._fp"
                     )
-                    levels.append(g_prev)
                 unions = " UNION ALL ".join(
                     f"(SELECT _fp AS {tc}, '{states[j]}' AS {stc},"
                     f" COUNT(*) AS dcount FROM ({lv}) AS _fl{i}_{j}"

@@ -534,3 +534,26 @@ def test_activity_metrics_single_fact_scan(spark, sf_smoke):
         )
         assert plan.count("Scan parquet") <= 1, q
         assert "Scan ExistingRDD" in plan, q
+
+
+def test_funnel_linear_fact_scans(spark, sf_smoke):
+    """funnel_sequence_completion (round-7): levels are materialized
+    through the checkpoint ring, so a 3-state funnel scans the fact
+    table at most 3 times (one per step) instead of O(N^2)."""
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    plan = (
+        kql(
+            spark,
+            "events | evaluate funnel_sequence_completion(user_id,"
+            " ts, datetime(2024-01-01), datetime(2024-01-15), 7d,"
+            ' event_type, dynamic(["view", "click", "purchase"]))',
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") <= 3
+    assert "Scan ExistingRDD" in plan
