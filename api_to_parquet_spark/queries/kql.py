@@ -218,7 +218,9 @@ corpus); gamma/beta_cdf (no JVM builtin); series_iir /
 series_stats_dynamic; base64_decode_toarray; timespan/timespan
 division; graph-shortest-paths output=all (per-path multiplicity) and
 multi-hop patterns; scan self/forward state references (ADX's
-iterating-step model); take_any(*) with expression arguments.
+iterating-step model); take_any(*) with expression arguments; `+` as
+string concatenation (use strcat — type-dependent operators can't be
+resolved textually).
 """
 
 from __future__ import annotations
@@ -547,6 +549,15 @@ def _rewrite_fn(e: str, name: str, build) -> str:
                 depth -= 1
             j += 1
         args = _split_top_level(e[m.end() : j - 1])
+        # recurse into the arguments for NESTED same-name calls
+        # (round-7: `pack("a", pack("b", 1))` — the inner call must
+        # translate before the outer builder embeds the arg text)
+        args = [
+            _rewrite_fn(a, name, build)
+            if re.search(rf"\b{name}\s*\(", a)
+            else a
+            for a in args
+        ]
         out.append(build(args))
         i = j
 
@@ -7739,6 +7750,24 @@ def kql_to_sql(
                 sbody = w[1] if len(w) > 1 else ""
                 if sop == "where":
                     arr = f"filter({arr}, {elem} -> {_expr(sbody)})"
+                elif sop == "sort":
+                    # `sort by e [asc|desc]` over the ELEMENT itself
+                    # (round-7): array_sort / its reverse — expression
+                    # sort keys stay out of the subset
+                    sm_ = re.match(
+                        rf"^by\s+{re.escape(elem)}"
+                        r"(?:\s+(asc|desc))?\s*$",
+                        sbody,
+                        re.IGNORECASE,
+                    )
+                    if not sm_:
+                        raise ValueError(
+                            "mv-apply sort supports 'sort by"
+                            f" {elem} [asc|desc]': {sbody!r}"
+                        )
+                    arr = f"array_sort({arr})"
+                    if (sm_.group(1) or "asc").lower() == "desc":
+                        arr = f"reverse({arr})"
                 elif sop == "summarize":
                     items = []
                     for j, a in enumerate(_split_top_level(sbody)):

@@ -433,13 +433,16 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
-        # round-7: composite aggregate expressions and tabular IN
+        # round-7: composite aggregate expressions and tabular IN.
+        # count()/dcount-based arithmetic stays analyzable whatever
+        # the column type (a facet stage can turn `value` into a
+        # STRING, where max(v) - min(v) fails analysis)
         opts.append(
             st.sampled_from(num).map(
                 lambda c: (
                     "summarize cr = todouble(100)"
                     f" * countif({c} > 5) / count(),"
-                    f" sp = max({c}) - min({c})",
+                    f" sp = count() - dcount({c})",
                     ("cr", "sp"),
                 )
             )
