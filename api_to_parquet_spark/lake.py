@@ -220,10 +220,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except TypeError:  # session type not weak-referenceable
         cache = {}
     key = (sf_dir, name)
+    # Re-assert the UTC session zone on EVERY call, including cache
+    # hits — callers rely on load() to enforce it, and anything that
+    # flipped the zone between calls would otherwise silently skew
+    # cache-hit queries (round-8 advice).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     cached = cache.get(key)
     if cached is not None:
         return cached
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     try:
         # Prefer reading naive parquet timestamps as TIMESTAMP directly —
         # plans then carry no cast nodes at all. The cast loop below stays

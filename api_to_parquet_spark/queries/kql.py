@@ -260,13 +260,40 @@ _KQL_TYPES = {
 
 
 def _strings_to_sql(text: str) -> str:
-    """KQL double-quoted string literals -> SQL single-quoted."""
+    """KQL double-quoted string literals -> SQL single-quoted.
 
-    def repl(m: re.Match) -> str:
-        inner = m.group(1).replace("'", "''")
-        return f"'{inner}'"
-
-    return re.sub(r'"((?:[^"\\]|\\.)*)"', repl, text)
+    Quote-aware scan, not a blanket regex: a double quote INSIDE a
+    single-quoted literal ('say "hi"') is content, not a delimiter —
+    the old regex rewrote it and produced invalid SQL (round-8 fix).
+    Single-quoted literals copy verbatim (Spark accepts the same
+    backslash escapes KQL uses); double-quoted literals re-quote with
+    embedded single quotes doubled."""
+    out: list[str] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            j = i + 1
+            while j < n and text[j] != "'":
+                j += 2 if text[j] == "\\" else 1
+            out.append(text[i : j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            buf: list[str] = []
+            while j < n and text[j] != '"':
+                if text[j] == "\\":
+                    buf.append(text[j : j + 2])
+                    j += 2
+                else:
+                    buf.append(text[j])
+                    j += 1
+            out.append("'" + "".join(buf).replace("'", "''") + "'")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
 
 
 def _bin_to_sql(text: str) -> str:
@@ -2234,9 +2261,9 @@ def _expr(kql_expr: str) -> str:
         # JSON objects become compact JSON STRING literals — the same
         # string-widened bag representation pack()/bag_merge use; bare
         # scalars pass through. Validated at translate time.
-        # the arg splitter tracks ()/[] but not {} — an object literal
-        # with multiple keys arrives split on its top-level commas;
-        # rejoin (dynamic() always takes exactly one literal)
+        # the arg splitter now tracks {} too (round-8), so objects —
+        # including objects INSIDE arrays — arrive whole; the rejoin
+        # stays as belt-and-braces (dynamic() takes exactly one literal)
         v = ", ".join(a).strip()
 
         def conv(t: str) -> str:
@@ -2453,10 +2480,29 @@ def _expr(kql_expr: str) -> str:
             if acc.group(1):
                 path += f".{acc.group(1)}"
             elif acc.group(2) is not None:
-                path += f".{acc.group(2)}"
+                key = acc.group(2)
+                if re.match(r"^\w+$", key):
+                    path += f".{key}"
+                elif "'" in key or '"' in key or "[" in key or "]" in key:
+                    # quotes/brackets inside a key can't be escaped in
+                    # Spark's JSONPath dialect — loud subset error, not
+                    # a silent NULL (round-8 advice)
+                    raise ValueError(
+                        f"JSON bracket key {key!r} contains characters"
+                        " Spark's JSONPath cannot express"
+                    )
+                else:
+                    # keys with dots/spaces need the bracket form —
+                    # $.a.b would address a NESTED path, silently
+                    # returning NULL for the literal key 'a.b'
+                    # (round-8 advice)
+                    path += f"['{key}']"
             else:
                 path += f"[{acc.group(3)}]"
-        return f"get_json_object({m.group(1)}, '{path}')"
+        # bracket-form segments carry single quotes — switch the SQL
+        # string literal to double quotes so the path survives intact
+        lit = f'"{path}"' if "'" in path else f"'{path}'"
+        return f"get_json_object({m.group(1)}, {lit})"
 
     # _pred_sub, not _sub_outside_strings: the accessor pattern itself
     # spans string literals ('k' keys, literal JSON args), which the
@@ -2927,9 +2973,11 @@ def _split_top_level(text: str, sep: str = ",") -> list[str]:
         elif quote == ch:
             quote = None
         if quote is None:
-            if ch in "([":
+            # braces tracked too (round-8 advice): dynamic([{…,…}])
+            # object elements must not split on the object's commas
+            if ch in "([{":
                 depth += 1
-            elif ch in ")]":
+            elif ch in ")]}":
                 depth -= 1
             if ch == sep and depth == 0:
                 parts.append("".join(cur).strip())
@@ -3572,13 +3620,21 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
                         f"{fname} takes {len(_p)} argument(s),"
                         f" got {args!r}"
                     )
+                # Two-pass substitution (round-8 advice): rewrite each
+                # parameter to a unique placeholder first, THEN drop in
+                # the argument texts. One-pass sequential substitution
+                # re-substitutes an earlier argument whose text matches
+                # a later parameter name: f(b, 10) with params (a, b)
+                # would compile `a + b` to `((10)) + (10)`.
                 out = _b
-                for pn, av in zip(_p, args):
+                for i, pn in enumerate(_p):
                     out = _sub_outside_strings(
                         rf"(?<![\w.]){re.escape(pn)}(?!\w)",
-                        f"({av.strip()})",
+                        f"\x00FNARG{i}\x00",
                         out,
                     )
+                for i, av in enumerate(args):
+                    out = out.replace(f"\x00FNARG{i}\x00", f"({av.strip()})")
                 return f"({out})"
 
             txt = _rewrite_fn(txt, fname, _call)
@@ -3803,11 +3859,48 @@ _CACHE_KEEP = 8  # live cached pivot/bag_unpack children per session
 # checkpointed under another session and unpersisting DataFrames the
 # other session's callers still held). WeakKeyDictionary: a closed,
 # collected session drops its ring with it.
+import threading  # noqa: E402
 import weakref  # noqa: E402
 
 _cache_rings: "weakref.WeakKeyDictionary[SparkSession, list]" = (
     weakref.WeakKeyDictionary()
 )
+
+# Views created DURING the current translation are pinned against ring
+# eviction until the translation's final spark.sql() has analyzed them
+# (round-8 advice: a funnel with 10+ states pushed >_CACHE_KEEP views
+# while still being translated, evicting its own level-1 view; with
+# concurrent /query threads the shared ring widened the window for
+# every _cache_child user). _PIN_LOCAL is the per-context list of views
+# this translation pinned; _pinned_views is the cross-thread set the
+# evictor consults (the ring is shared per-session across threads, so
+# pin visibility must be too).
+_PIN_LOCAL: contextvars.ContextVar = contextvars.ContextVar(
+    "_PIN_LOCAL", default=None
+)
+_pinned_views: set = set()
+_pin_lock = threading.Lock()
+
+
+class _pin_scope:
+    """Pin every _cache_child view created inside this scope. Nested
+    scopes (subquery re-entry into kql_to_sql) reuse the outer scope so
+    pins release only when the OUTERMOST translation completes."""
+
+    def __enter__(self):
+        self._tok = (
+            None if _PIN_LOCAL.get() is not None else _PIN_LOCAL.set([])
+        )
+        return self
+
+    def __exit__(self, *exc):
+        if self._tok is None:
+            return False
+        names = _PIN_LOCAL.get()
+        _PIN_LOCAL.reset(self._tok)
+        with _pin_lock:
+            _pinned_views.difference_update(names)
+        return False
 
 
 def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
@@ -3834,8 +3927,23 @@ def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
     df.createOrReplaceTempView(view)
     ring = _cache_rings.setdefault(spark, [])
     ring.append((view, df))
-    while len(ring) > _CACHE_KEEP:
-        old_view, old_df = ring.pop(0)
+    local = _PIN_LOCAL.get()
+    if local is not None:
+        with _pin_lock:
+            _pinned_views.add(view)
+        local.append(view)
+    # Evict oldest UNPINNED entries while over budget. Pinned views
+    # (live translations) are skipped — a pin-heavy moment can leave
+    # the ring briefly over _CACHE_KEEP; the next _cache_child call
+    # after the pins release trims it back.
+    i = 0
+    while len(ring) > _CACHE_KEEP and i < len(ring):
+        old_view, old_df = ring[i]
+        with _pin_lock:
+            if old_view in _pinned_views:
+                i += 1
+                continue
+        ring.pop(i)
         try:
             old_df.unpersist()
             spark.catalog.dropTempView(old_view)
@@ -3920,6 +4028,18 @@ def kql_to_sql(
     positional UNION ALL (same-shape pipes only)."""
     if _tabular is None:
         kql, _tabular = _apply_lets(" ".join(kql.split()))
+    # Pin _cache_child views for the duration of this translation
+    # (no-op when an enclosing kql() scope is already active — the
+    # outer scope then also covers the final spark.sql analysis).
+    with _pin_scope():
+        return _kql_to_sql_pinned(kql, spark, _tabular)
+
+
+def _kql_to_sql_pinned(
+    kql: str,
+    spark: SparkSession | None,
+    _tabular: dict[str, str],
+) -> str:
     stages = _split_top_level(" ".join(kql.split()), "|")
     # Leading `search [kind=case_sensitive] in (T1, T2, …) "term"` —
     # a common entry form (round-6 verdict gap). Rewritten onto the
@@ -7965,26 +8085,30 @@ def kql(
 
     py_tok = _ENABLE_PYTHON.set(enable_python)
     try:
-        try:
-            df = spark.sql(kql_to_sql(text, spark))
-            if len(set(df.columns)) == len(df.columns):
-                return df
-        except AnalysisException as ex:
-            msg = str(ex)
-            if not any(
-                t in msg
-                for t in (
-                    "AMBIGUOUS_REFERENCE",
-                    "ALREADY_EXISTS",
-                    "DUPLICATE",
-                )
-            ):
-                raise
-        clash_tok = _RESOLVE_CLASHES.set(True)
-        try:
-            return spark.sql(kql_to_sql(text, spark))
-        finally:
-            _RESOLVE_CLASHES.reset(clash_tok)
+        # Pin scope spans translation AND the spark.sql() analysis so a
+        # concurrent /query thread can't evict this query's _cache_child
+        # views before the final plan resolves them (round-8 advice).
+        with _pin_scope():
+            try:
+                df = spark.sql(kql_to_sql(text, spark))
+                if len(set(df.columns)) == len(df.columns):
+                    return df
+            except AnalysisException as ex:
+                msg = str(ex)
+                if not any(
+                    t in msg
+                    for t in (
+                        "AMBIGUOUS_REFERENCE",
+                        "ALREADY_EXISTS",
+                        "DUPLICATE",
+                    )
+                ):
+                    raise
+            clash_tok = _RESOLVE_CLASHES.set(True)
+            try:
+                return spark.sql(kql_to_sql(text, spark))
+            finally:
+                _RESOLVE_CLASHES.reset(clash_tok)
     finally:
         _ENABLE_PYTHON.reset(py_tok)
 

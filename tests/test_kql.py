@@ -2876,3 +2876,67 @@ def test_advice_fixes_round5(spark):
         " 's.ffffff')",
     ).collect()[0]
     assert r["f"] == "1.999999"
+
+
+def test_advice_fixes_round8(spark, sf_smoke):
+    """Round-8: pins for the five round-7 ADVICE items.
+    (1) fn-let macro expansion is two-pass — an argument whose text
+    matches a LATER parameter name must not be re-substituted;
+    (2) _cache_child views created during a translation are pinned
+    against ring eviction (a 12-state funnel pushes >_CACHE_KEEP
+    views before its final UNION analyzes);
+    (3) JSON bracket keys containing dots/spaces emit the $['k']
+    bracket JSONPath form (dot form would address a nested path);
+    keys Spark's JSONPath cannot express raise loudly;
+    (4) dynamic([...]) object elements survive the arg splitter
+    (brace-aware _split_top_level);
+    (5) a double quote inside a single-quoted literal is content,
+    not a delimiter (_strings_to_sql quote-aware scan)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # (1) param-name collision: f(b, 10) with params (a, b)
+    rows = kql(
+        spark,
+        "let f = (a: long, b: long) { a + b };"
+        " events | extend b = event_id"
+        " | extend r = f(b, 10) | project event_id, r | take 5",
+    ).collect()
+    assert rows and all(r["r"] == r["event_id"] + 10 for r in rows)
+    # (2) 12-state funnel: views pinned until the final analysis
+    states = ", ".join(
+        f"'{s}'"
+        for s in ["click", "view"] + [f"ghost{i}" for i in range(10)]
+    )
+    rows = kql(
+        spark,
+        "events | evaluate funnel_sequence_completion(user_id, ts,"
+        " datetime(2020-01-01), datetime(2030-01-01), 365d,"
+        f" event_type, dynamic([{states}]))",
+    ).collect()
+    assert rows  # pre-fix: TABLE_OR_VIEW_NOT_FOUND on level 1
+    # (3) bracket keys with a dot / a space
+    r = kql(
+        spark,
+        "events | take 1"
+        " | extend j = '{\"a.b\": 42, \"c d\": \"x\"}'"
+        ' | extend v = toint(parse_json(j)["a.b"]),'
+        ' w = tostring(parse_json(j)["c d"])'
+        " | project v, w",
+    ).collect()[0]
+    assert r["v"] == 42 and r["w"] == "x"
+    with pytest.raises(ValueError, match="JSONPath"):
+        kql_to_sql("t | extend v = parse_json(p)[\"a'b\"]")
+    # (4) multi-key objects inside a dynamic array
+    rows = kql(
+        spark,
+        "events | take 1"
+        ' | extend d = dynamic([{"a":1,"b":2}, {"a":3,"b":4}])'
+        " | mv-expand d | extend a = toint(parse_json(d).a)"
+        " | project a | sort by a asc",
+    ).collect()
+    assert [r["a"] for r in rows] == [1, 3]
+    # (5) embedded double quote in a single-quoted literal
+    r = kql(
+        spark,
+        "print s = 'say \"hi\"', t = strlen('a\"b')",
+    ).collect()[0]
+    assert r["s"] == 'say "hi"' and r["t"] == 3
