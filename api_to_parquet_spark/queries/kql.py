@@ -207,20 +207,30 @@ rules flatten the nesting, so the physical plan is identical to the
 hand-written SQL (scan with pushed filters, partial aggregates, top-k as
 TakeOrderedAndProject).
 
-Known out-of-subset surface (round-7 sweep inventory — each fails
+Known out-of-subset surface (round-7/8 sweep inventory — each fails
 LOUDLY at translate or analysis time, verified by 4 × ~50-idiom probe
-batteries): `consume`; bracket-quoted column names (['my col']);
-string indexing s[i]; `in~ ((pipe))` (case-insensitive tabular in);
-mv-expand over property BAGS (arrays only; bags via bag_keys/
-get_json_object); tabular lets inside toscalar()/in((…)) bodies;
-bin_auto (needs `set` statements); parse_user_agent (lookup-table
-corpus); gamma/beta_cdf (no JVM builtin); series_iir /
-series_stats_dynamic; base64_decode_toarray; timespan/timespan
-division; graph-shortest-paths output=all (per-path multiplicity) and
-multi-hop patterns; scan self/forward state references (ADX's
-iterating-step model); take_any(*) with expression arguments; `+` as
-string concatenation (use strcat — type-dependent operators can't be
-resolved textually).
+batteries): `consume`; char indexing on TRUE strings (ADX's [] is a
+dynamic operator and errors on strings too — use substring);
+parse_user_agent (lookup-table corpus); gamma/beta_cdf (no JVM
+builtin); series_stats_dynamic; timespan division by a NON-literal
+timespan (the literal-divisor form IS supported); graph-shortest-paths
+output=all (per-path multiplicity) and multi-hop patterns; scan
+self/forward state references (ADX's iterating-step model);
+take_any(*) with expression arguments; `+` as string concatenation
+between two COLUMNS (the literal-operand subset IS supported;
+column+column needs schema types — use strcat).
+
+Closed in round 8 (previously out of subset): bracket-quoted column
+names ['my col'] (reversible _bq_<hex> mangling, demangled to Spark
+backticks at the execution boundary); `+` with a string-literal
+operand -> concat; mv-expand over property BAGS and JSON array text
+(one schema probe, single-property-bag rows per the ADX contract);
+tabular lets visible inside toscalar()/in((pipe)) bodies (the active
+translation context rides a ContextVar); in~/!in~ ((pipe)) tabular
+membership (lower() both sides); leading `set` statements +
+bin_auto() via query_bin_auto_size; stored-dynamic element indexing
+j[i] (string/variant columns, one lazy schema probe); series_iir;
+base64_decode_toarray; timespan / timespan-literal division.
 """
 
 from __future__ import annotations
@@ -613,6 +623,109 @@ def _pred_sub(pattern: str, repl, text: str) -> str:
         out.append(text[i : m.start()])
         out.append(repl(m) if callable(repl) else m.expand(repl))
         i = m.end()
+
+
+# --- bracket-quoted column names ----------------------------------
+# ADX allows ['my col'] / ["col"] anywhere an identifier goes. The
+# translator's parsing surface is built on \w+ identifiers, so instead
+# of teaching every assignment/qualification regex about quoting, the
+# front door MANGLES each bracket-quoted name into a reversible
+# `_bq_<utf8-hex>` identifier and the execution boundary DEMANGLES it
+# back to Spark backtick quoting. Invariants: translation TEXT always
+# carries mangled names; every executed SQL string is demangled first
+# (_asql); names crossing back from execution into translation
+# (schema probes) are re-mangled (_acols/_afields). A user column
+# literally named `_bq_<valid-hex>` would be mis-decoded — documented
+# edge, unreachable from any real naming convention.
+
+_BQ_NAME_RE = re.compile(
+    r"(?<![\w)\]])\[\s*(['\"])((?:\\.|(?!\1).)+?)\1\s*\]"
+)
+
+
+def _mangle_bracket_cols(text: str) -> str:
+    """['my col'] -> _bq_<hex>. Skips string literals (via _pred_sub),
+    dynamic(...) literal bodies (['a'] there is an array literal), and
+    indexing (expr['k'] — '[' directly after \\w, ')' or ']' is dynamic
+    access, not a column name)."""
+    if "[" not in text:
+        return text
+    protected: list[str] = []
+
+    def _protect(args: list[str]) -> str:
+        protected.append("dynamic(" + ", ".join(args) + ")")
+        return f"\x00DYN{len(protected) - 1}\x00"
+
+    t = _rewrite_fn(text, "dynamic", _protect)
+    # externaldata's URI list is a bracketed string list after the
+    # schema parens (`externaldata (…) ["uri"]`) — whitespace puts it
+    # past the adjacency lookbehind, so protect the whole header
+    t = _pred_sub(
+        r"(externaldata\s*\([^)]*\)\s*)(\[[^\]]*\])",
+        lambda m: (
+            protected.append(m.group(2))
+            or m.group(1) + f"\x00DYN{len(protected) - 1}\x00"
+        ),
+        t,
+    )
+
+    def _conv(m: re.Match) -> str:
+        name = re.sub(r"\\(.)", r"\1", m.group(2))
+        return "_bq_" + name.encode("utf-8").hex()
+
+    t = _pred_sub(_BQ_NAME_RE.pattern, _conv, t)
+    # nested dynamic() placeholders live inside outer protected texts —
+    # loop until every placeholder is restored
+    while "\x00DYN" in t:
+        for i, d in enumerate(protected):
+            t = t.replace(f"\x00DYN{i}\x00", d)
+    return t
+
+
+def _demangle_bracket_cols(sql: str) -> str:
+    """_bq_<hex> -> `my col` (backticks doubled) outside string
+    literals. No-op for SQL that never saw a bracket name."""
+    if "_bq_" not in sql:
+        return sql
+
+    def repl(m: re.Match) -> str:
+        try:
+            name = bytes.fromhex(m.group(1)).decode("utf-8")
+        except (ValueError, UnicodeDecodeError):
+            return m.group(0)
+        return "`" + name.replace("`", "``") + "`"
+
+    return _sub_outside_strings(
+        r"\b_bq_((?:[0-9a-f]{2})+)\b", repl, sql
+    )
+
+
+def _remangle(name: str) -> str:
+    """Real column name -> the identifier form translation text uses."""
+    if re.fullmatch(r"\w+", name):
+        return name
+    return "_bq_" + name.encode("utf-8").hex()
+
+
+def _asql(spark: SparkSession, sql: str) -> DataFrame:
+    """Execution boundary for translation-internal SQL: always run the
+    demangled text (real tables carry real column names)."""
+    return spark.sql(_demangle_bracket_cols(sql))
+
+
+def _afields(spark: SparkSession, sql: str):
+    """Schema probe returning fields with names re-mangled back into
+    translation-text form (.name/.dataType duck-typed)."""
+    from types import SimpleNamespace
+
+    return [
+        SimpleNamespace(name=_remangle(f.name), dataType=f.dataType)
+        for f in _asql(spark, sql).schema.fields
+    ]
+
+
+def _acols(spark: SparkSession, sql: str) -> list[str]:
+    return [f.name for f in _afields(spark, sql)]
 
 
 def _case_sql(args: list[str]) -> str:
@@ -1258,6 +1371,62 @@ def _series_fir_sql(args: list[str], center: bool = False) -> str:
     return f"transform({y}, (_x, _i) -> {' + '.join(taps)})"
 
 
+def _series_iir_sql(args: list[str]) -> str:
+    """series_iir(x, b, a) — IIR (recursive) filter with LITERAL
+    coefficients: a0·y[n] = Σj b[j]·x[n−j] − Σ(k≥1) a[k]·y[n−k] (the
+    ADX difference-equation contract; out-of-range terms read 0). The
+    y-recursion folds over the element index carrying the output array
+    as the accumulator — O(n·taps) per row, map-side, zero shuffle,
+    no UDF. Round-8 (was a loud out-of-subset gap)."""
+    if len(args) != 3:
+        raise ValueError(
+            f"series_iir needs (series, b_coeffs, a_coeffs): {args!r}"
+        )
+    x = args[0].strip()
+    if not re.match(r"^\w+$", x):
+        raise ValueError(
+            f"series_iir: series must be a plain column: {x!r}"
+        )
+
+    def _lits(s: str, nm: str) -> list[float]:
+        cm = re.match(
+            r"^(?:pack_array|dynamic)\s*\(\s*\[?\s*(.*?)\s*\]?\s*\)$",
+            s.strip(),
+        )
+        if not cm:
+            raise ValueError(
+                f"series_iir: {nm} coefficients must be literal: {s!r}"
+            )
+        return [float(c) for c in cm.group(1).split(",")]
+
+    b = _lits(args[1], "b")
+    a = _lits(args[2], "a")
+    if not a or a[0] == 0:
+        raise ValueError("series_iir: a[0] must be nonzero")
+    # guarded taps: try_element_at with index <= 0 reads from the END
+    # of the array — every tap needs the explicit range check
+    xt = " + ".join(
+        f"CAST({c!r} AS DOUBLE) * IF(_n + 1 - {j} >= 1,"
+        f" coalesce(CAST(try_element_at({x}, _n + 1 - {j})"
+        f" AS DOUBLE), {_D0}), {_D0})"
+        for j, c in enumerate(b)
+    )
+    yt = " + ".join(
+        f"CAST({c!r} AS DOUBLE) * IF(_n + 1 - {k} >= 1,"
+        f" coalesce(try_element_at(_acc, _n + 1 - {k}), {_D0}),"
+        f" {_D0})"
+        for k, c in enumerate(a[1:], 1)
+    )
+    expr = (
+        f"(({xt}) - ({yt or _D0})) / CAST({a[0]!r} AS DOUBLE)"
+    )
+    return (
+        f"aggregate(sequence(0, size({x}) - 1),"
+        " CAST(array() AS ARRAY<DOUBLE>),"
+        f" (_acc, _n) -> array_append(_acc, {expr}))"
+    )
+
+
 def _extract_toscalar(text: str) -> tuple[str, list[tuple[str, str]]]:
     """Pull `toscalar(<pipe>)` spans out BEFORE scalar rewriting (the
     pipe body must reach the full translator verbatim, not half-
@@ -1311,7 +1480,13 @@ def _extract_in_subqueries(text: str) -> tuple[str, list[tuple[str, str]]]:
     subs: list[tuple[str, str]] = []
     while True:
         m = None
-        for cand in re.finditer(r"\b(!?in~?)\s*\(\s*\(", text):
+        # lookbehind, not \b: `!` is a non-word char, so \b never held
+        # before `!in`/`!in~` and the negated forms matched WITHOUT
+        # their `!` (round-8 fix); `!` in the class forces the
+        # `!`-inclusive match when one is present
+        for cand in re.finditer(
+            r"(?<![\w~!])(!?in~?)\s*\(\s*\(", text
+        ):
             inside = any(
                 s.start() < cand.start() < s.end()
                 for s in _STR_SPAN.finditer(text)
@@ -1321,11 +1496,21 @@ def _extract_in_subqueries(text: str) -> tuple[str, list[tuple[str, str]]]:
                 break
         if not m:
             return text, subs
-        if m.group(1).endswith("~"):
-            raise ValueError(
-                "in~ with a tabular operand is out of the subset"
-                " (case-insensitive tabular in)"
-            )
+        ci = m.group(1).endswith("~")
+        lhs = None
+        if ci:
+            # in~ ((pipe)) — case-insensitive tabular membership
+            # (round-8 verdict #7): lower() both sides. The LHS must
+            # be a capturable plain operand; anything fancier stays a
+            # loud subset error rather than a silent case-sensitive
+            # match.
+            lm = re.search(r"([\w.]+)\s*$", text[: m.start()])
+            if not lm:
+                raise ValueError(
+                    "in~ ((pipe)) needs a plain column/identifier"
+                    f" left operand: {text[: m.start()][-40:]!r}"
+                )
+            lhs = lm
         # balanced scan from the OUTER '(' (first paren after in)
         start = text.index("(", m.end(1))
         depth, j, quote = 1, start + 1, None
@@ -1349,9 +1534,47 @@ def _extract_in_subqueries(text: str) -> tuple[str, list[tuple[str, str]]]:
         if not (inner.startswith("(") and inner.endswith(")")):
             raise ValueError(f"in ((…)) needs a parenthesized pipe: {inner!r}")
         ph = f"__INSUBQ_{len(subs)}__"
-        subs.append((ph, inner[1:-1].strip()))
+        subs.append((ph, inner[1:-1].strip(), ci))
         neg = "NOT IN" if m.group(1).startswith("!") else "IN"
-        text = text[: m.start()] + f"{neg} {ph}" + text[j:]
+        if ci:
+            text = (
+                text[: lhs.start(1)]
+                + f"lower({lhs.group(1)}) {neg} {ph}"
+                + text[j:]
+            )
+        else:
+            text = text[: m.start()] + f"{neg} {ph}" + text[j:]
+
+
+def _concat_plus(e: str) -> str:
+    """`+` as string concatenation (round-8 verdict #4), the statically
+    resolvable subset: a `+` with a string LITERAL on either side is
+    concatenation in ADX — emit concat(). Operands without a literal
+    stay arithmetic untouched (type-dependent `col + col` string
+    concat remains out of subset — the textual translator cannot
+    resolve it; strcat covers it). Runs on SQL-converted text, so
+    literals are single-quoted; iterates so chains ('a' + x + 'b')
+    fold pairwise left-to-right like ADX."""
+    if "+" not in e or "'" not in e:
+        return e
+    lit = r"'(?:[^'\\]|\\.)*'"
+    term = rf"(?:{lit}|[\w.]+(?:\((?:[^()]|\([^()]*\))*\))?)"
+    pat = re.compile(rf"({term})\s*\+\s*({lit})|({lit})\s*\+\s*({term})")
+    while True:
+        spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
+        hit = None
+        for m in pat.finditer(e):
+            # a match may legitimately START at a literal's opening
+            # quote (the literal IS the operand); only matches starting
+            # strictly INSIDE a literal are text, not operators
+            if not any(s0 < m.start() < s1 for s0, s1 in spans):
+                hit = m
+                break
+        if hit is None:
+            return e
+        a = hit.group(1) or hit.group(3)
+        b = hit.group(2) or hit.group(4)
+        e = e[: hit.start()] + f"concat({a}, {b})" + e[hit.end() :]
 
 
 def _expr(kql_expr: str) -> str:
@@ -1364,6 +1587,49 @@ def _expr(kql_expr: str) -> str:
     kql_expr, _ts_subs = _extract_toscalar(kql_expr)
     kql_expr, _in_subs = _extract_in_subqueries(kql_expr)
     e = _bin_to_sql(_strings_to_sql(kql_expr))
+    e = _concat_plus(e)
+    # indexing a STORED dynamic column: `j[0]` where j is a string
+    # column (our dynamic representation) becomes JSON element access
+    # — the same get_json_object the parse_json(x)[0] accessor path
+    # emits (round-8 verdict #8, adjusted: ADX's [] is a *dynamic*
+    # operator — char access on true strings errors in ADX too, so a
+    # substr rewrite would silently mistranslate element access on
+    # stored dynamics; true-string indexing stays out of subset).
+    # Lazy: probes the stage child only when the pattern occurs.
+    if re.search(r"(?<![\w.\])'\"])\w+\[\d+\]", e):
+        _ctx8 = _ACTIVE_CTX.get()
+        _child8 = _STAGE_CHILD.get()
+        if _ctx8 is not None and _ctx8[0] is not None and _child8:
+            from pyspark.sql.types import StringType
+
+            try:
+                from pyspark.sql.types import VariantType
+            except ImportError:  # pre-4.0
+                VariantType = ()  # type: ignore[assignment]
+            try:
+                _dyn8 = {
+                    f.name: isinstance(f.dataType, StringType)
+                    for f in _afields(_ctx8[0], _child8)
+                    if isinstance(f.dataType, (StringType, VariantType))
+                }
+            except Exception:
+                _dyn8 = {}
+            if _dyn8:
+
+                def _idx8(m: re.Match) -> str:
+                    c = m.group(1)
+                    if c not in _dyn8:
+                        return m.group(0)
+                    # variants go through to_json; strings are already
+                    # the JSON text
+                    base = c if _dyn8[c] else f"to_json({c})"
+                    return (
+                        f"get_json_object({base}, '$[{m.group(2)}]')"
+                    )
+
+                e = _pred_sub(
+                    r"(?<![\w.\])'\"])(\w+)\[(\d+)\]", _idx8, e
+                )
     e = _rewrite_fn(e, "case", _case_sql)
     e = _rewrite_fn(e, "substring", _substring_sql)
     e = _rewrite_fn(e, "split", _split_sql)
@@ -1441,6 +1707,7 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "series_fill_backward", _fill_bwd_sql)
     e = _rewrite_fn(e, "series_fill_linear", _fill_linear_sql)
     e = _rewrite_fn(e, "series_fir", _series_fir_sql)
+    e = _rewrite_fn(e, "series_iir", _series_iir_sql)
     def _moving_avg_sql(a: list[str]) -> str:
         if len(a) < 2 or not re.match(r"^\d+$", a[1].strip()):
             raise ValueError(
@@ -1581,6 +1848,18 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bisnotnull\(([^()]+)\)", r"(\1 IS NOT NULL)", e)
     # tohex: ADX returns LOWERCASE hex without leading zeros
     e = _rewrite_fn(e, "tohex", lambda a: f"lower(hex({a[0]}))")
+    # base64_decode_toarray (round-8, was a loud gap): bytes as longs —
+    # hex the decoded binary, read it in 2-char pairs (conv is the
+    # only per-byte accessor that stays a builtin expression)
+    e = _rewrite_fn(
+        e,
+        "base64_decode_toarray",
+        lambda a: (
+            f"transform(sequence(1, length(unbase64({a[0]}))),"
+            f" _i -> CAST(conv(substr(hex(unbase64({a[0]})),"
+            " _i * 2 - 1, 2), 16, 10) AS BIGINT))"
+        ),
+    )
     e = _sub_outside_strings(r"\bbase64_encode_tostring\(", "base64(", e)
     e = _rewrite_fn(
         e, "base64_decode_tostring", lambda a: f"string(unbase64({a[0]}))"
@@ -2924,6 +3203,26 @@ def _expr(kql_expr: str) -> str:
         e,
     )
     # Bare timespan literals (`5m`, `1.5h`, `100ms`) anywhere a scalar
+    # timespan / timespan division (round-8, was a loud gap): ADX
+    # yields a plain REAL ratio; Spark's interval-by-interval division
+    # doesn't exist, so the statically recognizable form — DIVISION BY
+    # A TIMESPAN LITERAL — rewrites both sides to epoch-anchored total
+    # seconds. The numerator is a parenthesized expression, a dotted
+    # identifier, or one call (a numeric numerator would be an ADX
+    # type error anyway and fails analysis loudly here too).
+    _TSDIV_NUM = (
+        r"(\((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*\)"
+        r"|[\w.]+(?:\((?:[^()']|'(?:[^'\\]|\\.)*')*\))?)"
+    )
+    e = _pred_sub(
+        rf"{_TSDIV_NUM}\s*/\s*{_TS_LIT}(?![\w.(])",
+        lambda m: (
+            f"({_iv_total_seconds(m.group(1))}"
+            f" / CAST({_ts_lit_seconds(m.group(2), m.group(3))}"
+            " AS DOUBLE))"
+        ),
+        e,
+    )
     # goes — comparisons against datetime differences, let values,
     # datetime +/- arithmetic. LAST: ago()/bin()/bin_at() consumed
     # theirs above, so only genuinely scalar uses remain.
@@ -2938,16 +3237,37 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(
         e, "ago", lambda a: f"(current_timestamp() - ({a[0]}))"
     )
+    # subquery bodies translate under the ENCLOSING translation's
+    # context (round-8 verdict #6): tabular lets stay visible and
+    # session-requiring stages work inside toscalar()/in ((pipe))
+    ctx = _ACTIVE_CTX.get()
+    _sp, _tab = ctx if ctx is not None else (None, None)
+
+    def _sub_sql(pipe: str) -> str:
+        # _tab None (no enclosing translation: standalone _expr use)
+        # falls back to the full front-door path
+        return kql_to_sql(pipe, _sp, _tab)
+
     for k, (ph, pipe) in enumerate(_ts_subs):
         e = e.replace(
             ph,
-            f"(SELECT * FROM ({kql_to_sql(pipe)}) AS _tsc{k} LIMIT 1)",
+            f"(SELECT * FROM ({_sub_sql(pipe)}) AS _tsc{k} LIMIT 1)",
         )
-    for k, (ph, pipe) in enumerate(_in_subs):
-        e = e.replace(
-            ph,
-            f"(SELECT * FROM ({kql_to_sql(pipe)}) AS _inq{k})",
-        )
+    for k, (ph, pipe, ci) in enumerate(_in_subs):
+        if ci:
+            # in~ ((pipe)) — case-insensitive tabular membership:
+            # lower() both the (already-lowered) LHS and the
+            # subquery's single output column (round-8 verdict #7)
+            e = e.replace(
+                ph,
+                f"(SELECT lower(_v0) FROM ({_sub_sql(pipe)})"
+                f" AS _inq{k}(_v0))",
+            )
+        else:
+            e = e.replace(
+                ph,
+                f"(SELECT * FROM ({_sub_sql(pipe)}) AS _inq{k})",
+            )
     return e
 
 
@@ -3565,6 +3885,19 @@ def _parse_to_selects(
 # two-phase contract). ContextVar, not a module global: the service
 # runs queries on a ThreadingHTTPServer, so concurrent kql() calls
 # must not see each other's retry flag (round-6 advice).
+# (spark, _tabular) of the innermost running translation — consumed by
+# _expr's toscalar / in ((pipe)) subquery substitution (round-8)
+_ACTIVE_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "_ACTIVE_CTX", default=None
+)
+
+# child SQL of the stage currently being translated (set per loop
+# iteration; saved/restored across nested translations) — the lazy
+# schema source for string indexing s[i] (round-8 verdict #8)
+_STAGE_CHILD: contextvars.ContextVar = contextvars.ContextVar(
+    "_STAGE_CHILD", default=None
+)
+
 _RESOLVE_CLASHES: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "kql_resolve_clashes", default=False
 )
@@ -3923,7 +4256,7 @@ def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
     import uuid
 
     view = f"_kql_cache_{tag}_{uuid.uuid4().hex[:12]}"
-    df = spark.sql(sql).localCheckpoint()
+    df = _asql(spark, sql).localCheckpoint()
     df.createOrReplaceTempView(view)
     ring = _cache_rings.setdefault(spark, [])
     ring.append((view, df))
@@ -4027,7 +4360,40 @@ def kql_to_sql(
     schema analysis (ADX semantics); without one they fall back to
     positional UNION ALL (same-shape pipes only)."""
     if _tabular is None:
-        kql, _tabular = _apply_lets(" ".join(kql.split()))
+        # leading `set name[=value];` request-property statements
+        # (round-8 verdict #10): consumed into a dict; the only one
+        # with translation-time meaning is query_bin_auto_size, which
+        # resolves bin_auto(x) -> bin(x, size). Unknown properties are
+        # accepted and ignored (they tune ADX execution, not results).
+        sets: dict[str, str] = {}
+        while True:
+            sm = re.match(
+                r"^\s*set\s+(\w+)(?:\s*=\s*([^;]+))?;", kql,
+                re.IGNORECASE,
+            )
+            if not sm:
+                break
+            sets[sm.group(1)] = (sm.group(2) or "true").strip()
+            kql = kql[sm.end() :]
+        if re.search(r"\bbin_auto\s*\(", kql):
+            size = sets.get("query_bin_auto_size")
+            if not size:
+                raise ValueError(
+                    "bin_auto() needs a leading"
+                    " `set query_bin_auto_size=<size>;` statement"
+                )
+            kql = _rewrite_fn(
+                kql, "bin_auto", lambda a: f"bin({a[0]}, {size})"
+            )
+        # outermost call: mangle bracket-quoted column names so the
+        # whole translation works on \w+ identifiers, demangle to
+        # backtick quoting in the returned (executable) SQL
+        kql = _mangle_bracket_cols(" ".join(kql.split()))
+        kql, _tabular = _apply_lets(kql)
+        with _pin_scope():
+            return _demangle_bracket_cols(
+                _kql_to_sql_pinned(kql, spark, _tabular)
+            )
     # Pin _cache_child views for the duration of this translation
     # (no-op when an enclosing kql() scope is already active — the
     # outer scope then also covers the final spark.sql analysis).
@@ -4036,6 +4402,24 @@ def kql_to_sql(
 
 
 def _kql_to_sql_pinned(
+    kql: str,
+    spark: SparkSession | None,
+    _tabular: dict[str, str],
+) -> str:
+    # Publish the active (spark, tabular-lets) so expression-level
+    # subquery translation (toscalar / in ((pipe)) bodies, round-8
+    # verdict #6) resolves let-defined views and session-requiring
+    # stages instead of failing with "unknown table".
+    tok = _ACTIVE_CTX.set((spark, _tabular))
+    tok2 = _STAGE_CHILD.set(None)
+    try:
+        return _kql_stages_to_sql(kql, spark, _tabular)
+    finally:
+        _STAGE_CHILD.reset(tok2)
+        _ACTIVE_CTX.reset(tok)
+
+
+def _kql_stages_to_sql(
     kql: str,
     spark: SparkSession | None,
     _tabular: dict[str, str],
@@ -4204,21 +4588,45 @@ def _kql_to_sql_pinned(
             if len(reads) == 1
             else " UNION ALL ".join(f"({r})" for r in reads)
         )
-    fnd = (
-        not rng
-        and not prnt
-        and not dtable
-        and not xdata
-        and stages
-        and re.match(
-            r"^find\s+(?:withsource\s*=\s*(\w+)\s+)?"
-            r"in\s*\(([^)]*)\)\s+where\s+(.+)$",
+    fnd = None
+    if not (rng or prnt or dtable or xdata) and stages:
+        fhead = re.match(
+            r"^find\s+(?:withsource\s*=\s*(\w+)\s+)?in\s*\(",
             stages[0],
-            re.IGNORECASE | re.DOTALL,
+            re.IGNORECASE,
         )
-    )
+        if fhead:
+            # balanced-paren scan for the operand list — operands may
+            # be parenthesized pipes (round-8 fuzz finding: the old
+            # ([^)]*) regex stopped at a pipe operand's first ')')
+            s0 = stages[0]
+            depth, j = 1, fhead.end()
+            quote = None
+            while j < len(s0) and depth:
+                ch = s0[j]
+                if quote:
+                    if ch == "\\":
+                        j += 1
+                    elif ch == quote:
+                        quote = None
+                elif ch in "'\"":
+                    quote = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                j += 1
+            tail = re.match(
+                r"\s*where\s+(.+)$", s0[j:], re.IGNORECASE | re.DOTALL
+            )
+            if depth == 0 and tail:
+                fnd = (
+                    fhead.group(1),
+                    s0[fhead.end() : j - 1],
+                    tail.group(1),
+                )
     if fnd:
-        # `find [withsource=Col] in (T1, T2, …) where Pred
+        # `find [withsource=Col] in (T1, (pipe), …) where Pred
         # [project c1, …]` — cross-table search. Union-by-name with a
         # source label (the same null-fill alignment the union stage
         # uses; a deterministic refinement of ADX's pack_-column
@@ -4228,45 +4636,57 @@ def _kql_to_sql_pinned(
             raise ValueError(
                 "find needs a SparkSession (schema alignment)"
             )
-        srccol = fnd.group(1) or "source_"
-        parts_ = _split_by(fnd.group(3).strip(), "project")
+        srccol = fnd[0] or "source_"
+        parts_ = _split_by(fnd[2].strip(), "project")
         pred = _expr(parts_[0].strip())
         proj = parts_[1].strip() if len(parts_) == 2 else None
-        tables = [t.strip() for t in fnd.group(2).split(",")]
-        if not tables or not all(
-            re.match(r"^\w+$", t) for t in tables
-        ):
-            raise ValueError(
-                f"find sources must be table names: {fnd.group(2)!r}"
-            )
-        tsqls: dict[str, str] = {}
-        tcols: dict[str, list[str]] = {}
-        allc: list[str] = []
-        for t in tables:
-            if t in _tabular:
-                td = _tabular[t]
-                if isinstance(td, tuple) and td[0] == "fn":
-                    raise ValueError(f"find: {t} is a function let")
-                tsqls[t] = (
-                    td[1]
-                    if isinstance(td, tuple)
-                    else kql_to_sql(td, spark, _tabular)
-                )
+        fnames: list[str] = []
+        fsqls: list[str] = []
+        for opnd in _split_top_level(fnd[1]):
+            opnd = opnd.strip()
+            if re.match(r"^\w+$", opnd):
+                name = opnd
+                if opnd in _tabular:
+                    td = _tabular[opnd]
+                    if isinstance(td, tuple) and td[0] == "fn":
+                        raise ValueError(
+                            f"find: {opnd} is a function let"
+                        )
+                    fsqls.append(
+                        td[1]
+                        if isinstance(td, tuple)
+                        else kql_to_sql(td, spark, _tabular)
+                    )
+                else:
+                    fsqls.append(f"SELECT * FROM {opnd}")
+            elif opnd.startswith("(") and opnd.endswith(")"):
+                inner = opnd[1:-1].strip()
+                hm = re.match(r"^(\w+)\s*(\||$)", inner)
+                name = hm.group(1) if hm else "find_arg"
+                fsqls.append(kql_to_sql(inner, spark, _tabular))
             else:
-                tsqls[t] = f"SELECT * FROM {t}"
-            tcols[t] = spark.sql(tsqls[t]).columns
-            for c in tcols[t]:
+                raise ValueError(
+                    f"find sources must be table names or"
+                    f" parenthesized pipes: {opnd!r}"
+                )
+            fnames.append(name)
+        if not fnames:
+            raise ValueError("find: no sources")
+        fcols = [_acols(spark, s) for s in fsqls]
+        allc: list[str] = []
+        for cb in fcols:
+            for c in cb:
                 if c not in allc:
                     allc.append(c)
         sels = []
-        for t in tables:
-            have = set(tcols[t])
+        for j, (name, s, cb) in enumerate(zip(fnames, fsqls, fcols)):
+            have = set(cb)
             sel = ", ".join(
                 c if c in have else f"NULL AS {c}" for c in allc
             )
             sels.append(
-                f"(SELECT '{t}' AS {srccol}, {sel}"
-                f" FROM ({tsqls[t]}) AS _fd_{t})"
+                f"(SELECT '{name}' AS {srccol}, {sel}"
+                f" FROM ({s}) AS _fd{j})"
             )
         sql = (
             f"SELECT * FROM ({' UNION ALL '.join(sels)}) AS _fnd"
@@ -4346,7 +4766,7 @@ def _kql_to_sql_pinned(
                 # isfuzzy tolerates ONLY unresolved tables (the ADX
                 # contract — same rule as the mid-pipe union)
                 try:
-                    spark.sql(osql).columns
+                    _acols(spark, osql)
                 except Exception as ex:
                     if "TABLE_OR_VIEW_NOT_FOUND" in str(ex):
                         continue
@@ -4355,7 +4775,7 @@ def _kql_to_sql_pinned(
             onames.append(name)
         if not osqls:
             raise ValueError("union: no resolvable operands")
-        cols_by = [spark.sql(s).columns for s in osqls]
+        cols_by = [_acols(spark, s) for s in osqls]
         if ukind == "inner":
             allc = [
                 c
@@ -4406,6 +4826,11 @@ def _kql_to_sql_pinned(
     order_keys: list[str] | None = None  # set by sort; used by serialize
     graph = None  # set by make-graph; consumed by graph-match
     for i, stage in enumerate(stages[1:], 1):
+        # publish the current child SQL for the (rare) expression
+        # rewrites that need its schema — string indexing s[i]
+        # (round-8 verdict #8) probes it lazily, only when the
+        # pattern occurs in a stage body
+        _STAGE_CHILD.set(sql)
         # `partition by k (summarize …)` is EXACTLY `summarize … by k`
         # (+ existing group keys) — rewrite the stage text and let the
         # summarize branch translate it: one grouped aggregation, no
@@ -4441,7 +4866,7 @@ def _kql_to_sql_pinned(
             # recursive translation of the branch does (a whole-stage
             # rewrite here would silently use the left pipe's schema —
             # round-4 review finding).
-            names = {f.name for f in spark.sql(sql).schema.fields}
+            names = set(_acols(spark, sql))
 
             def _cie(a: list[str]) -> str:
                 if len(a) != 2:
@@ -4647,7 +5072,7 @@ def _kql_to_sql_pinned(
                 if spark is not None and _RESOLVE_CLASHES.get():
                     clash = [
                         c
-                        for c in spark.sql(sql).columns
+                        for c in _acols(spark, sql)
                         if c in names
                     ]
                     if clash:
@@ -4689,7 +5114,7 @@ def _kql_to_sql_pinned(
                 )
                 rest = [
                     f.name
-                    for f in spark.sql(sql).schema.fields
+                    for f in _afields(spark, sql)
                     if f.name != star.group(2) and f.name not in by_names
                 ]
                 parts[0] = re.sub(
@@ -4721,7 +5146,7 @@ def _kql_to_sql_pinned(
                 )
                 rest2 = [
                     f.name
-                    for f in spark.sql(sql).schema.fields
+                    for f in _afields(spark, sql)
                     if f.name not in by_names2
                 ]
                 parts[0] = re.sub(
@@ -4832,7 +5257,40 @@ def _kql_to_sql_pinned(
                 raise ValueError(f"mv-expand needs column name(s): {body!r}")
             if len(cols) == 1:
                 c = cols[0]
-                src = f"slice({c}, 1, {mv_lim})" if mv_lim else c
+                src = c
+                # property-BAG / JSON-text expansion (round-8 verdict
+                # #5): a STRING dynamic column holds either an object
+                # (expand into single-property bags, the ADX contract)
+                # or a JSON array text (expand into its elements,
+                # string-widened like the rest of the bag machinery).
+                # One schema probe, only for mv-expand stages and only
+                # with a session; array columns keep the zero-probe
+                # fast path below.
+                if spark is not None:
+                    from pyspark.sql.types import StringType
+
+                    ctype = next(
+                        (
+                            f.dataType
+                            for f in _afields(spark, sql)
+                            if f.name == c
+                        ),
+                        None,
+                    )
+                    if isinstance(ctype, StringType):
+                        bagify = (
+                            "transform(map_entries(from_json"
+                            f"({c}, 'map<string,string>')),"
+                            " _e -> to_json(map(_e.key, _e.value)))"
+                        )
+                        src = (
+                            f"CASE WHEN startswith(ltrim({c}), '{{')"
+                            f" THEN {bagify}"
+                            f" ELSE from_json({c}, 'array<string>')"
+                            " END"
+                        )
+                if mv_lim:
+                    src = f"slice({src}, 1, {mv_lim})"
                 sql = (
                     f"SELECT * EXCEPT ({c}, _mv), _mv AS {c} FROM {prev} "
                     f"LATERAL VIEW explode({src}) _t AS _mv"
@@ -4881,7 +5339,7 @@ def _kql_to_sql_pinned(
         elif op == "getschema":
             if spark is None:
                 raise ValueError("getschema needs a SparkSession")
-            schema = spark.sql(sql).schema
+            schema = _asql(spark, sql).schema
             type_map = {
                 "bigint": "long", "int": "int", "smallint": "int",
                 "string": "string", "double": "real", "float": "real",
@@ -4925,7 +5383,8 @@ def _kql_to_sql_pinned(
                 prev = f"({sql}) AS _s{i}"
                 keys = sorted(
                     r[0]
-                    for r in spark.sql(
+                    for r in _asql(
+                        spark,
                         f"SELECT DISTINCT explode(json_object_keys({bc}))"
                         f" FROM ({sql}) AS _bu"
                     ).collect()
@@ -4962,7 +5421,7 @@ def _kql_to_sql_pinned(
                         "evaluate narrow needs a preceding sort by"
                         " (deterministic Row numbering)"
                     )
-                ncols = [f.name for f in spark.sql(sql).schema.fields]
+                ncols = _acols(spark, sql)
                 pairs = ", ".join(
                     f"'{c}', CAST(`{c}` AS STRING)" for c in ncols
                 )
@@ -4999,7 +5458,7 @@ def _kql_to_sql_pinned(
 
                 bcols = [
                     f.name
-                    for f in spark.sql(sql).schema.fields
+                    for f in _afields(spark, sql)
                     if isinstance(f.dataType, StringType)
                 ]
                 if not bcols:
@@ -5092,7 +5551,8 @@ def _kql_to_sql_pinned(
                         f"ipv4_lookup: unsupported lookup arg"
                         f" {lk_name!r}"
                     )
-                bits_rows = spark.sql(
+                bits_rows = _asql(
+                    spark,
                     "SELECT DISTINCT coalesce(try_cast("
                     f" split({rngc}, '/')[1] AS INT), 32) AS _b"
                     f" FROM ({lk_sql}) AS _ipb"
@@ -6145,9 +6605,9 @@ def _kql_to_sql_pinned(
                     )
                 from pyspark.sql.types import BooleanType
 
-                child = spark.sql(sql)
+                child = _asql(spark, sql)
                 coltypes = {
-                    f.name: f.dataType for f in child.schema.fields
+                    f.name: f.dataType for f in _afields(spark, sql)
                 }
                 exprs, seq_keys = [], []
                 for a_ in sargs[3:]:
@@ -6254,7 +6714,7 @@ def _kql_to_sql_pinned(
                 import uuid
 
                 code = pym.group(2).replace("''", "'")
-                child = spark.sql(sql)
+                child = _asql(spark, sql)
                 in_ddl = [
                     (f.name, f.dataType.simpleString())
                     for f in child.schema.fields
@@ -6367,7 +6827,7 @@ def _kql_to_sql_pinned(
 
                 acols = [
                     f.name
-                    for f in spark.sql(sql).schema.fields
+                    for f in _afields(spark, sql)
                     if isinstance(f.dataType, StringType)
                 ]
                 if not acols:
@@ -6481,7 +6941,7 @@ def _kql_to_sql_pinned(
 
                 dcols = [
                     f.name
-                    for f in spark.sql(sql).schema.fields
+                    for f in _afields(spark, sql)
                     if isinstance(f.dataType, StringType)
                     and f.name != split
                 ]
@@ -6537,8 +6997,8 @@ def _kql_to_sql_pinned(
             prev = f"({sql}) AS _s{i}"
             vals = sorted(
                 r[0]
-                for r in spark.sql(
-                    f"SELECT DISTINCT {pc} FROM ({sql}) AS _pv"
+                for r in _asql(
+                    spark, f"SELECT DISTINCT {pc} FROM ({sql}) AS _pv"
                 ).collect()
                 if r[0] is not None
             )
@@ -6620,7 +7080,7 @@ def _kql_to_sql_pinned(
                     # top-level one; round-4 review finding) — and a
                     # collision-proof row-number alias (a user column
                     # literally named _iu must survive).
-                    fields = spark.sql(sql).schema.fields
+                    fields = _afields(spark, sql)
                     order_cols = [
                         f.name for f in fields if _is_orderable(f.dataType)
                     ] or left_keys
@@ -6996,7 +7456,7 @@ def _kql_to_sql_pinned(
                     )
                 import fnmatch
 
-                names = [f.name for f in spark.sql(sql).schema.fields]
+                names = _acols(spark, sql)
                 expanded: list[str] = []
                 for it in items:
                     hits = (
@@ -7035,7 +7495,7 @@ def _kql_to_sql_pinned(
                 raise ValueError(
                     f"project-reorder needs column names: {body!r}"
                 )
-            names = [f.name for f in spark.sql(sql).schema.fields]
+            names = _acols(spark, sql)
             missing = [c for c in listed if c not in names]
             if missing:
                 raise ValueError(
@@ -7119,7 +7579,7 @@ def _kql_to_sql_pinned(
             allc: list[str] = []
             bcols = []
             for label, bsql in bsqls:
-                cols = spark.sql(bsql).columns
+                cols = _acols(spark, bsql)
                 bcols.append(cols)
                 allc.extend(c for c in cols if c not in allc)
             # a previous fork's label column must not duplicate — the
@@ -7171,7 +7631,7 @@ def _kql_to_sql_pinned(
             )
             if fuzzy and spark is not None:
                 try:
-                    spark.sql(right).columns  # analysis probes tables
+                    _acols(spark, right)  # analysis probes tables
                 except Exception as ex:
                     if "TABLE_OR_VIEW_NOT_FOUND" in str(ex):
                         if wscol:
@@ -7200,8 +7660,8 @@ def _kql_to_sql_pinned(
             if ukind not in ("outer", "inner"):
                 raise ValueError(f"unsupported union kind: {ukind!r}")
             if spark is not None:
-                lcols = spark.sql(sql).columns
-                rcols = spark.sql(right).columns
+                lcols = _acols(spark, sql)
+                rcols = _acols(spark, right)
                 if ukind == "inner":
                     # inner union keeps only COMMON columns (review
                     # finding: the kind token was accepted but outer
@@ -7277,7 +7737,7 @@ def _kql_to_sql_pinned(
             if spark is not None and _RESOLVE_CLASHES.get():
                 tgts = [s.rsplit(" AS ", 1)[1] for s in selects]
                 clash = [
-                    c for c in spark.sql(sql).columns if c in tgts
+                    c for c in _acols(spark, sql) if c in tgts
                 ]
                 if clash:
                     star = f"* EXCEPT ({', '.join(clash)})"
@@ -7360,7 +7820,7 @@ def _kql_to_sql_pinned(
             if spark is not None and _RESOLVE_CLASHES.get():
                 tgts = [s.rsplit(" AS ", 1)[1] for s in items]
                 clash = [
-                    c for c in spark.sql(sql).columns if c in tgts
+                    c for c in _acols(spark, sql) if c in tgts
                 ]
                 if clash:
                     star = f"* EXCEPT ({', '.join(clash)})"
@@ -7623,14 +8083,14 @@ def _kql_to_sql_pinned(
                     )
                 if cols_sorted is None:
                     cols_sorted = sorted(
-                        spark.sql(sql).columns, key=len, reverse=True
+                        _acols(spark, sql), key=len, reverse=True
                     )
                 stateful[j] = _qualify(cond, j)
             newv: dict[int, str] = {}
             if declares:
                 if cols_sorted is None:
                     cols_sorted = sorted(
-                        spark.sql(sql).columns, key=len, reverse=True
+                        _acols(spark, sql), key=len, reverse=True
                     )
                 for j in range(1, n + 1):
                     assigned = {
@@ -7809,7 +8269,7 @@ def _kql_to_sql_pinned(
 
             str_cols = [
                 f.name
-                for f in spark.sql(sql).schema.fields
+                for f in _asql(spark, sql).schema.fields
                 if isinstance(f.dataType, StringType)
             ]
             if not str_cols:
@@ -9720,6 +10180,78 @@ def q_kql_idioms3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_bracket_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bracket-quoted column names (round-8 verdict #1): ['my col'] /
+    ["col"] accepted anywhere an identifier goes — assignment LHS in
+    extend/summarize/project, references in where / aggregate args /
+    by keys / sort. Mangled to reversible _bq_<hex> identifiers at the
+    front door (every \\w+-based translator path works untouched) and
+    demangled to Spark backtick quoting at the execution boundary."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 4000"
+        " | extend ['double val'] = value * 2"
+        " | where ['double val'] > 1"
+        " | summarize [\"sum 2v\"] = round(sum(['double val']), 4),"
+        " ['n rows'] = count() by ['the type'] = event_type"
+        " | sort by ['the type'] asc"
+        " | project ['the type'], ['sum 2v'], ['n rows']",
+    )
+
+
+def q_kql_idioms4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 verdict items 4-7 + 10 in one oracle-backed pipe:
+    leading `set` statements with bin_auto() (query_bin_auto_size),
+    a tabular let referenced inside BOTH in ((pipe)) and toscalar(),
+    in~ ((pipe)) case-insensitive tabular membership, mv-expand over
+    a property BAG (single-property-bag rows, ADX contract), and `+`
+    string concatenation (literal-operand subset)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "set query_bin_auto_size=1d;"
+        " let hv = events | where value > 90 | project user_id;"
+        " events"
+        " | where event_id < 3000"
+        " | where user_id in ((hv))"
+        " | where event_type in~ ((events | where value > 95"
+        " | project toupper(event_type)))"
+        ' | extend b = pack("x", tostring(event_id % 5),'
+        ' "y", event_type)'
+        " | mv-expand b"
+        " | extend s = 'p-' + event_type + '-q'"
+        " | summarize n = count() by d8 = bin_auto(ts), b, s"
+        " | extend hvn = toscalar(hv | count)",
+    )
+
+
+def q_kql_scalar_fns10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-8 scalar batch 10 — the last loud scalar gaps closed:
+    series_iir (recursive filter as an index fold over the array,
+    O(n·taps), map-side), base64_decode_toarray (hex-pair byte
+    extraction, builtin-only), and timespan/timespan division (epoch-
+    anchored total-seconds ratio, the ADX REAL contract). Small
+    integral doubles keep the IIR fold exact; round(,6) guards the
+    ratio."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 500"
+        " | extend x = pack_array(todouble(event_id % 5 + 1),"
+        " todouble(event_id % 7 + 1))"
+        " | extend y = series_iir(x, dynamic([1.0]),"
+        " dynamic([1.0, -0.5]))"
+        " | project event_id,"
+        " iir = round(series_sum(y), 6),"
+        " b0 = base64_decode_toarray("
+        "base64_encode_tostring(event_type))[0],"
+        " bsum = series_sum(base64_decode_toarray("
+        "base64_encode_tostring(event_type))),"
+        " hrs = round((ts - datetime(2024-01-01)) / 1h, 6)",
+    )
+
+
 def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate schema_merge()` (round-7, verdict gap): merges a
     leading-union of getschema outputs — smallest ordinal per column,
@@ -10201,6 +10733,9 @@ QUERIES = {
     "kql_activity_counts": q_kql_activity_counts,
     "kql_series_forecast": q_kql_series_forecast,
     "kql_idioms3": q_kql_idioms3,
+    "kql_bracket_cols": q_kql_bracket_cols,
+    "kql_idioms4": q_kql_idioms4,
+    "kql_scalar_fns10": q_kql_scalar_fns10,
     "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
@@ -11287,6 +11822,51 @@ ORACLE = {
                max(sq + INTERVAL 3 MONTH - INTERVAL 1 MICROSECOND)
                    AS q2
         FROM r GROUP BY fb
+    """,
+    "kql_scalar_fns10": """
+        SELECT event_id,
+               ROUND(1.5 * CAST(event_id % 5 + 1 AS DOUBLE)
+                     + CAST(event_id % 7 + 1 AS DOUBLE), 6) AS iir,
+               ascii(substr(event_type, 1, 1))::BIGINT AS b0,
+               CAST(list_aggregate(list_transform(
+                   string_split(event_type, ''), c -> ascii(c)),
+                   'sum') AS DOUBLE) AS bsum,
+               ROUND((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+                     / CAST(3600 AS DOUBLE), 6) AS hrs
+        FROM events WHERE event_id < 500
+    """,
+    "kql_idioms4": """
+        WITH hv AS (SELECT user_id FROM events WHERE value > 90),
+        base AS (
+            SELECT * FROM events
+            WHERE event_id < 3000
+              AND user_id IN (SELECT user_id FROM hv)
+              AND lower(event_type) IN (
+                  SELECT lower(upper(event_type)) FROM events
+                  WHERE value > 95)
+        ),
+        ex AS (
+            SELECT ts, event_type,
+                   '{"x":"' || (event_id % 5) || '"}' AS b FROM base
+            UNION ALL
+            SELECT ts, event_type,
+                   '{"y":"' || event_type || '"}' AS b FROM base
+        )
+        SELECT to_timestamp(floor(epoch(ts) / 86400) * 86400) AS d8,
+               b,
+               'p-' || event_type || '-q' AS s,
+               COUNT(*)::BIGINT AS n,
+               (SELECT COUNT(*) FROM hv)::BIGINT AS hvn
+        FROM ex GROUP BY 1, 2, 3
+    """,
+    "kql_bracket_cols": """
+        SELECT event_type AS "the type",
+               ROUND(SUM(value * 2), 4) AS "sum 2v",
+               COUNT(*)::BIGINT AS "n rows"
+        FROM events
+        WHERE event_id < 4000 AND value * 2 > 1
+        GROUP BY event_type
+        ORDER BY 1
     """,
     "kql_schema_merge": """
         SELECT 'event_id' AS ColumnName,

@@ -2940,3 +2940,119 @@ def test_advice_fixes_round8(spark, sf_smoke):
         "print s = 'say \"hi\"', t = strlen('a\"b')",
     ).collect()[0]
     assert r["s"] == 'say "hi"' and r["t"] == 3
+
+
+def test_round8_verdict_items(spark, sf_smoke):
+    """Round-8 verdict items 4-7 + 10.
+    (4) `+` with a string-literal operand is concatenation;
+    (5) mv-expand over property BAGS (single-property bags, the ADX
+    contract) and over JSON array text, native arrays untouched;
+    (6) tabular lets resolve inside toscalar() and in ((pipe)) bodies;
+    (7) in~ / !in~ with a tabular operand lower() both sides — and
+    the negated forms carry their `!` (extraction lookbehind fix);
+    (10) leading `set` statements; query_bin_auto_size resolves
+    bin_auto(), which stays a loud error without it."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # (4)
+    r = kql(
+        spark,
+        "events | take 1 | project s = 'pre-' + event_type + '!',"
+        " m = 'n=' + tostring(toint(1) + 2)",
+    ).collect()[0]
+    assert r["s"].startswith("pre-") and r["s"].endswith("!")
+    assert r["m"] == "n=3"
+    # (5)
+    rows = kql(
+        spark,
+        'events | take 1 | extend b = pack("x", 1, "y", "two")'
+        " | mv-expand b | project b | sort by b asc",
+    ).collect()
+    assert [r["b"] for r in rows] == ['{"x":"1"}', '{"y":"two"}']
+    rows = kql(
+        spark,
+        "events | take 1 | extend j = '[1, 2]' | mv-expand j"
+        " | project j | sort by j asc",
+    ).collect()
+    assert [r["j"] for r in rows] == ["1", "2"]
+    rows = kql(
+        spark,
+        "events | take 1 | extend a = pack_array(7, 8) | mv-expand a"
+        " | project a | sort by a asc",
+    ).collect()
+    assert [r["a"] for r in rows] == [7, 8]
+    # (6)
+    rows = kql(
+        spark,
+        "let big = events | where value > 30 | project user_id;"
+        " let thr = toscalar(big | count);"
+        " events | where user_id in ((big))"
+        " | summarize n = count() | extend t = thr",
+    ).collect()
+    assert rows[0]["n"] > 0 and rows[0]["t"] > 0
+    # (7) in~ + !in~ tabular partition the table exactly
+    total = kql(spark, "events | count").collect()[0]["count_"]
+    n_ci = kql(
+        spark,
+        "events | where event_type in~ ((events | take 50"
+        " | project toupper(event_type))) | count",
+    ).collect()[0]["count_"]
+    n_not = kql(
+        spark,
+        "events | where event_type !in~ ((events | take 50"
+        " | project toupper(event_type))) | count",
+    ).collect()[0]["count_"]
+    assert n_ci > 0 and n_ci + n_not == total
+    # plain !in ((pipe)) still carries its negation
+    n_in = kql(
+        spark,
+        "events | where event_type in ((events | take 50"
+        " | project event_type)) | count",
+    ).collect()[0]["count_"]
+    n_nin = kql(
+        spark,
+        "events | where event_type !in ((events | take 50"
+        " | project event_type)) | count",
+    ).collect()[0]["count_"]
+    assert n_in + n_nin == total
+    # (10)
+    rows = kql(
+        spark,
+        "set query_bin_auto_size=1d; set notruncation;"
+        " events | summarize n = count() by b = bin_auto(ts)"
+        " | sort by b asc | take 2",
+    ).collect()
+    assert rows and rows[0]["n"] > 0
+    with pytest.raises(ValueError, match="query_bin_auto_size"):
+        kql_to_sql("events | summarize n = count() by bin_auto(ts)")
+
+
+def test_stored_dynamic_indexing(spark, sf_smoke):
+    """Round-8 verdict #8 (adjusted): `j[i]` where j is a STORED
+    dynamic (a string column holding JSON text, or a VARIANT from
+    parse_json) is element access via get_json_object — the same
+    semantics the parse_json(x)[i] accessor path already has. Native
+    array indexing stays Spark-native; ADX's [] is a dynamic operator,
+    so char access on true strings stays out of subset (ADX errors
+    there too)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "events | take 1"
+        " | extend j = parse_json('[10, 20, 30]')"
+        " | extend v = toint(j[1]), w = toint(j[0]) | project v, w",
+    ).collect()[0]
+    assert r["v"] == 20 and r["w"] == 10
+    # string column holding a JSON array (pack_array -> to_json style)
+    r = kql(
+        spark,
+        "events | take 1 | extend s = '[\"a\", \"b\"]'"
+        " | extend v = tostring(s[1]) | project v",
+    ).collect()[0]
+    assert r["v"] == "b"
+    # native array: Spark-native 0-based access, no probe rewrite
+    r = kql(
+        spark,
+        "events | take 1 | extend a = pack_array(5, 6)"
+        " | extend v = a[1] | project v",
+    ).collect()[0]
+    assert r["v"] == 6

@@ -235,15 +235,19 @@ def test_mega_bucket_block_join_is_equi_on_cells(spark):
 
 
 def test_pandas_udaf_partial_merges_natively(spark, sf_smoke):
-    """The two-level Python aggregate: pandas UDAF only at the salted
-    level-1 (AggregateInPandas), and the level-2 merge is a NATIVE
-    aggregate with a map-side partial — no group's raw rows ever
-    funnel through one Python task."""
+    """The two-level Python aggregate: ONE applyInPandas partial at
+    the salted level-1 (a single FlatMapGroupsInPandas node — one
+    Python round trip, not three grouped-agg UDFs; round-8 verdict
+    #2), and the level-2 merge is a NATIVE aggregate with a map-side
+    partial — no group's raw rows ever funnel through one Python
+    task."""
     plan = _plan(spark, sf_smoke, "pandas_udaf_partial")
-    n_py_agg = plan.count("ArrowAggregatePython") + plan.count(
-        "AggregateInPandas"  # pre-4.1 node name
-    )
-    assert n_py_agg == 1, plan[:800]
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:800]
+    assert (
+        plan.count("ArrowAggregatePython")
+        + plan.count("AggregateInPandas")
+        == 0
+    ), plan[:800]
     assert "partial_sum" in plan
 
 

@@ -201,6 +201,139 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
+        # round-8: bracket-quoted column names — assignment LHS +
+        # reference in where/summarize; the spaced column stays in
+        # the schema but is NOT added to cols (later stages reference
+        # columns bare, which bracket-named columns cannot be)
+        opts.append(
+            st.tuples(st.sampled_from(num), st.integers(0, 99)).map(
+                lambda t: (
+                    f"extend ['b q{t[1]}'] = {t[0]} * 2"
+                    f" | where ['b q{t[1]}'] >= 0"
+                    f" | extend bq8 = ['b q{t[1]}'] + 1",
+                    (*cols, "bq8"),
+                )
+            )
+        )
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"summarize ['s um'] = sum({c}),"
+                    f" bqn = count() by ['g k'] = {c} % 3"
+                    " | sort by ['s um'] desc"
+                    " | project bqn, ['s um'], ['g k']",
+                    ("bqn",),
+                )
+            )
+        )
+        # round-8: `+` string concat (literal-operand subset) — must
+        # coexist with arithmetic + in the same expression
+        if str_:
+            opts.append(
+                st.tuples(
+                    st.sampled_from(str_), st.sampled_from(num)
+                ).map(
+                    lambda t: (
+                        f"extend c8 = 'p-' + {t[0]} + '-q',"
+                        f" a8 = {t[1]} + 1",
+                        (*cols, "c8", "a8"),
+                    )
+                )
+            )
+        # round-8: percentilew argument grammar (col, weight, p)
+        opts.append(
+            st.tuples(
+                st.sampled_from(num),
+                st.sampled_from(num),
+                st.sampled_from([25, 50, 75, 90]),
+            ).map(
+                lambda t: (
+                    f"summarize pw8 = percentilew({t[0]},"
+                    f" {t[1]} + 1, {t[2]})",
+                    ("pw8",),
+                )
+            )
+        )
+        # round-8: ipv4_lookup argument grammar over a datatable
+        # lookup dim (3- and 4-arg forms; IPs synthesized map-side)
+        opts.append(
+            st.tuples(
+                st.sampled_from(num), st.booleans()
+            ).map(
+                lambda t: (
+                    f"extend ip8 = strcat('10.', tostring({t[0]}"
+                    " % 200), '.0.1')"
+                    " | evaluate ipv4_lookup("
+                    "(datatable (net: string, tag: string)"
+                    " ['10.0.0.0/8', 'a', '192.168.0.0/16', 'b']),"
+                    " ip8, net"
+                    + (", return_unmatched = true" if t[1] else "")
+                    + ") | count",
+                    ("count_",),
+                )
+            )
+        )
+    if "ts" in cols:
+        # round-8: timespan / timespan-literal division
+        opts.append(
+            st.tuples(
+                st.integers(1, 12), st.sampled_from(["h", "m", "d"])
+            ).map(
+                lambda t: (
+                    "extend td8 = (ts - datetime(2024-01-01))"
+                    f" / {t[0]}{t[1]}",
+                    (*cols, "td8"),
+                )
+            )
+        )
+    if "ts" in cols and "user_id" in cols:
+        # round-8 (round-6 verdict item 10): the activity-analytics
+        # plugin argument grammars — every shape must parse and
+        # analyze for any window/period/count draw
+        _win = st.integers(1, 3)
+        opts.append(
+            st.tuples(
+                st.sampled_from(
+                    [
+                        "activity_metrics",
+                        "new_activity_metrics",
+                        "activity_counts_metrics",
+                    ]
+                ),
+                _win,
+            ).map(
+                lambda t: (
+                    f"evaluate {t[0]}(user_id, ts,"
+                    " datetime(2024-01-01), datetime(2024-02-01),"
+                    f" {t[1]}d) | count",
+                    ("count_",),
+                )
+            )
+        )
+        opts.append(
+            _win.map(
+                lambda w: (
+                    "evaluate session_count(user_id, ts,"
+                    " datetime(2024-01-01), datetime(2024-02-01),"
+                    f" 1d, {w}d) | count",
+                    ("count_",),
+                )
+            )
+        )
+        opts.append(
+            st.tuples(
+                st.integers(1, 4), st.integers(1, 3), st.booleans()
+            ).map(
+                lambda t: (
+                    "evaluate active_users_count(user_id, ts,"
+                    " datetime(2024-01-01), datetime(2024-02-01),"
+                    f" {t[0]}d, 1d, {t[1]}"
+                    + (", 1d" if t[2] else "")
+                    + ") | count",
+                    ("count_",),
+                )
+            )
+        )
     if str_:
         opts.append(
             st.sampled_from(["vi", "PUR", "x"]).map(
@@ -375,6 +508,18 @@ def _kql_stage_st(cols: tuple[str, ...]):
                 )
             )
         )
+        # round-8: series_iir recursive filter over the series column
+        opts.append(
+            st.tuples(
+                st.floats(0.1, 0.9), st.floats(-0.9, 0.9)
+            ).map(
+                lambda t: (
+                    f"extend yi8 = series_iir(m, dynamic([{t[0]:.3f}]),"
+                    f" dynamic([1.0, {t[1]:.3f}]))",
+                    (*cols, "yi8"),
+                )
+            )
+        )
     if num:
         # round-7 fuzz shapes: 2-arg hash must reduce modulo (never
         # hash the modulus), geo scalars are plain map-side exprs,
@@ -476,7 +621,7 @@ def _kql_pipe_st(draw):
     # table over the same events parquet (the __SFDIR__ placeholder is
     # substituted with the fixture path by the test) — no ts column,
     # declared schema matches by name
-    head_kind = draw(st.integers(0, 3))
+    head_kind = draw(st.integers(0, 4))
     if head_kind == 0:
         head = "events"
         cols = ("event_id", "ts", "user_id", "event_type", "value")
@@ -491,7 +636,7 @@ def _kql_pipe_st(draw):
         # round-7: leading-union entry form (self-union keeps schema)
         head = "union events, (events | take 5)"
         cols = ("event_id", "ts", "user_id", "event_type", "value")
-    else:
+    elif head_kind == 3:
         # round-7: leading-search entry form (adds the source_ label)
         term = draw(st.sampled_from(["vi", "PUR", "zz"]))
         head = f'search in (events) "{term}"'
@@ -499,6 +644,16 @@ def _kql_pipe_st(draw):
             "source_", "event_id", "ts", "user_id", "event_type",
             "value",
         )
+    else:
+        # round-8: find argument grammar — withsource label, multi
+        # operand (table + pipe), predicate, project clause
+        thr = draw(st.integers(0, 100))
+        head = (
+            "find withsource=src8 in (events, (events | take 20))"
+            f" where event_id >= {thr}"
+            " project event_id, user_id, event_type, value"
+        )
+        cols = ("src8", "event_id", "user_id", "event_type", "value")
     stages = []
     for _ in range(draw(st.integers(0, 4))):
         stage, cols = draw(_kql_stage_st(cols))
