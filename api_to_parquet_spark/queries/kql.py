@@ -211,8 +211,10 @@ Known out-of-subset surface (round-7/8 sweep inventory — each fails
 LOUDLY at translate or analysis time, verified by 4 × ~50-idiom probe
 batteries): `consume`; char indexing on TRUE strings (ADX's [] is a
 dynamic operator and errors on strings too — use substring);
-parse_user_agent (lookup-table corpus); gamma/beta_cdf (no JVM
-builtin); series_stats_dynamic; timespan division by a NON-literal
+parse_user_agent 'os'/'device' queries and long-tail families (the
+full parser rides a uap-core lookup corpus; the 'browser' query's
+five major families ARE supported); beta_cdf (iterative incomplete
+beta); timespan division by a NON-literal
 timespan (the literal-divisor form IS supported); graph-shortest-paths
 output=all (per-path multiplicity) and multi-hop patterns; scan
 self/forward state references (ADX's iterating-step model);
@@ -230,7 +232,9 @@ translation context rides a ContextVar); in~/!in~ ((pipe)) tabular
 membership (lower() both sides); leading `set` statements +
 bin_auto() via query_bin_auto_size; stored-dynamic element indexing
 j[i] (string/variant columns, one lazy schema probe); series_iir;
-base64_decode_toarray; timespan / timespan-literal division.
+base64_decode_toarray; timespan / timespan-literal division;
+gamma/loggamma (Lanczos g=7 builtin arithmetic);
+series_stats_dynamic; parse_user_agent 'browser' (major families).
 """
 
 from __future__ import annotations
@@ -1427,6 +1431,148 @@ def _series_iir_sql(args: list[str]) -> str:
     )
 
 
+# Lanczos g=7, n=9 — the standard double-precision gamma coefficients
+# (~1e-13 relative error over the real line via reflection).
+_LANCZOS = (
+    0.99999999999980993,
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+
+
+def _lgamma_core(y: str) -> str:
+    """ln Γ(y) for y >= 0.5 — Lanczos in log space (overflow-safe for
+    large y, unlike exp-then-ln). Pure builtin arithmetic, map-side."""
+    z = f"(({y}) - 1)"
+    a = " + ".join(
+        [f"CAST({_LANCZOS[0]!r} AS DOUBLE)"]
+        + [
+            f"CAST({c!r} AS DOUBLE) / ({z} + {i})"
+            for i, c in enumerate(_LANCZOS[1:], 1)
+        ]
+    )
+    t = f"({z} + 7.5)"
+    return (
+        f"(0.5 * ln(2 * pi()) + ({z} + 0.5) * ln({t}) - {t}"
+        f" + ln({a}))"
+    )
+
+
+def _gamma_sql(args: list[str]) -> str:
+    """gamma(x) — Lanczos + reflection for x < 0.5 (round-8, was a
+    loud out-of-subset gap; no JVM builtin exists)."""
+    if len(args) != 1:
+        raise ValueError(f"gamma needs one argument: {args!r}")
+    x = args[0].strip()
+    return (
+        f"(CASE WHEN ({x}) >= 0.5 THEN exp({_lgamma_core(x)})"
+        f" ELSE pi() / (sin(pi() * ({x}))"
+        f" * exp({_lgamma_core(f'1 - ({x})')})) END)"
+    )
+
+
+def _loggamma_sql(args: list[str]) -> str:
+    """loggamma(x) = ln |Γ(x)| — the log form directly (never through
+    exp, so large x cannot overflow)."""
+    if len(args) != 1:
+        raise ValueError(f"loggamma needs one argument: {args!r}")
+    x = args[0].strip()
+    return (
+        f"(CASE WHEN ({x}) >= 0.5 THEN {_lgamma_core(x)}"
+        f" ELSE ln(abs(pi() / sin(pi() * ({x}))))"
+        f" - {_lgamma_core(f'1 - ({x})')} END)"
+    )
+
+
+def _series_stats_dynamic_sql(args: list[str]) -> str:
+    """series_stats_dynamic(x) — the bag twin of the series_stats
+    multi-assign (same math: population variance, first-occurrence
+    0-based argmin/argmax), emitted as one to_json(named_struct)
+    string bag (round-8, was a loud gap)."""
+    if len(args) != 1:
+        raise ValueError(
+            f"series_stats_dynamic needs one argument: {args!r}"
+        )
+    a = args[0].strip()
+    if not re.match(r"^\w+$", a):
+        raise ValueError(
+            "series_stats_dynamic: series must be a plain column"
+            f" (it is referenced per field): {a!r}"
+        )
+    n = f"CAST(size({a}) AS DOUBLE)"
+    avg = f"({_sum_sql(a)} / {n})"
+    var = (
+        f"({_sum_sql(f'transform({a}, _x -> _x * _x)')} / {n}"
+        f" - {avg} * {avg})"
+    )
+    return (
+        "to_json(named_struct("
+        f"'min', array_min({a}),"
+        f" 'min_idx', coalesce(array_position({a},"
+        f" array_min({a})), 0) - 1,"
+        f" 'max', array_max({a}),"
+        f" 'max_idx', coalesce(array_position({a},"
+        f" array_max({a})), 0) - 1,"
+        f" 'avg', {avg},"
+        f" 'stdev', sqrt({var}),"
+        f" 'variance', {var}))"
+    )
+
+
+# parse_user_agent family markers, PRIORITY ORDER (Edge and Opera UAs
+# also carry "Chrome/"; Chrome and Firefox also carry "Safari/").
+# (family, presence marker, version token)
+_UA_FAMILIES = (
+    ("Edge", "Edg/", "Edg"),
+    ("Opera", "OPR/", "OPR"),
+    ("Chrome", "Chrome/", "Chrome"),
+    ("Firefox", "Firefox/", "Firefox"),
+    ("Safari", "Version/", "Version"),
+)
+
+
+def _parse_user_agent_sql(args: list[str]) -> str:
+    """parse_user_agent(ua, 'browser') — DOCUMENTED SUBSET (round-8):
+    the five major browser families by marker precedence (the rule
+    real UA parsers use: Edge/Opera before Chrome, Version/ for
+    Safari), emitting ADX's {"Browser": {Family, MajorVersion,
+    MinorVersion}} bag. ADX's full parser rides a uap-core lookup
+    corpus; 'os'/'device' queries and long-tail families raise."""
+    if len(args) != 2:
+        raise ValueError(
+            f"parse_user_agent needs (ua, 'browser'): {args!r}"
+        )
+    kind = args[1].strip().strip("'\"").lower()
+    if kind != "browser":
+        raise ValueError(
+            "parse_user_agent supports the 'browser' query only"
+            f" (documented subset): {args[1]!r}"
+        )
+    ua = args[0].strip()
+    branches = []
+    for fam, marker, tok in _UA_FAMILIES:
+        mj = f"regexp_extract({ua}, '{tok}/(\\\\d+)', 1)"
+        mn = f"regexp_extract({ua}, '{tok}/\\\\d+\\\\.(\\\\d+)', 1)"
+        branches.append(
+            f"WHEN instr({ua}, '{marker}') > 0 THEN"
+            " to_json(named_struct('Browser', named_struct("
+            f"'Family', '{fam}', 'MajorVersion', {mj},"
+            f" 'MinorVersion', {mn})))"
+        )
+    other = (
+        "to_json(named_struct('Browser', named_struct("
+        "'Family', 'Other', 'MajorVersion', '',"
+        " 'MinorVersion', '')))"
+    )
+    return f"(CASE {' '.join(branches)} ELSE {other} END)"
+
+
 def _extract_toscalar(text: str) -> tuple[str, list[tuple[str, str]]]:
     """Pull `toscalar(<pipe>)` spans out BEFORE scalar rewriting (the
     pipe body must reach the full translator verbatim, not half-
@@ -1708,6 +1854,12 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "series_fill_linear", _fill_linear_sql)
     e = _rewrite_fn(e, "series_fir", _series_fir_sql)
     e = _rewrite_fn(e, "series_iir", _series_iir_sql)
+    e = _rewrite_fn(
+        e, "series_stats_dynamic", _series_stats_dynamic_sql
+    )
+    e = _rewrite_fn(e, "loggamma", _loggamma_sql)
+    e = _rewrite_fn(e, "gamma", _gamma_sql)
+    e = _rewrite_fn(e, "parse_user_agent", _parse_user_agent_sql)
     def _moving_avg_sql(a: list[str]) -> str:
         if len(a) < 2 or not re.match(r"^\d+$", a[1].strip()):
             raise ValueError(
@@ -10242,13 +10394,18 @@ def q_kql_scalar_fns10(spark: SparkSession, sf_dir: str) -> DataFrame:
         " todouble(event_id % 7 + 1))"
         " | extend y = series_iir(x, dynamic([1.0]),"
         " dynamic([1.0, -0.5]))"
+        " | extend ssd = series_stats_dynamic(x)"
         " | project event_id,"
         " iir = round(series_sum(y), 6),"
         " b0 = base64_decode_toarray("
         "base64_encode_tostring(event_type))[0],"
         " bsum = series_sum(base64_decode_toarray("
         "base64_encode_tostring(event_type))),"
-        " hrs = round((ts - datetime(2024-01-01)) / 1h, 6)",
+        " hrs = round((ts - datetime(2024-01-01)) / 1h, 6),"
+        " g = round(gamma(todouble(event_id % 8 + 1)), 4),"
+        " lg = round(loggamma(todouble(event_id % 8 + 1) + 0.25), 6),"
+        " sidx = toint(parse_json(ssd).min_idx),"
+        " ssdev = round(todouble(parse_json(ssd).stdev), 6)",
     )
 
 
@@ -11832,7 +11989,23 @@ ORACLE = {
                    string_split(event_type, ''), c -> ascii(c)),
                    'sum') AS DOUBLE) AS bsum,
                ROUND((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
-                     / CAST(3600 AS DOUBLE), 6) AS hrs
+                     / CAST(3600 AS DOUBLE), 6) AS hrs,
+               ROUND(gamma(CAST(event_id % 8 + 1 AS DOUBLE)), 4) AS g,
+               ROUND(lgamma(CAST(event_id % 8 + 1 AS DOUBLE) + 0.25),
+                     6) AS lg,
+               CASE WHEN CAST(event_id % 5 + 1 AS DOUBLE)
+                         <= CAST(event_id % 7 + 1 AS DOUBLE)
+                    THEN 0 ELSE 1 END AS sidx,
+               ROUND(sqrt(
+                   (CAST(event_id % 5 + 1 AS DOUBLE)
+                    * CAST(event_id % 5 + 1 AS DOUBLE)
+                    + CAST(event_id % 7 + 1 AS DOUBLE)
+                    * CAST(event_id % 7 + 1 AS DOUBLE)) / 2
+                   - ((CAST(event_id % 5 + 1 AS DOUBLE)
+                       + CAST(event_id % 7 + 1 AS DOUBLE)) / 2)
+                   * ((CAST(event_id % 5 + 1 AS DOUBLE)
+                       + CAST(event_id % 7 + 1 AS DOUBLE)) / 2)
+               ), 6) AS ssdev
         FROM events WHERE event_id < 500
     """,
     "kql_idioms4": """

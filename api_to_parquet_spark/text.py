@@ -453,8 +453,49 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII scrub patterns (round-8): the classic training-data redaction
+# pass. Same regex dialect subset in Java (Spark) and RE2 (DuckDB):
+# no backreferences, \b/\d/{m,n} only.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_LONGNUM = r"\b\d{13,19}\b"
+_PII_PHONE = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (round-8): emails, IPv4s, long digit runs
+    (card-like) and phone-shaped numbers replaced by typed
+    placeholders — one map-side regexp_replace chain, zero shuffle,
+    zero Python. Counts are per-pattern on the pre-scrub text. The
+    synthetic corpus carries no natural PII, so deterministic PII is
+    injected per doc first (non-vacuous oracle; the scrub itself is
+    generic). Email scrubs FIRST so address-embedded digits can't be
+    half-eaten by the numeric patterns."""
+    d = spread(load(spark, sf_dir, "documents")).select("doc_id", "text")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@ex.com from 10.0.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(" card 4111111111111111 tel 555-123-4567"),
+    )
+    scrub = F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>")
+    scrub = F.regexp_replace(scrub, _PII_IPV4, "<IP>")
+    scrub = F.regexp_replace(scrub, _PII_LONGNUM, "<NUM>")
+    scrub = F.regexp_replace(scrub, _PII_PHONE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        F.md5(scrub).alias("scrub_md5"),
+        F.regexp_count(aug, F.lit(_PII_EMAIL)).alias("n_email"),
+        F.regexp_count(aug, F.lit(_PII_IPV4)).alias("n_ip"),
+        F.regexp_count(aug, F.lit(_PII_LONGNUM)).alias("n_num"),
+    )
+
+
 QUERIES = {
     "heavy_hitters": q_heavy_hitters,
+    "pii_scrub": q_pii_scrub,
     "gopher_rules": q_gopher_rules,
     "doc_repetition": q_doc_repetition,
     "lang_mixture": q_lang_mixture,
@@ -470,6 +511,35 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pii_scrub": r"""
+        WITH aug AS (
+            SELECT doc_id,
+                   text || ' contact u' || doc_id
+                        || '@ex.com from 10.0.0.' || (doc_id % 250)
+                        || ' card 4111111111111111 tel 555-123-4567'
+                   AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                       '<IP>', 'g'),
+                       '\b\d{13,19}\b', '<NUM>', 'g'),
+                       '\b\d{3}[-.]\d{3,4}[-.]\d{4}\b', '<PHONE>', 'g'))
+                   AS scrub_md5,
+               length(regexp_extract_all(t,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   ))::INTEGER AS n_email,
+               length(regexp_extract_all(t,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'
+                   ))::INTEGER AS n_ip,
+               length(regexp_extract_all(t,
+                   '\b\d{13,19}\b'))::INTEGER AS n_num
+        FROM aug
+    """,
     "gopher_rules": r"""
         WITH base AS (
             SELECT doc_id, text,

@@ -60,6 +60,8 @@ HEADLINE = [
     "kql_ipv4_lookup",  # longest-prefix CIDR equi-join (r6)
     "kql_rolling_percentile",  # windowed exact percentile, bin-explode (r7)
     "kql_graph_shortest",  # bounded-k relational BFS (r7)
+    "kql_idioms4",  # set/bin_auto + tabular-let subqueries + bag expand (r8)
+    "pii_scrub",  # map-side PII redaction chain over documents (r8)
 ]
 
 # Per-query medians pinned from the last judged round (bench_pins.json).

@@ -3056,3 +3056,47 @@ def test_stored_dynamic_indexing(spark, sf_smoke):
         " | extend v = a[1] | project v",
     ).collect()[0]
     assert r["v"] == 6
+
+
+def test_parse_user_agent_browser_subset(spark):
+    """parse_user_agent (round-8, documented subset): the five major
+    families by marker precedence — Edge/Opera UAs also carry
+    Chrome/, Chrome and Firefox also carry Safari/ — with
+    major/minor versions from the family's own token."""
+    cases = [
+        (
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64)"
+            " AppleWebKit/537.36 (KHTML, like Gecko)"
+            " Chrome/120.0.0.0 Safari/537.36",
+            ("Chrome", "120", "0"),
+        ),
+        (
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64)"
+            " AppleWebKit/537.36 (KHTML, like Gecko)"
+            " Chrome/120.0.0.0 Safari/537.36 Edg/120.0.2210.91",
+            ("Edge", "120", "0"),
+        ),
+        (
+            "Mozilla/5.0 (X11; Linux x86_64; rv:121.0)"
+            " Gecko/20100101 Firefox/121.0",
+            ("Firefox", "121", "0"),
+        ),
+        (
+            "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+            " AppleWebKit/605.1.15 (KHTML, like Gecko)"
+            " Version/17.1 Safari/605.1.15",
+            ("Safari", "17", "1"),
+        ),
+        ("curl/8.4.0", ("Other", "", "")),
+    ]
+    for ua, (fam, mj, mn) in cases:
+        r = kql(
+            spark,
+            f"print b = parse_user_agent('{ua}', 'browser')"
+            " | extend f = tostring(parse_json(b).Browser.Family),"
+            " v = tostring(parse_json(b).Browser.MajorVersion),"
+            " w = tostring(parse_json(b).Browser.MinorVersion)",
+        ).collect()[0]
+        assert (r["f"], r["v"], r["w"]) == (fam, mj, mn), (ua, r)
+    with pytest.raises(ValueError, match="browser"):
+        kql_to_sql("print b = parse_user_agent('x', 'os')")
