@@ -218,9 +218,9 @@ beta); timespan division by a NON-literal
 timespan (the literal-divisor form IS supported); graph-shortest-paths
 output=all (per-path multiplicity) and multi-hop patterns; scan
 self/forward state references (ADX's iterating-step model);
-take_any(*) with expression arguments; `+` as string concatenation
-between two COLUMNS (the literal-operand subset IS supported;
-column+column needs schema types — use strcat).
+take_any(*) with expression arguments; `+` concatenation where an
+operand is a CALL or deeper expression (plain string columns and
+string literals ARE supported — use strcat for expressions).
 
 Closed in round 8 (previously out of subset): bracket-quoted column
 names ['my col'] (reversible _bq_<hex> mangling, demangled to Spark
@@ -1734,6 +1734,45 @@ def _expr(kql_expr: str) -> str:
     kql_expr, _in_subs = _extract_in_subqueries(kql_expr)
     e = _bin_to_sql(_strings_to_sql(kql_expr))
     e = _concat_plus(e)
+    # column+column string concat — RETRY path only (see _PLUS_CONCAT):
+    # rewrite `a + b` to concat(a, b) when BOTH are string columns of
+    # the stage child; chains fold left (the LHS alternation accepts a
+    # concat(...) produced by the previous pass). Call/expression
+    # operands stay out of subset (use strcat).
+    if _PLUS_CONCAT.get() and "+" in e:
+        _ctx7 = _ACTIVE_CTX.get()
+        _child7 = _STAGE_CHILD.get()
+        if _ctx7 is not None and _ctx7[0] is not None and _child7:
+            from pyspark.sql.types import StringType
+
+            try:
+                _sset7 = {
+                    f.name
+                    for f in _afields(_ctx7[0], _child7)
+                    if isinstance(f.dataType, StringType)
+                }
+            except Exception:
+                _sset7 = set()
+            if _sset7:
+                _pc_pat = (
+                    r"(?<![\w.'\")])"
+                    r"(concat\((?:[^()']|'(?:[^'\\]|\\.)*'"
+                    r"|\([^()]*\))*\)|[A-Za-z_]\w*)"
+                    r"\s*\+\s*([A-Za-z_]\w*)(?![\w.(])"
+                )
+
+                def _pc_rep(m: re.Match) -> str:
+                    a_, b_ = m.group(1), m.group(2)
+                    if (
+                        a_.startswith("concat(") or a_ in _sset7
+                    ) and b_ in _sset7:
+                        return f"concat({a_}, {b_})"
+                    return m.group(0)
+
+                prev_e = None
+                while prev_e != e:
+                    prev_e = e
+                    e = _pred_sub(_pc_pat, _pc_rep, e)
     # indexing a STORED dynamic column: `j[0]` where j is a string
     # column (our dynamic representation) becomes JSON element access
     # — the same get_json_object the parse_json(x)[0] accessor path
@@ -4048,6 +4087,14 @@ _ACTIVE_CTX: contextvars.ContextVar = contextvars.ContextVar(
 # schema source for string indexing s[i] (round-8 verdict #8)
 _STAGE_CHILD: contextvars.ContextVar = contextvars.ContextVar(
     "_STAGE_CHILD", default=None
+)
+
+# column+column `+` string concatenation (round-8 verdict #4, schema
+# half): OFF on the fast path — kql() retries with this set ONLY when
+# the plain translation failed analysis with BINARY_OP_WRONG_TYPE on
+# STRING operands, so queries without the idiom never pay the probe.
+_PLUS_CONCAT: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "_PLUS_CONCAT", default=False
 )
 
 _RESOLVE_CLASHES: contextvars.ContextVar[bool] = contextvars.ContextVar(
@@ -8707,6 +8754,20 @@ def kql(
                     return df
             except AnalysisException as ex:
                 msg = str(ex)
+                if (
+                    "BINARY_OP_WRONG_TYPE" in msg
+                    and '"STRING"' in msg
+                    and "+" in text
+                ):
+                    # `a + b` over string columns — ADX concatenation.
+                    # Retry with the schema-probing concat rewrite
+                    # (round-8 verdict #4, schema half); only queries
+                    # that hit this exact analysis error pay the probe.
+                    pc_tok = _PLUS_CONCAT.set(True)
+                    try:
+                        return spark.sql(kql_to_sql(text, spark))
+                    finally:
+                        _PLUS_CONCAT.reset(pc_tok)
                 if not any(
                     t in msg
                     for t in (
@@ -12025,7 +12086,7 @@ ORACLE = {
             SELECT ts, event_type,
                    '{"y":"' || event_type || '"}' AS b FROM base
         )
-        SELECT to_timestamp(floor(epoch(ts) / 86400) * 86400) AS d8,
+        SELECT date_trunc('day', ts) AS d8,
                b,
                'p-' || event_type || '-q' AS s,
                COUNT(*)::BIGINT AS n,

@@ -3100,3 +3100,25 @@ def test_parse_user_agent_browser_subset(spark):
         assert (r["f"], r["v"], r["w"]) == (fam, mj, mn), (ua, r)
     with pytest.raises(ValueError, match="browser"):
         kql_to_sql("print b = parse_user_agent('x', 'os')")
+
+
+def test_plus_concat_string_columns(spark, sf_smoke):
+    """Round-8 verdict #4 (schema half): `a + b` over two STRING
+    columns is ADX concatenation. Fast path translates + as
+    arithmetic; on BINARY_OP_WRONG_TYPE/STRING analysis failure kql()
+    retries once with the schema-probing concat rewrite, so queries
+    without the idiom never pay a probe. Chains fold left."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "events | take 1 | extend a = event_type, b = props"
+        " | extend c = a + b | project c, full = a + b + event_type",
+    ).collect()[0]
+    assert r["c"] and r["full"].startswith(r["c"])
+    assert r["full"].endswith(r["full"][len(r["c"]) :])
+    # numeric + numeric stays arithmetic (no retry, no probe)
+    r = kql(
+        spark,
+        "events | take 1 | extend n = value + value | project n, value",
+    ).collect()[0]
+    assert r["n"] == r["value"] * 2
