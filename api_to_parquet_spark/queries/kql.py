@@ -213,8 +213,7 @@ batteries): `consume`; char indexing on TRUE strings (ADX's [] is a
 dynamic operator and errors on strings too — use substring);
 parse_user_agent 'os'/'device' queries and long-tail families (the
 full parser rides a uap-core lookup corpus; the 'browser' query's
-five major families ARE supported); beta_cdf (iterative incomplete
-beta); timespan division by a NON-literal
+five major families ARE supported); timespan division by a NON-literal
 timespan (the literal-divisor form IS supported); graph-shortest-paths
 output=all (per-path multiplicity) and multi-hop patterns; scan
 self/forward state references (ADX's iterating-step model);
@@ -233,7 +232,8 @@ membership (lower() both sides); leading `set` statements +
 bin_auto() via query_bin_auto_size; stored-dynamic element indexing
 j[i] (string/variant columns, one lazy schema probe); series_iir;
 base64_decode_toarray; timespan / timespan-literal division;
-gamma/loggamma (Lanczos g=7 builtin arithmetic);
+gamma/loggamma (Lanczos g=7 builtin arithmetic); beta_cdf (Lentz
+continued fraction as a fixed-depth aggregate fold);
 series_stats_dynamic; parse_user_agent 'browser' (major families).
 """
 
@@ -1490,6 +1490,64 @@ def _loggamma_sql(args: list[str]) -> str:
     )
 
 
+def _beta_cdf_sql(args: list[str]) -> str:
+    """beta_cdf(x, a, b) = I_x(a, b), the regularized incomplete beta
+    (round-8, was a loud gap): modified-Lentz continued fraction as a
+    fixed-depth aggregate() fold (60 double-steps = 120 CF terms,
+    converged to ~1e-15 for a, b up to the hundreds), with the
+    symmetry transform for x past the CF's stable region and ln B(a,b)
+    from the Lanczos loggamma. Pure builtin arithmetic, map-side."""
+    if len(args) != 3:
+        raise ValueError(f"beta_cdf needs (x, a, b): {args!r}")
+    x0, a0, b0 = (f"CAST({s.strip()} AS DOUBLE)" for s in args)
+
+    def g(v: str) -> str:
+        # Lentz FPMIN guard: a vanishing term must not zero the chain
+        return f"(CASE WHEN abs({v}) < 1e-300 THEN 1e-300 ELSE {v} END)"
+
+    def core(a: str, b: str, x: str) -> str:
+        qab = f"(({a}) + ({b}))"
+        qap = f"(({a}) + 1)"
+        qam = f"(({a}) - 1)"
+        d_init = f"(1 / {g(f'1 - {qab} * ({x}) / {qap}')})"
+        aa1 = (
+            f"(_m * (({b}) - _m) * ({x})"
+            f" / (({qam} + 2 * _m) * (({a}) + 2 * _m)))"
+        )
+        d1 = f"(1 / {g(f'1 + {aa1} * _ac.d')})"
+        c1 = g(f"1 + {aa1} / _ac.c")
+        aa2 = (
+            f"(-((({a}) + _m) * ({qab} + _m) * ({x}))"
+            f" / ((({a}) + 2 * _m) * ({qap} + 2 * _m)))"
+        )
+        d2 = f"(1 / {g(f'1 + {aa2} * {d1}')})"
+        c2 = g(f"1 + {aa2} / {c1}")
+        h = (
+            f"aggregate(sequence(1, 60),"
+            f" named_struct('c', CAST(1 AS DOUBLE), 'd', {d_init},"
+            f" 'h', {d_init}),"
+            f" (_ac, _m) -> named_struct("
+            f"'c', {c2}, 'd', {d2},"
+            f" 'h', _ac.h * {d1} * {c1} * {d2} * {c2})).h"
+        )
+        lnb = (
+            f"({_lgamma_core(a)} + {_lgamma_core(b)}"
+            f" - {_lgamma_core(f'({a}) + ({b})')})"
+        )
+        return (
+            f"(exp(({a}) * ln({x}) + ({b}) * ln(1 - ({x}))"
+            f" - {lnb}) * ({h}) / ({a}))"
+        )
+
+    return (
+        f"(CASE WHEN ({x0}) <= 0 THEN CAST(0 AS DOUBLE)"
+        f" WHEN ({x0}) >= 1 THEN CAST(1 AS DOUBLE)"
+        f" WHEN ({x0}) < (({a0}) + 1) / (({a0}) + ({b0}) + 2)"
+        f" THEN {core(a0, b0, x0)}"
+        f" ELSE 1 - {core(b0, a0, f'(1 - ({x0}))')} END)"
+    )
+
+
 def _series_stats_dynamic_sql(args: list[str]) -> str:
     """series_stats_dynamic(x) — the bag twin of the series_stats
     multi-assign (same math: population variance, first-occurrence
@@ -1898,6 +1956,7 @@ def _expr(kql_expr: str) -> str:
     )
     e = _rewrite_fn(e, "loggamma", _loggamma_sql)
     e = _rewrite_fn(e, "gamma", _gamma_sql)
+    e = _rewrite_fn(e, "beta_cdf", _beta_cdf_sql)
     e = _rewrite_fn(e, "parse_user_agent", _parse_user_agent_sql)
     def _moving_avg_sql(a: list[str]) -> str:
         if len(a) < 2 or not re.match(r"^\d+$", a[1].strip()):

@@ -3122,3 +3122,27 @@ def test_plus_concat_string_columns(spark, sf_smoke):
         "events | take 1 | extend n = value + value | project n, value",
     ).collect()[0]
     assert r["n"] == r["value"] * 2
+
+
+def test_beta_cdf_and_gamma_values(spark):
+    """Round-8 numeric-special-function batch: beta_cdf (Lentz CF as
+    a fixed-depth aggregate fold) against closed forms, gamma against
+    exact factorials, loggamma against large-argument values (log-form
+    Lanczos cannot overflow)."""
+    import math
+
+    r = kql(
+        spark,
+        "print a = beta_cdf(0.5, 2.0, 2.0),"
+        " b = beta_cdf(0.25, 2.0, 1.0),"
+        " c = beta_cdf(0.3, 1.0, 1.0),"
+        " d = beta_cdf(0.0, 3.0, 4.0), e = beta_cdf(1.0, 3.0, 4.0),"
+        " g = gamma(8.0), gn = gamma(-0.5), lg = loggamma(200.5)",
+    ).collect()[0]
+    assert abs(r["a"] - 0.5) < 1e-12
+    assert abs(r["b"] - 0.0625) < 1e-12
+    assert abs(r["c"] - 0.3) < 1e-12
+    assert r["d"] == 0.0 and r["e"] == 1.0
+    assert abs(r["g"] - 5040.0) < 1e-8
+    assert abs(r["gn"] - (-2 * math.sqrt(math.pi))) < 1e-9
+    assert abs(r["lg"] - math.lgamma(200.5)) < 1e-7

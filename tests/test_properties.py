@@ -748,3 +748,117 @@ def test_scan_matches_python_greedy_reference(spark, seq):
     got_set = sorted((r["u"], r["t"], r["step"], r["match_id"]) for r in got)
     exp = sorted(expected)
     assert got_set == exp
+
+
+# --- KQL translator VALUE parity fuzz (round-8): a dual-emitter
+# mini-grammar generates the same logical pipe as KQL text AND as
+# DuckDB SQL, and the results must be value-identical (the driver's
+# own comparator). Restricted to exact arithmetic (integer %, count,
+# sum, string concat, case-insensitive contains) so float ordering
+# can never produce spurious diffs. The analysis-only deck above
+# checks the grammar's breadth; this checks its SEMANTICS.
+
+
+@st.composite
+def _kql_dual_st(draw):
+    kqls = ["events"]
+    sql = "SELECT event_id, user_id, event_type FROM events"
+    kqls.append("project event_id, user_id, event_type")
+    cols = {"event_id": "int", "user_id": "int", "event_type": "str"}
+    for _ in range(draw(st.integers(1, 4))):
+        ints = sorted(c for c, t in cols.items() if t == "int")
+        strs = sorted(c for c, t in cols.items() if t == "str")
+        kind = draw(st.integers(0, 6))
+        if kind == 0 and ints:
+            c = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 9))
+            n = draw(st.integers(0, 8))
+            op = draw(
+                st.sampled_from(["==", "!=", ">", "<", ">=", "<="])
+            )
+            sop = "=" if op == "==" else op
+            kqls.append(f"where {c} % {k} {op} {n}")
+            sql = f"SELECT * FROM ({sql}) _w WHERE {c} % {k} {sop} {n}"
+        elif kind == 1 and ints:
+            c = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 9))
+            newc = f"x{len(cols)}"
+            kqls.append(f"extend {newc} = {c} % {k} + 1")
+            sql = (
+                f"SELECT *, {c} % {k} + 1 AS {newc} FROM ({sql}) _e"
+            )
+            cols[newc] = "int"
+        elif kind == 2 and ints:
+            g = draw(st.sampled_from(ints))
+            s = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 6))
+            kqls.append(
+                f"summarize n = count(), s = sum({s}) by g = {g} % {k}"
+            )
+            sql = (
+                f"SELECT {g} % {k} AS g, COUNT(*) AS n,"
+                f" SUM({s}) AS s FROM ({sql}) _g GROUP BY 1"
+            )
+            cols = {"g": "int", "n": "int", "s": "int"}
+        elif kind == 3 and strs:
+            c = draw(st.sampled_from(strs))
+            newc = f"t{len(cols)}"
+            kqls.append(f'extend {newc} = strcat({c}, "-z")')
+            sql = f"SELECT *, {c} || '-z' AS {newc} FROM ({sql}) _s"
+            cols[newc] = "str"
+        elif kind == 4 and len(cols) > 1:
+            keep = draw(
+                st.lists(
+                    st.sampled_from(sorted(cols)),
+                    min_size=1,
+                    unique=True,
+                )
+            )
+            kqls.append("project " + ", ".join(keep))
+            sql = f"SELECT {', '.join(keep)} FROM ({sql}) _p"
+            cols = {c: cols[c] for c in keep}
+        elif kind == 5 and strs:
+            c = draw(st.sampled_from(strs))
+            term = draw(st.sampled_from(["vi", "UR", "zz", "a"]))
+            kqls.append(f'where {c} contains "{term}"')
+            sql = (
+                f"SELECT * FROM ({sql}) _c WHERE"
+                f" position(lower('{term}') IN lower({c})) > 0"
+            )
+        elif kind == 6 and ints:
+            # round-8 surface inside the dual grammar: a bracket-
+            # quoted assignment referenced by a later where
+            c = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 7))
+            kqls.append(
+                f"extend ['b q'] = {c} % {k} | where ['b q'] >= 1"
+            )
+            sql = (
+                f'SELECT * FROM (SELECT *, {c} % {k} AS "b q"'
+                f' FROM ({sql}) _b) _b2 WHERE "b q" >= 1'
+            )
+            cols["bq_marker"] = "int"  # grammar-side only
+            cols.pop("bq_marker")
+            # the spaced column rides along but is never re-referenced
+            # by later stages (they sample from `cols`); project it
+            # away immediately to keep both schemas aligned
+            keep = sorted(cols)
+            kqls.append("project " + ", ".join(keep))
+            sql = f"SELECT {', '.join(keep)} FROM ({sql}) _bp"
+    return " | ".join(kqls), sql
+
+
+@FEW
+@given(pair=_kql_dual_st())
+def test_kql_value_parity_fuzz(spark, sf_smoke, pair):
+    from api_to_parquet_spark.lake import load
+    from api_to_parquet_spark.queries.kql import kql
+    from tests.oracle_utils import compare, duck_connection
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    kql_text, sql = pair
+    con = duck_connection(sf_smoke)
+    try:
+        compare(kql(spark, kql_text), con, sql)
+    finally:
+        con.close()
