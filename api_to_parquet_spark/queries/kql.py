@@ -209,7 +209,9 @@ TakeOrderedAndProject).
 
 Known out-of-subset surface (round-7/8 sweep inventory — each fails
 LOUDLY at translate or analysis time, verified by 4 × ~50-idiom probe
-batteries): `consume`; char indexing on TRUE strings (ADX's [] is a
+batteries): `consume decodeblocks` stats (plain `consume` returns the
+empty result — the observable contract in a lazy engine);
+char indexing on TRUE strings (ADX's [] is a
 dynamic operator and errors on strings too — use substring);
 parse_user_agent 'os'/'device' queries and long-tail families (the
 full parser rides a uap-core lookup corpus; the 'browser' query's
@@ -5143,6 +5145,13 @@ def _kql_stages_to_sql(
             sql = f"SELECT * FROM {prev} LIMIT {int(body)}"
         elif op == "count":
             sql = f"SELECT COUNT(*) AS count_ FROM {prev}"
+        elif op == "consume":
+            # ADX `consume` runs the query and returns an empty result
+            # (a perf-test sink). Spark is lazy, so "run but discard"
+            # has no observable meaning here — the faithful OBSERVABLE
+            # contract is the empty result with the child's schema
+            # (documented refinement; decodeblocks stats out of subset)
+            sql = f"SELECT * FROM {prev} LIMIT 0"
         elif op == "where":
             sql = f"SELECT * FROM {prev} WHERE {_expr(body)}"
         elif op == "project":

@@ -3146,3 +3146,13 @@ def test_beta_cdf_and_gamma_values(spark):
     assert abs(r["g"] - 5040.0) < 1e-8
     assert abs(r["gn"] - (-2 * math.sqrt(math.pi))) < 1e-9
     assert abs(r["lg"] - math.lgamma(200.5)) < 1e-7
+
+
+def test_consume_returns_empty_with_schema(spark, sf_smoke):
+    """`consume` (round-8): ADX's perf-test sink returns an empty
+    result; in a lazy engine the observable contract is the empty
+    result carrying the child's schema."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(spark, "events | where value > 5 | consume")
+    assert df.count() == 0
+    assert "event_id" in df.columns

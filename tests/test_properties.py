@@ -768,7 +768,7 @@ def _kql_dual_st(draw):
     for _ in range(draw(st.integers(1, 4))):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
-        kind = draw(st.integers(0, 6))
+        kind = draw(st.integers(0, 8))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -845,6 +845,28 @@ def _kql_dual_st(draw):
             keep = sorted(cols)
             kqls.append("project " + ", ".join(keep))
             sql = f"SELECT {', '.join(keep)} FROM ({sql}) _bp"
+        elif kind == 7 and "event_id" in cols:
+            # top K by the unique key — deterministic selection, and
+            # the comparator is order-insensitive
+            k = draw(st.integers(1, 40))
+            kqls.append(f"top {k} by event_id asc")
+            sql = (
+                f"SELECT * FROM ({sql}) _t ORDER BY event_id"
+                f" LIMIT {k}"
+            )
+        elif kind == 8 and len(cols) >= 1:
+            keep = draw(
+                st.lists(
+                    st.sampled_from(sorted(cols)),
+                    min_size=1,
+                    unique=True,
+                )
+            )
+            kqls.append("distinct " + ", ".join(keep))
+            sql = (
+                f"SELECT DISTINCT {', '.join(keep)} FROM ({sql}) _d"
+            )
+            cols = {c: cols[c] for c in keep}
     return " | ".join(kqls), sql
 
 
