@@ -3156,3 +3156,36 @@ def test_consume_returns_empty_with_schema(spark, sf_smoke):
     df = kql(spark, "events | where value > 5 | consume")
     assert df.count() == 0
     assert "event_id" in df.columns
+
+
+def test_cache_ring_concurrent_translations(spark, sf_smoke):
+    """Round-8 advice #2, concurrency half: two threads translating
+    funnel queries simultaneously push more _cache_child views than
+    the ring keeps; pinned views (live translations) must survive
+    until each thread's final analysis — no TABLE_OR_VIEW_NOT_FOUND."""
+    import threading
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    states = ", ".join(
+        f"'{s}'" for s in ["click", "view"] + [f"g{i}" for i in range(5)]
+    )
+    q = (
+        "events | evaluate funnel_sequence_completion(user_id, ts,"
+        " datetime(2020-01-01), datetime(2030-01-01), 365d,"
+        f" event_type, dynamic([{states}]))"
+    )
+    errs: list[Exception] = []
+
+    def run() -> None:
+        try:
+            for _ in range(2):
+                assert kql(spark, q).collect()
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=run) for _ in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs[:1]

@@ -762,13 +762,19 @@ def test_scan_matches_python_greedy_reference(spark, seq):
 @st.composite
 def _kql_dual_st(draw):
     kqls = ["events"]
-    sql = "SELECT event_id, user_id, event_type FROM events"
-    kqls.append("project event_id, user_id, event_type")
-    cols = {"event_id": "int", "user_id": "int", "event_type": "str"}
+    sql = "SELECT event_id, user_id, event_type, ts FROM events"
+    kqls.append("project event_id, user_id, event_type, ts")
+    cols = {
+        "event_id": "int",
+        "user_id": "int",
+        "event_type": "str",
+        "ts": "dt",
+    }
     for _ in range(draw(st.integers(1, 4))):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
-        kind = draw(st.integers(0, 8))
+        dts = sorted(c for c, t in cols.items() if t == "dt")
+        kind = draw(st.integers(0, 9))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -867,6 +873,21 @@ def _kql_dual_st(draw):
                 f"SELECT DISTINCT {', '.join(keep)} FROM ({sql}) _d"
             )
             cols = {c: cols[c] for c in keep}
+        elif kind == 9 and dts:
+            # datetime shapes: startofday + 1d epoch-floor bin (==
+            # date_trunc for whole days on naive UTC timestamps)
+            c = draw(st.sampled_from(dts))
+            newc = f"d{len(cols)}"
+            which = draw(st.booleans())
+            if which:
+                kqls.append(f"extend {newc} = startofday({c})")
+            else:
+                kqls.append(f"extend {newc} = bin({c}, 1d)")
+            sql = (
+                f"SELECT *, date_trunc('day', {c}) AS {newc}"
+                f" FROM ({sql}) _dt"
+            )
+            cols[newc] = "dt"
     return " | ".join(kqls), sql
 
 
