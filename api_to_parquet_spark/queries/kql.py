@@ -6029,12 +6029,20 @@ def _kql_stages_to_sql(
                 # the (from, to) matrix is at most (range/window)²
                 # rows, never a fact-table blowup.
                 na_ = [s.strip() for s in _split_top_level(nam.group(1))]
-                if len(na_) != 5:
+                if len(na_) < 5:
                     raise ValueError(
                         "new_activity_metrics needs (id, timeline,"
-                        f" start, end, window): {na_!r}"
+                        f" start, end, window[, dim...]): {na_!r}"
                     )
-                idc, tc, start_k, end_k, win_k = na_
+                idc, tc, start_k, end_k, win_k = na_[:5]
+                dims = na_[5:]
+                if not all(re.match(r"^\w+$", d) for d in dims):
+                    raise ValueError(
+                        "new_activity_metrics dimensions must be"
+                        " plain columns (a datetime Cohort argument"
+                        f" is out of subset): {dims!r}"
+                    )
+                dstr = "".join(f", {d}" for d in dims)
                 if not re.match(r"^\w+$", idc) or not re.match(
                     r"^\w+$", tc
                 ):
@@ -6067,7 +6075,7 @@ def _kql_stages_to_sql(
                     " DECIMAL(18, 6))))"
                 )
                 dd = (
-                    f"SELECT DISTINCT {idc}, {pbin} AS _p"
+                    f"SELECT DISTINCT {idc}{dstr}, {pbin} AS _p"
                     f" FROM {prev}"
                     f" WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
                 )
@@ -6078,27 +6086,38 @@ def _kql_stages_to_sql(
                     # fact scans (round-7 scale fix)
                     dd = _cache_child(spark, dd, "cohort")
                 firsts = (
-                    f"SELECT {idc}, MIN(_p) AS _fp FROM ({dd})"
-                    f" AS _naf{i} GROUP BY {idc}"
+                    f"SELECT {idc}{dstr}, MIN(_p) AS _fp FROM ({dd})"
+                    f" AS _naf{i} GROUP BY {idc}{dstr}"
+                )
+                dja = "".join(
+                    f" AND _d.{d} <=> _f.{d}" for d in dims
+                )
+                djc = "".join(
+                    f" AND _c.{d} <=> _r.{d}" for d in dims
                 )
                 ret = (
-                    f"SELECT _f._fp, _d._p, COUNT(*) AS _ret"
+                    "SELECT _f._fp, _d._p"
+                    + "".join(f", _f.{d}" for d in dims)
+                    + ", COUNT(*) AS _ret"
                     f" FROM ({firsts}) AS _f JOIN ({dd}) AS _d"
-                    f" ON _d.{idc} = _f.{idc}"
-                    f" GROUP BY _f._fp, _d._p"
+                    f" ON _d.{idc} = _f.{idc}{dja}"
+                    " GROUP BY _f._fp, _d._p"
+                    + "".join(f", _f.{d}" for d in dims)
                 )
                 sql = (
                     f"SELECT _r._fp AS from_{tc}, _r._p AS to_{tc},"
-                    " _c._nv AS dcount_new_values,"
+                    + "".join(f" _r.{d} AS {d}," for d in dims)
+                    + " _c._nv AS dcount_new_values,"
                     " _r._ret AS dcount_retained_values,"
                     " CAST(_r._ret AS DOUBLE) / _c._nv"
                     " AS retention_rate,"
                     " CAST(_c._nv - _r._ret AS DOUBLE) / _c._nv"
                     " AS churn_rate"
                     f" FROM ({ret}) AS _r JOIN ("
-                    f"SELECT _fp, COUNT(*) AS _nv FROM ({firsts})"
-                    f" AS _nac{i} GROUP BY _fp) AS _c"
-                    " ON _c._fp = _r._fp"
+                    f"SELECT _fp{dstr}, COUNT(*) AS _nv"
+                    f" FROM ({firsts})"
+                    f" AS _nac{i} GROUP BY _fp{dstr}) AS _c"
+                    f" ON _c._fp = _r._fp{djc}"
                 )
                 continue
             acm_ = re.match(
@@ -6117,12 +6136,18 @@ def _kql_stages_to_sql(
                 # = bins, a bounded window — never a fact-table
                 # window). All equi-joins on the period key.
                 ca_ = [s.strip() for s in _split_top_level(acm_.group(1))]
-                if len(ca_) != 5:
+                if len(ca_) < 5:
                     raise ValueError(
                         "activity_counts_metrics needs (id, timeline,"
-                        f" start, end, step): {ca_!r}"
+                        f" start, end, step[, dim...]): {ca_!r}"
                     )
-                idc, tc, start_k, end_k, win_k = ca_
+                idc, tc, start_k, end_k, win_k = ca_[:5]
+                dims = ca_[5:]
+                if not all(re.match(r"^\w+$", d) for d in dims):
+                    raise ValueError(
+                        "activity_counts_metrics dimensions must be"
+                        f" plain columns: {dims!r}"
+                    )
                 if not re.match(r"^\w+$", idc) or not re.match(
                     r"^\w+$", tc
                 ):
@@ -6157,33 +6182,49 @@ def _kql_stages_to_sql(
                 filt = (
                     f"WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
                 )
+                dstr = "".join(f", {d}" for d in dims)
+                dond = "".join(
+                    f" AND _n.{d} <=> _c.{d}" for d in dims
+                )
                 base = (
-                    f"SELECT {idc}, {pbin} AS _p FROM {prev} {filt}"
+                    f"SELECT {idc}{dstr}, {pbin} AS _p"
+                    f" FROM {prev} {filt}"
                 )
                 # count + dcount in ONE grouped aggregation (Spark
                 # plans COUNT DISTINCT beside plain aggs as a two-phase
                 # expand over the same single scan)
                 cnts = (
-                    f"SELECT _p, COUNT(*) AS _ct,"
+                    f"SELECT _p{dstr}, COUNT(*) AS _ct,"
                     f" COUNT(DISTINCT {idc}) AS _dc"
-                    f" FROM ({base}) AS _acr{i} GROUP BY _p"
+                    f" FROM ({base}) AS _acr{i} GROUP BY _p{dstr}"
                 )
                 news = (
-                    f"SELECT _fp AS _p, COUNT(*) AS _nv FROM ("
-                    f"SELECT {idc}, MIN(_p) AS _fp FROM ({base})"
-                    f" AS _acf{i} GROUP BY {idc}) AS _acn{i}"
-                    f" GROUP BY _fp"
+                    f"SELECT _fp AS _p{dstr}, COUNT(*) AS _nv FROM ("
+                    f"SELECT {idc}{dstr}, MIN(_p) AS _fp FROM ({base})"
+                    f" AS _acf{i} GROUP BY {idc}{dstr}) AS _acn{i}"
+                    f" GROUP BY _fp{dstr}"
+                )
+                # the cumulative window runs per dim slice (PARTITION
+                # BY dims) — still over BINS, never facts
+                part = (
+                    "PARTITION BY " + ", ".join(dims) + " "
+                    if dims
+                    else ""
                 )
                 sql = (
-                    f"SELECT _p AS {tc}, count, dcount, new_dcount,"
-                    " SUM(new_dcount) OVER (ORDER BY _p"
+                    f"SELECT _p AS {tc}{dstr}, count, dcount,"
+                    " new_dcount,"
+                    f" SUM(new_dcount) OVER ({part}ORDER BY _p"
                     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
                     " ROW) AS aggregated_dcount FROM ("
-                    "SELECT _c._p, _c._ct AS count, _c._dc AS dcount,"
+                    "SELECT _c._p"
+                    + "".join(f", _c.{d}" for d in dims)
+                    + ", _c._ct AS count, _c._dc AS dcount,"
                     " coalesce(_n._nv, CAST(0 AS BIGINT))"
                     " AS new_dcount"
                     f" FROM ({cnts}) AS _c"
                     f" LEFT JOIN ({news}) AS _n ON _n._p = _c._p"
+                    f"{dond}"
                     f") AS _acm{i}"
                 )
                 continue
@@ -6203,18 +6244,27 @@ def _kql_stages_to_sql(
                 # (id, period−window) self equi-join — no windows over
                 # the fact table, no per-period rescans.
                 ma = [s.strip() for s in _split_top_level(amm.group(1))]
-                if len(ma) != 5:
+                if len(ma) < 5:
                     raise ValueError(
                         "activity_metrics needs (id, timeline, start,"
-                        f" end, window): {ma!r}"
+                        f" end, window[, dim...]): {ma!r}"
                     )
-                idc, tc, start_k, end_k, win_k = ma
+                idc, tc, start_k, end_k, win_k = ma[:5]
+                # trailing dimension columns (round-8): the analysis
+                # slices per dim combination — every dedupe/agg/join
+                # key set below gains the dims
+                dims = ma[5:]
                 if not re.match(r"^\w+$", idc) or not re.match(
                     r"^\w+$", tc
                 ):
                     raise ValueError(
                         "activity_metrics id/timeline must be plain"
                         f" columns: {idc!r}, {tc!r}"
+                    )
+                if not all(re.match(r"^\w+$", d) for d in dims):
+                    raise ValueError(
+                        "activity_metrics dimensions must be plain"
+                        f" columns: {dims!r}"
                     )
                 wm_ = re.match(rf"^{_TS_LIT}$", win_k)
                 if not wm_:
@@ -6240,8 +6290,9 @@ def _kql_stages_to_sql(
                     f" / {wsec * 1000000}) * {wsec} AS"
                     " DECIMAL(18, 6))))"
                 )
+                dstr = "".join(f", {d}" for d in dims)
                 dd = (
-                    f"SELECT DISTINCT {idc}, {pbin} AS _p"
+                    f"SELECT DISTINCT {idc}{dstr}, {pbin} AS _p"
                     f" FROM {prev}"
                     f" WHERE {tc} >= {start_sql} AND {tc} <= {end_sql}"
                 )
@@ -6252,25 +6303,38 @@ def _kql_stages_to_sql(
                     # fact-table scans (round-7 scale fix, the pivot
                     # _cache_child precedent)
                     dd = _cache_child(spark, dd, "actm")
+
+                def _don(a: str, b: str) -> str:
+                    # per-dim equi-join conjuncts (null-safe: a NULL
+                    # dim value is one slice, the ADX grouping rule)
+                    return "".join(
+                        f" AND {b}.{d} <=> {a}.{d}" for d in dims
+                    )
+
                 cnts = (
-                    f"SELECT _p, COUNT(*) AS _dc FROM ({dd})"
-                    f" AS _amd{i} GROUP BY _p"
+                    f"SELECT _p{dstr}, COUNT(*) AS _dc FROM ({dd})"
+                    f" AS _amd{i} GROUP BY _p{dstr}"
                 )
                 news = (
-                    f"SELECT _fp AS _p, COUNT(*) AS _nv FROM ("
-                    f"SELECT {idc}, MIN(_p) AS _fp FROM ({dd})"
-                    f" AS _amf{i} GROUP BY {idc}) AS _amn{i}"
-                    f" GROUP BY _fp"
+                    f"SELECT _fp AS _p{dstr}, COUNT(*) AS _nv FROM ("
+                    f"SELECT {idc}{dstr}, MIN(_p) AS _fp FROM ({dd})"
+                    f" AS _amf{i} GROUP BY {idc}{dstr}) AS _amn{i}"
+                    f" GROUP BY _fp{dstr}"
                 )
                 rets = (
-                    f"SELECT _a._p, COUNT(*) AS _rt FROM ({dd}) AS _a"
+                    "SELECT _a._p"
+                    + "".join(f", _a.{d}" for d in dims)
+                    + f", COUNT(*) AS _rt FROM ({dd}) AS _a"
                     f" JOIN ({dd}) AS _b ON _b.{idc} = _a.{idc}"
                     f" AND _b._p = _a._p - INTERVAL '{wsec}' SECOND"
-                    f" GROUP BY _a._p"
+                    f"{_don('_a', '_b')}"
+                    " GROUP BY _a._p"
+                    + "".join(f", _a.{d}" for d in dims)
                 )
                 sql = (
                     f"SELECT _c._p AS {tc},"
-                    " _c._dc AS dcount_values,"
+                    + "".join(f" _c.{d} AS {d}," for d in dims)
+                    + " _c._dc AS dcount_values,"
                     " coalesce(_n._nv, CAST(0 AS BIGINT))"
                     " AS dcount_newvalues,"
                     " coalesce(CAST(_r._rt AS DOUBLE) / _pc._dc,"
@@ -6280,9 +6344,11 @@ def _kql_stages_to_sql(
                     " CAST(0 AS DOUBLE)) AS churn_rate"
                     f" FROM ({cnts}) AS _c"
                     f" LEFT JOIN ({news}) AS _n ON _n._p = _c._p"
+                    f"{_don('_c', '_n')}"
                     f" LEFT JOIN ({cnts}) AS _pc ON _pc._p = _c._p"
-                    f" - INTERVAL '{wsec}' SECOND"
+                    f" - INTERVAL '{wsec}' SECOND{_don('_c', '_pc')}"
                     f" LEFT JOIN ({rets}) AS _r ON _r._p = _c._p"
+                    f"{_don('_c', '_r')}"
                 )
                 continue
             aem = re.match(
@@ -6300,12 +6366,18 @@ def _kql_stages_to_sql(
                 # flag -> per-bin counts + ratio. Outer must be a
                 # whole multiple of Inner (whole-bin subset).
                 ea = [s.strip() for s in _split_top_level(aem.group(1))]
-                if len(ea) != 6:
+                if len(ea) < 6:
                     raise ValueError(
                         "activity_engagement needs (id, timeline,"
-                        f" start, end, inner, outer): {ea!r}"
+                        f" start, end, inner, outer[, dim...]): {ea!r}"
                     )
-                idc, tc, start_k, end_k, in_k, out_k = ea
+                idc, tc, start_k, end_k, in_k, out_k = ea[:6]
+                dims = ea[6:]
+                if not all(re.match(r"^\w+$", d) for d in dims):
+                    raise ValueError(
+                        "activity_engagement dimensions must be plain"
+                        f" columns: {dims!r}"
+                    )
                 if not re.match(r"^\w+$", idc) or not re.match(
                     r"^\w+$", tc
                 ):
@@ -6341,26 +6413,28 @@ def _kql_stages_to_sql(
                     f" / {isec * 1000000}) * {isec} AS"
                     " DECIMAL(18, 6))))"
                 )
+                dstr = "".join(f", {d}" for d in dims)
                 sql = (
-                    f"SELECT _wt AS {tc},"
+                    f"SELECT _wt AS {tc}{dstr},"
                     " CAST(SUM(_mi) AS BIGINT)"
                     " AS dcount_activities_inner,"
                     " COUNT(*) AS dcount_activities_outer,"
                     " CAST(SUM(_mi) AS DOUBLE) / COUNT(*)"
                     " AS activity_ratio FROM ("
-                    f"SELECT _wt, {idc}, MAX(IF(_p = _wt, 1, 0)) AS _mi"
+                    f"SELECT _wt, {idc}{dstr},"
+                    " MAX(IF(_p = _wt, 1, 0)) AS _mi"
                     " FROM ("
-                    f"SELECT {idc}, _p, explode(sequence(_p,"
+                    f"SELECT {idc}{dstr}, _p, explode(sequence(_p,"
                     f" _p + INTERVAL '{(k_ - 1) * isec}' SECOND,"
                     f" INTERVAL '{isec}' SECOND)) AS _wt FROM ("
-                    f"SELECT DISTINCT {idc}, {ibin} AS _p"
+                    f"SELECT DISTINCT {idc}{dstr}, {ibin} AS _p"
                     f" FROM {prev}"
                     f" WHERE {tc} <= {end_sql} AND {tc} >"
                     f" {start_sql} - INTERVAL '{int(outs)}' SECOND"
                     f") AS _ae{i}) AS _aex{i}"
                     f" WHERE _wt BETWEEN {start_sql} AND {end_sql}"
-                    f" GROUP BY _wt, {idc}"
-                    f") AS _aeg{i} GROUP BY _wt"
+                    f" GROUP BY _wt, {idc}{dstr}"
+                    f") AS _aeg{i} GROUP BY _wt{dstr}"
                 )
                 continue
             scm = re.match(
@@ -6381,12 +6455,19 @@ def _kql_stages_to_sql(
                 # covers (factor = session span / bin, the inherent
                 # cost of the answer) and ONE grouped count.
                 sa_ = [s.strip() for s in _split_top_level(scm.group(1))]
-                if len(sa_) != 6:
+                if len(sa_) < 6:
                     raise ValueError(
                         "session_count needs (id, timeline, start,"
-                        f" end, bin, lookback): {sa_!r}"
+                        f" end, bin, lookback[, dim...]): {sa_!r}"
                     )
-                idc, tc, start_k, end_k, bin_k, look_k = sa_
+                idc, tc, start_k, end_k, bin_k, look_k = sa_[:6]
+                dims = sa_[6:]
+                if not all(re.match(r"^\w+$", d) for d in dims):
+                    raise ValueError(
+                        "session_count dimensions must be plain"
+                        f" columns: {dims!r}"
+                    )
+                dstr = "".join(f", {d}" for d in dims)
                 if not re.match(r"^\w+$", idc) or not re.match(
                     r"^\w+$", tc
                 ):
@@ -6414,23 +6495,23 @@ def _kql_stages_to_sql(
                 start_sql = _expr(start_k)
                 end_sql = _expr(end_k)
                 sess = (
-                    f"SELECT {idc}, {tc},"
+                    f"SELECT {idc}{dstr}, {tc},"
                     f" SUM(IF(_plag IS NULL OR {tc} - _plag >"
                     f" INTERVAL '{lsec}' SECOND, 1, 0))"
-                    f" OVER (PARTITION BY {idc} ORDER BY {tc}"
+                    f" OVER (PARTITION BY {idc}{dstr} ORDER BY {tc}"
                     " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT"
                     " ROW) AS _sid FROM ("
-                    f"SELECT {idc}, {tc}, LAG({tc})"
-                    f" OVER (PARTITION BY {idc} ORDER BY {tc})"
+                    f"SELECT {idc}{dstr}, {tc}, LAG({tc})"
+                    f" OVER (PARTITION BY {idc}{dstr} ORDER BY {tc})"
                     f" AS _plag FROM {prev}"
                     f" WHERE {tc} <= {end_sql} AND {tc} >"
                     f" {start_sql} - INTERVAL '{lsec}' SECOND"
                     f") AS _ssl{i}"
                 )
                 bnd = (
-                    f"SELECT {idc}, _sid, MIN({tc}) AS _fts,"
+                    f"SELECT {idc}{dstr}, _sid, MIN({tc}) AS _fts,"
                     f" MAX({tc}) AS _lts FROM ({sess}) AS _ssb{i}"
-                    f" GROUP BY {idc}, _sid"
+                    f" GROUP BY {idc}{dstr}, _sid"
                 )
                 # aligned point indexes k: p = start + k*bin with
                 # first <= p (k0) and p < last + lookback, p <= end
@@ -6451,14 +6532,16 @@ def _kql_stages_to_sql(
                 )
                 sql = (
                     f"SELECT {start_sql} + make_dt_interval(0, 0, 0,"
-                    f" CAST(_k * {bsec} AS DECIMAL(18, 6))) AS {tc},"
-                    f" COUNT(*) AS count_sessions FROM ("
-                    f"SELECT explode(IF({k0} <= {ke},"
+                    f" CAST(_k * {bsec} AS DECIMAL(18, 6))) AS {tc}"
+                    f"{dstr}, COUNT(*) AS count_sessions FROM ("
+                    "SELECT "
+                    + "".join(f"{d}, " for d in dims)
+                    + f"explode(IF({k0} <= {ke},"
                     f" sequence({k0}, {ke}),"
                     " slice(sequence(CAST(0 AS BIGINT),"
                     " CAST(0 AS BIGINT)), 1, 0))) AS _k"
                     f" FROM ({bnd}) AS _ssk{i}) AS _ssc{i}"
-                    f" GROUP BY _k"
+                    f" GROUP BY _k{dstr}"
                 )
                 continue
             aum = re.match(
@@ -6478,13 +6561,20 @@ def _kql_stages_to_sql(
                 # Three key-partitioned aggregations, zero per-bin
                 # rescans.
                 aa = [s.strip() for s in _split_top_level(aum.group(1))]
-                if len(aa) not in (7, 8):
+                if len(aa) < 7:
                     raise ValueError(
                         "active_users_count needs (id, timeline,"
                         " start, end, lookback, period,"
-                        f" active_periods[, bin]): {aa!r}"
+                        f" active_periods[, bin, dim...]): {aa!r}"
                     )
                 idc, tc, start_k, end_k, look_k, per_k = aa[:6]
+                dims = aa[8:]
+                if not all(re.match(r"^\w+$", d) for d in dims):
+                    raise ValueError(
+                        "active_users_count dimensions must be plain"
+                        f" columns: {dims!r}"
+                    )
+                dstr = "".join(f", {d}" for d in dims)
                 if not re.match(r"^\w+$", idc) or not re.match(
                     r"^\w+$", tc
                 ):
@@ -6493,7 +6583,7 @@ def _kql_stages_to_sql(
                         f" columns: {idc!r}, {tc!r}"
                     )
                 minp = int(aa[6])
-                if len(aa) == 8 and aa[7].strip() != per_k.strip():
+                if len(aa) >= 8 and aa[7].strip() != per_k.strip():
                     raise ValueError(
                         "active_users_count: Bin must equal Period"
                         " (whole-bin-window explicit subset)"
@@ -6527,21 +6617,21 @@ def _kql_stages_to_sql(
                     " DECIMAL(18, 6))))"
                 )
                 sql = (
-                    f"SELECT _wt AS {tc},"
+                    f"SELECT _wt AS {tc}{dstr},"
                     f" COUNT(*) AS dcount_{idc} FROM ("
-                    f"SELECT _wt, {idc} FROM ("
-                    f"SELECT {idc}, explode(sequence(_p,"
+                    f"SELECT _wt, {idc}{dstr} FROM ("
+                    f"SELECT {idc}{dstr}, explode(sequence(_p,"
                     f" _p + INTERVAL '{(k_ - 1) * psec}' SECOND,"
                     f" INTERVAL '{psec}' SECOND)) AS _wt, _p FROM ("
-                    f"SELECT DISTINCT {idc}, {pbin} AS _p"
+                    f"SELECT DISTINCT {idc}{dstr}, {pbin} AS _p"
                     f" FROM {prev}"
                     f" WHERE {tc} <= {end_sql} AND {tc} >"
                     f" {start_sql} - INTERVAL '{int(looks)}' SECOND"
                     f") AS _aud{i}) AS _aux{i}"
                     f" WHERE _wt BETWEEN {start_sql} AND {end_sql}"
-                    f" GROUP BY _wt, {idc}"
+                    f" GROUP BY _wt, {idc}{dstr}"
                     f" HAVING COUNT(DISTINCT _p) >= {minp}"
-                    f") AS _auh{i} GROUP BY _wt"
+                    f") AS _auh{i} GROUP BY _wt{dstr}"
                 )
                 continue
             swm = re.match(
@@ -6559,12 +6649,19 @@ def _kql_stages_to_sql(
                 # factor), then ONE grouped aggregation — the same
                 # shape at any scale.
                 sa_ = [s.strip() for s in _split_top_level(swm.group(1))]
-                if len(sa_) != 6:
+                if len(sa_) < 6:
                     raise ValueError(
                         "sliding_window_counts needs (id, timeline,"
-                        f" start, end, lookback, bin): {sa_!r}"
+                        f" start, end, lookback, bin[, dim...]): {sa_!r}"
                     )
-                idc, tc, start_k, end_k, look_k, bin_k = sa_
+                idc, tc, start_k, end_k, look_k, bin_k = sa_[:6]
+                dims = sa_[6:]
+                if not all(re.match(r"^\w+$", d) for d in dims):
+                    raise ValueError(
+                        "sliding_window_counts dimensions must be"
+                        f" plain columns: {dims!r}"
+                    )
+                dstr = "".join(f", {d}" for d in dims)
                 if not re.match(r"^\w+$", idc) or not re.match(
                     r"^\w+$", tc
                 ):
@@ -6601,9 +6698,9 @@ def _kql_stages_to_sql(
                     " DECIMAL(18, 6))))"
                 )
                 sql = (
-                    f"SELECT _wt AS {tc}, COUNT(*) AS Count,"
+                    f"SELECT _wt AS {tc}{dstr}, COUNT(*) AS Count,"
                     f" COUNT(DISTINCT {idc}) AS Dcount FROM ("
-                    f"SELECT {idc}, explode(sequence({ebin},"
+                    f"SELECT {idc}{dstr}, explode(sequence({ebin},"
                     f" {ebin} + INTERVAL '{(k_ - 1) * binsec}' SECOND,"
                     f" INTERVAL '{binsec}' SECOND)) AS _wt"
                     f" FROM {prev}"
@@ -6611,7 +6708,7 @@ def _kql_stages_to_sql(
                     f" {start_sql} - INTERVAL '{int(looks)}' SECOND"
                     f") AS _sw{i}"
                     f" WHERE _wt BETWEEN {start_sql} AND {end_sql}"
-                    f" GROUP BY _wt"
+                    f" GROUP BY _wt{dstr}"
                 )
                 continue
             smm = re.match(
@@ -10538,6 +10635,21 @@ def q_kql_scalar_fns10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity plugins with DIMENSION columns (round-8): the analysis
+    slices per dim combination — every dedupe/aggregation/join key set
+    gains the dims (null-safe per-dim equi-joins). Exercises
+    activity_metrics with one dim; the other five plugins share the
+    same dims plumbing and are fuzz-covered."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate activity_metrics(user_id, ts,"
+        " datetime(2024-01-05), datetime(2024-01-25), 1d,"
+        " event_type)",
+    )
+
+
 def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate schema_merge()` (round-7, verdict gap): merges a
     leading-union of getschema outputs — smallest ordinal per column,
@@ -11022,6 +11134,7 @@ QUERIES = {
     "kql_bracket_cols": q_kql_bracket_cols,
     "kql_idioms4": q_kql_idioms4,
     "kql_scalar_fns10": q_kql_scalar_fns10,
+    "kql_activity_dims": q_kql_activity_dims,
     "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
@@ -12108,6 +12221,48 @@ ORACLE = {
                max(sq + INTERVAL 3 MONTH - INTERVAL 1 MICROSECOND)
                    AS q2
         FROM r GROUP BY fb
+    """,
+    "kql_activity_dims": """
+        WITH dd AS (
+            SELECT DISTINCT user_id, event_type,
+                   TIMESTAMP '2024-01-05 00:00:00'
+                   + to_seconds(CAST(floor(
+                         CAST(epoch_us(ts) - epoch_us(
+                              TIMESTAMP '2024-01-05 00:00:00')
+                              AS DOUBLE) / 86400000000) * 86400
+                     AS BIGINT)) AS p
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-25 00:00:00'
+        ), cnts AS (
+            SELECT p, event_type, COUNT(*) AS dc FROM dd
+            GROUP BY p, event_type
+        ), news AS (
+            SELECT fp AS p, event_type, COUNT(*) AS nv FROM (
+                SELECT user_id, event_type, MIN(p) AS fp FROM dd
+                GROUP BY user_id, event_type
+            ) GROUP BY fp, event_type
+        ), rets AS (
+            SELECT a.p, a.event_type, COUNT(*) AS rt
+            FROM dd a JOIN dd b
+              ON b.user_id = a.user_id
+             AND b.p = a.p - INTERVAL 86400 SECOND
+             AND b.event_type = a.event_type
+            GROUP BY a.p, a.event_type
+        )
+        SELECT c.p AS ts, c.event_type AS event_type,
+               c.dc AS dcount_values,
+               coalesce(n.nv, CAST(0 AS BIGINT)) AS dcount_newvalues,
+               coalesce(CAST(r.rt AS DOUBLE) / pc.dc,
+                        CAST(0 AS DOUBLE)) AS retention_rate,
+               coalesce(CAST(pc.dc - coalesce(r.rt,
+                        CAST(0 AS BIGINT)) AS DOUBLE) / pc.dc,
+                        CAST(0 AS DOUBLE)) AS churn_rate
+        FROM cnts c
+        LEFT JOIN news n ON n.p = c.p AND n.event_type = c.event_type
+        LEFT JOIN cnts pc ON pc.p = c.p - INTERVAL 86400 SECOND
+                         AND pc.event_type = c.event_type
+        LEFT JOIN rets r ON r.p = c.p AND r.event_type = c.event_type
     """,
     "kql_scalar_fns10": """
         SELECT event_id,

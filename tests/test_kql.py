@@ -3189,3 +3189,30 @@ def test_cache_ring_concurrent_translations(spark, sf_smoke):
     for t in threads:
         t.join()
     assert not errs, errs[:1]
+
+
+def test_activity_plugins_dimension_columns(spark, sf_smoke):
+    """Round-8: trailing dimension columns on the seven behavioral
+    plugins slice the analysis per dim combination. Pin: per-period
+    per-dim dcounts sum to >= the undimmed dcount (an id can be
+    active in several slices), and the dim column rides the output."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    span = "datetime(2024-01-01), datetime(2024-02-01)"
+    cases = [
+        f"activity_metrics(user_id, ts, {span}, 7d{{d}})",
+        f"new_activity_metrics(user_id, ts, {span}, 7d{{d}})",
+        f"activity_counts_metrics(user_id, ts, {span}, 7d{{d}})",
+        f"activity_engagement(user_id, ts, {span}, 1d, 7d{{d}})",
+        f"session_count(user_id, ts, {span}, 1d, 2d{{d}})",
+        f"active_users_count(user_id, ts, {span}, 2d, 1d, 2, 1d{{d}})",
+        f"sliding_window_counts(user_id, ts, {span}, 2d, 1d{{d}})",
+    ]
+    for sig in cases:
+        plain = kql(
+            spark, "events | evaluate " + sig.format(d="")
+        ).collect()
+        dim = kql(
+            spark, "events | evaluate " + sig.format(d=", event_type")
+        ).collect()
+        assert dim and "event_type" in dim[0].asDict(), sig
+        assert len(dim) >= len(plain), sig

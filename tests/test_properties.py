@@ -291,6 +291,7 @@ def _kql_stage_st(cols: tuple[str, ...]):
         # plugin argument grammars — every shape must parse and
         # analyze for any window/period/count draw
         _win = st.integers(1, 3)
+        _dim = st.sampled_from(["", ", event_type"])
         opts.append(
             st.tuples(
                 st.sampled_from(
@@ -301,34 +302,40 @@ def _kql_stage_st(cols: tuple[str, ...]):
                     ]
                 ),
                 _win,
+                _dim,
             ).map(
                 lambda t: (
                     f"evaluate {t[0]}(user_id, ts,"
                     " datetime(2024-01-01), datetime(2024-02-01),"
-                    f" {t[1]}d) | count",
+                    f" {t[1]}d{t[2]}) | count",
                     ("count_",),
                 )
             )
         )
         opts.append(
-            _win.map(
-                lambda w: (
+            st.tuples(_win, _dim).map(
+                lambda t: (
                     "evaluate session_count(user_id, ts,"
                     " datetime(2024-01-01), datetime(2024-02-01),"
-                    f" 1d, {w}d) | count",
+                    f" 1d, {t[0]}d{t[1]}) | count",
                     ("count_",),
                 )
             )
         )
         opts.append(
             st.tuples(
-                st.integers(1, 4), st.integers(1, 3), st.booleans()
+                st.integers(1, 4),
+                st.integers(1, 3),
+                st.booleans(),
+                _dim,
             ).map(
                 lambda t: (
                     "evaluate active_users_count(user_id, ts,"
                     " datetime(2024-01-01), datetime(2024-02-01),"
                     f" {t[0]}d, 1d, {t[1]}"
-                    + (", 1d" if t[2] else "")
+                    # dims require the bin argument present
+                    + (", 1d" if (t[2] or t[3]) else "")
+                    + t[3]
                     + ") | count",
                     ("count_",),
                 )
