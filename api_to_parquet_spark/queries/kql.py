@@ -288,7 +288,28 @@ def _strings_to_sql(text: str) -> str:
     i, n = 0, len(text)
     while i < n:
         ch = text[i]
-        if ch == "'":
+        if ch == "@" and i + 1 < n and text[i + 1] in "'\"":
+            # ADX VERBATIM literal @"..." / @'...': backslashes are
+            # content (double them for Spark's escape processing);
+            # a doubled quote embeds the quote char (round-8)
+            q = text[i + 1]
+            j = i + 2
+            buf: list[str] = []
+            while j < n:
+                if text[j] == q:
+                    if j + 1 < n and text[j + 1] == q:
+                        buf.append(q)
+                        j += 2
+                        continue
+                    break
+                buf.append(text[j])
+                j += 1
+            inner = (
+                "".join(buf).replace("\\", "\\\\").replace("'", "''")
+            )
+            out.append(f"'{inner}'")
+            i = j + 1
+        elif ch == "'":
             j = i + 1
             while j < n and text[j] != "'":
                 j += 2 if text[j] == "\\" else 1
@@ -4292,7 +4313,17 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
             scalar[name] = body
         text = text[m.end():]
     for name, expr in scalar.items():
-        text = _sub_outside_strings(rf"\b{re.escape(name)}\b", f"({expr})", text)
+        # bare numeric lets substitute WITHOUT parens: grammar slots
+        # that demand an integer literal (`take n`, `bin(ts, n)`)
+        # must still parse (round-8 probe finding)
+        rep = (
+            expr
+            if re.fullmatch(r"-?\d+(\.\d+)?", expr)
+            else f"({expr})"
+        )
+        text = _sub_outside_strings(
+            rf"\b{re.escape(name)}\b", rep, text
+        )
     return _expand_fns(text), tabular
 
 
@@ -5140,6 +5171,14 @@ def _kql_stages_to_sql(
         words = stage.split(None, 1)
         op = words[0].lower()
         body = words[1] if len(words) > 1 else ""
+        if op == "where":
+            wstar = re.match(
+                r"^\*\s+(has|contains)\s+(.+)$", body, re.IGNORECASE
+            )
+            if wstar:
+                # `where * has X` is search-across-all-columns in ADX
+                # (round-8 probe finding) — reuse the search stage
+                op, body = "search", wstar.group(2)
         prev = f"({sql}) AS _s{i}"
         if op in ("take", "limit"):
             sql = f"SELECT * FROM {prev} LIMIT {int(body)}"
@@ -5151,6 +5190,10 @@ def _kql_stages_to_sql(
             # has no observable meaning here — the faithful OBSERVABLE
             # contract is the empty result with the child's schema
             # (documented refinement; decodeblocks stats out of subset)
+            if body.strip():
+                raise ValueError(
+                    f"consume options are out of subset: {body!r}"
+                )
             sql = f"SELECT * FROM {prev} LIMIT 0"
         elif op == "where":
             sql = f"SELECT * FROM {prev} WHERE {_expr(body)}"
@@ -5460,6 +5503,13 @@ def _kql_stages_to_sql(
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
             order_keys = orders  # the serialize window order
         elif op == "mv-expand":
+            # `kind=array|bag` modifier (round-8 probe finding):
+            # array is the default behavior and the bag path
+            # type-dispatches anyway — accept and strip
+            body = re.sub(
+                r"^kind\s*=\s*(array|bag)\s+", "", body,
+                flags=re.IGNORECASE,
+            )
             # `with_itemindex=Ix` prefixes a 0-based element-index
             # column (round-6) — posexplode instead of explode
             ixm = re.match(

@@ -70,8 +70,12 @@ def test_mv_expand_translates_to_lateral_explode():
 
 
 def test_unsupported_operator_is_explicit():
-    with pytest.raises(ValueError, match="unsupported KQL operator"):
+    # plain `consume` is supported (round-8: empty result); its
+    # decodeblocks stats option stays a loud error
+    with pytest.raises(ValueError, match="consume options"):
         kql_to_sql("T | consume decodeblocks=true")
+    with pytest.raises(ValueError, match="unsupported KQL operator"):
+        kql_to_sql("T | egest")
     with pytest.raises(ValueError, match="unsupported KQL aggregate"):
         kql_to_sql("T | summarize covariance(x, y)")
     # fork is supported WITH a session; without one it must still be a
@@ -231,7 +235,9 @@ def test_let_substitution_skips_string_literals(spark, sf_smoke):
     literal: `let t = 5; … == "t"` keeps comparing against "t"."""
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
     sql = kql_to_sql('let t = 5; events | where event_type == "t" and value > t')
-    assert "= 't'" in sql and "value > (5)" in sql
+    # round-8: bare numeric lets substitute UNPARENTHESIZED (so
+    # integer-only grammar slots like `take n` still parse)
+    assert "= 't'" in sql and "value > 5" in sql
 
 
 def test_let_references_earlier_let():
@@ -3216,3 +3222,48 @@ def test_activity_plugins_dimension_columns(spark, sf_smoke):
         ).collect()
         assert dim and "event_type" in dim[0].asDict(), sig
         assert len(dim) >= len(plain), sig
+
+
+def test_round8_probe_battery_fixes(spark, sf_smoke):
+    """Round-8 idiom-probe findings.
+    (1) verbatim string literals @"..." / @'...': backslashes are
+    content, doubled quotes embed the quote char;
+    (2) bare numeric lets substitute unparenthesized so integer-only
+    grammar slots (take n) still parse;
+    (3) mv-expand kind=array|bag modifier accepted;
+    (4) `where * has X` is search-across-all-columns."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # (1) regex with backslashes + literal comparison
+    r = kql(
+        spark,
+        'events | take 1 | extend xs = extract_all(@"(\\d+)", \'a1b22\')'
+        " | extend n = array_length(xs) | project n",
+    ).collect()[0]
+    assert r["n"] == 2
+    n1 = kql(
+        spark, 'events | where event_type == @"view" | count'
+    ).collect()[0]["count_"]
+    n2 = kql(
+        spark, 'events | where event_type == "view" | count'
+    ).collect()[0]["count_"]
+    assert n1 == n2 > 0
+    r = kql(spark, "print s = @'it''s \\ raw'").collect()[0]
+    assert r["s"] == "it's \\ raw"
+    # (2)
+    rows = kql(spark, "let n = 7; events | take n").collect()
+    assert len(rows) == 7
+    # (3)
+    rows = kql(
+        spark,
+        "events | take 1 | extend a = pack_array(1, 2)"
+        " | mv-expand kind=array a | project a",
+    ).collect()
+    assert sorted(r["a"] for r in rows) == [1, 2]
+    # (4)
+    n_star = kql(
+        spark, 'events | where * has "view" | count'
+    ).collect()[0]["count_"]
+    n_search = kql(spark, 'events | search "view" | count').collect()[
+        0
+    ]["count_"]
+    assert n_star == n_search > 0

@@ -529,6 +529,11 @@ def test_activity_metrics_single_fact_scan(spark, sf_smoke):
         " datetime(2024-01-01), datetime(2024-01-15), 1d)",
         "events | evaluate new_activity_metrics(user_id, ts,"
         " datetime(2024-01-01), datetime(2024-01-15), 1d)",
+        # round-8: dimension columns ride the same single
+        # materialized dedupe
+        "events | evaluate activity_metrics(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-01-15), 1d,"
+        " event_type)",
     ):
         plan = (
             kql(spark, q)
