@@ -1862,7 +1862,9 @@ def _expr(kql_expr: str) -> str:
     # substr rewrite would silently mistranslate element access on
     # stored dynamics; true-string indexing stays out of subset).
     # Lazy: probes the stage child only when the pattern occurs.
-    if re.search(r"(?<![\w.\])'\"])\w+\[\d+\]", e):
+    if re.search(
+        r"(?<![\w.\])'\"])\w+(?:\.\w+|\[\d+\])*\[\d+\]", e
+    ):
         _ctx8 = _ACTIVE_CTX.get()
         _child8 = _STAGE_CHILD.get()
         if _ctx8 is not None and _ctx8[0] is not None and _child8:
@@ -1887,14 +1889,17 @@ def _expr(kql_expr: str) -> str:
                     if c not in _dyn8:
                         return m.group(0)
                     # variants go through to_json; strings are already
-                    # the JSON text
+                    # the JSON text. The whole accessor chain becomes
+                    # one JSONPath (j.a.b[1] -> $.a.b[1]).
                     base = c if _dyn8[c] else f"to_json({c})"
-                    return (
-                        f"get_json_object({base}, '$[{m.group(2)}]')"
-                    )
+                    path = "$" + m.group(2)
+                    return f"get_json_object({base}, '{path}')"
 
                 e = _pred_sub(
-                    r"(?<![\w.\])'\"])(\w+)\[(\d+)\]", _idx8, e
+                    r"(?<![\w.\])'\"])(\w+)"
+                    r"((?:\.\w+|\[\d+\])*\[\d+\](?:\.\w+|\[\d+\])*)",
+                    _idx8,
+                    e,
                 )
     e = _rewrite_fn(e, "case", _case_sql)
     e = _rewrite_fn(e, "substring", _substring_sql)
@@ -3427,6 +3432,13 @@ def _expr(kql_expr: str) -> str:
     def _has_list(m: re.Match, joiner: str) -> str:
         col = m.group(1)
         terms = _split_top_level(m.group(2))  # quote-aware: ',' in terms
+        if len(terms) == 1:
+            # dynamic(["a", "b"]) literal list — already converted to
+            # array('a', 'b') by the dynamic rewrite (round-8 probe
+            # finding): unwrap to its elements
+            am = re.match(r"^array\s*\((.*)\)$", terms[0].strip())
+            if am:
+                terms = _split_top_level(am.group(1))
         preds = [
             f"{col} RLIKE concat('(?i)\\\\b\\\\Q', {t}, '\\\\E\\\\b')"
             for t in terms
@@ -3435,13 +3447,20 @@ def _expr(kql_expr: str) -> str:
 
     # _OPND column operand + match-start span-skip (round-4 review
     # finding): a literal containing "q has_any (x)" must stay text.
+    # The list body allows ONE nested paren level (an array(...) from
+    # a converted dynamic literal).
+    _HASLIST = (
+        r"\(((?:'(?:[^']|'')*'"
+        r"|\((?:'(?:[^']|'')*'|[^)'])*\)"
+        r"|[^)'(])*)\)"
+    )
     e = _pred_sub(
-        rf"{_OPND}\s+has_any\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)",
+        rf"{_OPND}\s+has_any\s*{_HASLIST}",
         lambda m: _has_list(m, "OR"),
         e,
     )
     e = _pred_sub(
-        rf"{_OPND}\s+has_all\s*\(((?:'(?:[^']|'')*'|[^)'])*)\)",
+        rf"{_OPND}\s+has_all\s*{_HASLIST}",
         lambda m: _has_list(m, "AND"),
         e,
     )

@@ -3267,3 +3267,34 @@ def test_round8_probe_battery_fixes(spark, sf_smoke):
         0
     ]["count_"]
     assert n_star == n_search > 0
+
+
+def test_round8_probe2_fixes(spark, sf_smoke):
+    """Second round-8 probe battery.
+    (1) has_any / has_all accept a dynamic([...]) literal list;
+    (2) full accessor chains on STORED dynamics (j.a.b[1] on a
+    string/variant column) compile to one JSONPath."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    n_dyn = kql(
+        spark,
+        'events | where event_type has_any (dynamic(["view",'
+        ' "click"])) | count',
+    ).collect()[0]["count_"]
+    n_list = kql(
+        spark,
+        'events | where event_type has_any ("view", "click") | count',
+    ).collect()[0]["count_"]
+    assert n_dyn == n_list > 0
+    n_all = kql(
+        spark,
+        'events | where event_type has_all (dynamic(["view"])) | count',
+    ).collect()[0]["count_"]
+    assert n_all > 0
+    r = kql(
+        spark,
+        "events | take 1"
+        " | extend j = parse_json('{\"a\": {\"b\": [1, 2]}}')"
+        " | extend v = toint(j.a.b[1]), w = toint(j.a.b[0])"
+        " | project v, w",
+    ).collect()[0]
+    assert r["v"] == 2 and r["w"] == 1
