@@ -132,7 +132,10 @@ def test_query_route_runs_kql_natively(spark, server):
     # fork is supported since round 4 — it returns labeled branches
     status, body = _post(base + "/query", {"csl": "TelemetryData | fork (count) (take 1)"})
     assert status == 200 and len(body["rows"]) == 2
+    # `consume` is supported since round 8: empty result, 200
     status, body = _post(base + "/query", {"csl": "TelemetryData | consume"})
+    assert status == 200 and body["rows"] == []
+    status, body = _post(base + "/query", {"csl": "TelemetryData | egest"})
     assert status == 400 and "unsupported" in body["error"]
     # `evaluate python` exec()s caller code — the HTTP surface never
     # enables it (round-7 advice: parity with ADX's default-disabled,
