@@ -221,7 +221,9 @@ output=all (per-path multiplicity) and multi-hop patterns; scan
 self/forward state references (ADX's iterating-step model);
 take_any(*) with expression arguments; `+` concatenation where an
 operand is a CALL or deeper expression (plain string columns and
-string literals ARE supported — use strcat for expressions).
+string literals ARE supported — use strcat for expressions);
+zip() over MIXED-type arrays (Spark arrays are homogeneous; same-type
+zips work — widen with tostring() for mixed pairs).
 
 Closed in round 8 (previously out of subset): bracket-quoted column
 names ['my col'] (reversible _bq_<hex> mangling, demangled to Spark
