@@ -781,7 +781,7 @@ def _kql_dual_st(draw):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
         dts = sorted(c for c, t in cols.items() if t == "dt")
-        kind = draw(st.integers(0, 9))
+        kind = draw(st.integers(0, 10))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -880,6 +880,23 @@ def _kql_dual_st(draw):
                 f"SELECT DISTINCT {', '.join(keep)} FROM ({sql}) _d"
             )
             cols = {c: cols[c] for c in keep}
+        elif kind == 10 and "user_id" in cols:
+            # lookup: deduped dimension join (deterministic — the dim
+            # is a per-user aggregate, inner semantics keep matches)
+            newc = f"lk{len(cols)}"
+            k = draw(st.integers(2, 6))
+            kqls.append(
+                "lookup kind=inner (events"
+                f" | summarize {newc} = min(event_id % {k})"
+                " by user_id) on user_id"
+            )
+            sql = (
+                f"SELECT _l.*, _r.{newc} FROM ({sql}) _l JOIN"
+                f" (SELECT user_id, MIN(event_id % {k}) AS {newc}"
+                " FROM events GROUP BY user_id) _r"
+                " ON _l.user_id = _r.user_id"
+            )
+            cols[newc] = "int"
         elif kind == 9 and dts:
             # datetime shapes: startofday + 1d epoch-floor bin (==
             # date_trunc for whole days on naive UTC timestamps)
