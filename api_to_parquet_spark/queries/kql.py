@@ -5250,6 +5250,7 @@ def _kql_stages_to_sql(
             # the same stage ride along in the outer layer.
             rank_items = {}
             sess_items = {}
+            cumr_items = {}
             for c in ext_items:
                 rm_ = re.match(
                     r"(\w+)\s*=\s*row_rank_(dense|min)"
@@ -5275,7 +5276,25 @@ def _kql_stages_to_sql(
                         sm_.group(2),
                         _ts_lit_seconds(sm_.group(4), sm_.group(5)),
                     )
-            if rank_items or sess_items:
+                    continue
+                # row_cumsum(v, restart) — the RESTART form (round-8
+                # probe finding): the running sum resets where the
+                # restart expression is true. Same two-layer shape:
+                # the inner layer's running count of restart flags is
+                # the group id, the outer sum partitions by it.
+                cm_ = re.match(
+                    r"(\w+)\s*=\s*row_cumsum\s*\((.+)\)\s*$",
+                    c.strip(),
+                )
+                if cm_:
+                    cargs = _split_top_level(cm_.group(2))
+                    if len(cargs) == 2:
+                        cumr_items[c] = (
+                            cm_.group(1),
+                            cargs[0].strip(),
+                            cargs[1].strip(),
+                        )
+            if rank_items or sess_items or cumr_items:
                 if order_keys is None:
                     raise ValueError(
                         "row_rank_* / row_window_session need a"
@@ -5299,6 +5318,11 @@ def _kql_stages_to_sql(
                         f" OR {tcol} - LAG({tcol}) {over} >"
                         f" INTERVAL '{gaps}' SECOND, 1, 0)"
                         f" AS _schg_{nm}"
+                    )
+                for nm, _v, rst in cumr_items.values():
+                    chg_list.append(
+                        f"SUM(IF({_expr(rst)}, 1, 0)) {run}"
+                        f" AS _cgrp_{nm}"
                     )
                 inner = (
                     f"SELECT *, ROW_NUMBER() {over} AS _rrn,"
@@ -5325,6 +5349,15 @@ def _kql_stages_to_sql(
                             f"MAX(CASE WHEN _schg_{nm} = 1"
                             f" THEN {tcol} END) {run} AS {nm}"
                         )
+                    elif c in cumr_items:
+                        nm, v, _rst = cumr_items[c]
+                        outs.append(
+                            f"SUM({_expr(v)}) OVER ("
+                            f"PARTITION BY _cgrp_{nm}"
+                            f" ORDER BY {', '.join(order_keys)}"
+                            " ROWS BETWEEN UNBOUNDED PRECEDING AND"
+                            f" CURRENT ROW) AS {nm}"
+                        )
                     else:
                         m2 = re.match(r"(\w+)\s*=\s*(.+)$", c)
                         if not m2:
@@ -5341,6 +5374,10 @@ def _kql_stages_to_sql(
                     + [
                         f"_schg_{nm}"
                         for nm, _, _ in sess_items.values()
+                    ]
+                    + [
+                        f"_cgrp_{nm}"
+                        for nm, _, _ in cumr_items.values()
                     ]
                 )
                 sql = (
@@ -5505,7 +5542,13 @@ def _kql_stages_to_sql(
             if not m:
                 raise ValueError(f"top needs 'N by col': {body!r}")
             order = m.group(2).strip()
-            if not re.search(r"\b(asc|desc)$", order, re.IGNORECASE):
+            # `asc|desc` may carry an ADX `nulls first|last` tail —
+            # same rule as sort (round-8 probe finding)
+            if not re.search(
+                r"\b(asc|desc)(\s+nulls\s+(first|last))?$",
+                order,
+                re.IGNORECASE,
+            ):
                 order += " DESC"  # KQL top defaults to descending
             sql = f"SELECT * FROM {prev} ORDER BY {_expr(order)} LIMIT {m.group(1)}"
         elif op == "sort" or op == "order":
@@ -8840,9 +8883,11 @@ def _kql_stages_to_sql(
             # translation tie-breaks by the group key ascending so
             # results are deterministic.
             clauses = []
+            gprojs = []
             for cl in _split_top_level(body):
                 cm = re.match(
-                    r"(?:top-nested\s+)?(\d+)\s+of\s+(\w+)"
+                    r"(?:top-nested\s+)?(\d+)\s+of\s+"
+                    r"(?:(\w+)\s*=\s*)?(.+?)"
                     r"(?:\s+with\s+others\s*=\s*(\"(?:[^\"\\]|\\.)*\"))?"
                     r"\s+by\s+(.+)$",
                     cl.strip(),
@@ -8850,19 +8895,37 @@ def _kql_stages_to_sql(
                 )
                 if not cm:
                     raise ValueError(
-                        f"top-nested needs 'N of col [with others = \"L\"]"
-                        f" by agg': {cl!r}"
+                        f"top-nested needs 'N of [name =] expr"
+                        f" [with others = \"L\"] by agg': {cl!r}"
                     )
-                n, g, others, aggtext = (
+                n, galias, gexpr, others, aggtext = (
                     int(cm.group(1)),
                     cm.group(2),
-                    cm.group(3),
-                    cm.group(4).strip(),
+                    cm.group(3).strip(),
+                    cm.group(4),
+                    cm.group(5).strip(),
                 )
+                # `of` accepts an EXPRESSION with an optional alias
+                # (round-8 probe finding); a bare expression gets a
+                # positional name like ADX's Column1-style default
+                if re.match(r"^\w+$", gexpr):
+                    g = galias or gexpr
+                    if galias:
+                        gprojs.append(f"{gexpr} AS {g}")
+                else:
+                    g = galias or f"expr{len(clauses)}"
+                    gprojs.append(f"{_expr(gexpr)} AS {g}")
                 agg_sql, agg_alias = _agg(aggtext, 0).rsplit(" AS ", 1)
                 if not re.match(r"\w+\s*=", aggtext):
                     agg_alias = f"aggregated_{g}"  # ADX default naming
                 clauses.append((n, g, agg_sql, agg_alias, others))
+            if gprojs:
+                # expression group keys materialize once, map-side,
+                # before the level aggregations
+                prev = (
+                    f"(SELECT *, {', '.join(gprojs)} FROM {prev})"
+                    f" AS _tne{i}"
+                )
             n1, g1, a1sql, a1, others1 = clauses[0]
             if (others1 and len(clauses) > 1) or any(
                 c[4] for c in clauses[1:]
@@ -10721,6 +10784,34 @@ def q_kql_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_user_agent 'browser' subset (round-8) over synthesized
+    UAs spanning all five families + Other: the oracle mirrors the
+    marker-precedence rule (Edge/Opera before Chrome, Version/ for
+    Safari) with the same regexes in DuckDB, value-checking family
+    and version extraction end to end."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 600"
+        " | extend ua = case("
+        " event_id % 5 == 0, strcat('Mozilla/5.0 AppleWebKit/537.36"
+        " Chrome/1', tostring(event_id % 7), '.0.0 Safari/537.36'),"
+        " event_id % 5 == 1, strcat('Mozilla/5.0 Chrome/99.0 Safari/5"
+        " Edg/12', tostring(event_id % 7), '.0.1'),"
+        " event_id % 5 == 2, strcat('Mozilla/5.0 Gecko/20100101"
+        " Firefox/11', tostring(event_id % 7), '.3'),"
+        " event_id % 5 == 3, strcat('Mozilla/5.0 AppleWebKit/605"
+        " Version/1', tostring(event_id % 7), '.2 Safari/605'),"
+        " 'curl/8.4.0')"
+        " | extend b = parse_user_agent(ua, 'browser')"
+        " | project event_id,"
+        " fam = tostring(parse_json(b).Browser.Family),"
+        " mj = tostring(parse_json(b).Browser.MajorVersion),"
+        " mn = tostring(parse_json(b).Browser.MinorVersion)",
+    )
+
+
 def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate schema_merge()` (round-7, verdict gap): merges a
     leading-union of getschema outputs — smallest ordinal per column,
@@ -11206,6 +11297,7 @@ QUERIES = {
     "kql_idioms4": q_kql_idioms4,
     "kql_scalar_fns10": q_kql_scalar_fns10,
     "kql_activity_dims": q_kql_activity_dims,
+    "kql_user_agent": q_kql_user_agent,
     "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
@@ -12292,6 +12384,63 @@ ORACLE = {
                max(sq + INTERVAL 3 MONTH - INTERVAL 1 MICROSECOND)
                    AS q2
         FROM r GROUP BY fb
+    """,
+    "kql_user_agent": """
+        WITH ua_t AS (
+            SELECT event_id,
+                   CASE
+                     WHEN event_id % 5 = 0 THEN
+                       'Mozilla/5.0 AppleWebKit/537.36 Chrome/1'
+                       || (event_id % 7) || '.0.0 Safari/537.36'
+                     WHEN event_id % 5 = 1 THEN
+                       'Mozilla/5.0 Chrome/99.0 Safari/5 Edg/12'
+                       || (event_id % 7) || '.0.1'
+                     WHEN event_id % 5 = 2 THEN
+                       'Mozilla/5.0 Gecko/20100101 Firefox/11'
+                       || (event_id % 7) || '.3'
+                     WHEN event_id % 5 = 3 THEN
+                       'Mozilla/5.0 AppleWebKit/605 Version/1'
+                       || (event_id % 7) || '.2 Safari/605'
+                     ELSE 'curl/8.4.0'
+                   END AS ua
+            FROM events WHERE event_id < 600
+        )
+        SELECT event_id,
+               CASE
+                 WHEN contains(ua, 'Edg/') THEN 'Edge'
+                 WHEN contains(ua, 'OPR/') THEN 'Opera'
+                 WHEN contains(ua, 'Chrome/') THEN 'Chrome'
+                 WHEN contains(ua, 'Firefox/') THEN 'Firefox'
+                 WHEN contains(ua, 'Version/') THEN 'Safari'
+                 ELSE 'Other'
+               END AS fam,
+               CASE
+                 WHEN contains(ua, 'Edg/')
+                   THEN regexp_extract(ua, 'Edg/(\\d+)', 1)
+                 WHEN contains(ua, 'OPR/')
+                   THEN regexp_extract(ua, 'OPR/(\\d+)', 1)
+                 WHEN contains(ua, 'Chrome/')
+                   THEN regexp_extract(ua, 'Chrome/(\\d+)', 1)
+                 WHEN contains(ua, 'Firefox/')
+                   THEN regexp_extract(ua, 'Firefox/(\\d+)', 1)
+                 WHEN contains(ua, 'Version/')
+                   THEN regexp_extract(ua, 'Version/(\\d+)', 1)
+                 ELSE ''
+               END AS mj,
+               CASE
+                 WHEN contains(ua, 'Edg/')
+                   THEN regexp_extract(ua, 'Edg/\\d+\\.(\\d+)', 1)
+                 WHEN contains(ua, 'OPR/')
+                   THEN regexp_extract(ua, 'OPR/\\d+\\.(\\d+)', 1)
+                 WHEN contains(ua, 'Chrome/')
+                   THEN regexp_extract(ua, 'Chrome/\\d+\\.(\\d+)', 1)
+                 WHEN contains(ua, 'Firefox/')
+                   THEN regexp_extract(ua, 'Firefox/\\d+\\.(\\d+)', 1)
+                 WHEN contains(ua, 'Version/')
+                   THEN regexp_extract(ua, 'Version/\\d+\\.(\\d+)', 1)
+                 ELSE ''
+               END AS mn
+        FROM ua_t
     """,
     "kql_activity_dims": """
         WITH dd AS (

@@ -3298,3 +3298,32 @@ def test_round8_probe2_fixes(spark, sf_smoke):
         " | project v, w",
     ).collect()[0]
     assert r["v"] == 2 and r["w"] == 1
+
+
+def test_round8_probe4_fixes(spark, sf_smoke):
+    """Fourth probe battery (round-8): (1) row_cumsum(v, restart)
+    resets the running sum where the restart expression is true (the
+    two-layer shape: inner running restart count = group id, outer
+    partitioned sum); (2) top-nested accepts expressions (with or
+    without alias) in the `of` clause; (3) `top N by col asc nulls
+    first` carries the nulls clause."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    rows = kql(
+        spark,
+        "datatable (k: long, v: long) [1, 10, 2, 20, 3, 30, 4, 40]"
+        " | sort by k asc"
+        " | extend rc = row_cumsum(v, k == 3) | sort by k asc",
+    ).collect()
+    assert [r["rc"] for r in rows] == [10, 30, 30, 70]
+    rows = kql(
+        spark,
+        "events | top-nested 2 of b3 = user_id % 3 by s = sum(value),"
+        " top-nested 1 of event_type by c = count()",
+    ).collect()
+    assert rows and "b3" in rows[0].asDict()
+    rows = kql(
+        spark,
+        "events | extend v = iff(value > 50, value, real(null))"
+        " | top 3 by v asc nulls first | project v",
+    ).collect()
+    assert [r["v"] for r in rows] == [None, None, None]
