@@ -1787,7 +1787,13 @@ def _concat_plus(e: str) -> str:
     if "+" not in e or "'" not in e:
         return e
     lit = r"'(?:[^'\\]|\\.)*'"
-    term = rf"(?:{lit}|[\w.]+(?:\((?:[^()]|\([^()]*\))*\))?)"
+    # Non-literal operands: columns and dotted identifiers ONLY, plus
+    # concat(...) so chains fold (a previous pass's own output is the
+    # one call form that is provably a string). Arbitrary call
+    # operands stay a loud subset error — `somefn(x) + 'a'` must use
+    # strcat (round-9 advice: the old optional call-parens silently
+    # coerced any function result).
+    term = rf"(?:{lit}|concat\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
     pat = re.compile(rf"({term})\s*\+\s*({lit})|({lit})\s*\+\s*({term})")
     while True:
         spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
@@ -2135,9 +2141,14 @@ def _expr(kql_expr: str) -> str:
         e,
         "base64_decode_toarray",
         lambda a: (
-            f"transform(sequence(1, length(unbase64({a[0]}))),"
+            # empty-input guard (round-9 advice): sequence(1, 0) is the
+            # DESCENDING array [1, 0] in Spark, which yielded
+            # [NULL, NULL] for '' — ADX returns []
+            f"IF(length(unbase64({a[0]})) = 0,"
+            " CAST(array() AS ARRAY<BIGINT>),"
+            f" transform(sequence(1, length(unbase64({a[0]}))),"
             f" _i -> CAST(conv(substr(hex(unbase64({a[0]})),"
-            " _i * 2 - 1, 2), 16, 10) AS BIGINT))"
+            " _i * 2 - 1, 2), 16, 10) AS BIGINT)))"
         ),
     )
     e = _sub_outside_strings(r"\bbase64_encode_tostring\(", "base64(", e)
@@ -4334,12 +4345,16 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
             scalar[name] = body
         text = text[m.end():]
     for name, expr in scalar.items():
-        # bare numeric lets substitute WITHOUT parens: grammar slots
-        # that demand an integer literal (`take n`, `bin(ts, n)`)
-        # must still parse (round-8 probe finding)
+        # bare NON-NEGATIVE numeric lets substitute WITHOUT parens:
+        # grammar slots that demand an integer literal (`take n`,
+        # `bin(ts, n)`) must still parse (round-8 probe finding).
+        # Negative numerics KEEP the parens: `x-n` with n = -5 would
+        # otherwise emit `x--5`, and `--` starts a SQL line comment
+        # (round-9 advice) — and integer-literal grammar slots never
+        # take negative values anyway.
         rep = (
             expr
-            if re.fullmatch(r"-?\d+(\.\d+)?", expr)
+            if re.fullmatch(r"\d+(\.\d+)?", expr)
             else f"({expr})"
         )
         text = _sub_outside_strings(
@@ -5192,14 +5207,22 @@ def _kql_stages_to_sql(
         words = stage.split(None, 1)
         op = words[0].lower()
         body = words[1] if len(words) > 1 else ""
+        star_has = False
         if op == "where":
             wstar = re.match(
                 r"^\*\s+(has|contains)\s+(.+)$", body, re.IGNORECASE
             )
             if wstar:
-                # `where * has X` is search-across-all-columns in ADX
-                # (round-8 probe finding) — reuse the search stage
+                # `where * has/contains X` is match-across-all-columns
+                # in ADX (round-8 probe finding) — reuse the search
+                # stage's schema discovery. `contains` IS substring
+                # (search semantics); `has` is WHOLE-TERM, so the
+                # search branch switches to the same word-boundary
+                # RLIKE the scalar has predicate emits (round-9
+                # advice: the substring rewrite matched 'error' for
+                # `* has "err"`).
                 op, body = "search", wstar.group(2)
+                star_has = wstar.group(1).lower() == "has"
         prev = f"({sql}) AS _s{i}"
         if op in ("take", "limit"):
             sql = f"SELECT * FROM {prev} LIMIT {int(body)}"
@@ -5664,10 +5687,20 @@ def _kql_stages_to_sql(
                             f"({c}, 'map<string,string>')),"
                             " _e -> to_json(map(_e.key, _e.value)))"
                         )
+                        # NULL → NULL (explode drops the row, matching
+                        # ADX's default null handling); '{' → bag;
+                        # '[' → array elements; any OTHER string is a
+                        # scalar dynamic — ADX emits it as ONE row
+                        # (round-9 advice: the old unconditional
+                        # from_json array parse made plain strings
+                        # NULL and silently dropped every row)
                         src = (
-                            f"CASE WHEN startswith(ltrim({c}), '{{')"
+                            f"CASE WHEN {c} IS NULL THEN NULL"
+                            f" WHEN startswith(ltrim({c}), '{{')"
                             f" THEN {bagify}"
-                            f" ELSE from_json({c}, 'array<string>')"
+                            f" WHEN startswith(ltrim({c}), '[')"
+                            f" THEN from_json({c}, 'array<string>')"
+                            f" ELSE array({c})"
                             " END"
                         )
                 if mv_lim:
@@ -8752,14 +8785,23 @@ def _kql_stages_to_sql(
             ]
             if not str_cols:
                 raise ValueError("search: no string columns in scope")
-            preds = [
-                (
-                    f"instr(`{c}`, {term}) > 0"
-                    if cs
-                    else f"instr(lower(`{c}`), lower({term})) > 0"
-                )
-                for c in str_cols
-            ]
+            if star_has:
+                # routed from `where * has` — whole-term matching,
+                # same (?i)\b\Q..\E\b shape as the scalar has operator
+                preds = [
+                    f"`{c}` RLIKE concat('(?i)\\\\b\\\\Q', {term},"
+                    " '\\\\E\\\\b')"
+                    for c in str_cols
+                ]
+            else:
+                preds = [
+                    (
+                        f"instr(`{c}`, {term}) > 0"
+                        if cs
+                        else f"instr(lower(`{c}`), lower({term})) > 0"
+                    )
+                    for c in str_cols
+                ]
             sql = f"SELECT * FROM {prev} WHERE {' OR '.join(preds)}"
         elif op == "distinct":
             cols = ", ".join(

@@ -3327,3 +3327,68 @@ def test_round8_probe4_fixes(spark, sf_smoke):
         " | top 3 by v asc nulls first | project v",
     ).collect()
     assert [r["v"] for r in rows] == [None, None, None]
+
+
+def test_round9_advice_fixes(spark, sf_smoke):
+    """Round-9 advice items.
+    (1) `where * has X` is WHOLE-TERM across columns (word-boundary
+    RLIKE, matching the scalar has operator), not substring —
+    `* contains` stays substring;
+    (2) mv-expand of a NON-JSON plain string emits the value as ONE
+    row (ADX scalar-dynamic contract) instead of silently dropping
+    every row via a NULL array parse;
+    (3) negative bare-numeric lets keep their parens (`x-n` with
+    n = -5 must not emit the SQL line comment `--`);
+    (4) base64_decode_toarray('') is [] (was [NULL, NULL] via the
+    descending sequence(1, 0));
+    (5) `somefn(x) + 'a'` is a loud subset error (call operands in
+    `+` concat are out of subset — use strcat), while literal and
+    column operands still fold."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # (1) substring would match 'view'; whole-term must not
+    n_has = kql(spark, 'events | where * has "vie" | count').collect()[
+        0
+    ]["count_"]
+    n_contains = kql(
+        spark, 'events | where * contains "vie" | count'
+    ).collect()[0]["count_"]
+    n_whole = kql(
+        spark, 'events | where * has "view" | count'
+    ).collect()[0]["count_"]
+    assert n_has == 0 and n_contains > 0 and n_whole > 0
+    # (2) plain string column: one row per input row, value preserved
+    rows = kql(
+        spark,
+        'events | take 3 | extend d = strcat("plain-", event_type)'
+        " | mv-expand d | project d",
+    ).collect()
+    assert len(rows) == 3 and all(r["d"].startswith("plain-") for r in rows)
+    # JSON arrays/bags keep their expansion semantics
+    rows = kql(
+        spark, "events | take 1 | extend j = '[1, 2]' | mv-expand j"
+    ).collect()
+    assert sorted(r["j"] for r in rows) == ["1", "2"]
+    # (3) negative let after a minus with no space
+    rows = kql(
+        spark,
+        "let n = -5; events | take 1 | extend x = 10-n | project x",
+    ).collect()
+    assert rows[0]["x"] == 15
+    # positive lets still substitute bare for integer-literal slots
+    assert len(kql(spark, "let k = 4; events | take k").collect()) == 4
+    # (4)
+    r = kql(
+        spark,
+        "print a = base64_decode_toarray(''),"
+        " b = base64_decode_toarray('AQI=')",
+    ).collect()[0]
+    assert list(r["a"]) == [] and list(r["b"]) == [1, 2]
+    # (5) call operands in + concat stay out of subset
+    with pytest.raises(Exception):
+        kql(
+            spark,
+            "events | take 1 | extend s = tostring(value) + 'a'"
+            " | project s",
+        ).collect()
+    r = kql(spark, "print s = 'a' + 'b' + 'c'").collect()[0]
+    assert r["s"] == "abc"
