@@ -180,6 +180,7 @@ base64_encode_tostring/base64_decode_tostring, log/log10/log2/exp/
 sign/abs/sqrt/pow (pass-through), and the series family
 series_sum/avg/max/min, series_fill_const, series_add/subtract/
 multiply/divide (element-wise zip_with; numeric literals broadcast),
+series_dot_product / series_cosine_similarity (zip + left-fold),
 series_fir/series_moving_avg (literal-coefficient FIR convolution,
 taps unrolled at translation time, zero edge padding),
 and the series-analytics chains (extend-stage nested-SELECT expansion;
@@ -2040,6 +2041,43 @@ def _expr(kql_expr: str) -> str:
         )
 
     e = _rewrite_fn(e, "series_pow", _series_pow_sql)
+
+    # series_dot_product / series_cosine_similarity (round-8 verdict
+    # #8): map-side zip + left-fold in array order (deterministic,
+    # oracle-reproducible). dot_product reuses the zip rewrite, so a
+    # numeric-literal operand broadcasts like the arithmetic family;
+    # cosine requires two series (a scalar operand is meaningless).
+    def _series_fold_sum(prod: str) -> str:
+        return (
+            f"aggregate({prod}, CAST(0 AS DOUBLE),"
+            " (_acc, _v) -> _acc + _v)"
+        )
+
+    def _series_dot_sql(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ValueError(
+                f"series_dot_product needs (series, series): {a!r}"
+            )
+        return _series_fold_sum(_series_zip_sql(a, "*"))
+
+    def _series_cos_sql(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ValueError(
+                "series_cosine_similarity needs (series, series)"
+                f" — magnitude args are out of subset: {a!r}"
+            )
+        s1, s2 = a[0].strip(), a[1].strip()
+
+        def _dot(u: str, v: str) -> str:
+            return _series_fold_sum(_series_zip_sql([u, v], "*"))
+
+        return (
+            f"({_dot(s1, s2)} / (sqrt({_dot(s1, s1)})"
+            f" * sqrt({_dot(s2, s2)})))"
+        )
+
+    e = _rewrite_fn(e, "series_dot_product", _series_dot_sql)
+    e = _rewrite_fn(e, "series_cosine_similarity", _series_cos_sql)
     # element-wise comparisons -> boolean series
     for _nm, _cmp in (
         ("series_greater_equals", ">="),
@@ -10873,14 +10911,17 @@ def q_kql_series_elem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Element-wise series math batch (round-7 sweep): unary
     series_abs/log (+ the binary family composing with them),
     series_pow, boolean comparison series, make_timespan +
-    format_timespan. All per-row transforms, map-side; integral
-    inputs keep abs/pow exact and ln rounds at 6dp."""
+    format_timespan, plus series_dot_product (integral inputs, exact)
+    and series_cosine_similarity (sqrt — rounds at 6dp) from round 9.
+    All per-row transforms, map-side."""
     _events_view(spark, sf_dir)
     return kql(
         spark,
         "events | where event_id < 500"
         " | extend a = pack_array(todouble(event_id % 7),"
-        " todouble(event_id % 5 + 1))"
+        " todouble(event_id % 5 + 1)),"
+        " b = pack_array(todouble(event_id % 3 + 1),"
+        " todouble(event_id % 4 + 2))"
         " | project event_id,"
         " sab = series_sum(series_abs(series_subtract(a, 3.0))),"
         " slg = round(series_sum(series_log(series_add(a, 1.0))), 6),"
@@ -10888,7 +10929,9 @@ def q_kql_series_elem(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' g0 = tostring(series_greater(a, 3.0)[0]),'
         " eq1 = tostring(series_equals(a,"
         " pack_array(todouble(3), todouble(3)))[1]),"
-        ' mts = format_timespan(make_timespan(1, 2, 3), "hh:mm:ss")',
+        ' mts = format_timespan(make_timespan(1, 2, 3), "hh:mm:ss"),'
+        " dp = series_dot_product(a, b),"
+        " cs = round(series_cosine_similarity(a, b), 6)",
     )
 
 
@@ -12600,7 +12643,9 @@ ORACLE = {
         WITH b AS (
             SELECT event_id,
                    CAST(event_id % 7 AS DOUBLE) AS x1,
-                   CAST(event_id % 5 + 1 AS DOUBLE) AS x2
+                   CAST(event_id % 5 + 1 AS DOUBLE) AS x2,
+                   CAST(event_id % 3 + 1 AS DOUBLE) AS y1,
+                   CAST(event_id % 4 + 2 AS DOUBLE) AS y2
             FROM events WHERE event_id < 500
         )
         SELECT event_id,
@@ -12612,7 +12657,11 @@ ORACLE = {
                    + pow(x2, CAST(2 AS DOUBLE)) AS spw,
                CAST(x1 > CAST(3 AS DOUBLE) AS VARCHAR) AS g0,
                CAST(x2 = CAST(3 AS DOUBLE) AS VARCHAR) AS eq1,
-               '01:02:03' AS mts
+               '01:02:03' AS mts,
+               x1 * y1 + x2 * y2 AS dp,
+               round((x1 * y1 + x2 * y2)
+                     / (sqrt(x1 * x1 + x2 * x2)
+                        * sqrt(y1 * y1 + y2 * y2)), 6) AS cs
         FROM b
     """,
     "kql_agg_composite": """

@@ -184,3 +184,24 @@ def test_query_route_explain(spark, server):
     )
     assert status == 200 and "Scan parquet" in body["plan"]
     assert "PushedFilters" in body["plan"]
+
+
+def test_query_truncation_flag(spark, tmp_path, monkeypatch):
+    """Responses over the row cap carry "truncated": true (Kusto flags
+    partial results); at-or-under the cap carries no flag — so a
+    client can distinguish "exactly cap rows" from "truncated"."""
+    monkeypatch.setattr(service, "_QUERY_ROW_CAP", 50)
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state"),
+        sql_dialect="sql",
+    )
+    status, body = svc.query(
+        json.dumps({"csl": "SELECT id FROM range(51)"}).encode()
+    )
+    assert status == 200
+    assert body["truncated"] is True and len(body["rows"]) == 50
+    status, body = svc.query(
+        json.dumps({"csl": "SELECT id FROM range(50)"}).encode()
+    )
+    assert status == 200
+    assert "truncated" not in body and len(body["rows"]) == 50
