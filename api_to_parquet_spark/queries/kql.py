@@ -5819,8 +5819,57 @@ def _kql_stages_to_sql(
             # construction: they become output COLUMNS, so they must be
             # few — same implicit limit ADX has). Remaining columns
             # become the implicit group-by, as in ADX.
-            bm = re.match(r"bag_unpack\s*\(\s*(\w+)\s*\)\s*$", body,
-                          re.IGNORECASE)
+            bm = re.match(
+                r"bag_unpack\s*\(\s*(\w+)\s*"
+                r"(?:,\s*OutputSchema\s*=\s*\(([^()]*)\)\s*)?\)\s*"
+                r"(?::\s*\(([^()]*)\)\s*)?$",
+                body,
+                re.IGNORECASE,
+            )
+            if bm and (bm.group(2) or bm.group(3)):
+                # `evaluate bag_unpack(c, OutputSchema=(a:long, …))`
+                # or ADX's trailing-schema spelling
+                # `evaluate bag_unpack(c) : (a:long, …)` — the user
+                # DECLARES the output, so key discovery is skipped
+                # entirely: zero extra jobs at translate time (round-8
+                # verdict #1 — at 100 TB the implicit form's discovery
+                # pass is a full intermediate scan the user could have
+                # declared away). Contract (ADX): the output holds
+                # EXACTLY the declared columns — child columns pass
+                # through by name, everything else is extracted from
+                # the bag and cast to the declared type.
+                bc = bm.group(1)
+                decl = []
+                for it in _split_top_level(bm.group(2) or bm.group(3)):
+                    dm = re.match(r"^\s*(\w+)\s*:\s*(\w+)\s*$", it)
+                    if not dm or dm.group(2).lower() not in _KQL_TYPES:
+                        raise ValueError(
+                            "bag_unpack OutputSchema needs"
+                            f" 'name: type' items: {it!r}"
+                        )
+                    decl.append((dm.group(1), _KQL_TYPES[dm.group(2).lower()]))
+                if not decl:
+                    raise ValueError("bag_unpack OutputSchema is empty")
+                # child column names via schema analysis only when a
+                # session is available (no job either way); without
+                # one, every declared name not equal to the bag column
+                # is treated as a bag key — the sessionless contract
+                names = (
+                    set(_acols(spark, sql)) if spark is not None else {bc}
+                )
+                items = []
+                for nm, ty in decl:
+                    if nm in names:
+                        items.append(f"`{nm}`")
+                    else:
+                        items.append(
+                            f"try_cast(get_json_object({bc}, '$.{nm}')"
+                            f" AS {ty}) AS `{nm}`"
+                        )
+                sql = (
+                    f"SELECT {', '.join(items)} FROM ({sql}) AS _s{i}"
+                )
+                continue
             if bm:
                 # `evaluate bag_unpack(col)` — expand a JSON property
                 # bag into columns. Keys discovered from the data
@@ -7534,14 +7583,55 @@ def _kql_stages_to_sql(
                     f" OR CountB >= 0.05 * _tb)"
                 )
                 continue
-            m = re.match(r"pivot\s*\(\s*(\w+)\s*,\s*(.+)\)\s*$", body,
-                         re.IGNORECASE | re.DOTALL)
+            m = re.match(
+                r"pivot\s*\(\s*(\w+)\s*,\s*(.+)\)\s*:\s*\(([^()]*)\)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            schema_decl = m.group(3) if m else None
+            if not m:
+                m = re.match(r"pivot\s*\(\s*(\w+)\s*,\s*(.+)\)\s*$", body,
+                             re.IGNORECASE | re.DOTALL)
             if not m:
                 raise ValueError(f"unsupported evaluate plugin: {body!r}")
             if spark is None:
                 raise ValueError("evaluate pivot needs a SparkSession")
             pc, aggtext = m.group(1), m.group(2).strip()
             agg_sql = _agg(aggtext, 0).rsplit(" AS ", 1)[0]
+            if schema_decl is not None:
+                # `evaluate pivot(col, agg) : (g: string, v1: long, …)`
+                # — declared output schema (round-8 verdict #1): the
+                # pivot VALUE columns are the declared names that are
+                # not pass-through child columns, so the distinct-
+                # values discovery scan is skipped — zero extra jobs
+                # at translate time. Declared value types are advisory
+                # (the aggregate determines the Spark type); declared
+                # ORDER of the value columns is honored.
+                child_cols = set(_acols(spark, sql))
+                vals = []
+                for it in _split_top_level(schema_decl):
+                    dm = re.match(r"^\s*(\w+)\s*:\s*(\w+)\s*$", it)
+                    if not dm or dm.group(2).lower() not in _KQL_TYPES:
+                        raise ValueError(
+                            "pivot output schema needs 'name: type'"
+                            f" items: {it!r}"
+                        )
+                    if dm.group(1) not in child_cols:
+                        vals.append(dm.group(1))
+                if not vals:
+                    raise ValueError(
+                        "pivot output schema declares no pivot-value"
+                        " columns (every name is a child column)"
+                    )
+                in_list = ", ".join(
+                    "'{v}' AS `{a}`".format(v=v.replace("'", "''"), a=v)
+                    for v in vals
+                )
+                sql = (
+                    f"SELECT * FROM ({sql}) AS _s{i} PIVOT ({agg_sql}"
+                    f" FOR {pc} IN ({in_list}))"
+                )
+                continue
             sql = _cache_child(spark, sql, "pivot")
             prev = f"({sql}) AS _s{i}"
             vals = sorted(
@@ -9608,6 +9698,26 @@ def q_kql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_output_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared output schemas (round-8 verdict #1): bag_unpack with
+    OutputSchema= (and ADX's trailing `: (…)` spelling on pivot) skip
+    the data-dependent key/value discovery scan entirely — the
+    translator issues ZERO extra jobs (probe-asserted in
+    test_kql.py). The 100 TB shape: discovery is a full intermediate
+    scan at translate time that the user can declare away."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        " | project user_id, event_type, props"
+        " | evaluate bag_unpack(props,"
+        " OutputSchema=(user_id: long, event_type: string, k: long))"
+        " | evaluate pivot(event_type, sum(k))"
+        " : (user_id: long, click: long, error: long,"
+        " purchase: long, signup: long, view: long)",
+    )
+
+
 def q_kql_getschema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`getschema` — schema-as-a-table with ADX's column contract
     (ColumnName/ColumnOrdinal/DataType/ColumnType)."""
@@ -11449,6 +11559,7 @@ QUERIES = {
     "kql_range": q_kql_range,
     "kql_top_hitters": q_kql_top_hitters,
     "kql_pivot": q_kql_pivot,
+    "kql_output_schema": q_kql_output_schema,
     "kql_getschema": q_kql_getschema,
     "kql_string_fns": q_kql_string_fns,
     "kql_count": q_kql_count,
@@ -13623,6 +13734,27 @@ ORACLE = {
                sum(round(value * 100)) AS approximate_sum_cents
         FROM events GROUP BY event_type
         ORDER BY approximate_sum_cents DESC, event_type ASC LIMIT 3
+    """,
+    "kql_output_schema": """
+        WITH u AS (
+            SELECT user_id,
+                   event_type,
+                   CAST(json_extract_string(props, '$.k') AS BIGINT)
+                       AS k
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN k END)
+                    AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN k END)
+                    AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN k END)
+                    AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN k END)
+                    AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN k END)
+                    AS BIGINT) AS view
+        FROM u GROUP BY user_id
     """,
     "kql_pivot": """
         SELECT user_id,

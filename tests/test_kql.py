@@ -3392,3 +3392,45 @@ def test_round9_advice_fixes(spark, sf_smoke):
         ).collect()
     r = kql(spark, "print s = 'a' + 'b' + 'c'").collect()[0]
     assert r["s"] == "abc"
+
+
+def test_output_schema_skips_discovery(spark, sf_smoke, monkeypatch):
+    """Declared output schemas translate with ZERO data-dependent
+    discovery work: neither the bag_unpack key scan nor the pivot
+    distinct-values scan runs (both go through _cache_child first, so
+    poisoning it proves the declared path never touches data). The
+    implicit forms still discover."""
+    import api_to_parquet_spark.queries.kql as kqlmod
+
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+
+    def _boom(*a, **k):
+        raise AssertionError("discovery scan ran on the declared path")
+
+    monkeypatch.setattr(kqlmod, "_cache_child", _boom)
+    df = kql(
+        spark,
+        "events | evaluate bag_unpack(props,"
+        " OutputSchema=(event_id: long, k: long))",
+    )
+    assert df.columns == ["event_id", "k"]
+    assert df.count() > 0
+    df = kql(
+        spark,
+        "events | project user_id, event_type,"
+        " cents = tolong(value * 100)"
+        " | evaluate pivot(event_type, sum(cents))"
+        " : (user_id: long, view: long, click: long)",
+    )
+    assert df.columns == ["user_id", "view", "click"]
+    # trailing-schema spelling on bag_unpack too
+    df = kql(
+        spark,
+        "events | evaluate bag_unpack(props) : (event_id: long,"
+        " k: string) | take 3",
+    )
+    assert df.columns == ["event_id", "k"] and len(df.collect()) == 3
+    monkeypatch.undo()
+    # implicit forms unchanged (discovery still works)
+    df = kql(spark, "events | evaluate bag_unpack(props)")
+    assert "k" in df.columns
