@@ -214,9 +214,10 @@ batteries): `consume decodeblocks` stats (plain `consume` returns the
 empty result — the observable contract in a lazy engine);
 char indexing on TRUE strings (ADX's [] is a
 dynamic operator and errors on strings too — use substring);
-parse_user_agent 'os'/'device' queries and long-tail families (the
+parse_user_agent long-tail families and dynamic query lists (the
 full parser rides a uap-core lookup corpus; the 'browser' query's
-five major families ARE supported); timespan division by a NON-literal
+nine major families plus the 'os'/'device' major classes ARE
+supported — round 9); timespan division by a NON-literal
 timespan (the literal-divisor form IS supported); graph-shortest-paths
 output=all (per-path multiplicity) and multi-hop patterns; scan
 self/forward state references (ADX's iterating-step model);
@@ -1609,52 +1610,158 @@ def _series_stats_dynamic_sql(args: list[str]) -> str:
     )
 
 
-# parse_user_agent family markers, PRIORITY ORDER (Edge and Opera UAs
-# also carry "Chrome/"; Chrome and Firefox also carry "Safari/").
+# parse_user_agent family markers, PRIORITY ORDER (the uap-core rule:
+# Edge/Opera/Samsung/UC UAs also carry "Chrome/"; Chrome and Firefox
+# also carry "Safari/"; "Version/ … Mobile" is Mobile Safari).
 # (family, presence marker, version token)
 _UA_FAMILIES = (
     ("Edge", "Edg/", "Edg"),
     ("Opera", "OPR/", "OPR"),
+    ("Samsung Internet", "SamsungBrowser/", "SamsungBrowser"),
+    ("UC Browser", "UCBrowser/", "UCBrowser"),
     ("Chrome", "Chrome/", "Chrome"),
     ("Firefox", "Firefox/", "Firefox"),
     ("Safari", "Version/", "Version"),
 )
 
+# OS families, PRIORITY ORDER (iPhone UAs say "like Mac OS X", so iOS
+# precedes Mac OS X; Android UAs say "Linux", so Android precedes
+# Linux). (family, presence markers (OR), major/minor/patch regexes)
+_UA_OS = (
+    ("Windows", ("Windows",),
+     "Windows NT (\\\\d+)", "Windows NT \\\\d+\\\\.(\\\\d+)", None),
+    ("iOS", ("iPhone OS", "CPU OS"),
+     "OS (\\\\d+)_", "OS \\\\d+_(\\\\d+)", "OS \\\\d+_\\\\d+_(\\\\d+)"),
+    ("Android", ("Android",),
+     "Android (\\\\d+)", "Android \\\\d+\\\\.(\\\\d+)",
+     "Android \\\\d+\\\\.\\\\d+\\\\.(\\\\d+)"),
+    ("Mac OS X", ("Mac OS X",),
+     "Mac OS X (\\\\d+)[_.]", "Mac OS X \\\\d+[_.](\\\\d+)",
+     "Mac OS X \\\\d+[_.]\\\\d+[_.](\\\\d+)"),
+    ("Linux", ("Linux",), None, None, None),
+)
+
 
 def _parse_user_agent_sql(args: list[str]) -> str:
-    """parse_user_agent(ua, 'browser') — DOCUMENTED SUBSET (round-8):
-    the five major browser families by marker precedence (the rule
-    real UA parsers use: Edge/Opera before Chrome, Version/ for
-    Safari), emitting ADX's {"Browser": {Family, MajorVersion,
-    MinorVersion}} bag. ADX's full parser rides a uap-core lookup
-    corpus; 'os'/'device' queries and long-tail families raise."""
+    """parse_user_agent(ua, query) — DOCUMENTED SUBSET (round-8
+    'browser', round-9 'os'/'device' + second browser tier): major
+    families by marker precedence (the rule uap-core's public regex
+    corpus encodes: Edge/Opera/Samsung/UC before Chrome, Version/ for
+    Safari, "Version/ … Mobile" = Mobile Safari, iOS before
+    "like Mac OS X", Android before Linux), emitting ADX's bag shape
+    {"Browser"|"OperatingSystem"|"Device": {…}}. ADX's full parser
+    rides the complete uap-core lookup corpus; long-tail families map
+    to Other/empty and dynamic query lists raise."""
     if len(args) != 2:
         raise ValueError(
-            f"parse_user_agent needs (ua, 'browser'): {args!r}"
+            f"parse_user_agent needs (ua, query): {args!r}"
         )
     kind = args[1].strip().strip("'\"").lower()
-    if kind != "browser":
-        raise ValueError(
-            "parse_user_agent supports the 'browser' query only"
-            f" (documented subset): {args[1]!r}"
-        )
     ua = args[0].strip()
-    branches = []
-    for fam, marker, tok in _UA_FAMILIES:
-        mj = f"regexp_extract({ua}, '{tok}/(\\\\d+)', 1)"
-        mn = f"regexp_extract({ua}, '{tok}/\\\\d+\\\\.(\\\\d+)', 1)"
-        branches.append(
-            f"WHEN instr({ua}, '{marker}') > 0 THEN"
-            " to_json(named_struct('Browser', named_struct("
-            f"'Family', '{fam}', 'MajorVersion', {mj},"
-            f" 'MinorVersion', {mn})))"
+    if kind == "browser":
+        branches = []
+        for fam, marker, tok in _UA_FAMILIES:
+            mj = f"regexp_extract({ua}, '{tok}/(\\\\d+)', 1)"
+            mn = f"regexp_extract({ua}, '{tok}/\\\\d+\\\\.(\\\\d+)', 1)"
+            cond = f"instr({ua}, '{marker}') > 0"
+            if fam == "Safari":
+                # Version/ + Mobile token = Mobile Safari (uap-core)
+                branches.append(
+                    f"WHEN {cond} AND instr({ua}, 'Mobile') > 0 THEN"
+                    " to_json(named_struct('Browser', named_struct("
+                    f"'Family', 'Mobile Safari', 'MajorVersion', {mj},"
+                    f" 'MinorVersion', {mn})))"
+                )
+            branches.append(
+                f"WHEN {cond} THEN"
+                " to_json(named_struct('Browser', named_struct("
+                f"'Family', '{fam}', 'MajorVersion', {mj},"
+                f" 'MinorVersion', {mn})))"
+            )
+        # IE last: MSIE token, or tokenless Trident with rv: (IE 11)
+        ie_mj = (
+            f"CASE WHEN instr({ua}, 'MSIE ') > 0 THEN"
+            f" regexp_extract({ua}, 'MSIE (\\\\d+)', 1)"
+            f" ELSE regexp_extract({ua}, 'rv:(\\\\d+)', 1) END"
         )
-    other = (
-        "to_json(named_struct('Browser', named_struct("
-        "'Family', 'Other', 'MajorVersion', '',"
-        " 'MinorVersion', '')))"
+        ie_mn = (
+            f"CASE WHEN instr({ua}, 'MSIE ') > 0 THEN"
+            f" regexp_extract({ua}, 'MSIE \\\\d+\\\\.(\\\\d+)', 1)"
+            f" ELSE regexp_extract({ua}, 'rv:\\\\d+\\\\.(\\\\d+)', 1) END"
+        )
+        branches.append(
+            f"WHEN instr({ua}, 'MSIE ') > 0"
+            f" OR instr({ua}, 'Trident/') > 0 THEN"
+            " to_json(named_struct('Browser', named_struct("
+            f"'Family', 'IE', 'MajorVersion', {ie_mj},"
+            f" 'MinorVersion', {ie_mn})))"
+        )
+        other = (
+            "to_json(named_struct('Browser', named_struct("
+            "'Family', 'Other', 'MajorVersion', '',"
+            " 'MinorVersion', '')))"
+        )
+        return f"(CASE {' '.join(branches)} ELSE {other} END)"
+    if kind == "os":
+        branches = []
+        for fam, markers, mj_re, mn_re, pt_re in _UA_OS:
+            cond = " OR ".join(
+                f"instr({ua}, '{mk}') > 0" for mk in markers
+            )
+            mj = (
+                f"regexp_extract({ua}, '{mj_re}', 1)" if mj_re else "''"
+            )
+            mn = (
+                f"regexp_extract({ua}, '{mn_re}', 1)" if mn_re else "''"
+            )
+            pt = (
+                f"regexp_extract({ua}, '{pt_re}', 1)" if pt_re else "''"
+            )
+            branches.append(
+                f"WHEN {cond} THEN to_json(named_struct("
+                "'OperatingSystem', named_struct("
+                f"'Family', '{fam}', 'MajorVersion', {mj},"
+                f" 'MinorVersion', {mn}, 'Patch', {pt})))"
+            )
+        other = (
+            "to_json(named_struct('OperatingSystem', named_struct("
+            "'Family', 'Other', 'MajorVersion', '',"
+            " 'MinorVersion', '', 'Patch', '')))"
+        )
+        return f"(CASE {' '.join(branches)} ELSE {other} END)"
+    if kind == "device":
+        def _dev(fam: str, brand: str, model: str) -> str:
+            return (
+                "to_json(named_struct('Device', named_struct("
+                f"'Family', {fam}, 'Brand', {brand},"
+                f" 'Model', {model})))"
+            )
+
+        # the "; <model> Build/" android token (uap-core generic rule)
+        amodel = (
+            f"regexp_extract({ua},"
+            " ';\\\\s*([^;)]*?)\\\\s+Build[/ ]', 1)"
+        )
+        d_iphone = _dev("'iPhone'", "'Apple'", "'iPhone'")
+        d_ipad = _dev("'iPad'", "'Apple'", "'iPad'")
+        d_mac = _dev("'Mac'", "'Apple'", "'Mac'")
+        d_amodel = _dev(amodel, "'Generic_Android'", amodel)
+        d_asmart = _dev("'Generic Smartphone'", "'Generic'", "'Smartphone'")
+        branches = [
+            f"WHEN instr({ua}, 'iPhone') > 0 THEN {d_iphone}",
+            f"WHEN instr({ua}, 'iPad') > 0 THEN {d_ipad}",
+            f"WHEN instr({ua}, 'Macintosh') > 0 THEN {d_mac}",
+            f"WHEN instr({ua}, 'Android') > 0"
+            f" AND instr({ua}, 'Build') > 0"
+            f" AND {amodel} != '' THEN {d_amodel}",
+            f"WHEN instr({ua}, 'Android') > 0 THEN {d_asmart}",
+        ]
+        other = _dev("'Other'", "''", "''")
+        return f"(CASE {' '.join(branches)} ELSE {other} END)"
+    raise ValueError(
+        "parse_user_agent supports the 'browser'/'os'/'device'"
+        f" queries only (documented subset): {args[1]!r}"
     )
-    return f"(CASE {' '.join(branches)} ELSE {other} END)"
 
 
 def _extract_toscalar(text: str) -> tuple[str, list[tuple[str, str]]]:
@@ -11002,6 +11109,58 @@ def q_kql_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_user_agent2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_user_agent 'os' + 'device' queries and the second
+    browser tier (round-9, verdict #2): Samsung Internet / UC
+    Browser / Mobile Safari / IE (MSIE token and tokenless Trident
+    rv:), Windows/iOS/Android/macOS/Linux OS families with
+    major/minor/patch, and the uap-core device classes (Apple
+    devices, the '; model Build/' Android rule, Generic Smartphone,
+    desktop Other). The oracle derives the expected values per UA
+    case independently — a stronger check than re-running the same
+    regexes."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 700"
+        " | extend ua = case("
+        " event_id % 7 == 0, strcat('Mozilla/5.0 (Linux; Android 10;"
+        " SM-G97', tostring(event_id % 4), 'F Build/QP1A)"
+        " AppleWebKit Chrome/87.0 Mobile SamsungBrowser/1',"
+        " tostring(event_id % 4), '.2'),"
+        " event_id % 7 == 1, strcat('Mozilla/5.0 (Linux; U; Android"
+        " 9.1.2) AppleWebKit Chrome/57 UCBrowser/13.',"
+        " tostring(event_id % 4), '.0 Mobile'),"
+        " event_id % 7 == 2, strcat('Mozilla/5.0 (iPhone; CPU iPhone"
+        " OS 16_', tostring(event_id % 4), '_1 like Mac OS X)"
+        " AppleWebKit/605 Version/16.', tostring(event_id % 4),"
+        " ' Mobile/15E Safari/604'),"
+        " event_id % 7 == 3, strcat('Mozilla/4.0 (compatible; MSIE ',"
+        " tostring(event_id % 4 + 7), '.0; Windows NT 6.1;"
+        " Trident/4.0)'),"
+        " event_id % 7 == 4, 'Mozilla/5.0 (Windows NT 10.0;"
+        " Trident/7.0; rv:11.0) like Gecko',"
+        " event_id % 7 == 5, 'Mozilla/5.0 (Macintosh; Intel Mac OS X"
+        " 10_15_7) AppleWebKit/605 Version/17.1 Safari/605',"
+        " 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"
+        " Firefox/115.0')"
+        " | extend b = parse_user_agent(ua, 'browser'),"
+        " o = parse_user_agent(ua, 'os'),"
+        " d = parse_user_agent(ua, 'device')"
+        " | project event_id,"
+        " bfam = tostring(parse_json(b).Browser.Family),"
+        " bmj = tostring(parse_json(b).Browser.MajorVersion),"
+        " bmn = tostring(parse_json(b).Browser.MinorVersion),"
+        " ofam = tostring(parse_json(o).OperatingSystem.Family),"
+        " omj = tostring(parse_json(o).OperatingSystem.MajorVersion),"
+        " omn = tostring(parse_json(o).OperatingSystem.MinorVersion),"
+        " opt = tostring(parse_json(o).OperatingSystem.Patch),"
+        " dfam = tostring(parse_json(d).Device.Family),"
+        " dbr = tostring(parse_json(d).Device.Brand),"
+        " dmd = tostring(parse_json(d).Device.Model)",
+    )
+
+
 def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate schema_merge()` (round-7, verdict gap): merges a
     leading-union of getschema outputs — smallest ordinal per column,
@@ -11493,6 +11652,7 @@ QUERIES = {
     "kql_scalar_fns10": q_kql_scalar_fns10,
     "kql_activity_dims": q_kql_activity_dims,
     "kql_user_agent": q_kql_user_agent,
+    "kql_user_agent2": q_kql_user_agent2,
     "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
@@ -12580,6 +12740,52 @@ ORACLE = {
                max(sq + INTERVAL 3 MONTH - INTERVAL 1 MICROSECOND)
                    AS q2
         FROM r GROUP BY fb
+    """,
+    "kql_user_agent2": """
+        WITH u AS (
+            SELECT event_id, event_id % 7 AS c,
+                   CAST(event_id % 4 AS VARCHAR) AS m4
+            FROM events WHERE event_id < 700
+        )
+        SELECT event_id,
+               CASE c WHEN 0 THEN 'Samsung Internet'
+                      WHEN 1 THEN 'UC Browser'
+                      WHEN 2 THEN 'Mobile Safari'
+                      WHEN 3 THEN 'IE' WHEN 4 THEN 'IE'
+                      WHEN 5 THEN 'Safari' ELSE 'Firefox' END AS bfam,
+               CASE c WHEN 0 THEN '1' || m4
+                      WHEN 1 THEN '13' WHEN 2 THEN '16'
+                      WHEN 3 THEN CAST(event_id % 4 + 7 AS VARCHAR)
+                      WHEN 4 THEN '11'
+                      WHEN 5 THEN '17' ELSE '115' END AS bmj,
+               CASE c WHEN 0 THEN '2' WHEN 1 THEN m4 WHEN 2 THEN m4
+                      WHEN 3 THEN '0' WHEN 4 THEN '0'
+                      WHEN 5 THEN '1' ELSE '0' END AS bmn,
+               CASE c WHEN 0 THEN 'Android' WHEN 1 THEN 'Android'
+                      WHEN 2 THEN 'iOS'
+                      WHEN 3 THEN 'Windows' WHEN 4 THEN 'Windows'
+                      WHEN 5 THEN 'Mac OS X' ELSE 'Linux' END AS ofam,
+               CASE c WHEN 0 THEN '10' WHEN 1 THEN '9' WHEN 2 THEN '16'
+                      WHEN 3 THEN '6' WHEN 4 THEN '10'
+                      WHEN 5 THEN '10' ELSE '' END AS omj,
+               CASE c WHEN 0 THEN '' WHEN 1 THEN '1' WHEN 2 THEN m4
+                      WHEN 3 THEN '1' WHEN 4 THEN '0'
+                      WHEN 5 THEN '15' ELSE '' END AS omn,
+               CASE c WHEN 0 THEN '' WHEN 1 THEN '2' WHEN 2 THEN '1'
+                      WHEN 5 THEN '7' ELSE '' END AS opt,
+               CASE c WHEN 0 THEN 'SM-G97' || m4 || 'F'
+                      WHEN 1 THEN 'Generic Smartphone'
+                      WHEN 2 THEN 'iPhone'
+                      WHEN 5 THEN 'Mac' ELSE 'Other' END AS dfam,
+               CASE c WHEN 0 THEN 'Generic_Android'
+                      WHEN 1 THEN 'Generic'
+                      WHEN 2 THEN 'Apple'
+                      WHEN 5 THEN 'Apple' ELSE '' END AS dbr,
+               CASE c WHEN 0 THEN 'SM-G97' || m4 || 'F'
+                      WHEN 1 THEN 'Smartphone'
+                      WHEN 2 THEN 'iPhone'
+                      WHEN 5 THEN 'Mac' ELSE '' END AS dmd
+        FROM u
     """,
     "kql_user_agent": """
         WITH ua_t AS (

@@ -3104,8 +3104,98 @@ def test_parse_user_agent_browser_subset(spark):
             " w = tostring(parse_json(b).Browser.MinorVersion)",
         ).collect()[0]
         assert (r["f"], r["v"], r["w"]) == (fam, mj, mn), (ua, r)
-    with pytest.raises(ValueError, match="browser"):
-        kql_to_sql("print b = parse_user_agent('x', 'os')")
+    with pytest.raises(ValueError, match="subset"):
+        kql_to_sql("print b = parse_user_agent('x', 'gibberish')")
+
+
+def test_parse_user_agent_os_device_tier2(spark):
+    """Round-9 (verdict #2): 'os' and 'device' queries plus the
+    second browser tier (Samsung Internet / UC Browser / Mobile
+    Safari / IE incl. the tokenless Trident rv: form)."""
+    ie8 = (
+        "Mozilla/4.0 (compatible; MSIE 8.0; Windows NT 6.1;"
+        " Trident/4.0)"
+    )
+    ie11 = "Mozilla/5.0 (Windows NT 10.0; Trident/7.0; rv:11.0) like Gecko"
+    sam = (
+        "Mozilla/5.0 (Linux; Android 10; SM-G973F Build/QP1A)"
+        " AppleWebKit/537.36 Chrome/87.0.4280 Mobile"
+        " SamsungBrowser/14.2"
+    )
+    uc = (
+        "Mozilla/5.0 (Linux; U; Android 9.1.2) AppleWebKit/537"
+        " Chrome/57 UCBrowser/13.4.0 Mobile"
+    )
+    msaf = (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 16_5_1 like Mac OS X)"
+        " AppleWebKit/605.1.15 Version/16.5 Mobile/15E148"
+        " Safari/604.1"
+    )
+    macs = (
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+        " AppleWebKit/605.1.15 Version/17.1 Safari/605.1.15"
+    )
+    lin = (
+        "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101"
+        " Firefox/121.0"
+    )
+    browser_cases = [
+        (sam, ("Samsung Internet", "14", "2")),
+        (uc, ("UC Browser", "13", "4")),
+        (msaf, ("Mobile Safari", "16", "5")),
+        (ie8, ("IE", "8", "0")),
+        (ie11, ("IE", "11", "0")),
+        (macs, ("Safari", "17", "1")),
+    ]
+    for ua, (fam, mj, mn) in browser_cases:
+        r = kql(
+            spark,
+            f"print b = parse_user_agent('{ua}', 'browser')"
+            " | extend f = tostring(parse_json(b).Browser.Family),"
+            " v = tostring(parse_json(b).Browser.MajorVersion),"
+            " w = tostring(parse_json(b).Browser.MinorVersion)",
+        ).collect()[0]
+        assert (r["f"], r["v"], r["w"]) == (fam, mj, mn), (ua, r)
+    os_cases = [
+        (ie8, ("Windows", "6", "1", "")),
+        (ie11, ("Windows", "10", "0", "")),
+        (sam, ("Android", "10", "", "")),
+        (uc, ("Android", "9", "1", "2")),
+        (msaf, ("iOS", "16", "5", "1")),
+        (macs, ("Mac OS X", "10", "15", "7")),
+        (lin, ("Linux", "", "", "")),
+        ("curl/8.4.0", ("Other", "", "", "")),
+    ]
+    for ua, (fam, mj, mn, pt) in os_cases:
+        r = kql(
+            spark,
+            f"print b = parse_user_agent('{ua}', 'os')"
+            " | extend f = tostring(parse_json(b).OperatingSystem.Family),"
+            " v = tostring(parse_json(b).OperatingSystem.MajorVersion),"
+            " w = tostring(parse_json(b).OperatingSystem.MinorVersion),"
+            " p = tostring(parse_json(b).OperatingSystem.Patch)",
+        ).collect()[0]
+        assert (r["f"], r["v"], r["w"], r["p"]) == (fam, mj, mn, pt), (
+            ua,
+            r,
+        )
+    dev_cases = [
+        (msaf, ("iPhone", "Apple", "iPhone")),
+        (macs, ("Mac", "Apple", "Mac")),
+        (sam, ("SM-G973F", "Generic_Android", "SM-G973F")),
+        (uc, ("Generic Smartphone", "Generic", "Smartphone")),
+        (ie11, ("Other", "", "")),
+        (lin, ("Other", "", "")),
+    ]
+    for ua, (fam, brand, model) in dev_cases:
+        r = kql(
+            spark,
+            f"print b = parse_user_agent('{ua}', 'device')"
+            " | extend f = tostring(parse_json(b).Device.Family),"
+            " v = tostring(parse_json(b).Device.Brand),"
+            " w = tostring(parse_json(b).Device.Model)",
+        ).collect()[0]
+        assert (r["f"], r["v"], r["w"]) == (fam, brand, model), (ua, r)
 
 
 def test_plus_concat_string_columns(spark, sf_smoke):
