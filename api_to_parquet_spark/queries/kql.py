@@ -8749,11 +8749,21 @@ def _kql_stages_to_sql(
             # the last (size(_a) % n) elements of the fold accumulator,
             # so step i's row is element_at(_a, size(_a) - (j-1) + i)
             # when step j's condition runs (the pointer is then j-1).
-            # Self/forward references (ADX's iterating-step model) stay
-            # out of the documented subset. Stateful conditions can't
-            # precompute map-side booleans — they evaluate inside the
-            # fold lambda, with bare columns qualified to the lambda
-            # row `_r` (schema-aware, so a session is required).
+            # SELF references (round-9, verdict #4): `step s1: x >
+            # s1.x` reads the LAST ROW ACCEPTED BY THE SAME STEP —
+            # in the one-row-per-step subset that is the previous
+            # match instance's step-j row, always n-1 positions back
+            # from the tail (p = j-1 current rows + the previous
+            # instance's steps j+1..n), i.e. element_at(_a,
+            # size(_a) - (n-1)), NULL (columns) / the declared
+            # initial (vars) when no instance has reached the step
+            # yet — exactly ADX's cumulative-sum contract
+            # (`=> cum = x + s1.cum` with cum: long = 0). Forward
+            # references stay out of the documented subset.
+            # Stateful conditions can't precompute map-side booleans —
+            # they evaluate inside the fold lambda, with bare columns
+            # qualified to the lambda row `_r` (schema-aware, so a
+            # session is required).
             step_names = [nm for nm, _ in steps]
             ref_pat = re.compile(
                 r"\b(" + "|".join(map(re.escape, step_names)) + r")\.(\w+)"
@@ -8778,14 +8788,45 @@ def _kql_stages_to_sql(
                 # element_at(…)) out of column capture.
                 def _resolve(mm, _j=j):
                     ri = step_names.index(mm.group(1)) + 1
+                    fld = mm.group(2)
+                    # a referenced field may be a declared var (its
+                    # post-assignment state on that row) or a row
+                    # column
+                    sfx = "._v" if fld in var_names else row_suffix
+                    if ri == _j:
+                        # self: the previous instance's step-j row is
+                        # n-1 positions back (see comment above);
+                        # falls back to NULL / the declared initial
+                        # before any instance reached the step
+                        idx = (
+                            "size(_a)"
+                            if n == 1
+                            else f"size(_a) - {n - 1}"
+                        )
+                        if fld in var_names:
+                            dflt = next(
+                                di for dn, _, di in declares if dn == fld
+                            )
+                        else:
+                            dflt = "NULL"
+                        return (
+                            f"IF(size(_a) >= {n},"
+                            f" element_at(_a, {idx}){sfx}.{fld},"
+                            f" {dflt})"
+                        )
                     off = (_j - 1) - ri
+                    if off < 0:
+                        # forward ref reaching here via an assignment
+                        # RHS (conditions are validated below)
+                        raise ValueError(
+                            f"scan: forward state reference"
+                            f" {mm.group(0)!r} in step {_j} is out of"
+                            " the subset"
+                        )
                     idx = (
                         "size(_a)" if off == 0 else f"size(_a) - {off}"
                     )
-                    return (
-                        f"element_at(_a, {idx}){row_suffix}"
-                        f".{mm.group(2)}"
-                    )
+                    return f"element_at(_a, {idx}){sfx}.{fld}"
 
                 t = _sub_outside_strings(ref_pat.pattern, _resolve, txt)
                 for vn in sorted(var_names, key=len, reverse=True):
@@ -8815,12 +8856,12 @@ def _kql_stages_to_sql(
                     continue
                 for rn_ in sorted(refs):
                     ri = step_names.index(rn_) + 1
-                    if ri >= j:
+                    if ri > j:
                         raise ValueError(
-                            f"scan step {nm}: only EARLIER steps'"
-                            f" state is referenceable ({rn_!r} is"
-                            f" step {ri}; ADX self/forward state"
-                            " references are out of the subset)"
+                            f"scan step {nm}: only earlier or SELF"
+                            f" steps' state is referenceable"
+                            f" ({rn_!r} is step {ri}; ADX forward"
+                            " state references are out of the subset)"
                         )
                 if spark is None:
                     raise ValueError(
@@ -10803,6 +10844,27 @@ def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scan_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scan` with SELF-step state references (round-9, verdict #4):
+    the step condition reads the last row the SAME step accepted
+    (`value > s1.value` = per-user record highs) and the assignment
+    folds a cumulative value through the step's own var state
+    (`cum = … + s1.cum`, ADX's cumulative-sum idiom; declared initial
+    0 before the first match). Same single grouped fold — one shuffle
+    on user_id. Oracle: record highs are exactly the rows beating the
+    running max of ALL preceding rows, and the cumulative is an
+    integer-cents window sum over those rows (exact)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | sort by ts asc, event_id asc"
+        " | scan by user_id declare (cum: long = 0) with ("
+        " step s1: isnull(s1.value) or value > s1.value"
+        " => cum = tolong(round(value * 100)) + s1.cum;)"
+        " | project user_id, event_id, cum",
+    )
+
+
 def q_kql_scalar_fns8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eighth scalar batch (round-6): bit operators (&/|/^/~/shifts/
     bit_count), exp2 (integer exponents — exact powers of two),
@@ -11624,6 +11686,7 @@ QUERIES = {
     "kql_take": q_kql_take,
     "kql_scan": q_kql_scan,
     "kql_scan_state": q_kql_scan_state,
+    "kql_scan_self": q_kql_scan_self,
     "kql_scan_declare": q_kql_scan_declare,
     "kql_rows_near": q_kql_rows_near,
     "kql_sliding_window": q_kql_sliding_window,
@@ -13550,6 +13613,24 @@ ORACLE = {
                     WHEN 1 THEN 's2' ELSE 's3' END AS step,
                CAST((cnt - 1) // 3 AS BIGINT) AS match_id, sv
         FROM rec WHERE emitted
+    """,
+    "kql_scan_self": """
+        WITH w AS (
+            SELECT user_id, event_id, ts, value,
+                   max(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS pmax
+            FROM events
+        ), r AS (
+            SELECT user_id, event_id, ts, value FROM w
+            WHERE pmax IS NULL OR value > pmax
+        )
+        SELECT user_id, event_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM r
     """,
     "kql_scan_state": """
         WITH RECURSIVE ranked AS (

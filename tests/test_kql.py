@@ -3524,3 +3524,54 @@ def test_output_schema_skips_discovery(spark, sf_smoke, monkeypatch):
     # implicit forms unchanged (discovery still works)
     df = kql(spark, "events | evaluate bag_unpack(props)")
     assert "k" in df.columns
+
+
+def test_scan_self_step_references(spark):
+    """Round-9 (verdict #4): scan SELF-step state references — the
+    condition/assignment reads the last row the SAME step accepted
+    (previous match instance in the one-row-per-step subset), with
+    NULL (columns) / the declared initial (vars) before any instance
+    reached the step. Forward references stay loud."""
+    # ADX's documented cumulative-sum idiom, exact expected output
+    rows = kql(
+        spark,
+        "range x from 1 to 5 step 1 | sort by x asc"
+        " | scan declare (cumulative_x: long = 0) with ("
+        " step s1: true => cumulative_x = x + s1.cumulative_x;)"
+        " | project x, cumulative_x",
+    ).collect()
+    assert [(r["x"], r["cumulative_x"]) for r in rows] == [
+        (1, 1), (2, 3), (3, 6), (4, 10), (5, 15),
+    ]
+    # self-ref condition: record highs
+    spark.sql(
+        "SELECT * FROM VALUES (1, 5.0D), (2, 3.0D), (3, 7.0D),"
+        " (4, 6.0D), (5, 9.0D) AS t(i, v)"
+    ).createOrReplaceTempView("scan_self_t")
+    rows = kql(
+        spark,
+        "scan_self_t | sort by i asc | scan with ("
+        " step s1: isnull(s1.v) or v > s1.v;) | project i",
+    ).collect()
+    assert [r["i"] for r in rows] == [1, 3, 5]
+    # self-ref on a non-first step of a multi-step scan
+    rows = kql(
+        spark,
+        "scan_self_t | sort by i asc | scan with ("
+        " step s1: v < 6.0;"
+        " step s2: isnull(s2.v) or v > s2.v;) | project i, step",
+    ).collect()
+    assert [(r["i"], r["step"]) for r in rows] == [(1, "s1"), (2, "s2")]
+    # forward references remain loud (condition and assignment RHS)
+    with pytest.raises(ValueError, match="forward"):
+        kql_to_sql(
+            "scan_self_t | sort by i asc | scan with ("
+            " step s1: v > s2.v; step s2: true;)"
+        )
+    with pytest.raises(ValueError, match="forward"):
+        kql(
+            spark,
+            "scan_self_t | sort by i asc"
+            " | scan declare (a: real = 0.0) with ("
+            " step s1: true => a = s2.v; step s2: true;)",
+        )
