@@ -223,7 +223,15 @@ output=all (per-path multiplicity) and multi-hop patterns; scan
 self/forward state references (ADX's iterating-step model);
 take_any(*) with expression arguments; `+` concatenation where an
 operand is a CALL or deeper expression (plain string columns and
-string literals ARE supported — use strcat for expressions);
+string literals ARE supported — use strcat for expressions); `+`
+over ONE string and ONE numeric column: rejected loudly on the
+string+string retry path (where the schema is probed), but on the
+fast path Spark's analysis accepts it via implicit cast and ANSI
+arithmetic runs/throws at runtime where ADX rejects at semantic
+analysis — the residual silent case is a numeric-LOOKING string
+column, documented here because detecting it would cost a schema
+probe on every `+` (the translator never analyzes per-stage
+unconditionally);
 zip() over MIXED-type arrays (Spark arrays are homogeneous; same-type
 zips work — widen with tostring() for mixed pairs).
 
@@ -1943,13 +1951,16 @@ def _expr(kql_expr: str) -> str:
             from pyspark.sql.types import StringType
 
             try:
+                _fields7 = _afields(_ctx7[0], _child7)
                 _sset7 = {
                     f.name
-                    for f in _afields(_ctx7[0], _child7)
+                    for f in _fields7
                     if isinstance(f.dataType, StringType)
                 }
+                _allcols7 = {f.name for f in _fields7}
             except Exception:
                 _sset7 = set()
+                _allcols7 = set()
             if _sset7:
                 _pc_pat = (
                     r"(?<![\w.'\")])"
@@ -1964,6 +1975,21 @@ def _expr(kql_expr: str) -> str:
                         a_.startswith("concat(") or a_ in _sset7
                     ) and b_ in _sset7:
                         return f"concat({a_}, {b_})"
+                    # mixed string/numeric `+` over COLUMNS (round-9,
+                    # verdict #6): ADX rejects at semantic analysis;
+                    # Spark would silently coerce the string side to
+                    # a number. Since the schema is already probed on
+                    # this retry, detect and refuse loudly.
+                    a_str = a_.startswith("concat(") or a_ in _sset7
+                    b_str = b_ in _sset7
+                    a_col = a_.startswith("concat(") or a_ in _allcols7
+                    if a_col and b_ in _allcols7 and a_str != b_str:
+                        raise ValueError(
+                            f"`+` over mixed string/numeric operands"
+                            f" ({a_!r} + {b_!r}) is rejected (ADX"
+                            " semantic-analysis parity) — cast"
+                            " explicitly or use strcat"
+                        )
                     return m.group(0)
 
                 prev_e = None

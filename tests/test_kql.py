@@ -3575,3 +3575,23 @@ def test_scan_self_step_references(spark):
             " | scan declare (a: real = 0.0) with ("
             " step s1: true => a = s2.v; step s2: true;)",
         )
+
+
+def test_plus_mixed_string_numeric_rejected(spark, sf_smoke):
+    """Round-9 (verdict #6): `+` over one string and one numeric
+    COLUMN is rejected loudly on the retry path (ADX rejects the
+    expression at semantic analysis; Spark would silently coerce).
+    String+string still concatenates via the retry."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    with pytest.raises(ValueError, match="mixed string/numeric"):
+        kql(
+            spark,
+            "events | take 1 | extend s = event_type + event_type"
+            " + value | project s",
+        ).collect()
+    r = kql(
+        spark,
+        "events | take 1 | extend s = event_type + event_type"
+        " | project s",
+    ).collect()[0]
+    assert r["s"] and len(r["s"]) % 2 == 0
