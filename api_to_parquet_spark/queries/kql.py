@@ -219,8 +219,10 @@ full parser rides a uap-core lookup corpus; the 'browser' query's
 nine major families plus the 'os'/'device' major classes ARE
 supported — round 9); timespan division by a NON-literal
 timespan (the literal-divisor form IS supported); graph-shortest-paths
-output=all (per-path multiplicity) and multi-hop patterns; scan
-self/forward state references (ADX's iterating-step model);
+multi-hop patterns beyond the single bounded variable-length hop
+(output=any AND output=all with per-path multiplicity ARE supported
+— round 9); scan FORWARD state references (earlier-step and
+SELF references ARE supported — round 9);
 take_any(*) with expression arguments; `+` concatenation where an
 operand is a CALL or deeper expression (plain string columns and
 string literals ARE supported — use strcat for expressions); `+`
@@ -8087,10 +8089,11 @@ def _kql_stages_to_sql(
                     "graph-shortest-paths needs '[output=any]"
                     f" (a)-[e*lo..hi]->(b) [where …] project …': {body!r}"
                 )
-            if (pm.group(1) or "any").lower() != "any":
+            out_mode = (pm.group(1) or "any").lower()
+            if out_mode not in ("any", "all"):
                 raise ValueError(
-                    "graph-shortest-paths output=all is out of the"
-                    " subset (per-path multiplicity)"
+                    f"graph-shortest-paths output= must be any or"
+                    f" all: {out_mode!r}"
                 )
             a_n, ename = pm.group(2), pm.group(3)
             lo, hi = int(pm.group(4)), int(pm.group(5))
@@ -8155,11 +8158,24 @@ def _kql_stages_to_sql(
                 branches.append(b_sql)
             u = " UNION ALL ".join(f"({b})" for b in branches)
             cols = ", ".join(al for al, _ in proj_items)
-            sql = (
-                f"SELECT {cols} FROM (SELECT *, ROW_NUMBER() OVER"
-                " (PARTITION BY _sps, _spt ORDER BY _splen) AS _sprn"
-                f" FROM ({u}) AS _spu{i}) AS _spr{i} WHERE _sprn = 1"
-            )
+            if out_mode == "all":
+                # output=all (round-9, verdict #9): EVERY shortest
+                # path per (source, target) — each k-hop chain row is
+                # one distinct path, so keep all rows at the pair's
+                # min length (one MIN window instead of the
+                # row_number winner; same single shuffle)
+                sql = (
+                    f"SELECT {cols} FROM (SELECT *, MIN(_splen) OVER"
+                    " (PARTITION BY _sps, _spt) AS _spmin"
+                    f" FROM ({u}) AS _spu{i}) AS _spr{i}"
+                    " WHERE _splen = _spmin"
+                )
+            else:
+                sql = (
+                    f"SELECT {cols} FROM (SELECT *, ROW_NUMBER() OVER"
+                    " (PARTITION BY _sps, _spt ORDER BY _splen) AS _sprn"
+                    f" FROM ({u}) AS _spu{i}) AS _spr{i} WHERE _sprn = 1"
+                )
             graph = None
         elif op == "facet":
             # `facet by c1, c2, …` — ADX returns one value-count table
@@ -11412,6 +11428,25 @@ def q_kql_graph_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_graph_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph-shortest-paths output=all (round-9, verdict #9): EVERY
+    shortest path per (source, target) — the diamond a→{b,c}→d gives
+    two length-2 paths to d (and two length-3 paths to e through it),
+    so (a,d) and (a,e) each appear twice. One MIN-length window over
+    the same bounded-k chain joins; the oracle's recursive CTE
+    enumerates each path as its own row (UNION ALL) and keeps the
+    min-length ones."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "datatable(src: string, dst: string)"
+        ' ["a","b", "b","d", "a","c", "c","d", "d","e"]'
+        " | make-graph src --> dst"
+        " | graph-shortest-paths output=all (s)-[e*1..4]->(t)"
+        ' where s == "a" project s, t',
+    )
+
+
 def q_kql_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tdigest / merge_tdigest / percentile_tdigest (round-7, verdict
     gap): the mergeable percentile-state family as a fine→coarse
@@ -11732,6 +11767,7 @@ QUERIES = {
     "kql_tdigest": q_kql_tdigest,
     "kql_series_fit_2lines": q_kql_series_fit_2lines,
     "kql_graph_shortest": q_kql_graph_shortest,
+    "kql_graph_all": q_kql_graph_all,
     "kql_geo": q_kql_geo,
     "kql_activity_counts": q_kql_activity_counts,
     "kql_series_forecast": q_kql_series_forecast,
@@ -13157,6 +13193,24 @@ ORACLE = {
         SELECT event_id, round(dist, 3) AS d,
                dist <= 50000 AS inc
         FROM d
+    """,
+    "kql_graph_all": """
+        WITH RECURSIVE edges(src, dst) AS (
+            VALUES ('a','b'), ('b','d'), ('a','c'), ('c','d'),
+                   ('d','e')
+        ), bfs AS (
+            SELECT src AS s, dst AS t, 1 AS len FROM edges
+            UNION ALL
+            SELECT b.s, e.dst, b.len + 1
+            FROM bfs b JOIN edges e ON e.src = b.t
+            WHERE b.len < 4
+        ), mn AS (
+            SELECT s, t, min(len) AS ml FROM bfs WHERE s = 'a'
+            GROUP BY s, t
+        )
+        SELECT b.s, b.t
+        FROM bfs b JOIN mn ON b.s = mn.s AND b.t = mn.t
+                          AND b.len = mn.ml
     """,
     "kql_graph_shortest": """
         WITH RECURSIVE edges(src, dst) AS (

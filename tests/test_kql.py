@@ -3595,3 +3595,28 @@ def test_plus_mixed_string_numeric_rejected(spark, sf_smoke):
         " | project s",
     ).collect()[0]
     assert r["s"] and len(r["s"]) % 2 == 0
+
+
+def test_graph_shortest_output_all(spark):
+    """Round-9 (verdict #9): output=all emits EVERY shortest path per
+    (source, target) — the diamond a->{b,c}->d yields (a,d) twice;
+    output=any keeps exactly one."""
+    pipe = (
+        "datatable(src: string, dst: string)"
+        ' ["a","b", "b","d", "a","c", "c","d", "d","e"]'
+        " | make-graph src --> dst"
+        " | graph-shortest-paths {} (s)-[e*1..4]->(t)"
+        ' where s == "a" project s, t'
+    )
+    rows = kql(spark, pipe.format("output=all")).collect()
+    pairs = sorted((r["s"], r["t"]) for r in rows)
+    assert pairs == [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "d"),
+        ("a", "e"), ("a", "e"),
+    ]
+    rows = kql(spark, pipe.format("output=any")).collect()
+    assert sorted((r["s"], r["t"]) for r in rows) == [
+        ("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+    ]
+    with pytest.raises(ValueError, match="output"):
+        kql_to_sql(pipe.format("output=bogus"))
