@@ -67,9 +67,19 @@ HEADLINE = [
 # Per-query medians pinned from the last judged round (bench_pins.json).
 # A headline query slower than 1.5x its pin is flagged in the output —
 # the mechanical regression gate the round-3 verdict asked for.
+# CANARY-NORMALIZED pins (round-8 verdict #5): absolute seconds drift
+# with container state (six runs of identical code spanned 22.7-29.1 s
+# across rounds 6-8, producing only false flags), so each query is
+# ALSO pinned as its ratio to the pricing_summary canary — a plain
+# scan+agg with zero source churn. Container-state drift inflates the
+# canary and the query together, cancelling in the ratio; a true code
+# regression inflates only the query. Both flag sets are emitted:
+# "regressions" (absolute, drift-prone, kept for continuity) and
+# "ratio_regressions" (canary-normalized, the trustworthy tripwire).
 PIN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_pins.json")
 PIN_RATIO = 1.5
+CANARY = "pricing_summary"
 
 
 def ingest_throughput(
@@ -164,6 +174,8 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     ingest_rps = ingest_throughput(spark)
     regressions: dict[str, dict[str, float]] = {}
+    ratio_regressions: dict[str, dict[str, float]] = {}
+    canary_t = timings.get(CANARY)
     try:
         with open(PIN_FILE) as fh:
             pins = json.load(fh)
@@ -172,6 +184,19 @@ def main() -> None:
                 pin = pins["queries"].get(name)
                 if pin and t > PIN_RATIO * pin:
                     regressions[name] = {"now": t, "pin": pin}
+            # canary-normalized flags: query/canary ratio vs its pin
+            pin_ratios = pins.get("ratios", {})
+            if canary_t:
+                for name, t in timings.items():
+                    if name == CANARY:
+                        continue
+                    rpin = pin_ratios.get(name)
+                    r = round(t / canary_t, 3)
+                    if rpin and r > PIN_RATIO * rpin:
+                        ratio_regressions[name] = {
+                            "now_ratio": r,
+                            "pin_ratio": rpin,
+                        }
             # throughput pin is a FLOOR: flag when ingest drops below
             # pin/1.5 (the round-4 345k->308k dip went unflagged)
             rps_pin = pins.get("ingest_rows_per_sec")
@@ -180,6 +205,16 @@ def main() -> None:
                     "now": ingest_rps,
                     "pin": rps_pin,
                 }
+            # canary-normalized ingest floor: rows/s × canary seconds
+            # is container-drift-invariant to first order
+            rxc_pin = pins.get("ingest_rate_x_canary")
+            if rxc_pin and canary_t:
+                rxc = round(ingest_rps * canary_t, 1)
+                if rxc < rxc_pin / PIN_RATIO:
+                    ratio_regressions["ingest_rate_x_canary"] = {
+                        "now_ratio": rxc,
+                        "pin_ratio": rxc_pin,
+                    }
     except (OSError, ValueError, KeyError):
         pass
     print(
@@ -193,6 +228,11 @@ def main() -> None:
                 "ingest_rows_per_sec": ingest_rps,
                 **({"errors": errors} if errors else {}),
                 **({"regressions": regressions} if regressions else {}),
+                **(
+                    {"ratio_regressions": ratio_regressions}
+                    if ratio_regressions
+                    else {}
+                ),
             }
         )
     )
