@@ -1924,10 +1924,76 @@ def _concat_plus(e: str) -> str:
                 hit = m
                 break
         if hit is None:
-            return e
+            return _fold_concat_concat(e)
         a = hit.group(1) or hit.group(3)
         b = hit.group(2) or hit.group(4)
         e = e[: hit.start()] + f"concat({a}, {b})" + e[hit.end() :]
+
+
+def _fold_concat_concat(e: str) -> str:
+    """`concat(…) + concat(…)` -> concat(concat(…), concat(…)) —
+    both operands are provably strings (our own fold output), so the
+    pair folds statically. Arises in literal chains with interior
+    columns (`'a' + c + '-' + c + 'z'`: pairwise literal folding
+    leaves the middle `+` between two concat() spans — round-9 fuzz
+    finding). Balanced-paren scan, so arbitrarily nested folds work
+    where a regex alternation cannot."""
+    while "concat(" in e and "+" in e:
+        spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
+        hit = None
+        for m in re.finditer(r"\bconcat\(", e):
+            if any(s0 <= m.start() < s1 for s0, s1 in spans):
+                continue
+            close = _balanced_end(e, m.end() - 1)
+            if close is None:
+                break
+            j = close + 1
+            while j < len(e) and e[j].isspace():
+                j += 1
+            if j >= len(e) or e[j] != "+":
+                continue
+            j += 1
+            while j < len(e) and e[j].isspace():
+                j += 1
+            m2 = re.match(r"concat\(", e[j:])
+            if not m2:
+                continue
+            close2 = _balanced_end(e, j + m2.end() - 1)
+            if close2 is None:
+                break
+            hit = (m.start(), close + 1, j, close2 + 1)
+            break
+        if hit is None:
+            return e
+        s1, e1, s2, e2 = hit
+        e = (
+            e[:s1]
+            + f"concat({e[s1:e1]}, {e[s2:e2]})"
+            + e[e2:]
+        )
+    return e
+
+
+def _balanced_end(text: str, open_idx: int) -> int | None:
+    """Index of the ')' closing the '(' at open_idx (quote-aware)."""
+    depth, j, quote = 1, open_idx + 1, None
+    while j < len(text):
+        ch = text[j]
+        if quote:
+            if ch == "\\" and j + 1 < len(text):
+                j += 1
+            elif ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    return None
 
 
 def _expr(kql_expr: str) -> str:
@@ -1964,28 +2030,35 @@ def _expr(kql_expr: str) -> str:
                 _sset7 = set()
                 _allcols7 = set()
             if _sset7:
+                _pc_concat = (
+                    r"concat\((?:[^()']|'(?:[^'\\]|\\.)*'"
+                    r"|\([^()]*\))*\)"
+                )
                 _pc_pat = (
                     r"(?<![\w.'\")])"
-                    r"(concat\((?:[^()']|'(?:[^'\\]|\\.)*'"
-                    r"|\([^()]*\))*\)|[A-Za-z_]\w*)"
-                    r"\s*\+\s*([A-Za-z_]\w*)(?![\w.(])"
+                    rf"({_pc_concat}|[A-Za-z_]\w*)"
+                    r"\s*\+\s*"
+                    rf"({_pc_concat}|[A-Za-z_]\w*(?![\w.(]))"
                 )
 
                 def _pc_rep(m: re.Match) -> str:
                     a_, b_ = m.group(1), m.group(2)
-                    if (
-                        a_.startswith("concat(") or a_ in _sset7
-                    ) and b_ in _sset7:
+                    a_str = a_.startswith("concat(") or a_ in _sset7
+                    b_str = b_.startswith("concat(") or b_ in _sset7
+                    if a_str and b_str:
                         return f"concat({a_}, {b_})"
                     # mixed string/numeric `+` over COLUMNS (round-9,
                     # verdict #6): ADX rejects at semantic analysis;
                     # Spark would silently coerce the string side to
                     # a number. Since the schema is already probed on
                     # this retry, detect and refuse loudly.
-                    a_str = a_.startswith("concat(") or a_ in _sset7
-                    b_str = b_ in _sset7
-                    a_col = a_.startswith("concat(") or a_ in _allcols7
-                    if a_col and b_ in _allcols7 and a_str != b_str:
+                    a_col = (
+                        a_.startswith("concat(") or a_ in _allcols7
+                    )
+                    b_col = (
+                        b_.startswith("concat(") or b_ in _allcols7
+                    )
+                    if a_col and b_col and a_str != b_str:
                         raise ValueError(
                             f"`+` over mixed string/numeric operands"
                             f" ({a_!r} + {b_!r}) is rejected (ADX"

@@ -240,6 +240,71 @@ def _kql_stage_st(cols: tuple[str, ...]):
                     )
                 )
             )
+        # round-9 (round-8 verdict #7): bracket-quoted JOIN key on
+        # BOTH sides — the mangler must produce the same _bq_ name
+        # for the on-clause, the left extend, and the right project
+        opts.append(
+            st.tuples(
+                st.sampled_from(num), st.integers(0, 999)
+            ).map(
+                lambda t, _cols=cols: (
+                    f"extend ['j k{t[1]}'] = {t[0]} % 5"
+                    " | join kind=inner (events"
+                    f" | project ['j k{t[1]}'] = user_id % 5,"
+                    f" jv9_{t[1]} = value)"
+                    f" on ['j k{t[1]}']"
+                    " | project "
+                    + ", ".join(
+                        c for c in _cols if c != f"jv9_{t[1]}"
+                    )
+                    + f", jv9_{t[1]}",
+                    (
+                        *(c for c in cols if c != f"jv9_{t[1]}"),
+                        f"jv9_{t[1]}",
+                    ),
+                )
+            )
+        )
+        # round-9: a bracket name colliding with the mangler's own
+        # _bq_<hex> prefix must roundtrip (mangle is reversible)
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"extend ['_bq_00ff'] = {c} + 1"
+                    " | where ['_bq_00ff'] > 0"
+                    " | project-away ['_bq_00ff']",
+                    cols,
+                )
+            )
+        )
+        # round-9: mv-expand over a property BAG built by pack() —
+        # exercises the lazy string-column schema probe + the
+        # single-property-bag expansion
+        opts.append(
+            st.sampled_from(num).map(
+                lambda c: (
+                    f"extend bag9 = pack('a', {c}, 'b', {c} + 1)"
+                    " | mv-expand bag9"
+                    " | extend bl9 = strlen(bag9)"
+                    " | project-away bag9",
+                    (*cols, "bl9"),
+                )
+            )
+        )
+        # round-9: `+` concat CHAINS (multi-literal fold) coexisting
+        # with arithmetic + in the same extend
+        if str_:
+            opts.append(
+                st.tuples(
+                    st.sampled_from(str_), st.sampled_from(num)
+                ).map(
+                    lambda t: (
+                        f"extend ch9 = 'a' + {t[0]} + '-' + {t[0]}"
+                        f" + 'z', ar9 = {t[1]} + 2 + 3",
+                        (*cols, "ch9", "ar9"),
+                    )
+                )
+            )
         # round-8: percentilew argument grammar (col, weight, p)
         opts.append(
             st.tuples(
@@ -665,7 +730,17 @@ def _kql_pipe_st(draw):
     for _ in range(draw(st.integers(0, 4))):
         stage, cols = draw(_kql_stage_st(cols))
         stages.append(stage)
-    if draw(st.booleans()):
+    # round-9 (round-8 verdict #7): leading `set` statements +
+    # bin_auto — the set prefix must survive any stage mix, and
+    # bin_auto must pick up query_bin_auto_size
+    set_prefix = ""
+    if "ts" in cols and draw(st.booleans()):
+        set_prefix = (
+            "set notruncation; set query_bin_auto_size ="
+            f" {draw(st.integers(1, 3))}d; "
+        )
+        stages.append("summarize n9 = count() by b9 = bin_auto(ts)")
+    elif draw(st.booleans()):
         stages.append("count")
     pipe = " | ".join([head, *stages])
     # round-6: sometimes run the whole pipe through a function let +
@@ -676,7 +751,7 @@ def _kql_pipe_st(draw):
             + pipe
             + " | invoke _fz()"
         )
-    return pipe
+    return set_prefix + pipe
 
 
 @FEW
