@@ -224,8 +224,10 @@ multi-hop patterns beyond the single bounded variable-length hop
 — round 9); scan FORWARD state references (earlier-step and
 SELF references ARE supported — round 9);
 take_any(*) with expression arguments; `+` concatenation where an
-operand is a CALL or deeper expression (plain string columns and
-string literals ARE supported — use strcat for expressions); `+`
+operand is a call to a function NOT in the provably-string whitelist
+(_STR_FNS) or a deeper expression (string literals, plain string
+columns, and whitelisted string-returning calls — tostring, strcat,
+substring, toupper, … — ARE supported; use strcat otherwise); `+`
 over ONE string and ONE numeric column: rejected loudly on the
 string+string retry path (where the schema is probed), but on the
 fast path Spark's analysis accepts it via implicit cast and ANSI
@@ -1893,85 +1895,159 @@ def _extract_in_subqueries(text: str) -> tuple[str, list[tuple[str, str]]]:
             text = text[: m.start()] + f"{neg} {ph}" + text[j:]
 
 
+# Functions that PROVABLY return strings (the KQL names, pre-rewrite):
+# a call to one of these adjacent to `+` across another provably-string
+# operand participates in static concat folding (round-9 — closes most
+# of the "f(x) + y needs strcat" gap without any type ambiguity).
+_STR_FNS = (
+    "strcat", "strcat_delim", "tostring", "substring", "toupper",
+    "tolower", "trim", "trim_start", "trim_end", "replace_string",
+    "replace_regex", "translate", "strrep", "format_datetime",
+    "format_timespan", "format_bytes", "base64_encode_tostring",
+    "base64_decode_tostring", "url_encode", "url_decode",
+)
+_STR_FN_OPEN = re.compile(rf"\b(?:{'|'.join(_STR_FNS)})\s*\(")
+
+
+def _wrap_string_calls(e: str) -> str:
+    """Wrap provably-string calls that sit ACROSS a `+` from another
+    provably-string operand (string literal or another whitelisted
+    call) in a single-arg concat() — an exact identity on strings —
+    so the existing concat-aware fold machinery treats them as string
+    terms. Calls not adjacent to a string `+` are left untouched
+    (so `tostring(x) + numcol` keeps its pre-existing documented
+    behavior instead of silently widening the coercion edge)."""
+    lit_spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
+
+    def _in_lit(i: int) -> bool:
+        return any(s0 <= i < s1 for s0, s1 in lit_spans)
+
+    call_spans = []
+    for m in _STR_FN_OPEN.finditer(e):
+        if _in_lit(m.start()):
+            continue
+        close = _balanced_end(e, m.end() - 1)
+        if close is not None:
+            call_spans.append((m.start(), close + 1))
+
+    if not call_spans:
+        return e
+
+    def _stringy_end(i: int) -> bool:
+        # does a provably-string operand END at index i (exclusive)?
+        return (i > 0 and e[i - 1] == "'" and _in_lit(i - 1)) or any(
+            s1 == i for _, s1 in call_spans
+        )
+
+    def _stringy_start(i: int) -> bool:
+        return (i < len(e) and e[i] == "'" and _in_lit(i)) or any(
+            s0 == i for s0, _ in call_spans
+        )
+
+    wrap: set[tuple[int, int]] = set()
+    for pi, ch in enumerate(e):
+        if ch != "+" or _in_lit(pi):
+            continue
+        li = pi
+        while li > 0 and e[li - 1].isspace():
+            li -= 1
+        ri = pi + 1
+        while ri < len(e) and e[ri].isspace():
+            ri += 1
+        if _stringy_end(li) and _stringy_start(ri):
+            for s0, s1 in call_spans:
+                if s1 == li or s0 == ri:
+                    wrap.add((s0, s1))
+    for s0, s1 in sorted(wrap, reverse=True):
+        e = e[:s0] + f"concat({e[s0:s1]})" + e[s1:]
+    return e
+
+
 def _concat_plus(e: str) -> str:
     """`+` as string concatenation (round-8 verdict #4), the statically
     resolvable subset: a `+` with a string LITERAL on either side is
-    concatenation in ADX — emit concat(). Operands without a literal
+    concatenation in ADX — emit concat(). Since round 9, calls to
+    PROVABLY-STRING functions (tostring, strcat, substring, …)
+    adjacent to a string operand also participate (wrapped in an
+    identity concat() so the concat-aware folds apply). Other operands
     stay arithmetic untouched (type-dependent `col + col` string
-    concat remains out of subset — the textual translator cannot
-    resolve it; strcat covers it). Runs on SQL-converted text, so
-    literals are single-quoted; iterates so chains ('a' + x + 'b')
-    fold pairwise left-to-right like ADX."""
-    if "+" not in e or "'" not in e:
+    concat remains retry-path-only; arbitrary calls stay out of
+    subset — use strcat). Runs on SQL-converted text, so literals are
+    single-quoted; iterates so chains ('a' + x + 'b') fold pairwise
+    left-to-right like ADX."""
+    if "+" not in e or ("'" not in e and not _STR_FN_OPEN.search(e)):
         return e
+    e = _wrap_string_calls(e)
     lit = r"'(?:[^'\\]|\\.)*'"
-    # Non-literal operands: columns and dotted identifiers ONLY, plus
-    # concat(...) so chains fold (a previous pass's own output is the
-    # one call form that is provably a string). Arbitrary call
-    # operands stay a loud subset error — `somefn(x) + 'a'` must use
-    # strcat (round-9 advice: the old optional call-parens silently
-    # coerced any function result).
-    term = rf"(?:{lit}|concat\((?:[^()]|\([^()]*\))*\)|[\w.]+)"
+    # Non-literal operands: columns, dotted identifiers, and
+    # __KQLCPH<i>__ placeholders standing for balanced concat(...)
+    # spans (previous fold output or a wrapped string call — the one
+    # call form that is provably a string). Arbitrary call operands
+    # stay a loud subset error — `somefn(x) + 'a'` must use strcat
+    # (round-9 advice: the old optional call-parens silently coerced
+    # any function result). Placeholder protection (round-9 fuzz
+    # finding) replaces the shallow concat-regex alternation: nested
+    # folds of ANY depth (chains, wrapped nested calls) reduce to
+    # flat tokens each iteration.
+    term = rf"(?:{lit}|[\w.]+)"
     pat = re.compile(rf"({term})\s*\+\s*({lit})|({lit})\s*\+\s*({term})")
+    ph_pair = re.compile(r"(__KQLCPH\d+__)\s*\+\s*(__KQLCPH\d+__)")
     while True:
-        spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
-        hit = None
-        for m in pat.finditer(e):
+        # 1. protect every OUTERMOST concat(...) span (quote-aware,
+        # balanced — any nesting depth) behind a flat placeholder
+        lit_spans = [
+            (m.start(), m.end()) for m in _STR_SPAN.finditer(e)
+        ]
+        prot: list[str] = []
+        buf: list[str] = []
+        i = 0
+        while i < len(e):
+            if (
+                e.startswith("concat(", i)
+                and (i == 0 or not (e[i - 1].isalnum() or e[i - 1] in "_."))
+                and not any(s0 <= i < s1 for s0, s1 in lit_spans)
+            ):
+                close = _balanced_end(e, i + len("concat(") - 1)
+                if close is not None:
+                    buf.append(f"__KQLCPH{len(prot)}__")
+                    prot.append(e[i : close + 1])
+                    i = close + 1
+                    continue
+            buf.append(e[i])
+            i += 1
+        t = "".join(buf)
+        # 2. find ONE foldable pair: a `+` with a literal on either
+        # side (identifiers and placeholders both participate), or a
+        # placeholder pair (both provably strings)
+        spans2 = [(m.start(), m.end()) for m in _STR_SPAN.finditer(t)]
+
+        def _outside(mm: re.Match) -> bool:
             # a match may legitimately START at a literal's opening
-            # quote (the literal IS the operand); only matches starting
-            # strictly INSIDE a literal are text, not operators
-            if not any(s0 < m.start() < s1 for s0, s1 in spans):
-                hit = m
-                break
-        if hit is None:
-            return _fold_concat_concat(e)
-        a = hit.group(1) or hit.group(3)
-        b = hit.group(2) or hit.group(4)
-        e = e[: hit.start()] + f"concat({a}, {b})" + e[hit.end() :]
+            # quote (the literal IS the operand); only matches
+            # starting strictly INSIDE a literal are text
+            return not any(s0 < mm.start() < s1 for s0, s1 in spans2)
 
-
-def _fold_concat_concat(e: str) -> str:
-    """`concat(…) + concat(…)` -> concat(concat(…), concat(…)) —
-    both operands are provably strings (our own fold output), so the
-    pair folds statically. Arises in literal chains with interior
-    columns (`'a' + c + '-' + c + 'z'`: pairwise literal folding
-    leaves the middle `+` between two concat() spans — round-9 fuzz
-    finding). Balanced-paren scan, so arbitrarily nested folds work
-    where a regex alternation cannot."""
-    while "concat(" in e and "+" in e:
-        spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
-        hit = None
-        for m in re.finditer(r"\bconcat\(", e):
-            if any(s0 <= m.start() < s1 for s0, s1 in spans):
-                continue
-            close = _balanced_end(e, m.end() - 1)
-            if close is None:
-                break
-            j = close + 1
-            while j < len(e) and e[j].isspace():
-                j += 1
-            if j >= len(e) or e[j] != "+":
-                continue
-            j += 1
-            while j < len(e) and e[j].isspace():
-                j += 1
-            m2 = re.match(r"concat\(", e[j:])
-            if not m2:
-                continue
-            close2 = _balanced_end(e, j + m2.end() - 1)
-            if close2 is None:
-                break
-            hit = (m.start(), close + 1, j, close2 + 1)
-            break
+        hit = next((m for m in pat.finditer(t) if _outside(m)), None)
+        if hit is not None:
+            a = hit.group(1) or hit.group(3)
+            b = hit.group(2) or hit.group(4)
+            t = t[: hit.start()] + f"concat({a}, {b})" + t[hit.end() :]
+        else:
+            hit = next(
+                (m for m in ph_pair.finditer(t) if _outside(m)), None
+            )
+            if hit is not None:
+                t = (
+                    t[: hit.start()]
+                    + f"concat({hit.group(1)}, {hit.group(2)})"
+                    + t[hit.end() :]
+                )
+        # 3. restore placeholders; loop while folds keep landing
+        e = re.sub(
+            r"__KQLCPH(\d+)__", lambda mm: prot[int(mm.group(1))], t
+        )
         if hit is None:
             return e
-        s1, e1, s2, e2 = hit
-        e = (
-            e[:s1]
-            + f"concat({e[s1:e1]}, {e[s2:e2]})"
-            + e[e2:]
-        )
-    return e
 
 
 def _balanced_end(text: str, open_idx: int) -> int | None:

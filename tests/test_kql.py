@@ -3473,11 +3473,13 @@ def test_round9_advice_fixes(spark, sf_smoke):
         " b = base64_decode_toarray('AQI=')",
     ).collect()[0]
     assert list(r["a"]) == [] and list(r["b"]) == [1, 2]
-    # (5) call operands in + concat stay out of subset
+    # (5) NON-STRING call operands in + concat stay out of subset
+    # (provably-string calls like tostring() fold since round 9 —
+    # see test_plus_concat_string_call_operands)
     with pytest.raises(Exception):
         kql(
             spark,
-            "events | take 1 | extend s = tostring(value) + 'a'"
+            "events | take 1 | extend s = strlen(event_type) + 'a'"
             " | project s",
         ).collect()
     r = kql(spark, "print s = 'a' + 'b' + 'c'").collect()[0]
@@ -3620,3 +3622,35 @@ def test_graph_shortest_output_all(spark):
     ]
     with pytest.raises(ValueError, match="output"):
         kql_to_sql(pipe.format("output=bogus"))
+
+
+def test_plus_concat_string_call_operands(spark, sf_smoke):
+    """Round-9: calls to PROVABLY-STRING functions participate in `+`
+    concatenation (wrapped in an identity concat() so the balanced
+    fold machinery applies) — including deeply nested arguments.
+    Non-string calls stay out of the fold."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+
+    def one(expr):
+        return kql(
+            spark,
+            f"events | take 1 | extend r = {expr} | project r",
+        ).collect()[0]["r"]
+
+    assert one("'pre-' + tostring(event_id)") == "pre-0"
+    assert one("tostring(event_id) + '-' + toupper(event_type)")[1] == "-"
+    # nested call args (two paren levels) — the round-9 fuzz class
+    r = one("'a' + tostring(round(value * 100)) + 'z'")
+    assert r.startswith("a") and r.endswith("z")
+    assert one("substring(event_type, 0, 2) + tostring(user_id)")
+    assert one("strcat('x', event_type) + '!'").endswith("!")
+    # long mixed chain: literals, columns, calls
+    r = one(
+        "'a' + event_type + '-' + event_type + 'z'"
+        " + tostring(strlen(event_type))"
+    )
+    assert r.startswith("a") and r[-1].isdigit()
+    # non-string call operands do NOT fold (strlen returns long);
+    # ANSI arithmetic then fails loudly at runtime
+    with pytest.raises(Exception):
+        one("strlen(event_type) + 'a'")
