@@ -217,8 +217,11 @@ dynamic operator and errors on strings too — use substring);
 parse_user_agent long-tail families and dynamic query lists (the
 full parser rides a uap-core lookup corpus; the 'browser' query's
 nine major families plus the 'os'/'device' major classes ARE
-supported — round 9); timespan division by a NON-literal
-timespan (the literal-divisor form IS supported); graph-shortest-paths
+supported — round 9); timespan division by an interval-typed COLUMN
+(literal divisors and provably-timespan divisor EXPRESSIONS —
+totimespan()/make_timespan()/timespan literals — ARE supported,
+round 9; a column's interval type is not statically knowable);
+graph-shortest-paths
 multi-hop patterns beyond the single bounded variable-length hop
 (output=any AND output=all with per-path multiplicity ARE supported
 — round 9); scan FORWARD state references (earlier-step and
@@ -428,6 +431,63 @@ def _ts_lit_seconds(num: str, unit: str) -> str:
 
 def _ts_interval(num: str, unit: str) -> str:
     return f"INTERVAL '{_ts_lit_seconds(num, unit)}' SECOND"
+
+
+# numerator shape for timespan division: an INTERVAL literal (what a
+# timespan literal / totimespan(literal) rewrote to), a parenthesized
+# balanced expression, a dotted identifier, or one call
+_TSDIV_NUM_TXT = (
+    r"(INTERVAL\s+'[^']*'\s+(?:DAY|HOUR|MINUTE|SECOND)"
+    r"(?:\s+TO\s+(?:HOUR|MINUTE|SECOND))?"
+    r"|\((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*\)"
+    r"|[\w.]+(?:\((?:[^()']|'(?:[^'\\]|\\.)*')*\))?)"
+)
+_TSDIV_IVL_OPEN = re.compile(
+    _TSDIV_NUM_TXT + r"\s*/\s*(make_dt_interval\(|INTERVAL\s)"
+)
+_TSDIV_IVL_LIT = re.compile(
+    r"INTERVAL\s+'[^']*'\s+(?:DAY|HOUR|MINUTE|SECOND)"
+    r"(?:\s+TO\s+(?:HOUR|MINUTE|SECOND))?",
+    re.IGNORECASE,
+)
+
+
+def _div_by_interval_expr(e: str) -> str:
+    """Timespan / NON-LITERAL timespan (round-9, closes a round-8
+    missing item): division where the divisor is a PROVABLY-timespan
+    expression — the `make_dt_interval(…)` / `INTERVAL '…' UNIT` forms
+    that totimespan()/make_timespan()/timespan-literal rewrites emit
+    earlier in the chain — becomes the epoch-anchored total-seconds
+    ratio, same as the literal-divisor rule. Balanced scan, so the
+    runtime totimespan(string) parse expression (nested CASE + regexes)
+    works as a divisor too. Interval-typed COLUMNS stay out of the
+    subset (their type is not statically known)."""
+    while True:
+        spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
+        hit = None
+        for m in _TSDIV_IVL_OPEN.finditer(e):
+            if any(s0 < m.start() < s1 for s0, s1 in spans):
+                continue
+            if m.group(2).startswith("make_dt_interval"):
+                close = _balanced_end(e, m.end() - 1)
+                if close is None:
+                    continue
+                hit = (m, e[m.start(2) : close + 1], close + 1)
+            else:
+                lm = _TSDIV_IVL_LIT.match(e, m.start(2))
+                if not lm:
+                    continue
+                hit = (m, lm.group(0), lm.end())
+            break
+        if hit is None:
+            return e
+        m, div_txt, div_end = hit
+        e = (
+            e[: m.start()]
+            + f"({_iv_total_seconds(m.group(1))}"
+            f" / {_iv_total_seconds(div_txt)})"
+            + e[div_end:]
+        )
 
 
 def _iv_total_seconds(iv: str) -> str:
@@ -3837,10 +3897,7 @@ def _expr(kql_expr: str) -> str:
     # seconds. The numerator is a parenthesized expression, a dotted
     # identifier, or one call (a numeric numerator would be an ADX
     # type error anyway and fails analysis loudly here too).
-    _TSDIV_NUM = (
-        r"(\((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*\)"
-        r"|[\w.]+(?:\((?:[^()']|'(?:[^'\\]|\\.)*')*\))?)"
-    )
+    _TSDIV_NUM = _TSDIV_NUM_TXT
     e = _pred_sub(
         rf"{_TSDIV_NUM}\s*/\s*{_TS_LIT}(?![\w.(])",
         lambda m: (
@@ -3850,6 +3907,9 @@ def _expr(kql_expr: str) -> str:
         ),
         e,
     )
+    # divisor is a provably-timespan EXPRESSION (the forms the
+    # totimespan/make_timespan/literal rewrites above emitted)
+    e = _div_by_interval_expr(e)
     # goes — comparisons against datetime differences, let values,
     # datetime +/- arithmetic. LAST: ago()/bin()/bin_at() consumed
     # theirs above, so only genuinely scalar uses remain.
@@ -10751,13 +10811,16 @@ def q_kql_timespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " by user_id"
         " | extend dur = mx - mn"
         " | where dur > 12h and now() - mx > 1h"
-        " | extend span_s = format_timespan(dur, 'd.hh:mm:ss'),"
+        " | extend ratio = round(dur / make_timespan(12, 0, 0), 6),"
+        " r2 = round(dur / totimespan('1.00:00:00'), 6),"
+        " span_s = format_timespan(dur, 'd.hh:mm:ss'),"
         " frac = format_timespan(dur, 'hh:mm:ss.fff'),"
         " long3 = dur > totimespan('3.00:00:00'),"
         " within = dur < 45d,"
         " pf = format_timespan(totimespan(strcat(tostring(n % 24),"
         ' ":00:30")), "hh:mm:ss")'
-        " | project user_id, n, span_s, frac, long3, within, pf",
+        " | project user_id, n, span_s, frac, long3, within, pf,"
+        " ratio, r2",
     )
 
 
@@ -12702,6 +12765,8 @@ ORACLE = {
                       substr(lpad(CAST(um % 1000000 AS VARCHAR),
                                   6, '0'),
                              1, 3)) AS frac,
+               round(tot / CAST(43200 AS DOUBLE), 6) AS ratio,
+               round(tot / CAST(86400 AS DOUBLE), 6) AS r2,
                tot > 259200 AS long3,
                tot < 3888000 AS within,
                concat(lpad(CAST(n % 24 AS VARCHAR), 2, '0'),

@@ -3654,3 +3654,16 @@ def test_plus_concat_string_call_operands(spark, sf_smoke):
     # ANSI arithmetic then fails loudly at runtime
     with pytest.raises(Exception):
         one("strlen(event_type) + 'a'")
+
+
+def test_timespan_division_expression_divisors(spark):
+    """Round-9: division by PROVABLY-timespan expressions (totimespan,
+    make_timespan, timespan literals on either side) yields the ADX
+    real ratio; interval-typed columns stay out of subset."""
+    r = kql(
+        spark,
+        "print a = totimespan('2h') / totimespan('30m'),"
+        " b = 1d / make_timespan(0, 30, 0),"
+        " c = 2h / 30m",
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (4.0, 48.0, 4.0)
