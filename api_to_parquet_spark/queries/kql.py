@@ -2215,8 +2215,11 @@ def _expr(kql_expr: str) -> str:
     # substr rewrite would silently mistranslate element access on
     # stored dynamics; true-string indexing stays out of subset).
     # Lazy: probes the stage child only when the pattern occurs.
+    # Round-9 (probe battery 6): pure-dot chains (`d.k` on a stored
+    # variant/string dynamic) are included — the base-column type gate
+    # keeps struct fields, table quals, and decimals untouched.
     if re.search(
-        r"(?<![\w.\])'\"])\w+(?:\.\w+|\[\d+\])*\[\d+\]", e
+        r"(?<![\w.\])'\"])\w+(?:\.\w+|\[\d+\])+", e
     ):
         _ctx8 = _ACTIVE_CTX.get()
         _child8 = _STAGE_CHILD.get()
@@ -2250,13 +2253,34 @@ def _expr(kql_expr: str) -> str:
 
                 e = _pred_sub(
                     r"(?<![\w.\])'\"])(\w+)"
-                    r"((?:\.\w+|\[\d+\])*\[\d+\](?:\.\w+|\[\d+\])*)",
+                    r"((?:\.\w+|\[\d+\])+)(?!\s*\()",
                     _idx8,
                     e,
                 )
     e = _rewrite_fn(e, "case", _case_sql)
     e = _rewrite_fn(e, "substring", _substring_sql)
     e = _rewrite_fn(e, "split", _split_sql)
+
+    def _parse_csv_sql(a: list[str]) -> str:
+        # parse_csv(text) -> array of field strings (round-9 probe
+        # battery 6): split on commas OUTSIDE double quotes (java
+        # regex lookahead — an even number of quotes must follow),
+        # then unquote + unescape "" per field. Single-record subset
+        # (embedded newlines ride along inside quoted fields).
+        if len(a) != 1:
+            raise ValueError(f"parse_csv needs one argument: {a!r}")
+        x = a[0].strip()
+        split_re = ',(?=(?:[^"]*"[^"]*")*[^"]*$)'
+        return (
+            f"transform(split({x}, '{split_re}'), _f ->"
+            " CASE WHEN startswith(_f, '\"') AND endswith(_f, '\"')"
+            " AND length(_f) >= 2"
+            " THEN replace(substring(_f, 2, length(_f) - 2),"
+            " '\"\"', '\"')"
+            " ELSE _f END)"
+        )
+
+    e = _rewrite_fn(e, "parse_csv", _parse_csv_sql)
     e = _rewrite_fn(e, "countof", _countof_sql)
     e = _rewrite_fn(e, "strcat", _strcat_sql)
     # series scalar surface (pairs with make-series): reductions,
@@ -2767,6 +2791,40 @@ def _expr(kql_expr: str) -> str:
         )
 
     e = _rewrite_fn(e, "ipv4_is_in_range", _ipv4_in_range_sql)
+
+    def _ipv4_match_sql(a: list[str]) -> str:
+        # ipv4_is_match(ip1, ip2[, prefix]) — round-9 probe battery 6.
+        # Either ip may carry '/nn' suffix notation; the effective
+        # prefix is the minimum of both suffixes and the optional
+        # prefix argument (the ADX contract). Fully dynamic (no
+        # literal requirement): address and suffix split per side,
+        # one integer shift compare, map-side.
+        if len(a) not in (2, 3):
+            raise ValueError(
+                f"ipv4_is_match needs (ip1, ip2[, prefix]): {a!r}"
+            )
+
+        def addr(x: str) -> str:
+            return _parse_ipv4_expr(f"element_at(split({x}, '/'), 1)")
+
+        def sfx(x: str) -> str:
+            return (
+                f"coalesce(try_cast(try_element_at(split({x}, '/'),"
+                " 2) AS INT), 32)"
+            )
+
+        x1, x2 = a[0].strip(), a[1].strip()
+        parts = [sfx(x1), sfx(x2)]
+        if len(a) == 3:
+            parts.append(f"CAST({a[2]} AS INT)")
+        eff = f"least({', '.join(parts)})"
+        shift = f"shiftleft(CAST(1 AS BIGINT), 32 - {eff})"
+        return (
+            f"(({addr(x1)}) div ({shift})"
+            f" = ({addr(x2)}) div ({shift}))"
+        )
+
+    e = _rewrite_fn(e, "ipv4_is_match", _ipv4_match_sql)
     e = _rewrite_fn(
         e,
         "ipv4_compare",
@@ -4635,14 +4693,23 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
     semantics and lets AQE decide the physical reuse."""
     scalar: dict[str, str] = {}
     tabular: dict[str, str] = {}
-    fnscalar: dict[str, tuple[list[str], str]] = {}
+    fnscalar: dict[str, tuple[list[str], list[str | None], str]] = {}
 
     def _expand_fns(txt: str) -> str:
         # scalar-function lets are textual MACROS: f(a, b) -> the body
-        # with each parameter replaced by its (parenthesized) argument
-        for fname, (params, fbody) in fnscalar.items():
+        # with each parameter replaced by its (parenthesized) argument;
+        # trailing omitted arguments fill from parameter defaults
+        for fname, (params, dflts, fbody) in fnscalar.items():
 
-            def _call(args: list[str], _p=params, _b=fbody) -> str:
+            def _call(
+                args: list[str], _p=params, _d=dflts, _b=fbody
+            ) -> str:
+                if len(args) < len(_p):
+                    missing = _d[len(args):]
+                    if all(dv is not None for dv in missing):
+                        args = list(args) + [
+                            dv for dv in missing  # type: ignore[misc]
+                        ]
                 if len(args) != len(_p):
                     raise ValueError(
                         f"{fname} takes {len(_p)} argument(s),"
@@ -4700,7 +4767,8 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
             text = text[m.end():]
             continue
         sfm = re.match(
-            r"^\(\s*(\w+\s*:\s*\w+(?:\s*,\s*\w+\s*:\s*\w+)*)\s*\)"
+            r"^\(\s*(\w+\s*:\s*\w+(?:\s*=\s*[^,()]+)?"
+            r"(?:\s*,\s*\w+\s*:\s*\w+(?:\s*=\s*[^,()]+)?)*)\s*\)"
             r"\s*\{\s*([^|{}]+?)\s*\}$",
             body,
             re.DOTALL,
@@ -4710,14 +4778,20 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
             # function let (round-7): single-expression body, applied
             # as f(args) anywhere a scalar goes. Expanded textually
             # (macro), so the translated plan is exactly the inlined
-            # expression — no UDF, stays in codegen. Multi-statement
-            # bodies and tabular parameters stay out of the subset
-            # (the `|`-free body guard above fails them loudly).
-            params = [
-                p.split(":")[0].strip()
-                for p in _split_top_level(sfm.group(1))
-            ]
-            fnscalar[name] = (params, sfm.group(2).strip())
+            # expression — no UDF, stays in codegen. Parameters may
+            # carry DEFAULT VALUES (`y: long = 10`, round-9 probe
+            # battery 6) — trailing omitted args fill from them.
+            # Multi-statement bodies and tabular parameters stay out
+            # of the subset (the `|`-free body guard above fails them
+            # loudly).
+            params = []
+            defaults = []
+            for p in _split_top_level(sfm.group(1)):
+                pname, _, ptype = p.partition(":")
+                tname, _, dflt = ptype.partition("=")
+                params.append(pname.strip())
+                defaults.append(dflt.strip() or None)
+            fnscalar[name] = (params, defaults, sfm.group(2).strip())
             text = text[m.end():]
             continue
         head = re.match(r"^(\w+)\s*(\||$)", body)
@@ -6023,10 +6097,34 @@ def _kql_stages_to_sql(
                     raise ValueError(
                         f"mv-expand typeof: unknown type {tname!r}"
                     )
+                # JSON-text dynamics compose with the typed clause
+                # (round-9 probe battery 6): `extend j = '[1, 2]'
+                # | mv-expand j to typeof(long)` — same string-column
+                # dispatch as the untyped branch
+                tsrc = c
+                if spark is not None:
+                    from pyspark.sql.types import StringType
+
+                    t_ctype = next(
+                        (
+                            f.dataType
+                            for f in _afields(spark, sql)
+                            if f.name == c
+                        ),
+                        None,
+                    )
+                    if isinstance(t_ctype, StringType):
+                        tsrc = (
+                            f"CASE WHEN {c} IS NULL THEN NULL"
+                            f" WHEN startswith(ltrim({c}), '[')"
+                            f" THEN from_json({c}, 'array<string>')"
+                            f" ELSE array({c})"
+                            " END"
+                        )
                 sql = (
                     f"SELECT * EXCEPT ({c}, _mv),"
                     f" try_cast(_mv AS {_KQL_TYPES[tname]}) AS {c}"
-                    f" FROM {prev} LATERAL VIEW explode({c}) _t AS _mv"
+                    f" FROM {prev} LATERAL VIEW explode({tsrc}) _t AS _mv"
                 )
                 continue
             # trailing `limit N` (round-7): ADX caps the expansion to
@@ -8707,8 +8805,13 @@ def _kql_stages_to_sql(
                     )
                 sql = f"SELECT * FROM {prev} UNION ALL ({right})"
         elif op in ("parse", "parse-where"):
+            # kind=relaxed (round-9 probe battery 6) accepted as the
+            # simple path: extraction already try_casts per column, so
+            # a failed type conversion nulls THAT column and parsing
+            # continues — exactly ADX's relaxed contract (the simple
+            # path is therefore a relaxed-leaning documented refinement)
             m = re.match(
-                r"(?:kind\s*=\s*(simple|regex)\s+)?"
+                r"(?:kind\s*=\s*(simple|relaxed|regex)\s+)?"
                 r"(?:flags\s*=\s*(\w+)\s+)?"
                 r"(\w+)\s+with\s+(.+)$",
                 body,

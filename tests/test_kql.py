@@ -1975,8 +1975,9 @@ def test_series_fit_2lines(spark):
 
 def test_graph_shortest_paths(spark):
     """Round-7 (verdict gap): graph-shortest-paths — min-hop selection
-    (shortcut beats 2-hop), bound respected, output=all and edge refs
-    rejected as subset errors."""
+    (shortcut beats 2-hop), bound respected, bad output= and edge refs
+    rejected as subset errors (output=all is supported since round 9 —
+    see test_graph_shortest_output_all)."""
     q = (
         "datatable(src: string, dst: string)"
         ' ["a","b", "b","c", "c","d", "a","c"]'
@@ -1995,8 +1996,8 @@ def test_graph_shortest_paths(spark):
         'datatable(src: string, dst: string) ["a","b"]'
         " | make-graph src --> dst | graph-shortest-paths"
     )
-    with pytest.raises(ValueError, match="output=all"):
-        kql(spark, f"{base} output=all (s)-[e*1..2]->(t) project s, t")
+    with pytest.raises(ValueError, match="output"):
+        kql(spark, f"{base} output=bogus (s)-[e*1..2]->(t) project s, t")
     with pytest.raises(ValueError, match="cannot be referenced"):
         kql(spark, f"{base} (s)-[e*1..2]->(t) project s, n = e.w")
     with pytest.raises(ValueError, match="bounds"):
@@ -2275,7 +2276,8 @@ def test_extend_parse_replace_on_clash(spark):
 def test_scan_state_references(spark):
     """Round-6: scan step conditions referencing EARLIER steps' matched
     row (`s2: v > s1.v`) — evaluated inside the same grouped fold;
-    forward/self references are subset errors."""
+    forward references are subset errors (self references are
+    supported since round 9 — see test_scan_self_step_references)."""
     spark.sql(
         "SELECT * FROM VALUES"
         " ('a', 1, 'start', 10.0), ('a', 2, 'end', 5.0),"
@@ -2299,18 +2301,12 @@ def test_scan_state_references(spark):
         ("b", 5, "s1"),
         ("b", 6, "s2"),
     ]
-    # forward/self references are out of the subset
-    with pytest.raises(ValueError, match="EARLIER"):
+    # forward references are out of the subset (self works, round 9)
+    with pytest.raises(ValueError, match="forward"):
         kql(
             spark,
             "ss_t | sort by seq asc | scan by g with ("
             " step s1: v > s2.v; step s2: kind == \"end\")",
-        )
-    with pytest.raises(ValueError, match="EARLIER"):
-        kql(
-            spark,
-            "ss_t | sort by seq asc | scan by g with ("
-            " step s1: v > s1.v)",
         )
 
 
