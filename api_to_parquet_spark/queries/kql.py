@@ -50,7 +50,7 @@ Supported pipe operators (the committed shapes plus the everyday core):
     T | top N by c [asc|desc]   -> ORDER BY c LIMIT N
     T | sort by c [asc|desc]    -> ORDER BY
     T | take N / limit N        -> LIMIT
-    T | count                   -> COUNT(*) AS count_
+    T | count                   -> COUNT(*) AS Count (ADX operator naming)
     T | distinct c1, c2         -> SELECT DISTINCT
     T | project-keep c1, c2     -> SELECT c1, c2
     T | project-rename n=old    -> SELECT * EXCEPT (old), old AS n
@@ -5683,7 +5683,11 @@ def _kql_stages_to_sql(
         if op in ("take", "limit"):
             sql = f"SELECT * FROM {prev} LIMIT {int(body)}"
         elif op == "count":
-            sql = f"SELECT COUNT(*) AS count_ FROM {prev}"
+            # ADX names the count OPERATOR's output column `Count`
+            # (capital C) — distinct from the `count_` default that
+            # unnamed `summarize count()` aggregates get (round-9
+            # parity fix on the reference's committed query shape)
+            sql = f"SELECT COUNT(*) AS Count FROM {prev}"
         elif op == "consume":
             # ADX `consume` runs the query and returns an empty result
             # (a perf-test sink). Spark is lazy, so "run but discard"
@@ -14479,7 +14483,7 @@ ORACLE = {
         ORDER BY ts, event_id LIMIT 100
     """,
     "kql_count": """
-        SELECT COUNT(*) AS count_ FROM events
+        SELECT COUNT(*) AS "Count" FROM events
     """,
     "kql_summarize": """
         SELECT event_type,

@@ -19,7 +19,7 @@ def test_reference_committed_shapes(spark, sf_smoke):
     ev.createOrReplaceTempView("TelemetryData")
     assert kql(spark, "OmyaData | take 100").count() == 100
     got = kql(spark, "TelemetryData | count").collect()[0]
-    assert got["count_"] == ev.count()
+    assert got["Count"] == ev.count()
 
 
 def test_where_project_extend_distinct(spark, sf_smoke):
@@ -43,7 +43,7 @@ def test_string_ops_translate(spark, sf_smoke):
     load(spark, sf_smoke, "documents").createOrReplaceTempView("documents")
     n_contains = kql(
         spark, 'documents | where text contains "the" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     n_like = spark.sql(
         "SELECT COUNT(*) AS n FROM documents WHERE text LIKE '%the%'"
     ).collect()[0]["n"]
@@ -180,8 +180,8 @@ def test_let_union_rename_keep(spark, sf_smoke):
         "          | project-rename uid=user_id | project-keep uid, event_type)"
         " | count",
     )
-    assert df.columns == ["count_"]
-    assert df.collect()[0]["count_"] > 0
+    assert df.columns == ["Count"]
+    assert df.collect()[0]["Count"] > 0
 
 
 def test_parse_extracts_typed_captures(spark, sf_smoke):
@@ -217,7 +217,7 @@ def test_has_regex_metacharacters_safe(spark, sf_smoke):
     \\Q-quoted inside the word-boundary pattern."""
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
     n = kql(spark, 'events | where props has "c++" | count').collect()[0]
-    assert n["count_"] == 0  # no such term, but the query RUNS
+    assert n["Count"] == 0  # no such term, but the query RUNS
 
 
 def test_case_insensitive_string_predicates(spark, sf_smoke):
@@ -226,8 +226,8 @@ def test_case_insensitive_string_predicates(spark, sf_smoke):
     n_ci = kql(spark, 'events | where event_type contains "VIEW" | count')
     n_cs = kql(spark, 'events | where event_type contains_cs "VIEW" | count')
     n_exact = kql(spark, 'events | where event_type == "view" | count')
-    assert n_ci.collect()[0]["count_"] >= n_exact.collect()[0]["count_"] > 0
-    assert n_cs.collect()[0]["count_"] == 0
+    assert n_ci.collect()[0]["Count"] >= n_exact.collect()[0]["Count"] > 0
+    assert n_cs.collect()[0]["Count"] == 0
 
 
 def test_let_substitution_skips_string_literals(spark, sf_smoke):
@@ -267,7 +267,7 @@ def test_union_aligns_columns_by_name(spark, sf_smoke):
         " | union (events | project value, event_id) | count",
     )
     n = spark.table("events").count()
-    assert df.collect()[0]["count_"] == 2 * n
+    assert df.collect()[0]["Count"] == 2 * n
     # value stays a value (misalignment would put event_ids in it)
     df2 = kql(
         spark,
@@ -290,7 +290,7 @@ def test_union_null_fills_missing_columns(spark, sf_smoke):
         " | where user_id >= 0 | count",
     )
     n = spark.table("events").count()
-    assert df.collect()[0]["count_"] == n
+    assert df.collect()[0]["Count"] == n
 
 
 def test_arg_max_star_expands_from_schema(spark, sf_smoke):
@@ -632,7 +632,7 @@ def test_join_innerunique_dedupes_left_on_key(spark):
     # explicit kind=inner keeps all left duplicates
     n_inner = kql(
         spark, "iu_left | join kind=inner (iu_right) on k | count"
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n_inner == 4
 
 
@@ -1068,10 +1068,10 @@ def test_datatable_ragged_values_rejected():
 def test_search_matches_any_string_column(spark, sf_smoke):
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
     # 'purch' appears in event_type; search is case-insensitive like ADX
-    n = kql(spark, 'events | search "PURCH" | count').collect()[0]["count_"]
+    n = kql(spark, 'events | search "PURCH" | count').collect()[0]["Count"]
     direct = kql(
         spark, 'events | where event_type contains "purch" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n >= direct > 0
     with pytest.raises(ValueError, match="SparkSession"):
         kql_to_sql('events | search "x"')
@@ -2587,7 +2587,7 @@ def test_union_isfuzzy_skips_missing_table(spark, sf_smoke):
     n = kql(
         spark,
         "events | union isfuzzy=true (no_such_table_xyz | take 5) | count",
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n == spark.table("events").count()
     with pytest.raises(Exception):
         kql(spark, "events | union (no_such_table_xyz) | count").collect()
@@ -2599,7 +2599,7 @@ def test_pipe_and_comma_inside_string_literals(spark, sf_smoke):
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
     n = kql(
         spark, 'events | where event_type == "a|b, c" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n == 0  # no such type — but the pipe must parse and run
     row = kql(spark, 'print s = strcat("x|y", ",", "z")').collect()[0]
     assert row["s"] == "x|y,z"
@@ -2619,10 +2619,10 @@ def test_review_fixes_round3(spark, sf_smoke):
     assert "=~" in sql and "lower(3)" not in sql
     n = kql(
         spark, 'events | where event_type in~ ("VIEW", "a,b") | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     direct = kql(
         spark, 'events | where event_type == "view" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n == direct > 0
     spark.sql(
         "SELECT CASE WHEN id % 3 = 0 THEN NULL ELSE concat('g', id % 3)"
@@ -2710,7 +2710,7 @@ def test_review_fixes_round4(spark, sf_smoke):
         'events | where (event_type contains "vi") and value >= 0'
         " | count",
     ).collect()
-    assert rows[0]["count_"] > 0
+    assert rows[0]["Count"] > 0
 
 
 def test_review_fixes_round5(spark, sf_smoke):
@@ -2722,19 +2722,19 @@ def test_review_fixes_round5(spark, sf_smoke):
         spark,
         'events | where tostring(event_id) startswith "1" | count',
     ).collect()
-    assert rows[0]["count_"] > 0
+    assert rows[0]["Count"] > 0
     rows = kql(
         spark,
         'events | where substring(event_type, 0, 2) =~ "VI" | count',
     ).collect()
-    assert rows[0]["count_"] > 0
+    assert rows[0]["Count"] > 0
     # ...including calls whose quoted args contain parens/commas
     rows = kql(
         spark,
         "events | where strcat(event_type, \"(x, y)\") contains \"(x\""
         " | count",
     ).collect()
-    assert rows[0]["count_"] > 0
+    assert rows[0]["Count"] > 0
     # (2) nested fork inside a branch must not clobber the outer fork's
     # source entry: every outer branch still resolves the OUTER prefix
     rows = kql(
@@ -2744,8 +2744,8 @@ def test_review_fixes_round5(spark, sf_smoke):
         " b = (count)",
     ).collect()
     by_branch = {r["fork_branch"]: r for r in rows}
-    assert by_branch["b"]["count_"] == 100
-    assert by_branch["a"]["count_"] in (100, None)
+    assert by_branch["b"]["Count"] == 100
+    assert by_branch["a"]["Count"] in (100, None)
     # (3) pivot/bag_unpack cache ring is per-session (module state keyed
     # by SparkSession, evicted via the owning session)
     from api_to_parquet_spark.queries.kql import _cache_rings
@@ -2992,29 +2992,29 @@ def test_round8_verdict_items(spark, sf_smoke):
     ).collect()
     assert rows[0]["n"] > 0 and rows[0]["t"] > 0
     # (7) in~ + !in~ tabular partition the table exactly
-    total = kql(spark, "events | count").collect()[0]["count_"]
+    total = kql(spark, "events | count").collect()[0]["Count"]
     n_ci = kql(
         spark,
         "events | where event_type in~ ((events | take 50"
         " | project toupper(event_type))) | count",
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     n_not = kql(
         spark,
         "events | where event_type !in~ ((events | take 50"
         " | project toupper(event_type))) | count",
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n_ci > 0 and n_ci + n_not == total
     # plain !in ((pipe)) still carries its negation
     n_in = kql(
         spark,
         "events | where event_type in ((events | take 50"
         " | project event_type)) | count",
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     n_nin = kql(
         spark,
         "events | where event_type !in ((events | take 50"
         " | project event_type)) | count",
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n_in + n_nin == total
     # (10)
     rows = kql(
@@ -3328,10 +3328,10 @@ def test_round8_probe_battery_fixes(spark, sf_smoke):
     assert r["n"] == 2
     n1 = kql(
         spark, 'events | where event_type == @"view" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     n2 = kql(
         spark, 'events | where event_type == "view" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n1 == n2 > 0
     r = kql(spark, "print s = @'it''s \\ raw'").collect()[0]
     assert r["s"] == "it's \\ raw"
@@ -3348,10 +3348,10 @@ def test_round8_probe_battery_fixes(spark, sf_smoke):
     # (4)
     n_star = kql(
         spark, 'events | where * has "view" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     n_search = kql(spark, 'events | search "view" | count').collect()[
         0
-    ]["count_"]
+    ]["Count"]
     assert n_star == n_search > 0
 
 
@@ -3365,16 +3365,16 @@ def test_round8_probe2_fixes(spark, sf_smoke):
         spark,
         'events | where event_type has_any (dynamic(["view",'
         ' "click"])) | count',
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     n_list = kql(
         spark,
         'events | where event_type has_any ("view", "click") | count',
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n_dyn == n_list > 0
     n_all = kql(
         spark,
         'events | where event_type has_all (dynamic(["view"])) | count',
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n_all > 0
     r = kql(
         spark,
@@ -3434,13 +3434,13 @@ def test_round9_advice_fixes(spark, sf_smoke):
     # (1) substring would match 'view'; whole-term must not
     n_has = kql(spark, 'events | where * has "vie" | count').collect()[
         0
-    ]["count_"]
+    ]["Count"]
     n_contains = kql(
         spark, 'events | where * contains "vie" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     n_whole = kql(
         spark, 'events | where * has "view" | count'
-    ).collect()[0]["count_"]
+    ).collect()[0]["Count"]
     assert n_has == 0 and n_contains > 0 and n_whole > 0
     # (2) plain string column: one row per input row, value preserved
     rows = kql(

@@ -334,7 +334,7 @@ def _kql_stage_st(cols: tuple[str, ...]):
                     " ip8, net"
                     + (", return_unmatched = true" if t[1] else "")
                     + ") | count",
-                    ("count_",),
+                    ("Count",),
                 )
             )
         )
@@ -373,7 +373,7 @@ def _kql_stage_st(cols: tuple[str, ...]):
                     f"evaluate {t[0]}(user_id, ts,"
                     " datetime(2024-01-01), datetime(2024-02-01),"
                     f" {t[1]}d{t[2]}) | count",
-                    ("count_",),
+                    ("Count",),
                 )
             )
         )
@@ -383,7 +383,7 @@ def _kql_stage_st(cols: tuple[str, ...]):
                     "evaluate session_count(user_id, ts,"
                     " datetime(2024-01-01), datetime(2024-02-01),"
                     f" 1d, {t[0]}d{t[1]}) | count",
-                    ("count_",),
+                    ("Count",),
                 )
             )
         )
@@ -402,7 +402,7 @@ def _kql_stage_st(cols: tuple[str, ...]):
                     + (", 1d" if (t[2] or t[3]) else "")
                     + t[3]
                     + ") | count",
-                    ("count_",),
+                    ("Count",),
                 )
             )
         )

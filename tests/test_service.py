@@ -122,7 +122,7 @@ def test_query_route_runs_kql_natively(spark, server):
         "TelemetryData"
     )
     status, body = _post(base + "/query", {"db": "x", "csl": "TelemetryData | count"})
-    assert status == 200 and body["rows"] == [{"count_": 3}]
+    assert status == 200 and body["rows"] == [{"Count": 3}]
     status, body = _post(
         base + "/query",
         {"csl": "TelemetryData | where Timestamp >= 200 | project PointId, Timestamp | sort by Timestamp asc"},
