@@ -4583,10 +4583,33 @@ def _parse_to_selects(
                 "parse kind=regex flags: only i/m/s are in the subset"
                 f" (U swaps greediness engine-wide): {flags!r}"
             )
-    toks = re.findall(r'"((?:[^"\\]|\\.)*)"|(\*)|(\w+)\s*:\s*(\w+)', pattern)
+    # fragments may be double- OR single-quoted (both are ADX string
+    # literals — round-9: the single-quoted form was silently SKIPPED
+    # by findall, so 'id=' patterns extracted NULLs); any pattern text
+    # matching neither a literal, *, nor name:type is now a loud error
+    tok_re = re.compile(
+        r'"((?:[^"\\]|\\.)*)"'
+        r"|'((?:[^'\\]|\\.)*)'"
+        r"|(\*)|(\w+)\s*:\s*(\w+)"
+    )
+    pos = 0
+    toks = []
+    for m_ in tok_re.finditer(pattern):
+        gap = pattern[pos : m_.start()].strip()
+        if gap:
+            raise ValueError(
+                f"parse pattern: unrecognized fragment {gap!r}"
+            )
+        toks.append(m_.groups())
+        pos = m_.end()
+    if pattern[pos:].strip():
+        raise ValueError(
+            f"parse pattern: unrecognized fragment {pattern[pos:]!r}"
+        )
     regex, caps = "", []
     anchored = True
-    for lit, star, name, typ in toks:
+    for dlit, slit, star, name, typ in toks:
+        lit = dlit if dlit is not None else slit
         if star:
             if not regex and not caps:
                 anchored = False
@@ -11458,6 +11481,32 @@ def q_kql_idioms4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 scalar batch (probe-battery-6 additions): parse_csv
+    (quote-aware comma split), ipv4_is_match with /suffix notation on
+    either side and the optional prefix argument, scalar function
+    lets with parameter DEFAULTS, parse kind=relaxed, and the count
+    operator's ADX column name via toscalar. All map-side."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "let f = (x: long, y: long = 100) { x + y };"
+        "events | where event_id < 600"
+        " | extend s = strcat('id=', tostring(event_id))"
+        " | parse kind=relaxed s with 'id=' pid: long"
+        " | project event_id, pid,"
+        " pc = tostring(parse_csv(strcat(event_type, ',',"
+        " tostring(event_id)))[1]),"
+        " m1 = ipv4_is_match(strcat('10.0.',"
+        " tostring(event_id % 200), '.1'), '10.0.7.0/24'),"
+        " m2 = ipv4_is_match(strcat('192.168.',"
+        " tostring(event_id % 4), '.9/24'), '192.168.2.0'),"
+        " m3 = ipv4_is_match(strcat(tostring(event_id % 20),"
+        " '.1.2.3'), '10.0.0.0', 8),"
+        " fd = f(event_id), fe = f(event_id, 1)",
+    )
+
+
 def q_kql_scalar_fns10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-8 scalar batch 10 — the last loud scalar gaps closed:
     series_iir (recursive filter as an index fold over the array,
@@ -12094,6 +12143,7 @@ QUERIES = {
     "kql_bracket_cols": q_kql_bracket_cols,
     "kql_idioms4": q_kql_idioms4,
     "kql_scalar_fns10": q_kql_scalar_fns10,
+    "kql_scalar_fns11": q_kql_scalar_fns11,
     "kql_activity_dims": q_kql_activity_dims,
     "kql_user_agent": q_kql_user_agent,
     "kql_user_agent2": q_kql_user_agent2,
@@ -13331,6 +13381,17 @@ ORACLE = {
         LEFT JOIN cnts pc ON pc.p = c.p - INTERVAL 86400 SECOND
                          AND pc.event_type = c.event_type
         LEFT JOIN rets r ON r.p = c.p AND r.event_type = c.event_type
+    """,
+    "kql_scalar_fns11": """
+        SELECT event_id,
+               event_id AS pid,
+               CAST(event_id AS VARCHAR) AS pc,
+               event_id % 200 = 7 AS m1,
+               event_id % 4 = 2 AS m2,
+               event_id % 20 = 10 AS m3,
+               event_id + 100 AS fd,
+               event_id + 1 AS fe
+        FROM events WHERE event_id < 600
     """,
     "kql_scalar_fns10": """
         SELECT event_id,
