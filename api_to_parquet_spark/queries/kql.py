@@ -4704,16 +4704,21 @@ def _sub_outside_strings(pattern: str, repl: str, text: str) -> str:
     return "".join(out)
 
 
-def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
+def _apply_lets(
+    text: str, spark: SparkSession | None = None
+) -> tuple[str, dict[str, str]]:
     """Strip leading `let name = …;` statements. Scalar lets substitute
     the parenthesized expression for each use in the body (and in LATER
     let bodies — lets may reference earlier lets), skipping string
-    literals. TABULAR lets (`let t = T | …;`, optionally wrapped in
-    materialize(...)) are returned as name -> pipe text for the
-    translator to inline wherever `t` heads a pipe. materialize() is a
-    caching hint in ADX; Spark's optimizer already reuses repeated
-    subtrees (ReusedExchange/Subquery), so stripping it preserves
-    semantics and lets AQE decide the physical reuse."""
+    literals. TABULAR lets (`let t = T | …;`) are returned as
+    name -> pipe text for the translator to inline wherever `t` heads
+    a pipe. materialize(...) with a session evaluates the pipe ONCE
+    (localCheckpoint via _cache_child) and every reference reads the
+    snapshot — ADX's evaluate-once contract, and the scale-correct
+    shape when an expensive let feeds several consumers (round-9;
+    previously stripped, leaving N references = N evaluations).
+    Without a session it still strips (semantics preserved; AQE's
+    ReusedExchange handles physical reuse where it can)."""
     scalar: dict[str, str] = {}
     tabular: dict[str, str] = {}
     fnscalar: dict[str, tuple[list[str], list[str | None], str]] = {}
@@ -4769,6 +4774,13 @@ def _apply_lets(text: str) -> tuple[str, dict[str, str]]:
         mm = re.match(r"materialize\s*\(\s*(.+)\)\s*$", body, re.DOTALL)
         if mm:
             body = mm.group(1).strip()
+            if spark is not None and re.match(r"^\w+\s*(\||$)", body):
+                # evaluate once, reference the snapshot everywhere
+                # (_cache_child returns "SELECT * FROM <view>")
+                inner_sql = _kql_to_sql_pinned(body, spark, dict(tabular))
+                tabular[name] = ("sql", _cache_child(spark, inner_sql, "mat"))
+                text = text[m.end():]
+                continue
         vm = re.match(r"^view\s*\(\s*\)\s*\{\s*(.+?)\s*\}$", body, re.DOTALL)
         if vm:
             # `let v = view () { pipe };` — ADX's view wrapper is a
@@ -5195,8 +5207,11 @@ def kql_to_sql(
         # whole translation works on \w+ identifiers, demangle to
         # backtick quoting in the returned (executable) SQL
         kql = _mangle_bracket_cols(" ".join(kql.split()))
-        kql, _tabular = _apply_lets(kql)
+        # _apply_lets runs INSIDE the pin scope: a materialize() let
+        # creates a _cache_child view that must stay pinned for this
+        # translation (round-9)
         with _pin_scope():
+            kql, _tabular = _apply_lets(kql, spark)
             return _demangle_bracket_cols(
                 _kql_to_sql_pinned(kql, spark, _tabular)
             )

@@ -3663,3 +3663,26 @@ def test_timespan_division_expression_divisors(spark):
         " c = 2h / 30m",
     ).collect()[0]
     assert (r["a"], r["b"], r["c"]) == (4.0, 48.0, 4.0)
+
+
+def test_materialize_evaluates_once(spark, sf_smoke):
+    """Round-9: materialize() with a session evaluates the let pipe
+    ONCE (localCheckpoint snapshot) — every reference scans the
+    materialized rows (ExistingRDD), not a re-derived subtree. The
+    ADX evaluate-once contract and the scale-correct shape for an
+    expensive let feeding several consumers."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "let m = materialize(events"
+        " | summarize c = count() by event_type);"
+        " m | join kind=inner (m | project event_type, c2 = c)"
+        " on event_type | project event_type, c, c2",
+    )
+    rows = df.collect()
+    assert rows and all(r["c"] == r["c2"] for r in rows)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # both references read the snapshot; the events scan happened at
+    # translate time, not in this plan
+    assert "ExistingRDD" in plan
+    assert "events" not in plan.lower() or "FileScan" not in plan
