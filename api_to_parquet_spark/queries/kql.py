@@ -3229,6 +3229,31 @@ def _expr(kql_expr: str) -> str:
             f" _ucp -> ascii(substring({a[0]}, _ucp, 1)))"
         ),
     )
+    # round-9 scalar additions: the codepoint/byte-array inverses and
+    # RE2 QuoteMeta — all map-side folds
+    e = _rewrite_fn(
+        e,
+        "unicode_codepoints_to_string",
+        lambda a: f"concat_ws('', transform({a[0]}, _c -> char(_c)))",
+    )
+    e = _rewrite_fn(
+        e,
+        "base64_encode_fromarray",
+        lambda a: (
+            f"base64(unhex(aggregate({a[0]}, '',"
+            " (_a, _b) -> concat(_a,"
+            " lpad(hex(CAST(_b AS BIGINT) % 256), 2, '0')))))"
+        ),
+    )
+    e = _rewrite_fn(
+        e,
+        "regex_quote",
+        # RE2 QuoteMeta: backslash-escape everything outside
+        # [A-Za-z0-9_]
+        lambda a: (
+            f"regexp_replace({a[0]}, '([^A-Za-z0-9_])', '\\\\\\\\$1')"
+        ),
+    )
     e = _rewrite_fn(
         e,
         "parse_urlquery",
@@ -11501,7 +11526,10 @@ def q_kql_scalar_fns11(spark: SparkSession, sf_dir: str) -> DataFrame:
     (quote-aware comma split), ipv4_is_match with /suffix notation on
     either side and the optional prefix argument, scalar function
     lets with parameter DEFAULTS, parse kind=relaxed, and the count
-    operator's ADX column name via toscalar. All map-side."""
+    count operator's ADX column naming, plus the round-9 inverses
+    unicode_codepoints_to_string / base64_encode_fromarray (roundtrip
+    through their from_/decode twins) and regex_quote (RE2 QuoteMeta).
+    All map-side."""
     _events_view(spark, sf_dir)
     return kql(
         spark,
@@ -11518,7 +11546,12 @@ def q_kql_scalar_fns11(spark: SparkSession, sf_dir: str) -> DataFrame:
         " tostring(event_id % 4), '.9/24'), '192.168.2.0'),"
         " m3 = ipv4_is_match(strcat(tostring(event_id % 20),"
         " '.1.2.3'), '10.0.0.0', 8),"
-        " fd = f(event_id), fe = f(event_id, 1)",
+        " fd = f(event_id), fe = f(event_id, 1),"
+        " ucs = unicode_codepoints_to_string("
+        "unicode_codepoints_from_string(event_type)),"
+        " b64 = base64_decode_tostring(base64_encode_fromarray("
+        "unicode_codepoints_from_string(event_type))),"
+        " rq = regex_quote(strcat(event_type, '.'))",
     )
 
 
@@ -13405,7 +13438,10 @@ ORACLE = {
                event_id % 4 = 2 AS m2,
                event_id % 20 = 10 AS m3,
                event_id + 100 AS fd,
-               event_id + 1 AS fe
+               event_id + 1 AS fe,
+               event_type AS ucs,
+               event_type AS b64,
+               event_type || chr(92) || '.' AS rq
         FROM events WHERE event_id < 600
     """,
     "kql_scalar_fns10": """
