@@ -8266,6 +8266,47 @@ def _kql_stages_to_sql(
                 jhint = f"/*+ SHUFFLE_HASH(_r{i}) */ "
             else:
                 jhint = ""
+            # ADX collision naming (round-9): right-side columns whose
+            # names collide with the left get a `1` suffix (value ->
+            # value1), so downstream `project value1` works. RETRY-path
+            # only (the schemas are probed there; the fast path stays
+            # zero-analysis — a query referencing value1 fails fast
+            # analysis with an unresolved/ambiguous error and retries).
+            # SEMI/ANTI kinds emit one side only — nothing to suffix.
+            def _suffixed_items(
+                lalias: str, ralias: str, using_keys: list[str]
+            ) -> str | None:
+                if spark is None or not _RESOLVE_CLASHES.get():
+                    return None
+                if joins[kind] in ("LEFT SEMI JOIN", "LEFT ANTI JOIN"):
+                    return None
+                try:
+                    lcols = _acols(spark, left_sql)
+                    rcols = _acols(spark, right)
+                except Exception:
+                    return None
+                taken = set(lcols)
+                # USING keys stay UNQUALIFIED — Spark's merged
+                # (coalesced-on-fullouter) key column
+                items = [f"`{k}`" for k in using_keys] + [
+                    f"{lalias}.`{c}`"
+                    for c in lcols
+                    if c not in using_keys
+                ]
+                for c in rcols:
+                    if c in using_keys:
+                        continue
+                    if c in taken:
+                        new = f"{c}1"
+                        while new in taken:
+                            new += "1"
+                        items.append(f"{ralias}.`{c}` AS `{new}`")
+                        taken.add(new)
+                    else:
+                        items.append(f"{ralias}.`{c}`")
+                        taken.add(c)
+                return ", ".join(items)
+
             if qualified:
                 # `on $left.a == $right.b` — the qualified-key form for
                 # differently-named join columns. ADX keeps BOTH key
@@ -8284,14 +8325,19 @@ def _kql_stages_to_sql(
                     if kind in ("rightsemi", "rightanti"):
                         lk, rk = rk, lk  # sides swapped above
                     conds.append(f"_l{i}.{lk} = _r{i}.{rk}")
+                sel = _suffixed_items(f"_l{i}", f"_r{i}", []) or "*"
                 sql = (
-                    f"SELECT {jhint}* FROM ({left_sql}) AS _l{i}"
+                    f"SELECT {jhint}{sel} FROM ({left_sql}) AS _l{i}"
                     f" {joins[kind]}"
                     f" ({right}) AS _r{i} ON {' AND '.join(conds)}"
                 )
             else:
+                # bare `on k` (USING) merges the key columns — the
+                # documented refinement of ADX's key+key1 duplication
+                sel = _suffixed_items(f"_s{i}", f"_r{i}", keys)
                 sql = (
-                    f"SELECT {jhint}* FROM {prev} {joins[kind]}"
+                    f"SELECT {jhint}{sel or '*'} FROM {prev}"
+                    f" {joins[kind]}"
                     f" ({right}) AS _r{i} "
                     f"USING ({', '.join(keys)})"
                 )
@@ -9813,6 +9859,15 @@ def kql(
                         "ALREADY_EXISTS",
                         "DUPLICATE",
                     )
+                ) and not (
+                    # a reference to an ADX join-collision column
+                    # (value1) resolves only after the retry's
+                    # suffixing pass (round-9); the pipe must actually
+                    # contain a join/lookup for this trigger
+                    "UNRESOLVED_COLUMN" in msg
+                    and re.search(
+                        r"\bjoin\b|\blookup\b", text, re.IGNORECASE
+                    )
                 ):
                     raise
             clash_tok = _RESOLVE_CLASHES.set(True)
@@ -10398,6 +10453,23 @@ def q_kql_array_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ' | extend n = array_length(arr), i = array_index_of(arr, "x"),'
         ' p = indexof(event_type, "e")'
         " | project event_id, n, i, missing, p",
+    )
+
+
+def q_kql_join_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADX join collision naming (round-9): right-side columns whose
+    names collide with the left gain a `1` suffix (value -> value1),
+    referenceable downstream — resolved on kql()'s retry pass, so the
+    common no-collision join stays zero-analysis. The bare `on k` key
+    stays merged (documented refinement of ADX's key+key1)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        " | join kind=inner (events | where event_id < 500"
+        " | project user_id, event_id, value) on user_id"
+        " | project user_id, event_id, event_id1, value, value1"
+        " | where event_id != event_id1",
     )
 
 
@@ -12253,6 +12325,7 @@ QUERIES = {
     "kql_parse_where": q_kql_parse_where,
     "kql_bag_unpack": q_kql_bag_unpack,
     "kql_datetime_math": q_kql_datetime_math,
+    "kql_join_suffix": q_kql_join_suffix,
     "kql_join_qualified": q_kql_join_qualified,
     "kql_percentiles": q_kql_percentiles,
     "kql_array_misc": q_kql_array_misc,
@@ -14487,6 +14560,16 @@ ORACLE = {
     "kql_bag_unpack": """
         SELECT event_id, json_extract_string(props, '$.k') AS k
         FROM events
+    """,
+    "kql_join_suffix": """
+        SELECT a.user_id, a.event_id,
+               b.event_id AS event_id1,
+               a.value, b.value AS value1
+        FROM (SELECT * FROM events WHERE event_id < 300) a
+        JOIN (SELECT user_id, event_id, value FROM events
+              WHERE event_id < 500) b
+          ON a.user_id = b.user_id
+        WHERE a.event_id <> b.event_id
     """,
     "kql_join_qualified": """
         SELECT a.event_id, b.event_id AS eid2, b.user_id, a.value

@@ -3686,3 +3686,33 @@ def test_materialize_evaluates_once(spark, sf_smoke):
     # translate time, not in this plan
     assert "ExistingRDD" in plan
     assert "events" not in plan.lower() or "FileScan" not in plan
+
+
+def test_join_collision_suffix(spark, sf_smoke):
+    """Round-9: right-side join columns colliding with left names gain
+    ADX's 1 suffix and are referenceable downstream; non-colliding
+    names pass through unsuffixed; genuine unknown columns stay
+    loud."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(
+        spark,
+        "events | take 10 | join kind=inner (events | take 20)"
+        " on user_id | project event_id, event_id1, value1",
+    )
+    assert df.columns == ["event_id", "event_id1", "value1"]
+    assert df.count() > 0
+    # qualified keys: both kept, collisions suffixed
+    df = kql(
+        spark,
+        "events | take 5 | join kind=inner (events | take 9"
+        " | project eid = event_id, ts, value)"
+        " on $left.event_id == $right.eid"
+        " | project event_id, eid, ts1, value1",
+    )
+    assert df.count() == 5
+    with pytest.raises(Exception):
+        kql(
+            spark,
+            "events | take 5 | join kind=inner (events | take 9)"
+            " on user_id | project nope_zz",
+        )
