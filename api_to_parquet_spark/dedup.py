@@ -398,6 +398,46 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup survivor selection (round-9): cluster the
+    LSH pair graph (connected_components over q_minhash_lsh_pairs) and
+    keep ONE document per cluster by a quality criterion — here the
+    LONGEST text (n_chars, doc_id tiebreak), the standard "keep the
+    most complete duplicate" rule production corpus pipelines apply
+    instead of min-id. Singleton documents are their own cluster and
+    survive unchanged. Shape: the CC label table is tiny relative to
+    the corpus (clustered docs only), so the labels join broadcasts;
+    survivor choice is ONE window per cluster — no extra corpus scan.
+    Oracle: the dedup_clusters recursive CTE + a window argmax."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels, _ = connected_components(pairs)
+    labeled = docs.join(
+        F.broadcast(labels.withColumnRenamed("n", "doc_id")),
+        "doc_id",
+        "left",
+    ).withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col("doc_id"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        labeled.withColumn("_rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count("*").over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "n_members",
+        )
+    )
+
+
 # SimHash: 60-bit fingerprint from md5-derived word hashes. md5 is the
 # common deterministic hash DuckDB shares, so the oracle can reproduce the
 # exact fingerprints (conv(md5[0:15], 16, 10) == ('0x'||md5[0:15])::BIGINT).
@@ -793,6 +833,7 @@ QUERIES = {
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
     "prefix_filter_pairs": q_prefix_filter_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_keep_best": q_dedup_keep_best,
     "simhash_fingerprint": q_simhash_fingerprint,
     "simhash_dup_pairs": q_simhash_dup_pairs,
     "simhash_band_pairs": q_simhash_band_pairs,
@@ -893,6 +934,37 @@ ORACLE = {
             SELECT e.doc_a, reach.r
             FROM reach JOIN edges e ON reach.doc_id = e.doc_b)
         SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+    # quality-aware survivor: same recursive-CTE components, then a
+    # window argmax on (n_chars DESC, doc_id ASC) per cluster;
+    # singletons are their own cluster
+    "dedup_keep_best": f"""
+        WITH RECURSIVE
+        prs AS MATERIALIZED ({_DUCK_JACCARD_PAIRS}),
+        edges AS MATERIALIZED (
+            SELECT doc_a, doc_b FROM prs
+            UNION ALL
+            SELECT doc_b AS doc_a, doc_a AS doc_b FROM prs),
+        nodes AS (SELECT DISTINCT doc_a AS doc_id FROM edges),
+        reach(doc_id, r) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT e.doc_a, reach.r
+            FROM reach JOIN edges e ON reach.doc_id = e.doc_b),
+        lab AS (SELECT doc_id, MIN(r) AS cluster_id FROM reach
+                GROUP BY doc_id),
+        j AS (SELECT d.doc_id,
+                     coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+                     d.n_chars
+              FROM documents d LEFT JOIN lab l USING (doc_id)),
+        rk AS (SELECT *,
+                      row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id ASC) AS rn,
+                      count(*) OVER (PARTITION BY cluster_id) AS nm
+               FROM j)
+        SELECT cluster_id, doc_id AS keep_doc_id,
+               n_chars AS keep_n_chars, CAST(nm AS BIGINT) AS n_members
+        FROM rk WHERE rn = 1
     """,
     "simhash_fingerprint": _DUCK_SIMHASH,
     "simhash_dup_pairs": f"""
