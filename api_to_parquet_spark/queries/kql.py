@@ -6330,12 +6330,20 @@ def _kql_stages_to_sql(
             # become the implicit group-by, as in ADX.
             bm = re.match(
                 r"bag_unpack\s*\(\s*(\w+)\s*"
+                r"(?:,\s*'((?:[^'\\]|\\.)*)'\s*)?"
                 r"(?:,\s*OutputSchema\s*=\s*\(([^()]*)\)\s*)?\)\s*"
                 r"(?::\s*\(([^()]*)\)\s*)?$",
                 body,
                 re.IGNORECASE,
             )
-            if bm and (bm.group(2) or bm.group(3)):
+            bm_prefix = bm.group(2) if bm else None
+            if bm and bm_prefix and (bm.group(3) or bm.group(4)):
+                raise ValueError(
+                    "bag_unpack: OutputSchema declares FINAL column"
+                    " names — include the prefix in them instead of"
+                    " passing OutputColumnPrefix too"
+                )
+            if bm and (bm.group(3) or bm.group(4)):
                 # `evaluate bag_unpack(c, OutputSchema=(a:long, …))`
                 # or ADX's trailing-schema spelling
                 # `evaluate bag_unpack(c) : (a:long, …)` — the user
@@ -6349,7 +6357,7 @@ def _kql_stages_to_sql(
                 # the bag and cast to the declared type.
                 bc = bm.group(1)
                 decl = []
-                for it in _split_top_level(bm.group(2) or bm.group(3)):
+                for it in _split_top_level(bm.group(3) or bm.group(4)):
                     dm = re.match(r"^\s*(\w+)\s*:\s*(\w+)\s*$", it)
                     if not dm or dm.group(2).lower() not in _KQL_TYPES:
                         raise ValueError(
@@ -6411,8 +6419,12 @@ def _kql_stages_to_sql(
                     # (an empty SELECT list was a ParseException)
                     sql = f"SELECT * EXCEPT ({bc}) FROM {prev}"
                     continue
+                # OutputColumnPrefix (round-9): prefixes the unpacked
+                # column names (discovery unchanged)
+                pfx = bm_prefix or ""
                 cols = ", ".join(
-                    f"get_json_object({bc}, '$.{k}') AS `{k}`" for k in keys
+                    f"get_json_object({bc}, '$.{k}') AS `{pfx}{k}`"
+                    for k in keys
                 )
                 sql = f"SELECT * EXCEPT ({bc}), {cols} FROM {prev}"
                 continue

@@ -3716,3 +3716,17 @@ def test_join_collision_suffix(spark, sf_smoke):
             "events | take 5 | join kind=inner (events | take 9)"
             " on user_id | project nope_zz",
         )
+
+
+def test_bag_unpack_output_column_prefix(spark, sf_smoke):
+    """Round-9: bag_unpack OutputColumnPrefix prefixes the discovered
+    column names; combining it with OutputSchema is a loud error
+    (declared names are final)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    df = kql(spark, "events | evaluate bag_unpack(props, 'p_') | take 2")
+    assert "p_k" in df.columns and "props" not in df.columns
+    with pytest.raises(ValueError, match="FINAL"):
+        kql_to_sql(
+            "events | evaluate bag_unpack(props, 'p_',"
+            " OutputSchema=(p_k: long))"
+        )
