@@ -8118,6 +8118,33 @@ def _kql_stages_to_sql(
             if spark is None:
                 raise ValueError("evaluate pivot needs a SparkSession")
             pc, aggtext = m.group(1), m.group(2).strip()
+            # trailing plain-column args restrict the implicit
+            # group-by to exactly those columns (ADX's
+            # `pivot(col, agg, c1, c2, …)` form — round-9): express as
+            # a pre-projection of the listed columns + the pivot
+            # column + the aggregate's argument
+            pv_parts = _split_top_level(aggtext)
+            if len(pv_parts) > 1:
+                extras = [c.strip() for c in pv_parts[1:]]
+                if not all(re.match(r"^\w+$", c) for c in extras):
+                    raise ValueError(
+                        "pivot extra args must be plain columns:"
+                        f" {pv_parts[1:]!r}"
+                    )
+                aggtext = pv_parts[0].strip()
+                am_ = re.match(r"^\w+\s*\(\s*(\w*)\s*\)$", aggtext)
+                if not am_:
+                    raise ValueError(
+                        "pivot with column args needs a plain"
+                        f" agg(col) aggregate: {aggtext!r}"
+                    )
+                keep = list(dict.fromkeys(extras + [pc]))
+                if am_.group(1) and am_.group(1) not in keep:
+                    keep.append(am_.group(1))
+                sql = (
+                    f"SELECT {', '.join(keep)} FROM ({sql})"
+                    f" AS _pvp{i}"
+                )
             agg_sql = _agg(aggtext, 0).rsplit(" AS ", 1)[0]
             if schema_decl is not None:
                 # `evaluate pivot(col, agg) : (g: string, v1: long, …)`
@@ -10334,6 +10361,32 @@ def q_kql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_pivot_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`evaluate pivot(col, agg, c1, …)` (round-9): trailing plain
+    columns restrict the implicit group-by to exactly those — a
+    pre-projection of the listed columns + pivot column + agg arg,
+    then the same PIVOT."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | extend cents = tolong(round(value * 100))"
+        " | evaluate pivot(event_type, sum(cents), user_id)",
+    )
+
+
+def q_kql_top_nested_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """top-nested `with others =` (round-9 value verification): the
+    top-2 event types by exact cents plus a labeled bucket holding
+    the aggregate of everything else."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | extend cents = tolong(round(value * 100))"
+        ' | top-nested 2 of event_type with others = "Other"'
+        " by s = sum(cents)",
+    )
+
+
 def q_kql_output_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declared output schemas (round-8 verdict #1): bag_unpack with
     OutputSchema= (and ADX's trailing `: (…)` spelling on pivot) skip
@@ -12347,6 +12400,8 @@ QUERIES = {
     "kql_top_hitters": q_kql_top_hitters,
     "kql_pivot": q_kql_pivot,
     "kql_output_schema": q_kql_output_schema,
+    "kql_pivot_cols": q_kql_pivot_cols,
+    "kql_top_nested_others": q_kql_top_nested_others,
     "kql_getschema": q_kql_getschema,
     "kql_string_fns": q_kql_string_fns,
     "kql_count": q_kql_count,
@@ -14629,6 +14684,40 @@ ORACLE = {
                sum(round(value * 100)) AS approximate_sum_cents
         FROM events GROUP BY event_type
         ORDER BY approximate_sum_cents DESC, event_type ASC LIMIT 3
+    """,
+    "kql_pivot_cols": """
+        WITH c AS (
+            SELECT user_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN cents END)
+                    AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN cents END)
+                    AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
+                    END) AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN cents END)
+                    AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN cents END)
+                    AS BIGINT) AS view
+        FROM c GROUP BY user_id
+    """,
+    "kql_top_nested_others": """
+        WITH c AS (
+            SELECT event_type,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM events GROUP BY event_type
+        ), r AS (
+            SELECT *, row_number() OVER (ORDER BY s DESC, event_type)
+                   AS rn
+            FROM c
+        )
+        SELECT event_type, s FROM r WHERE rn <= 2
+        UNION ALL
+        SELECT 'Other', CAST(sum(s) AS BIGINT) FROM r WHERE rn > 2
     """,
     "kql_output_schema": """
         WITH u AS (
