@@ -62,6 +62,9 @@ HEADLINE = [
     "kql_graph_shortest",  # bounded-k relational BFS (r7)
     "kql_idioms4",  # set/bin_auto + tabular-let subqueries + bag expand (r8)
     "pii_scrub",  # map-side PII redaction chain over documents (r8)
+    "kql_output_schema",  # declared-schema bag_unpack+pivot, zero discovery (r9)
+    "kql_scan_self",  # self-step state refs on the scan fold (r9)
+    "dedup_keep_best",  # quality-aware near-dup survivor via CC + window (r9)
 ]
 
 # Per-query medians pinned from the last judged round (bench_pins.json).
