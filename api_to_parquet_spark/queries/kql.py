@@ -8678,11 +8678,42 @@ def _kql_stages_to_sql(
             if kind not in lk:
                 raise ValueError(f"unsupported lookup kind: {kind!r}")
             right = kql_to_sql(m.group(2).strip(), spark, _tabular)
-            keys = ", ".join(
+            key_list = [
                 k.strip() for k in _split_top_level(m.group(3))
-            )
+            ]
+            keys = ", ".join(key_list)
+            # non-key collisions get the same `1` suffix the join
+            # operator applies (round-9) — retry path only, same
+            # zero-fast-path-analysis contract
+            sel = "*"
+            if spark is not None and _RESOLVE_CLASHES.get():
+                try:
+                    lcols = _acols(spark, sql)
+                    rcols = _acols(spark, right)
+                except Exception:
+                    lcols = rcols = None
+                if lcols is not None:
+                    taken = set(lcols)
+                    items = [f"`{k}`" for k in key_list] + [
+                        f"_s{i}.`{c}`"
+                        for c in lcols
+                        if c not in key_list
+                    ]
+                    for c in rcols:
+                        if c in key_list:
+                            continue
+                        if c in taken:
+                            new = f"{c}1"
+                            while new in taken:
+                                new += "1"
+                            items.append(f"_lk{i}.`{c}` AS `{new}`")
+                            taken.add(new)
+                        else:
+                            items.append(f"_lk{i}.`{c}`")
+                            taken.add(c)
+                    sel = ", ".join(items)
             sql = (
-                f"SELECT /*+ BROADCAST(_lk{i}) */ * FROM {prev}"
+                f"SELECT /*+ BROADCAST(_lk{i}) */ {sel} FROM {prev}"
                 f" {lk[kind]} ({right}) AS _lk{i} USING ({keys})"
             )
         elif op == "render":
