@@ -4998,6 +4998,19 @@ def _window_rewrite(expr_sql: str, order_keys: list[str]) -> str:
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
     e = re.sub(r"\brow_number\(\s*\)", f"ROW_NUMBER(){over}", expr_sql)
+
+    def _row_number_start(args: list[str]) -> str:
+        # row_number(startingIndex) — ADX numbers from the given start
+        # (round-9); the restart form is handled by the extend
+        # pre-pass (two window layers), same as row_cumsum restart
+        if len(args) != 1:
+            raise ValueError(
+                "row_number(start, restart) must be a standalone"
+                " extend item (name = row_number(start, restart))"
+            )
+        return f"(ROW_NUMBER(){over} + ({args[0]}) - 1)"
+
+    e = _rewrite_fn(e, "row_number", _row_number_start)
     e = _rewrite_fn(e, "prev", lambda args: f"LAG({', '.join(args)}){over}")
     e = _rewrite_fn(e, "next", lambda args: f"LEAD({', '.join(args)}){over}")
     def _row_cumsum(args: list[str]) -> str:
@@ -5797,6 +5810,7 @@ def _kql_stages_to_sql(
             rank_items = {}
             sess_items = {}
             cumr_items = {}
+            rnr_items: dict = {}
             for c in ext_items:
                 rm_ = re.match(
                     r"(\w+)\s*=\s*row_rank_(dense|min)"
@@ -5840,7 +5854,24 @@ def _kql_stages_to_sql(
                             cargs[0].strip(),
                             cargs[1].strip(),
                         )
-            if rank_items or sess_items or cumr_items:
+                    continue
+                # row_number(start, restart) — numbering restarts at
+                # `start` where the restart expression is true
+                # (round-9): same two-layer shape, the running count
+                # of restart flags partitions the outer ROW_NUMBER
+                nm2_ = re.match(
+                    r"(\w+)\s*=\s*row_number\s*\((.+)\)\s*$",
+                    c.strip(),
+                )
+                if nm2_:
+                    rargs = _split_top_level(nm2_.group(2))
+                    if len(rargs) == 2:
+                        rnr_items[c] = (
+                            nm2_.group(1),
+                            rargs[0].strip(),
+                            rargs[1].strip(),
+                        )
+            if rank_items or sess_items or cumr_items or rnr_items:
                 if order_keys is None:
                     raise ValueError(
                         "row_rank_* / row_window_session need a"
@@ -5869,6 +5900,11 @@ def _kql_stages_to_sql(
                     chg_list.append(
                         f"SUM(IF({_expr(rst)}, 1, 0)) {run}"
                         f" AS _cgrp_{nm}"
+                    )
+                for nm, _st, rst in rnr_items.values():
+                    chg_list.append(
+                        f"SUM(IF({_expr(rst)}, 1, 0)) {run}"
+                        f" AS _ngrp_{nm}"
                     )
                 inner = (
                     f"SELECT *, ROW_NUMBER() {over} AS _rrn,"
@@ -5904,6 +5940,14 @@ def _kql_stages_to_sql(
                             " ROWS BETWEEN UNBOUNDED PRECEDING AND"
                             f" CURRENT ROW) AS {nm}"
                         )
+                    elif c in rnr_items:
+                        nm, st, _rst = rnr_items[c]
+                        outs.append(
+                            f"(ROW_NUMBER() OVER ("
+                            f"PARTITION BY _ngrp_{nm}"
+                            f" ORDER BY {', '.join(order_keys)})"
+                            f" + ({_expr(st)}) - 1) AS {nm}"
+                        )
                     else:
                         m2 = re.match(r"(\w+)\s*=\s*(.+)$", c)
                         if not m2:
@@ -5924,6 +5968,10 @@ def _kql_stages_to_sql(
                     + [
                         f"_cgrp_{nm}"
                         for nm, _, _ in cumr_items.values()
+                    ]
+                    + [
+                        f"_ngrp_{nm}"
+                        for nm, _, _ in rnr_items.values()
                     ]
                 )
                 sql = (
@@ -6113,11 +6161,13 @@ def _kql_stages_to_sql(
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
             order_keys = orders  # the serialize window order
         elif op == "mv-expand":
-            # `kind=array|bag` modifier (round-8 probe finding):
+            # `kind=array|bag` modifier (round-8 probe finding) and the
+            # legacy `bagexpansion=array|bag` spelling (round-9):
             # array is the default behavior and the bag path
             # type-dispatches anyway — accept and strip
             body = re.sub(
-                r"^kind\s*=\s*(array|bag)\s+", "", body,
+                r"^(?:kind|bagexpansion)\s*=\s*(array|bag)\s+", "",
+                body,
                 flags=re.IGNORECASE,
             )
             # `with_itemindex=Ix` prefixes a 0-based element-index
@@ -9058,15 +9108,21 @@ def _kql_stages_to_sql(
             col, defs_text, opts_text = km.groups()
             opts = {}
             for o in _split_top_level(opts_text):
+                # delimiters may be double- OR single-quoted (both are
+                # ADX string literals — round-9, same class as the
+                # parse-fragment fix)
                 om = re.match(
                     r"^(pair_delimiter|kv_delimiter)\s*=\s*"
-                    r'"((?:[^"\\]|\\.)*)"$',
+                    r"(?:\"((?:[^\"\\]|\\.)*)\""
+                    r"|'((?:[^'\\]|\\.)*)')$",
                     o.strip(),
                     re.IGNORECASE,
                 )
                 if not om:
                     raise ValueError(f"unsupported parse-kv option: {o!r}")
-                opts[om.group(1).lower()] = om.group(2)
+                opts[om.group(1).lower()] = (
+                    om.group(2) if om.group(2) is not None else om.group(3)
+                )
             if set(opts) != {"pair_delimiter", "kv_delimiter"}:
                 raise ValueError(
                     "parse-kv needs BOTH pair_delimiter and kv_delimiter"
