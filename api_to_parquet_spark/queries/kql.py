@@ -256,6 +256,28 @@ base64_decode_toarray; timespan / timespan-literal division;
 gamma/loggamma (Lanczos g=7 builtin arithmetic); beta_cdf (Lentz
 continued fraction as a fixed-depth aggregate fold);
 series_stats_dynamic; parse_user_agent 'browser' (major families).
+
+Closed in round 9 (previously out of subset or silently wrong):
+declared output schemas — bag_unpack OutputSchema=/: (…) and pivot
+: (…) skip the discovery scan entirely, bag_unpack
+OutputColumnPrefix, pivot trailing group-column args; parse_user_agent
+'os'/'device' + tier-2 browsers; scan SELF-step state references
+(cumulative-sum idiom exact); graph-shortest-paths output=all
+(per-path multiplicity); `+` concat with provably-string CALL
+operands (tostring/strcat/… — balanced placeholder folds at any
+depth) and a loud error for mixed string/numeric column operands;
+timespan division by totimespan()/make_timespan() expressions;
+materialize() evaluate-once (checkpointed snapshot); ADX join/lookup
+collision naming (right-side name1 suffixes); `| count` operator
+column named Count (ADX) — count_ stays the unnamed summarize
+default; single-quoted parse fragments and parse-kv delimiters
+(previously silently skipped); parse kind=relaxed; parse_csv;
+ipv4_is_match; scalar fn-let parameter defaults; typed mv-expand
+over JSON text; mv-expand bagexpansion=; stored-dynamic dotted
+access d.k; row_number(start[, restart]); series_dot_product /
+series_cosine_similarity; unicode_codepoints_to_string;
+base64_encode_fromarray; regex_quote; top-nested `with others`
+(already worked — now oracle-verified).
 """
 
 from __future__ import annotations
