@@ -4920,24 +4920,49 @@ def _make_series_sql(prev: str, body: str) -> str:
          and gap-fills via try_element_at (NULL on missing key even
          under ANSI mode).
     Groups are those present in the [F, T) input — ADX likewise derives
-    them from the aggregated rows. from/to are REQUIRED (the explicit-
-    subset contract: ADX's data-driven axis inference would make the
-    output schema depend on the data)."""
+    them from the aggregated rows. When from/to are OMITTED (round-9),
+    the axis derives from the data like ADX: from = min(ts) snapped
+    down to the step, to = max(ts) inclusive — expressed as
+    uncorrelated scalar subqueries over the same child (declarative;
+    Spark executes each once and broadcasts the scalar), so the ENTIRE
+    axis stays one plan with no driver-side discovery."""
     m = re.match(
-        r"(.+?)\s+on\s+(\w+)\s+from\s+(.+?)\s+to\s+(.+?)"
+        r"(.+?)\s+on\s+(\w+)(?:\s+from\s+(.+?)\s+to\s+(.+?))?"
         r"\s+step\s+(\d+)([smhd])(?:\s+by\s+(.+))?$",
         body,
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise ValueError(
-            f"make-series needs 'agg on ts from F to T step S [by g]': {body!r}"
+            f"make-series needs 'agg on ts [from F to T] step S"
+            f" [by g]': {body!r}"
         )
     aggs_text, ts, frm, to, sn, su, by = m.groups()
     step = int(sn) * _TIMESPAN_SECONDS[su]
-    f_sql, t_sql = _expr(frm), _expr(to)
-    f_ep = f"unix_timestamp({f_sql})"
-    nbins = f"CAST(ceil((unix_timestamp({t_sql}) - {f_ep}) / {step}) AS INT)"
+    if frm is not None:
+        f_sql, t_sql = _expr(frm), _expr(to)
+        f_ep = f"unix_timestamp({f_sql})"
+        nbins = (
+            f"CAST(ceil((unix_timestamp({t_sql}) - {f_ep}) / {step})"
+            " AS INT)"
+        )
+    else:
+        # bounds ride a broadcast ONE-ROW cross join (Spark rejects
+        # scalar subqueries inside the higher-order axis transform);
+        # _ms_f/_ms_n pass through the aggregation levels as min()
+        # constants and are dropped from the final projection
+        prev = (
+            f"(SELECT _msd.*, _msb._ms_f, _msb._ms_n"
+            f" FROM (SELECT * FROM {prev}) AS _msd"
+            f" CROSS JOIN (SELECT floor(unix_timestamp(min({ts}))"
+            f" / {step}) * {step} AS _ms_f,"
+            f" CAST(floor((unix_timestamp(max({ts}))"
+            f" - floor(unix_timestamp(min({ts})) / {step}) * {step})"
+            f" / {step}) AS INT) + 1 AS _ms_n"
+            f" FROM {prev}) AS _msb) AS _msj"
+        )
+        f_ep = "_ms_f"
+        nbins = "_ms_n"
     bin_expr = (
         f"to_timestamp({f_ep} + floor((unix_timestamp({ts}) - {f_ep})"
         f" / {step}) * {step})"
@@ -4978,15 +5003,27 @@ def _make_series_sql(prev: str, body: str) -> str:
     gnames = [p[0].rsplit(" AS ", 1)[-1] if " AS " in p[0] else p[0]
               for p in gpairs]
     l1_vals = [f"{inner} AS _v{i}" for i, (_, inner, _d) in enumerate(series)]
+    # explicit bounds filter [F, T); the auto-bounds form has no rows
+    # outside [min, max] by construction, so only nulls are excluded
+    l1_where = (
+        f"{ts} >= {f_sql} AND {ts} < {t_sql}"
+        if frm is not None
+        else f"{ts} IS NOT NULL"
+    )
+    bounds_cols = (
+        ["min(_ms_f) AS _ms_f", "min(_ms_n) AS _ms_n"]
+        if frm is None
+        else []
+    )
     l1 = (
-        f"SELECT {', '.join(gsel + [f'{bin_expr} AS _b'] + l1_vals)}"
-        f" FROM {prev} WHERE {ts} >= {f_sql} AND {ts} < {t_sql}"
+        f"SELECT {', '.join(gsel + [f'{bin_expr} AS _b'] + l1_vals + bounds_cols)}"
+        f" FROM {prev} WHERE {l1_where}"
         f" GROUP BY {', '.join([p[1] for p in gpairs] + [bin_expr])}"
     )
     l2_maps = [
         f"map_from_entries(collect_list(struct(_b, _v{i}))) AS _m{i}"
         for i in range(len(series))
-    ]
+    ] + bounds_cols
     l2 = f"SELECT {', '.join(gnames + l2_maps)} FROM ({l1}) AS _ms1"
     if gnames:
         l2 += f" GROUP BY {', '.join(gnames)}"
@@ -10399,6 +10436,23 @@ def q_kql_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_make_series_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """make-series with the from/to OMITTED (round-9): the axis
+    derives from the data — from = min(ts) snapped to the step,
+    to = max(ts) inclusive — as a broadcast one-row bounds cross
+    join (no driver-side discovery, one plan). mv-expanded back to
+    scalar rows for value hashing."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events"
+        " | make-series n=count() default=0.0,"
+        " s=sum(round(value * 100)) default=0.0"
+        " on ts step 1d by user_id"
+        " | mv-expand ts, n, s",
+    )
+
+
 def q_kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`make-series` — THE KQL time-series idiom: dense per-group
     series over a fixed [from, to) axis, gap-filled with defaults,
@@ -12489,6 +12543,7 @@ QUERIES = {
     "kql_partition_top": q_kql_partition_top,
     "kql_print": q_kql_print,
     "kql_make_series": q_kql_make_series,
+    "kql_make_series_auto": q_kql_make_series_auto,
     "kql_series_fns": q_kql_series_fns,
     "kql_series_fit": q_kql_series_fit,
     "kql_series_fir": q_kql_series_fir,
@@ -14686,6 +14741,26 @@ ORACLE = {
                     ELSE 0 END AS INTEGER) AS an,
                round(bl, 6) AS b
         FROM scored
+    """,
+    "kql_make_series_auto": """
+        WITH bounds AS (
+            SELECT date_trunc('day', min(ts)) AS f,
+                   date_trunc('day', max(ts)) AS l
+            FROM events
+        ), agg AS (
+            SELECT user_id, date_trunc('day', ts) AS b,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(round(value * 100)) AS DOUBLE) AS s
+            FROM events GROUP BY 1, 2
+        ), g AS (SELECT DISTINCT user_id FROM events),
+        bins AS (
+            SELECT unnest(generate_series((SELECT f FROM bounds),
+                   (SELECT l FROM bounds), INTERVAL 1 DAY)) AS ts
+        )
+        SELECT g.user_id, bins.ts,
+               coalesce(agg.n, 0.0) AS n, coalesce(agg.s, 0.0) AS s
+        FROM g CROSS JOIN bins
+        LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
     """,
     "kql_make_series": """
         WITH f AS (

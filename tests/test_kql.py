@@ -414,9 +414,39 @@ def test_make_series_dense_axis_and_defaults(spark, sf_smoke):
     assert got == {r["user_id"]: float(r["count"]) for r in expect}
 
 
-def test_make_series_requires_from_to():
+def test_make_series_auto_bounds(spark, sf_smoke):
+    """make-series with from/to omitted derives the axis from the
+    data (round-9): from = min(ts) snapped to the step, to = max(ts)
+    inclusive — identical output to the explicit form with those
+    bounds. A malformed clause (missing step) stays loud."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    auto = {
+        r["user_id"]: (list(r["n"]), [str(x) for x in r["ts"]])
+        for r in kql(
+            spark,
+            "events | make-series n = count() default=0.0 on ts"
+            " step 1d by user_id",
+        ).collect()
+    }
+    mn, mx = spark.sql(
+        "SELECT date_trunc('DAY', min(ts)), max(ts) FROM events"
+    ).collect()[0]
+    import datetime as _dt
+
+    to = mx + _dt.timedelta(microseconds=1)
+    exp = {
+        r["user_id"]: (list(r["n"]), [str(x) for x in r["ts"]])
+        for r in kql(
+            spark,
+            "events | make-series n = count() default=0.0 on ts"
+            f" from datetime({mn.strftime('%Y-%m-%d %H:%M:%S')})"
+            f" to datetime({to.strftime('%Y-%m-%d %H:%M:%S.%f')})"
+            " step 1d by user_id",
+        ).collect()
+    }
+    assert auto == exp
     with pytest.raises(ValueError, match="make-series"):
-        kql_to_sql("events | make-series n=count() on ts step 1h")
+        kql_to_sql("events | make-series n=count() on ts")
 
 
 def test_mv_expand_multi_column_zips(spark, sf_smoke):
