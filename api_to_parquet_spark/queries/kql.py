@@ -4927,7 +4927,7 @@ def _make_series_sql(prev: str, body: str) -> str:
     Spark executes each once and broadcasts the scalar), so the ENTIRE
     axis stays one plan with no driver-side discovery."""
     m = re.match(
-        r"(.+?)\s+on\s+(\w+)(?:\s+from\s+(.+?)\s+to\s+(.+?))?"
+        r"(.+?)\s+on\s+(\w+)(?:\s+from\s+(.+?))?(?:\s+to\s+(.+?))?"
         r"\s+step\s+(\d+)([smhd])(?:\s+by\s+(.+))?$",
         body,
         re.IGNORECASE | re.DOTALL,
@@ -4939,27 +4939,59 @@ def _make_series_sql(prev: str, body: str) -> str:
         )
     aggs_text, ts, frm, to, sn, su, by = m.groups()
     step = int(sn) * _TIMESPAN_SECONDS[su]
-    if frm is not None:
-        f_sql, t_sql = _expr(frm), _expr(to)
+    f_sql = _expr(frm) if frm is not None else None
+    t_sql = _expr(to) if to is not None else None
+    if frm is not None and to is not None:
         f_ep = f"unix_timestamp({f_sql})"
         nbins = (
             f"CAST(ceil((unix_timestamp({t_sql}) - {f_ep}) / {step})"
             " AS INT)"
         )
     else:
-        # bounds ride a broadcast ONE-ROW cross join (Spark rejects
-        # scalar subqueries inside the higher-order axis transform);
+        # one or both bounds derive from the data (round-9): they ride
+        # a broadcast ONE-ROW cross join (Spark rejects scalar
+        # subqueries inside the higher-order axis transform);
         # _ms_f/_ms_n pass through the aggregation levels as min()
-        # constants and are dropped from the final projection
+        # constants and are dropped from the final projection. The
+        # data-side bound respects the explicit other bound's window.
+        if frm is not None:
+            fexpr = f"unix_timestamp({f_sql})"
+            fdata = f"CAST({fexpr} AS BIGINT) AS _ms_f"
+            lo_filter = f" WHERE {ts} >= {f_sql}"
+        else:
+            fdata = (
+                f"CAST(floor(unix_timestamp(min({ts})) / {step})"
+                f" * {step} AS BIGINT) AS _ms_f"
+            )
+            lo_filter = ""
+        if to is not None:
+            ndata = (
+                f"CAST(ceil((unix_timestamp({t_sql}) - _msf0)"
+                f" / {step}) AS INT) AS _ms_n"
+            )
+            hi_filter = f" WHERE {ts} < {t_sql}" if not lo_filter else (
+                f" AND {ts} < {t_sql}"
+            )
+        else:
+            ndata = (
+                f"CAST(floor((unix_timestamp(max({ts})) - _msf0)"
+                f" / {step}) AS INT) + 1 AS _ms_n"
+            )
+            hi_filter = ""
+        bounds_inner = (
+            f"SELECT _msf0 AS _ms_f, {ndata} FROM"
+            f" (SELECT {fdata.replace(' AS _ms_f', ' AS _msf0')},"
+            f" max({ts}) AS _msmx FROM {prev}"
+            f"{lo_filter}{hi_filter}) AS _msb0"
+        )
+        # ndata references max(ts) via _msmx when to is absent
+        bounds_inner = bounds_inner.replace(
+            f"unix_timestamp(max({ts}))", "unix_timestamp(_msmx)"
+        )
         prev = (
             f"(SELECT _msd.*, _msb._ms_f, _msb._ms_n"
             f" FROM (SELECT * FROM {prev}) AS _msd"
-            f" CROSS JOIN (SELECT floor(unix_timestamp(min({ts}))"
-            f" / {step}) * {step} AS _ms_f,"
-            f" CAST(floor((unix_timestamp(max({ts}))"
-            f" - floor(unix_timestamp(min({ts})) / {step}) * {step})"
-            f" / {step}) AS INT) + 1 AS _ms_n"
-            f" FROM {prev}) AS _msb) AS _msj"
+            f" CROSS JOIN ({bounds_inner}) AS _msb) AS _msj"
         )
         f_ep = "_ms_f"
         nbins = "_ms_n"
@@ -5005,14 +5037,17 @@ def _make_series_sql(prev: str, body: str) -> str:
     l1_vals = [f"{inner} AS _v{i}" for i, (_, inner, _d) in enumerate(series)]
     # explicit bounds filter [F, T); the auto-bounds form has no rows
     # outside [min, max] by construction, so only nulls are excluded
-    l1_where = (
-        f"{ts} >= {f_sql} AND {ts} < {t_sql}"
-        if frm is not None
-        else f"{ts} IS NOT NULL"
-    )
+    conds = []
+    if f_sql is not None:
+        conds.append(f"{ts} >= {f_sql}")
+    if t_sql is not None:
+        conds.append(f"{ts} < {t_sql}")
+    if not conds:
+        conds.append(f"{ts} IS NOT NULL")
+    l1_where = " AND ".join(conds)
     bounds_cols = (
         ["min(_ms_f) AS _ms_f", "min(_ms_n) AS _ms_n"]
-        if frm is None
+        if frm is None or to is None
         else []
     )
     l1 = (

@@ -3760,3 +3760,38 @@ def test_bag_unpack_output_column_prefix(spark, sf_smoke):
             "events | evaluate bag_unpack(props, 'p_',"
             " OutputSchema=(p_k: long))"
         )
+
+
+def test_make_series_partial_bounds(spark, sf_smoke):
+    """Round-9: from-only and to-only make-series derive the missing
+    bound from the data (respecting the explicit bound's window); an
+    earlier explicit `to` truncates the axis."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+
+    def series(clause):
+        return {
+            r["user_id"]: (list(r["n"]), [str(x) for x in r["ts"]])
+            for r in kql(
+                spark,
+                "events | make-series n = count() default=0.0"
+                f" on ts{clause} step 1d by user_id",
+            ).collect()
+        }
+
+    import datetime as _dt
+
+    mn, mx = spark.sql(
+        "SELECT date_trunc('DAY', min(ts)), max(ts) FROM events"
+    ).collect()[0]
+    to = mx + _dt.timedelta(microseconds=1)
+    full = series(
+        f" from datetime({mn.strftime('%Y-%m-%d')})"
+        f" to datetime({to.strftime('%Y-%m-%d %H:%M:%S.%f')})"
+    )
+    assert series(f" from datetime({mn.strftime('%Y-%m-%d')})") == full
+    assert (
+        series(f" to datetime({to.strftime('%Y-%m-%d %H:%M:%S.%f')})")
+        == full
+    )
+    half = series(" to datetime(2024-01-04)")
+    assert all(len(v[0]) == 3 for v in half.values())
