@@ -11856,6 +11856,29 @@ def q_kql_idioms4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_idioms5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 idiom bundle (probe batteries 6-7, value-verified):
+    interval arithmetic on columns (ts + 1h), iff with TIMESPAN
+    branches divided to an exact ratio, isnotempty/coalesce, chained
+    row_number forms over the serialized order — row_number(start)
+    offset and row_number(start, restart) restart groups."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 800"
+        " | sort by event_id asc"
+        " | extend rn = row_number(100),"
+        " rr = row_number(1, event_id % 7 == 0)"
+        " | extend t2 = ts + 1h,"
+        " g = iff(value > 50, 1h, 30m)"
+        " | extend gs = g / 1m,"
+        " ne = isnotempty(event_type),"
+        " co = coalesce(event_type, 'x'),"
+        " fwd = t2 > ts"
+        " | project event_id, rn, rr, gs, ne, co, fwd",
+    )
+
+
 def q_kql_scalar_fns11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-9 scalar batch (probe-battery-6 additions): parse_csv
     (quote-aware comma split), ipv4_is_match with /suffix notation on
@@ -12527,6 +12550,7 @@ QUERIES = {
     "kql_idioms4": q_kql_idioms4,
     "kql_scalar_fns10": q_kql_scalar_fns10,
     "kql_scalar_fns11": q_kql_scalar_fns11,
+    "kql_idioms5": q_kql_idioms5,
     "kql_activity_dims": q_kql_activity_dims,
     "kql_user_agent": q_kql_user_agent,
     "kql_user_agent2": q_kql_user_agent2,
@@ -13768,6 +13792,22 @@ ORACLE = {
         LEFT JOIN cnts pc ON pc.p = c.p - INTERVAL 86400 SECOND
                          AND pc.event_type = c.event_type
         LEFT JOIN rets r ON r.p = c.p AND r.event_type = c.event_type
+    """,
+    "kql_idioms5": """
+        SELECT event_id,
+               row_number() OVER (ORDER BY event_id) + 99 AS rn,
+               row_number() OVER (
+                   PARTITION BY (SELECT count(*) FROM events e2
+                                 WHERE e2.event_id <= e.event_id
+                                   AND e2.event_id % 7 = 0
+                                   AND e2.event_id < 800)
+                   ORDER BY event_id) AS rr,
+               CASE WHEN value > 50 THEN CAST(60 AS DOUBLE)
+                    ELSE CAST(30 AS DOUBLE) END AS gs,
+               event_type IS NOT NULL AND event_type != '' AS ne,
+               coalesce(event_type, 'x') AS co,
+               true AS fwd
+        FROM events e WHERE event_id < 800
     """,
     "kql_scalar_fns11": """
         SELECT event_id,
