@@ -405,15 +405,19 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     LONGEST text (n_chars, doc_id tiebreak), the standard "keep the
     most complete duplicate" rule production corpus pipelines apply
     instead of min-id. Singleton documents are their own cluster and
-    survive unchanged. Shape: the CC label table is tiny relative to
-    the corpus (clustered docs only), so the labels join broadcasts;
-    survivor choice is ONE window per cluster — no extra corpus scan.
+    survive unchanged. Shape: the labels join is deliberately UNhinted —
+    the CC label table has one row per clustered doc, which at a
+    realistic 30-50%% near-dup rate is CORPUS-scale at 100 TB, so a
+    forced broadcast would be a hard driver/executor OOM; AQE picks
+    broadcast-vs-shuffle from runtime stats (same rationale as the
+    minhash verification joins above and semantic_dedup's labels join).
+    Survivor choice is ONE window per cluster — no extra corpus scan.
     Oracle: the dedup_clusters recursive CTE + a window argmax."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     pairs = q_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels, _ = connected_components(pairs)
     labeled = docs.join(
-        F.broadcast(labels.withColumnRenamed("n", "doc_id")),
+        labels.withColumnRenamed("n", "doc_id"),
         "doc_id",
         "left",
     ).withColumn(

@@ -566,3 +566,17 @@ def test_funnel_linear_fact_scans(spark, sf_smoke):
     )
     assert plan.count("Scan parquet") <= 3
     assert "Scan ExistingRDD" in plan
+
+
+def test_dedup_keep_best_labels_join_unhinted(spark, sf_smoke):
+    """dedup_keep_best: the CC label table is corpus-scale at a
+    realistic near-dup rate, so its join onto documents must NOT be
+    hint-forced to broadcast (a forced broadcast is a hard OOM at
+    100 TB, not a slowdown) — AQE decides from runtime stats, the
+    same contract as the minhash verification joins."""
+    from api_to_parquet_spark import dedup
+
+    df = dedup.q_dedup_keep_best(spark, sf_smoke)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
