@@ -76,9 +76,12 @@ HEADLINE = [
 # ALSO pinned as its ratio to the pricing_summary canary — a plain
 # scan+agg with zero source churn. Container-state drift inflates the
 # canary and the query together, cancelling in the ratio; a true code
-# regression inflates only the query. Both flag sets are emitted:
-# "regressions" (absolute, drift-prone, kept for continuity) and
-# "ratio_regressions" (canary-normalized, the trustworthy tripwire).
+# regression inflates only the query. Round-10 (round-9 verdict #7):
+# absolute comparisons are DEMOTED to informational "absolute_drift" —
+# still emitted so the history stays comparable, but no longer a gate
+# (rounds 8-9 showed them flagging disjoint sets of zero-source-change
+# queries run-to-run while the ratio pins flagged nothing). The gate is
+# "ratio_regressions" + the "ingest_rate_x_canary" floor only.
 PIN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_pins.json")
 PIN_RATIO = 1.5
@@ -176,7 +179,8 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     ingest_rps = ingest_throughput(spark)
-    regressions: dict[str, dict[str, float]] = {}
+    # informational only (see pin-block comment): absolute drift set
+    absolute_drift: dict[str, dict[str, float]] = {}
     ratio_regressions: dict[str, dict[str, float]] = {}
     canary_t = timings.get(CANARY)
     try:
@@ -186,7 +190,7 @@ def main() -> None:
             for name, t in timings.items():
                 pin = pins["queries"].get(name)
                 if pin and t > PIN_RATIO * pin:
-                    regressions[name] = {"now": t, "pin": pin}
+                    absolute_drift[name] = {"now": t, "pin": pin}
             # canary-normalized flags: query/canary ratio vs its pin
             pin_ratios = pins.get("ratios", {})
             if canary_t:
@@ -204,7 +208,7 @@ def main() -> None:
             # pin/1.5 (the round-4 345k->308k dip went unflagged)
             rps_pin = pins.get("ingest_rows_per_sec")
             if rps_pin and ingest_rps < rps_pin / PIN_RATIO:
-                regressions["ingest_rows_per_sec"] = {
+                absolute_drift["ingest_rows_per_sec"] = {
                     "now": ingest_rps,
                     "pin": rps_pin,
                 }
@@ -230,7 +234,11 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_rows_per_sec": ingest_rps,
                 **({"errors": errors} if errors else {}),
-                **({"regressions": regressions} if regressions else {}),
+                **(
+                    {"absolute_drift": absolute_drift}
+                    if absolute_drift
+                    else {}
+                ),
                 **(
                     {"ratio_regressions": ratio_regressions}
                     if ratio_regressions
