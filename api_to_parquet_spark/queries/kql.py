@@ -3253,18 +3253,33 @@ def _expr(kql_expr: str) -> str:
     )
     # round-9 scalar additions: the codepoint/byte-array inverses and
     # RE2 QuoteMeta — all map-side folds
+    # Full Unicode via UTF-32BE: each codepoint becomes 4 hex-padded
+    # bytes, decoded in one pass (char() wraps mod 256 and would corrupt
+    # any codepoint >= 256 — round-9 advice). Invalid codepoints
+    # (negative, > U+10FFFF, or surrogates) yield the empty string, the
+    # ADX contract for invalid input.
     e = _rewrite_fn(
         e,
         "unicode_codepoints_to_string",
-        lambda a: f"concat_ws('', transform({a[0]}, _c -> char(_c)))",
+        lambda a: (
+            f"CASE WHEN exists({a[0]}, _c -> _c < 0 OR _c > 1114111"
+            " OR (_c >= 55296 AND _c <= 57343)) THEN ''"
+            f" ELSE decode(unhex(aggregate({a[0]}, '',"
+            " (_a, _c) -> concat(_a, lpad(hex(_c), 8, '0')))),"
+            " 'UTF-32') END"
+        ),
     )
+    # pmod, not %: Spark % preserves the dividend's sign and lpad
+    # truncates from the LEFT, so a negative element would silently
+    # encode the wrong byte (-2 -> 'FF...FE' -> 'FF'); pmod(-2, 256) =
+    # 254 = the two's-complement byte (round-9 advice).
     e = _rewrite_fn(
         e,
         "base64_encode_fromarray",
         lambda a: (
             f"base64(unhex(aggregate({a[0]}, '',"
             " (_a, _b) -> concat(_a,"
-            " lpad(hex(CAST(_b AS BIGINT) % 256), 2, '0')))))"
+            " lpad(hex(pmod(CAST(_b AS BIGINT), 256)), 2, '0')))))"
         ),
     )
     e = _rewrite_fn(

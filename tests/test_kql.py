@@ -3795,3 +3795,37 @@ def test_make_series_partial_bounds(spark, sf_smoke):
     )
     half = series(" to datetime(2024-01-04)")
     assert all(len(v[0]) == 3 for v in half.values())
+
+
+def test_unicode_codepoints_to_string_full_unicode(spark):
+    """Codepoints >= 256 must roundtrip (round-9 advice: char() wraps
+    mod 256); invalid codepoints return '' (the ADX contract)."""
+    row = kql(
+        spark,
+        "print bmp = unicode_codepoints_to_string("
+        "dynamic([72, 105, 960])),"
+        " astral = unicode_codepoints_to_string("
+        "dynamic([72, 105, 128512])),"
+        " rt = unicode_codepoints_to_string("
+        'unicode_codepoints_from_string("Hiπ")),'
+        " bad = unicode_codepoints_to_string(dynamic([72, -1])),"
+        " surr = unicode_codepoints_to_string(dynamic([55296])),"
+        " big = unicode_codepoints_to_string(dynamic([1114112]))",
+    ).collect()[0]
+    assert row["bmp"] == "Hiπ"
+    assert row["astral"] == "Hi\U0001f600"
+    assert row["rt"] == "Hiπ"
+    assert row["bad"] == "" and row["surr"] == "" and row["big"] == ""
+
+
+def test_base64_encode_fromarray_negative_bytes(spark):
+    """Negative elements encode as their two's-complement byte via
+    pmod (round-9 advice: signed % + left-lpad truncation silently
+    encoded the wrong byte)."""
+    import base64
+
+    row = kql(
+        spark,
+        "print b = base64_encode_fromarray(dynamic([-2, 72, 255]))",
+    ).collect()[0]
+    assert row["b"] == base64.b64encode(bytes([254, 72, 255])).decode()
