@@ -8315,6 +8315,7 @@ def _kql_stages_to_sql(
                 # (the aggregate determines the Spark type); declared
                 # ORDER of the value columns is honored.
                 child_cols = set(_acols(spark, sql))
+                declared = []
                 vals = []
                 for it in _split_top_level(schema_decl):
                     dm = re.match(r"^\s*(\w+)\s*:\s*(\w+)\s*$", it)
@@ -8323,12 +8324,35 @@ def _kql_stages_to_sql(
                             "pivot output schema needs 'name: type'"
                             f" items: {it!r}"
                         )
+                    declared.append(dm.group(1))
                     if dm.group(1) not in child_cols:
                         vals.append(dm.group(1))
                 if not vals:
                     raise ValueError(
                         "pivot output schema declares no pivot-value"
                         " columns (every name is a child column)"
+                    )
+                # Every pass-through child column (not the pivot column,
+                # not consumed by the aggregate) lands in the implicit
+                # group-by and the output; if the declaration omits one,
+                # the result would silently diverge from the declared
+                # contract (extra columns + finer grain). ADX rejects a
+                # declared evaluate schema that mismatches the actual
+                # output, so raise loudly (round-9 advice).
+                consumed = {pc} | {
+                    w
+                    for w in re.findall(r"\w+", aggtext)
+                    if w in child_cols
+                }
+                undeclared = sorted(
+                    child_cols - consumed - set(declared)
+                )
+                if undeclared:
+                    raise ValueError(
+                        "pivot output schema omits pass-through child"
+                        f" columns {undeclared}: declare them, list"
+                        " group columns as pivot(col, agg, c1, ...),"
+                        " or project the child first"
                     )
                 in_list = ", ".join(
                     "'{v}' AS `{a}`".format(v=v.replace("'", "''"), a=v)

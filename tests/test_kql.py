@@ -3829,3 +3829,29 @@ def test_base64_encode_fromarray_negative_bytes(spark):
         "print b = base64_encode_fromarray(dynamic([-2, 72, 255]))",
     ).collect()[0]
     assert row["b"] == base64.b64encode(bytes([254, 72, 255])).decode()
+
+
+def test_pivot_declared_schema_rejects_undeclared_child_cols(spark, sf_smoke):
+    """Round-9 advice: the declared-schema pivot previously emitted
+    SELECT * PIVOT, so child columns absent from the declaration
+    leaked into the implicit group-by — 4 columns and a finer grain
+    than the declared contract. ADX rejects a mismatched declared
+    evaluate schema; so do we, loudly."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    with pytest.raises(ValueError, match="omits pass-through"):
+        kql(
+            spark,
+            "events | project user_id, event_id, event_type,"
+            " cents = tolong(value * 100)"
+            " | evaluate pivot(event_type, sum(cents))"
+            " : (user_id: long, view: long, click: long)",
+        )
+    # declaring the column (or consuming it) keeps the path working
+    df = kql(
+        spark,
+        "events | project user_id, event_type,"
+        " cents = tolong(value * 100)"
+        " | evaluate pivot(event_type, sum(cents))"
+        " : (user_id: long, view: long, click: long)",
+    )
+    assert df.columns == ["user_id", "view", "click"]
