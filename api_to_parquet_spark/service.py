@@ -29,19 +29,81 @@ log.Fatal-ing the process (main.go:308-310).
 
 from __future__ import annotations
 
+import base64
+import datetime
 import json
 import threading
+from decimal import Decimal
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
-from pyspark.sql import SparkSession
+from pyspark.sql import Row, SparkSession
 
 from api_to_parquet_spark import ingest, lake, state
 from api_to_parquet_spark.queries.kql import kql
 
-# /query response row cap; responses over the cap carry
-# "truncated": true (Kusto flags partial results the same way)
+# /query response row cap; truncated responses carry Kusto's partial-
+# results signal (v1 `Exceptions` entry; `"truncated": true` in the
+# ?format=simple shape)
 _QUERY_ROW_CAP = 10000
+
+# Spark simpleString root -> Kusto REST v1 column (DataType is the
+# .NET-ish name the v1 wire format uses — including the historical
+# bool -> SByte quirk every v1 client decodes; ColumnType is the ADX
+# scalar type). Anything non-scalar (array/map/struct) is dynamic.
+_KUSTO_V1_TYPES = {
+    "string": ("String", "string"),
+    "bigint": ("Int64", "long"),
+    "int": ("Int32", "int"),
+    "smallint": ("Int32", "int"),
+    "tinyint": ("Int32", "int"),
+    "double": ("Double", "real"),
+    "float": ("Double", "real"),
+    "boolean": ("SByte", "bool"),
+    "timestamp": ("DateTime", "datetime"),
+    "timestamp_ntz": ("DateTime", "datetime"),
+    "date": ("DateTime", "datetime"),
+    "decimal": ("Decimal", "decimal"),
+    "interval day to second": ("TimeSpan", "timespan"),
+}
+
+
+def _kusto_column(name: str, spark_type: str) -> dict:
+    dt, ct = _KUSTO_V1_TYPES.get(
+        spark_type.split("(")[0], ("Object", "dynamic")
+    )
+    return {"ColumnName": name, "DataType": dt, "ColumnType": ct}
+
+
+def _kusto_value(v):
+    """Encode one cell the way Kusto's v1 JSON does: ISO-8601 Z
+    datetimes with 7-digit fractions, [d.]hh:mm:ss timespans, base64
+    bytes, dynamic values inline."""
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return f"{v:%Y-%m-%dT%H:%M:%S}.{v.microsecond:06d}0Z"
+    if isinstance(v, datetime.date):
+        return f"{v:%Y-%m-%d}T00:00:00.0000000Z"
+    if isinstance(v, datetime.timedelta):
+        neg = "-" if v < datetime.timedelta(0) else ""
+        v = abs(v)
+        hh, rem = divmod(v.seconds, 3600)
+        mm, ss = divmod(rem, 60)
+        d = f"{v.days}." if v.days else ""
+        frac = f".{v.microseconds:06d}0" if v.microseconds else ""
+        return f"{neg}{d}{hh:02d}:{mm:02d}:{ss:02d}{frac}"
+    if isinstance(v, Row):
+        return {k: _kusto_value(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {k: _kusto_value(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_kusto_value(x) for x in v]
+    if isinstance(v, (bytes, bytearray)):
+        return base64.b64encode(v).decode()
+    if isinstance(v, Decimal):
+        return str(v)
+    return v
 
 _REQUIRED = [
     ("file", "Malformed request: property file is empty"),
@@ -101,10 +163,21 @@ class LakeService:
             "maxTimestamp": st["max_timestamp"] or 0,
         }
 
-    def query(self, body: bytes) -> tuple[int, dict]:
+    def query(self, body: bytes, fmt: str = "kusto") -> tuple[int, dict]:
         """POST /query — the body carries {db, csl, properties} per the
         Kusto REST shape the reference forwards; `csl` runs natively
         (KQL subset, or raw Spark SQL when sql_dialect='sql').
+
+        The DEFAULT response is the Kusto REST v1 envelope —
+        `{"Tables": [{"TableName": "Table_0", "Columns":
+        [{ColumnName, DataType, ColumnType}], "Rows": [[…]]}]}` — the
+        byte shape the reference's clients receive, since it returns
+        ADX's body verbatim (src/main.go:113-114; the captured client
+        exchanges in tests/test.http:47-66 parse exactly this).
+        Truncation is signalled Kusto-style: a root `Exceptions` entry
+        (E_QUERY_RESULT_SET_TOO_LARGE) alongside the capped rows.
+        `?format=simple` keeps the engine-native shape
+        ({"columns": […], "rows": [{…}], "truncated"?}).
         {"explain": true} returns the physical plan instead of rows —
         the engine-native twin of Kusto's `.show queryplan`."""
         try:
@@ -124,15 +197,42 @@ class LakeService:
             # from one that is exactly the cap (round-8 verdict:
             # Kusto's REST surface flags partial results; the silent
             # 10k cap hid the difference)
-            rows = [
-                r.asDict(recursive=True)
-                for r in df.limit(_QUERY_ROW_CAP + 1).collect()
-            ]
+            collected = df.limit(_QUERY_ROW_CAP + 1).collect()
         except Exception as e:  # noqa: BLE001 — surface as HTTP error
             return 400, {"error": str(e)[:2000]}
-        out: dict = {"columns": df.columns, "rows": rows[:_QUERY_ROW_CAP]}
-        if len(rows) > _QUERY_ROW_CAP:
-            out["truncated"] = True
+        truncated = len(collected) > _QUERY_ROW_CAP
+        collected = collected[:_QUERY_ROW_CAP]
+        if fmt == "simple":
+            out: dict = {
+                "columns": df.columns,
+                "rows": [r.asDict(recursive=True) for r in collected],
+            }
+            if truncated:
+                out["truncated"] = True
+            return 200, out
+        # Kusto v1: rows are positional ARRAYS in column order (tuple
+        # iteration, not asDict — duplicate column names must survive)
+        out = {
+            "Tables": [
+                {
+                    "TableName": "Table_0",
+                    "Columns": [
+                        _kusto_column(f.name, f.dataType.simpleString())
+                        for f in df.schema.fields
+                    ],
+                    "Rows": [
+                        [_kusto_value(v) for v in tuple(r)]
+                        for r in collected
+                    ],
+                }
+            ]
+        }
+        if truncated:
+            out["Exceptions"] = [
+                "Query result set has exceeded the internal record"
+                f" count limit {_QUERY_ROW_CAP}"
+                " (E_QUERY_RESULT_SET_TOO_LARGE)"
+            ]
         return 200, out
 
 
@@ -167,7 +267,9 @@ def make_server(service: LakeService, port: int = 0) -> ThreadingHTTPServer:
                 if path == "/":
                     self._send(*service.ingest_envelope(body))
                 elif path == "/query":
-                    self._send(*service.query(body))
+                    qs = parse_qs(urlparse(self.path).query)
+                    fmt = qs.get("format", ["kusto"])[0]
+                    self._send(*service.query(body, fmt=fmt))
                 else:
                     self._send(404, {"error": "not found"})
             else:

@@ -122,19 +122,32 @@ def test_query_route_runs_kql_natively(spark, server):
         "TelemetryData"
     )
     status, body = _post(base + "/query", {"db": "x", "csl": "TelemetryData | count"})
-    assert status == 200 and body["rows"] == [{"Count": 3}]
+    assert status == 200
+    t0 = body["Tables"][0]
+    assert t0["TableName"] == "Table_0"
+    assert t0["Columns"] == [
+        {"ColumnName": "Count", "DataType": "Int64", "ColumnType": "long"}
+    ]
+    assert t0["Rows"] == [[3]]
     status, body = _post(
         base + "/query",
         {"csl": "TelemetryData | where Timestamp >= 200 | project PointId, Timestamp | sort by Timestamp asc"},
     )
     assert status == 200
-    assert [r["Timestamp"] for r in body["rows"]] == [200, 300]
+    t0 = body["Tables"][0]
+    assert [c["ColumnName"] for c in t0["Columns"]] == ["PointId", "Timestamp"]
+    assert [r[1] for r in t0["Rows"]] == [200, 300]
     # fork is supported since round 4 — it returns labeled branches
     status, body = _post(base + "/query", {"csl": "TelemetryData | fork (count) (take 1)"})
-    assert status == 200 and len(body["rows"]) == 2
+    assert status == 200 and len(body["Tables"][0]["Rows"]) == 2
     # `consume` is supported since round 8: empty result, 200
     status, body = _post(base + "/query", {"csl": "TelemetryData | consume"})
-    assert status == 200 and body["rows"] == []
+    assert status == 200 and body["Tables"][0]["Rows"] == []
+    # the engine-native shape stays reachable behind ?format=simple
+    status, body = _post(
+        base + "/query?format=simple", {"csl": "TelemetryData | count"}
+    )
+    assert status == 200 and body["rows"] == [{"Count": 3}]
     status, body = _post(base + "/query", {"csl": "TelemetryData | egest"})
     assert status == 400 and "unsupported" in body["error"]
     # `evaluate python` exec()s caller code — the HTTP surface never
@@ -158,6 +171,11 @@ def test_query_route_sql_dialect(spark, tmp_path):
     )
     status, body = svc.query(
         json.dumps({"csl": "SELECT 1 AS one, 'x' AS s"}).encode()
+    )
+    assert status == 200 and body["Tables"][0]["Rows"] == [[1, "x"]]
+    status, body = svc.query(
+        json.dumps({"csl": "SELECT 1 AS one, 'x' AS s"}).encode(),
+        fmt="simple",
     )
     assert status == 200 and body["rows"] == [{"one": 1, "s": "x"}]
     status, body = svc.query(json.dumps({"csl": "SELECT * FROM nope"}).encode())
@@ -187,9 +205,10 @@ def test_query_route_explain(spark, server):
 
 
 def test_query_truncation_flag(spark, tmp_path, monkeypatch):
-    """Responses over the row cap carry "truncated": true (Kusto flags
-    partial results); at-or-under the cap carries no flag — so a
-    client can distinguish "exactly cap rows" from "truncated"."""
+    """Responses over the row cap carry Kusto's partial-results signal
+    (a root Exceptions entry in the v1 envelope; "truncated": true in
+    ?format=simple); at-or-under the cap carries no flag — so a client
+    can distinguish "exactly cap rows" from "truncated"."""
     monkeypatch.setattr(service, "_QUERY_ROW_CAP", 50)
     svc = service.LakeService(
         spark, str(tmp_path / "lake"), str(tmp_path / "state"),
@@ -199,9 +218,73 @@ def test_query_truncation_flag(spark, tmp_path, monkeypatch):
         json.dumps({"csl": "SELECT id FROM range(51)"}).encode()
     )
     assert status == 200
-    assert body["truncated"] is True and len(body["rows"]) == 50
+    assert "E_QUERY_RESULT_SET_TOO_LARGE" in body["Exceptions"][0]
+    assert len(body["Tables"][0]["Rows"]) == 50
     status, body = svc.query(
         json.dumps({"csl": "SELECT id FROM range(50)"}).encode()
     )
     assert status == 200
-    assert "truncated" not in body and len(body["rows"]) == 50
+    assert "Exceptions" not in body
+    assert len(body["Tables"][0]["Rows"]) == 50
+    status, body = svc.query(
+        json.dumps({"csl": "SELECT id FROM range(51)"}).encode(),
+        fmt="simple",
+    )
+    assert status == 200
+    assert body["truncated"] is True and len(body["rows"]) == 50
+
+
+def test_query_kusto_v1_envelope_types(spark, tmp_path):
+    """Round-9 verdict #2: the default /query response is the Kusto
+    REST v1 envelope the reference's clients parse (the reference
+    returns ADX's body verbatim, src/main.go:113-114): Tables/
+    TableName/Columns/Rows, positional row ARRAYS (not dicts), the
+    v1 .NET DataType names (bool -> SByte), ISO-8601 Z datetimes with
+    7-digit fractions, timespan strings, and inline dynamic values."""
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state"),
+        sql_dialect="sql",
+    )
+    status, body = svc.query(
+        json.dumps(
+            {
+                "csl": "SELECT 1 AS i, CAST(1.5 AS DOUBLE) AS r,"
+                " 'x' AS s, true AS b,"
+                " TIMESTAMP'2024-01-02 03:04:05.123456' AS ts,"
+                " array(1, 2) AS dyn,"
+                " INTERVAL '1 02:03:04.5' DAY TO SECOND AS dur"
+            }
+        ).encode()
+    )
+    assert status == 200
+    assert list(body) == ["Tables"]
+    t0 = body["Tables"][0]
+    assert t0["TableName"] == "Table_0"
+    assert t0["Columns"] == [
+        {"ColumnName": "i", "DataType": "Int32", "ColumnType": "int"},
+        {"ColumnName": "r", "DataType": "Double", "ColumnType": "real"},
+        {"ColumnName": "s", "DataType": "String", "ColumnType": "string"},
+        {"ColumnName": "b", "DataType": "SByte", "ColumnType": "bool"},
+        {
+            "ColumnName": "ts",
+            "DataType": "DateTime",
+            "ColumnType": "datetime",
+        },
+        {"ColumnName": "dyn", "DataType": "Object", "ColumnType": "dynamic"},
+        {
+            "ColumnName": "dur",
+            "DataType": "TimeSpan",
+            "ColumnType": "timespan",
+        },
+    ]
+    assert t0["Rows"] == [
+        [
+            1,
+            1.5,
+            "x",
+            True,
+            "2024-01-02T03:04:05.1234560Z",
+            [1, 2],
+            "1.02:03:04.5000000",
+        ]
+    ]
