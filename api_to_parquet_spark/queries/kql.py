@@ -224,8 +224,10 @@ round 9; a column's interval type is not statically knowable);
 graph-shortest-paths
 multi-hop patterns beyond the single bounded variable-length hop
 (output=any AND output=all with per-path multiplicity ARE supported
-— round 9); scan FORWARD state references (earlier-step and
-SELF references ARE supported — round 9);
+— round 9); (scan state references are complete as of round 10:
+earlier-step, SELF — round 9 — and FORWARD references all supported;
+a forward ref reads the referenced step's last accepted row, NULL /
+declared-initial before its first acceptance);
 take_any(*) with expression arguments; `+` concatenation where an
 operand is a call to a function NOT in the provably-string whitelist
 (_STR_FNS) or a deeper expression (string literals, plain string
@@ -9484,8 +9486,12 @@ def _kql_stages_to_sql(
             # size(_a) - (n-1)), NULL (columns) / the declared
             # initial (vars) when no instance has reached the step
             # yet — exactly ADX's cumulative-sum contract
-            # (`=> cum = x + s1.cum` with cum: long = 0). Forward
-            # references stay out of the documented subset.
+            # (`=> cum = x + s1.cum` with cum: long = 0). FORWARD
+            # references (round-10, verdict #3): `step s1: … s2.x`
+            # reads the last row step s2 accepted — also the previous
+            # match instance in this subset, (j-1-ri) mod n back from
+            # the tail — and is NULL / the declared initial until s2's
+            # first acceptance, ADX's defined forward-state behavior.
             # Stateful conditions can't precompute map-side booleans —
             # they evaluate inside the fold lambda, with bare columns
             # qualified to the lambda row `_r` (schema-aware, so a
@@ -9519,15 +9525,21 @@ def _kql_stages_to_sql(
                     # post-assignment state on that row) or a row
                     # column
                     sfx = "._v" if fld in var_names else row_suffix
-                    if ri == _j:
-                        # self: the previous instance's step-j row is
-                        # n-1 positions back (see comment above);
-                        # falls back to NULL / the declared initial
-                        # before any instance reached the step
+                    if ri >= _j:
+                        # SELF (ri == j) or FORWARD (ri > j) — round
+                        # 9/10: the last row THAT step accepted is in
+                        # the PREVIOUS match instance, (j-1-ri) mod n
+                        # positions back from the tail (self: n-1;
+                        # forward: the instance wraps the same way).
+                        # NULL (columns) / the declared initial (vars)
+                        # before the referenced step's first acceptance
+                        # — ADX defines forward state as null until
+                        # that step first matches.
+                        off = (_j - 1 - ri) % n
                         idx = (
                             "size(_a)"
-                            if n == 1
-                            else f"size(_a) - {n - 1}"
+                            if off == 0
+                            else f"size(_a) - {off}"
                         )
                         if fld in var_names:
                             dflt = next(
@@ -9536,19 +9548,11 @@ def _kql_stages_to_sql(
                         else:
                             dflt = "NULL"
                         return (
-                            f"IF(size(_a) >= {n},"
+                            f"IF(size(_a) >= {off + 1},"
                             f" element_at(_a, {idx}){sfx}.{fld},"
                             f" {dflt})"
                         )
                     off = (_j - 1) - ri
-                    if off < 0:
-                        # forward ref reaching here via an assignment
-                        # RHS (conditions are validated below)
-                        raise ValueError(
-                            f"scan: forward state reference"
-                            f" {mm.group(0)!r} in step {_j} is out of"
-                            " the subset"
-                        )
                     idx = (
                         "size(_a)" if off == 0 else f"size(_a) - {off}"
                     )
@@ -9580,15 +9584,6 @@ def _kql_stages_to_sql(
                 refs = {mm.group(1) for mm in ref_pat.finditer(cond)}
                 if not refs and not _has_var(cond):
                     continue
-                for rn_ in sorted(refs):
-                    ri = step_names.index(rn_) + 1
-                    if ri > j:
-                        raise ValueError(
-                            f"scan step {nm}: only earlier or SELF"
-                            f" steps' state is referenceable"
-                            f" ({rn_!r} is step {ri}; ADX forward"
-                            " state references are out of the subset)"
-                        )
                 if spark is None:
                     raise ValueError(
                         "scan state-referencing conditions need a"
@@ -11663,6 +11658,27 @@ def q_kql_scan_self(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scan_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`scan` with a FORWARD state reference (round-10, verdict #3):
+    the view step reads the LATER purchase step's last accepted row
+    (`value > s2.value` — "open a new window only on a view that
+    beats the previous window's purchase"), NULL before the purchase
+    step's first acceptance. Same single grouped fold — one shuffle
+    on user_id, the forward slot is just a different constant offset
+    into the accumulator tail. Oracle: recursive CTE carrying the
+    last-accepted s2 value through the recursion."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | sort by ts asc, event_id asc"
+        " | scan by user_id with ("
+        ' step s1: event_type == "view" and'
+        " (isnull(s2.value) or value > s2.value);"
+        ' step s2: event_type == "purchase";)'
+        " | project user_id, event_id, step, match_id",
+    )
+
+
 def q_kql_scalar_fns8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eighth scalar batch (round-6): bit operators (&/|/^/~/shifts/
     bit_count), exp2 (integer exponents — exact powers of two),
@@ -12562,6 +12578,7 @@ QUERIES = {
     "kql_scan_state": q_kql_scan_state,
     "kql_scan_self": q_kql_scan_self,
     "kql_scan_declare": q_kql_scan_declare,
+    "kql_scan_forward": q_kql_scan_forward,
     "kql_rows_near": q_kql_rows_near,
     "kql_sliding_window": q_kql_sliding_window,
     "kql_active_users": q_kql_active_users,
@@ -14594,6 +14611,47 @@ ORACLE = {
                         THEN CASE WHEN rec.p = 0 THEN r.value
                              ELSE CAST(NULL AS DOUBLE) END
                         ELSE rec.s1v END
+            FROM rec JOIN ranked r
+              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
+        )
+        SELECT user_id, event_id,
+               CASE (cnt - 1) % 2 WHEN 0 THEN 's1' ELSE 's2' END AS step,
+               CAST((cnt - 1) // 2 AS BIGINT) AS match_id
+        FROM rec WHERE emitted
+    """,
+    "kql_scan_forward": """
+        WITH RECURSIVE ranked AS (
+            SELECT user_id, event_id, value,
+                   (event_type = 'view') AS isv,
+                   (event_type = 'purchase') AS isp,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ), rec AS (
+            SELECT user_id, 0 AS rn, 0 AS p,
+                   CAST(NULL AS BIGINT) AS event_id,
+                   FALSE AS emitted, 0 AS cnt,
+                   CAST(NULL AS DOUBLE) AS s2v
+            FROM (SELECT DISTINCT user_id FROM ranked)
+            UNION ALL
+            SELECT r.user_id, r.rn,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.isv
+                        AND (rec.s2v IS NULL OR r.value > rec.s2v)
+                        ELSE r.isp END, FALSE)
+                        THEN (rec.p + 1) % 2 ELSE rec.p END,
+                   r.event_id,
+                   coalesce(CASE rec.p WHEN 0 THEN r.isv
+                        AND (rec.s2v IS NULL OR r.value > rec.s2v)
+                        ELSE r.isp END, FALSE),
+                   rec.cnt + CASE WHEN coalesce(CASE rec.p
+                        WHEN 0 THEN r.isv
+                        AND (rec.s2v IS NULL OR r.value > rec.s2v)
+                        ELSE r.isp END, FALSE)
+                        THEN 1 ELSE 0 END,
+                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.isv
+                        AND (rec.s2v IS NULL OR r.value > rec.s2v)
+                        ELSE r.isp END, FALSE) AND rec.p = 1
+                        THEN r.value ELSE rec.s2v END
             FROM rec JOIN ranked r
               ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
         )

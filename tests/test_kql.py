@@ -2306,8 +2306,8 @@ def test_extend_parse_replace_on_clash(spark):
 def test_scan_state_references(spark):
     """Round-6: scan step conditions referencing EARLIER steps' matched
     row (`s2: v > s1.v`) — evaluated inside the same grouped fold;
-    forward references are subset errors (self references are
-    supported since round 9 — see test_scan_self_step_references)."""
+    forward references are supported since round 10 — see
+    test_scan_forward_step_references."""
     spark.sql(
         "SELECT * FROM VALUES"
         " ('a', 1, 'start', 10.0), ('a', 2, 'end', 5.0),"
@@ -2331,13 +2331,21 @@ def test_scan_state_references(spark):
         ("b", 5, "s1"),
         ("b", 6, "s2"),
     ]
-    # forward references are out of the subset (self works, round 9)
-    with pytest.raises(ValueError, match="forward"):
-        kql(
-            spark,
-            "ss_t | sort by seq asc | scan by g with ("
-            " step s1: v > s2.v; step s2: kind == \"end\")",
-        )
+    # forward reference (round-10): s2.v is NULL before step s2's
+    # first acceptance, then the last s2-accepted row's value
+    rows = kql(
+        spark,
+        "ss_t | sort by seq asc | scan by g with ("
+        " step s1: isnull(s2.v) or v > s2.v;"
+        ' step s2: kind == "end")',
+    ).collect()
+    # a: seq1 opens (s2.v null) -> seq2 'end' accepts s2 (v=5) ->
+    #    seq3 v=7 > 5 opens -> seq4 'end' accepts (v=9).
+    # b: seq5 opens -> seq6 'end' accepts.
+    assert sorted((r["g"], r["seq"], r["step"]) for r in rows) == [
+        ("a", 1, "s1"), ("a", 2, "s2"), ("a", 3, "s1"), ("a", 4, "s2"),
+        ("b", 5, "s1"), ("b", 6, "s2"),
+    ]
 
 
 def test_scan_declare_accumulators(spark):
@@ -3590,19 +3598,8 @@ def test_scan_self_step_references(spark):
         " step s2: isnull(s2.v) or v > s2.v;) | project i, step",
     ).collect()
     assert [(r["i"], r["step"]) for r in rows] == [(1, "s1"), (2, "s2")]
-    # forward references remain loud (condition and assignment RHS)
-    with pytest.raises(ValueError, match="forward"):
-        kql_to_sql(
-            "scan_self_t | sort by i asc | scan with ("
-            " step s1: v > s2.v; step s2: true;)"
-        )
-    with pytest.raises(ValueError, match="forward"):
-        kql(
-            spark,
-            "scan_self_t | sort by i asc"
-            " | scan declare (a: real = 0.0) with ("
-            " step s1: true => a = s2.v; step s2: true;)",
-        )
+    # forward references work too since round 10 (condition and
+    # assignment RHS) — see test_scan_forward_step_references
 
 
 def test_plus_mixed_string_numeric_rejected(spark, sf_smoke):
@@ -3855,3 +3852,38 @@ def test_pivot_declared_schema_rejects_undeclared_child_cols(spark, sf_smoke):
         " : (user_id: long, view: long, click: long)",
     )
     assert df.columns == ["user_id", "view", "click"]
+
+
+def test_scan_forward_step_references(spark):
+    """Round-10 (verdict #3): scan FORWARD state references — a step's
+    condition or assignment RHS reads a LATER step's state: the last
+    row that step accepted (the previous match instance in this
+    subset), NULL / the declared initial until the referenced step
+    first accepts — ADX's defined forward-state behavior."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,5.0),(2,6.0),(3,6.0),(4,7.0),"
+        "(5,9.0),(6,9.0) AS t(i, v)"
+    ).createOrReplaceTempView("scan_fw_t")
+    rows = kql(
+        spark,
+        "scan_fw_t | sort by i asc | scan with ("
+        " step s1: isnull(s2.v) or v != s2.v;"
+        " step s2: true;) | project i, step",
+    ).collect()
+    # i=1 opens (s2.v null); i=2 accepts s2 (v=6); i=3 v==6 skipped;
+    # i=4 v=7 opens; i=5 accepts s2 (v=9); i=6 v==9 skipped.
+    assert sorted((r["i"], r["step"]) for r in rows) == [
+        (1, "s1"), (2, "s2"), (4, "s1"), (5, "s2"),
+    ]
+    # assignment RHS forward ref: carry the previous instance's s2 row
+    rows = kql(
+        spark,
+        "scan_fw_t | sort by i asc"
+        " | scan declare (a: real = -1.0) with ("
+        " step s1: true => a = iff(isnull(s2.v), -1.0, s2.v);"
+        " step s2: true;) | project i, step, a",
+    ).collect()
+    assert sorted((r["i"], r["step"], r["a"]) for r in rows) == [
+        (1, "s1", -1.0), (2, "s2", -1.0), (3, "s1", 6.0),
+        (4, "s2", 6.0), (5, "s1", 7.0), (6, "s2", 7.0),
+    ]
