@@ -217,10 +217,11 @@ dynamic operator and errors on strings too — use substring);
 parse_user_agent long-tail families and dynamic query lists (the
 full parser rides a uap-core lookup corpus; the 'browser' query's
 nine major families plus the 'os'/'device' major classes ARE
-supported — round 9); timespan division by an interval-typed COLUMN
-(literal divisors and provably-timespan divisor EXPRESSIONS —
-totimespan()/make_timespan()/timespan literals — ARE supported,
-round 9; a column's interval type is not statically knowable);
+supported — round 9); (timespan division is complete as of round 10:
+literal divisors, provably-timespan divisor EXPRESSIONS —
+totimespan()/make_timespan()/timespan literals, round 9 — and
+interval-typed COLUMN divisors, resolved via a lazy retry-path
+schema probe that fires only on the interval DATATYPE_MISMATCH);
 graph-shortest-paths
 multi-hop patterns beyond the single bounded variable-length hop
 (output=any AND output=all with per-path multiplicity ARE supported
@@ -4032,6 +4033,50 @@ def _expr(kql_expr: str) -> str:
     # divisor is a provably-timespan EXPRESSION (the forms the
     # totimespan/make_timespan/literal rewrites above emitted)
     e = _div_by_interval_expr(e)
+    # divisor is an INTERVAL-TYPED COLUMN (round-10, verdict #4): the
+    # type is not statically knowable, so this rides the same lazy
+    # contract as the stored-dynamic accessors — kql() retries with
+    # _TSDIV_COL set ONLY when the fast plan failed analysis with the
+    # interval DATATYPE_MISMATCH, then ONE schema probe of the stage
+    # child finds the DayTimeIntervalType columns and the division
+    # becomes the epoch-anchored total-seconds ratio (ADX's REAL
+    # contract, same as the literal/expression divisor rules above).
+    if _TSDIV_COL.get() and "/" in e:
+        _ctx9 = _ACTIVE_CTX.get()
+        _child9 = _STAGE_CHILD.get()
+        if _ctx9 is not None and _ctx9[0] is not None and _child9:
+            from pyspark.sql.types import DayTimeIntervalType
+
+            try:
+                _ivc9 = sorted(
+                    (
+                        f.name
+                        for f in _afields(_ctx9[0], _child9)
+                        if isinstance(f.dataType, DayTimeIntervalType)
+                    ),
+                    key=len,
+                    reverse=True,
+                )
+            except Exception:
+                _ivc9 = []
+            if _ivc9:
+                _td_pat = (
+                    _TSDIV_NUM_TXT
+                    + r"\s*/\s*("
+                    + "|".join(map(re.escape, _ivc9))
+                    + r")\b(?![\w.(\[])"
+                )
+
+                def _td_rep(m: re.Match) -> str:
+                    return (
+                        f"({_iv_total_seconds(m.group(1))}"
+                        f" / {_iv_total_seconds(m.group(2))})"
+                    )
+
+                prev_e9 = None
+                while prev_e9 != e:
+                    prev_e9 = e
+                    e = _pred_sub(_td_pat, _td_rep, e)
     # goes — comparisons against datetime differences, let values,
     # datetime +/- arithmetic. LAST: ago()/bin()/bin_at() consumed
     # theirs above, so only genuinely scalar uses remain.
@@ -4740,6 +4785,15 @@ _PLUS_CONCAT: contextvars.ContextVar[bool] = contextvars.ContextVar(
 
 _RESOLVE_CLASHES: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "kql_resolve_clashes", default=False
+)
+
+# timespan division by an INTERVAL-TYPED COLUMN (round-10, verdict
+# #4): OFF on the fast path — kql() retries with this set ONLY when
+# the plain translation failed analysis with an interval
+# DATATYPE_MISMATCH on a `/`, so queries without the idiom never pay
+# the schema probe.
+_TSDIV_COL: contextvars.ContextVar[bool] = contextvars.ContextVar(
+    "kql_tsdiv_col", default=False
 )
 
 # `evaluate python` exec()s query-supplied code in the worker process —
@@ -10106,6 +10160,20 @@ def kql(
                         return spark.sql(kql_to_sql(text, spark))
                     finally:
                         _PLUS_CONCAT.reset(pc_tok)
+                if (
+                    "DATATYPE_MISMATCH" in msg
+                    and "INTERVAL" in msg
+                    and "/" in text
+                ):
+                    # division by an interval-typed COLUMN (round-10,
+                    # verdict #4) — retry with the schema-probing
+                    # total-seconds rewrite; only queries that hit
+                    # this exact analysis error pay the probe
+                    td_tok = _TSDIV_COL.set(True)
+                    try:
+                        return spark.sql(kql_to_sql(text, spark))
+                    finally:
+                        _TSDIV_COL.reset(td_tok)
                 if not any(
                     t in msg
                     for t in (
@@ -11341,7 +11409,9 @@ def q_kql_timespan(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> interval, bare timespan literals (`12h`, `1d`) in comparisons,
     `now() - ts > 1h` lookback, totimespan() over literals AND a
     data-derived string (runtime parse), format_timespan() with d/hh/
-    mm/ss and fractional tokens. All map-side interval arithmetic."""
+    mm/ss and fractional tokens, and division by an INTERVAL-TYPED
+    COLUMN (round-10, verdict #4: resolved via the lazy retry-path
+    schema probe). All map-side interval arithmetic."""
     _events_view(spark, sf_dir)
     return kql(
         spark,
@@ -11352,6 +11422,7 @@ def q_kql_timespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " | where dur > 12h and now() - mx > 1h"
         " | extend ratio = round(dur / make_timespan(12, 0, 0), 6),"
         " r2 = round(dur / totimespan('1.00:00:00'), 6),"
+        " rc = round((mx - mn + 6h) / dur, 6),"
         " span_s = format_timespan(dur, 'd.hh:mm:ss'),"
         " frac = format_timespan(dur, 'hh:mm:ss.fff'),"
         " long3 = dur > totimespan('3.00:00:00'),"
@@ -11359,7 +11430,7 @@ def q_kql_timespan(spark: SparkSession, sf_dir: str) -> DataFrame:
         " pf = format_timespan(totimespan(strcat(tostring(n % 24),"
         ' ":00:30")), "hh:mm:ss")'
         " | project user_id, n, span_s, frac, long3, within, pf,"
-        " ratio, r2",
+        " ratio, r2, rc",
     )
 
 
@@ -13391,6 +13462,7 @@ ORACLE = {
                              1, 3)) AS frac,
                round(tot / CAST(43200 AS DOUBLE), 6) AS ratio,
                round(tot / CAST(86400 AS DOUBLE), 6) AS r2,
+               round((tot + 21600) / tot, 6) AS rc,
                tot > 259200 AS long3,
                tot < 3888000 AS within,
                concat(lpad(CAST(n % 24 AS VARCHAR), 2, '0'),

@@ -3682,7 +3682,10 @@ def test_plus_concat_string_call_operands(spark, sf_smoke):
 def test_timespan_division_expression_divisors(spark):
     """Round-9: division by PROVABLY-timespan expressions (totimespan,
     make_timespan, timespan literals on either side) yields the ADX
-    real ratio; interval-typed columns stay out of subset."""
+    real ratio; round-10 (verdict #4): INTERVAL-TYPED COLUMN divisors
+    resolve via the lazy retry-path schema probe (the fast path fails
+    analysis with the interval DATATYPE_MISMATCH, ONE retry probes
+    the stage child and emits the epoch-anchored seconds ratio)."""
     r = kql(
         spark,
         "print a = totimespan('2h') / totimespan('30m'),"
@@ -3690,6 +3693,19 @@ def test_timespan_division_expression_divisors(spark):
         " c = 2h / 30m",
     ).collect()[0]
     assert (r["a"], r["b"], r["c"]) == (4.0, 48.0, 4.0)
+    spark.sql(
+        "SELECT * FROM VALUES"
+        " (1, TIMESTAMP'2024-01-01 00:00:00',"
+        " TIMESTAMP'2024-01-01 06:00:00')"
+        " AS t(i, t1, t2)"
+    ).createOrReplaceTempView("tsdiv_t")
+    r = kql(
+        spark,
+        "tsdiv_t | extend dur = t2 - t1"
+        " | extend q = (t2 - t1 + 6h) / dur, h = dur / 1h,"
+        " q2 = dur / dur | project i, q, h, q2",
+    ).collect()[0]
+    assert (r["q"], r["h"], r["q2"]) == (2.0, 6.0, 1.0)
 
 
 def test_materialize_evaluates_once(spark, sf_smoke):
