@@ -217,7 +217,9 @@ dynamic operator and errors on strings too — use substring);
 parse_user_agent long-tail families and dynamic query lists (the
 full parser rides a uap-core lookup corpus; the 'browser' query's
 nine major families plus the 'os'/'device' major classes ARE
-supported — round 9); (timespan division is complete as of round 10:
+supported — round 9 — and the bot/crawler tier Googlebot/bingbot/
+YandexBot/Baiduspider/HeadlessChrome/curl/Wget/python-requests with
+the Spider device class — round 10); (timespan division is complete as of round 10:
 literal divisors, provably-timespan divisor EXPRESSIONS —
 totimespan()/make_timespan()/timespan literals, round 9 — and
 interval-typed COLUMN divisors, resolved via a lazy retry-path
@@ -1721,6 +1723,23 @@ _UA_FAMILIES = (
     ("Safari", "Version/", "Version"),
 )
 
+# Bot/crawler tier (round-10, verdict #6), checked BEFORE the browser
+# families: evergreen Googlebot and HeadlessChrome UAs also carry
+# "Chrome/", so bot markers take precedence — the uap-core rule, and
+# the tier real server logs (20-40% bots) hit before tier-2 browsers.
+# Googlebot's marker is slashless so Googlebot-Image/-News variants
+# land in the family too (version extracts '' there, uap-core-style).
+_UA_BOTS = (
+    ("Googlebot", "Googlebot", "Googlebot"),
+    ("bingbot", "bingbot/", "bingbot"),
+    ("YandexBot", "YandexBot/", "YandexBot"),
+    ("Baiduspider", "Baiduspider", "Baiduspider"),
+    ("HeadlessChrome", "HeadlessChrome/", "HeadlessChrome"),
+    ("curl", "curl/", "curl"),
+    ("Wget", "Wget/", "Wget"),
+    ("Python Requests", "python-requests/", "python-requests"),
+)
+
 # OS families, PRIORITY ORDER (iPhone UAs say "like Mac OS X", so iOS
 # precedes Mac OS X; Android UAs say "Linux", so Android precedes
 # Linux). (family, presence markers (OR), major/minor/patch regexes)
@@ -1757,7 +1776,7 @@ def _parse_user_agent_sql(args: list[str]) -> str:
     ua = args[0].strip()
     if kind == "browser":
         branches = []
-        for fam, marker, tok in _UA_FAMILIES:
+        for fam, marker, tok in _UA_BOTS + _UA_FAMILIES:
             mj = f"regexp_extract({ua}, '{tok}/(\\\\d+)', 1)"
             mn = f"regexp_extract({ua}, '{tok}/\\\\d+\\\\.(\\\\d+)', 1)"
             cond = f"instr({ua}, '{marker}') > 0"
@@ -1844,7 +1863,14 @@ def _parse_user_agent_sql(args: list[str]) -> str:
         d_mac = _dev("'Mac'", "'Apple'", "'Mac'")
         d_amodel = _dev(amodel, "'Generic_Android'", amodel)
         d_asmart = _dev("'Generic Smartphone'", "'Generic'", "'Smartphone'")
+        # bot UAs map to the uap-core Spider device class, checked
+        # FIRST (an evergreen Googlebot UA also says Android/iPhone)
+        spider_cond = " OR ".join(
+            f"instr({ua}, '{mk}') > 0" for _, mk, _ in _UA_BOTS
+        )
+        d_spider = _dev("'Spider'", "'Spider'", "'Desktop'")
         branches = [
+            f"WHEN {spider_cond} THEN {d_spider}",
             f"WHEN instr({ua}, 'iPhone') > 0 THEN {d_iphone}",
             f"WHEN instr({ua}, 'iPad') > 0 THEN {d_ipad}",
             f"WHEN instr({ua}, 'Macintosh') > 0 THEN {d_mac}",
@@ -12087,8 +12113,9 @@ def q_kql_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_kql_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """parse_user_agent 'browser' subset (round-8) over synthesized
-    UAs spanning all five families + Other: the oracle mirrors the
-    marker-precedence rule (Edge/Opera before Chrome, Version/ for
+    UAs spanning all five families + a bot (curl — a 'curl' family
+    since the round-10 bot tier, previously Other): the oracle mirrors
+    the marker-precedence rule (Edge/Opera before Chrome, Version/ for
     Safari) with the same regexes in DuckDB, value-checking family
     and version extraction end to end."""
     _events_view(spark, sf_dir)
@@ -12159,6 +12186,45 @@ def q_kql_user_agent2(spark: SparkSession, sf_dir: str) -> DataFrame:
         " omj = tostring(parse_json(o).OperatingSystem.MajorVersion),"
         " omn = tostring(parse_json(o).OperatingSystem.MinorVersion),"
         " opt = tostring(parse_json(o).OperatingSystem.Patch),"
+        " dfam = tostring(parse_json(d).Device.Family),"
+        " dbr = tostring(parse_json(d).Device.Brand),"
+        " dmd = tostring(parse_json(d).Device.Model)",
+    )
+
+
+def q_kql_user_agent3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_user_agent bot/crawler tier (round-10, verdict #6): the
+    top bot families — Googlebot (evergreen UA also carries Chrome/,
+    so bot markers precede the browser families), bingbot,
+    HeadlessChrome, python-requests ('Python Requests'), Wget — plus
+    a human Chrome-on-Android contrast row. Bot devices map to the
+    uap-core Spider class. The oracle derives expected values per UA
+    case independently."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 700"
+        " | extend ua = case("
+        " event_id % 6 == 0, strcat('Mozilla/5.0 AppleWebKit/537.36"
+        " (compatible; Googlebot/2.', tostring(event_id % 3),"
+        " ') Chrome/119.0.6045.0 Safari/537.36'),"
+        " event_id % 6 == 1, strcat('Mozilla/5.0 (compatible;"
+        " bingbot/2.', tostring(event_id % 3), ')'),"
+        " event_id % 6 == 2, strcat('Mozilla/5.0 AppleWebKit/537.36"
+        " HeadlessChrome/119.', tostring(event_id % 3),"
+        " '.0 Safari/537.36'),"
+        " event_id % 6 == 3, strcat('python-requests/2.3',"
+        " tostring(event_id % 3), '.0'),"
+        " event_id % 6 == 4, strcat('Wget/1.2',"
+        " tostring(event_id % 3), '.3 (linux-gnu)'),"
+        " 'Mozilla/5.0 (Linux; Android 13; Pixel 7 Build/TQ3A)"
+        " AppleWebKit/537.36 Chrome/118.0.0.0 Mobile Safari/537.36')"
+        " | extend b = parse_user_agent(ua, 'browser'),"
+        " d = parse_user_agent(ua, 'device')"
+        " | project event_id,"
+        " bfam = tostring(parse_json(b).Browser.Family),"
+        " bmj = tostring(parse_json(b).Browser.MajorVersion),"
+        " bmn = tostring(parse_json(b).Browser.MinorVersion),"
         " dfam = tostring(parse_json(d).Device.Family),"
         " dbr = tostring(parse_json(d).Device.Brand),"
         " dmd = tostring(parse_json(d).Device.Model)",
@@ -12681,6 +12747,7 @@ QUERIES = {
     "kql_activity_dims": q_kql_activity_dims,
     "kql_user_agent": q_kql_user_agent,
     "kql_user_agent2": q_kql_user_agent2,
+    "kql_user_agent3": q_kql_user_agent3,
     "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
@@ -13822,6 +13889,32 @@ ORACLE = {
                       WHEN 5 THEN 'Mac' ELSE '' END AS dmd
         FROM u
     """,
+    "kql_user_agent3": """
+        WITH u AS (
+            SELECT event_id, event_id % 6 AS c,
+                   CAST(event_id % 3 AS VARCHAR) AS m3
+            FROM events WHERE event_id < 700
+        )
+        SELECT event_id,
+               CASE c WHEN 0 THEN 'Googlebot'
+                      WHEN 1 THEN 'bingbot'
+                      WHEN 2 THEN 'HeadlessChrome'
+                      WHEN 3 THEN 'Python Requests'
+                      WHEN 4 THEN 'Wget' ELSE 'Chrome' END AS bfam,
+               CASE c WHEN 0 THEN '2' WHEN 1 THEN '2'
+                      WHEN 2 THEN '119' WHEN 3 THEN '2'
+                      WHEN 4 THEN '1' ELSE '118' END AS bmj,
+               CASE c WHEN 0 THEN m3 WHEN 1 THEN m3
+                      WHEN 2 THEN m3 WHEN 3 THEN '3' || m3
+                      WHEN 4 THEN '2' || m3 ELSE '0' END AS bmn,
+               CASE WHEN c <= 4 THEN 'Spider'
+                    ELSE 'Pixel 7' END AS dfam,
+               CASE WHEN c <= 4 THEN 'Spider'
+                    ELSE 'Generic_Android' END AS dbr,
+               CASE WHEN c <= 4 THEN 'Desktop'
+                    ELSE 'Pixel 7' END AS dmd
+        FROM u
+    """,
     "kql_user_agent": """
         WITH ua_t AS (
             SELECT event_id,
@@ -13844,6 +13937,7 @@ ORACLE = {
         )
         SELECT event_id,
                CASE
+                 WHEN contains(ua, 'curl/') THEN 'curl'
                  WHEN contains(ua, 'Edg/') THEN 'Edge'
                  WHEN contains(ua, 'OPR/') THEN 'Opera'
                  WHEN contains(ua, 'Chrome/') THEN 'Chrome'
@@ -13852,6 +13946,8 @@ ORACLE = {
                  ELSE 'Other'
                END AS fam,
                CASE
+                 WHEN contains(ua, 'curl/')
+                   THEN regexp_extract(ua, 'curl/(\\d+)', 1)
                  WHEN contains(ua, 'Edg/')
                    THEN regexp_extract(ua, 'Edg/(\\d+)', 1)
                  WHEN contains(ua, 'OPR/')
@@ -13865,6 +13961,8 @@ ORACLE = {
                  ELSE ''
                END AS mj,
                CASE
+                 WHEN contains(ua, 'curl/')
+                   THEN regexp_extract(ua, 'curl/\\d+\\.(\\d+)', 1)
                  WHEN contains(ua, 'Edg/')
                    THEN regexp_extract(ua, 'Edg/\\d+\\.(\\d+)', 1)
                  WHEN contains(ua, 'OPR/')

@@ -3127,7 +3127,21 @@ def test_parse_user_agent_browser_subset(spark):
             " Version/17.1 Safari/605.1.15",
             ("Safari", "17", "1"),
         ),
-        ("curl/8.4.0", ("Other", "", "")),
+        # round-10 bot tier: curl is a family now (was Other)
+        ("curl/8.4.0", ("curl", "8", "4")),
+        (
+            "Mozilla/5.0 AppleWebKit/537.36 (KHTML, like Gecko;"
+            " compatible; Googlebot/2.1)"
+            " Chrome/119.0.6045.0 Safari/537.36",
+            ("Googlebot", "2", "1"),
+        ),
+        (
+            "Mozilla/5.0 AppleWebKit/537.36 HeadlessChrome/119.0.0"
+            " Safari/537.36",
+            ("HeadlessChrome", "119", "0"),
+        ),
+        ("python-requests/2.31.0", ("Python Requests", "2", "31")),
+        ("someunknownthing/1.0", ("Other", "", "")),
     ]
     for ua, (fam, mj, mn) in cases:
         r = kql(
