@@ -231,7 +231,9 @@ multi-hop patterns beyond the single bounded variable-length hop
 earlier-step, SELF — round 9 — and FORWARD references all supported;
 a forward ref reads the referenced step's last accepted row, NULL /
 declared-initial before its first acceptance);
-take_any(*) with expression arguments; `+` concatenation where an
+(take_any is complete as of round 10: multi-column take_any and
+take_any(*) accept EXPRESSION arguments via the shared struct-key
+min_by, auto-named aggN_j); `+` concatenation where an
 operand is a call to a function NOT in the provably-string whitelist
 (_STR_FNS) or a deeper expression (string literals, plain string
 columns, and whitelisted string-returning calls — tostring, strcat,
@@ -4335,15 +4337,19 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
         # row (ADX picks an arbitrary row; the deterministic
         # refinement picks the row whose listed tuple is
         # lexicographically minimal) — min_by each column over the
-        # SHARED struct key keeps them row-consistent.
-        tcols = [c.strip() for c in _split_top_level(tam.group(1))]
-        if not all(re.match(r"^\w+$", c) for c in tcols):
-            raise ValueError(
-                "multi-column take_any needs plain columns:"
-                f" {item!r}"
-            )
-        tkey = f"struct({', '.join(tcols)})"
-        return [f"min_by({c}, {tkey}) AS {c}" for c in tcols]
+        # SHARED struct key keeps them row-consistent. Round-10
+        # (verdict #9): EXPRESSION arguments ride the same shared-key
+        # min_by — each argument translates through _expr; plain
+        # columns keep their names, expressions get the aggN_j
+        # auto-names (the arg_max(key, expr) convention).
+        targs = [c.strip() for c in _split_top_level(tam.group(1))]
+        texprs = [_expr(c) for c in targs]
+        tkey = f"struct({', '.join(texprs)})"
+        return [
+            f"min_by({ex}, {tkey}) AS "
+            + (c if re.match(r"^\w+$", c) else f"agg{auto_idx}_{j}")
+            for j, (c, ex) in enumerate(zip(targs, texprs))
+        ]
     m = re.match(r"(?:(\w+)\s*=\s*)?(arg_max|arg_min)\s*\((.*)\)$", item.strip())
     if not m:
         return [_agg(item, auto_idx)]
@@ -11248,9 +11254,14 @@ def q_kql_agg_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming moments, so both sides round(,6)), binary_all_or/
     and/xor (bit aggregates), take_any (min() deterministic
     refinement), exact count_distinct(+if), make_list_if/make_set_if
-    (conditional collects), and the (a, b) = percentiles(...)
-    multi-assign form. One hash-partitioned grouped aggregation with
-    map-side partials."""
+    (conditional collects), the (a, b) = percentiles(...)
+    multi-assign form, and multi-column take_any with EXPRESSION
+    arguments (round-10, verdict #9: each arg rides the shared
+    struct-key min_by, auto-named aggN_j — the returned values are
+    the key tuple's own components, so the lexicographic-min
+    refinement is fully deterministic; oracle decodes the same tuple
+    from one encoded min). One hash-partitioned grouped aggregation
+    with map-side partials."""
     _events_view(spark, sf_dir)
     return kql(
         spark,
@@ -11267,12 +11278,14 @@ def q_kql_agg_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
         " cdi = count_distinctif(user_id, value > 50),"
         " (p25, p75) = percentiles(event_id, 25, 75),"
         " ml0 = make_list_if(event_id, event_id % 97 == 0),"
-        " ms0 = make_set_if(user_id % 10, event_id % 3 == 0)"
+        " ms0 = make_set_if(user_id % 10, event_id % 3 == 0),"
+        " take_any(event_id % 7, user_id + 1000)"
         " by event_type"
         " | project event_type, sd = round(sd0, 6),"
         " sdp = round(sdp0, 6), va = round(va0, 6),"
         " vap = round(vap0, 6), bo, ba, bx, ta, cd, cdi, p25, p75,"
-        ' mli = strcat_array(ml0, ","), msi = strcat_array(ms0, ",")'
+        ' mli = strcat_array(ml0, ","), msi = strcat_array(ms0, ","),'
+        " t0 = agg13_0, t1 = agg13_1"
         " | sort by event_type asc",
     )
 
@@ -13233,7 +13246,11 @@ ORACLE = {
                    FILTER (WHERE event_id % 97 = 0)), ','), '') AS mli,
                coalesce(array_to_string(list_sort(list_distinct(
                    list(user_id % 10)
-                   FILTER (WHERE event_id % 3 = 0))), ','), '') AS msi
+                   FILTER (WHERE event_id % 3 = 0))), ','), '') AS msi,
+               CAST(min((event_id % 7) * 10000000 + user_id + 1000)
+                    // 10000000 AS BIGINT) AS t0,
+               CAST(min((event_id % 7) * 10000000 + user_id + 1000)
+                    % 10000000 AS BIGINT) AS t1
         FROM events WHERE event_id < 5000
         GROUP BY event_type ORDER BY event_type
     """,

@@ -2251,6 +2251,17 @@ def test_take_any_star_and_typed_itemindex(spark):
         (1, "a", 10.0),
         (2, "b", 20.0),
     ]
+    # round-10 (verdict #9): EXPRESSION arguments — row-consistent via
+    # the same shared struct key, auto-named aggN_j
+    rows = kql(
+        spark,
+        "tas_t | summarize take_any(strcat(s, '!'), v * 2) by k"
+        " | sort by k asc",
+    ).collect()
+    assert [(r["k"], r["agg0_0"], r["agg0_1"]) for r in rows] == [
+        (1, "a!", 20.0),
+        (2, "b!", 40.0),
+    ]
     spark.sql(
         "SELECT array('5', 'x', '7') AS a"
     ).createOrReplaceTempView("tix_t")
