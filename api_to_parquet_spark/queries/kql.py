@@ -227,7 +227,9 @@ schema probe that fires only on the interval DATATYPE_MISMATCH);
 graph-shortest-paths
 multi-hop patterns beyond the single bounded variable-length hop
 (output=any AND output=all with per-path multiplicity ARE supported
-— round 9); (scan state references are complete as of round 10:
+— round 9; graph-MATCH patterns with MULTIPLE bounded
+variable-length hops ARE supported — round 10, Cartesian product of
+the hop ranges, <= 64 branches); (scan state references are complete as of round 10:
 earlier-step, SELF — round 9 — and FORWARD references all supported;
 a forward ref reads the referenced step's last accepted row, NULL /
 declared-initial before its first acceptance);
@@ -8703,34 +8705,52 @@ def _kql_stages_to_sql(
                 raise ValueError(
                     f"graph-match pattern must be (n)-[e]->(n)…: {pat!r}"
                 )
+            # Round-10 (verdict #8): MULTIPLE variable-length hops in
+            # one pattern ((a)-[*1..3]->(b)-[*1..2]->(c)) — the branch
+            # set is the Cartesian product of each hop's length range,
+            # one fixed-length chain join per combination. Bounded by
+            # construction: per-hop hi <= 8 and the product of branch
+            # counts <= 64 (explicit-subset contract).
             var_hops = [h for h in raw_hops if h[1]]
-            if len(var_hops) > 1:
-                raise ValueError(
-                    "graph-match supports at most one variable-length hop"
-                )
-            if var_hops:
-                ename = var_hops[0][0]
+            for vname, vlo, vhi, _vn in var_hops:
                 for text in (wh or "", proj):
-                    if re.search(rf"\b{re.escape(ename)}\b", text):
+                    if re.search(rf"\b{re.escape(vname)}\b", text):
                         raise ValueError(
-                            f"variable-length edge {ename!r} cannot be"
+                            f"variable-length edge {vname!r} cannot be"
                             " referenced (it is a path list in ADX)"
                         )
-                lo, hi = int(var_hops[0][1]), int(var_hops[0][2])
-                if not (1 <= lo <= hi and hi <= 8):
+                if not (1 <= int(vlo) <= int(vhi) <= 8):
                     raise ValueError(
                         f"variable-length bounds must be 1 <= lo <= hi"
-                        f" <= 8: *{lo}..{hi}"
+                        f" <= 8: *{int(vlo)}..{int(vhi)}"
                     )
-            else:
-                lo = hi = 1  # unused
+            combos = (
+                list(
+                    itertools.product(
+                        *(
+                            range(int(vlo), int(vhi) + 1)
+                            for _, vlo, vhi, _n in var_hops
+                        )
+                    )
+                )
+                if var_hops
+                else [()]
+            )
+            if len(combos) > 64:
+                raise ValueError(
+                    "graph-match variable-length expansion exceeds 64"
+                    f" fixed-length branches ({len(combos)}) — tighten"
+                    " the bounds"
+                )
 
             branches = []
-            for k in (range(lo, hi + 1) if var_hops else (1,)):
+            for combo in combos:
+                _ks = iter(combo)
                 # concrete hop list: (edge_name | None, node_name | None)
                 hops: list[tuple[str | None, str | None]] = []
                 for ename, vlo, _vhi, nname in raw_hops:
                     if vlo:
+                        k = next(_ks)
                         hops.extend([(None, None)] * (k - 1))
                         hops.append((None, nname))
                     else:
@@ -11566,15 +11586,29 @@ def q_kql_graph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge table — fixed-length patterns compile to chained equi-joins
     on dst=src (hash-partitioned on node id; AQE picks broadcast vs
     shuffle per hop). Node names in expressions are their ids; edge
-    names reach edge columns."""
+    names reach edge columns. Round-10 (verdict #8): a SECOND
+    graph-match with TWO variable-length hops in one pattern
+    ((x)-[*1..2]->(y)-[*1..2]->(z)) — the Cartesian product of the
+    hop ranges, one fixed-length chain branch per combination,
+    per-path multiplicity preserved (UNION ALL) and counted."""
     _events_view(spark, sf_dir)
     return kql(
         spark,
-        'datatable(src: string, dst: string, w: long)'
+        "union"
+        " (datatable(src: string, dst: string, w: long)"
         ' ["a","b",1, "b","c",2, "a","c",3, "c","d",1]'
         " | make-graph src --> dst"
         " | graph-match (x)-[e1]->(y)-[e2]->(z)"
-        " where x != z project x, y, z, wsum = e1.w + e2.w",
+        " where x != z project x, y, z, wsum = e1.w + e2.w"
+        " | extend m = tolong(1)),"
+        " (datatable(src: string, dst: string, w: long)"
+        ' ["a","b",1, "b","c",2, "a","c",3, "c","d",1, "b","d",5]'
+        " | make-graph src --> dst"
+        " | graph-match (x)-[v1*1..2]->(y)-[v2*1..2]->(z)"
+        " project x, y, z"
+        " | summarize m = count() by x, y, z"
+        " | extend wsum = tolong(-1))"
+        " | sort by wsum asc, x asc, y asc, z asc",
     )
 
 
@@ -12972,11 +13006,34 @@ ORACLE = {
             SELECT * FROM (VALUES ('a', 'b', CAST(1 AS BIGINT)),
                                   ('b', 'c', 2), ('a', 'c', 3),
                                   ('c', 'd', 1)) AS t(src, dst, w)
+        ), edges2 AS (
+            SELECT * FROM (VALUES ('a', 'b'), ('b', 'c'), ('a', 'c'),
+                                  ('c', 'd'), ('b', 'd')) AS t(src, dst)
+        ), p1 AS (
+            SELECT src AS s, dst AS d FROM edges2
+        ), p2 AS (
+            SELECT g1.src AS s, g2.dst AS d
+            FROM edges2 g1 JOIN edges2 g2 ON g1.dst = g2.src
+        ), multi AS (
+            SELECT a.s AS x, a.d AS y, b.d AS z
+            FROM p1 a JOIN p1 b ON a.d = b.s
+            UNION ALL
+            SELECT a.s, a.d, b.d FROM p1 a JOIN p2 b ON a.d = b.s
+            UNION ALL
+            SELECT a.s, a.d, b.d FROM p2 a JOIN p1 b ON a.d = b.s
+            UNION ALL
+            SELECT a.s, a.d, b.d FROM p2 a JOIN p2 b ON a.d = b.s
         )
-        SELECT g1.src AS x, g1.dst AS y, g2.dst AS z,
-               g1.w + g2.w AS wsum
-        FROM edges g1 JOIN edges g2 ON g1.dst = g2.src
-        WHERE g1.src <> g2.dst
+        SELECT * FROM (
+            SELECT g1.src AS x, g1.dst AS y, g2.dst AS z,
+                   g1.w + g2.w AS wsum, CAST(1 AS BIGINT) AS m
+            FROM edges g1 JOIN edges g2 ON g1.dst = g2.src
+            WHERE g1.src <> g2.dst
+            UNION ALL
+            SELECT x, y, z, CAST(-1 AS BIGINT),
+                   CAST(count(*) AS BIGINT)
+            FROM multi GROUP BY x, y, z
+        ) ORDER BY wsum, x, y, z
     """,
     "kql_graph_edges": """
         WITH edges AS (

@@ -3928,3 +3928,34 @@ def test_scan_forward_step_references(spark):
         (1, "s1", -1.0), (2, "s2", -1.0), (3, "s1", 6.0),
         (4, "s2", 6.0), (5, "s1", 7.0), (6, "s2", 7.0),
     ]
+
+
+def test_graph_match_multi_variable_length_hops(spark):
+    """Round-10 (verdict #8): TWO bounded variable-length hops in one
+    graph-match pattern — branch set is the Cartesian product of the
+    hop ranges; per-path multiplicity survives the UNION ALL (the
+    (a,b,d) pair is reachable both as 1+2 and via the direct edge)."""
+    rows = kql(
+        spark,
+        "datatable(src: string, dst: string)"
+        ' ["a","b", "b","c", "a","c", "c","d", "b","d"]'
+        " | make-graph src --> dst"
+        " | graph-match (x)-[v1*1..2]->(y)-[v2*1..2]->(z)"
+        " project x, y, z"
+        " | summarize m = count() by x, y, z"
+        " | sort by x asc, y asc, z asc",
+    ).collect()
+    assert [(r["x"], r["y"], r["z"], r["m"]) for r in rows] == [
+        ("a", "b", "c", 1),
+        ("a", "b", "d", 2),
+        ("a", "c", "d", 2),
+        ("b", "c", "d", 1),
+    ]
+    # bounds guard: the product of branch counts stays bounded
+    with pytest.raises(ValueError, match="64"):
+        kql_to_sql(
+            "datatable(src: string, dst: string) [\"a\",\"b\"]"
+            " | make-graph src --> dst"
+            " | graph-match (x)-[v1*1..8]->(y)-[v2*1..8]->(z)"
+            "-[v3*1..8]->(w) project x, w"
+        )
