@@ -239,15 +239,19 @@ min_by, auto-named aggN_j); `+` concatenation where an
 operand is a call to a function NOT in the provably-string whitelist
 (_STR_FNS) or a deeper expression (string literals, plain string
 columns, and whitelisted string-returning calls — tostring, strcat,
-substring, toupper, … — ARE supported; use strcat otherwise); `+`
+substring, toupper, … — ARE supported, including a whitelisted call
+ACROSS `+` from a plain string COLUMN on the schema-probed retry —
+round 10; use strcat otherwise); `+`
 over ONE string and ONE numeric column: rejected loudly on the
-string+string retry path (where the schema is probed), but on the
-fast path Spark's analysis accepts it via implicit cast and ANSI
-arithmetic runs/throws at runtime where ADX rejects at semantic
-analysis — the residual silent case is a numeric-LOOKING string
-column, documented here because detecting it would cost a schema
-probe on every `+` (the translator never analyzes per-stage
-unconditionally);
+string+string retry path AND (round 10) within any expression whose
+stage schema was already probed for another reason (stored-dynamic
+accessors, interval division — _plus_mixed_guard), but on the
+never-probed fast path Spark's analysis accepts it via implicit
+cast and ANSI arithmetic runs/throws at runtime where ADX rejects
+at semantic analysis — the residual silent case is a numeric-
+LOOKING string column in a never-probed expression, documented here
+because closing it fully would cost a schema probe on every `+`
+(the translator never analyzes per-stage unconditionally);
 zip() over MIXED-type arrays (Spark arrays are homogeneous; same-type
 zips work — widen with tostring() for mixed pairs).
 
@@ -2187,6 +2191,48 @@ def _balanced_end(text: str, open_idx: int) -> int | None:
     return None
 
 
+def _plus_mixed_guard(e: str, fields) -> None:
+    """Round-10 (verdict #10): whenever a stage's schema has ALREADY
+    been probed for another reason (dynamic accessors, interval
+    division, the concat retry), also validate bare `col + col`
+    operands — one string + one numeric is an ADX semantic-analysis
+    error that Spark's implicit cast would otherwise run silently as
+    arithmetic. Costs nothing new: fires only at existing probe
+    sites, within the SAME expression that triggered the probe —
+    the documented fast-path residual shrinks to never-probed
+    expressions."""
+    if "+" not in e:
+        return
+    from pyspark.sql.types import NumericType, StringType
+
+    sset = {
+        f.name for f in fields if isinstance(f.dataType, StringType)
+    }
+    nset = {
+        f.name for f in fields if isinstance(f.dataType, NumericType)
+    }
+    if not sset or not nset:
+        return
+
+    def _chk(m: re.Match) -> str:
+        a_, b_ = m.group(1), m.group(2)
+        if (a_ in sset and b_ in nset) or (a_ in nset and b_ in sset):
+            raise ValueError(
+                f"`+` over mixed string/numeric operands"
+                f" ({a_!r} + {b_!r}) is rejected (ADX"
+                " semantic-analysis parity) — cast explicitly or"
+                " use strcat"
+            )
+        return m.group(0)
+
+    _pred_sub(
+        r"(?<![\w.'\")])([A-Za-z_]\w*)\s*\+\s*([A-Za-z_]\w*)"
+        r"(?![\w.(\[])",
+        _chk,
+        e,
+    )
+
+
 def _expr(kql_expr: str) -> str:
     """Translate a KQL scalar/boolean expression to SQL."""
     # toscalar(T | ...) -> an uncorrelated scalar subquery (ADX: first
@@ -2225,17 +2271,51 @@ def _expr(kql_expr: str) -> str:
                     r"concat\((?:[^()']|'(?:[^'\\]|\\.)*'"
                     r"|\([^()]*\))*\)"
                 )
+                # CAST(… AS STRING) — what a whitelisted string call
+                # (tostring, …) translated to; provably a string, so
+                # it folds against string columns too (round-9 advice:
+                # tostring(x) + strcol previously fell through to ANSI
+                # arithmetic because the operand pattern couldn't
+                # match a CAST)
+                _pc_cast = (
+                    r"CAST\((?:[^()']|'(?:[^'\\]|\\.)*'"
+                    r"|\([^()]*\))*AS\s+STRING\s*\)"
+                )
+                # whitelisted string CALLS in their pre-rewrite form
+                # (tostring(x) + strcol reaches this block BEFORE the
+                # scalar rewrites turn tostring into CAST) — provably
+                # strings, so they fold against string COLUMNS too
+                _pc_call = (
+                    rf"(?:{'|'.join(_STR_FNS)})\s*"
+                    r"\((?:[^()']|'(?:[^'\\]|\\.)*'"
+                    r"|\([^()]*\))*\)"
+                )
+                _pc_sops = f"{_pc_call}|{_pc_cast}|{_pc_concat}"
                 _pc_pat = (
                     r"(?<![\w.'\")])"
-                    rf"({_pc_concat}|[A-Za-z_]\w*)"
+                    rf"({_pc_sops}|[A-Za-z_]\w*)"
                     r"\s*\+\s*"
-                    rf"({_pc_concat}|[A-Za-z_]\w*(?![\w.(]))"
+                    rf"({_pc_sops}|[A-Za-z_]\w*(?![\w.(]))"
                 )
+
+                def _pc_is_str(x: str) -> bool:
+                    return (
+                        x.startswith("concat(")
+                        or _STR_FN_OPEN.match(x) is not None
+                        or (
+                            x.upper().startswith("CAST(")
+                            and re.search(
+                                r"AS\s+STRING\s*\)$", x, re.IGNORECASE
+                            )
+                            is not None
+                        )
+                        or x in _sset7
+                    )
 
                 def _pc_rep(m: re.Match) -> str:
                     a_, b_ = m.group(1), m.group(2)
-                    a_str = a_.startswith("concat(") or a_ in _sset7
-                    b_str = b_.startswith("concat(") or b_ in _sset7
+                    a_str = _pc_is_str(a_)
+                    b_str = _pc_is_str(b_)
                     if a_str and b_str:
                         return f"concat({a_}, {b_})"
                     # mixed string/numeric `+` over COLUMNS (round-9,
@@ -2243,12 +2323,8 @@ def _expr(kql_expr: str) -> str:
                     # Spark would silently coerce the string side to
                     # a number. Since the schema is already probed on
                     # this retry, detect and refuse loudly.
-                    a_col = (
-                        a_.startswith("concat(") or a_ in _allcols7
-                    )
-                    b_col = (
-                        b_.startswith("concat(") or b_ in _allcols7
-                    )
+                    a_col = a_str or a_ in _allcols7
+                    b_col = b_str or b_ in _allcols7
                     if a_col and b_col and a_str != b_str:
                         raise ValueError(
                             f"`+` over mixed string/numeric operands"
@@ -2286,13 +2362,17 @@ def _expr(kql_expr: str) -> str:
             except ImportError:  # pre-4.0
                 VariantType = ()  # type: ignore[assignment]
             try:
+                _fields8 = _afields(_ctx8[0], _child8)
                 _dyn8 = {
                     f.name: isinstance(f.dataType, StringType)
-                    for f in _afields(_ctx8[0], _child8)
+                    for f in _fields8
                     if isinstance(f.dataType, (StringType, VariantType))
                 }
             except Exception:
+                _fields8 = []
                 _dyn8 = {}
+            # schema already in hand — run the mixed `+` guard too
+            _plus_mixed_guard(e, _fields8)
             if _dyn8:
 
                 def _idx8(m: re.Match) -> str:
@@ -4078,17 +4158,21 @@ def _expr(kql_expr: str) -> str:
             from pyspark.sql.types import DayTimeIntervalType
 
             try:
+                _fields9 = _afields(_ctx9[0], _child9)
                 _ivc9 = sorted(
                     (
                         f.name
-                        for f in _afields(_ctx9[0], _child9)
+                        for f in _fields9
                         if isinstance(f.dataType, DayTimeIntervalType)
                     ),
                     key=len,
                     reverse=True,
                 )
             except Exception:
+                _fields9 = []
                 _ivc9 = []
+            # schema already in hand — run the mixed `+` guard too
+            _plus_mixed_guard(e, _fields9)
             if _ivc9:
                 _td_pat = (
                     _TSDIV_NUM_TXT

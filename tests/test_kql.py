@@ -3959,3 +3959,44 @@ def test_graph_match_multi_variable_length_hops(spark):
             " | graph-match (x)-[v1*1..8]->(y)-[v2*1..8]->(z)"
             "-[v3*1..8]->(w) project x, w"
         )
+
+
+def test_plus_string_call_and_column_folds_on_retry(spark):
+    """Round-9 advice: a whitelisted string call across `+` from a
+    plain string COLUMN (tostring(x) + strcol) folds to concat on the
+    schema-probed retry; the same call against a NUMERIC column
+    raises the mixed-operand error when the retry fires."""
+    spark.sql(
+        "SELECT 'ab' AS s, 5.0 AS v, 3 AS n"
+    ).createOrReplaceTempView("pc_t")
+    r = kql(
+        spark, "pc_t | extend q = tostring(n) + s | project q"
+    ).collect()[0]
+    assert r["q"] == "3ab"
+    r = kql(
+        spark, "pc_t | extend q = s + tostring(n) + s | project q"
+    ).collect()[0]
+    assert r["q"] == "ab3ab"
+    with pytest.raises(ValueError, match="mixed string/numeric"):
+        kql(
+            spark,
+            "pc_t | extend a = s + s, q = tostring(n) + v"
+            " | project q",
+        ).collect()
+
+
+def test_plus_mixed_guard_at_probe_sites(spark):
+    """Round-10 (verdict #10): when an expression's stage schema is
+    already probed for another reason (here: a stored-dynamic
+    accessor), a bare string + numeric column pair in the SAME
+    expression raises the ADX-parity error instead of running ANSI
+    arithmetic."""
+    spark.sql(
+        "SELECT 'ab' AS s, 5.0 AS v, '{\"k\": 1}' AS j"
+    ).createOrReplaceTempView("pg_t")
+    with pytest.raises(ValueError, match="mixed string/numeric"):
+        kql(
+            spark,
+            "pg_t | extend bad = strcat(tostring(j.k), s + v)"
+            " | project bad",
+        ).collect()
