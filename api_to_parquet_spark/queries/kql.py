@@ -274,6 +274,12 @@ Closed in round 9 (previously out of subset or silently wrong):
 declared output schemas — bag_unpack OutputSchema=/: (…) and pivot
 : (…) skip the discovery scan entirely, bag_unpack
 OutputColumnPrefix, pivot trailing group-column args; parse_user_agent
+Round-10 (probe battery 8) additions: bare UNTYPED parse captures
+(string; trailing one takes the rest), datatable value lists may
+contain brackets inside string values (mangler skips them),
+parse_json(<any balanced expression>).path, tolong/toint hex string
+LITERALS, bin(interval-column, timespan) via the interval retry,
+parse_user_agent bot tier, facet `with (…)` made a loud subset error.
 'os'/'device' + tier-2 browsers; scan SELF-step state references
 (cumulative-sum idiom exact); graph-shortest-paths output=all
 (per-path multiplicity); `+` concat with provably-string CALL
@@ -806,6 +812,42 @@ def _mangle_bracket_cols(text: str) -> str:
         ),
         t,
     )
+    # datatable's VALUE list is a bracketed literal ROW list —
+    # ['a [x]'] there is a string VALUE, not a bracket-quoted column
+    # (round-10 probe battery 8: the mangler previously ate the whole
+    # list when a value started with a quote). Quote-aware scan to the
+    # MATCHING close bracket: values may contain ']' inside literals.
+    while True:
+        dm = re.search(r"datatable\s*\([^)]*\)\s*\[", t, re.IGNORECASE)
+        if not dm:
+            break
+        i = dm.end()
+        quote = None
+        depth = 1
+        while i < len(t):
+            ch = t[i]
+            if quote:
+                if ch == "\\":
+                    i += 1
+                elif ch == quote:
+                    quote = None
+            elif ch in "'\"":
+                quote = ch
+            elif ch == "[":
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+                if depth == 0:
+                    break
+            i += 1
+        if depth != 0:
+            break  # unbalanced — leave for the parser's loud error
+        protected.append(t[dm.end() - 1 : i + 1])
+        t = (
+            t[: dm.end() - 1]
+            + f"\x00DYN{len(protected) - 1}\x00"
+            + t[i + 1 :]
+        )
 
     def _conv(m: re.Match) -> str:
         name = re.sub(r"\\(.)", r"\1", m.group(2))
@@ -3656,11 +3698,11 @@ def _expr(kql_expr: str) -> str:
     # dynamic path access on parse_json/todynamic results: dot chains,
     # bracket keys and bracket ARRAY indexes (round-7: brackets and
     # multi-level paths) — all compile to ONE get_json_object JSONPath
-    def _json_path(m: re.Match) -> str:
+    def _json_path_core(arg: str, chain: str) -> str:
         path = "$"
         for acc in re.finditer(
             r"\.(\w+)|\[\s*'((?:[^']|'')*)'\s*\]|\[\s*(\d+)\s*\]",
-            m.group(2),
+            chain,
         ):
             if acc.group(1):
                 path += f".{acc.group(1)}"
@@ -3687,21 +3729,56 @@ def _expr(kql_expr: str) -> str:
         # bracket-form segments carry single quotes — switch the SQL
         # string literal to double quotes so the path survives intact
         lit = f'"{path}"' if "'" in path else f"'{path}'"
-        return f"get_json_object({m.group(1)}, {lit})"
+        return f"get_json_object({arg}, {lit})"
 
-    # _pred_sub, not _sub_outside_strings: the accessor pattern itself
-    # spans string literals ('k' keys, literal JSON args), which the
-    # between-literal-gap rewriter can never match
-    e = _pred_sub(
-        r"\bparse_json\((\w+|'(?:[^']|'')*')\)"
-        r"((?:\.\w+|\[\s*(?:'(?:[^']|'')*'|\d+)\s*\])+)",
-        _json_path,
-        e,
+    # Balanced scan (round-10, probe battery 8): the parse_json
+    # ARGUMENT may be ANY balanced expression — e.g. the CASE a
+    # rewritten parse_user_agent emits — not just a column/literal
+    # (the old operand regex silently left those as struct-field
+    # extraction, an analysis error). Nested parse_json in the
+    # argument rewrites on subsequent passes.
+    _pj_acc = re.compile(
+        r"(?:\.\w+|\[\s*(?:'(?:[^']|'')*'|\d+)\s*\])+"
     )
+    while "parse_json(" in e:
+        _pj_spans = [
+            (m.start(), m.end()) for m in _STR_SPAN.finditer(e)
+        ]
+        _pj_hit = None
+        for mm in re.finditer(r"\bparse_json\s*\(", e):
+            if any(s0 <= mm.start() < s1 for s0, s1 in _pj_spans):
+                continue
+            close = _balanced_end(e, mm.end() - 1)
+            if close is None:
+                continue
+            am = _pj_acc.match(e, close + 1)
+            if am:
+                _pj_hit = (mm, close, am)
+                break
+        if _pj_hit is None:
+            break
+        mm, close, am = _pj_hit
+        e = (
+            e[: mm.start()]
+            + _json_path_core(e[mm.end() : close], am.group(0))
+            + e[am.end() :]
+        )
     e = _sub_outside_strings(r"\bstrlen\(", "length(", e)
     e = _sub_outside_strings(r"\bstrcat_array\(", "array_join(", e)
     e = _sub_outside_strings(r"\biff\(", "if(", e)
     e = _sub_outside_strings(r"\biif\(", "if(", e)  # documented alias
+    # ADX to{long,int} accept hex string LITERALS ('0x1A' -> 26) —
+    # resolved at translate time (round-10 probe battery 8); runtime
+    # hex strings stay out of subset (an RLIKE arm on every tolong
+    # would tax the hot path for a rare shape).
+    e = _pred_sub(
+        r"\bto(long|int)\(\s*'(-?)0[xX]([0-9a-fA-F]+)'\s*\)",
+        lambda m: (
+            f"CAST({'-' if m.group(2) else ''}{int(m.group(3), 16)}"
+            f" AS {'BIGINT' if m.group(1).lower() == 'long' else 'INT'})"
+        ),
+        e,
+    )
     e = _sub_outside_strings(r"\btolong\(", "bigint(", e)
     e = _sub_outside_strings(r"\btoint\(", "int(", e)
     e = _sub_outside_strings(r"\btodouble\(", "double(", e)
@@ -4174,10 +4251,31 @@ def _expr(kql_expr: str) -> str:
             # schema already in hand — run the mixed `+` guard too
             _plus_mixed_guard(e, _fields9)
             if _ivc9:
+                _iv_alt = "|".join(map(re.escape, _ivc9))
+                # bin(ivcol, Nunit): the datetime bin emission
+                # (unix_timestamp) fails analysis on intervals — on
+                # this same retry, re-emit it as the epoch-anchored
+                # interval floor (ADX bin(timespan, timespan) ->
+                # timespan). Matches exactly the text _bin_to_sql
+                # produced.
+                def _td_bin(m: re.Match) -> str:
+                    secs = _iv_total_seconds(m.group(1))
+                    return (
+                        "make_dt_interval(0, 0, 0,"
+                        f" CAST(floor({secs} / {m.group(2)})"
+                        f" * {m.group(2)} AS DECIMAL(18, 6)))"
+                    )
+
+                e = _pred_sub(
+                    rf"to_timestamp\(floor\(unix_timestamp\("
+                    rf"\s*({_iv_alt})\s*\) / (\d+)\) \* \2\)",
+                    _td_bin,
+                    e,
+                )
                 _td_pat = (
                     _TSDIV_NUM_TXT
                     + r"\s*/\s*("
-                    + "|".join(map(re.escape, _ivc9))
+                    + _iv_alt
                     + r")\b(?![\w.(\[])"
                 )
 
@@ -4814,10 +4912,13 @@ def _parse_to_selects(
     # literals — round-9: the single-quoted form was silently SKIPPED
     # by findall, so 'id=' patterns extracted NULLs); any pattern text
     # matching neither a literal, *, nor name:type is now a loud error
+    # a bare \w+ fragment is an UNTYPED capture (ADX: string) —
+    # round-10 probe battery 8 (Kusto-doc 'section [par1][par2]'
+    # example); the typed alternative must come first
     tok_re = re.compile(
         r'"((?:[^"\\]|\\.)*)"'
         r"|'((?:[^'\\]|\\.)*)'"
-        r"|(\*)|(\w+)\s*:\s*(\w+)"
+        r"|(\*)|(\w+)\s*:\s*(\w+)|(\w+)"
     )
     pos = 0
     toks = []
@@ -4835,14 +4936,22 @@ def _parse_to_selects(
         )
     regex, caps = "", []
     anchored = True
-    for dlit, slit, star, name, typ in toks:
+    for ti, (dlit, slit, star, name, typ, bare) in enumerate(toks):
         lit = dlit if dlit is not None else slit
+        if bare:
+            name, typ = bare, "string"
         if star:
             if not regex and not caps:
                 anchored = False
             regex += ".*?"
         elif name:
-            regex += "(.*?)" if typ == "string" else r"(-?[0-9.]+)"
+            if typ == "string":
+                # a TRAILING string capture takes the rest of the
+                # input (ADX); mid-pattern ones are non-greedy up to
+                # the next literal
+                regex += "(.*)" if ti == len(toks) - 1 else "(.*?)"
+            else:
+                regex += r"(-?[0-9.]+)"
             caps.append((name, typ))
         else:
             frag = re.sub(r"\\(.)", r"\1", lit)
@@ -9026,6 +9135,16 @@ def _kql_stages_to_sql(
                 ).split(",")
             ]
             if not fcols or not all(re.match(r"^\w+$", c) for c in fcols):
+                if re.search(r"\bwith\s*\(", body, re.IGNORECASE):
+                    # ADX's `facet by c with (subpipe)` adds the
+                    # transformed SOURCE table to the multi-table
+                    # result — inexpressible in one DataFrame; pipe
+                    # the source through the subpipe separately
+                    raise ValueError(
+                        "facet `with (…)` is out of the documented"
+                        " subset (it returns an extra TABLE in ADX) —"
+                        " run the subpipe as its own query"
+                    )
                 raise ValueError(f"facet needs 'by col, …': {body!r}")
             parts = [
                 f"SELECT '{c}' AS facet_column, CAST({c} AS STRING)"
@@ -10299,7 +10418,12 @@ def kql(
                 if (
                     "DATATYPE_MISMATCH" in msg
                     and "INTERVAL" in msg
-                    and "/" in text
+                    and (
+                        "/" in text
+                        or re.search(
+                            r"\bbin\s*\(", text, re.IGNORECASE
+                        )
+                    )
                 ):
                     # division by an interval-typed COLUMN (round-10,
                     # verdict #4) — retry with the schema-probing

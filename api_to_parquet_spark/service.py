@@ -178,6 +178,15 @@ class LakeService:
         (E_QUERY_RESULT_SET_TOO_LARGE) alongside the capped rows.
         `?format=simple` keeps the engine-native shape
         ({"columns": […], "rows": [{…}], "truncated"?}).
+
+        Known wire refinement (round-9 advice): KQL join/lookup
+        collision suffixing (value -> value1) resolves on the
+        translator's RETRY pass only, so a join whose first analysis
+        succeeds can emit DUPLICATE column names where ADX always
+        suffixes. The v1 envelope carries rows as positional ARRAYS,
+        so no data is lost — but clients keying cells by ColumnName
+        should expect the duplicate-name case; ?format=simple (dict
+        rows) collapses duplicates to the last value.
         {"explain": true} returns the physical plan instead of rows —
         the engine-native twin of Kusto's `.show queryplan`."""
         try:

@@ -240,6 +240,41 @@ PROBES = [
     ("nested parens predicate", "events | where ((value > 10 and value < 90) or (event_type == 'view')) | count"),
     ("summarize then mv-expand list", "events | summarize l = make_list(event_id, 3) by event_type | mv-expand l | count"),
     ("lookup basic", "events | take 20 | lookup (datatable (event_type: string, w: long) ['view', 1, 'click', 2]) on event_type | summarize s = sum(w)"),
+    # battery 8 (round-10): UA-bot lines, forward-scan funnels,
+    # Kusto-doc parse edge forms, union withsource + facet combos,
+    # timespan-column arithmetic. First run caught five gaps: the
+    # bracket-mangler ate datatable value lists containing brackets,
+    # parse_json(<complex expr>).path, bare untyped parse captures,
+    # tolong hex literals, bin over an interval column.
+    ("ua bot family filter", "events | take 5 | extend ua = 'Mozilla/5.0 (compatible; Googlebot/2.1)' | extend b = parse_user_agent(ua, 'browser') | where tostring(parse_json(b).Browser.Family) == 'Googlebot' | count"),
+    ("ua curl spider device", "print d = parse_user_agent('curl/7.88.1', 'device') | extend f = tostring(parse_json(d).Device.Family)"),
+    ("ua evergreen googlebot os", "print o = parse_user_agent('Mozilla/5.0 (Linux; Android 10) Googlebot/2.1', 'os')"),
+    ("ua bot ratio summarize", "events | take 200 | extend ua = iff(event_id % 3 == 0, 'Wget/1.21.3', 'Mozilla/5.0 Firefox/120.0') | extend fam = tostring(parse_json(parse_user_agent(ua, 'browser')).Browser.Family) | summarize c = count() by fam"),
+    ("scan forward funnel", "events | sort by ts asc, event_id asc | scan by user_id with (step s1: event_type == 'view' and (isnull(s2.ts) or ts > s2.ts); step s2: event_type == 'purchase';) | count"),
+    ("scan forward assignment", "events | sort by ts asc, event_id asc | scan declare (pv: real = 0.0) with (step s1: true => pv = iff(isnull(s2.value), 0.0, s2.value); step s2: value > 50;) | take 5"),
+    ("scan forward match ids", "events | sort by ts asc, event_id asc | scan with_match_id=m with (step s1: isnull(s2.value) or value != s2.value; step s2: true;) | summarize d = dcount(m)"),
+    ("scan three-step forward", "events | sort by ts asc, event_id asc | scan by user_id with (step s1: event_type == 'view' and (isnull(s3.value) or value > s3.value); step s2: event_type == 'click'; step s3: event_type == 'purchase';) | count"),
+    ("timespan col div literal", "events | summarize mn = min(ts), mx = max(ts) by user_id | extend dur = mx - mn | extend days = dur / 1d | take 3"),
+    ("timespan col div col", "events | summarize mn = min(ts), mx = max(ts) by user_id | extend dur = mx - mn, half = (mx - mn) / 2 | extend r = dur / half | take 3"),
+    ("timespan col div in agg", "events | summarize mn = min(ts), mx = max(ts) by user_id | extend dur = mx - mn | where dur > 1d | summarize a = avg(dur / 1d)"),
+    ("timespan col multiply", "events | extend d2 = (ts - datetime(2024-01-01)) * 2 | where d2 > 1d | count"),
+    ("timespan col sort", "events | summarize mn = min(ts), mx = max(ts) by user_id | extend dur = mx - mn | sort by dur desc | take 3"),
+    ("timespan col format", "events | summarize mn = min(ts), mx = max(ts) by user_id | extend s = format_timespan(mx - mn, 'd.hh:mm:ss') | take 3"),
+    ("timespan between cols", "events | extend d = ts - datetime(2024-01-01) | where d between (1d .. 10d) | count"),
+    ("bin on timespan col", "events | extend d = ts - datetime(2024-01-01) | summarize c = count() by bin(d, 1d) | take 3"),
+    ("totimespan col plus ts", "events | extend w = totimespan(strcat(tostring(event_id % 3), 'h')) | extend t2 = ts + w | where t2 >= ts | count"),
+    ("union withsource facet", "union withsource=src (events | where value > 50), (events | where value <= 50) | facet by src"),
+    ("union withsource group", "union withsource=src events | summarize c = count() by src"),
+    ("union withsource sort take", "union withsource=s (events | take 5), (events | take 5) | sort by s asc, event_id asc | take 3"),
+    ("union withsource facet band", "union withsource=src (events | where value > 50), (events | where value <= 50) | extend band = iff(event_id % 2 == 0, 'even', 'odd') | facet by src, band"),
+    ("parse doc sections", "datatable(s: string) ['section1 [par1][par2]'] | parse s with 'section' sec: long ' [' par1 '][' par2 ']'"),
+    ("parse leading star", "events | take 5 | extend s = strcat('prefix junk id=', tostring(event_id)) | parse s with * 'id=' pid: long | project pid"),
+    ("parse star mid", "events | take 5 | extend s = strcat('a=', tostring(event_id), ' junk b=', tostring(event_id * 2)) | parse s with 'a=' a: long * 'b=' b: long | project a, b"),
+    ("parse relaxed star", "events | take 5 | extend s = strcat('x junk v=', tostring(event_id)) | parse kind=relaxed s with * 'v=' v: long | project v"),
+    ("parse regex flags", "events | take 3 | extend s = strcat('V', tostring(event_id)) | parse kind=regex flags=i s with 'v' n: long | project n"),
+    ("tolong hex literal", "print h = tolong('0x1A')"),
+    ("format_datetime doc tokens", "print s = format_datetime(datetime(2015-12-14 02:03:04.12345), 'y-M-d h:m:s.fff')"),
+    ("facet multi then take", "events | extend band = iff(value > 50, 'hi', 'lo') | facet by event_type, band | take 5"),
 ]
 
 
@@ -253,3 +288,52 @@ def _events(spark, sf_smoke):
 )
 def test_idiom_probe(spark, name, q):
     assert kql(spark, q).collect() is not None
+
+
+def test_facet_with_subpipe_loud(spark):
+    """Battery 8: ADX's `facet by c with (subpipe)` returns an EXTRA
+    table — inexpressible in one DataFrame, so it is a loud subset
+    error (was a cryptic 'facet needs by col' message)."""
+    with pytest.raises(ValueError, match="facet `with"):
+        kql(spark, "events | facet by event_type with (summarize c = count())")
+
+
+def test_battery8_value_checks(spark):
+    """Battery 8 value pins for the five gaps it caught."""
+    # bare untyped captures + bracket-containing datatable values
+    r = kql(
+        spark,
+        "datatable(s: string) ['section1 [par1x][par2y]']"
+        " | parse s with 'section' sec: long ' [' p1 '][' p2 ']'",
+    ).collect()[0]
+    assert (r["sec"], r["p1"], r["p2"]) == (1, "par1x", "par2y")
+    # trailing bare capture takes the REST of the input (ADX)
+    r = kql(
+        spark,
+        "print s = 'id=7;rest of line'"
+        " | parse s with 'id=' i: long ';' tail",
+    ).collect()[0]
+    assert (r["i"], r["tail"]) == (7, "rest of line")
+    # tolong/toint hex literals resolve at translate time
+    r = kql(spark, "print h = tolong('0x1A'), i = toint('-0xف')"
+            .replace('ف', 'F')).collect()[0]
+    assert (r["h"], r["i"]) == (26, -15)
+    # parse_json over a complex expression compiles to get_json_object
+    r = kql(
+        spark,
+        "print f = tostring(parse_json(parse_user_agent("
+        "'curl/8.0.1', 'browser')).Browser.Family)",
+    ).collect()[0]
+    assert r["f"] == "curl"
+    # bin over an interval-typed column buckets as a timespan
+    rows = kql(
+        spark,
+        "datatable(t: datetime) [datetime(2024-01-02 06:00:00),"
+        " datetime(2024-01-03 01:00:00), datetime(2024-01-05 23:00:00)]"
+        " | extend d = t - datetime(2024-01-01)"
+        " | summarize c = count() by b = bin(d, 1d)"
+        " | extend days = b / 1d | sort by days asc | project days, c",
+    ).collect()
+    assert [(r["days"], r["c"]) for r in rows] == [
+        (1.0, 1), (2.0, 1), (4.0, 1),
+    ]
