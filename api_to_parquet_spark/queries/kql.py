@@ -280,6 +280,11 @@ contain brackets inside string values (mangler skips them),
 parse_json(<any balanced expression>).path, tolong/toint hex string
 LITERALS, bin(interval-column, timespan) via the interval retry,
 parse_user_agent bot tier, facet `with (…)` made a loud subset error.
+Probe battery 9 additions: countof(text, re, 'regex') 3-arg kind,
+array_slice negative from-end indices, array_index_of start argument
+(was silently dropped), single-quoted search terms (leading and
+pipe forms), invoke over fn-lets with a DECLARED tabular-param
+schema (`(T: (value: real))` — schema advisory, binds the child).
 'os'/'device' + tier-2 browsers; scan SELF-step state references
 (cumulative-sum idiom exact); graph-shortest-paths output=all
 (per-path multiplicity); `+` concat with provably-string CALL
@@ -948,6 +953,21 @@ def _countof_sql(args: list[str]) -> str:
     formula undercounts self-overlapping terms — review finding).
     Positional scan via a sequence filter; textually mirrored by the
     DuckDB oracle (list_filter over generate_series)."""
+    if len(args) == 3:
+        # countof(text, search, kind) — kind is 'normal' (default) or
+        # 'regex' (round-10 probe battery 9); regex counts are
+        # NON-overlapping, matching ADX (and countof_regex)
+        kind = args[2].strip().strip("'\"").lower()
+        if kind == "regex":
+            return (
+                f"CAST(size(regexp_extract_all({args[0]}, {args[1]},"
+                " 0)) AS BIGINT)"
+            )
+        if kind != "normal":
+            raise ValueError(
+                f"countof kind must be 'normal' or 'regex': {args[2]!r}"
+            )
+        args = args[:2]
     if len(args) != 2:
         raise ValueError(f"countof needs (text, search): {args!r}")
     t, s = args
@@ -2769,13 +2789,29 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bpack_array\(", "array(", e)
     e = _sub_outside_strings(r"\barray_length\(", "size(", e)
     e = _sub_outside_strings(r"\barray_concat\(", "concat(", e)
-    e = _rewrite_fn(
-        e,
-        "array_index_of",
+    def _array_index_of_sql(a: list[str]) -> str:
         # ADX is 0-based with -1 for missing; array_position is 1-based
-        # with 0 (and NULL-safe via coalesce for a NULL haystack)
-        lambda a: f"(coalesce(array_position({a[0]}, {a[1]}), 0) - 1)",
-    )
+        # with 0 (and NULL-safe via coalesce for a NULL haystack).
+        # 3-arg form searches from a 0-based start (negative counts
+        # from the end) — round-10 probe battery 9: the start arg was
+        # silently DROPPED before. length/occurrence args stay loud.
+        if len(a) == 2:
+            return f"(coalesce(array_position({a[0]}, {a[1]}), 0) - 1)"
+        if len(a) == 3:
+            arr, val = a[0], a[1]
+            s0 = f"CAST({a[2]} AS INT)"
+            s_ = f"IF({s0} >= 0, {s0}, size({arr}) + {s0})"
+            pos = (
+                f"coalesce(array_position(slice({arr}, ({s_}) + 1,"
+                f" size({arr})), {val}), 0)"
+            )
+            return f"IF(({pos}) = 0, -1, ({pos}) - 1 + ({s_}))"
+        raise ValueError(
+            "array_index_of supports (arr, value[, start]) — the"
+            f" length/occurrence forms are out of the subset: {a!r}"
+        )
+
+    e = _rewrite_fn(e, "array_index_of", _array_index_of_sql)
     def _indexof_sql(a: list[str]) -> str:
         # 0-based, -1 missing; 3-arg form searches from a 0-based start
         # via locate() (review finding: start was silently dropped)
@@ -3945,18 +3981,19 @@ def _expr(kql_expr: str) -> str:
     def _array_slice_sql(a: list[str]) -> str:
         if len(a) != 3:
             raise ValueError(f"array_slice needs (arr, start, end): {a!r}")
-        for idx in a[1:]:
-            if re.match(r"^\s*-", idx):
-                # ADX negative indices count from the END; Spark slice's
-                # negative start means something different — refuse
-                # rather than silently mistranslate (review finding)
-                raise ValueError(
-                    "array_slice: negative (from-end) indices are not"
-                    f" supported — explicit-subset contract: {idx!r}"
-                )
+        # ADX: 0-based INCLUSIVE ends; negative indices count from the
+        # END (length + index) — round-10 probe battery 9 (previously
+        # a loud subset error; Spark slice's own negative-start
+        # convention differs, so both ends normalize explicitly).
+        # An empty (end < start) window yields [] via greatest(…, 0).
+        arr = a[0]
+        s0 = f"CAST({a[1]} AS INT)"
+        e0 = f"CAST({a[2]} AS INT)"
+        s_ = f"IF({s0} >= 0, {s0}, size({arr}) + {s0})"
+        e_ = f"IF({e0} >= 0, {e0}, size({arr}) + {e0})"
         return (
-            f"slice({a[0]}, CAST({a[1]} AS INT) + 1,"
-            f" CAST({a[2]} AS INT) - CAST({a[1]} AS INT) + 1)"
+            f"slice({arr}, ({s_}) + 1,"
+            f" greatest(({e_}) - ({s_}) + 1, 0))"
         )
 
     e = _rewrite_fn(e, "array_slice", _array_slice_sql)
@@ -5134,13 +5171,18 @@ def _apply_lets(
             # resolves explicitly anyway; round-7)
             body = vm.group(1).strip()
         fm = re.match(
-            r"^\(\s*(\w+)\s*:\s*\(\s*\*\s*\)\s*\)\s*\{\s*(.+?)\s*\}$",
+            r"^\(\s*(\w+)\s*:\s*\([^()]*\)\s*\)\s*\{\s*(.+?)\s*\}$",
             body,
             re.DOTALL,
         )
         if fm:
             # `let f = (source:(*)) { source | … };` — a tabular
-            # FUNCTION let (the shape `| invoke f()` consumes). Stored
+            # FUNCTION let (the shape `| invoke f()` consumes). The
+            # parameter's declared schema — `(*)` or an explicit
+            # `(value: real, …)` list (round-10 probe battery 9) — is
+            # advisory: the body binds to the piped child either way,
+            # exactly ADX's behavior when the child carries the
+            # declared columns. Stored
             # as ("fn", param, body); parameterized forms (extra scalar
             # args) are out of the subset and fail loudly at invoke.
             tabular[name] = ("fn", fm.group(1), fm.group(2).strip())
@@ -5683,7 +5725,8 @@ def _kql_stages_to_sql(
     # form below, labeled source_ (the same documented refinement of
     # ADX's $table that `find` uses).
     srch0 = stages and re.match(
-        r"^search\s+(?:kind\s*=\s*(\w+)\s+)?in\s*\(([^)]*)\)\s*(\".*)$",
+        r"^search\s+(?:kind\s*=\s*(\w+)\s+)?in\s*\(([^)]*)\)"
+        r"\s*([\"'].*)$",
         stages[0],
         re.IGNORECASE | re.DOTALL,
     )
@@ -10072,7 +10115,8 @@ def _kql_stages_to_sql(
                     "search needs a SparkSession for schema discovery"
                 )
             m = re.match(
-                r"^(?:kind\s*=\s*(\w+)\s+)?(\"(?:[^\"\\]|\\.)*\")\s*$",
+                r"^(?:kind\s*=\s*(\w+)\s+)?"
+                r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')\s*$",
                 body,
             )
             if not m:

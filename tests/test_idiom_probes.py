@@ -275,6 +275,42 @@ PROBES = [
     ("tolong hex literal", "print h = tolong('0x1A')"),
     ("format_datetime doc tokens", "print s = format_datetime(datetime(2015-12-14 02:03:04.12345), 'y-M-d h:m:s.fff')"),
     ("facet multi then take", "events | extend band = iff(value > 50, 'hi', 'lo') | facet by event_type, band | take 5"),
+    # battery 9 (round-10): string/datetime doc forms, dynamic/array
+    # edges, statement combos. First run caught five gaps: countof
+    # kind=regex 3-arg, array_slice negative (from-end) indices,
+    # single-quoted leading-search terms, invoke over a fn-let with a
+    # DECLARED tabular-param schema, array_index_of silently dropping
+    # its start argument.
+    ("trim regex arg", "print t = trim('-', '--hello--')"),
+    ("trim_start regex", "print t = trim_start(@'[0-9]+', '123abc')"),
+    ("indexof start arg", "print i = indexof('abcabc', 'b', 2)"),
+    ("countof kind regex", "print c = countof('a1b2c3', @'\\d', 'regex')"),
+    ("week day month parts", "print w = week_of_year(datetime(2024-03-05)), d = dayofyear(datetime(2024-03-05)), m = monthofyear(datetime(2024-03-05))"),
+    ("getyear getmonth", "print y = getyear(datetime(2024-03-05)), m = getmonth(datetime(2024-03-05))"),
+    ("startofweek offset", "print s = startofweek(datetime(2024-03-05), 1)"),
+    ("bin negative floor", "print b = bin(-7, 3)"),
+    ("datetime month add", "print d = datetime_add('month', 2, datetime(2024-01-31))"),
+    ("endofmonth leap", "print e = endofmonth(datetime(2024-02-10))"),
+    ("array_index_of start", "print i = array_index_of(dynamic([1,2,3,2]), 2, 2)"),
+    ("array_concat three", "print a = array_length(array_concat(dynamic([1,2]), dynamic([3]), dynamic([4,5])))"),
+    ("bag_remove_keys", "print b = bag_remove_keys(dynamic({\"a\":1,\"b\":2}), dynamic([\"a\"]))"),
+    ("array_slice negative", "print s = array_slice(dynamic([1,2,3,4,5]), -2, -1)"),
+    ("mv-expand literal array", "print a = dynamic([1, 2, 3]) | mv-expand a | count"),
+    ("range timespan step", "range t from datetime(2024-01-01) to datetime(2024-01-02) step 6h | count"),
+    ("print untyped getschema", "print 1, 'a', now() | getschema | count"),
+    ("sample-distinct of", "events | sample-distinct 3 of event_type"),
+    ("top-hitters of by", "events | top-hitters 3 of user_id by value"),
+    ("as operator mid-pipe", "events | where value > 10 | as T | summarize c = count()"),
+    ("search kind before in", "search kind=case_sensitive in (events) 'view' | count"),
+    ("find withsource project", "find withsource=src in (events) where value > 99 project event_id"),
+    ("serialize prev default", "events | sort by event_id asc | serialize | extend p = prev(value, 1, 0.0) | take 3"),
+    ("invoke tabular fn", "let addv = (T: (value: real)) { T | summarize s = sum(value) }; events | invoke addv()"),
+    ("dcount accuracy arg", "events | summarize d = dcount(user_id, 3)"),
+    ("summarize hint shufflekey", "events | summarize hint.shufflekey=user_id c = count() by user_id | take 3"),
+    ("percentile scalar compare", "events | summarize p = percentile(value, 50) | extend ok = p >= 0.0"),
+    ("iff dynamic branches", "events | take 5 | extend d = iff(value > 50, dynamic([1]), dynamic([2])) | mv-expand d"),
+    ("toscalar in let", "let m = toscalar(events | summarize max(value)); events | where value == m | count"),
+    ("extend name rechain", "events | extend v2 = value * 2 | extend v2 = v2 + 1 | summarize s = round(sum(v2), 4)"),
 ]
 
 
@@ -337,3 +373,31 @@ def test_battery8_value_checks(spark):
     assert [(r["days"], r["c"]) for r in rows] == [
         (1.0, 1), (2.0, 1), (4.0, 1),
     ]
+
+
+def test_battery9_value_checks(spark):
+    """Battery 9 value pins for the five gaps it caught."""
+    r = kql(
+        spark,
+        "print s = array_slice(dynamic([1,2,3,4,5]), -2, -1),"
+        " s2 = array_slice(dynamic([1,2,3,4,5]), 1, 3),"
+        " s3 = array_slice(dynamic([1,2,3,4,5]), 3, 1),"
+        " c = countof('a1b2c3', @'\\d', 'regex'),"
+        " cn = countof('aaa', 'aa', 'normal'),"
+        " i1 = array_index_of(dynamic([1,2,3,2]), 2, 2),"
+        " i2 = array_index_of(dynamic([1,2,3,2]), 9, 1),"
+        " i3 = array_index_of(dynamic([1,2,3,2]), 2, -2)",
+    ).collect()[0]
+    assert (r["s"], r["s2"], r["s3"]) == ([4, 5], [2, 3, 4], [])
+    assert (r["c"], r["cn"]) == (3, 2)
+    assert (r["i1"], r["i2"], r["i3"]) == (3, -1, 3)
+    # invoke over a fn-let with a declared tabular-param schema
+    spark.sql(
+        "SELECT * FROM VALUES (1.0), (2.0), (3.0) AS t(value)"
+    ).createOrReplaceTempView("inv_t")
+    r = kql(
+        spark,
+        "let addv = (T: (value: real)) { T | summarize s = sum(value) };"
+        " inv_t | invoke addv()",
+    ).collect()[0]
+    assert r["s"] == 6.0
