@@ -65,6 +65,7 @@ HEADLINE = [
     "kql_output_schema",  # declared-schema bag_unpack+pivot, zero discovery (r9)
     "kql_scan_self",  # self-step state refs on the scan fold (r9)
     "dedup_keep_best",  # quality-aware near-dup survivor via CC + window (r9)
+    "kql_user_agent3",  # UA bot tier: map-side marker-precedence regexes (r10)
 ]
 
 # Per-query medians pinned from the last judged round (bench_pins.json).
