@@ -3931,12 +3931,27 @@ def _expr(kql_expr: str) -> str:
     # (weekday+1) % 7. endof*: last representable instant of the period
     # at microsecond resolution (ADX's 100 ns tick refined to Spark's
     # timestamp precision — documented).
+    # Every startof*/endof* accepts ADX's optional period OFFSET
+    # (round-10, probe battery 9: startofweek silently DROPPED it and
+    # the others failed loudly on date_trunc arity). The no-offset
+    # emissions keep their exact prior text (oracle-stable).
+    def _sow_base(x: str) -> str:
+        return (
+            f"CAST(date_sub(CAST({x} AS DATE),"
+            f" (weekday({x}) + 1) % 7) AS TIMESTAMP)"
+        )
+
+    def _per_off(a: list[str], days: int) -> str:
+        # day-granular period shift: INTERVAL <days> DAY * offset
+        return f" + INTERVAL {days} DAY * (CAST({a[1]} AS INT))"
+
     e = _rewrite_fn(
         e,
         "startofweek",
         lambda a: (
-            f"CAST(date_sub(CAST({a[0]} AS DATE),"
-            f" (weekday({a[0]}) + 1) % 7) AS TIMESTAMP)"
+            _sow_base(a[0])
+            if len(a) == 1
+            else f"({_sow_base(a[0])}{_per_off(a, 7)})"
         ),
     )
     e = _rewrite_fn(
@@ -3945,35 +3960,37 @@ def _expr(kql_expr: str) -> str:
         # last microsecond of the Sunday-start week (startofweek + 7d
         # - 1 tick; round-7)
         lambda a: (
-            f"(CAST(date_sub(CAST({a[0]} AS DATE),"
-            f" (weekday({a[0]}) + 1) % 7) AS TIMESTAMP)"
-            " + INTERVAL 7 DAY - INTERVAL 1 MICROSECOND)"
+            f"({_sow_base(a[0])}"
+            + (_per_off(a, 7) if len(a) == 2 else "")
+            + " + INTERVAL 7 DAY - INTERVAL 1 MICROSECOND)"
         ),
     )
-    e = _rewrite_fn(
-        e,
-        "endofday",
-        lambda a: (
-            f"(date_trunc('DAY', {a[0]}) + INTERVAL 1 DAY"
-            " - INTERVAL 1 MICROSECOND)"
-        ),
-    )
-    e = _rewrite_fn(
-        e,
-        "endofmonth",
-        lambda a: (
-            f"(date_trunc('MONTH', {a[0]}) + INTERVAL 1 MONTH"
-            " - INTERVAL 1 MICROSECOND)"
-        ),
-    )
-    e = _rewrite_fn(
-        e,
-        "endofyear",
-        lambda a: (
-            f"(date_trunc('YEAR', {a[0]}) + INTERVAL 12 MONTH"
-            " - INTERVAL 1 MICROSECOND)"
-        ),
-    )
+    def _endof_months(unit: str, months: int):
+        def _f(a: list[str]) -> str:
+            base = f"date_trunc('{unit}', {a[0]})"
+            if len(a) == 1:
+                iv = (
+                    "INTERVAL 1 DAY"
+                    if unit == "DAY"
+                    else f"INTERVAL {months} MONTH"
+                )
+                return f"({base} + {iv} - INTERVAL 1 MICROSECOND)"
+            n = f"CAST({a[1]} AS INT)"
+            if unit == "DAY":
+                return (
+                    f"({base} + INTERVAL 1 DAY * (1 + {n})"
+                    " - INTERVAL 1 MICROSECOND)"
+                )
+            return (
+                f"(CAST(add_months({base}, {months} * (1 + {n}))"
+                " AS TIMESTAMP) - INTERVAL 1 MICROSECOND)"
+            )
+
+        return _f
+
+    e = _rewrite_fn(e, "endofday", _endof_months("DAY", 0))
+    e = _rewrite_fn(e, "endofmonth", _endof_months("MONTH", 1))
+    e = _rewrite_fn(e, "endofyear", _endof_months("YEAR", 12))
     e = _sub_outside_strings(r"\bweek_of_year\(", "weekofyear(", e)
     e = _sub_outside_strings(r"\bmonthofyear\(", "month(", e)
     # array batch 2: 0-based inclusive slice (non-negative indexes),
@@ -4003,20 +4020,28 @@ def _expr(kql_expr: str) -> str:
     )
     e = _sub_outside_strings(r"\barray_reverse\(", "reverse(", e)
     e = _rewrite_fn(e, "array_sum", lambda a: _series_reduce_sql(a, "sum"))
-    e = _sub_outside_strings(r"\bstartofday\(", "date_trunc('DAY', ", e)
-    e = _sub_outside_strings(r"\bstartofmonth\(", "date_trunc('MONTH', ", e)
-    e = _sub_outside_strings(r"\bstartofyear\(", "date_trunc('YEAR', ", e)
-    e = _sub_outside_strings(
-        r"\bstartofquarter\(", "date_trunc('QUARTER', ", e
-    )
+    def _startof_months(unit: str, months: int):
+        def _f(a: list[str]) -> str:
+            base = f"date_trunc('{unit}', {a[0]})"
+            if len(a) == 1:
+                return base
+            n = f"CAST({a[1]} AS INT)"
+            if unit == "DAY":
+                return f"({base} + INTERVAL 1 DAY * ({n}))"
+            return (
+                f"CAST(add_months({base}, {months} * ({n}))"
+                " AS TIMESTAMP)"
+            )
+
+        return _f
+
+    e = _rewrite_fn(e, "startofday", _startof_months("DAY", 0))
+    e = _rewrite_fn(e, "startofmonth", _startof_months("MONTH", 1))
+    e = _rewrite_fn(e, "startofyear", _startof_months("YEAR", 12))
     e = _rewrite_fn(
-        e,
-        "endofquarter",
-        lambda a: (
-            f"(date_trunc('QUARTER', {a[0]}) + INTERVAL 3 MONTH"
-            " - INTERVAL 1 MICROSECOND)"
-        ),
+        e, "startofquarter", _startof_months("QUARTER", 3)
     )
+    e = _rewrite_fn(e, "endofquarter", _endof_months("QUARTER", 3))
     # typed null literals — long(null), real(null), datetime(null), … —
     # the ADX way to write a NULL of a specific type (round-7; must run
     # BEFORE the datetime() literal rewrite or datetime(null) would
@@ -12530,6 +12555,38 @@ def q_kql_user_agent3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 scalar batch (probe batteries 8-9): regex-arg trim
+    family, indexof/array_index_of START arguments (the latter was
+    silently dropped), countof's 3-arg kind form, week_of_year/
+    dayofyear parts, startofweek with a PERIOD OFFSET (was silently
+    dropped), calendar datetime_add, array_slice negative from-end
+    indices, tolong hex literals, and floor-semantics bin on negative
+    values. All map-side."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 400"
+        " | extend dbl = strcat(event_type, event_type)"
+        " | project event_id,"
+        " tr = trim('-', strcat('--', event_type, '--')),"
+        " tsx = trim_start('[0-9]+', strcat(tostring(event_id),"
+        " event_type)),"
+        " ix = tolong(indexof(dbl, event_type, 1)),"
+        " cr = tolong(countof(event_type, 'e', 'regex')),"
+        " cn = countof(dbl, event_type, 'normal'),"
+        " wy = tolong(week_of_year(ts)),"
+        " dy = tolong(dayofyear(ts)),"
+        " sw = startofweek(ts, 1),"
+        " da = datetime_add('month', 1, startofmonth(ts)),"
+        " ss = array_sum(array_slice(pack_array(1, 2, 3, 4, 5),"
+        " -3, -2)),"
+        " ai = array_index_of(pack_array(1, 2, 3, 2), 2, 2),"
+        " hx = tolong('0xFF'),"
+        " bn = todouble(bin(0 - event_id, 7))",
+    )
+
+
 def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate schema_merge()` (round-7, verdict gap): merges a
     leading-union of getschema outputs — smallest ordinal per column,
@@ -13042,6 +13099,7 @@ QUERIES = {
     "kql_idioms4": q_kql_idioms4,
     "kql_scalar_fns10": q_kql_scalar_fns10,
     "kql_scalar_fns11": q_kql_scalar_fns11,
+    "kql_scalar_fns12": q_kql_scalar_fns12,
     "kql_idioms5": q_kql_idioms5,
     "kql_activity_dims": q_kql_activity_dims,
     "kql_user_agent": q_kql_user_agent,
@@ -14360,6 +14418,35 @@ ORACLE = {
                coalesce(event_type, 'x') AS co,
                true AS fwd
         FROM events e WHERE event_id < 800
+    """,
+    "kql_scalar_fns12": """
+        WITH b AS (
+            SELECT event_id, event_type, ts,
+                   event_type || event_type AS dbl
+            FROM events WHERE event_id < 400
+        )
+        SELECT event_id,
+               trim('--' || event_type || '--', '-') AS tr,
+               regexp_replace(CAST(event_id AS VARCHAR) || event_type,
+                              '^[0-9]+', '') AS tsx,
+               CAST(length(event_type) AS BIGINT) AS ix,
+               CAST(len(regexp_extract_all(event_type, 'e'))
+                    AS BIGINT) AS cr,
+               CAST(len(list_filter(generate_series(1, length(dbl)),
+                        _i -> substr(dbl, _i, length(event_type))
+                              = event_type)) AS BIGINT) AS cn,
+               CAST(weekofyear(ts) AS BIGINT) AS wy,
+               CAST(dayofyear(ts) AS BIGINT) AS dy,
+               CAST(CAST(ts AS DATE)
+                    - to_days(CAST((dayofweek(CAST(ts AS DATE))) % 7
+                              AS INTEGER)) AS TIMESTAMP)
+                   + INTERVAL 7 DAY AS sw,
+               date_trunc('month', ts) + INTERVAL 1 MONTH AS da,
+               CAST(7 AS DOUBLE) AS ss,
+               CAST(3 AS BIGINT) AS ai,
+               CAST(255 AS BIGINT) AS hx,
+               CAST(floor((0 - event_id) / 7.0) * 7 AS DOUBLE) AS bn
+        FROM b
     """,
     "kql_scalar_fns11": """
         SELECT event_id,
