@@ -285,6 +285,12 @@ array_slice negative from-end indices, array_index_of start argument
 (was silently dropped), single-quoted search terms (leading and
 pipe forms), invoke over fn-lets with a DECLARED tabular-param
 schema (`(T: (value: real))` — schema advisory, binds the child).
+Probe battery 10 additions: join kind=/hint.strategy= order-free,
+mv-apply with_itemindex= (struct-wrapped (v, i) elements, original
+expansion index visible to where/summarize), typed extract over ANY
+balanced source expression, extract_all with 2..16 capture groups
+(array-of-group-arrays), datetime_diff 'week' (Sundays crossed) and
+'quarter' units.
 'os'/'device' + tier-2 browsers; scan SELF-step state references
 (cumulative-sum idiom exact); graph-shortest-paths output=all
 (per-path multiplicity); `+` concat with provably-string CALL
@@ -680,10 +686,28 @@ def _datetime_diff_sql(args: list[str]) -> str:
             f" - unix_timestamp(date_trunc('{unit.upper()}', {b})))"
             f" / {s} AS BIGINT)"
         )
+    if unit == "week":
+        # ADX week boundaries are SUNDAYS crossed — truncate both
+        # sides to their Sunday-start week (round-10 probe battery 10)
+        def _sun(x: str) -> str:
+            return (
+                f"date_sub(CAST({x} AS DATE),"
+                f" (weekday({x}) + 1) % 7)"
+            )
+
+        return (
+            f"CAST(datediff({_sun(a)}, {_sun(b)}) / 7 AS BIGINT)"
+        )
     if unit == "month":
         return (
             f"CAST(months_between(date_trunc('MONTH', {a}),"
             f" date_trunc('MONTH', {b})) AS BIGINT)"
+        )
+    if unit == "quarter":
+        # quarter boundaries crossed (round-10 probe battery 10)
+        return (
+            f"CAST(months_between(date_trunc('QUARTER', {a}),"
+            f" date_trunc('QUARTER', {b})) / 3 AS BIGINT)"
         )
     if unit == "year":
         return f"(year({a}) - year({b}))"
@@ -791,6 +815,23 @@ _BQ_NAME_RE = re.compile(
     r"(?<![\w)\]])\[\s*(['\"])((?:\\.|(?!\1).)+?)\1\s*\]"
 )
 
+
+
+class _JoinMatch:
+    """Adapter re-numbering the order-free join parameter match back
+    to the original (kind, strategy, pipe, on) group positions."""
+
+    def __init__(self, m: re.Match) -> None:
+        self._kind = m.group(1) or m.group(3)
+        self._groups = {
+            1: self._kind,
+            2: m.group(2),
+            3: m.group(4),
+            4: m.group(5),
+        }
+
+    def group(self, i: int):
+        return self._groups[i]
 
 def _mangle_bracket_cols(text: str) -> str:
     """['my col'] -> _bq_<hex>. Skips string literals (via _pred_sub),
@@ -3701,13 +3742,26 @@ def _expr(kql_expr: str) -> str:
                 f" explicit-subset contract: {pat!r}"
             )
         ngroups = len(re.findall(r"(?<!\\)\((?!\?)", pat[1:-1]))
-        if ngroups != 1:
-            raise ValueError(
-                "extract_all supports exactly one capture group"
-                f" (got {ngroups}; multi-group returns arrays of"
-                " arrays — unsupported)"
+        if ngroups == 1:
+            return f"regexp_extract_all({a[1].strip()}, {pat}, 1)"
+        if 1 < ngroups <= 16:
+            # multi-group (round-10 probe battery 10): ADX returns an
+            # array of per-match group ARRAYS — re-extract each group
+            # from each full-match span (the span IS the match, so
+            # anchoring is preserved; span-external lookarounds are the
+            # documented edge)
+            inner = ", ".join(
+                f"regexp_extract(_m, {pat}, {g})"
+                for g in range(1, ngroups + 1)
             )
-        return f"regexp_extract_all({a[1].strip()}, {pat}, 1)"
+            return (
+                f"transform(regexp_extract_all({a[1].strip()},"
+                f" {pat}, 0), _m -> array({inner}))"
+            )
+        raise ValueError(
+            "extract_all needs 1..16 capture groups"
+            f" (got {ngroups})"
+        )
 
     e = _rewrite_fn(e, "extract_all", _extract_all_sql)
 
@@ -3879,28 +3933,36 @@ def _expr(kql_expr: str) -> str:
         "translate",
         lambda a: f"translate({a[2]}, {a[0]}, {a[1]})",
     )
-    def _typed_extract(m: re.Match) -> str:
-        t = m.group(4).lower()
-        if t not in _KQL_TYPES:
-            raise ValueError(f"extract typeof: unknown type {t!r}")
-        return (
-            f"try_cast(regexp_extract({m.group(3)}, {m.group(1)},"
-            f" {m.group(2)}) AS {_KQL_TYPES[t]})"
+    def _extract_sql(a: list[str]) -> str:
+        # typed 4-arg form (extract(re, g, s, typeof(long)) -> NULL on
+        # cast failure, the ADX contract) and the plain 3-arg form.
+        # Balanced arg splitting (round-10 probe battery 10: the old
+        # source-operand regex couldn't hold a CALL like strcat(…), so
+        # typeof leaked through as a column reference).
+        if len(a) == 4:
+            tm = re.match(
+                r"^typeof\s*\(\s*(\w+)\s*\)$",
+                a[3].strip(),
+                re.IGNORECASE,
+            )
+            if not tm:
+                raise ValueError(
+                    f"extract 4th arg must be typeof(t): {a[3]!r}"
+                )
+            t = tm.group(1).lower()
+            if t not in _KQL_TYPES:
+                raise ValueError(f"extract typeof: unknown type {t!r}")
+            return (
+                f"try_cast(regexp_extract({a[2]}, {a[0]}, {a[1]})"
+                f" AS {_KQL_TYPES[t] or 'STRING'})"
+            )
+        if len(a) == 3:
+            return f"regexp_extract({a[2]}, {a[0]}, {a[1]})"
+        raise ValueError(
+            f"extract needs (regex, group, source[, typeof(t)]): {a!r}"
         )
 
-    # 4-arg typed form FIRST (extract(re, g, s, typeof(long)) -> NULL
-    # on cast failure, the ADX contract), then the plain 3-arg form
-    e = re.sub(
-        r"\bextract\(\s*('(?:[^']|'')*')\s*,\s*(\d+)\s*,"
-        r"\s*([^(),]+?)\s*,\s*typeof\s*\(\s*(\w+)\s*\)\s*\)",
-        _typed_extract,
-        e,
-    )
-    e = re.sub(
-        r"\bextract\(\s*('(?:[^']|'')*')\s*,\s*(\d+)\s*,\s*([^()]+)\)",
-        r"regexp_extract(\3, \1, \2)",
-        e,
-    )
+    e = _rewrite_fn(e, "extract", _extract_sql)
     # CAST to STRING before the ''-compare: ADX isempty applies to ANY
     # scalar (non-null non-strings are never empty); the bare compare
     # threw CAST_INVALID_INPUT on numerics under ANSI (round-7 sweep)
@@ -8734,15 +8796,20 @@ def _kql_stages_to_sql(
                 f" IN ({in_list}))"
             )
         elif op == "join":
+            # kind= and hint.strategy= may appear in EITHER order
+            # (round-10 probe battery 10 — ADX join parameters are
+            # order-free)
             m = re.match(
                 r"(?:kind\s*=\s*(\w+)\s+)?"
                 r"(?:hint\.strategy\s*=\s*(\w+)\s+)?"
+                r"(?:kind\s*=\s*(\w+)\s+)?"
                 r"\((.+)\)\s+on\s+(.+)$",
                 body,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise ValueError(f"join needs [kind=k] (pipe) on cols: {body!r}")
+            m = _JoinMatch(m)
             kind = (m.group(1) or "innerunique").lower()
             # hint.strategy: ADX broadcast BROADCASTS THE LEFT SIDE
             # (its doc contract) -> Spark BROADCAST hint on the left
@@ -10192,6 +10259,7 @@ def _kql_stages_to_sql(
             # stages, optional final summarize (sum/count/min/max/avg of
             # an element expression; sums/avgs compute as DOUBLE).
             m = re.match(
+                r"(?:with_itemindex\s*=\s*(\w+)\s+)?"
                 r"(?:(\w+)\s*=\s*)?(\w+)"
                 r"(?:\s+to\s+typeof\s*\(\s*(\w+)\s*\))?"
                 r"\s+on\s+\((.+)\)\s*$",
@@ -10200,17 +10268,22 @@ def _kql_stages_to_sql(
             )
             if not m:
                 raise ValueError(
-                    "mv-apply needs '[e =] col [to typeof(t)] on"
-                    f" (pipe)': {body!r}"
+                    "mv-apply needs '[with_itemindex=i] [e =] col"
+                    f" [to typeof(t)] on (pipe)': {body!r}"
                 )
-            elem, col = m.group(1) or m.group(2), m.group(2)
+            # with_itemindex (round-10 probe battery 10): elements
+    # wrap into (v, i) structs so subpipe expressions can read the
+            # ORIGINAL expansion index; references rewrite onto the
+            # struct fields and every mapped stage unwraps first.
+            mvidx = m.group(1)
+            elem, col = m.group(2) or m.group(3), m.group(3)
             arr, items = col, None
-            if m.group(3):
+            if m.group(4):
                 # `to typeof(t)` (round-7, verdict gap): each element
                 # try_casts to the declared scalar type BEFORE the
                 # subpipe runs (bad elements -> NULL, the same ADX
                 # leniency the typed mv-expand applies)
-                tname = m.group(3).lower()
+                tname = m.group(4).lower()
                 if tname not in _KQL_TYPES:
                     raise ValueError(
                         f"mv-apply typeof: unknown type {tname!r}"
@@ -10219,12 +10292,37 @@ def _kql_stages_to_sql(
                     f"transform({col}, {elem} ->"
                     f" try_cast({elem} AS {_KQL_TYPES[tname]}))"
                 )
-            for st in _split_top_level(m.group(4), "|"):
+
+            def _mvsub(txt: str) -> str:
+                txt = _sub_outside_strings(
+                    rf"(?<![\w.]){re.escape(elem)}(?![\w.(])",
+                    "_mv.v",
+                    txt,
+                )
+                return _sub_outside_strings(
+                    rf"(?<![\w.]){re.escape(mvidx)}(?![\w.(])",
+                    "_mv.i",
+                    txt,
+                )
+
+            if mvidx:
+                arr = (
+                    f"transform({arr}, ({elem}, _mvix) ->"
+                    f" named_struct('v', {elem},"
+                    " 'i', CAST(_mvix AS BIGINT)))"
+                )
+            for st in _split_top_level(m.group(5), "|"):
                 w = st.split(None, 1)
                 sop = w[0].lower()
                 sbody = w[1] if len(w) > 1 else ""
                 if sop == "where":
-                    arr = f"filter({arr}, {elem} -> {_expr(sbody)})"
+                    if mvidx:
+                        arr = (
+                            f"filter({arr}, _mv ->"
+                            f" {_mvsub(_expr(sbody))})"
+                        )
+                    else:
+                        arr = f"filter({arr}, {elem} -> {_expr(sbody)})"
                 elif sop == "sort":
                     # `sort by e [asc|desc]` over the ELEMENT itself
                     # (round-7): array_sort / its reverse — expression
@@ -10252,11 +10350,22 @@ def _kql_stages_to_sql(
                         if not am:
                             raise ValueError(f"bad mv-apply aggregate: {a!r}")
                         al, fn, arg = am.group(1), am.group(2).lower(), am.group(3)
-                        mapped = (
-                            arr
-                            if arg.strip() in ("", "*", elem)
-                            else f"transform({arr}, {elem} -> {_expr(arg)})"
-                        )
+                        if mvidx:
+                            mapped = (
+                                f"transform({arr}, _mv -> "
+                                + (
+                                    "_mv.v"
+                                    if arg.strip() in ("", "*", elem)
+                                    else _mvsub(_expr(arg))
+                                )
+                                + ")"
+                            )
+                        else:
+                            mapped = (
+                                arr
+                                if arg.strip() in ("", "*", elem)
+                                else f"transform({arr}, {elem} -> {_expr(arg)})"
+                            )
                         if fn == "count":
                             expr_sql, dflt = f"CAST(size({arr}) AS BIGINT)", "count_"
                         elif fn == "sum":
@@ -10286,6 +10395,8 @@ def _kql_stages_to_sql(
                     raise ValueError(f"unsupported mv-apply stage: {sop!r}")
             if items is None:
                 # where-only subpipe: the column becomes its filtered self
+                if mvidx:
+                    arr = f"transform({arr}, _mv -> _mv.v)"
                 sql = (
                     f"SELECT * EXCEPT ({col}), {arr} AS {col} FROM {prev}"
                 )

@@ -311,6 +311,42 @@ PROBES = [
     ("iff dynamic branches", "events | take 5 | extend d = iff(value > 50, dynamic([1]), dynamic([2])) | mv-expand d"),
     ("toscalar in let", "let m = toscalar(events | summarize max(value)); events | where value == m | count"),
     ("extend name rechain", "events | extend v2 = value * 2 | extend v2 = v2 + 1 | summarize s = round(sum(v2), 4)"),
+    # battery 10 (round-10): join/lookup parameter forms, wildcards,
+    # datetime/string doc forms, mv-apply edges. First run caught
+    # five gaps: join params were order-FIXED (hint before kind
+    # rejected), mv-apply lacked with_itemindex=, typed extract's
+    # source operand couldn't hold a call, extract_all rejected
+    # multi-group regexes, datetime_diff lacked week/quarter units.
+    ("join fullouter where after", "events | take 50 | join kind=fullouter (events | take 80 | project user_id, v2 = value) on user_id | where isnotempty(user_id) | count"),
+    ("join rightouter", "events | take 20 | join kind=rightouter (events | take 30 | project user_id, v2 = value) on user_id | count"),
+    ("lookup kind=leftouter", "events | take 30 | lookup kind=leftouter (datatable(event_type: string, w: long) ['view', 1]) on event_type | count"),
+    ("join hint broadcast with kind", "events | join hint.strategy=broadcast kind=inner (datatable(event_type: string, w: long) ['view', 1]) on event_type | count"),
+    ("summarize max datetime by bin", "events | summarize m = max(ts) by bin(ts, 1d) | count"),
+    ("summarize agg over iff", "events | summarize s = sum(iff(value > 50, value, 0.0)) by event_type"),
+    ("arg_min string key", "events | summarize arg_min(event_type, value) by user_id | take 3"),
+    ("take_any star by two keys", "events | summarize take_any(*) by event_type, user_id | count"),
+    ("hll by then merge", "events | summarize h = hll(user_id) by event_type | summarize d = dcount_hll(hll_merge(h))"),
+    ("mv-apply with_itemindex", "events | take 3 | extend a = pack_array(10, 20) | mv-apply with_itemindex=i e = a on (summarize s = sum(e), mi = max(i))"),
+    ("bag_pack expr keys", "events | take 3 | extend b = bag_pack(strcat('k', tostring(event_id % 2)), value) | project b"),
+    ("array_sort_asc strings", "print a = array_sort_asc(dynamic(['b', 'a', 'c']))"),
+    ("set_union three", "print u = array_length(set_union(dynamic([1,2]), dynamic([2,3]), dynamic([4])))"),
+    ("extract typed long", "events | take 5 | extend n = extract('([0-9]+)', 1, strcat('x', tostring(event_id)), typeof(long)) | project n"),
+    ("extract_all multi groups", "print x = extract_all(@'(\\w)(\\d)', 'a1 b2')"),
+    ("string_size unicode", "print b = string_size('héllo')"),
+    ("reverse string", "print r = reverse('abc')"),
+    ("has_cs predicate", "events | where event_type has_cs 'view' | count"),
+    ("matches regex anchors", "events | where event_type matches regex '^v.*w$' | count"),
+    ("todatetime iso z", "print d = todatetime('2024-01-02T03:04:05Z')"),
+    ("format_datetime ampm", "print s = format_datetime(datetime(2024-01-02 15:04:05), 'hh:mm tt')"),
+    ("datetime_diff week quarter", "print w = datetime_diff('week', datetime(2024-02-01), datetime(2024-01-01)), q = datetime_diff('quarter', datetime(2024-07-01), datetime(2024-01-01))"),
+    ("ago fractional", "events | where ts > ago(10000.5h) | count"),
+    ("project-keep wildcard", "events | project-keep event* | take 1"),
+    ("project-away wildcard", "events | project-away p*, u* | take 1"),
+    ("top nulls first", "events | extend v = iff(event_id % 10 == 0, real(null), value) | top 3 by v desc nulls first | project event_id"),
+    ("sort by expression", "events | sort by strlen(event_type) desc, event_id asc | take 3"),
+    ("distinct two cols then count", "events | distinct event_type, user_id | count"),
+    ("union kind=inner", "union kind=inner (events | project event_id, value), (events | project event_id, event_type) | count"),
+    ("count then project Count", "events | count | project Count"),
 ]
 
 
@@ -401,3 +437,65 @@ def test_battery9_value_checks(spark):
         " inv_t | invoke addv()",
     ).collect()[0]
     assert r["s"] == 6.0
+
+
+def test_battery10_value_checks(spark):
+    """Battery 10 value pins for the five gaps it caught."""
+    spark.sql(
+        "SELECT array(10, 20, 30, 40) AS a"
+    ).createOrReplaceTempView("mvt")
+    # mv-apply with_itemindex: index visible to where AND summarize
+    r = kql(
+        spark,
+        "mvt | mv-apply with_itemindex=i e = a on"
+        " (where i >= 1 | summarize s = sum(e), mi = max(i),"
+        " c = count())",
+    ).collect()[0]
+    assert (r["s"], r["mi"], r["c"]) == (90.0, 3, 3)
+    # where-only subpipe unwraps back to the value array
+    r = kql(
+        spark,
+        "mvt | mv-apply with_itemindex=i e = a on (where i % 2 == 0)"
+        " | project a",
+    ).collect()[0]
+    assert r["a"] == [10, 30]
+    # typed extract with a CALL source; failed cast -> NULL
+    r = kql(
+        spark,
+        "print n = extract('([0-9]+)', 1, strcat('x', tostring(42)),"
+        " typeof(long)),"
+        " bad = extract('([a-z]+)', 1, 'x42', typeof(long))",
+    ).collect()[0]
+    assert r["n"] == 42 and r["bad"] is None
+    # extract_all multi-group -> array of per-match group arrays
+    r = kql(
+        spark, "print x = extract_all(@'(\\w)(\\d)', 'a1 b2')"
+    ).collect()[0]
+    assert r["x"] == [["a", "1"], ["b", "2"]]
+    # week boundaries are SUNDAYS; quarter boundaries
+    r = kql(
+        spark,
+        "print w1 = datetime_diff('week', datetime(2024-01-07),"
+        " datetime(2024-01-06)),"
+        " w0 = datetime_diff('week', datetime(2024-01-05),"
+        " datetime(2024-01-01)),"
+        " q = datetime_diff('quarter', datetime(2024-07-01),"
+        " datetime(2024-01-01))",
+    ).collect()[0]
+    assert (r["w1"], r["w0"], r["q"]) == (1, 0, 2)
+    # join parameters are order-free and agree
+    a = kql(
+        spark,
+        "mvt | mv-expand a | extend k = 'x'"
+        " | join hint.strategy=broadcast kind=inner"
+        " (mvt | mv-expand a | project v2 = a, k = 'x' | take 2)"
+        " on k | count",
+    ).collect()[0][0]
+    b = kql(
+        spark,
+        "mvt | mv-expand a | extend k = 'x'"
+        " | join kind=inner hint.strategy=broadcast"
+        " (mvt | mv-expand a | project v2 = a, k = 'x' | take 2)"
+        " on k | count",
+    ).collect()[0][0]
+    assert a == b == 8

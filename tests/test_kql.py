@@ -756,11 +756,16 @@ def test_parse_kv_extracts_typed_columns(spark):
 
 
 def test_scalar_batch3_error_shapes(spark):
-    """extract_all enforces the one-capture-group literal-regex subset;
-    column_ifexists without a session falls through to a loud parser
-    error instead of a silent guess."""
-    with pytest.raises(ValueError, match="exactly one capture group"):
-        kql_to_sql('T | extend x = extract_all("(a)(b)", s)')
+    """extract_all enforces the literal-regex subset with 1..16
+    capture groups (multi-group supported since round 10 — see
+    test_battery10_value_checks); column_ifexists without a session
+    falls through to a loud parser error instead of a silent
+    guess."""
+    # multi-group translates now; ZERO groups is still a loud error
+    sql = kql_to_sql('T | extend x = extract_all("(a)(b)", s)')
+    assert "transform(regexp_extract_all" in sql
+    with pytest.raises(ValueError, match="1..16 capture groups"):
+        kql_to_sql('T | extend x = extract_all("ab", s)')
     with pytest.raises(ValueError, match="literal regex"):
         kql_to_sql("T | extend x = extract_all(pat, s)")
     # without a session the call reaches Spark's parser untranslated
