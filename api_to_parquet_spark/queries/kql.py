@@ -253,7 +253,12 @@ LOOKING string column in a never-probed expression, documented here
 because closing it fully would cost a schema probe on every `+`
 (the translator never analyzes per-stage unconditionally);
 zip() over MIXED-type arrays (Spark arrays are homogeneous; same-type
-zips work — widen with tostring() for mixed pairs).
+zips work — widen with tostring() for mixed pairs);
+REAL division by a zero divisor: ADX yields inf/NaN, Spark's ANSI
+mode raises DIVIDE_BY_ZERO at runtime (loud, never silent) — guard
+with nullif(d, 0.0) or iff() where ADX's inf/NaN semantics are
+needed (battery-11 finding; a global `/`-rewrite would tax every
+division on the hot path).
 
 Closed in round 8 (previously out of subset): bracket-quoted column
 names ['my col'] (reversible _bq_<hex> mangling, demangled to Spark
@@ -291,6 +296,10 @@ expansion index visible to where/summarize), typed extract over ANY
 balanced source expression, extract_all with 2..16 capture groups
 (array-of-group-arrays), datetime_diff 'week' (Sundays crossed) and
 'quarter' units.
+Probe battery 11 additions: series_pearson_correlation (map-side
+zip + folds, NULL on zero variance), format_ipv4 over dotted-quad
+STRING input; the real-division-by-zero ANSI divergence documented
+above.
 'os'/'device' + tier-2 browsers; scan SELF-step state references
 (cumulative-sum idiom exact); graph-shortest-paths output=all
 (per-path multiplicity); `+` concat with provably-string CALL
@@ -2684,6 +2693,43 @@ def _expr(kql_expr: str) -> str:
 
     e = _rewrite_fn(e, "series_dot_product", _series_dot_sql)
     e = _rewrite_fn(e, "series_cosine_similarity", _series_cos_sql)
+
+    def _series_pearson_sql(a: list[str]) -> str:
+        # series_pearson_correlation (round-10 probe battery 11):
+        # r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²)(n·Σy² − Σy²)) —
+        # map-side zip + left-folds in array order; NULL (not an
+        # error) on zero variance.
+        if len(a) != 2:
+            raise ValueError(
+                f"series_pearson_correlation needs (s1, s2): {a!r}"
+            )
+        x, y = a[0].strip(), a[1].strip()
+
+        def _sum(arr: str) -> str:
+            return (
+                f"aggregate({arr}, CAST(0 AS DOUBLE),"
+                " (_acc, _x) -> _acc + CAST(_x AS DOUBLE))"
+            )
+
+        n = f"CAST(size({x}) AS DOUBLE)"
+        sx, sy = _sum(x), _sum(y)
+        sxx = _sum(f"transform({x}, _x -> CAST(_x AS DOUBLE)"
+                   " * CAST(_x AS DOUBLE))")
+        syy = _sum(f"transform({y}, _x -> CAST(_x AS DOUBLE)"
+                   " * CAST(_x AS DOUBLE))")
+        sxy = _sum(
+            f"zip_with({x}, {y}, (_x, _y) -> CAST(_x AS DOUBLE)"
+            " * CAST(_y AS DOUBLE))"
+        )
+        return (
+            f"(({n} * {sxy} - {sx} * {sy})"
+            f" / nullif(sqrt(({n} * {sxx} - {sx} * {sx})"
+            f" * ({n} * {syy} - {sy} * {sy})), CAST(0 AS DOUBLE)))"
+        )
+
+    e = _rewrite_fn(
+        e, "series_pearson_correlation", _series_pearson_sql
+    )
     # element-wise comparisons -> boolean series
     for _nm, _cmp in (
         ("series_greater_equals", ">="),
@@ -3437,10 +3483,15 @@ def _expr(kql_expr: str) -> str:
 
     def _format_ipv4_sql(a: list[str]) -> str:
         # numeric input (the engine-side representation parse_ipv4
-        # produces); optional prefix masks the low bits first.
+        # produces) OR a dotted-quad STRING (round-10 probe battery
+        # 11: ADX accepts both; the bare BIGINT cast threw on
+        # strings); optional prefix masks the low bits first.
         if len(a) not in (1, 2):
             raise ValueError(f"format_ipv4 needs (ip [, prefix]): {a!r}")
-        ip = f"CAST({a[0]} AS BIGINT)"
+        ip = (
+            f"coalesce(try_cast({a[0]} AS BIGINT),"
+            f" {_parse_ipv4_expr(f'CAST({a[0]} AS STRING)')})"
+        )
         if len(a) == 2:
             ip = (
                 f"(({ip}) div CAST(pow(2, 32 - ({a[1]})) AS BIGINT))"

@@ -347,6 +347,41 @@ PROBES = [
     ("distinct two cols then count", "events | distinct event_type, user_id | count"),
     ("union kind=inner", "union kind=inner (events | project event_id, value), (events | project event_id, event_type) | count"),
     ("count then project Count", "events | count | project Count"),
+    # battery 11 (round-10): series math, window restarts, null/NaN
+    # edges, multi-table forms. First run caught three findings:
+    # series_pearson_correlation unimplemented, format_ipv4 rejected
+    # dotted-quad STRING input, and ADX-real division by zero is a
+    # documented LOUD divergence (ANSI DIVIDE_BY_ZERO vs inf/NaN).
+    ("series_stats multi-assign", "events | take 10 | summarize x = make_list(value) | extend (mn, mnid, mx, mxid, av, va, sd) = series_stats(x) | project mn, mx, av"),
+    ("series_pearson", "events | summarize a = make_list(todouble(event_id % 7)), b = make_list(todouble(event_id % 5)) | extend r = series_pearson_correlation(a, b)"),
+    ("make-series expand summarize", "events | make-series c = count() on ts from datetime(2024-01-01) to datetime(2024-01-15) step 1d by event_type | mv-expand c | summarize s = sum(todouble(c)) by event_type"),
+    ("series_outliers scores", "events | take 50 | summarize x = make_list(value) | extend o = series_outliers(x) | project n = array_length(o)"),
+    ("row_cumsum restart", "events | sort by event_id asc | extend cs = row_cumsum(value, event_id % 100 == 0) | take 5"),
+    ("prev two args", "events | sort by event_id asc | extend d = value - prev(value, 2) | take 5"),
+    ("iff datetime branches", "events | extend t = iff(value > 50, startofday(ts), ts) | count"),
+    ("case with strcat exprs", "events | extend l = case(value > 75, strcat('hi-', event_type), value > 25, 'mid', strcat('lo-', event_type)) | summarize c = count() by l | take 5"),
+    ("has_any three", "events | where event_type has_any ('view', 'click', 'zzz') | count"),
+    ("has_all two", "events | where props has_all ('k') | count"),
+    ("in~ literals", "events | where event_type in~ ('VIEW', 'Click') | count"),
+    ("not contains_cs", "events | where event_type !contains_cs 'VIEW' | count"),
+    ("parse_version compare", "print ok = parse_version('1.2.3') < parse_version('1.10.0')"),
+    ("format_ipv4 mask", "print i = format_ipv4('192.168.1.255', 24)"),
+    ("min_of ignores null", "print m = min_of(long(null), 5, 3)"),
+    ("coalesce datetimes", "events | extend t = coalesce(datetime(null), ts) | count"),
+    ("isnan real", "print a = isnan(sqrt(-1.0)), b = isnan(1.0)"),
+    ("zip then expand", "print z = zip(dynamic([1, 2]), dynamic([3, 4])) | mv-expand z | count"),
+    ("repeat array", "print r = array_length(repeat(7, 4))"),
+    ("union three datatables nullfill", "union (datatable(a: long) [1]), (datatable(b: string) ['x']), (datatable(a: long, b: string) [2, 'y']) | count"),
+    ("mv-expand two arrays zip", "print a = dynamic([1, 2]), b = dynamic(['x', 'y']) | mv-expand a, b | count"),
+    ("top-nested two levels project", "events | top-nested 2 of event_type by s = sum(value), top-nested 2 of user_id by m = max(value) | project event_type, user_id, m | take 5"),
+    ("summarize percentile argmax combo", "events | summarize p = percentile(value, 90), arg_max(value, event_id) by event_type | take 3"),
+    ("distinct !in dynamic", "events | where event_type !in ('view', 'click') | distinct event_type"),
+    ("toscalar in case", "events | extend big = case(value > toscalar(events | summarize avg(value)), 'above', 'below') | summarize c = count() by big"),
+    ("strcat_delim nulls", "print s = strcat_delim('-', 'a', tostring(long(null)), 'b')"),
+    ("binary ops chain", "events | extend b = binary_or(binary_and(event_id, 255), binary_shift_left(1, 8)) | take 2"),
+    ("exp log roundtrip", "events | extend ok = abs(exp(log(value + 1.0)) - (value + 1.0)) < 1e-9 | summarize countif(ok)"),
+    ("bin_at datetime anchor", "events | summarize c = count() by b = bin_at(ts, 7d, datetime(2024-01-03)) | take 3"),
+    ("range then join events", "range d from datetime(2024-01-01) to datetime(2024-01-10) step 1d | extend k = 1 | join kind=inner (events | extend k = 1 | take 10) on k | count"),
 ]
 
 
@@ -499,3 +534,25 @@ def test_battery10_value_checks(spark):
         " on k | count",
     ).collect()[0][0]
     assert a == b == 8
+
+
+def test_battery11_value_checks(spark):
+    """Battery 11 value pins for the findings it caught."""
+    r = kql(
+        spark,
+        "print r1 = round(series_pearson_correlation("
+        "dynamic([1.0, 2.0, 3.0]), dynamic([2.0, 4.0, 6.0])), 9),"
+        " r2 = round(series_pearson_correlation("
+        "dynamic([1.0, 2.0, 3.0]), dynamic([3.0, 2.0, 1.0])), 9),"
+        " r0 = series_pearson_correlation(dynamic([1.0, 1.0]),"
+        " dynamic([1.0, 2.0])),"
+        " f1 = format_ipv4('192.168.1.255', 24),"
+        " f2 = format_ipv4(3232236031, 24),"
+        " f3 = format_ipv4('10.0.0.7')",
+    ).collect()[0]
+    assert (r["r1"], r["r2"], r["r0"]) == (1.0, -1.0, None)
+    assert (r["f1"], r["f2"], r["f3"]) == (
+        "192.168.1.0",
+        "192.168.1.0",
+        "10.0.0.7",
+    )
