@@ -12749,6 +12749,35 @@ def q_kql_scalar_fns12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 batch 13 (probe batteries 10-11): mv-apply
+    with_itemindex (even-index element sum — the original expansion
+    index drives the subpipe's where), datetime_diff 'week' (Sunday
+    boundaries) and 'quarter' units, typed extract over a CALL
+    source, and series_pearson_correlation (closed-form mirrored
+    textually — exact on small-integer inputs, round(,6) guard).
+    All map-side."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        " | extend arr = pack_array(todouble(event_id % 5),"
+        " todouble(event_id % 7), todouble(event_id % 3),"
+        " todouble(event_id % 11))"
+        " | mv-apply with_itemindex=i e = arr on"
+        " (where i % 2 == 0 | summarize sev = sum(e))"
+        " | extend wk = datetime_diff('week', ts,"
+        " datetime(2024-01-01)),"
+        " qt = datetime_diff('quarter', ts, datetime(2023-07-04)),"
+        " tx = extract('([0-9]+)', 1, strcat('n', tostring(event_id),"
+        " 'x'), typeof(long)),"
+        " pr = round(series_pearson_correlation("
+        "pack_array(1.0, 2.0, todouble(event_id % 9 + 3)),"
+        " pack_array(2.0, 4.0, todouble(event_id % 6 + 5))), 6)"
+        " | project event_id, sev, wk, qt, tx, pr",
+    )
+
+
 def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`evaluate schema_merge()` (round-7, verdict gap): merges a
     leading-union of getschema outputs — smallest ordinal per column,
@@ -13262,6 +13291,7 @@ QUERIES = {
     "kql_scalar_fns10": q_kql_scalar_fns10,
     "kql_scalar_fns11": q_kql_scalar_fns11,
     "kql_scalar_fns12": q_kql_scalar_fns12,
+    "kql_scalar_fns13": q_kql_scalar_fns13,
     "kql_idioms5": q_kql_idioms5,
     "kql_activity_dims": q_kql_activity_dims,
     "kql_user_agent": q_kql_user_agent,
@@ -14580,6 +14610,28 @@ ORACLE = {
                coalesce(event_type, 'x') AS co,
                true AS fwd
         FROM events e WHERE event_id < 800
+    """,
+    "kql_scalar_fns13": """
+        WITH b AS (
+            SELECT event_id, ts,
+                   CAST(event_id % 9 + 3 AS DOUBLE) AS x,
+                   CAST(event_id % 6 + 5 AS DOUBLE) AS y
+            FROM events WHERE event_id < 300
+        )
+        SELECT event_id,
+               CAST(event_id % 5 + event_id % 3 AS DOUBLE) AS sev,
+               CAST(date_diff('day', DATE '2023-12-31',
+                     CAST(ts AS DATE)
+                     - to_days(CAST(dayofweek(CAST(ts AS DATE)) % 7
+                               AS INTEGER))) // 7 AS BIGINT) AS wk,
+               CAST(date_diff('quarter', DATE '2023-07-04', ts)
+                    AS BIGINT) AS qt,
+               CAST(event_id AS BIGINT) AS tx,
+               round((3 * (10 + x * y) - (3 + x) * (6 + y))
+                     / sqrt((3 * (5 + x * x) - (3 + x) * (3 + x))
+                            * (3 * (20 + y * y) - (6 + y) * (6 + y))),
+                     6) AS pr
+        FROM b
     """,
     "kql_scalar_fns12": """
         WITH b AS (
