@@ -40,7 +40,7 @@ from urllib.parse import parse_qs, urlparse
 from pyspark.sql import Row, SparkSession
 
 from api_to_parquet_spark import ingest, lake, state
-from api_to_parquet_spark.queries.kql import kql
+from api_to_parquet_spark.queries.kql import _REQUEST_DB, kql
 
 # /query response row cap; truncated responses carry Kusto's partial-
 # results signal (v1 `Exceptions` entry; `"truncated": true` in the
@@ -63,25 +63,51 @@ _KUSTO_V1_TYPES = {
     "timestamp": ("DateTime", "datetime"),
     "timestamp_ntz": ("DateTime", "datetime"),
     "date": ("DateTime", "datetime"),
-    "decimal": ("Decimal", "decimal"),
-    "interval day to second": ("TimeSpan", "timespan"),
+    # the v1 DataType for decimals is the .NET System.Data.SqlTypes
+    # name (SqlDecimal), not "Decimal" — round-10 advice
+    "decimal": ("SqlDecimal", "decimal"),
 }
 
 
 def _kusto_column(name: str, spark_type: str) -> dict:
-    dt, ct = _KUSTO_V1_TYPES.get(
-        spark_type.split("(")[0], ("Object", "dynamic")
-    )
+    root = spark_type.split("(")[0]
+    # ANY day-time interval variant is a timespan on the wire (the
+    # cell encoder below renders every timedelta as [d.]hh:mm:ss) —
+    # round-10 advice: only the exact "interval day to second" mapped
+    # before, so "interval hour to second" etc. claimed Object/dynamic
+    # while the cell was still a timespan string. Year-month intervals
+    # (tokens year/month) have no ADX type and stay dynamic.
+    if spark_type.startswith("interval") and not (
+        {"year", "month"} & set(spark_type.split())
+    ):
+        dt, ct = ("TimeSpan", "timespan")
+    else:
+        dt, ct = _KUSTO_V1_TYPES.get(root, ("Object", "dynamic"))
     return {"ColumnName": name, "DataType": dt, "ColumnType": ct}
 
 
-def _kusto_value(v):
+def _kusto_value(v, ntz: bool = False):
     """Encode one cell the way Kusto's v1 JSON does: ISO-8601 Z
     datetimes with 7-digit fractions, [d.]hh:mm:ss timespans, base64
-    bytes, dynamic values inline."""
+    bytes, dynamic values inline.
+
+    Naive datetimes from a TIMESTAMP column are DRIVER-LOCAL wall
+    time, not UTC: PySpark's collect() converts via
+    datetime.fromtimestamp (TimestampType.fromInternal), so on a
+    non-UTC host the naive value carries the host's offset. astimezone
+    on a naive datetime applies exactly that local-time assumption,
+    recovering the true instant before the Z encoding (round-10
+    advice — the old code formatted naive values as-if-UTC).
+    TIMESTAMP_NTZ columns (ntz=True) are wall-clock by definition and
+    encode verbatim."""
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        elif not ntz:
+            v = (
+                v.astimezone(datetime.timezone.utc)
+                .replace(tzinfo=None)
+            )
         return f"{v:%Y-%m-%dT%H:%M:%S}.{v.microsecond:06d}0Z"
     if isinstance(v, datetime.date):
         return f"{v:%Y-%m-%d}T00:00:00.0000000Z"
@@ -94,11 +120,11 @@ def _kusto_value(v):
         frac = f".{v.microseconds:06d}0" if v.microseconds else ""
         return f"{neg}{d}{hh:02d}:{mm:02d}:{ss:02d}{frac}"
     if isinstance(v, Row):
-        return {k: _kusto_value(x) for k, x in v.asDict().items()}
+        return {k: _kusto_value(x, ntz) for k, x in v.asDict().items()}
     if isinstance(v, dict):
-        return {k: _kusto_value(x) for k, x in v.items()}
+        return {k: _kusto_value(x, ntz) for k, x in v.items()}
     if isinstance(v, (list, tuple)):
-        return [_kusto_value(x) for x in v]
+        return [_kusto_value(x, ntz) for x in v]
     if isinstance(v, (bytes, bytearray)):
         return base64.b64encode(v).decode()
     if isinstance(v, Decimal):
@@ -179,14 +205,15 @@ class LakeService:
         `?format=simple` keeps the engine-native shape
         ({"columns": […], "rows": [{…}], "truncated"?}).
 
-        Known wire refinement (round-9 advice): KQL join/lookup
-        collision suffixing (value -> value1) resolves on the
-        translator's RETRY pass only, so a join whose first analysis
-        succeeds can emit DUPLICATE column names where ADX always
-        suffixes. The v1 envelope carries rows as positional ARRAYS,
-        so no data is lost — but clients keying cells by ColumnName
-        should expect the duplicate-name case; ?format=simple (dict
-        rows) collapses duplicates to the last value.
+        Join/lookup collision suffixing (value -> value1) resolves on
+        the translator's retry pass, and every way a collision can
+        reach /query triggers that retry: a later reference to the
+        suffixed name fails fast-path analysis (UNRESOLVED_COLUMN),
+        and a terminal collision leaves duplicate output names, which
+        kql() detects on the analyzed fast plan and re-translates —
+        so v1 Columns always carry the ADX-suffixed names
+        (test_query_join_collision_suffixes_v1_columns pins both
+        shapes; closes the round-9/10 wire note).
         {"explain": true} returns the physical plan instead of rows —
         the engine-native twin of Kusto's `.show queryplan`."""
         try:
@@ -198,7 +225,14 @@ class LakeService:
             if self.sql_dialect == "sql":
                 df = self.spark.sql(text)
             else:
-                df = kql(self.spark, text)
+                # the body's db names the request's own database — a
+                # database("X") qualifier naming it is the same-db
+                # case and resolves to this session's views
+                db_tok = _REQUEST_DB.set(record.get("db") or None)
+                try:
+                    df = kql(self.spark, text)
+                finally:
+                    _REQUEST_DB.reset(db_tok)
             if record.get("explain"):
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 return 200, {"plan": plan}
@@ -221,6 +255,10 @@ class LakeService:
             return 200, out
         # Kusto v1: rows are positional ARRAYS in column order (tuple
         # iteration, not asDict — duplicate column names must survive)
+        ntz_flags = [
+            f.dataType.simpleString() == "timestamp_ntz"
+            for f in df.schema.fields
+        ]
         out = {
             "Tables": [
                 {
@@ -230,7 +268,10 @@ class LakeService:
                         for f in df.schema.fields
                     ],
                     "Rows": [
-                        [_kusto_value(v) for v in tuple(r)]
+                        [
+                            _kusto_value(v, n)
+                            for v, n in zip(tuple(r), ntz_flags)
+                        ]
                         for r in collected
                     ],
                 }

@@ -556,3 +556,126 @@ def test_battery11_value_checks(spark):
         "192.168.1.0",
         "10.0.0.7",
     )
+
+
+def test_round11_advice_value_checks(spark):
+    """Round-10 advice pins: duplicate join kind= rejected loudly;
+    array_index_of / array_slice from-end indices below -size clamp to
+    the array head (ADX's graceful -1 / prefix) instead of feeding
+    slice() a nonpositive start (Spark runtime error)."""
+    spark.sql("SELECT 1 AS k, 10 AS value").createOrReplaceTempView(
+        "adv_l"
+    )
+    with pytest.raises(ValueError, match="duplicate kind"):
+        kql(
+            spark,
+            "adv_l | join kind=inner hint.strategy=shuffle"
+            " kind=leftouter (adv_l) on k",
+        )
+    r = kql(
+        spark,
+        "print i1 = array_index_of(pack_array(1, 2, 3), 2, -99),"
+        " i2 = array_index_of(pack_array(1, 2, 3), 2, -2),"
+        " s1 = array_slice(pack_array(1, 2, 3), -99, 1),"
+        " s2 = array_slice(pack_array(1, 2, 3), -99, -98)",
+    ).collect()[0]
+    assert r["i1"] == 1 and r["i2"] == 1
+    assert r["s1"] == [1, 2] and r["s2"] == []
+
+
+def test_real_div_zero_value_checks(spark):
+    """Round-10 verdict #1 pins: provably-real ÷0 follows ADX/IEEE
+    (inf/-inf/NaN), nulls propagate, finite values untouched; integer
+    and unknown-typed divisions keep the loud ANSI error; timespan
+    division and interval/real division are unaffected."""
+    import math
+
+    r = kql(
+        spark,
+        "print a = 1.0 / 0, b = -2.5 / 0.0, c = 0.0 / 0,"
+        " d = todouble(5) / 0, e = 1.0 / 2,"
+        " f = real(null) / 0.0, g = 3.0 / real(null)",
+    ).collect()[0]
+    assert r["a"] == math.inf and r["b"] == -math.inf
+    assert math.isnan(r["c"]) and r["d"] == math.inf
+    assert r["e"] == 0.5 and r["f"] is None and r["g"] is None
+    # multiplicative chains: the left-assoc numerator is preserved,
+    # % rides along, two-division chains guard both
+    r = kql(
+        spark,
+        "print x = 7 % 4 / 0.0, y = 1.0 / 2 / 0, z = 100.0 / 0 / 10,"
+        " w = 0 - 1.0 / 0.0",
+    ).collect()[0]
+    assert r["x"] == math.inf and r["y"] == math.inf
+    assert r["z"] == math.inf and r["w"] == -math.inf
+    # rate-dashboard shape over a table (the motivating query)
+    spark.sql(
+        "SELECT 10 AS errors, 0 AS requests"
+        " UNION ALL SELECT 3, 6"
+    ).createOrReplaceTempView("rdz")
+    rows = kql(
+        spark,
+        "rdz | extend rate = errors * 1.0 / requests"
+        " | sort by errors asc | project rate",
+    ).collect()
+    assert rows[0]["rate"] == 0.5 and rows[1]["rate"] == math.inf
+    # integer division stays ANSI-loud (ADX real semantics only apply
+    # when an operand is provably real)
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        kql(spark, "print z = 1 / 0").collect()
+    # timespan division and interval/real division unaffected
+    r = kql(
+        spark,
+        "print r = 1h / 30m,"
+        " h = (datetime(2024-01-02) - datetime(2024-01-01)) / 2.0",
+    ).collect()[0]
+    assert r["r"] == 2.0
+    assert r["h"].total_seconds() == 43200
+
+
+def test_db_qualifier_value_checks(spark):
+    """Round-10 verdict #3 pins: cluster()/database() table
+    qualifiers resolve to the session namespace (request db /
+    current db / 'default' aliases, catalog databases qualified);
+    unknown dbs and non-qualifier uses are loud; string literals
+    containing the tokens are untouched."""
+    from api_to_parquet_spark.queries.kql import _REQUEST_DB
+
+    spark.sql("SELECT 1 AS k, 10 AS v").createOrReplaceTempView(
+        "dbq_t"
+    )
+    assert (
+        kql(spark, 'database("default").dbq_t | count').collect()[0][0]
+        == 1
+    )
+    assert (
+        kql(
+            spark,
+            'cluster("https://this.engine.local")'
+            '.database("default").dbq_t | project v',
+        ).collect()[0][0]
+        == 10
+    )
+    tok = _REQUEST_DB.set("MyDb")
+    try:
+        assert (
+            kql(spark, 'database("MyDb").dbq_t | count').collect()[0][0]
+            == 1
+        )
+    finally:
+        _REQUEST_DB.reset(tok)
+    with pytest.raises(ValueError, match="unknown database"):
+        kql(spark, 'database("NopeDb").dbq_t | count')
+    with pytest.raises(ValueError, match="only as a table qualifier"):
+        kql(spark, 'dbq_t | extend x = database("default") | count')
+    # a string literal carrying the tokens is data, not a qualifier
+    q = 'dbq_t | extend s = "database(\\"x\\").T" | project s'
+    assert kql(spark, q).collect()[0][0] == 'database("x").T'
+    # union operand form
+    assert (
+        kql(
+            spark,
+            'union database("default").dbq_t, dbq_t | count',
+        ).collect()[0][0]
+        == 2
+    )

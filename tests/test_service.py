@@ -288,3 +288,125 @@ def test_query_kusto_v1_envelope_types(spark, tmp_path):
             "1.02:03:04.5000000",
         ]
     ]
+
+
+def test_query_v1_type_mapping_refinements(spark, tmp_path):
+    """Round-10 advice: decimal columns carry the .NET SqlTypes name
+    (SqlDecimal, not Decimal), and EVERY day-time interval variant —
+    not just the exact 'interval day to second' simpleString — maps to
+    TimeSpan, matching the [d.]hh:mm:ss cell encoding. Year-month
+    intervals have no ADX scalar type and stay dynamic."""
+    assert service._kusto_column("d", "decimal(18,2)") == {
+        "ColumnName": "d",
+        "DataType": "SqlDecimal",
+        "ColumnType": "decimal",
+    }
+    for st in (
+        "interval day to second",
+        "interval hour to second",
+        "interval day",
+        "interval minute",
+    ):
+        assert service._kusto_column("t", st)["DataType"] == "TimeSpan", st
+    assert (
+        service._kusto_column("ym", "interval year to month")["DataType"]
+        == "Object"
+    )
+    # end-to-end: a decimal cell through /query
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state"),
+        sql_dialect="sql",
+    )
+    status, body = svc.query(
+        json.dumps(
+            {"csl": "SELECT CAST(1.25 AS DECIMAL(10,2)) AS d,"
+             " INTERVAL '02:03:04' HOUR TO SECOND AS dur"}
+        ).encode()
+    )
+    assert status == 200
+    cols = body["Tables"][0]["Columns"]
+    assert cols[0]["DataType"] == "SqlDecimal"
+    assert cols[1] == {
+        "ColumnName": "dur",
+        "DataType": "TimeSpan",
+        "ColumnType": "timespan",
+    }
+    assert body["Tables"][0]["Rows"] == [["1.25", "02:03:04"]]
+
+
+def test_kusto_value_naive_datetime_is_driver_local():
+    """Round-10 advice (medium): collect() yields TIMESTAMP cells as
+    NAIVE datetimes in the DRIVER's OS-local timezone
+    (TimestampType.fromInternal uses datetime.fromtimestamp), so the Z
+    encoding must first recover the instant via the local-time
+    assumption instead of stamping naive wall time as-if-UTC. Pin a
+    non-UTC TZ and check the offset is applied; TIMESTAMP_NTZ cells
+    (ntz=True) are wall-clock and encode verbatim."""
+    import datetime as dt
+    import os
+    import time
+
+    old_tz = os.environ.get("TZ")
+    os.environ["TZ"] = "Etc/GMT-5"  # fixed UTC+5, no DST
+    time.tzset()
+    try:
+        naive = dt.datetime(2026, 1, 1, 12, 0, 0, 250000)
+        assert (
+            service._kusto_value(naive)
+            == "2026-01-01T07:00:00.2500000Z"
+        )
+        assert (
+            service._kusto_value(naive, ntz=True)
+            == "2026-01-01T12:00:00.2500000Z"
+        )
+        aware = dt.datetime(
+            2026, 1, 1, 12, 0, 0,
+            tzinfo=dt.timezone(dt.timedelta(hours=2)),
+        )
+        assert (
+            service._kusto_value(aware) == "2026-01-01T10:00:00.0000000Z"
+        )
+    finally:
+        if old_tz is None:
+            del os.environ["TZ"]
+        else:
+            os.environ["TZ"] = old_tz
+        time.tzset()
+
+
+def test_query_join_collision_suffixes_v1_columns(spark, tmp_path):
+    """Round-10 verdict #5: a KQL join whose right side collides with
+    a left column must surface ADX's suffixed names (value, value1) in
+    the v1 Columns — for both the terminal-duplicate shape (fast plan
+    analyzes clean, duplicate output names trigger the clash retry)
+    and the later-reference shape (UNRESOLVED_COLUMN value1 triggers
+    it)."""
+    spark.sql("SELECT 1 AS k, 10 AS value").createOrReplaceTempView(
+        "svc_jl"
+    )
+    spark.sql("SELECT 1 AS k, 20 AS value").createOrReplaceTempView(
+        "svc_jr"
+    )
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state")
+    )
+    status, body = svc.query(
+        json.dumps(
+            {"csl": "svc_jl | join kind=inner (svc_jr) on k"}
+        ).encode()
+    )
+    assert status == 200
+    names = [c["ColumnName"] for c in body["Tables"][0]["Columns"]]
+    assert names == ["k", "value", "value1"]
+    assert body["Tables"][0]["Rows"] == [[1, 10, 20]]
+    status, body = svc.query(
+        json.dumps(
+            {
+                "csl": "svc_jl | join kind=inner (svc_jr) on k"
+                " | project value, value1"
+            }
+        ).encode()
+    )
+    assert status == 200
+    names = [c["ColumnName"] for c in body["Tables"][0]["Columns"]]
+    assert names == ["value", "value1"]
