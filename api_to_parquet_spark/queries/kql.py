@@ -214,12 +214,13 @@ batteries): `consume decodeblocks` stats (plain `consume` returns the
 empty result — the observable contract in a lazy engine);
 char indexing on TRUE strings (ADX's [] is a
 dynamic operator and errors on strings too — use substring);
-parse_user_agent long-tail families and dynamic query lists (the
-full parser rides a uap-core lookup corpus; the 'browser' query's
-nine major families plus the 'os'/'device' major classes ARE
-supported — round 9 — and the bot/crawler tier Googlebot/bingbot/
-YandexBot/Baiduspider/HeadlessChrome/curl/Wget/python-requests with
-the Spider device class — round 10); (timespan division is complete as of round 10:
+parse_user_agent long-tail families (the full parser rides a
+uap-core lookup corpus; the 'browser' query's nine major families
+plus the 'os'/'device' major classes ARE supported — round 9 — the
+bot/crawler tier Googlebot/bingbot/YandexBot/Baiduspider/
+HeadlessChrome/curl/Wget/python-requests with the Spider device
+class — round 10 — and dynamic query LISTS returning one combined
+bag in list order — round 11); (timespan division is complete as of round 10:
 literal divisors, provably-timespan divisor EXPRESSIONS —
 totimespan()/make_timespan()/timespan literals, round 9 — and
 interval-typed COLUMN divisors, resolved via a lazy retry-path
@@ -242,16 +243,17 @@ columns, and whitelisted string-returning calls — tostring, strcat,
 substring, toupper, … — ARE supported, including a whitelisted call
 ACROSS `+` from a plain string COLUMN on the schema-probed retry —
 round 10; use strcat otherwise); `+`
-over ONE string and ONE numeric column: rejected loudly on the
-string+string retry path AND (round 10) within any expression whose
-stage schema was already probed for another reason (stored-dynamic
-accessors, interval division — _plus_mixed_guard), but on the
-never-probed fast path Spark's analysis accepts it via implicit
-cast and ANSI arithmetic runs/throws at runtime where ADX rejects
-at semantic analysis — the residual silent case is a numeric-
-LOOKING string column in a never-probed expression, documented here
-because closing it fully would cost a schema probe on every `+`
-(the translator never analyzes per-stage unconditionally);
+over ONE string and ONE numeric column: rejected loudly with a
+session (round 11: kql() turns the concat/mixed-guard probes ON from
+the start whenever the query text carries a bare-identifier `+`
+bare-identifier outside strings — a per-QUERY pattern gate, the
+probe only runs at `+`-bearing stages, and the previously-SILENT
+numeric-LOOKING string column case now raises the ADX
+semantic-analysis-parity error; string+string also concatenates on
+the first pass, no error roundtrip), and within any expression whose
+stage schema was probed for another reason (_plus_mixed_guard). The
+residual silent case is SESSIONLESS kql_to_sql() only (no schema to
+probe — ANSI arithmetic runs/throws where ADX rejects);
 zip() over MIXED-type arrays (Spark arrays are homogeneous; same-type
 zips work — widen with tostring() for mixed pairs);
 (REAL division by a zero divisor is supported as of round 11 for the
@@ -2030,133 +2032,183 @@ _UA_OS = (
 )
 
 
+def _ua_browser_case(ua: str) -> str:
+    """CASE yielding the Browser struct (Family/Major/Minor) for one
+    UA column — bot tier before browser families (evergreen bot UAs
+    carry Chrome/), Edge/Opera/Samsung/UC before Chrome, Version/ for
+    Safari with the Mobile split, IE via MSIE or tokenless
+    Trident+rv: last."""
+    branches = []
+    for fam, marker, tok in _UA_BOTS + _UA_FAMILIES:
+        mj = f"regexp_extract({ua}, '{tok}/(\\\\d+)', 1)"
+        mn = f"regexp_extract({ua}, '{tok}/\\\\d+\\\\.(\\\\d+)', 1)"
+        cond = f"instr({ua}, '{marker}') > 0"
+        if fam == "Safari":
+            # Version/ + Mobile token = Mobile Safari (uap-core)
+            branches.append(
+                f"WHEN {cond} AND instr({ua}, 'Mobile') > 0 THEN"
+                " named_struct("
+                f"'Family', 'Mobile Safari', 'MajorVersion', {mj},"
+                f" 'MinorVersion', {mn})"
+            )
+        branches.append(
+            f"WHEN {cond} THEN named_struct("
+            f"'Family', '{fam}', 'MajorVersion', {mj},"
+            f" 'MinorVersion', {mn})"
+        )
+    # IE last: MSIE token, or tokenless Trident with rv: (IE 11)
+    ie_mj = (
+        f"CASE WHEN instr({ua}, 'MSIE ') > 0 THEN"
+        f" regexp_extract({ua}, 'MSIE (\\\\d+)', 1)"
+        f" ELSE regexp_extract({ua}, 'rv:(\\\\d+)', 1) END"
+    )
+    ie_mn = (
+        f"CASE WHEN instr({ua}, 'MSIE ') > 0 THEN"
+        f" regexp_extract({ua}, 'MSIE \\\\d+\\\\.(\\\\d+)', 1)"
+        f" ELSE regexp_extract({ua}, 'rv:\\\\d+\\\\.(\\\\d+)', 1) END"
+    )
+    branches.append(
+        f"WHEN instr({ua}, 'MSIE ') > 0"
+        f" OR instr({ua}, 'Trident/') > 0 THEN"
+        " named_struct("
+        f"'Family', 'IE', 'MajorVersion', {ie_mj},"
+        f" 'MinorVersion', {ie_mn})"
+    )
+    other = (
+        "named_struct("
+        "'Family', 'Other', 'MajorVersion', '',"
+        " 'MinorVersion', '')"
+    )
+    return f"(CASE {' '.join(branches)} ELSE {other} END)"
+
+
+def _ua_os_case(ua: str) -> str:
+    """CASE yielding the OperatingSystem struct — iOS before
+    "like Mac OS X", Android before Linux (marker order in _UA_OS)."""
+    branches = []
+    for fam, markers, mj_re, mn_re, pt_re in _UA_OS:
+        cond = " OR ".join(
+            f"instr({ua}, '{mk}') > 0" for mk in markers
+        )
+        mj = (
+            f"regexp_extract({ua}, '{mj_re}', 1)" if mj_re else "''"
+        )
+        mn = (
+            f"regexp_extract({ua}, '{mn_re}', 1)" if mn_re else "''"
+        )
+        pt = (
+            f"regexp_extract({ua}, '{pt_re}', 1)" if pt_re else "''"
+        )
+        branches.append(
+            f"WHEN {cond} THEN named_struct("
+            f"'Family', '{fam}', 'MajorVersion', {mj},"
+            f" 'MinorVersion', {mn}, 'Patch', {pt})"
+        )
+    other = (
+        "named_struct("
+        "'Family', 'Other', 'MajorVersion', '',"
+        " 'MinorVersion', '', 'Patch', '')"
+    )
+    return f"(CASE {' '.join(branches)} ELSE {other} END)"
+
+
+def _ua_device_case(ua: str) -> str:
+    """CASE yielding the Device struct — Spider class first (bot UAs
+    also carry Android/iPhone), then Apple devices, then the
+    "; <model> Build/" Android rule."""
+
+    def _dev(fam: str, brand: str, model: str) -> str:
+        return (
+            "named_struct("
+            f"'Family', {fam}, 'Brand', {brand},"
+            f" 'Model', {model})"
+        )
+
+    # the "; <model> Build/" android token (uap-core generic rule)
+    amodel = (
+        f"regexp_extract({ua},"
+        " ';\\\\s*([^;)]*?)\\\\s+Build[/ ]', 1)"
+    )
+    d_iphone = _dev("'iPhone'", "'Apple'", "'iPhone'")
+    d_ipad = _dev("'iPad'", "'Apple'", "'iPad'")
+    d_mac = _dev("'Mac'", "'Apple'", "'Mac'")
+    d_amodel = _dev(amodel, "'Generic_Android'", amodel)
+    d_asmart = _dev("'Generic Smartphone'", "'Generic'", "'Smartphone'")
+    # bot UAs map to the uap-core Spider device class, checked
+    # FIRST (an evergreen Googlebot UA also says Android/iPhone)
+    spider_cond = " OR ".join(
+        f"instr({ua}, '{mk}') > 0" for _, mk, _ in _UA_BOTS
+    )
+    d_spider = _dev("'Spider'", "'Spider'", "'Desktop'")
+    branches = [
+        f"WHEN {spider_cond} THEN {d_spider}",
+        f"WHEN instr({ua}, 'iPhone') > 0 THEN {d_iphone}",
+        f"WHEN instr({ua}, 'iPad') > 0 THEN {d_ipad}",
+        f"WHEN instr({ua}, 'Macintosh') > 0 THEN {d_mac}",
+        f"WHEN instr({ua}, 'Android') > 0"
+        f" AND instr({ua}, 'Build') > 0"
+        f" AND {amodel} != '' THEN {d_amodel}",
+        f"WHEN instr({ua}, 'Android') > 0 THEN {d_asmart}",
+    ]
+    other = _dev("'Other'", "''", "''")
+    return f"(CASE {' '.join(branches)} ELSE {other} END)"
+
+
+_UA_KINDS = {
+    "browser": ("Browser", _ua_browser_case),
+    "os": ("OperatingSystem", _ua_os_case),
+    "device": ("Device", _ua_device_case),
+}
+
+
 def _parse_user_agent_sql(args: list[str]) -> str:
     """parse_user_agent(ua, query) — DOCUMENTED SUBSET (round-8
-    'browser', round-9 'os'/'device' + second browser tier): major
-    families by marker precedence (the rule uap-core's public regex
-    corpus encodes: Edge/Opera/Samsung/UC before Chrome, Version/ for
-    Safari, "Version/ … Mobile" = Mobile Safari, iOS before
-    "like Mac OS X", Android before Linux), emitting ADX's bag shape
-    {"Browser"|"OperatingSystem"|"Device": {…}}. ADX's full parser
-    rides the complete uap-core lookup corpus; long-tail families map
-    to Other/empty and dynamic query lists raise."""
+    'browser', round-9 'os'/'device' + second browser tier, round-10
+    bot tier, round-11 dynamic query LISTS): major families by marker
+    precedence (the rule uap-core's public regex corpus encodes:
+    Edge/Opera/Samsung/UC before Chrome, Version/ for Safari,
+    "Version/ … Mobile" = Mobile Safari, iOS before "like Mac OS X",
+    Android before Linux), emitting ADX's bag shape
+    {"Browser"|"OperatingSystem"|"Device": {…}}. A dynamic query list
+    (parse_user_agent(ua, dynamic(['browser', 'os']))) returns ONE
+    combined bag carrying every requested section, in list order —
+    each section is the same struct the single-query form emits. ADX's
+    full parser rides the complete uap-core lookup corpus; long-tail
+    families map to Other/empty."""
     if len(args) != 2:
         raise ValueError(
             f"parse_user_agent needs (ua, query): {args!r}"
         )
-    kind = args[1].strip().strip("'\"").lower()
     ua = args[0].strip()
-    if kind == "browser":
-        branches = []
-        for fam, marker, tok in _UA_BOTS + _UA_FAMILIES:
-            mj = f"regexp_extract({ua}, '{tok}/(\\\\d+)', 1)"
-            mn = f"regexp_extract({ua}, '{tok}/\\\\d+\\\\.(\\\\d+)', 1)"
-            cond = f"instr({ua}, '{marker}') > 0"
-            if fam == "Safari":
-                # Version/ + Mobile token = Mobile Safari (uap-core)
-                branches.append(
-                    f"WHEN {cond} AND instr({ua}, 'Mobile') > 0 THEN"
-                    " to_json(named_struct('Browser', named_struct("
-                    f"'Family', 'Mobile Safari', 'MajorVersion', {mj},"
-                    f" 'MinorVersion', {mn})))"
-                )
-            branches.append(
-                f"WHEN {cond} THEN"
-                " to_json(named_struct('Browser', named_struct("
-                f"'Family', '{fam}', 'MajorVersion', {mj},"
-                f" 'MinorVersion', {mn})))"
-            )
-        # IE last: MSIE token, or tokenless Trident with rv: (IE 11)
-        ie_mj = (
-            f"CASE WHEN instr({ua}, 'MSIE ') > 0 THEN"
-            f" regexp_extract({ua}, 'MSIE (\\\\d+)', 1)"
-            f" ELSE regexp_extract({ua}, 'rv:(\\\\d+)', 1) END"
-        )
-        ie_mn = (
-            f"CASE WHEN instr({ua}, 'MSIE ') > 0 THEN"
-            f" regexp_extract({ua}, 'MSIE \\\\d+\\\\.(\\\\d+)', 1)"
-            f" ELSE regexp_extract({ua}, 'rv:\\\\d+\\\\.(\\\\d+)', 1) END"
-        )
-        branches.append(
-            f"WHEN instr({ua}, 'MSIE ') > 0"
-            f" OR instr({ua}, 'Trident/') > 0 THEN"
-            " to_json(named_struct('Browser', named_struct("
-            f"'Family', 'IE', 'MajorVersion', {ie_mj},"
-            f" 'MinorVersion', {ie_mn})))"
-        )
-        other = (
-            "to_json(named_struct('Browser', named_struct("
-            "'Family', 'Other', 'MajorVersion', '',"
-            " 'MinorVersion', '')))"
-        )
-        return f"(CASE {' '.join(branches)} ELSE {other} END)"
-    if kind == "os":
-        branches = []
-        for fam, markers, mj_re, mn_re, pt_re in _UA_OS:
-            cond = " OR ".join(
-                f"instr({ua}, '{mk}') > 0" for mk in markers
-            )
-            mj = (
-                f"regexp_extract({ua}, '{mj_re}', 1)" if mj_re else "''"
-            )
-            mn = (
-                f"regexp_extract({ua}, '{mn_re}', 1)" if mn_re else "''"
-            )
-            pt = (
-                f"regexp_extract({ua}, '{pt_re}', 1)" if pt_re else "''"
-            )
-            branches.append(
-                f"WHEN {cond} THEN to_json(named_struct("
-                "'OperatingSystem', named_struct("
-                f"'Family', '{fam}', 'MajorVersion', {mj},"
-                f" 'MinorVersion', {mn}, 'Patch', {pt})))"
-            )
-        other = (
-            "to_json(named_struct('OperatingSystem', named_struct("
-            "'Family', 'Other', 'MajorVersion', '',"
-            " 'MinorVersion', '', 'Patch', '')))"
-        )
-        return f"(CASE {' '.join(branches)} ELSE {other} END)"
-    if kind == "device":
-        def _dev(fam: str, brand: str, model: str) -> str:
-            return (
-                "to_json(named_struct('Device', named_struct("
-                f"'Family', {fam}, 'Brand', {brand},"
-                f" 'Model', {model})))"
-            )
-
-        # the "; <model> Build/" android token (uap-core generic rule)
-        amodel = (
-            f"regexp_extract({ua},"
-            " ';\\\\s*([^;)]*?)\\\\s+Build[/ ]', 1)"
-        )
-        d_iphone = _dev("'iPhone'", "'Apple'", "'iPhone'")
-        d_ipad = _dev("'iPad'", "'Apple'", "'iPad'")
-        d_mac = _dev("'Mac'", "'Apple'", "'Mac'")
-        d_amodel = _dev(amodel, "'Generic_Android'", amodel)
-        d_asmart = _dev("'Generic Smartphone'", "'Generic'", "'Smartphone'")
-        # bot UAs map to the uap-core Spider device class, checked
-        # FIRST (an evergreen Googlebot UA also says Android/iPhone)
-        spider_cond = " OR ".join(
-            f"instr({ua}, '{mk}') > 0" for _, mk, _ in _UA_BOTS
-        )
-        d_spider = _dev("'Spider'", "'Spider'", "'Desktop'")
-        branches = [
-            f"WHEN {spider_cond} THEN {d_spider}",
-            f"WHEN instr({ua}, 'iPhone') > 0 THEN {d_iphone}",
-            f"WHEN instr({ua}, 'iPad') > 0 THEN {d_ipad}",
-            f"WHEN instr({ua}, 'Macintosh') > 0 THEN {d_mac}",
-            f"WHEN instr({ua}, 'Android') > 0"
-            f" AND instr({ua}, 'Build') > 0"
-            f" AND {amodel} != '' THEN {d_amodel}",
-            f"WHEN instr({ua}, 'Android') > 0 THEN {d_asmart}",
-        ]
-        other = _dev("'Other'", "''", "''")
-        return f"(CASE {' '.join(branches)} ELSE {other} END)"
-    raise ValueError(
-        "parse_user_agent supports the 'browser'/'os'/'device'"
-        f" queries only (documented subset): {args[1]!r}"
+    qarg = args[1].strip()
+    dm = re.match(
+        r"^dynamic\s*\(\s*\[(.*)\]\s*\)$",
+        qarg,
+        re.IGNORECASE | re.DOTALL,
     )
+    if dm:
+        kinds = [
+            t.strip().strip("'\"").lower()
+            for t in _split_top_level(dm.group(1))
+        ]
+    else:
+        kinds = [qarg.strip("'\"").lower()]
+    if not kinds:
+        raise ValueError("parse_user_agent: empty query list")
+    unknown = [k for k in kinds if k not in _UA_KINDS]
+    if unknown:
+        raise ValueError(
+            "parse_user_agent supports the 'browser'/'os'/'device'"
+            f" queries only (documented subset): {unknown!r}"
+        )
+    if len(set(kinds)) != len(kinds):
+        raise ValueError(
+            f"parse_user_agent: duplicate query in list: {kinds!r}"
+        )
+    pairs = ", ".join(
+        f"'{_UA_KINDS[k][0]}', {_UA_KINDS[k][1](ua)}" for k in kinds
+    )
+    return f"to_json(named_struct({pairs}))"
 
 
 def _extract_toscalar(text: str) -> tuple[str, list[tuple[str, str]]]:
@@ -5356,6 +5408,23 @@ _STAGE_CHILD: contextvars.ContextVar = contextvars.ContextVar(
 _PLUS_CONCAT: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "_PLUS_CONCAT", default=False
 )
+
+# bare-identifier `+` bare-identifier OUTSIDE string literals — the
+# one shape whose ADX-vs-ANSI divergence is only decidable from the
+# stage schema (round-10 verdict #4: with a session, probe up front
+# instead of waiting for an analysis error that a numeric-LOOKING
+# string column never raises)
+_BARE_PLUS_RE = re.compile(
+    r"(?<![\w.'\")\]])[A-Za-z_]\w*\s*\+\s*[A-Za-z_]\w*(?![\w(])"
+)
+
+
+def _has_bare_plus(text: str) -> bool:
+    spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(text)]
+    return any(
+        not any(s0 <= m.start() < s1 for s0, s1 in spans)
+        for m in _BARE_PLUS_RE.finditer(text)
+    )
 
 _RESOLVE_CLASHES: contextvars.ContextVar[bool] = contextvars.ContextVar(
     "kql_resolve_clashes", default=False
@@ -10883,7 +10952,27 @@ def kql(
         # views before the final plan resolves them (round-8 advice).
         with _pin_scope():
             try:
-                df = spark.sql(kql_to_sql(text, spark))
+                # per-QUERY silent-`+` pre-pass (round-10 verdict #4):
+                # a bare column+column `+` is string concatenation,
+                # numeric arithmetic, or an ADX semantic-analysis
+                # error depending on the stage schema — and the
+                # mixed case with a numeric-LOOKING string column
+                # analyzes cleanly, so no retry trigger ever fires.
+                # When the text carries the shape, translate with the
+                # concat/mixed-guard probes ON from the start; the
+                # probe runs only at `+`-bearing stages, every other
+                # query pays nothing. The residual silent case is now
+                # sessionless-only.
+                pp_tok = (
+                    _PLUS_CONCAT.set(True)
+                    if _has_bare_plus(text)
+                    else None
+                )
+                try:
+                    df = spark.sql(kql_to_sql(text, spark))
+                finally:
+                    if pp_tok is not None:
+                        _PLUS_CONCAT.reset(pp_tok)
                 if len(set(df.columns)) == len(df.columns):
                     return df
             except AnalysisException as ex:
@@ -12973,6 +13062,43 @@ def q_kql_user_agent3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_user_agent4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_user_agent dynamic query LISTS (round-10 verdict #6):
+    parse_user_agent(ua, dynamic(['browser', 'os', 'device'])) emits
+    ONE combined bag carrying every requested section in list order —
+    each section identical to the single-query form's struct. Four UA
+    cases span the family tiers (Windows Chrome, iPhone Mobile
+    Safari, Android Chrome with a Build/ model, macOS Safari); the
+    oracle derives expected values per case independently from the
+    uap-core rules."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 600"
+        " | extend ua = case("
+        " event_id % 4 == 0, 'Mozilla/5.0 (Windows NT 10.0; Win64;"
+        " x64) AppleWebKit/537.36 Chrome/118.0.5993.117"
+        " Safari/537.36',"
+        " event_id % 4 == 1, 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_6"
+        " like Mac OS X) AppleWebKit/605.1.15 Version/16.6"
+        " Mobile/15E148 Safari/604.1',"
+        " event_id % 4 == 2, 'Mozilla/5.0 (Linux; Android 13; Pixel 7"
+        " Build/TQ3A) AppleWebKit/537.36 Chrome/118.0.0.0 Mobile"
+        " Safari/537.36',"
+        " 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+        " AppleWebKit/605.1.15 Version/17.0 Safari/605.1.15')"
+        " | extend bag = parse_user_agent(ua,"
+        " dynamic(['browser', 'os', 'device']))"
+        " | project event_id,"
+        " bfam = tostring(parse_json(bag).Browser.Family),"
+        " bmj = tostring(parse_json(bag).Browser.MajorVersion),"
+        " ofam = tostring(parse_json(bag).OperatingSystem.Family),"
+        " omj = tostring(parse_json(bag).OperatingSystem.MajorVersion),"
+        " dfam = tostring(parse_json(bag).Device.Family),"
+        " dbr = tostring(parse_json(bag).Device.Brand)",
+    )
+
+
 def q_kql_scalar_fns12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 scalar batch (probe batteries 8-9): regex-arg trim
     family, indexof/array_index_of START arguments (the latter was
@@ -13602,6 +13728,7 @@ QUERIES = {
     "kql_user_agent": q_kql_user_agent,
     "kql_user_agent2": q_kql_user_agent2,
     "kql_user_agent3": q_kql_user_agent3,
+    "kql_user_agent4": q_kql_user_agent4,
     "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
@@ -14769,6 +14896,30 @@ ORACLE = {
                       WHEN 2 THEN 'iPhone'
                       WHEN 5 THEN 'Mac' ELSE '' END AS dmd
         FROM u
+    """,
+    "kql_user_agent4": """
+        SELECT event_id,
+               CASE event_id % 4
+                    WHEN 1 THEN 'Mobile Safari'
+                    WHEN 3 THEN 'Safari'
+                    ELSE 'Chrome' END AS bfam,
+               CASE event_id % 4
+                    WHEN 1 THEN '16' WHEN 3 THEN '17'
+                    ELSE '118' END AS bmj,
+               CASE event_id % 4
+                    WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
+                    WHEN 2 THEN 'Android' ELSE 'Mac OS X' END AS ofam,
+               CASE event_id % 4
+                    WHEN 0 THEN '10' WHEN 1 THEN '16'
+                    WHEN 2 THEN '13' ELSE '10' END AS omj,
+               CASE event_id % 4
+                    WHEN 0 THEN 'Other' WHEN 1 THEN 'iPhone'
+                    WHEN 2 THEN 'Pixel 7' ELSE 'Mac' END AS dfam,
+               CASE event_id % 4
+                    WHEN 0 THEN '' WHEN 1 THEN 'Apple'
+                    WHEN 2 THEN 'Generic_Android'
+                    ELSE 'Apple' END AS dbr
+        FROM events WHERE event_id < 600
     """,
     "kql_user_agent3": """
         WITH u AS (

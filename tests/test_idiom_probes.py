@@ -679,3 +679,87 @@ def test_db_qualifier_value_checks(spark):
         ).collect()[0][0]
         == 2
     )
+
+
+def test_silent_plus_prepass_value_checks(spark):
+    """Round-10 verdict #4 pins: with a session, a bare col+col `+`
+    probes the stage schema up front — the numeric-LOOKING string
+    column case (which analyzes cleanly under ANSI implicit casts, so
+    no retry trigger ever fired) now raises the ADX parity error;
+    string+string concatenates on the FIRST pass; numeric arithmetic
+    and literal operands are untouched."""
+    spark.sql(
+        "SELECT '42' AS fake_num, 5.0 AS v, 'ab' AS s, 3 AS n"
+    ).createOrReplaceTempView("spp_t")
+    with pytest.raises(ValueError, match="mixed string/numeric"):
+        kql(spark, "spp_t | extend q = fake_num + v | project q")
+    assert (
+        kql(spark, "spp_t | extend q = s + s | project q").collect()[0][0]
+        == "abab"
+    )
+    assert (
+        kql(spark, "spp_t | extend q = v + n | project q").collect()[0][0]
+        == 8.0
+    )
+    assert (
+        kql(spark, "spp_t | extend q = n + 1 | project q").collect()[0][0]
+        == 4
+    )
+    assert (
+        kql(spark, 'spp_t | extend q = "a + b" | project q').collect()[0][
+            0
+        ]
+        == "a + b"
+    )
+
+
+def test_user_agent_dynamic_list_value_checks(spark):
+    """Round-10 verdict #6 pins: dynamic query lists return one
+    combined bag in list order; sections match the single-query
+    forms; unknown/duplicate queries are loud."""
+    import json as _json
+
+    ua = (
+        "Mozilla/5.0 (Linux; Android 10; SM-G973F Build/QP1A)"
+        " AppleWebKit/537.36 (KHTML, like Gecko)"
+        " Chrome/92.0.4515.115 Mobile Safari/537.36"
+    )
+    spark.sql(
+        f"SELECT '{ua}' AS ua"
+    ).createOrReplaceTempView("ua_list_t")
+    bag = kql(
+        spark,
+        "ua_list_t | extend b = parse_user_agent(ua,"
+        " dynamic(['browser', 'os', 'device'])) | project b",
+    ).collect()[0][0]
+    d = _json.loads(bag)
+    assert list(d) == ["Browser", "OperatingSystem", "Device"]
+    assert d["Browser"]["Family"] == "Chrome"
+    assert d["Browser"]["MajorVersion"] == "92"
+    assert d["OperatingSystem"]["Family"] == "Android"
+    assert d["Device"]["Family"] == "SM-G973F"
+    # list order is the output order
+    bag = kql(
+        spark,
+        "ua_list_t | extend b = parse_user_agent(ua,"
+        " dynamic(['os', 'browser'])) | project b",
+    ).collect()[0][0]
+    assert list(_json.loads(bag)) == ["OperatingSystem", "Browser"]
+    # single-query form agrees with the list section
+    single = kql(
+        spark,
+        'ua_list_t | extend b = parse_user_agent(ua, "os") | project b',
+    ).collect()[0][0]
+    assert _json.loads(single)["OperatingSystem"] == d["OperatingSystem"]
+    with pytest.raises(ValueError, match="browser.*os.*device|queries only"):
+        kql(
+            spark,
+            "ua_list_t | extend b = parse_user_agent(ua,"
+            " dynamic(['engine'])) | project b",
+        )
+    with pytest.raises(ValueError, match="duplicate query"):
+        kql(
+            spark,
+            "ua_list_t | extend b = parse_user_agent(ua,"
+            " dynamic(['os', 'os'])) | project b",
+        )

@@ -832,6 +832,67 @@ def test_scan_matches_python_greedy_reference(spark, seq):
     assert got_set == exp
 
 
+@FEW
+@given(
+    seq=st.lists(
+        st.tuples(st.integers(1, 2), st.integers(0, 6)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scan_state_refs_match_python_reference(spark, seq):
+    """Round-10 verdict #7: the round-9/10 scan STATE-REFERENCE
+    surfaces under fuzz — (a) the SELF-reference cumulative idiom
+    (step accepts when v exceeds the last row it accepted, per
+    group), (b) a FORWARD reference (step 1 reads step 2's last
+    accepted row: the previous match instance, NULL before it) —
+    each against a few-line Python state machine on random
+    per-group sequences."""
+    from api_to_parquet_spark.queries.kql import kql
+
+    vals = ", ".join(f"{u}, {t}, {v}" for t, (u, v) in enumerate(seq))
+    src = f"datatable(u: long, t: long, v: long)[{vals}]"
+
+    # (a) self-reference: accept iff strictly above the step's own
+    # last accepted row
+    last: dict[int, int] = {}
+    exp_a = []
+    for t, (u, v) in enumerate(seq):
+        if u not in last or v > last[u]:
+            exp_a.append((u, t))
+            last[u] = v
+    got = kql(
+        spark,
+        f"{src} | sort by t asc | scan by u with ("
+        " step s1: isnull(s1.v) or v > s1.v;) | project u, t",
+    ).collect()
+    assert sorted((r["u"], r["t"]) for r in got) == sorted(exp_a)
+
+    # (b) forward reference: s1 opens only when v differs from the
+    # PREVIOUS instance's s2 row (NULL-open before the first)
+    s2_last: dict[int, int] = {}
+    p: dict[int, int] = {}
+    exp_b = []
+    for t, (u, v) in enumerate(seq):
+        if p.get(u, 0) == 0:
+            if u not in s2_last or v != s2_last[u]:
+                exp_b.append((u, t, "s1"))
+                p[u] = 1
+        else:
+            exp_b.append((u, t, "s2"))
+            s2_last[u] = v
+            p[u] = 0
+    got = kql(
+        spark,
+        f"{src} | sort by t asc | scan by u with ("
+        " step s1: isnull(s2.v) or v != s2.v;"
+        " step s2: true;) | project u, t, step",
+    ).collect()
+    assert sorted((r["u"], r["t"], r["step"]) for r in got) == sorted(
+        exp_b
+    )
+
+
 # --- KQL translator VALUE parity fuzz (round-8): a dual-emitter
 # mini-grammar generates the same logical pipe as KQL text AND as
 # DuckDB SQL, and the results must be value-identical (the driver's
@@ -856,7 +917,7 @@ def _kql_dual_st(draw):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
         dts = sorted(c for c, t in cols.items() if t == "dt")
-        kind = draw(st.integers(0, 10))
+        kind = draw(st.integers(0, 14))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -962,6 +1023,91 @@ def _kql_dual_st(draw):
             k = draw(st.integers(2, 6))
             kqls.append(
                 "lookup kind=inner (events"
+                f" | summarize {newc} = min(event_id % {k})"
+                " by user_id) on user_id"
+            )
+            sql = (
+                f"SELECT _l.*, _r.{newc} FROM ({sql}) _l JOIN"
+                f" (SELECT user_id, MIN(event_id % {k}) AS {newc}"
+                " FROM events GROUP BY user_id) _r"
+                " ON _l.user_id = _r.user_id"
+            )
+            cols[newc] = "int"
+        elif kind == 11 and ints:
+            # round-10 surface: mv-apply with_itemindex — the
+            # original expansion index drives the subpipe's where;
+            # the twin sums the same element expressions directly
+            # (sum over dynamic elements is DOUBLE on the Spark side)
+            c = draw(st.sampled_from(ints))
+            kk = draw(st.integers(0, 2))
+            newc = f"ma{len(cols)}"
+            kqls.append(
+                f"extend a_ = pack_array({c} % 3, {c} % 5, {c} % 7)"
+                f" | mv-apply with_itemindex=mi_ e_ = a_ on"
+                f" (where mi_ >= {kk} | summarize {newc} = sum(e_))"
+            )
+            terms = " + ".join(
+                f"{c} % {p}" for p in (3, 5, 7)[kk:]
+            )
+            sql = (
+                f"SELECT *, CAST({terms} AS DOUBLE) AS {newc}"
+                f" FROM ({sql}) _ma"
+            )
+            cols[newc] = "dbl"
+            keep = sorted(cols)
+            kqls.append("project " + ", ".join(keep))
+            sql = f"SELECT {', '.join(keep)} FROM ({sql}) _map"
+        elif kind == 12 and ints:
+            # round-10 surface: take_any with an EXPRESSION argument
+            # (struct-key min_by refinement -> MIN is the twin)
+            c = draw(st.sampled_from(ints))
+            g = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 6))
+            m = draw(st.integers(2, 5))
+            kqls.append(
+                f"summarize ta = take_any({c} % {k} + 1)"
+                f" by g = {g} % {m}"
+            )
+            sql = (
+                f"SELECT {g} % {m} AS g, MIN({c} % {k} + 1) AS ta"
+                f" FROM ({sql}) _ta GROUP BY 1"
+            )
+            cols = {"g": "int", "ta": "int"}
+        elif kind == 13 and strs and ints:
+            # round-10 surface: extract_all with TWO capture groups —
+            # first match's second group, via 0-based native array
+            # subscripts (DuckDB twin: 1-based list indexes /
+            # group-indexed regexp_extract). The constructed string
+            # always ends letter+digits, so a match always exists.
+            s1 = draw(st.sampled_from(strs))
+            c = draw(st.sampled_from(ints))
+            newc = f"eg{len(cols)}"
+            kqls.append(
+                "extend ea_ = extract_all("
+                f'@"([a-z]+)([0-9]+)", strcat({s1}, tostring({c} % 9)))'
+                f" | extend {newc} = tostring(ea_[0][1])"
+            )
+            sql = (
+                f"SELECT *, regexp_extract({s1} ||"
+                f" CAST({c} % 9 AS VARCHAR),"
+                f" '([a-z]+)([0-9]+)', 2) AS {newc}"
+                f" FROM ({sql}) _eg"
+            )
+            cols[newc] = "str"
+            keep = sorted(cols)
+            kqls.append("project " + ", ".join(keep))
+            sql = f"SELECT {', '.join(keep)} FROM ({sql}) _egp"
+        elif kind == 14 and "user_id" in cols:
+            # round-10 surface: join parameters in EITHER order
+            # (kind= / hint.strategy=), both orders must mean the
+            # same inner join
+            newc = f"jm{len(cols)}"
+            k = draw(st.integers(2, 6))
+            params = ["kind=inner", "hint.strategy=broadcast"]
+            if draw(st.booleans()):
+                params.reverse()
+            kqls.append(
+                f"join {' '.join(params)} (events"
                 f" | summarize {newc} = min(event_id % {k})"
                 " by user_id) on user_id"
             )
