@@ -307,6 +307,17 @@ Probe battery 11 additions: series_pearson_correlation (map-side
 zip + folds, NULL on zero variance), format_ipv4 over dotted-quad
 STRING input; the real-division-by-zero ANSI divergence documented
 above.
+Probe battery 12 additions (round-11): mv-expand EXPRESSION
+operands (`p = <expr>`, and the todynamic(col)/parse_json(col)
+shorthand expanding into the source column's name) with typed
+clauses on MULTI-column zips; VARIANT columns dispatch through the
+same bag/array/scalar expansion; `between (start .. duration)`
+durations may be let-bound / provably-timespan expressions;
+extract_all captureGroups lists (dynamic([...]) of (?P<name>…)
+names or 1-based indices — names stripped for the engine pattern);
+NEGATIVE array subscripts arr[-1] from the end, null out of range
+(try_element_at; positive OOB stays ANSI-loud where ADX yields
+null — documented edge).
 'os'/'device' + tier-2 browsers; scan SELF-step state references
 (cumulative-sum idiom exact); graph-shortest-paths output=all
 (per-path multiplicity); `+` concat with provably-string CALL
@@ -3085,6 +3096,22 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bpack_array\(", "array(", e)
     e = _sub_outside_strings(r"\barray_length\(", "size(", e)
     e = _sub_outside_strings(r"\barray_concat\(", "concat(", e)
+    # NEGATIVE array subscripts (round-11, probe battery 12): ADX
+    # arr[-1] reads from the END (and any dynamic out-of-range index
+    # is null); Spark's native [] raises INVALID_ARRAY_INDEX under
+    # ANSI for negatives. try_element_at counts -1 = last and yields
+    # NULL out of range — exactly the ADX contract. Positive literal
+    # subscripts stay native (0-based on both sides; an OOB positive
+    # raises here where ADX yields null — documented edge, loud).
+    _prev_neg = None
+    while _prev_neg != e:
+        _prev_neg = e
+        e = _pred_sub(
+            rf"({_RDIV_OPND_TXT}(?:\[-?\d+\])*)\s*\[\s*-\s*(\d+)\s*\]",
+            lambda m: f"try_element_at({m.group(1)}, -{m.group(2)})",
+            e,
+        )
+
     def _array_index_of_sql(a: list[str]) -> str:
         # ADX is 0-based with -1 for missing; array_position is 1-based
         # with 0 (and NULL-safe via coalesce for a NULL haystack).
@@ -3995,39 +4022,116 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\btodynamic\(", "parse_json(", e)
 
     def _extract_all_sql(a: list[str]) -> str:
-        # ADX extract_all(regex, source): regex must carry 1..16
-        # capture groups; one group returns its matches, several
-        # return arrays of arrays (no Spark analogue) — explicit
-        # subset: exactly one group, literal pattern (inspected at
-        # translation time for the group count).
-        if len(a) != 2:
-            raise ValueError(f"extract_all needs (regex, source): {a!r}")
+        # ADX extract_all(regex[, captureGroups], source): the regex
+        # must carry 1..16 capture groups; one selected group returns
+        # its matches flat, several return arrays of per-match group
+        # arrays. The optional captureGroups dynamic([...]) list
+        # (round-11, probe battery 12) selects groups by 1-based
+        # index or by (?P<name>…) group name. Literal pattern only
+        # (inspected at translation time); group names are stripped
+        # from the executed pattern (Java regex rejects the (?P<…>
+        # spelling and underscored names) — numbering is unchanged.
+        if len(a) == 3:
+            sel_arg, src = a[1].strip(), a[2].strip()
+        elif len(a) == 2:
+            sel_arg, src = None, a[1].strip()
+        else:
+            raise ValueError(
+                f"extract_all needs (regex[, captureGroups], source): {a!r}"
+            )
         pat = a[0].strip()
         if not re.match(r"^'(?:[^']|'')*'$", pat):
             raise ValueError(
                 "extract_all needs a literal regex —"
                 f" explicit-subset contract: {pat!r}"
             )
-        ngroups = len(re.findall(r"(?<!\\)\((?!\?)", pat[1:-1]))
-        if ngroups == 1:
-            return f"regexp_extract_all({a[1].strip()}, {pat}, 1)"
-        if 1 < ngroups <= 16:
-            # multi-group (round-10 probe battery 10): ADX returns an
-            # array of per-match group ARRAYS — re-extract each group
-            # from each full-match span (the span IS the match, so
-            # anchoring is preserved; span-external lookarounds are the
-            # documented edge)
-            inner = ", ".join(
-                f"regexp_extract(_m, {pat}, {g})"
-                for g in range(1, ngroups + 1)
+        # scan the pattern for capturing groups in order (named or
+        # plain; skips escapes, char classes, and (?:…)-style
+        # non-capturing constructs)
+        body0 = pat[1:-1]
+        caps: list[str | None] = []
+        i = 0
+        while i < len(body0):
+            ch = body0[i]
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "[":
+                j = i + 1
+                if j < len(body0) and body0[j] == "^":
+                    j += 1
+                if j < len(body0) and body0[j] == "]":
+                    j += 1
+                while j < len(body0) and body0[j] != "]":
+                    if body0[j] == "\\":
+                        j += 1
+                    j += 1
+                i = j + 1
+                continue
+            if ch == "(":
+                nm = re.match(
+                    r"\(\?P?<([A-Za-z_]\w*)>", body0[i:]
+                )
+                if nm:
+                    caps.append(nm.group(1))
+                elif not body0[i : i + 2] == "(?":
+                    caps.append(None)
+            i += 1
+        ngroups = len(caps)
+        if not 1 <= ngroups <= 16:
+            raise ValueError(
+                "extract_all needs 1..16 capture groups"
+                f" (got {ngroups})"
             )
-            return (
-                f"transform(regexp_extract_all({a[1].strip()},"
-                f" {pat}, 0), _m -> array({inner}))"
+        pat0 = re.sub(r"\(\?P?<[A-Za-z_]\w*>", "(", pat)
+        if sel_arg is None:
+            sel = list(range(1, ngroups + 1))
+        else:
+            gm = re.match(
+                r"^dynamic\s*\(\s*\[(.*)\]\s*\)$"
+                r"|^array\s*\((.*)\)$",
+                sel_arg,
+                re.IGNORECASE | re.DOTALL,
             )
-        raise ValueError(
-            "extract_all needs 1..16 capture groups"
-            f" (got {ngroups})"
+            if not gm:
+                raise ValueError(
+                    "extract_all captureGroups must be a"
+                    f" dynamic([...]) literal: {sel_arg!r}"
+                )
+            sel = []
+            for t in _split_top_level(gm.group(1) or gm.group(2) or ""):
+                t = t.strip()
+                if re.match(r"^\d+$", t):
+                    idx = int(t)
+                    if not 1 <= idx <= ngroups:
+                        raise ValueError(
+                            f"extract_all: group index {idx} out of"
+                            f" range 1..{ngroups}"
+                        )
+                else:
+                    name = t.strip("'\"")
+                    if name not in caps:
+                        raise ValueError(
+                            f"extract_all: no capture group named"
+                            f" {name!r} in {pat}"
+                        )
+                    idx = caps.index(name) + 1
+                sel.append(idx)
+            if not sel:
+                raise ValueError("extract_all: empty captureGroups list")
+        if len(sel) == 1:
+            return f"regexp_extract_all({src}, {pat0}, {sel[0]})"
+        # multi-group (round-10 probe battery 10): ADX returns an
+        # array of per-match group ARRAYS — re-extract each group
+        # from each full-match span (the span IS the match, so
+        # anchoring is preserved; span-external lookarounds are the
+        # documented edge)
+        inner = ", ".join(
+            f"regexp_extract(_m, {pat0}, {g})" for g in sel
+        )
+        return (
+            f"transform(regexp_extract_all({src},"
+            f" {pat0}, 0), _m -> array({inner}))"
         )
 
     e = _rewrite_fn(e, "extract_all", _extract_all_sql)
@@ -4399,20 +4503,50 @@ def _expr(kql_expr: str) -> str:
     def _between_sub(m: re.Match, neg: bool = False) -> str:
         lo, hi = m.group(1), m.group(2)
         # ADX: `x between (start .. duration)` — a timespan end means
-        # [start, start + duration] (round-7)
-        tm = re.match(rf"^{_TS_LIT}$", hi.strip())
+        # [start, start + duration] (round-7). Round-11 (probe battery
+        # 12): the duration may also be a provably-timespan EXPRESSION
+        # — a let-substituted timespan literal arrives here already in
+        # its emitted INTERVAL form, and totimespan()/make_timespan()
+        # calls are provably intervals too.
+        hi_core = hi.strip()
+        # a let-substituted duration arrives wrapped in parens — peel
+        # balanced outer pairs before the shape check
+        while (
+            hi_core.startswith("(")
+            and hi_core.endswith(")")
+            and _balanced_end(hi_core, 0) == len(hi_core) - 1
+        ):
+            hi_core = hi_core[1:-1].strip()
+        tm = re.match(rf"^{_TS_LIT}$", hi_core)
         if tm:
             hi = f"{lo} + {_ts_interval(tm.group(1), tm.group(2))}"
+        elif re.match(
+            r"^(?:INTERVAL\s+'[^']*'\s+\w+(?:\s+TO\s+\w+)?"
+            r"|make_dt_interval\s*\(.*\)|totimespan\s*\(.*\)"
+            r"|make_timespan\s*\(.*\)|time\s*\(.*\))$",
+            hi_core,
+            re.IGNORECASE | re.DOTALL,
+        ):
+            hi = f"{lo} + ({hi_core})"
         return f"{'NOT ' if neg else ''}BETWEEN {lo} AND {hi}"
 
+    # the end operand may itself be a paren group (a let-substituted
+    # `(INTERVAL … SECOND)` duration, a call) — allow one nesting
+    # level so the capture reaches the between's own closing paren
+    # (round-11, probe battery 12: `.. w` with w a timespan let
+    # stopped at the substituted parens' first `)`)
+    _BTW_HI = (
+        r"((?:'(?:[^']|'')*'|[^()']"
+        r"|\((?:[^()']|'(?:[^']|'')*')*\))+?)"
+    )
     e = re.sub(
-        r"!between\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
+        rf"!between\s*\(\s*(.+?)\s*\.\.\s*{_BTW_HI}\s*\)",
         lambda m: _between_sub(m, True),
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
-        r"\bbetween\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
+        rf"\bbetween\s*\(\s*(.+?)\s*\.\.\s*{_BTW_HI}\s*\)",
         _between_sub,
         e,
         flags=re.IGNORECASE,
@@ -5528,6 +5662,32 @@ def _resolve_db_qualifiers(text: str, spark: SparkSession | None) -> str:
 
     _pred_sub(r"\b(?:database|cluster)\s*\(", _leftover, out)
     return out
+
+
+def _mv_string_dispatch(c: str, bags: bool = True) -> str:
+    """mv-expand source for a STRING dynamic column: NULL -> NULL
+    (explode drops the row), '{' -> single-property bags (ADX
+    contract; bags=False skips this branch for the typed path), '[' ->
+    the array's elements (string-widened), any other string is a
+    scalar dynamic emitted as ONE row."""
+    bag_branch = ""
+    if bags:
+        bagify = (
+            "transform(map_entries(from_json"
+            f"({c}, 'map<string,string>')),"
+            " _e -> to_json(map(_e.key, _e.value)))"
+        )
+        bag_branch = (
+            f" WHEN startswith(ltrim({c}), '{{') THEN {bagify}"
+        )
+    return (
+        f"CASE WHEN {c} IS NULL THEN NULL"
+        f"{bag_branch}"
+        f" WHEN startswith(ltrim({c}), '[')"
+        f" THEN from_json({c}, 'array<string>')"
+        f" ELSE array({c})"
+        " END"
+    )
 
 
 _STR_SPAN = re.compile(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'')
@@ -7098,50 +7258,6 @@ def _kql_stages_to_sql(
                     f" LATERAL VIEW posexplode({c}) _t AS _mvi, _mv"
                 )
                 continue
-            # single-column form accepts `to typeof(type)` — the ADX
-            # typed expansion: each element try_casts to the declared
-            # scalar type (bad elements -> NULL, ADX leniency)
-            tm = re.match(
-                r"^(\w+)\s+to\s+typeof\s*\(\s*(\w+)\s*\)\s*$",
-                body,
-                re.IGNORECASE,
-            )
-            if tm:
-                c, tname = tm.group(1), tm.group(2).lower()
-                if tname not in _KQL_TYPES:
-                    raise ValueError(
-                        f"mv-expand typeof: unknown type {tname!r}"
-                    )
-                # JSON-text dynamics compose with the typed clause
-                # (round-9 probe battery 6): `extend j = '[1, 2]'
-                # | mv-expand j to typeof(long)` — same string-column
-                # dispatch as the untyped branch
-                tsrc = c
-                if spark is not None:
-                    from pyspark.sql.types import StringType
-
-                    t_ctype = next(
-                        (
-                            f.dataType
-                            for f in _afields(spark, sql)
-                            if f.name == c
-                        ),
-                        None,
-                    )
-                    if isinstance(t_ctype, StringType):
-                        tsrc = (
-                            f"CASE WHEN {c} IS NULL THEN NULL"
-                            f" WHEN startswith(ltrim({c}), '[')"
-                            f" THEN from_json({c}, 'array<string>')"
-                            f" ELSE array({c})"
-                            " END"
-                        )
-                sql = (
-                    f"SELECT * EXCEPT ({c}, _mv),"
-                    f" try_cast(_mv AS {_KQL_TYPES[tname]}) AS {c}"
-                    f" FROM {prev} LATERAL VIEW explode({tsrc}) _t AS _mv"
-                )
-                continue
             # trailing `limit N` (round-7): ADX caps the expansion to
             # the first N elements PER ROW — a map-side slice before
             # the explode, no extra pass
@@ -7151,23 +7267,94 @@ def _kql_stages_to_sql(
             mv_lim = None
             if lim_m:
                 body, mv_lim = lim_m.group(1), int(lim_m.group(2))
-            cols = [c.strip() for c in _split_top_level(body)]
-            if not cols or not all(re.match(r"^\w+$", c) for c in cols):
+            # Operand normalization (round-11, probe battery 12): each
+            # operand is `col`, `col to typeof(t)`, `name = expr
+            # [to typeof(t)]`, or the todynamic(col)/parse_json(col)
+            # shorthand (expands INTO the source column's name — the
+            # everyday `mv-expand todynamic(props)` idiom; any other
+            # bare expression must be assigned a name). Assignments
+            # become ONE pre-projection so the expansion below always
+            # sees plain named columns.
+            pre_exprs: list[tuple[str, str]] = []
+            norm: list[tuple[str, str | None]] = []
+            for o in _split_top_level(body):
+                o = o.strip()
+                ty = None
+                tyg = re.match(
+                    r"^(.*?)\s+to\s+typeof\s*\(\s*(\w+)\s*\)\s*$",
+                    o,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if tyg:
+                    o, tname = tyg.group(1).strip(), tyg.group(2).lower()
+                    if tname not in _KQL_TYPES:
+                        raise ValueError(
+                            f"mv-expand typeof: unknown type {tname!r}"
+                        )
+                    ty = _KQL_TYPES[tname]
+                if not re.match(r"^\w+$", o):
+                    am = re.match(r"^(\w+)\s*=\s*(.+)$", o, re.DOTALL)
+                    if am:
+                        name, ex = am.group(1), am.group(2).strip()
+                    else:
+                        bm = re.match(
+                            r"^(?:todynamic|parse_json)\s*\("
+                            r"\s*(\w+)\s*\)$",
+                            o,
+                            re.IGNORECASE,
+                        )
+                        if not bm:
+                            raise ValueError(
+                                "mv-expand: assign a name to expression"
+                                f" operands (mv-expand x = <expr>): {o!r}"
+                            )
+                        name, ex = bm.group(1), o
+                    pre_exprs.append((name, _expr(ex)))
+                    o = name
+                norm.append((o, ty))
+            if not norm:
                 raise ValueError(f"mv-expand needs column name(s): {body!r}")
-            if len(cols) == 1:
-                c = cols[0]
+            if pre_exprs:
+                if spark is None:
+                    raise ValueError(
+                        "mv-expand expression operands need a"
+                        " SparkSession"
+                    )
+                assigned = [n for n, _ in pre_exprs]
+                if len(set(assigned)) != len(assigned):
+                    raise ValueError(
+                        f"mv-expand: duplicate assigned name: {assigned!r}"
+                    )
+                keep = [
+                    f.name
+                    for f in _afields(spark, sql)
+                    if f.name not in set(assigned)
+                ]
+                sel = ", ".join(
+                    keep + [f"{ex} AS {n}" for n, ex in pre_exprs]
+                )
+                sql = f"SELECT {sel} FROM {prev}"
+                prev = f"({sql}) AS _mvpre"
+            if len(norm) == 1:
+                c, ty = norm[0]
                 src = c
                 # property-BAG / JSON-text expansion (round-8 verdict
-                # #5): a STRING dynamic column holds either an object
-                # (expand into single-property bags, the ADX contract)
-                # or a JSON array text (expand into its elements,
-                # string-widened like the rest of the bag machinery).
-                # One schema probe, only for mv-expand stages and only
-                # with a session; array columns keep the zero-probe
-                # fast path below.
+                # #5): a STRING dynamic column holds an object (expand
+                # into single-property bags, the ADX contract), a JSON
+                # array text (expand into its string-widened
+                # elements), or a scalar dynamic (ONE row). One schema
+                # probe, only for mv-expand stages and only with a
+                # session; array columns keep the zero-probe fast
+                # path. The typed clause (`to typeof(t)`) try_casts
+                # each element — bad elements -> NULL, ADX leniency —
+                # and composes with JSON-text sources (round-9).
                 if spark is not None:
                     from pyspark.sql.types import StringType
 
+                    try:
+                        from pyspark.sql.types import VariantType
+                    except ImportError:  # pre-4.0
+                        VariantType = ()  # type: ignore[assignment]
                     ctype = next(
                         (
                             f.dataType
@@ -7177,39 +7364,38 @@ def _kql_stages_to_sql(
                         None,
                     )
                     if isinstance(ctype, StringType):
-                        bagify = (
-                            "transform(map_entries(from_json"
-                            f"({c}, 'map<string,string>')),"
-                            " _e -> to_json(map(_e.key, _e.value)))"
-                        )
-                        # NULL → NULL (explode drops the row, matching
-                        # ADX's default null handling); '{' → bag;
-                        # '[' → array elements; any OTHER string is a
-                        # scalar dynamic — ADX emits it as ONE row
-                        # (round-9 advice: the old unconditional
-                        # from_json array parse made plain strings
-                        # NULL and silently dropped every row)
-                        src = (
-                            f"CASE WHEN {c} IS NULL THEN NULL"
-                            f" WHEN startswith(ltrim({c}), '{{')"
-                            f" THEN {bagify}"
-                            f" WHEN startswith(ltrim({c}), '[')"
-                            f" THEN from_json({c}, 'array<string>')"
-                            f" ELSE array({c})"
-                            " END"
+                        src = _mv_string_dispatch(c, bags=ty is None)
+                    elif isinstance(ctype, VariantType):
+                        # parse_json()/todynamic() emit VARIANT in
+                        # Spark 4 — the same bag/array/scalar dispatch
+                        # over its JSON text (string-widened, like the
+                        # rest of the bag machinery)
+                        src = _mv_string_dispatch(
+                            f"to_json({c})", bags=ty is None
                         )
                 if mv_lim:
                     src = f"slice({src}, 1, {mv_lim})"
+                elem = (
+                    f"try_cast(_mv AS {ty})" if ty else "_mv"
+                )
                 sql = (
-                    f"SELECT * EXCEPT ({c}, _mv), _mv AS {c} FROM {prev} "
+                    f"SELECT * EXCEPT ({c}, _mv), {elem} AS {c} FROM {prev} "
                     f"LATERAL VIEW explode({src}) _t AS _mv"
                 )
             else:
                 # Multi-column mv-expand zips element-wise (ADX
                 # semantics), null-padding shorter arrays — arrays_zip
-                # does exactly that, one explode, zero shuffle.
-                zipped = ", ".join(cols)
-                unpack = ", ".join(f"_mv.{c} AS {c}" for c in cols)
+                # does exactly that, one explode, zero shuffle. Typed
+                # clauses try_cast per zipped field (round-11: the
+                # make-series follow-up `mv-expand ts to
+                # typeof(datetime), n to typeof(long)` idiom).
+                zipped = ", ".join(c for c, _ in norm)
+                unpack = ", ".join(
+                    f"try_cast(_mv.{c} AS {ty}) AS {c}"
+                    if ty
+                    else f"_mv.{c} AS {c}"
+                    for c, ty in norm
+                )
                 zsrc = f"arrays_zip({zipped})"
                 if mv_lim:
                     # slice AFTER the zip so struct field names stay

@@ -382,6 +382,44 @@ PROBES = [
     ("exp log roundtrip", "events | extend ok = abs(exp(log(value + 1.0)) - (value + 1.0)) < 1e-9 | summarize countif(ok)"),
     ("bin_at datetime anchor", "events | summarize c = count() by b = bin_at(ts, 7d, datetime(2024-01-03)) | take 3"),
     ("range then join events", "range d from datetime(2024-01-01) to datetime(2024-01-10) step 1d | extend k = 1 | join kind=inner (events | extend k = 1 | take 10) on k | count"),
+    # --- battery 12 (round-11): Azure Monitor / Sentinel dashboard
+    # shapes, database() qualifiers, dynamic-list parse_user_agent,
+    # guarded rate calculations, extract_all captureGroups lists.
+    # Found and fixed: mv-expand expression operands + typed
+    # multi-column clauses, between (start .. <let/expr duration>),
+    # extract_all named groups / captureGroups selection.
+    ("b12 ago-bin dashboard", 'events | where ts > ago(100000d) | summarize n = count() by bin(ts, 5m) | top 3 by n'),
+    ("b12 arg_max latest per entity", 'events | summarize arg_max(ts, *) by user_id | count'),
+    ("b12 has_any triage", 'events | where event_type has_any ("view", "click") | take 10'),
+    ("b12 guarded rate pct", 'events | summarize errors = countif(value > 90), total = count() by event_type | extend rate = todouble(errors) / todouble(total) * 100 | where rate >= 0 | sort by rate desc'),
+    ("b12 db qualifier take", 'database("default").events | take 5'),
+    ("b12 ua dynamic list", 'events | take 2 | extend ua = "Mozilla/5.0 (Windows NT 10.0) Chrome/118.0.0.0 Safari/537.36" | extend b = parse_user_agent(ua, dynamic(["browser", "os"])) | project b'),
+    ("b12 make_set maxsize expand", 'events | summarize s = make_set(event_type, 5) by user_id | mv-expand s | count'),
+    ("b12 extract_all named groups", 'print x = extract_all(@"(?P<w>[a-z]+)(?P<d>[0-9]+)", dynamic(["w", "d"]), "ab12 cd34")'),
+    ("b12 project-away wildcard", 'events | project-away props, event_* | take 2'),
+    ("b12 multi percentile", 'events | summarize p50 = percentile(value, 50), p95 = percentile(value, 95) by event_type'),
+    ("b12 ipv4_is_in_range", 'print b = ipv4_is_in_range("10.1.2.3", "10.0.0.0/8")'),
+    ("b12 url host extract", 'print h = extract("https?://([^/]+)/", 1, "https://portal.example.com/dash")'),
+    ("b12 dcount accuracy arg", 'events | summarize d = dcount(user_id, 2) by event_type'),
+    ("b12 order by todatetime", 'events | order by todatetime(ts) desc | take 3'),
+    ("b12 format_datetime day", 'events | take 2 | extend day = format_datetime(ts, "yyyy-MM-dd") | project day'),
+    ("b12 between let-duration", 'let w = 365d; events | where ts between (datetime(2024-01-01) .. w) | count'),
+    ("b12 pct of total toscalar", 'events | summarize Total = count() by Type = event_type | extend Pct = round(100.0 * Total / toscalar(events | count), 2) | sort by Pct desc'),
+    ("b12 union isfuzzy missing", 'union isfuzzy=true events, missing_table_zz | count'),
+    ("b12 mv-expand props bag expr", 'events | take 3 | mv-expand todynamic(props) | count'),
+    ("b12 case severity rollup", 'events | extend severity = case(value > 90, "high", value > 50, "medium", "low") | summarize n = count() by severity'),
+    ("b12 in~ list", 'events | where event_type in~ ("VIEW", "Click") | count'),
+    ("b12 hll two-level rollup", 'events | summarize h = hll(user_id) by event_type | summarize d = dcount_hll(hll_merge(h))'),
+    ("b12 top-nested two level", 'events | top-nested 2 of event_type by count(), top-nested 1 of user_id by sum(value)'),
+    ("b12 split negative index", 'events | take 2 | extend path = strcat("src/2024/01/02/03/", event_type, ".parquet") | extend tokens = split(path, "/") | extend fname = tostring(tokens[-1]) | project fname'),
+    ("b12 parse path segments", 'events | take 2 | extend path = strcat("src/2024/01/02/03/", event_type, ".parquet") | parse path with source "/" y: long "/" m: long "/" d: long "/" h: long "/" fname | project source, y, fname'),
+    ("b12 format_timespan span", 'events | summarize first = min(ts), last = max(ts) | extend span = format_timespan(last - first, "d.hh:mm:ss") | project span'),
+    ("b12 invoke rate fn", 'let addrate = (T: (errors: long, total: long)) { T | extend rate = todouble(errors) * 1.0 / todouble(total) }; datatable(errors: long, total: long)[5, 10, 3, 0] | invoke addrate()'),
+    ("b12 serialize prev delta", 'events | summarize v = round(avg(value), 2) by bin(ts, 1d) | sort by ts asc | serialize | extend delta = round(v - prev(v, 1, 0.0), 2) | take 5'),
+    ("b12 summarize count alias", 'events | summarize Count = count() | project Count'),
+    ("b12 ip rollup top", 'events | extend ip = strcat(tostring(event_id % 256), ".0.0.1") | summarize n = count() by ip | top 3 by n'),
+    ("b12 make-series typed expand", 'events | make-series n = count() default = 0 on ts from datetime(2024-01-01) to datetime(2024-01-08) step 1d by event_type | mv-expand ts to typeof(datetime), n to typeof(long) | count'),
+    ("b12 startofday count chart", 'events | summarize n = count() by day = startofday(ts) | sort by day asc | take 5'),
 ]
 
 
@@ -762,4 +800,89 @@ def test_user_agent_dynamic_list_value_checks(spark):
             spark,
             "ua_list_t | extend b = parse_user_agent(ua,"
             " dynamic(['os', 'os'])) | project b",
+        )
+
+
+def test_battery12_value_checks(spark):
+    """Battery 12 value pins for the findings it caught (the round-10
+    gotcha: collect-only probes hide silent value bugs)."""
+    # mv-expand expression operands: assigned name, todynamic
+    # shorthand (expands INTO the source column's name), typed
+    # expression
+    spark.sql(
+        "SELECT '{\"a\": 1, \"b\": 2}' AS props, 7 AS k"
+    ).createOrReplaceTempView("b12_t")
+    rows = kql(
+        spark, "b12_t | mv-expand p = todynamic(props) | project p"
+    ).collect()
+    assert sorted(r["p"] for r in rows) == ['{"a":"1"}', '{"b":"2"}']
+    rows = kql(
+        spark, "b12_t | mv-expand todynamic(props) | project props"
+    ).collect()
+    assert sorted(r["props"] for r in rows) == [
+        '{"a":"1"}', '{"b":"2"}',
+    ]
+    rows = kql(
+        spark,
+        'b12_t | mv-expand v = split("3,4", ",") to typeof(long)'
+        " | project v",
+    ).collect()
+    assert sorted(r["v"] for r in rows) == [3, 4]
+    with pytest.raises(ValueError, match="assign a name"):
+        kql(spark, "b12_t | mv-expand strcat(props, 'x') | count")
+    # typed MULTI-column zip (the make-series follow-up idiom)
+    r = kql(
+        spark,
+        "b12_t | extend a = pack_array(1, 2), b = pack_array(9)"
+        " | mv-expand a to typeof(long), b to typeof(string)"
+        " | project a, b",
+    ).collect()
+    assert sorted((x["a"], x["b"]) for x in r) == [(1, "9"), (2, None)]
+    # between with a let-bound / expression duration
+    spark.sql(
+        "SELECT TIMESTAMP '2024-01-02 00:00:00' AS ts"
+        " UNION ALL SELECT TIMESTAMP '2024-03-02 00:00:00'"
+    ).createOrReplaceTempView("b12_bt")
+    assert (
+        kql(
+            spark,
+            "let w = 30d; b12_bt"
+            " | where ts between (datetime(2024-01-01) .. w) | count",
+        ).collect()[0][0]
+        == 1
+    )
+    assert (
+        kql(
+            spark,
+            "b12_bt | where ts between (datetime(2024-01-01)"
+            ' .. totimespan("90d")) | count',
+        ).collect()[0][0]
+        == 2
+    )
+    # split + negative index = last path segment
+    assert (
+        kql(
+            spark,
+            'print f = tostring(split("a/b/c.parquet", "/")[-1])',
+        ).collect()[0][0]
+        == "c.parquet"
+    )
+    # extract_all captureGroups: names, single-name flat, indices
+    r = kql(
+        spark,
+        'print x = extract_all(@"(?P<w>[a-z]+)(?P<d>[0-9]+)",'
+        ' dynamic(["w", "d"]), "ab12 cd34"),'
+        ' y = extract_all(@"(?P<w>[a-z]+)(?P<d>[0-9]+)",'
+        ' dynamic(["d"]), "ab12 cd34"),'
+        ' z = extract_all(@"([a-z]+)([0-9]+)", dynamic([2, 1]),'
+        ' "ab12")',
+    ).collect()[0]
+    assert r["x"] == [["ab", "12"], ["cd", "34"]]
+    assert r["y"] == ["12", "34"]
+    assert r["z"] == [["12", "ab"]]
+    with pytest.raises(ValueError, match="no capture group named"):
+        kql(
+            spark,
+            'print x = extract_all(@"(?P<w>[a-z]+)",'
+            ' dynamic(["zz"]), "ab")',
         )
