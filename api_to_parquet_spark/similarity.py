@@ -515,24 +515,42 @@ _DUCK_COS = (
 )
 
 BAND_N = 4  # sign bands
-BAND_BITS = 8  # dims per band; 2^BITS codes per band bounds bucket size
+BAND_BITS = 8  # dims per band at test scales; widens with N (below)
+_BAND_TARGET_BUCKET = 16  # sizing goal: ~N/2^bits rows per band code
 
 
-def _band_code(t: int) -> Column:
-    """8-bit sign code of dims [8t, 8t+8): deterministic, model-free, and
-    expressible identically in SQL — so the banded near-dup query keeps
-    an exact oracle (unlike the random-hyperplane LSH tables)."""
-    # try_element_at: a vector shorter than BAND_N*BAND_BITS dims yields
+def _band_bits_for(n: int) -> int:
+    """Band width ADAPTS to corpus size (round-11 100× probe finding):
+    a FIXED 8-bit code gives candidates ~N²/2^8 per band — the 256×
+    constant hides the quadratic law at test scales, and at 100×
+    (200k vectors) the candidate join alone held ~300 M rows and
+    OOM'd a 48 g local heap. Sizing bits to ceil(log2(N / target))
+    keeps expected bucket occupancy ~constant, so candidates scale
+    ~N·target instead of N²/2^bits. Floor 8 keeps every test-scale
+    run (N <= 2000 at sf0.001-0.1) EXACTLY on the old 8-bit code —
+    the static DuckDB oracles stay byte-valid — and the cap 16 is
+    the 64-dim layout bound (BAND_N × bits <= dims)."""
+    import math
+
+    return max(8, min(16, math.ceil(math.log2(max(n, 1) / _BAND_TARGET_BUCKET + 1))))
+
+
+def _band_code(t: int, bits: int = BAND_BITS) -> Column:
+    """Sign code of dims [bits·t, bits·(t+1)): deterministic,
+    model-free, and expressible identically in SQL — so the banded
+    near-dup query keeps an exact oracle (unlike the random-hyperplane
+    LSH tables)."""
+    # try_element_at: a vector shorter than BAND_N*bits dims yields
     # NULL (-> 0-bit) instead of an ANSI out-of-bounds error; current
     # embeddings are 64-dim but the operator must not depend on that.
-    bits = [
+    bits_cols = [
         F.when(
-            F.try_element_at("v", F.lit(t * BAND_BITS + j + 1)) >= 0,
+            F.try_element_at("v", F.lit(t * bits + j + 1)) >= 0,
             F.lit(1 << j),
         ).otherwise(F.lit(0))
-        for j in range(BAND_BITS)
+        for j in range(bits)
     ]
-    return sum(bits[1:], bits[0])
+    return sum(bits_cols[1:], bits_cols[0])
 
 
 def q_embedding_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -541,14 +559,17 @@ def q_embedding_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates get the exact cosine (>= 0.45 kept). vs the all-pairs
     baseline (q_embedding_similar_pairs) this replaces the O(N^2) join
     with one shuffle on (band, code) — at 100 TB the candidate join
-    touches ~N * avg_bucket_size rows, and BAND_BITS tunes bucket
-    granularity against recall (more bits = smaller buckets, fewer
-    accidental candidates, lower recall at a given cosine)."""
+    touches ~N * avg_bucket_size rows. Band width adapts to the corpus
+    size (one metadata-only count, the same bounded-model-state rule
+    the ANN paths follow): wider codes keep bucket occupancy ~constant
+    so candidates grow ~linearly, at the cost of recall at a given
+    cosine — the standard LSH granularity/recall dial."""
     vecs = _vecs(spark, sf_dir)
+    bits = _band_bits_for(vecs.count())
     codes = vecs.select(
         "vec_id",
         F.posexplode(
-            F.array(*[_band_code(t) for t in range(BAND_N)])
+            F.array(*[_band_code(t, bits) for t in range(BAND_N)])
         ).alias("band", "code"),
     )
     cand = (

@@ -164,3 +164,17 @@ def test_dsir_sample_prefers_target_language(spark, sf_smoke):
     share_en = sum(1 for v in langs if v == "en") / len(langs)
     base = docs.filter("lang = 'en'").count() / docs.count()
     assert share_en > base  # enrichment over the corpus base rate
+
+
+def test_band_bits_adapt_to_corpus_size():
+    """Round-11 scale fix: sign-band width grows with N so bucket
+    occupancy stays ~constant (candidates ~N·target, not N²/2^bits);
+    floor 8 pins every test-scale run to the oracle-mirrored 8-bit
+    code, cap 16 is the 64-dim layout bound."""
+    from api_to_parquet_spark.similarity import _band_bits_for
+
+    assert _band_bits_for(0) == 8
+    assert _band_bits_for(200) == 8
+    assert _band_bits_for(2000) == 8
+    assert _band_bits_for(200_000) == 14
+    assert _band_bits_for(10**9) == 16
