@@ -315,9 +315,10 @@ same bag/array/scalar expansion; `between (start .. duration)`
 durations may be let-bound / provably-timespan expressions;
 extract_all captureGroups lists (dynamic([...]) of (?P<name>…)
 names or 1-based indices — names stripped for the engine pattern);
-NEGATIVE array subscripts arr[-1] from the end, null out of range
-(try_element_at; positive OOB stays ANSI-loud where ADX yields
-null — documented edge).
+literal array subscripts unified onto try_element_at — arr[-1]
+reads from the end and ANY out-of-range index (either sign) is
+null, the ADX dynamic contract (previously positive OOB raised
+Spark's ANSI INVALID_ARRAY_INDEX).
 'os'/'device' + tier-2 browsers; scan SELF-step state references
 (cumulative-sum idiom exact); graph-shortest-paths output=all
 (per-path multiplicity); `+` concat with provably-string CALL
@@ -3096,19 +3097,33 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bpack_array\(", "array(", e)
     e = _sub_outside_strings(r"\barray_length\(", "size(", e)
     e = _sub_outside_strings(r"\barray_concat\(", "concat(", e)
-    # NEGATIVE array subscripts (round-11, probe battery 12): ADX
-    # arr[-1] reads from the END (and any dynamic out-of-range index
-    # is null); Spark's native [] raises INVALID_ARRAY_INDEX under
-    # ANSI for negatives. try_element_at counts -1 = last and yields
-    # NULL out of range — exactly the ADX contract. Positive literal
-    # subscripts stay native (0-based on both sides; an OOB positive
-    # raises here where ADX yields null — documented edge, loud).
+    # Literal array subscripts (round-11, probe battery 12): ADX
+    # arr[-1] reads from the END, and ANY dynamic out-of-range index
+    # is null; Spark's native [] is 0-based but raises
+    # INVALID_ARRAY_INDEX under ANSI for negatives and out-of-range
+    # positives. try_element_at is 1-based, counts -1 = last, and
+    # yields NULL out of range — exactly the ADX contract for both
+    # signs. Stored-dynamic STRING/VARIANT column chains were already
+    # consumed by the accessor path above; what reaches this rewrite
+    # is true-array indexing (split(…)[0], packed arrays, zipped
+    # results).
+    def _subscript_rep(m: re.Match) -> str:
+        # parse_json()/todynamic() results are VARIANTs — their []
+        # access belongs to the JSON-path accessor machinery, not
+        # element_at
+        if re.match(
+            r"^(?:parse_json|todynamic)\s*\(", m.group(1), re.IGNORECASE
+        ):
+            return m.group(0)
+        ix = int(m.group(2))
+        return f"try_element_at({m.group(1)}, {ix + 1 if ix >= 0 else ix})"
+
     _prev_neg = None
     while _prev_neg != e:
         _prev_neg = e
         e = _pred_sub(
-            rf"({_RDIV_OPND_TXT}(?:\[-?\d+\])*)\s*\[\s*-\s*(\d+)\s*\]",
-            lambda m: f"try_element_at({m.group(1)}, -{m.group(2)})",
+            rf"({_RDIV_OPND_TXT}(?:\[-?\d+\])*)\s*\[\s*(-?\d+)\s*\]",
+            _subscript_rep,
             e,
         )
 

@@ -886,3 +886,19 @@ def test_battery12_value_checks(spark):
             'print x = extract_all(@"(?P<w>[a-z]+)",'
             ' dynamic(["zz"]), "ab")',
         )
+
+
+def test_positive_subscript_oob_null(spark):
+    """Round-11: literal subscripts of BOTH signs ride
+    try_element_at — positive out-of-range yields null (ADX dynamic
+    contract) instead of Spark's ANSI INVALID_ARRAY_INDEX, and
+    0-based positive indexing values are unchanged."""
+    r = kql(
+        spark,
+        'print a = tostring(split("a/b/c", "/")[1]),'
+        ' b = split("a/b", "/")[9],'
+        " c = dynamic([10, 20])[1],"
+        " d = pack_array(5, 6)[0] + pack_array(5, 6)[1]",
+    ).collect()[0]
+    assert r["a"] == "b" and r["b"] is None
+    assert r["c"] == 20 and r["d"] == 11
