@@ -669,6 +669,12 @@ def _real_div_guard(e: str) -> str:
     spliced, never rescanned); string literals skipped."""
     if "/" not in e or _TSDIV_COL.get():
         return e
+    # cheap evidence pre-gate: no real literal / todouble / toreal
+    # anywhere -> no chain can fire, skip the operand scan entirely
+    if not re.search(
+        r"\d\.\d|\d[eE]\d|\btodouble\s*\(|\btoreal\s*\(", e
+    ):
+        return e
     spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
     out: list[str] = []
     last = 0
@@ -3119,7 +3125,7 @@ def _expr(kql_expr: str) -> str:
         return f"try_element_at({m.group(1)}, {ix + 1 if ix >= 0 else ix})"
 
     _prev_neg = None
-    while _prev_neg != e:
+    while _prev_neg != e and re.search(r"\[\s*-?\d+\s*\]", e):
         _prev_neg = e
         e = _pred_sub(
             rf"({_RDIV_OPND_TXT}(?:\[-?\d+\])*)\s*\[\s*(-?\d+)\s*\]",

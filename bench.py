@@ -66,6 +66,7 @@ HEADLINE = [
     "kql_scan_self",  # self-step state refs on the scan fold (r9)
     "dedup_keep_best",  # quality-aware near-dup survivor via CC + window (r9)
     "kql_user_agent3",  # UA bot tier: map-side marker-precedence regexes (r10)
+    "kql_scalar_fns14",  # ADX real-div-by-zero guard, map-side CASE (r11)
 ]
 
 # Per-query medians pinned from the last judged round (bench_pins.json).
