@@ -319,6 +319,14 @@ literal array subscripts unified onto try_element_at — arr[-1]
 reads from the end and ANY out-of-range index (either sign) is
 null, the ADX dynamic contract (previously positive OOB raised
 Spark's ANSI INVALID_ARRAY_INDEX).
+Probe battery 13 additions (round-11): pack_dictionary (bag_pack
+alias), replace_strings(text, lookups, rewrites) as one ordered
+left fold (later lookups see earlier replacements), datetime_add
+'week' (7 days) and 'quarter' (3 months) units, mv-apply EXPRESSION
+sources (`mv-apply e = <expr> on (…)` — one pre-projection, the
+mv-expand rule; bare expressions must be named), and mv-apply
+`take N` / `top N by e [asc|desc]` subpipe stages (map-side
+sort+slice).
 'os'/'device' + tier-2 browsers; scan SELF-step state references
 (cumulative-sum idiom exact); graph-shortest-paths output=all
 (per-path multiplicity); `+` concat with provably-string CALL
@@ -892,6 +900,12 @@ def _datetime_add_sql(args: list[str]) -> str:
     if len(args) != 3:
         raise ValueError(f"datetime_add needs (unit, n, dt): {args!r}")
     unit = args[0].strip().strip("'").upper()
+    if unit == "WEEK":
+        # timestampadd has no WEEK; 1 week = exactly 7 days
+        # (probe battery 13)
+        return f"timestampadd(DAY, 7 * ({args[1]}), {args[2]})"
+    if unit == "QUARTER":
+        return f"timestampadd(MONTH, 3 * ({args[1]}), {args[2]})"
     if unit not in ("SECOND", "MINUTE", "HOUR", "DAY", "MONTH", "YEAR"):
         raise ValueError(f"unsupported datetime_add unit: {unit!r}")
     return f"timestampadd({unit}, {args[1]}, {args[2]})"
@@ -3009,6 +3023,25 @@ def _expr(kql_expr: str) -> str:
             else f"(current_timestamp() + ({a[0]}))"
         ),
     )
+    def _replace_strings_sql(a: list[str]) -> str:
+        # replace_strings(text, lookups, rewrites) — each lookup
+        # replaced by its positional rewrite, applied IN ORDER over
+        # the running result (the ADX contract; later lookups see
+        # earlier replacements). One left fold over the zipped pair
+        # arrays, map-side. (probe battery 13)
+        if len(a) != 3:
+            raise ValueError(
+                f"replace_strings needs (text, lookups, rewrites): {a!r}"
+            )
+        t, lk, rw = (x.strip() for x in a)
+        return (
+            f"aggregate(zip_with({lk}, {rw},"
+            " (_l, _r) -> named_struct('l', _l, 'r', _r)),"
+            f" CAST({t} AS STRING),"
+            " (_acc, _p) -> replace(_acc, _p.l, _p.r))"
+        )
+
+    e = _rewrite_fn(e, "replace_strings", _replace_strings_sql)
     e = _sub_outside_strings(r"\breplace_string\(", "replace(", e)
     # trim family: ADX trims REPEATED regex matches from the ends
     def _trim2(a: list[str], name: str) -> tuple[str, str]:
@@ -3127,7 +3160,11 @@ def _expr(kql_expr: str) -> str:
     _prev_neg = None
     while _prev_neg != e and re.search(r"\[\s*-?\d+\s*\]", e):
         _prev_neg = e
+        # leading lookbehind: an operand must START an expression —
+        # never a dotted tail hanging off a call (`parse_json(…).a.b`
+        # belongs to the JSON accessor path, whose own scan runs later)
         e = _pred_sub(
+            rf"(?<![\w.'\")\]])"
             rf"({_RDIV_OPND_TXT}(?:\[-?\d+\])*)\s*\[\s*(-?\d+)\s*\]",
             _subscript_rep,
             e,
@@ -4004,6 +4041,9 @@ def _expr(kql_expr: str) -> str:
         return f"to_json(map({', '.join(parts)}))"
 
     e = _rewrite_fn(e, "bag_pack", _pack_sql)
+    # pack_dictionary is the documented legacy alias of bag_pack/pack
+    # (probe battery 13)
+    e = _rewrite_fn(e, "pack_dictionary", _pack_sql)
     e = _rewrite_fn(e, "pack", _pack_sql)
     # pack_all(): every column of the pipe at this point
     e = _sub_outside_strings(
@@ -10843,7 +10883,7 @@ def _kql_stages_to_sql(
             # an element expression; sums/avgs compute as DOUBLE).
             m = re.match(
                 r"(?:with_itemindex\s*=\s*(\w+)\s+)?"
-                r"(?:(\w+)\s*=\s*)?(\w+)"
+                r"(?:(\w+)\s*=\s*)?(.+?)"
                 r"(?:\s+to\s+typeof\s*\(\s*(\w+)\s*\))?"
                 r"\s+on\s+\((.+)\)\s*$",
                 body,
@@ -10859,7 +10899,33 @@ def _kql_stages_to_sql(
             # ORIGINAL expansion index; references rewrite onto the
             # struct fields and every mapped stage unwraps first.
             mvidx = m.group(1)
-            elem, col = m.group(2) or m.group(3), m.group(3)
+            elem, col = m.group(2) or m.group(3), m.group(3).strip()
+            if not re.match(r"^\w+$", col):
+                # EXPRESSION source (probe battery 13): `mv-apply
+                # e = pack_array(…) on (…)` — materialize the bound
+                # name as a real column first (one pre-projection, the
+                # mv-expand rule), so every downstream path sees a
+                # plain column
+                if not m.group(2):
+                    raise ValueError(
+                        "mv-apply: assign a name to an expression"
+                        f" source (mv-apply x = <expr> on (…)): {col!r}"
+                    )
+                if spark is None:
+                    raise ValueError(
+                        "mv-apply expression sources need a SparkSession"
+                    )
+                keep = [
+                    f.name
+                    for f in _afields(spark, sql)
+                    if f.name != elem
+                ]
+                sql = (
+                    f"SELECT {', '.join(keep)}, {_expr(col)} AS {elem}"
+                    f" FROM {prev}"
+                )
+                prev = f"({sql}) AS _mvapre"
+                col = elem
             arr, items = col, None
             if m.group(4):
                 # `to typeof(t)` (round-7, verdict gap): each element
@@ -10924,6 +10990,34 @@ def _kql_stages_to_sql(
                     arr = f"array_sort({arr})"
                     if (sm_.group(1) or "asc").lower() == "desc":
                         arr = f"reverse({arr})"
+                elif sop == "take":
+                    # `take N` over the elements (probe battery 13):
+                    # a map-side slice
+                    if not re.match(r"^\d+$", sbody.strip()):
+                        raise ValueError(
+                            f"mv-apply take needs a literal count: {sbody!r}"
+                        )
+                    arr = f"slice({arr}, 1, {int(sbody)})"
+                elif sop == "top":
+                    # `top N by e [asc|desc]` over the ELEMENT itself
+                    # (probe battery 13): sort (desc default, the ADX
+                    # top contract) + slice — same element-key subset
+                    # as the sort stage
+                    tm_ = re.match(
+                        rf"^(\d+)\s+by\s+{re.escape(elem)}"
+                        r"(?:\s+(asc|desc))?\s*$",
+                        sbody,
+                        re.IGNORECASE,
+                    )
+                    if not tm_:
+                        raise ValueError(
+                            "mv-apply top supports 'top N by"
+                            f" {elem} [asc|desc]': {sbody!r}"
+                        )
+                    arr = f"array_sort({arr})"
+                    if (tm_.group(2) or "desc").lower() == "desc":
+                        arr = f"reverse({arr})"
+                    arr = f"slice({arr}, 1, {int(tm_.group(1))})"
                 elif sop == "summarize":
                     items = []
                     for j, a in enumerate(_split_top_level(sbody)):

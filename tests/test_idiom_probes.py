@@ -420,6 +420,46 @@ PROBES = [
     ("b12 ip rollup top", 'events | extend ip = strcat(tostring(event_id % 256), ".0.0.1") | summarize n = count() by ip | top 3 by n'),
     ("b12 make-series typed expand", 'events | make-series n = count() default = 0 on ts from datetime(2024-01-01) to datetime(2024-01-08) step 1d by event_type | mv-expand ts to typeof(datetime), n to typeof(long) | count'),
     ("b12 startofday count chart", 'events | summarize n = count() by day = startofday(ts) | sort by day asc | take 5'),
+    # --- battery 13 (round-11, second sweep): aggregation/scalar arg
+    # forms, dynamic construction aliases, subpipe stages. Found and
+    # fixed: pack_dictionary alias, replace_strings fold,
+    # datetime_add week/quarter, mv-apply EXPRESSION sources, and
+    # mv-apply take/top subpipe stages; plus the subscript-rewrite
+    # lookbehind (parse_json(...).a.b[1] chains were corrupted).
+    ("b13 bin_at weekly anchor", 'events | summarize n = count() by bin_at(ts, 7d, datetime(2024-01-06)) | top 3 by n'),
+    ("b13 trim_start regex", 'print a = trim_start("re", "rerere-x")'),
+    ("b13 substring negative start", 'print s = substring("hello", -2), s2 = substring("hello", 1, 99)'),
+    ("b13 strcat_array", 'print x = strcat_array(dynamic(["a", "b"]), "|")'),
+    ("b13 minif/maxif", 'events | summarize mn = minif(value, event_type == "view"), mx = maxif(value, event_type == "view")'),
+    ("b13 float bin", 'print b = bin(4.7, 0.5)'),
+    ("b13 top nulls last", 'events | top 5 by value desc nulls last | project value'),
+    ("b13 scalar range", 'print r = range(1, 10, 2)'),
+    ("b13 pack_dictionary", 'print d = pack_dictionary("k", 1, "j", 2)'),
+    ("b13 replace_strings", 'print s = replace_strings("abc", dynamic(["a", "b"]), dynamic(["x", "y"]))'),
+    ("b13 percentiles_array index", 'events | summarize p = percentiles_array(value, 25, 50, 75) by event_type | project event_type, p25 = todouble(p[0])'),
+    ("b13 format_datetime fff", 'print t = format_datetime(datetime(2024-01-02 03:04:05.1234567), "yyyy-MM-dd HH:mm:ss.fff")'),
+    ("b13 sentinel daily timechart", 'events | where ts >= startofday(datetime(2024-01-03)) | summarize n = count() by bin(ts, 1d), event_type | order by ts asc | render timechart'),
+    ("b13 iif isempty", 'events | extend et = iif(isempty(event_type), "unknown", event_type) | distinct et'),
+    ("b13 coalesce typed null", 'print v = coalesce(long(null), 5)'),
+    ("b13 make_list of bags maxsize", 'events | summarize l = make_list(pack("t", event_type, "v", value), 3) by user_id | take 2'),
+    ("b13 parse_json deep chain", 'print j = parse_json(\'{"a": {"b": [1, 2]}}\').a.b[1]'),
+    ("b13 todynamic index dot chain", 'print x = todynamic(\'[{"k": 1}]\')[0].k'),
+    ("b13 order multi dir", 'events | order by event_type asc, value desc | take 4'),
+    ("b13 totimespan plus literal", 'print t = totimespan("01:02:03") + 1h'),
+    ("b13 datetime_add week", 'print d = datetime_add("week", 2, datetime(2024-01-01))'),
+    ("b13 as mid-pipe", 'events | summarize c = count() by event_type | as T2 | where c > 10'),
+    ("b13 new_guid uniqueness", 'print x = new_guid() != new_guid()'),
+    ("b13 base64 roundtrip", 'print b = base64_encode_tostring("hi"), s = base64_decode_tostring("aGk=")'),
+    ("b13 sample-distinct", 'events | sample-distinct 3 of event_type'),
+    ("b13 max_of/min_of", 'print m = max_of(1, 5, 3), n = min_of(2.5, 1.5)'),
+    ("b13 getschema count", 'events | getschema | count'),
+    ("b13 bag_merge 3-arg", 'print x = bag_merge(dynamic({"a": 1}), dynamic({"b": 2}), dynamic({"a": 9}))'),
+    ("b13 repeat", 'print a = repeat(7, 3)'),
+    ("b13 mv-apply expression top", 'events | take 2 | mv-apply e = pack_array(1, 2, 3) on (top 2 by e | summarize s = sum(e)) | project s'),
+    ("b13 round negative digits", 'print r = round(123.456, -1)'),
+    ("b13 exp/log", 'print x = round(exp(1.0), 6), y = round(log(exp(1.0)), 6)'),
+    ("b13 countif over bin group", 'events | summarize hot = countif(value > 75) by bin(ts, 12h) | top 3 by hot'),
+    ("b13 has with strcat", 'events | where strcat(event_type, "!") has "view" | count'),
 ]
 
 
@@ -902,3 +942,45 @@ def test_positive_subscript_oob_null(spark):
     ).collect()[0]
     assert r["a"] == "b" and r["b"] is None
     assert r["c"] == 20 and r["d"] == 11
+
+
+def test_battery13_value_checks(spark):
+    """Battery 13 value pins for the findings it caught."""
+    r = kql(
+        spark,
+        'print s1 = replace_strings("abc", dynamic(["a", "b"]),'
+        ' dynamic(["x", "y"])),'
+        ' s2 = replace_strings("ab", dynamic(["a", "xb"]),'
+        ' dynamic(["x", "Z"])),'
+        ' d = pack_dictionary("k", 1, "j", 2),'
+        ' w = datetime_add("week", 2, datetime(2024-01-01)),'
+        ' q = datetime_add("quarter", 1, datetime(2024-01-31)),'
+        " j = parse_json('{\"a\": {\"b\": [1, 2]}}').a.b[1]",
+    ).collect()[0]
+    # replacements apply IN ORDER over the running result (s2: the
+    # first rewrite creates the second lookup's match)
+    assert r["s1"] == "xyc" and r["s2"] == "Z"
+    assert r["d"] == '{"k":1,"j":2}'
+    assert str(r["w"]) == "2024-01-15 00:00:00"
+    assert str(r["q"]) == "2024-04-30 00:00:00"
+    assert r["j"] == "2"
+    # mv-apply: expression sources (pre-projected), take/top subpipe
+    # stages
+    r = kql(
+        spark,
+        "print z = 1 | mv-apply e = pack_array(1, 9, 5) on"
+        " (top 2 by e | summarize s = sum(e)) | project s",
+    ).collect()[0]
+    assert r["s"] == 14.0
+    r = kql(
+        spark,
+        "print z = 1 | mv-apply e = pack_array(7, 8, 9) on"
+        " (take 2 | summarize s = sum(e)) | project s",
+    ).collect()[0]
+    assert r["s"] == 15.0
+    with pytest.raises(ValueError, match="assign a name"):
+        kql(
+            spark,
+            "print z = 1 | mv-apply pack_array(1, 2) on"
+            " (summarize s = sum(x)) | project s",
+        )
