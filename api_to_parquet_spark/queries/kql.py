@@ -319,6 +319,13 @@ literal array subscripts unified onto try_element_at — arr[-1]
 reads from the end and ANY out-of-range index (either sign) is
 null, the ADX dynamic contract (previously positive OOB raised
 Spark's ANSI INVALID_ARRAY_INDEX).
+Probe battery 14 additions (round-11): union wildcard TABLE
+patterns (`union events*` — catalog-expanded, sorted, loud on no
+match), any()/anyif() legacy aliases of take_any/take_anyif,
+make_set_if/make_list_if maxSize args, indexof length(-1)/occurrence
+args (guarded locate chain, literal occurrence 1..9),
+dayofweek(x) == Nd day-literal comparisons (literal folds to its day
+count), long()/real() typed value constructors.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -3130,7 +3137,28 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bdayofmonth\(", "day(", e)
     e = _sub_outside_strings(r"\bhourofday\(", "hour(", e)
     # ADX dayofweek returns a TIMESPAN of whole days since Sunday;
-    # the useful scalar is its day count: 0=Sunday..6=Saturday.
+    # the useful scalar is its day count: 0=Sunday..6=Saturday. The
+    # everyday ADX spelling compares it against a day literal
+    # (`dayofweek(ts) == 0d`) — fold that literal to its day count
+    # BEFORE the timespan-literal rewrite would turn it into an
+    # INTERVAL the numeric refinement cannot compare with (probe
+    # battery 14). Both operand orders.
+    _DOW_CALL = (
+        r"dayofweek\s*\((?:[^()']|'(?:[^'\\]|\\.)*'"
+        r"|\([^()]*\))*\)"
+    )
+    e = _pred_sub(
+        rf"({_DOW_CALL})\s*(==|!=|<=|>=|<|>)"
+        r"\s*(\d+(?:\.\d+)?)\s*d\b(?![\w.(])",
+        lambda m: f"{m.group(1)} {m.group(2)} {m.group(3)}",
+        e,
+    )
+    e = _pred_sub(
+        r"(?<![\w.])(\d+(?:\.\d+)?)\s*d\s*(==|!=|<=|>=|<|>)"
+        rf"\s*({_DOW_CALL})",
+        lambda m: f"{m.group(1)} {m.group(2)} {m.group(3)}",
+        e,
+    )
     e = _rewrite_fn(e, "dayofweek", lambda a: f"(dayofweek({a[0]}) - 1)")
     # arrays & misc
     e = _sub_outside_strings(r"\bpack_array\(", "array(", e)
@@ -3210,8 +3238,37 @@ def _expr(kql_expr: str) -> str:
                 f"(locate({a[1]}, {a[0]},"
                 f" CAST({a[2]} AS INT) + 1) - 1)"
             )
+        if len(a) in (4, 5):
+            # 4/5-arg form (probe battery 14): length must be the
+            # literal -1 (search the remainder — a bounded window
+            # would need substring gymnastics, explicit subset) and
+            # occurrence a literal 1..9: the o-th match via a chained
+            # locate, each step guarded so a missing earlier
+            # occurrence stays 0 (-1 result) instead of restarting
+            # from the head
+            if a[3].strip() != "-1":
+                raise ValueError(
+                    "indexof length argument supports -1 (remainder)"
+                    f" only — explicit-subset contract: {a!r}"
+                )
+            occ = a[4].strip() if len(a) == 5 else "1"
+            if not re.match(r"^[1-9]$", occ):
+                raise ValueError(
+                    "indexof occurrence must be a literal 1..9:"
+                    f" {a!r}"
+                )
+            pos = (
+                f"locate({a[1]}, {a[0]}, CAST({a[2]} AS INT) + 1)"
+            )
+            for _ in range(int(occ) - 1):
+                pos = (
+                    f"IF(({pos}) = 0, 0,"
+                    f" locate({a[1]}, {a[0]}, ({pos}) + 1))"
+                )
+            return f"(({pos}) - 1)"
         raise ValueError(
-            f"indexof supports (source, lookup [, start]): {a!r}"
+            f"indexof supports (source, lookup [, start"
+            f"[, length, occurrence]]): {a!r}"
         )
 
     e = _rewrite_fn(e, "indexof", _indexof_sql)
@@ -4305,6 +4362,12 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\btoint\(", "int(", e)
     e = _sub_outside_strings(r"\btodouble\(", "double(", e)
     e = _sub_outside_strings(r"\btoreal\(", "double(", e)
+    # typed VALUE constructors long(5)/real(1.5) (probe battery 14) —
+    # ADX restricts these to literals; the cast is a superset. The
+    # typed-null rule later never fires for these two (bigint(null) /
+    # double(null) are the same typed nulls). int() maps 1:1 already.
+    e = _sub_outside_strings(r"\blong\(", "bigint(", e)
+    e = _sub_outside_strings(r"\breal\(", "double(", e)
     e = _sub_outside_strings(r"\btostring\(", "string(", e)
     # lenient conversions (ADX to*() yields null on garbage; the
     # function-style casts above are for clean-typed args, these two
@@ -5009,6 +5072,8 @@ _AGG_FNS = {
     "count_distinctif",
     "make_list_if",
     "make_set_if",
+    "any",
+    "anyif",
 }
 
 
@@ -5202,6 +5267,12 @@ def _composite_agg(item: str, auto_idx: int) -> str:
 def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
     """ONE aggregate call (fn name + raw KQL arg text) -> (SQL
     aggregate expression, ADX default column name)."""
+    if fn == "any":
+        # the DEPRECATED spelling of take_any (ADX docs; probe
+        # battery 14) — same deterministic min refinement
+        fn = "take_any"
+    elif fn == "anyif":
+        fn = "take_anyif"
     if fn == "count":
         sql = "COUNT(*)"
         default = "count_"
@@ -5449,13 +5520,27 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
         default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
     elif fn in ("make_list_if", "make_set_if"):
         # conditional collect: CASE yields NULL on false rows and
-        # collect_list/set skip NULLs; sorted like make_list/make_set
-        col, pred = (x.strip() for x in _split_top_level(arg))
+        # collect_list/set skip NULLs; sorted like make_list/make_set.
+        # Optional 3rd maxSize arg (probe battery 14) slices the
+        # sorted result — the same deterministic refinement the
+        # unconditional forms apply.
+        mparts = [x.strip() for x in _split_top_level(arg)]
+        if len(mparts) == 2:
+            col, pred = mparts
+            maxn = None
+        elif len(mparts) == 3:
+            col, pred, maxn = mparts
+        else:
+            raise ValueError(
+                f"{fn} needs (expr, predicate[, maxSize]): {arg!r}"
+            )
         inner = "collect_list" if fn == "make_list_if" else "collect_set"
         sql = (
             f"sort_array({inner}(CASE WHEN {_expr(pred)}"
             f" THEN {_expr(col)} END))"
         )
+        if maxn is not None:
+            sql = f"slice({sql}, 1, CAST({_expr(maxn)} AS INT))"
         default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
     else:
         sql = f"{fn.upper()}({_expr(arg)})"
@@ -6713,8 +6798,30 @@ def _kql_stages_to_sql(
             body = body[om.end():]
         osqls: list[str] = []
         onames: list[str] = []
+        operands: list[str] = []
         for opnd in _split_top_level(body):
             opnd = opnd.strip()
+            if re.match(r"^\w*\*[\w*]*$", opnd):
+                # wildcard TABLE pattern (`union events*` — probe
+                # battery 14): expands to every matching registered
+                # table/temp view, sorted for determinism; loud when
+                # nothing matches (the ADX behavior for a no-match
+                # union source set is an error too)
+                import fnmatch
+
+                names = sorted(
+                    t.name
+                    for t in spark.catalog.listTables()
+                    if fnmatch.fnmatchcase(t.name, opnd)
+                )
+                if not names:
+                    raise ValueError(
+                        f"union: no tables match {opnd!r}"
+                    )
+                operands.extend(names)
+            else:
+                operands.append(opnd)
+        for opnd in operands:
             if re.match(r"^\w+(?:\.\w+)?$", opnd):
                 name = opnd
                 if opnd in _tabular:

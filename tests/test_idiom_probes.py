@@ -460,6 +460,46 @@ PROBES = [
     ("b13 exp/log", 'print x = round(exp(1.0), 6), y = round(log(exp(1.0)), 6)'),
     ("b13 countif over bin group", 'events | summarize hot = countif(value > 75) by bin(ts, 12h) | top 3 by hot'),
     ("b13 has with strcat", 'events | where strcat(event_type, "!") has "view" | count'),
+    # --- battery 14 (round-11, third sweep): wildcards, legacy
+    # aliases, typed-literal arithmetic, arg-form completions. Found
+    # and fixed: union wildcard table patterns, any()/anyif() legacy
+    # aliases, make_set_if/make_list_if maxSize, indexof
+    # length/occurrence args, dayofweek-vs-day-literal comparisons,
+    # long()/real() value constructors.
+    ("b14 union dup operand", 'union events, events | summarize c = count()'),
+    ("b14 union wildcard tables", 'union withsource=T events* | count'),
+    ("b14 ci equality", 'events | where event_type =~ "VIEW" | count'),
+    ("b14 arg_min", 'events | summarize arg_min(value, event_id) by event_type'),
+    ("b14 bounded rand filter", 'events | extend r = rand() | where r < 2.0 | count'),
+    ("b14 legacy any()", 'events | summarize any(value)'),
+    ("b14 project-keep wildcard", 'events | project-keep event_* | take 2'),
+    ("b14 case default only", 'print x = case(1 > 2, "a", "b")'),
+    ("b14 make_set_if maxsize", 'events | summarize s = make_set_if(event_type, value > 50, 3)'),
+    ("b14 array_index_of strings", 'print x = array_index_of(dynamic(["a", "b"]), "b")'),
+    ("b14 number times timespan", 'events | take 3 | extend w = 2 * 1h | project w'),
+    ("b14 sumif startswith", 'events | summarize x = sumif(value, event_type startswith "v")'),
+    ("b14 indexof occurrence", 'print x = indexof("abcabc", "c", 1, -1, 2)'),
+    ("b14 subscript in strcat", 'print s = strcat(split("a b", " ")[0], "!")'),
+    ("b14 project-reorder", 'events | top 2 by event_id | project-reorder value, event_id'),
+    ("b14 bag tostring", 'print x = tostring(dynamic({"b": 2, "a": 1}))'),
+    ("b14 row_number after sort", 'events | summarize c = count() by event_type | sort by c | extend rank = row_number()'),
+    ("b14 dayofweek timespan compare", 'events | take 5 | extend d = iff(dayofweek(ts) == 0d, "Sun", "other") | project d'),
+    ("b14 where n between", 'events | summarize n = count() by user_id | where n between (2 .. 10) | count'),
+    ("b14 typed literal arith", 'print x = long(1) + int(2)'),
+    ("b14 serialize assignment", 'events | distinct event_type | order by event_type | serialize idx = row_number(0)'),
+    ("b14 url roundtrip", 'print x = url_decode(url_encode("a b&c"))'),
+    ("b14 take 0 count", 'events | take 0 | count'),
+    ("b14 percentile auto name", 'events | summarize percentile(value, 50) by event_type'),
+    ("b14 make_timespan 4arg", 'print a = make_timespan(1, 2, 30, 15)'),
+    ("b14 limit synonym", 'events | limit 5'),
+    ("b14 mv-expand on let view", 'let V = events | take 2 | extend a = pack_array(1, 2); V | mv-expand a | count'),
+    ("b14 join rightouter", 'events | take 10 | join kind=rightouter (events | take 5 | project event_id, v2 = value) on event_id | count'),
+    ("b14 countof_regex", 'print n = countof("a1b2c3", @"[0-9]", "regex")'),
+    ("b14 extract_json typed", 'print v = extract_json("$.a", \'{"a": 7}\', typeof(long))'),
+    ("b14 dcountif by", 'events | summarize d = dcountif(user_id, value > 20) by event_type | top 3 by d'),
+    ("b14 next after sort", 'events | distinct event_type | sort by event_type asc | serialize | extend nx = next(event_type)'),
+    ("b14 strrep", 'print s = strrep("ab", 3)'),
+    ("b14 array_sum slice", 'print s = array_sum(array_slice(pack_array(1, 2, 3, 4), 1, 2))'),
 ]
 
 
@@ -984,3 +1024,52 @@ def test_battery13_value_checks(spark):
             "print z = 1 | mv-apply pack_array(1, 2) on"
             " (summarize s = sum(x)) | project s",
         )
+
+
+def test_battery14_value_checks(spark):
+    """Battery 14 value pins for the findings it caught."""
+    spark.sql("SELECT 1 AS k").createOrReplaceTempView("b14w_a")
+    spark.sql("SELECT 2 AS k").createOrReplaceTempView("b14w_b")
+    assert (
+        kql(spark, "union b14w* | summarize s = sum(k)").collect()[0][0]
+        == 3
+    )
+    assert (
+        kql(
+            spark, "union withsource=T b14w* | distinct T | count"
+        ).collect()[0][0]
+        == 2
+    )
+    with pytest.raises(ValueError, match="no tables match"):
+        kql(spark, "union zz_nothing* | count")
+    r = kql(
+        spark,
+        'print v = 5 | summarize any(v)',
+    ).collect()[0]
+    assert r[0] == 5
+    r = kql(
+        spark,
+        "print z = 1 | mv-expand x = pack_array(5, 3, 9, 1)"
+        " | summarize s = make_set_if(x, x > 2, 2)",
+    ).collect()[0]
+    assert r["s"] == [3, 5]
+    r = kql(
+        spark,
+        'print a = indexof("abcabc", "c", 0, -1, 2),'
+        ' b = indexof("abc", "c", 0, -1, 3),'
+        ' c = indexof("abcabc", "c", 0, -1, 1)',
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (5, -1, 2)
+    r = kql(
+        spark,
+        "print d = iff(dayofweek(datetime(2024-01-07)) == 0d,"
+        ' "Sun", "other"),'
+        " e = iff(1d == dayofweek(datetime(2024-01-08)),"
+        ' "Mon", "other"),'
+        " n = dayofweek(datetime(2024-01-09))",
+    ).collect()[0]
+    assert (r["d"], r["e"], r["n"]) == ("Sun", "Mon", 2)
+    r = kql(
+        spark, "print x = long(1) + int(2), y = real(2) / 4"
+    ).collect()[0]
+    assert r["x"] == 3 and r["y"] == 0.5
