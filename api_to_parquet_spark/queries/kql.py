@@ -326,6 +326,16 @@ make_set_if/make_list_if maxSize args, indexof length(-1)/occurrence
 args (guarded locate chain, literal occurrence 1..9),
 dayofweek(x) == Nd day-literal comparisons (literal folds to its day
 count), long()/real() typed value constructors.
+Probe battery 15 additions (round-11): erf/erfc (Cody rational
+Chebyshev, ~1 ulp, same builtin-arithmetic precedent as the Lanczos
+gamma); parse_ipv4_mask / format_ipv4_mask (CIDR string); the
+convert_* unit family (angle/length/mass/speed/energy/force/volume
++ affine temperature — translate-time literal units from the
+documented common subset, ratio folds to ONE double literal);
+format_bytes explicit-units third argument; percentilesw plural
+weighted percentiles (plain + multi-assign forms, shared exact
+fold); geo_point_to_geohash (base-32 bit-interleave as one
+aggregate() fold, accuracy 1..18 literal).
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -357,6 +367,7 @@ from __future__ import annotations
 
 import contextvars
 import itertools
+import math
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1929,6 +1940,105 @@ def _loggamma_sql(args: list[str]) -> str:
     )
 
 
+# Cody's rational Chebyshev coefficients for erf/erfc (W. J. Cody,
+# "Rational Chebyshev approximation for the error function", Math.
+# Comp. 23 (1969); the netlib CALERF constants). Verified against
+# math.erf over [-8, 8] at 1e-3 steps: max abs error 2.3e-16.
+_ERF_P1 = (
+    1.85777706184603153e-1, 3.16112374387056560e0,
+    1.13864154151050156e2, 3.77485237685302021e2,
+    3.20937758913846947e3,
+)
+_ERF_Q1 = (
+    1.0, 2.36012909523441209e1, 2.44024637934444173e2,
+    1.28261652607737228e3, 2.84423683343917062e3,
+)
+_ERF_P2 = (
+    2.15311535474403846e-8, 5.64188496988670089e-1,
+    8.88314979438837594e0, 6.61191906371416295e1,
+    2.98635138197400131e2, 8.81952221241769090e2,
+    1.71204761263407058e3, 2.05107837782607147e3,
+    1.23033935479799725e3,
+)
+_ERF_Q2 = (
+    1.0, 1.57449261107098347e1, 1.17693950891312499e2,
+    5.37181101862009858e2, 1.62138957456669019e3,
+    3.29079923573345963e3, 4.36261909014324716e3,
+    3.43936767414372164e3, 1.23033935480374942e3,
+)
+_ERF_P3 = (
+    1.63153871373020978e-2, 3.05326634961232344e-1,
+    3.60344899949804439e-1, 1.25781726111229246e-1,
+    1.60837851487422766e-2, 6.58749161529837803e-4,
+)
+_ERF_Q3 = (
+    1.0, 2.56852019228982242e0, 1.87295284992346047e0,
+    5.27905102951428412e-1, 6.05183413124413191e-2,
+    2.33520497626869185e-3,
+)
+_INV_SQRT_PI = 5.6418958354775628695e-1
+
+
+def _horner(v: str, coeffs: tuple) -> str:
+    out = f"CAST({coeffs[0]!r} AS DOUBLE)"
+    for c in coeffs[1:]:
+        out = f"({out} * ({v}) + CAST({c!r} AS DOUBLE))"
+    return out
+
+
+def _erfc_pos_core(ax: str) -> str:
+    """erfc(ax) for ax > 0.46875 (two Cody regions). `ax` must be a
+    non-negative DOUBLE expression; pure builtin arithmetic."""
+    z = f"(1 / (({ax}) * ({ax})))"
+    tail = (
+        f"(exp(-(({ax}) * ({ax})))"
+        f" * (CAST({_INV_SQRT_PI!r} AS DOUBLE)"
+        f" - {z} * {_horner(z, _ERF_P3)} / {_horner(z, _ERF_Q3)})"
+        f" / ({ax}))"
+    )
+    mid = (
+        f"(exp(-(({ax}) * ({ax})))"
+        f" * {_horner(ax, _ERF_P2)} / {_horner(ax, _ERF_Q2)})"
+    )
+    return f"(CASE WHEN ({ax}) <= 4.0 THEN {mid} ELSE {tail} END)"
+
+
+def _erf_sql(args: list[str]) -> str:
+    """erf(x) — Cody three-region rational approximation (max abs
+    error ~2e-16 vs the C stdlib; no JVM/DuckDB builtin exists, same
+    precedent as the Lanczos gamma)."""
+    if len(args) != 1:
+        raise ValueError(f"erf needs one argument: {args!r}")
+    x = f"(CAST({args[0].strip()} AS DOUBLE))"
+    z = f"({x} * {x})"
+    near = f"({x} * {_horner(z, _ERF_P1)} / {_horner(z, _ERF_Q1)})"
+    far = _erfc_pos_core(f"abs({x})")
+    return (
+        f"(CASE WHEN abs({x}) <= 0.46875 THEN {near}"
+        f" WHEN {x} > 0 THEN 1 - {far}"
+        f" ELSE {far} - 1 END)"
+    )
+
+
+def _erfc_sql(args: list[str]) -> str:
+    """erfc(x) = 1 - erf(x), computed directly in the tail regions so
+    large positive x keeps full relative precision (1 - erf would
+    cancel to 0 at x ≳ 6)."""
+    if len(args) != 1:
+        raise ValueError(f"erfc needs one argument: {args!r}")
+    x = f"(CAST({args[0].strip()} AS DOUBLE))"
+    z = f"({x} * {x})"
+    near = (
+        f"(1 - {x} * {_horner(z, _ERF_P1)} / {_horner(z, _ERF_Q1)})"
+    )
+    far = _erfc_pos_core(f"abs({x})")
+    return (
+        f"(CASE WHEN abs({x}) <= 0.46875 THEN {near}"
+        f" WHEN {x} > 0 THEN {far}"
+        f" ELSE 2 - {far} END)"
+    )
+
+
 def _beta_cdf_sql(args: list[str]) -> str:
     """beta_cdf(x, a, b) = I_x(a, b), the regularized incomplete beta
     (round-8, was a loud gap): modified-Lentz continued fraction as a
@@ -2856,6 +2966,8 @@ def _expr(kql_expr: str) -> str:
     )
     e = _rewrite_fn(e, "loggamma", _loggamma_sql)
     e = _rewrite_fn(e, "gamma", _gamma_sql)
+    e = _rewrite_fn(e, "erfc", _erfc_sql)
+    e = _rewrite_fn(e, "erf", _erf_sql)
     e = _rewrite_fn(e, "beta_cdf", _beta_cdf_sql)
     e = _rewrite_fn(e, "parse_user_agent", _parse_user_agent_sql)
     def _moving_avg_sql(a: list[str]) -> str:
@@ -3412,6 +3524,22 @@ def _expr(kql_expr: str) -> str:
         lambda a: f"(regexp_instr({a[0]}, {a[1]}) - 1)",
     )
 
+    def _parse_ipv4_mask_sql(a: list[str]) -> str:
+        # parse_ipv4_mask(ip, prefix): the address as a long with the
+        # low (32 - prefix) bits zeroed — dynamic prefix allowed (one
+        # shiftleft, map-side). NULL outside [0, 32] like ADX.
+        if len(a) != 2:
+            raise ValueError(f"parse_ipv4_mask needs (ip, prefix): {a!r}")
+        shift = (
+            f"(CASE WHEN CAST({a[1]} AS INT) BETWEEN 0 AND 32 THEN"
+            f" shiftleft(CAST(1 AS BIGINT), 32 - CAST({a[1]} AS INT))"
+            " END)"
+        )
+        return (
+            f"((({_parse_ipv4_expr(a[0])}) div {shift}) * {shift})"
+        )
+
+    e = _rewrite_fn(e, "parse_ipv4_mask", _parse_ipv4_mask_sql)
     e = _rewrite_fn(e, "parse_ipv4", lambda a: _parse_ipv4_expr(a[0]))
     e = _rewrite_fn(
         e,
@@ -3546,15 +3674,17 @@ def _expr(kql_expr: str) -> str:
     )
 
     def _format_bytes_sql(a: list[str]) -> str:
-        # format_bytes(v[, precision]) with AUTO units (KB=1024):
-        # nested CASE over magnitude; precision defaults to 0. The
-        # explicit-units third argument is out of the subset.
-        if len(a) not in (1, 2):
+        # format_bytes(v[, precision[, units]]) with AUTO units
+        # (KB=1024) when the literal units argument is absent: nested
+        # CASE over magnitude; precision defaults to 0. A literal
+        # third argument pins the unit (round-11 probe battery 15).
+        if len(a) not in (1, 2, 3):
             raise ValueError(
-                f"format_bytes supports (value[, precision]): {a!r}"
+                f"format_bytes supports (value[, precision[,"
+                f" units]]): {a!r}"
             )
         v = a[0].strip()
-        p = a[1].strip() if len(a) == 2 else "0"
+        p = a[1].strip() if len(a) >= 2 else "0"
         if not re.match(r"^\d+$", p):
             raise ValueError(
                 f"format_bytes precision must be a literal int: {p!r}"
@@ -3566,6 +3696,22 @@ def _expr(kql_expr: str) -> str:
                 return f"CAST(CAST(round({expr}, 0) AS BIGINT) AS STRING)"
             return f"CAST(round({expr}, {p}) AS STRING)"
 
+        powers = {
+            "Bytes": 0, "KB": 1, "MB": 2, "GB": 3, "TB": 4,
+            "PB": 5, "EB": 6,
+        }
+        if len(a) == 3:
+            um = re.match(r"^'(\w+)'$", a[2].strip())
+            if not um or um.group(1) not in powers:
+                raise ValueError(
+                    "format_bytes units must be a literal from"
+                    f" {sorted(powers)}: {a[2]!r}"
+                )
+            unit = um.group(1)
+            div = float(1024 ** powers[unit])
+            return (
+                f"concat({_amt(f'({v}) / {div!r}')}, ' {unit}')"
+            )
         arms = []
         for unit, power in (
             ("EB", 6), ("PB", 5), ("TB", 4), ("GB", 3), ("MB", 2),
@@ -3809,6 +3955,161 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "geo_distance_2points", _geo_dist_sql)
     e = _rewrite_fn(e, "geo_point_in_circle", _geo_circle_sql)
 
+    def _geo_geohash_sql(a: list[str]) -> str:
+        # geo_point_to_geohash(lon, lat [, accuracy]) — standard
+        # geohash base-32 bit interleaving (lon first), as ONE
+        # aggregate() fold over the 5*accuracy bit indices: the
+        # accumulator halves the active lon/lat interval per bit and
+        # flushes a base-32 character every 5 bits. Accuracy is a
+        # translate-time literal 1..18 (ADX default 5); pure builtin
+        # arithmetic, map-side, no UDF.
+        if len(a) not in (2, 3):
+            raise ValueError(
+                f"geo_point_to_geohash needs (lon, lat [, accuracy]):"
+                f" {a!r}"
+            )
+        acc = a[2].strip() if len(a) == 3 else "5"
+        if not re.match(r"^\d+$", acc) or not 1 <= int(acc) <= 18:
+            raise ValueError(
+                "geo_point_to_geohash accuracy must be a literal int"
+                f" in 1..18: {acc!r}"
+            )
+        lon = f"(CAST({a[0]} AS DOUBLE))"
+        lat = f"(CAST({a[1]} AS DOUBLE))"
+        amid = "((_g.alo + _g.ahi) / 2)"
+        bmid = "((_g.blo + _g.bhi) / 2)"
+        bit = (
+            f"(CASE WHEN pmod(_i, 2) = 0 THEN"
+            f" IF({lon} >= {amid}, 1, 0)"
+            f" ELSE IF({lat} >= {bmid}, 1, 0) END)"
+        )
+        cur = f"(_g.c * 2 + {bit})"
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        return (
+            f"(CASE WHEN {lat} BETWEEN -90 AND 90"
+            f" AND {lon} BETWEEN -180 AND 180 THEN"
+            f" aggregate(sequence(0, {5 * int(acc) - 1}),"
+            " named_struct("
+            "'alo', CAST(-180 AS DOUBLE), 'ahi', CAST(180 AS DOUBLE),"
+            " 'blo', CAST(-90 AS DOUBLE), 'bhi', CAST(90 AS DOUBLE),"
+            " 's', CAST('' AS STRING), 'c', 0),"
+            " (_g, _i) -> named_struct("
+            f"'alo', IF(pmod(_i, 2) = 0 AND {lon} >= {amid},"
+            f" {amid}, _g.alo),"
+            f" 'ahi', IF(pmod(_i, 2) = 0 AND {lon} < {amid},"
+            f" {amid}, _g.ahi),"
+            f" 'blo', IF(pmod(_i, 2) = 1 AND {lat} >= {bmid},"
+            f" {bmid}, _g.blo),"
+            f" 'bhi', IF(pmod(_i, 2) = 1 AND {lat} < {bmid},"
+            f" {bmid}, _g.bhi),"
+            f" 's', IF(pmod(_i, 5) = 4,"
+            f" concat(_g.s, substr('{b32}', {cur} + 1, 1)), _g.s),"
+            f" 'c', IF(pmod(_i, 5) = 4, 0, {cur})),"
+            " _g -> _g.s) END)"
+        )
+
+    e = _rewrite_fn(e, "geo_point_to_geohash", _geo_geohash_sql)
+
+    # convert_*(value, from, to) — the UnitsNet-named unit-conversion
+    # family (round-11 probe battery 15). Units must be translate-time
+    # string literals from the documented common subset (loud
+    # otherwise — explicit-subset contract); the ratio folds to ONE
+    # double literal so the emitted SQL is a bare multiply.
+    _CONVERT = {
+        "convert_angle": {  # base: radian
+            "Radian": 1.0, "Degree": math.pi / 180,
+            "Gradian": math.pi / 200, "Revolution": 2 * math.pi,
+            "Arcminute": math.pi / 10800,
+            "Arcsecond": math.pi / 648000,
+            "Milliradian": 1e-3, "Microradian": 1e-6,
+        },
+        "convert_length": {  # base: meter
+            "Meter": 1.0, "Kilometer": 1000.0, "Hectometer": 100.0,
+            "Decameter": 10.0, "Decimeter": 0.1, "Centimeter": 0.01,
+            "Millimeter": 1e-3, "Micrometer": 1e-6, "Nanometer": 1e-9,
+            "Mile": 1609.344, "Yard": 0.9144, "Foot": 0.3048,
+            "Inch": 0.0254, "NauticalMile": 1852.0,
+        },
+        "convert_mass": {  # base: kilogram
+            "Kilogram": 1.0, "Gram": 1e-3, "Milligram": 1e-6,
+            "Microgram": 1e-9, "Tonne": 1000.0,
+            "Pound": 0.45359237, "Ounce": 0.45359237 / 16,
+            "Stone": 6.35029318, "ShortTon": 907.18474,
+            "LongTon": 1016.0469088,
+        },
+        "convert_speed": {  # base: meter/second
+            "MeterPerSecond": 1.0, "KilometerPerHour": 1 / 3.6,
+            "MilePerHour": 0.44704, "Knot": 1852.0 / 3600,
+            "FootPerSecond": 0.3048, "CentimeterPerSecond": 0.01,
+        },
+        "convert_energy": {  # base: joule
+            "Joule": 1.0, "Kilojoule": 1e3, "Megajoule": 1e6,
+            "Gigajoule": 1e9, "Calorie": 4.184, "Kilocalorie": 4184.0,
+            "WattHour": 3600.0, "KilowattHour": 3.6e6,
+            "BritishThermalUnit": 1055.05585262,
+            "ElectronVolt": 1.602176634e-19,
+        },
+        "convert_force": {  # base: newton
+            "Newton": 1.0, "Kilonewton": 1e3, "Meganewton": 1e6,
+            "Dyn": 1e-5, "KilogramForce": 9.80665,
+            "PoundForce": 4.4482216152605, "TonneForce": 9806.65,
+        },
+        "convert_volume": {  # base: cubic meter
+            "CubicMeter": 1.0, "Liter": 1e-3, "Milliliter": 1e-6,
+            "Centiliter": 1e-5, "Deciliter": 1e-4, "Hectoliter": 0.1,
+            "CubicCentimeter": 1e-6, "CubicFoot": 0.028316846592,
+            "CubicInch": 1.6387064e-5, "CubicYard": 0.764554857984,
+            "UsGallon": 3.785411784e-3,
+            "ImperialGallon": 4.54609e-3, "UsPint": 4.73176473e-4,
+        },
+    }
+    # affine (scale, offset) to Kelvin: k = x * s + o
+    _CONVERT_TEMP = {
+        "Kelvin": (1.0, 0.0),
+        "DegreeCelsius": (1.0, 273.15),
+        "DegreeFahrenheit": (5 / 9, 459.67 * 5 / 9),
+        "Millikelvin": (1e-3, 0.0),
+    }
+
+    def _convert_unit(fn: str, table, u: str) -> str:
+        um = re.match(r"^'(\w+)'$", u.strip())
+        if not um or um.group(1) not in table:
+            raise ValueError(
+                f"{fn} units must be translate-time literals from"
+                f" {sorted(table)}: {u!r}"
+            )
+        return um.group(1)
+
+    def _make_convert_sql(fn: str):
+        def _sql(a: list[str]) -> str:
+            if len(a) != 3:
+                raise ValueError(f"{fn} needs (value, from, to): {a!r}")
+            if fn == "convert_temperature":
+                sf, of = _CONVERT_TEMP[
+                    _convert_unit(fn, _CONVERT_TEMP, a[1])
+                ]
+                st, ot = _CONVERT_TEMP[
+                    _convert_unit(fn, _CONVERT_TEMP, a[2])
+                ]
+                return (
+                    f"(CAST({a[0]} AS DOUBLE) * CAST({sf / st!r} AS"
+                    f" DOUBLE) + CAST({(of - ot) / st!r} AS DOUBLE))"
+                )
+            table = _CONVERT[fn]
+            ratio = (
+                table[_convert_unit(fn, table, a[1])]
+                / table[_convert_unit(fn, table, a[2])]
+            )
+            return (
+                f"(CAST({a[0]} AS DOUBLE)"
+                f" * CAST({ratio!r} AS DOUBLE))"
+            )
+
+        return _sql
+
+    for _cfn in [*_CONVERT, "convert_temperature"]:
+        e = _rewrite_fn(e, _cfn, _make_convert_sql(_cfn))
+
     # --- round-7 gap-sweep batch: everyday scalars found missing by a
     # 60-idiom probe of the translator (all were loud subset errors;
     # now implemented as map-side JVM expressions) ---
@@ -3862,6 +4163,22 @@ def _expr(kql_expr: str) -> str:
             f" CAST(({ip}) % 256 AS STRING))"
         )
 
+    def _format_ipv4_mask_sql(a: list[str]) -> str:
+        # format_ipv4_mask(ip, prefix) -> CIDR notation: the masked
+        # dotted quad plus '/prefix' (empty-on-invalid follows ADX;
+        # format_ipv4's NULL propagation covers the address side, the
+        # prefix range check covers the suffix).
+        if len(a) != 2:
+            raise ValueError(
+                f"format_ipv4_mask needs (ip, prefix): {a!r}"
+            )
+        return (
+            f"(CASE WHEN CAST({a[1]} AS INT) BETWEEN 0 AND 32 THEN"
+            f" concat({_format_ipv4_sql(a)}, '/',"
+            f" CAST(CAST({a[1]} AS INT) AS STRING)) ELSE '' END)"
+        )
+
+    e = _rewrite_fn(e, "format_ipv4_mask", _format_ipv4_mask_sql)
     e = _rewrite_fn(e, "format_ipv4", _format_ipv4_sql)
 
     def _ipv4_is_private_sql(a: list[str]) -> str:
@@ -5118,6 +5435,32 @@ def _split_by(text: str, kw: str = "by") -> list[str]:
     return [text]
 
 
+def _pctw_sql(col: str, wt: str, frac: float) -> str:
+    """Weighted-percentile fold shared by percentilew and the plural
+    percentilesw: the smallest value whose cumulative weight reaches
+    frac of the total, values walked in sorted order. Two folds over
+    ONE sorted collect (Catalyst dedups the repeated aggregate),
+    per-group memory = group size like make_list."""
+    arr = (
+        f"sort_array(collect_list(named_struct('v',"
+        f" CAST({_expr(col)} AS DOUBLE), 'w',"
+        f" CAST({_expr(wt)} AS DOUBLE))))"
+    )
+    thr = (
+        f"(CAST({frac!r} AS DOUBLE) * aggregate({arr},"
+        " CAST(0 AS DOUBLE), (_tw, _x) -> _tw + _x.w))"
+    )
+    return (
+        f"aggregate({arr}, named_struct('c', CAST(0 AS DOUBLE),"
+        " 'r', CAST(NULL AS DOUBLE)), (_s, _x) ->"
+        " IF(_s.r IS NOT NULL, _s,"
+        f" IF(_s.c + _x.w >= {thr},"
+        " named_struct('c', _s.c + _x.w, 'r', _x.v),"
+        " named_struct('c', _s.c + _x.w, 'r',"
+        " CAST(NULL AS DOUBLE))))).r"
+    )
+
+
 def _agg_items(item: str, auto_idx: int) -> list[str]:
     """One summarize aggregate -> SQL select items. arg_max/arg_min
     expand to MULTIPLE items (the extremal key plus max_by/min_by of
@@ -5173,6 +5516,44 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
             f"percentile_approx({_expr(col)}, {p / 100})"
             f" AS percentile_{base}_{str(raw).replace('.', '_')}"
             for raw, p in zip(args[1:], ps)
+        ]
+    wm = re.match(
+        r"^(?:\(\s*([\w\s,]+?)\s*\)\s*=\s*)?percentilesw\s*\((.*)\)$",
+        item.strip(),
+    )
+    if wm:
+        # percentilesw(x, w, p1, p2, …) — plural weighted form
+        # (round-11 probe battery 15): one exact weighted-percentile
+        # fold per p (shared _pctw_sql), ADX percentile_<col>_<p>
+        # naming, or caller names via the (a, b) = multi-assign twin.
+        args = [a.strip() for a in _split_top_level(wm.group(2))]
+        if len(args) < 3:
+            raise ValueError(
+                f"percentilesw needs (col, weight, p, ...): {item!r}"
+            )
+        col, wt = args[0], args[1]
+        try:
+            ps = [float(p) for p in args[2:]]
+        except ValueError:
+            raise ValueError(
+                f"percentilesw needs numeric percentiles: {item!r}"
+            ) from None
+        if wm.group(1):
+            names = [x.strip() for x in wm.group(1).split(",")]
+            if len(names) != len(ps):
+                raise ValueError(
+                    "percentilesw multi-assign needs one name per"
+                    f" percentile: {item!r}"
+                )
+        else:
+            base = col if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+            names = [
+                f"percentile_{base}_{str(raw).replace('.', '_')}"
+                for raw in args[2:]
+            ]
+        return [
+            f"{_pctw_sql(col, wt, p / 100)} AS {nm}"
+            for nm, p in zip(names, ps)
         ]
     tam = re.match(r"^take_any\s*\((.*)\)$", item.strip(), re.DOTALL)
     if tam and len(_split_top_level(tam.group(1))) > 1:
@@ -5469,24 +5850,7 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
             raise ValueError(
                 f"percentilew needs a numeric percentile: {p_!r}"
             ) from None
-        arr = (
-            f"sort_array(collect_list(named_struct('v',"
-            f" CAST({_expr(col)} AS DOUBLE), 'w',"
-            f" CAST({_expr(wt)} AS DOUBLE))))"
-        )
-        thr = (
-            f"(CAST({frac!r} AS DOUBLE) * aggregate({arr},"
-            " CAST(0 AS DOUBLE), (_tw, _x) -> _tw + _x.w))"
-        )
-        sql = (
-            f"aggregate({arr}, named_struct('c', CAST(0 AS DOUBLE),"
-            " 'r', CAST(NULL AS DOUBLE)), (_s, _x) ->"
-            " IF(_s.r IS NOT NULL, _s,"
-            f" IF(_s.c + _x.w >= {thr},"
-            " named_struct('c', _s.c + _x.w, 'r', _x.v),"
-            " named_struct('c', _s.c + _x.w, 'r',"
-            " CAST(NULL AS DOUBLE))))).r"
-        )
+        sql = _pctw_sql(col, wt, frac)
         default = (
             f"percentile_{col}_{p_}".replace(".", "_")
             if re.match(r"^\w+$", col)

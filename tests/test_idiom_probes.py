@@ -500,6 +500,48 @@ PROBES = [
     ("b14 next after sort", 'events | distinct event_type | sort by event_type asc | serialize | extend nx = next(event_type)'),
     ("b14 strrep", 'print s = strrep("ab", 3)'),
     ("b14 array_sum slice", 'print s = array_sum(array_slice(pack_array(1, 2, 3, 4), 1, 2))'),
+    # --- battery 15 (round-11, fourth sweep): IP/network scalars, set
+    # algebra, sketch aggregates, math-special functions, unit
+    # conversion, negated string operators. Found and fixed:
+    # parse_ipv4_mask/format_ipv4_mask, format_bytes explicit units,
+    # percentilesw, erf/erfc, the convert_* family,
+    # geo_point_to_geohash.
+    ("b15 ipv4_is_private", "print a = ipv4_is_private('10.1.2.3'), b = ipv4_is_private('8.8.8.8')"),
+    ("b15 ipv4_compare", "print c = ipv4_compare('10.0.0.1', '10.0.0.2')"),
+    ("b15 parse_ipv4_mask", "print p = parse_ipv4_mask('192.168.1.77', 24)"),
+    ("b15 format_ipv4_mask", "print f = format_ipv4_mask('192.168.1.77', 24)"),
+    ("b15 format_bytes units", "print f = format_bytes(1024000, 2, 'MB')"),
+    ("b15 set_has_element", "print x = set_has_element(dynamic([1,2,3]), 2)"),
+    ("b15 jaccard_index", "print j = jaccard_index(dynamic([1,2,3]), dynamic([2,3,4]))"),
+    ("b15 array_iff", "print a = array_iff(dynamic([true,false,true]), dynamic([1,2,3]), dynamic([4,5,6]))"),
+    ("b15 array_split", "print a = array_split(dynamic([1,2,3,4,5]), 2)"),
+    ("b15 zip same type", "print z = zip(dynamic([1,2]), dynamic([3,4]))"),
+    ("b15 hash_sha256", "print h = hash_sha256('abc')"),
+    ("b15 hash_md5", "print h = hash_md5('abc')"),
+    ("b15 tohex", "print h = tohex(255), h2 = tohex(26, 8)"),
+    ("b15 isfinite isnan isinf", "print a = isfinite(1.0), b = isnan(todouble('NaN')), c = isinf(todouble('Infinity'))"),
+    ("b15 unixtime seconds", "print d = unixtime_seconds_todatetime(1704067200)"),
+    ("b15 unixtime micros", "print d = unixtime_microseconds_todatetime(1704067200000000)"),
+    ("b15 negated string ops", "events | where event_type !has 'view' and event_type !contains 'zz' and event_type !startswith 'q' | count"),
+    ("b15 tobool", "print a = tobool('true'), b = tobool(1), c = tobool('no')"),
+    ("b15 hll roundtrip", "events | summarize h = hll(user_id) by event_type | summarize m = hll_merge(h) | project d = dcount_hll(m)"),
+    ("b15 tdigest roundtrip", "events | summarize t = tdigest(value) by event_type | summarize m = merge_tdigest(t) | project p = percentile_tdigest(m, 95, typeof(real))"),
+    ("b15 percentilesw", "events | extend w = 2 | summarize percentilesw(value, w, 25, 75)"),
+    ("b15 percentilesw assign", "events | extend w = 1 | summarize (a, b) = percentilesw(value, w, 10, 90)"),
+    ("b15 erf erfc", "print a = erf(1.0), b = erfc(1.0)"),
+    ("b15 convert_angle", "print d = convert_angle(1.0, 'Degree', 'Radian')"),
+    ("b15 convert_temperature", "print c = convert_temperature(98.6, 'DegreeFahrenheit', 'DegreeCelsius')"),
+    ("b15 convert_speed", "print s = convert_speed(100.0, 'KilometerPerHour', 'MeterPerSecond')"),
+    ("b15 geo geohash", "print g = geo_point_to_geohash(-122.3, 47.6, 6)"),
+    ("b15 geo distance", "print d = geo_distance_2points(-122.3, 47.6, -122.2, 47.6)"),
+    ("b15 mv-expand to typeof", "events | take 1 | extend a = dynamic([1,2,3]) | mv-expand a to typeof(long) | summarize s = sum(a)"),
+    ("b15 make_bag", "events | take 3 | summarize b = make_bag(pack(event_type, value))"),
+    ("b15 lookup operator", "events | take 20 | lookup kind=leftouter (events | summarize n = count() by event_type) on event_type | count"),
+    ("b15 prev offset default", "events | distinct event_type | sort by event_type asc | serialize | extend p = prev(event_type, 2, 'none')"),
+    ("b15 evaluate pivot", "events | project event_type, value | evaluate pivot(event_type, sum(value))"),
+    ("b15 top-nested", "events | top-nested 2 of event_type by count(), top-nested 2 of user_id by sum(value)"),
+    ("b15 narrow after sort", "events | take 2 | project event_id, value | sort by event_id asc | evaluate narrow()"),
+    ("b15 rand bounded", "print r = rand(10) < 10"),
 ]
 
 
@@ -1073,3 +1115,67 @@ def test_battery14_value_checks(spark):
         spark, "print x = long(1) + int(2), y = real(2) / 4"
     ).collect()[0]
     assert r["x"] == 3 and r["y"] == 0.5
+
+
+def test_battery15_value_checks(spark):
+    """Battery 15 value pins for the six gaps it caught (plus the
+    geohash/erf reference values)."""
+    import math
+
+    r = kql(
+        spark,
+        "print a = parse_ipv4_mask('192.168.1.77', 24),"
+        " b = format_ipv4_mask('192.168.1.77', 24),"
+        " c = format_bytes(1024000, 2, 'MB'),"
+        " d = format_bytes(5, 0, 'Bytes')",
+    ).collect()[0]
+    assert (r["a"], r["b"]) == (3232235776, "192.168.1.0/24")
+    assert (r["c"], r["d"]) == ("0.98 MB", "5 Bytes")
+    # erf/erfc: Cody rational approximation vs the C stdlib, ~1 ulp
+    r = kql(
+        spark,
+        "print a = erf(1.0), b = erfc(1.0), c = erf(-0.3),"
+        " d = erfc(5.5), e = erf(0.2)",
+    ).collect()[0]
+    for k, x in (("a", 1.0), ("c", -0.3), ("e", 0.2)):
+        assert abs(r[k] - math.erf(x)) < 1e-14
+    assert abs(r["b"] - math.erfc(1.0)) < 1e-14
+    assert abs(r["d"] - math.erfc(5.5)) / math.erfc(5.5) < 1e-12
+    # convert_* ratios fold at translate time
+    r = kql(
+        spark,
+        "print a = convert_angle(180.0, 'Degree', 'Radian'),"
+        " b = convert_length(1.0, 'Mile', 'Kilometer'),"
+        " c = convert_temperature(32.0, 'DegreeFahrenheit',"
+        " 'DegreeCelsius'),"
+        " d = convert_speed(3.6, 'KilometerPerHour',"
+        " 'MeterPerSecond'),"
+        " e = convert_mass(16.0, 'Ounce', 'Pound')",
+    ).collect()[0]
+    assert abs(r["a"] - math.pi) < 1e-12
+    assert abs(r["b"] - 1.609344) < 1e-12
+    assert abs(r["c"]) < 1e-12
+    assert abs(r["d"] - 1.0) < 1e-12
+    assert abs(r["e"] - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="convert_length units"):
+        kql(spark, "print x = convert_length(1.0, 'Mile', 'Furlong')")
+    # geohash: the canonical reference point (57.64911, 10.40744)
+    # encodes to u4pruydqqvj at 11 chars
+    r = kql(
+        spark,
+        "print g = geo_point_to_geohash(10.40744, 57.64911, 11),"
+        " h = geo_point_to_geohash(-122.3, 47.6, 6),"
+        " n = geo_point_to_geohash(0.0, 91.0, 6)",
+    ).collect()[0]
+    assert r["g"] == "u4pruydqqvj"
+    assert r["h"] == "c23nbc"
+    assert r["n"] is None  # out-of-range latitude
+    # percentilesw: exact weighted fold, both naming forms
+    r = kql(
+        spark,
+        "datatable(v: real, w: long) [1.0, 4, 2.0, 3, 3.0, 3]"
+        " | summarize percentilesw(v, w, 25, 50, 95),"
+        " (lo, hi) = percentilesw(v, w, 10, 95)",
+    ).collect()[0]
+    assert (r["percentile_v_25"], r["percentile_v_50"]) == (1.0, 2.0)
+    assert (r["percentile_v_95"], r["lo"], r["hi"]) == (3.0, 1.0, 3.0)

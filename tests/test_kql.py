@@ -1898,8 +1898,12 @@ def test_leading_union_and_search(spark):
         spark, "union (lu_a | where k == 1), lu_b | sort by k asc"
     ).collect()
     assert [r["k"] for r in rows] == [1, 3, 4]
-    with pytest.raises(ValueError, match="leading-union operand"):
-        kql(spark, "union lu_*, lu_b")
+    # wildcard TABLE patterns expand from the catalog (battery 14):
+    # lu_* -> lu_a, lu_b (sorted), plus the explicit lu_b operand
+    rows = kql(spark, "union lu_*, lu_b | sort by k asc").collect()
+    assert [r["k"] for r in rows] == [1, 2, 3, 3, 4, 4]
+    with pytest.raises(ValueError, match="no tables match"):
+        kql(spark, "union zz_nothing_*, lu_b")
     # leading search across tables, case-insensitive then sensitive
     spark.sql(
         "SELECT * FROM VALUES ('hello World'),('bye') AS t(txt)"
