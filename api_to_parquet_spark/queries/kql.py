@@ -335,7 +335,28 @@ documented common subset, ratio folds to ONE double literal);
 format_bytes explicit-units third argument; percentilesw plural
 weighted percentiles (plain + multi-assign forms, shared exact
 fold); geo_point_to_geohash (base-32 bit-interleave as one
-aggregate() fold, accuracy 1..18 literal).
+aggregate() fold, accuracy 1..18 literal); row_window_session FULL
+ADX signature (expr, maxFromFirst, maxBetween[, restart]) — the
+from-first bound is recursive, compiled to ONE ordered fold over
+the serialized rows (the same inherent single-sequence cost as ADX
+serialize), restart may use prev()/next().
+Probe battery 16 additions (round-11): the ipv6 family
+(parse_ipv6[_mask]/ipv6_compare/ipv6_is_match/ipv6_is_in_range —
+canonical 8-hextet form via lambda-bound map-side string folds,
+ipv4 inputs take the ::ffff: transitional form, /nn suffixes and
+prefix masks on the 32-nibble hex string); sort/top `nulls
+first|last` without a direction keyword; datetime_diff
+millisecond/microsecond/nanosecond; series_round/series_magnitude/
+series_seasonal (explicit literal period); has_any_index;
+welch_test (Welch–Satterthwaite df + the Student-t survival
+identity through the beta_cdf Lentz fold); dayofweek ÷ timespan
+literal; negative literal subscripts on parse_json/todynamic
+variants (ARRAY<VARIANT> cast + try_element_at); parse_url «Query
+Parameters» (url-decoded MAP field) and parse_urlquery accessor
+chains; multi-array array_sort_asc/desc (first array orders all in
+lockstep, ADX t/t1/t2 default names, standalone extend);
+mv-apply where-only subpipes also expose the filtered array under
+the bound element alias.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -517,6 +538,62 @@ def _parse_ipv4_expr(s: str) -> str:
         f" aggregate(transform(split({s}, '\\\\.'),"
         " _o -> CAST(_o AS BIGINT)), CAST(0 AS BIGINT),"
         " (_a, _x) -> _a * 256 + _x) END"
+    )
+
+
+def _hex4(n: str) -> str:
+    return f"lpad(lower(hex({n})), 4, '0')"
+
+
+def _parse_ipv6_expr(s: str) -> str:
+    """IPv6 text -> the ADX canonical full form (8 lowercase
+    zero-padded hextets, colon-joined); NULL on anything invalid.
+    Accepts `::` compression, an embedded trailing IPv4, and bare
+    IPv4 (mapped to the ::ffff: transitional form, the ADX contract).
+    The input binds ONCE via a transform-over-one-element lambda, so
+    arbitrarily large source expressions don't multiply; everything
+    is map-side string/array builtins (round-11 probe battery 16)."""
+    s = s.strip()
+    p4 = _parse_ipv4_expr("_i6t")
+    # stage 1: resolve ipv4 forms to hextets
+    stage1 = (
+        f"CASE"
+        f" WHEN _i6 RLIKE '^{_IPV4_RE}$' THEN"
+        f" element_at(transform(array(_i6), _i6t ->"
+        f" concat('::ffff:', {_hex4(f'({p4}) div 65536')}, ':',"
+        f" {_hex4(f'({p4}) % 65536')})), 1)"
+        f" WHEN _i6 RLIKE ':{_IPV4_RE}$' THEN"
+        f" element_at(transform(array(regexp_extract(_i6,"
+        f" '({_IPV4_RE})$', 1)), _i6t ->"
+        f" concat(regexp_replace(_i6, '{_IPV4_RE}$', ''),"
+        f" {_hex4(f'({p4}) div 65536')}, ':',"
+        f" {_hex4(f'({p4}) % 65536')})), 1)"
+        f" ELSE _i6 END"
+    )
+    # stage 2: expand `::` to the missing zero groups
+    lft = "filter(split(element_at(split(_w6, '::'), 1), ':'), _p -> _p != '')"
+    rgt = "filter(split(element_at(split(_w6, '::'), 2), ':'), _p -> _p != '')"
+    stage2 = (
+        f"CASE WHEN _w6 LIKE '%::%' THEN"
+        f" CASE WHEN size(split(_w6, '::')) = 2"
+        f" AND _w6 NOT LIKE '%:::%'"
+        f" AND size({lft}) + size({rgt}) <= 8 THEN"
+        f" concat({lft}, array_repeat('0',"
+        f" 8 - size({lft}) - size({rgt})), {rgt}) END"
+        f" ELSE split(_w6, ':') END"
+    )
+    # stage 3: validate + zero-pad + join
+    stage3 = (
+        "CASE WHEN size(_fa6) = 8 AND size(filter(_fa6, _p ->"
+        " NOT _p RLIKE '^[0-9a-f]{1,4}$')) = 0 THEN"
+        " array_join(transform(_fa6, _p -> lpad(_p, 4, '0')), ':')"
+        " END"
+    )
+    return (
+        f"element_at(transform(array(element_at(transform(array("
+        f"element_at(transform(array(lower(trim(CAST({s} AS"
+        f" STRING)))), _i6 -> {stage1}), 1)), _w6 -> {stage2}), 1)),"
+        f" _fa6 -> {stage3}), 1)"
     )
 
 
@@ -869,6 +946,24 @@ _DT_UNITS = {
 }
 
 
+def _order_item(o: str) -> str:
+    """Normalize one sort/top order item: KQL defaults to DESC, and an
+    ADX `nulls first|last` tail is valid with OR without asc/desc
+    (round-11 probe battery 16 — the bare `sort by v nulls first` form
+    previously appended DESC after the nulls clause). Spark shares the
+    nulls syntax and the default placements (asc -> nulls first,
+    desc -> nulls last), so normalized items pass through."""
+    o = o.strip()
+    if re.search(
+        r"\b(asc|desc)(\s+nulls\s+(first|last))?$", o, re.IGNORECASE
+    ):
+        return o
+    nm = re.search(r"\bnulls\s+(first|last)\s*$", o, re.IGNORECASE)
+    if nm:
+        return f"{o[: nm.start()].rstrip()} DESC {o[nm.start():]}"
+    return o + " DESC"  # KQL sort/top defaults to descending
+
+
 def _datetime_diff_sql(args: list[str]) -> str:
     """datetime_diff('unit', a, b) = a - b in unit BOUNDARIES crossed
     (ADX semantics: 23:59 -> 00:01 is 1 day), not complete periods —
@@ -909,6 +1004,18 @@ def _datetime_diff_sql(args: list[str]) -> str:
         )
     if unit == "year":
         return f"(year({a}) - year({b}))"
+    if unit == "millisecond":
+        return (
+            f"(CAST(FLOOR(unix_micros({a}) / 1000) AS BIGINT)"
+            f" - CAST(FLOOR(unix_micros({b}) / 1000) AS BIGINT))"
+        )
+    if unit == "microsecond":
+        return f"(unix_micros({a}) - unix_micros({b}))"
+    if unit == "nanosecond":
+        # Spark timestamps are microsecond-grained; every microsecond
+        # boundary is 1000 nanosecond boundaries (exact for the values
+        # a Spark timestamp can hold)
+        return f"((unix_micros({a}) - unix_micros({b})) * 1000)"
     raise ValueError(f"unsupported datetime_diff unit: {unit!r}")
 
 
@@ -2097,6 +2204,33 @@ def _beta_cdf_sql(args: list[str]) -> str:
     )
 
 
+def _welch_test_sql(args: list[str]) -> str:
+    """welch_test(mean1, var1, count1, mean2, var2, count2) — the
+    two-sided p-value of Welch's unequal-variances t-test (round-11
+    probe battery 16, was a loud gap). Welch–Satterthwaite df, then
+    p = I_{df/(df+t²)}(df/2, 1/2) — the exact Student-t survival
+    identity — through the existing regularized-incomplete-beta Lentz
+    fold (_beta_cdf_sql). Pure builtin arithmetic, map-side."""
+    if len(args) != 6:
+        raise ValueError(
+            "welch_test needs (mean1, var1, count1, mean2, var2,"
+            f" count2): {args!r}"
+        )
+    m1, v1, n1, m2, v2, n2 = (
+        f"CAST({s.strip()} AS DOUBLE)" for s in args
+    )
+    u1 = f"(({v1}) / ({n1}))"
+    u2 = f"(({v2}) / ({n2}))"
+    s = f"({u1} + {u2})"
+    t2 = f"((({m1}) - ({m2})) * (({m1}) - ({m2})) / {s})"
+    df = (
+        f"({s} * {s} / ({u1} * {u1} / (({n1}) - 1)"
+        f" + {u2} * {u2} / (({n2}) - 1)))"
+    )
+    x = f"({df} / ({df} + {t2}))"
+    return _beta_cdf_sql([x, f"{df} / 2", "0.5"])
+
+
 def _series_stats_dynamic_sql(args: list[str]) -> str:
     """series_stats_dynamic(x) — the bag twin of the series_stats
     multi-assign (same math: population variance, first-occurrence
@@ -2969,6 +3103,7 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "erfc", _erfc_sql)
     e = _rewrite_fn(e, "erf", _erf_sql)
     e = _rewrite_fn(e, "beta_cdf", _beta_cdf_sql)
+    e = _rewrite_fn(e, "welch_test", _welch_test_sql)
     e = _rewrite_fn(e, "parse_user_agent", _parse_user_agent_sql)
     def _moving_avg_sql(a: list[str]) -> str:
         if len(a) < 2 or not re.match(r"^\d+$", a[1].strip()):
@@ -3001,6 +3136,47 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "series_sign", _series_unary("sign"))
     e = _rewrite_fn(e, "series_floor", _series_unary("floor"))
     e = _rewrite_fn(e, "series_ceiling", _series_unary("ceiling"))
+    e = _rewrite_fn(e, "series_round", _series_unary("round"))
+    # L2 norm: one left fold (round-11 probe battery 16)
+    e = _rewrite_fn(
+        e,
+        "series_magnitude",
+        lambda a: (
+            f"sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), (_ac, _x) ->"
+            " _ac + CAST(_x AS DOUBLE) * CAST(_x AS DOUBLE)))"
+        ),
+    )
+
+    def _series_seasonal_sql(a: list[str]) -> str:
+        # series_seasonal(series, period) — seasonal component:
+        # element i maps to the MEAN of all elements sharing its phase
+        # (i mod period). Period must be a positive integer literal
+        # (no autodetection — the series_decompose explicit-subset
+        # contract). Phase means computed per element via one nested
+        # fold: O(n²/period) inside a map-side lambda, fine for the
+        # array-per-row series shape.
+        if (
+            len(a) != 2
+            or not re.match(r"^\d+$", a[1].strip())
+            or int(a[1]) < 1
+        ):
+            raise ValueError(
+                "series_seasonal needs (series, positive integer"
+                f" literal period) — explicit-subset contract: {a!r}"
+            )
+        p = int(a[1])
+        phase_mean = (
+            f"(aggregate({a[0]}, named_struct('s', CAST(0 AS DOUBLE),"
+            " 'n', CAST(0 AS DOUBLE), 'j', 0), (_st, _y) ->"
+            f" IF(pmod(_st.j, {p}) = pmod(_i, {p}),"
+            " named_struct('s', _st.s + CAST(_y AS DOUBLE),"
+            " 'n', _st.n + 1, 'j', _st.j + 1),"
+            " named_struct('s', _st.s, 'n', _st.n, 'j', _st.j + 1)),"
+            " _st -> _st.s / _st.n))"
+        )
+        return f"transform({a[0]}, (_x, _i) -> {phase_mean})"
+
+    e = _rewrite_fn(e, "series_seasonal", _series_seasonal_sql)
 
     def _series_pow_sql(a: list[str]) -> str:
         if len(a) != 2:
@@ -3271,6 +3447,20 @@ def _expr(kql_expr: str) -> str:
         lambda m: f"{m.group(1)} {m.group(2)} {m.group(3)}",
         e,
     )
+    # dayofweek(x) / <timespan literal> — the ADX idiom for a plain
+    # day NUMBER (dayofweek is a timespan there); fold to numeric
+    # day-seconds over the literal's seconds BEFORE the timespan-
+    # division machinery would treat the numerator as an interval
+    # (round-11 probe battery 16)
+    e = _pred_sub(
+        rf"({_DOW_CALL})\s*/\s*(\d+(?:\.\d+)?)\s*(ms|[smhd])"
+        r"\b(?![\w.(])",
+        lambda m: (
+            f"(({m.group(1)}) * 86400"
+            f" / {_ts_lit_seconds(m.group(2), m.group(3))})"
+        ),
+        e,
+    )
     e = _rewrite_fn(e, "dayofweek", lambda a: f"(dayofweek({a[0]}) - 1)")
     # arrays & misc
     e = _sub_outside_strings(r"\bpack_array\(", "array(", e)
@@ -3289,10 +3479,19 @@ def _expr(kql_expr: str) -> str:
     def _subscript_rep(m: re.Match) -> str:
         # parse_json()/todynamic() results are VARIANTs — their []
         # access belongs to the JSON-path accessor machinery, not
-        # element_at
+        # element_at. EXCEPT negative indices (round-11 probe battery
+        # 16): variant paths have no from-end form, so cast to
+        # ARRAY<VARIANT> and let try_element_at count from the end
+        # (non-arrays try_cast to NULL — the ADX null contract).
         if re.match(
             r"^(?:parse_json|todynamic)\s*\(", m.group(1), re.IGNORECASE
         ):
+            ix = int(m.group(2))
+            if ix < 0:
+                return (
+                    f"try_element_at(try_cast({m.group(1)}"
+                    f" AS ARRAY<VARIANT>), {ix})"
+                )
             return m.group(0)
         ix = int(m.group(2))
         return f"try_element_at({m.group(1)}, {ix + 1 if ix >= 0 else ix})"
@@ -3541,6 +3740,121 @@ def _expr(kql_expr: str) -> str:
 
     e = _rewrite_fn(e, "parse_ipv4_mask", _parse_ipv4_mask_sql)
     e = _rewrite_fn(e, "parse_ipv4", lambda a: _parse_ipv4_expr(a[0]))
+
+    # --- ipv6 family (round-11 probe battery 16). The canonical form
+    # (_parse_ipv6_expr) is 8 zero-padded lowercase hextets, so
+    # lexicographic compare == numeric compare, and prefix masks work
+    # on the 32-nibble hex string: full nibbles by substr equality,
+    # the partial nibble by a conv()-shifted compare. Addresses may
+    # carry '/nn' suffixes (effective prefix = min of both sides and
+    # the optional argument, the ipv4_is_match contract). IPv4 inputs
+    # canonicalize to the ::ffff: transitional form, so mixed
+    # ipv4/ipv6 comparisons work like ADX. All map-side builtins. ---
+    def _v6addr(x: str) -> str:
+        # canonical 32-nibble hex (colons stripped), suffix removed
+        base = f"element_at(split({x}, '/'), 1)"
+        return f"replace({_parse_ipv6_expr(base)}, ':', '')"
+
+    def _v6sfx(x: str) -> str:
+        return (
+            f"coalesce(try_cast(try_element_at(split({x}, '/'), 2)"
+            " AS INT), 128)"
+        )
+
+    def _v6masked(c: str, pfx: str) -> str:
+        # the compare key under a prefix: full nibbles verbatim plus
+        # the masked partial nibble's hex digit (0-15 -> one char)
+        n = f"(({pfx}) div 4)"
+        rem = f"(({pfx}) % 4)"
+        part = (
+            f"lower(hex(CAST(FLOOR(conv(substr({c}, {n} + 1, 1), 16,"
+            f" 10) / pow(2, 4 - {rem})) AS INT)))"
+        )
+        return (
+            f"concat(substr({c}, 1, {n}),"
+            f" IF({rem} = 0, '', {part}))"
+        )
+
+    def _v6bind(x1: str, x2: str, pfx: str, body: str) -> str:
+        # bind both canonical addresses and the effective prefix ONCE
+        # via transform-over-one-element lambdas (each canonical form
+        # is a ~2 KB expression — without binding it would repeat 4x)
+        return (
+            f"element_at(transform(array({_v6addr(x1)}), _c1 ->"
+            f" element_at(transform(array({_v6addr(x2)}), _c2 ->"
+            f" element_at(transform(array(CAST(({pfx}) AS INT)),"
+            f" _pf -> {body}), 1)), 1)), 1)"
+        )
+
+    def _ipv6_compare_sql(a: list[str]) -> str:
+        if len(a) != 2:
+            raise ValueError(f"ipv6_compare needs (ip1, ip2): {a!r}")
+        x1, x2 = a[0].strip(), a[1].strip()
+        pfx = f"least({_v6sfx(x1)}, {_v6sfx(x2)})"
+        m1 = _v6masked("_c1", "_pf")
+        m2 = _v6masked("_c2", "_pf")
+        body = (
+            f"CASE WHEN {m1} < {m2} THEN -1"
+            f" WHEN {m1} > {m2} THEN 1"
+            f" WHEN {m1} = {m2} THEN 0 END"
+        )
+        return f"({_v6bind(x1, x2, pfx, body)})"
+
+    def _ipv6_is_match_sql(a: list[str]) -> str:
+        if len(a) not in (2, 3):
+            raise ValueError(
+                f"ipv6_is_match needs (ip1, ip2[, prefix]): {a!r}"
+            )
+        x1, x2 = a[0].strip(), a[1].strip()
+        parts = [_v6sfx(x1), _v6sfx(x2)]
+        if len(a) == 3:
+            parts.append(f"CAST({a[2]} AS INT)")
+        pfx = f"least({', '.join(parts)})"
+        body = (
+            f"({_v6masked('_c1', '_pf')} = {_v6masked('_c2', '_pf')})"
+        )
+        return f"({_v6bind(x1, x2, pfx, body)})"
+
+    def _ipv6_in_range_sql(a: list[str]) -> str:
+        # the range side's suffix is the effective prefix (default
+        # 128); both sides may be any expression
+        if len(a) != 2:
+            raise ValueError(
+                f"ipv6_is_in_range needs (ip, range): {a!r}"
+            )
+        x, rng = a[0].strip(), a[1].strip()
+        body = (
+            f"({_v6masked('_c1', '_pf')} = {_v6masked('_c2', '_pf')})"
+        )
+        return f"({_v6bind(x, rng, _v6sfx(rng), body)})"
+
+    def _parse_ipv6_mask_sql(a: list[str]) -> str:
+        # parse_ipv6_mask(ip, prefix): the canonical form with the
+        # low (128 - prefix) bits zeroed — full nibbles + the masked
+        # partial nibble, right-padded with zeros, re-coloned
+        if len(a) != 2:
+            raise ValueError(
+                f"parse_ipv6_mask needs (ip, prefix): {a!r}"
+            )
+        h32 = (
+            f"rpad({_v6masked('_c1', '_pf')}, 32, '0')"
+        )
+        body = (
+            f"CASE WHEN _pf BETWEEN 0 AND 128 THEN"
+            f" array_join(transform(sequence(0, 7), _k ->"
+            f" substr({h32}, _k * 4 + 1, 4)), ':') END"
+        )
+        return (
+            f"(element_at(transform(array({_v6addr(a[0].strip())}),"
+            f" _c1 -> element_at(transform(array(CAST(({a[1]}) AS"
+            f" INT)), _pf -> {body}), 1)), 1))"
+        )
+
+    e = _rewrite_fn(e, "parse_ipv6_mask", _parse_ipv6_mask_sql)
+    e = _rewrite_fn(e, "parse_ipv6", lambda a: _parse_ipv6_expr(a[0]))
+    e = _rewrite_fn(e, "ipv6_compare", _ipv6_compare_sql)
+    e = _rewrite_fn(e, "ipv6_is_match", _ipv6_is_match_sql)
+    e = _rewrite_fn(e, "ipv6_is_in_range", _ipv6_in_range_sql)
     e = _rewrite_fn(
         e,
         "has_ipv4",
@@ -4249,14 +4563,45 @@ def _expr(kql_expr: str) -> str:
             f"regexp_replace({a[0]}, '([^A-Za-z0-9_])', '\\\\\\\\$1')"
         ),
     )
-    e = _rewrite_fn(
-        e,
-        "parse_urlquery",
-        lambda a: (
+    def _urlquery_bag(arg: str) -> str:
+        return (
             "to_json(named_struct('Query Parameters',"
-            f" str_to_map(regexp_replace({a[0]}, '^[^?]*\\\\?', ''),"
+            f" str_to_map(regexp_replace({arg}, '^[^?]*\\\\?', ''),"
             " '&', '=')))"
-        ),
+        )
+
+    # parse_urlquery(...)["Query Parameters"]["k"] accessor chains
+    # (round-11 probe battery 16): wrap the bag in parse_json so the
+    # balanced JSON-path scan below compiles the chain to ONE
+    # get_json_object; bare calls keep returning the JSON-string bag.
+    while True:
+        _uq_hit = None
+        for mm in re.finditer(r"\bparse_urlquery\s*\(", e):
+            if any(
+                s.start() <= mm.start() < s.end()
+                for s in _STR_SPAN.finditer(e)
+            ):
+                continue
+            close = _balanced_end(e, mm.end() - 1)
+            if close is None:
+                continue
+            am = re.compile(
+                r"(?:\.\w+|\[\s*(?:'(?:[^']|'')*'|\d+)\s*\])+"
+            ).match(e, close + 1)
+            if am:
+                _uq_hit = (mm, close, am)
+                break
+        if _uq_hit is None:
+            break
+        mm, close, am = _uq_hit
+        e = (
+            e[: mm.start()]
+            + f"parse_json({_urlquery_bag(e[mm.end():close])})"
+            + e[close + 1 : am.end()]
+            + e[am.end():]
+        )
+    e = _rewrite_fn(
+        e, "parse_urlquery", lambda a: _urlquery_bag(a[0])
     )
 
     def _parse_path_sql(a: list[str]) -> str:
@@ -4574,8 +4919,11 @@ def _expr(kql_expr: str) -> str:
     def _parse_url_sql(a: list[str]) -> str:
         # ADX parse_url returns a property bag; here a STRUCT whose
         # fields mirror the ADX keys (all strings), so .Host/.Port/…
-        # access works natively. "Query Parameters" (space in the
-        # key) is out of the subset — use .Query for the raw string.
+        # access works natively. "Query Parameters" (round-11 probe
+        # battery 16) is a MAP<STRING,STRING> of url-decoded query
+        # pairs — struct['Query Parameters']['key'] subscripting works
+        # natively (the space makes dot access inexpressible, same as
+        # ADX where the bracket form is the only spelling).
         if len(a) != 1:
             raise ValueError(f"parse_url needs one argument: {a!r}")
         u = a[0].strip()
@@ -4587,6 +4935,9 @@ def _expr(kql_expr: str) -> str:
             f" ':([0-9]+)$', 1),"
             f" 'Path', parse_url({u}, 'PATH'),"
             f" 'Query', parse_url({u}, 'QUERY'),"
+            f" 'Query Parameters', transform_values(str_to_map("
+            f"coalesce(parse_url({u}, 'QUERY'), ''), '&', '='),"
+            " (_k, _v) -> url_decode(_v)),"
             f" 'Fragment', parse_url({u}, 'REF'))"
         )
 
@@ -5106,6 +5457,22 @@ def _expr(kql_expr: str) -> str:
     # term is regex-quoted (\Q…\E) so `has "c++"` can't inject a pattern,
     # and (?i) matches ADX's case-insensitivity; has_cs is the
     # case-sensitive variant.
+    # has_any_index(source, values): 0-based index of the FIRST value
+    # term-matched in source (the same word-boundary regexp `has`
+    # compiles to), -1 when none match. Values may be any array
+    # expression (round-11 probe battery 16); one map-side transform +
+    # array_position.
+    e = _rewrite_fn(
+        e,
+        "has_any_index",
+        lambda a: (
+            f"(coalesce(array_position(transform("
+            f"CAST({a[1]} AS ARRAY<STRING>), _t ->"
+            f" coalesce({a[0]} RLIKE concat('(?i)\\\\b\\\\Q', _t,"
+            " '\\\\E\\\\b'), false)), true), 0) - 1)"
+        ),
+    )
+
     # has_any / has_all: term-match over a literal list (OR / AND of
     # the same word-boundary regexps `has` compiles to)
     def _has_list(m: re.Match, joiner: str) -> str:
@@ -7390,6 +7757,213 @@ def _kql_stages_to_sql(
                     "serialize window functions need a preceding sort by"
                 )
             ext_items = _split_top_level(_strings_to_sql(body))
+            # row_window_session FULL ADX signature (round-11 probe
+            # battery 15): (Expr, MaxDistanceFromFirst,
+            # MaxDistanceBetweenValues [, Restart]). The from-FIRST
+            # bound makes session assignment recursive (the current
+            # session's start feeds its own break test), so no fixed
+            # stack of SQL windows can express it — it compiles to ONE
+            # ordered fold: collect the serialized rows into an array
+            # (single-sequence, the same inherent cost as ADX
+            # serialize), walk it once assigning each row its
+            # session-start Expr value, then explode back. Restart may
+            # use prev()/next() (evaluated row-wise in the inner layer
+            # via the ordinary window rewrite). Distances must both be
+            # timespan literals (datetime Expr) or both numeric
+            # literals — explicit-subset contract.
+            rws_full = None
+            for c in ext_items:
+                m3 = re.match(
+                    r"(\w+)\s*=\s*row_window_session\s*\((.+)\)\s*$",
+                    c.strip(),
+                )
+                if m3 and len(_split_top_level(m3.group(2))) >= 3:
+                    rws_full = m3
+            if rws_full is not None:
+                if len(ext_items) != 1:
+                    raise ValueError(
+                        "row_window_session(expr, maxFromFirst,"
+                        " maxBetween[, restart]) must be a standalone"
+                        " extend item"
+                    )
+                if order_keys is None:
+                    raise ValueError(
+                        "row_window_session needs a preceding sort by"
+                    )
+                nm = rws_full.group(1)
+                fargs = [
+                    x.strip()
+                    for x in _split_top_level(rws_full.group(2))
+                ]
+                if len(fargs) > 4:
+                    raise ValueError(
+                        "row_window_session takes (expr, maxFromFirst,"
+                        f" maxBetween[, restart]): {fargs!r}"
+                    )
+
+                def _rws_dist(s: str) -> tuple[float, bool]:
+                    tsm = re.match(rf"^{_TS_LIT}$", s)
+                    if tsm:
+                        return (
+                            float(
+                                _ts_lit_seconds(
+                                    tsm.group(1), tsm.group(2)
+                                )
+                            )
+                            * 1e6,
+                            True,
+                        )
+                    if re.match(r"^\d+(?:\.\d+)?$", s):
+                        return float(s), False
+                    raise ValueError(
+                        "row_window_session distances must be"
+                        f" timespan or numeric literals: {s!r}"
+                    )
+
+                max_first, ts1 = _rws_dist(fargs[1])
+                max_between, ts2 = _rws_dist(fargs[2])
+                if ts1 != ts2:
+                    raise ValueError(
+                        "row_window_session distances must both be"
+                        " timespan or both numeric literals:"
+                        f" {fargs[1:3]!r}"
+                    )
+                texpr = _expr(fargs[0])
+                metric = (
+                    f"CAST(unix_micros({texpr}) AS DOUBLE)"
+                    if ts1
+                    else f"CAST({texpr} AS DOUBLE)"
+                )
+                restart = (
+                    _window_rewrite(_expr(fargs[3]), order_keys)
+                    if len(fargs) == 4
+                    else "false"
+                )
+                over = f"OVER (ORDER BY {', '.join(order_keys)})"
+                l1 = (
+                    f"SELECT struct(*) AS _rww, {metric} AS _rwm,"
+                    f" {texpr} AS _rwv,"
+                    f" coalesce({restart}, false) AS _rwr,"
+                    f" ROW_NUMBER() {over} AS _rwn FROM {prev}"
+                )
+                arr = (
+                    "sort_array(collect_list(named_struct('n', _rwn,"
+                    " 'm', _rwm, 'v', _rwv, 'r', _rwr, 'w', _rww)))"
+                )
+                # typed EMPTY accumulator array via slice(transform)
+                newsess = (
+                    "(_s.pm IS NULL OR _x.r"
+                    f" OR _x.m - _s.pm > CAST({max_between!r} AS"
+                    " DOUBLE)"
+                    f" OR _x.m - _s.st > CAST({max_first!r} AS"
+                    " DOUBLE))"
+                )
+                fold = (
+                    f"aggregate({arr}, named_struct("
+                    "'out', slice(transform("
+                    f"{arr}, _x -> named_struct('w', _x.w, 's',"
+                    " _x.v)), 1, 0),"
+                    " 'st', CAST(0 AS DOUBLE),"
+                    f" 'sv', try_element_at({arr}, 1).v,"
+                    " 'pm', CAST(NULL AS DOUBLE)),"
+                    " (_s, _x) -> named_struct("
+                    f"'out', concat(_s.out, array(named_struct('w',"
+                    f" _x.w, 's', IF({newsess}, _x.v, _s.sv)))),"
+                    f" 'st', IF({newsess}, _x.m, _s.st),"
+                    f" 'sv', IF({newsess}, _x.v, _s.sv),"
+                    " 'pm', _x.m),"
+                    " _s -> _s.out)"
+                )
+                l2 = f"SELECT {fold} AS _rwa FROM ({l1}) AS _rw{i}a"
+                l3 = (
+                    f"SELECT _e.w AS _rww, _e.s AS _rws FROM"
+                    f" (SELECT explode(_rwa) AS _e FROM ({l2})"
+                    f" AS _rw{i}b) AS _rw{i}c"
+                )
+                sql = (
+                    f"SELECT _rww.*, _rws AS {nm} FROM ({l3})"
+                    f" AS _rw{i}d"
+                )
+                continue
+            # Multi-array array_sort_asc/desc (round-11 probe battery
+            # 16): the FIRST array orders all of them in lockstep —
+            # ADX returns one output array per input. Compiled to one
+            # index-zip into structs + array_sort with an explicit
+            # comparator (nulls last, the ADX default for both
+            # directions) + per-output transform extraction; map-side,
+            # zero shuffle. Names: caller tuple, or ADX's t, t1, t2…
+            # defaults. Optional trailing bool = nulls_last.
+            asm = None
+            for c in ext_items:
+                m4 = re.match(
+                    r"(?:\(\s*([\w\s,]+?)\s*\)|(\w+))\s*=\s*"
+                    r"array_sort_(asc|desc)\s*\((.+)\)\s*$",
+                    c.strip(),
+                    re.DOTALL,
+                )
+                if m4 and len(_split_top_level(m4.group(4))) >= 2:
+                    asm = m4
+            if asm is not None:
+                sargs = [
+                    x.strip()
+                    for x in _split_top_level(asm.group(4))
+                ]
+                nulls_last = True
+                if re.match(r"^(true|false)$", sargs[-1], re.IGNORECASE):
+                    nulls_last = sargs[-1].lower() == "true"
+                    sargs = sargs[:-1]
+                if len(sargs) >= 2:
+                    if len(ext_items) != 1:
+                        raise ValueError(
+                            "multi-array array_sort_* must be the"
+                            " only extend item"
+                        )
+                    arrs = [_expr(x) for x in sargs]
+                    if asm.group(1):
+                        names = [
+                            n.strip()
+                            for n in asm.group(1).split(",")
+                        ]
+                        if len(names) != len(arrs):
+                            raise ValueError(
+                                "array_sort_* multi-assign needs one"
+                                f" name per array: {asm.group(0)!r}"
+                            )
+                    else:
+                        base = asm.group(2)
+                        names = [base] + [
+                            f"{base}{k}"
+                            for k in range(1, len(arrs))
+                        ]
+                    fields = ", ".join(
+                        f"'s{k}', try_element_at({a}, _zi)"
+                        for k, a in enumerate(arrs)
+                    )
+                    zipped = (
+                        f"transform(sequence(1, size({arrs[0]})),"
+                        f" _zi -> named_struct({fields}))"
+                    )
+                    lo, hi = (
+                        ("-1", "1")
+                        if asm.group(3) == "asc"
+                        else ("1", "-1")
+                    )
+                    nl, nr = ("1", "-1") if nulls_last else ("-1", "1")
+                    srt = (
+                        f"array_sort({zipped}, (_l, _r) -> CASE"
+                        " WHEN _l.s0 IS NULL AND _r.s0 IS NULL THEN 0"
+                        f" WHEN _l.s0 IS NULL THEN {nl}"
+                        f" WHEN _r.s0 IS NULL THEN {nr}"
+                        f" WHEN _l.s0 < _r.s0 THEN {lo}"
+                        f" WHEN _l.s0 > _r.s0 THEN {hi}"
+                        " ELSE 0 END)"
+                    )
+                    outs = ", ".join(
+                        f"transform({srt}, _e -> _e.s{k}) AS {nm}"
+                        for k, nm in enumerate(names)
+                    )
+                    sql = f"SELECT *, {outs} FROM {prev}"
+                    continue
             # row_rank_dense/row_rank_min (round-6): run-length ranks
             # over the serialized order — rank by CHANGES of the term
             # (10,20,20,10 -> dense 1,2,2,3; NOT a re-sort, unlike
@@ -7725,29 +8299,13 @@ def _kql_stages_to_sql(
             m = re.match(r"(\d+)\s+by\s+(.+)$", body, re.IGNORECASE)
             if not m:
                 raise ValueError(f"top needs 'N by col': {body!r}")
-            order = m.group(2).strip()
-            # `asc|desc` may carry an ADX `nulls first|last` tail —
-            # same rule as sort (round-8 probe finding)
-            if not re.search(
-                r"\b(asc|desc)(\s+nulls\s+(first|last))?$",
-                order,
-                re.IGNORECASE,
-            ):
-                order += " DESC"  # KQL top defaults to descending
+            order = _order_item(m.group(2).strip())
             sql = f"SELECT * FROM {prev} ORDER BY {_expr(order)} LIMIT {m.group(1)}"
         elif op == "sort" or op == "order":
             body = re.sub(r"^by\s+", "", body, flags=re.IGNORECASE)
-            orders = []
-            for o in _split_top_level(body):
-                # `asc|desc` may carry an ADX `nulls first|last` tail
-                # (passes through — Spark shares the syntax)
-                if not re.search(
-                    r"\b(asc|desc)(\s+nulls\s+(first|last))?$",
-                    o,
-                    re.IGNORECASE,
-                ):
-                    o += " DESC"  # KQL sort defaults to descending
-                orders.append(_expr(o))
+            orders = [
+                _expr(_order_item(o)) for o in _split_top_level(body)
+            ]
             sql = f"SELECT * FROM {prev} ORDER BY {', '.join(orders)}"
             order_keys = orders  # the serialize window order
         elif op == "mv-expand":
@@ -11542,11 +12100,23 @@ def _kql_stages_to_sql(
                 else:
                     raise ValueError(f"unsupported mv-apply stage: {sop!r}")
             if items is None:
-                # where-only subpipe: the column becomes its filtered self
+                # where-only subpipe: the column becomes its filtered
+                # self. When a DISTINCT element name was bound
+                # (mv-apply e = a on (…)), the filtered array is ALSO
+                # exposed under that name (round-11 probe battery 16:
+                # downstream `| project e` is the ADX spelling; the
+                # collapse-to-array refinement stays — mv-expand e
+                # recovers the exact ADX row shape).
                 if mvidx:
                     arr = f"transform({arr}, _mv -> _mv.v)"
+                extra = (
+                    f", {arr} AS {elem}"
+                    if elem != col and re.match(r"^\w+$", elem or "")
+                    else ""
+                )
                 sql = (
-                    f"SELECT * EXCEPT ({col}), {arr} AS {col} FROM {prev}"
+                    f"SELECT * EXCEPT ({col}), {arr} AS {col}{extra}"
+                    f" FROM {prev}"
                 )
             else:
                 sql = f"SELECT *, {', '.join(items)} FROM {prev}"

@@ -542,6 +542,53 @@ PROBES = [
     ("b15 top-nested", "events | top-nested 2 of event_type by count(), top-nested 2 of user_id by sum(value)"),
     ("b15 narrow after sort", "events | take 2 | project event_id, value | sort by event_id asc | evaluate narrow()"),
     ("b15 rand bounded", "print r = rand(10) < 10"),
+    ("b15 row_window_session full", "events | sort by user_id asc, ts asc | extend sid = row_window_session(ts, 1d, 1h, user_id != prev(user_id)) | count"),
+    # --- battery 16 (round-11, fifth sweep): ipv6, sort nulls
+    # placement, url bags, multi-array sorts, Welch's t-test,
+    # serialized sessionization, Sentinel dashboard shapes. Found and
+    # fixed: the ipv6 family, sort/top `nulls first|last` without
+    # asc/desc, datetime_diff sub-second units, series_round/
+    # magnitude/seasonal, has_any_index, welch_test, dayofweek ÷
+    # timespan, variant negative subscripts, parse_url «Query
+    # Parameters», parse_urlquery accessor chains, multi-array
+    # array_sort_asc/desc, mv-apply element-alias exposure.
+    ("b16 parse_ipv6", "print p = parse_ipv6('2001:db8::1')"),
+    ("b16 parse_ipv6 v4", "print p = parse_ipv6('192.168.1.1')"),
+    ("b16 parse_ipv6_mask", "print p = parse_ipv6_mask('2001:db8:abcd::1', 32)"),
+    ("b16 ipv6_compare", "print c = ipv6_compare('::1', '::2')"),
+    ("b16 ipv6_is_match", "print m = ipv6_is_match('fe80::1', 'fe80::ffff', 112)"),
+    ("b16 ipv6_is_in_range", "print r = ipv6_is_in_range('fe80::aaaa', 'fe80::/16')"),
+    ("b16 sort nulls first", "events | extend v = iff(value > 99.9, real(null), value) | order by v nulls first | take 2"),
+    ("b16 top nulls last", "events | top 3 by value nulls last"),
+    ("b16 dtdiff nanos", "print n = datetime_diff('nanosecond', datetime(2024-01-01 00:00:01), datetime(2024-01-01))"),
+    ("b16 dtdiff millis", "print n = datetime_diff('millisecond', datetime(2024-01-01 00:00:01), datetime(2024-01-01))"),
+    ("b16 series_round magnitude", "print a = series_round(dynamic([1.4, 2.6])), m = series_magnitude(dynamic([3.0, 4.0]))"),
+    ("b16 series_seasonal", "print s = series_seasonal(dynamic([1.0, 2.0, 3.0, 3.0, 4.0, 5.0]), 3)"),
+    ("b16 has_any_index", "print i = has_any_index('where is the cat', dynamic(['dog', 'cat']))"),
+    ("b16 welch_test", "print p = welch_test(10.0, 1.0, 30, 12.0, 1.5, 30)"),
+    ("b16 dayofweek div", "print d = dayofweek(datetime(2024-01-03)) / 1d"),
+    ("b16 variant neg subscript", "print v = toint(todynamic('[1,2,3]')[-1])"),
+    ("b16 parse_url query params", "print q = tostring(parse_url('https://h/p?x=1&y=a%20b')['Query Parameters']['y'])"),
+    ("b16 parse_urlquery chain", "print q = tostring(parse_urlquery('x=1&y=2')['Query Parameters']['y'])"),
+    ("b16 array_sort multi", "print x = 1 | extend t = array_sort_asc(dynamic([3, 1, 2]), dynamic(['c', 'a', 'b'])) | project t, t1"),
+    ("b16 mv-apply alias", "datatable(k: long) [1] | extend a = pack_array(3, 1, 2) | mv-apply e = a to typeof(long) on (where e > 1 | top 1 by e) | project e"),
+    ("b16 top-hitters", "events | top-hitters 3 of event_type"),
+    ("b16 reduce by", "events | take 20 | reduce by event_type"),
+    ("b16 autocluster", "events | take 50 | project event_type, user_id | evaluate autocluster()"),
+    ("b16 basket", "events | take 50 | project event_type, user_id | evaluate basket()"),
+    ("b16 dcount_intersect", "events | summarize h1 = hll(user_id), h2 = hll(event_id) | evaluate dcount_intersect(h1, h2)"),
+    ("b16 startofquarter", "print q = startofquarter(datetime(2024-05-15)), e = endofquarter(datetime(2024-05-15))"),
+    ("b16 not between", "events | where value !between (10.0 .. 90.0) | count"),
+    ("b16 bag_has_key", "print b = bag_has_key(dynamic({'a': 1}), 'a')"),
+    ("b16 around", "print b = around(102.0, 100.0, 5.0)"),
+    ("b16 strcat_array", "print s = strcat_array(dynamic([1, 2, 3]), '-')"),
+    ("b16 minif maxif avgif", "events | summarize mn = minif(value, value > 10), mx = maxif(value, value < 90), a = avgif(value, event_type == 'view')"),
+    ("b16 take_anyif", "events | summarize take_anyif(event_type, value > 50)"),
+    ("b16 extract group 0", "print m = extract('h(a)s', 0, 'has')"),
+    ("b16 indexof_regex", "print i = indexof_regex('ab1cd', @'\\d')"),
+    ("b16 scan with_match_id", "events | where user_id == 1 | sort by ts asc | scan with_match_id=m_id with (step s1: event_type == 'view';) | count"),
+    ("b16 summarize hint.shufflekey", "events | summarize hint.shufflekey = user_id c = count() by user_id | count"),
+    ("b16 between duration", "events | where ts between (datetime(2024-01-01) .. 3d) | count"),
 ]
 
 
@@ -1179,3 +1226,140 @@ def test_battery15_value_checks(spark):
     ).collect()[0]
     assert (r["percentile_v_25"], r["percentile_v_50"]) == (1.0, 2.0)
     assert (r["percentile_v_95"], r["lo"], r["hi"]) == (3.0, 1.0, 3.0)
+
+
+def test_battery15_row_window_session_full(spark):
+    """Full ADX row_window_session(Expr, MaxDistanceFromFirst,
+    MaxDistanceBetweenValues[, Restart]): the from-FIRST bound is
+    recursive (the session start feeds its own break test) and needs
+    the ordered fold, not a window stack. 10:55 breaks on the 25m >
+    20m gap; 12:05 breaks on 70m-from-first > 1h despite a 15m gap."""
+    rows = kql(
+        spark,
+        "datatable(t: datetime) ["
+        "datetime(2024-01-01 10:00:00), datetime(2024-01-01 10:15:00),"
+        " datetime(2024-01-01 10:30:00), datetime(2024-01-01 10:55:00),"
+        " datetime(2024-01-01 11:05:00), datetime(2024-01-01 11:20:00),"
+        " datetime(2024-01-01 11:35:00), datetime(2024-01-01 11:50:00),"
+        " datetime(2024-01-01 12:05:00)]"
+        " | sort by t asc"
+        " | extend sid = row_window_session(t, 1h, 20m)"
+        " | project t, sid",
+    ).collect()
+    got = [r["sid"].strftime("%H:%M") for r in rows]
+    assert got == ["10:00"] * 3 + ["10:55"] * 5 + ["12:05"]
+    # restart expression may use prev() (row-wise, inner layer)
+    rows = kql(
+        spark,
+        "datatable(t: datetime, g: string) ["
+        "datetime(2024-01-01 10:00:00), 'a',"
+        " datetime(2024-01-01 10:05:00), 'a',"
+        " datetime(2024-01-01 10:10:00), 'b',"
+        " datetime(2024-01-01 10:15:00), 'b']"
+        " | sort by t asc"
+        " | extend sid = row_window_session(t, 1h, 30m, g != prev(g))"
+        " | project g, sid",
+    ).collect()
+    assert [(r["g"], r["sid"].strftime("%H:%M")) for r in rows] == [
+        ("a", "10:00"), ("a", "10:00"), ("b", "10:10"), ("b", "10:10"),
+    ]
+    with pytest.raises(ValueError, match="standalone"):
+        kql(
+            spark,
+            "events | sort by ts asc | extend x = 1,"
+            " s = row_window_session(ts, 1h, 20m)",
+        )
+
+
+def test_battery16_value_checks(spark):
+    """Battery 16 value pins for the twelve gaps it caught."""
+    import math
+
+    r = kql(
+        spark,
+        "print a = parse_ipv6('2001:db8::1'),"
+        " b = parse_ipv6('::ffff:127.0.0.1'),"
+        " c = parse_ipv6('192.168.1.1'),"
+        " d = parse_ipv6('1:::2'), e = parse_ipv6('1:2:3:4:5:6:7:8:9'),"
+        " f = parse_ipv6_mask('2001:db8:abcd::1', 32)",
+    ).collect()[0]
+    assert r["a"] == "2001:0db8:0000:0000:0000:0000:0000:0001"
+    assert r["b"] == "0000:0000:0000:0000:0000:ffff:7f00:0001"
+    assert r["c"] == "0000:0000:0000:0000:0000:ffff:c0a8:0101"
+    assert r["d"] is None and r["e"] is None
+    assert r["f"] == "2001:0db8:0000:0000:0000:0000:0000:0000"
+    r = kql(
+        spark,
+        "print a = ipv6_compare('::1', '::2'),"
+        " b = ipv6_compare('fe80::1/16', 'fe80:abcd::9'),"
+        " c = ipv6_is_match('fe80::1', 'fe80::ffff', 112),"
+        " d = ipv6_is_match('fe80::1', 'fe81::1', 112),"
+        " e = ipv6_is_in_range('fe81::1', 'fe80::/32'),"
+        " f = ipv6_compare('192.168.1.1', '::ffff:192.168.1.1')",
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (-1, 0, True, False)
+    assert (r["e"], r["f"]) == (False, 0)
+    # nulls placement with and without a direction keyword
+    rows = kql(
+        spark,
+        "datatable(v: real) [2.0, real(null), 1.0]"
+        " | order by v nulls first",
+    ).collect()
+    assert rows[0]["v"] is None and rows[1]["v"] == 2.0
+    rows = kql(
+        spark,
+        "datatable(v: real) [2.0, real(null), 1.0]"
+        " | order by v asc nulls last",
+    ).collect()
+    assert rows[0]["v"] == 1.0 and rows[-1]["v"] is None
+    # welch_test: df=2 closed form p = 1 - t/sqrt(2+t²) at t=1
+    r = kql(
+        spark, "print p = welch_test(2.0, 1.0, 2, 1.0, 1.0, 2)"
+    ).collect()[0]
+    assert abs(r["p"] - (1 - 1 / math.sqrt(3))) < 1e-10
+    r = kql(
+        spark,
+        "print s = series_seasonal(dynamic([1.0, 2.0, 3.0, 3.0, 4.0,"
+        " 5.0]), 3),"
+        " m = series_magnitude(dynamic([3.0, 4.0])),"
+        " i = has_any_index('where is the cat', dynamic(['dog',"
+        " 'cat'])),"
+        " j = has_any_index('nothing here', dynamic(['dog'])),"
+        " d = dayofweek(datetime(2024-01-03)) / 1d,"
+        " v = toint(todynamic('[1,2,3]')[-2]),"
+        " n = datetime_diff('nanosecond',"
+        " datetime(2024-01-01 00:00:01), datetime(2024-01-01))",
+    ).collect()[0]
+    assert r["s"] == [2.0, 3.0, 4.0, 2.0, 3.0, 4.0]
+    assert (r["m"], r["i"], r["j"]) == (5.0, 1, -1)
+    assert (r["d"], r["v"], r["n"]) == (3.0, 2, 1000000000)
+    # parse_url Query Parameters map is url-decoded
+    r = kql(
+        spark,
+        "print a = tostring(parse_url('https://h/p?x=1&y=a%20b')"
+        "['Query Parameters']['y']),"
+        " b = tostring(parse_urlquery('x=1&y=2')"
+        "['Query Parameters']['y'])",
+    ).collect()[0]
+    assert (r["a"], r["b"]) == ("a b", "2")
+    # multi-array sorts: first array orders the rest in lockstep
+    r = kql(
+        spark,
+        "print x = 1 | extend t = array_sort_asc(dynamic([3, 1, 2]),"
+        " dynamic(['c', 'a', 'b'])) | project t, t1",
+    ).collect()[0]
+    assert r["t"] == [1, 2, 3] and r["t1"] == ["a", "b", "c"]
+    r = kql(
+        spark,
+        "print x = 1 | extend (s1, s2) = array_sort_desc("
+        "dynamic([1, 3, 2]), dynamic([10, 30, 20])) | project s1, s2",
+    ).collect()[0]
+    assert r["s1"] == [3, 2, 1] and r["s2"] == [30, 20, 10]
+    # mv-apply element alias exposes the filtered array
+    r = kql(
+        spark,
+        "datatable(k: long) [1] | extend a = pack_array(3, 1, 2)"
+        " | mv-apply e = a to typeof(long) on"
+        " (where e > 1 | top 1 by e) | project e",
+    ).collect()[0]
+    assert r["e"] == [3]
