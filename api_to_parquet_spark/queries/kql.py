@@ -14527,6 +14527,52 @@ def q_kql_scalar_fns14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 probe-battery 15/16 scalar surface, oracle-backed:
+    the ipv6 family over per-row dotted quads (canonicalization to
+    the ::ffff: transitional form, numeric-sign compare parity,
+    /100-bit prefix match = top-nibble ipv4 equality), the convert_*
+    unit family (translate-time ratio folds — the oracle embeds the
+    IDENTICAL double constants), has_any_index over the event_type
+    token, nanosecond datetime_diff, dayofweek ÷ timespan, the
+    multi-array array_sort_asc lockstep reorder (DISTINCT first-array
+    values, so stability cannot differ; temperature uses the
+    scale-1.0 Kelvin->Celsius pair because DuckDB fuses a*b+c into
+    ONE FMA rounding where Spark rounds twice — an exact product
+    makes both engines identical), and the deterministic pins
+    for erf/erfc/welch_test/geo_point_to_geohash (pure constants both
+    sides; the engine computes, the oracle pins the engine's exact
+    doubles)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        " | extend ipn = (event_id * 2654435761) % 4294967296,"
+        " ipn2 = (event_id * 31 + 7) % 4294967296"
+        " | extend (sa, sb) = array_sort_asc("
+        "pack_array(event_id % 3 * 100 + 1, event_id % 5 * 37 + 2,"
+        " event_id % 7 * 53 + 3), pack_array(10, 20, 30))"
+        " | extend p6 = parse_ipv6(format_ipv4(ipn)),"
+        " c6 = ipv6_compare(format_ipv4(ipn), format_ipv4(ipn2)),"
+        " m6 = ipv6_is_match(format_ipv4(ipn), format_ipv4(ipn2),"
+        " 100),"
+        " cl = convert_length(value, 'Mile', 'Kilometer'),"
+        " cs = convert_speed(value, 'Knot', 'MeterPerSecond'),"
+        " cf = convert_temperature(value, 'Kelvin',"
+        " 'DegreeCelsius'),"
+        " hai = has_any_index(event_type, dynamic(['click',"
+        " 'view'])),"
+        " dn = datetime_diff('nanosecond', ts, startofday(ts)),"
+        " wd = dayofweek(ts) / 1d,"
+        " er = erf(1.0), ec = erfc(5.5),"
+        " gh = geo_point_to_geohash(10.40744, 57.64911, 11),"
+        " wt = welch_test(2.0, 1.0, 2, 1.0, 1.0, 2)"
+        " | project event_id, p6, c6, m6, cl, cs, cf, hai, dn, wd,"
+        " s1 = strcat_array(sa, ','), s2 = strcat_array(sb, ','),"
+        " er, ec, gh, wt",
+    )
+
+
 def q_kql_db_qualifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cluster()/database() qualified table references (round-10
     verdict #3) — the entry form migrated ADX dashboards use
@@ -15064,6 +15110,7 @@ QUERIES = {
     "kql_scalar_fns12": q_kql_scalar_fns12,
     "kql_scalar_fns13": q_kql_scalar_fns13,
     "kql_scalar_fns14": q_kql_scalar_fns14,
+    "kql_scalar_fns15": q_kql_scalar_fns15,
     "kql_db_qualifier": q_kql_db_qualifier,
     "kql_idioms5": q_kql_idioms5,
     "kql_activity_dims": q_kql_activity_dims,
@@ -16419,6 +16466,41 @@ ORACLE = {
         SELECT src, event_type, count(*)::BIGINT AS n
         FROM u WHERE event_id < 150
         GROUP BY src, event_type
+    """,
+    "kql_scalar_fns15": """
+        WITH b AS (
+            SELECT event_id, ts, value, event_type,
+                   (event_id * 2654435761) % 4294967296 AS ipn,
+                   (event_id * 31 + 7) % 4294967296 AS ipn2,
+                   [event_id % 3 * 100 + 1, event_id % 5 * 37 + 2,
+                    event_id % 7 * 53 + 3] AS a1,
+                   [10, 20, 30] AS a2
+            FROM events WHERE event_id < 300
+        )
+        SELECT event_id,
+               '0000:0000:0000:0000:0000:ffff:'
+                 || lpad(lower(to_hex(ipn // 65536)), 4, '0') || ':'
+                 || lpad(lower(to_hex(ipn % 65536)), 4, '0') AS p6,
+               CASE WHEN ipn < ipn2 THEN -1
+                    WHEN ipn > ipn2 THEN 1 ELSE 0 END AS c6,
+               (ipn // 268435456) = (ipn2 // 268435456) AS m6,
+               value * 1.609344 AS cl,
+               value * 0.5144444444444445 AS cs,
+               value * 1.0 + (-273.15) AS cf,
+               CAST(CASE event_type WHEN 'click' THEN 0
+                    WHEN 'view' THEN 1 ELSE -1 END AS BIGINT) AS hai,
+               date_diff('microsecond', date_trunc('day', ts), ts)
+                 * 1000 AS dn,
+               CAST(dayofweek(ts) AS DOUBLE) AS wd,
+               array_to_string(list_select(a1, list_grade_up(a1)),
+                               ',') AS s1,
+               array_to_string(list_select(a2, list_grade_up(a1)),
+                               ',') AS s2,
+               0.8427007929497148 AS er,
+               7.357847917974398e-15 AS ec,
+               'u4pruydqqvj' AS gh,
+               0.42264973081037327 AS wt
+        FROM b
     """,
     "kql_scalar_fns14": """
         WITH b AS (
