@@ -356,7 +356,12 @@ Parameters» (url-decoded MAP field) and parse_urlquery accessor
 chains; multi-array array_sort_asc/desc (first array orders all in
 lockstep, ADX t/t1/t2 default names, standalone extend);
 mv-apply where-only subpipes also expose the filtered array under
-the bound element alias.
+the bound element alias; bag_zip (null-padded to the key count);
+parse_command_line 'windows' (quote-aware tokenization, simplified
+MSVCRT rules documented); series_fit_line_dynamic /
+series_fit_2lines_dynamic (bag twins delegating to the multi-assign
+chains); array_index_of length + occurrence arguments (one
+transform+filter positions pass).
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -1387,6 +1392,8 @@ _SERIES_CHAIN_FNS = {
     #                        interception, line_fit (ADX order)
     "series_fit_2lines": 5,  # rsquare, split_idx, variance, rvariance,
     #                          line_fit (ADX order)
+    "series_fit_line_dynamic": 1,  # the bag twin
+    "series_fit_2lines_dynamic": 1,  # the bag twin
     "series_stats": 7,  # min, min_idx, max, max_idx, avg, variance, stdev
     "series_outliers": 1,  # score array
     "series_decompose_forecast": 1,  # baseline incl. forecast tail
@@ -1482,6 +1489,44 @@ def _series_chain_sql(
         )
 
     ys = f"transform({y}, _x -> CAST(_x AS DOUBLE))"
+    if fn in ("series_fit_line_dynamic", "series_fit_2lines_dynamic"):
+        # bag twins (round-11 probe battery 16): delegate to the
+        # multi-assign chain under hidden names, then pack the outputs
+        # into ONE JSON bag (the series_stats_dynamic precedent —
+        # dotted access rides the stored-dynamic path)
+        nm = names[0]
+        if fn == "series_fit_line_dynamic":
+            hidden = [
+                "_sc_dl_rsq", "_sc_dl_slope", "_sc_dl_var",
+                "_sc_dl_rvar", "_sc_dl_icept", "_sc_dl_line",
+            ]
+            keys = (
+                "'rsquare', _sc_dl_rsq, 'slope', _sc_dl_slope,"
+                " 'variance', _sc_dl_var, 'rvariance', _sc_dl_rvar,"
+                " 'interception', _sc_dl_icept,"
+                " 'line_fit', _sc_dl_line"
+            )
+            inner = _series_chain_sql(
+                prev, "series_fit_line", hidden, args
+            )
+        else:
+            hidden = [
+                "_sc_dl_rsq", "_sc_dl_si", "_sc_dl_var",
+                "_sc_dl_rvar", "_sc_dl_line",
+            ]
+            keys = (
+                "'rsquare', _sc_dl_rsq, 'split_idx', _sc_dl_si,"
+                " 'variance', _sc_dl_var, 'rvariance', _sc_dl_rvar,"
+                " 'line_fit', _sc_dl_line"
+            )
+            inner = _series_chain_sql(
+                prev, "series_fit_2lines", hidden, args
+            )
+        return (
+            f"SELECT * EXCEPT ({', '.join(hidden)}),"
+            f" to_json(named_struct({keys})) AS {nm}"
+            f" FROM ({inner}) AS _scdl"
+        )
     if fn == "series_fit_line":
         rsq, slope, var, rvar, icept, line = names
         nest(f"{ys} AS _sc_ys")
@@ -3514,7 +3559,8 @@ def _expr(kql_expr: str) -> str:
         # with 0 (and NULL-safe via coalesce for a NULL haystack).
         # 3-arg form searches from a 0-based start (negative counts
         # from the end) — round-10 probe battery 9: the start arg was
-        # silently DROPPED before. length/occurrence args stay loud.
+        # silently DROPPED before. length/occurrence implemented in
+        # round 11 (battery 16) below.
         if len(a) == 2:
             return f"(coalesce(array_position({a[0]}, {a[1]}), 0) - 1)"
         if len(a) == 3:
@@ -3533,9 +3579,32 @@ def _expr(kql_expr: str) -> str:
                 f" size({arr})), {val}), 0)"
             )
             return f"IF(({pos}) = 0, -1, ({pos}) - 1 + ({s_}))"
+        if len(a) in (4, 5):
+            # length (4th) bounds the window to [start, start+length)
+            # (-1 = unbounded); occurrence (5th) picks the Nth match
+            # (round-11 probe battery 16, was a loud gap). One
+            # transform+filter pass collecting matching 0-based
+            # positions, then try_element_at(occurrence) — NULL out of
+            # range folds to ADX's -1.
+            arr, val = a[0], a[1]
+            s0 = f"CAST({a[2]} AS INT)"
+            s_ = (
+                f"IF({s0} >= 0, {s0},"
+                f" greatest(size({arr}) + {s0}, 0))"
+            )
+            ln = f"CAST({a[3]} AS INT)"
+            occ = f"CAST({a[4]} AS INT)" if len(a) == 5 else "1"
+            pos = (
+                f"filter(transform(sequence(1, size({arr})), _i ->"
+                f" IF(element_at({arr}, _i) = ({val})"
+                f" AND _i - 1 >= ({s_})"
+                f" AND (({ln}) < 0 OR _i - 1 < ({s_}) + ({ln})),"
+                " _i - 1, -1)), _p -> _p >= 0)"
+            )
+            return f"coalesce(try_element_at({pos}, {occ}), -1)"
         raise ValueError(
-            "array_index_of supports (arr, value[, start]) — the"
-            f" length/occurrence forms are out of the subset: {a!r}"
+            "array_index_of supports (arr, value[, start[, length[,"
+            f" occurrence]]]): {a!r}"
         )
 
     e = _rewrite_fn(e, "array_index_of", _array_index_of_sql)
@@ -4726,6 +4795,43 @@ def _expr(kql_expr: str) -> str:
             f" {a[1].strip()}), false)"
         ),
     )
+    # bag_zip(keys, values) — bag from parallel arrays (round-11 probe
+    # battery 16): values pad with NULL / truncate to the key count
+    # (the ADX contract); keys cast to string, values carry the
+    # documented JSON-string widening the other bag constructors share
+    e = _rewrite_fn(
+        e,
+        "bag_zip",
+        lambda a: (
+            f"to_json(map_from_arrays(transform({a[0].strip()},"
+            " _k -> CAST(_k AS STRING)),"
+            f" transform(sequence(1, size({a[0].strip()})),"
+            f" _i -> CAST(try_element_at({a[1].strip()}, _i)"
+            " AS STRING))))"
+        ),
+    )
+
+    def _parse_cmdline_sql(a: list[str]) -> str:
+        # parse_command_line(s, 'windows') — quote-aware tokenization:
+        # double-quoted spans (quotes stripped) or runs of non-space.
+        # The deeper MSVCRT rules (embedded \" escapes, quote
+        # doubling) are out of the subset — documented simplification.
+        if len(a) != 2 or a[1].strip().strip("'\"").lower() != "windows":
+            raise ValueError(
+                "parse_command_line supports (text, 'windows'):"
+                f" {a!r}"
+            )
+        toks = (
+            f"regexp_extract_all({a[0].strip()}, "
+            + "'\"[^\"]*\"|[^ \\\\t]+', 0)"
+        )
+        return (
+            f"transform({toks}, _t -> CASE WHEN _t LIKE "
+            + "'\"%\"' AND length(_t) >= 2"
+            " THEN substring(_t, 2, length(_t) - 2) ELSE _t END)"
+        )
+
+    e = _rewrite_fn(e, "parse_command_line", _parse_cmdline_sql)
     e = _rewrite_fn(
         e,
         "bag_remove_keys",

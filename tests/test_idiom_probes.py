@@ -589,6 +589,14 @@ PROBES = [
     ("b16 scan with_match_id", "events | where user_id == 1 | sort by ts asc | scan with_match_id=m_id with (step s1: event_type == 'view';) | count"),
     ("b16 summarize hint.shufflekey", "events | summarize hint.shufflekey = user_id c = count() by user_id | count"),
     ("b16 between duration", "events | where ts between (datetime(2024-01-01) .. 3d) | count"),
+    ("b16 bag_zip", "print b = bag_zip(dynamic(['a','b','c']), dynamic([1,2]))"),
+    ("b16 parse_command_line", "print p = parse_command_line('a \"b c\" d', 'windows')"),
+    ("b16 fit_line_dynamic", "print m = dynamic([1.0, 2.0, 3.0, 4.0]) | extend f = series_fit_line_dynamic(m) | project s = todouble(f.slope)"),
+    ("b16 fit_2lines_dynamic", "print m = dynamic([1.0, 2.0, 3.0, 30.0, 40.0, 50.0]) | extend f = series_fit_2lines_dynamic(m) | project si = toint(f.split_idx)"),
+    ("b16 array_index_of occurrence", "print i = array_index_of(dynamic([1,2,3,2,2]), 2, 0, -1, 2)"),
+    ("b16 sequence_detect", "events | extend isV = event_type == 'view', isP = event_type == 'purchase' | evaluate sequence_detect(ts, 1d, 1d, isV, isP, user_id) | count"),
+    ("b16 new_activity_metrics", "events | evaluate new_activity_metrics(user_id, ts, datetime(2024-01-01), datetime(2024-01-08), 1d) | count"),
+    ("b16 rolling_percentile", "events | evaluate rolling_percentile(value, 75, ts, 1d, 3) | count"),
 ]
 
 
@@ -1363,3 +1371,37 @@ def test_battery16_value_checks(spark):
         " (where e > 1 | top 1 by e) | project e",
     ).collect()[0]
     assert r["e"] == [3]
+    # bag_zip pads values with null to the key count
+    import json
+
+    r = kql(
+        spark,
+        "print b = bag_zip(dynamic(['a','b','c']), dynamic([1,2])),"
+        " p = parse_command_line('a \"b c\" d', 'windows')",
+    ).collect()[0]
+    assert json.loads(r["b"]) == {"a": "1", "b": "2", "c": None}
+    assert r["p"] == ["a", "b c", "d"]
+    # fit-line bag twins carry the same math as the multi-assign chain
+    r = kql(
+        spark,
+        "print m = dynamic([1.0, 2.0, 3.0, 4.0])"
+        " | extend f = series_fit_line_dynamic(m)"
+        " | project s = todouble(f.slope), r2 = todouble(f.rsquare)",
+    ).collect()[0]
+    assert abs(r["s"] - 1.0) < 1e-12 and abs(r["r2"] - 1.0) < 1e-12
+    r = kql(
+        spark,
+        "print m = dynamic([1.0, 2.0, 3.0, 30.0, 40.0, 50.0])"
+        " | extend f = series_fit_2lines_dynamic(m)"
+        " | project si = toint(f.split_idx)",
+    ).collect()[0]
+    assert r["si"] == 3
+    # array_index_of window + occurrence forms
+    r = kql(
+        spark,
+        "print a = array_index_of(dynamic([1,2,3,2,2]), 2, 0, 2),"
+        " b = array_index_of(dynamic([1,2,3,2,2]), 2, 0, -1, 2),"
+        " c = array_index_of(dynamic([1,2,3,2,2]), 2, 2, -1, 2),"
+        " e = array_index_of(dynamic([1,2,3,2]), 2, 0, 2, 2)",
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["e"]) == (1, 3, 4, -1)
