@@ -362,6 +362,19 @@ MSVCRT rules documented); series_fit_line_dynamic /
 series_fit_2lines_dynamic (bag twins delegating to the multi-assign
 chains); array_index_of length + occurrence arguments (one
 transform+filter positions pass).
+Probe battery 17 additions (round-11): table('T') /
+materialized_view('MV') dynamic table references (literal names,
+resolved in the same pre-pass as database() qualifiers; the
+data-scope argument strips); one trailing semicolon tolerated;
+bin(EXPRESSION, …) group keys take a safe keyN alias (previously
+emitted the raw text as an invalid identifier — a silent
+ParseException); isempty/isnotempty via balanced _rewrite_fn (the
+old [^()]+ regex skipped string-literal and nested-call arguments,
+leaking the KQL name); `has <number>` numeric terms;
+make_list_with_nulls (never-null struct wrap over collect_list);
+invoke with positional SCALAR arguments + declared defaults (the
+scalar-let macro substitution); dynamic({…}).path accessor chains
+(parse_json wrap, the parse_urlquery rule).
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -4740,6 +4753,38 @@ def _expr(kql_expr: str) -> str:
 
         return conv(v)
 
+    # dynamic({…}).path accessor chains (round-11 probe battery 17):
+    # object literals become JSON STRING literals, so a trailing
+    # accessor must route through the JSON-path machinery — wrap in
+    # parse_json BEFORE the literal rewrite (the parse_urlquery rule);
+    # array-form dynamics keep their native array subscripting.
+    while True:
+        _dy_hit = None
+        for mm in re.finditer(r"\bdynamic\s*\(\s*\{", e):
+            if any(
+                s.start() <= mm.start() < s.end()
+                for s in _STR_SPAN.finditer(e)
+            ):
+                continue
+            op_ = e.index("(", mm.start())
+            close = _balanced_end(e, op_)
+            if close is None:
+                continue
+            am = re.compile(
+                r"(?:\.\w+|\[\s*(?:'(?:[^']|'')*'|-?\d+)\s*\])+"
+            ).match(e, close + 1)
+            if am:
+                _dy_hit = (mm, close, am)
+                break
+        if _dy_hit is None:
+            break
+        mm, close, am = _dy_hit
+        e = (
+            e[: mm.start()]
+            + f"parse_json({e[mm.start():close + 1]})"
+            + e[close + 1 : am.end()]
+            + e[am.end():]
+        )
     e = _rewrite_fn(e, "dynamic", _dynamic_sql)
     e = _sub_outside_strings(r"\btoupper\(", "upper(", e)
     e = _sub_outside_strings(r"\btolower\(", "lower(", e)
@@ -5234,16 +5279,24 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "extract", _extract_sql)
     # CAST to STRING before the ''-compare: ADX isempty applies to ANY
     # scalar (non-null non-strings are never empty); the bare compare
-    # threw CAST_INVALID_INPUT on numerics under ANSI (round-7 sweep)
-    e = _sub_outside_strings(
-        r"\bisnotempty\(([^()]+)\)",
-        r"(\1 IS NOT NULL AND CAST(\1 AS STRING) <> '')",
+    # threw CAST_INVALID_INPUT on numerics under ANSI (round-7 sweep).
+    # Balanced _rewrite_fn, not a [^()]+ regex (round-11 probe battery
+    # 17): string-literal and nested-call arguments never matched the
+    # old pattern, leaking the KQL name to Spark.
+    e = _rewrite_fn(
         e,
+        "isnotempty",
+        lambda a: (
+            f"({a[0]} IS NOT NULL"
+            f" AND CAST({a[0]} AS STRING) <> '')"
+        ),
     )
-    e = _sub_outside_strings(
-        r"\bisempty\(([^()]+)\)",
-        r"(\1 IS NULL OR CAST(\1 AS STRING) = '')",
+    e = _rewrite_fn(
         e,
+        "isempty",
+        lambda a: (
+            f"({a[0]} IS NULL OR CAST({a[0]} AS STRING) = '')"
+        ),
     )
     # Datetime surface: ago()/now() anchor to the query clock;
     # startof*() are date_trunc; datetime(...) literals become TIMESTAMP
@@ -5636,6 +5689,16 @@ def _expr(kql_expr: str) -> str:
         r"\1 RLIKE concat('(?i)\\\\b\\\\Q', \2, '\\\\E\\\\b')",
         e,
     )
+    # ADX `has` accepts a NUMERIC term too (`props has 42` — round-11
+    # probe battery 17): the number term-matches as its decimal text
+    e = _pred_sub(
+        rf"{_OPND}\s+(!?)has\s+(\d+(?:\.\d+)?)(?![\w.(])",
+        lambda m: (
+            f"{'NOT ' if m.group(2) else ''}{m.group(1)} RLIKE"
+            f" '(?i)\\\\b\\\\Q{m.group(3)}\\\\E\\\\b'"
+        ),
+        e,
+    )
     e = _pred_sub(
         rf"{_OPND}\s+!startswith\s+{_STR}",
         r"NOT startswith(lower(\1), lower(\2))",
@@ -5862,6 +5925,7 @@ _AGG_FNS = {
     "count_distinctif",
     "make_list_if",
     "make_set_if",
+    "make_list_with_nulls",
     "any",
     "anyif",
 }
@@ -6229,6 +6293,26 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
         ps = ", ".join(str(float(x) / 100) for x in parts[1:])
         sql = f"percentile_approx({_expr(parts[0])}, array({ps}))"
         default = f"agg{auto_idx}"
+    elif fn == "make_list_with_nulls":
+        # collect_list DROPS nulls — wrap each value in a never-null
+        # struct, collect, then unwrap (round-11 probe battery 17).
+        # Sorted like make_list (nulls last, the sort_array struct
+        # order on a null field) — the same deterministic refinement.
+        parts_ = [x.strip() for x in _split_top_level(arg)]
+        if len(parts_) != 1:
+            raise ValueError(
+                f"make_list_with_nulls needs (col): {arg!r}"
+            )
+        sql = (
+            "transform(sort_array(collect_list(named_struct('n',"
+            f" {_expr(parts_[0])} IS NULL, 'v',"
+            f" {_expr(parts_[0])}))), _s -> _s.v)"
+        )
+        default = (
+            f"list_{parts_[0]}"
+            if re.match(r"^\w+$", parts_[0])
+            else f"agg{auto_idx}"
+        )
     elif fn in ("make_list", "make_set"):
         # ADX guarantees NO element order for either; sorting is a
         # deterministic refinement (same multiset/set), which the
@@ -6397,9 +6481,14 @@ def _group_alias(g: str, idx: int) -> tuple[str, str]:
     if re.match(r"^\w+$", g):
         return g, g
     if g.startswith("bin("):
-        # KQL names a bare bin() key after its column
+        # KQL names a bare bin() key after its column — but only when
+        # the first argument IS a plain column: bin(ts - 1h, 1d)
+        # previously emitted `AS ts - 1h`, an invalid identifier
+        # (round-11 probe battery 17) — expression arguments fall
+        # through to the keyN default
         col = re.match(r"bin\(([^,]+),", g).group(1).strip()
-        return f"{_expr(g)} AS {col}", _expr(g)
+        if re.match(r"^\w+$", col):
+            return f"{_expr(g)} AS {col}", _expr(g)
     return f"{_expr(g)} AS key{idx}", _expr(g)
 
 
@@ -6773,21 +6862,39 @@ def _apply_lets(
             # resolves explicitly anyway; round-7)
             body = vm.group(1).strip()
         fm = re.match(
-            r"^\(\s*(\w+)\s*:\s*\([^()]*\)\s*\)\s*\{\s*(.+?)\s*\}$",
+            r"^\(\s*(\w+)\s*:\s*\([^()]*\)\s*"
+            r"(?:,\s*([\w\s:,=.'\"-]*?))?\)\s*\{\s*(.+?)\s*\}$",
             body,
             re.DOTALL,
         )
         if fm:
-            # `let f = (source:(*)) { source | … };` — a tabular
-            # FUNCTION let (the shape `| invoke f()` consumes). The
-            # parameter's declared schema — `(*)` or an explicit
-            # `(value: real, …)` list (round-10 probe battery 9) — is
-            # advisory: the body binds to the piped child either way,
-            # exactly ADX's behavior when the child carries the
-            # declared columns. Stored
-            # as ("fn", param, body); parameterized forms (extra scalar
-            # args) are out of the subset and fail loudly at invoke.
-            tabular[name] = ("fn", fm.group(1), fm.group(2).strip())
+            # `let f = (source:(*)[, k: real[, …]]) { source | … };` —
+            # a tabular FUNCTION let (the shape `| invoke f(args…)`
+            # consumes). The tabular parameter's declared schema —
+            # `(*)` or an explicit `(value: real, …)` list (round-10
+            # probe battery 9) — is advisory: the body binds to the
+            # piped child either way, exactly ADX's behavior when the
+            # child carries the declared columns. Extra SCALAR
+            # parameters (round-11 probe battery 17) bind positionally
+            # at invoke via the scalar-let macro substitution;
+            # trailing omitted args fill from declared defaults.
+            extras = []
+            for p in _split_top_level(fm.group(2) or ""):
+                if not p.strip():
+                    continue
+                pm = re.match(
+                    r"^(\w+)\s*:\s*\w+(?:\s*=\s*(.+))?$", p.strip()
+                )
+                if not pm:
+                    raise ValueError(
+                        f"function-let scalar parameter: {p!r}"
+                    )
+                extras.append(
+                    (pm.group(1), (pm.group(2) or "").strip() or None)
+                )
+            tabular[name] = (
+                "fn", fm.group(1), fm.group(3).strip(), extras
+            )
             text = text[m.end():]
             continue
         sfm = re.match(
@@ -7277,10 +7384,40 @@ def kql_to_sql(
             kql = _rewrite_fn(
                 kql, "bin_auto", lambda a: f"bin({a[0]}, {size})"
             )
+        # a single trailing semicolon is tolerated (round-11 probe
+        # battery 17 — the copy-paste tail every dashboard export
+        # carries); inner semicolons still delimit let/set statements
+        kql = kql.rstrip()
+        if kql.endswith(";"):
+            kql = kql[:-1].rstrip()
         # cluster()/database() table qualifiers resolve in one text
         # pass BEFORE stage splitting, so leading tables, union/find
         # operands, and subpipes all accept them (round-10 verdict #3)
         kql = _resolve_db_qualifiers(kql, spark)
+        # table('T') / materialized_view('MV') dynamic table
+        # references (round-11 probe battery 17): the argument must be
+        # a translate-time string literal naming a \w+ table — it
+        # resolves to the bare name (every resolvable table is a
+        # registered view of this session; materialized views ARE
+        # views here, the materialize() precedent). The optional
+        # table() data-scope argument is accepted and stripped (it
+        # tunes ADX cache tiers, not results). Non-literal arguments
+        # are loud.
+        def _tblfn_rep(m: re.Match) -> str:
+            name = m.group(2)
+            if not re.match(r"^\w+$", name):
+                raise ValueError(
+                    f"table()/materialized_view() argument must name"
+                    f" a \\w+ table: {name!r}"
+                )
+            return name
+
+        kql = _pred_sub(
+            r"\b(?:table|materialized_view)\s*\(\s*(['\"])([^'\"]*)\1"
+            r"\s*(?:,\s*['\"](?:hotcache|all)['\"]\s*)?\)",
+            _tblfn_rep,
+            kql,
+        )
         # outermost call: mangle bracket-quoted column names so the
         # whole translation works on \w+ identifiers, demangle to
         # backtick quoting in the returned (executable) SQL
@@ -11186,11 +11323,11 @@ def _kql_stages_to_sql(
             # never shadows an outer let of the same name). Explicit
             # subset: parameterless invocation only — extra scalar
             # arguments raise here rather than mistranslate.
-            im = re.match(r"^(\w+)\s*\(\s*\)\s*$", body)
+            im = re.match(r"^(\w+)\s*\((.*)\)\s*$", body, re.DOTALL)
             if not im:
                 raise ValueError(
-                    "invoke supports parameterless function lets"
-                    f" ('f()'): {body!r}"
+                    "invoke needs a function-let call"
+                    f" ('f(args…)'): {body!r}"
                 )
             fdef = _tabular.get(im.group(1))
             if not (isinstance(fdef, tuple) and fdef[0] == "fn"):
@@ -11198,7 +11335,34 @@ def _kql_stages_to_sql(
                     f"invoke: {im.group(1)!r} is not a function let"
                     " ('let f = (source:(*)) { source | … };')"
                 )
-            _, fparam, fbody = fdef
+            _, fparam, fbody, fextras = (*fdef, [])[:4] if len(
+                fdef
+            ) == 3 else fdef
+            # positional scalar args bind by macro substitution (the
+            # scalar-let rule: each parameter name rewrites to the
+            # parenthesized argument text everywhere outside strings);
+            # trailing omitted args fill from declared defaults
+            # (round-11 probe battery 17)
+            fargs = [
+                x.strip()
+                for x in _split_top_level(im.group(2))
+                if x.strip()
+            ]
+            if len(fargs) > len(fextras):
+                raise ValueError(
+                    f"invoke {im.group(1)}: takes at most"
+                    f" {len(fextras)} scalar args, got {len(fargs)}"
+                )
+            for j, (pname, dflt) in enumerate(fextras):
+                val = fargs[j] if j < len(fargs) else dflt
+                if val is None:
+                    raise ValueError(
+                        f"invoke {im.group(1)}: missing argument"
+                        f" {pname!r} (no default declared)"
+                    )
+                fbody = _sub_outside_strings(
+                    rf"\b{re.escape(pname)}\b", f"({val})", fbody
+                )
             scoped = dict(_tabular)
             scoped[fparam] = ("sql", sql)
             sql = kql_to_sql(fbody, spark, scoped)

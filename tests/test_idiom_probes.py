@@ -597,6 +597,32 @@ PROBES = [
     ("b16 sequence_detect", "events | extend isV = event_type == 'view', isP = event_type == 'purchase' | evaluate sequence_detect(ts, 1d, 1d, isV, isP, user_id) | count"),
     ("b16 new_activity_metrics", "events | evaluate new_activity_metrics(user_id, ts, datetime(2024-01-01), datetime(2024-01-08), 1d) | count"),
     ("b16 rolling_percentile", "events | evaluate rolling_percentile(value, 75, ts, 1d, 3) | count"),
+    # --- battery 17 (round-11, sixth sweep): join kinds, dynamic
+    # table refs, aggregates tail, macro invoke args, copy-paste
+    # hygiene. Found and fixed: table()/materialized_view() refs,
+    # trailing semicolon, bin(expr, …) group alias, isempty/isnotempty
+    # with literal/nested args, has <number>, make_list_with_nulls,
+    # invoke with scalar args + defaults, dynamic({…}).path chains.
+    ("b17 join innerunique", "events | take 30 | join kind=innerunique (events | project event_id, v2 = value) on event_id | count"),
+    ("b17 join fullouter", "events | take 10 | join kind=fullouter (events | take 5 | project event_id, v2 = value) on event_id | count"),
+    ("b17 table fn", "table('events') | count"),
+    ("b17 trailing semicolon", "events | count;"),
+    ("b17 bin expr key", "events | summarize c = count() by bin(ts - 1h, 1d) | count"),
+    ("b17 isempty literal", "print a = isnotempty(' '), b = isempty(''), c = isempty(strcat('a', 'b'))"),
+    ("b17 has number", "events | where props has 42 | count"),
+    ("b17 make_list_with_nulls", "datatable(v: real) [1.0, real(null), 2.0] | summarize l = make_list_with_nulls(v) | project n = array_length(l)"),
+    ("b17 invoke args", "let f = (T: (value: real), k: real) { T | where value > k }; events | project value | invoke f(50.0) | count"),
+    ("b17 invoke default arg", "let f = (T: (value: real), k: real = 90.0) { T | where value > k }; events | project value | invoke f() | count"),
+    ("b17 dynamic obj chain", "print v = toint(dynamic({'a': [1, {'b': 2}]}).a[1].b)"),
+    ("b17 union kind=outer", "union kind=outer events, (events | extend extra = 1) | count"),
+    ("b17 make_datetime", "print d = make_datetime(2024, 1, 2, 3, 4, 5.5)"),
+    ("b17 datetime tz roundtrip", "print u = datetime_local_to_utc(datetime_utc_to_local(datetime(2024-06-01 12:00:00), 'US/Pacific'), 'US/Pacific')"),
+    ("b17 percentiles_array", "events | summarize p = percentiles_array(value, 25, 50, 75) | project n = array_length(p)"),
+    ("b17 exp2 exp10", "print a = exp2(10.0), b = exp10(3.0)"),
+    ("b17 replace_regex backrefs", "print r = replace_regex('ab12', @'([a-z])(\\d)', @'\\2\\1')"),
+    ("b17 in~ list", "events | where event_type in~ ('VIEW', 'CLICK') | count"),
+    ("b17 count as", "events | count as Rows"),
+    ("b17 bag_unpack prefix", "events | take 3 | extend b = pack('t', event_type) | evaluate bag_unpack(b, 'p_') | count"),
 ]
 
 
@@ -1405,3 +1431,67 @@ def test_battery16_value_checks(spark):
         " e = array_index_of(dynamic([1,2,3,2]), 2, 0, 2, 2)",
     ).collect()[0]
     assert (r["a"], r["b"], r["c"], r["e"]) == (1, 3, 4, -1)
+
+
+def test_battery17_value_checks(spark, sf_smoke):
+    """Battery 17 value pins for the eight gaps it caught."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    # table() resolves literal names; unknown form stays loud
+    n_all = kql(spark, "events | count").collect()[0]["Count"]
+    assert (
+        kql(spark, "table('events') | count;").collect()[0]["Count"]
+        == n_all
+    )
+    with pytest.raises(ValueError):
+        kql(spark, "table(strcat('ev', 'ents')) | count")
+    # bin over an EXPRESSION key gets a safe generated alias
+    df = kql(spark, "events | summarize c = count() by bin(ts - 1h, 1d)")
+    assert df.columns == ["key0", "c"]
+    # isempty family handles literal and nested-call arguments
+    r = kql(
+        spark,
+        "print a = isnotempty(' '), b = isempty(''),"
+        " c = isempty(strcat('a', 'b')), d = isempty(long(null))",
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == (True, True, False, True)
+    # numeric has term matches as decimal text with word boundaries
+    r = kql(
+        spark,
+        "datatable(s: string) ['id 42 ok', 'id 420', 'none']"
+        " | where s has 42 | count",
+    ).collect()[0]
+    assert r["Count"] == 1
+    # make_list_with_nulls keeps the nulls collect_list drops
+    r = kql(
+        spark,
+        "datatable(v: real) [1.0, real(null), 2.0]"
+        " | summarize l = make_list_with_nulls(v)",
+    ).collect()[0]
+    assert sorted(x for x in r["l"] if x is not None) == [1.0, 2.0]
+    assert len(r["l"]) == 3
+    # invoke binds scalar args positionally; defaults fill the tail
+    r = kql(
+        spark,
+        "let f = (T: (value: real), lo: real, hi: real = 1e9)"
+        " { T | where value > lo and value < hi };"
+        " events | project value | invoke f(50.0) | count",
+    ).collect()[0]
+    r2 = kql(
+        spark,
+        "events | project value | where value > 50.0"
+        " and value < 1e9 | count",
+    ).collect()[0]
+    assert r["Count"] == r2["Count"]
+    with pytest.raises(ValueError, match="missing argument"):
+        kql(
+            spark,
+            "let f = (T: (value: real), k: real) { T | where value"
+            " > k }; events | invoke f() | count",
+        )
+    # dynamic object literals route accessor chains through JSON paths
+    r = kql(
+        spark,
+        "print v = toint(dynamic({'a': [1, {'b': 2}]}).a[1].b),"
+        " w = tostring(dynamic({'k': 'x'}).k)",
+    ).collect()[0]
+    assert (r["v"], r["w"]) == (2, "x")

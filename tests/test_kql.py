@@ -832,7 +832,9 @@ def test_invoke_function_let(spark, sf_smoke):
         )
     with pytest.raises(ValueError, match="not a function let"):
         kql_to_sql("let t = events | take 1; events | invoke t()")
-    with pytest.raises(ValueError, match="parameterless"):
+    # passing args to a zero-scalar-param fn stays loud (battery 17
+    # added positional scalar args, so the message names the arity)
+    with pytest.raises(ValueError, match="at most 0 scalar args"):
         kql_to_sql(
             "let f = (s:(*)) { s | count }; events | invoke f(3)"
         )
