@@ -2286,7 +2286,18 @@ def _welch_test_sql(args: list[str]) -> str:
         f" + {u2} * {u2} / (({n2}) - 1)))"
     )
     x = f"({df} / ({df} + {t2}))"
-    return _beta_cdf_sql([x, f"{df} / 2", "0.5"])
+    # bind x and df ONCE via a transform-over-one-element lambda: the
+    # Lentz fold repeats its arguments dozens of times, so inlining
+    # the Welch expressions emitted ~170 KB of SQL that every later
+    # rewrite pass re-scanned (52 s translate on the fns15 entry);
+    # bound, the fold expands over 5-char field reads (~5 KB).
+    body = _beta_cdf_sql(["_wt.x", "_wt.a", "0.5"])
+    return (
+        f"(element_at(transform(array(named_struct("
+        f"'x', CAST({x} AS DOUBLE),"
+        f" 'a', CAST(({df}) / 2 AS DOUBLE))),"
+        f" _wt -> {body}), 1))"
+    )
 
 
 def _series_stats_dynamic_sql(args: list[str]) -> str:

@@ -917,7 +917,7 @@ def _kql_dual_st(draw):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
         dts = sorted(c for c, t in cols.items() if t == "dt")
-        kind = draw(st.integers(0, 14))
+        kind = draw(st.integers(0, 21))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -1133,6 +1133,125 @@ def _kql_dual_st(draw):
                 f" FROM ({sql}) _dt"
             )
             cols[newc] = "dt"
+        elif kind == 15 and ints and "event_id" in cols:
+            # round-11 surface: sort nulls first|last (with and
+            # without a direction keyword) observed through a
+            # serialized row_number with a unique tiebreak
+            c = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 5))
+            dirkw = draw(st.sampled_from(["", "asc", "desc"]))
+            pl = draw(st.sampled_from(["first", "last"]))
+            newn = f"n{len(cols)}"
+            kqls.append(
+                f"extend {newn} = iff({c} % {k} == 0, long(null),"
+                f" {c} % 7)"
+                f" | sort by {newn} {dirkw} nulls {pl},"
+                " event_id asc | extend rk_ = row_number()"
+            )
+            sqldir = dirkw.upper() if dirkw else "DESC"
+            sql = (
+                f"SELECT *, ROW_NUMBER() OVER (ORDER BY {newn}"
+                f" {sqldir} NULLS {pl.upper()}, event_id ASC)"
+                f" AS rk_ FROM (SELECT *, CASE WHEN {c} % {k} = 0"
+                f" THEN NULL ELSE {c} % 7 END AS {newn}"
+                f" FROM ({sql}) _nn) _rk"
+            )
+            cols[newn] = "int"
+            cols["rk_"] = "int"
+        elif kind == 16 and strs:
+            # round-11 surface: has_any_index over the clean token
+            # column — equality twin (the tokens carry no word-
+            # boundary ambiguity)
+            c = draw(st.sampled_from(strs))
+            newc = f"hx{len(cols)}"
+            kqls.append(
+                f"extend {newc} = has_any_index({c},"
+                " dynamic(['view', 'click']))"
+            )
+            sql = (
+                f"SELECT *, CAST(CASE WHEN {c} = 'view' THEN 0"
+                f" WHEN {c} = 'click' THEN 1 ELSE -1 END AS BIGINT)"
+                f" AS {newc} FROM ({sql}) _hx"
+            )
+            cols[newc] = "int"
+        elif kind == 17 and ints:
+            # round-11 surface: convert_* ratio folds (exact power-of-
+            # ten ratio so the double multiply is exact both sides)
+            c = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 9))
+            newc = f"cv{len(cols)}"
+            kqls.append(
+                f"extend {newc} = convert_length({c} % {k},"
+                " 'Meter', 'Centimeter')"
+            )
+            sql = (
+                f"SELECT *, CAST({c} % {k} AS DOUBLE) * 100.0"
+                f" AS {newc} FROM ({sql}) _cv"
+            )
+            cols[newc] = "dbl"
+        elif kind == 18 and ints:
+            # round-11 surface: ipv4 -> canonical ipv6 transitional
+            # form (string build twin)
+            c = draw(st.sampled_from(ints))
+            newc = f"p6{len(cols)}"
+            kqls.append(
+                f"extend {newc} = parse_ipv6(format_ipv4("
+                f"({c} % 250) * 16843009))"
+            )
+            sql = (
+                "SELECT *, '0000:0000:0000:0000:0000:ffff:'"
+                f" || lpad(lower(to_hex((({c} % 250) * 16843009)"
+                " // 65536)), 4, '0') || ':'"
+                f" || lpad(lower(to_hex((({c} % 250) * 16843009)"
+                f" % 65536)), 4, '0') AS {newc} FROM ({sql}) _p6"
+            )
+            cols[newc] = "str"
+        elif kind == 19 and ints:
+            # round-11 surface: array_index_of occurrence arg over a
+            # constructed array whose match layout is decidable
+            c = draw(st.sampled_from(ints))
+            newc = f"ao{len(cols)}"
+            kqls.append(
+                f"extend {newc} = array_index_of(pack_array("
+                f"{c} % 5, {c} % 3, {c} % 5), {c} % 5, 1, -1, 1)"
+            )
+            sql = (
+                f"SELECT *, CAST(CASE WHEN {c} % 3 = {c} % 5 THEN 1"
+                f" ELSE 2 END AS BIGINT) AS {newc} FROM ({sql}) _ao"
+            )
+            cols[newc] = "int"
+        elif kind == 20 and ints:
+            # round-11 surface: make_list_with_nulls keeps nulls, so
+            # its length is the plain group count
+            g = draw(st.sampled_from(ints))
+            c = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 5))
+            m = draw(st.integers(2, 5))
+            kqls.append(
+                f"summarize ml_ = make_list_with_nulls("
+                f"iff({c} % {k} == 0, long(null), {c}))"
+                f" by g = {g} % {m}"
+                " | project g, n = array_length(ml_)"
+            )
+            sql = (
+                f"SELECT {g} % {m} AS g, COUNT(*) AS n"
+                f" FROM ({sql}) _ml GROUP BY 1"
+            )
+            cols = {"g": "int", "n": "int"}
+        elif kind == 21 and dts:
+            # round-11 surface: sub-second datetime_diff units
+            c = draw(st.sampled_from(dts))
+            newc = f"ms{len(cols)}"
+            kqls.append(
+                f"extend {newc} = datetime_diff('millisecond',"
+                f" {c}, startofday({c}))"
+            )
+            sql = (
+                f"SELECT *, date_diff('millisecond',"
+                f" date_trunc('day', {c}), {c}) AS {newc}"
+                f" FROM ({sql}) _ms"
+            )
+            cols[newc] = "int"
     return " | ".join(kqls), sql
 
 
