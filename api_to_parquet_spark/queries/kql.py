@@ -375,6 +375,15 @@ make_list_with_nulls (never-null struct wrap over collect_list);
 invoke with positional SCALAR arguments + declared defaults (the
 scalar-let macro substitution); dynamic({…}).path accessor chains
 (parse_json wrap, the parse_urlquery rule).
+Probe battery 18 additions (round-11): `//` line comments stripped
+outside string literals (quote-aware incl. @verbatim doubled-quote
+escapes — every pasted dashboard query carries comments); NEGATIVE
+timespan strings ('-01:30:00', '-2h') at translate time and runtime
+— previously a SILENT NULL; iOS third-party browser families
+CriOS/FxiOS/EdgiOS (Chrome Mobile iOS / Firefox iOS / Edge Mobile,
+uap-core names — previously Other); datatable timespan/guid column
+types; `to typeof(timespan)` elements route through the totimespan
+string parse (try_cast silently NULLed every clock-shaped element).
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -436,6 +445,11 @@ _KQL_TYPES = {
     "datetime": "TIMESTAMP",
     "bool": "BOOLEAN",
     "boolean": "BOOLEAN",
+    # round-11 probe battery 18: datatable/typeof accept the last two
+    # ADX scalar types — timespans are day-time intervals, guids ride
+    # the engine's lowercase-string representation (the toguid rule)
+    "timespan": "INTERVAL DAY TO SECOND",
+    "guid": "STRING",
 }
 
 
@@ -858,10 +872,18 @@ def _totimespan_sql(args: list[str]) -> str:
         return f"({x})"
     lit = re.match(r"^'((?:[^']|'')*)'$", x)
     if lit:
+        # a leading '-' negates either string shape (round-11 probe
+        # battery 18: '-01:30:00' previously parsed to NULL — silent
+        # vs ADX's -1h30m)
         s = lit.group(1)
+        neg = s.startswith("-")
+        if neg:
+            s = s[1:]
         lm = re.match(rf"^{_TS_LIT}$", s)
         if lm:
-            return _ts_interval(lm.group(1), lm.group(2))
+            return _ts_interval(
+                ("-" if neg else "") + lm.group(1), lm.group(2)
+            )
         cm = re.match(r"^(?:(\d+)\.)?(\d{1,2}):(\d{1,2}):(\d{1,2}(?:\.\d+)?)$", s)
         if cm:
             # exact Decimal like the unit-literal path — binary float
@@ -875,10 +897,16 @@ def _totimespan_sql(args: list[str]) -> str:
                 + int(cm.group(3)) * 60
                 + Decimal(cm.group(4))
             )
+            if neg:
+                secs = -secs
             return f"INTERVAL '{_dec_text(secs)}' SECOND"
         return "CAST(NULL AS INTERVAL DAY TO SECOND)"
-    # runtime string parse: one regexp family, NULL when neither shape
-    # matches (try_cast keeps ANSI mode from aborting on garbage)
+    # runtime string parse: one regexp family over the sign-stripped
+    # text, the sign re-applied as a multiplier (round-11: leading '-'
+    # returned NULL), NULL when neither shape matches (try_cast keeps
+    # ANSI mode from aborting on garbage)
+    sgn = f"IF(startswith({x}, '-'), -1, 1)"
+    x = f"regexp_replace({x}, '^-', '')"
     clock = _TS_CLOCK_RE
     unit_re = r"^(\\d+(?:\\.\\d+)?)(ms|[smhd])$"
     secs = (
@@ -895,7 +923,10 @@ def _totimespan_sql(args: list[str]) -> str:
         " WHEN 'h' THEN 3600 ELSE 86400 END"
         " ELSE NULL END"
     )
-    return f"make_dt_interval(0, 0, 0, CAST(({secs}) AS DECIMAL(18, 6)))"
+    return (
+        f"make_dt_interval(0, 0, 0, CAST(({sgn}) * ({secs})"
+        " AS DECIMAL(18, 6)))"
+    )
 
 
 def _format_timespan_sql(args: list[str]) -> str:
@@ -2340,6 +2371,12 @@ def _series_stats_dynamic_sql(args: list[str]) -> str:
 # also carry "Safari/"; "Version/ … Mobile" is Mobile Safari).
 # (family, presence marker, version token)
 _UA_FAMILIES = (
+    # iOS third-party browsers (round-11 probe battery 18): WebKit
+    # shells carrying CriOS/FxiOS/EdgiOS tokens instead of Chrome/ —
+    # previously fell through to 'Other'. uap-core family names.
+    ("Edge Mobile", "EdgiOS/", "EdgiOS"),
+    ("Chrome Mobile iOS", "CriOS/", "CriOS"),
+    ("Firefox iOS", "FxiOS/", "FxiOS"),
     ("Edge", "Edg/", "Edg"),
     ("Opera", "OPR/", "OPR"),
     ("Samsung Internet", "SamsungBrowser/", "SamsungBrowser"),
@@ -6480,6 +6517,17 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
     return sql, default
 
 
+
+def _typed_elem(expr: str, tname: str) -> str:
+    """Element cast for `to typeof(t)` clauses: try_cast leniency for
+    the plain types; timespan routes through the totimespan string
+    parse (try_cast cannot read '[d.]hh:mm:ss' / '<n><unit>' shapes,
+    so it silently NULLed every element — round-11 probe battery 18)."""
+    if tname == "timespan":
+        return _totimespan_sql([f"CAST({expr} AS STRING)"])
+    return f"try_cast({expr} AS {_KQL_TYPES[tname]})"
+
+
 def _group_alias(g: str, idx: int) -> tuple[str, str]:
     """A summarize group key -> (select item, group-by ref). Computed
     keys group by their full EXPRESSION, never the alias: when the alias
@@ -7360,6 +7408,37 @@ def _fork_branches(text: str) -> list[tuple[str | None, str]]:
     return branches
 
 
+def _strip_line_comments(text: str) -> str:
+    """Remove `// …` to end-of-line outside string literals. Plain
+    strings use backslash escapes; @"verbatim" strings use doubled
+    quotes (the ADX lexer), so `@"\\"` does NOT escape its closing
+    quote and `https://x` inside any string survives."""
+    out = []
+    for line in text.split("\n"):
+        q: str | None = None
+        verbatim = False
+        i, n = 0, len(line)
+        while i < n:
+            ch = line[i]
+            if q is None:
+                if ch in "'\"":
+                    q = ch
+                    verbatim = i > 0 and line[i - 1] == "@"
+                elif ch == "/" and i + 1 < n and line[i + 1] == "/":
+                    line = line[:i].rstrip()
+                    break
+            elif ch == q:
+                if verbatim and i + 1 < n and line[i + 1] == q:
+                    i += 1  # doubled quote inside a verbatim string
+                else:
+                    q = None
+            elif ch == "\\" and not verbatim:
+                i += 1  # escape inside a plain string
+            i += 1
+        out.append(line)
+    return "\n".join(out)
+
+
 def kql_to_sql(
     kql: str,
     spark: SparkSession | None = None,
@@ -7395,6 +7474,14 @@ def kql_to_sql(
             kql = _rewrite_fn(
                 kql, "bin_auto", lambda a: f"bin({a[0]}, {size})"
             )
+        # `//` line comments strip to end-of-line OUTSIDE string
+        # literals (round-11 probe battery 18 — every pasted dashboard
+        # query carries them; `https://…` inside strings survives).
+        # Quote-aware per line: plain strings honor backslash escapes,
+        # @"verbatim" strings honor doubled-quote escapes — the ADX
+        # lexer's two string shapes. Must run BEFORE the whitespace
+        # collapse below destroys line structure.
+        kql = _strip_line_comments(kql)
         # a single trailing semicolon is tolerated (round-11 probe
         # battery 17 — the copy-paste tail every dashboard export
         # carries); inner semicolons still delimit let/set statements
@@ -8590,7 +8677,7 @@ def _kql_stages_to_sql(
                         raise ValueError(
                             f"mv-expand typeof: unknown type {tname!r}"
                         )
-                    elem_sql = f"try_cast(_mv AS {_KQL_TYPES[tname]})"
+                    elem_sql = _typed_elem("_mv", tname)
                 if not re.match(r"^\w+$", c):
                     raise ValueError(
                         "mv-expand with_itemindex supports a single"
@@ -8635,7 +8722,7 @@ def _kql_stages_to_sql(
                         raise ValueError(
                             f"mv-expand typeof: unknown type {tname!r}"
                         )
-                    ty = _KQL_TYPES[tname]
+                    ty = tname
                 if not re.match(r"^\w+$", o):
                     am = re.match(r"^(\w+)\s*=\s*(.+)$", o, re.DOTALL)
                     if am:
@@ -8720,7 +8807,7 @@ def _kql_stages_to_sql(
                 if mv_lim:
                     src = f"slice({src}, 1, {mv_lim})"
                 elem = (
-                    f"try_cast(_mv AS {ty})" if ty else "_mv"
+                    _typed_elem("_mv", ty) if ty else "_mv"
                 )
                 sql = (
                     f"SELECT * EXCEPT ({c}, _mv), {elem} AS {c} FROM {prev} "
@@ -8735,7 +8822,7 @@ def _kql_stages_to_sql(
                 # typeof(datetime), n to typeof(long)` idiom).
                 zipped = ", ".join(c for c, _ in norm)
                 unpack = ", ".join(
-                    f"try_cast(_mv.{c} AS {ty}) AS {c}"
+                    f"{_typed_elem(f'_mv.{c}', ty)} AS {c}"
                     if ty
                     else f"_mv.{c} AS {c}"
                     for c, ty in norm
@@ -12249,7 +12336,7 @@ def _kql_stages_to_sql(
                     )
                 arr = (
                     f"transform({col}, {elem} ->"
-                    f" try_cast({elem} AS {_KQL_TYPES[tname]}))"
+                    f" {_typed_elem(elem, tname)})"
                 )
 
             def _mvsub(txt: str) -> str:

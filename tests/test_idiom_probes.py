@@ -623,6 +623,22 @@ PROBES = [
     ("b17 in~ list", "events | where event_type in~ ('VIEW', 'CLICK') | count"),
     ("b17 count as", "events | count as Rows"),
     ("b17 bag_unpack prefix", "events | take 3 | extend b = pack('t', event_type) | evaluate bag_unpack(b, 'p_') | count"),
+    # --- battery 18 (round-11, seventh sweep): copy-paste hygiene and
+    # type-surface tails. Found and fixed: // line comments (every
+    # pasted dashboard carries them), NEGATIVE timespan strings
+    # (silently NULL before — translate-time and runtime), iOS
+    # third-party browser families (CriOS/FxiOS/EdgiOS fell through
+    # to Other), datatable timespan/guid columns, typeof(timespan)
+    # elements routed through the totimespan parse.
+    ("b18 line comments", "events // source\n| where value > 50 // filter\n| count"),
+    ("b18 comment url survives", "print u = 'https://x//y' // tail"),
+    ("b18 negative timespan literal", "print t = totimespan('-01:30:00') / 1m"),
+    ("b18 negative timespan runtime", "datatable(s: string) ['-2h'] | extend ok = totimespan(s) == -2h | project ok"),
+    ("b18 crios family", "print f = tostring(parse_json(parse_user_agent('Mozilla/5.0 (iPhone) AppleWebKit CriOS/120.0.6099.119 Mobile Safari/604.1', 'browser')).Browser.Family)"),
+    ("b18 fxios family", "print f = tostring(parse_json(parse_user_agent('Mozilla/5.0 (iPhone) AppleWebKit FxiOS/121.0 Mobile Safari', 'browser')).Browser.Family)"),
+    ("b18 datatable timespan", "datatable(t: timespan) [1h, 30m] | summarize s = sum(t) | project m = s / 30m"),
+    ("b18 datatable guid", "datatable(g: guid, n: long) ['8F2E8AB1-0000-0000-0000-000000000001', 1] | project g, n"),
+    ("b18 typeof timespan elems", "print x = 1 | extend a = dynamic(['01:00:00', '-0:30:00']) | mv-expand t_ = a to typeof(timespan) | summarize s = sum(t_) | project ok = s == 30m"),
 ]
 
 
@@ -1495,3 +1511,64 @@ def test_battery17_value_checks(spark, sf_smoke):
         " w = tostring(dynamic({'k': 'x'}).k)",
     ).collect()[0]
     assert (r["v"], r["w"]) == (2, "x")
+
+
+def test_battery18_value_checks(spark, sf_smoke):
+    """Battery 18 value pins: comment stripping is string-aware, the
+    negative-timespan silent NULL is fixed both at translate time and
+    at runtime, iOS browser shells classify, timespan/guid land in
+    datatable and typeof."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    n = kql(spark, "events | where value > 50 | count").collect()[0][
+        "Count"
+    ]
+    got = kql(
+        spark,
+        "events // the source\n| where value > 50 // keep hot\n"
+        "| count // total",
+    ).collect()[0]["Count"]
+    assert got == n
+    r = kql(
+        spark,
+        "print u = 'https://x//y', v = @'a//b' // real comment",
+    ).collect()[0]
+    assert (r["u"], r["v"]) == ("https://x//y", "a//b")
+    r = kql(
+        spark,
+        "print a = totimespan('-01:30:00') / 1m,"
+        " b = totimespan('-2h') / 1h,"
+        " c = -90m == totimespan('-01:30:00')",
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (-90.0, -2.0, True)
+    rows = kql(
+        spark,
+        "datatable(s: string) ['-01:30:00', '01:30:00', 'x']"
+        " | project neg = totimespan(s) == -90m,"
+        " pos = totimespan(s) == 90m, nl = isnull(totimespan(s))",
+    ).collect()
+    assert rows[0]["neg"] and rows[1]["pos"] and rows[2]["nl"]
+    for tok, exp in (
+        ("CriOS/120.0", "Chrome Mobile iOS"),
+        ("FxiOS/121.0", "Firefox iOS"),
+        ("EdgiOS/120.0", "Edge Mobile"),
+    ):
+        r = kql(
+            spark,
+            "print f = tostring(parse_json(parse_user_agent("
+            f"'Mozilla/5.0 (iPhone) AppleWebKit {tok} Mobile"
+            " Safari/604.1', 'browser')).Browser.Family)",
+        ).collect()[0]
+        assert r["f"] == exp, (tok, r["f"])
+    r = kql(
+        spark,
+        "datatable(t: timespan) [1h, 30m]"
+        " | summarize s = sum(t) | project m = s / 30m",
+    ).collect()[0]
+    assert r["m"] == 3.0
+    r = kql(
+        spark,
+        "print x = 1 | extend a = dynamic(['01:00:00', '-0:30:00'])"
+        " | mv-expand t_ = a to typeof(timespan)"
+        " | summarize s = sum(t_) | project ok = s == 30m",
+    ).collect()[0]
+    assert r["ok"] is True
