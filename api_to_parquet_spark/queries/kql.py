@@ -695,13 +695,64 @@ def _div_by_interval_expr(e: str) -> str:
                 hit = (m, lm.group(0), lm.end())
             break
         if hit is None:
-            return e
+            break
         m, div_txt, div_end = hit
         e = (
             e[: m.start()]
             + f"({_iv_total_seconds(m.group(1))}"
             f" / {_iv_total_seconds(div_txt)})"
             + e[div_end:]
+        )
+    # the mirrored NUMERATOR case (round-11 probe battery 18):
+    # a runtime totimespan(col)/make_timespan(…) NUMERATOR emits a
+    # make_dt_interval(…) whose nested parens the one-call numerator
+    # arm above cannot match — balanced-scan it directly
+    # (`totimespan(s) / 1m` previously died at analysis)
+    while True:
+        spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
+        hit2 = None
+        for m in re.finditer(r"make_dt_interval\(", e):
+            if any(s0 < m.start() < s1 for s0, s1 in spans):
+                continue
+            close = _balanced_end(e, m.end() - 1)
+            if close is None:
+                continue
+            after = re.compile(
+                r"\s*/\s*(make_dt_interval\(|INTERVAL\s"
+                rf"|{_TS_LIT}(?![\w.(]))"
+            ).match(e, close + 1)
+            if not after:
+                continue
+            num_txt = e[m.start() : close + 1]
+            if after.group(1).startswith("make_dt_interval"):
+                dclose = _balanced_end(e, after.end() - 1)
+                if dclose is None:
+                    continue
+                div_txt2 = e[after.start(1) : dclose + 1]
+                dend = dclose + 1
+            elif after.group(1).startswith("INTERVAL"):
+                lm = _TSDIV_IVL_LIT.match(e, after.start(1))
+                if not lm:
+                    continue
+                div_txt2, dend = lm.group(0), lm.end()
+            else:
+                # raw timespan literal (1m) — this scan runs before
+                # the literal rewrite turns it into INTERVAL text
+                _secs18 = _ts_lit_seconds(
+                    after.group(2), after.group(3)
+                )
+                div_txt2 = f"INTERVAL '{_secs18}' SECOND"
+                dend = after.end()
+            hit2 = (m.start(), num_txt, div_txt2, dend)
+            break
+        if hit2 is None:
+            return e
+        s0, num_txt, div_txt2, dend = hit2
+        e = (
+            e[:s0]
+            + f"({_iv_total_seconds(num_txt)}"
+            f" / {_iv_total_seconds(div_txt2)})"
+            + e[dend:]
         )
 
 
