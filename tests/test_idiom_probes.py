@@ -639,6 +639,7 @@ PROBES = [
     ("b18 datatable timespan", "datatable(t: timespan) [1h, 30m] | summarize s = sum(t) | project m = s / 30m"),
     ("b18 datatable guid", "datatable(g: guid, n: long) ['8F2E8AB1-0000-0000-0000-000000000001', 1] | project g, n"),
     ("b18 typeof timespan elems", "print x = 1 | extend a = dynamic(['01:00:00', '-0:30:00']) | mv-expand t_ = a to typeof(timespan) | summarize s = sum(t_) | project ok = s == 30m"),
+    ("b18 runtime tsdiv numerator", "datatable(s: string) ['-01:30:00', '02:00:00'] | extend m = totimespan(s) / 1m | project m"),
 ]
 
 
@@ -1572,3 +1573,11 @@ def test_battery18_value_checks(spark, sf_smoke):
         " | summarize s = sum(t_) | project ok = s == 30m",
     ).collect()[0]
     assert r["ok"] is True
+    # runtime totimespan(col) NUMERATOR divided by a timespan literal
+    # (the make_dt_interval balanced-numerator scan)
+    rows = kql(
+        spark,
+        "datatable(s: string) ['-01:30:00', '02:00:00']"
+        " | extend m = totimespan(s) / 1m | project m",
+    ).collect()
+    assert [r["m"] for r in rows] == [-90.0, 120.0]
