@@ -384,6 +384,11 @@ CriOS/FxiOS/EdgiOS (Chrome Mobile iOS / Firefox iOS / Edge Mobile,
 uap-core names — previously Other); datatable timespan/guid column
 types; `to typeof(timespan)` elements route through the totimespan
 string parse (try_cast silently NULLed every clock-shaped element).
+graph-to-table nodes/edges (ADX default NodeId/SourceId/TargetId
+names, with_*_id= renames; the dual two-table form is loud) and
+graph-mark-components (star-contraction CC, ComponentId = component
+minimum, labels snapshot on the bounded cache ring); runtime
+totimespan()/make_timespan() NUMERATORS in timespan division.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -7362,10 +7367,18 @@ def _cache_child(spark: SparkSession, sql: str, tag: str) -> str:
     Note localCheckpoint is executor-local (not fault tolerant) and a
     snapshot: re-running the returned DataFrame sees translation-time
     data — consistent with ADX, whose query results never re-read."""
+    return _cache_df(spark, _asql(spark, sql), tag)
+
+
+def _cache_df(spark: SparkSession, df, tag: str) -> str:
+    """The DataFrame half of _cache_child (round-11: graph-mark-
+    components computes its labels via the iterative connected-
+    components DataFrame API, not SQL text): localCheckpoint +
+    uniquely-named temp view + the same bounded retention ring."""
     import uuid
 
     view = f"_kql_cache_{tag}_{uuid.uuid4().hex[:12]}"
-    df = _asql(spark, sql).localCheckpoint()
+    df = df.localCheckpoint()
     df.createOrReplaceTempView(view)
     ring = _cache_rings.setdefault(spark, [])
     ring.append((view, df))
@@ -11038,6 +11051,107 @@ def _kql_stages_to_sql(
                 )
             graph = (sql, gm.group(1), gm.group(2))
             continue
+        elif op == "graph-mark-components":
+            # ADX marks every NODE with its connected component id.
+            # Compiled onto the engine's star-contraction CC
+            # (dedup.connected_components — O(log² n) rounds,
+            # checkpointed); the labels snapshot rides the bounded
+            # _cache_df ring and graph-to-table nodes joins it as
+            # ComponentId (= the component's smallest node id, the
+            # deterministic refinement of ADX's arbitrary
+            # representative). graph-match after this works unchanged
+            # (a .ComponentId reference there fails analysis loudly —
+            # node-property matching stays out of the subset).
+            if graph is None:
+                raise ValueError(
+                    "graph-mark-components needs a preceding"
+                    " make-graph"
+                )
+            if spark is None:
+                raise ValueError(
+                    "graph-mark-components needs a SparkSession"
+                    " (iterative component computation)"
+                )
+            cm_ = re.match(
+                r"^(?:with_component_id\s*=\s*(\w+))?\s*$", body
+            )
+            if not cm_:
+                raise ValueError(
+                    "graph-mark-components supports"
+                    f" [with_component_id=Name]: {body!r}"
+                )
+            from api_to_parquet_spark.dedup import (
+                connected_components,
+            )
+
+            g_sql, g_src, g_dst = graph[:3]
+            labels, _ = connected_components(
+                _asql(spark, g_sql), g_src, g_dst
+            )
+            lbl_view = _cache_df(spark, labels, "gcc")
+            graph = (
+                g_sql, g_src, g_dst, lbl_view,
+                cm_.group(1) or "ComponentId",
+            )
+            continue
+        elif op == "graph-to-table":
+            # `graph-to-table nodes [with_node_id=N]` /
+            # `graph-to-table edges [with_source_id=S]
+            #  [with_target_id=T]` — the tabular exits of the graph
+            # subset. Nodes = the distinct endpoint union (+
+            # ComponentId when graph-mark-components ran; self-loop-
+            # only nodes label as themselves); edges = the edge pipe
+            # with the ADX default SourceId/TargetId endpoint names.
+            # The dual `nodes as N edges as E` form returns TWO tables
+            # and stays loud.
+            if graph is None:
+                raise ValueError(
+                    "graph-to-table needs a preceding make-graph"
+                )
+            g_sql, g_src, g_dst = graph[:3]
+            tm_ = re.match(
+                r"^(nodes|edges)((?:\s+with_\w+\s*=\s*\w+)*)\s*$",
+                body,
+                re.IGNORECASE,
+            )
+            if not tm_:
+                raise ValueError(
+                    "graph-to-table supports 'nodes"
+                    " [with_node_id=N]' or 'edges [with_source_id=S]"
+                    f" [with_target_id=T]' (one table): {body!r}"
+                )
+            opts = dict(
+                re.findall(r"with_(\w+)\s*=\s*(\w+)", tm_.group(2))
+            )
+            if tm_.group(1).lower() == "nodes":
+                nid = opts.get("node_id", "NodeId")
+                nodes_sql = (
+                    f"SELECT DISTINCT {nid} FROM"
+                    f" (SELECT {g_src} AS {nid} FROM ({g_sql})"
+                    f" AS _gtn1 UNION ALL SELECT {g_dst} AS {nid}"
+                    f" FROM ({g_sql}) AS _gtn2) AS _gtn"
+                )
+                if len(graph) > 3:
+                    lbl_view, comp = graph[3], graph[4]
+                    sql = (
+                        f"SELECT _n.{nid},"
+                        f" coalesce(_l.component, _n.{nid})"
+                        f" AS {comp} FROM ({nodes_sql}) AS _n"
+                        f" LEFT JOIN ({lbl_view}) AS _l"
+                        f" ON _n.{nid} = _l.n"
+                    )
+                else:
+                    sql = nodes_sql
+            else:
+                sid = opts.get("source_id", "SourceId")
+                tid = opts.get("target_id", "TargetId")
+                sql = (
+                    f"SELECT * EXCEPT ({g_src}, {g_dst}),"
+                    f" {g_src} AS {sid}, {g_dst} AS {tid}"
+                    f" FROM ({g_sql}) AS _gte"
+                )
+            graph = None
+            continue
         elif op == "graph-match":
             # `graph-match (a)-[e1]->(b)-[e2]->(c) [where …] project …`
             # — path patterns compiled to chained equi-joins on dst=src:
@@ -11052,7 +11166,7 @@ def _kql_stages_to_sql(
             # constrain with where.
             if graph is None:
                 raise ValueError("graph-match needs a preceding make-graph")
-            g_sql, g_src, g_dst = graph
+            g_sql, g_src, g_dst = graph[:3]
             pm = re.match(
                 r"^(\(.+?\))\s*(?:where\s+(.+?))?\s*project\s+(.+)$",
                 body,
@@ -11197,7 +11311,7 @@ def _kql_stages_to_sql(
                 raise ValueError(
                     "graph-shortest-paths needs a preceding make-graph"
                 )
-            g_sql, g_src, g_dst = graph
+            g_sql, g_src, g_dst = graph[:3]
             pm = re.match(
                 r"^(?:output\s*=\s*(\w+)\s+)?"
                 r"\(\s*(\w+)\s*\)\s*-\[\s*(\w+)\s*\*\s*(\d+)\s*"
@@ -14992,6 +15106,27 @@ def q_kql_scalar_fns15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph-mark-components + graph-to-table (round-11 probe battery
+    18): connected components over a bipartite user->event-bucket
+    graph, compiled onto the engine's star-contraction CC (O(log² n)
+    rounds, checkpointed — dedup.connected_components) with
+    ComponentId = the component's smallest node id (deterministic
+    refinement of ADX's arbitrary representative; user ids offset so
+    the two endpoint domains cannot collide). The oracle is a DuckDB
+    recursive-CTE transitive closure with MIN labels — exact."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 400"
+        " | project s = user_id % 211 + 10000, d = event_id % 191"
+        " | make-graph s --> d"
+        " | graph-mark-components"
+        " | graph-to-table nodes"
+        " | sort by NodeId asc",
+    )
+
+
 def q_kql_db_qualifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cluster()/database() qualified table references (round-10
     verdict #3) — the entry form migrated ADX dashboards use
@@ -15530,6 +15665,7 @@ QUERIES = {
     "kql_scalar_fns13": q_kql_scalar_fns13,
     "kql_scalar_fns14": q_kql_scalar_fns14,
     "kql_scalar_fns15": q_kql_scalar_fns15,
+    "kql_graph_components": q_kql_graph_components,
     "kql_db_qualifier": q_kql_db_qualifier,
     "kql_idioms5": q_kql_idioms5,
     "kql_activity_dims": q_kql_activity_dims,
@@ -16885,6 +17021,23 @@ ORACLE = {
         SELECT src, event_type, count(*)::BIGINT AS n
         FROM u WHERE event_id < 150
         GROUP BY src, event_type
+    """,
+    "kql_graph_components": """
+        WITH RECURSIVE e AS (
+            SELECT user_id % 211 + 10000 AS s, event_id % 191 AS d
+            FROM events WHERE event_id < 400
+        ), und AS (
+            SELECT s AS a, d AS b FROM e
+            UNION SELECT d, s FROM e
+            UNION SELECT s, s FROM e
+            UNION SELECT d, d FROM e
+        ), reach AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+        )
+        SELECT a AS NodeId, MIN(b) AS ComponentId
+        FROM reach GROUP BY a ORDER BY NodeId
     """,
     "kql_scalar_fns15": """
         WITH b AS (

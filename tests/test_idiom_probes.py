@@ -640,6 +640,9 @@ PROBES = [
     ("b18 datatable guid", "datatable(g: guid, n: long) ['8F2E8AB1-0000-0000-0000-000000000001', 1] | project g, n"),
     ("b18 typeof timespan elems", "print x = 1 | extend a = dynamic(['01:00:00', '-0:30:00']) | mv-expand t_ = a to typeof(timespan) | summarize s = sum(t_) | project ok = s == 30m"),
     ("b18 runtime tsdiv numerator", "datatable(s: string) ['-01:30:00', '02:00:00'] | extend m = totimespan(s) / 1m | project m"),
+    ("b18 graph-to-table nodes", "events | take 50 | make-graph user_id --> event_id | graph-to-table nodes | count"),
+    ("b18 graph-to-table edges", "events | take 50 | make-graph user_id --> event_id | graph-to-table edges | count"),
+    ("b18 graph-mark-components", "datatable(s: long, d: long) [1, 2, 2, 3, 5, 6] | make-graph s --> d | graph-mark-components | graph-to-table nodes | summarize c = count() by ComponentId | count"),
 ]
 
 
@@ -1581,3 +1584,23 @@ def test_battery18_value_checks(spark, sf_smoke):
         " | extend m = totimespan(s) / 1m | project m",
     ).collect()
     assert [r["m"] for r in rows] == [-90.0, 120.0]
+    # graph-mark-components labels nodes with the component minimum;
+    # graph-to-table exports nodes/edges with the ADX default names
+    rows = kql(
+        spark,
+        "datatable(s: long, d: long) [1, 2, 2, 3, 5, 6, 7, 7]"
+        " | make-graph s --> d | graph-mark-components"
+        " | graph-to-table nodes | sort by NodeId asc",
+    ).collect()
+    assert [(r["NodeId"], r["ComponentId"]) for r in rows] == [
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (7, 7),
+    ]
+    rows = kql(
+        spark,
+        "datatable(s: long, d: long, w: long) [1, 2, 10, 3, 4, 20]"
+        " | make-graph s --> d | graph-to-table edges"
+        " | sort by SourceId asc",
+    ).collect()
+    assert [(r["SourceId"], r["TargetId"], r["w"]) for r in rows] == [
+        (1, 2, 10), (3, 4, 20),
+    ]
