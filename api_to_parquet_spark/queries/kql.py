@@ -389,6 +389,13 @@ names, with_*_id= renames; the dual two-table form is loud) and
 graph-mark-components (star-contraction CC, ComponentId = component
 minimum, labels snapshot on the bounded cache ring); runtime
 totimespan()/make_timespan() NUMERATORS in timespan division.
+Probe battery 19 additions (round-11): compound $left/$right join
+conditions (`and`-chained pairs, bare keys mixing with qualified
+pairs — both on the ON-join and the innerunique dedup path);
+column-scoped search terms (`search Col:"term"` has-semantics,
+`Col=="value"` exact, both kinds); `*` wildcards in search terms
+expand to .* joins of \Q-quoted segments (previously matched the
+star LITERALLY — silent divergence).
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -7631,7 +7638,7 @@ def _kql_stages_to_sql(
     # ADX's $table that `find` uses).
     srch0 = stages and re.match(
         r"^search\s+(?:kind\s*=\s*(\w+)\s+)?in\s*\(([^)]*)\)"
-        r"\s*([\"'].*)$",
+        r"\s*((?:\w+\s*(?::|==)\s*)?[\"'].*)$",
         stages[0],
         re.IGNORECASE | re.DOTALL,
     )
@@ -10910,12 +10917,23 @@ def _kql_stages_to_sql(
                 if qualified:
                     left_keys = []
                     for k in keys:
-                        km = re.match(r"\$left\.(\w+)\s*==", k.strip())
-                        if not km:
-                            raise ValueError(
-                                f"join needs '$left.a == $right.b': {k!r}"
+                        for part in re.split(
+                            r"\s+and\s+", k, flags=re.IGNORECASE
+                        ):
+                            part = part.strip()
+                            km = re.match(
+                                r"\$left\.(\w+)\s*==", part
                             )
-                        left_keys.append(km.group(1))
+                            if km:
+                                left_keys.append(km.group(1))
+                            elif re.match(r"^\w+$", part):
+                                left_keys.append(part)
+                            else:
+                                raise ValueError(
+                                    "join needs '$left.a =="
+                                    f" $right.b' or a bare key:"
+                                    f" {part!r}"
+                                )
                 order_cols = left_keys
                 iu = "_iu"
                 if spark is not None:
@@ -11009,19 +11027,33 @@ def _kql_stages_to_sql(
                 # differently-named join columns. ADX keeps BOTH key
                 # columns; so does this ON-join (same-name keys must use
                 # the bare `on k` USING form, which merges them).
+                # Conditions may be `and`-chained inside one item and
+                # bare key names may MIX with qualified pairs (round-11
+                # probe battery 19 — both real ADX spellings; a bare
+                # key here is $left.k == $right.k, right side suffixed
+                # on collision like any other ON-join column).
                 conds = []
                 for k in keys:
-                    km = re.match(
-                        r"\$left\.(\w+)\s*==\s*\$right\.(\w+)$", k
-                    )
-                    if not km:
-                        raise ValueError(
-                            f"join needs '$left.a == $right.b': {k!r}"
+                    for part in re.split(
+                        r"\s+and\s+", k, flags=re.IGNORECASE
+                    ):
+                        part = part.strip()
+                        km = re.match(
+                            r"\$left\.(\w+)\s*==\s*\$right\.(\w+)$",
+                            part,
                         )
-                    lk, rk = km.group(1), km.group(2)
-                    if kind in ("rightsemi", "rightanti"):
-                        lk, rk = rk, lk  # sides swapped above
-                    conds.append(f"_l{i}.{lk} = _r{i}.{rk}")
+                        if km:
+                            lk, rk = km.group(1), km.group(2)
+                        elif re.match(r"^\w+$", part):
+                            lk = rk = part
+                        else:
+                            raise ValueError(
+                                "join needs '$left.a == $right.b'"
+                                f" or a bare key: {part!r}"
+                            )
+                        if kind in ("rightsemi", "rightanti"):
+                            lk, rk = rk, lk  # sides swapped above
+                        conds.append(f"_l{i}.{lk} = _r{i}.{rk}")
                 sel = _suffixed_items(f"_l{i}", f"_r{i}", []) or "*"
                 sql = (
                     f"SELECT {jhint}{sel} FROM ({left_sql}) AS _l{i}"
@@ -12393,16 +12425,19 @@ def _kql_stages_to_sql(
                 )
             m = re.match(
                 r"^(?:kind\s*=\s*(\w+)\s+)?"
+                r"(?:(\w+)\s*(:|==)\s*)?"
                 r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')\s*$",
                 body,
             )
             if not m:
                 raise ValueError(f'search needs a quoted term: {body!r}')
-            kind, term = m.groups()
+            kind, scol, sopr, term = m.groups()
             term = _strings_to_sql(term)
             cs = kind == "case_sensitive"
             if kind not in (None, "case_sensitive"):
                 raise ValueError(f"unsupported search kind: {kind!r}")
+            # literal term text (for translate-time wildcard handling)
+            lit = term[1:-1].replace("''", "'")
             from pyspark.sql.types import StringType
 
             str_cols = [
@@ -12410,14 +12445,51 @@ def _kql_stages_to_sql(
                 for f in _asql(spark, sql).schema.fields
                 if isinstance(f.dataType, StringType)
             ]
+            if scol:
+                # column-scoped term (round-11 probe battery 19):
+                # `search Col:"term"` is a TERM match in that column
+                # (the has semantics); `Col=="value"` is exact
+                if scol not in str_cols:
+                    raise ValueError(
+                        f"search: {scol!r} is not a string column"
+                        " in scope"
+                    )
+                str_cols = [scol]
             if not str_cols:
                 raise ValueError("search: no string columns in scope")
-            if star_has:
-                # routed from `where * has` — whole-term matching,
-                # same (?i)\b\Q..\E\b shape as the scalar has operator
+
+            def _search_rx(bound: bool) -> str:
+                # `*` in a search term is an ADX WILDCARD (round-11:
+                # instr matched it literally — silent divergence);
+                # \Q-quoted segments joined by .*, optional \b anchors
+                # for term-match forms, (?i) unless case_sensitive
+                segs = ".*".join(
+                    f"\\\\Q{p}\\\\E" for p in lit.split("*") if p
+                )
+                b = "\\\\b" if bound else ""
+                return (
+                    f"'{'' if cs else '(?i)'}{b}{segs}{b}'"
+                )
+
+            if sopr == "==":
                 preds = [
-                    f"`{c}` RLIKE concat('(?i)\\\\b\\\\Q', {term},"
-                    " '\\\\E\\\\b')"
+                    (
+                        f"`{c}` = {term}"
+                        if cs
+                        else f"lower(`{c}`) = lower({term})"
+                    )
+                    for c in str_cols
+                ]
+            elif star_has or sopr == ":":
+                # whole-term matching, same (?i)\b\Q..\E\b shape as
+                # the scalar has operator (wildcards honored)
+                preds = [
+                    f"`{c}` RLIKE {_search_rx(True)}"
+                    for c in str_cols
+                ]
+            elif "*" in lit:
+                preds = [
+                    f"`{c}` RLIKE {_search_rx(False)}"
                     for c in str_cols
                 ]
             else:

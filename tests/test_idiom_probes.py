@@ -643,6 +643,22 @@ PROBES = [
     ("b18 graph-to-table nodes", "events | take 50 | make-graph user_id --> event_id | graph-to-table nodes | count"),
     ("b18 graph-to-table edges", "events | take 50 | make-graph user_id --> event_id | graph-to-table edges | count"),
     ("b18 graph-mark-components", "datatable(s: long, d: long) [1, 2, 2, 3, 5, 6] | make-graph s --> d | graph-mark-components | graph-to-table nodes | summarize c = count() by ComponentId | count"),
+    # --- battery 19 (round-11, eighth sweep): join condition forms,
+    # search term scoping/wildcards, widening unions, null/empty
+    # aggregate edges. Found and fixed: compound $left/$right join
+    # conditions (and-chained + bare-key mixing), column-scoped search
+    # terms (Col:"t" / Col=="v"), `*` wildcards in search terms
+    # (previously matched LITERALLY — silent divergence).
+    ("b19 join two keys", "events | take 30 | join kind=inner (events | project event_id, user_id, v2 = value) on event_id, user_id | count"),
+    ("b19 join compound cond", "events | take 30 | join kind=inner (events | project e2 = event_id, u2 = user_id, v2 = value) on $left.event_id == $right.e2 and $left.user_id == $right.u2 | count"),
+    ("b19 join mixed keys", "events | take 30 | join kind=inner (events | project event_id, u2 = user_id, v2 = value) on event_id, $left.user_id == $right.u2 | count"),
+    ("b19 search col term", 'search in (events) event_type:"view" | count'),
+    ("b19 search col exact", 'search in (events) event_type=="VIEW" | count'),
+    ("b19 search wildcard", 'search in (events) "vi*w" | count'),
+    ("b19 union type widen", "union (events | project v = event_id), (events | project v = value) | summarize s = sum(v)"),
+    ("b19 summarize by bool", "events | summarize c = count() by hot = value > 50 | sort by hot asc"),
+    ("b19 empty aggregates", "events | where value > 1e9 | summarize c = count(), s = sum(value), m = max(value)"),
+    ("b19 gettype surface", "print t = gettype(dynamic([1])), b = gettype(dynamic({'a':1})), s = gettype('x'), n = gettype(1), r = gettype(1.5)"),
 ]
 
 
@@ -1604,3 +1620,54 @@ def test_battery18_value_checks(spark, sf_smoke):
     assert [(r["SourceId"], r["TargetId"], r["w"]) for r in rows] == [
         (1, 2, 10), (3, 4, 20),
     ]
+
+
+def test_battery19_value_checks(spark, sf_smoke):
+    """Battery 19 value pins: compound join conditions keep inner-join
+    cardinality, column-scoped search terms match has/equality
+    semantics, and search wildcards expand instead of matching the
+    star literally."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    n_view = kql(
+        spark, "events | where event_type == 'view' | count"
+    ).collect()[0]["Count"]
+    assert (
+        kql(
+            spark, 'search in (events) event_type:"view" | count'
+        ).collect()[0]["Count"]
+        == n_view
+    )
+    assert (
+        kql(
+            spark, 'search in (events) event_type=="VIEW" | count'
+        ).collect()[0]["Count"]
+        == n_view
+    )
+    # "vi*w" expands the wildcard (matches view); a non-matching
+    # wildcard yields zero (the literal-star behavior matched nothing
+    # either, so pin BOTH directions)
+    assert (
+        kql(spark, 'search in (events) "vi*w" | count').collect()[0][
+            "Count"
+        ]
+        >= n_view
+    )
+    assert (
+        kql(spark, 'search in (events) "qq*zz" | count').collect()[0][
+            "Count"
+        ]
+        == 0
+    )
+    for q in (
+        "events | take 30 | join kind=inner (events | project"
+        " e2 = event_id, u2 = user_id, v2 = value) on"
+        " $left.event_id == $right.e2 and $left.user_id =="
+        " $right.u2 | count",
+        "events | take 30 | join kind=inner (events | project"
+        " event_id, u2 = user_id, v2 = value) on event_id,"
+        " $left.user_id == $right.u2 | count",
+        "events | take 30 | join kind=innerunique (events | project"
+        " e2 = event_id, u2 = user_id) on $left.event_id =="
+        " $right.e2 and $left.user_id == $right.u2 | count",
+    ):
+        assert kql(spark, q).collect()[0]["Count"] == 30, q
