@@ -15178,6 +15178,25 @@ def q_kql_scalar_fns15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_rws_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ADX row_window_session signature (round-11 probe battery
+    15): (Expr, MaxDistanceFromFirst, MaxDistanceBetweenValues) — the
+    from-FIRST bound makes session assignment recursive, compiled to
+    ONE ordered fold over the serialized rows (single-sequence, the
+    inherent ADX serialize cost). ~160 distinct sessions at sf0.01
+    under the 1h/5m bounds; deterministic (ts, event_id) order. The
+    oracle is the literal recursion: a DuckDB recursive CTE walking
+    row_number order carrying the session start."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 500"
+        " | sort by ts asc, event_id asc"
+        " | extend sid = row_window_session(ts, 1h, 5m)"
+        " | project event_id, ts, sid",
+    )
+
+
 def q_kql_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph-mark-components + graph-to-table (round-11 probe battery
     18): connected components over a bipartite user->event-bucket
@@ -15737,6 +15756,7 @@ QUERIES = {
     "kql_scalar_fns13": q_kql_scalar_fns13,
     "kql_scalar_fns14": q_kql_scalar_fns14,
     "kql_scalar_fns15": q_kql_scalar_fns15,
+    "kql_rws_full": q_kql_rws_full,
     "kql_graph_components": q_kql_graph_components,
     "kql_db_qualifier": q_kql_db_qualifier,
     "kql_idioms5": q_kql_idioms5,
@@ -17093,6 +17113,25 @@ ORACLE = {
         SELECT src, event_type, count(*)::BIGINT AS n
         FROM u WHERE event_id < 150
         GROUP BY src, event_type
+    """,
+    "kql_rws_full": """
+        WITH RECURSIVE o AS (
+            SELECT event_id, ts,
+                   row_number() OVER (ORDER BY ts, event_id) AS rn
+            FROM events WHERE event_id < 500
+        ), r AS (
+            SELECT rn, event_id, ts, ts AS start
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.rn, o.event_id, o.ts,
+                   CASE WHEN epoch_us(o.ts) - epoch_us(r.ts)
+                             > 300000000
+                          OR epoch_us(o.ts) - epoch_us(r.start)
+                             > 3600000000
+                        THEN o.ts ELSE r.start END
+            FROM r JOIN o ON o.rn = r.rn + 1
+        )
+        SELECT event_id, ts, start AS sid FROM r
     """,
     "kql_graph_components": """
         WITH RECURSIVE e AS (
