@@ -410,3 +410,36 @@ def test_query_join_collision_suffixes_v1_columns(spark, tmp_path):
     assert status == 200
     names = [c["ColumnName"] for c in body["Tables"][0]["Columns"]]
     assert names == ["value", "value1"]
+
+
+def test_query_round11_surface_through_service(spark, tmp_path):
+    """Round-11 battery surfaces through the wire path: a commented
+    multi-line dashboard paste (with a // inside a string), a
+    table('T') reference, and a negative-timespan cell encoding in
+    the v1 envelope."""
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state"),
+    )
+    spark.sql(
+        "SELECT * FROM VALUES (1, 'a//b'), (2, 'plain') AS t(k, s)"
+    ).createOrReplaceTempView("svc_r11")
+    status, body = svc.query(
+        json.dumps(
+            {
+                "csl": "table('svc_r11') // the table\n"
+                "| where s == 'a//b' // url-ish literal survives\n"
+                "| project k, s;",
+            }
+        ).encode()
+    )
+    assert status == 200
+    assert body["Tables"][0]["Rows"] == [[1, "a//b"]]
+    # negative timespan cell: TimeSpan column, sign-carrying encoding
+    status, body = svc.query(
+        json.dumps({"csl": "print t = totimespan('-01:30:00')"}).encode()
+    )
+    assert status == 200
+    t0 = body["Tables"][0]
+    assert t0["Columns"][0]["DataType"] == "TimeSpan"
+    cell = t0["Rows"][0][0]
+    assert cell.startswith("-") and "1:30:00" in cell, cell
