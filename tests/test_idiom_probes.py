@@ -659,6 +659,20 @@ PROBES = [
     ("b19 summarize by bool", "events | summarize c = count() by hot = value > 50 | sort by hot asc"),
     ("b19 empty aggregates", "events | where value > 1e9 | summarize c = count(), s = sum(value), m = max(value)"),
     ("b19 gettype surface", "print t = gettype(dynamic([1])), b = gettype(dynamic({'a':1})), s = gettype('x'), n = gettype(1), r = gettype(1.5)"),
+    # --- battery 20 (round-11, ninth sweep): depth/width stress and
+    # robustness pins — ZERO failures (the first saturated sweep; the
+    # shapes freeze as regression pins for the stage-nesting,
+    # let-chaining, and operand-scale paths).
+    ("b20 30-stage extend pipe", "events | " + " | ".join(f"extend x{i} = value + {i}" for i in range(30)) + " | summarize m = max(x29)"),
+    ("b20 500-item in list", "events | where event_id in (" + ", ".join(str(i) for i in range(500)) + ") | count"),
+    ("b20 25-deep iff nest", "print v = " + "iff(1 > 0, " * 25 + "1" + ", 0)" * 25),
+    ("b20 60-col extend", "events | extend " + ", ".join(f"c{i} = value * {i}" for i in range(60)) + " | summarize s = sum(c59)"),
+    ("b20 chained tabular lets", "let A = events | where value > 10; let B = A | where value > 20; let C2 = B | where value > 30; C2 | count"),
+    ("b20 render with props", "events | summarize c = count() by event_type | render columnchart with (title='x', legend=visible)"),
+    ("b20 union fn-let operands", "let f1 = view () { events | take 3 }; let f2 = view () { events | take 5 }; union f1, f2 | count"),
+    ("b20 multiple mv-expand", "events | take 2 | extend a = pack_array(1,2), b = pack_array(3,4) | mv-expand a | mv-expand b | count"),
+    ("b20 toscalar let arithmetic", "let avg_v = toscalar(events | summarize avg(value)); events | extend d = value - avg_v | summarize m = max(d)"),
+    ("b20 parse partial match", "datatable(s: string) ['x=1', 'nope'] | parse s with 'x=' v: long | count"),
 ]
 
 
