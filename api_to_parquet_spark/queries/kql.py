@@ -396,6 +396,11 @@ column-scoped search terms (`search Col:"term"` has-semantics,
 `Col=="value"` exact, both kinds); `*` wildcards in search terms
 expand to .* joins of \Q-quoted segments (previously matched the
 star LITERALLY — silent divergence).
+Probe battery 20 (round-11, ninth sweep): depth/width stress —
+30-stage pipes, 500-item in() lists, 25-deep iff nests, 60-column
+extends, chained tabular lets, render with-properties — ZERO
+failures (the first saturated sweep); shapes frozen as regression
+pins.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
