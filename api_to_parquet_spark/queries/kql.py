@@ -2445,6 +2445,12 @@ _UA_FAMILIES = (
     ("Edge Mobile", "EdgiOS/", "EdgiOS"),
     ("Chrome Mobile iOS", "CriOS/", "CriOS"),
     ("Firefox iOS", "FxiOS/", "FxiOS"),
+    # high-volume real-log shells that also carry Chrome/ or Opera
+    # markers, so they precede those families (round-11)
+    ("Opera Mini", "Opera Mini/", "Opera Mini"),
+    ("Yandex Browser", "YaBrowser/", "YaBrowser"),
+    ("WeChat", "MicroMessenger/", "MicroMessenger"),
+    ("QQ Browser Mobile", "MQQBrowser/", "MQQBrowser"),
     ("Edge", "Edg/", "Edg"),
     ("Opera", "OPR/", "OPR"),
     ("Samsung Internet", "SamsungBrowser/", "SamsungBrowser"),

@@ -673,6 +673,10 @@ PROBES = [
     ("b20 multiple mv-expand", "events | take 2 | extend a = pack_array(1,2), b = pack_array(3,4) | mv-expand a | mv-expand b | count"),
     ("b20 toscalar let arithmetic", "let avg_v = toscalar(events | summarize avg(value)); events | extend d = value - avg_v | summarize m = max(d)"),
     ("b20 parse partial match", "datatable(s: string) ['x=1', 'nope'] | parse s with 'x=' v: long | count"),
+    ("b20 ua opera mini", "print f = tostring(parse_json(parse_user_agent('Opera/9.80 (J2ME/MIDP) Opera Mini/9.80.1 Mobile', 'browser')).Browser.Family)"),
+    ("b20 ua yandex", "print f = tostring(parse_json(parse_user_agent('Mozilla/5.0 AppleWebKit Chrome/108.0 YaBrowser/23.1.2.987 Safari/537.36', 'browser')).Browser.Family)"),
+    ("b20 ua wechat", "print f = tostring(parse_json(parse_user_agent('Mozilla/5.0 (iPhone) AppleWebKit MicroMessenger/8.0.42 Mobile', 'browser')).Browser.Family)"),
+    ("b20 ua qq", "print f = tostring(parse_json(parse_user_agent('Mozilla/5.0 (Linux; Android 13) AppleWebKit MQQBrowser/13.6 Mobile Chrome/94', 'browser')).Browser.Family)"),
 ]
 
 

@@ -917,7 +917,7 @@ def _kql_dual_st(draw):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
         dts = sorted(c for c, t in cols.items() if t == "dt")
-        kind = draw(st.integers(0, 21))
+        kind = draw(st.integers(0, 22))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -1238,6 +1238,32 @@ def _kql_dual_st(draw):
                 f" FROM ({sql}) _ml GROUP BY 1"
             )
             cols = {"g": "int", "n": "int"}
+        elif (
+            kind == 22
+            and "event_id" in cols
+            and "user_id" in cols
+        ):
+            # round-11 surface: compound $left/$right join conditions
+            # (and-chained) — 1:1 on the unique event_id, the second
+            # condition a tautology-by-construction over the same row
+            k = draw(st.integers(2, 7))
+            newc = f"cj{len(cols)}"
+            kqls.append(
+                "join kind=inner (events | project e2_ = event_id,"
+                f" u2_ = user_id, {newc} = event_id % {k})"
+                " on $left.event_id == $right.e2_"
+                " and $left.user_id == $right.u2_"
+            )
+            keep = sorted(cols) + [newc]
+            kqls.append("project " + ", ".join(keep))
+            sql = (
+                f"SELECT {', '.join('_l.' + c for c in sorted(cols))},"
+                f" _r.{newc} FROM ({sql}) _l JOIN"
+                f" (SELECT event_id AS e2_, user_id AS u2_,"
+                f" event_id % {k} AS {newc} FROM events) _r"
+                " ON _l.event_id = _r.e2_ AND _l.user_id = _r.u2_"
+            )
+            cols = {**{c: cols[c] for c in cols}, newc: "int"}
         elif kind == 21 and dts:
             # round-11 surface: sub-second datetime_diff units
             c = draw(st.sampled_from(dts))
