@@ -401,6 +401,12 @@ Probe battery 20 (round-11, ninth sweep): depth/width stress —
 extends, chained tabular lets, render with-properties — ZERO
 failures (the first saturated sweep); shapes frozen as regression
 pins.
+series_decompose/series_decompose_anomalies period AUTODETECTION
+(period -1 or omitted — the ADX default spelling, previously a loud
+subset error): per-row argmax autocorrelation over lags 2..n/2,
+period-1 fallback (no seasonality) when the peak is under 0.5 (the
+documented refinement of ADX's unspecified significance rule);
+identical to the explicit-period fit on a clean periodic signal.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -1869,16 +1875,52 @@ def _series_chain_sql(
             + f" AS {score}",
             ["_sc_ys", "_sc_srt", "_sc_ni", "_sc_q10", "_sc_q90", "_sc_iqr"],
         )
-    def _decompose_prelude() -> int:
-        """Stages through _sc_seas (linefit trend + per-phase seasonal
-        means of the detrended series); returns the period."""
-        if len(args) < 2 or not re.match(r"^\d+$", args[1].strip()):
+    def _decompose_prelude() -> tuple[str, bool]:
+        """Returns (period SQL text, dynamic?). A literal integer
+        period embeds as a constant; period -1 or OMITTED (the ADX
+        default spelling — round-11) switches to per-row
+        AUTODETECTION: argmax autocorrelation of the detrended series
+        over lags 2..n/2, falling back to period 1 (no seasonality —
+        the per-phase mean degenerates to the near-zero residual mean)
+        when the peak autocorrelation is under 0.5. The threshold is
+        the documented refinement of ADX's unspecified significance
+        rule."""
+        if len(args) >= 2:
+            a1 = args[1].strip()
+            if re.match(r"^\d+$", a1):
+                return a1, False
+            if a1 == "-1":
+                return "_sc_p", True
             raise ValueError(
-                f"{fn} needs (series, period [, …]) with an integer"
-                " period (no seasonality autodetection —"
-                " explicit-subset contract)"
+                f"{fn} needs (series [, period]) with an integer"
+                " period or -1/omitted for autodetection"
             )
-        return int(args[1])
+        return "_sc_p", True
+
+    def _emit_autoperiod() -> list[str]:
+        """Emit the _sc_p autodetection stages (requires _sc_det and
+        _sc_n); returns the temp names they add."""
+        nest(
+            "coalesce(nullif("
+            + _sum_sql("transform(_sc_det, _x -> _x * _x)")
+            + f", {_D0}), CAST(1 AS DOUBLE)) AS _sc_pden"
+        )
+        nest(
+            "transform(sequence(2, greatest(2,"
+            " CAST(_sc_n / 2 AS INT))), _L -> CASE"
+            " WHEN size(_sc_det) - _L >= 1 THEN"
+            f" aggregate(sequence(1, size(_sc_det) - _L), {_D0},"
+            " (_a, _i) -> _a + element_at(_sc_det, _i)"
+            " * element_at(_sc_det, _i + _L)) / _sc_pden"
+            f" ELSE {_D0} END) AS _sc_pacs"
+        )
+        nest("array_max(_sc_pacs) AS _sc_pbest")
+        nest(
+            "IF(_sc_pbest >= 0.5, 2 +"
+            " CAST(array_position(_sc_pacs, _sc_pbest) AS INT) - 1,"
+            " 1) AS _sc_p"
+        )
+        return ["_sc_pden", "_sc_pacs", "_sc_pbest", "_sc_p"]
 
     if fn == "series_decompose_forecast":
         # series_decompose_forecast(y, points, period) (round-7,
@@ -1943,7 +1985,8 @@ def _series_chain_sql(
         )
     if fn == "series_decompose":
         base, seas, trend, resid = names
-        p = _decompose_prelude()
+        pstr, pdyn = _decompose_prelude()
+        phi = "(_sc_p - 1)" if pdyn else str(int(pstr) - 1)
         nest(f"{ys} AS _sc_ys")
         nest("CAST(size(_sc_ys) AS DOUBLE) AS _sc_n")
         nest(
@@ -1962,11 +2005,12 @@ def _series_chain_sql(
             "transform(_sc_ys, (_x, _i) ->"
             " _x - (_sc_icept + _sc_slope * _i)) AS _sc_det"
         )
+        ptmp = _emit_autoperiod() if pdyn else []
         nest(
-            f"transform(sequence(0, {p - 1}), _p -> aggregate("
+            f"transform(sequence(0, {phi}), _p -> aggregate("
             "transform(_sc_det, (_x, _i) -> named_struct('x', _x, 'i', _i)),"
             f" named_struct('s', {_D0}, 'c', {_D0}),"
-            f" (_a, _e) -> IF(_e.i % {p} = _p,"
+            f" (_a, _e) -> IF(_e.i % {pstr} = _p,"
             " named_struct('s', _a.s + _e.x, 'c', _a.c + 1), _a),"
             f" _a -> _a.s / nullif(_a.c, {_D0}))) AS _sc_seas"
         )
@@ -1974,17 +2018,18 @@ def _series_chain_sql(
             "transform(_sc_ys, (_x, _i) ->"
             f" _sc_icept + _sc_slope * _i) AS {trend},"
             " transform(_sc_ys, (_x, _i) ->"
-            f" element_at(_sc_seas, _i % {p} + 1)) AS {seas}"
+            f" element_at(_sc_seas, _i % {pstr} + 1)) AS {seas}"
         )
         nest(f"zip_with({trend}, {seas}, (_t, _s) -> _t + _s) AS {base}")
         return build(
             f"zip_with(_sc_ys, {base}, (_x, _b) -> _x - _b) AS {resid}",
             ["_sc_ys", "_sc_n", "_sc_sy", "_sc_sxy", "_sc_sx", "_sc_sxx",
-             "_sc_slope", "_sc_icept", "_sc_det", "_sc_seas"],
+             "_sc_slope", "_sc_icept", "_sc_det", "_sc_seas"] + ptmp,
         )
     if fn == "series_decompose_anomalies":
         anom, score, base = names
-        p = _decompose_prelude()
+        pstr, pdyn = _decompose_prelude()
+        phi = "(_sc_p - 1)" if pdyn else str(int(pstr) - 1)
         k = _expr(args[2]) if len(args) > 2 else "1.5"
         nest(f"{ys} AS _sc_ys")
         nest("CAST(size(_sc_ys) AS DOUBLE) AS _sc_n")
@@ -2007,17 +2052,18 @@ def _series_chain_sql(
             "transform(_sc_ys, (_x, _i) ->"
             " _x - (_sc_icept + _sc_slope * _i)) AS _sc_det"
         )
+        ptmp = _emit_autoperiod() if pdyn else []
         nest(
-            f"transform(sequence(0, {p - 1}), _p -> aggregate("
+            f"transform(sequence(0, {phi}), _p -> aggregate("
             "transform(_sc_det, (_x, _i) -> named_struct('x', _x, 'i', _i)),"
             f" named_struct('s', {_D0}, 'c', {_D0}),"
-            f" (_a, _e) -> IF(_e.i % {p} = _p,"
+            f" (_a, _e) -> IF(_e.i % {pstr} = _p,"
             " named_struct('s', _a.s + _e.x, 'c', _a.c + 1), _a),"
             f" _a -> _a.s / nullif(_a.c, {_D0}))) AS _sc_seas"
         )
         nest(
             "transform(_sc_ys, (_x, _i) -> _sc_icept + _sc_slope * _i"
-            f" + element_at(_sc_seas, _i % {p} + 1)) AS {base}"
+            f" + element_at(_sc_seas, _i % {pstr} + 1)) AS {base}"
         )
         nest(f"zip_with(_sc_ys, {base}, (_x, _b) -> _x - _b) AS _sc_res")
         nest(
@@ -2040,7 +2086,8 @@ def _series_chain_sql(
             f" WHEN _s < 0 THEN -1 ELSE 0 END) AS {anom}",
             ["_sc_ys", "_sc_n", "_sc_sy", "_sc_sxy", "_sc_sx", "_sc_sxx",
              "_sc_slope", "_sc_icept", "_sc_det", "_sc_seas", "_sc_res",
-             "_sc_srt", "_sc_ni", "_sc_q10", "_sc_q90", "_sc_iqr"],
+             "_sc_srt", "_sc_ni", "_sc_q10", "_sc_q90", "_sc_iqr"]
+            + ptmp,
         )
     raise AssertionError(fn)
 

@@ -677,6 +677,9 @@ PROBES = [
     ("b20 ua yandex", "print f = tostring(parse_json(parse_user_agent('Mozilla/5.0 AppleWebKit Chrome/108.0 YaBrowser/23.1.2.987 Safari/537.36', 'browser')).Browser.Family)"),
     ("b20 ua wechat", "print f = tostring(parse_json(parse_user_agent('Mozilla/5.0 (iPhone) AppleWebKit MicroMessenger/8.0.42 Mobile', 'browser')).Browser.Family)"),
     ("b20 ua qq", "print f = tostring(parse_json(parse_user_agent('Mozilla/5.0 (Linux; Android 13) AppleWebKit MQQBrowser/13.6 Mobile Chrome/94', 'browser')).Browser.Family)"),
+    ("b20 decompose autodetect", "print m = dynamic([10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0]) | extend (b, s, t, res) = series_decompose(m) | project rmax = array_max(series_abs(res))"),
+    ("b20 decompose -1", "print m = dynamic([1.0, 9.0, 2.0, 7.0, 3.5, 8.2, 0.5, 6.6]) | extend (b, s, t, res) = series_decompose(m, -1) | project n = array_length(b)"),
+    ("b20 anomalies autodetect", "print m = dynamic([10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0]) | extend (a, sc, b) = series_decompose_anomalies(m) | project n = array_length(a)"),
 ]
 
 
@@ -1638,6 +1641,39 @@ def test_battery18_value_checks(spark, sf_smoke):
     assert [(r["SourceId"], r["TargetId"], r["w"]) for r in rows] == [
         (1, 2, 10), (3, 4, 20),
     ]
+
+
+def test_battery20_decompose_autodetect(spark):
+    """series_decompose([, -1]) autodetects the period (the ADX
+    default spelling — was a loud explicit-subset error): argmax
+    autocorrelation over lags 2..n/2, seasonal suppressed (period 1)
+    when the peak is under 0.5. On a clean period-4 signal the
+    autodetected result is IDENTICAL to the explicit period-4 fit."""
+    ser = ",".join(
+        str(float(v)) for _ in range(5) for v in (10, 2, 5, 1)
+    )
+    auto = kql(
+        spark,
+        f"print m = dynamic([{ser}])"
+        " | extend (b, s, t, res) = series_decompose(m)"
+        " | project s, rmax = array_max(series_abs(res))",
+    ).collect()[0]
+    expl = kql(
+        spark,
+        f"print m = dynamic([{ser}])"
+        " | extend (b, s, t, res) = series_decompose(m, 4)"
+        " | project s, rmax = array_max(series_abs(res))",
+    ).collect()[0]
+    assert auto["s"] == expl["s"] and auto["rmax"] == expl["rmax"]
+    assert auto["rmax"] < 1.0  # the periodic signal is explained
+    # period-1 fallback on an aperiodic series still decomposes
+    r = kql(
+        spark,
+        "print m = dynamic([1.0, 9.0, 2.0, 7.0, 3.5, 8.2, 0.5, 6.6])"
+        " | extend (b, s, t, res) = series_decompose(m, -1)"
+        " | project n = array_length(b)",
+    ).collect()[0]
+    assert r["n"] == 8
 
 
 def test_battery19_value_checks(spark, sf_smoke):
