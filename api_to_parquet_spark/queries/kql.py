@@ -407,6 +407,11 @@ subset error): per-row argmax autocorrelation over lags 2..n/2,
 period-1 fallback (no seasonality) when the peak is under 0.5 (the
 documented refinement of ADX's unspecified significance rule);
 identical to the explicit-period fit on a clean periodic signal.
+evaluate funnel_sequence (the LAST activity plugin, previously
+loud): prev/next states around the exact greedy first occurrence of
+a dynamic-literal state sequence — one grouped per-id sorted collect
++ one fold (scan's cost model), neighbors off the collected array,
+one tiny grouped distinct count; recursive-CTE oracle.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -10375,6 +10380,137 @@ def _kql_stages_to_sql(
                     f" WHERE _rnear = 1"
                 )
                 continue
+            fnq = re.match(
+                r"funnel_sequence\s*\((.*)\)\s*$",
+                body,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if fnq:
+                # `evaluate funnel_sequence(Id, Timeline, Start, End,
+                # MaxStepWindow, MaxSequencePeriod, State,
+                # dynamic(['s1', 's2', …]))` — the last activity
+                # plugin (round-11): which state precedes and which
+                # follows the exact state SEQUENCE. One grouped
+                # per-id sorted collect + ONE greedy fold finding the
+                # FIRST occurrence (the scan contract: greedy in
+                # timeline order, per-step window + total-period
+                # bounds), neighbors read straight off the collected
+                # array (prev = element before the first step, next =
+                # element after the last — NULL at the edges), then
+                # one tiny grouped COUNT(DISTINCT id) per (prev,
+                # next). Same one-shuffle cost model as scan; the
+                # sequence must be a dynamic literal of strings.
+                fargs = [
+                    s.strip() for s in _split_top_level(fnq.group(1))
+                ]
+                if len(fargs) != 8:
+                    raise ValueError(
+                        "funnel_sequence needs (id, timeline, start,"
+                        " end, step_window, period, state,"
+                        f" dynamic([...])): {fargs!r}"
+                    )
+                (fid, ftl, fst, fen, fsw, fpd, fstate, fseq) = fargs
+                if not re.match(r"^\w+$", fid) or not re.match(
+                    r"^\w+$", ftl
+                ):
+                    raise ValueError(
+                        "funnel_sequence id/timeline must be plain"
+                        f" columns: {fid!r}, {ftl!r}"
+                    )
+                qm = re.match(
+                    r"^dynamic\s*\(\s*\[(.*)\]\s*\)$", fseq, re.DOTALL
+                )
+                if not qm:
+                    raise ValueError(
+                        "funnel_sequence sequence must be a"
+                        f" dynamic([...]) literal: {fseq!r}"
+                    )
+                seq_items = [
+                    x.strip() for x in _split_top_level(qm.group(1))
+                ]
+                if not seq_items or not all(
+                    re.match(r"^['\"].*['\"]$", x) for x in seq_items
+                ):
+                    raise ValueError(
+                        "funnel_sequence sequence items must be"
+                        f" string literals: {seq_items!r}"
+                    )
+                L = len(seq_items)
+                seq_sql = (
+                    "array("
+                    + ", ".join(_strings_to_sql(x) for x in seq_items)
+                    + ")"
+                )
+                tnull = f"CAST(NULL AS TIMESTAMP)"
+                l1 = (
+                    f"SELECT {fid} AS _fsid,"
+                    " sort_array(collect_list(named_struct("
+                    f"'t', {ftl}, 's', CAST({_expr(fstate)} AS"
+                    " STRING)))) AS _fsa"
+                    f" FROM {prev} WHERE {ftl} >= {_expr(fst)}"
+                    f" AND {ftl} < {_expr(fen)} GROUP BY {fid}"
+                )
+                match_step = (
+                    f"_e.s = element_at({seq_sql}, _a.k + 1)"
+                    f" AND (_a.k = 0 OR (_e.t - _a.pt <= {_expr(fsw)}"
+                    f" AND _e.t - _a.ft <= {_expr(fpd)}))"
+                )
+                adv = (
+                    "named_struct('k', _a.k + 1,"
+                    " 'fi', IF(_a.k = 0, _a.i + 1, _a.fi),"
+                    " 'li', IF(_a.k + 1 = " + str(L) + ","
+                    " _a.i + 1, _a.li),"
+                    " 'ft', IF(_a.k = 0, _e.t, _a.ft),"
+                    " 'pt', _e.t, 'i', _a.i + 1,"
+                    " 'done', _a.k + 1 = " + str(L) + ")"
+                )
+                restart = (
+                    "named_struct('k', 1, 'fi', _a.i + 1,"
+                    f" 'li', IF(1 = {L}, _a.i + 1, 0),"
+                    " 'ft', _e.t, 'pt', _e.t, 'i', _a.i + 1,"
+                    f" 'done', 1 = {L})"
+                )
+                keep = (
+                    "named_struct('k', _a.k, 'fi', _a.fi,"
+                    " 'li', _a.li, 'ft', _a.ft, 'pt', _a.pt,"
+                    " 'i', _a.i + 1, 'done', _a.done)"
+                )
+                reset = (
+                    "named_struct('k', 0, 'fi', 0, 'li', 0,"
+                    f" 'ft', {tnull}, 'pt', {tnull},"
+                    " 'i', _a.i + 1, 'done', false)"
+                )
+                fold = (
+                    "aggregate(_fsa, named_struct('k', 0, 'fi', 0,"
+                    f" 'li', 0, 'ft', {tnull}, 'pt', {tnull},"
+                    " 'i', 0, 'done', false),"
+                    " (_a, _e) -> CASE"
+                    " WHEN _a.done THEN " + keep +
+                    f" WHEN {match_step} THEN {adv}"
+                    " WHEN _e.s = element_at(" + seq_sql + ", 1)"
+                    f" THEN {restart}"
+                    f" ELSE {reset} END)"
+                )
+                l2 = (
+                    f"SELECT _fsid, _fsa, {fold} AS _fsm"
+                    f" FROM ({l1}) AS _fs1"
+                )
+                l3 = (
+                    "SELECT _fsid,"
+                    " IF(_fsm.fi > 1,"
+                    " element_at(_fsa, _fsm.fi - 1).s,"
+                    " CAST(NULL AS STRING)) AS prev,"
+                    " IF(_fsm.li < size(_fsa),"
+                    " element_at(_fsa, _fsm.li + 1).s,"
+                    " CAST(NULL AS STRING)) AS next"
+                    f" FROM ({l2}) AS _fs2 WHERE _fsm.done"
+                )
+                sql = (
+                    "SELECT prev, next,"
+                    " COUNT(DISTINCT _fsid) AS dcount"
+                    f" FROM ({l3}) AS _fs3 GROUP BY prev, next"
+                )
+                continue
             sqm = re.match(
                 r"sequence_detect\s*\((.*)\)\s*$",
                 body,
@@ -15236,6 +15372,27 @@ def q_kql_scalar_fns15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """evaluate funnel_sequence (round-11 — the last activity plugin):
+    which state precedes and follows the exact view→click→purchase
+    sequence per user. ONE grouped per-id sorted collect + ONE greedy
+    first-occurrence fold (scan's cost model; per-step window 2d,
+    total period 10d), neighbors read off the collected array, then a
+    tiny grouped COUNT(DISTINCT id). ~25 (prev, next) combos at
+    sf0.01. The oracle replays the greedy fold as a DuckDB recursive
+    CTE carrying (k, fi, li, ft, pt, done) per user in (ts, state)
+    order — exact."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | evaluate funnel_sequence(user_id, ts,"
+        " datetime(2024-01-01), datetime(2024-03-01), 2d, 10d,"
+        " event_type, dynamic(['view', 'click', 'purchase']))"
+        " | sort by dcount desc, prev asc nulls first,"
+        " next asc nulls first",
+    )
+
+
 def q_kql_rws_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ADX row_window_session signature (round-11 probe battery
     15): (Expr, MaxDistanceFromFirst, MaxDistanceBetweenValues) — the
@@ -15814,6 +15971,7 @@ QUERIES = {
     "kql_scalar_fns13": q_kql_scalar_fns13,
     "kql_scalar_fns14": q_kql_scalar_fns14,
     "kql_scalar_fns15": q_kql_scalar_fns15,
+    "kql_funnel_sequence": q_kql_funnel_sequence,
     "kql_rws_full": q_kql_rws_full,
     "kql_graph_components": q_kql_graph_components,
     "kql_db_qualifier": q_kql_db_qualifier,
@@ -17171,6 +17329,101 @@ ORACLE = {
         SELECT src, event_type, count(*)::BIGINT AS n
         FROM u WHERE event_id < 150
         GROUP BY src, event_type
+    """,
+    "kql_funnel_sequence": """
+        WITH RECURSIVE o AS (
+            SELECT user_id AS id, ts, event_type AS s,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_type) AS rn
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND ts < TIMESTAMP '2024-03-01'
+        ), r AS (
+            SELECT id, rn, ts, s,
+                   CASE WHEN s = 'view' THEN 1 ELSE 0 END AS k,
+                   CASE WHEN s = 'view' THEN 1 ELSE 0 END AS fi,
+                   0 AS li,
+                   CASE WHEN s = 'view' THEN ts END AS ft,
+                   CASE WHEN s = 'view' THEN ts END AS pt,
+                   false AS done
+            FROM o WHERE rn = 1
+            UNION ALL
+            SELECT o.id, o.rn, o.ts, o.s,
+                   CASE WHEN r.done THEN r.k
+                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
+                             AND (r.k = 0 OR (
+                               epoch_us(o.ts) - epoch_us(r.pt)
+                                 <= 172800000000
+                               AND epoch_us(o.ts) - epoch_us(r.ft)
+                                 <= 864000000000))
+                          THEN r.k + 1
+                        WHEN o.s = 'view' THEN 1
+                        ELSE 0 END AS k,
+                   CASE WHEN r.done THEN r.fi
+                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
+                             AND (r.k = 0 OR (
+                               epoch_us(o.ts) - epoch_us(r.pt)
+                                 <= 172800000000
+                               AND epoch_us(o.ts) - epoch_us(r.ft)
+                                 <= 864000000000))
+                          THEN CASE WHEN r.k = 0 THEN o.rn
+                               ELSE r.fi END
+                        WHEN o.s = 'view' THEN o.rn
+                        ELSE 0 END AS fi,
+                   CASE WHEN r.done THEN r.li
+                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
+                             AND (r.k = 0 OR (
+                               epoch_us(o.ts) - epoch_us(r.pt)
+                                 <= 172800000000
+                               AND epoch_us(o.ts) - epoch_us(r.ft)
+                                 <= 864000000000))
+                             AND r.k + 1 = 3
+                          THEN o.rn
+                        ELSE r.li END AS li,
+                   CASE WHEN r.done THEN r.ft
+                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
+                             AND (r.k = 0 OR (
+                               epoch_us(o.ts) - epoch_us(r.pt)
+                                 <= 172800000000
+                               AND epoch_us(o.ts) - epoch_us(r.ft)
+                                 <= 864000000000))
+                          THEN CASE WHEN r.k = 0 THEN o.ts
+                               ELSE r.ft END
+                        WHEN o.s = 'view' THEN o.ts
+                        END AS ft,
+                   CASE WHEN r.done THEN r.pt
+                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
+                             AND (r.k = 0 OR (
+                               epoch_us(o.ts) - epoch_us(r.pt)
+                                 <= 172800000000
+                               AND epoch_us(o.ts) - epoch_us(r.ft)
+                                 <= 864000000000))
+                          THEN o.ts
+                        WHEN o.s = 'view' THEN o.ts
+                        END AS pt,
+                   r.done OR (
+                     o.s = (['view','click','purchase'])[r.k + 1]
+                     AND (r.k = 0 OR (
+                       epoch_us(o.ts) - epoch_us(r.pt)
+                         <= 172800000000
+                       AND epoch_us(o.ts) - epoch_us(r.ft)
+                         <= 864000000000))
+                     AND r.k + 1 = 3) AS done
+            FROM r JOIN o ON o.id = r.id AND o.rn = r.rn + 1
+        ), f AS (
+            SELECT r.* FROM r
+            JOIN (SELECT id, MAX(rn) AS mr FROM r GROUP BY id) mx
+              ON mx.id = r.id AND mx.mr = r.rn
+            WHERE r.done
+        )
+        SELECT p.s AS prev, nx.s AS "next",
+               COUNT(DISTINCT f.id) AS dcount
+        FROM f
+        LEFT JOIN o p ON p.id = f.id AND p.rn = f.fi - 1
+        LEFT JOIN o nx ON nx.id = f.id AND nx.rn = f.li + 1
+        GROUP BY 1, 2
+        ORDER BY dcount DESC, prev ASC NULLS FIRST,
+                 "next" ASC NULLS FIRST
     """,
     "kql_rws_full": """
         WITH RECURSIVE o AS (

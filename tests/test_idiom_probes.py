@@ -680,6 +680,7 @@ PROBES = [
     ("b20 decompose autodetect", "print m = dynamic([10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0]) | extend (b, s, t, res) = series_decompose(m) | project rmax = array_max(series_abs(res))"),
     ("b20 decompose -1", "print m = dynamic([1.0, 9.0, 2.0, 7.0, 3.5, 8.2, 0.5, 6.6]) | extend (b, s, t, res) = series_decompose(m, -1) | project n = array_length(b)"),
     ("b20 anomalies autodetect", "print m = dynamic([10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0,10.0,2.0,5.0,1.0]) | extend (a, sc, b) = series_decompose_anomalies(m) | project n = array_length(a)"),
+    ("b20 funnel_sequence", "events | evaluate funnel_sequence(user_id, ts, datetime(2024-01-01), datetime(2024-03-01), 2d, 10d, event_type, dynamic(['view', 'click', 'purchase'])) | count"),
 ]
 
 
@@ -1641,6 +1642,51 @@ def test_battery18_value_checks(spark, sf_smoke):
     assert [(r["SourceId"], r["TargetId"], r["w"]) for r in rows] == [
         (1, 2, 10), (3, 4, 20),
     ]
+
+
+def test_battery20_funnel_sequence(spark):
+    """evaluate funnel_sequence (the last activity plugin): prev/next
+    states around the exact greedy first occurrence, per-step window
+    and total-period bounds enforced, distinct-id counts."""
+    q = (
+        "datatable(uid: long, t: datetime, st: string) ["
+        "1, datetime(2024-01-01 10:00:00), 'login',"
+        " 1, datetime(2024-01-01 10:01:00), 'view',"
+        " 1, datetime(2024-01-01 10:02:00), 'click',"
+        " 1, datetime(2024-01-01 10:03:00), 'buy',"
+        " 1, datetime(2024-01-01 10:04:00), 'logout',"
+        " 2, datetime(2024-01-01 11:00:00), 'view',"
+        " 2, datetime(2024-01-01 11:01:00), 'click',"
+        " 2, datetime(2024-01-01 11:02:00), 'buy',"
+        " 3, datetime(2024-01-01 12:00:00), 'view',"
+        " 3, datetime(2024-01-01 12:01:00), 'buy',"
+        " 4, datetime(2024-01-01 13:00:00), 'search',"
+        " 4, datetime(2024-01-01 13:01:00), 'view',"
+        " 4, datetime(2024-01-01 13:02:00), 'click',"
+        " 4, datetime(2024-01-01 13:03:00), 'buy',"
+        " 4, datetime(2024-01-01 13:04:00), 'search']"
+        " | evaluate funnel_sequence(uid, t, datetime(2024-01-01),"
+        " datetime(2024-01-02), 10m, 1h, st,"
+        " dynamic(['view', 'click', 'buy']))"
+    )
+    rows = kql(spark, q).collect()
+    got = {(r["prev"], r["next"]): r["dcount"] for r in rows}
+    assert got == {
+        ("login", "logout"): 1,
+        (None, None): 1,
+        ("search", "search"): 1,
+    }
+    # a step-window violation breaks the sequence
+    q2 = (
+        "datatable(uid: long, t: datetime, st: string) ["
+        "1, datetime(2024-01-01 10:00:00), 'view',"
+        " 1, datetime(2024-01-01 10:30:00), 'click',"
+        " 1, datetime(2024-01-01 10:31:00), 'buy']"
+        " | evaluate funnel_sequence(uid, t, datetime(2024-01-01),"
+        " datetime(2024-01-02), 10m, 1h, st,"
+        " dynamic(['view', 'click', 'buy']))"
+    )
+    assert kql(spark, q2).count() == 0
 
 
 def test_battery20_decompose_autodetect(spark):
