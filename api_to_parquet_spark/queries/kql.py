@@ -412,6 +412,22 @@ loud): prev/next states around the exact greedy first occurrence of
 a dynamic-literal state sequence — one grouped per-id sorted collect
 + one fold (scan's cost model), neighbors off the collected array,
 one tiny grouped distinct count; recursive-CTE oracle.
+Probe battery 21 additions (round-11, tenth sweep, first half): the
+has_ipv4 FAMILY fixed and completed — has_ipv4 now matches the
+SPECIFIC delimited address ('10.1.2.34' no longer satisfies
+has_ipv4(text, '10.1.2.3'); the old form matched ANY valid ipv4, a
+SILENT value bug), has_ipv4_prefix / has_any_ipv4 /
+has_any_ipv4_prefix (literal lists unpack at translate time,
+expression ips build the pattern at runtime), ipv4_is_in_any_range
+(OR over literal ranges), ipv4_is_in_range suffix-less ranges
+(= /32); ipv4_netmask_suffix no longer crashes on a bare address
+(ANSI INVALID_ARRAY_INDEX via split()[1] — now try_element_at with
+the /32 default, null on a non-ipv4); bag_remove_keys rides
+map<string,variant> so values keep their JSON types ("2" -> 2);
+bag_set_key (variant upsert); strrep 3-arg delimiter; pack_all()
+keeps nulls (ADX default; pack_all(true) drops them — the bare form
+previously rode Spark's ignoreNullFields default, a silent
+divergence).
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -2364,7 +2380,23 @@ def _beta_cdf_sql(args: list[str]) -> str:
     from the Lanczos loggamma. Pure builtin arithmetic, map-side."""
     if len(args) != 3:
         raise ValueError(f"beta_cdf needs (x, a, b): {args!r}")
-    x0, a0, b0 = (f"CAST({s.strip()} AS DOUBLE)" for s in args)
+    # bind the arguments ONCE (the welch_test lambda-binding rule):
+    # the CF fold repeats x/a/b dozens of times, so a composite
+    # argument (e.g. beta_cdf over a beta_inv fold) would otherwise
+    # expand multiplicatively — battery 21 measured the unbound
+    # round-trip beta_cdf(beta_inv(p,a,b),a,b) past a 5-minute plan
+    xx, aa_, bb_ = (f"CAST({s.strip()} AS DOUBLE)" for s in args)
+    if any(
+        len(s.strip()) > 24 or re.search(r"\w\s*\(", s)
+        for s in args
+    ):
+        body = _beta_cdf_sql(["_bc.x", "_bc.a", "_bc.b"])
+        return (
+            f"(element_at(transform(array(named_struct("
+            f"'x', {xx}, 'a', {aa_}, 'b', {bb_})),"
+            f" _bc -> {body}), 1))"
+        )
+    x0, a0, b0 = xx, aa_, bb_
 
     def g(v: str) -> str:
         # Lentz FPMIN guard: a vanishing term must not zero the chain
@@ -2410,6 +2442,77 @@ def _beta_cdf_sql(args: list[str]) -> str:
         f" WHEN ({x0}) < (({a0}) + 1) / (({a0}) + ({b0}) + 2)"
         f" THEN {core(a0, b0, x0)}"
         f" ELSE 1 - {core(b0, a0, f'(1 - ({x0}))')} END)"
+    )
+
+
+def _beta_pdf_sql(args: list[str]) -> str:
+    """beta_pdf(x, a, b) = x^(a-1)(1-x)^(b-1) / B(a, b) via the log
+    form (ln B from the Lanczos loggamma — the beta_cdf precedent;
+    round-11 battery 21, was a loud gap). Outside the open interval
+    (0, 1) the density is 0 — the boundary values where a < 1 or
+    b < 1 diverge and are pinned to 0, a documented refinement."""
+    if len(args) != 3:
+        raise ValueError(f"beta_pdf needs (x, a, b): {args!r}")
+    if any(
+        len(s.strip()) > 24 or re.search(r"\w\s*\(", s)
+        for s in args
+    ):
+        # the welch_test lambda-binding rule (see _beta_cdf_sql)
+        x0, a0, b0 = (f"CAST({s.strip()} AS DOUBLE)" for s in args)
+        body = _beta_pdf_sql(["_bp.x", "_bp.a", "_bp.b"])
+        return (
+            f"(element_at(transform(array(named_struct("
+            f"'x', {x0}, 'a', {a0}, 'b', {b0})),"
+            f" _bp -> {body}), 1))"
+        )
+    x0, a0, b0 = (f"CAST({s.strip()} AS DOUBLE)" for s in args)
+    lnb = (
+        f"({_lgamma_core(a0)} + {_lgamma_core(b0)}"
+        f" - {_lgamma_core(f'({a0}) + ({b0})')})"
+    )
+    return (
+        f"(CASE WHEN ({x0}) <= 0 OR ({x0}) >= 1 THEN CAST(0 AS DOUBLE)"
+        f" ELSE exp((({a0}) - 1) * ln({x0})"
+        f" + (({b0}) - 1) * ln(1 - ({x0})) - {lnb}) END)"
+    )
+
+
+def _beta_inv_sql(args: list[str]) -> str:
+    """beta_inv(p, a, b) — the inverse regularized incomplete beta,
+    by 60-step bisection over the monotone beta_cdf inside ONE
+    aggregate() fold (interval shrinks to 2^-60 ~ 1e-18; each step
+    re-evaluates the Lentz CF — constant-depth builtin arithmetic,
+    map-side; round-11 battery 21, was a loud gap)."""
+    if len(args) != 3:
+        raise ValueError(f"beta_inv needs (p, a, b): {args!r}")
+    if any(
+        len(s.strip()) > 24 or re.search(r"\w\s*\(", s)
+        for s in args
+    ):
+        # the welch_test lambda-binding rule (see _beta_cdf_sql)
+        xp, xa, xb = (f"CAST({s.strip()} AS DOUBLE)" for s in args)
+        body = _beta_inv_sql(["_bv.p", "_bv.a", "_bv.b"])
+        return (
+            f"(element_at(transform(array(named_struct("
+            f"'p', {xp}, 'a', {xa}, 'b', {xb})),"
+            f" _bv -> {body}), 1))"
+        )
+    p0 = f"CAST({args[0].strip()} AS DOUBLE)"
+    cdfm = _beta_cdf_sql(["((_bi.lo + _bi.hi) / 2)", args[1], args[2]])
+    mid = "((_bi.lo + _bi.hi) / 2)"
+    fold = (
+        "aggregate(sequence(1, 60),"
+        " named_struct('lo', CAST(0 AS DOUBLE), 'hi',"
+        " CAST(1 AS DOUBLE)),"
+        f" (_bi, _bs) -> CASE WHEN {cdfm} < ({p0})"
+        f" THEN named_struct('lo', {mid}, 'hi', _bi.hi)"
+        f" ELSE named_struct('lo', _bi.lo, 'hi', {mid}) END,"
+        " _bf -> (_bf.lo + _bf.hi) / 2)"
+    )
+    return (
+        f"(CASE WHEN ({p0}) <= 0 THEN CAST(0 AS DOUBLE)"
+        f" WHEN ({p0}) >= 1 THEN CAST(1 AS DOUBLE)"
+        f" ELSE {fold} END)"
     )
 
 
@@ -3335,6 +3438,8 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "erfc", _erfc_sql)
     e = _rewrite_fn(e, "erf", _erf_sql)
     e = _rewrite_fn(e, "beta_cdf", _beta_cdf_sql)
+    e = _rewrite_fn(e, "beta_pdf", _beta_pdf_sql)
+    e = _rewrite_fn(e, "beta_inv", _beta_inv_sql)
     e = _rewrite_fn(e, "welch_test", _welch_test_sql)
     e = _rewrite_fn(e, "parse_user_agent", _parse_user_agent_sql)
     def _moving_avg_sql(a: list[str]) -> str:
@@ -3604,7 +3709,21 @@ def _expr(kql_expr: str) -> str:
     # strrep maps to Spark's string repeat() (round-6: Spark repeat(1,3)
     # silently produced '111' instead of [1,1,1])
     e = _sub_outside_strings(r"\brepeat\(", "array_repeat(", e)
-    e = _sub_outside_strings(r"\bstrrep\(", "repeat(", e)
+    # strrep 3-arg carries a delimiter between repetitions (battery
+    # 21): join n copies; the 2-arg form is Spark's string repeat
+    e = _rewrite_fn(
+        e,
+        "strrep",
+        lambda a: (
+            f"repeat({a[0]}, {a[1]})"
+            if len(a) == 2
+            else (
+                f"array_join(array_repeat(CAST({a[0].strip()} AS"
+                f" STRING), CAST({a[1].strip()} AS INT)),"
+                f" {a[2].strip()})"
+            )
+        ),
+    )
     e = _sub_outside_strings(r"\bmin_of\(", "least(", e)
     e = _sub_outside_strings(r"\bmax_of\(", "greatest(", e)
     e = _sub_outside_strings(r"\bisnull\(([^()]+)\)", r"(\1 IS NULL)", e)
@@ -4111,41 +4230,137 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "ipv6_compare", _ipv6_compare_sql)
     e = _rewrite_fn(e, "ipv6_is_match", _ipv6_is_match_sql)
     e = _rewrite_fn(e, "ipv6_is_in_range", _ipv6_in_range_sql)
+    def _has_ip_pattern(ip: str, prefix: bool) -> str:
+        """SQL for the delimited-occurrence regex of one SPECIFIC
+        ipv4 (or ipv4 PREFIX) expression. A string literal folds into
+        the pattern at translate time; any other expression builds the
+        pattern at runtime (dots escaped via replace). The token must
+        be a complete valid dotted quad either way — battery 21 caught
+        the old form matching ANY ipv4 ('10.1.2.34' satisfied
+        has_ipv4(text, '10.1.2.3'), a silent value bug."""
+        ip = ip.strip()
+        lm = re.match(r"^'((?:[^']|'')*)'$", ip)
+        # prefix: a complete valid ipv4 whose text STARTS with the
+        # prefix (lookahead) — '10.1.2.34' satisfies prefix
+        # '10.1.2.3'. exact: the delimited ip and nothing more (a
+        # lookahead + generic ipv4 tail would let '10.1.2.34'
+        # satisfy '10.1.2.3').
+        open_g = "(?=" if prefix else "("
+        close_g = f"){_IPV4_RE}($|[^0-9.])" if prefix else ")($|[^0-9.])"
+        if lm:
+            quoted = lm.group(1).replace(".", "\\\\.")
+            pat = f"'(^|[^0-9.]){open_g}{quoted}{close_g}'"
+        else:
+            pat = (
+                f"concat('(^|[^0-9.]){open_g}',"
+                f" replace({ip}, '.', '\\\\.'), '{close_g}')"
+            )
+        valid = (
+            f"({ip}) RLIKE '^[0-9.]+$'"
+            if prefix
+            else f"({ip}) RLIKE '^{_IPV4_RE}$'"
+        )
+        return pat, valid
+
+    def _has_ipv4_sql(a: list[str], prefix: bool, name: str) -> str:
+        if len(a) != 2:
+            raise ValueError(f"{name} needs (source, ip): {a!r}")
+        pat, valid = _has_ip_pattern(a[1], prefix)
+        return (
+            f"coalesce(({a[0].strip()}) RLIKE {pat}"
+            f" AND {valid}, false)"
+        )
+
+    def _list_literal_items(arg: str) -> list[str] | None:
+        # a dynamic([...]) / pack_array(...) LITERAL list, unpacked to
+        # its top-level items at translate time; None when not a list
+        m = re.match(r"^\s*dynamic\s*\(\s*\[(.*)\]\s*\)\s*$", arg, re.S)
+        if m:
+            return _split_top_level(m.group(1))
+        m = re.match(r"^\s*pack_array\s*\((.*)\)\s*$", arg, re.S)
+        if m:
+            return _split_top_level(m.group(1))
+        return None
+
+    def _has_any_ipv4_sql(a: list[str], prefix: bool, name: str) -> str:
+        # list form: either varargs of strings or ONE dynamic([...])/
+        # pack_array(...) literal list (the documented shapes; a
+        # runtime array column is indistinguishable from a string
+        # column at translate time — explicit subset)
+        if len(a) < 2:
+            raise ValueError(f"{name} needs (source, ip, ...): {a!r}")
+        ips = a[1:]
+        if len(ips) == 1:
+            items = _list_literal_items(ips[0])
+            if items is not None:
+                ips = items
+        parts = [_has_ipv4_sql([a[0], ip], prefix, name) for ip in ips]
+        return "(" + " OR ".join(parts) + ")"
+
     e = _rewrite_fn(
         e,
-        "has_ipv4",
-        # a properly-delimited valid dotted quad anywhere in the text
-        lambda a: (
-            f"coalesce({a[0].strip()} RLIKE"
-            f" '(^|[^0-9.]){_IPV4_RE}($|[^0-9.])', false)"
-        ),
+        "has_any_ipv4_prefix",
+        lambda a: _has_any_ipv4_sql(a, True, "has_any_ipv4_prefix"),
+    )
+    e = _rewrite_fn(
+        e,
+        "has_any_ipv4",
+        lambda a: _has_any_ipv4_sql(a, False, "has_any_ipv4"),
+    )
+    e = _rewrite_fn(
+        e,
+        "has_ipv4_prefix",
+        lambda a: _has_ipv4_sql(a, True, "has_ipv4_prefix"),
+    )
+    e = _rewrite_fn(
+        e, "has_ipv4", lambda a: _has_ipv4_sql(a, False, "has_ipv4")
     )
 
-    def _ipv4_in_range_sql(a: list[str]) -> str:
-        # range must be a 'base/prefix' literal (resolved at translate
-        # time); the ip side is any expression
-        if len(a) != 2:
-            raise ValueError(f"ipv4_is_in_range needs (ip, range): {a!r}")
+    def _ipv4_range_test(ip_sql: str, rng: str) -> str:
+        # one literal 'a.b.c.d[/nn]' range (no suffix = /32) against a
+        # pre-translated ip expression
         rm = re.match(
-            r"^'(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})/(\d{1,2})'$",
-            a[1].strip(),
+            r"^'(\d{1,3})\.(\d{1,3})\.(\d{1,3})\.(\d{1,3})(?:/(\d{1,2}))?'$",
+            rng.strip(),
         )
         if not rm:
             raise ValueError(
-                "ipv4_is_in_range needs a literal 'a.b.c.d/nn' range"
-                f" (explicit subset): {a[1]!r}"
+                "ipv4_is_in_range needs a literal 'a.b.c.d[/nn]' range"
+                f" (explicit subset): {rng!r}"
             )
         o = [int(rm.group(i)) for i in range(1, 5)]
-        bits = int(rm.group(5))
+        bits = int(rm.group(5)) if rm.group(5) is not None else 32
         if bits > 32 or any(x > 255 for x in o):
-            raise ValueError(f"bad ipv4 range: {a[1]!r}")
+            raise ValueError(f"bad ipv4 range: {rng!r}")
         base = (o[0] << 24) + (o[1] << 16) + (o[2] << 8) + o[3]
         shift = 2 ** (32 - bits)
-        return (
-            f"(({_parse_ipv4_expr(a[0])}) div {shift}"
-            f" = {base // shift})"
-        )
+        return f"(({ip_sql}) div {shift} = {base // shift})"
 
+    def _ipv4_in_range_sql(a: list[str]) -> str:
+        # range(s) must be 'base[/prefix]' literals (resolved at
+        # translate time); the ip side is any expression
+        if len(a) != 2:
+            raise ValueError(f"ipv4_is_in_range needs (ip, range): {a!r}")
+        return _ipv4_range_test(_parse_ipv4_expr(a[0]), a[1])
+
+    def _ipv4_in_any_range_sql(a: list[str]) -> str:
+        # ipv4_is_in_any_range(ip, r1, r2, ...) — OR over literal
+        # ranges; a dynamic([...]) single-arg list unpacks to its
+        # literal elements at translate time (battery 21)
+        if len(a) < 2:
+            raise ValueError(
+                f"ipv4_is_in_any_range needs (ip, range, ...): {a!r}"
+            )
+        ranges = a[1:]
+        if len(ranges) == 1:
+            items = _list_literal_items(ranges[0])
+            if items is not None:
+                ranges = items
+        ip_sql = _parse_ipv4_expr(a[0])
+        parts = [_ipv4_range_test(ip_sql, r) for r in ranges]
+        return "(" + " OR ".join(parts) + ")"
+
+    e = _rewrite_fn(e, "ipv4_is_in_any_range", _ipv4_in_any_range_sql)
     e = _rewrite_fn(e, "ipv4_is_in_range", _ipv4_in_range_sql)
 
     def _ipv4_match_sql(a: list[str]) -> str:
@@ -4764,11 +4979,17 @@ def _expr(kql_expr: str) -> str:
         )
 
     e = _rewrite_fn(e, "ipv4_is_private", _ipv4_is_private_sql)
+    # suffix via try_element_at — a bare address has no second split
+    # element and [1] is an ANSI runtime error (battery 21); null on a
+    # non-ipv4 address part (the ADX contract)
     e = _rewrite_fn(
         e,
         "ipv4_netmask_suffix",
         lambda a: (
-            f"coalesce(try_cast(split({a[0]}, '/')[1] AS INT), 32)"
+            f"CASE WHEN try_element_at(split({a[0]}, '/'), 1)"
+            f" RLIKE '^{_IPV4_RE}$' THEN"
+            f" coalesce(try_cast(try_element_at(split({a[0]}, '/'), 2)"
+            " AS INT), 32) END"
         ),
     )
     e = _rewrite_fn(
@@ -4998,19 +5219,22 @@ def _expr(kql_expr: str) -> str:
         )
         if m:
             arg = m.group(1).strip()
-        return f"json_object_keys({arg})"
+        # CAST AS STRING: a stored VARIANT bag (todynamic output)
+        # yields its JSON text; no-op on string bags (battery 21)
+        return f"json_object_keys(CAST({arg} AS STRING))"
 
     e = _rewrite_fn(e, "bag_keys", _bag_keys_sql)
     # bag_has_key / bag_remove_keys (round-6): top-level keys only
-    # (ADX's JSONPath keys are out of the subset); removal goes
-    # through map<string,string>, so the usual value string-widening
-    # applies. Keys argument: any array<string> expression
+    # (ADX's JSONPath keys are out of the subset). Removal rides
+    # map<string,variant> (round-11), so values keep their dynamic
+    # types. Keys argument: any array<string> expression
     # (pack_array(...) is the literal form).
     e = _rewrite_fn(
         e,
         "bag_has_key",
         lambda a: (
-            f"coalesce(array_contains(json_object_keys({a[0].strip()}),"
+            "coalesce(array_contains(json_object_keys(CAST("
+            f"{a[0].strip()} AS STRING)),"
             f" {a[1].strip()}), false)"
         ),
     )
@@ -5051,15 +5275,41 @@ def _expr(kql_expr: str) -> str:
         )
 
     e = _rewrite_fn(e, "parse_command_line", _parse_cmdline_sql)
+    # bag_remove_keys / bag_set_key ride map<string,variant> (battery
+    # 21): values keep their dynamic types through the round-trip
+    # (map<string,string> widened 2 to "2" before)
     e = _rewrite_fn(
         e,
         "bag_remove_keys",
         lambda a: (
-            "to_json(map_filter(from_json(coalesce("
-            f"{a[0].strip()}, '{{}}'), 'map<string,string>'),"
-            f" (_k, _v) -> NOT array_contains({a[1].strip()}, _k)))"
+            "to_json(map_filter(from_json(coalesce(CAST("
+            f"{a[0].strip()} AS STRING), '{{}}'),"
+            " 'map<string,variant>'),"
+            f" (_k, _v) -> NOT array_contains(CAST({a[1].strip()}"
+            " AS ARRAY<STRING>), _k)))"
         ),
     )
+
+    def _bag_set_key_sql(a: list[str]) -> str:
+        # bag_set_key(bag, key, value): upsert one top-level key. The
+        # existing entry is filtered out first (Spark's map_concat
+        # raises on duplicate keys under the default dedup policy);
+        # the value casts to VARIANT so numbers/bools/arrays keep
+        # their JSON types.
+        if len(a) != 3:
+            raise ValueError(
+                f"bag_set_key needs (bag, key, value): {a!r}"
+            )
+        bag, key, val = (x.strip() for x in a)
+        return (
+            "to_json(map_concat(map_filter(from_json(coalesce("
+            f"CAST({bag} AS STRING), '{{}}'), 'map<string,variant>'),"
+            f" (_k, _v) -> _k != ({key})),"
+            f" map(CAST({key} AS STRING), try_cast(({val}) AS"
+            " VARIANT))))"
+        )
+
+    e = _rewrite_fn(e, "bag_set_key", _bag_set_key_sql)
 
     # pack()/bag_pack(): dynamic property-bag CONSTRUCTION, the inverse
     # of evaluate bag_unpack. Bags are JSON text in this engine. With
@@ -5089,9 +5339,19 @@ def _expr(kql_expr: str) -> str:
     # (probe battery 13)
     e = _rewrite_fn(e, "pack_dictionary", _pack_sql)
     e = _rewrite_fn(e, "pack", _pack_sql)
-    # pack_all(): every column of the pipe at this point
+    # pack_all(): every column of the pipe at this point. ADX keeps
+    # null-valued keys by default; pack_all(true) drops them (battery
+    # 21 — the bare form previously rode Spark's ignoreNullFields
+    # default and silently dropped nulls)
     e = _sub_outside_strings(
-        r"\bpack_all\(\s*\)", "to_json(struct(*))", e
+        r"\bpack_all\(\s*true\s*\)",
+        "to_json(struct(*), map('ignoreNullFields', 'true'))",
+        e,
+    )
+    e = _sub_outside_strings(
+        r"\bpack_all\(\s*\)",
+        "to_json(struct(*), map('ignoreNullFields', 'false'))",
+        e,
     )
 
     # bag_merge(b1, b2, ...): first-bag-wins key merge. Refinement:
@@ -8114,6 +8374,93 @@ def _kql_stages_to_sql(
         sql = f"SELECT * FROM ({base}) AS _let_{stages[0]}"
     else:
         sql = f"SELECT * FROM {stages[0]}"
+    # `partition [hint.*=v ...] by k ( subpipe )` — textual pre-pass
+    # (battery 21: only bare `(top …)`/`(summarize …)` subpipes parsed
+    # before; a multi-stage subpipe fell through to an unnamed
+    # ParseException). ADX runs the subpipe once per distinct key; the
+    # equivalent single-shuffle plan rewrites each subpipe stage:
+    # row-wise stages are partition-invariant and pass through,
+    # every `summarize` appends the key to its group list (one grouped
+    # aggregation — ADX's legacy strategy materializes 64 subqueries;
+    # the shuffle-native shape is the scale path), every `top` becomes
+    # the native per-key window form, and a trailing `sort by` stays
+    # a global sort (cross-partition order is unspecified in ADX).
+    # Hints (strategy/shufflekey/materialized/spread/concurrency) are
+    # execution advice — validated and stripped; Spark's shuffle IS
+    # the native strategy. Anything else stays loud.
+    _PART_ROWWISE = (
+        "where", "extend", "project", "project-away", "project-rename",
+        "project-keep", "project-reorder", "parse", "parse-where",
+        "mv-expand", "mv-apply", "invoke", "serialize",
+    )
+
+    def _expand_partition(key: str, sub: str, pos: int) -> list[str]:
+        out = []
+        subs = _split_top_level(sub, "|")
+        for j, ss in enumerate(subs):
+            ss = ss.strip()
+            op0 = re.split(r"[\s(]", ss, 1)[0].lower()
+            if op0 == "summarize":
+                parts = _split_by(ss[len("summarize"):])
+                bys = (
+                    [s.strip() for s in _split_top_level(parts[1])]
+                    if len(parts) == 2
+                    else []
+                )
+                if key not in bys:
+                    bys.append(key)
+                out.append(
+                    "summarize " + parts[0].strip() + " by "
+                    + ", ".join(bys)
+                )
+            elif op0 == "top":
+                tm = re.match(
+                    r"^top\s+(\d+)\s+by\s+(.+)$", ss, re.IGNORECASE
+                )
+                if not tm:
+                    raise ValueError(
+                        f"partition subpipe top needs 'top N by"
+                        f" expr [asc|desc]': {ss!r}"
+                    )
+                out.append(
+                    f"partition by {key} (top {tm.group(1)} by"
+                    f" {tm.group(2)})"
+                )
+            elif op0 in ("sort", "order") and j == len(subs) - 1:
+                out.append(ss)
+            elif op0 in _PART_ROWWISE:
+                out.append(ss)
+            else:
+                raise ValueError(
+                    "partition subpipe supports row-wise stages,"
+                    " summarize, top, and a trailing sort"
+                    f" (explicit subset): {ss!r}"
+                )
+        return out
+
+    _pexp = [stages[0]]
+    for _st in stages[1:]:
+        _pm = re.match(
+            r"^partition\s+((?:hint\.\w+\s*=\s*\w+\s+)*)by\s+(\w+)\s*"
+            r"\((.+)\)\s*$",
+            _st.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not _pm:
+            _pexp.append(_st)
+            continue
+        for hn in re.findall(r"hint\.(\w+)\s*=", _pm.group(1) or ""):
+            if hn.lower() not in (
+                "strategy", "shufflekey", "materialized", "spread",
+                "concurrency",
+            ):
+                raise ValueError(f"unknown partition hint: hint.{hn}")
+        _pexp.extend(
+            _expand_partition(
+                _pm.group(2), _pm.group(3).strip(), len(_pexp)
+            )
+        )
+    stages = _pexp
     order_keys: list[str] | None = None  # set by sort; used by serialize
     graph = None  # set by make-graph; consumed by graph-match
     for i, stage in enumerate(stages[1:], 1):
@@ -9098,11 +9445,15 @@ def _kql_stages_to_sql(
                 bc = bm.group(1)
                 sql = _cache_child(spark, sql, "bagunpack")
                 prev = f"({sql}) AS _s{i}"
+                # the bag may be a VARIANT column (todynamic output) —
+                # CAST AS STRING yields its JSON text and is a no-op
+                # on an already-string bag (battery 21)
+                bs = f"CAST({bc} AS STRING)"
                 keys = sorted(
                     r[0]
                     for r in _asql(
                         spark,
-                        f"SELECT DISTINCT explode(json_object_keys({bc}))"
+                        f"SELECT DISTINCT explode(json_object_keys({bs}))"
                         f" FROM ({sql}) AS _bu"
                     ).collect()
                     if r[0] is not None
@@ -9122,7 +9473,7 @@ def _kql_stages_to_sql(
                 # column names (discovery unchanged)
                 pfx = bm_prefix or ""
                 cols = ", ".join(
-                    f"get_json_object({bc}, '$.{k}') AS `{pfx}{k}`"
+                    f"get_json_object({bs}, '$.{k}') AS `{pfx}{k}`"
                     for k in keys
                 )
                 sql = f"SELECT * EXCEPT ({bc}), {cols} FROM {prev}"
@@ -12930,10 +13281,13 @@ def _kql_stages_to_sql(
             clauses = []
             gprojs = []
             for cl in _split_top_level(body):
+                # the others label takes either quote style (battery
+                # 21: single-quoted labels were a ParseException)
                 cm = re.match(
                     r"(?:top-nested\s+)?(\d+)\s+of\s+"
                     r"(?:(\w+)\s*=\s*)?(.+?)"
-                    r"(?:\s+with\s+others\s*=\s*(\"(?:[^\"\\]|\\.)*\"))?"
+                    r"(?:\s+with\s+others\s*=\s*"
+                    r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*'))?"
                     r"\s+by\s+(.+)$",
                     cl.strip(),
                     re.IGNORECASE,

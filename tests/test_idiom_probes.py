@@ -1771,3 +1771,197 @@ def test_battery19_value_checks(spark, sf_smoke):
         " $right.e2 and $left.user_id == $right.u2 | count",
     ):
         assert kql(spark, q).collect()[0]["Count"] == 30, q
+
+
+def test_battery21_ipv4_and_bag_value_checks(spark):
+    """Battery 21 value pins (tenth sweep, first half): the has_ipv4
+    family matches the SPECIFIC delimited address (the old form
+    matched ANY valid ipv4 — '10.1.2.34' satisfied has_ipv4(text,
+    '10.1.2.3'), a silent value bug), ipv4_netmask_suffix defaults to
+    /32 instead of an ANSI INVALID_ARRAY_INDEX crash, bag values keep
+    their JSON types through bag_remove_keys/bag_set_key, strrep
+    takes a delimiter, and pack_all() keeps nulls (ADX default —
+    pack_all(true) is the dropping form)."""
+    pins = [
+        ("print b = has_ipv4('src=10.1.2.3 dst', '10.1.2.3')", True),
+        ("print b = has_ipv4('src=10.1.2.34', '10.1.2.3')", False),
+        ("print b = has_ipv4('src=10.1.2.3', '10.1.2')", False),
+        (
+            "print b = has_ipv4_prefix('05:04:54 127.0.0.1 GET',"
+            " '127.0.')",
+            True,
+        ),
+        (
+            "print b = has_ipv4_prefix('05:04:54 127.0.0.1 GET',"
+            " '17.0.')",
+            False,
+        ),
+        (
+            "print b = has_any_ipv4('src 10.1.2.3', '1.2.3.4',"
+            " '10.1.2.3')",
+            True,
+        ),
+        (
+            "print b = has_any_ipv4('src 10.1.2.34',"
+            " dynamic(['10.1.2.3']))",
+            False,
+        ),
+        (
+            "print b = has_any_ipv4_prefix('src 10.1.2.3', '10.2.',"
+            " '10.1.')",
+            True,
+        ),
+        (
+            "print b = ipv4_is_in_any_range('10.1.2.3',"
+            " '192.168.0.0/16', '10.0.0.0/8')",
+            True,
+        ),
+        (
+            "print b = ipv4_is_in_any_range('11.1.2.3',"
+            " dynamic(['10.0.0.0/8']))",
+            False,
+        ),
+        ("print b = ipv4_is_in_range('10.1.2.3', '10.1.2.3')", True),
+        ("print n = ipv4_netmask_suffix('10.0.0.1')", 32),
+        ("print n = ipv4_netmask_suffix('192.168.1.1/24')", 24),
+        ("print n = ipv4_netmask_suffix('not-an-ip')", None),
+        (
+            "print b = bag_remove_keys(dynamic({'a':1,'b':2}),"
+            " dynamic(['a']))",
+            '{"b":2}',
+        ),
+        (
+            "print b = bag_set_key(dynamic({'a':1}), 'b', 2)",
+            '{"a":1,"b":2}',
+        ),
+        (
+            "print b = bag_set_key(dynamic({'a':1,'b':9}), 'b', 'x')",
+            '{"a":1,"b":"x"}',
+        ),
+        ("print s = strrep('ab', 3, '-')", "ab-ab-ab"),
+        ("print s = strrep('ab', 2)", "abab"),
+        (
+            "datatable (a: long) [1] | extend n = long(null)"
+            " | extend p = pack_all(true) | project p",
+            '{"a":1}',
+        ),
+        (
+            "datatable (a: long) [1] | extend n = long(null)"
+            " | extend p = pack_all() | project p",
+            '{"a":1,"n":null}',
+        ),
+        # a column-expression ip builds the pattern at runtime
+        (
+            "datatable (ip: string) ['10.1.2.3'] | extend"
+            " b = has_ipv4(strcat('x ', ip, ' y'), ip) | project b",
+            True,
+        ),
+    ]
+    for q, want in pins:
+        got = kql(spark, q).collect()[0][0]
+        assert got == want, f"{q!r}: got {got!r}, want {want!r}"
+
+
+def test_battery21_partition_and_bag_structure(spark, sf_smoke):
+    """Battery 21 (second half): the partition operator takes full
+    subpipes (row-wise stages pass through, every summarize appends
+    the key, top stays the per-key window, hints validate-and-strip),
+    top-nested `with others` accepts single-quoted labels, and the
+    bag accessors (bag_unpack / bag_keys / bag_has_key) work over
+    stored VARIANT columns (todynamic output), not just JSON text."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    n_types = kql(
+        spark, "events | distinct event_type | count"
+    ).collect()[0]["Count"]
+    # top 2 per type, row-wise tail
+    assert (
+        kql(
+            spark,
+            "events | partition by event_type (top 2 by value"
+            " | project event_type, value) | count",
+        ).collect()[0]["Count"]
+        == 2 * n_types
+    )
+    # hint accepted; summarize appends the key
+    rows = kql(
+        spark,
+        "events | partition hint.strategy=shuffle by user_id"
+        " (summarize c = count())",
+    ).collect()
+    assert {r["user_id"] for r in rows} == set(
+        r["user_id"]
+        for r in kql(spark, "events | distinct user_id").collect()
+    )
+    # summarize then row-wise filter inside the subpipe
+    m = kql(
+        spark,
+        "events | partition by user_id (summarize m = max(value)"
+        " | where m > 50) | count",
+    ).collect()[0]["Count"]
+    oracle = kql(
+        spark,
+        "events | summarize m = max(value) by user_id"
+        " | where m > 50 | count",
+    ).collect()[0]["Count"]
+    assert m == oracle
+    with pytest.raises(ValueError, match="partition subpipe"):
+        kql(spark, "events | partition by event_type (sample 3)")
+    with pytest.raises(ValueError, match="unknown partition hint"):
+        kql(
+            spark,
+            "events | partition hint.bogus=1 by event_type"
+            " (top 1 by value)",
+        )
+    # top-nested with others: single-quoted label == double-quoted
+    for quote_form in (
+        "events | top-nested 2 of event_type with others = 'rest'"
+        " by c = count()",
+        'events | top-nested 2 of event_type with others = "rest"'
+        " by c = count()",
+    ):
+        rows = kql(spark, quote_form).collect()
+        assert len(rows) == 3 and "rest" in {
+            r["event_type"] for r in rows
+        }
+    # bag accessors over a stored VARIANT column
+    r = kql(
+        spark,
+        "events | take 1 | extend d = todynamic('{\"a\": 1}')"
+        " | extend k = bag_keys(d), b = bag_has_key(d, 'a'),"
+        " nb = bag_has_key(d, 'z')"
+        " | project n = array_length(k), b, nb",
+    ).collect()[0]
+    assert r["n"] == 1 and r["b"] is True and r["nb"] is False
+    cols = kql(
+        spark,
+        "events | take 3 | extend d = todynamic(props)"
+        " | project-away props | evaluate bag_unpack(d, 'p_')",
+    ).columns
+    assert any(c.startswith("p_") for c in cols)
+
+
+def test_battery21_beta_family(spark):
+    """Battery 21: beta_pdf (log-form via Lanczos ln B) and beta_inv
+    (60-step bisection over the Lentz beta_cdf) — plus the
+    lambda-binding guard: a composite argument (the cdf∘inv
+    round-trip) must bind once instead of expanding multiplicatively
+    (the unbound form planned past five minutes)."""
+    from math import gamma
+
+    r = kql(
+        spark,
+        "print p1 = beta_pdf(0.5, 2, 2),"
+        " p2 = beta_pdf(0.3, 5, 1.5),"
+        " i1 = beta_inv(0.5, 2, 2),"
+        " c = beta_cdf(beta_inv(0.73, 3, 4), 3, 4),"
+        " z = beta_inv(0.0, 2, 2), o = beta_inv(1.0, 2, 2)",
+    ).collect()[0]
+    assert abs(r["p1"] - 1.5) < 1e-12
+    want = 0.3**4 * 0.7**0.5 / (gamma(5) * gamma(1.5) / gamma(6.5))
+    assert abs(r["p2"] - want) < 1e-12
+    assert abs(r["i1"] - 0.5) < 1e-12
+    assert abs(r["c"] - 0.73) < 1e-9
+    assert r["z"] == 0.0 and r["o"] == 1.0
+    assert kql(spark, "print e = beta_pdf(1.5, 2, 2)").collect()[0][
+        "e"
+    ] == 0.0

@@ -1386,7 +1386,9 @@ def test_diffpatterns_text_and_bag_utils(spark):
         ' rm = bag_remove_keys(bag, pack_array("a"))',
     ).collect()[0]
     assert r["h"] is True and r["hz"] is False
-    assert r["rm"] == '{"b":"2"}'
+    # values keep their JSON types through the variant map round-trip
+    # (round-11 battery 21; map<string,string> widened 2 to "2" before)
+    assert r["rm"] == '{"b":2}'
     # double fork: one fork_branch column, from the second fork
     df = kql(
         spark,

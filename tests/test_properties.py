@@ -1149,8 +1149,13 @@ def _kql_dual_st(draw):
                 " event_id asc | extend rk_ = row_number()"
             )
             sqldir = dirkw.upper() if dirkw else "DESC"
+            # a SECOND draw of this arm re-extends rk_: ADX extend
+            # REPLACES an existing column, so the oracle must EXCLUDE
+            # the previous rk_ (found by the fuzz itself — the bare
+            # `SELECT *, … AS rk_` kept both copies in DuckDB)
+            star = "* EXCLUDE (rk_)" if "rk_" in cols else "*"
             sql = (
-                f"SELECT *, ROW_NUMBER() OVER (ORDER BY {newn}"
+                f"SELECT {star}, ROW_NUMBER() OVER (ORDER BY {newn}"
                 f" {sqldir} NULLS {pl.upper()}, event_id ASC)"
                 f" AS rk_ FROM (SELECT *, CASE WHEN {c} % {k} = 0"
                 f" THEN NULL ELSE {c} % 7 END AS {newn}"
