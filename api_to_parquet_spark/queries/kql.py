@@ -428,6 +428,59 @@ bag_set_key (variant upsert); strrep 3-arg delimiter; pack_all()
 keeps nulls (ADX default; pack_all(true) drops them — the bare form
 previously rode Spark's ignoreNullFields default, a silent
 divergence).
+Probe battery 22 additions (round-11, tenth sweep, second half):
+hash_sha512 / hash_many (xxhash64 over all args — the hash_combine
+deterministic-refinement note); geo_geohash_to_central_point (decode
+inverse: one de-interleaving fold, GeoJSON Point bag, null on
+non-base-32 input); series_fit_poly (least-squares polynomial fit —
+normal equations by GENERATED Cramer expansion over named power
+moments, degree literal 1..4, coefficients highest power first,
+outputs (rsquare, coefficients, variance, rvariance, poly_fit),
+default x = 0..n-1; degree 1 matches series_fit_line exactly);
+project-reorder `*`/`prefix*` wildcard patterns with per-pattern
+asc/desc/granny-asc/granny-desc ordering; join hint.shufflekey /
+hint.num_partitions / hint.remote validated-and-stripped (shufflekey
+implies the shuffle strategy when none is named); the dayofweek ==Nd
+/ ÷1d folds now match nested calls to depth 3
+(dayofweek(endofweek(...)) previously missed the fold and failed on
+interval typing). Verified-not-gaps this sweep: series_outliers /
+series_periods_detect (extend-chain spellings), geohash encode
+(matches the public algorithm), literal-LHS string predicates are
+skipped by the string-span guard by design (column-LHS works).
+Probe battery 23 additions (round-11, eleventh sweep): ADX default
+aggregate NAMES drop the make_ prefix — make_list(x)/make_set(x)/
+make_bag(x)/make_list_if/make_set_if default to list_x/set_x/bag_x
+(make_list_x was a SILENT naming divergence against every dashboard
+that references the default column); multi-assign
+(t, v) = arg_max(key, col, ...) caller naming (key first, one name
+per column); search boolean TERM combinations ("a" and Col:"b" or
+"c" — and binds tighter, each atom the usual scoped/wildcard term);
+bag_pack_columns; literal dynamic([...]) lists unpack inside in()
+(was a DATATYPE_MISMATCH); zero-row datatable []; hll(x, accuracy)
+maps ADX's documented error bands to sketch precisions (lgK
+12/14/16/17/18). Multi-level top-nested `with others` stays a LOUD
+subset error (ADX's cross-level Others interaction is unspecified —
+not guessed). Verified-not-gaps: percentiles_array, mv-expand
+limit, find project/withsource, prev/next offset+default,
+row_rank_dense/min, bin_at group keys, series_stats ignore_nonfinite,
+set_union 3-arg, parse trailing *, dcount_hll∘hll_merge rollup.
+Probe battery 24 additions (round-11, twelfth sweep): KQL real
+LITERALS are doubles — bare decimal-point literals take Spark's D
+suffix at the end of _expr (2.5 parsed as DECIMAL(2,1) crept into
+results: iff(c, 1, 2.5) returned Decimal, 0.1 + 0.2 folded
+decimal-exact 0.3 where ADX computes IEEE 0.30000000000000004 — a
+SILENT value/type divergence; timespan forms 2.5d and translate-time
+numeric arg parsing are upstream and unaffected); `has`/`has_cs`
+with a COLUMN term (runtime word-boundary \\Q…\\E match, \\E in the
+data re-escaped — was an unnamed ParseException); array_length /
+string_size return LONG (ADX parity — Spark size()/octet_length()
+INT32 made `array_length(a) * 16843009` ANSI-overflow where ADX
+computes; found by the value-parity fuzz). Verified-not-gaps this
+sweep: union kind=inner, split requestedIndex, indexof_regex,
+now(offset), datetime ISO-T/Z literals, extract_json typed,
+parse_version ordering, countof_regex, take_anyif, top by
+expression, bin over reals, union cross-schema null fill, negative
+range step, timespan sum aggregation.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -1276,7 +1329,7 @@ class _JoinMatch:
     """Adapter re-numbering the order-free join parameter match back
     to the original (kind, strategy, pipe, on) group positions."""
 
-    def __init__(self, m: re.Match) -> None:
+    def __init__(self, m: re.Match, shuffle_default: bool = False) -> None:
         if m.group(1) and m.group(3):
             # the alternation exists so kind=/hint.strategy= may come
             # in either order — a SECOND kind= fills the other slot
@@ -1289,7 +1342,9 @@ class _JoinMatch:
         self._kind = m.group(1) or m.group(3)
         self._groups = {
             1: self._kind,
-            2: m.group(2),
+            # hint.shufflekey with no explicit strategy implies
+            # shuffle (battery 21)
+            2: m.group(2) or ("shuffle" if shuffle_default else None),
             3: m.group(4),
             4: m.group(5),
         }
@@ -1533,6 +1588,8 @@ _SERIES_CHAIN_FNS = {
     #                          line_fit (ADX order)
     "series_fit_line_dynamic": 1,  # the bag twin
     "series_fit_2lines_dynamic": 1,  # the bag twin
+    "series_fit_poly": 5,  # rsquare, coefficients (highest first),
+    #                        variance, rvariance, poly_fit
     "series_stats": 7,  # min, min_idx, max, max_idx, avg, variance, stdev
     "series_outliers": 1,  # score array
     "series_decompose_forecast": 1,  # baseline incl. forecast tail
@@ -1704,6 +1761,127 @@ def _series_chain_sql(
             f"1 - {rvar} / nullif({var}, {_D0}) AS {rsq}",
             ["_sc_ys", "_sc_n", "_sc_sy", "_sc_sxy", "_sc_syy",
              "_sc_sx", "_sc_sxx"],
+        )
+    if fn == "series_fit_poly":
+        # series_fit_poly(y [, x, degree]) — least-squares polynomial
+        # fit (battery 22, was a loud gap). Normal equations solved by
+        # Cramer's rule over the power moments S_k = Σx^k (k ≤ 2d),
+        # T_k = Σx^k·y: the determinant expansions are GENERATED at
+        # translate time over the short named moment columns, so the
+        # SQL stays compact (deg 4 = 120-term Laplace over 9 names).
+        # Degree is a translate-time literal 1..4 (the explicit
+        # subset: normal equations are numerically honest only at low
+        # degree; ADX's higher degrees need orthogonal bases). Default
+        # x = 0..n-1 (the series_fit_line convention). Outputs mirror
+        # fit_line: (rsquare, coefficients, variance, rvariance,
+        # poly_fit); coefficients are HIGHEST power first (the
+        # numpy/polyfit convention — array_reverse for the other
+        # reading; documented refinement).
+        rsq, coefs, var, rvar, fitc = names
+        deg = 1
+        xs_src = None
+        if len(args) >= 3:
+            dt = args[2].strip()
+            if not re.match(r"^\d+$", dt) or not 1 <= int(dt) <= 4:
+                raise ValueError(
+                    "series_fit_poly degree must be a literal int"
+                    f" in 1..4 (explicit subset): {dt!r}"
+                )
+            deg = int(dt)
+        if len(args) >= 2:
+            xs_src = _expr(args[1])
+        if len(args) > 3:
+            raise ValueError(
+                f"series_fit_poly needs (y [, x, degree]): {args!r}"
+            )
+        nest(f"{ys} AS _sc_fp_y")
+        nest("CAST(size(_sc_fp_y) AS DOUBLE) AS _sc_fp_n")
+        if xs_src is None:
+            nest(
+                "transform(sequence(0, CAST(_sc_fp_n AS INT) - 1),"
+                " _x -> CAST(_x AS DOUBLE)) AS _sc_fp_x"
+            )
+        else:
+            nest(
+                f"transform({xs_src}, _x -> CAST(_x AS DOUBLE))"
+                " AS _sc_fp_x"
+            )
+        moments = []
+        for k in range(2 * deg + 1):
+            xk = "1.0" if k == 0 else " * ".join(["_x"] * k)
+            moments.append(
+                _sum_sql(f"transform(_sc_fp_x, _x -> {xk})")
+                + f" AS _sc_fp_s{k}"
+            )
+        for k in range(deg + 1):
+            xk = "_yy" if k == 0 else " * ".join(["_x"] * k) + " * _yy"
+            moments.append(
+                _sum_sql(
+                    f"zip_with(_sc_fp_x, _sc_fp_y,"
+                    f" (_x, _yy) -> {xk})"
+                )
+                + f" AS _sc_fp_t{k}"
+            )
+        nest(", ".join(moments))
+
+        def _det(mat: list[list[str]]) -> str:
+            if len(mat) == 1:
+                return mat[0][0]
+            terms = []
+            for c in range(len(mat)):
+                minor = [r[:c] + r[c + 1 :] for r in mat[1:]]
+                sgn = "-" if c % 2 else "+"
+                terms.append(f"{sgn} {mat[0][c]} * ({_det(minor)})")
+            return " ".join(terms).lstrip("+ ")
+
+        m_ = [
+            [f"_sc_fp_s{r + c}" for c in range(deg + 1)]
+            for r in range(deg + 1)
+        ]
+        nest(f"({_det(m_)}) AS _sc_fp_det")
+        asols = []
+        for j in range(deg + 1):
+            mj = [
+                [
+                    f"_sc_fp_t{r}" if c == j else f"_sc_fp_s{r + c}"
+                    for c in range(deg + 1)
+                ]
+                for r in range(deg + 1)
+            ]
+            asols.append(
+                f"({_det(mj)}) / nullif(_sc_fp_det, {_D0})"
+                f" AS _sc_fp_a{j}"
+            )
+        nest(", ".join(asols))
+        horner = f"_sc_fp_a{deg}"
+        for j in range(deg - 1, -1, -1):
+            horner = f"({horner}) * _x + _sc_fp_a{j}"
+        nest(
+            f"transform(_sc_fp_x, _x -> {horner}) AS {fitc},"
+            + _sum_sql("transform(_sc_fp_y, _x -> _x * _x)")
+            + " AS _sc_fp_syy,"
+            + _sum_sql("_sc_fp_y")
+            + " AS _sc_fp_sy"
+        )
+        nest(
+            "_sc_fp_syy / _sc_fp_n - (_sc_fp_sy / _sc_fp_n)"
+            f" * (_sc_fp_sy / _sc_fp_n) AS {var},"
+            + _sum_sql(
+                f"zip_with(_sc_fp_y, {fitc},"
+                " (_yy, _f) -> (_yy - _f) * (_yy - _f))"
+            )
+            + f" / _sc_fp_n AS {rvar},"
+            " array("
+            + ", ".join(f"_sc_fp_a{j}" for j in range(deg, -1, -1))
+            + f") AS {coefs}"
+        )
+        return build(
+            f"1 - {rvar} / nullif({var}, {_D0}) AS {rsq}",
+            ["_sc_fp_y", "_sc_fp_n", "_sc_fp_x", "_sc_fp_det",
+             "_sc_fp_syy", "_sc_fp_sy"]
+            + [f"_sc_fp_s{k}" for k in range(2 * deg + 1)]
+            + [f"_sc_fp_t{k}" for k in range(deg + 1)]
+            + [f"_sc_fp_a{j}" for j in range(deg + 1)],
         )
     if fn == "series_fit_2lines":
         # Changepoint sibling of series_fit_line: pick the split k
@@ -3782,9 +3960,13 @@ def _expr(kql_expr: str) -> str:
     # BEFORE the timespan-literal rewrite would turn it into an
     # INTERVAL the numeric refinement cannot compare with (probe
     # battery 14). Both operand orders.
+    # nested-call depth 3: dayofweek(endofweek(datetime(...))) is an
+    # everyday spelling (battery 22 — depth 1 missed it, so the == Nd
+    # fold never fired and the comparison failed on interval typing)
+    _DOW_ARG = r"(?:[^()']|'(?:[^'\\]|\\.)*')"
     _DOW_CALL = (
-        r"dayofweek\s*\((?:[^()']|'(?:[^'\\]|\\.)*'"
-        r"|\([^()]*\))*\)"
+        rf"dayofweek\s*\((?:{_DOW_ARG}"
+        rf"|\((?:{_DOW_ARG}|\({_DOW_ARG}*\))*\))*\)"
     )
     e = _pred_sub(
         rf"({_DOW_CALL})\s*(==|!=|<=|>=|<|>)"
@@ -3815,7 +3997,15 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "dayofweek", lambda a: f"(dayofweek({a[0]}) - 1)")
     # arrays & misc
     e = _sub_outside_strings(r"\bpack_array\(", "array(", e)
-    e = _sub_outside_strings(r"\barray_length\(", "size(", e)
+    # array_length is LONG in ADX; Spark size() is INT32 — downstream
+    # arithmetic like `array_length(a) * 16843009` then ANSI-overflows
+    # where ADX computes (fuzz finding, round-11). Null on null input
+    # either way.
+    e = _rewrite_fn(
+        e,
+        "array_length",
+        lambda a: f"CAST(size({a[0]}) AS BIGINT)",
+    )
     e = _sub_outside_strings(r"\barray_concat\(", "concat(", e)
     # Literal array subscripts (round-11, probe battery 12): ADX
     # arr[-1] reads from the END, and ANY dynamic out-of-range index
@@ -4055,7 +4245,12 @@ def _expr(kql_expr: str) -> str:
 
     e = _rewrite_fn(e, "zip", _zip_sql)
     e = _rewrite_fn(e, "hash_sha256", lambda a: f"sha2({a[0]}, 256)")
+    e = _rewrite_fn(e, "hash_sha512", lambda a: f"sha2({a[0]}, 512)")
     e = _sub_outside_strings(r"\bhash_sha1\(", "sha1(", e)
+    # hash_many: one combined hash over all arguments — the same
+    # deterministic-refinement note as hash_combine (ADX documents no
+    # algorithm for either; xxhash64 is this engine's hash())
+    e = _sub_outside_strings(r"\bhash_many\(", "xxhash64(", e)
     e = _sub_outside_strings(r"\bhash_md5\(", "md5(", e)
 
     def _make_datetime_sql(a: list[str]) -> str:
@@ -4795,6 +4990,54 @@ def _expr(kql_expr: str) -> str:
 
     e = _rewrite_fn(e, "geo_point_to_geohash", _geo_geohash_sql)
 
+    def _geo_geohash_central_sql(a: list[str]) -> str:
+        # geo_geohash_to_central_point(geohash) — the decode inverse
+        # (battery 22, was a loud gap): chars -> 5-bit values ->
+        # de-interleaved interval halving (lon on even bits), midpoint
+        # as the GeoJSON dynamic {"type": "Point", "coordinates":
+        # [lon, lat]} ADX returns (dotted access rides the stored-
+        # dynamic JSON path). NULL on a non-base-32 input, the ADX
+        # invalid-input contract. One fold, map-side.
+        if len(a) != 1:
+            raise ValueError(
+                f"geo_geohash_to_central_point needs (geohash): {a!r}"
+            )
+        gh = f"(CAST({a[0].strip()} AS STRING))"
+        b32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        # per char: locate-1 is the 5-bit value; expand msb-first
+        bits = (
+            f"flatten(transform(split({gh}, ''),"
+            f" _gc -> transform(sequence(4, 0, -1),"
+            f" _gb -> CAST((locate(_gc, '{b32}') - 1) div"
+            " CAST(pow(2, _gb) AS INT) % 2 AS INT))))"
+        )
+        step = (
+            "named_struct('e', NOT _g.e,"
+            " 'alo', IF(_g.e AND _b = 1, (_g.alo + _g.ahi) / 2,"
+            " _g.alo),"
+            " 'ahi', IF(_g.e AND _b = 0, (_g.alo + _g.ahi) / 2,"
+            " _g.ahi),"
+            " 'blo', IF(NOT _g.e AND _b = 1, (_g.blo + _g.bhi) / 2,"
+            " _g.blo),"
+            " 'bhi', IF(NOT _g.e AND _b = 0, (_g.blo + _g.bhi) / 2,"
+            " _g.bhi))"
+        )
+        return (
+            f"(CASE WHEN {gh} RLIKE '^[{b32}]+$' THEN"
+            f" aggregate({bits},"
+            " named_struct('e', true,"
+            " 'alo', CAST(-180 AS DOUBLE), 'ahi', CAST(180 AS DOUBLE),"
+            " 'blo', CAST(-90 AS DOUBLE), 'bhi', CAST(90 AS DOUBLE)),"
+            f" (_g, _b) -> {step},"
+            " _g -> to_json(named_struct('type', 'Point',"
+            " 'coordinates', array((_g.alo + _g.ahi) / 2,"
+            " (_g.blo + _g.bhi) / 2)))) END)"
+        )
+
+    e = _rewrite_fn(
+        e, "geo_geohash_to_central_point", _geo_geohash_central_sql
+    )
+
     # convert_*(value, from, to) — the UnitsNet-named unit-conversion
     # family (round-11 probe battery 15). Units must be translate-time
     # string literals from the documented common subset (loud
@@ -5181,6 +5424,15 @@ def _expr(kql_expr: str) -> str:
             + e[am.end():]
         )
     e = _rewrite_fn(e, "dynamic", _dynamic_sql)
+    # `x in (dynamic([...]))` — the literal list arrives as ONE
+    # array(...) expression inside IN; SQL IN needs the elements
+    # unpacked (battery 23 — was a DATATYPE_MISMATCH). Literal
+    # scalar items only (no parens), the dynamic-list shape.
+    e = _pred_sub(
+        r"\b(?i:in)\s*\(\s*array\s*\(([^()]*)\)\s*\)",
+        lambda m: f"IN ({m.group(1)})",
+        e,
+    )
     e = _sub_outside_strings(r"\btoupper\(", "upper(", e)
     e = _sub_outside_strings(r"\btolower\(", "lower(", e)
     def _format_datetime_sql(a: list[str]) -> str:
@@ -5334,6 +5586,21 @@ def _expr(kql_expr: str) -> str:
         ]
         return f"to_json(map({', '.join(parts)}))"
 
+    def _bag_pack_columns_sql(a: list[str]) -> str:
+        # bag_pack_columns(col1, col2, ...) — keys are the column
+        # NAMES (battery 23); typed values via named_struct
+        cs = [c.strip() for c in a]
+        if not cs or not all(re.match(r"^\w+$", c) for c in cs):
+            raise ValueError(
+                f"bag_pack_columns needs plain column names: {a!r}"
+            )
+        return (
+            "to_json(named_struct("
+            + ", ".join(f"'{c}', {c}" for c in cs)
+            + "))"
+        )
+
+    e = _rewrite_fn(e, "bag_pack_columns", _bag_pack_columns_sql)
     e = _rewrite_fn(e, "bag_pack", _pack_sql)
     # pack_dictionary is the documented legacy alias of bag_pack/pack
     # (probe battery 13)
@@ -5668,7 +5935,13 @@ def _expr(kql_expr: str) -> str:
             f" WHEN {a[0]} = {a[1]} THEN 0 END)"
         ),
     )
-    e = _sub_outside_strings(r"\bstring_size\(", "octet_length(", e)
+    # string_size is LONG in ADX (octet_length is INT32 — the same
+    # overflow exposure as array_length)
+    e = _rewrite_fn(
+        e,
+        "string_size",
+        lambda a: f"CAST(octet_length({a[0]}) AS BIGINT)",
+    )
     e = _rewrite_fn(
         e,
         "url_encode_component",
@@ -6133,6 +6406,35 @@ def _expr(kql_expr: str) -> str:
         ),
         e,
     )
+    # … and a COLUMN term (`msg has kw` — battery 24, was an unnamed
+    # ParseException): the same word-boundary \Q…\E shape with the
+    # term read at runtime. A data value containing \E would end the
+    # quoted span, so it is re-escaped (\E -> \E\\E\Q) first. Scalar
+    # lets were substituted earlier, so a surviving identifier here
+    # is a column.
+    # SQL-literal pieces (backslashes written for ONE unescape by
+    # Spark's string parser, lambda replacements bypass re.sub):
+    # \E in the data would end the \Q span — re-escape it first
+    _hc_rq = "replace({c}, '\\\\E', '\\\\E\\\\\\\\E\\\\Q')"
+
+    def _has_col_rep(m: re.Match, ci: str) -> str:
+        neg = "NOT " if m.group(2) else ""
+        quoted = _hc_rq.format(c=m.group(3))
+        return (
+            f"{neg}{m.group(1)} RLIKE concat('{ci}\\\\b\\\\Q',"
+            f" {quoted}, '\\\\E\\\\b')"
+        )
+
+    e = _pred_sub(
+        rf"{_OPND}\s+(!?)has_cs\s+([A-Za-z_]\w*)(?![\w.(])",
+        lambda m: _has_col_rep(m, ""),
+        e,
+    )
+    e = _pred_sub(
+        rf"{_OPND}\s+(!?)has\s+([A-Za-z_]\w*)(?![\w.(])",
+        lambda m: _has_col_rep(m, "(?i)"),
+        e,
+    )
     e = _pred_sub(
         rf"{_OPND}\s+!startswith\s+{_STR}",
         r"NOT startswith(lower(\1), lower(\2))",
@@ -6246,6 +6548,21 @@ def _expr(kql_expr: str) -> str:
     # (`ago(365d * 2)`) — now() minus it
     e = _rewrite_fn(
         e, "ago", lambda a: f"(current_timestamp() - ({a[0]}))"
+    )
+    # KQL real literals are DOUBLES; Spark parses a bare 2.5 as
+    # DECIMAL(2,1), which creeps into results (iff(c, 1, 2.5) came
+    # back Decimal, round(2.567, 2) came back Decimal — battery 24)
+    # and carries decimal rounding semantics ADX doesn't have. Append
+    # Spark's D (double) suffix to bare decimal-point literals. Runs
+    # LAST so timespan forms (2.5d) and translate-time numeric arg
+    # parsing saw the original text; exponent literals (1e5) are
+    # already doubles; literals inside strings are skipped; the
+    # trailing guard refuses an existing suffix/unit, a second dot
+    # (1.2.3), and identifier tails.
+    e = _pred_sub(
+        r"(?<![\w.])(\d+\.\d+)(?![\w.])",
+        lambda m: f"{m.group(1)}D",
+        e,
     )
     # subquery bodies translate under the ENCLOSING translation's
     # context (round-8 verdict #6): tabular lets stay visible and
@@ -6545,11 +6862,15 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
             + (c if re.match(r"^\w+$", c) else f"agg{auto_idx}_{j}")
             for j, (c, ex) in enumerate(zip(targs, texprs))
         ]
-    m = re.match(r"(?:(\w+)\s*=\s*)?(arg_max|arg_min)\s*\((.*)\)$", item.strip())
+    m = re.match(
+        r"(?:(?:\(\s*([\w\s,]+?)\s*\)|(\w+))\s*=\s*)?"
+        r"(arg_max|arg_min)\s*\((.*)\)$",
+        item.strip(),
+    )
     if not m:
         return [_agg(item, auto_idx)]
-    alias, fn = m.group(1), m.group(2)
-    args = _split_top_level(m.group(3))
+    multi, alias, fn = m.group(1), m.group(2), m.group(3)
+    args = _split_top_level(m.group(4))
     if len(args) < 2:
         raise ValueError(f"{fn} needs (key, col, ...): {item!r}")
     if any(a.strip() == "*" for a in args[1:]):
@@ -6558,11 +6879,29 @@ def _agg_items(item: str, auto_idx: int) -> list[str]:
         )
     key = args[0].strip()
     extremum, by = ("MAX", "max_by") if fn == "arg_max" else ("MIN", "min_by")
-    key_alias = alias or (key if re.match(r"^\w+$", key) else f"agg{auto_idx}")
+    # `(t, v) = arg_max(ts, value)` — ADX multi-assign form (battery
+    # 23): one caller name per returned column, key first
+    names = None
+    if multi:
+        names = [x.strip() for x in multi.split(",")]
+        if len(names) != len(args):
+            raise ValueError(
+                f"{fn} multi-assign needs one name per column"
+                f" (key first): {item!r}"
+            )
+    key_alias = (
+        names[0]
+        if names
+        else alias or (key if re.match(r"^\w+$", key) else f"agg{auto_idx}")
+    )
     items = [f"{extremum}({_expr(key)}) AS {key_alias}"]
     for j, c in enumerate(args[1:]):
         c = c.strip()
-        cal = c if re.match(r"^\w+$", c) else f"agg{auto_idx}_{j}"
+        cal = (
+            names[j + 1]
+            if names
+            else (c if re.match(r"^\w+$", c) else f"agg{auto_idx}_{j}")
+        )
         items.append(f"{by}({_expr(c)}, {_expr(key)}) AS {cal}")
     return items
 
@@ -6643,7 +6982,20 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
         # The sketch is BINARY — compose with hll_merge + dcount_hll
         # for the two-level rollup; sketches themselves are not
         # oracle-hashable (engine-specific encoding).
-        sql = f"hll_sketch_agg({_expr(arg)})"
+        # optional accuracy level (battery 23): ADX's documented
+        # dcount error bands (0=1.6%, 1=0.8%, 2=0.4%, 3=0.28%,
+        # 4=0.2%) map to lgConfigK via err ~ 1.04/sqrt(2^lgK)
+        hparts = [x.strip() for x in _split_top_level(arg)]
+        lgk = ""
+        if len(hparts) == 2 and re.match(r"^\d+$", hparts[1]):
+            acc = int(hparts[1])
+            if acc > 4:
+                raise ValueError(
+                    f"hll accuracy must be 0..4: {hparts[1]!r}"
+                )
+            arg = hparts[0]
+            lgk = ", " + str({0: 12, 1: 14, 2: 16, 3: 17, 4: 18}[acc])
+        sql = f"hll_sketch_agg({_expr(arg)}{lgk})"
         default = f"hll_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
     elif fn == "hll_merge":
         sql = f"hll_union_agg({_expr(arg)})"
@@ -6772,8 +7124,12 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
         sql = f"sort_array({inner})"
         if cap is not None:
             sql = f"slice({sql}, 1, {cap})"
+        # ADX default names drop the make_ prefix: list_x / set_x
+        # (battery 23 — make_list_x was a silent naming divergence)
         default = (
-            f"{fn}_{col0}" if re.match(r"^\w+$", col0) else f"agg{auto_idx}"
+            f"{fn[5:]}_{col0}"
+            if re.match(r"^\w+$", col0)
+            else f"agg{auto_idx}"
         )
     elif fn in ("sumif", "avgif", "minif", "maxif"):
         col, pred = (x.strip() for x in _split_top_level(arg))
@@ -6872,7 +7228,10 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
             f"aggregate(sort_array(collect_list({inner})),"
             f" '{{}}', (_ac, _b) -> {merge})"
         )
-        default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+        # ADX default drops make_ (and the _if suffix): bag_x
+        default = (
+            f"bag_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+        )
     elif fn in ("make_list_if", "make_set_if"):
         # conditional collect: CASE yields NULL on false rows and
         # collect_list/set skip NULLs; sorted like make_list/make_set.
@@ -6896,7 +7255,12 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
         )
         if maxn is not None:
             sql = f"slice({sql}, 1, CAST({_expr(maxn)} AS INT))"
-        default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
+        # ADX default drops make_ and the _if suffix: list_x / set_x
+        default = (
+            f"{fn[5:-3]}_{col}"
+            if re.match(r"^\w+$", col)
+            else f"agg{auto_idx}"
+        )
     else:
         sql = f"{fn.upper()}({_expr(arg)})"
         default = f"{fn}_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
@@ -8037,26 +8401,46 @@ def _kql_stages_to_sql(
             cols.append(
                 (cm.group(1), _KQL_TYPES.get(cm.group(2).lower()))
             )
-        vals = [
-            _expr(_strings_to_sql(v))
-            for v in _split_top_level(dtable.group(2))
-        ]
-        if not cols or not vals or len(vals) % len(cols):
+        dbody = dtable.group(2).strip()
+        vals = (
+            [
+                _expr(_strings_to_sql(v))
+                for v in _split_top_level(dbody)
+            ]
+            if dbody
+            else []
+        )
+        if not cols or len(vals) % len(cols):
             raise ValueError(
                 f"datatable values ({len(vals)}) must fill whole rows"
                 f" of {len(cols)} columns"
             )
-        rows = [
-            "(" + ", ".join(
-                f"CAST({vals[r * len(cols) + j]} AS {t})"
-                if t
-                else vals[r * len(cols) + j]
-                for j, (_, t) in enumerate(cols)
-            ) + ")"
-            for r in range(len(vals) // len(cols))
-        ]
         names = ", ".join(n for n, _ in cols)
-        sql = f"SELECT * FROM (VALUES {', '.join(rows)}) AS _dt({names})"
+        if not vals:
+            # zero-row datatable `[]` (battery 23): one NULL-typed
+            # row, filtered — keeps the declared schema
+            row = "(" + ", ".join(
+                f"CAST(NULL AS {t})" if t else "NULL"
+                for _, t in cols
+            ) + ")"
+            sql = (
+                f"SELECT * FROM (VALUES {row}) AS _dt({names})"
+                " WHERE 1 = 0"
+            )
+        else:
+            rows = [
+                "(" + ", ".join(
+                    f"CAST({vals[r * len(cols) + j]} AS {t})"
+                    if t
+                    else vals[r * len(cols) + j]
+                    for j, (_, t) in enumerate(cols)
+                ) + ")"
+                for r in range(len(vals) // len(cols))
+            ]
+            sql = (
+                f"SELECT * FROM (VALUES {', '.join(rows)})"
+                f" AS _dt({names})"
+            )
     xdata = not rng and not prnt and not dtable and stages and re.match(
         r"^externaldata\s*\(\s*(.*?)\s*\)\s*\[\s*(.+?)\s*\]"
         r'(?:\s*with\s*\(\s*format\s*=\s*"(\w+)"\s*\))?\s*$',
@@ -11407,7 +11791,40 @@ def _kql_stages_to_sql(
         elif op == "join":
             # kind= and hint.strategy= may appear in EITHER order
             # (round-10 probe battery 10 — ADX join parameters are
-            # order-free)
+            # order-free). hint.shufflekey / hint.num_partitions /
+            # hint.remote (battery 21) are execution advice: validated
+            # and stripped first — shufflekey additionally implies the
+            # shuffle strategy when none is named (its documented
+            # effect is key-partitioning both sides, which is exactly
+            # what Spark's shuffle join does on the join key).
+            _had_shufflekey = False
+            while True:
+                hm_ = re.match(
+                    r"\s*hint\.(shufflekey|num_partitions|remote)"
+                    r"\s*=\s*\w+\s+(.*)$",
+                    body,
+                    re.IGNORECASE | re.DOTALL,
+                )
+                if not hm_:
+                    km_ = re.match(
+                        r"\s*(kind\s*=\s*\w+\s+|hint\.strategy"
+                        r"\s*=\s*\w+\s+)"
+                        r"(hint\.(?:shufflekey|num_partitions|remote)"
+                        r"\s*=\s*\w+\s+)(.*)$",
+                        body,
+                        re.IGNORECASE | re.DOTALL,
+                    )
+                    if not km_:
+                        break
+                    _had_shufflekey = _had_shufflekey or (
+                        "shufflekey" in km_.group(2).lower()
+                    )
+                    body = km_.group(1) + km_.group(3)
+                    continue
+                _had_shufflekey = _had_shufflekey or (
+                    hm_.group(1).lower() == "shufflekey"
+                )
+                body = hm_.group(2)
             m = re.match(
                 r"(?:kind\s*=\s*(\w+)\s+)?"
                 r"(?:hint\.strategy\s*=\s*(\w+)\s+)?"
@@ -11418,7 +11835,7 @@ def _kql_stages_to_sql(
             )
             if not m:
                 raise ValueError(f"join needs [kind=k] (pipe) on cols: {body!r}")
-            m = _JoinMatch(m)
+            m = _JoinMatch(m, shuffle_default=_had_shufflekey)
             kind = (m.group(1) or "innerunique").lower()
             # hint.strategy: ADX broadcast BROADCASTS THE LEFT SIDE
             # (its doc contract) -> Spark BROADCAST hint on the left
@@ -12130,20 +12547,61 @@ def _kql_stages_to_sql(
                 raise ValueError(
                     "project-reorder needs a SparkSession (schema)"
                 )
-            listed = [c.strip() for c in _split_top_level(body)]
-            if not listed or not all(
-                re.match(r"^\w+$", c) for c in listed
-            ):
-                raise ValueError(
-                    f"project-reorder needs column names: {body!r}"
-                )
+            # each item: a name or a `*`-wildcard pattern, with an
+            # optional per-item sort keyword ordering ITS matches —
+            # asc/desc (alphabetic) or granny-asc/granny-desc
+            # (numeric-run-aware, the ADX "natural" order). Battery
+            # 21: only plain names parsed before. Unmatched columns
+            # keep their existing order at the end (ADX contract).
             names = _acols(spark, sql)
-            missing = [c for c in listed if c not in names]
-            if missing:
-                raise ValueError(
-                    f"project-reorder: unknown columns {missing!r}"
+
+            def _granny_key(n: str):
+                return [
+                    int(t) if t.isdigit() else t
+                    for t in re.findall(r"\d+|\D+", n)
+                ]
+
+            ordered, seen = [], set()
+            for item in _split_top_level(body):
+                im = re.match(
+                    r"^([\w*]+)(?:\s+(asc|desc|granny-asc"
+                    r"|granny-desc))?$",
+                    item.strip(),
+                    re.IGNORECASE,
                 )
-            ordered = listed + [n for n in names if n not in listed]
+                if not im:
+                    raise ValueError(
+                        "project-reorder needs 'name-or-pattern"
+                        f" [asc|desc|granny-asc|granny-desc]': {item!r}"
+                    )
+                pat, order = im.group(1), (im.group(2) or "").lower()
+                if "*" in pat:
+                    rx = re.compile(
+                        "^"
+                        + ".*".join(
+                            re.escape(p) for p in pat.split("*")
+                        )
+                        + "$"
+                    )
+                    hits = [n for n in names if rx.match(n)]
+                else:
+                    if pat not in names:
+                        raise ValueError(
+                            f"project-reorder: unknown columns [{pat!r}]"
+                        )
+                    hits = [pat]
+                if order in ("asc", "desc"):
+                    hits.sort(reverse=order == "desc")
+                elif order in ("granny-asc", "granny-desc"):
+                    hits.sort(
+                        key=_granny_key,
+                        reverse=order == "granny-desc",
+                    )
+                for h in hits:
+                    if h not in seen:
+                        seen.add(h)
+                        ordered.append(h)
+            ordered += [n for n in names if n not in seen]
             sql = f"SELECT {', '.join(ordered)} FROM {prev}"
         elif op == "project-rename":
             pairs = []
@@ -12968,85 +13426,123 @@ def _kql_stages_to_sql(
                 raise ValueError(
                     "search needs a SparkSession for schema discovery"
                 )
-            m = re.match(
-                r"^(?:kind\s*=\s*(\w+)\s+)?"
-                r"(?:(\w+)\s*(:|==)\s*)?"
-                r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')\s*$",
-                body,
+            km = re.match(
+                r"^kind\s*=\s*(\w+)\s+(.*)$", body, re.DOTALL
             )
-            if not m:
-                raise ValueError(f'search needs a quoted term: {body!r}')
-            kind, scol, sopr, term = m.groups()
-            term = _strings_to_sql(term)
+            kind, rest_ = (
+                (km.group(1), km.group(2)) if km else (None, body)
+            )
             cs = kind == "case_sensitive"
             if kind not in (None, "case_sensitive"):
                 raise ValueError(f"unsupported search kind: {kind!r}")
-            # literal term text (for translate-time wildcard handling)
-            lit = term[1:-1].replace("''", "'")
             from pyspark.sql.types import StringType
 
-            str_cols = [
+            all_str_cols = [
                 f.name
                 for f in _asql(spark, sql).schema.fields
                 if isinstance(f.dataType, StringType)
             ]
-            if scol:
-                # column-scoped term (round-11 probe battery 19):
-                # `search Col:"term"` is a TERM match in that column
-                # (the has semantics); `Col=="value"` is exact
-                if scol not in str_cols:
-                    raise ValueError(
-                        f"search: {scol!r} is not a string column"
-                        " in scope"
-                    )
-                str_cols = [scol]
-            if not str_cols:
+            if not all_str_cols:
                 raise ValueError("search: no string columns in scope")
 
-            def _search_rx(bound: bool) -> str:
-                # `*` in a search term is an ADX WILDCARD (round-11:
-                # instr matched it literally — silent divergence);
-                # \Q-quoted segments joined by .*, optional \b anchors
-                # for term-match forms, (?i) unless case_sensitive
-                segs = ".*".join(
-                    f"\\\\Q{p}\\\\E" for p in lit.split("*") if p
+            def _atom_pred(atom: str) -> str:
+                am = re.match(
+                    r"^(?:(\w+)\s*(:|==)\s*)?"
+                    r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')\s*$",
+                    atom.strip(),
                 )
-                b = "\\\\b" if bound else ""
-                return (
-                    f"'{'' if cs else '(?i)'}{b}{segs}{b}'"
-                )
+                if not am:
+                    raise ValueError(
+                        f"search needs a quoted term: {atom!r}"
+                    )
+                scol, sopr, term = am.groups()
+                term = _strings_to_sql(term)
+                # literal text (for translate-time wildcard handling)
+                lit = term[1:-1].replace("''", "'")
+                str_cols = all_str_cols
+                if scol:
+                    # column-scoped term (round-11 probe battery 19):
+                    # `search Col:"term"` is a TERM match in that
+                    # column (the has semantics); `Col=="value"` exact
+                    if scol not in str_cols:
+                        raise ValueError(
+                            f"search: {scol!r} is not a string column"
+                            " in scope"
+                        )
+                    str_cols = [scol]
 
-            if sopr == "==":
-                preds = [
-                    (
-                        f"`{c}` = {term}"
-                        if cs
-                        else f"lower(`{c}`) = lower({term})"
+                def _search_rx(bound: bool) -> str:
+                    # `*` in a search term is an ADX WILDCARD
+                    # (round-11: instr matched it literally — silent
+                    # divergence); \Q-quoted segments joined by .*,
+                    # optional \b anchors for term-match forms, (?i)
+                    # unless case_sensitive
+                    segs = ".*".join(
+                        f"\\\\Q{p}\\\\E" for p in lit.split("*") if p
                     )
-                    for c in str_cols
+                    b = "\\\\b" if bound else ""
+                    return f"'{'' if cs else '(?i)'}{b}{segs}{b}'"
+
+                if sopr == "==":
+                    preds = [
+                        (
+                            f"`{c}` = {term}"
+                            if cs
+                            else f"lower(`{c}`) = lower({term})"
+                        )
+                        for c in str_cols
+                    ]
+                elif star_has or sopr == ":":
+                    # whole-term matching, same (?i)\b\Q..\E\b shape
+                    # as the scalar has operator (wildcards honored)
+                    preds = [
+                        f"`{c}` RLIKE {_search_rx(True)}"
+                        for c in str_cols
+                    ]
+                elif "*" in lit:
+                    preds = [
+                        f"`{c}` RLIKE {_search_rx(False)}"
+                        for c in str_cols
+                    ]
+                else:
+                    preds = [
+                        (
+                            f"instr(`{c}`, {term}) > 0"
+                            if cs
+                            else (
+                                f"instr(lower(`{c}`), lower({term}))"
+                                " > 0"
+                            )
+                        )
+                        for c in str_cols
+                    ]
+                return "(" + " OR ".join(preds) + ")"
+
+            def _split_all(text: str, kw: str) -> list[str]:
+                # repeated quote-aware top-level keyword split
+                out = []
+                while True:
+                    parts = _split_by(text, kw)
+                    out.append(parts[0])
+                    if len(parts) == 1:
+                        return out
+                    text = parts[1]
+
+            # boolean term combinations (battery 23): `search "a" and
+            # Col:"b" or "c"` — `and` binds tighter than `or`, the
+            # ADX precedence; each atom is the usual scoped/wildcard
+            # term matched across the string columns
+            disj = []
+            for orp in _split_all(rest_, "or"):
+                conj = [
+                    _atom_pred(a) for a in _split_all(orp, "and")
                 ]
-            elif star_has or sopr == ":":
-                # whole-term matching, same (?i)\b\Q..\E\b shape as
-                # the scalar has operator (wildcards honored)
-                preds = [
-                    f"`{c}` RLIKE {_search_rx(True)}"
-                    for c in str_cols
-                ]
-            elif "*" in lit:
-                preds = [
-                    f"`{c}` RLIKE {_search_rx(False)}"
-                    for c in str_cols
-                ]
-            else:
-                preds = [
-                    (
-                        f"instr(`{c}`, {term}) > 0"
-                        if cs
-                        else f"instr(lower(`{c}`), lower({term})) > 0"
-                    )
-                    for c in str_cols
-                ]
-            sql = f"SELECT * FROM {prev} WHERE {' OR '.join(preds)}"
+                disj.append(
+                    conj[0]
+                    if len(conj) == 1
+                    else "(" + " AND ".join(conj) + ")"
+                )
+            sql = f"SELECT * FROM {prev} WHERE {' OR '.join(disj)}"
         elif op == "distinct":
             cols = ", ".join(
                 _expr(c) for c in _split_top_level(_strings_to_sql(body))
@@ -15726,6 +16222,81 @@ def q_kql_scalar_fns15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 probe-battery 21/22 scalar surface, oracle-backed:
+    the has_ipv4 text-match family over per-row constructed text
+    (exact hit, boundary-broken miss, first-octet prefix, 50/50
+    has_any list membership), ipv4_is_in_any_range over the RFC-1918
+    ranges, netmask suffix default + data-driven /nn, variant-typed
+    bag_set_key / bag_remove_keys (values keep JSON types — the
+    oracle string-builds the same bags), strrep with delimiter, the
+    nested dayofweek fold (datetime_add over startofweek — both the
+    ÷1d and ==Nd spellings), geohash decode round-trip (the oracle
+    recomputes the cell midpoint from the 15-bit lon/lat grid —
+    repeated halving of dyadic bounds is exact in doubles), and
+    deterministic pins for hash_sha512 (the FIPS 'abc' vector) and
+    beta_pdf/beta_inv (engine doubles)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 300"
+        " | extend ipn = (event_id * 2654435761) % 4294967296,"
+        " sfx = toint(event_id % 31 + 1)"
+        " | extend ip = format_ipv4(ipn)"
+        " | extend txt = strcat('src=', ip, ' dst')"
+        " | extend hi1 = has_ipv4(txt, ip),"
+        " hi2 = has_ipv4(strcat('src=', ip, '9'), ip),"
+        " hp = has_ipv4_prefix(txt,"
+        " strcat(tostring(toint(ipn / 16777216)), '.')),"
+        " ha = has_any_ipv4(txt, '1.2.3.4',"
+        " format_ipv4(ipn - ipn % 2)),"
+        " rng = ipv4_is_in_any_range(ip, '10.0.0.0/8',"
+        " '192.168.0.0/16'),"
+        " nm1 = ipv4_netmask_suffix(ip),"
+        " nm2 = ipv4_netmask_suffix(strcat(ip, '/',"
+        " tostring(sfx))),"
+        " bs = bag_set_key(bag_pack('a', event_id), 'b',"
+        " event_id * 2),"
+        " br = bag_remove_keys(bag_pack('a', 'x', 'c',"
+        " event_id * 3), dynamic(['a'])),"
+        " sr = strrep(event_type, 3, '-'),"
+        " dw = dayofweek(datetime_add('day', toint(event_id % 7),"
+        " startofweek(ts))) / 1d,"
+        " db = dayofweek(datetime_add('day', toint(event_id % 7),"
+        " startofweek(ts))) == 3d,"
+        " s5 = hash_sha512('abc'),"
+        " bp = beta_pdf(0.4, 2, 3), bi = beta_inv(0.73, 3, 4)"
+        " | extend lonx = (event_id * 0.7919) % 360.0 - 180.0,"
+        " latx = (event_id * 0.4133) % 180.0 - 90.0"
+        " | extend gp = geo_geohash_to_central_point("
+        "geo_point_to_geohash(lonx, latx, 6))"
+        " | extend glon = todouble(gp.coordinates[0]),"
+        " glat = todouble(gp.coordinates[1])"
+        " | project event_id, hi1, hi2, hp, ha, rng, nm1, nm2,"
+        " bs, br, sr, dw, db, s5, bp, bi, glon, glat",
+    )
+
+
+def q_kql_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition operator with a full subpipe (round-11 battery
+    21): per-event_type top-2 by the UNIQUE event_id (deterministic),
+    a row-wise project tail inside the subpipe, hint.strategy
+    validated-and-stripped, then a hint.shufflekey join back to the
+    source. ONE window + ONE shuffle — ADX's legacy strategy would
+    materialize a subquery per key; the shuffle-native shape is the
+    scale path. Oracle: the same row_number window + join in DuckDB."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | partition hint.strategy=shuffle by event_type"
+        " (top 2 by event_id | project event_type, event_id)"
+        " | join kind=inner hint.shufflekey = event_id"
+        " (events | project event_id, v2 = value) on event_id"
+        " | project event_type, event_id, v2"
+        " | sort by event_type asc, event_id asc",
+    )
+
+
 def q_kql_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """evaluate funnel_sequence (round-11 — the last activity plugin):
     which state precedes and follows the exact view→click→purchase
@@ -16325,6 +16896,8 @@ QUERIES = {
     "kql_scalar_fns13": q_kql_scalar_fns13,
     "kql_scalar_fns14": q_kql_scalar_fns14,
     "kql_scalar_fns15": q_kql_scalar_fns15,
+    "kql_scalar_fns16": q_kql_scalar_fns16,
+    "kql_partition": q_kql_partition,
     "kql_funnel_sequence": q_kql_funnel_sequence,
     "kql_rws_full": q_kql_rws_full,
     "kql_graph_components": q_kql_graph_components,
@@ -17849,6 +18422,60 @@ ORACLE = {
                'u4pruydqqvj' AS gh,
                0.42264973081037327 AS wt
         FROM b
+    """,
+    "kql_scalar_fns16": """
+        WITH b AS (
+            SELECT event_id, ts, event_type,
+                   (event_id * 2654435761) % 4294967296 AS ipn,
+                   event_id % 31 + 1 AS sfx
+            FROM events WHERE event_id < 300
+        ), ipd AS (
+            SELECT *,
+                   (ipn // 16777216) || '.' || (ipn // 65536 % 256)
+                     || '.' || (ipn // 256 % 256) || '.'
+                     || (ipn % 256) AS ip
+            FROM b
+        )
+        SELECT event_id,
+               TRUE AS hi1,
+               FALSE AS hi2,
+               TRUE AS hp,
+               (ipn % 2) = 0 AS ha,
+               (ipn // 16777216 = 10)
+                 OR (ipn // 65536 = 49320) AS rng,
+               32 AS nm1,
+               CAST(sfx AS INT) AS nm2,
+               '{"a":' || event_id || ',"b":' || (event_id * 2)
+                 || '}' AS bs,
+               '{"c":' || (event_id * 3) || '}' AS br,
+               event_type || '-' || event_type || '-'
+                 || event_type AS sr,
+               CAST(event_id % 7 AS DOUBLE) AS dw,
+               (event_id % 7) = 3 AS db,
+               'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9ee'
+                 || 'ee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d44'
+                 || '23643ce80e2a9ac94fa54ca49f' AS s5,
+               1.7279999999999953e0 AS bp,
+               0.5412059506911047e0 AS bi,
+               floor(((event_id * 0.7919) % 360.0 - 180.0 + 180)
+                     / (360.0 / 32768)) * (360.0 / 32768)
+                 + (360.0 / 65536) - 180 AS glon,
+               floor(((event_id * 0.4133) % 180.0 - 90.0 + 90)
+                     / (180.0 / 32768)) * (180.0 / 32768)
+                 + (180.0 / 65536) - 90 AS glat
+        FROM ipd
+    """,
+    "kql_partition": """
+        WITH t AS (
+            SELECT event_type, event_id,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY event_id DESC) AS rn
+            FROM events
+        )
+        SELECT t.event_type, t.event_id, e.value AS v2
+        FROM t JOIN events e ON t.event_id = e.event_id
+        WHERE t.rn <= 2
+        ORDER BY t.event_type ASC, t.event_id ASC
     """,
     "kql_scalar_fns14": """
         WITH b AS (

@@ -1965,3 +1965,235 @@ def test_battery21_beta_family(spark):
     assert kql(spark, "print e = beta_pdf(1.5, 2, 2)").collect()[0][
         "e"
     ] == 0.0
+
+
+def test_battery22_value_checks(spark, sf_smoke):
+    """Battery 22 value pins: hash_sha512 (FIPS 'abc' vector),
+    hash_many determinism, the nested-call dayofweek fold,
+    geo_geohash_to_central_point (decode inverse — cell midpoint,
+    stored-bag accessor path), project-reorder wildcards with
+    per-pattern ordering, join hint.shufflekey/num_partitions
+    accept-and-strip, and series_fit_poly exactness on polynomial
+    data (deg 1 == series_fit_line; deg 2/4 recover exact
+    coefficients, highest power first)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "print s5 = hash_sha512('abc'),"
+        " hm = hash_many('a', 1) == hash_many('a', 1),"
+        " dwb = dayofweek(endofweek(datetime(2024-01-03))) == 6d",
+    ).collect()[0]
+    assert r["s5"] == (
+        "ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9eeee64b"
+        "55d39a2192992a274fc1a836ba3c23a3feebbd454d4423643ce80e2a9a"
+        "c94fa54ca49f"
+    )
+    assert r["hm"] is True and r["dwb"] is True
+    # geohash decode: 'c23nb' cell midpoint; invalid input -> null
+    r = kql(
+        spark,
+        "print p = geo_geohash_to_central_point('c23nb'),"
+        " bad = geo_geohash_to_central_point('ai')",
+    ).collect()[0]
+    assert r["bad"] is None
+    assert '"coordinates":[-122.32177734375,47.61474609375]' in r["p"]
+    # stored-bag accessor ride-along
+    lon = kql(
+        spark,
+        "events | take 1 | extend p = geo_geohash_to_central_point("
+        "geo_point_to_geohash(-122.3, 47.6, 8))"
+        " | project lon = todouble(p.coordinates[0])",
+    ).collect()[0]["lon"]
+    assert abs(lon - -122.3) < 0.01
+    # project-reorder wildcards
+    assert kql(
+        spark, "events | project-reorder value, e* granny-asc, *"
+    ).columns == ["value", "event_id", "event_type", "ts", "user_id",
+                  "props"]
+    assert kql(spark, "events | project-reorder * desc").columns == [
+        "value", "user_id", "ts", "props", "event_type", "event_id"
+    ]
+    with pytest.raises(ValueError, match="unknown column"):
+        kql(spark, "events | project-reorder nope, *")
+    # join hints accept-and-strip (shufflekey implies shuffle)
+    for q in (
+        "events | take 30 | join hint.shufflekey = user_id (events"
+        " | project user_id, v2 = value) on user_id | count",
+        "events | take 30 | join kind=inner hint.shufflekey ="
+        " user_id hint.num_partitions = 8 (events | project user_id,"
+        " v2 = value) on user_id | count",
+    ):
+        assert kql(spark, q).collect()[0]["Count"] > 0
+    # series_fit_poly: exact quadratic + fit_line twin
+    r = kql(
+        spark,
+        "print y = dynamic([0.0, 1.0, 4.0, 9.0])"
+        " | extend (rs, co, v, rv, f) = series_fit_poly(y,"
+        " dynamic([0.0, 1.0, 2.0, 3.0]), 2)"
+        " | project rs, co, rv",
+    ).collect()[0]
+    assert r["rs"] == 1.0 and abs(r["rv"]) < 1e-18
+    assert [round(c, 9) for c in r["co"]] == [1.0, 0.0, 0.0]
+    r = kql(
+        spark,
+        "print y = dynamic([1.0, 2.9, 5.2, 6.9, 9.1])"
+        " | extend (rs, sl, v, rv, ic, ln) = series_fit_line(y)"
+        " | extend (rs2, co, v2, rv2, f) = series_fit_poly(y)"
+        " | project d1 = abs(sl - co[0]), d2 = abs(ic - co[1]),"
+        " d3 = abs(rs - rs2)",
+    ).collect()[0]
+    assert r["d1"] < 1e-9 and r["d2"] < 1e-9 and r["d3"] < 1e-9
+    with pytest.raises(ValueError, match="degree"):
+        kql(
+            spark,
+            "print y = dynamic([1.0, 2.0]) | extend (a, b, c, d, e)"
+            " = series_fit_poly(y, dynamic([0.0, 1.0]), 9)",
+        )
+
+
+def test_battery23_value_checks(spark, sf_smoke):
+    """Battery 23 value pins: ADX default aggregate names drop the
+    make_ prefix (list_x / set_x / bag_x — make_list_x was a silent
+    naming divergence), multi-assign arg_max/arg_min, search boolean
+    term combinations (and binds tighter than or), bag_pack_columns,
+    literal dynamic lists unpack inside in(), zero-row datatable,
+    and the hll accuracy level mapping."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    assert kql(
+        spark, "events | summarize make_list(event_type)"
+    ).columns == ["list_event_type"]
+    assert kql(
+        spark, "events | summarize make_set(value), make_bag(props)"
+    ).columns == ["set_value", "bag_props"]
+    assert kql(
+        spark,
+        "events | summarize make_list_if(event_type, value > 50),"
+        " make_set_if(user_id, value > 50)",
+    ).columns == ["list_event_type", "set_user_id"]
+    # multi-assign arg_max: named columns, values match the plain form
+    r = kql(
+        spark,
+        "events | summarize (t, v) = arg_max(ts, value)",
+    ).collect()[0]
+    p = kql(
+        spark, "events | summarize arg_max(ts, value)"
+    ).collect()[0]
+    assert r["t"] == p["ts"] and r["v"] == p["value"]
+    with pytest.raises(ValueError, match="one name per column"):
+        kql(spark, "events | summarize (a) = arg_max(ts, value)")
+    # search boolean combos: and/or with ADX precedence
+    n_view = kql(
+        spark, 'search in (events) event_type:"view" | count'
+    ).collect()[0]["Count"]
+    n_purch = kql(
+        spark, 'search in (events) event_type:"purchase" | count'
+    ).collect()[0]["Count"]
+    assert (
+        kql(
+            spark,
+            'search in (events) event_type:"view" or'
+            ' event_type:"purchase" | count',
+        ).collect()[0]["Count"]
+        == n_view + n_purch
+    )
+    assert (
+        kql(
+            spark,
+            'search in (events) "view" and "qqzz" or'
+            ' event_type:"purchase" | count',
+        ).collect()[0]["Count"]
+        == n_purch
+    )
+    # bag_pack_columns keys are the column names, typed values
+    b = kql(
+        spark,
+        "events | where event_id == 1 | extend"
+        " b = bag_pack_columns(event_id, event_type) | project b",
+    ).collect()[0]["b"]
+    assert b.startswith('{"event_id":1,"event_type":')
+    # in (dynamic([...])) unpacks the literal list
+    n = kql(
+        spark,
+        "events | where event_type in (dynamic(['view', 'click']))"
+        " | count",
+    ).collect()[0]["Count"]
+    m = kql(
+        spark,
+        "events | where event_type in ('view', 'click') | count",
+    ).collect()[0]["Count"]
+    assert n == m > 0
+    # zero-row datatable keeps its declared schema
+    df = kql(spark, "datatable (a: long, s: string) []")
+    assert df.count() == 0 and df.columns == ["a", "s"]
+    # hll accuracy levels map to valid sketch precisions
+    for acc in (0, 4):
+        d = kql(
+            spark,
+            f"events | summarize h = hll(user_id, {acc})"
+            " | project d = dcount_hll(h)",
+        ).collect()[0]["d"]
+        assert d > 0
+    with pytest.raises(ValueError, match="accuracy"):
+        kql(spark, "events | summarize h = hll(user_id, 9)")
+
+
+def test_battery24_value_checks(spark, sf_smoke):
+    """Battery 24 value pins: KQL real literals are DOUBLES (bare 2.5
+    parsed as Spark DECIMAL crept into results — iff(c, 1, 2.5) came
+    back Decimal('1.0'), 0.1 + 0.2 folded decimal-exact where ADX
+    computes IEEE doubles); `has` with a COLUMN term (runtime
+    word-boundary match, \\E re-escaped); array_length/string_size
+    are LONG (INT32 overflowed in downstream arithmetic where ADX
+    computes — fuzz finding); union kind=inner common-column
+    semantics; split 3-arg; indexof_regex; now(offset); zero-row
+    datatable covered in battery 23."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "print a = iff(true, 1, 2.5), b = 0.1 + 0.2,"
+        " c = round(2.567, 2)",
+    ).collect()[0]
+    assert r["a"] == 1.0 and isinstance(r["a"], float)
+    assert r["b"] == 0.30000000000000004 and r["c"] == 2.57
+    # timespan / version / datetime-fraction literals unaffected
+    r = kql(
+        spark,
+        "print t = format_timespan(1.5h, 'hh:mm'),"
+        " v = parse_version('1.2.10') > parse_version('1.2.9'),"
+        " d = format_datetime(datetime(2024-01-02 10:30:00.123),"
+        " 'ss.SSS')",
+    ).collect()[0]
+    assert r["t"] == "01:30" and r["v"] is True and r["d"] == "00.123"
+    # has with a column term: exact delimited token, case rules
+    rows = kql(
+        spark,
+        "datatable (msg: string, kw: string) ["
+        "'err in disk io', 'disk', 'diskette full', 'disk',"
+        "'Disk err', 'disk'] | extend h = msg has kw,"
+        " hc = msg has_cs kw | project msg, h, hc",
+    ).collect()
+    got = {r["msg"]: (r["h"], r["hc"]) for r in rows}
+    assert got["err in disk io"] == (True, True)
+    assert got["diskette full"] == (False, False)
+    assert got["Disk err"] == (True, False)
+    # array_length is LONG: the overflow chain computes
+    r = kql(
+        spark,
+        "print a = pack_array(1, 2, 3) | extend"
+        " v = array_length(a) * 16843009 * 1000 | project v",
+    ).collect()[0]
+    assert r["v"] == 3 * 16843009 * 1000
+    # union kind=inner keeps only the common columns
+    assert kql(
+        spark,
+        "union kind=inner (events | project event_id, value),"
+        " (events | project event_id, user_id)",
+    ).columns == ["event_id"]
+    # split with requestedIndex; indexof_regex; now(offset)
+    r = kql(
+        spark,
+        "print s = tostring(split('a,b,c', ',', 1)),"
+        " i = indexof_regex('abc123', '[0-9]+'),"
+        " n = now(-1d) < now()",
+    ).collect()[0]
+    assert "b" in r["s"] and r["i"] == 3 and r["n"] is True

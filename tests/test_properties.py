@@ -917,7 +917,7 @@ def _kql_dual_st(draw):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
         dts = sorted(c for c, t in cols.items() if t == "dt")
-        kind = draw(st.integers(0, 22))
+        kind = draw(st.integers(0, 26))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -1283,6 +1283,75 @@ def _kql_dual_st(draw):
                 f" FROM ({sql}) _ms"
             )
             cols[newc] = "int"
+        elif kind == 23 and "event_type" in cols:
+            # round-11 battery 23: literal dynamic list inside in()
+            neg = draw(st.booleans())
+            op = "!in" if neg else "in"
+            sop = "NOT IN" if neg else "IN"
+            kqls.append(
+                f"where event_type {op}"
+                " (dynamic(['view', 'click']))"
+            )
+            sql = (
+                f"SELECT * FROM ({sql}) _in WHERE event_type"
+                f" {sop} ('view', 'click')"
+            )
+        elif kind == 24 and ints and "event_id" in cols:
+            # round-11 battery 23: multi-assign arg_max/arg_min over
+            # the UNIQUE event_id key (tie-free, so deterministic)
+            v = draw(st.sampled_from(ints))
+            g = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 5))
+            mn = draw(st.booleans())
+            fn, ext, dfn = (
+                ("arg_min", "MIN", "arg_min")
+                if mn
+                else ("arg_max", "MAX", "arg_max")
+            )
+            kqls.append(
+                f"summarize (t_, v_) = {fn}(event_id, {v})"
+                f" by g = {g} % {k}"
+            )
+            sql = (
+                f"SELECT {g} % {k} AS g, {ext}(event_id) AS t_,"
+                f" {dfn}({v}, event_id) AS v_ FROM ({sql}) _am"
+                " GROUP BY 1"
+            )
+            cols = {"g": "int", "t_": "int", "v_": "int"}
+        elif kind == 25 and ints:
+            # round-11 battery 21: partition-with-subpipe == GROUP BY
+            g = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 5))
+            newc = f"pk{len(cols)}"
+            kqls.append(
+                f"extend {newc} = {g} % {k}"
+                f" | partition hint.strategy=shuffle by {newc}"
+                " (summarize n_ = count() | where n_ > 0)"
+            )
+            sql = (
+                f"SELECT {g} % {k} AS {newc}, COUNT(*) AS n_"
+                f" FROM ({sql}) _pt GROUP BY 1 HAVING COUNT(*) > 0"
+            )
+            cols = {"n_": "int", newc: "int"}
+        elif kind == 26 and ints:
+            # round-11 battery 21: has_ipv4 exact delimited match —
+            # the text embeds the ip intact on even rows and
+            # boundary-broken (digit appended) on odd rows
+            c = draw(st.sampled_from(ints))
+            newc = f"hip{len(cols)}"
+            kqls.append(
+                f"extend _ipt = strcat('10.0.', tostring({c} % 250),"
+                " '.7')"
+                f" | extend {newc} = has_ipv4(iff({c} % 2 == 0,"
+                " strcat('x ', _ipt, ' y'), strcat('x ', _ipt,"
+                f" '9 y')), _ipt) | project-away _ipt"
+            )
+            sql = (
+                f"SELECT * EXCLUDE (_ipt), ({c} % 2 = 0) AS {newc}"
+                f" FROM (SELECT *, '10.0.' || ({c} % 250) || '.7'"
+                f" AS _ipt FROM ({sql}) _hi) _hb"
+            )
+            cols[newc] = "bool"
     return " | ".join(kqls), sql
 
 
