@@ -481,6 +481,34 @@ now(offset), datetime ISO-T/Z literals, extract_json typed,
 parse_version ordering, countof_regex, take_anyif, top by
 expression, bin over reals, union cross-schema null fill, negative
 range step, timespan sum aggregation.
+Probe battery 25 additions (round-11, thirteenth sweep): to*()
+conversions are LENIENT — toint/tolong/todouble/toreal ride try_cast
+(toint('12.5') raised ANSI CAST_INVALID_INPUT at runtime where ADX
+returns null; tobool/todatetime were already lenient; the hex-
+literal fold and typed-null rules are upstream and unaffected);
+stored-dynamic accessor chains accept bracket STRING keys (d['k'] /
+d['a b'] on VARIANT and string bags — was INVALID_EXTRACT on
+variants; same JSONPath key rules as the inline parse_json path,
+quotes/brackets inside a key stay loud). Verified-not-gaps:
+timespan × integer (both orders), bin()+timespan arithmetic,
+between with reversed bounds (empty), series scalar broadcast,
+strcat/tostring over dynamics (JSON text), 3-way union kind=inner,
+top-nested by non-count aggregates, split('')[…] shapes, extract
+group 0, substring OOB.
+Probe battery 26 additions (round-11, fourteenth sweep): todatetime
+parses the common .NET spellings — US slash dates (12/24-hour,
+AM/PM), compact yyyyMMdd, RFC-1123 (day-name stripped, zone parsed)
+— via a coalesce ladder bound once (ISO/timestamp passthrough is
+still the first try_cast arm; all previously returned SILENT null
+where ADX parses; day-first locales stay out of the subset);
+substring clamps a NEGATIVE start to 0 (Spark's from-end negative
+start returned 'o' for substring('hello', -2) where ADX returns
+'hello' — silent); reduce `with threshold=/characters=` knobs
+validated-and-stripped; true-ARRAY columns take RUNTIME subscript
+expressions (a[i] with i = -1 was an ANSI crash — try_element_at
+with the sign CASE, the literal-subscript contract). gettype of an
+integer LITERAL reports 'int' where ADX's literals are long — the
+documented int-literal typing divergence (tolong() for parity).
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -1485,11 +1513,22 @@ def _case_sql(args: list[str]) -> str:
 
 
 def _substring_sql(args: list[str]) -> str:
-    """ADX substring is 0-based; Spark's is 1-based."""
-    if len(args) == 2:
-        return f"substring({args[0]}, ({args[1]}) + 1)"
-    if len(args) == 3:
-        return f"substring({args[0]}, ({args[1]}) + 1, {args[2]})"
+    """ADX substring is 0-based, and a NEGATIVE start clamps to 0
+    (battery 26 — Spark's 1-based negative start counts from the END,
+    so substring('hello', -2) returned 'o' where ADX returns
+    'hello'); greatest() folds away for literal starts."""
+    if len(args) in (2, 3):
+        st = args[1].strip()
+        lm = re.match(r"^-?\d+$", st)
+        if lm:
+            # literal start folds the clamp away at translate time —
+            # a greatest() wrapper here deepened call nesting past
+            # what the later =~/predicate operand patterns accept
+            start = f"({max(int(st), 0)}) + 1"
+        else:
+            start = f"greatest(({st}), 0) + 1"
+        tail = f", {args[2]}" if len(args) == 3 else ""
+        return f"substring({args[0]}, {start}{tail})"
     raise ValueError(f"substring needs (s, start[, len]): {args!r}")
 
 
@@ -3467,7 +3506,10 @@ def _expr(kql_expr: str) -> str:
     # variant/string dynamic) are included — the base-column type gate
     # keeps struct fields, table quals, and decimals untouched.
     if re.search(
-        r"(?<![\w.\])'\"])\w+(?:\.\w+|\[\d+\])+", e
+        r"(?<![\w.\])'\"])\w+"
+        r"(?:\.\w+|\[\d+\]|\[\s*'(?:[^']|'')*'\s*\]"
+        r"|\[\s*[A-Za-z_][^\]]*\])+",
+        e,
     ):
         _ctx8 = _ACTIVE_CTX.get()
         _child8 = _STAGE_CHILD.get()
@@ -3498,15 +3540,79 @@ def _expr(kql_expr: str) -> str:
                         return m.group(0)
                     # variants go through to_json; strings are already
                     # the JSON text. The whole accessor chain becomes
-                    # one JSONPath (j.a.b[1] -> $.a.b[1]).
+                    # one JSONPath (j.a.b[1] -> $.a.b[1]); bracket
+                    # STRING keys (j['k'] — battery 25, was an
+                    # INVALID_EXTRACT on variants) take the same key
+                    # rules as the inline parse_json accessor path.
                     base = c if _dyn8[c] else f"to_json({c})"
-                    path = "$" + m.group(2)
-                    return f"get_json_object({base}, '{path}')"
+                    path = "$"
+                    for acc in re.finditer(
+                        r"\.(\w+)|\[\s*'((?:[^']|'')*)'\s*\]"
+                        r"|\[\s*(\d+)\s*\]",
+                        m.group(2),
+                    ):
+                        if acc.group(1):
+                            path += f".{acc.group(1)}"
+                        elif acc.group(2) is not None:
+                            key = acc.group(2)
+                            if re.match(r"^\w+$", key):
+                                path += f".{key}"
+                            elif (
+                                "'" in key
+                                or '"' in key
+                                or "[" in key
+                                or "]" in key
+                            ):
+                                raise ValueError(
+                                    f"JSON bracket key {key!r} contains"
+                                    " characters Spark's JSONPath"
+                                    " cannot express"
+                                )
+                            else:
+                                path += f"['{key}']"
+                        else:
+                            path += f"[{acc.group(3)}]"
+                    lit = (
+                        f'"{path}"' if "'" in path else f"'{path}'"
+                    )
+                    return f"get_json_object({base}, {lit})"
 
                 e = _pred_sub(
                     r"(?<![\w.\])'\"])(\w+)"
-                    r"((?:\.\w+|\[\d+\])+)(?!\s*\()",
+                    r"((?:\.\w+|\[\d+\]"
+                    r"|\[\s*'(?:[^']|'')*'\s*\])+)(?!\s*\()",
                     _idx8,
+                    e,
+                )
+            # true-ARRAY columns with a RUNTIME index expression
+            # (battery 26: a[i] with i = -1 was an ANSI
+            # INVALID_ARRAY_INDEX crash) — try_element_at counts
+            # 1-based from the front, negative from the end, NULL out
+            # of range, exactly the ADX dynamic subscript contract
+            # the literal path already follows
+            from pyspark.sql.types import ArrayType
+
+            _arr8 = {
+                f.name
+                for f in _fields8
+                if isinstance(f.dataType, ArrayType)
+            }
+            if _arr8:
+
+                def _aidx8(m: re.Match) -> str:
+                    c, ix = m.group(1), m.group(2).strip()
+                    if c not in _arr8:
+                        return m.group(0)
+                    return (
+                        f"try_element_at({c}, CASE WHEN ({ix}) >= 0"
+                        f" THEN CAST({ix} AS INT) + 1"
+                        f" ELSE CAST({ix} AS INT) END)"
+                    )
+
+                e = _pred_sub(
+                    r"(?<![\w.\])'\"])(\w+)"
+                    r"\[\s*([A-Za-z_][\w\s+*/%-]*)\s*\]",
+                    _aidx8,
                     e,
                 )
     e = _rewrite_fn(e, "case", _case_sql)
@@ -5878,10 +5984,20 @@ def _expr(kql_expr: str) -> str:
         ),
         e,
     )
-    e = _sub_outside_strings(r"\btolong\(", "bigint(", e)
-    e = _sub_outside_strings(r"\btoint\(", "int(", e)
-    e = _sub_outside_strings(r"\btodouble\(", "double(", e)
-    e = _sub_outside_strings(r"\btoreal\(", "double(", e)
+    # ADX to*() yields NULL on malformed input; the plain function-
+    # style casts raised ANSI CAST_INVALID_INPUT on dirty strings
+    # (battery 25: toint('12.5') crashed where ADX returns null —
+    # to* over user data is exactly where garbage shows up)
+    e = _rewrite_fn(
+        e, "tolong", lambda a: f"try_cast({a[0]} AS BIGINT)"
+    )
+    e = _rewrite_fn(e, "toint", lambda a: f"try_cast({a[0]} AS INT)")
+    e = _rewrite_fn(
+        e, "todouble", lambda a: f"try_cast({a[0]} AS DOUBLE)"
+    )
+    e = _rewrite_fn(
+        e, "toreal", lambda a: f"try_cast({a[0]} AS DOUBLE)"
+    )
     # typed VALUE constructors long(5)/real(1.5) (probe battery 14) —
     # ADX restricts these to literals; the cast is a superset. The
     # typed-null rule later never fires for these two (bigint(null) /
@@ -5895,9 +6011,41 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(
         e, "tobool", lambda a: f"try_cast({a[0]} AS BOOLEAN)"
     )
-    e = _rewrite_fn(
-        e, "todatetime", lambda a: f"try_cast({a[0]} AS TIMESTAMP)"
-    )
+    def _todatetime_sql(a: list[str]) -> str:
+        # ADX todatetime parses the common .NET date spellings, not
+        # just ISO (battery 26: '1/2/2024', '20240102', RFC-1123 all
+        # returned null here while ADX parses them — a silent
+        # divergence in the null direction). First arm is the old
+        # try_cast (timestamps, numerics, ISO strings — unchanged
+        # semantics), then a US-style / compact / RFC-1123 ladder
+        # over the string form, bound ONCE via the transform rule.
+        # M/d order is ADX's en-US default; day-first locales are out
+        # of the subset (documented).
+        if len(a) != 1:
+            raise ValueError(f"todatetime needs one argument: {a!r}")
+        x = a[0].strip()
+        arms = ", ".join(
+            f"try_to_timestamp(_td, '{p}')"
+            for p in (
+                "M/d/yyyy h:mm:ss a",
+                "M/d/yyyy H:mm:ss",
+                "M/d/yyyy h:mm a",
+                "M/d/yyyy H:mm",
+                "M/d/yyyy",
+                "yyyyMMdd",
+            )
+        )
+        rfc = (
+            "try_to_timestamp(regexp_replace(_td,"
+            " '^[A-Za-z]{3}, ', ''), 'dd MMM yyyy HH:mm:ss zzz')"
+        )
+        return (
+            f"coalesce(try_cast({x} AS TIMESTAMP),"
+            f" element_at(transform(array(CAST({x} AS STRING)),"
+            f" _td -> coalesce({arms}, {rfc})), 1))"
+        )
+
+    e = _rewrite_fn(e, "todatetime", _todatetime_sql)
     # timespan surface: totimespan FIRST so format_timespan embeds its
     # already-translated output (rewrites run left-to-right, no
     # re-entry); bare timespan literals are swept at the end of _expr.
@@ -12970,7 +13118,16 @@ def _kql_stages_to_sql(
             # precedent): long hex runs then digit runs generalize to
             # '*', Representative is the MIN value per pattern. One
             # grouped aggregation, map-side pattern derivation.
-            rm = re.match(r"^by\s+(\w+)\s*$", body, re.IGNORECASE)
+            # `with threshold=/characters=` are tuning knobs for ADX's
+            # opaque clustering — validated and stripped (battery 26;
+            # this translation's pattern derivation is deterministic)
+            rm = re.match(
+                r"^by\s+(\w+)\s*"
+                r"(?:with\s+(?:(?:threshold|characters)\s*=\s*"
+                r"(?:[\d.]+|\"[^\"]*\"|'[^']*')\s*,?\s*)+)?$",
+                body,
+                re.IGNORECASE,
+            )
             if not rm:
                 raise ValueError(f"reduce needs 'by column': {body!r}")
             c = rm.group(1)

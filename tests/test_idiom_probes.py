@@ -2197,3 +2197,97 @@ def test_battery24_value_checks(spark, sf_smoke):
         " n = now(-1d) < now()",
     ).collect()[0]
     assert "b" in r["s"] and r["i"] == 3 and r["n"] is True
+
+
+def test_battery25_value_checks(spark, sf_smoke):
+    """Battery 25 value pins: to*() conversions yield NULL on
+    malformed strings (toint('12.5') raised ANSI CAST_INVALID_INPUT
+    where ADX returns null — to* over user data is exactly where
+    garbage shows up), and stored-dynamic accessor chains accept
+    bracket STRING keys (d['k'] / d['a b'] on VARIANT and string
+    bags — was INVALID_EXTRACT), composing with dots and numeric
+    indexes."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "print a = isnull(toint('12.5')), b = isnull(tolong('abc')),"
+        " c = todouble('2.5'), d = toint('0x1A'),"
+        " e = tolong(2.9)",
+    ).collect()[0]
+    assert r["a"] is True and r["b"] is True
+    assert r["c"] == 2.5 and r["d"] == 26 and r["e"] == 2
+    r = kql(
+        spark,
+        "events | take 1 | extend d = todynamic("
+        "'{\"k\": \"v\", \"a b\": 2, \"n\": {\"m\": [5, 6]}}')"
+        " | extend x = tostring(d['k']), y = toint(d['a b']),"
+        " z = toint(d.n.m[1]), w = toint(d['n'].m[0])"
+        " | project x, y, z, w",
+    ).collect()[0]
+    assert (r["x"], r["y"], r["z"], r["w"]) == ("v", 2, 6, 5)
+    # string-typed bags take the same bracket path
+    r = kql(
+        spark,
+        "events | take 1 | extend s = '{\"k\": 7}'"
+        " | extend x = toint(s['k']) | project x",
+    ).collect()[0]
+    assert r["x"] == 7
+
+
+def test_battery26_value_checks(spark, sf_smoke):
+    """Battery 26 value pins: todatetime parses the common .NET date
+    spellings (US slash dates, 12-hour AM/PM, compact yyyyMMdd,
+    RFC-1123 — all returned null here while ADX parses them; ISO and
+    timestamp passthrough unchanged), substring clamps a negative
+    start to 0 (Spark's from-the-end negative start returned 'o' for
+    substring('hello', -2) where ADX returns 'hello'), reduce accepts
+    `with threshold=/characters=` tuning knobs, and true-array
+    subscripts take RUNTIME index expressions (a[i] with i = -1 was
+    an ANSI INVALID_ARRAY_INDEX crash; from-end and out-of-range-null
+    now match the literal-subscript contract)."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "print a = format_datetime(todatetime('1/2/2024'),"
+        " 'yyyy-MM-dd'),"
+        " b = format_datetime(todatetime('1/2/2024 3:45 PM'),"
+        " 'HH:mm'),"
+        " c = format_datetime(todatetime("
+        "'Tue, 02 Jan 2024 10:00:00 GMT'), 'HH'),"
+        " d = format_datetime(todatetime('20240102'), 'MM-dd'),"
+        " e = isnull(todatetime('garbage')),"
+        " f = format_datetime(todatetime('2024-01-02 10:30:00'),"
+        " 'HH:mm')",
+    ).collect()[0]
+    assert r["a"] == "2024-01-02" and r["b"] == "15:45"
+    assert r["c"] == "10" and r["d"] == "01-02"
+    assert r["e"] is True and r["f"] == "10:30"
+    ok = kql(
+        spark,
+        "events | take 1 | extend d = todatetime(ts)"
+        " | project ok = d == ts",
+    ).collect()[0]["ok"]
+    assert ok is True
+    r = kql(
+        spark,
+        "print s = substring('hello', -2),"
+        " t = substring('hello', 1, 3)",
+    ).collect()[0]
+    assert r["s"] == "hello" and r["t"] == "ell"
+    assert (
+        kql(
+            spark,
+            "datatable (s: string) ['aa1', 'aa2'] | reduce by s"
+            " with threshold = 0.1 | count",
+        ).collect()[0]["Count"]
+        == 1
+    )
+    r = kql(
+        spark,
+        "events | take 1 | extend a = pack_array(1, 2, 3)"
+        " | extend i = toint(-1), j = toint(1), k = toint(9)"
+        " | extend v1 = toint(a[i]), v2 = toint(a[j]),"
+        " v3 = isnull(a[k]), v4 = toint(a[j - 1])"
+        " | project v1, v2, v3, v4",
+    ).collect()[0]
+    assert (r["v1"], r["v2"], r["v3"], r["v4"]) == (3, 2, True, 1)

@@ -443,3 +443,59 @@ def test_query_round11_surface_through_service(spark, tmp_path):
     assert t0["Columns"][0]["DataType"] == "TimeSpan"
     cell = t0["Rows"][0][0]
     assert cell.startswith("-") and "1:30:00" in cell, cell
+
+
+def test_query_round11_extension_surfaces(spark, tmp_path):
+    """Round-11 extension-session surfaces through /query: the
+    partition operator with a subpipe (hint stripped, per-key top),
+    search boolean term combinations, has with a column term, real
+    literals as doubles (v1 DataType Double, not SqlDecimal), and a
+    to*() null on malformed input instead of an HTTP 400."""
+    spark.sql(
+        "SELECT id, kind, CAST(v AS DOUBLE) AS v FROM VALUES"
+        " (1, 'view', 10.0), (2, 'view', 30.0), (3, 'click', 20.0),"
+        " (4, 'click', 5.0), (5, 'click', 7.0) AS t(id, kind, v)"
+    ).createOrReplaceTempView("svc_r11")
+    svc = service.LakeService(
+        spark, str(tmp_path / "lake"), str(tmp_path / "state")
+    )
+    status, body = svc.query(
+        json.dumps(
+            {
+                "csl": "svc_r11 | partition hint.strategy=shuffle by"
+                " kind (top 1 by v | project kind, v)"
+                " | sort by kind asc"
+            }
+        ).encode()
+    )
+    assert status == 200
+    assert body["Tables"][0]["Rows"] == [["click", 20.0], ["view", 30.0]]
+    # real literal arithmetic is DOUBLE on the wire
+    status, body = svc.query(
+        json.dumps({"csl": "print x = 0.1 + 0.2"}).encode()
+    )
+    assert status == 200
+    col = body["Tables"][0]["Columns"][0]
+    assert col["DataType"] == "Double" and col["ColumnType"] == "real"
+    assert body["Tables"][0]["Rows"][0][0] == 0.30000000000000004
+    # search combos + has-column through the service path
+    status, body = svc.query(
+        json.dumps(
+            {
+                "csl": 'search in (svc_r11) kind:"view" or'
+                ' kind:"click" | count'
+            }
+        ).encode()
+    )
+    assert status == 200 and body["Tables"][0]["Rows"] == [[5]]
+    status, body = svc.query(
+        json.dumps(
+            {"csl": "svc_r11 | where kind has kind | count"}
+        ).encode()
+    )
+    assert status == 200 and body["Tables"][0]["Rows"] == [[5]]
+    # malformed to*() input is a null cell, not an error
+    status, body = svc.query(
+        json.dumps({"csl": "print x = toint('12.5')"}).encode()
+    )
+    assert status == 200 and body["Tables"][0]["Rows"] == [[None]]
