@@ -509,6 +509,28 @@ expressions (a[i] with i = -1 was an ANSI crash — try_element_at
 with the sign CASE, the literal-subscript contract). gettype of an
 integer LITERAL reports 'int' where ADX's literals are long — the
 documented int-literal typing divergence (tolong() for parity).
+Probe battery 27 additions (round-11, fifteenth sweep): parse_xml
+accessor chains — parse_xml(x).a.b / ['@attr'] / [n] compile to ONE
+JVM-side xpath_string (dots are element steps, ['@name'] an
+attribute, a numeric index the n-th sibling); the full ADX bag
+shape (#text nodes, sibling arrays) and the bare parse_xml() form
+stay loud, and malformed XML raises where ADX yields null (loud,
+documented). Tabular function-let DEFAULT parameters — `let f =
+(T: (v: real) = (events | take 5)) { T | … }; f()` binds the
+default pipe when called standalone (scalar extras fill from their
+own defaults; `| invoke f()` still binds the piped child); bare
+numeric substitutions stay raw so `take n` grammar slots parse.
+dynamic_to_json — canonical JSON with keys sorted at EVERY level:
+Spark's Variant binary format stores object fields key-sorted, so
+ONE variant round-trip is the ADX canonicalization (null on
+non-JSON input, the lenient to*() contract).
+Verified-not-gaps: timespan percentiles/avg/min/max (intervals ride
+the native aggregates), serialize-order row_number after a
+post-sort where, boolean group keys, case-insensitive column refs
+(lenient-direction acceptance, Spark's resolver), format_timespan
+negative = unsigned tokens (.NET custom-format contract, already
+documented in the docstring), empty-input aggregates, double
+mv-expand cross products.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -5706,6 +5728,19 @@ def _expr(kql_expr: str) -> str:
             + "))"
         )
 
+    # dynamic_to_json: canonical JSON with keys sorted at EVERY level
+    # (battery 21, was a loud gap) — Spark's Variant binary format
+    # stores object fields key-sorted, so one variant round-trip IS
+    # the ADX canonicalization. Non-JSON input yields null (the
+    # lenient to*() contract).
+    e = _rewrite_fn(
+        e,
+        "dynamic_to_json",
+        lambda a: (
+            f"to_json(try_parse_json(CAST({a[0].strip()}"
+            " AS STRING)))"
+        ),
+    )
     e = _rewrite_fn(e, "bag_pack_columns", _bag_pack_columns_sql)
     e = _rewrite_fn(e, "bag_pack", _pack_sql)
     # pack_dictionary is the documented legacy alias of bag_pack/pack
@@ -5945,6 +5980,67 @@ def _expr(kql_expr: str) -> str:
     _pj_acc = re.compile(
         r"(?:\.\w+|\[\s*(?:'(?:[^']|'')*'|\d+)\s*\])+"
     )
+    # parse_xml(x).a.b / parse_xml(x).a['@attr'] / parse_xml(x).a.b[1]
+    # — the accessor-chain subset (battery 27): compiles to ONE
+    # JVM-side xpath_string (dots are element steps, ['@name'] an
+    # attribute step, a numeric index selects the n-th sibling,
+    # xpath 1-based). The full ADX bag shape (#text nodes, sibling
+    # arrays as dynamic) and bare parse_xml() without an accessor are
+    # out of the subset — loud. Malformed XML raises (Spark's xpath
+    # contract; ADX returns null — documented divergence, loud not
+    # silent).
+    while "parse_xml(" in e:
+        _px_spans = [
+            (m.start(), m.end()) for m in _STR_SPAN.finditer(e)
+        ]
+        _px_hit = None
+        for mm in re.finditer(r"\bparse_xml\s*\(", e):
+            if any(s0 <= mm.start() < s1 for s0, s1 in _px_spans):
+                continue
+            close = _balanced_end(e, mm.end() - 1)
+            if close is None:
+                continue
+            am = _pj_acc.match(e, close + 1)
+            if am is None:
+                raise ValueError(
+                    "parse_xml supports accessor chains only"
+                    " (parse_xml(x).a.b, ['@attr'], [n] — compiled"
+                    " to xpath); a bare parse_xml() bag is out of"
+                    " the subset"
+                )
+            _px_hit = (mm, close, am)
+            break
+        if _px_hit is None:
+            break
+        mm, close, am = _px_hit
+        steps: list[str] = []
+        for acc in re.finditer(
+            r"\.(\w+)|\[\s*'((?:[^']|'')*)'\s*\]|\[\s*(\d+)\s*\]",
+            am.group(0),
+        ):
+            if acc.group(1):
+                steps.append(acc.group(1))
+            elif acc.group(2) is not None:
+                key = acc.group(2)
+                if not re.match(r"^@?[\w.-]+$", key):
+                    raise ValueError(
+                        f"parse_xml accessor {key!r} is not a valid"
+                        " element/attribute name"
+                    )
+                steps.append(key)
+            else:
+                if not steps:
+                    raise ValueError(
+                        "parse_xml accessor chains must start with"
+                        " an element step"
+                    )
+                steps[-1] += f"[{int(acc.group(3)) + 1}]"
+        xp = "/" + "/".join(steps)
+        e = (
+            e[: mm.start()]
+            + f"xpath_string({e[mm.end() : close]}, '{xp}')"
+            + e[am.end() :]
+        )
     while "parse_json(" in e:
         _pj_spans = [
             (m.start(), m.end()) for m in _STR_SPAN.finditer(e)
@@ -7820,6 +7916,7 @@ def _apply_lets(
             body = vm.group(1).strip()
         fm = re.match(
             r"^\(\s*(\w+)\s*:\s*\([^()]*\)\s*"
+            r"(?:=\s*(\((?:[^()]|\([^()]*\))*\))\s*)?"
             r"(?:,\s*([\w\s:,=.'\"-]*?))?\)\s*\{\s*(.+?)\s*\}$",
             body,
             re.DOTALL,
@@ -7836,7 +7933,7 @@ def _apply_lets(
             # at invoke via the scalar-let macro substitution;
             # trailing omitted args fill from declared defaults.
             extras = []
-            for p in _split_top_level(fm.group(2) or ""):
+            for p in _split_top_level(fm.group(3) or ""):
                 if not p.strip():
                     continue
                 pm = re.match(
@@ -7849,8 +7946,15 @@ def _apply_lets(
                 extras.append(
                     (pm.group(1), (pm.group(2) or "").strip() or None)
                 )
+            # a DEFAULT tabular argument (`(T: (v: real) = (events |
+            # take 5))` — battery 21) lets the function be called
+            # STANDALONE as `f()`: the default pipe binds the
+            # parameter when nothing is piped in
+            tdflt = (
+                fm.group(2)[1:-1].strip() if fm.group(2) else None
+            )
             tabular[name] = (
-                "fn", fm.group(1), fm.group(3).strip(), extras
+                "fn", fm.group(1), fm.group(4).strip(), extras, tdflt
             )
             text = text[m.end():]
             continue
@@ -8882,6 +8986,53 @@ def _kql_stages_to_sql(
                 sel = f"'{nm}' AS {wscol}, {sel}"
             sels.append(f"(SELECT {sel} FROM ({s}) AS _lu{j})")
         sql = " UNION ALL ".join(sels)
+    # `f()` as the query HEAD: a function let whose tabular parameter
+    # declares a DEFAULT pipe (battery 21) — the default binds the
+    # parameter, scalar extras fill from their own defaults
+    _fcall = (
+        re.match(r"^(\w+)\s*\(\s*\)\s*$", stages[0]) if stages else None
+    )
+    _fhead = None
+    if _fcall and isinstance(_tabular.get(_fcall.group(1)), tuple):
+        _fd = _tabular[_fcall.group(1)]
+        if _fd[0] == "fn":
+            _fd5 = (*_fd, [], None)[:5]
+            if _fd5[4] is None:
+                raise ValueError(
+                    f"{_fcall.group(1)}(): the tabular parameter"
+                    " declares no default — pipe a table into"
+                    f" '| invoke {_fcall.group(1)}()'"
+                )
+            _fhead = _fd5
+    if _fhead is not None:
+        _, fparam0, fbody0, fextras0, fdflt0 = _fhead
+        for pname, dflt in fextras0:
+            if dflt is None:
+                raise ValueError(
+                    f"{_fcall.group(1)}(): missing argument"
+                    f" {pname!r} (no default declared)"
+                )
+            # the scalar-let paren rule: bare non-negative numerics
+            # substitute RAW so integer-literal grammar slots
+            # (`take n`) still parse
+            rep0 = (
+                dflt
+                if re.match(r"^\d+(?:\.\d+)?$", dflt)
+                else f"({dflt})"
+            )
+            fbody0 = _sub_outside_strings(
+                rf"\b{re.escape(pname)}\b", rep0, fbody0
+            )
+        scoped0 = dict(_tabular)
+        scoped0[fparam0] = (
+            "sql", kql_to_sql(fdflt0, spark, dict(_tabular))
+        )
+        head_sql = kql_to_sql(fbody0, spark, scoped0)
+        rest = " | ".join(stages[1:])
+        if not rest:
+            return head_sql
+        scoped0["_fhead_"] = ("sql", head_sql)
+        return kql_to_sql(f"_fhead_ | {rest}", spark, scoped0)
     if not (rng or prnt or dtable or xdata or fnd or lun) and (
         not stages or not re.match(r"^\w+(?:\.\w+)?$", stages[0])
     ):
@@ -12781,9 +12932,7 @@ def _kql_stages_to_sql(
                     f"invoke: {im.group(1)!r} is not a function let"
                     " ('let f = (source:(*)) { source | … };')"
                 )
-            _, fparam, fbody, fextras = (*fdef, [])[:4] if len(
-                fdef
-            ) == 3 else fdef
+            _, fparam, fbody, fextras = (*fdef, [], None)[:4]
             # positional scalar args bind by macro substitution (the
             # scalar-let rule: each parameter name rewrites to the
             # parenthesized argument text everywhere outside strings);
@@ -12806,8 +12955,16 @@ def _kql_stages_to_sql(
                         f"invoke {im.group(1)}: missing argument"
                         f" {pname!r} (no default declared)"
                     )
+                # the scalar-let paren rule: bare non-negative
+                # numerics substitute RAW so integer-literal grammar
+                # slots (`take n`) still parse (battery 27)
+                repv = (
+                    val
+                    if re.match(r"^\d+(?:\.\d+)?$", val.strip())
+                    else f"({val})"
+                )
                 fbody = _sub_outside_strings(
-                    rf"\b{re.escape(pname)}\b", f"({val})", fbody
+                    rf"\b{re.escape(pname)}\b", repv, fbody
                 )
             scoped = dict(_tabular)
             scoped[fparam] = ("sql", sql)

@@ -2291,3 +2291,69 @@ def test_battery26_value_checks(spark, sf_smoke):
         " | project v1, v2, v3, v4",
     ).collect()[0]
     assert (r["v1"], r["v2"], r["v3"], r["v4"]) == (3, 2, True, 1)
+
+
+def test_battery27_value_checks(spark, sf_smoke):
+    """Battery 27 value pins: parse_xml accessor chains (xpath-
+    compiled element/attribute/index steps; the bare bag form stays
+    loud), tabular function-let DEFAULT parameters (`f()` standalone
+    binds the declared default pipe; scalar extras fill from their
+    own defaults; piping into `| invoke f()` still wins), and bare
+    numeric argument substitution keeps integer-literal grammar slots
+    (`take n`) parseable."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "print a = parse_xml('<a><b>1</b></a>').a.b,"
+        " b = parse_xml('<a><b attr=\"z\">1</b></a>').a.b['@attr'],"
+        " c = parse_xml('<a><b>1</b><b>2</b></a>').a.b[1],"
+        " d = toint(parse_xml('<r><n><x>42</x></n></r>').r.n.x)",
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"], r["d"]) == ("1", "z", "2", 42)
+    with pytest.raises(ValueError, match="accessor chains only"):
+        kql(spark, "print v = parse_xml('<a/>')")
+    assert (
+        kql(
+            spark,
+            "let f = (T: (value: real) = (events | take 5))"
+            " { T | count }; f()",
+        ).collect()[0]["Count"]
+        == 5
+    )
+    assert (
+        kql(
+            spark,
+            "let f = (T: (*) = (events | take 4), n: long = 2)"
+            " { T | take n }; f() | count",
+        ).collect()[0]["Count"]
+        == 2
+    )
+    assert (
+        kql(
+            spark,
+            "let f = (T: (value: real) = (events | take 5))"
+            " { T | count }; events | take 3 | invoke f()",
+        ).collect()[0]["Count"]
+        == 3
+    )
+    assert (
+        kql(
+            spark,
+            "let f = (T: (*), n: long = 2) { T | take n };"
+            " events | invoke f(3) | count",
+        ).collect()[0]["Count"]
+        == 3
+    )
+    with pytest.raises(ValueError, match="declares no default"):
+        kql(spark, "let g = (T: (*)) { T | count }; g()")
+    # dynamic_to_json: canonical key sort at every level (the variant
+    # round-trip); null on non-JSON input
+    r = kql(
+        spark,
+        "print a = dynamic_to_json(dynamic({'b': 2, 'a':"
+        " {'z': 1, 'y': [3]}})),"
+        " b = dynamic_to_json(parse_json('[3, 1, {\"q\": 1}]')),"
+        " c = isnull(dynamic_to_json('not json'))",
+    ).collect()[0]
+    assert r["a"] == '{"a":{"y":[3],"z":1},"b":2}'
+    assert r["b"] == '[3,1,{"q":1}]' and r["c"] is True
