@@ -16591,6 +16591,36 @@ def q_kql_scalar_fns16(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 battery-25/26/27 surface, oracle-backed: todatetime
+    over per-row constructed US-slash dates (the oracle rebuilds the
+    date via make_date), parse_xml accessor chains over per-row
+    constructed XML (element text + attribute — the oracle reads the
+    embedded source columns back), dynamic_to_json canonical key sort
+    (the oracle string-builds the sorted bag), substring negative-
+    start clamping, and lenient to*() nulls on malformed input."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 200"
+        " | extend us = strcat(tostring(event_id % 12 + 1), '/',"
+        " tostring(event_id % 28 + 1), '/2024')"
+        " | extend tdy = format_datetime(todatetime(us),"
+        " 'yyyy-MM-dd')"
+        " | extend xml = strcat('<e><t>', event_type, '</t><n v=\"',"
+        " tostring(event_id), '\"/></e>')"
+        " | extend xt = parse_xml(xml).e.t,"
+        " xa = toint(parse_xml(xml).e.n['@v']),"
+        " dj = dynamic_to_json(bag_pack('b', event_id, 'a',"
+        " event_type)),"
+        " ss = substring(event_type, -3),"
+        " s2 = substring(event_type, 1, 2),"
+        " tin = isnull(toint(strcat(tostring(event_id), '.5'))),"
+        " tln = isnull(tolong(event_type))"
+        " | project event_id, tdy, xt, xa, dj, ss, s2, tin, tln",
+    )
+
+
 def q_kql_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition operator with a full subpipe (round-11 battery
     21): per-event_type top-2 by the UNIQUE event_id (deterministic),
@@ -17211,6 +17241,7 @@ QUERIES = {
     "kql_scalar_fns14": q_kql_scalar_fns14,
     "kql_scalar_fns15": q_kql_scalar_fns15,
     "kql_scalar_fns16": q_kql_scalar_fns16,
+    "kql_scalar_fns17": q_kql_scalar_fns17,
     "kql_partition": q_kql_partition,
     "kql_funnel_sequence": q_kql_funnel_sequence,
     "kql_rws_full": q_kql_rws_full,
@@ -18778,6 +18809,22 @@ ORACLE = {
                      / (180.0 / 32768)) * (180.0 / 32768)
                  + (180.0 / 65536) - 90 AS glat
         FROM ipd
+    """,
+    "kql_scalar_fns17": """
+        SELECT event_id,
+               strftime(make_date(2024, CAST(event_id % 12 + 1 AS
+                                             INT),
+                                  CAST(event_id % 28 + 1 AS INT)),
+                        '%Y-%m-%d') AS tdy,
+               event_type AS xt,
+               CAST(event_id AS INT) AS xa,
+               '{"a":"' || event_type || '","b":' || event_id
+                 || '}' AS dj,
+               event_type AS ss,
+               substr(event_type, 2, 2) AS s2,
+               TRUE AS tin,
+               TRUE AS tln
+        FROM events WHERE event_id < 200
     """,
     "kql_partition": """
         WITH t AS (
