@@ -531,6 +531,16 @@ post-sort where, boolean group keys, case-insensitive column refs
 negative = unsigned tokens (.NET custom-format contract, already
 documented in the docstring), empty-input aggregates, double
 mv-expand cross products.
+Probe battery 28 (round-11, sixteenth sweep — 20 docs-shaped
+COMPOSITE queries, 8-15 stages each): one gap — the dayofweek
+==Nd / ÷1d folds moved to _expr's HEAD (_fold_dayofweek) so a
+bin(...) argument still matches: _bin_to_sql exploded the call past
+any finite fold-regex depth, failing the everyday dashboard label
+`tostring(dayofweek(bin(ts, 1d)) / 1d)` on interval typing.
+Everything else green first-try: pct-of-total via as+toscalar,
+funnel-lite via in((pipe)) distinct, multi-let compositions,
+make_list→mv-expand→summarize roundtrips, prev() deltas over binned
+series, 3-level top-nested, percentile trios.
 Probe battery 13 additions (round-11): pack_dictionary (bag_pack
 alias), replace_strings(text, lookups, rewrites) as one ordered
 left fold (later lookups see earlier replacements), datetime_add
@@ -994,6 +1004,76 @@ def _rdiv_guard_one(n: str, d: str) -> str:
         f" WHEN ({n}) = 0 THEN CAST('NaN' AS DOUBLE) END)"
         f" ELSE ({n}) / ({d}) END)"
     )
+
+
+# ADX dayofweek returns a TIMESPAN of whole days since Sunday; the
+# useful scalar is its day count: 0=Sunday..6=Saturday. The everyday
+# spellings compare it against a day literal (`dayofweek(ts) == 0d`,
+# probe battery 14) or divide by one (`dayofweek(ts) / 1d`, battery
+# 16) — both fold to plain numbers BEFORE the timespan-literal
+# rewrite would make an INTERVAL of the RHS. Runs at the very top of
+# _expr so the call argument is still RAW KQL, and the call is found
+# by a BALANCED paren scan — any nesting depth (battery 28 found
+# dayofweek(bin(ts, 1d)) past the old regex's depth; the stress
+# sweep then found depth 4 past the widened regex — no finite depth
+# survives _bin_to_sql-sized arguments).
+
+
+def _fold_dayofweek(e: str) -> str:
+    if "dayofweek" not in e:
+        return e
+    changed = True
+    while changed:
+        changed = False
+        spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
+        for m in re.finditer(r"\bdayofweek\s*\(", e):
+            if any(s0 <= m.start() < s1 for s0, s1 in spans):
+                continue
+            close = _balanced_end(e, m.end() - 1)
+            if close is None:
+                continue
+            call = e[m.start() : close + 1]
+            tail = e[close + 1 :]
+            tm = re.match(
+                r"\s*(==|!=|<=|>=|<|>)\s*(\d+(?:\.\d+)?)\s*d"
+                r"\b(?![\w.(])",
+                tail,
+            )
+            if tm:
+                e = (
+                    e[: m.start()]
+                    + f"{call} {tm.group(1)} {tm.group(2)}"
+                    + tail[tm.end() :]
+                )
+                changed = True
+                break
+            dm = re.match(
+                r"\s*/\s*(\d+(?:\.\d+)?)\s*(ms|[smhd])\b(?![\w.(])",
+                tail,
+            )
+            if dm:
+                e = (
+                    e[: m.start()]
+                    + f"(({call}) * 86400"
+                    + f" / {_ts_lit_seconds(dm.group(1), dm.group(2))})"
+                    + tail[dm.end() :]
+                )
+                changed = True
+                break
+            hm = re.search(
+                r"(?<![\w.])(\d+(?:\.\d+)?)\s*d\s*"
+                r"(==|!=|<=|>=|<|>)\s*$",
+                e[: m.start()],
+            )
+            if hm:
+                e = (
+                    e[: hm.start()]
+                    + f"{hm.group(1)} {hm.group(2)} {call}"
+                    + e[close + 1 :]
+                )
+                changed = True
+                break
+    return e
 
 
 def _real_div_guard(e: str) -> str:
@@ -3420,6 +3500,7 @@ def _expr(kql_expr: str) -> str:
     # KQL tokens (todouble/toreal, real literals), never the divisions
     # the translator's own emissions contain
     e = _real_div_guard(e)
+    e = _fold_dayofweek(e)
     e = _bin_to_sql(e)
     e = _concat_plus(e)
     # column+column string concat — RETRY path only (see _PLUS_CONCAT):
@@ -4088,40 +4169,10 @@ def _expr(kql_expr: str) -> str:
     # BEFORE the timespan-literal rewrite would turn it into an
     # INTERVAL the numeric refinement cannot compare with (probe
     # battery 14). Both operand orders.
-    # nested-call depth 3: dayofweek(endofweek(datetime(...))) is an
-    # everyday spelling (battery 22 — depth 1 missed it, so the == Nd
-    # fold never fired and the comparison failed on interval typing)
-    _DOW_ARG = r"(?:[^()']|'(?:[^'\\]|\\.)*')"
-    _DOW_CALL = (
-        rf"dayofweek\s*\((?:{_DOW_ARG}"
-        rf"|\((?:{_DOW_ARG}|\({_DOW_ARG}*\))*\))*\)"
-    )
-    e = _pred_sub(
-        rf"({_DOW_CALL})\s*(==|!=|<=|>=|<|>)"
-        r"\s*(\d+(?:\.\d+)?)\s*d\b(?![\w.(])",
-        lambda m: f"{m.group(1)} {m.group(2)} {m.group(3)}",
-        e,
-    )
-    e = _pred_sub(
-        r"(?<![\w.])(\d+(?:\.\d+)?)\s*d\s*(==|!=|<=|>=|<|>)"
-        rf"\s*({_DOW_CALL})",
-        lambda m: f"{m.group(1)} {m.group(2)} {m.group(3)}",
-        e,
-    )
-    # dayofweek(x) / <timespan literal> — the ADX idiom for a plain
-    # day NUMBER (dayofweek is a timespan there); fold to numeric
-    # day-seconds over the literal's seconds BEFORE the timespan-
-    # division machinery would treat the numerator as an interval
-    # (round-11 probe battery 16)
-    e = _pred_sub(
-        rf"({_DOW_CALL})\s*/\s*(\d+(?:\.\d+)?)\s*(ms|[smhd])"
-        r"\b(?![\w.(])",
-        lambda m: (
-            f"(({m.group(1)}) * 86400"
-            f" / {_ts_lit_seconds(m.group(2), m.group(3))})"
-        ),
-        e,
-    )
+    # (the == Nd / ÷ timespan-literal FOLDS moved to _expr's head —
+    # _fold_dayofweek — so they see the RAW KQL call before
+    # _bin_to_sql explodes a bin(...) argument past any finite
+    # nesting depth; battery 28)
     e = _rewrite_fn(e, "dayofweek", lambda a: f"(dayofweek({a[0]}) - 1)")
     # arrays & misc
     e = _sub_outside_strings(r"\bpack_array\(", "array(", e)

@@ -2357,3 +2357,53 @@ def test_battery27_value_checks(spark, sf_smoke):
     ).collect()[0]
     assert r["a"] == '{"a":{"y":[3],"z":1},"b":2}'
     assert r["b"] == '[3,1,{"q":1}]' and r["c"] is True
+
+
+def test_battery28_value_checks(spark, sf_smoke):
+    """Battery 28 (docs-shaped composite sweep) value pins: the
+    dayofweek ==Nd / ÷1d folds now run at _expr's head so a bin()
+    argument still matches (previously _bin_to_sql exploded the call
+    past the fold regex's depth and the everyday dashboard label
+    `tostring(dayofweek(bin(ts, 1d)) / 1d)` failed on interval
+    typing); plain/nested spellings unchanged."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    r = kql(
+        spark,
+        "events | take 1 | extend d = dayofweek(bin(ts, 1d)) / 1d"
+        " | project ok = d >= 0 and d <= 6",
+    ).collect()[0]
+    assert r["ok"] is True
+    assert (
+        kql(spark, "print d = dayofweek(datetime(2024-01-03)) / 1d")
+        .collect()[0]["d"]
+        == 3.0
+    )
+    assert (
+        kql(
+            spark,
+            "print b = dayofweek(endofweek(datetime(2024-01-03)))"
+            " == 6d",
+        ).collect()[0]["b"]
+        is True
+    )
+    # the composite dashboard-label shape end-to-end
+    rows = kql(
+        spark,
+        "events | extend label = strcat("
+        "format_datetime(bin(ts, 1d), 'MM-dd'), ' (',"
+        " tostring(dayofweek(bin(ts, 1d)) / 1d), ')')"
+        " | summarize c = count() by label | top 3 by c",
+    ).collect()
+    assert len(rows) == 3 and all("(" in r["label"] for r in rows)
+    # the stress sweep then found depth 4 past the widened regex —
+    # the fold now uses a balanced paren scan (any depth), with
+    # reversed operand order and string spans protected
+    r = kql(
+        spark,
+        "print a = dayofweek(startofday(bin(endofday("
+        "datetime(2024-01-03)), 1d))) / 1d,"
+        " b = 3d == dayofweek(datetime(2024-01-03)),"
+        " s = 'dayofweek(x) == 3d'",
+    ).collect()[0]
+    assert r["a"] == 3.0 and r["b"] is True
+    assert r["s"] == "dayofweek(x) == 3d"
