@@ -2407,3 +2407,44 @@ def test_battery28_value_checks(spark, sf_smoke):
     ).collect()[0]
     assert r["a"] == 3.0 and r["b"] is True
     assert r["s"] == "dayofweek(x) == 3d"
+
+
+def test_out_of_subset_loud_contract(spark, sf_smoke):
+    """The documented out-of-subset tail must stay LOUD — every item
+    raises with a message naming the limitation (an analysis-level
+    UNRESOLVED_ROUTINE for unimplemented scalar functions is the
+    same contract: loud at first use, never a silent mistranslation).
+    Round-11 close regression pins."""
+    load(spark, sf_smoke, "events").createOrReplaceTempView("events")
+    for q, pat in [
+        ("events | consume decodeblocks=true", "out of subset"),
+        (
+            "events | take 50 | make-graph user_id --> event_id"
+            " | graph-match (a)-[e*1..99]->(b) project x = a",
+            "variable-length bounds",
+        ),
+        ("externaldata (a: long) [ unquoted ]", "must be quoted"),
+        (
+            "events | top-nested 2 of event_type with others = 'r'"
+            " by count(), top-nested 1 of user_id by count()",
+            "single-level form only",
+        ),
+        (
+            "events | serialize rn = row_number() | take 1",
+            "preceding sort by",
+        ),
+        ("events | take 2 | evaluate narrow()", "preceding sort by"),
+        (
+            "events | facet by event_type with (take 1)",
+            "documented subset",
+        ),
+        ("print v = parse_xml('<a/>')", "accessor chains only"),
+    ]:
+        with pytest.raises(ValueError, match=pat):
+            kql(spark, q).collect()
+    # unimplemented scalar functions surface Spark's loud
+    # UNRESOLVED_ROUTINE (the "anything else" contract)
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException, match="UNRESOLVED_ROUTINE"):
+        kql(spark, "print s = punycode_from_string('x')").collect()
