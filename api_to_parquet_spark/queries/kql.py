@@ -5358,16 +5358,24 @@ def _expr(kql_expr: str) -> str:
             f"coalesce(try_cast({a[0]} AS BIGINT),"
             f" {_parse_ipv4_expr(f'CAST({a[0]} AS STRING)')})"
         )
+        raw_ip = ip
         if len(a) == 2:
             ip = (
                 f"(({ip}) div CAST(pow(2, 32 - ({a[1]})) AS BIGINT))"
                 f" * CAST(pow(2, 32 - ({a[1]})) AS BIGINT)"
             )
+        # out-of-range numeric input (negative / > 32 bits) yields the
+        # EMPTY string — the documented ADX invalid-input contract
+        # (fuzz finding: a negative input previously formatted as a
+        # garbage dotted string with negative octets); null stays null
         return (
-            f"concat(CAST(({ip}) div 16777216 % 256 AS STRING), '.',"
+            f"(CASE WHEN ({a[0]}) IS NULL THEN NULL"
+            f" WHEN ({raw_ip}) BETWEEN 0 AND 4294967295 THEN"
+            f" concat(CAST(({ip}) div 16777216 % 256 AS STRING), '.',"
             f" CAST(({ip}) div 65536 % 256 AS STRING), '.',"
             f" CAST(({ip}) div 256 % 256 AS STRING), '.',"
             f" CAST(({ip}) % 256 AS STRING))"
+            f" ELSE '' END)"
         )
 
     def _format_ipv4_mask_sql(a: list[str]) -> str:

@@ -2407,6 +2407,17 @@ def test_battery28_value_checks(spark, sf_smoke):
     ).collect()[0]
     assert r["a"] == 3.0 and r["b"] is True
     assert r["s"] == "dayofweek(x) == 3d"
+    # format_ipv4 invalid-input contract (long-fuzz finding): out of
+    # range / unparseable -> EMPTY string (ADX), null stays null; a
+    # negative previously formatted as garbage negative octets
+    r = kql(
+        spark,
+        "print a = format_ipv4(16843009), b = format_ipv4(-1),"
+        " c = format_ipv4(4294967296), d = format_ipv4('zz'),"
+        " e = isnull(format_ipv4(long(null)))",
+    ).collect()[0]
+    assert r["a"] == "1.1.1.1" and r["b"] == "" and r["c"] == ""
+    assert r["d"] == "" and r["e"] is True
 
 
 def test_out_of_subset_loud_contract(spark, sf_smoke):

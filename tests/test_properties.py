@@ -904,6 +904,12 @@ def test_scan_state_refs_match_python_reference(spark, seq):
 
 @st.composite
 def _kql_dual_st(draw):
+    # generated-name uniquifier: len(cols) repeats once a project
+    # shrinks the column set, and a re-extended name needs the
+    # EXCLUDE oracle form (ADX extend replaces) — fresh names keep
+    # every plain `SELECT *, … AS name` oracle honest; the rk_ arm
+    # covers the re-extend surface explicitly (fuzz-caught, twice)
+    _uid = iter(range(100, 10000))
     kqls = ["events"]
     sql = "SELECT event_id, user_id, event_type, ts FROM events"
     kqls.append("project event_id, user_id, event_type, ts")
@@ -931,7 +937,7 @@ def _kql_dual_st(draw):
         elif kind == 1 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
-            newc = f"x{len(cols)}"
+            newc = f"x{next(_uid)}"
             kqls.append(f"extend {newc} = {c} % {k} + 1")
             sql = (
                 f"SELECT *, {c} % {k} + 1 AS {newc} FROM ({sql}) _e"
@@ -951,7 +957,7 @@ def _kql_dual_st(draw):
             cols = {"g": "int", "n": "int", "s": "int"}
         elif kind == 3 and strs:
             c = draw(st.sampled_from(strs))
-            newc = f"t{len(cols)}"
+            newc = f"t{next(_uid)}"
             kqls.append(f'extend {newc} = strcat({c}, "-z")')
             sql = f"SELECT *, {c} || '-z' AS {newc} FROM ({sql}) _s"
             cols[newc] = "str"
@@ -1019,7 +1025,7 @@ def _kql_dual_st(draw):
         elif kind == 10 and "user_id" in cols:
             # lookup: deduped dimension join (deterministic — the dim
             # is a per-user aggregate, inner semantics keep matches)
-            newc = f"lk{len(cols)}"
+            newc = f"lk{next(_uid)}"
             k = draw(st.integers(2, 6))
             kqls.append(
                 "lookup kind=inner (events"
@@ -1040,7 +1046,7 @@ def _kql_dual_st(draw):
             # (sum over dynamic elements is DOUBLE on the Spark side)
             c = draw(st.sampled_from(ints))
             kk = draw(st.integers(0, 2))
-            newc = f"ma{len(cols)}"
+            newc = f"ma{next(_uid)}"
             kqls.append(
                 f"extend a_ = pack_array({c} % 3, {c} % 5, {c} % 7)"
                 f" | mv-apply with_itemindex=mi_ e_ = a_ on"
@@ -1081,7 +1087,7 @@ def _kql_dual_st(draw):
             # always ends letter+digits, so a match always exists.
             s1 = draw(st.sampled_from(strs))
             c = draw(st.sampled_from(ints))
-            newc = f"eg{len(cols)}"
+            newc = f"eg{next(_uid)}"
             kqls.append(
                 "extend ea_ = extract_all("
                 f'@"([a-z]+)([0-9]+)", strcat({s1}, tostring({c} % 9)))'
@@ -1101,7 +1107,7 @@ def _kql_dual_st(draw):
             # round-10 surface: join parameters in EITHER order
             # (kind= / hint.strategy=), both orders must mean the
             # same inner join
-            newc = f"jm{len(cols)}"
+            newc = f"jm{next(_uid)}"
             k = draw(st.integers(2, 6))
             params = ["kind=inner", "hint.strategy=broadcast"]
             if draw(st.booleans()):
@@ -1122,7 +1128,7 @@ def _kql_dual_st(draw):
             # datetime shapes: startofday + 1d epoch-floor bin (==
             # date_trunc for whole days on naive UTC timestamps)
             c = draw(st.sampled_from(dts))
-            newc = f"d{len(cols)}"
+            newc = f"d{next(_uid)}"
             which = draw(st.booleans())
             if which:
                 kqls.append(f"extend {newc} = startofday({c})")
@@ -1141,7 +1147,7 @@ def _kql_dual_st(draw):
             k = draw(st.integers(2, 5))
             dirkw = draw(st.sampled_from(["", "asc", "desc"]))
             pl = draw(st.sampled_from(["first", "last"]))
-            newn = f"n{len(cols)}"
+            newn = f"n{next(_uid)}"
             kqls.append(
                 f"extend {newn} = iff({c} % {k} == 0, long(null),"
                 f" {c} % 7)"
@@ -1163,12 +1169,14 @@ def _kql_dual_st(draw):
             )
             cols[newn] = "int"
             cols["rk_"] = "int"
-        elif kind == 16 and strs:
-            # round-11 surface: has_any_index over the clean token
-            # column — equality twin (the tokens carry no word-
-            # boundary ambiguity)
-            c = draw(st.sampled_from(strs))
-            newc = f"hx{len(cols)}"
+        elif kind == 16 and "event_type" in cols:
+            # round-11 surface: has_any_index over the PRISTINE token
+            # column only — the equality oracle needs tokens with no
+            # word-boundary ambiguity, and a derived strcat column
+            # like 'view-z' legitimately TERM-matches 'view' (the
+            # fuzz caught its own oracle sampling a tainted column)
+            c = "event_type"
+            newc = f"hx{next(_uid)}"
             kqls.append(
                 f"extend {newc} = has_any_index({c},"
                 " dynamic(['view', 'click']))"
@@ -1184,7 +1192,7 @@ def _kql_dual_st(draw):
             # ten ratio so the double multiply is exact both sides)
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
-            newc = f"cv{len(cols)}"
+            newc = f"cv{next(_uid)}"
             kqls.append(
                 f"extend {newc} = convert_length({c} % {k},"
                 " 'Meter', 'Centimeter')"
@@ -1196,18 +1204,23 @@ def _kql_dual_st(draw):
             cols[newc] = "dbl"
         elif kind == 18 and ints:
             # round-11 surface: ipv4 -> canonical ipv6 transitional
-            # form (string build twin)
+            # form (string build twin). abs() keeps the input
+            # provably non-negative: an upstream has_any_index miss
+            # feeds -1, format_ipv4 of a negative is empty/null (the
+            # ADX invalid-input contract) while the naive to_hex
+            # oracle two's-complements it — the fuzz caught its own
+            # oracle again
             c = draw(st.sampled_from(ints))
-            newc = f"p6{len(cols)}"
+            newc = f"p6{next(_uid)}"
             kqls.append(
                 f"extend {newc} = parse_ipv6(format_ipv4("
-                f"({c} % 250) * 16843009))"
+                f"(abs({c}) % 250) * 16843009))"
             )
             sql = (
                 "SELECT *, '0000:0000:0000:0000:0000:ffff:'"
-                f" || lpad(lower(to_hex((({c} % 250) * 16843009)"
+                f" || lpad(lower(to_hex(((abs({c}) % 250) * 16843009)"
                 " // 65536)), 4, '0') || ':'"
-                f" || lpad(lower(to_hex((({c} % 250) * 16843009)"
+                f" || lpad(lower(to_hex(((abs({c}) % 250) * 16843009)"
                 f" % 65536)), 4, '0') AS {newc} FROM ({sql}) _p6"
             )
             cols[newc] = "str"
@@ -1215,7 +1228,7 @@ def _kql_dual_st(draw):
             # round-11 surface: array_index_of occurrence arg over a
             # constructed array whose match layout is decidable
             c = draw(st.sampled_from(ints))
-            newc = f"ao{len(cols)}"
+            newc = f"ao{next(_uid)}"
             kqls.append(
                 f"extend {newc} = array_index_of(pack_array("
                 f"{c} % 5, {c} % 3, {c} % 5), {c} % 5, 1, -1, 1)"
@@ -1252,7 +1265,7 @@ def _kql_dual_st(draw):
             # (and-chained) — 1:1 on the unique event_id, the second
             # condition a tautology-by-construction over the same row
             k = draw(st.integers(2, 7))
-            newc = f"cj{len(cols)}"
+            newc = f"cj{next(_uid)}"
             kqls.append(
                 "join kind=inner (events | project e2_ = event_id,"
                 f" u2_ = user_id, {newc} = event_id % {k})"
@@ -1272,7 +1285,7 @@ def _kql_dual_st(draw):
         elif kind == 21 and dts:
             # round-11 surface: sub-second datetime_diff units
             c = draw(st.sampled_from(dts))
-            newc = f"ms{len(cols)}"
+            newc = f"ms{next(_uid)}"
             kqls.append(
                 f"extend {newc} = datetime_diff('millisecond',"
                 f" {c}, startofday({c}))"
@@ -1322,7 +1335,7 @@ def _kql_dual_st(draw):
             # round-11 battery 21: partition-with-subpipe == GROUP BY
             g = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 5))
-            newc = f"pk{len(cols)}"
+            newc = f"pk{next(_uid)}"
             kqls.append(
                 f"extend {newc} = {g} % {k}"
                 f" | partition hint.strategy=shuffle by {newc}"
@@ -1338,7 +1351,7 @@ def _kql_dual_st(draw):
             # the text embeds the ip intact on even rows and
             # boundary-broken (digit appended) on odd rows
             c = draw(st.sampled_from(ints))
-            newc = f"hip{len(cols)}"
+            newc = f"hip{next(_uid)}"
             kqls.append(
                 f"extend _ipt = strcat('10.0.', tostring({c} % 250),"
                 " '.7')"
