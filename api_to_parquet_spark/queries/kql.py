@@ -6159,7 +6159,15 @@ def _expr(kql_expr: str) -> str:
     # double(null) are the same typed nulls). int() maps 1:1 already.
     e = _sub_outside_strings(r"\blong\(", "bigint(", e)
     e = _sub_outside_strings(r"\breal\(", "double(", e)
-    e = _sub_outside_strings(r"\btostring\(", "string(", e)
+    # ADX tostring NEVER returns null — a null input yields the EMPTY
+    # string (long-fuzz finding: tostring(ea_[0][1]) of a no-match
+    # extract came back NULL here, '' in ADX; isnull(tostring(x)) is
+    # always false there)
+    e = _rewrite_fn(
+        e,
+        "tostring",
+        lambda a: f"coalesce(string({a[0]}), '')",
+    )
     # lenient conversions (ADX to*() yields null on garbage; the
     # function-style casts above are for clean-typed args, these two
     # commonly see dirty strings)

@@ -2418,6 +2418,16 @@ def test_battery28_value_checks(spark, sf_smoke):
     ).collect()[0]
     assert r["a"] == "1.1.1.1" and r["b"] == "" and r["c"] == ""
     assert r["d"] == "" and r["e"] is True
+    # tostring NEVER returns null (long-fuzz finding): a null input
+    # yields the empty string, the ADX contract
+    r = kql(
+        spark,
+        "print a = tostring(long(null)),"
+        " b = isnull(tostring(real(null))),"
+        " c = tostring(parse_json('[1]')[5]), d = tostring(42)",
+    ).collect()[0]
+    assert r["a"] == "" and r["b"] is False
+    assert r["c"] == "" and r["d"] == "42"
 
 
 def test_out_of_subset_loud_contract(spark, sf_smoke):
