@@ -240,6 +240,100 @@ def _expand_id_pairs(buckets: DataFrame) -> DataFrame:
     return small_pairs.unionByName(big_pairs).distinct()
 
 
+def _expand_struct_pairs(buckets: DataFrame, keep) -> DataFrame:
+    """(ids: sorted array<struct<id, pay>>) -> distinct VERIFIED
+    (doc_a, doc_b, pay_a, pay_b) pairs, doc_a < doc_b.
+
+    _expand_id_pairs' two exactness-preserving paths (in-array for
+    normal buckets, bounded block-cell equi-join for mega-buckets)
+    with each member carrying a fixed-width payload and the verify
+    predicate `keep(pay_a, pay_b)` applied WHERE THE PAIR IS BORN:
+    inside the array expansion (small path — rejected candidates
+    never even explode into rows) and immediately after the cell
+    join (mega path). Round-12: the simhash 100x probe was
+    candidate-bound — with verification inline, the ~n²/2^bits
+    random-collision candidates die in the task that created them
+    instead of crossing the distinct shuffle plus two fingerprint
+    joins; only true near-dup pairs are ever shuffled. Same pair set
+    provably: the predicate is the query's own final filter, applied
+    before dedupe instead of after."""
+    n_blocks = F.greatest(
+        F.ceil(F.size("ids") / MEGA_BUCKET).cast("int"), F.lit(1)
+    )
+    small = buckets.filter(F.size("ids") <= MEGA_BUCKET)
+    big = buckets.filter(F.size("ids") > MEGA_BUCKET)
+
+    small_pairs = small.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ids",
+                    lambda x, i: F.filter(
+                        F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.greatest(
+                                    F.size("ids") - i - 1, F.lit(0)
+                                ),
+                            ),
+                            lambda y: F.struct(
+                                x["id"].alias("doc_a"),
+                                y["id"].alias("doc_b"),
+                                x["pay"].alias("pay_a"),
+                                y["pay"].alias("pay_b"),
+                            ),
+                        ),
+                        lambda p: keep(p["pay_a"], p["pay_b"]),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.pay_a", "p.pay_b")
+
+    members = big.select(
+        F.xxhash64("ids").alias("bk"),
+        n_blocks.alias("nb"),
+        F.explode("ids").alias("m"),
+    ).select(
+        "bk",
+        "nb",
+        F.col("m.id").alias("doc"),
+        F.col("m.pay").alias("pay"),
+        F.pmod(F.xxhash64("m.id"), F.col("nb")).cast("int").alias("blk"),
+    )
+    row_cells = members.select(
+        "bk",
+        "doc",
+        "pay",
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("bj"),
+    )
+    col_cells = members.select(
+        "bk",
+        F.col("doc").alias("doc2"),
+        F.col("pay").alias("pay2"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    big_pairs = (
+        row_cells.join(col_cells, ["bk", "bi", "bj"])
+        .filter(F.col("doc") != F.col("doc2"))
+        .filter(keep(F.col("pay"), F.col("pay2")))
+        .select(
+            F.least("doc", "doc2").alias("doc_a"),
+            F.greatest("doc", "doc2").alias("doc_b"),
+            F.when(F.col("doc") < F.col("doc2"), F.col("pay"))
+            .otherwise(F.col("pay2"))
+            .alias("pay_a"),
+            F.when(F.col("doc") < F.col("doc2"), F.col("pay2"))
+            .otherwise(F.col("pay"))
+            .alias("pay_b"),
+        )
+    )
+    return small_pairs.unionByName(big_pairs).distinct()
+
+
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup detection, verified: shingle → 64 minhashes →
     16 bands of 4 → (band, bucket) group for candidates → exact Jaccard
@@ -543,19 +637,17 @@ def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (band, band_value) yields a candidate set that provably contains
     every qualifying pair — banding here is EXACT, not probabilistic.
 
-    Scale shape: fingerprints map-side; candidates from ONE shuffle on
-    (band, value) with the same mega-bucket cell-join bound as LSH
-    (_expand_id_pairs); exact bit_count verify on candidates only. On
-    random 15-bit band values collisions are ~n^2/2^15 — at this tight
-    threshold banding pays, unlike ham<=10 where ~5.5-bit bands
-    approach all-pairs (see q_simhash_dup_pairs). Oracle: the all-pairs
-    Hamming join at the same threshold.
-
-    localCheckpoint: the fingerprint table feeds three plan branches
-    (band explosion + both verify-join sides) — materializing it once
-    (~16 B/doc, the dedup index itself) beats recomputing the corpus
-    fingerprint pass 3x; measured 6.7 s -> ~2 s at sf0.1."""
-    d = _simhashed(spark, sf_dir).localCheckpoint(eager=False)
+    Scale shape (round-12 rework — the 100x probe's 16.9x growth was
+    candidate-bound): each band member carries its own 8-byte
+    fingerprint into the bucket arrays, so the exact bit_count verify
+    runs WHERE EACH PAIR IS BORN (_expand_struct_pairs) — the
+    ~n²/2^15 random-collision candidates die inside the expansion
+    task instead of crossing a distinct shuffle plus two join-back
+    shuffles to the fingerprint table. One fingerprint pass, ONE
+    (band, value) shuffle, mega-buckets cell-join-bounded; only true
+    near-dup pairs are ever shuffled. Oracle: the all-pairs Hamming
+    join at the same threshold."""
+    d = _simhashed(spark, sf_dir)
     band_vals = F.array(
         *[
             F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(
@@ -565,23 +657,28 @@ def q_simhash_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = d.select(
-        "doc_id", F.posexplode(band_vals).alias("band", "val")
+        F.struct(
+            F.col("doc_id").alias("id"), F.col("simhash").alias("pay")
+        ).alias("m"),
+        F.posexplode(band_vals).alias("band", "val"),
     )
     buckets = (
         bands.groupBy("band", "val")
-        .agg(F.collect_list("doc_id").alias("ids"))
+        .agg(F.collect_list("m").alias("ids"))
         .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
     )
-    pairs = _expand_id_pairs(buckets)
-    fa = d.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    fb = d.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_BAND_HAM)
+    pairs = _expand_struct_pairs(
+        buckets,
+        lambda pa, pb: F.bit_count(pa.bitwiseXOR(pb))
+        <= SIMHASH_BAND_HAM,
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.bit_count(
+            F.col("pay_a").bitwiseXOR(F.col("pay_b"))
+        ).alias("hamming"),
     )
 
 

@@ -251,21 +251,25 @@ probe only runs at `+`-bearing stages, and the previously-SILENT
 numeric-LOOKING string column case now raises the ADX
 semantic-analysis-parity error; string+string also concatenates on
 the first pass, no error roundtrip), and within any expression whose
-stage schema was probed for another reason (_plus_mixed_guard). The
-residual silent case is SESSIONLESS kql_to_sql() only (no schema to
-probe — ANSI arithmetic runs/throws where ADX rejects);
+stage schema was probed for another reason (_plus_mixed_guard).
+SESSIONLESS kql_to_sql() refuses bare `col + col` outright as of
+round 12 (no schema to prove any reading safe — the loud error names
+the strcat()/cast workarounds), so NO silent `+` case remains;
 zip() over MIXED-type arrays (Spark arrays are homogeneous; same-type
 zips work — widen with tostring() for mixed pairs);
 (REAL division by a zero divisor is supported as of round 11 for the
-PROVABLY-real subset: a division chain with a real literal or a
-todouble()/toreal() operand is rewritten to ADX/IEEE inf/-inf/NaN
-(_real_div_guard — pattern-gated, so integer and unknown-typed
-divisions pay nothing and stay ANSI-loud); the residual out-of-subset
-shapes, all still loud: a division both of whose operands are real
-only by COLUMN TYPE (no textual evidence — guard with todouble()),
-chains with >2 divisions, operands nested deeper than one paren
-level, and a negative-zero denominator takes the sign of the
-numerator rather than IEEE's flip);
+PROVABLY-real subset — a division chain with a real literal or a
+todouble()/toreal() operand rewrites to ADX/IEEE inf/-inf/NaN
+(_real_div_guard — pattern-gated, so integer divisions pay nothing
+and stay ANSI-loud) — and as of round 12 for COLUMN-TYPE evidence:
+when the text shows no real operand but bare identifiers divide and
+a session is active, one stage-child schema probe finds the
+double/float columns and the guard fires (_rdiv_schema_reals — the
+`errors / requests` dashboard case). The residual out-of-subset
+shapes, all still loud: sessionless translation (no schema), chains
+with >2 divisions, operands nested deeper than one paren level, and
+a negative-zero denominator takes the sign of the numerator rather
+than IEEE's flip);
 
 Closed in round 8 (previously out of subset): bracket-quoted column
 names ['my col'] (reversible _bq_<hex> mangling, demangled to Spark
@@ -566,6 +570,27 @@ access d.k; row_number(start[, restart]); series_dot_product /
 series_cosine_similarity; unicode_codepoints_to_string;
 base64_encode_fromarray; regex_quote; top-nested `with others`
 (already worked — now oracle-verified).
+
+Round-12 function-reference CENSUS (probe battery 29,
+tools/adx_coverage.py): the public ADX function index transcribed to
+324 representative invocations and run through the translator —
+status ok=311 / unresolved=13 / errors=0, i.e. the out-of-subset
+tail is now a measured 4% rather than an anecdote. Census-driven
+additions this round: stdevif/varianceif/hll_if (conditional
+aggregates), hash_xxhash64 (hash() parity + seed-as-input
+refinement), to_utf8/make_string (the docs' inverse codepoint pair),
+ipv6_is_in_any_range (OR over ranges, dynamic-list unpacking),
+base64_encode_fromguid/base64_decode_toguid (exact .NET mixed-endian
+GUID byte order), current_principal (current_user()),
+current_cluster_endpoint (session master URL, bound at translate
+time), estimate_data_size (8-byte fixed / octet_length heuristic,
+documented refinement), and a bag_merge VARIANT-operand fix
+(non-literal parse_json bags errored — string() renders the JSON
+text). The remaining 13 (zlib/gzip compress ×4, punycode ×4,
+geo s2/h3 cells ×2, treepath, ipv4_range_to_cidr_list,
+cursor_current) stay UNRESOLVED_ROUTINE — loud at first use, never
+a silent mistranslation; none has a JVM-side builtin and each is
+documented here as out of subset.
 """
 
 from __future__ import annotations
@@ -921,8 +946,15 @@ def _div_by_interval_expr(e: str) -> str:
 # rewritten ONLY when one of its operands is PROVABLY real at translate
 # time — a real literal (1.0, 2e3) or a todouble()/toreal() call —
 # which is also exactly when ADX's real-division contract is certain.
-# Integer-only and unknown-typed divisions are untouched (loud ANSI
-# error, as before). Interval-looking operands (timespan literals,
+# Round-12 (verdict item 2) adds COLUMN-TYPE evidence: when the text
+# shows no real operand but the expression divides bare identifiers
+# and a session is active, ONE schema probe of the stage child finds
+# the double/float columns and a chain touching one is guarded — the
+# `errors / requests` dashboard case where both operands are real by
+# schema alone. Queries with textual evidence never pay the probe;
+# sessionless translation has no schema and stays ANSI-loud (the
+# documented contract). Integer-only divisions remain untouched (loud
+# ANSI error, as before). Interval-looking operands (timespan literals,
 # totimespan()/make_timespan()/INTERVAL forms) keep the chain out so
 # the timespan-division rules below own it; a chain we wrap whose
 # numerator turns out interval-typed fails analysis with the INTERVAL
@@ -1076,6 +1108,31 @@ def _fold_dayofweek(e: str) -> str:
     return e
 
 
+def _rdiv_schema_reals(e: str) -> frozenset[str]:
+    """Column-TYPE real evidence (round-12): the double/float column
+    names of the stage child, probed ONCE, for expressions that divide
+    bare identifiers with no textual real evidence. Empty when no
+    identifier sits next to a '/', no session/stage is active, or the
+    probe fails — all of which leave the chain ANSI-loud as before."""
+    if not re.search(r"[A-Za-z_]\w*\s*/|/\s*[A-Za-z_]", e):
+        return frozenset()
+    ctx = _ACTIVE_CTX.get()
+    child = _STAGE_CHILD.get()
+    if ctx is None or ctx[0] is None or not child:
+        return frozenset()
+    from pyspark.sql.types import DoubleType, FloatType
+
+    try:
+        fields = _afields(ctx[0], child)
+    except Exception:
+        return frozenset()
+    return frozenset(
+        f.name
+        for f in fields
+        if isinstance(f.dataType, (DoubleType, FloatType))
+    )
+
+
 def _real_div_guard(e: str) -> str:
     """Rewrite provably-real division chains to ÷0-guarded form.
     Single left-to-right pass over the original text (emissions are
@@ -1083,11 +1140,15 @@ def _real_div_guard(e: str) -> str:
     if "/" not in e or _TSDIV_COL.get():
         return e
     # cheap evidence pre-gate: no real literal / todouble / toreal
-    # anywhere -> no chain can fire, skip the operand scan entirely
+    # anywhere -> fall back to column-type evidence (one stage-child
+    # schema probe); neither -> no chain can fire, skip entirely
+    schema_reals: frozenset[str] = frozenset()
     if not re.search(
         r"\d\.\d|\d[eE]\d|\btodouble\s*\(|\btoreal\s*\(", e
     ):
-        return e
+        schema_reals = _rdiv_schema_reals(e)
+        if not schema_reals:
+            return e
     spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
     out: list[str] = []
     last = 0
@@ -1110,7 +1171,9 @@ def _real_div_guard(e: str) -> str:
             continue
         if any(_RDIV_IVL.match(t) for t in opnds):
             continue
-        if not any(_RDIV_REAL.match(t) for t in opnds):
+        if not any(
+            _RDIV_REAL.match(t) or t in schema_reals for t in opnds
+        ):
             continue
         cur = opnds[0]
         for op, t in zip(ops, opnds[1:]):
@@ -4604,7 +4667,7 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "ipv6_compare", _ipv6_compare_sql)
     e = _rewrite_fn(e, "ipv6_is_match", _ipv6_is_match_sql)
     e = _rewrite_fn(e, "ipv6_is_in_range", _ipv6_in_range_sql)
-    def _has_ip_pattern(ip: str, prefix: bool) -> str:
+    def _has_ip_pattern(ip: str, prefix: bool) -> tuple[str, str]:
         """SQL for the delimited-occurrence regex of one SPECIFIC
         ipv4 (or ipv4 PREFIX) expression. A string literal folds into
         the pattern at translate time; any other expression builds the
@@ -4734,6 +4797,23 @@ def _expr(kql_expr: str) -> str:
         parts = [_ipv4_range_test(ip_sql, r) for r in ranges]
         return "(" + " OR ".join(parts) + ")"
 
+    def _ipv6_in_any_range_sql(a: list[str]) -> str:
+        # ipv6_is_in_any_range(ip, r1, ...) — OR over ranges; a
+        # single dynamic([...]) literal list unpacks at translate
+        # time (round-12 census; same shape as ipv4_is_in_any_range)
+        if len(a) < 2:
+            raise ValueError(
+                f"ipv6_is_in_any_range needs (ip, range, ...): {a!r}"
+            )
+        rs = a[1:]
+        if len(rs) == 1:
+            items = _list_literal_items(rs[0])
+            if items is not None:
+                rs = items
+        parts = [_ipv6_in_range_sql([a[0], r]) for r in rs]
+        return "(" + " OR ".join(parts) + ")"
+
+    e = _rewrite_fn(e, "ipv6_is_in_any_range", _ipv6_in_any_range_sql)
     e = _rewrite_fn(e, "ipv4_is_in_any_range", _ipv4_in_any_range_sql)
     e = _rewrite_fn(e, "ipv4_is_in_range", _ipv4_in_range_sql)
 
@@ -5038,6 +5118,20 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "array_split", _array_split_sql)
     # --- end scalar batch 5 ---
     e = _sub_outside_strings(r"\bdcount_hll\(", "hll_sketch_estimate(", e)
+
+    def _hash_xxhash64_sql(a: list[str]) -> str:
+        # ADX hash_xxhash64(value [, seed]) — hash() IS xxhash64 in
+        # ADX, so the 1-arg form is exact parity with the hash() rule
+        # below; a seed folds in as a second hash input (Spark's
+        # xxhash64 seed is fixed — the hash_combine deterministic-
+        # refinement precedent, round-12 census)
+        if len(a) == 1:
+            return f"xxhash64({a[0]})"
+        if len(a) == 2:
+            return f"xxhash64({a[0]}, {a[1]})"
+        raise ValueError(f"hash_xxhash64 needs (value [, seed]): {a!r}")
+
+    e = _rewrite_fn(e, "hash_xxhash64", _hash_xxhash64_sql)
 
     def _hash_sql(a: list[str]) -> str:
         # ADX hash() IS xxhash64 (documented algorithm), so the 1-arg
@@ -5411,16 +5505,30 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "ipv4_is_private", _ipv4_is_private_sql)
     # suffix via try_element_at — a bare address has no second split
     # element and [1] is an ANSI runtime error (battery 21); null on a
-    # non-ipv4 address part (the ADX contract)
+    # non-ipv4 address part AND on an invalid prefix notation — ADX
+    # returns null for '1.2.3.4/99' and '1.2.3.4/abc', not 99 / 32
+    # (round-11 advice); 32 only when no '/' part exists at all
     e = _rewrite_fn(
         e,
         "ipv4_netmask_suffix",
         lambda a: (
             f"CASE WHEN try_element_at(split({a[0]}, '/'), 1)"
             f" RLIKE '^{_IPV4_RE}$' THEN"
-            f" coalesce(try_cast(try_element_at(split({a[0]}, '/'), 2)"
-            " AS INT), 32) END"
+            f" CASE WHEN size(split({a[0]}, '/')) = 1 THEN 32"
+            f" WHEN try_cast(try_element_at(split({a[0]}, '/'), 2)"
+            " AS INT) BETWEEN 0 AND 32"
+            f" THEN try_cast(try_element_at(split({a[0]}, '/'), 2)"
+            " AS INT) END END"
         ),
+    )
+    # to_utf8 is ADX's older spelling of the same codepoint-array
+    # conversion ("the inverse of make_string", per the public docs) —
+    # alias both before the canonical rewrite below (round-12 census)
+    e = _sub_outside_strings(
+        r"\bto_utf8\(", "unicode_codepoints_from_string(", e
+    )
+    e = _sub_outside_strings(
+        r"\bmake_string\(", "unicode_codepoints_to_string(", e
     )
     e = _rewrite_fn(
         e,
@@ -5461,6 +5569,78 @@ def _expr(kql_expr: str) -> str:
             " lpad(hex(pmod(CAST(_b AS BIGINT), 256)), 2, '0')))))"
         ),
     )
+    # base64 <-> GUID (round-12 census): .NET GUID byte layout is
+    # MIXED-endian — the first three groups little-endian, the last
+    # two big-endian — so the hex pairs reorder around the dashes;
+    # encode = reorder + unhex + base64, decode is the exact inverse.
+    def _guid_reorder(h: str) -> str:
+        # h: SQL expr of 32 dash-free hex chars -> .NET byte order
+        return (
+            f"concat(substring({h}, 7, 2), substring({h}, 5, 2),"
+            f" substring({h}, 3, 2), substring({h}, 1, 2),"
+            f" substring({h}, 11, 2), substring({h}, 9, 2),"
+            f" substring({h}, 15, 2), substring({h}, 13, 2),"
+            f" substring({h}, 17, 16))"
+        )
+
+    e = _rewrite_fn(
+        e,
+        "base64_encode_fromguid",
+        lambda a: (
+            "base64(unhex("
+            + _guid_reorder(f"replace(lower({a[0]}), '-', '')")
+            + "))"
+        ),
+    )
+
+    def _b64_toguid_sql(a: list[str]) -> str:
+        # unbase64 -> hex -> un-reorder (the reorder is an
+        # involution on the first 8 bytes) -> dashed canonical form;
+        # non-16-byte input yields NULL (ADX's invalid contract).
+        # Inline (no subquery — must stay expression-shaped); Spark's
+        # common-subexpression elimination dedupes the repeated hex.
+        h = f"lower(hex(unbase64({a[0]})))"
+        r = _guid_reorder(h)
+        return (
+            f"CASE WHEN length({h}) = 32 THEN"
+            f" regexp_replace({r},"
+            " '^(.{8})(.{4})(.{4})(.{4})(.{12})$',"
+            " '$1-$2-$3-$4-$5') END"
+        )
+
+    e = _rewrite_fn(e, "base64_decode_toguid", _b64_toguid_sql)
+    # principal/endpoint environment scalars: current_user() is the
+    # session's authenticated identity (value FORMAT is a documented
+    # refinement — ADX renders 'aaduser=...'); the "cluster endpoint"
+    # of a Spark session is its master URL, bound at translate time.
+    e = _sub_outside_strings(
+        r"\bcurrent_principal\(\)", "current_user()", e
+    )
+    _cc_ctx = _ACTIVE_CTX.get()
+    _cc_master = (
+        _cc_ctx[0].conf.get("spark.master", "local")
+        if _cc_ctx is not None and _cc_ctx[0] is not None
+        else "local"
+    )
+    e = _sub_outside_strings(
+        r"\bcurrent_cluster_endpoint\(\)",
+        f"'{_cc_master}'",
+        e,
+    )
+
+    def _estimate_data_size_sql(a: list[str]) -> str:
+        # ADX estimate_data_size(col, ...): heuristic per-record byte
+        # estimate — fixed 8 for numeric/temporal/bool columns,
+        # octet_length for strings (documented refinement: ADX's own
+        # number is an internal heuristic). typeof() folds per plan.
+        parts = [
+            f"(CASE WHEN typeof({x.strip()}) IN ('string') THEN"
+            f" octet_length(coalesce({x.strip()}, '')) ELSE 8 END)"
+            for x in a
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    e = _rewrite_fn(e, "estimate_data_size", _estimate_data_size_sql)
     e = _rewrite_fn(
         e,
         "regex_quote",
@@ -5831,8 +6011,12 @@ def _expr(kql_expr: str) -> str:
     def _bag_merge_sql(a: list[str]) -> str:
         if len(a) < 2:
             raise ValueError(f"bag_merge needs >= 2 bags: {a!r}")
+        # string(b) first: a VARIANT operand (parse_json of a column)
+        # renders to its JSON text — from_json requires a STRING and
+        # rejected the variant outright (round-12 census found the
+        # non-literal form erroring); plain string bags pass through
         maps = [
-            f"from_json(coalesce({b.strip()}, '{{}}'),"
+            f"from_json(coalesce(string({b.strip()}), '{{}}'),"
             " 'map<string,string>')"
             for b in a
         ]
@@ -6162,11 +6346,20 @@ def _expr(kql_expr: str) -> str:
     # ADX tostring NEVER returns null — a null input yields the EMPTY
     # string (long-fuzz finding: tostring(ea_[0][1]) of a no-match
     # extract came back NULL here, '' in ADX; isnull(tostring(x)) is
-    # always false there)
+    # always false there). For real inputs ADX renders integral
+    # values WITHOUT the decimal tail ('3', not Spark's '3.0' —
+    # round-11 advice, the battery-28 dayofweek/1d label): the trim
+    # is gated on the STATIC column type via typeof() (foldable per
+    # plan, so string inputs like '1.0' are never touched and the
+    # branch costs nothing at runtime).
     e = _rewrite_fn(
         e,
         "tostring",
-        lambda a: f"coalesce(string({a[0]}), '')",
+        lambda a: (
+            f"coalesce(CASE WHEN typeof({a[0]}) IN ('double', 'float')"
+            f" THEN regexp_replace(string({a[0]}), '\\\\.0$', '')"
+            f" ELSE string({a[0]}) END, '')"
+        ),
     )
     # lenient conversions (ADX to*() yields null on garbage; the
     # function-style casts above are for clean-typed args, these two
@@ -6529,15 +6722,18 @@ def _expr(kql_expr: str) -> str:
     # =~ / !~: case-insensitive (in)equality; in~ / !in~: the same over
     # a literal list — everyday ADX idioms. Operands are a dotted
     # identifier, one function call whose arguments nest parens at most
-    # one level deep (`tostring(x) contains 'y'`, and the
-    # already-rewritten `substring(x, (0) + 1, 3)` — round-4 review
-    # finding), or a quoted literal (spaces inside literals are fine);
-    # a deeper expression operand is left unrewritten so Spark's parser
-    # rejects it LOUDLY instead of a (\S+) capture silently corrupting
-    # it (round-3 review finding). Quoted args may contain parens.
+    # TWO levels deep (`tostring(x) contains 'y'` — whose round-12
+    # emission is the typeof-gated real-trim CASE, one level deeper
+    # than the old coalesce(string(x), '') — and the already-rewritten
+    # `substring(x, (0) + 1, 3)`, round-4 review finding), or a quoted
+    # literal (spaces inside literals are fine); a deeper expression
+    # operand is left unrewritten so Spark's parser rejects it LOUDLY
+    # instead of a (\S+) capture silently corrupting it (round-3
+    # review finding). Quoted args may contain parens.
     _QLIT = r"'(?:[^']|'')*'"
     _ARGS0 = rf"(?:{_QLIT}|[^()'])*"
-    _CALL = rf"\((?:{_QLIT}|[^()']|\({_ARGS0}\))*\)"
+    _ARGS1 = rf"(?:{_QLIT}|[^()']|\({_ARGS0}\))*"
+    _CALL = rf"\((?:{_QLIT}|[^()']|\({_ARGS1}\))*\)"
     _OPND = rf"((?<![\w)'])[\w.]+(?:{_CALL})?|{_QLIT})"
     # quote-aware list body: quoted spans may contain , and )
     _LIST = r"\(((?:'(?:[^']|'')*'|[^)'])*)\)"
@@ -6976,6 +7172,9 @@ _AGG_FNS = {
     "make_bag",
     "make_bag_if",
     "stdev",
+    "stdevif",
+    "varianceif",
+    "hll_if",
     "stdevp",
     "variance",
     "variancep",
@@ -7298,7 +7497,17 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
         # 4=0.2%) map to lgConfigK via err ~ 1.04/sqrt(2^lgK)
         hparts = [x.strip() for x in _split_top_level(arg)]
         lgk = ""
-        if len(hparts) == 2 and re.match(r"^\d+$", hparts[1]):
+        if len(hparts) == 2:
+            # the accuracy must be a LITERAL int — a non-literal
+            # second arg used to fall through silently and pass the
+            # whole 'x, expr' string to _expr as one argument
+            # (round-11 advice: raise the loud subset error instead
+            # of a confusing downstream SQL failure)
+            if not re.match(r"^\d+$", hparts[1]):
+                raise ValueError(
+                    "hll accuracy must be a literal int 0..4:"
+                    f" {hparts[1]!r}"
+                )
             acc = int(hparts[1])
             if acc > 4:
                 raise ValueError(
@@ -7308,6 +7517,20 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
             lgk = ", " + str({0: 12, 1: 14, 2: 16, 3: 17, 4: 18}[acc])
         sql = f"hll_sketch_agg({_expr(arg)}{lgk})"
         default = f"hll_{arg}" if re.match(r"^\w+$", arg) else f"agg{auto_idx}"
+    elif fn == "hll_if":
+        # hll_if(x, pred) — the conditional sketch (round-12 census):
+        # rows failing the predicate contribute nothing (CASE -> NULL,
+        # and hll_sketch_agg skips nulls, ADX's contract)
+        hi_col, hi_pred = (x.strip() for x in _split_top_level(arg))
+        sql = (
+            f"hll_sketch_agg(CASE WHEN {_expr(hi_pred)}"
+            f" THEN {_expr(hi_col)} END)"
+        )
+        default = (
+            f"hll_if_{hi_col}"
+            if re.match(r"^\w+$", hi_col)
+            else f"agg{auto_idx}"
+        )
     elif fn == "hll_merge":
         sql = f"hll_union_agg({_expr(arg)})"
         default = f"agg{auto_idx}"
@@ -7442,9 +7665,14 @@ def _agg_sql(fn: str, arg: str, auto_idx) -> tuple[str, str]:
             if re.match(r"^\w+$", col0)
             else f"agg{auto_idx}"
         )
-    elif fn in ("sumif", "avgif", "minif", "maxif"):
+    elif fn in ("sumif", "avgif", "minif", "maxif", "stdevif",
+                "varianceif"):
         col, pred = (x.strip() for x in _split_top_level(arg))
-        base = fn[:-2].upper()
+        base = {
+            "sumif": "SUM", "avgif": "AVG", "minif": "MIN",
+            "maxif": "MAX", "stdevif": "STDDEV_SAMP",
+            "varianceif": "VAR_SAMP",
+        }[fn]
         sql = f"{base}(CASE WHEN {_expr(pred)} THEN {_expr(col)} END)"
         default = f"{fn}_{col}" if re.match(r"^\w+$", col) else f"agg{auto_idx}"
     elif fn in ("stdev", "stdevp", "variance", "variancep"):
@@ -8526,6 +8754,22 @@ def kql_to_sql(
     schema analysis (ADX semantics); without one they fall back to
     positional UNION ALL (same-shape pipes only)."""
     if _tabular is None:
+        # sessionless bare `col + col` is the ONE place translation
+        # cannot decide between ADX concatenation, arithmetic, and
+        # ADX's mixed-type semantic error — there is no schema to
+        # probe (with a session, kql() runs the concat/mixed-guard
+        # pre-pass). Round-12 (verdict item 3): refuse LOUDLY instead
+        # of silently emitting ANSI arithmetic that runs where ADX
+        # rejects; strcat()/explicit casts state the intent and
+        # translate sessionless fine.
+        if spark is None and _has_bare_plus(kql):
+            raise ValueError(
+                "sessionless kql_to_sql() cannot type bare"
+                " `column + column` (string concatenation vs"
+                " arithmetic vs ADX's mixed-type error) — pass a"
+                " SparkSession, or state the intent with strcat()"
+                " / todouble()/tolong() casts"
+            )
         # leading `set name[=value];` request-property statements
         # (round-8 verdict #10): consumed into a dict; the only one
         # with translation-time meaning is query_bin_auto_size, which
@@ -9146,6 +9390,16 @@ def _kql_stages_to_sql(
 
     def _expand_partition(key: str, sub: str, pos: int) -> list[str]:
         out = []
+        # True while the key column exists ONLY because a summarize
+        # implicitly grouped by it — ADX's output for a subpipe
+        # summarize that omits the key carries the aggregate columns
+        # alone (round-11 advice: the extra key column was a silent
+        # schema divergence). The drop flushes at the END of the
+        # subpipe (not right after the summarize) because a following
+        # `top` expands to `partition by key (...)` and still needs
+        # the column; an explicit later project that omits the key
+        # drops it anyway and clears the flag.
+        drop_key = False
         subs = _split_top_level(sub, "|")
         for j, ss in enumerate(subs):
             ss = ss.strip()
@@ -9159,6 +9413,9 @@ def _kql_stages_to_sql(
                 )
                 if key not in bys:
                     bys.append(key)
+                    drop_key = True
+                else:
+                    drop_key = False
                 out.append(
                     "summarize " + parts[0].strip() + " by "
                     + ", ".join(bys)
@@ -9179,6 +9436,15 @@ def _kql_stages_to_sql(
             elif op0 in ("sort", "order") and j == len(subs) - 1:
                 out.append(ss)
             elif op0 in _PART_ROWWISE:
+                if drop_key and (
+                    (op0 in ("project", "project-keep")
+                     and not re.search(rf"\b{key}\b", ss[len(op0):]))
+                    or (op0 == "project-away"
+                        and re.search(rf"\b{key}\b", ss[len(op0):]))
+                ):
+                    # an explicit projection already drops the
+                    # implicitly-added key — nothing left to flush
+                    drop_key = False
                 out.append(ss)
             else:
                 raise ValueError(
@@ -9186,6 +9452,8 @@ def _kql_stages_to_sql(
                     " summarize, top, and a trailing sort"
                     f" (explicit subset): {ss!r}"
                 )
+        if drop_key:
+            out.append(f"project-away {key}")
         return out
 
     _pexp = [stages[0]]
@@ -16688,6 +16956,62 @@ def q_kql_scalar_fns17(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-TYPE real-division evidence (round-12, verdict item 2):
+    the dividing stage has NO textual real evidence — its operands
+    are real only by SCHEMA (built by a prior extend), the
+    `errors / requests` dashboard shape. _rdiv_schema_reals probes
+    the stage child once and the ÷0 guard fires off the column types:
+    x/0 -> inf, -x/0 -> -inf, 0/0 -> NaN; the mixed double/int pair
+    promotes to real exactly as ADX does. Denominators are 0/2/4 so
+    every finite quotient is exact in binary — bitwise-identical
+    cross-engine. The oracle mirrors the guard's CASE textually
+    (DuckDB native float `/` yields NULL on zero, not inf)."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 400"
+        " | extend n1 = todouble(event_id % 7 - 3),"
+        " d1 = todouble((event_id % 3) * 2),"
+        " di = (event_id % 2) * 4"
+        " | extend r1 = n1 / d1, r2 = n1 / di"
+        " | project event_id, r1, r2,"
+        " k1 = case(isnan(r1), 'nan',"
+        " isinf(r1), iff(r1 > 0, 'pinf', 'ninf'), 'fin')"
+        " | sort by event_id asc",
+    )
+
+
+def q_kql_scalar_fns19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 function-census batch (tools/adx_coverage.py found
+    these as the top implementable gaps), oracle-backed: stdevif /
+    varianceif (conditional moments — round(,6) both sides, the
+    kql_agg_fns2 last-ulp precedent), to_utf8 / make_string (the ADX
+    docs' inverse codepoint pair), hash_xxhash64 == hash() (ADX
+    documents hash IS xxhash64, so the equality is provable in-engine
+    even though the value domain is a documented refinement), and
+    ipv6_is_in_any_range over varargs and dynamic-list ranges. One
+    grouped aggregation with map-side partials."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 2000"
+        " | extend ok = event_id % 4 < 2"
+        " | summarize sd0 = stdevif(event_id % 50, ok),"
+        " va0 = varianceif(event_id % 50, ok),"
+        " uc = countif(array_length(to_utf8(event_type)) > 4),"
+        " hx = countif(hash_xxhash64(event_type) == hash(event_type))"
+        " by event_type"
+        " | extend m = make_string(pack_array(104, 105)),"
+        " v6a = ipv6_is_in_any_range('::1', '::1/120', 'fe80::/10'),"
+        " v6b = ipv6_is_in_any_range('2001:db8::1',"
+        " dynamic(['::1/120']))"
+        " | project event_type, sd = round(sd0, 6),"
+        " va = round(va0, 6), uc, hx, m, v6a, v6b"
+        " | sort by event_type asc",
+    )
+
+
 def q_kql_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition operator with a full subpipe (round-11 battery
     21): per-event_type top-2 by the UNIQUE event_id (deterministic),
@@ -17309,6 +17633,8 @@ QUERIES = {
     "kql_scalar_fns15": q_kql_scalar_fns15,
     "kql_scalar_fns16": q_kql_scalar_fns16,
     "kql_scalar_fns17": q_kql_scalar_fns17,
+    "kql_scalar_fns18": q_kql_scalar_fns18,
+    "kql_scalar_fns19": q_kql_scalar_fns19,
     "kql_partition": q_kql_partition,
     "kql_funnel_sequence": q_kql_funnel_sequence,
     "kql_rws_full": q_kql_rws_full,
@@ -18876,6 +19202,47 @@ ORACLE = {
                      / (180.0 / 32768)) * (180.0 / 32768)
                  + (180.0 / 65536) - 90 AS glat
         FROM ipd
+    """,
+    "kql_scalar_fns19": """
+        SELECT event_type,
+               ROUND(stddev_samp(CASE WHEN event_id % 4 < 2
+                                      THEN event_id % 50 END), 6) AS sd,
+               ROUND(var_samp(CASE WHEN event_id % 4 < 2
+                                   THEN event_id % 50 END), 6) AS va,
+               COUNT(*) FILTER (WHERE length(event_type) > 4) AS uc,
+               COUNT(*) AS hx,
+               'hi' AS m, TRUE AS v6a, FALSE AS v6b
+        FROM events WHERE event_id < 2000
+        GROUP BY event_type
+        ORDER BY event_type ASC
+    """,
+    "kql_scalar_fns18": """
+        WITH b AS (
+            SELECT event_id,
+                   CAST(event_id % 7 - 3 AS DOUBLE) AS n1,
+                   CAST((event_id % 3) * 2 AS DOUBLE) AS d1,
+                   (event_id % 2) * 4 AS di
+            FROM events WHERE event_id < 400
+        ), g AS (
+            SELECT event_id,
+                   CASE WHEN d1 = 0 THEN
+                        CASE WHEN n1 > 0 THEN 'Infinity'::DOUBLE
+                             WHEN n1 < 0 THEN '-Infinity'::DOUBLE
+                             ELSE 'NaN'::DOUBLE END
+                        ELSE n1 / d1 END AS r1,
+                   CASE WHEN di = 0 THEN
+                        CASE WHEN n1 > 0 THEN 'Infinity'::DOUBLE
+                             WHEN n1 < 0 THEN '-Infinity'::DOUBLE
+                             ELSE 'NaN'::DOUBLE END
+                        ELSE n1 / di END AS r2
+            FROM b
+        )
+        SELECT event_id, r1, r2,
+               CASE WHEN isnan(r1) THEN 'nan'
+                    WHEN isinf(r1) THEN
+                         CASE WHEN r1 > 0 THEN 'pinf' ELSE 'ninf' END
+                    ELSE 'fin' END AS k1
+        FROM g ORDER BY event_id ASC
     """,
     "kql_scalar_fns17": """
         SELECT event_id,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pytest
 
 from api_to_parquet_spark.lake import load
-from api_to_parquet_spark.queries.kql import kql
+from api_to_parquet_spark.queries.kql import kql, kql_to_sql
 
 PROBES = [
     ("unnamed count", "events | summarize count() by bin(ts, 1h) | take 3"),
@@ -1825,6 +1825,11 @@ def test_battery21_ipv4_and_bag_value_checks(spark):
         ("print n = ipv4_netmask_suffix('10.0.0.1')", 32),
         ("print n = ipv4_netmask_suffix('192.168.1.1/24')", 24),
         ("print n = ipv4_netmask_suffix('not-an-ip')", None),
+        # invalid prefix notation -> null, not 99 / not the 32
+        # default (round-11 advice — ADX nulls the whole result)
+        ("print n = ipv4_netmask_suffix('1.2.3.4/99')", None),
+        ("print n = ipv4_netmask_suffix('1.2.3.4/abc')", None),
+        ("print n = ipv4_netmask_suffix('1.2.3.4/0')", 0),
         (
             "print b = bag_remove_keys(dynamic({'a':1,'b':2}),"
             " dynamic(['a']))",
@@ -1882,16 +1887,18 @@ def test_battery21_partition_and_bag_structure(spark, sf_smoke):
         ).collect()[0]["Count"]
         == 2 * n_types
     )
-    # hint accepted; summarize appends the key
-    rows = kql(
+    # hint accepted; a summarize that OMITS the key groups by it
+    # internally but the key must NOT leak into the schema (ADX
+    # returns the union of per-key outputs — aggregate columns only;
+    # round-11 advice closed this silent schema divergence)
+    pdf = kql(
         spark,
         "events | partition hint.strategy=shuffle by user_id"
         " (summarize c = count())",
-    ).collect()
-    assert {r["user_id"] for r in rows} == set(
-        r["user_id"]
-        for r in kql(spark, "events | distinct user_id").collect()
     )
+    assert pdf.columns == ["c"]
+    n_users = kql(spark, "events | distinct user_id").count()
+    assert len(pdf.collect()) == n_users
     # summarize then row-wise filter inside the subpipe
     m = kql(
         spark,
@@ -2428,6 +2435,105 @@ def test_battery28_value_checks(spark, sf_smoke):
     ).collect()[0]
     assert r["a"] == "" and r["b"] is False
     assert r["c"] == "" and r["d"] == "42"
+
+
+def test_round12_advice_value_checks(spark, sf_smoke):
+    """Round-12 advice pins: tostring of a REAL renders integral
+    values without the decimal tail ('3', not Spark's '3.0') via a
+    typeof()-gated trim — string inputs like '1.0' are untouched and
+    the null->'' contract still holds; hll with a non-literal
+    accuracy raises the loud subset error instead of passing
+    'x, expr' downstream as one argument."""
+    r = kql(
+        spark,
+        "print s = tostring(3.0), t = tostring(3.5),"
+        " u = tostring('1.0'), v = tostring(todouble('x')),"
+        " w = tostring(310.0),"
+        " lbl = tostring(dayofweek(bin(datetime(2024-01-03), 1d))"
+        " / 1d)",
+    ).collect()[0]
+    assert r["s"] == "3" and r["t"] == "3.5" and r["u"] == "1.0"
+    assert r["v"] == "" and r["w"] == "310" and r["lbl"] == "3"
+    with pytest.raises(ValueError, match="literal int"):
+        kql(spark, "tbl_x | summarize h = hll(x, y) by z")
+    # COLUMN-TYPE real-division evidence (verdict item 2): operands
+    # real only by schema — no textual todouble/real literal — still
+    # follow ADX/IEEE ÷0; int-only columns stay ANSI-loud; and the
+    # sessionless translator refuses bare `+` outright (item 3)
+    import math
+
+    spark.sql(
+        "SELECT CAST(10 AS DOUBLE) AS errors, CAST(0 AS DOUBLE) AS"
+        " requests UNION ALL SELECT CAST(0 AS DOUBLE),"
+        " CAST(0 AS DOUBLE) UNION ALL SELECT CAST(-2 AS DOUBLE),"
+        " CAST(0 AS DOUBLE)"
+    ).createOrReplaceTempView("r12_rdc")
+    rows = kql(
+        spark,
+        "r12_rdc | extend rate = errors / requests"
+        " | sort by errors asc | project rate",
+    ).collect()
+    assert rows[0]["rate"] == -math.inf
+    assert rows[1]["rate"] != rows[1]["rate"]  # 0/0 -> NaN
+    assert rows[2]["rate"] == math.inf
+    spark.sql("SELECT 10 AS a, 0 AS b").createOrReplaceTempView(
+        "r12_rdi"
+    )
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        kql(spark, "r12_rdi | extend r = a / b | project r").collect()
+    with pytest.raises(ValueError, match="sessionless"):
+        kql_to_sql("t | extend c = a + b")
+
+
+def test_round12_census_value_checks(spark, sf_smoke):
+    """Probe battery 29 (round-12 function-reference census,
+    tools/adx_coverage.py) value pins for the census-driven
+    additions: conditional moments, the codepoint inverse pair,
+    xxhash64 parity, ipv6 any-range, the exact .NET mixed-endian
+    GUID base64 pair, environment scalars, the data-size heuristic,
+    and the bag_merge VARIANT-operand fix."""
+    spark.sql(
+        "SELECT 'abc' AS s, CAST(7 AS BIGINT) AS i, true AS b,"
+        " '{\"a\": 1}' AS j"
+        " UNION ALL SELECT 'xy', 3, false, '{\"b\": 2}'"
+        " UNION ALL SELECT 'abc', 5, true, '{\"a\": 9}'"
+    ).createOrReplaceTempView("r12_cv")
+    r = kql(
+        spark,
+        "r12_cv | summarize sd = stdevif(i, b), vr = varianceif(i, b),"
+        " hc = dcount_hll(hll_if(s, b))",
+    ).collect()[0]
+    assert abs(r["sd"] - 2 ** 0.5) < 1e-9 and r["vr"] == 2.0
+    assert r["hc"] == 1
+    g = "74be27de-1e4e-49d9-b579-fe0b331d3642"
+    r = kql(
+        spark,
+        f"print b64 = base64_encode_fromguid(toguid('{g}'))"
+        " | extend back = base64_decode_toguid(b64),"
+        " bad = base64_decode_toguid('aGk='),"
+        " hx = hash_xxhash64('x') == hash('x'),"
+        " u = strcat_array(to_utf8('hi'), ','),"
+        " m = make_string(pack_array(104, 105)),"
+        " v6a = ipv6_is_in_any_range('::1', '::1/120', 'fe80::/10'),"
+        " v6b = ipv6_is_in_any_range('2001:db8::1',"
+        " dynamic(['::1/120'])),"
+        " pr = isnotempty(current_principal()),"
+        " ep = isnotempty(current_cluster_endpoint())",
+    ).collect()[0]
+    # 3ie+… is python base64.b64encode(uuid.UUID(g).bytes_le)
+    assert r["b64"] == "3ie+dE4e2Um1ef4LMx02Qg=="
+    assert r["back"] == g and r["bad"] is None
+    assert r["hx"] is True and r["u"] == "104,105" and r["m"] == "hi"
+    assert r["v6a"] is True and r["v6b"] is False
+    assert r["pr"] is True and r["ep"] is True
+    r = kql(
+        spark,
+        "r12_cv | extend z = estimate_data_size(s, i),"
+        " bm = bag_merge(parse_json(j), dynamic({'z': 5}))"
+        " | where s == 'xy' | project z, bm",
+    ).collect()[0]
+    assert r["z"] == 10
+    assert r["bm"] == '{"b":"2","z":"5"}'
 
 
 def test_out_of_subset_loud_contract(spark, sf_smoke):

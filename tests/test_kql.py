@@ -1129,18 +1129,30 @@ def test_partition_top_is_single_window_not_subqueries(spark, sf_smoke):
 
 
 def test_partition_summarize_rewrites_to_grouped_agg(spark, sf_smoke):
+    # ADX contract (round-11 advice): when the subpipe's summarize
+    # omits the partition key from its by-list, the output is the
+    # union of per-key outputs and carries ONLY the aggregate
+    # columns — the key must not leak into the schema.
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
-    a = kql(
-        spark,
-        "events | partition by event_type (summarize n = count())"
-        " | sort by event_type asc",
-    ).collect()
-    b = kql(
-        spark,
-        "events | summarize n = count() by event_type"
-        " | sort by event_type asc",
-    ).collect()
+    df = kql(
+        spark, "events | partition by event_type (summarize n = count())"
+    )
+    assert df.columns == ["n"]
+    a = sorted(r["n"] for r in df.collect())
+    b = sorted(
+        r["n"]
+        for r in kql(
+            spark, "events | summarize n = count() by event_type"
+        ).collect()
+    )
     assert a == b
+    # key explicitly in the by-list -> key stays in the schema
+    df2 = kql(
+        spark,
+        "events | partition by event_type"
+        " (summarize n = count() by event_type)",
+    )
+    assert df2.columns == ["event_type", "n"]
 
 
 def test_scan_greedy_sequence_semantics(spark):
@@ -2676,8 +2688,13 @@ def test_review_fixes_round3(spark, sf_smoke):
     load(spark, sf_smoke, "events").createOrReplaceTempView("events")
     sql = kql_to_sql('t | where substring(x, 0, 3) =~ "ABC"')
     assert "lower(substring" in sql and "lower(3)" not in sql
-    # a deeper multi-token operand still leaks loudly, uncorrupted
+    # a two-level call operand now rewrites WHOLE (round-12: _CALL
+    # widened one level so the translator's own tostring emission —
+    # a typeof-gated CASE — still matches as one operand)
     sql = kql_to_sql('t | where f(g(h(x))) =~ "ABC"')
+    assert "lower(f(g(h(x))))" in sql and "lower(3)" not in sql
+    # a deeper multi-token operand still leaks loudly, uncorrupted
+    sql = kql_to_sql('t | where f(g(h(k(x)))) =~ "ABC"')
     assert "=~" in sql and "lower(3)" not in sql
     n = kql(
         spark, 'events | where event_type in~ ("VIEW", "a,b") | count'
