@@ -1332,7 +1332,11 @@ def _kql_dual_st(draw):
             )
             cols = {"g": "int", "t_": "int", "v_": "int"}
         elif kind == 25 and ints:
-            # round-11 battery 21: partition-with-subpipe == GROUP BY
+            # round-11 battery 21: partition-with-subpipe == GROUP BY.
+            # Round-12: a subpipe summarize that OMITS the key yields
+            # ONLY the aggregate columns (ADX union-of-outputs schema;
+            # the key column no longer leaks), so the oracle projects
+            # the key away too.
             g = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 5))
             newc = f"pk{next(_uid)}"
@@ -1342,10 +1346,11 @@ def _kql_dual_st(draw):
                 " (summarize n_ = count() | where n_ > 0)"
             )
             sql = (
-                f"SELECT {g} % {k} AS {newc}, COUNT(*) AS n_"
-                f" FROM ({sql}) _pt GROUP BY 1 HAVING COUNT(*) > 0"
+                f"SELECT COUNT(*) AS n_"
+                f" FROM ({sql}) _pt GROUP BY {g} % {k}"
+                " HAVING COUNT(*) > 0"
             )
-            cols = {"n_": "int", newc: "int"}
+            cols = {"n_": "int"}
         elif kind == 26 and ints:
             # round-11 battery 21: has_ipv4 exact delimited match —
             # the text embeds the ip intact on even rows and
