@@ -586,11 +586,21 @@ current_cluster_endpoint (session master URL, bound at translate
 time), estimate_data_size (8-byte fixed / octet_length heuristic,
 documented refinement), and a bag_merge VARIANT-operand fix
 (non-literal parse_json bags errored — string() renders the JSON
-text). The remaining 13 (zlib/gzip compress ×4, punycode ×4,
-geo s2/h3 cells ×2, treepath, ipv4_range_to_cidr_list,
-cursor_current) stay UNRESOLVED_ROUTINE — loud at first use, never
-a silent mistranslation; none has a JVM-side builtin and each is
-documented here as out of subset.
+text). Census batch 2 implements the string-codec tail as
+ARROW-BATCHED stdlib UDFs (queries/py_codecs.py — the engine's only
+Python scalars on the KQL path, pattern-gated and lazily registered
+per session; sessionless stays loud): punycode ×4 (RFC 3492 via the
+stdlib codec — byte-exact, RFC-vector-pinned; domain variants do
+per-label xn-- IDNA form), zlib/gzip base64 ×4 (decompress exact on
+any standard stream incl. ADX-produced ones; compress
+roundtrip-exact, deflate bytes compressor-specific — documented;
+gzip deterministic via mtime=0), and ipv4_range_to_cidr_list
+(stdlib minimal CIDR cover, exact). Final census 320/324 ok; the
+remaining FOUR (geo s2/h3 cells — real cell math, no builtin;
+treepath — output contract unverifiable from public docs alone;
+cursor_current — meaningless without ingestion cursors) stay
+UNRESOLVED_ROUTINE: loud at first use, never a silent
+mistranslation, documented here as out of subset.
 """
 
 from __future__ import annotations
@@ -5641,6 +5651,46 @@ def _expr(kql_expr: str) -> str:
         return "(" + " + ".join(parts) + ")"
 
     e = _rewrite_fn(e, "estimate_data_size", _estimate_data_size_sql)
+    # string-codec tail (round-12 census): punycode (RFC 3492,
+    # byte-exact via the stdlib codec), zlib/gzip base64 transcoding
+    # (decompress exact on any standard stream; compress
+    # roundtrip-exact, bytes compressor-specific — documented), and
+    # ipv4_range_to_cidr_list (stdlib minimal CIDR cover, exact).
+    # These are Arrow-batched pandas UDFs (queries/py_codecs.py — no
+    # JVM builtin exists), registered lazily once per session; the
+    # pattern gate keeps codec-free queries paying nothing, and a
+    # sessionless translation stays loud.
+    if re.search(
+        r"\b(?:punycode_\w+|[gz]zip_\w+|zlib_\w+"
+        r"|ipv4_range_to_cidr_list)\s*\(",
+        e,
+    ):
+        _ctx_cd = _ACTIVE_CTX.get()
+        if _ctx_cd is None or _ctx_cd[0] is None:
+            raise ValueError(
+                "punycode/zlib/gzip/ipv4_range_to_cidr_list are"
+                " Arrow-batched UDF scalars — a SparkSession is"
+                " required (kql(spark, ...) or"
+                " kql_to_sql(..., spark))"
+            )
+        from .py_codecs import CODEC_FNS, ensure_registered
+
+        ensure_registered(_ctx_cd[0])
+        for _kname, _sname in CODEC_FNS:
+            e = _rewrite_fn(
+                e, _kname, lambda a, _n=_sname: f"{_n}({a[0]})"
+            )
+
+        def _cidr_list_sql(a: list[str]) -> str:
+            if len(a) != 2:
+                raise ValueError(
+                    f"ipv4_range_to_cidr_list needs (start, end): {a!r}"
+                )
+            return f"kql_py_cidr_list({a[0]}, {a[1]})"
+
+        e = _rewrite_fn(
+            e, "ipv4_range_to_cidr_list", _cidr_list_sql
+        )
     e = _rewrite_fn(
         e,
         "regex_quote",
@@ -17012,6 +17062,37 @@ def q_kql_scalar_fns19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_scalar_fns20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 census batch 2 — the string-codec tail as
+    Arrow-batched stdlib UDFs (queries/py_codecs.py): punycode
+    encode/decode (RFC 3492, byte-exact — the oracle pins the RFC
+    vector and the IDNA domain form), zlib/gzip base64 transcoding
+    (roundtrip asserted per-row over table-derived strings; the gzip
+    literal is deterministic via mtime=0), and
+    ipv4_range_to_cidr_list (stdlib minimal CIDR cover, exact).
+    ONE Arrow batch exchange for all codec columns; the grouped
+    count is map-side partial."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 200"
+        " | extend s = strcat('word', tostring(event_id), ' café ',"
+        " event_type)"
+        " | extend zr = zlib_decompress_from_base64_string("
+        "zlib_compress_to_base64_string(s)) == s,"
+        " gr = gzip_decompress_from_base64_string("
+        "gzip_compress_to_base64_string(s)) == s,"
+        " pr = punycode_to_string(punycode_from_string(s)) == s"
+        " | summarize n = count(), zok = countif(zr),"
+        " gok = countif(gr), pok = countif(pr)"
+        " | extend pc = punycode_from_string('académie-française'),"
+        " dm = punycode_domain_from_string('www.bücher.de'),"
+        " gz = gzip_compress_to_base64_string('hi there'),"
+        " cl = strcat_array(ipv4_range_to_cidr_list('10.0.0.1',"
+        " '10.0.0.9'), ',')",
+    )
+
+
 def q_kql_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The partition operator with a full subpipe (round-11 battery
     21): per-event_type top-2 by the UNIQUE event_id (deterministic),
@@ -17635,6 +17716,7 @@ QUERIES = {
     "kql_scalar_fns17": q_kql_scalar_fns17,
     "kql_scalar_fns18": q_kql_scalar_fns18,
     "kql_scalar_fns19": q_kql_scalar_fns19,
+    "kql_scalar_fns20": q_kql_scalar_fns20,
     "kql_partition": q_kql_partition,
     "kql_funnel_sequence": q_kql_funnel_sequence,
     "kql_rws_full": q_kql_rws_full,
@@ -19202,6 +19284,15 @@ ORACLE = {
                      / (180.0 / 32768)) * (180.0 / 32768)
                  + (180.0 / 65536) - 90 AS glat
         FROM ipd
+    """,
+    "kql_scalar_fns20": """
+        SELECT COUNT(*) AS n, COUNT(*) AS zok, COUNT(*) AS gok,
+               COUNT(*) AS pok,
+               'acadmie-franaise-npb1a' AS pc,
+               'www.xn--bcher-kva.de' AS dm,
+               'H4sIAAAAAAACA8vIVCjJSC1KBQDsdqPjCAAAAA==' AS gz,
+               '10.0.0.1/32,10.0.0.2/31,10.0.0.4/30,10.0.0.8/31' AS cl
+        FROM events WHERE event_id < 200
     """,
     "kql_scalar_fns19": """
         SELECT event_type,

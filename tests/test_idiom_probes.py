@@ -2536,6 +2536,50 @@ def test_round12_census_value_checks(spark, sf_smoke):
     assert r["bm"] == '{"b":"2","z":"5"}'
 
 
+def test_round12_codec_value_checks(spark, sf_smoke):
+    """Census batch 2: the string-codec tail as Arrow-batched stdlib
+    UDFs. Punycode pins are RFC-3492 vectors (stdlib codec IS the
+    RFC); '---invalid---' is deliberately VALID punycode (empty
+    extension) while 'ü' (non-ASCII) is not; gzip is deterministic
+    via mtime=0; zlib/gzip decompress any standard stream;
+    ipv4_range_to_cidr_list is the stdlib minimal cover."""
+    from api_to_parquet_spark.queries.kql import kql_to_sql
+
+    r = kql(
+        spark,
+        "print pc = punycode_from_string('académie-française')"
+        " | extend back = punycode_to_string(pc),"
+        " plain = punycode_from_string('plain'),"
+        " okdash = punycode_to_string('---invalid---'),"
+        " bad = punycode_to_string('ü'),"
+        " d = punycode_domain_from_string('www.bücher.de'),"
+        " dd = punycode_domain_to_string('www.xn--bcher-kva.de'),"
+        " z = zlib_decompress_from_base64_string("
+        "zlib_compress_to_base64_string('hello world')),"
+        " g = gzip_compress_to_base64_string('hi there'),"
+        " gb = gzip_decompress_from_base64_string("
+        "gzip_compress_to_base64_string('hi there')),"
+        " zbad = zlib_decompress_from_base64_string('!!!'),"
+        " cl = ipv4_range_to_cidr_list('10.0.0.1', '10.0.0.9'),"
+        " cn = ipv4_range_to_cidr_list('zz', '10.0.0.9')",
+    ).collect()[0]
+    assert r["pc"] == "acadmie-franaise-npb1a"
+    assert r["back"] == "académie-française"
+    assert r["plain"] == "plain-"  # RFC 3492: basic part + delimiter
+    assert r["okdash"] == "---invalid--" and r["bad"] == ""
+    assert r["d"] == "www.xn--bcher-kva.de"
+    assert r["dd"] == "www.bücher.de"
+    assert r["z"] == "hello world" and r["gb"] == "hi there"
+    assert r["g"] == "H4sIAAAAAAACA8vIVCjJSC1KBQDsdqPjCAAAAA=="
+    assert r["zbad"] == ""
+    assert list(r["cl"]) == [
+        "10.0.0.1/32", "10.0.0.2/31", "10.0.0.4/30", "10.0.0.8/31",
+    ]
+    assert r["cn"] is None
+    with pytest.raises(ValueError, match="SparkSession"):
+        kql_to_sql("t | extend p = punycode_from_string(s)")
+
+
 def test_out_of_subset_loud_contract(spark, sf_smoke):
     """The documented out-of-subset tail must stay LOUD — every item
     raises with a message naming the limitation (an analysis-level
@@ -2570,8 +2614,10 @@ def test_out_of_subset_loud_contract(spark, sf_smoke):
         with pytest.raises(ValueError, match=pat):
             kql(spark, q).collect()
     # unimplemented scalar functions surface Spark's loud
-    # UNRESOLVED_ROUTINE (the "anything else" contract)
+    # UNRESOLVED_ROUTINE (the "anything else" contract; punycode
+    # moved to the implemented codec family in round 12 — treepath
+    # is a current member of the documented unimplemented tail)
     from pyspark.errors import AnalysisException
 
     with pytest.raises(AnalysisException, match="UNRESOLVED_ROUTINE"):
-        kql(spark, "print s = punycode_from_string('x')").collect()
+        kql(spark, "print s = treepath(dynamic({'a': 1}))").collect()
