@@ -26,6 +26,7 @@ from api_to_parquet_spark.queries import (
     advanced,
     formats,
     kql,
+    kql_registry,
     mining,
     reference,
     relational,
@@ -46,7 +47,7 @@ _MODULES = [
     advanced,
     mining,
     streamingq,
-    kql,
+    kql_registry,  # the kql translator's QUERIES/ORACLE (round-12 split)
     sampling,
     dedup,
     similarity,

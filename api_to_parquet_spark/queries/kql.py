@@ -14760,6157 +14760,3 @@ def synapse_sql(spark: SparkSession, text: str, lake_root: str) -> DataFrame:
     if top:
         sql = f"{sql.strip()} LIMIT {top.group(1)}"
     return spark.sql(sql)
-
-
-# --- Driver-checked query entries: the reference's committed KQL shapes
-# (take, count — tests/test.http:49,62) plus the everyday pipe operators,
-# each executed THROUGH the translator and value-compared against a
-# hand-written DuckDB oracle. Pipes are fully ordered (tie-broken) where
-# row identity matters, so the comparison is deterministic.
-
-from api_to_parquet_spark.lake import load  # noqa: E402
-
-
-def _events_view(spark: SparkSession, sf_dir: str) -> None:
-    load(spark, sf_dir, "events").createOrReplaceTempView("events")
-
-
-def q_kql_take(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`T | take N` — the reference's first committed query shape, with a
-    where/project/sort pipe so the returned row set is deterministic."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | where event_type == "view"'
-        " | project event_id, user_id, ts"
-        " | sort by ts asc, event_id asc | take 100",
-    )
-
-
-def q_kql_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`T | count` — the reference's second committed query shape."""
-    _events_view(spark, sf_dir)
-    return kql(spark, "events | count")
-
-
-def q_kql_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """where + summarize-by with bin() time bucketing, dcount, and a
-    post-aggregation projection — the everyday KQL analytics pipe.
-
-    The average is computed from exact integer cents (sum(round(v*100))
-    / n, no rounding): `value` carries 2 decimals, so small-group float
-    averages land EXACTLY on decimal half-ties (e.g. 102.07125) where
-    Spark (HALF_UP) and DuckDB (half-to-even) round in opposite
-    directions — and rounding exact ties at ANY precision keeps the
-    hazard. Identical integer inputs + IEEE division are bit-identical
-    across engines with no rounding at all."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where value > 50"
-        " | summarize n=count(), users=dcount(user_id),"
-        " cents=sum(round(value * 100)) by event_type, bin(ts, 6h)"
-        " | project event_type, ts, n, users,"
-        " avg_value=cents / n / 100.0",
-    )
-
-
-def q_kql_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """summarize then fully-ordered top-k per the KQL idiom
-    (sort by n desc with key tie-break, then take)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | summarize n=count() by user_id"
-        " | sort by n desc, user_id asc | take 10",
-    )
-
-
-def q_kql_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KQL join pipe: per-user purchase spend joined to per-user event
-    counts through the translator (`join kind=inner (subpipe) on key`).
-    Spend is exact integer cents (float-determinism rule)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | where event_type == "purchase"'
-        " | summarize spend_cents=sum(round(value * 100)) by user_id"
-        " | join kind=inner (events | summarize n_events=count() by user_id)"
-        " on user_id"
-        " | sort by spend_cents desc, user_id asc | take 20",
-    )
-
-
-def q_kql_join_innerunique(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADX's DEFAULT join kind (`join` with no kind=): innerunique —
-    the left side is deduplicated on the join key before the inner
-    join. The left pipe here has many rows per user_id, so a plain
-    inner join would return more rows than ADX; the faithful
-    translation keeps exactly one (deterministic: first by every
-    orderable column — refinement of ADX's arbitrary pick, mirrored
-    textually in the DuckDB oracle's row_number)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | where event_type == "purchase"'
-        " | project user_id, event_id, cents = round(value * 100)"
-        " | join (events | summarize n_events = count() by user_id)"
-        " on user_id"
-        " | sort by user_id asc",
-    )
-
-
-def q_kql_join_rightsemi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`join kind=rightsemi` — rows of the RIGHT pipe whose key appears
-    in the left (right-side columns only, the ADX contract). Spark SQL
-    has no RIGHT SEMI syntax, so the translator swaps sides into a
-    LEFT SEMI JOIN."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | where event_type == "purchase"'
-        " | join kind=rightsemi"
-        ' (events | where event_type == "view"'
-        " | project user_id, event_id, value) on user_id"
-        " | summarize n = count(), cents = sum(round(value * 100))"
-        " by user_id"
-        " | sort by user_id asc",
-    )
-
-
-def q_kql_join_rightanti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`join kind=rightanti` — rows of the RIGHT pipe whose key does
-    NOT appear in the left (the sides-swapped twin of leftanti)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | where event_type == "purchase" and value > 95'
-        " | join kind=rightanti"
-        ' (events | where event_type == "click"'
-        " | project user_id, event_id) on user_id"
-        " | summarize n = count() by user_id"
-        " | sort by user_id asc",
-    )
-
-
-def q_kql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KQL mv-expand (array explode) + scalar functions through the
-    translator: split the props JSON into fragments, expand to rows,
-    count by fragment shape."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        ' | project event_id, parts=split(props, " ")'
-        " | mv-expand parts"
-        " | summarize n=count() by parts"
-        " | sort by n desc, parts asc | take 50",
-    )
-
-
-def q_kql_scalar_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KQL scalar-function surface: parse_json dynamic access, to*()
-    conversions, iff, strcat, strlen, extract — all rewritten to Spark
-    built-ins by the translator (no UDFs)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 100"
-        " | project event_id,"
-        " k=tolong(parse_json(props).k),"
-        ' tag=strcat(event_type, "-", tostring(event_id)),'
-        ' size_bucket=iff(value > 50, "big", "small"),'
-        " type_len=strlen(event_type),"
-        ' digits=extract("([0-9]+)", 1, props)'
-        " | sort by event_id asc",
-    )
-
-
-def q_kql_union_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """let substitution + in-list/between predicates + project-rename /
-    project-keep + union of two pipes, aggregated — the multi-statement
-    KQL shapes an ADX dashboard tile typically combines."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "let hi = 80;"
-        ' events | where event_type in ("view", "click")'
-        " | project-rename uid=user_id"
-        " | project-keep uid, event_type, value"
-        " | where value between (hi .. 100)"
-        ' | union (events | where event_type == "purchase"'
-        "          | project-rename uid=user_id"
-        "          | project-keep uid, event_type, value)"
-        " | summarize n=count(), users=dcount(uid) by event_type"
-        " | sort by event_type asc",
-    )
-
-
-def q_kql_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`parse` pattern extraction (literal/capture alternation compiled
-    to one anchored regexp, one regexp_extract + cast per capture)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | parse props with "{\\"k\\": " k:long "}"'
-        " | summarize n=count(), sum_k=sum(k) by event_type"
-        " | sort by event_type asc",
-    )
-
-
-def q_kql_parse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`parse kind=regex` (round-6): quoted pattern fragments are
-    regexes (here \\d-classes, +-quantifiers, case-insensitive flag),
-    captures typed like simple mode; parse-where regex-mode filters
-    non-matching rows with the SAME compiled regex. One map-side
-    regexp_extract per capture — no Python, no shuffle."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 600"
-        ' | extend msg = strcat("EV-", tostring(event_id),'
-        ' " took ", tostring(event_id % 97), "ms on ",'
-        " event_type)"
-        " | parse-where kind=regex flags=i msg with"
-        ' "ev-" eid:long "\\\\s+TOOK\\\\s+" ms:int "MS ON\\\\s" host:string "$"'
-        " | project event_id, eid, ms, host"
-        " | where ms >= 0",
-    )
-
-
-def q_kql_arg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`summarize arg_max(...)` — the most-typed KQL aggregate: the
-    whole-row-at-the-extremum idiom, translated to max_by per carried
-    column. The maximand (event_id) is unique per group, so the result
-    is tie-free and deterministic in both engines."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | summarize arg_max(event_id, user_id, value)"
-        " by event_type | sort by event_type asc",
-    )
-
-
-def q_kql_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Datetime surface through the translator: a datetime() literal
-    filter + startofday() bucketing (date_trunc), the everyday ADX
-    time-series pipe. ago()/now() are covered by translation tests (a
-    wall-clock anchor can't be value-compared across engines)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where ts >= datetime(2024-01-15 00:00:00)"
-        " | extend d=startofday(ts)"
-        " | summarize n=count() by d | sort by d asc",
-    )
-
-
-def q_kql_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`top-nested` hierarchical top-k: top-3 event types by exact spend
-    cents, and within each the top-2 users by event count. Ties
-    broken by the group key ascending (documented divergence: ADX
-    leaves ties unspecified)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | top-nested 3 of event_type by cents=sum(round(value * 100)),"
-        " top-nested 2 of user_id by n=count()",
-    )
-
-
-def q_kql_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`mv-apply` with a where + summarize subpipe over each row's
-    array — translated to filter()/size() higher-order functions:
-    per-row, map-side, zero shuffle. The second mv-apply carries the
-    `to typeof(long)` element clause (round-7, verdict gap): elements
-    try_cast BEFORE the subpipe, bad cells -> NULL (ADX leniency)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | project event_id, ps=split(props, " ")'
-        " | mv-apply p = ps on (where strlen(p) >= 4 | summarize n=count())"
-        ' | extend parts = split(strcat(tostring(event_id), ",10,x"), ",")'
-        " | mv-apply q = parts to typeof(long) on"
-        " (where q >= 8 | summarize ts = sum(q))"
-        " | project event_id, n, ts | sort by event_id asc",
-    )
-
-
-def q_kql_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tabular let + materialize() + case-insensitive `has`: the cached-
-    subquery idiom an ADX dashboard uses. materialize() is stripped
-    (Spark reuses repeated subtrees itself); `has "VIEW"` must match
-    'view' rows — ADX term matching is case-insensitive."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'let base = materialize(events | where event_type has "VIEW");'
-        " base | summarize n=count(), cents=sum(round(value * 100))"
-        " by user_id | sort by user_id asc",
-    )
-
-
-def q_kql_condagg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Conditional aggregates — countif / sumif / dcountif / maxif, the
-    ADX dashboard staples — exact integer cents for float determinism."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | summarize n=count(),"
-        " big=countif(value > 50),"
-        " big_cents=sumif(round(value * 100), value > 50),"
-        ' buyers=dcountif(user_id, event_type == "purchase"),'
-        " max_small=maxif(round(value * 100), value <= 50)"
-        " by event_type | sort by event_type asc",
-    )
-
-
-def q_kql_case(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """case() multi-branch scalar + toupper + 0-based substring +
-    format_datetime, grouped — the scalar family an ADX report tile
-    leans on."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | extend band=case(value < 25, \"low\","
-        ' value < 75, "mid", "high"),'
-        " tag=toupper(substring(event_type, 0, 2)),"
-        ' day=format_datetime(ts, "yyyy-MM-dd")'
-        " | summarize n=count() by band, tag, day"
-        " | sort by band asc, tag asc, day asc",
-    )
-
-
-def q_kql_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`serialize` windowed scalars over the pipe's sort order:
-    row_number, prev (delta in exact cents), and row_cumsum — the ADX
-    ordered-row-set idiom. Global-order window by design (ADX
-    semantics); the partitioned scale path is queries/windows.py."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 500"
-        " | sort by ts asc, event_id asc"
-        " | serialize rn=row_number(),"
-        " delta_cents=round(value * 100) - prev(round(value * 100)),"
-        " cum_cents=row_cumsum(round(value * 100))"
-        " | project event_id, rn, delta_cents, cum_cents"
-        " | sort by rn asc",
-    )
-
-
-def q_kql_make_series_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """make-series with the from/to OMITTED (round-9): the axis
-    derives from the data — from = min(ts) snapped to the step,
-    to = max(ts) inclusive — as a broadcast one-row bounds cross
-    join (no driver-side discovery, one plan). mv-expanded back to
-    scalar rows for value hashing."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        " | make-series n=count() default=0.0,"
-        " s=sum(round(value * 100)) default=0.0"
-        " on ts step 1d by user_id"
-        " | mv-expand ts, n, s",
-    )
-
-
-def q_kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`make-series` — THE KQL time-series idiom: dense per-group
-    series over a fixed [from, to) axis, gap-filled with defaults,
-    then `mv-expand ts, n, s` (multi-column zip) back to rows so every
-    cell is scalar-hashable. Reference context: the reference forwards
-    exactly this kind of telemetry rollup to ADX
-    (/root/reference/src/main.go:88-116)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        " | make-series n=count() default=0.0,"
-        " s=sum(round(value * 100)) default=0.0"
-        " on ts from datetime(2024-01-01) to datetime(2024-01-08)"
-        " step 1d by user_id"
-        " | mv-expand ts, n, s",
-    )
-
-
-def q_kql_make_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """summarize make_list/make_set (sorted — deterministic refinement
-    of ADX's unordered contract), serialized with strcat_array so the
-    driver's cell-hash compare sees strings, not arrays."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 200"
-        " | summarize st=make_set(event_type),"
-        " n=dcount(event_type) by user_id"
-        " | project user_id, types=strcat_array(st, ','), n",
-    )
-
-
-def q_kql_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`range` table generator (datetime axis, stop-inclusive) joined
-    back to data — the ADX control-table idiom for calendars."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "range d from datetime(2024-01-01) to datetime(2024-01-10)"
-        " step 1d | extend ep = tolong(d)",
-    )
-
-
-def q_kql_top_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`top-hitters N of c by v` — translated to the EXACT grouped
-    top-N (strict refinement of ADX's sketch-approximate answer), with
-    ADX's output column naming. Plan: partial agg + single shuffle +
-    TakeOrderedAndProject — no global sort."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | extend cents = round(value * 100)"
-        " | top-hitters 3 of event_type by cents",
-    )
-
-
-def q_kql_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate pivot(col, agg)` — pivot columns discovered from the
-    data (sorted for determinism), remaining columns form the implicit
-    group-by, exactly ADX's contract."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | project user_id, event_type, value"
-        " | extend cents = round(value * 100)"
-        " | project-away value"
-        " | evaluate pivot(event_type, sum(cents))",
-    )
-
-
-def q_kql_pivot_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate pivot(col, agg, c1, …)` (round-9): trailing plain
-    columns restrict the implicit group-by to exactly those — a
-    pre-projection of the listed columns + pivot column + agg arg,
-    then the same PIVOT."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | extend cents = tolong(round(value * 100))"
-        " | evaluate pivot(event_type, sum(cents), user_id)",
-    )
-
-
-def q_kql_top_nested_others(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """top-nested `with others =` (round-9 value verification): the
-    top-2 event types by exact cents plus a labeled bucket holding
-    the aggregate of everything else."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | extend cents = tolong(round(value * 100))"
-        ' | top-nested 2 of event_type with others = "Other"'
-        " by s = sum(cents)",
-    )
-
-
-def q_kql_output_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared output schemas (round-8 verdict #1): bag_unpack with
-    OutputSchema= (and ADX's trailing `: (…)` spelling on pivot) skip
-    the data-dependent key/value discovery scan entirely — the
-    translator issues ZERO extra jobs (probe-asserted in
-    test_kql.py). The 100 TB shape: discovery is a full intermediate
-    scan at translate time that the user can declare away."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        " | project user_id, event_type, props"
-        " | evaluate bag_unpack(props,"
-        " OutputSchema=(user_id: long, event_type: string, k: long))"
-        " | evaluate pivot(event_type, sum(k))"
-        " : (user_id: long, click: long, error: long,"
-        " purchase: long, signup: long, view: long)",
-    )
-
-
-def q_kql_getschema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`getschema` — schema-as-a-table with ADX's column contract
-    (ColumnName/ColumnOrdinal/DataType/ColumnType)."""
-    _events_view(spark, sf_dir)
-    return kql(spark, "events | getschema")
-
-
-def q_kql_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """split (literal delimiter + 0-based index), countof,
-    replace_string, null-tolerant strcat — the everyday ADX string
-    toolkit, all JVM-side expressions."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        " | extend head = split(event_type, 'r', 0),"
-        " nparts = strlen(strcat_array(split(event_type, 'e'), '|')),"
-        " rs = replace_string(event_type, 'e', '3'),"
-        " cnt = countof(event_type, 'e'),"
-        " tag = strcat(user_id, ':', event_type)"
-        " | project event_id, head, nparts, rs, cnt, tag",
-    )
-
-
-def q_kql_series_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The series scalar surface over make-series output: reductions
-    (series_sum/avg/max), scalar broadcast arithmetic
-    (series_multiply), element-wise zip (series_subtract), constant
-    gap-fill — all higher-order array functions, per-row map-side,
-    then mv-expand back to hashable scalars."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        " | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-05) step 1d"
-        " by user_id"
-        " | extend total = series_sum(n), avg_n = series_avg(n),"
-        " hi = series_max(n), scaled = series_multiply(n, 2),"
-        " centered = series_subtract(n, series_fill_const(n, 0.0))"
-        " | mv-expand ts, n, scaled, centered"
-        " | project user_id, ts, n, scaled, centered, total, avg_n, hi",
-    )
-
-
-def q_kql_parse_where(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse-where: parse + keep only matching rows (ADX contract) —
-    one extra RLIKE against the same compiled regex, no re-parse."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | parse-where event_type with "s" mid:string "nup"'
-        " | project event_id, mid",
-    )
-
-
-def q_kql_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """evaluate bag_unpack: the events `props` JSON bag widened to
-    columns — keys discovered from the data (sorted), values via
-    JVM-side get_json_object."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate bag_unpack(props) | project event_id, k",
-    )
-
-
-def q_kql_datetime_math(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bin_at (fixed-point-aligned bins), datetime_diff (BOUNDARY
-    semantics, the ADX contract), datetime_add, and the part getters —
-    all JVM datetime expressions."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | extend d = bin_at(ts, 1d, datetime(2024-01-01)),"
-        " dd = datetime_diff('day', ts, datetime(2024-01-01)),"
-        " nxt = datetime_add('hour', 2, ts),"
-        " y = getyear(ts), mo = getmonth(ts), dom = dayofmonth(ts),"
-        " hh = hourofday(ts), dow = dayofweek(ts)"
-        " | project event_id, d, dd, nxt, y, mo, dom, hh, dow",
-    )
-
-
-def q_kql_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """summarize percentiles(x, p1, p2, …) — the multi-quantile idiom,
-    one percentile_approx per p (KQL percentiles are approximate too —
-    T-digest in ADX). The event_id bound keeps every group within
-    percentile_approx's default-accuracy EXACT regime at every sf, so
-    the oracle can pin the exact lower-rank order statistic
-    (quantile_disc); on unbounded groups the contract is approximate,
-    like ADX's."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 5000"
-        " | summarize percentiles(value, 25, 50, 75) by event_type",
-    )
-
-
-def q_kql_array_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pack_array/array_length/array_index_of (0-based, -1 missing),
-    indexof — the ADX dynamic-array toolkit."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | where event_id < 100'
-        ' | extend arr = pack_array(event_type, "x"),'
-        ' missing = array_index_of(pack_array(event_type), "zz")'
-        ' | extend n = array_length(arr), i = array_index_of(arr, "x"),'
-        ' p = indexof(event_type, "e")'
-        " | project event_id, n, i, missing, p",
-    )
-
-
-def q_kql_join_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADX join collision naming (round-9): right-side columns whose
-    names collide with the left gain a `1` suffix (value -> value1),
-    referenceable downstream — resolved on kql()'s retry pass, so the
-    common no-collision join stays zero-analysis. The bare `on k` key
-    stays merged (documented refinement of ADX's key+key1)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        " | join kind=inner (events | where event_id < 500"
-        " | project user_id, event_id, value) on user_id"
-        " | project user_id, event_id, event_id1, value, value1"
-        " | where event_id != event_id1",
-    )
-
-
-def q_kql_join_qualified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """join `on $left.a == $right.b` — the qualified-key form for
-    differently-named columns; both key columns survive (ADX
-    contract)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | project event_id, value"
-        " | join kind=inner (events | where event_type == \"purchase\""
-        " | project eid2 = event_id, user_id)"
-        " on $left.event_id == $right.eid2"
-        " | project event_id, eid2, user_id, value",
-    )
-
-
-def q_kql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`sample N` — deterministic pseudo-random refinement of ADX's
-    random sample: order by a whole-row hash, TakeOrderedAndProject
-    plan (per-partition heaps, no global sort). Rows-only oracle: the
-    hash order is engine-specific by construction."""
-    _events_view(spark, sf_dir)
-    return kql(spark, "events | sample 100")
-
-
-def q_kql_series_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`(baseline, seasonal, trend, residual) = series_decompose(y, 7)`
-    — the 4-tuple decomposition (trend = linefit, seasonal = per-phase
-    mean of the detrended series, baseline = trend + seasonal,
-    residual = y - baseline); same chain as the anomalies variant minus
-    the Tukey scoring."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
-        " by user_id"
-        " | extend (bl, se, tr, re) = series_decompose(n, 7)"
-        " | mv-expand ts, n, bl, se, tr, re"
-        " | project user_id, ts, n, b = round(bl, 6), s = round(se, 6),"
-        " t = round(tr, 6), r = round(re, 6)",
-    )
-
-
-def q_kql_series_fir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """series_moving_avg / series_fir smoothing over make-series output:
-    literal coefficients unrolled into one tap per element at
-    TRANSLATION time (no runtime loop), out-of-range reads as 0. The
-    DuckDB oracle mirrors the taps as lag() terms with the identical
-    coefficient literals, so the float ops match bitwise."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
-        " by user_id"
-        " | extend ma = series_moving_avg(n, 3),"
-        " fir = series_fir(n, pack_array(3, 1), true)"
-        " | mv-expand ts, n, ma, fir"
-        " | project user_id, ts, n, m = round(ma, 6), f = round(fir, 6)",
-    )
-
-
-def q_kql_series_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`extend (rsquare, slope, …) = series_fit_line(y)` — ADX's
-    linear-trend fit over make-series output, computed as per-row
-    higher-order array folds (map-side, zero shuffle beyond the
-    make-series agg). x axis is the element index 0..n-1 (ADX
-    contract); variance/rvariance are population (/n), rsquare =
-    1 - rvariance/variance."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
-        " by user_id"
-        " | extend (rsquare, slope, variance, rvariance, interception,"
-        " line_fit) = series_fit_line(n)"
-        " | project user_id, slope=round(slope, 6),"
-        " icept=round(interception, 6), rsq=round(rsquare, 6),"
-        " va=round(variance, 6), rva=round(rvariance, 6)",
-    )
-
-
-def q_kql_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`extend (min, min_idx, …) = series_stats(y)` — the ADX series
-    summary tuple; idx columns are 0-based first occurrence, variance
-    population (/n). All map-side array math."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
-        " by user_id"
-        " | extend (mn, mni, mx, mxi, av, va, sd) = series_stats(n)"
-        " | project user_id, mn, mni, mx, mxi, av=round(av, 6),"
-        " sd=round(sd, 6)",
-    )
-
-
-def q_kql_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`extend score = series_outliers(y)` — Tukey-fence anomaly score
-    per series element (ctukey 10th/90th custom quantiles, k=1.5):
-    0 inside the fences, signed exceedance/IQR outside. Quantiles are
-    discrete sorted[floor(p*(n-1))] — a deterministic refinement of
-    ADX's interpolation, so the DuckDB oracle reproduces it bitwise."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-08) step 1d"
-        " by user_id"
-        " | extend score = series_outliers(n)"
-        " | mv-expand ts, n, score"
-        " | project user_id, ts, n, s=round(score, 6)",
-    )
-
-
-def q_kql_series_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`extend (anomalies, score, baseline) =
-    series_decompose_anomalies(y, period)` — seasonal decomposition +
-    anomaly flags: trend = line fit, seasonal = per-phase mean of the
-    detrended series (explicit integer period — no autodetection),
-    residual scored with Tukey fences, anomalies = sign(score). Every
-    stage is a per-row array fold; the only shuffle in the whole
-    pipeline is make-series' own grouped aggregation. Deliberately NO
-    trailing sort: a global ORDER BY re-evaluates the expensive child
-    during range-partition sampling (measured 2.6x slower); the
-    driver's oracle compare is order-insensitive."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
-        " by user_id"
-        " | extend (an, sc, bl) = series_decompose_anomalies(n, 7)"
-        " | mv-expand ts, n, an, bl"
-        " | project user_id, ts, n, an, b=round(bl, 6)",
-    )
-
-
-def q_kql_scalar_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second scalar-function batch: trim/trim_start/trim_end (repeated
-    regex matches, ADX contract), strrep, reverse, tohex (lowercase),
-    min_of/max_of, isnull/isnotnull, base64 round-trip, log10 — all
-    JVM-side, zero shuffle."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 200"
-        ' | extend padded = strcat("__", event_type, "__")'
-        ' | extend t = trim("_", padded),'
-        ' tst = trim_start("_", padded), ten = trim_end("_", padded),'
-        " r = reverse(event_type), rep = strrep(event_type, 2),"
-        " hx = tohex(event_id), lo = min_of(value, 50.0),"
-        " hi = max_of(value, 50.0), nn = isnotnull(props),"
-        " b64 = base64_decode_tostring(base64_encode_tostring(event_type)),"
-        " lg = round(log10(event_id + 1), 6)"
-        " | project event_id, t, tst, ten, r, rep, hx,"
-        " lo = round(lo, 2), hi = round(hi, 2), nn, b64, lg",
-    )
-
-
-def q_kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate diffpatterns` — attribute combinations whose share
-    differs between the low-value and high-value event subsets; one
-    CUBE aggregation with per-side conditional counts (basket's
-    sibling diagnostics plugin)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        ' | extend band = iff(value < 50, "lo", "hi"),'
-        " dow = tostring(dayofweek(ts))"
-        " | project band, event_type, dow"
-        ' | evaluate diffpatterns(band, "lo", "hi")',
-    )
-
-
-def q_kql_series_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """series_periods_detect over 28-day per-user series: deterministic
-    autocorrelation refinement (best lag in 2..10 + its normalized
-    score), scalar num_periods=1 subset."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        " | make-series n = count() default = 0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-29) step 1d"
-        " by user_id"
-        " | extend (p, s) = series_periods_detect(n, 2, 10, 1)"
-        " | project user_id, p, s",
-    )
-
-
-def q_kql_scalar_fns3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Third scalar-function batch (round-4): parse_url field access
-    (struct-bag refinement of ADX's property bag), extract_all (one
-    capture group), bag_keys/todynamic over JSON-text dynamics,
-    coalesce (pass-through), array_concat, and translation-time
-    column_ifexists schema resolution — all JVM-side, zero shuffle."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 200"
-        ' | extend u = strcat("https://shop.example.com:8443/cat/",'
-        ' event_type, "?page=", tostring(event_id), "#top")'
-        " | extend scheme = parse_url(u).Scheme, host = parse_url(u).Host,"
-        " port = parse_url(u).Port, path = parse_url(u).Path,"
-        " qry = parse_url(u).Query, frag = parse_url(u).Fragment"
-        ' | extend numcat = strcat_array(extract_all("([0-9]+)", u), "-")'
-        ' | extend kset = strcat_array(bag_keys(props), ",")'
-        " | extend kval = tolong(todynamic(props).k)"
-        ' | extend ce = column_ifexists("no_such_column", "dflt"),'
-        ' co = column_ifexists("event_type", "dflt"),'
-        ' cv = coalesce(column_ifexists("also_missing", ""), event_type)'
-        " | extend pair = strcat_array(array_concat(pack_array(event_type),"
-        ' pack_array(ce)), "|")'
-        " | project event_id, scheme, host, port, path, qry, frag,"
-        " numcat, kset, kval, ce, co, cv, pair",
-    )
-
-
-def q_kql_invoke(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`invoke` — a function let (`let f = (source:(*)) { … };`)
-    applied to the pipe. The body translates with the parameter bound
-    to the already-translated upstream subtree."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "let daily = (source:(*)) { source"
-        " | summarize n = count(), cents = sum(round(value * 100))"
-        " by day = startofday(ts) };"
-        ' events | where event_type == "purchase" | invoke daily()'
-        " | sort by day asc",
-    )
-
-
-def q_kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`externaldata` — ad-hoc external table over a URI, here a
-    deterministic local CSV written by this query (headerless, the ADX
-    default format), joined back to the lake table. The DuckDB oracle
-    reads the same file."""
-    path = "/tmp/spark_graft_externaldata.csv"
-    with open(path, "w") as fh:
-        fh.write("view,0\nclick,1\npurchase,2\nsignup,3\nerror,4\n")
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        f'externaldata (etype:string, code:long) ["{path}"]'
-        " | join kind=inner (events | summarize n = count()"
-        " by event_type) on $left.etype == $right.event_type"
-        " | project etype, code, n | sort by code asc",
-    )
-
-
-def q_kql_fork(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`as` + `fork` — the multi-consumer pipe constructs: the per-user
-    aggregate is named with `as`, then fork runs two branches over it
-    as a labeled name-aligned union. Both branches embed the identical
-    aggregate subtree, which Spark executes ONCE via ReuseExchange
-    (plan-asserted in tests/test_kql.py)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        " | summarize n = count(), cents = sum(round(value * 100))"
-        " by user_id"
-        " | as peruser"
-        " | fork hi = (where n >= 30 | project user_id, n, cents)"
-        " lo = (summarize users = count())",
-    )
-
-
-def q_kql_scalar_fns4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fourth scalar-function batch (round-4): ceiling, exp10,
-    isnan/isinf/isfinite over constructed specials, strcmp,
-    string_size (BYTES), url_encode family, translate (ADX arg
-    order), lenient tobool/todatetime, mv-expand to typeof, and
-    project-reorder — all JVM-side."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 200"
-        ' | extend sp = iff(event_id % 3 == 0, double("inf"),'
-        ' iff(event_id % 3 == 1, double("nan"), value))'
-        " | extend i_inf = isinf(sp), i_nan = isnan(sp),"
-        " i_fin = isfinite(sp), ce = ceiling(value),"
-        " e10 = round(exp10(2.0), 6),"
-        ' sc = strcmp(event_type, "purchase"),'
-        ' sz = string_size(strcat(event_type, "é")),'
-        ' ue = url_encode(strcat(event_type, " ", tostring(event_id))),'
-        ' uec = url_encode_component(strcat(event_type, " x")),'
-        ' ud = url_decode("a%20b+c"),'
-        ' tr = translate("aeiou", "AEIOU", event_type),'
-        ' tb = tobool(iff(event_id % 4 == 0, "true",'
-        ' iff(event_id % 4 == 1, "false", event_type))),'
-        ' td = todatetime("2024-02-03 04:05:06")'
-        ' | extend parts = split("1,2,x", ",")'
-        " | mv-expand parts to typeof(long)"
-        " | project-reorder event_id, ce"
-        " | project event_id, ce, e10, i_inf, i_nan, i_fin, sc, sz,"
-        " ue, uec, ud, tr, tb, td, parts",
-    )
-
-
-def q_kql_scalar_fns5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fifth scalar batch, array family (round-6): set_union/
-    set_intersect/set_difference (array_union/intersect/except
-    folds), array_rotate_left/right + array_shift_left/right (pmod
-    slicing / index-guarded transform), array_iff (element-wise
-    conditional with NULL-on-NULL-cond), zip, repeat (ARRAY
-    constructor — not Spark's string repeat). Arrays are flattened
-    with array_join for the hash compare; all map-side."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 400"
-        " | extend x = pack_array(event_id % 5, event_id % 7,"
-        " event_id % 3),"
-        " y = pack_array(event_id % 7, event_id % 4, event_id % 2)"
-        " | project event_id,"
-        ' su = strcat_array(array_sort(set_union(x, y)), "-"),'
-        ' si = strcat_array(array_sort(set_intersect(x, y)), "-"),'
-        ' sd = strcat_array(array_sort(set_difference(x, y)), "-"),'
-        ' rl = strcat_array(array_rotate_left(x, 1), "-"),'
-        ' rr = strcat_array(array_rotate_right(x, 1), "-"),'
-        ' sl = strcat_array(array_shift_left(x, 1, -1), "-"),'
-        ' sr = strcat_array(array_shift_right(x, 1, -1), "-"),'
-        " ai = strcat_array(array_iff(pack_array(event_id % 2 == 0,"
-        ' event_id % 3 == 0, true), x, y), "-"),'
-        ' zp = strcat_array(zip(x, y)[1], "-"),'
-        ' rp = strcat_array(repeat(event_id % 9, 3), "-")',
-    )
-
-
-def q_kql_scalar_fns6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sixth scalar batch (round-6): crypto hashes (sha256/md5),
-    make_datetime + unixtime_*_todatetime constructors, countof_regex/
-    indexof_regex, the ipv4 family (parse/has/in_range/compare as
-    regex-guarded integer folds), parse_version (1e8-weighted
-    comparable decimal), strcat_delim (ADX null-as-empty), isascii
-    (non-vacuous: é injected on even ids), isutf8, toguid,
-    format_bytes (auto units, exact-division inputs). All JVM-side
-    expressions."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 400"
-        " | extend ip = strcat(tostring(10 + event_id % 90),"
-        ' ".", tostring(event_id % 256), ".7.",'
-        " tostring(event_id % 100)),"
-        ' ver = strcat(tostring(event_id % 4), ".",'
-        ' tostring(event_id % 10), ".", tostring(event_id % 100))'
-        " | project event_id,"
-        " h2 = hash_sha256(event_type),"
-        " hm = hash_md5(event_type),"
-        " md = make_datetime(2024, 1 + event_id % 12,"
-        " 1 + event_id % 28),"
-        " ut = unixtime_seconds_todatetime(1700000000 + event_id),"
-        " um = unixtime_milliseconds_todatetime(1700000000000"
-        " + event_id),"
-        ' cr = countof_regex(event_type, "[aeiou]"),'
-        ' ir = indexof_regex(event_type, "[su]"),'
-        " p4 = parse_ipv4(ip),"
-        ' rng = ipv4_is_in_range(ip, "10.0.0.0/8"),'
-        ' cmp = ipv4_compare(ip, "50.0.0.0"),'
-        " pv = tostring(parse_version(ver)),"
-        ' sdl = strcat_delim("|", event_type, ip),'
-        " ia = isascii(strcat(event_type,"
-        ' iff(event_id % 2 == 0, "é", "e"))),'
-        " iu = isutf8(event_type),"
-        " fb = format_bytes(event_id * 1024),"
-        " fb2 = format_bytes(event_id * 1048576, 2),"
-        ' gd = toguid(strcat("00000000-0000-0000-0000-",'
-        " substring(hash_md5(event_type), 0, 12)))",
-    )
-
-
-def q_kql_agg_fns2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second aggregate batch (round-6): stdev/stdevp/variance/
-    variancep (sample/population split; last-ulp engine divergence on
-    the streaming moments, so both sides round(,6)), binary_all_or/
-    and/xor (bit aggregates), take_any (min() deterministic
-    refinement), exact count_distinct(+if), make_list_if/make_set_if
-    (conditional collects), the (a, b) = percentiles(...)
-    multi-assign form, and multi-column take_any with EXPRESSION
-    arguments (round-10, verdict #9: each arg rides the shared
-    struct-key min_by, auto-named aggN_j — the returned values are
-    the key tuple's own components, so the lexicographic-min
-    refinement is fully deterministic; oracle decodes the same tuple
-    from one encoded min). One hash-partitioned grouped aggregation
-    with map-side partials."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 5000 | summarize"
-        " sd0 = stdev(event_id % 50),"
-        " sdp0 = stdevp(event_id % 50),"
-        " va0 = variance(event_id % 50),"
-        " vap0 = variancep(event_id % 50),"
-        " bo = binary_all_or(event_id),"
-        " ba = binary_all_and(event_id),"
-        " bx = binary_all_xor(event_id),"
-        " ta = take_any(event_type),"
-        " cd = count_distinct(user_id),"
-        " cdi = count_distinctif(user_id, value > 50),"
-        " (p25, p75) = percentiles(event_id, 25, 75),"
-        " ml0 = make_list_if(event_id, event_id % 97 == 0),"
-        " ms0 = make_set_if(user_id % 10, event_id % 3 == 0),"
-        " take_any(event_id % 7, user_id + 1000)"
-        " by event_type"
-        " | project event_type, sd = round(sd0, 6),"
-        " sdp = round(sdp0, 6), va = round(va0, 6),"
-        " vap = round(vap0, 6), bo, ba, bx, ta, cd, cdi, p25, p75,"
-        ' mli = strcat_array(ml0, ","), msi = strcat_array(ms0, ","),'
-        " t0 = agg13_0, t1 = agg13_1"
-        " | sort by event_type asc",
-    )
-
-
-def q_kql_scalar_fns7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seventh scalar batch (round-6): series_fill_forward/backward/
-    linear (per-element higher-order lookups over a 4-bin series with
-    deterministic null positions; summed in fold order so the DuckDB
-    mirror is the same IEEE sequence), replace_regex, extract_json
-    (path-first, typed), array_split. All map-side."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        " | extend vv = 1.0 * (event_id % 10)"
-        " | extend m = pack_array(vv,"
-        " iff(event_id % 3 == 0, double(null), vv * 2),"
-        " iff(event_id % 4 == 0, double(null), vv * 3),"
-        " vv + 10)"
-        " | project event_id,"
-        " fs = series_sum(series_fill_forward(m)),"
-        " bs = series_sum(series_fill_backward(m)),"
-        " ls = series_sum(series_fill_linear(m)),"
-        ' rr = replace_regex(event_type, "[aeiou]+", "_"),'
-        ' ej = extract_json("$.k", props, typeof(long)),'
-        " sp = strcat_array(array_split(pack_array(event_id % 5,"
-        ' event_id % 7, event_id % 9), 1)[1], "-")',
-    )
-
-
-def q_kql_mv_itemindex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`mv-expand with_itemindex=Ix` (round-6): element expansion
-    carrying the 0-based position — ONE posexplode, zero shuffle."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 200"
-        " | extend a = pack_array(event_id % 3, event_id % 5)"
-        " | mv-expand with_itemindex=ix a"
-        " | project event_id, ix, a",
-    )
-
-
-def q_kql_toscalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`toscalar(T | ...)` (round-6): an uncorrelated scalar subquery —
-    the inner pipe's single column, first row. Spark plans it as a
-    reusable subquery result broadcast into the filter, so the outer
-    scan stays a single pass."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id >"
-        " toscalar(events | summarize m = max(event_id)"
-        " | project m2 = m / 2)"
-        " | summarize n = count(), mx = max(event_id),"
-        " s = sum(user_id)",
-    )
-
-
-def q_kql_make_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`summarize make_bag()/make_bag_if()` (round-6): per-group
-    property-bag merge. Deterministic refinement of ADX's unspecified
-    precedence: bags fold in SORTED bag-text order, first-bag-wins per
-    key (the bag_merge membership pick). Here each row packs one
-    single-digit value under k<id%3>, so the winner per key is the
-    minimum value — mirrored in the oracle as min() + JSON concat."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 2000"
-        ' | extend b = pack(strcat("k", tostring(event_id % 3)),'
-        " event_id % 7)"
-        " | summarize bag = make_bag(b),"
-        " bagif = make_bag_if(b, event_id % 2 == 0) by event_type"
-        " | sort by event_type asc",
-    )
-
-
-def q_kql_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate sequence_detect` (round-6): view→click funnels per
-    user within a 30-minute step window, compiled onto the scan fold
-    (prefilter → sort → state-referencing scan → one grouped pivot).
-    The synthetic per-event timeline is collision-free so the greedy
-    match order is deterministic in both engines. Oracle: recursive
-    CTE carrying the step-1 timestamp through the recursion."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | extend t = unixtime_seconds_todatetime(1700000000"
-        " + event_id * 60),"
-        ' is_v = event_type == "view", is_c = event_type == "click"'
-        " | evaluate sequence_detect(t, 30m, 1h, is_v, is_c, user_id)",
-    )
-
-
-def q_kql_row_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_rank_dense/row_rank_min (round-6): run-length ranks over
-    the serialized order — rank follows CHANGES of the term (not a
-    re-sort; a value recurring later gets a NEW rank, unlike SQL
-    dense_rank). Two window layers: a LAG change flag, then running
-    SUM/MAX. Global order is inherent to ADX serialize semantics."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 3000 | sort by event_id asc"
-        " | extend d = row_rank_dense(event_type),"
-        " m = row_rank_min(event_type)"
-        " | project event_id, d, m",
-    )
-
-
-def q_kql_union_withsource(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`union withsource=Col` — each row labeled with its originating
-    table (head table name; union_arg for a headless side), name-
-    aligned null-fill across differing schemas."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | where event_type == "view" | project event_id, value'
-        " | union withsource=src"
-        " (datatable(event_id:long, cents:long)[1, 11, 2, 22])"
-        " | sort by src asc, event_id asc",
-    )
-
-
-def q_kql_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`reduce by` — log-pattern mining as one grouped aggregation over
-    a deterministic pattern projection (digit/hex runs -> '*'), the
-    documented refinement of ADX's opaque clustering."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        ' | extend msg = strcat("user-", tostring(user_id), " did ",'
-        ' event_type, " at item ", tostring(event_id))'
-        " | reduce by msg"
-        " | sort by Pattern asc",
-    )
-
-
-def q_kql_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`parse-kv` — delimiter-based key-value extraction into typed
-    columns (one map-side str_to_map, NULL for absent keys), over a
-    kv-string constructed identically in the DuckDB oracle."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        ' | extend kvs = strcat("kt=", event_type,'
-        ' " kid=", tostring(event_id), " kflag=on")'
-        " | parse-kv kvs as (kt:string, kid:long, kflag:string,"
-        " kmiss:string)"
-        ' with (pair_delimiter=" ", kv_delimiter="=")'
-        " | project event_id, kt, kid, kflag, kmiss",
-    )
-
-
-def q_kql_timespan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Timespan as a first-class type (round-5): datetime - datetime
-    -> interval, bare timespan literals (`12h`, `1d`) in comparisons,
-    `now() - ts > 1h` lookback, totimespan() over literals AND a
-    data-derived string (runtime parse), format_timespan() with d/hh/
-    mm/ss and fractional tokens, and division by an INTERVAL-TYPED
-    COLUMN (round-10, verdict #4: resolved via the lazy retry-path
-    schema probe). All map-side interval arithmetic."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        " | summarize mn = min(ts), mx = max(ts), n = count()"
-        " by user_id"
-        " | extend dur = mx - mn"
-        " | where dur > 12h and now() - mx > 1h"
-        " | extend ratio = round(dur / make_timespan(12, 0, 0), 6),"
-        " r2 = round(dur / totimespan('1.00:00:00'), 6),"
-        " rc = round((mx - mn + 6h) / dur, 6),"
-        " span_s = format_timespan(dur, 'd.hh:mm:ss'),"
-        " frac = format_timespan(dur, 'hh:mm:ss.fff'),"
-        " long3 = dur > totimespan('3.00:00:00'),"
-        " within = dur < 45d,"
-        " pf = format_timespan(totimespan(strcat(tostring(n % 24),"
-        ' ":00:30")), "hh:mm:ss")'
-        " | project user_id, n, span_s, frac, long3, within, pf,"
-        " ratio, r2, rc",
-    )
-
-
-def q_kql_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pack()/bag_pack()/pack_all()/bag_merge() (round-5): bag
-    CONSTRUCTION roundtripped through evaluate bag_unpack — pack's
-    typed JSON, bag_merge's first-bag-wins key precedence (props' k
-    beats the packed p-prefixed k), pack_all over the unpacked frame.
-    All map-side to_json/from_json expressions."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        ' | extend b = pack("etype", event_type, "eid", event_id,'
-        ' "k", strcat("p", tostring(event_id)))'
-        " | extend m = bag_merge(props, b)"
-        " | project event_id, m"
-        " | evaluate bag_unpack(m)"
-        " | extend pa = pack_all()"
-        " | project event_id, etype, eid, k, pa",
-    )
-
-
-def q_kql_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate narrow()` — transpose to (Row, Column, Value) with
-    stringified values (ADX contract); Row numbering from the required
-    preceding sort (deterministic refinement of arrival order). One
-    map-side stack generator. String/integer columns only here: float
-    to-string formatting is engine-specific."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 50 | project event_id, event_type"
-        " | sort by event_id asc | evaluate narrow()",
-    )
-
-
-def q_kql_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`lookup` dimension join (explicit BROADCAST hint — the physical
-    strategy ADX promises) against an inline datatable, ending in a
-    `render` directive (no-op: charting is client-side in ADX too), so
-    a committed dashboard pipe runs verbatim."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | lookup (datatable(event_type: string, w: real)'
-        ' ["purchase", 2.0, "view", 1.0]) on event_type'
-        " | summarize cents = sum(round(value * 100 * coalesce(w, 0.5)))"
-        " by event_type | sort by event_type asc"
-        " | render columnchart",
-    )
-
-
-def q_kql_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """hll() / hll_merge() / dcount_hll(): the MERGEABLE distinct-count
-    sketch pipeline (per-group sketches -> union -> estimate) — the
-    100 TB shape where exact dcount would shuffle every key.
-    Approximate by design (DataSketches HLL; measured 1488 vs 1500
-    exact at sf0.1), so no value oracle — rows-only check here,
-    tolerance + mergeability asserted in tests/test_kql.py."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | summarize h = hll(user_id) by event_type"
-        " | summarize m = hll_merge(h)"
-        " | project users = dcount_hll(m)",
-    )
-
-
-def q_kql_predicates2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate/datetime/array batch 2: =~ (case-insensitive equals),
-    in~, has_any, startofweek (ADX Sunday start), endofday/endofmonth
-    (last microsecond), array_slice (0-based inclusive),
-    array_sort_desc, array_sum."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        ' | extend ci = event_type =~ "PURCHASE",'
-        ' grp = event_type in~ ("VIEW", "Click"),'
-        ' anyof = props has_any ("k", "zz"),'
-        " sow = startofweek(ts), eod = endofday(ts),"
-        " eom = endofmonth(ts)"
-        " | extend arr = pack_array(3.0, 1.0, 2.0)"
-        " | extend sl = array_sum(array_slice(arr, 0, 1)),"
-        " top1 = array_sort_desc(arr)"
-        " | project event_id, ci, grp, anyof, sow, eod, eom,"
-        " sl, top1 = todouble(try_element_at(top1, 1))",
-    )
-
-
-def q_kql_graph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """make-graph + graph-match: a 2-hop path pattern over an inline
-    edge table — fixed-length patterns compile to chained equi-joins
-    on dst=src (hash-partitioned on node id; AQE picks broadcast vs
-    shuffle per hop). Node names in expressions are their ids; edge
-    names reach edge columns. Round-10 (verdict #8): a SECOND
-    graph-match with TWO variable-length hops in one pattern
-    ((x)-[*1..2]->(y)-[*1..2]->(z)) — the Cartesian product of the
-    hop ranges, one fixed-length chain branch per combination,
-    per-path multiplicity preserved (UNION ALL) and counted."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "union"
-        " (datatable(src: string, dst: string, w: long)"
-        ' ["a","b",1, "b","c",2, "a","c",3, "c","d",1]'
-        " | make-graph src --> dst"
-        " | graph-match (x)-[e1]->(y)-[e2]->(z)"
-        " where x != z project x, y, z, wsum = e1.w + e2.w"
-        " | extend m = tolong(1)),"
-        " (datatable(src: string, dst: string, w: long)"
-        ' ["a","b",1, "b","c",2, "a","c",3, "c","d",1, "b","d",5]'
-        " | make-graph src --> dst"
-        " | graph-match (x)-[v1*1..2]->(y)-[v2*1..2]->(z)"
-        " project x, y, z"
-        " | summarize m = count() by x, y, z"
-        " | extend wsum = tolong(-1))"
-        " | sort by wsum asc, x asc, y asc, z asc",
-    )
-
-
-def q_kql_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graph-match over a DERIVED edge table (event_type -> user
-    engagement edges aggregated from the fact pipe): the make-graph
-    input is any pipe, so graph analytics compose with the relational
-    surface."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | summarize n = count()"
-        " by src = event_type, dst = tostring(user_id)"
-        " | make-graph src --> dst"
-        " | graph-match (t)-[e]->(u) where e.n >= 3"
-        " project t, u, n = e.n",
-    )
-
-
-def q_kql_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`facet by c1, c2` — per-column value counts. ADX returns one
-    table per column; the single-DataFrame refinement unions them as
-    (facet_column, value, count_)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | extend band = case(value < 50, \"low\", \"high\")"
-        " | facet by event_type, band",
-    )
-
-
-def q_kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate basket(0.1)` — frequent attribute-combination mining
-    over (event_type, value band): ONE CUBE aggregation (2^k grouping
-    sets, map-side partials) instead of apriori's level-wise passes;
-    support filter in HAVING, ADX column contract (SegmentId, attrs,
-    Count, Percent)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | project event_type,"
-        ' band = case(value < 50, "low", "high")'
-        " | evaluate basket(0.1)",
-    )
-
-
-def q_kql_python(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate python()` (round-6): ADX's inline-Python plugin over
-    mapInPandas — the script sees the Arrow batch as `df` and returns
-    `result`, exactly ADX's sandbox contract (ref delegates the plugin
-    via src/main.go's KQL passthrough). Deterministic body (per-row
-    IEEE multiply, no reduction), so the DuckDB oracle matches
-    bit-for-bit."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 500 | project event_id, value"
-        " | evaluate python(typeof(*, vsq:real),"
-        " 'result = df.assign(vsq = df.value * df.value)')"
-        " | project event_id, vsq",
-        enable_python=True,
-    )
-
-
-def q_kql_autocluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate autocluster()` — coverage-vs-informativeness segment
-    mining over three event attributes (the third ADX diagnostics
-    plugin; ref delegates it via src/main.go's KQL passthrough). Same
-    ONE-CUBE shape as basket; rank order is the exact integer
-    Count*depth (the published w=0.5 tradeoff score is monotone in
-    it), so the DuckDB oracle matches bit-for-bit."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | project event_type,"
-        ' band = case(value < 50, "low", "high"),'
-        ' ub = case(user_id % 3 == 0, "u0",'
-        ' user_id % 3 == 1, "u1", "u2")'
-        " | evaluate autocluster()",
-    )
-
-
-def q_kql_datatable_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`datatable(…)[…]` inline literal table used as a weight
-    dimension joined to the fact pipe — the ADX ad-hoc-dimension idiom.
-    The literal table is driver-side VALUES; the join broadcasts it
-    (AQE sees a tiny relation), so the fact side never shuffles."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'datatable(event_type: string, w: real)'
-        ' ["purchase", 2.0, "view", 1.0]'
-        " | join kind=inner (events) on event_type"
-        " | summarize score = sum(w * round(value * 100)) by event_type"
-        " | sort by event_type asc",
-    )
-
-
-def q_kql_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`search "term"` — case-insensitive substring match across every
-    string column in scope (schema-discovered), the ADX grep idiom."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'events | search "purch" | summarize n = count() by event_type'
-        " | sort by event_type asc",
-    )
-
-
-def q_kql_partition_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`partition by k (top N by x)` — per-key top-N as ONE window
-    row_number over a single shuffle on k (ADX's legacy strategy
-    materializes up to 64 per-key subqueries; this is the shuffle-
-    native shape that scales with key count). Ordered by unique
-    event_id for a deterministic oracle."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | partition by user_id (top 2 by event_id)"
-        " | project user_id, event_id, cents = round(value * 100)"
-        " | sort by user_id asc, event_id desc",
-    )
-
-
-def q_kql_print(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`print` one-row statement with named and bare (print_N)
-    columns."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'print x = 1 + 1, "hi", t = datetime(2024-01-02 03:00:00),'
-        " l = tolong(7) * 6",
-    )
-
-
-def q_kql_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`scan` — greedy view→click→purchase sequence matching per user
-    in event-time order (the ADX process-mining idiom). Step booleans
-    are map-side; the serial walk is one grouped array fold keyed by
-    user_id (one shuffle). Oracle: DuckDB recursive CTE stepping the
-    same state machine row-by-row."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | sort by ts asc, event_id asc"
-        " | scan by user_id with ("
-        ' step s_view: event_type == "view";'
-        ' step s_click: event_type == "click";'
-        ' step s_purchase: event_type == "purchase")'
-        " | project user_id, event_id, step, match_id",
-    )
-
-
-def q_kql_scan_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`scan` with a state-referencing step condition (round-6): the
-    purchase step must beat the value of THIS match's view row
-    (`value > s1.value`) — ADX's cross-step state model. The stateful
-    condition evaluates inside the same single grouped fold (the
-    matched s1 row is the accumulator tail), so the plan is unchanged:
-    one shuffle on user_id, no extra pass. Oracle: recursive CTE
-    carrying the s1 value through the recursion."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | sort by ts asc, event_id asc"
-        " | scan by user_id with ("
-        ' step s1: event_type == "view";'
-        ' step s2: event_type == "purchase" and value > s1.value)'
-        " | project user_id, event_id, step, match_id",
-    )
-
-
-def q_kql_scan_self(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`scan` with SELF-step state references (round-9, verdict #4):
-    the step condition reads the last row the SAME step accepted
-    (`value > s1.value` = per-user record highs) and the assignment
-    folds a cumulative value through the step's own var state
-    (`cum = … + s1.cum`, ADX's cumulative-sum idiom; declared initial
-    0 before the first match). Same single grouped fold — one shuffle
-    on user_id. Oracle: record highs are exactly the rows beating the
-    running max of ALL preceding rows, and the cumulative is an
-    integer-cents window sum over those rows (exact)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | sort by ts asc, event_id asc"
-        " | scan by user_id declare (cum: long = 0) with ("
-        " step s1: isnull(s1.value) or value > s1.value"
-        " => cum = tolong(round(value * 100)) + s1.cum;)"
-        " | project user_id, event_id, cum",
-    )
-
-
-def q_kql_scan_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`scan` with a FORWARD state reference (round-10, verdict #3):
-    the view step reads the LATER purchase step's last accepted row
-    (`value > s2.value` — "open a new window only on a view that
-    beats the previous window's purchase"), NULL before the purchase
-    step's first acceptance. Same single grouped fold — one shuffle
-    on user_id, the forward slot is just a different constant offset
-    into the accumulator tail. Oracle: recursive CTE carrying the
-    last-accepted s2 value through the recursion."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | sort by ts asc, event_id asc"
-        " | scan by user_id with ("
-        ' step s1: event_type == "view" and'
-        " (isnull(s2.value) or value > s2.value);"
-        ' step s2: event_type == "purchase";)'
-        " | project user_id, event_id, step, match_id",
-    )
-
-
-def q_kql_scalar_fns8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eighth scalar batch (round-6): bit operators (&/|/^/~/shifts/
-    bit_count), exp2 (integer exponents — exact powers of two),
-    2-arg floor (= bin snapping), datetime_part, gettype. All map-side
-    integer/exact arithmetic, bit-equal in the oracle."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 400"
-        " | project event_id,"
-        " ba = binary_and(event_id, 12),"
-        " bo = binary_or(event_id, 5),"
-        " bx = binary_xor(event_id, 255),"
-        " bn = binary_not(event_id),"
-        " sl = binary_shift_left(event_id, 3),"
-        " sr = binary_shift_right(event_id, 2),"
-        " co = bitset_count_ones(event_id),"
-        " e2 = exp2(event_id % 10),"
-        " fl = floor(value, 0.5),"
-        ' dm = datetime_part("month", ts),'
-        ' dh = datetime_part("hour", ts),'
-        " gt = gettype(value), gs = gettype(event_type)",
-    )
-
-
-def q_kql_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`hash(value [, mod])` (round-7, verdict fix): ADX hash() IS
-    xxhash64, and the 2-arg form reduces MODULO mod into [0, mod).
-    DuckDB has no xxhash64, so the oracle pins the range contract the
-    old blind rename violated: over all events, hash(event_id, m)
-    covers exactly the m residues {0..m-1} (deterministic on this
-    fixed dataset; with the bug, hi was a ~19-digit full-range value).
-    Bit-exact Spark-side parity vs pmod(xxhash64) is pytest-checked
-    (tests/test_kql.py::test_hash_mod_arity)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events"
-        " | extend h10 = hash(event_id, 10),"
-        " hs = hash(strcat(event_type, tostring(event_id)), 100)"
-        " | summarize residues10 = count_distinct(h10),"
-        " lo10 = min(h10), hi10 = max(h10),"
-        " residues100 = count_distinct(hs),"
-        " lo100 = min(hs), hi100 = max(hs),"
-        " n = count()",
-    )
-
-
-def q_kql_series_fit_2lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`extend (rsquare, split_idx, variance, rvariance, line_fit) =
-    series_fit_2lines(y)` (round-7, verdict gap): the changepoint
-    sibling of series_fit_line — best two-segment OLS fit over a
-    14-day count series per user. Integral counts make every segment
-    sum exact, so the split argmin and all derived floats match the
-    relational DuckDB oracle bit-for-bit (round 6dp for the ratios)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
-        " by user_id"
-        " | extend (rsq, sidx, va, rva, lf) = series_fit_2lines(n)"
-        " | project user_id, sidx, rsq = round(rsq, 6),"
-        " va = round(va, 6), rva = round(rva, 6),"
-        " lf_sum = round(series_sum(lf), 6)",
-    )
-
-
-def q_kql_scalar_fns9(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ninth scalar batch (round-7 gap sweep): iif alias, around,
-    set_has_element, jaccard_index (exact integer-set fractions),
-    scalar range(), format_ipv4 (+prefix mask), ipv4_is_private,
-    ipv4_netmask_suffix, unicode_codepoints_from_string,
-    parse_urlquery/parse_path (JSON-string bags), dynamic([...]) /
-    dynamic({...}) literals, N-ary zip, and scalar function lets
-    (textual macros — the translated plan is the inlined expression,
-    no UDF). All map-side JVM expressions."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "let dbl = (x: real) { x * 2 };"
-        " events | where event_id < 400"
-        " | extend ip = 167772160 + event_id * 65536"
-        " | project event_id,"
-        " i1 = iif(value > 50, 1, 0),"
-        " ar = around(value, 50, 10),"
-        " she = set_has_element(dynamic([1, 2, 3]), event_id % 4),"
-        " ji = jaccard_index(pack_array(event_id % 3, 7),"
-        " pack_array(7, event_id % 5)),"
-        " rs = array_length(range(1, 1 + event_id % 5, 1)),"
-        " f4 = format_ipv4(ip),"
-        " f4m = format_ipv4(ip, 12),"
-        " priv = ipv4_is_private(format_ipv4(ip)),"
-        ' nm = ipv4_netmask_suffix(strcat(format_ipv4(ip), "/",'
-        " tostring(8 + event_id % 17))),"
-        " us = series_sum(unicode_codepoints_from_string("
-        " substring(event_type, 0, 2))),"
-        ' uq = parse_urlquery(strcat("x?k=",'
-        " tostring(event_id % 7))),"
-        ' pp = parse_path(strcat("/data/", event_type, "/f",'
-        ' tostring(event_id % 3), ".bin")),'
-        ' dy = dynamic({"a": 1}),'
-        " zl = array_length(zip(pack_array(1, 2), pack_array(3, 4),"
-        " pack_array(5, 6))),"
-        " dv = dbl(value)",
-    )
-
-
-def q_kql_predicates3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Predicate batch 3 (round-7 gap sweep): hasprefix/hassuffix
-    (term-prefix/-suffix match), the ! negation family (!has,
-    !hasprefix, !startswith, !endswith, !between), matches regex, and
-    the aggregate gaps (take_anyif, 3-arg dcountif / 2-arg dcount
-    accuracy hints, percentiles_array). One grouped scan."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 3000"
-        ' | summarize hp = countif(event_type hasprefix "vi"),'
-        ' hs = countif(event_type hassuffix "EW"),'
-        ' nh = countif(event_type !has "view"),'
-        ' mr = countif(event_type matches regex "v.+w"),'
-        " nb = countif(value !between (10 .. 100)),"
-        ' ns = countif(event_type !startswith "v"),'
-        ' ne = countif(event_type !endswith "W"),'
-        ' nhp = countif(event_type !hasprefix "cl"),'
-        ' ta = take_anyif(event_id, event_type == "view"),'
-        " da = dcountif(user_id, value > 50, 2),"
-        " dc2 = dcount(user_id, 3),"
-        " pa = percentiles_array(value, 25, 50, 75)"
-        " | project hp, hs, nh, mr, nb, ns, ne, nhp, ta, da, dc2,"
-        " p25 = pa[0], p50 = pa[1], p75 = pa[2]",
-    )
-
-
-def q_kql_activity_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate activity_counts_metrics` (round-7): per daily period —
-    total rows, distinct users, NEW distinct users, and the cumulative
-    distinct count from range start. One raw grouped count + one
-    (id, period) dedupe; aggregated_dcount is a running SUM of
-    new_dcount over the PERIOD axis (rows = bins), never a fact-table
-    window. Completes the ADX activity-analytics family."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate activity_counts_metrics(user_id, ts,"
-        " datetime(2024-01-01), datetime(2024-01-08), 1d)",
-    )
-
-
-def q_kql_series_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """series_decompose_forecast (round-7): the model (linefit trend +
-    per-phase seasonal means) fits on the first 10 of 14 daily bins
-    only; the last 4 positions are out-of-sample forecast. Integral
-    count series keep the fit sums exact, and per-phase sums have at
-    most two members (commutative adds), so the oracle matches at
-    round(6dp)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | make-series n=count() default=0.0 on ts"
-        " from datetime(2024-01-01) to datetime(2024-01-15) step 1d"
-        " by user_id"
-        " | extend fc = series_decompose_forecast(n, 4, 7)"
-        " | project user_id, fc_sum = round(series_sum(fc), 6),"
-        " fc_last = round(fc[13], 6)",
-    )
-
-
-def q_kql_idioms3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-7 sweep-4 idioms: floor(ts, timespan) as a bin() synonym
-    on datetimes, startofquarter/endofquarter, and multi-column
-    take_any — values from ONE row, kept consistent via min_by over
-    the shared tuple key (deterministic refinement of ADX's arbitrary
-    row)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 2000"
-        " | extend fb = floor(ts, 1d), sq = startofquarter(ts),"
-        " eq = endofquarter(ts)"
-        " | summarize take_any(event_id, value), n = count(),"
-        " q1 = min(sq), q2 = max(eq) by fb",
-    )
-
-
-def q_kql_bracket_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bracket-quoted column names (round-8 verdict #1): ['my col'] /
-    ["col"] accepted anywhere an identifier goes — assignment LHS in
-    extend/summarize/project, references in where / aggregate args /
-    by keys / sort. Mangled to reversible _bq_<hex> identifiers at the
-    front door (every \\w+-based translator path works untouched) and
-    demangled to Spark backtick quoting at the execution boundary."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 4000"
-        " | extend ['double val'] = value * 2"
-        " | where ['double val'] > 1"
-        " | summarize [\"sum 2v\"] = round(sum(['double val']), 4),"
-        " ['n rows'] = count() by ['the type'] = event_type"
-        " | sort by ['the type'] asc"
-        " | project ['the type'], ['sum 2v'], ['n rows']",
-    )
-
-
-def q_kql_idioms4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-8 verdict items 4-7 + 10 in one oracle-backed pipe:
-    leading `set` statements with bin_auto() (query_bin_auto_size),
-    a tabular let referenced inside BOTH in ((pipe)) and toscalar(),
-    in~ ((pipe)) case-insensitive tabular membership, mv-expand over
-    a property BAG (single-property-bag rows, ADX contract), and `+`
-    string concatenation (literal-operand subset)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "set query_bin_auto_size=1d;"
-        " let hv = events | where value > 90 | project user_id;"
-        " events"
-        " | where event_id < 3000"
-        " | where user_id in ((hv))"
-        " | where event_type in~ ((events | where value > 95"
-        " | project toupper(event_type)))"
-        ' | extend b = pack("x", tostring(event_id % 5),'
-        ' "y", event_type)'
-        " | mv-expand b"
-        " | extend s = 'p-' + event_type + '-q'"
-        " | summarize n = count() by d8 = bin_auto(ts), b, s"
-        " | extend hvn = toscalar(hv | count)",
-    )
-
-
-def q_kql_idioms5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-9 idiom bundle (probe batteries 6-7, value-verified):
-    interval arithmetic on columns (ts + 1h), iff with TIMESPAN
-    branches divided to an exact ratio, isnotempty/coalesce, chained
-    row_number forms over the serialized order — row_number(start)
-    offset and row_number(start, restart) restart groups."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 800"
-        " | sort by event_id asc"
-        " | extend rn = row_number(100),"
-        " rr = row_number(1, event_id % 7 == 0)"
-        " | extend t2 = ts + 1h,"
-        " g = iff(value > 50, 1h, 30m)"
-        " | extend gs = g / 1m,"
-        " ne = isnotempty(event_type),"
-        " co = coalesce(event_type, 'x'),"
-        " fwd = t2 > ts"
-        " | project event_id, rn, rr, gs, ne, co, fwd",
-    )
-
-
-def q_kql_scalar_fns11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-9 scalar batch (probe-battery-6 additions): parse_csv
-    (quote-aware comma split), ipv4_is_match with /suffix notation on
-    either side and the optional prefix argument, scalar function
-    lets with parameter DEFAULTS, parse kind=relaxed, and the count
-    count operator's ADX column naming, plus the round-9 inverses
-    unicode_codepoints_to_string / base64_encode_fromarray (roundtrip
-    through their from_/decode twins) and regex_quote (RE2 QuoteMeta).
-    All map-side."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "let f = (x: long, y: long = 100) { x + y };"
-        "events | where event_id < 600"
-        " | extend s = strcat('id=', tostring(event_id))"
-        " | parse kind=relaxed s with 'id=' pid: long"
-        " | project event_id, pid,"
-        " pc = tostring(parse_csv(strcat(event_type, ',',"
-        " tostring(event_id)))[1]),"
-        " m1 = ipv4_is_match(strcat('10.0.',"
-        " tostring(event_id % 200), '.1'), '10.0.7.0/24'),"
-        " m2 = ipv4_is_match(strcat('192.168.',"
-        " tostring(event_id % 4), '.9/24'), '192.168.2.0'),"
-        " m3 = ipv4_is_match(strcat(tostring(event_id % 20),"
-        " '.1.2.3'), '10.0.0.0', 8),"
-        " fd = f(event_id), fe = f(event_id, 1),"
-        " ucs = unicode_codepoints_to_string("
-        "unicode_codepoints_from_string(event_type)),"
-        " b64 = base64_decode_tostring(base64_encode_fromarray("
-        "unicode_codepoints_from_string(event_type))),"
-        " rq = regex_quote(strcat(event_type, '.'))",
-    )
-
-
-def q_kql_scalar_fns10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-8 scalar batch 10 — the last loud scalar gaps closed:
-    series_iir (recursive filter as an index fold over the array,
-    O(n·taps), map-side), base64_decode_toarray (hex-pair byte
-    extraction, builtin-only), and timespan/timespan division (epoch-
-    anchored total-seconds ratio, the ADX REAL contract). Small
-    integral doubles keep the IIR fold exact; round(,6) guards the
-    ratio."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 500"
-        " | extend x = pack_array(todouble(event_id % 5 + 1),"
-        " todouble(event_id % 7 + 1))"
-        " | extend y = series_iir(x, dynamic([1.0]),"
-        " dynamic([1.0, -0.5]))"
-        " | extend ssd = series_stats_dynamic(x)"
-        " | project event_id,"
-        " iir = round(series_sum(y), 6),"
-        " b0 = base64_decode_toarray("
-        "base64_encode_tostring(event_type))[0],"
-        " bsum = series_sum(base64_decode_toarray("
-        "base64_encode_tostring(event_type))),"
-        " hrs = round((ts - datetime(2024-01-01)) / 1h, 6),"
-        " g = round(gamma(todouble(event_id % 8 + 1)), 4),"
-        " lg = round(loggamma(todouble(event_id % 8 + 1) + 0.25), 6),"
-        " sidx = toint(parse_json(ssd).min_idx),"
-        " ssdev = round(todouble(parse_json(ssd).stdev), 6)",
-    )
-
-
-def q_kql_activity_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Activity plugins with DIMENSION columns (round-8): the analysis
-    slices per dim combination — every dedupe/aggregation/join key set
-    gains the dims (null-safe per-dim equi-joins). Exercises
-    activity_metrics with one dim; the other five plugins share the
-    same dims plumbing and are fuzz-covered."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate activity_metrics(user_id, ts,"
-        " datetime(2024-01-05), datetime(2024-01-25), 1d,"
-        " event_type)",
-    )
-
-
-def q_kql_user_agent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse_user_agent 'browser' subset (round-8) over synthesized
-    UAs spanning all five families + a bot (curl — a 'curl' family
-    since the round-10 bot tier, previously Other): the oracle mirrors
-    the marker-precedence rule (Edge/Opera before Chrome, Version/ for
-    Safari) with the same regexes in DuckDB, value-checking family
-    and version extraction end to end."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 600"
-        " | extend ua = case("
-        " event_id % 5 == 0, strcat('Mozilla/5.0 AppleWebKit/537.36"
-        " Chrome/1', tostring(event_id % 7), '.0.0 Safari/537.36'),"
-        " event_id % 5 == 1, strcat('Mozilla/5.0 Chrome/99.0 Safari/5"
-        " Edg/12', tostring(event_id % 7), '.0.1'),"
-        " event_id % 5 == 2, strcat('Mozilla/5.0 Gecko/20100101"
-        " Firefox/11', tostring(event_id % 7), '.3'),"
-        " event_id % 5 == 3, strcat('Mozilla/5.0 AppleWebKit/605"
-        " Version/1', tostring(event_id % 7), '.2 Safari/605'),"
-        " 'curl/8.4.0')"
-        " | extend b = parse_user_agent(ua, 'browser')"
-        " | project event_id,"
-        " fam = tostring(parse_json(b).Browser.Family),"
-        " mj = tostring(parse_json(b).Browser.MajorVersion),"
-        " mn = tostring(parse_json(b).Browser.MinorVersion)",
-    )
-
-
-def q_kql_user_agent2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse_user_agent 'os' + 'device' queries and the second
-    browser tier (round-9, verdict #2): Samsung Internet / UC
-    Browser / Mobile Safari / IE (MSIE token and tokenless Trident
-    rv:), Windows/iOS/Android/macOS/Linux OS families with
-    major/minor/patch, and the uap-core device classes (Apple
-    devices, the '; model Build/' Android rule, Generic Smartphone,
-    desktop Other). The oracle derives the expected values per UA
-    case independently — a stronger check than re-running the same
-    regexes."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 700"
-        " | extend ua = case("
-        " event_id % 7 == 0, strcat('Mozilla/5.0 (Linux; Android 10;"
-        " SM-G97', tostring(event_id % 4), 'F Build/QP1A)"
-        " AppleWebKit Chrome/87.0 Mobile SamsungBrowser/1',"
-        " tostring(event_id % 4), '.2'),"
-        " event_id % 7 == 1, strcat('Mozilla/5.0 (Linux; U; Android"
-        " 9.1.2) AppleWebKit Chrome/57 UCBrowser/13.',"
-        " tostring(event_id % 4), '.0 Mobile'),"
-        " event_id % 7 == 2, strcat('Mozilla/5.0 (iPhone; CPU iPhone"
-        " OS 16_', tostring(event_id % 4), '_1 like Mac OS X)"
-        " AppleWebKit/605 Version/16.', tostring(event_id % 4),"
-        " ' Mobile/15E Safari/604'),"
-        " event_id % 7 == 3, strcat('Mozilla/4.0 (compatible; MSIE ',"
-        " tostring(event_id % 4 + 7), '.0; Windows NT 6.1;"
-        " Trident/4.0)'),"
-        " event_id % 7 == 4, 'Mozilla/5.0 (Windows NT 10.0;"
-        " Trident/7.0; rv:11.0) like Gecko',"
-        " event_id % 7 == 5, 'Mozilla/5.0 (Macintosh; Intel Mac OS X"
-        " 10_15_7) AppleWebKit/605 Version/17.1 Safari/605',"
-        " 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101"
-        " Firefox/115.0')"
-        " | extend b = parse_user_agent(ua, 'browser'),"
-        " o = parse_user_agent(ua, 'os'),"
-        " d = parse_user_agent(ua, 'device')"
-        " | project event_id,"
-        " bfam = tostring(parse_json(b).Browser.Family),"
-        " bmj = tostring(parse_json(b).Browser.MajorVersion),"
-        " bmn = tostring(parse_json(b).Browser.MinorVersion),"
-        " ofam = tostring(parse_json(o).OperatingSystem.Family),"
-        " omj = tostring(parse_json(o).OperatingSystem.MajorVersion),"
-        " omn = tostring(parse_json(o).OperatingSystem.MinorVersion),"
-        " opt = tostring(parse_json(o).OperatingSystem.Patch),"
-        " dfam = tostring(parse_json(d).Device.Family),"
-        " dbr = tostring(parse_json(d).Device.Brand),"
-        " dmd = tostring(parse_json(d).Device.Model)",
-    )
-
-
-def q_kql_user_agent3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse_user_agent bot/crawler tier (round-10, verdict #6): the
-    top bot families — Googlebot (evergreen UA also carries Chrome/,
-    so bot markers precede the browser families), bingbot,
-    HeadlessChrome, python-requests ('Python Requests'), Wget — plus
-    a human Chrome-on-Android contrast row. Bot devices map to the
-    uap-core Spider class. The oracle derives expected values per UA
-    case independently."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 700"
-        " | extend ua = case("
-        " event_id % 6 == 0, strcat('Mozilla/5.0 AppleWebKit/537.36"
-        " (compatible; Googlebot/2.', tostring(event_id % 3),"
-        " ') Chrome/119.0.6045.0 Safari/537.36'),"
-        " event_id % 6 == 1, strcat('Mozilla/5.0 (compatible;"
-        " bingbot/2.', tostring(event_id % 3), ')'),"
-        " event_id % 6 == 2, strcat('Mozilla/5.0 AppleWebKit/537.36"
-        " HeadlessChrome/119.', tostring(event_id % 3),"
-        " '.0 Safari/537.36'),"
-        " event_id % 6 == 3, strcat('python-requests/2.3',"
-        " tostring(event_id % 3), '.0'),"
-        " event_id % 6 == 4, strcat('Wget/1.2',"
-        " tostring(event_id % 3), '.3 (linux-gnu)'),"
-        " 'Mozilla/5.0 (Linux; Android 13; Pixel 7 Build/TQ3A)"
-        " AppleWebKit/537.36 Chrome/118.0.0.0 Mobile Safari/537.36')"
-        " | extend b = parse_user_agent(ua, 'browser'),"
-        " d = parse_user_agent(ua, 'device')"
-        " | project event_id,"
-        " bfam = tostring(parse_json(b).Browser.Family),"
-        " bmj = tostring(parse_json(b).Browser.MajorVersion),"
-        " bmn = tostring(parse_json(b).Browser.MinorVersion),"
-        " dfam = tostring(parse_json(d).Device.Family),"
-        " dbr = tostring(parse_json(d).Device.Brand),"
-        " dmd = tostring(parse_json(d).Device.Model)",
-    )
-
-
-def q_kql_user_agent4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """parse_user_agent dynamic query LISTS (round-10 verdict #6):
-    parse_user_agent(ua, dynamic(['browser', 'os', 'device'])) emits
-    ONE combined bag carrying every requested section in list order —
-    each section identical to the single-query form's struct. Four UA
-    cases span the family tiers (Windows Chrome, iPhone Mobile
-    Safari, Android Chrome with a Build/ model, macOS Safari); the
-    oracle derives expected values per case independently from the
-    uap-core rules."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 600"
-        " | extend ua = case("
-        " event_id % 4 == 0, 'Mozilla/5.0 (Windows NT 10.0; Win64;"
-        " x64) AppleWebKit/537.36 Chrome/118.0.5993.117"
-        " Safari/537.36',"
-        " event_id % 4 == 1, 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_6"
-        " like Mac OS X) AppleWebKit/605.1.15 Version/16.6"
-        " Mobile/15E148 Safari/604.1',"
-        " event_id % 4 == 2, 'Mozilla/5.0 (Linux; Android 13; Pixel 7"
-        " Build/TQ3A) AppleWebKit/537.36 Chrome/118.0.0.0 Mobile"
-        " Safari/537.36',"
-        " 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
-        " AppleWebKit/605.1.15 Version/17.0 Safari/605.1.15')"
-        " | extend bag = parse_user_agent(ua,"
-        " dynamic(['browser', 'os', 'device']))"
-        " | project event_id,"
-        " bfam = tostring(parse_json(bag).Browser.Family),"
-        " bmj = tostring(parse_json(bag).Browser.MajorVersion),"
-        " ofam = tostring(parse_json(bag).OperatingSystem.Family),"
-        " omj = tostring(parse_json(bag).OperatingSystem.MajorVersion),"
-        " dfam = tostring(parse_json(bag).Device.Family),"
-        " dbr = tostring(parse_json(bag).Device.Brand)",
-    )
-
-
-def q_kql_scalar_fns12(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-10 scalar batch (probe batteries 8-9): regex-arg trim
-    family, indexof/array_index_of START arguments (the latter was
-    silently dropped), countof's 3-arg kind form, week_of_year/
-    dayofyear parts, startofweek with a PERIOD OFFSET (was silently
-    dropped), calendar datetime_add, array_slice negative from-end
-    indices, tolong hex literals, and floor-semantics bin on negative
-    values. All map-side."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 400"
-        " | extend dbl = strcat(event_type, event_type)"
-        " | project event_id,"
-        " tr = trim('-', strcat('--', event_type, '--')),"
-        " tsx = trim_start('[0-9]+', strcat(tostring(event_id),"
-        " event_type)),"
-        " ix = tolong(indexof(dbl, event_type, 1)),"
-        " cr = tolong(countof(event_type, 'e', 'regex')),"
-        " cn = countof(dbl, event_type, 'normal'),"
-        " wy = tolong(week_of_year(ts)),"
-        " dy = tolong(dayofyear(ts)),"
-        " sw = startofweek(ts, 1),"
-        " da = datetime_add('month', 1, startofmonth(ts)),"
-        " ss = array_sum(array_slice(pack_array(1, 2, 3, 4, 5),"
-        " -3, -2)),"
-        " ai = array_index_of(pack_array(1, 2, 3, 2), 2, 2),"
-        " hx = tolong('0xFF'),"
-        " bn = todouble(bin(0 - event_id, 7))",
-    )
-
-
-def q_kql_scalar_fns13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-10 batch 13 (probe batteries 10-11): mv-apply
-    with_itemindex (even-index element sum — the original expansion
-    index drives the subpipe's where), datetime_diff 'week' (Sunday
-    boundaries) and 'quarter' units, typed extract over a CALL
-    source, and series_pearson_correlation (closed-form mirrored
-    textually — exact on small-integer inputs, round(,6) guard).
-    All map-side."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        " | extend arr = pack_array(todouble(event_id % 5),"
-        " todouble(event_id % 7), todouble(event_id % 3),"
-        " todouble(event_id % 11))"
-        " | mv-apply with_itemindex=i e = arr on"
-        " (where i % 2 == 0 | summarize sev = sum(e))"
-        " | extend wk = datetime_diff('week', ts,"
-        " datetime(2024-01-01)),"
-        " qt = datetime_diff('quarter', ts, datetime(2023-07-04)),"
-        " tx = extract('([0-9]+)', 1, strcat('n', tostring(event_id),"
-        " 'x'), typeof(long)),"
-        " pr = round(series_pearson_correlation("
-        "pack_array(1.0, 2.0, todouble(event_id % 9 + 3)),"
-        " pack_array(2.0, 4.0, todouble(event_id % 6 + 5))), 6)"
-        " | project event_id, sev, wk, qt, tx, pr",
-    )
-
-
-def q_kql_scalar_fns14(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ADX real-division-by-zero semantics (round-10 verdict #1):
-    divisions whose operands are provably real at translate time — a
-    real literal or a todouble()/toreal() call — follow IEEE instead
-    of raising Spark's ANSI DIVIDE_BY_ZERO: x/0 -> inf, -x/0 -> -inf,
-    0/0 -> NaN (_real_div_guard; kql() docstring cites the reference's
-    ADX delegation src/main.go:88-116 whose rate queries rely on it).
-    Denominators are powers of two and integer halves so every FINITE
-    quotient is exact in binary — bitwise-identical cross-engine with
-    no rounding. The oracle mirrors the guard's CASE textually
-    (DuckDB's native float `/` yields NULL on zero, not inf)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 400"
-        " | extend r1 = (event_id % 7 - 3) * 1.0 / ((event_id % 3) * 2),"
-        " r2 = todouble(0 - event_id % 3) / todouble((event_id % 2) * 4),"
-        " r3 = 1.0 / (event_id % 5 - 2)"
-        " | project event_id, r1, r2, r3,"
-        " k1 = case(isnan(r1), 'nan',"
-        " isinf(r1), iff(r1 > 0.0, 'pinf', 'ninf'), 'fin'),"
-        " n2 = isnan(r2), i3 = isinf(r3)",
-    )
-
-
-def q_kql_scalar_fns15(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-11 probe-battery 15/16 scalar surface, oracle-backed:
-    the ipv6 family over per-row dotted quads (canonicalization to
-    the ::ffff: transitional form, numeric-sign compare parity,
-    /100-bit prefix match = top-nibble ipv4 equality), the convert_*
-    unit family (translate-time ratio folds — the oracle embeds the
-    IDENTICAL double constants), has_any_index over the event_type
-    token, nanosecond datetime_diff, dayofweek ÷ timespan, the
-    multi-array array_sort_asc lockstep reorder (DISTINCT first-array
-    values, so stability cannot differ; temperature uses the
-    scale-1.0 Kelvin->Celsius pair because DuckDB fuses a*b+c into
-    ONE FMA rounding where Spark rounds twice — an exact product
-    makes both engines identical), and the deterministic pins
-    for erf/erfc/welch_test/geo_point_to_geohash (pure constants both
-    sides; the engine computes, the oracle pins the engine's exact
-    doubles)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        " | extend ipn = (event_id * 2654435761) % 4294967296,"
-        " ipn2 = (event_id * 31 + 7) % 4294967296"
-        " | extend (sa, sb) = array_sort_asc("
-        "pack_array(event_id % 3 * 100 + 1, event_id % 5 * 37 + 2,"
-        " event_id % 7 * 53 + 3), pack_array(10, 20, 30))"
-        " | extend p6 = parse_ipv6(format_ipv4(ipn)),"
-        " c6 = ipv6_compare(format_ipv4(ipn), format_ipv4(ipn2)),"
-        " m6 = ipv6_is_match(format_ipv4(ipn), format_ipv4(ipn2),"
-        " 100),"
-        " cl = convert_length(value, 'Mile', 'Kilometer'),"
-        " cs = convert_speed(value, 'Knot', 'MeterPerSecond'),"
-        " cf = convert_temperature(value, 'Kelvin',"
-        " 'DegreeCelsius'),"
-        " hai = has_any_index(event_type, dynamic(['click',"
-        " 'view'])),"
-        " dn = datetime_diff('nanosecond', ts, startofday(ts)),"
-        " wd = dayofweek(ts) / 1d,"
-        " er = erf(1.0), ec = erfc(5.5),"
-        " gh = geo_point_to_geohash(10.40744, 57.64911, 11),"
-        " wt = welch_test(2.0, 1.0, 2, 1.0, 1.0, 2)"
-        " | project event_id, p6, c6, m6, cl, cs, cf, hai, dn, wd,"
-        " s1 = strcat_array(sa, ','), s2 = strcat_array(sb, ','),"
-        " er, ec, gh, wt",
-    )
-
-
-def q_kql_scalar_fns16(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-11 probe-battery 21/22 scalar surface, oracle-backed:
-    the has_ipv4 text-match family over per-row constructed text
-    (exact hit, boundary-broken miss, first-octet prefix, 50/50
-    has_any list membership), ipv4_is_in_any_range over the RFC-1918
-    ranges, netmask suffix default + data-driven /nn, variant-typed
-    bag_set_key / bag_remove_keys (values keep JSON types — the
-    oracle string-builds the same bags), strrep with delimiter, the
-    nested dayofweek fold (datetime_add over startofweek — both the
-    ÷1d and ==Nd spellings), geohash decode round-trip (the oracle
-    recomputes the cell midpoint from the 15-bit lon/lat grid —
-    repeated halving of dyadic bounds is exact in doubles), and
-    deterministic pins for hash_sha512 (the FIPS 'abc' vector) and
-    beta_pdf/beta_inv (engine doubles)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 300"
-        " | extend ipn = (event_id * 2654435761) % 4294967296,"
-        " sfx = toint(event_id % 31 + 1)"
-        " | extend ip = format_ipv4(ipn)"
-        " | extend txt = strcat('src=', ip, ' dst')"
-        " | extend hi1 = has_ipv4(txt, ip),"
-        " hi2 = has_ipv4(strcat('src=', ip, '9'), ip),"
-        " hp = has_ipv4_prefix(txt,"
-        " strcat(tostring(toint(ipn / 16777216)), '.')),"
-        " ha = has_any_ipv4(txt, '1.2.3.4',"
-        " format_ipv4(ipn - ipn % 2)),"
-        " rng = ipv4_is_in_any_range(ip, '10.0.0.0/8',"
-        " '192.168.0.0/16'),"
-        " nm1 = ipv4_netmask_suffix(ip),"
-        " nm2 = ipv4_netmask_suffix(strcat(ip, '/',"
-        " tostring(sfx))),"
-        " bs = bag_set_key(bag_pack('a', event_id), 'b',"
-        " event_id * 2),"
-        " br = bag_remove_keys(bag_pack('a', 'x', 'c',"
-        " event_id * 3), dynamic(['a'])),"
-        " sr = strrep(event_type, 3, '-'),"
-        " dw = dayofweek(datetime_add('day', toint(event_id % 7),"
-        " startofweek(ts))) / 1d,"
-        " db = dayofweek(datetime_add('day', toint(event_id % 7),"
-        " startofweek(ts))) == 3d,"
-        " s5 = hash_sha512('abc'),"
-        " bp = beta_pdf(0.4, 2, 3), bi = beta_inv(0.73, 3, 4)"
-        " | extend lonx = (event_id * 0.7919) % 360.0 - 180.0,"
-        " latx = (event_id * 0.4133) % 180.0 - 90.0"
-        " | extend gp = geo_geohash_to_central_point("
-        "geo_point_to_geohash(lonx, latx, 6))"
-        " | extend glon = todouble(gp.coordinates[0]),"
-        " glat = todouble(gp.coordinates[1])"
-        " | project event_id, hi1, hi2, hp, ha, rng, nm1, nm2,"
-        " bs, br, sr, dw, db, s5, bp, bi, glon, glat",
-    )
-
-
-def q_kql_scalar_fns17(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-11 battery-25/26/27 surface, oracle-backed: todatetime
-    over per-row constructed US-slash dates (the oracle rebuilds the
-    date via make_date), parse_xml accessor chains over per-row
-    constructed XML (element text + attribute — the oracle reads the
-    embedded source columns back), dynamic_to_json canonical key sort
-    (the oracle string-builds the sorted bag), substring negative-
-    start clamping, and lenient to*() nulls on malformed input."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 200"
-        " | extend us = strcat(tostring(event_id % 12 + 1), '/',"
-        " tostring(event_id % 28 + 1), '/2024')"
-        " | extend tdy = format_datetime(todatetime(us),"
-        " 'yyyy-MM-dd')"
-        " | extend xml = strcat('<e><t>', event_type, '</t><n v=\"',"
-        " tostring(event_id), '\"/></e>')"
-        " | extend xt = parse_xml(xml).e.t,"
-        " xa = toint(parse_xml(xml).e.n['@v']),"
-        " dj = dynamic_to_json(bag_pack('b', event_id, 'a',"
-        " event_type)),"
-        " ss = substring(event_type, -3),"
-        " s2 = substring(event_type, 1, 2),"
-        " tin = isnull(toint(strcat(tostring(event_id), '.5'))),"
-        " tln = isnull(tolong(event_type))"
-        " | project event_id, tdy, xt, xa, dj, ss, s2, tin, tln",
-    )
-
-
-def q_kql_scalar_fns18(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Column-TYPE real-division evidence (round-12, verdict item 2):
-    the dividing stage has NO textual real evidence — its operands
-    are real only by SCHEMA (built by a prior extend), the
-    `errors / requests` dashboard shape. _rdiv_schema_reals probes
-    the stage child once and the ÷0 guard fires off the column types:
-    x/0 -> inf, -x/0 -> -inf, 0/0 -> NaN; the mixed double/int pair
-    promotes to real exactly as ADX does. Denominators are 0/2/4 so
-    every finite quotient is exact in binary — bitwise-identical
-    cross-engine. The oracle mirrors the guard's CASE textually
-    (DuckDB native float `/` yields NULL on zero, not inf)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 400"
-        " | extend n1 = todouble(event_id % 7 - 3),"
-        " d1 = todouble((event_id % 3) * 2),"
-        " di = (event_id % 2) * 4"
-        " | extend r1 = n1 / d1, r2 = n1 / di"
-        " | project event_id, r1, r2,"
-        " k1 = case(isnan(r1), 'nan',"
-        " isinf(r1), iff(r1 > 0, 'pinf', 'ninf'), 'fin')"
-        " | sort by event_id asc",
-    )
-
-
-def q_kql_scalar_fns19(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-12 function-census batch (tools/adx_coverage.py found
-    these as the top implementable gaps), oracle-backed: stdevif /
-    varianceif (conditional moments — round(,6) both sides, the
-    kql_agg_fns2 last-ulp precedent), to_utf8 / make_string (the ADX
-    docs' inverse codepoint pair), hash_xxhash64 == hash() (ADX
-    documents hash IS xxhash64, so the equality is provable in-engine
-    even though the value domain is a documented refinement), and
-    ipv6_is_in_any_range over varargs and dynamic-list ranges. One
-    grouped aggregation with map-side partials."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 2000"
-        " | extend ok = event_id % 4 < 2"
-        " | summarize sd0 = stdevif(event_id % 50, ok),"
-        " va0 = varianceif(event_id % 50, ok),"
-        " uc = countif(array_length(to_utf8(event_type)) > 4),"
-        " hx = countif(hash_xxhash64(event_type) == hash(event_type))"
-        " by event_type"
-        " | extend m = make_string(pack_array(104, 105)),"
-        " v6a = ipv6_is_in_any_range('::1', '::1/120', 'fe80::/10'),"
-        " v6b = ipv6_is_in_any_range('2001:db8::1',"
-        " dynamic(['::1/120']))"
-        " | project event_type, sd = round(sd0, 6),"
-        " va = round(va0, 6), uc, hx, m, v6a, v6b"
-        " | sort by event_type asc",
-    )
-
-
-def q_kql_scalar_fns20(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-12 census batch 2 — the string-codec tail as
-    Arrow-batched stdlib UDFs (queries/py_codecs.py): punycode
-    encode/decode (RFC 3492, byte-exact — the oracle pins the RFC
-    vector and the IDNA domain form), zlib/gzip base64 transcoding
-    (roundtrip asserted per-row over table-derived strings; the gzip
-    literal is deterministic via mtime=0), and
-    ipv4_range_to_cidr_list (stdlib minimal CIDR cover, exact).
-    ONE Arrow batch exchange for all codec columns; the grouped
-    count is map-side partial."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 200"
-        " | extend s = strcat('word', tostring(event_id), ' café ',"
-        " event_type)"
-        " | extend zr = zlib_decompress_from_base64_string("
-        "zlib_compress_to_base64_string(s)) == s,"
-        " gr = gzip_decompress_from_base64_string("
-        "gzip_compress_to_base64_string(s)) == s,"
-        " pr = punycode_to_string(punycode_from_string(s)) == s"
-        " | summarize n = count(), zok = countif(zr),"
-        " gok = countif(gr), pok = countif(pr)"
-        " | extend pc = punycode_from_string('académie-française'),"
-        " dm = punycode_domain_from_string('www.bücher.de'),"
-        " gz = gzip_compress_to_base64_string('hi there'),"
-        " cl = strcat_array(ipv4_range_to_cidr_list('10.0.0.1',"
-        " '10.0.0.9'), ',')",
-    )
-
-
-def q_kql_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The partition operator with a full subpipe (round-11 battery
-    21): per-event_type top-2 by the UNIQUE event_id (deterministic),
-    a row-wise project tail inside the subpipe, hint.strategy
-    validated-and-stripped, then a hint.shufflekey join back to the
-    source. ONE window + ONE shuffle — ADX's legacy strategy would
-    materialize a subquery per key; the shuffle-native shape is the
-    scale path. Oracle: the same row_number window + join in DuckDB."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | partition hint.strategy=shuffle by event_type"
-        " (top 2 by event_id | project event_type, event_id)"
-        " | join kind=inner hint.shufflekey = event_id"
-        " (events | project event_id, v2 = value) on event_id"
-        " | project event_type, event_id, v2"
-        " | sort by event_type asc, event_id asc",
-    )
-
-
-def q_kql_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """evaluate funnel_sequence (round-11 — the last activity plugin):
-    which state precedes and follows the exact view→click→purchase
-    sequence per user. ONE grouped per-id sorted collect + ONE greedy
-    first-occurrence fold (scan's cost model; per-step window 2d,
-    total period 10d), neighbors read off the collected array, then a
-    tiny grouped COUNT(DISTINCT id). ~25 (prev, next) combos at
-    sf0.01. The oracle replays the greedy fold as a DuckDB recursive
-    CTE carrying (k, fi, li, ft, pt, done) per user in (ts, state)
-    order — exact."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate funnel_sequence(user_id, ts,"
-        " datetime(2024-01-01), datetime(2024-03-01), 2d, 10d,"
-        " event_type, dynamic(['view', 'click', 'purchase']))"
-        " | sort by dcount desc, prev asc nulls first,"
-        " next asc nulls first",
-    )
-
-
-def q_kql_rws_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full ADX row_window_session signature (round-11 probe battery
-    15): (Expr, MaxDistanceFromFirst, MaxDistanceBetweenValues) — the
-    from-FIRST bound makes session assignment recursive, compiled to
-    ONE ordered fold over the serialized rows (single-sequence, the
-    inherent ADX serialize cost). ~160 distinct sessions at sf0.01
-    under the 1h/5m bounds; deterministic (ts, event_id) order. The
-    oracle is the literal recursion: a DuckDB recursive CTE walking
-    row_number order carrying the session start."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 500"
-        " | sort by ts asc, event_id asc"
-        " | extend sid = row_window_session(ts, 1h, 5m)"
-        " | project event_id, ts, sid",
-    )
-
-
-def q_kql_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graph-mark-components + graph-to-table (round-11 probe battery
-    18): connected components over a bipartite user->event-bucket
-    graph, compiled onto the engine's star-contraction CC (O(log² n)
-    rounds, checkpointed — dedup.connected_components) with
-    ComponentId = the component's smallest node id (deterministic
-    refinement of ADX's arbitrary representative; user ids offset so
-    the two endpoint domains cannot collide). The oracle is a DuckDB
-    recursive-CTE transitive closure with MIN labels — exact."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 400"
-        " | project s = user_id % 211 + 10000, d = event_id % 191"
-        " | make-graph s --> d"
-        " | graph-mark-components"
-        " | graph-to-table nodes"
-        " | sort by NodeId asc",
-    )
-
-
-def q_kql_db_qualifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """cluster()/database() qualified table references (round-10
-    verdict #3) — the entry form migrated ADX dashboards use
-    (`database("X").Table | …`, the reference's own db rides the
-    /query body, src/main.go:88-116). The qualifier resolves in one
-    text pass before stage splitting: cluster() locators strip (this
-    engine IS the cluster), database names validate against the
-    request db / session namespace / catalog databases — unknown dbs
-    are loud. Runs the committed take-shape query through both
-    qualifier forms and a leading union with a qualified operand."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        'union withsource=src database("default").events,'
-        ' (cluster("https://this.engine.local")'
-        '.database("default").events | where event_type == "view")'
-        " | where event_id < 150"
-        " | summarize n = count() by src, event_type"
-        " | sort by src asc, event_type asc",
-    )
-
-
-def q_kql_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate schema_merge()` (round-7, verdict gap): merges a
-    leading-union of getschema outputs — smallest ordinal per column,
-    type conflicts widen to 'dynamic' (the ADX rule). Exercises the
-    leading-union entry form feeding an evaluate plugin."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "union (events | project event_id, v = value | getschema),"
-        " (events | project event_id, v = tostring(value), event_type"
-        " | getschema)"
-        " | evaluate schema_merge()",
-    )
-
-
-def q_kql_series_elem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Element-wise series math batch (round-7 sweep): unary
-    series_abs/log (+ the binary family composing with them),
-    series_pow, boolean comparison series, make_timespan +
-    format_timespan, plus series_dot_product (integral inputs, exact)
-    and series_cosine_similarity (sqrt — rounds at 6dp) from round 9.
-    All per-row transforms, map-side."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 500"
-        " | extend a = pack_array(todouble(event_id % 7),"
-        " todouble(event_id % 5 + 1)),"
-        " b = pack_array(todouble(event_id % 3 + 1),"
-        " todouble(event_id % 4 + 2))"
-        " | project event_id,"
-        " sab = series_sum(series_abs(series_subtract(a, 3.0))),"
-        " slg = round(series_sum(series_log(series_add(a, 1.0))), 6),"
-        " spw = series_sum(series_pow(a, 2.0)),"
-        ' g0 = tostring(series_greater(a, 3.0)[0]),'
-        " eq1 = tostring(series_equals(a,"
-        " pack_array(todouble(3), todouble(3)))[1]),"
-        ' mts = format_timespan(make_timespan(1, 2, 3), "hh:mm:ss"),'
-        " dp = series_dot_product(a, b),"
-        " cs = round(series_cosine_similarity(a, b), 6)",
-    )
-
-
-def q_kql_agg_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite aggregate expressions (round-7 gap sweep): summarize
-    items that are scalar expressions OVER aggregate calls — ratios,
-    spreads, rounded means. Each inner agg translates through the
-    normal agg path and the surrounding scalar text rides the same
-    single grouped aggregation (one post-agg projection, no extra
-    pass). Exact arithmetic: integer counts and cents keep division
-    operands bitwise-identical cross-engine."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 3000"
-        " | summarize"
-        " pct = round(todouble(100) * countif(value > 50) / count(), 2),"
-        " spread = max(value) - min(value),"
-        " ratio = todouble(dcount(user_id)) / count(),"
-        " cents_avg = round(sum(round(value * 100)) / count(), 2),"
-        " pif = percentileif(value, 50, value > 50)"
-        " by event_type",
-    )
-
-
-def q_kql_idioms2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Round-7 sweep-2 idioms in one pipe: `between (start .. duration)`
-    timespan ends, `in ((pipe))` tabular membership (Spark plans a
-    left-semi join), JSON bracket paths on todynamic, endofweek,
-    and `mv-expand … limit N` (map-side slice before the explode)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where ts between (datetime(2024-01-01) .. 5d)"
-        " | where user_id in ((events | where value > 99"
-        " | project user_id))"
-        " | extend eow = endofweek(ts),"
-        ' k = tolong(todynamic(props)["k"])'
-        " | extend a = pack_array(k, k + 1, k + 2)"
-        " | mv-expand a limit 2"
-        " | summarize n = count(), ks = sum(a), mx = max(eow)"
-        " by user_id",
-    )
-
-
-def q_kql_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate rolling_percentile` (round-7, verdict gap): per daily
-    bin and event_type, the EXACT nearest-rank p50 of value over the
-    last 3 bins (documented exact refinement of ADX's t-digest,
-    percentilew convention). Each row explodes into the 3 bins it
-    feeds → ONE grouped sorted-collect, bins emitted only when their
-    own rows exist — never a per-bin rescan. Integer cents keep the
-    ranked values exact."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where ts >= datetime(2024-01-01)"
-        " and ts < datetime(2024-01-10)"
-        " | extend cents = tolong(round(value * 100))"
-        " | evaluate rolling_percentile(cents, 50, ts, 1d, 3,"
-        " event_type)",
-    )
-
-
-def q_kql_dcount_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate dcount_intersect` (round-7, verdict gap): distinct
-    users active at low values ∩ high values, from MERGEABLE hll
-    sketches via inclusion-exclusion (|A∩B| = |A|+|B|−|A∪B|) —
-    DataSketches hll_union + estimate, the kql_hll family. The
-    typed-null literal (long(null)) routes non-qualifying rows out of
-    each sketch. Approximate by design: rows-only driver check;
-    tolerance vs the exact intersection is pytest-checked."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | summarize"
-        " h0 = hll(iif(value <= 60, user_id, long(null))),"
-        " h1 = hll(iif(value > 30, user_id, long(null)))"
-        " | evaluate dcount_intersect(h0, h1)",
-    )
-
-
-def q_kql_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """geo_distance_2points / geo_point_in_circle (round-7, verdict
-    gap): haversine great-circle distance (mean radius 6371000 m — a
-    documented refinement of ADX's WGS-84 geodesic, within 0.5%) and
-    the radius predicate built on it. Map-side JVM trig; synthetic
-    coordinates derived from ids; the 50 km radius sits >= 26 m from
-    every computed distance at the tested SFs, so the boolean is
-    ulp-robust cross-engine."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 2000"
-        " | extend lon = todouble(-122) + (event_id % 100)"
-        " * todouble(0.01),"
-        " lat = todouble(47) + (user_id % 90) * todouble(0.01)"
-        " | project event_id,"
-        " d = round(geo_distance_2points(lon, lat, todouble(-122.3),"
-        " todouble(47.6)), 3),"
-        " inc = geo_point_in_circle(lon, lat, todouble(-122.3),"
-        " todouble(47.6), 50000)",
-    )
-
-
-def q_kql_graph_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graph-shortest-paths (round-7, verdict gap): hop-count shortest
-    paths from 'a' over an inline edge graph with a shortcut edge (so
-    min-length selection is exercised). Compiled as bounded-k chain
-    equi-joins + ONE min-length window per (source, target) — a
-    relational BFS. Oracle: DuckDB recursive-CTE BFS with the same
-    bound."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "datatable(src: string, dst: string)"
-        ' ["a","b", "b","c", "c","d", "a","c", "d","e", "b","e"]'
-        " | make-graph src --> dst"
-        " | graph-shortest-paths (s)-[e*1..4]->(t)"
-        ' where s == "a" project s, t',
-    )
-
-
-def q_kql_graph_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """graph-shortest-paths output=all (round-9, verdict #9): EVERY
-    shortest path per (source, target) — the diamond a→{b,c}→d gives
-    two length-2 paths to d (and two length-3 paths to e through it),
-    so (a,d) and (a,e) each appear twice. One MIN-length window over
-    the same bounded-k chain joins; the oracle's recursive CTE
-    enumerates each path as its own row (UNION ALL) and keeps the
-    min-length ones."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "datatable(src: string, dst: string)"
-        ' ["a","b", "b","d", "a","c", "c","d", "d","e"]'
-        " | make-graph src --> dst"
-        " | graph-shortest-paths output=all (s)-[e*1..4]->(t)"
-        ' where s == "a" project s, t',
-    )
-
-
-def q_kql_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tdigest / merge_tdigest / percentile_tdigest (round-7, verdict
-    gap): the mergeable percentile-state family as a fine→coarse
-    two-level rollup — per-(event_type, bucket) states merged up to
-    event_type, percentiles extracted from the merged state. ADX's
-    t-digest is approximate; the state here is the EXACT sorted array
-    (documented refinement, same contract as percentilew), so the
-    nearest-rank extraction matches the DuckDB oracle bit-for-bit.
-    Integer cents keep every value exact."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 5000"
-        " | extend cents = tolong(round(value * 100)),"
-        " b = user_id % 4"
-        " | summarize td = tdigest(cents) by event_type, b"
-        " | summarize mtd = merge_tdigest(td) by event_type"
-        " | project event_type,"
-        " p50 = percentile_tdigest(mtd, 50),"
-        " p95 = percentile_tdigest(mtd, 95, typeof(long)),"
-        " n = array_length(mtd)",
-    )
-
-
-def q_kql_union_leading(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading `union withsource= A, B` (round-7, verdict gap): a query
-    that STARTS with union — N operands aligned by name in one pass,
-    null-filled (kind=outer default), each row labeled with its
-    operand's head name. UNION ALL of the operand scans: zero shuffle,
-    a single multi-source read at any scale."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "let A = events | where event_id < 200"
-        " | project event_id, event_type;"
-        " let B = events | where event_id >= 200 and event_id < 400"
-        " | project event_id, value;"
-        " union withsource=src A, B",
-    )
-
-
-def q_kql_search_leading(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leading `search in (T1, T2) "term"` (round-7, verdict gap):
-    database-wide text search restricted to the named tables. Rewritten
-    onto per-table `| search` pipes (case-insensitive substring across
-    every string column) unioned by name with a source_ label — the
-    same documented refinement of ADX's $table that `find` uses."""
-    from api_to_parquet_spark.lake import load
-
-    load(spark, sf_dir, "nation").createOrReplaceTempView("nation")
-    load(spark, sf_dir, "region").createOrReplaceTempView("region")
-    return kql(spark, 'search in (nation, region) "ia"')
-
-
-def q_kql_scan_match_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`scan with_match_id=` (round-7, verdict gap): names the match-
-    instance column so scan output can be grouped per match — here a
-    view→purchase funnel summarized per (user, match). The fold already
-    tracks the instance counter, so the plan is the same ONE grouped
-    fold + one grouped agg. Oracle: recursive CTE stepping the same
-    2-state machine."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where user_id < 200"
-        " | sort by ts asc, event_id asc"
-        " | scan with_match_id=mid by user_id with ("
-        ' step s_view: event_type == "view";'
-        ' step s_buy: event_type == "purchase")'
-        " | summarize steps = count(), last_event = max(event_id)"
-        " by user_id, mid",
-    )
-
-
-def q_kql_diffpatterns_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate diffpatterns_text` (round-6): tokens over-represented
-    in English vs German documents — one map-side distinct-token
-    explode + ONE grouped agg with side-conditional counts; totals
-    broadcast from a 1-row aggregate. Deterministic refinement:
-    lowercase whitespace tokens, row-presence counting, >=5 % support,
-    ranked by |PercentA − PercentB|."""
-    from api_to_parquet_spark.lake import load
-
-    load(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    return kql(
-        spark,
-        "documents"
-        ' | evaluate diffpatterns_text(text, lang, "en", "de")',
-    )
-
-
-def q_kql_percentilew(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`summarize percentilew(col, weight, p)` (round-6): EXACT
-    weighted percentile — smallest value whose cumulative weight
-    reaches p% of the total in sorted order (exact refinement of ADX's
-    weighted T-digest). Integral weights keep every sum order-proof,
-    so the window-cumsum oracle matches bit-for-bit."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 5000"
-        " | extend wv = 1.0 * (event_id % 100),"
-        " wt = 1 + event_id % 5"
-        " | summarize p60 = percentilew(wv, wt, 60),"
-        " p90 = percentilew(wv, wt, 90) by event_type"
-        " | sort by event_type asc",
-    )
-
-
-def q_kql_find(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`find in (T1, T2) where …` (round-6): cross-table search —
-    union-by-name with a source_ label (null-fill alignment, the
-    documented refinement of ADX's pack_-column project-smart), one
-    predicate over the union, explicit projection."""
-    _events_view(spark, sf_dir)
-    from api_to_parquet_spark.lake import load
-
-    load(spark, sf_dir, "documents").createOrReplaceTempView(
-        "documents"
-    )
-    return kql(
-        spark,
-        "find in (events, documents)"
-        " where event_id < 500 or doc_id < 50"
-        " project event_id, doc_id, event_type, lang, n_chars",
-    )
-
-
-def q_kql_ipv4_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate ipv4_lookup` (round-6): longest-prefix-match CIDR
-    join. The source explodes per DISTINCT prefix length in the
-    lookup (bounded by 33) into (truncated_ip, bits) keys — ONE
-    equi-join + a longest-prefix window, never a non-equi range join;
-    return_unmatched=true keeps sources with no range."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "let NetZones = datatable(network: string, zone: string)"
-        '["10.0.0.0/8", "ten", "10.5.0.0/16", "tenfive",'
-        ' "40.0.0.0/8", "forty"];'
-        " events | where event_id < 2000"
-        ' | extend ip = strcat(tostring(10 + event_id % 90), ".",'
-        ' tostring(event_id % 256), ".7.",'
-        " tostring(event_id % 100))"
-        " | project event_id, ip"
-        " | evaluate ipv4_lookup(NetZones, ip, network, true)",
-    )
-
-
-def q_kql_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate funnel_sequence_completion` (round-6): weekly
-    view→click→purchase funnel — per period and prefix, distinct users
-    completing the prefix via the earliest-occurrence chain (one
-    grouped MIN per step, co-partitioned (id, period) equi-joins)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate funnel_sequence_completion(user_id, ts,"
-        " datetime(2024-01-01), datetime(2024-01-29), 7d, event_type,"
-        ' dynamic(["view", "click", "purchase"]))',
-    )
-
-
-def q_kql_row_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_window_session (round-6): each row tagged with its
-    session's start timestamp (30-minute idle gap) over the serialized
-    order — a LAG gap flag + running MAX, the row_rank_* two-layer
-    shape. Global order is inherent to serialize semantics."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 3000"
-        " | sort by ts asc, event_id asc"
-        " | extend s = row_window_session(ts, 30m)"
-        " | project event_id, s",
-    )
-
-
-def q_kql_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate new_activity_metrics` (round-6): the weekly cohort-
-    retention matrix — per (from, to) period pair, cohort size (first
-    seen in `from`) and retained actives, with exact integer ratios.
-    Dedupe + per-id first + one co-partitioned join; the matrix is
-    bounded by (range/window)²."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate new_activity_metrics(user_id, ts,"
-        " datetime(2024-01-01), datetime(2024-01-29), 7d)",
-    )
-
-
-def q_kql_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate activity_metrics` (round-6): per-day actives, new
-    actives, retention and churn — dedupe (id, period) + three
-    grouped aggs + one co-partitioned (id, period−window) self
-    equi-join. Exact integer ratios."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate activity_metrics(user_id, ts,"
-        " datetime(2024-01-05), datetime(2024-01-25), 1d)",
-    )
-
-
-def q_kql_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate activity_engagement` (round-6): daily-over-weekly
-    active-user ratio (DAU/WAU) — dedupe (id, day), bounded explode
-    into the 7 covered weekly windows, per-(bin, id) inner flag, one
-    grouped count + exact integer-over-integer ratio."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate activity_engagement(user_id, ts,"
-        " datetime(2024-01-08), datetime(2024-01-25), 1d, 7d)",
-    )
-
-
-def q_kql_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate session_count` (round-6): sessions active at each
-    daily point, 4-hour idle timeout. Exactness hinges on the interval
-    identity: in-session gaps are <= lookback, so the union of
-    per-activity [ts, ts+lookback) windows is [first, last+lookback).
-    One sessionization window + per-session bounds + bounded point
-    explode + ONE grouped count."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate session_count(user_id, ts,"
-        " datetime(2024-01-05), datetime(2024-01-25), 1d, 4h)",
-    )
-
-
-def q_kql_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate active_users_count` (round-6): users active on >= 2
-    distinct days within each 4-day lookback — dedupe (id, period),
-    bounded explode into covered bins, per-(bin,id) distinct-period
-    HAVING, per-bin id count. Three key-partitioned aggregations."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate active_users_count(user_id, ts,"
-        " datetime(2024-01-05), datetime(2024-01-25), 4d, 1d, 2)",
-    )
-
-
-def q_kql_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate sliding_window_counts` (round-6): 3-day sliding
-    active-user counts at 1-day bins — each event explodes into the 3
-    bins it covers (bounded map-side factor), then ONE grouped
-    count + exact distinct count. No per-bin rescans at any scale."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | evaluate sliding_window_counts(user_id, ts,"
-        " datetime(2024-01-05), datetime(2024-01-25), 3d, 1d)",
-    )
-
-
-def q_kql_rows_near(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`evaluate rows_near` (round-6): ±2 rows of context around
-    high-value purchases in event order — ONE bounded-frame window max
-    over the serialized order, then a filter; no extra shuffle."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | where event_id < 3000 | sort by event_id asc"
-        " | evaluate rows_near(event_type == \"purchase\""
-        " and value > 90, 2)"
-        " | project event_id, event_type, value",
-    )
-
-
-def q_kql_scan_declare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """`scan declare` (round-6): per-instance accumulator variables
-    with per-step assignments — a running value total over each
-    view→click→purchase funnel instance, reset when a new instance
-    opens. The vars ride in the same single grouped fold (elements
-    become struct(row, vars)), so the plan is still one shuffle on
-    user_id. Oracle: the kql_scan recursive CTE carrying the
-    accumulator (identical fold order, so the DOUBLE sums are
-    bit-equal)."""
-    _events_view(spark, sf_dir)
-    return kql(
-        spark,
-        "events | sort by ts asc, event_id asc"
-        " | scan by user_id declare (sv: real = 0.0) with ("
-        ' step s1: event_type == "view" => sv = sv + value;'
-        ' step s2: event_type == "click" => sv = sv + value;'
-        ' step s3: event_type == "purchase" => sv = sv + value)'
-        " | project user_id, event_id, step, match_id, sv",
-    )
-
-
-QUERIES = {
-    "kql_take": q_kql_take,
-    "kql_scan": q_kql_scan,
-    "kql_scan_state": q_kql_scan_state,
-    "kql_scan_self": q_kql_scan_self,
-    "kql_scan_declare": q_kql_scan_declare,
-    "kql_scan_forward": q_kql_scan_forward,
-    "kql_rows_near": q_kql_rows_near,
-    "kql_sliding_window": q_kql_sliding_window,
-    "kql_active_users": q_kql_active_users,
-    "kql_session_count": q_kql_session_count,
-    "kql_engagement": q_kql_engagement,
-    "kql_activity_metrics": q_kql_activity_metrics,
-    "kql_cohort_retention": q_kql_cohort_retention,
-    "kql_row_window_session": q_kql_row_window_session,
-    "kql_funnel": q_kql_funnel,
-    "kql_ipv4_lookup": q_kql_ipv4_lookup,
-    "kql_find": q_kql_find,
-    "kql_percentilew": q_kql_percentilew,
-    "kql_diffpatterns_text": q_kql_diffpatterns_text,
-    "kql_scalar_fns8": q_kql_scalar_fns8,
-    "kql_hash": q_kql_hash,
-    "kql_tdigest": q_kql_tdigest,
-    "kql_series_fit_2lines": q_kql_series_fit_2lines,
-    "kql_graph_shortest": q_kql_graph_shortest,
-    "kql_graph_all": q_kql_graph_all,
-    "kql_geo": q_kql_geo,
-    "kql_activity_counts": q_kql_activity_counts,
-    "kql_series_forecast": q_kql_series_forecast,
-    "kql_idioms3": q_kql_idioms3,
-    "kql_bracket_cols": q_kql_bracket_cols,
-    "kql_idioms4": q_kql_idioms4,
-    "kql_scalar_fns10": q_kql_scalar_fns10,
-    "kql_scalar_fns11": q_kql_scalar_fns11,
-    "kql_scalar_fns12": q_kql_scalar_fns12,
-    "kql_scalar_fns13": q_kql_scalar_fns13,
-    "kql_scalar_fns14": q_kql_scalar_fns14,
-    "kql_scalar_fns15": q_kql_scalar_fns15,
-    "kql_scalar_fns16": q_kql_scalar_fns16,
-    "kql_scalar_fns17": q_kql_scalar_fns17,
-    "kql_scalar_fns18": q_kql_scalar_fns18,
-    "kql_scalar_fns19": q_kql_scalar_fns19,
-    "kql_scalar_fns20": q_kql_scalar_fns20,
-    "kql_partition": q_kql_partition,
-    "kql_funnel_sequence": q_kql_funnel_sequence,
-    "kql_rws_full": q_kql_rws_full,
-    "kql_graph_components": q_kql_graph_components,
-    "kql_db_qualifier": q_kql_db_qualifier,
-    "kql_idioms5": q_kql_idioms5,
-    "kql_activity_dims": q_kql_activity_dims,
-    "kql_user_agent": q_kql_user_agent,
-    "kql_user_agent2": q_kql_user_agent2,
-    "kql_user_agent3": q_kql_user_agent3,
-    "kql_user_agent4": q_kql_user_agent4,
-    "kql_schema_merge": q_kql_schema_merge,
-    "kql_series_elem": q_kql_series_elem,
-    "kql_agg_composite": q_kql_agg_composite,
-    "kql_idioms2": q_kql_idioms2,
-    "kql_rolling_percentile": q_kql_rolling_percentile,
-    "kql_dcount_intersect": q_kql_dcount_intersect,
-    "kql_scalar_fns9": q_kql_scalar_fns9,
-    "kql_predicates3": q_kql_predicates3,
-    "kql_union_leading": q_kql_union_leading,
-    "kql_search_leading": q_kql_search_leading,
-    "kql_scan_match_id": q_kql_scan_match_id,
-    "kql_basket": q_kql_basket,
-    "kql_autocluster": q_kql_autocluster,
-    "kql_python": q_kql_python,
-    "kql_lookup": q_kql_lookup,
-    "kql_narrow": q_kql_narrow,
-    "kql_facet": q_kql_facet,
-    "kql_graph_match": q_kql_graph_match,
-    "kql_predicates2": q_kql_predicates2,
-    "kql_hll": q_kql_hll,  # no oracle: approximate by design
-    "kql_graph_edges": q_kql_graph_edges,
-    "kql_scalar_fns2": q_kql_scalar_fns2,
-    "kql_scalar_fns3": q_kql_scalar_fns3,
-    "kql_parse_kv": q_kql_parse_kv,
-    "kql_timespan": q_kql_timespan,
-    "kql_pack": q_kql_pack,
-    "kql_fork": q_kql_fork,
-    "kql_scalar_fns4": q_kql_scalar_fns4,
-    "kql_scalar_fns5": q_kql_scalar_fns5,
-    "kql_scalar_fns6": q_kql_scalar_fns6,
-    "kql_scalar_fns7": q_kql_scalar_fns7,
-    "kql_agg_fns2": q_kql_agg_fns2,
-    "kql_mv_itemindex": q_kql_mv_itemindex,
-    "kql_toscalar": q_kql_toscalar,
-    "kql_make_bag": q_kql_make_bag,
-    "kql_row_rank": q_kql_row_rank,
-    "kql_sequence_detect": q_kql_sequence_detect,
-    "kql_reduce": q_kql_reduce,
-    "kql_series_periods": q_kql_series_periods,
-    "kql_diffpatterns": q_kql_diffpatterns,
-    "kql_union_withsource": q_kql_union_withsource,
-    "kql_invoke": q_kql_invoke,
-    "kql_externaldata": q_kql_externaldata,
-    "kql_datatable_join": q_kql_datatable_join,
-    "kql_search": q_kql_search,
-    "kql_partition_top": q_kql_partition_top,
-    "kql_print": q_kql_print,
-    "kql_make_series": q_kql_make_series,
-    "kql_make_series_auto": q_kql_make_series_auto,
-    "kql_series_fns": q_kql_series_fns,
-    "kql_series_fit": q_kql_series_fit,
-    "kql_series_fir": q_kql_series_fir,
-    "kql_series_decompose": q_kql_series_decompose,
-    "kql_series_stats": q_kql_series_stats,
-    "kql_series_outliers": q_kql_series_outliers,
-    "kql_series_anomalies": q_kql_series_anomalies,
-    "kql_parse_where": q_kql_parse_where,
-    "kql_bag_unpack": q_kql_bag_unpack,
-    "kql_datetime_math": q_kql_datetime_math,
-    "kql_join_suffix": q_kql_join_suffix,
-    "kql_join_qualified": q_kql_join_qualified,
-    "kql_percentiles": q_kql_percentiles,
-    "kql_array_misc": q_kql_array_misc,
-    "kql_sample": q_kql_sample,
-    "kql_make_list": q_kql_make_list,
-    "kql_range": q_kql_range,
-    "kql_top_hitters": q_kql_top_hitters,
-    "kql_pivot": q_kql_pivot,
-    "kql_output_schema": q_kql_output_schema,
-    "kql_pivot_cols": q_kql_pivot_cols,
-    "kql_top_nested_others": q_kql_top_nested_others,
-    "kql_getschema": q_kql_getschema,
-    "kql_string_fns": q_kql_string_fns,
-    "kql_count": q_kql_count,
-    "kql_summarize": q_kql_summarize,
-    "kql_top": q_kql_top,
-    "kql_join": q_kql_join,
-    "kql_join_innerunique": q_kql_join_innerunique,
-    "kql_join_rightsemi": q_kql_join_rightsemi,
-    "kql_join_rightanti": q_kql_join_rightanti,
-    "kql_mv_expand": q_kql_mv_expand,
-    "kql_scalar_fns": q_kql_scalar_fns,
-    "kql_union_rename": q_kql_union_rename,
-    "kql_parse": q_kql_parse,
-    "kql_parse_regex": q_kql_parse_regex,
-    "kql_arg_max": q_kql_arg_max,
-    "kql_datetime": q_kql_datetime,
-    "kql_top_nested": q_kql_top_nested,
-    "kql_mv_apply": q_kql_mv_apply,
-    "kql_materialize": q_kql_materialize,
-    "kql_condagg": q_kql_condagg,
-    "kql_case": q_kql_case,
-    "kql_serialize": q_kql_serialize,
-}
-
-# Shared dense-series scaffold for the series-analytics oracles:
-# mirrors make-series' gap-filled per-group axis as ROWS (x = element
-# index), so array folds on the Spark side compare against grouped
-# sums on the DuckDB side with textually identical float arithmetic.
-_DENSE7 = """
-    WITH f AS (
-        SELECT user_id, date_trunc('day', ts) AS b FROM events
-        WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
-    ), agg AS (
-        SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
-        FROM f GROUP BY 1, 2
-    ), g AS (SELECT DISTINCT user_id FROM f),
-    bins AS (
-        SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-               TIMESTAMP '2024-01-07', INTERVAL 1 DAY)) AS ts
-    ), dense AS (
-        SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
-               CAST(date_diff('day', TIMESTAMP '2024-01-01', bins.ts)
-                    AS DOUBLE) AS x
-        FROM g CROSS JOIN bins
-        LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
-    )
-"""
-
-_FIT_SUMS = """
-    sums AS (
-        SELECT user_id, CAST(count(*) AS DOUBLE) AS cnt,
-               sum(n) AS sy, sum(n * x) AS sxy, sum(n * n) AS syy,
-               sum(x) AS sx, sum(x * x) AS sxx
-        FROM dense GROUP BY user_id
-    ), fit AS (
-        SELECT user_id, cnt, sy, sx, syy,
-               (cnt * sxy - sx * sy)
-                   / nullif(cnt * sxx - sx * sx, 0) AS slope
-        FROM sums
-    ), fit2 AS (
-        SELECT user_id, cnt, slope,
-               (sy - slope * sx) / cnt AS icept,
-               syy / cnt - (sy / cnt) * (sy / cnt) AS va
-        FROM fit
-    )
-"""
-
-ORACLE = {
-    "kql_series_decompose": """
-        WITH f AS (
-            SELECT user_id, date_trunc('day', ts) AS b FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01'
-              AND ts < TIMESTAMP '2024-01-15'
-        ), agg AS (
-            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
-            FROM f GROUP BY 1, 2
-        ), g AS (SELECT DISTINCT user_id FROM f),
-        bins AS (
-            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                   TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS ts
-        ), dense AS (
-            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
-                   CAST(date_diff('day', TIMESTAMP '2024-01-01', bins.ts)
-                        AS DOUBLE) AS x
-            FROM g CROSS JOIN bins
-            LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
-        ),
-    """ + _FIT_SUMS + """
-        , det AS (
-            SELECT d.user_id, d.ts, d.n, d.x, f.slope, f.icept,
-                   d.n - (f.icept + f.slope * d.x) AS dt
-            FROM dense d JOIN fit2 f USING (user_id)
-        ), seas AS (
-            SELECT *, avg(dt) OVER (PARTITION BY user_id,
-                                    CAST(x AS INT) % 7) AS sn
-            FROM det
-        )
-        SELECT user_id, ts, n,
-               round(icept + slope * x + sn, 6) AS b,
-               round(sn, 6) AS s,
-               round(icept + slope * x, 6) AS t,
-               round(n - (icept + slope * x + sn), 6) AS r
-        FROM seas
-    """,
-    "kql_series_fir": _DENSE7 + """
-        SELECT user_id, ts, n,
-               round(CAST('0.3333333333333333' AS DOUBLE) * n
-                     + CAST('0.3333333333333333' AS DOUBLE)
-                       * coalesce(lag(n, 1) OVER w, 0.0)
-                     + CAST('0.3333333333333333' AS DOUBLE)
-                       * coalesce(lag(n, 2) OVER w, 0.0), 6) AS m,
-               round(CAST(0.75 AS DOUBLE) * n
-                     + CAST(0.25 AS DOUBLE)
-                       * coalesce(lag(n, 1) OVER w, 0.0), 6) AS f
-        FROM dense
-        WINDOW w AS (PARTITION BY user_id ORDER BY x)
-    """,
-    "kql_predicates2": """
-        SELECT event_id,
-               lower(event_type) = lower('PURCHASE') AS ci,
-               lower(event_type) IN (lower('VIEW'), lower('Click'))
-                   AS grp,
-               regexp_matches(props, '(?i)\\bk\\b')
-                   OR regexp_matches(props, '(?i)\\bzz\\b') AS anyof,
-               CAST(CAST(ts AS DATE)
-                    - to_days(CAST((dayofweek(CAST(ts AS DATE))) % 7
-                              AS INTEGER)) AS TIMESTAMP) AS sow,
-               date_trunc('day', ts) + INTERVAL 1 DAY
-                   - INTERVAL 1 MICROSECOND AS eod,
-               date_trunc('month', ts) + INTERVAL 1 MONTH
-                   - INTERVAL 1 MICROSECOND AS eom,
-               4.0 AS sl,
-               3.0 AS top1
-        FROM events WHERE event_id < 300
-    """,
-    "kql_graph_match": """
-        WITH edges AS (
-            SELECT * FROM (VALUES ('a', 'b', CAST(1 AS BIGINT)),
-                                  ('b', 'c', 2), ('a', 'c', 3),
-                                  ('c', 'd', 1)) AS t(src, dst, w)
-        ), edges2 AS (
-            SELECT * FROM (VALUES ('a', 'b'), ('b', 'c'), ('a', 'c'),
-                                  ('c', 'd'), ('b', 'd')) AS t(src, dst)
-        ), p1 AS (
-            SELECT src AS s, dst AS d FROM edges2
-        ), p2 AS (
-            SELECT g1.src AS s, g2.dst AS d
-            FROM edges2 g1 JOIN edges2 g2 ON g1.dst = g2.src
-        ), multi AS (
-            SELECT a.s AS x, a.d AS y, b.d AS z
-            FROM p1 a JOIN p1 b ON a.d = b.s
-            UNION ALL
-            SELECT a.s, a.d, b.d FROM p1 a JOIN p2 b ON a.d = b.s
-            UNION ALL
-            SELECT a.s, a.d, b.d FROM p2 a JOIN p1 b ON a.d = b.s
-            UNION ALL
-            SELECT a.s, a.d, b.d FROM p2 a JOIN p2 b ON a.d = b.s
-        )
-        SELECT * FROM (
-            SELECT g1.src AS x, g1.dst AS y, g2.dst AS z,
-                   g1.w + g2.w AS wsum, CAST(1 AS BIGINT) AS m
-            FROM edges g1 JOIN edges g2 ON g1.dst = g2.src
-            WHERE g1.src <> g2.dst
-            UNION ALL
-            SELECT x, y, z, CAST(-1 AS BIGINT),
-                   CAST(count(*) AS BIGINT)
-            FROM multi GROUP BY x, y, z
-        ) ORDER BY wsum, x, y, z
-    """,
-    "kql_graph_edges": """
-        WITH edges AS (
-            SELECT event_type AS src, CAST(user_id AS VARCHAR) AS dst,
-                   count(*) AS n
-            FROM events GROUP BY 1, 2
-        )
-        SELECT src AS t, dst AS u, n FROM edges WHERE n >= 3
-    """,
-    "kql_facet": """
-        WITH e AS (
-            SELECT event_type,
-                   CASE WHEN value < 50 THEN 'low' ELSE 'high' END AS band
-            FROM events
-        )
-        SELECT 'event_type' AS facet_column, event_type AS value,
-               COUNT(*) AS count_ FROM e GROUP BY event_type
-        UNION ALL
-        SELECT 'band', band, COUNT(*) FROM e GROUP BY band
-    """,
-    "kql_narrow": """
-        WITH p AS (
-            SELECT event_id, event_type,
-                   row_number() OVER (ORDER BY event_id) - 1 AS r
-            FROM events WHERE event_id < 50
-        )
-        SELECT r AS Row, 'event_id' AS Column,
-               CAST(event_id AS VARCHAR) AS Value FROM p
-        UNION ALL
-        SELECT r, 'event_type', event_type FROM p
-    """,
-    "kql_lookup": """
-        WITH dim AS (
-            SELECT * FROM (VALUES ('purchase', 2.0), ('view', 1.0))
-                AS t(event_type, w)
-        )
-        SELECT e.event_type,
-               sum(round(e.value * 100 * coalesce(dim.w, 0.5))) AS cents
-        FROM events e LEFT JOIN dim USING (event_type)
-        GROUP BY e.event_type
-    """,
-    "kql_scalar_fns2": """
-        SELECT event_id,
-               regexp_replace('__' || event_type || '__',
-                              '^(_)+|(_)+$', '', 'g') AS t,
-               regexp_replace('__' || event_type || '__',
-                              '^(_)+', '', 'g') AS tst,
-               regexp_replace('__' || event_type || '__',
-                              '(_)+$', '', 'g') AS ten,
-               reverse(event_type) AS r,
-               repeat(event_type, 2) AS rep,
-               lower(to_hex(event_id)) AS hx,
-               round(least(value, 50.0), 2) AS lo,
-               round(greatest(value, 50.0), 2) AS hi,
-               props IS NOT NULL AS nn,
-               event_type AS b64,
-               round(log10(event_id + 1), 6) AS lg
-        FROM events WHERE event_id < 200
-    """,
-    "kql_diffpatterns": """
-        WITH proj AS (
-            SELECT CASE WHEN value < 50 THEN 'lo' ELSE 'hi' END AS band,
-                   event_type,
-                   CAST(dayofweek(ts) AS VARCHAR) AS dow
-            FROM events
-        ), cub AS (
-            SELECT event_type, dow,
-                   SUM(CASE WHEN band = 'lo' THEN 1 ELSE 0 END)::BIGINT
-                       AS CountA,
-                   SUM(CASE WHEN band = 'hi' THEN 1 ELSE 0 END)::BIGINT
-                       AS CountB
-            FROM proj WHERE band IN ('lo', 'hi')
-            GROUP BY CUBE (event_type, dow)
-        ), tot AS (
-            SELECT *,
-                   max(CASE WHEN event_type IS NULL AND dow IS NULL
-                       THEN CountA END) OVER () AS _ta,
-                   max(CASE WHEN event_type IS NULL AND dow IS NULL
-                       THEN CountB END) OVER () AS _tb
-            FROM cub
-        ), pct AS (
-            SELECT *,
-                   round(CAST(100 AS DOUBLE) * CountA / _ta, 2)
-                       AS PercentA,
-                   round(CAST(100 AS DOUBLE) * CountB / _tb, 2)
-                       AS PercentB
-            FROM tot
-        )
-        SELECT CAST(row_number() OVER (ORDER BY
-                   abs(PercentA - PercentB) DESC,
-                   event_type ASC NULLS FIRST, dow ASC NULLS FIRST) - 1
-                   AS BIGINT) AS SegmentId,
-               event_type, dow, CountA, CountB, PercentA, PercentB,
-               round(PercentA - PercentB, 2) AS PercentDiffAB
-        FROM pct
-        WHERE (event_type IS NOT NULL OR dow IS NOT NULL)
-          AND (CountA >= 0.05 * _ta OR CountB >= 0.05 * _tb)
-    """,
-    "kql_series_periods": """
-        WITH f AS (
-            SELECT user_id, date_trunc('day', ts) AS b FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01'
-              AND ts < TIMESTAMP '2024-01-29'
-        ), agg AS (
-            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
-            FROM f GROUP BY 1, 2
-        ), g AS (SELECT DISTINCT user_id FROM f),
-        bins AS (
-            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                   TIMESTAMP '2024-01-28', INTERVAL 1 DAY)) AS ts
-        ), dense AS (
-            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n
-            FROM g CROSS JOIN bins
-            LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
-        ), arr AS (
-            SELECT user_id, list(n ORDER BY ts) AS ys
-            FROM dense GROUP BY user_id
-        ), st AS (
-            SELECT user_id, ys, CAST(len(ys) AS DOUBLE) AS nn,
-                   list_reduce(ys, (a, x) -> a + x) AS sy
-            FROM arr
-        ), dv AS (
-            SELECT user_id,
-                   list_transform(ys, x -> x - sy / nn) AS dev
-            FROM st
-        ), dn AS (
-            SELECT user_id, dev,
-                   coalesce(nullif(list_reduce(
-                       list_transform(dev, x -> x * x), (a, x) -> a + x),
-                       CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE)) AS den
-            FROM dv
-        ), ac AS (
-            SELECT user_id,
-                   list_transform(generate_series(2, 10), L -> CASE
-                       WHEN len(dev) - L >= 1 THEN
-                           list_reduce(list_transform(
-                               generate_series(1, len(dev) - L),
-                               i -> dev[i] * dev[i + L]),
-                               (a, x) -> a + x) / den
-                       ELSE CAST(0 AS DOUBLE) END) AS acs
-            FROM dn
-        )
-        SELECT user_id,
-               CAST(2 + list_position(acs, list_max(acs)) - 1
-                    AS BIGINT) AS p,
-               round(list_max(acs)::DOUBLE, 6) AS s
-        FROM ac
-    """,
-    "kql_reduce": """
-        WITH b AS (
-            SELECT concat('user-', CAST(user_id AS VARCHAR), ' did ',
-                          event_type, ' at item ',
-                          CAST(event_id AS VARCHAR)) AS msg
-            FROM events
-        )
-        SELECT regexp_replace(regexp_replace(msg, '[0-9a-fA-F]{8,}',
-                   '*', 'g'), '[0-9]+', '*', 'g') AS Pattern,
-               COUNT(*) AS Count, min(msg) AS Representative
-        FROM b GROUP BY 1 ORDER BY Pattern
-    """,
-    "kql_scalar_fns5": """
-        WITH b AS (
-            SELECT event_id,
-                   [event_id % 5, event_id % 7, event_id % 3] AS x,
-                   [event_id % 7, event_id % 4, event_id % 2] AS y
-            FROM events WHERE event_id < 400
-        )
-        SELECT event_id,
-               array_to_string(list_sort(list_distinct(
-                   list_concat(x, y))), '-') AS su,
-               coalesce(array_to_string(list_sort(list_distinct(
-                   list_filter(x, _e -> list_contains(y, _e)))), '-'),
-                   '') AS si,
-               coalesce(array_to_string(list_sort(list_distinct(
-                   list_filter(x, _e -> NOT list_contains(y, _e)))),
-                   '-'), '') AS sd,
-               array_to_string([x[2], x[3], x[1]], '-') AS rl,
-               array_to_string([x[3], x[1], x[2]], '-') AS rr,
-               array_to_string([x[2], x[3], -1], '-') AS sl,
-               array_to_string([-1, x[1], x[2]], '-') AS sr,
-               array_to_string([
-                   CASE WHEN event_id % 2 = 0 THEN x[1] ELSE y[1] END,
-                   CASE WHEN event_id % 3 = 0 THEN x[2] ELSE y[2] END,
-                   x[3]], '-') AS ai,
-               array_to_string([x[2], y[2]], '-') AS zp,
-               array_to_string([event_id % 9, event_id % 9,
-                                event_id % 9], '-') AS rp
-        FROM b
-    """,
-    "kql_scalar_fns6": """
-        WITH b AS (
-            SELECT event_id, event_type,
-                   concat(CAST(10 + event_id % 90 AS VARCHAR), '.',
-                          CAST(event_id % 256 AS VARCHAR), '.7.',
-                          CAST(event_id % 100 AS VARCHAR)) AS ip,
-                   concat(CAST(event_id % 4 AS VARCHAR), '.',
-                          CAST(event_id % 10 AS VARCHAR), '.',
-                          CAST(event_id % 100 AS VARCHAR)) AS ver
-            FROM events WHERE event_id < 400
-        ), p AS (
-            SELECT *,
-                   list_reduce(list_transform(string_split(ip, '.'),
-                       _o -> CAST(_o AS BIGINT)),
-                       (_a, _x) -> _a * 256 + _x) AS p4l
-            FROM b
-        )
-        SELECT event_id,
-               sha256(event_type) AS h2,
-               md5(event_type) AS hm,
-               make_timestamp(2024, 1 + event_id % 12,
-                              1 + event_id % 28, 0, 0, 0) AS md,
-               epoch_ms((1700000000 + event_id) * 1000) AS ut,
-               epoch_ms(1700000000000 + event_id) AS um,
-               CAST(len(regexp_extract_all(event_type, '[aeiou]'))
-                    AS INTEGER) AS cr,
-               CAST(CASE WHEN regexp_matches(event_type, '[su]')
-                    THEN length(regexp_extract(event_type,
-                         '^(.*?)[su]', 1))
-                    ELSE -1 END AS INTEGER) AS ir,
-               p4l AS p4,
-               (p4l // 16777216) = 10 AS rng,
-               CAST(sign(p4l - 838860800) AS INTEGER) AS cmp,
-               CAST(list_reduce(list_concat(
-                   list_transform(string_split(ver, '.'),
-                       _o -> CAST(_o AS HUGEINT)),
-                   [CAST(0 AS HUGEINT)]),
-                   (_a, _x) -> _a * 100000000 + _x) AS VARCHAR) AS pv,
-               concat_ws('|', event_type, ip) AS sdl,
-               (event_id % 2 <> 0) AS ia,
-               (event_type IS NOT NULL) AS iu,
-               CASE WHEN event_id * 1024 >= 1048576
-                    THEN concat(CAST(CAST(round(event_id * 1024
-                         / 1048576.0, 0) AS BIGINT) AS VARCHAR), ' MB')
-                    WHEN event_id * 1024 >= 1024
-                    THEN concat(CAST(CAST(round(event_id * 1024
-                         / 1024.0, 0) AS BIGINT) AS VARCHAR), ' KB')
-                    ELSE concat(CAST(CAST(round(event_id * 1024 * 1.0,
-                         0) AS BIGINT) AS VARCHAR), ' Bytes') END AS fb,
-               CASE WHEN event_id * 1048576 >= 1073741824
-                    THEN concat(CAST(round(event_id * 1048576
-                         / 1073741824.0, 2) AS VARCHAR), ' GB')
-                    WHEN event_id * 1048576 >= 1048576
-                    THEN concat(CAST(round(event_id * 1048576
-                         / 1048576.0, 2) AS VARCHAR), ' MB')
-                    ELSE concat(CAST(round(event_id * 1048576 * 1.0,
-                         2) AS VARCHAR), ' Bytes') END AS fb2,
-               concat('00000000-0000-0000-0000-',
-                      substr(md5(event_type), 1, 12)) AS gd
-        FROM p
-    """,
-    "kql_agg_fns2": """
-        SELECT event_type,
-               round(stddev_samp(event_id % 50), 6) AS sd,
-               round(stddev_pop(event_id % 50), 6) AS sdp,
-               round(var_samp(event_id % 50), 6) AS va,
-               round(var_pop(event_id % 50), 6) AS vap,
-               bit_or(event_id) AS bo,
-               bit_and(event_id) AS ba,
-               bit_xor(event_id) AS bx,
-               min(event_type) AS ta,
-               COUNT(DISTINCT user_id) AS cd,
-               COUNT(DISTINCT CASE WHEN value > 50 THEN user_id END)
-                   AS cdi,
-               quantile_disc(event_id, 0.25) AS p25,
-               quantile_disc(event_id, 0.75) AS p75,
-               coalesce(array_to_string(list_sort(list(event_id)
-                   FILTER (WHERE event_id % 97 = 0)), ','), '') AS mli,
-               coalesce(array_to_string(list_sort(list_distinct(
-                   list(user_id % 10)
-                   FILTER (WHERE event_id % 3 = 0))), ','), '') AS msi,
-               CAST(min((event_id % 7) * 10000000 + user_id + 1000)
-                    // 10000000 AS BIGINT) AS t0,
-               CAST(min((event_id % 7) * 10000000 + user_id + 1000)
-                    % 10000000 AS BIGINT) AS t1
-        FROM events WHERE event_id < 5000
-        GROUP BY event_type ORDER BY event_type
-    """,
-    "kql_scalar_fns7": """
-        WITH b AS (
-            SELECT event_id, event_type, props,
-                   1.0 * (event_id % 10) AS a1,
-                   CASE WHEN event_id % 3 = 0 THEN NULL
-                        ELSE (1.0 * (event_id % 10)) * 2 END AS a2,
-                   CASE WHEN event_id % 4 = 0 THEN NULL
-                        ELSE (1.0 * (event_id % 10)) * 3 END AS a3,
-                   (1.0 * (event_id % 10)) + 10 AS a4
-            FROM events WHERE event_id < 300
-        ), f AS (
-            SELECT *,
-                   coalesce(a2, a1) AS f2,
-                   coalesce(a3, a2, a1) AS f3,
-                   coalesce(a2, a3, a4) AS b2,
-                   coalesce(a3, a4) AS b3,
-                   CASE WHEN a2 IS NOT NULL THEN a2
-                        WHEN a3 IS NOT NULL THEN a1 + (a3 - a1)
-                             * (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))
-                        ELSE a1 + (a4 - a1)
-                             * (CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE))
-                        END AS l2,
-                   CASE WHEN a3 IS NOT NULL THEN a3
-                        WHEN a2 IS NOT NULL THEN a2 + (a4 - a2)
-                             * (CAST(1 AS DOUBLE) / CAST(2 AS DOUBLE))
-                        ELSE a1 + (a4 - a1)
-                             * (CAST(2 AS DOUBLE) / CAST(3 AS DOUBLE))
-                        END AS l3
-            FROM b
-        )
-        SELECT event_id,
-               ((((CAST(0 AS DOUBLE) + a1) + f2) + f3) + a4) AS fs,
-               ((((CAST(0 AS DOUBLE) + a1) + b2) + b3) + a4) AS bs,
-               ((((CAST(0 AS DOUBLE) + a1) + l2) + l3) + a4) AS ls,
-               regexp_replace(event_type, '[aeiou]+', '_', 'g') AS rr,
-               TRY_CAST(props->>'$.k' AS BIGINT) AS ej,
-               concat(CAST(event_id % 7 AS VARCHAR), '-',
-                      CAST(event_id % 9 AS VARCHAR)) AS sp
-        FROM f
-    """,
-    "kql_mv_itemindex": """
-        SELECT event_id, CAST(0 AS INTEGER) AS ix,
-               event_id % 3 AS a
-        FROM events WHERE event_id < 200
-        UNION ALL
-        SELECT event_id, CAST(1 AS INTEGER), event_id % 5
-        FROM events WHERE event_id < 200
-    """,
-    "kql_sequence_detect": """
-        WITH RECURSIVE pre AS (
-            SELECT user_id,
-                   epoch_ms((1700000000 + event_id * 60) * 1000) AS t,
-                   (event_type = 'view') AS c1,
-                   (event_type = 'click') AS c2,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY event_id) AS rn
-            FROM events WHERE event_type IN ('view', 'click')
-        ), rec AS (
-            SELECT user_id, 0 AS rn, 0 AS p,
-                   CAST(NULL AS TIMESTAMP) AS t_out,
-                   FALSE AS emitted, 0 AS cnt,
-                   CAST(NULL AS TIMESTAMP) AS s1t
-            FROM (SELECT DISTINCT user_id FROM pre)
-            UNION ALL
-            SELECT r.user_id, r.rn,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        ELSE r.c2 AND (r.t - rec.s1t
-                             <= INTERVAL 30 MINUTE) END, FALSE)
-                        THEN (rec.p + 1) % 2 ELSE rec.p END,
-                   r.t,
-                   coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        ELSE r.c2 AND (r.t - rec.s1t
-                             <= INTERVAL 30 MINUTE) END, FALSE),
-                   rec.cnt + CASE WHEN coalesce(CASE rec.p
-                        WHEN 0 THEN r.c1
-                        ELSE r.c2 AND (r.t - rec.s1t
-                             <= INTERVAL 30 MINUTE) END, FALSE)
-                        THEN 1 ELSE 0 END,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        ELSE r.c2 AND (r.t - rec.s1t
-                             <= INTERVAL 30 MINUTE) END, FALSE)
-                        THEN CASE WHEN rec.p = 0 THEN r.t
-                             ELSE CAST(NULL AS TIMESTAMP) END
-                        ELSE rec.s1t END
-            FROM rec JOIN pre r
-              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
-        ), em AS (
-            SELECT user_id, t_out, (cnt - 1) % 2 AS stp,
-                   (cnt - 1) // 2 AS mid
-            FROM rec WHERE emitted
-        ), pv AS (
-            SELECT user_id, mid,
-                   min(CASE WHEN stp = 0 THEN t_out END) AS t1,
-                   min(CASE WHEN stp = 1 THEN t_out END) AS t2
-            FROM em GROUP BY user_id, mid
-        )
-        SELECT user_id, t1 AS is_v_t, t2 AS is_c_t FROM pv
-        WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-    """,
-    "kql_row_rank": """
-        WITH r AS (
-            SELECT event_id, event_type,
-                   row_number() OVER (ORDER BY event_id) AS rn,
-                   CASE WHEN event_type IS DISTINCT FROM
-                        lag(event_type) OVER (ORDER BY event_id)
-                        THEN 1 ELSE 0 END AS chg
-            FROM events WHERE event_id < 3000
-        )
-        SELECT event_id,
-               CAST(SUM(chg) OVER (ORDER BY event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS d,
-               CAST(MAX(CASE WHEN chg = 1 THEN rn END)
-                    OVER (ORDER BY event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS m
-        FROM r
-    """,
-    "kql_toscalar": """
-        SELECT COUNT(*) AS n, max(event_id) AS mx,
-               SUM(user_id)::BIGINT AS s
-        FROM events
-        WHERE event_id > (SELECT max(event_id) / 2 FROM events)
-    """,
-    "kql_make_bag": """
-        WITH g AS (
-            SELECT event_type,
-                   min(CASE WHEN event_id % 3 = 0
-                       THEN event_id % 7 END) AS v0,
-                   min(CASE WHEN event_id % 3 = 1
-                       THEN event_id % 7 END) AS v1,
-                   min(CASE WHEN event_id % 3 = 2
-                       THEN event_id % 7 END) AS v2,
-                   min(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 0
-                       THEN event_id % 7 END) AS w0,
-                   min(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 1
-                       THEN event_id % 7 END) AS w1,
-                   min(CASE WHEN event_id % 2 = 0 AND event_id % 3 = 2
-                       THEN event_id % 7 END) AS w2
-            FROM events WHERE event_id < 2000 GROUP BY event_type
-        )
-        SELECT event_type,
-               concat('{', concat_ws(',',
-                   CASE WHEN v0 IS NOT NULL THEN concat('"k0":"',
-                        CAST(v0 AS VARCHAR), '"') END,
-                   CASE WHEN v1 IS NOT NULL THEN concat('"k1":"',
-                        CAST(v1 AS VARCHAR), '"') END,
-                   CASE WHEN v2 IS NOT NULL THEN concat('"k2":"',
-                        CAST(v2 AS VARCHAR), '"') END), '}') AS bag,
-               concat('{', concat_ws(',',
-                   CASE WHEN w0 IS NOT NULL THEN concat('"k0":"',
-                        CAST(w0 AS VARCHAR), '"') END,
-                   CASE WHEN w1 IS NOT NULL THEN concat('"k1":"',
-                        CAST(w1 AS VARCHAR), '"') END,
-                   CASE WHEN w2 IS NOT NULL THEN concat('"k2":"',
-                        CAST(w2 AS VARCHAR), '"') END), '}') AS bagif
-        FROM g ORDER BY event_type
-    """,
-    "kql_scalar_fns4": """
-        WITH b AS (
-            SELECT event_id, event_type, value,
-                   CASE WHEN event_id % 3 = 0 THEN CAST('inf' AS DOUBLE)
-                        WHEN event_id % 3 = 1 THEN CAST('nan' AS DOUBLE)
-                        ELSE value END AS sp
-            FROM events WHERE event_id < 200
-        )
-        SELECT event_id,
-               CAST(ceiling(value) AS BIGINT) AS ce,
-               round(power(10, CAST(2.0 AS DOUBLE)), 6) AS e10,
-               isinf(sp) AS i_inf,
-               isnan(sp) AS i_nan,
-               isfinite(sp) AS i_fin,
-               CASE WHEN event_type < 'purchase' THEN -1
-                    WHEN event_type > 'purchase' THEN 1
-                    ELSE 0 END AS sc,
-               strlen(concat(event_type, 'é')) AS sz,
-               replace(concat(event_type, ' ',
-                              CAST(event_id AS VARCHAR)), ' ', '+')
-                   AS ue,
-               replace(concat(event_type, ' x'), ' ', '%20') AS uec,
-               'a b c' AS ud,
-               translate(event_type, 'aeiou', 'AEIOU') AS tr,
-               TRY_CAST(CASE WHEN event_id % 4 = 0 THEN 'true'
-                             WHEN event_id % 4 = 1 THEN 'false'
-                             ELSE event_type END AS BOOLEAN) AS tb,
-               TIMESTAMP '2024-02-03 04:05:06' AS td,
-               p.parts
-        FROM b CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (2),
-                                  (NULL)) AS p(parts)
-    """,
-    "kql_union_withsource": """
-        SELECT 'events' AS src, event_id, value,
-               CAST(NULL AS BIGINT) AS cents
-        FROM events WHERE event_type = 'view'
-        UNION ALL
-        SELECT 'union_arg', k, NULL, c
-        FROM (VALUES (CAST(1 AS BIGINT), CAST(11 AS BIGINT)),
-                     (2, 22)) AS t(k, c)
-        ORDER BY src, event_id
-    """,
-    "kql_invoke": """
-        SELECT date_trunc('day', ts) AS day, COUNT(*) AS n,
-               SUM(ROUND(value * 100)) AS cents
-        FROM events WHERE event_type = 'purchase'
-        GROUP BY 1 ORDER BY day
-    """,
-    "kql_externaldata": """
-        WITH x AS (
-            SELECT column0 AS etype, CAST(column1 AS BIGINT) AS code
-            FROM read_csv_auto('/tmp/spark_graft_externaldata.csv',
-                               header=false)
-        ), e AS (
-            SELECT event_type, COUNT(*) AS n FROM events
-            GROUP BY event_type
-        )
-        SELECT etype, code, n FROM x JOIN e ON x.etype = e.event_type
-        ORDER BY code
-    """,
-    "kql_fork": """
-        WITH p AS (
-            SELECT user_id, COUNT(*) AS n,
-                   SUM(ROUND(value * 100)) AS cents
-            FROM events GROUP BY user_id
-        )
-        SELECT 'hi' AS fork_branch, user_id, n, cents,
-               CAST(NULL AS BIGINT) AS users
-        FROM p WHERE n >= 30
-        UNION ALL
-        SELECT 'lo', NULL, NULL, NULL, COUNT(*) FROM p
-    """,
-    "kql_parse_kv": """
-        WITH b AS (
-            SELECT event_id,
-                   concat('kt=', event_type, ' kid=',
-                          CAST(event_id AS VARCHAR), ' kflag=on') AS kvs
-            FROM events WHERE event_id < 300
-        )
-        SELECT event_id,
-               regexp_extract(kvs, '(?:^| )kt=([^ ]*)', 1) AS kt,
-               CAST(regexp_extract(kvs, '(?:^| )kid=([^ ]*)', 1)
-                    AS BIGINT) AS kid,
-               regexp_extract(kvs, '(?:^| )kflag=([^ ]*)', 1) AS kflag,
-               CASE WHEN regexp_matches(kvs, '(?:^| )kmiss=')
-                    THEN regexp_extract(kvs, '(?:^| )kmiss=([^ ]*)', 1)
-                    ELSE NULL END AS kmiss
-        FROM b
-    """,
-    "kql_pack": """
-        SELECT event_id,
-               event_type AS etype,
-               CAST(event_id AS VARCHAR) AS eid,
-               json_extract_string(props, '$.k') AS k,
-               concat('{"event_id":', CAST(event_id AS VARCHAR),
-                      ',"eid":"', CAST(event_id AS VARCHAR),
-                      '","etype":"', event_type,
-                      '","k":"', json_extract_string(props, '$.k'),
-                      '"}') AS pa
-        FROM events WHERE event_id < 300
-    """,
-    "kql_timespan": """
-        WITH g AS (
-            SELECT user_id, min(ts) AS mn, max(ts) AS mx,
-                   COUNT(*) AS n
-            FROM events GROUP BY user_id
-        ), d AS (
-            SELECT user_id, n,
-                   (epoch_us(mx) - epoch_us(mn))
-                       / CAST(1000000 AS DOUBLE) AS tot,
-                   abs(epoch_us(mx) - epoch_us(mn)) AS um
-            FROM g
-            WHERE (mx - mn) > INTERVAL 12 HOUR
-              AND (CAST(now() AS TIMESTAMP) - mx) > INTERVAL 1 HOUR
-        )
-        SELECT user_id, n,
-               concat(CAST(um // 86400000000 AS VARCHAR), '.',
-                      lpad(CAST((um // 3600000000) % 24
-                                AS VARCHAR), 2, '0'), ':',
-                      lpad(CAST((um // 60000000) % 60
-                                AS VARCHAR), 2, '0'), ':',
-                      lpad(CAST((um // 1000000) % 60
-                                AS VARCHAR), 2, '0')) AS span_s,
-               concat(lpad(CAST((um // 3600000000) % 24
-                                AS VARCHAR), 2, '0'), ':',
-                      lpad(CAST((um // 60000000) % 60
-                                AS VARCHAR), 2, '0'), ':',
-                      lpad(CAST((um // 1000000) % 60
-                                AS VARCHAR), 2, '0'), '.',
-                      substr(lpad(CAST(um % 1000000 AS VARCHAR),
-                                  6, '0'),
-                             1, 3)) AS frac,
-               round(tot / CAST(43200 AS DOUBLE), 6) AS ratio,
-               round(tot / CAST(86400 AS DOUBLE), 6) AS r2,
-               round((tot + 21600) / tot, 6) AS rc,
-               tot > 259200 AS long3,
-               tot < 3888000 AS within,
-               concat(lpad(CAST(n % 24 AS VARCHAR), 2, '0'),
-                      ':00:30') AS pf
-        FROM d
-    """,
-    "kql_scalar_fns3": """
-        WITH b AS (
-            SELECT event_id, event_type, props,
-                   concat('https://shop.example.com:8443/cat/',
-                          event_type, '?page=',
-                          CAST(event_id AS VARCHAR), '#top') AS u
-            FROM events WHERE event_id < 200
-        )
-        SELECT event_id,
-               regexp_extract(u, '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
-               regexp_extract(u, '^[a-z]+://([^/:?#]+)', 1) AS host,
-               regexp_extract(u, '^[a-z]+://[^/:?#]+:([0-9]+)', 1)
-                   AS port,
-               regexp_extract(u, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
-               regexp_extract(u, '\\?([^#]*)', 1) AS qry,
-               regexp_extract(u, '#(.*)$', 1) AS frag,
-               array_to_string(regexp_extract_all(u, '([0-9]+)', 1), '-')
-                   AS numcat,
-               array_to_string(json_keys(props), ',') AS kset,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS kval,
-               'dflt' AS ce,
-               event_type AS co,
-               '' AS cv,
-               concat(event_type, '|', 'dflt') AS pair
-        FROM b
-    """,
-    "kql_python": """
-        SELECT event_id, value * value AS vsq
-        FROM events WHERE event_id < 500
-    """,
-    "kql_autocluster": """
-        WITH proj AS (
-            SELECT event_type,
-                   CASE WHEN value < 50 THEN 'low' ELSE 'high' END AS band,
-                   CASE WHEN user_id % 3 = 0 THEN 'u0'
-                        WHEN user_id % 3 = 1 THEN 'u1'
-                        ELSE 'u2' END AS ub
-            FROM events
-        ), seg AS (
-            SELECT event_type, band, ub, COUNT(*) AS Count,
-                   round(CAST(100 AS DOUBLE) * COUNT(*) / max(_tot), 2)
-                       AS Percent
-            FROM proj CROSS JOIN (SELECT COUNT(*) AS _tot FROM proj) t
-            GROUP BY CUBE (event_type, band, ub)
-            HAVING COUNT(*) >= 0.05 * max(_tot)
-               AND (event_type IS NOT NULL OR band IS NOT NULL
-                    OR ub IS NOT NULL)
-        )
-        SELECT CAST(row_number() OVER (ORDER BY
-                    Count * ((CASE WHEN event_type IS NOT NULL
-                              THEN 1 ELSE 0 END)
-                           + (CASE WHEN band IS NOT NULL
-                              THEN 1 ELSE 0 END)
-                           + (CASE WHEN ub IS NOT NULL
-                              THEN 1 ELSE 0 END)) DESC,
-                    Count DESC,
-                    event_type ASC NULLS FIRST, band ASC NULLS FIRST,
-                    ub ASC NULLS FIRST) - 1 AS BIGINT) AS SegmentId,
-               event_type, band, ub, Count, Percent
-        FROM seg
-    """,
-    "kql_basket": """
-        WITH proj AS (
-            SELECT event_type,
-                   CASE WHEN value < 50 THEN 'low' ELSE 'high' END AS band
-            FROM events
-        ), seg AS (
-            SELECT event_type, band, COUNT(*) AS Count,
-                   round(CAST(100 AS DOUBLE) * COUNT(*) / max(_tot), 2)
-                       AS Percent
-            FROM proj CROSS JOIN (SELECT COUNT(*) AS _tot FROM proj) t
-            GROUP BY CUBE (event_type, band)
-            HAVING COUNT(*) >= 0.1 * max(_tot)
-               AND (event_type IS NOT NULL OR band IS NOT NULL)
-        )
-        SELECT CAST(row_number() OVER (ORDER BY Count DESC,
-                    event_type ASC NULLS FIRST, band ASC NULLS FIRST)
-                    - 1 AS BIGINT) AS SegmentId,
-               event_type, band, Count, Percent
-        FROM seg
-    """,
-    "kql_scan": """
-        WITH RECURSIVE ranked AS (
-            SELECT user_id, event_id,
-                   (event_type = 'view') AS c1,
-                   (event_type = 'click') AS c2,
-                   (event_type = 'purchase') AS c3,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rn
-            FROM events
-        ), rec AS (
-            SELECT user_id, 0 AS rn, 0 AS p,
-                   CAST(NULL AS BIGINT) AS event_id,
-                   FALSE AS emitted, 0 AS cnt
-            FROM (SELECT DISTINCT user_id FROM ranked)
-            UNION ALL
-            SELECT r.user_id, r.rn,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE)
-                        THEN (rec.p + 1) % 3 ELSE rec.p END,
-                   r.event_id,
-                   coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE),
-                   rec.cnt + CASE WHEN coalesce(CASE rec.p
-                        WHEN 0 THEN r.c1 WHEN 1 THEN r.c2
-                        ELSE r.c3 END, FALSE) THEN 1 ELSE 0 END
-            FROM rec JOIN ranked r
-              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
-        )
-        SELECT user_id, event_id,
-               CASE (cnt - 1) % 3 WHEN 0 THEN 's_view'
-                    WHEN 1 THEN 's_click' ELSE 's_purchase' END AS step,
-               CAST((cnt - 1) // 3 AS BIGINT) AS match_id
-        FROM rec WHERE emitted
-    """,
-    "kql_scalar_fns8": """
-        SELECT event_id,
-               event_id & 12 AS ba,
-               event_id | 5 AS bo,
-               xor(event_id, 255) AS bx,
-               ~event_id AS bn,
-               event_id << 3 AS sl,
-               event_id >> 2 AS sr,
-               CAST(bit_count(event_id) AS INT) AS co,
-               pow(CAST(2 AS DOUBLE), event_id % 10) AS e2,
-               (floor(CAST(value AS DOUBLE) / CAST(0.5 AS DOUBLE))
-                * CAST(0.5 AS DOUBLE)) AS fl,
-               CAST(month(ts) AS INT) AS dm,
-               CAST(hour(ts) AS INT) AS dh,
-               'real' AS gt, 'string' AS gs
-        FROM events WHERE event_id < 400
-    """,
-    "kql_scalar_fns9": """
-        WITH b AS (
-            SELECT event_id, event_type, value,
-                   167772160 + event_id * 65536 AS ip
-            FROM events WHERE event_id < 400
-        ), f AS (
-            SELECT *,
-                   concat(CAST(ip // 16777216 % 256 AS VARCHAR), '.',
-                          CAST(ip // 65536 % 256 AS VARCHAR), '.',
-                          CAST(ip // 256 % 256 AS VARCHAR), '.',
-                          CAST(ip % 256 AS VARCHAR)) AS f4,
-                   (ip // 1048576) * 1048576 AS ipm
-            FROM b
-        )
-        SELECT event_id,
-               CASE WHEN value > 50 THEN 1 ELSE 0 END AS i1,
-               value BETWEEN 40 AND 60 AS ar,
-               (event_id % 4) IN (1, 2, 3) AS she,
-               CAST(len(list_intersect([event_id % 3, 7],
-                        [7, event_id % 5])) AS DOUBLE)
-                   / CAST(len(list_distinct(list_concat(
-                        [event_id % 3, 7], [7, event_id % 5])))
-                     AS DOUBLE) AS ji,
-               CAST(1 + event_id % 5 AS INTEGER) AS rs,
-               f4,
-               concat(CAST(ipm // 16777216 % 256 AS VARCHAR), '.',
-                      CAST(ipm // 65536 % 256 AS VARCHAR), '.',
-                      CAST(ipm // 256 % 256 AS VARCHAR), '.',
-                      CAST(ipm % 256 AS VARCHAR)) AS f4m,
-               (ip BETWEEN 167772160 AND 184549375
-                OR ip BETWEEN 2886729728 AND 2887778303
-                OR ip BETWEEN 3232235520 AND 3232301055) AS priv,
-               CAST(8 + event_id % 17 AS INTEGER) AS nm,
-               CAST(ascii(substr(event_type, 1, 1))
-                    + ascii(substr(event_type, 2, 1)) AS DOUBLE) AS us,
-               concat('{"Query Parameters":{"k":"',
-                      CAST(event_id % 7 AS VARCHAR), '"}}') AS uq,
-               concat('{"Scheme":"","RootPath":"",',
-                      '"DirectoryPath":"/data/', event_type, '",',
-                      '"DirectoryName":"', event_type, '",',
-                      '"Filename":"f', CAST(event_id % 3 AS VARCHAR),
-                      '.bin","Extension":"bin"}') AS pp,
-               '{"a":1}' AS dy,
-               CAST(2 AS INTEGER) AS zl,
-               value * 2 AS dv
-        FROM f
-    """,
-    "kql_predicates3": """
-        WITH b AS (
-            SELECT event_id, event_type, value, user_id
-            FROM events WHERE event_id < 3000
-        )
-        SELECT count(*) FILTER (regexp_matches(event_type,
-                   '(?i)\\bvi')) AS hp,
-               count(*) FILTER (regexp_matches(event_type,
-                   '(?i)EW\\b')) AS hs,
-               count(*) FILTER (NOT regexp_matches(event_type,
-                   '(?i)\\bview\\b')) AS nh,
-               count(*) FILTER (regexp_matches(event_type,
-                   'v.+w')) AS mr,
-               count(*) FILTER (value NOT BETWEEN 10 AND 100) AS nb,
-               count(*) FILTER (NOT starts_with(lower(event_type),
-                   'v')) AS ns,
-               count(*) FILTER (NOT ends_with(lower(event_type),
-                   lower('W'))) AS ne,
-               count(*) FILTER (NOT regexp_matches(event_type,
-                   '(?i)\\bcl')) AS nhp,
-               min(CASE WHEN event_type = 'view' THEN event_id END)
-                   AS ta,
-               count(DISTINCT CASE WHEN value > 50 THEN user_id END)
-                   AS da,
-               count(DISTINCT user_id) AS dc2,
-               quantile_disc(value, 0.25) AS p25,
-               quantile_disc(value, 0.50) AS p50,
-               quantile_disc(value, 0.75) AS p75
-        FROM b
-    """,
-    "kql_activity_counts": """
-        WITH f AS (
-            SELECT user_id, date_trunc('day', ts) AS p FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01'
-              AND ts <= TIMESTAMP '2024-01-08'
-        ), raw AS (
-            SELECT p, count(*) AS cnt FROM f GROUP BY p
-        ), dd AS (
-            SELECT DISTINCT user_id, p FROM f
-        ), dcs AS (
-            SELECT p, count(*) AS dc FROM dd GROUP BY p
-        ), news AS (
-            SELECT fp AS p, count(*) AS nv FROM (
-                SELECT user_id, min(p) AS fp FROM dd GROUP BY user_id
-            ) GROUP BY fp
-        )
-        SELECT r.p AS ts, r.cnt AS count, d.dc AS dcount,
-               coalesce(n.nv, CAST(0 AS BIGINT)) AS new_dcount,
-               CAST(SUM(coalesce(n.nv, 0)) OVER (ORDER BY r.p
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS aggregated_dcount
-        FROM raw r JOIN dcs d ON d.p = r.p
-        LEFT JOIN news n ON n.p = r.p
-    """,
-    "kql_series_forecast": """
-        WITH f AS (
-            SELECT user_id, date_trunc('day', ts) AS b FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01'
-              AND ts < TIMESTAMP '2024-01-15'
-        ), agg AS (
-            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
-            FROM f GROUP BY 1, 2
-        ), g AS (SELECT DISTINCT user_id FROM f),
-        bins AS (
-            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                   TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS ts
-        ), dense AS (
-            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
-                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
-                        bins.ts) AS DOUBLE) AS x
-            FROM g CROSS JOIN bins
-            LEFT JOIN agg ON agg.user_id = g.user_id
-                         AND agg.b = bins.ts
-        ), sums AS (
-            SELECT user_id, CAST(10 AS DOUBLE) AS m,
-                   sum(CASE WHEN x < 10 THEN n ELSE 0 END) AS sy,
-                   sum(CASE WHEN x < 10 THEN n * x ELSE 0 END) AS sxy
-            FROM dense GROUP BY user_id
-        ), fit AS (
-            SELECT user_id, m, sy, sxy,
-                   (m * sxy - ((m - 1) * m / 2) * sy)
-                   / nullif(m * ((m - 1) * m * (2 * m - 1) / 6)
-                     - ((m - 1) * m / 2) * ((m - 1) * m / 2), 0)
-                   AS slope
-            FROM sums
-        ), fit2 AS (
-            SELECT user_id, slope,
-                   (sy - slope * ((m - 1) * m / 2)) / m AS icept
-            FROM fit
-        ), seas AS (
-            SELECT d.user_id, CAST(d.x AS INT) % 7 AS ph,
-                   sum(d.n - (f2.icept + f2.slope * d.x))
-                   / count(*) AS sn
-            FROM dense d JOIN fit2 f2 ON f2.user_id = d.user_id
-            WHERE d.x < 10 GROUP BY d.user_id, CAST(d.x AS INT) % 7
-        ), fc AS (
-            SELECT d.user_id, d.x,
-                   f2.icept + f2.slope * d.x + s.sn AS v
-            FROM dense d
-            JOIN fit2 f2 ON f2.user_id = d.user_id
-            JOIN seas s ON s.user_id = d.user_id
-                       AND s.ph = CAST(d.x AS INT) % 7
-        )
-        SELECT user_id,
-               round(list_reduce(list(v ORDER BY x),
-                     (a, b) -> a + b), 6) AS fc_sum,
-               round(max(CASE WHEN x = 13 THEN v END), 6) AS fc_last
-        FROM fc GROUP BY user_id
-    """,
-    "kql_idioms3": """
-        WITH b AS (
-            SELECT event_id, value, date_trunc('day', ts) AS fb,
-                   date_trunc('quarter', ts) AS sq
-            FROM events WHERE event_id < 2000
-        ), r AS (
-            SELECT *, row_number() OVER (PARTITION BY fb
-                      ORDER BY event_id, value) AS rn
-            FROM b
-        )
-        SELECT fb,
-               max(CASE WHEN rn = 1 THEN event_id END) AS event_id,
-               max(CASE WHEN rn = 1 THEN value END) AS value,
-               count(*) AS n,
-               min(sq) AS q1,
-               max(sq + INTERVAL 3 MONTH - INTERVAL 1 MICROSECOND)
-                   AS q2
-        FROM r GROUP BY fb
-    """,
-    "kql_user_agent2": """
-        WITH u AS (
-            SELECT event_id, event_id % 7 AS c,
-                   CAST(event_id % 4 AS VARCHAR) AS m4
-            FROM events WHERE event_id < 700
-        )
-        SELECT event_id,
-               CASE c WHEN 0 THEN 'Samsung Internet'
-                      WHEN 1 THEN 'UC Browser'
-                      WHEN 2 THEN 'Mobile Safari'
-                      WHEN 3 THEN 'IE' WHEN 4 THEN 'IE'
-                      WHEN 5 THEN 'Safari' ELSE 'Firefox' END AS bfam,
-               CASE c WHEN 0 THEN '1' || m4
-                      WHEN 1 THEN '13' WHEN 2 THEN '16'
-                      WHEN 3 THEN CAST(event_id % 4 + 7 AS VARCHAR)
-                      WHEN 4 THEN '11'
-                      WHEN 5 THEN '17' ELSE '115' END AS bmj,
-               CASE c WHEN 0 THEN '2' WHEN 1 THEN m4 WHEN 2 THEN m4
-                      WHEN 3 THEN '0' WHEN 4 THEN '0'
-                      WHEN 5 THEN '1' ELSE '0' END AS bmn,
-               CASE c WHEN 0 THEN 'Android' WHEN 1 THEN 'Android'
-                      WHEN 2 THEN 'iOS'
-                      WHEN 3 THEN 'Windows' WHEN 4 THEN 'Windows'
-                      WHEN 5 THEN 'Mac OS X' ELSE 'Linux' END AS ofam,
-               CASE c WHEN 0 THEN '10' WHEN 1 THEN '9' WHEN 2 THEN '16'
-                      WHEN 3 THEN '6' WHEN 4 THEN '10'
-                      WHEN 5 THEN '10' ELSE '' END AS omj,
-               CASE c WHEN 0 THEN '' WHEN 1 THEN '1' WHEN 2 THEN m4
-                      WHEN 3 THEN '1' WHEN 4 THEN '0'
-                      WHEN 5 THEN '15' ELSE '' END AS omn,
-               CASE c WHEN 0 THEN '' WHEN 1 THEN '2' WHEN 2 THEN '1'
-                      WHEN 5 THEN '7' ELSE '' END AS opt,
-               CASE c WHEN 0 THEN 'SM-G97' || m4 || 'F'
-                      WHEN 1 THEN 'Generic Smartphone'
-                      WHEN 2 THEN 'iPhone'
-                      WHEN 5 THEN 'Mac' ELSE 'Other' END AS dfam,
-               CASE c WHEN 0 THEN 'Generic_Android'
-                      WHEN 1 THEN 'Generic'
-                      WHEN 2 THEN 'Apple'
-                      WHEN 5 THEN 'Apple' ELSE '' END AS dbr,
-               CASE c WHEN 0 THEN 'SM-G97' || m4 || 'F'
-                      WHEN 1 THEN 'Smartphone'
-                      WHEN 2 THEN 'iPhone'
-                      WHEN 5 THEN 'Mac' ELSE '' END AS dmd
-        FROM u
-    """,
-    "kql_user_agent4": """
-        SELECT event_id,
-               CASE event_id % 4
-                    WHEN 1 THEN 'Mobile Safari'
-                    WHEN 3 THEN 'Safari'
-                    ELSE 'Chrome' END AS bfam,
-               CASE event_id % 4
-                    WHEN 1 THEN '16' WHEN 3 THEN '17'
-                    ELSE '118' END AS bmj,
-               CASE event_id % 4
-                    WHEN 0 THEN 'Windows' WHEN 1 THEN 'iOS'
-                    WHEN 2 THEN 'Android' ELSE 'Mac OS X' END AS ofam,
-               CASE event_id % 4
-                    WHEN 0 THEN '10' WHEN 1 THEN '16'
-                    WHEN 2 THEN '13' ELSE '10' END AS omj,
-               CASE event_id % 4
-                    WHEN 0 THEN 'Other' WHEN 1 THEN 'iPhone'
-                    WHEN 2 THEN 'Pixel 7' ELSE 'Mac' END AS dfam,
-               CASE event_id % 4
-                    WHEN 0 THEN '' WHEN 1 THEN 'Apple'
-                    WHEN 2 THEN 'Generic_Android'
-                    ELSE 'Apple' END AS dbr
-        FROM events WHERE event_id < 600
-    """,
-    "kql_user_agent3": """
-        WITH u AS (
-            SELECT event_id, event_id % 6 AS c,
-                   CAST(event_id % 3 AS VARCHAR) AS m3
-            FROM events WHERE event_id < 700
-        )
-        SELECT event_id,
-               CASE c WHEN 0 THEN 'Googlebot'
-                      WHEN 1 THEN 'bingbot'
-                      WHEN 2 THEN 'HeadlessChrome'
-                      WHEN 3 THEN 'Python Requests'
-                      WHEN 4 THEN 'Wget' ELSE 'Chrome' END AS bfam,
-               CASE c WHEN 0 THEN '2' WHEN 1 THEN '2'
-                      WHEN 2 THEN '119' WHEN 3 THEN '2'
-                      WHEN 4 THEN '1' ELSE '118' END AS bmj,
-               CASE c WHEN 0 THEN m3 WHEN 1 THEN m3
-                      WHEN 2 THEN m3 WHEN 3 THEN '3' || m3
-                      WHEN 4 THEN '2' || m3 ELSE '0' END AS bmn,
-               CASE WHEN c <= 4 THEN 'Spider'
-                    ELSE 'Pixel 7' END AS dfam,
-               CASE WHEN c <= 4 THEN 'Spider'
-                    ELSE 'Generic_Android' END AS dbr,
-               CASE WHEN c <= 4 THEN 'Desktop'
-                    ELSE 'Pixel 7' END AS dmd
-        FROM u
-    """,
-    "kql_user_agent": """
-        WITH ua_t AS (
-            SELECT event_id,
-                   CASE
-                     WHEN event_id % 5 = 0 THEN
-                       'Mozilla/5.0 AppleWebKit/537.36 Chrome/1'
-                       || (event_id % 7) || '.0.0 Safari/537.36'
-                     WHEN event_id % 5 = 1 THEN
-                       'Mozilla/5.0 Chrome/99.0 Safari/5 Edg/12'
-                       || (event_id % 7) || '.0.1'
-                     WHEN event_id % 5 = 2 THEN
-                       'Mozilla/5.0 Gecko/20100101 Firefox/11'
-                       || (event_id % 7) || '.3'
-                     WHEN event_id % 5 = 3 THEN
-                       'Mozilla/5.0 AppleWebKit/605 Version/1'
-                       || (event_id % 7) || '.2 Safari/605'
-                     ELSE 'curl/8.4.0'
-                   END AS ua
-            FROM events WHERE event_id < 600
-        )
-        SELECT event_id,
-               CASE
-                 WHEN contains(ua, 'curl/') THEN 'curl'
-                 WHEN contains(ua, 'Edg/') THEN 'Edge'
-                 WHEN contains(ua, 'OPR/') THEN 'Opera'
-                 WHEN contains(ua, 'Chrome/') THEN 'Chrome'
-                 WHEN contains(ua, 'Firefox/') THEN 'Firefox'
-                 WHEN contains(ua, 'Version/') THEN 'Safari'
-                 ELSE 'Other'
-               END AS fam,
-               CASE
-                 WHEN contains(ua, 'curl/')
-                   THEN regexp_extract(ua, 'curl/(\\d+)', 1)
-                 WHEN contains(ua, 'Edg/')
-                   THEN regexp_extract(ua, 'Edg/(\\d+)', 1)
-                 WHEN contains(ua, 'OPR/')
-                   THEN regexp_extract(ua, 'OPR/(\\d+)', 1)
-                 WHEN contains(ua, 'Chrome/')
-                   THEN regexp_extract(ua, 'Chrome/(\\d+)', 1)
-                 WHEN contains(ua, 'Firefox/')
-                   THEN regexp_extract(ua, 'Firefox/(\\d+)', 1)
-                 WHEN contains(ua, 'Version/')
-                   THEN regexp_extract(ua, 'Version/(\\d+)', 1)
-                 ELSE ''
-               END AS mj,
-               CASE
-                 WHEN contains(ua, 'curl/')
-                   THEN regexp_extract(ua, 'curl/\\d+\\.(\\d+)', 1)
-                 WHEN contains(ua, 'Edg/')
-                   THEN regexp_extract(ua, 'Edg/\\d+\\.(\\d+)', 1)
-                 WHEN contains(ua, 'OPR/')
-                   THEN regexp_extract(ua, 'OPR/\\d+\\.(\\d+)', 1)
-                 WHEN contains(ua, 'Chrome/')
-                   THEN regexp_extract(ua, 'Chrome/\\d+\\.(\\d+)', 1)
-                 WHEN contains(ua, 'Firefox/')
-                   THEN regexp_extract(ua, 'Firefox/\\d+\\.(\\d+)', 1)
-                 WHEN contains(ua, 'Version/')
-                   THEN regexp_extract(ua, 'Version/\\d+\\.(\\d+)', 1)
-                 ELSE ''
-               END AS mn
-        FROM ua_t
-    """,
-    "kql_activity_dims": """
-        WITH dd AS (
-            SELECT DISTINCT user_id, event_type,
-                   TIMESTAMP '2024-01-05 00:00:00'
-                   + to_seconds(CAST(floor(
-                         CAST(epoch_us(ts) - epoch_us(
-                              TIMESTAMP '2024-01-05 00:00:00')
-                              AS DOUBLE) / 86400000000) * 86400
-                     AS BIGINT)) AS p
-            FROM events
-            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
-              AND ts <= TIMESTAMP '2024-01-25 00:00:00'
-        ), cnts AS (
-            SELECT p, event_type, COUNT(*) AS dc FROM dd
-            GROUP BY p, event_type
-        ), news AS (
-            SELECT fp AS p, event_type, COUNT(*) AS nv FROM (
-                SELECT user_id, event_type, MIN(p) AS fp FROM dd
-                GROUP BY user_id, event_type
-            ) GROUP BY fp, event_type
-        ), rets AS (
-            SELECT a.p, a.event_type, COUNT(*) AS rt
-            FROM dd a JOIN dd b
-              ON b.user_id = a.user_id
-             AND b.p = a.p - INTERVAL 86400 SECOND
-             AND b.event_type = a.event_type
-            GROUP BY a.p, a.event_type
-        )
-        SELECT c.p AS ts, c.event_type AS event_type,
-               c.dc AS dcount_values,
-               coalesce(n.nv, CAST(0 AS BIGINT)) AS dcount_newvalues,
-               coalesce(CAST(r.rt AS DOUBLE) / pc.dc,
-                        CAST(0 AS DOUBLE)) AS retention_rate,
-               coalesce(CAST(pc.dc - coalesce(r.rt,
-                        CAST(0 AS BIGINT)) AS DOUBLE) / pc.dc,
-                        CAST(0 AS DOUBLE)) AS churn_rate
-        FROM cnts c
-        LEFT JOIN news n ON n.p = c.p AND n.event_type = c.event_type
-        LEFT JOIN cnts pc ON pc.p = c.p - INTERVAL 86400 SECOND
-                         AND pc.event_type = c.event_type
-        LEFT JOIN rets r ON r.p = c.p AND r.event_type = c.event_type
-    """,
-    "kql_idioms5": """
-        SELECT event_id,
-               row_number() OVER (ORDER BY event_id) + 99 AS rn,
-               row_number() OVER (
-                   PARTITION BY (SELECT count(*) FROM events e2
-                                 WHERE e2.event_id <= e.event_id
-                                   AND e2.event_id % 7 = 0
-                                   AND e2.event_id < 800)
-                   ORDER BY event_id) AS rr,
-               CASE WHEN value > 50 THEN CAST(60 AS DOUBLE)
-                    ELSE CAST(30 AS DOUBLE) END AS gs,
-               event_type IS NOT NULL AND event_type != '' AS ne,
-               coalesce(event_type, 'x') AS co,
-               true AS fwd
-        FROM events e WHERE event_id < 800
-    """,
-    "kql_db_qualifier": """
-        WITH u AS (
-            SELECT 'events' AS src, event_type, event_id FROM events
-            UNION ALL
-            SELECT 'events' AS src, event_type, event_id FROM events
-            WHERE event_type = 'view'
-        )
-        SELECT src, event_type, count(*)::BIGINT AS n
-        FROM u WHERE event_id < 150
-        GROUP BY src, event_type
-    """,
-    "kql_funnel_sequence": """
-        WITH RECURSIVE o AS (
-            SELECT user_id AS id, ts, event_type AS s,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_type) AS rn
-            FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01'
-              AND ts < TIMESTAMP '2024-03-01'
-        ), r AS (
-            SELECT id, rn, ts, s,
-                   CASE WHEN s = 'view' THEN 1 ELSE 0 END AS k,
-                   CASE WHEN s = 'view' THEN 1 ELSE 0 END AS fi,
-                   0 AS li,
-                   CASE WHEN s = 'view' THEN ts END AS ft,
-                   CASE WHEN s = 'view' THEN ts END AS pt,
-                   false AS done
-            FROM o WHERE rn = 1
-            UNION ALL
-            SELECT o.id, o.rn, o.ts, o.s,
-                   CASE WHEN r.done THEN r.k
-                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
-                             AND (r.k = 0 OR (
-                               epoch_us(o.ts) - epoch_us(r.pt)
-                                 <= 172800000000
-                               AND epoch_us(o.ts) - epoch_us(r.ft)
-                                 <= 864000000000))
-                          THEN r.k + 1
-                        WHEN o.s = 'view' THEN 1
-                        ELSE 0 END AS k,
-                   CASE WHEN r.done THEN r.fi
-                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
-                             AND (r.k = 0 OR (
-                               epoch_us(o.ts) - epoch_us(r.pt)
-                                 <= 172800000000
-                               AND epoch_us(o.ts) - epoch_us(r.ft)
-                                 <= 864000000000))
-                          THEN CASE WHEN r.k = 0 THEN o.rn
-                               ELSE r.fi END
-                        WHEN o.s = 'view' THEN o.rn
-                        ELSE 0 END AS fi,
-                   CASE WHEN r.done THEN r.li
-                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
-                             AND (r.k = 0 OR (
-                               epoch_us(o.ts) - epoch_us(r.pt)
-                                 <= 172800000000
-                               AND epoch_us(o.ts) - epoch_us(r.ft)
-                                 <= 864000000000))
-                             AND r.k + 1 = 3
-                          THEN o.rn
-                        ELSE r.li END AS li,
-                   CASE WHEN r.done THEN r.ft
-                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
-                             AND (r.k = 0 OR (
-                               epoch_us(o.ts) - epoch_us(r.pt)
-                                 <= 172800000000
-                               AND epoch_us(o.ts) - epoch_us(r.ft)
-                                 <= 864000000000))
-                          THEN CASE WHEN r.k = 0 THEN o.ts
-                               ELSE r.ft END
-                        WHEN o.s = 'view' THEN o.ts
-                        END AS ft,
-                   CASE WHEN r.done THEN r.pt
-                        WHEN o.s = (['view','click','purchase'])[r.k + 1]
-                             AND (r.k = 0 OR (
-                               epoch_us(o.ts) - epoch_us(r.pt)
-                                 <= 172800000000
-                               AND epoch_us(o.ts) - epoch_us(r.ft)
-                                 <= 864000000000))
-                          THEN o.ts
-                        WHEN o.s = 'view' THEN o.ts
-                        END AS pt,
-                   r.done OR (
-                     o.s = (['view','click','purchase'])[r.k + 1]
-                     AND (r.k = 0 OR (
-                       epoch_us(o.ts) - epoch_us(r.pt)
-                         <= 172800000000
-                       AND epoch_us(o.ts) - epoch_us(r.ft)
-                         <= 864000000000))
-                     AND r.k + 1 = 3) AS done
-            FROM r JOIN o ON o.id = r.id AND o.rn = r.rn + 1
-        ), f AS (
-            SELECT r.* FROM r
-            JOIN (SELECT id, MAX(rn) AS mr FROM r GROUP BY id) mx
-              ON mx.id = r.id AND mx.mr = r.rn
-            WHERE r.done
-        )
-        SELECT p.s AS prev, nx.s AS "next",
-               COUNT(DISTINCT f.id) AS dcount
-        FROM f
-        LEFT JOIN o p ON p.id = f.id AND p.rn = f.fi - 1
-        LEFT JOIN o nx ON nx.id = f.id AND nx.rn = f.li + 1
-        GROUP BY 1, 2
-        ORDER BY dcount DESC, prev ASC NULLS FIRST,
-                 "next" ASC NULLS FIRST
-    """,
-    "kql_rws_full": """
-        WITH RECURSIVE o AS (
-            SELECT event_id, ts,
-                   row_number() OVER (ORDER BY ts, event_id) AS rn
-            FROM events WHERE event_id < 500
-        ), r AS (
-            SELECT rn, event_id, ts, ts AS start
-            FROM o WHERE rn = 1
-            UNION ALL
-            SELECT o.rn, o.event_id, o.ts,
-                   CASE WHEN epoch_us(o.ts) - epoch_us(r.ts)
-                             > 300000000
-                          OR epoch_us(o.ts) - epoch_us(r.start)
-                             > 3600000000
-                        THEN o.ts ELSE r.start END
-            FROM r JOIN o ON o.rn = r.rn + 1
-        )
-        SELECT event_id, ts, start AS sid FROM r
-    """,
-    "kql_graph_components": """
-        WITH RECURSIVE e AS (
-            SELECT user_id % 211 + 10000 AS s, event_id % 191 AS d
-            FROM events WHERE event_id < 400
-        ), und AS (
-            SELECT s AS a, d AS b FROM e
-            UNION SELECT d, s FROM e
-            UNION SELECT s, s FROM e
-            UNION SELECT d, d FROM e
-        ), reach AS (
-            SELECT a, b FROM und
-            UNION
-            SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-        )
-        SELECT a AS NodeId, MIN(b) AS ComponentId
-        FROM reach GROUP BY a ORDER BY NodeId
-    """,
-    "kql_scalar_fns15": """
-        WITH b AS (
-            SELECT event_id, ts, value, event_type,
-                   (event_id * 2654435761) % 4294967296 AS ipn,
-                   (event_id * 31 + 7) % 4294967296 AS ipn2,
-                   [event_id % 3 * 100 + 1, event_id % 5 * 37 + 2,
-                    event_id % 7 * 53 + 3] AS a1,
-                   [10, 20, 30] AS a2
-            FROM events WHERE event_id < 300
-        )
-        SELECT event_id,
-               '0000:0000:0000:0000:0000:ffff:'
-                 || lpad(lower(to_hex(ipn // 65536)), 4, '0') || ':'
-                 || lpad(lower(to_hex(ipn % 65536)), 4, '0') AS p6,
-               CASE WHEN ipn < ipn2 THEN -1
-                    WHEN ipn > ipn2 THEN 1 ELSE 0 END AS c6,
-               (ipn // 268435456) = (ipn2 // 268435456) AS m6,
-               value * 1.609344 AS cl,
-               value * 0.5144444444444445 AS cs,
-               value * 1.0 + (-273.15) AS cf,
-               CAST(CASE event_type WHEN 'click' THEN 0
-                    WHEN 'view' THEN 1 ELSE -1 END AS BIGINT) AS hai,
-               date_diff('microsecond', date_trunc('day', ts), ts)
-                 * 1000 AS dn,
-               CAST(dayofweek(ts) AS DOUBLE) AS wd,
-               array_to_string(list_select(a1, list_grade_up(a1)),
-                               ',') AS s1,
-               array_to_string(list_select(a2, list_grade_up(a1)),
-                               ',') AS s2,
-               0.8427007929497148 AS er,
-               7.357847917974398e-15 AS ec,
-               'u4pruydqqvj' AS gh,
-               0.42264973081037327 AS wt
-        FROM b
-    """,
-    "kql_scalar_fns16": """
-        WITH b AS (
-            SELECT event_id, ts, event_type,
-                   (event_id * 2654435761) % 4294967296 AS ipn,
-                   event_id % 31 + 1 AS sfx
-            FROM events WHERE event_id < 300
-        ), ipd AS (
-            SELECT *,
-                   (ipn // 16777216) || '.' || (ipn // 65536 % 256)
-                     || '.' || (ipn // 256 % 256) || '.'
-                     || (ipn % 256) AS ip
-            FROM b
-        )
-        SELECT event_id,
-               TRUE AS hi1,
-               FALSE AS hi2,
-               TRUE AS hp,
-               (ipn % 2) = 0 AS ha,
-               (ipn // 16777216 = 10)
-                 OR (ipn // 65536 = 49320) AS rng,
-               32 AS nm1,
-               CAST(sfx AS INT) AS nm2,
-               '{"a":' || event_id || ',"b":' || (event_id * 2)
-                 || '}' AS bs,
-               '{"c":' || (event_id * 3) || '}' AS br,
-               event_type || '-' || event_type || '-'
-                 || event_type AS sr,
-               CAST(event_id % 7 AS DOUBLE) AS dw,
-               (event_id % 7) = 3 AS db,
-               'ddaf35a193617abacc417349ae20413112e6fa4e89a97ea20a9ee'
-                 || 'ee64b55d39a2192992a274fc1a836ba3c23a3feebbd454d44'
-                 || '23643ce80e2a9ac94fa54ca49f' AS s5,
-               1.7279999999999953e0 AS bp,
-               0.5412059506911047e0 AS bi,
-               floor(((event_id * 0.7919) % 360.0 - 180.0 + 180)
-                     / (360.0 / 32768)) * (360.0 / 32768)
-                 + (360.0 / 65536) - 180 AS glon,
-               floor(((event_id * 0.4133) % 180.0 - 90.0 + 90)
-                     / (180.0 / 32768)) * (180.0 / 32768)
-                 + (180.0 / 65536) - 90 AS glat
-        FROM ipd
-    """,
-    "kql_scalar_fns20": """
-        SELECT COUNT(*) AS n, COUNT(*) AS zok, COUNT(*) AS gok,
-               COUNT(*) AS pok,
-               'acadmie-franaise-npb1a' AS pc,
-               'www.xn--bcher-kva.de' AS dm,
-               'H4sIAAAAAAACA8vIVCjJSC1KBQDsdqPjCAAAAA==' AS gz,
-               '10.0.0.1/32,10.0.0.2/31,10.0.0.4/30,10.0.0.8/31' AS cl
-        FROM events WHERE event_id < 200
-    """,
-    "kql_scalar_fns19": """
-        SELECT event_type,
-               ROUND(stddev_samp(CASE WHEN event_id % 4 < 2
-                                      THEN event_id % 50 END), 6) AS sd,
-               ROUND(var_samp(CASE WHEN event_id % 4 < 2
-                                   THEN event_id % 50 END), 6) AS va,
-               COUNT(*) FILTER (WHERE length(event_type) > 4) AS uc,
-               COUNT(*) AS hx,
-               'hi' AS m, TRUE AS v6a, FALSE AS v6b
-        FROM events WHERE event_id < 2000
-        GROUP BY event_type
-        ORDER BY event_type ASC
-    """,
-    "kql_scalar_fns18": """
-        WITH b AS (
-            SELECT event_id,
-                   CAST(event_id % 7 - 3 AS DOUBLE) AS n1,
-                   CAST((event_id % 3) * 2 AS DOUBLE) AS d1,
-                   (event_id % 2) * 4 AS di
-            FROM events WHERE event_id < 400
-        ), g AS (
-            SELECT event_id,
-                   CASE WHEN d1 = 0 THEN
-                        CASE WHEN n1 > 0 THEN 'Infinity'::DOUBLE
-                             WHEN n1 < 0 THEN '-Infinity'::DOUBLE
-                             ELSE 'NaN'::DOUBLE END
-                        ELSE n1 / d1 END AS r1,
-                   CASE WHEN di = 0 THEN
-                        CASE WHEN n1 > 0 THEN 'Infinity'::DOUBLE
-                             WHEN n1 < 0 THEN '-Infinity'::DOUBLE
-                             ELSE 'NaN'::DOUBLE END
-                        ELSE n1 / di END AS r2
-            FROM b
-        )
-        SELECT event_id, r1, r2,
-               CASE WHEN isnan(r1) THEN 'nan'
-                    WHEN isinf(r1) THEN
-                         CASE WHEN r1 > 0 THEN 'pinf' ELSE 'ninf' END
-                    ELSE 'fin' END AS k1
-        FROM g ORDER BY event_id ASC
-    """,
-    "kql_scalar_fns17": """
-        SELECT event_id,
-               strftime(make_date(2024, CAST(event_id % 12 + 1 AS
-                                             INT),
-                                  CAST(event_id % 28 + 1 AS INT)),
-                        '%Y-%m-%d') AS tdy,
-               event_type AS xt,
-               CAST(event_id AS INT) AS xa,
-               '{"a":"' || event_type || '","b":' || event_id
-                 || '}' AS dj,
-               event_type AS ss,
-               substr(event_type, 2, 2) AS s2,
-               TRUE AS tin,
-               TRUE AS tln
-        FROM events WHERE event_id < 200
-    """,
-    "kql_partition": """
-        WITH t AS (
-            SELECT event_type, event_id,
-                   row_number() OVER (PARTITION BY event_type
-                                      ORDER BY event_id DESC) AS rn
-            FROM events
-        )
-        SELECT t.event_type, t.event_id, e.value AS v2
-        FROM t JOIN events e ON t.event_id = e.event_id
-        WHERE t.rn <= 2
-        ORDER BY t.event_type ASC, t.event_id ASC
-    """,
-    "kql_scalar_fns14": """
-        WITH b AS (
-            SELECT event_id,
-                   CAST(event_id % 7 - 3 AS DOUBLE) AS n1,
-                   CAST((event_id % 3) * 2 AS DOUBLE) AS d1,
-                   CAST(0 - event_id % 3 AS DOUBLE) AS n2,
-                   CAST((event_id % 2) * 4 AS DOUBLE) AS d2,
-                   CAST(1 AS DOUBLE) AS n3,
-                   CAST(event_id % 5 - 2 AS DOUBLE) AS d3
-            FROM events WHERE event_id < 400
-        ), g AS (
-            SELECT event_id,
-                   CASE WHEN d1 = 0 THEN
-                        CASE WHEN n1 > 0 THEN 'Infinity'::DOUBLE
-                             WHEN n1 < 0 THEN '-Infinity'::DOUBLE
-                             WHEN n1 = 0 THEN 'NaN'::DOUBLE END
-                        ELSE n1 / d1 END AS r1,
-                   CASE WHEN d2 = 0 THEN
-                        CASE WHEN n2 > 0 THEN 'Infinity'::DOUBLE
-                             WHEN n2 < 0 THEN '-Infinity'::DOUBLE
-                             WHEN n2 = 0 THEN 'NaN'::DOUBLE END
-                        ELSE n2 / d2 END AS r2,
-                   CASE WHEN d3 = 0 THEN
-                        CASE WHEN n3 > 0 THEN 'Infinity'::DOUBLE
-                             WHEN n3 < 0 THEN '-Infinity'::DOUBLE
-                             WHEN n3 = 0 THEN 'NaN'::DOUBLE END
-                        ELSE n3 / d3 END AS r3
-            FROM b
-        )
-        SELECT event_id, r1, r2, r3,
-               CASE WHEN isnan(r1) THEN 'nan'
-                    WHEN isinf(r1) THEN
-                         CASE WHEN r1 > 0 THEN 'pinf' ELSE 'ninf' END
-                    ELSE 'fin' END AS k1,
-               isnan(r2) AS n2,
-               isinf(r3) AS i3
-        FROM g
-    """,
-    "kql_scalar_fns13": """
-        WITH b AS (
-            SELECT event_id, ts,
-                   CAST(event_id % 9 + 3 AS DOUBLE) AS x,
-                   CAST(event_id % 6 + 5 AS DOUBLE) AS y
-            FROM events WHERE event_id < 300
-        )
-        SELECT event_id,
-               CAST(event_id % 5 + event_id % 3 AS DOUBLE) AS sev,
-               CAST(date_diff('day', DATE '2023-12-31',
-                     CAST(ts AS DATE)
-                     - to_days(CAST(dayofweek(CAST(ts AS DATE)) % 7
-                               AS INTEGER))) // 7 AS BIGINT) AS wk,
-               CAST(date_diff('quarter', DATE '2023-07-04', ts)
-                    AS BIGINT) AS qt,
-               CAST(event_id AS BIGINT) AS tx,
-               round((3 * (10 + x * y) - (3 + x) * (6 + y))
-                     / sqrt((3 * (5 + x * x) - (3 + x) * (3 + x))
-                            * (3 * (20 + y * y) - (6 + y) * (6 + y))),
-                     6) AS pr
-        FROM b
-    """,
-    "kql_scalar_fns12": """
-        WITH b AS (
-            SELECT event_id, event_type, ts,
-                   event_type || event_type AS dbl
-            FROM events WHERE event_id < 400
-        )
-        SELECT event_id,
-               trim('--' || event_type || '--', '-') AS tr,
-               regexp_replace(CAST(event_id AS VARCHAR) || event_type,
-                              '^[0-9]+', '') AS tsx,
-               CAST(length(event_type) AS BIGINT) AS ix,
-               CAST(len(regexp_extract_all(event_type, 'e'))
-                    AS BIGINT) AS cr,
-               CAST(len(list_filter(generate_series(1, length(dbl)),
-                        _i -> substr(dbl, _i, length(event_type))
-                              = event_type)) AS BIGINT) AS cn,
-               CAST(weekofyear(ts) AS BIGINT) AS wy,
-               CAST(dayofyear(ts) AS BIGINT) AS dy,
-               CAST(CAST(ts AS DATE)
-                    - to_days(CAST((dayofweek(CAST(ts AS DATE))) % 7
-                              AS INTEGER)) AS TIMESTAMP)
-                   + INTERVAL 7 DAY AS sw,
-               date_trunc('month', ts) + INTERVAL 1 MONTH AS da,
-               CAST(7 AS DOUBLE) AS ss,
-               CAST(3 AS BIGINT) AS ai,
-               CAST(255 AS BIGINT) AS hx,
-               CAST(floor((0 - event_id) / 7.0) * 7 AS DOUBLE) AS bn
-        FROM b
-    """,
-    "kql_scalar_fns11": """
-        SELECT event_id,
-               event_id AS pid,
-               CAST(event_id AS VARCHAR) AS pc,
-               event_id % 200 = 7 AS m1,
-               event_id % 4 = 2 AS m2,
-               event_id % 20 = 10 AS m3,
-               event_id + 100 AS fd,
-               event_id + 1 AS fe,
-               event_type AS ucs,
-               event_type AS b64,
-               event_type || chr(92) || '.' AS rq
-        FROM events WHERE event_id < 600
-    """,
-    "kql_scalar_fns10": """
-        SELECT event_id,
-               ROUND(1.5 * CAST(event_id % 5 + 1 AS DOUBLE)
-                     + CAST(event_id % 7 + 1 AS DOUBLE), 6) AS iir,
-               ascii(substr(event_type, 1, 1))::BIGINT AS b0,
-               CAST(list_aggregate(list_transform(
-                   string_split(event_type, ''), c -> ascii(c)),
-                   'sum') AS DOUBLE) AS bsum,
-               ROUND((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
-                     / CAST(3600 AS DOUBLE), 6) AS hrs,
-               ROUND(gamma(CAST(event_id % 8 + 1 AS DOUBLE)), 4) AS g,
-               ROUND(lgamma(CAST(event_id % 8 + 1 AS DOUBLE) + 0.25),
-                     6) AS lg,
-               CASE WHEN CAST(event_id % 5 + 1 AS DOUBLE)
-                         <= CAST(event_id % 7 + 1 AS DOUBLE)
-                    THEN 0 ELSE 1 END AS sidx,
-               ROUND(sqrt(
-                   (CAST(event_id % 5 + 1 AS DOUBLE)
-                    * CAST(event_id % 5 + 1 AS DOUBLE)
-                    + CAST(event_id % 7 + 1 AS DOUBLE)
-                    * CAST(event_id % 7 + 1 AS DOUBLE)) / 2
-                   - ((CAST(event_id % 5 + 1 AS DOUBLE)
-                       + CAST(event_id % 7 + 1 AS DOUBLE)) / 2)
-                   * ((CAST(event_id % 5 + 1 AS DOUBLE)
-                       + CAST(event_id % 7 + 1 AS DOUBLE)) / 2)
-               ), 6) AS ssdev
-        FROM events WHERE event_id < 500
-    """,
-    "kql_idioms4": """
-        WITH hv AS (SELECT user_id FROM events WHERE value > 90),
-        base AS (
-            SELECT * FROM events
-            WHERE event_id < 3000
-              AND user_id IN (SELECT user_id FROM hv)
-              AND lower(event_type) IN (
-                  SELECT lower(upper(event_type)) FROM events
-                  WHERE value > 95)
-        ),
-        ex AS (
-            SELECT ts, event_type,
-                   '{"x":"' || (event_id % 5) || '"}' AS b FROM base
-            UNION ALL
-            SELECT ts, event_type,
-                   '{"y":"' || event_type || '"}' AS b FROM base
-        )
-        SELECT date_trunc('day', ts) AS d8,
-               b,
-               'p-' || event_type || '-q' AS s,
-               COUNT(*)::BIGINT AS n,
-               (SELECT COUNT(*) FROM hv)::BIGINT AS hvn
-        FROM ex GROUP BY 1, 2, 3
-    """,
-    "kql_bracket_cols": """
-        SELECT event_type AS "the type",
-               ROUND(SUM(value * 2), 4) AS "sum 2v",
-               COUNT(*)::BIGINT AS "n rows"
-        FROM events
-        WHERE event_id < 4000 AND value * 2 > 1
-        GROUP BY event_type
-        ORDER BY 1
-    """,
-    "kql_schema_merge": """
-        SELECT 'event_id' AS ColumnName,
-               CAST(0 AS INTEGER) AS ColumnOrdinal,
-               'bigint' AS DataType, 'long' AS ColumnType
-        UNION ALL
-        SELECT 'v', 1, 'dynamic', 'dynamic'
-        UNION ALL
-        SELECT 'event_type', 2, 'string', 'string'
-    """,
-    "kql_series_elem": """
-        WITH b AS (
-            SELECT event_id,
-                   CAST(event_id % 7 AS DOUBLE) AS x1,
-                   CAST(event_id % 5 + 1 AS DOUBLE) AS x2,
-                   CAST(event_id % 3 + 1 AS DOUBLE) AS y1,
-                   CAST(event_id % 4 + 2 AS DOUBLE) AS y2
-            FROM events WHERE event_id < 500
-        )
-        SELECT event_id,
-               abs(x1 - CAST(3 AS DOUBLE))
-                   + abs(x2 - CAST(3 AS DOUBLE)) AS sab,
-               round(ln(x1 + CAST(1 AS DOUBLE))
-                     + ln(x2 + CAST(1 AS DOUBLE)), 6) AS slg,
-               pow(x1, CAST(2 AS DOUBLE))
-                   + pow(x2, CAST(2 AS DOUBLE)) AS spw,
-               CAST(x1 > CAST(3 AS DOUBLE) AS VARCHAR) AS g0,
-               CAST(x2 = CAST(3 AS DOUBLE) AS VARCHAR) AS eq1,
-               '01:02:03' AS mts,
-               x1 * y1 + x2 * y2 AS dp,
-               round((x1 * y1 + x2 * y2)
-                     / (sqrt(x1 * x1 + x2 * x2)
-                        * sqrt(y1 * y1 + y2 * y2)), 6) AS cs
-        FROM b
-    """,
-    "kql_agg_composite": """
-        SELECT event_type,
-               round(CAST(100 AS DOUBLE)
-                     * count(*) FILTER (value > 50) / count(*), 2)
-                   AS pct,
-               max(value) - min(value) AS spread,
-               CAST(count(DISTINCT user_id) AS DOUBLE) / count(*)
-                   AS ratio,
-               round(sum(round(value * 100)) / count(*), 2)
-                   AS cents_avg,
-               quantile_disc(value, 0.50) FILTER (value > 50) AS pif
-        FROM events WHERE event_id < 3000
-        GROUP BY event_type
-    """,
-    "kql_idioms2": """
-        WITH f AS (
-            SELECT user_id, ts,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT)
-                       AS k
-            FROM events
-            WHERE ts BETWEEN TIMESTAMP '2024-01-01'
-                  AND TIMESTAMP '2024-01-01' + INTERVAL '432000' SECOND
-              AND user_id IN (SELECT user_id FROM events
-                              WHERE value > 99)
-        ), x AS (
-            SELECT user_id, k,
-                   CAST(CAST(ts AS DATE)
-                        - CAST(dayofweek(ts) AS INTEGER)
-                        AS TIMESTAMP)
-                   + INTERVAL 7 DAY - INTERVAL 1 MICROSECOND AS eow
-            FROM f
-        )
-        SELECT user_id, 2 * count(*) AS n,
-               CAST(SUM(2 * k + 1) AS BIGINT) AS ks,
-               max(eow) AS mx
-        FROM x GROUP BY user_id
-    """,
-    "kql_rolling_percentile": """
-        WITH b AS (
-            SELECT event_type,
-                   CAST(round(value * 100) AS BIGINT) AS cents,
-                   date_trunc('day', ts) AS rb
-            FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01'
-              AND ts < TIMESTAMP '2024-01-10'
-        ), bins AS (
-            SELECT DISTINCT event_type, rb FROM b
-        ), j AS (
-            SELECT bins.event_type, bins.rb AS wt, b.cents
-            FROM bins JOIN b ON b.event_type = bins.event_type
-             AND b.rb BETWEEN bins.rb - INTERVAL 2 DAY AND bins.rb
-        ), r AS (
-            SELECT event_type, wt, cents,
-                   row_number() OVER (PARTITION BY event_type, wt
-                                      ORDER BY cents) AS rn,
-                   count(*) OVER (PARTITION BY event_type, wt) AS n
-            FROM j
-        )
-        SELECT event_type, wt AS ts,
-               max(CASE WHEN rn = greatest(1, least(n,
-                   CAST(ceil(50 * n / 100.0) AS BIGINT)))
-                   THEN cents END) AS percentile_cents_50
-        FROM r GROUP BY event_type, wt
-    """,
-    "kql_geo": """
-        WITH p AS (
-            SELECT event_id,
-                   CAST(-122 AS DOUBLE) + (event_id % 100)
-                       * CAST(0.01 AS DOUBLE) AS lon,
-                   CAST(47 AS DOUBLE) + (user_id % 90)
-                       * CAST(0.01 AS DOUBLE) AS lat
-            FROM events WHERE event_id < 2000
-        ), d AS (
-            SELECT event_id,
-                   (2 * CAST(6371000 AS DOUBLE) * asin(sqrt(
-                    pow(sin((radians(CAST(47.6 AS DOUBLE))
-                             - radians(lat)) / 2), 2)
-                    + cos(radians(lat))
-                      * cos(radians(CAST(47.6 AS DOUBLE)))
-                      * pow(sin((radians(CAST(-122.3 AS DOUBLE))
-                                 - radians(lon)) / 2), 2))))
-                   AS dist
-            FROM p
-        )
-        SELECT event_id, round(dist, 3) AS d,
-               dist <= 50000 AS inc
-        FROM d
-    """,
-    "kql_graph_all": """
-        WITH RECURSIVE edges(src, dst) AS (
-            VALUES ('a','b'), ('b','d'), ('a','c'), ('c','d'),
-                   ('d','e')
-        ), bfs AS (
-            SELECT src AS s, dst AS t, 1 AS len FROM edges
-            UNION ALL
-            SELECT b.s, e.dst, b.len + 1
-            FROM bfs b JOIN edges e ON e.src = b.t
-            WHERE b.len < 4
-        ), mn AS (
-            SELECT s, t, min(len) AS ml FROM bfs WHERE s = 'a'
-            GROUP BY s, t
-        )
-        SELECT b.s, b.t
-        FROM bfs b JOIN mn ON b.s = mn.s AND b.t = mn.t
-                          AND b.len = mn.ml
-    """,
-    "kql_graph_shortest": """
-        WITH RECURSIVE edges(src, dst) AS (
-            VALUES ('a','b'), ('b','c'), ('c','d'), ('a','c'),
-                   ('d','e'), ('b','e')
-        ), bfs AS (
-            SELECT src AS s, dst AS t, 1 AS len FROM edges
-            UNION ALL
-            SELECT b.s, e.dst, b.len + 1
-            FROM bfs b JOIN edges e ON e.src = b.t
-            WHERE b.len < 4
-        )
-        SELECT s, t FROM bfs WHERE s = 'a' GROUP BY s, t
-    """,
-    "kql_tdigest": """
-        WITH b AS (
-            SELECT event_type,
-                   CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events WHERE event_id < 5000
-        ), r AS (
-            SELECT event_type, cents,
-                   row_number() OVER (PARTITION BY event_type
-                                      ORDER BY cents) AS rn,
-                   count(*) OVER (PARTITION BY event_type) AS n
-            FROM b
-        )
-        SELECT event_type,
-               max(CASE WHEN rn = greatest(1, least(n,
-                   CAST(ceil(50 * n / 100.0) AS BIGINT)))
-                   THEN cents END) AS p50,
-               max(CASE WHEN rn = greatest(1, least(n,
-                   CAST(ceil(95 * n / 100.0) AS BIGINT)))
-                   THEN cents END) AS p95,
-               CAST(max(n) AS INTEGER) AS n
-        FROM r GROUP BY event_type
-    """,
-    "kql_union_leading": """
-        SELECT 'A' AS src, event_id, event_type,
-               CAST(NULL AS DOUBLE) AS value
-        FROM events WHERE event_id < 200
-        UNION ALL
-        SELECT 'B', event_id, CAST(NULL AS VARCHAR), value
-        FROM events WHERE event_id >= 200 AND event_id < 400
-    """,
-    "kql_search_leading": """
-        SELECT 'nation' AS source_, n_nationkey, n_name, n_regionkey,
-               CAST(NULL AS INTEGER) AS r_regionkey,
-               CAST(NULL AS VARCHAR) AS r_name
-        FROM nation WHERE contains(lower(n_name), 'ia')
-        UNION ALL
-        SELECT 'region', CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
-               CAST(NULL AS INTEGER), r_regionkey, r_name
-        FROM region WHERE contains(lower(r_name), 'ia')
-    """,
-    "kql_scan_match_id": """
-        WITH RECURSIVE ranked AS (
-            SELECT user_id, event_id,
-                   (event_type = 'view') AS c1,
-                   (event_type = 'purchase') AS c2,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rn
-            FROM events WHERE user_id < 200
-        ), rec AS (
-            SELECT user_id, 0 AS rn, 0 AS p,
-                   CAST(NULL AS BIGINT) AS event_id,
-                   FALSE AS emitted, 0 AS cnt
-            FROM (SELECT DISTINCT user_id FROM ranked)
-            UNION ALL
-            SELECT r.user_id, r.rn,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        ELSE r.c2 END, FALSE)
-                        THEN (rec.p + 1) % 2 ELSE rec.p END,
-                   r.event_id,
-                   coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        ELSE r.c2 END, FALSE),
-                   rec.cnt + CASE WHEN coalesce(CASE rec.p
-                        WHEN 0 THEN r.c1 ELSE r.c2 END, FALSE)
-                        THEN 1 ELSE 0 END
-            FROM rec JOIN ranked r
-              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
-        )
-        SELECT user_id, CAST((cnt - 1) // 2 AS BIGINT) AS mid,
-               count(*) AS steps, max(event_id) AS last_event
-        FROM rec WHERE emitted
-        GROUP BY user_id, (cnt - 1) // 2
-    """,
-    "kql_hash": """
-        SELECT CAST(10 AS BIGINT) AS residues10,
-               CAST(0 AS BIGINT) AS lo10,
-               CAST(9 AS BIGINT) AS hi10,
-               CAST(100 AS BIGINT) AS residues100,
-               CAST(0 AS BIGINT) AS lo100,
-               CAST(99 AS BIGINT) AS hi100,
-               count(*) AS n
-        FROM events
-    """,
-    "kql_diffpatterns_text": """
-        WITH base AS (
-            SELECT lang,
-                   unnest(list_distinct(list_filter(
-                       string_split_regex(lower(text), '\\s+'),
-                       _t -> _t != ''))) AS Pattern
-            FROM documents WHERE lang IN ('en', 'de')
-        ), tot AS (
-            SELECT SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                       ::BIGINT AS ta,
-                   SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
-                       ::BIGINT AS tb
-            FROM documents WHERE lang IN ('en', 'de')
-        ), c AS (
-            SELECT Pattern,
-                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
-                       ::BIGINT AS CountA,
-                   SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)
-                       ::BIGINT AS CountB
-            FROM base GROUP BY Pattern
-        ), p AS (
-            SELECT Pattern, CountA, CountB,
-                   round(CAST(100 AS DOUBLE) * CountA / ta, 2)
-                       AS PercentA,
-                   round(CAST(100 AS DOUBLE) * CountB / tb, 2)
-                       AS PercentB
-            FROM c CROSS JOIN tot
-            WHERE CountA >= 0.05 * ta OR CountB >= 0.05 * tb
-        )
-        SELECT CAST(row_number() OVER (ORDER BY
-                    abs(PercentA - PercentB) DESC, Pattern ASC) - 1
-                    AS BIGINT) AS SegmentId,
-               Pattern, CountA, CountB, PercentA, PercentB,
-               round(PercentA - PercentB, 2) AS PercentDiffAB
-        FROM p
-    """,
-    "kql_percentilew": """
-        WITH b AS (
-            SELECT event_type, 1.0 * (event_id % 100) AS wv,
-                   CAST(1 + event_id % 5 AS DOUBLE) AS wt
-            FROM events WHERE event_id < 5000
-        ), c AS (
-            SELECT event_type, wv,
-                   SUM(wt) OVER (PARTITION BY event_type
-                       ORDER BY wv, wt
-                       ROWS UNBOUNDED PRECEDING) AS cum,
-                   0.6 * SUM(wt) OVER (PARTITION BY event_type)
-                       AS thr60,
-                   0.9 * SUM(wt) OVER (PARTITION BY event_type)
-                       AS thr90
-            FROM b
-        )
-        SELECT event_type,
-               min(wv) FILTER (WHERE cum >= thr60) AS p60,
-               min(wv) FILTER (WHERE cum >= thr90) AS p90
-        FROM c GROUP BY event_type ORDER BY event_type
-    """,
-    "kql_find": """
-        SELECT 'events' AS source_, event_id,
-               CAST(NULL AS BIGINT) AS doc_id, event_type,
-               CAST(NULL AS VARCHAR) AS lang,
-               CAST(NULL AS BIGINT) AS n_chars
-        FROM events WHERE event_id < 500
-        UNION ALL
-        SELECT 'documents', CAST(NULL AS BIGINT), doc_id,
-               CAST(NULL AS VARCHAR), lang, n_chars
-        FROM documents WHERE doc_id < 50
-    """,
-    "kql_ipv4_lookup": """
-        SELECT event_id,
-               concat(CAST(10 + event_id % 90 AS VARCHAR), '.',
-                      CAST(event_id % 256 AS VARCHAR), '.7.',
-                      CAST(event_id % 100 AS VARCHAR)) AS ip,
-               CASE WHEN 10 + event_id % 90 = 10
-                         AND event_id % 256 = 5 THEN '10.5.0.0/16'
-                    WHEN 10 + event_id % 90 = 10 THEN '10.0.0.0/8'
-                    WHEN 10 + event_id % 90 = 40 THEN '40.0.0.0/8'
-                    END AS network,
-               CASE WHEN 10 + event_id % 90 = 10
-                         AND event_id % 256 = 5 THEN 'tenfive'
-                    WHEN 10 + event_id % 90 = 10 THEN 'ten'
-                    WHEN 10 + event_id % 90 = 40 THEN 'forty'
-                    END AS zone
-        FROM events WHERE event_id < 2000
-    """,
-    "kql_funnel": """
-        WITH ev AS (
-            SELECT user_id, ts, event_type,
-                   TIMESTAMP '2024-01-01 00:00:00'
-                   + to_seconds(CAST(floor(
-                         CAST(epoch_us(ts) - epoch_us(
-                              TIMESTAMP '2024-01-01 00:00:00')
-                              AS DOUBLE) / 604800000000) * 604800
-                     AS BIGINT)) AS fp
-            FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
-              AND ts <= TIMESTAMP '2024-01-29 00:00:00'
-        ), g1 AS (
-            SELECT user_id, fp, MIN(ts) AS t FROM ev
-            WHERE event_type = 'view' GROUP BY user_id, fp
-        ), g2 AS (
-            SELECT g1.user_id, g1.fp, MIN(e.ts) AS t
-            FROM g1 JOIN ev e
-              ON e.user_id = g1.user_id AND e.fp = g1.fp
-            WHERE e.event_type = 'click' AND e.ts > g1.t
-            GROUP BY g1.user_id, g1.fp
-        ), g3 AS (
-            SELECT g2.user_id, g2.fp, MIN(e.ts) AS t
-            FROM g2 JOIN ev e
-              ON e.user_id = g2.user_id AND e.fp = g2.fp
-            WHERE e.event_type = 'purchase' AND e.ts > g2.t
-            GROUP BY g2.user_id, g2.fp
-        )
-        SELECT fp AS ts, 'view' AS event_type,
-               COUNT(*) AS dcount FROM g1 GROUP BY fp
-        UNION ALL
-        SELECT fp, 'click', COUNT(*) FROM g2 GROUP BY fp
-        UNION ALL
-        SELECT fp, 'purchase', COUNT(*) FROM g3 GROUP BY fp
-    """,
-    "kql_row_window_session": """
-        WITH i AS (
-            SELECT event_id, ts,
-                   CASE WHEN LAG(ts) OVER w IS NULL
-                        OR ts - LAG(ts) OVER w
-                           > INTERVAL 1800 SECOND
-                        THEN 1 ELSE 0 END AS chg
-            FROM events WHERE event_id < 3000
-            WINDOW w AS (ORDER BY ts, event_id)
-        )
-        SELECT event_id,
-               MAX(CASE WHEN chg = 1 THEN ts END)
-               OVER (ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING
-                     AND CURRENT ROW) AS s
-        FROM i
-    """,
-    "kql_cohort_retention": """
-        WITH dd AS (
-            SELECT DISTINCT user_id,
-                   TIMESTAMP '2024-01-01 00:00:00'
-                   + to_seconds(CAST(floor(
-                         CAST(epoch_us(ts) - epoch_us(
-                              TIMESTAMP '2024-01-01 00:00:00')
-                              AS DOUBLE) / 604800000000) * 604800
-                     AS BIGINT)) AS p
-            FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
-              AND ts <= TIMESTAMP '2024-01-29 00:00:00'
-        ), firsts AS (
-            SELECT user_id, MIN(p) AS fp FROM dd GROUP BY user_id
-        ), coh AS (
-            SELECT fp, COUNT(*) AS nv FROM firsts GROUP BY fp
-        ), ret AS (
-            SELECT f.fp, d.p, COUNT(*) AS rt
-            FROM firsts f JOIN dd d ON d.user_id = f.user_id
-            GROUP BY f.fp, d.p
-        )
-        SELECT r.fp AS from_ts, r.p AS to_ts,
-               c.nv AS dcount_new_values,
-               r.rt AS dcount_retained_values,
-               CAST(r.rt AS DOUBLE) / c.nv AS retention_rate,
-               CAST(c.nv - r.rt AS DOUBLE) / c.nv AS churn_rate
-        FROM ret r JOIN coh c ON c.fp = r.fp
-    """,
-    "kql_activity_metrics": """
-        WITH dd AS (
-            SELECT DISTINCT user_id,
-                   TIMESTAMP '2024-01-05 00:00:00'
-                   + to_seconds(CAST(floor(
-                         CAST(epoch_us(ts) - epoch_us(
-                              TIMESTAMP '2024-01-05 00:00:00')
-                              AS DOUBLE) / 86400000000) * 86400
-                     AS BIGINT)) AS p
-            FROM events
-            WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
-              AND ts <= TIMESTAMP '2024-01-25 00:00:00'
-        ), cnts AS (
-            SELECT p, COUNT(*) AS dc FROM dd GROUP BY p
-        ), news AS (
-            SELECT fp AS p, COUNT(*) AS nv FROM (
-                SELECT user_id, MIN(p) AS fp FROM dd GROUP BY user_id
-            ) GROUP BY fp
-        ), rets AS (
-            SELECT a.p, COUNT(*) AS rt
-            FROM dd a JOIN dd b
-              ON b.user_id = a.user_id
-             AND b.p = a.p - INTERVAL 86400 SECOND
-            GROUP BY a.p
-        )
-        SELECT c.p AS ts, c.dc AS dcount_values,
-               coalesce(n.nv, CAST(0 AS BIGINT)) AS dcount_newvalues,
-               coalesce(CAST(r.rt AS DOUBLE) / pc.dc,
-                        CAST(0 AS DOUBLE)) AS retention_rate,
-               coalesce(CAST(pc.dc - coalesce(r.rt,
-                        CAST(0 AS BIGINT)) AS DOUBLE) / pc.dc,
-                        CAST(0 AS DOUBLE)) AS churn_rate
-        FROM cnts c
-        LEFT JOIN news n ON n.p = c.p
-        LEFT JOIN cnts pc ON pc.p = c.p - INTERVAL 86400 SECOND
-        LEFT JOIN rets r ON r.p = c.p
-    """,
-    "kql_engagement": """
-        WITH dd AS (
-            SELECT DISTINCT user_id,
-                   TIMESTAMP '2024-01-08 00:00:00'
-                   + to_seconds(CAST(floor(
-                         CAST(epoch_us(ts) - epoch_us(
-                              TIMESTAMP '2024-01-08 00:00:00')
-                              AS DOUBLE) / 86400000000) * 86400
-                     AS BIGINT)) AS p
-            FROM events
-            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
-              AND ts > TIMESTAMP '2024-01-08 00:00:00'
-                  - INTERVAL 604800 SECOND
-        ), b AS (
-            SELECT user_id, p,
-                   unnest(generate_series(p,
-                       p + INTERVAL 518400 SECOND,
-                       INTERVAL 86400 SECOND)) AS wt
-            FROM dd
-        ), g AS (
-            SELECT wt, user_id,
-                   MAX(CASE WHEN p = wt THEN 1 ELSE 0 END) AS mi
-            FROM b
-            WHERE wt BETWEEN TIMESTAMP '2024-01-08 00:00:00'
-                         AND TIMESTAMP '2024-01-25 00:00:00'
-            GROUP BY wt, user_id
-        )
-        SELECT wt AS ts,
-               SUM(mi)::BIGINT AS dcount_activities_inner,
-               COUNT(*) AS dcount_activities_outer,
-               CAST(SUM(mi) AS DOUBLE) / COUNT(*) AS activity_ratio
-        FROM g GROUP BY wt
-    """,
-    "kql_session_count": """
-        WITH f AS (
-            SELECT user_id, ts,
-                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       AS plag
-            FROM events
-            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
-              AND ts > TIMESTAMP '2024-01-05 00:00:00'
-                  - INTERVAL 14400 SECOND
-        ), s AS (
-            SELECT user_id, ts,
-                   SUM(CASE WHEN plag IS NULL
-                       OR ts - plag > INTERVAL 14400 SECOND
-                       THEN 1 ELSE 0 END)
-                   OVER (PARTITION BY user_id ORDER BY ts
-                         ROWS UNBOUNDED PRECEDING) AS sid
-            FROM f
-        ), b AS (
-            SELECT user_id, sid, MIN(ts) AS fts, MAX(ts) AS lts
-            FROM s GROUP BY user_id, sid
-        ), k AS (
-            SELECT GREATEST(CAST(0 AS BIGINT),
-                       CAST(ceil(CAST(epoch_us(fts)
-                           - epoch_us(TIMESTAMP '2024-01-05 00:00:00')
-                           AS DOUBLE) / 86400000000) AS BIGINT)) AS k0,
-                   LEAST(CAST(floor(CAST(epoch_us(lts) + 14400000000
-                           - 1 - epoch_us(
-                               TIMESTAMP '2024-01-05 00:00:00')
-                           AS DOUBLE) / 86400000000) AS BIGINT),
-                       CAST(floor(CAST(epoch_us(
-                               TIMESTAMP '2024-01-25 00:00:00')
-                           - epoch_us(TIMESTAMP '2024-01-05 00:00:00')
-                           AS DOUBLE) / 86400000000) AS BIGINT)) AS ke
-            FROM b
-        ), e AS (
-            SELECT unnest(generate_series(k0, ke)) AS kk
-            FROM k WHERE k0 <= ke
-        )
-        SELECT TIMESTAMP '2024-01-05 00:00:00'
-                   + to_seconds(kk * 86400) AS ts,
-               COUNT(*) AS count_sessions
-        FROM e GROUP BY kk
-    """,
-    "kql_active_users": """
-        WITH dedup AS (
-            SELECT DISTINCT user_id,
-                   TIMESTAMP '2024-01-05 00:00:00'
-                   + to_seconds(CAST(floor(
-                         CAST(epoch_us(ts) - epoch_us(
-                              TIMESTAMP '2024-01-05 00:00:00')
-                              AS DOUBLE) / 86400000000) * 86400
-                     AS BIGINT)) AS p
-            FROM events
-            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
-              AND ts > TIMESTAMP '2024-01-05 00:00:00'
-                  - INTERVAL 345600 SECOND
-        ), b AS (
-            SELECT user_id, p,
-                   unnest(generate_series(p,
-                       p + INTERVAL 259200 SECOND,
-                       INTERVAL 86400 SECOND)) AS wt
-            FROM dedup
-        ), h AS (
-            SELECT wt, user_id
-            FROM b
-            WHERE wt BETWEEN TIMESTAMP '2024-01-05 00:00:00'
-                         AND TIMESTAMP '2024-01-25 00:00:00'
-            GROUP BY wt, user_id
-            HAVING COUNT(DISTINCT p) >= 2
-        )
-        SELECT wt AS ts, COUNT(*) AS dcount_user_id
-        FROM h GROUP BY wt
-    """,
-    "kql_sliding_window": """
-        WITH ev AS (
-            SELECT user_id,
-                   TIMESTAMP '2024-01-05 00:00:00'
-                   + to_seconds(CAST(floor(
-                         CAST(epoch_us(ts) - epoch_us(
-                              TIMESTAMP '2024-01-05 00:00:00')
-                              AS DOUBLE) / 86400000000) * 86400
-                     AS BIGINT)) AS e
-            FROM events
-            WHERE ts <= TIMESTAMP '2024-01-25 00:00:00'
-              AND ts > TIMESTAMP '2024-01-05 00:00:00'
-                  - INTERVAL 259200 SECOND
-        ), b AS (
-            SELECT user_id,
-                   unnest(generate_series(e,
-                       e + INTERVAL 172800 SECOND,
-                       INTERVAL 86400 SECOND)) AS wt
-            FROM ev
-        )
-        SELECT wt AS ts, COUNT(*) AS Count,
-               COUNT(DISTINCT user_id) AS Dcount
-        FROM b
-        WHERE wt BETWEEN TIMESTAMP '2024-01-05 00:00:00'
-                     AND TIMESTAMP '2024-01-25 00:00:00'
-        GROUP BY wt
-    """,
-    "kql_rows_near": """
-        SELECT event_id, event_type, value FROM (
-            SELECT event_id, event_type, value,
-                   MAX(CASE WHEN event_type = 'purchase'
-                       AND value > 90 THEN 1 ELSE 0 END)
-                   OVER (ORDER BY event_id
-                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
-                       AS near
-            FROM events WHERE event_id < 3000
-        ) WHERE near = 1
-    """,
-    "kql_scan_declare": """
-        WITH RECURSIVE ranked AS (
-            SELECT user_id, event_id, value,
-                   (event_type = 'view') AS c1,
-                   (event_type = 'click') AS c2,
-                   (event_type = 'purchase') AS c3,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rn
-            FROM events
-        ), rec AS (
-            SELECT user_id, 0 AS rn, 0 AS p,
-                   CAST(NULL AS BIGINT) AS event_id,
-                   FALSE AS emitted, 0 AS cnt,
-                   CAST(0 AS DOUBLE) AS sv
-            FROM (SELECT DISTINCT user_id FROM ranked)
-            UNION ALL
-            SELECT r.user_id, r.rn,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE)
-                        THEN (rec.p + 1) % 3 ELSE rec.p END,
-                   r.event_id,
-                   coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE),
-                   rec.cnt + CASE WHEN coalesce(CASE rec.p
-                        WHEN 0 THEN r.c1 WHEN 1 THEN r.c2
-                        ELSE r.c3 END, FALSE) THEN 1 ELSE 0 END,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        WHEN 1 THEN r.c2 ELSE r.c3 END, FALSE)
-                        THEN (CASE WHEN rec.p = 0
-                              THEN CAST(0 AS DOUBLE)
-                              ELSE rec.sv END) + r.value
-                        ELSE rec.sv END
-            FROM rec JOIN ranked r
-              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
-        )
-        SELECT user_id, event_id,
-               CASE (cnt - 1) % 3 WHEN 0 THEN 's1'
-                    WHEN 1 THEN 's2' ELSE 's3' END AS step,
-               CAST((cnt - 1) // 3 AS BIGINT) AS match_id, sv
-        FROM rec WHERE emitted
-    """,
-    "kql_scan_self": """
-        WITH w AS (
-            SELECT user_id, event_id, ts, value,
-                   max(value) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND 1 PRECEDING) AS pmax
-            FROM events
-        ), r AS (
-            SELECT user_id, event_id, ts, value FROM w
-            WHERE pmax IS NULL OR value > pmax
-        )
-        SELECT user_id, event_id,
-               CAST(sum(CAST(round(value * 100) AS BIGINT))
-                    OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-        FROM r
-    """,
-    "kql_scan_state": """
-        WITH RECURSIVE ranked AS (
-            SELECT user_id, event_id, value,
-                   (event_type = 'view') AS c1,
-                   (event_type = 'purchase') AS c2p,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rn
-            FROM events
-        ), rec AS (
-            SELECT user_id, 0 AS rn, 0 AS p,
-                   CAST(NULL AS BIGINT) AS event_id,
-                   FALSE AS emitted, 0 AS cnt,
-                   CAST(NULL AS DOUBLE) AS s1v
-            FROM (SELECT DISTINCT user_id FROM ranked)
-            UNION ALL
-            SELECT r.user_id, r.rn,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        ELSE r.c2p AND r.value > rec.s1v END, FALSE)
-                        THEN (rec.p + 1) % 2 ELSE rec.p END,
-                   r.event_id,
-                   coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        ELSE r.c2p AND r.value > rec.s1v END, FALSE),
-                   rec.cnt + CASE WHEN coalesce(CASE rec.p
-                        WHEN 0 THEN r.c1
-                        ELSE r.c2p AND r.value > rec.s1v END, FALSE)
-                        THEN 1 ELSE 0 END,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.c1
-                        ELSE r.c2p AND r.value > rec.s1v END, FALSE)
-                        THEN CASE WHEN rec.p = 0 THEN r.value
-                             ELSE CAST(NULL AS DOUBLE) END
-                        ELSE rec.s1v END
-            FROM rec JOIN ranked r
-              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
-        )
-        SELECT user_id, event_id,
-               CASE (cnt - 1) % 2 WHEN 0 THEN 's1' ELSE 's2' END AS step,
-               CAST((cnt - 1) // 2 AS BIGINT) AS match_id
-        FROM rec WHERE emitted
-    """,
-    "kql_scan_forward": """
-        WITH RECURSIVE ranked AS (
-            SELECT user_id, event_id, value,
-                   (event_type = 'view') AS isv,
-                   (event_type = 'purchase') AS isp,
-                   row_number() OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS rn
-            FROM events
-        ), rec AS (
-            SELECT user_id, 0 AS rn, 0 AS p,
-                   CAST(NULL AS BIGINT) AS event_id,
-                   FALSE AS emitted, 0 AS cnt,
-                   CAST(NULL AS DOUBLE) AS s2v
-            FROM (SELECT DISTINCT user_id FROM ranked)
-            UNION ALL
-            SELECT r.user_id, r.rn,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.isv
-                        AND (rec.s2v IS NULL OR r.value > rec.s2v)
-                        ELSE r.isp END, FALSE)
-                        THEN (rec.p + 1) % 2 ELSE rec.p END,
-                   r.event_id,
-                   coalesce(CASE rec.p WHEN 0 THEN r.isv
-                        AND (rec.s2v IS NULL OR r.value > rec.s2v)
-                        ELSE r.isp END, FALSE),
-                   rec.cnt + CASE WHEN coalesce(CASE rec.p
-                        WHEN 0 THEN r.isv
-                        AND (rec.s2v IS NULL OR r.value > rec.s2v)
-                        ELSE r.isp END, FALSE)
-                        THEN 1 ELSE 0 END,
-                   CASE WHEN coalesce(CASE rec.p WHEN 0 THEN r.isv
-                        AND (rec.s2v IS NULL OR r.value > rec.s2v)
-                        ELSE r.isp END, FALSE) AND rec.p = 1
-                        THEN r.value ELSE rec.s2v END
-            FROM rec JOIN ranked r
-              ON r.user_id = rec.user_id AND r.rn = rec.rn + 1
-        )
-        SELECT user_id, event_id,
-               CASE (cnt - 1) % 2 WHEN 0 THEN 's1' ELSE 's2' END AS step,
-               CAST((cnt - 1) // 2 AS BIGINT) AS match_id
-        FROM rec WHERE emitted
-    """,
-    "kql_datatable_join": """
-        WITH dt AS (
-            SELECT * FROM (VALUES ('purchase', 2.0), ('view', 1.0))
-                AS t(event_type, w)
-        )
-        SELECT e.event_type, sum(dt.w * round(e.value * 100)) AS score
-        FROM events e JOIN dt USING (event_type)
-        GROUP BY e.event_type
-    """,
-    "kql_search": """
-        SELECT event_type, count(*) AS n FROM events
-        WHERE strpos(lower(event_type), 'purch') > 0
-           OR strpos(lower(props), 'purch') > 0
-        GROUP BY event_type
-    """,
-    "kql_partition_top": """
-        SELECT user_id, event_id, round(value * 100) AS cents
-        FROM (
-            SELECT *, row_number() OVER (PARTITION BY user_id
-                                         ORDER BY event_id DESC) AS rn
-            FROM events
-        ) WHERE rn <= 2
-    """,
-    "kql_print": """
-        SELECT 2 AS x, 'hi' AS print_1,
-               TIMESTAMP '2024-01-02 03:00:00' AS t,
-               CAST(42 AS BIGINT) AS l
-    """,
-    "kql_series_fit_2lines": """
-        WITH f AS (
-            SELECT user_id, date_trunc('day', ts) AS b FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01'
-              AND ts < TIMESTAMP '2024-01-15'
-        ), agg AS (
-            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
-            FROM f GROUP BY 1, 2
-        ), g AS (SELECT DISTINCT user_id FROM f),
-        bins AS (
-            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                   TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS ts
-        ), dense AS (
-            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
-                   CAST(date_diff('day', TIMESTAMP '2024-01-01',
-                        bins.ts) AS DOUBLE) AS x
-            FROM g CROSS JOIN bins
-            LEFT JOIN agg ON agg.user_id = g.user_id
-                         AND agg.b = bins.ts
-        ), cand AS (
-            SELECT user_id, CAST(k AS DOUBLE) AS k
-            FROM g CROSS JOIN (SELECT unnest(generate_series(2, 12))
-                               AS k)
-        ), segs AS (
-            SELECT c.user_id, c.k,
-                CAST(sum(CASE WHEN d.x < c.k THEN 1 ELSE 0 END)
-                     AS DOUBLE) AS ml,
-                sum(CASE WHEN d.x < c.k THEN d.x ELSE 0 END) AS lsx,
-                sum(CASE WHEN d.x < c.k THEN d.x * d.x ELSE 0 END)
-                    AS lsxx,
-                sum(CASE WHEN d.x < c.k THEN d.n ELSE 0 END) AS lsy,
-                sum(CASE WHEN d.x < c.k THEN d.n * d.x ELSE 0 END)
-                    AS lsxy,
-                sum(CASE WHEN d.x < c.k THEN d.n * d.n ELSE 0 END)
-                    AS lsyy,
-                CAST(sum(CASE WHEN d.x >= c.k THEN 1 ELSE 0 END)
-                     AS DOUBLE) AS mr,
-                sum(CASE WHEN d.x >= c.k THEN d.x ELSE 0 END) AS rsx,
-                sum(CASE WHEN d.x >= c.k THEN d.x * d.x ELSE 0 END)
-                    AS rsxx,
-                sum(CASE WHEN d.x >= c.k THEN d.n ELSE 0 END) AS rsy,
-                sum(CASE WHEN d.x >= c.k THEN d.n * d.x ELSE 0 END)
-                    AS rsxy,
-                sum(CASE WHEN d.x >= c.k THEN d.n * d.n ELSE 0 END)
-                    AS rsyy
-            FROM cand c JOIN dense d ON d.user_id = c.user_id
-            GROUP BY c.user_id, c.k
-        ), fits AS (
-            SELECT *,
-                (ml * lsxy - lsx * lsy)
-                    / nullif(ml * lsxx - lsx * lsx, 0) AS bl,
-                (mr * rsxy - rsx * rsy)
-                    / nullif(mr * rsxx - rsx * rsx, 0) AS br
-            FROM segs
-        ), fits2 AS (
-            SELECT *, (lsy - bl * lsx) / ml AS al,
-                      (rsy - br * rsx) / mr AS ar
-            FROM fits
-        ), rss AS (
-            SELECT *,
-                (lsyy - al * lsy - bl * lsxy)
-                    + (rsyy - ar * rsy - br * rsxy) AS rs
-            FROM fits2
-        ), best AS (
-            SELECT *, row_number() OVER (PARTITION BY user_id
-                      ORDER BY rs ASC, k ASC) AS rk
-            FROM rss
-        ), tot AS (
-            SELECT user_id, CAST(count(*) AS DOUBLE) AS cnt,
-                   sum(n) AS sy, sum(n * n) AS syy
-            FROM dense GROUP BY user_id
-        ), lf AS (
-            SELECT b.user_id,
-                   list_reduce(list(
-                       CASE WHEN d.x < b.k
-                            THEN b.al + b.bl * d.x
-                            ELSE b.ar + b.br * d.x END
-                       ORDER BY d.x), (a, v) -> a + v) AS lf_sum
-            FROM best b JOIN dense d ON d.user_id = b.user_id
-            WHERE b.rk = 1 GROUP BY b.user_id, b.k, b.al, b.bl,
-                  b.ar, b.br
-        )
-        SELECT t.user_id, CAST(b.k AS BIGINT) AS sidx,
-               round(1 - (b.rs / t.cnt)
-                     / nullif(t.syy / t.cnt
-                              - (t.sy / t.cnt) * (t.sy / t.cnt), 0),
-                     6) AS rsq,
-               round(t.syy / t.cnt - (t.sy / t.cnt) * (t.sy / t.cnt),
-                     6) AS va,
-               round(b.rs / t.cnt, 6) AS rva,
-               round(l.lf_sum, 6) AS lf_sum
-        FROM tot t
-        JOIN best b ON b.user_id = t.user_id AND b.rk = 1
-        JOIN lf l ON l.user_id = t.user_id
-    """,
-    "kql_series_fit": _DENSE7 + "," + _FIT_SUMS + """
-        , rv AS (
-            -- list_reduce over x-ordered residuals, not sum(): Spark's
-            -- aggregate() folds in array order, and float addition is
-            -- order-sensitive in the last ulp — a group-sum here loses
-            -- bitwise parity (seen: 1/1500 round(,6) boundary hit)
-            SELECT d.user_id,
-                   list_reduce(list(
-                       (d.n - (f.icept + f.slope * d.x))
-                       * (d.n - (f.icept + f.slope * d.x))
-                       ORDER BY d.x), (a, b) -> a + b)
-                       / max(f.cnt) AS rva,
-                   max(f.slope) AS slope, max(f.icept) AS icept,
-                   max(f.va) AS va
-            FROM dense d JOIN fit2 f USING (user_id)
-            GROUP BY d.user_id
-        )
-        SELECT user_id, round(slope, 6) AS slope,
-               round(icept, 6) AS icept,
-               round(1 - rva / nullif(va, 0), 6) AS rsq,
-               round(va, 6) AS va, round(rva, 6) AS rva
-        FROM rv
-    """,
-    "kql_series_stats": _DENSE7 + """
-        , s AS (
-            SELECT user_id, min(n) AS mn, max(n) AS mx,
-                   CAST(count(*) AS DOUBLE) AS cnt,
-                   sum(n) AS sy, sum(n * n) AS syy
-            FROM dense GROUP BY user_id
-        )
-        SELECT s.user_id, s.mn,
-               CAST(min(CASE WHEN d.n = s.mn THEN d.x END) AS BIGINT)
-                   AS mni,
-               s.mx,
-               CAST(min(CASE WHEN d.n = s.mx THEN d.x END) AS BIGINT)
-                   AS mxi,
-               round(s.sy / s.cnt, 6) AS av,
-               round(sqrt(s.syy / s.cnt - (s.sy / s.cnt) * (s.sy / s.cnt)),
-                     6) AS sd
-        FROM dense d JOIN s USING (user_id)
-        GROUP BY s.user_id, s.mn, s.mx, s.sy, s.syy, s.cnt
-    """,
-    "kql_series_outliers": _DENSE7 + """
-        , ranked AS (
-            SELECT user_id, n,
-                   row_number() OVER (PARTITION BY user_id ORDER BY n)
-                       AS rn,
-                   count(*) OVER (PARTITION BY user_id) AS cnt
-            FROM dense
-        ), qs AS (
-            SELECT user_id,
-                   max(CASE WHEN rn = CAST(floor(0.1 * (cnt - 1)) AS INT)
-                       + 1 THEN n END) AS q10,
-                   max(CASE WHEN rn = CAST(floor(0.9 * (cnt - 1)) AS INT)
-                       + 1 THEN n END) AS q90
-            FROM ranked GROUP BY user_id
-        )
-        SELECT d.user_id, d.ts, d.n,
-               round(CASE
-                 WHEN d.n > q.q90 + 1.5 * (q.q90 - q.q10)
-                   THEN (d.n - (q.q90 + 1.5 * (q.q90 - q.q10)))
-                        / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
-                 WHEN d.n < q.q10 - 1.5 * (q.q90 - q.q10)
-                   THEN (d.n - (q.q10 - 1.5 * (q.q90 - q.q10)))
-                        / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
-                 ELSE 0.0 END, 6) AS s
-        FROM dense d JOIN qs q USING (user_id)
-    """,
-    "kql_series_anomalies": """
-        WITH f AS (
-            SELECT user_id, date_trunc('day', ts) AS b FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01'
-              AND ts < TIMESTAMP '2024-01-15'
-        ), agg AS (
-            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
-            FROM f GROUP BY 1, 2
-        ), g AS (SELECT DISTINCT user_id FROM f),
-        bins AS (
-            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                   TIMESTAMP '2024-01-14', INTERVAL 1 DAY)) AS ts
-        ), dense AS (
-            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n,
-                   CAST(date_diff('day', TIMESTAMP '2024-01-01', bins.ts)
-                        AS DOUBLE) AS x
-            FROM g CROSS JOIN bins
-            LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
-        ),
-    """ + _FIT_SUMS + """
-        , det AS (
-            SELECT d.user_id, d.ts, d.n, d.x, f.slope, f.icept,
-                   d.n - (f.icept + f.slope * d.x) AS dt
-            FROM dense d JOIN fit2 f USING (user_id)
-        ), seas AS (
-            SELECT *, avg(dt) OVER (PARTITION BY user_id,
-                                    CAST(x AS INT) % 7) AS sn
-            FROM det
-        ), based AS (
-            SELECT user_id, ts, n,
-                   icept + slope * x + sn AS bl,
-                   n - (icept + slope * x + sn) AS res
-            FROM seas
-        ), ranked AS (
-            SELECT *, row_number() OVER (PARTITION BY user_id
-                                         ORDER BY res) AS rn,
-                   count(*) OVER (PARTITION BY user_id) AS cnt
-            FROM based
-        ), qs AS (
-            SELECT user_id,
-                   max(CASE WHEN rn = CAST(floor(0.1 * (cnt - 1)) AS INT)
-                       + 1 THEN res END) AS q10,
-                   max(CASE WHEN rn = CAST(floor(0.9 * (cnt - 1)) AS INT)
-                       + 1 THEN res END) AS q90
-            FROM ranked GROUP BY user_id
-        ), scored AS (
-            SELECT b.user_id, b.ts, b.n, b.bl,
-                   CASE
-                     WHEN b.res > q.q90 + 1.5 * (q.q90 - q.q10)
-                       THEN (b.res - (q.q90 + 1.5 * (q.q90 - q.q10)))
-                            / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
-                     WHEN b.res < q.q10 - 1.5 * (q.q90 - q.q10)
-                       THEN (b.res - (q.q10 - 1.5 * (q.q90 - q.q10)))
-                            / coalesce(nullif(q.q90 - q.q10, 0), 1.0)
-                     ELSE 0.0 END AS sc
-            FROM based b JOIN qs q USING (user_id)
-        )
-        SELECT user_id, ts, n,
-               CAST(CASE WHEN sc > 0 THEN 1 WHEN sc < 0 THEN -1
-                    ELSE 0 END AS INTEGER) AS an,
-               round(bl, 6) AS b
-        FROM scored
-    """,
-    "kql_make_series_auto": """
-        WITH bounds AS (
-            SELECT date_trunc('day', min(ts)) AS f,
-                   date_trunc('day', max(ts)) AS l
-            FROM events
-        ), agg AS (
-            SELECT user_id, date_trunc('day', ts) AS b,
-                   CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(round(value * 100)) AS DOUBLE) AS s
-            FROM events GROUP BY 1, 2
-        ), g AS (SELECT DISTINCT user_id FROM events),
-        bins AS (
-            SELECT unnest(generate_series((SELECT f FROM bounds),
-                   (SELECT l FROM bounds), INTERVAL 1 DAY)) AS ts
-        )
-        SELECT g.user_id, bins.ts,
-               coalesce(agg.n, 0.0) AS n, coalesce(agg.s, 0.0) AS s
-        FROM g CROSS JOIN bins
-        LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
-    """,
-    "kql_make_series": """
-        WITH f AS (
-            SELECT user_id, date_trunc('day', ts) AS b, value FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
-        ), agg AS (
-            SELECT user_id, b,
-                   CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(round(value * 100)) AS DOUBLE) AS s
-            FROM f GROUP BY 1, 2
-        ), g AS (SELECT DISTINCT user_id FROM f),
-        bins AS (
-            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                   TIMESTAMP '2024-01-07', INTERVAL 1 DAY)) AS ts
-        )
-        SELECT g.user_id, bins.ts,
-               coalesce(agg.n, 0.0) AS n, coalesce(agg.s, 0.0) AS s
-        FROM g CROSS JOIN bins
-        LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
-    """,
-    "kql_series_fns": """
-        WITH f AS (
-            SELECT user_id, date_trunc('day', ts) AS b FROM events
-            WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-05'
-        ), agg AS (
-            SELECT user_id, b, CAST(count(*) AS DOUBLE) AS n
-            FROM f GROUP BY 1, 2
-        ), g AS (SELECT DISTINCT user_id FROM f),
-        bins AS (
-            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                   TIMESTAMP '2024-01-04', INTERVAL 1 DAY)) AS ts
-        ), dense AS (
-            SELECT g.user_id, bins.ts, coalesce(agg.n, 0.0) AS n
-            FROM g CROSS JOIN bins
-            LEFT JOIN agg ON agg.user_id = g.user_id AND agg.b = bins.ts
-        )
-        SELECT user_id, ts, n, n * 2 AS scaled, n - n AS centered,
-               sum(n) OVER (PARTITION BY user_id) AS total,
-               sum(n) OVER (PARTITION BY user_id)
-                   / CAST(4 AS DOUBLE) AS avg_n,
-               max(n) OVER (PARTITION BY user_id) AS hi
-        FROM dense
-    """,
-    "kql_parse_where": """
-        SELECT event_id, regexp_extract(event_type, '^s(.*?)nup', 1) AS mid
-        FROM events WHERE regexp_matches(event_type, '^s(.*?)nup')
-    """,
-    "kql_bag_unpack": """
-        SELECT event_id, json_extract_string(props, '$.k') AS k
-        FROM events
-    """,
-    "kql_join_suffix": """
-        SELECT a.user_id, a.event_id,
-               b.event_id AS event_id1,
-               a.value, b.value AS value1
-        FROM (SELECT * FROM events WHERE event_id < 300) a
-        JOIN (SELECT user_id, event_id, value FROM events
-              WHERE event_id < 500) b
-          ON a.user_id = b.user_id
-        WHERE a.event_id <> b.event_id
-    """,
-    "kql_join_qualified": """
-        SELECT a.event_id, b.event_id AS eid2, b.user_id, a.value
-        FROM events a JOIN events b ON a.event_id = b.event_id
-        WHERE b.event_type = 'purchase'
-    """,
-    "kql_datetime_math": """
-        SELECT event_id,
-               date_trunc('day', ts) AS d,
-               date_diff('day', TIMESTAMP '2024-01-01', ts) AS dd,
-               ts + INTERVAL 2 HOUR AS nxt,
-               year(ts) AS y, month(ts) AS mo, day(ts) AS dom,
-               hour(ts) AS hh, dayofweek(ts) AS dow
-        FROM events
-    """,
-    "kql_percentiles": """
-        SELECT event_type,
-               quantile_disc(value, 0.25) AS percentile_value_25,
-               quantile_disc(value, 0.50) AS percentile_value_50,
-               quantile_disc(value, 0.75) AS percentile_value_75
-        FROM events WHERE event_id < 5000 GROUP BY event_type
-    """,
-    "kql_array_misc": """
-        SELECT event_id,
-               CAST(2 AS INTEGER) AS n, CAST(1 AS BIGINT) AS i,
-               CAST(-1 AS BIGINT) AS missing,
-               CAST(strpos(event_type, 'e') - 1 AS INTEGER) AS p
-        FROM events WHERE event_id < 100
-    """,
-    "kql_make_list": """
-        SELECT user_id,
-               array_to_string(list_sort(list(DISTINCT event_type)), ',')
-                   AS types,
-               count(DISTINCT event_type) AS n
-        FROM events WHERE event_id < 200 GROUP BY user_id
-    """,
-    "kql_range": """
-        SELECT d, CAST(epoch(d) AS BIGINT) AS ep FROM (
-            SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
-                   TIMESTAMP '2024-01-10', INTERVAL 1 DAY)) AS d
-        )
-    """,
-    "kql_top_hitters": """
-        SELECT event_type,
-               sum(round(value * 100)) AS approximate_sum_cents
-        FROM events GROUP BY event_type
-        ORDER BY approximate_sum_cents DESC, event_type ASC LIMIT 3
-    """,
-    "kql_pivot_cols": """
-        WITH c AS (
-            SELECT user_id, event_type,
-                   CAST(round(value * 100) AS BIGINT) AS cents
-            FROM events
-        )
-        SELECT user_id,
-               CAST(sum(CASE WHEN event_type = 'click' THEN cents END)
-                    AS BIGINT) AS click,
-               CAST(sum(CASE WHEN event_type = 'error' THEN cents END)
-                    AS BIGINT) AS error,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents
-                    END) AS BIGINT) AS purchase,
-               CAST(sum(CASE WHEN event_type = 'signup' THEN cents END)
-                    AS BIGINT) AS signup,
-               CAST(sum(CASE WHEN event_type = 'view' THEN cents END)
-                    AS BIGINT) AS view
-        FROM c GROUP BY user_id
-    """,
-    "kql_top_nested_others": """
-        WITH c AS (
-            SELECT event_type,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT))
-                        AS BIGINT) AS s
-            FROM events GROUP BY event_type
-        ), r AS (
-            SELECT *, row_number() OVER (ORDER BY s DESC, event_type)
-                   AS rn
-            FROM c
-        )
-        SELECT event_type, s FROM r WHERE rn <= 2
-        UNION ALL
-        SELECT 'Other', CAST(sum(s) AS BIGINT) FROM r WHERE rn > 2
-    """,
-    "kql_output_schema": """
-        WITH u AS (
-            SELECT user_id,
-                   event_type,
-                   CAST(json_extract_string(props, '$.k') AS BIGINT)
-                       AS k
-            FROM events
-        )
-        SELECT user_id,
-               CAST(sum(CASE WHEN event_type = 'click' THEN k END)
-                    AS BIGINT) AS click,
-               CAST(sum(CASE WHEN event_type = 'error' THEN k END)
-                    AS BIGINT) AS error,
-               CAST(sum(CASE WHEN event_type = 'purchase' THEN k END)
-                    AS BIGINT) AS purchase,
-               CAST(sum(CASE WHEN event_type = 'signup' THEN k END)
-                    AS BIGINT) AS signup,
-               CAST(sum(CASE WHEN event_type = 'view' THEN k END)
-                    AS BIGINT) AS view
-        FROM u GROUP BY user_id
-    """,
-    "kql_pivot": """
-        SELECT user_id,
-               sum(CASE WHEN event_type = 'click' THEN round(value * 100) END) AS click,
-               sum(CASE WHEN event_type = 'error' THEN round(value * 100) END) AS error,
-               sum(CASE WHEN event_type = 'purchase' THEN round(value * 100) END) AS purchase,
-               sum(CASE WHEN event_type = 'signup' THEN round(value * 100) END) AS signup,
-               sum(CASE WHEN event_type = 'view' THEN round(value * 100) END) AS view
-        FROM events GROUP BY user_id
-    """,
-    "kql_getschema": """
-        SELECT * FROM (VALUES
-            ('event_id', 0, 'bigint', 'long'),
-            ('ts', 1, 'timestamp', 'datetime'),
-            ('user_id', 2, 'bigint', 'long'),
-            ('event_type', 3, 'string', 'string'),
-            ('value', 4, 'double', 'real'),
-            ('props', 5, 'string', 'string')
-        ) AS _gs(ColumnName, ColumnOrdinal, DataType, ColumnType)
-    """,
-    "kql_string_fns": """
-        SELECT event_id,
-               string_split(event_type, 'r')[1] AS head,
-               CAST(length(array_to_string(string_split(event_type, 'e'),
-                   '|')) AS INTEGER) AS nparts,
-               replace(event_type, 'e', '3') AS rs,
-               -- overlapping positional scan, mirroring the Spark
-               -- sequence-filter countof
-               CAST(len(list_filter(generate_series(1, length(event_type)),
-                    i -> substr(event_type, i, 1) = 'e')) AS BIGINT)
-                   AS cnt,
-               CAST(user_id AS VARCHAR) || ':' || event_type AS tag
-        FROM events WHERE event_id < 300
-    """,
-    "kql_take": """
-        SELECT event_id, user_id, ts FROM events
-        WHERE event_type = 'view'
-        ORDER BY ts, event_id LIMIT 100
-    """,
-    "kql_count": """
-        SELECT COUNT(*) AS "Count" FROM events
-    """,
-    "kql_summarize": """
-        SELECT event_type,
-               epoch_ms(CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
-                        * 1000) AS ts,
-               COUNT(*) AS n, COUNT(DISTINCT user_id) AS users,
-               SUM(ROUND(value * 100)) / COUNT(*) / 100.0 AS avg_value
-        FROM events WHERE value > 50
-        GROUP BY 1, 2
-    """,
-    "kql_top": """
-        SELECT user_id, COUNT(*) AS n FROM events
-        GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
-    """,
-    "kql_join": """
-        WITH spend AS (
-            SELECT user_id, SUM(ROUND(value * 100)) AS spend_cents
-            FROM events WHERE event_type = 'purchase' GROUP BY user_id),
-        cnt AS (
-            SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id)
-        SELECT user_id, spend_cents, n_events
-        FROM spend JOIN cnt USING (user_id)
-        ORDER BY spend_cents DESC, user_id LIMIT 20
-    """,
-    "kql_join_innerunique": """
-        WITH l AS (
-            SELECT user_id, event_id, round(value * 100) AS cents
-            FROM events WHERE event_type = 'purchase'
-        ), d AS (
-            SELECT user_id, event_id, cents FROM (
-                SELECT *, row_number() OVER (PARTITION BY user_id
-                    ORDER BY user_id, event_id, cents) AS _iu FROM l
-            ) AS _r WHERE _iu = 1
-        ), r AS (
-            SELECT user_id, COUNT(*) AS n_events FROM events
-            GROUP BY user_id
-        )
-        SELECT user_id, event_id, cents, n_events
-        FROM d JOIN r USING (user_id) ORDER BY user_id
-    """,
-    "kql_join_rightsemi": """
-        SELECT user_id, COUNT(*) AS n,
-               SUM(ROUND(value * 100)) AS cents
-        FROM (SELECT user_id, event_id, value FROM events
-              WHERE event_type = 'view') AS v
-        WHERE user_id IN (SELECT user_id FROM events
-                          WHERE event_type = 'purchase')
-        GROUP BY user_id ORDER BY user_id
-    """,
-    "kql_join_rightanti": """
-        SELECT user_id, COUNT(*) AS n
-        FROM (SELECT user_id, event_id FROM events
-              WHERE event_type = 'click') AS c
-        WHERE user_id NOT IN (SELECT user_id FROM events
-                              WHERE event_type = 'purchase'
-                                AND value > 95)
-        GROUP BY user_id ORDER BY user_id
-    """,
-    "kql_mv_expand": """
-        WITH parts AS (
-            SELECT event_id, unnest(string_split(props, ' ')) AS parts
-            FROM events)
-        SELECT parts, COUNT(*) AS n FROM parts GROUP BY parts
-        ORDER BY n DESC, parts LIMIT 50
-    """,
-    "kql_union_rename": """
-        SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT uid) AS users
-        FROM (
-            SELECT user_id AS uid, event_type, value FROM events
-            WHERE event_type IN ('view', 'click')
-              AND value BETWEEN 80 AND 100
-            UNION ALL
-            SELECT user_id, event_type, value FROM events
-            WHERE event_type = 'purchase')
-        GROUP BY event_type ORDER BY event_type
-    """,
-    "kql_parse": """
-        SELECT event_type, COUNT(*) AS n,
-               SUM(CAST(props->>'$.k' AS BIGINT))::BIGINT AS sum_k
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    "kql_parse_regex": """
-        WITH b AS (
-            SELECT event_id,
-                   concat('EV-', CAST(event_id AS VARCHAR), ' took ',
-                          CAST(event_id % 97 AS VARCHAR), 'ms on ',
-                          event_type) AS msg
-            FROM events WHERE event_id < 600
-        ), p AS (
-            SELECT event_id,
-                   TRY_CAST(regexp_extract(msg,
-                       '(?i)^ev-(-?[0-9.]+)\\s+TOOK\\s+(-?[0-9.]+)MS ON\\s(.*?)$',
-                       1) AS BIGINT) AS eid,
-                   TRY_CAST(regexp_extract(msg,
-                       '(?i)^ev-(-?[0-9.]+)\\s+TOOK\\s+(-?[0-9.]+)MS ON\\s(.*?)$',
-                       2) AS INTEGER) AS ms,
-                   regexp_extract(msg,
-                       '(?i)^ev-(-?[0-9.]+)\\s+TOOK\\s+(-?[0-9.]+)MS ON\\s(.*?)$',
-                       3) AS host
-            FROM b
-            WHERE regexp_matches(msg,
-                '(?i)^ev-(-?[0-9.]+)\\s+TOOK\\s+(-?[0-9.]+)MS ON\\s(.*?)$')
-        )
-        SELECT event_id, eid, ms, host FROM p WHERE ms >= 0
-    """,
-    "kql_arg_max": """
-        SELECT event_type, max(event_id) AS event_id,
-               arg_max(user_id, event_id) AS user_id,
-               arg_max(value, event_id) AS value
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    "kql_datetime": """
-        SELECT date_trunc('day', ts) AS d, COUNT(*) AS n
-        FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
-        GROUP BY 1 ORDER BY 1
-    """,
-    "kql_top_nested": """
-        WITH l1 AS (
-            SELECT event_type, SUM(ROUND(value * 100)) AS cents
-            FROM events GROUP BY event_type),
-        l1k AS (
-            SELECT event_type, cents FROM (
-                SELECT event_type, cents,
-                       row_number() OVER (ORDER BY cents DESC, event_type)
-                           AS rn
-                FROM l1) WHERE rn <= 3),
-        l2 AS (
-            SELECT event_type, user_id, COUNT(*) AS n
-            FROM events GROUP BY event_type, user_id)
-        SELECT event_type, cents, user_id, n FROM (
-            SELECT l2.event_type, l1k.cents, l2.user_id, l2.n,
-                   row_number() OVER (PARTITION BY l2.event_type
-                                      ORDER BY l2.n DESC, l2.user_id) AS rn2
-            FROM l2 JOIN l1k USING (event_type))
-        WHERE rn2 <= 2
-    """,
-    "kql_mv_apply": """
-        SELECT event_id,
-               len(list_filter(string_split(props, ' '),
-                               p -> length(p) >= 4))::BIGINT AS n,
-               CAST(10 + CASE WHEN event_id >= 8 THEN event_id
-                              ELSE 0 END AS DOUBLE) AS ts
-        FROM events ORDER BY event_id
-    """,
-    "kql_materialize": """
-        SELECT user_id, COUNT(*) AS n, SUM(ROUND(value * 100)) AS cents
-        FROM events WHERE event_type = 'view'
-        GROUP BY user_id ORDER BY user_id
-    """,
-    "kql_serialize": """
-        SELECT event_id, rn, delta_cents, cum_cents FROM (
-            SELECT event_id,
-                   ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
-                   ROUND(value * 100)
-                       - LAG(ROUND(value * 100))
-                             OVER (ORDER BY ts, event_id) AS delta_cents,
-                   SUM(ROUND(value * 100))
-                       OVER (ORDER BY ts, event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                             AND CURRENT ROW) AS cum_cents
-            FROM events WHERE event_id < 500)
-        ORDER BY rn
-    """,
-    "kql_condagg": """
-        SELECT event_type, COUNT(*) AS n,
-               COUNT(*) FILTER (value > 50) AS big,
-               SUM(ROUND(value * 100)) FILTER (value > 50) AS big_cents,
-               COUNT(DISTINCT user_id) FILTER (event_type = 'purchase')
-                   AS buyers,
-               MAX(ROUND(value * 100)) FILTER (value <= 50) AS max_small
-        FROM events GROUP BY event_type ORDER BY event_type
-    """,
-    "kql_case": """
-        SELECT CASE WHEN value < 25 THEN 'low'
-                    WHEN value < 75 THEN 'mid' ELSE 'high' END AS band,
-               upper(substr(event_type, 1, 2)) AS tag,
-               strftime(ts, '%Y-%m-%d') AS day,
-               COUNT(*) AS n
-        FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
-    """,
-    "kql_scalar_fns": """
-        SELECT event_id,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-               event_type || '-' || CAST(event_id AS VARCHAR) AS tag,
-               CASE WHEN value > 50 THEN 'big' ELSE 'small' END AS size_bucket,
-               length(event_type) AS type_len,
-               regexp_extract(props, '([0-9]+)', 1) AS digits
-        FROM events WHERE event_id < 100
-        ORDER BY event_id
-    """,
-}
