@@ -595,12 +595,19 @@ per-label xn-- IDNA form), zlib/gzip base64 ×4 (decompress exact on
 any standard stream incl. ADX-produced ones; compress
 roundtrip-exact, deflate bytes compressor-specific — documented;
 gzip deterministic via mtime=0), and ipv4_range_to_cidr_list
-(stdlib minimal CIDR cover, exact). Final census 320/324 ok; the
-remaining FOUR (geo s2/h3 cells — real cell math, no builtin;
-treepath — output contract unverifiable from public docs alone;
-cursor_current — meaningless without ingestion cursors) stay
-UNRESOLVED_ROUTINE: loud at first use, never a silent
-mistranslation, documented here as out of subset.
+(stdlib minimal CIDR cover, exact). The census then extended to the
+TABULAR-OPERATOR index (45 operators) and the evaluate-PLUGIN index
+(23 query-relevant plugins) — final census across all four families
+**386/391 ok (98.7%)**: 1 loud BY DESIGN (`evaluate python` — exec
+of query-supplied code stays opt-in, the reference's
+default-disabled ADX sandbox posture), and 4 documented UNRESOLVED
+(geo s2/h3 cells — real cell math, no builtin; treepath — output
+contract unverifiable from public docs alone; cursor_current —
+meaningless without ingestion cursors): loud at first use, never a
+silent mistranslation. The operator census also found two
+acceptance gaps, both fixed: externaldata URIs and
+diffpatterns/diffpatterns_text labels rejected SINGLE-quoted string
+literals where ADX accepts both quote flavors.
 """
 
 from __future__ import annotations
@@ -9084,10 +9091,16 @@ def _kql_stages_to_sql(
         fmt = (xdata.group(3) or "csv").lower()
         paths = []
         for u in _split_top_level(xdata.group(2)):
-            um = re.match(r'^"((?:[^"\\]|\\.)*)"$', u.strip())
+            # both KQL string-literal quote flavors (round-12 census:
+            # a single-quoted URI was rejected where ADX accepts it)
+            um = re.match(
+                r'^"((?:[^"\\]|\\.)*)"$'
+                r"|^'((?:[^'\\]|\\.)*)'$",
+                u.strip(),
+            )
             if not um:
                 raise ValueError(f"externaldata URI must be quoted: {u!r}")
-            p = um.group(1)
+            p = um.group(1) if um.group(1) is not None else um.group(2)
             if "`" in p or "'" in p:
                 raise ValueError(f"unsupported character in URI: {p!r}")
             paths.append(p)
@@ -12227,10 +12240,13 @@ def _kql_stages_to_sql(
                     f" WHERE Count >= 0.05 * _tot AND ({not_all_null})"
                 )
                 continue
+            # labels accept BOTH KQL string-literal quote flavors
+            # (round-12 census: single-quoted labels were rejected)
+            _DPLIT = r"(\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')"
             dtm = re.match(
                 r"diffpatterns_text\s*\(\s*(\w+)\s*,\s*(\w+)\s*,"
-                r'\s*("(?:[^"\\]|\\.)*")\s*,'
-                r'\s*("(?:[^"\\]|\\.)*")\s*\)\s*$',
+                rf"\s*{_DPLIT}\s*,"
+                rf"\s*{_DPLIT}\s*\)\s*$",
                 body,
                 re.IGNORECASE,
             )
@@ -12282,8 +12298,8 @@ def _kql_stages_to_sql(
                 continue
             dm = re.match(
                 r"diffpatterns\s*\(\s*(\w+)\s*,"
-                r'\s*("(?:[^"\\]|\\.)*")\s*,'
-                r'\s*("(?:[^"\\]|\\.)*")\s*\)\s*$',
+                rf"\s*{_DPLIT}\s*,"
+                rf"\s*{_DPLIT}\s*\)\s*$",
                 body,
                 re.IGNORECASE,
             )

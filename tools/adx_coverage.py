@@ -426,6 +426,138 @@ AGGREGATES: list[tuple[str, str]] = [
 ]
 
 
+# The public ADX TABULAR-OPERATOR index, one representative pipe each
+# (same census semantics: ok / loud / unresolved / error). `render` is
+# a no-op passthrough in ADX's own REST surface; `consume`/`egest` are
+# documented-loud here.
+OPERATORS: list[tuple[str, str]] = [
+    ("as", "cov | as c2 | count"),
+    ("consume", "cov | consume"),
+    ("count-op", "cov | count"),
+    ("datatable", "datatable(x: long) [1, 2] | count"),
+    ("distinct", "cov | distinct s"),
+    ("evaluate", "cov | project s, i | sort by i asc | evaluate narrow()"),
+    ("extend", "cov | extend o = i + 1"),
+    ("externaldata",
+     "externaldata (x: string, y: long) ['/tmp/adx_cov_ext.csv']"
+     " | count"),
+    ("facet", "cov | facet by s"),
+    ("find", "find in (cov) where i > 0 | count"),
+    ("fork", "cov | fork a = (count) b = (summarize m = max(i))"),
+    ("getschema", "cov | getschema"),
+    ("invoke",
+     "let f = (T: (i: long)) { T | count }; cov | project i | invoke f()"),
+    ("join", "cov | join kind=inner (cov | project s) on s | count"),
+    ("lookup", "cov | lookup (cov | summarize m = max(i) by s) on s"),
+    ("make-series",
+     "cov | make-series n = count() on ts from datetime(2024-01-01)"
+     " to datetime(2024-03-01) step 30d"),
+    ("mv-apply",
+     "cov | mv-apply a = arr to typeof(long) on (summarize mx = max(a))"),
+    ("mv-expand", "cov | mv-expand arr"),
+    ("parse", "cov | extend t = strcat('v=', tostring(i))"
+     " | parse t with 'v=' v: long"),
+    ("parse-where", "cov | extend t = strcat('v=', tostring(i))"
+     " | parse-where t with 'v=' v: long"),
+    ("parse-kv",
+     "cov | extend t = strcat('k=', tostring(i), ';x=1')"
+     " | parse-kv t as (k: long) with (pair_delimiter=';',"
+     " kv_delimiter='=')"),
+    ("partition", "cov | partition by s (top 1 by i)"),
+    ("print", "print x = 1"),
+    ("project", "cov | project s, i"),
+    ("project-away", "cov | project-away j"),
+    ("project-keep", "cov | project-keep s, i"),
+    ("project-rename", "cov | project-rename s2 = s"),
+    ("project-reorder", "cov | project-reorder i, s"),
+    ("range-op", "range x from 1 to 5 step 1"),
+    ("reduce", "cov | reduce by s"),
+    ("render", "cov | summarize c = count() by s | render barchart"),
+    ("sample", "cov | sample 1"),
+    ("sample-distinct", "cov | sample-distinct 1 of s"),
+    ("scan",
+     "cov | sort by i asc | scan with (step s1: i >= 0)"),
+    ("search", 'cov | search "abc"'),
+    ("serialize", "cov | sort by i asc | serialize | extend rn = row_number()"),
+    ("sort", "cov | sort by i desc"),
+    ("summarize", "cov | summarize c = count() by s"),
+    ("take", "cov | take 1"),
+    ("top", "cov | top 1 by i"),
+    ("top-nested", "cov | top-nested 1 of s by count()"),
+    ("top-hitters", "cov | top-hitters 1 of s"),
+    ("union", "cov | union cov | count"),
+    ("where", "cov | where i > 0"),
+]
+
+# The public `evaluate` PLUGIN index (query-relevant plugins; the
+# management/ML-sandbox ones that cannot exist outside ADX's service —
+# e.g. cosmosdb_sql_request, ai_embeddings — are not query operators
+# and are out of census scope).
+PLUGINS: list[tuple[str, str]] = [
+    ("autocluster", "cov | evaluate autocluster()"),
+    ("bag_unpack", "cov | project j | evaluate bag_unpack(j)"),
+    ("basket", "cov | evaluate basket()"),
+    ("diffpatterns",
+     "cov | extend cls = iff(b, 'y', 'n')"
+     " | evaluate diffpatterns(cls, 'y', 'n')"),
+    ("diffpatterns_text",
+     "cov | extend cls = iff(b, 'y', 'n')"
+     " | evaluate diffpatterns_text(s, cls, 'y', 'n')"),
+    ("dcount_intersect",
+     "cov | summarize h1 = hll(s), h2 = hll(i)"
+     " | evaluate dcount_intersect(h1, h2)"),
+    ("funnel_sequence",
+     "cov | evaluate funnel_sequence(i, ts, datetime(2024-01-01),"
+     " datetime(2024-03-01), 30d, 60d, s, dynamic(['abc', 'xya']))"),
+    ("funnel_sequence_completion",
+     "cov | evaluate funnel_sequence_completion(i, ts,"
+     " datetime(2024-01-01), datetime(2024-03-01), 30d, s,"
+     " dynamic(['abc', 'xya']))"),
+    ("ipv4_lookup",
+     "let lut = datatable(net: string, lbl: string)"
+     " ['10.0.0.0/8', 'priv'];"
+     " cov | evaluate ipv4_lookup(lut, ip, net)"),
+    ("narrow", "cov | project s, i | sort by i asc | evaluate narrow()"),
+    ("pivot", "cov | evaluate pivot(s, count())"),
+    ("rolling_percentile",
+     "cov | evaluate rolling_percentile(r, 50, ts, 30d, 2)"),
+    ("rows_near",
+     "cov | sort by i asc | evaluate rows_near(b, 1)"),
+    ("schema_merge",
+     "cov | getschema | evaluate schema_merge()"),
+    ("sequence_detect",
+     "cov | extend e1 = s == 'abc', e2 = s == 'xya'"
+     " | evaluate sequence_detect(ts, 30d, 60d, e1, e2, i)"),
+    ("session_count",
+     "cov | evaluate session_count(i, ts, datetime(2024-01-01),"
+     " datetime(2024-03-01), 1d, 7d)"),
+    ("sliding_window_counts",
+     "cov | evaluate sliding_window_counts(i, ts, datetime(2024-01-01),"
+     " datetime(2024-03-01), 7d, 1d)"),
+    ("activity_counts_metrics",
+     "cov | evaluate activity_counts_metrics(i, ts,"
+     " datetime(2024-01-01), datetime(2024-03-01), 30d)"),
+    ("activity_engagement",
+     "cov | evaluate activity_engagement(i, ts, datetime(2024-01-01),"
+     " datetime(2024-03-01), 1d, 7d)"),
+    ("activity_metrics",
+     "cov | evaluate activity_metrics(i, ts, datetime(2024-01-01),"
+     " datetime(2024-03-01), 30d)"),
+    ("new_activity_metrics",
+     "cov | evaluate new_activity_metrics(i, ts, datetime(2024-01-01),"
+     " datetime(2024-03-01), 30d)"),
+    ("active_users_count",
+     "cov | evaluate active_users_count(i, ts, datetime(2024-01-01),"
+     " datetime(2024-03-01), 30d, 30d, 1)"),
+    # `evaluate python` is LOUD BY DESIGN here: exec of query-supplied
+    # code is opt-in via kql(..., enable_python=True) only (the
+    # reference's ADX sandbox is likewise disabled by default), so the
+    # census expects the refusal.
+    ("python",
+     "cov | evaluate python(typeof(i: long), 'result = df[[\'i\']]')"),
+]
+
+
 def main() -> int:
     as_json = "--json" in sys.argv[1:]
     from api_to_parquet_spark.queries.kql import kql
@@ -444,7 +576,8 @@ def main() -> int:
     ).createOrReplaceTempView("cov")
 
     results: dict[str, dict[str, str]] = {}
-    for family, entries in (("scalar", SCALARS), ("agg", AGGREGATES)):
+    for family, entries in (("scalar", SCALARS), ("agg", AGGREGATES),
+                            ("op", OPERATORS), ("plugin", PLUGINS)):
         for name, probe in entries:
             try:
                 kql(spark, probe).collect()
