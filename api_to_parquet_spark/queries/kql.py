@@ -8553,7 +8553,16 @@ def _window_rewrite(expr_sql: str, order_keys: list[str]) -> str:
         f" OVER (ORDER BY {', '.join(order_keys)}"
         " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
     )
-    e = re.sub(r"\brow_number\(\s*\)", f"ROW_NUMBER(){over}", expr_sql)
+    # ADX row_number() returns LONG; Spark's window function returns
+    # INT32, so downstream arithmetic like `rn * 16843009` (the
+    # format_ipv4 idiom) ANSI-overflows where ADX computes — the same
+    # class as the battery-24 array_length/string_size finding, caught
+    # by the round-12 value-parity fuzz. CAST every numbering emission.
+    e = re.sub(
+        r"\brow_number\(\s*\)",
+        f"CAST(ROW_NUMBER(){over} AS BIGINT)",
+        expr_sql,
+    )
 
     def _row_number_start(args: list[str]) -> str:
         # row_number(startingIndex) — ADX numbers from the given start
@@ -8564,7 +8573,7 @@ def _window_rewrite(expr_sql: str, order_keys: list[str]) -> str:
                 "row_number(start, restart) must be a standalone"
                 " extend item (name = row_number(start, restart))"
             )
-        return f"(ROW_NUMBER(){over} + ({args[0]}) - 1)"
+        return f"(CAST(ROW_NUMBER(){over} AS BIGINT) + ({args[0]}) - 1)"
 
     e = _rewrite_fn(e, "row_number", _row_number_start)
     e = _rewrite_fn(e, "prev", lambda args: f"LAG({', '.join(args)}){over}")
@@ -10010,9 +10019,10 @@ def _kql_stages_to_sql(
                     elif c in rnr_items:
                         nm, st, _rst = rnr_items[c]
                         outs.append(
-                            f"(ROW_NUMBER() OVER ("
+                            f"(CAST(ROW_NUMBER() OVER ("
                             f"PARTITION BY _ngrp_{nm}"
                             f" ORDER BY {', '.join(order_keys)})"
+                            f" AS BIGINT)"
                             f" + ({_expr(st)}) - 1) AS {nm}"
                         )
                     else:

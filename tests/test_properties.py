@@ -923,7 +923,7 @@ def _kql_dual_st(draw):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
         dts = sorted(c for c, t in cols.items() if t == "dt")
-        kind = draw(st.integers(0, 26))
+        kind = draw(st.integers(0, 29))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -1370,6 +1370,72 @@ def _kql_dual_st(draw):
                 f" AS _ipt FROM ({sql}) _hi) _hb"
             )
             cols[newc] = "bool"
+        elif kind == 27 and ints:
+            # round-12 advice: tostring of a REAL renders integral
+            # values without the '.0' tail ('3', not '3.0') — the
+            # typeof()-gated trim; quarters keep every value exact in
+            # binary and exercise both trimmed and untrimmed renders
+            c = draw(st.sampled_from(ints))
+            newc = f"tr{next(_uid)}"
+            kqls.append(
+                f"extend {newc} = tostring(abs({c}) % 40 * 1.0 / 4)"
+            )
+            sql = (
+                f"SELECT *, regexp_replace(CAST(abs({c}) % 40 * 1.0"
+                f" / 4 AS VARCHAR), '\\.0$', '') AS {newc}"
+                f" FROM ({sql}) _tr"
+            )
+            cols[newc] = "str"
+        elif kind == 28 and ints:
+            # round-12 verdict item 2: COLUMN-TYPE real-division
+            # evidence — the reals are built in a PRIOR stage so the
+            # dividing stage has no textual todouble/real literal and
+            # the ÷0 guard must fire off the stage-child schema probe
+            # (x/0 -> ±inf, 0/0 -> NaN; denominators 0/2/4 exact)
+            c = draw(st.sampled_from(ints))
+            na, db, newc = (
+                f"na{next(_uid)}", f"db{next(_uid)}", f"rd{next(_uid)}"
+            )
+            kqls.append(
+                f"extend {na} = todouble({c} % 7 - 3),"
+                f" {db} = todouble({c} % 3 * 2)"
+                f" | extend {newc} = {na} / {db}"
+            )
+            sql = (
+                f"SELECT *, CASE WHEN {db} = 0 THEN"
+                f" CASE WHEN {na} > 0 THEN 'Infinity'::DOUBLE"
+                f" WHEN {na} < 0 THEN '-Infinity'::DOUBLE"
+                f" ELSE 'NaN'::DOUBLE END ELSE {na} / {db} END"
+                f" AS {newc} FROM (SELECT *,"
+                f" CAST({c} % 7 - 3 AS DOUBLE) AS {na},"
+                f" CAST({c} % 3 * 2 AS DOUBLE) AS {db}"
+                f" FROM ({sql}) _rd) _rd2"
+            )
+            cols[na] = "float"
+            cols[db] = "float"
+            cols[newc] = "float"
+        elif kind == 29 and ints:
+            # round-12 census: conditional moments stdevif/varianceif
+            # (round(,6) both sides — the kql_agg_fns2 last-ulp rule)
+            s = draw(st.sampled_from(ints))
+            g = draw(st.sampled_from(ints))
+            k = draw(st.integers(2, 6))
+            kqls.append(
+                f"summarize sd0 = stdevif({s}, {s} % 2 == 0),"
+                f" v0 = varianceif({s}, {s} % 2 == 0)"
+                f" by g_ = {g} % {k}"
+                " | project g_, sd_ = round(sd0, 6),"
+                " vr_ = round(v0, 6)"
+            )
+            sql = (
+                f"SELECT {g} % {k} AS g_,"
+                f" ROUND(stddev_samp(CASE WHEN {s} % 2 = 0"
+                f" THEN {s} END), 6) AS sd_,"
+                f" ROUND(var_samp(CASE WHEN {s} % 2 = 0"
+                f" THEN {s} END), 6) AS vr_"
+                f" FROM ({sql}) _cm GROUP BY 1"
+            )
+            cols = {"g_": "int", "sd_": "float", "vr_": "float"}
     return " | ".join(kqls), sql
 
 
