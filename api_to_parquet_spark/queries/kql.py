@@ -4367,11 +4367,11 @@ def _expr(kql_expr: str) -> str:
         # 0-based, -1 missing; 3-arg form searches from a 0-based start
         # via locate() (review finding: start was silently dropped)
         if len(a) == 2:
-            return f"(instr({a[0]}, {a[1]}) - 1)"
+            return f"(CAST(instr({a[0]}, {a[1]}) AS BIGINT) - 1)"
         if len(a) == 3:
             return (
-                f"(locate({a[1]}, {a[0]},"
-                f" CAST({a[2]} AS INT) + 1) - 1)"
+                f"(CAST(locate({a[1]}, {a[0]},"
+                f" CAST({a[2]} AS INT) + 1) AS BIGINT) - 1)"
             )
         if len(a) in (4, 5):
             # 4/5-arg form (probe battery 14): length must be the
@@ -4400,7 +4400,7 @@ def _expr(kql_expr: str) -> str:
                     f"IF(({pos}) = 0, 0,"
                     f" locate({a[1]}, {a[0]}, ({pos}) + 1))"
                 )
-            return f"(({pos}) - 1)"
+            return f"(CAST({pos} AS BIGINT) - 1)"
         raise ValueError(
             f"indexof supports (source, lookup [, start"
             f"[, length, occurrence]]): {a!r}"
@@ -4549,7 +4549,9 @@ def _expr(kql_expr: str) -> str:
         "indexof_regex",
         # 0-based first-match position, -1 when absent (regexp_instr
         # is 1-based with 0-absent — one subtraction aligns both)
-        lambda a: f"(regexp_instr({a[0]}, {a[1]}) - 1)",
+        lambda a: (
+            f"(CAST(regexp_instr({a[0]}, {a[1]}) AS BIGINT) - 1)"
+        ),
     )
 
     def _parse_ipv4_mask_sql(a: list[str]) -> str:
@@ -4623,7 +4625,7 @@ def _expr(kql_expr: str) -> str:
         m1 = _v6masked("_c1", "_pf")
         m2 = _v6masked("_c2", "_pf")
         body = (
-            f"CASE WHEN {m1} < {m2} THEN -1"
+            f"CASE WHEN {m1} < {m2} THEN CAST(-1 AS BIGINT)"
             f" WHEN {m1} > {m2} THEN 1"
             f" WHEN {m1} = {m2} THEN 0 END"
         )
@@ -4872,7 +4874,7 @@ def _expr(kql_expr: str) -> str:
         "ipv4_compare",
         lambda a: (
             f"CAST(sign(({_parse_ipv4_expr(a[0])})"
-            f" - ({_parse_ipv4_expr(a[1])})) AS INT)"
+            f" - ({_parse_ipv4_expr(a[1])})) AS BIGINT)"
         ),
     )
 
@@ -5001,7 +5003,12 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "binary_not", lambda a: f"(~({a[0]}))")
     e = _sub_outside_strings(r"\bbinary_shift_left\(", "shiftleft(", e)
     e = _sub_outside_strings(r"\bbinary_shift_right\(", "shiftright(", e)
-    e = _sub_outside_strings(r"\bbitset_count_ones\(", "bit_count(", e)
+    e = _rewrite_fn(
+        e,
+        "bitset_count_ones",
+        # LONG in ADX (Spark bit_count is INT32)
+        lambda a: f"CAST(bit_count({a[0]}) AS BIGINT)",
+    )
     e = _rewrite_fn(
         e, "exp2", lambda a: f"power(CAST(2 AS DOUBLE), {a[0]})"
     )
@@ -5552,7 +5559,8 @@ def _expr(kql_expr: str) -> str:
         "unicode_codepoints_from_string",
         lambda a: (
             f"transform(sequence(1, char_length({a[0]})),"
-            f" _ucp -> ascii(substring({a[0]}, _ucp, 1)))"
+            f" _ucp -> CAST(ascii(substring({a[0]}, _ucp, 1))"
+            " AS BIGINT))"
         ),
     )
     # round-9 scalar additions: the codepoint/byte-array inverses and
@@ -5652,7 +5660,8 @@ def _expr(kql_expr: str) -> str:
         # number is an internal heuristic). typeof() folds per plan.
         parts = [
             f"(CASE WHEN typeof({x.strip()}) IN ('string') THEN"
-            f" octet_length(coalesce({x.strip()}, '')) ELSE 8 END)"
+            f" CAST(octet_length(coalesce({x.strip()}, ''))"
+            " AS BIGINT) ELSE 8 END)"
             for x in a
         ]
         return "(" + " + ".join(parts) + ")"
@@ -6364,7 +6373,11 @@ def _expr(kql_expr: str) -> str:
             + _json_path_core(e[mm.end() : close], am.group(0))
             + e[am.end() :]
         )
-    e = _sub_outside_strings(r"\bstrlen\(", "length(", e)
+    # strlen is LONG in ADX (length() is INT32 — the
+    # array_length/string_size/row_number overflow class)
+    e = _rewrite_fn(
+        e, "strlen", lambda a: f"CAST(length({a[0]}) AS BIGINT)"
+    )
     e = _sub_outside_strings(r"\bstrcat_array\(", "array_join(", e)
     e = _sub_outside_strings(r"\biff\(", "if(", e)
     e = _sub_outside_strings(r"\biif\(", "if(", e)  # documented alias
@@ -6491,7 +6504,7 @@ def _expr(kql_expr: str) -> str:
         e,
         "strcmp",
         lambda a: (
-            f"(CASE WHEN {a[0]} < {a[1]} THEN -1"
+            f"(CASE WHEN {a[0]} < {a[1]} THEN CAST(-1 AS BIGINT)"
             f" WHEN {a[0]} > {a[1]} THEN 1"
             f" WHEN {a[0]} = {a[1]} THEN 0 END)"
         ),

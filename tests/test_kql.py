@@ -359,8 +359,10 @@ def test_case_substring_scalar_translate():
     sql = kql_to_sql(
         'T | extend b=case(strlen(strcat(x, y)) > 3, "long", "short")'
     )
+    # strlen is LONG in ADX (round-12: the INT32 widening sweep)
     assert (
-        "CASE WHEN length(concat_ws('', string(x), string(y))) > 3" in sql
+        "CASE WHEN CAST(length(concat_ws('', string(x), string(y)))"
+        " AS BIGINT) > 3" in sql
     )
     # ADX substring is 0-based; SQL is 1-based
     sql = kql_to_sql("T | extend h=substring(s, 0, 2)")
