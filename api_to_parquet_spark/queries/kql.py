@@ -598,13 +598,19 @@ gzip deterministic via mtime=0), and ipv4_range_to_cidr_list
 (stdlib minimal CIDR cover, exact). The census then extended to the
 TABULAR-OPERATOR index (45 operators) and the evaluate-PLUGIN index
 (23 query-relevant plugins) — final census across all four families
-**386/391 ok (98.7%)**: 1 loud BY DESIGN (`evaluate python` — exec
+**388/392 ok (99.0%)**: 2 loud BY DESIGN (`evaluate python` — exec
 of query-supplied code stays opt-in, the reference's
-default-disabled ADX sandbox posture), and 4 documented UNRESOLVED
-(geo s2/h3 cells — real cell math, no builtin; treepath — output
-contract unverifiable from public docs alone; cursor_current —
-meaningless without ingestion cursors): loud at first use, never a
-silent mistranslation. The operator census also found two
+default-disabled ADX sandbox posture; geo H3 cells — exact indexing
+needs H3's published base-cell tables, and approximated tables would
+be silently wrong where the round-13 S2 cell functions are exact),
+and 2 documented UNRESOLVED (treepath — output contract
+unverifiable from public docs alone; cursor_current — meaningless
+without ingestion cursors): loud at first use, never a silent
+mistranslation. Round 13 closed the former geo-cell gap:
+geo_point_to_s2cell / geo_s2cell_to_central_point are full
+JVM-side Hilbert-curve folds (no UDF), validated against a pure-
+Python S2 reference twin (tests/s2_pyref.py) and oracle-pinned
+(kql_geo2). The operator census also found two
 acceptance gaps, both fixed: externaldata URIs and
 diffpatterns/diffpatterns_text labels rejected SINGLE-quoted string
 literals where ADX accepts both quote flavors.
@@ -977,18 +983,31 @@ def _div_by_interval_expr(e: str) -> str:
 # numerator turns out interval-typed fails analysis with the INTERVAL
 # DATATYPE_MISMATCH, which re-enters kql()'s _TSDIV_COL retry where
 # this guard is disabled — self-healing to round-10 behavior.
-# Residual edges (documented, loud or value-equal): a negative-zero
-# denominator yields sign-by-numerator (IEEE would flip); chains with
-# >2 divisions are skipped (nested-guard text grows 4^k); `%` rides
+# Residual edges (documented, loud or value-equal): `%` rides
 # along un-guarded (ADX real%0 is NaN, still ANSI-loud here).
+# Round-13 closed the former >2-division-chain and one-nesting-level
+# limits (operands match to 3 paren levels; long accumulated
+# numerators bind ONCE via a transform() let so guard text grows
+# linearly, not 4^k) and pinned IEEE -0.0-denominator /
+# NaN-numerator semantics inside the zero branch.
+
+
+def _rdiv_nest(k: int) -> str:
+    """Balanced-paren body regex to k nesting levels (quote-aware;
+    alternatives are first-char disjoint, so no backtracking blowup)."""
+    body = r"[^()']*"
+    for _ in range(k):
+        body = rf"(?:[^()']|'(?:[^'\\]|\\.)*'|\({body}\))*"
+    return body
+
 
 # one operand of a multiplicative chain: a parenthesized balanced
-# expression (one nesting level), or an identifier/number/call (call
-# args allow one nesting level) — the same shape family the timespan
+# expression (to three nesting levels — round-13 widened from one),
+# or an identifier/number/call — the same shape family the timespan
 # division machinery accepts
 _RDIV_OPND_TXT = (
-    r"(?:\((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*\)"
-    r"|[\w.]+(?:\((?:[^()']|'(?:[^'\\]|\\.)*'|\([^()]*\))*\))?)"
+    rf"(?:\({_rdiv_nest(2)}\)"
+    rf"|[\w.]+(?:\({_rdiv_nest(2)}\))?)"
 )
 _RDIV_CHAIN = re.compile(
     rf"(?<![\w.'\")\]]){_RDIV_OPND_TXT}"
@@ -1006,6 +1025,28 @@ _RDIV_IVL = re.compile(
     r"|make_timespan\s*\(.*|time\s*\(.*|ago\s*\(.*)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _rdiv_opnd_real(t: str, schema_reals: frozenset[str]) -> bool:
+    """Is this chain operand PROVABLY real? Exact real literal /
+    todouble / toreal / real-typed column (schema evidence), or —
+    round-13 — a parenthesized ARITHMETIC operand containing a real
+    literal at any depth OUTSIDE call arguments (call spans are
+    stripped first: `(toint(2.5) + 1)` is int-typed in ADX — its
+    swallowed 2.5 must NOT count, or the guard would emit inf where
+    ADX integer division yields null)."""
+    if _RDIV_REAL.match(t) or t in schema_reals:
+        return True
+    if not t.startswith("("):
+        return False
+    bare = _STR_SPAN.sub(" ", t)
+    if re.search(r"\btodouble\s*\(|\btoreal\s*\(", bare):
+        return True
+    prev = None
+    while prev != bare:
+        prev = bare
+        bare = re.sub(r"[\w.]+\([^()]*\)", " ", bare)
+    return bool(re.search(r"\d\.\d|\d[eE]\d", bare))
 
 
 def _rdiv_chain_parts(chain: str) -> tuple[list[str], list[str]]:
@@ -1041,16 +1082,39 @@ def _rdiv_chain_parts(chain: str) -> tuple[list[str], list[str]]:
     return opnds, ops
 
 
+_RDIV_BIND_UID = itertools.count()
+
+
 def _rdiv_guard_one(n: str, d: str) -> str:
     """One guarded division: the ELSE branch keeps the ORIGINAL
     `n / d` text (values and plans on the no-zero path are unchanged);
     only a zero denominator takes the inf/NaN branch. A NULL numerator
-    falls through every WHEN -> NULL, matching ADX null propagation."""
+    falls through every WHEN -> NULL, matching ADX null propagation.
+    IEEE edges pinned round-13: a NEGATIVE-zero denominator flips the
+    infinity sign (x / -0.0 = -inf for x > 0 — -0.0 renders with a
+    leading '-', the only builtin that observes the sign bit of a
+    zero), and a NaN numerator stays NaN. A long accumulated
+    numerator (a >2-division chain's left side) binds ONCE via a
+    1-element transform() so guard text grows linearly, not 4^k —
+    short numerators keep the historical byte-identical emission."""
+    if len(n) > 400:
+        v = f"_dnum{next(_RDIV_BIND_UID)}"
+        return (
+            f"element_at(transform(array({n}), {v} ->"
+            f" {_rdiv_guard_body(v, d)}), 1)"
+        )
+    return _rdiv_guard_body(n, d)
+
+
+def _rdiv_guard_body(n: str, d: str) -> str:
+    dz = f"startswith(string(CAST(({d}) AS DOUBLE)), '-')"
     return (
         f"(CASE WHEN CAST(({d}) AS DOUBLE) = CAST(0 AS DOUBLE)"
-        f" THEN (CASE WHEN ({n}) > 0 THEN CAST('Infinity' AS DOUBLE)"
-        f" WHEN ({n}) < 0 THEN CAST('-Infinity' AS DOUBLE)"
-        f" WHEN ({n}) = 0 THEN CAST('NaN' AS DOUBLE) END)"
+        f" THEN (CASE WHEN isnan(CAST(({n}) AS DOUBLE))"
+        f" OR ({n}) = 0 THEN CAST('NaN' AS DOUBLE)"
+        f" WHEN (({n}) > 0) != {dz} THEN CAST('Infinity' AS DOUBLE)"
+        f" WHEN (({n}) < 0) != {dz} THEN CAST('-Infinity' AS DOUBLE)"
+        f" END)"
         f" ELSE ({n}) / ({d}) END)"
     )
 
@@ -1130,8 +1194,13 @@ def _rdiv_schema_reals(e: str) -> frozenset[str]:
     names of the stage child, probed ONCE, for expressions that divide
     bare identifiers with no textual real evidence. Empty when no
     identifier sits next to a '/', no session/stage is active, or the
-    probe fails — all of which leave the chain ANSI-loud as before."""
-    if not re.search(r"[A-Za-z_]\w*\s*/|/\s*[A-Za-z_]", e):
+    probe fails — all of which leave the chain ANSI-loud as before.
+    String-literal spans are blanked before the '/' pre-gate so
+    literal-only slashes (date patterns 'yyyy/MM/dd', URL/path
+    literals) never pay the Catalyst schema probe (round-13 advice —
+    the 'queries without the idiom never pay the probe' contract)."""
+    bare = _STR_SPAN.sub(lambda m: " " * (m.end() - m.start()), e)
+    if not re.search(r"[A-Za-z_]\w*\s*/|/\s*[A-Za-z_]", bare):
         return frozenset()
     ctx = _ACTIVE_CTX.get()
     child = _STAGE_CHILD.get()
@@ -1158,11 +1227,17 @@ def _real_div_guard(e: str) -> str:
         return e
     # cheap evidence pre-gate: no real literal / todouble / toreal
     # anywhere -> fall back to column-type evidence (one stage-child
-    # schema probe); neither -> no chain can fire, skip entirely
+    # schema probe); neither -> no chain can fire, skip entirely.
+    # When textual evidence exists but no chain OPERAND qualifies
+    # (e.g. `iif(c > 1.5, a / b, 0.0)` — the literal is unrelated to
+    # the division), the loop below falls back to the schema probe
+    # lazily, at most once (round-13).
     schema_reals: frozenset[str] = frozenset()
+    probed = False
     if not re.search(
         r"\d\.\d|\d[eE]\d|\btodouble\s*\(|\btoreal\s*\(", e
     ):
+        probed = True
         schema_reals = _rdiv_schema_reals(e)
         if not schema_reals:
             return e
@@ -1184,14 +1259,21 @@ def _real_div_guard(e: str) -> str:
         if k >= 0 and e[k] in "*/%":
             continue
         opnds, ops = _rdiv_chain_parts(m.group(0))
-        if len(opnds) != len(ops) + 1 or ops.count("/") > 2:
+        # round-13: chains beyond 2 divisions are no longer skipped —
+        # the size-gated transform() binding in _rdiv_guard_one keeps
+        # guard text linear; 8 bounds pathological generated queries
+        if len(opnds) != len(ops) + 1 or ops.count("/") > 8:
             continue
         if any(_RDIV_IVL.match(t) for t in opnds):
             continue
-        if not any(
-            _RDIV_REAL.match(t) or t in schema_reals for t in opnds
-        ):
-            continue
+        if not any(_rdiv_opnd_real(t, schema_reals) for t in opnds):
+            if not probed:
+                probed = True
+                schema_reals = _rdiv_schema_reals(e)
+            if not any(
+                _rdiv_opnd_real(t, schema_reals) for t in opnds
+            ):
+                continue
         cur = opnds[0]
         for op, t in zip(ops, opnds[1:]):
             if op == "/":
@@ -1758,11 +1840,32 @@ def _countof_sql(args: list[str]) -> str:
     )
 
 
+def _render_string_sql(x: str) -> str:
+    """The engine's ONE real→string render, shared by tostring /
+    strcat / strcat_delim so implicit and explicit conversions agree
+    (round-13 advice: strcat(3.0,'x') used bare string() → '3.0x'
+    while tostring(3.0) → '3'). ADX renders integral reals without
+    the decimal tail; the trim is gated on the STATIC column type via
+    typeof() (foldable per plan — string inputs like '1.0' are never
+    touched and the branch costs nothing at runtime). Documented
+    refinement: doubles Spark renders in scientific notation
+    (1.0E15 / 3.0E-5) keep Spark's exponent spelling, which differs
+    from ADX's .NET-style render ('1E+15') — magnitude-extreme reals
+    are a rendering, not value, divergence."""
+    return (
+        f"CASE WHEN typeof({x}) IN ('double', 'float')"
+        f" THEN regexp_replace(string({x}), '\\\\.0$', '')"
+        f" ELSE string({x}) END"
+    )
+
+
 def _strcat_sql(args: list[str]) -> str:
     """ADX strcat() stringifies every arg and treats NULL as empty —
     concat_ws('') skips NULLs, where Spark's concat() would null the
-    whole result."""
-    casted = ", ".join(f"string({a})" for a in args)
+    whole result. Args render via the shared tostring rule
+    (_render_string_sql) so strcat(3.0,'x') == strcat(tostring(3.0),
+    'x')."""
+    casted = ", ".join(_render_string_sql(a) for a in args)
     return f"concat_ws('', {casted})"
 
 
@@ -3005,6 +3108,16 @@ _UA_FAMILIES = (
     ("Yandex Browser", "YaBrowser/", "YaBrowser"),
     ("WeChat", "MicroMessenger/", "MicroMessenger"),
     ("QQ Browser Mobile", "MQQBrowser/", "MQQBrowser"),
+    # round-13 tier 5 (uap-core family names): Chromium shells that
+    # carry their own slash token ahead of Chrome/, plus the
+    # DuckDuckGo iOS/Android shell. Brave's legacy UA carried
+    # "Brave/"; the modern one is deliberately Chrome-identical and
+    # correctly lands in the Chrome family (uap-core does the same).
+    ("Vivaldi", "Vivaldi/", "Vivaldi"),
+    ("Whale", "Whale/", "Whale"),
+    ("Brave", "Brave/", "Brave"),
+    ("Amazon Silk", "Silk/", "Silk"),
+    ("DuckDuckGo Mobile", "DuckDuckGo/", "DuckDuckGo"),
     ("Edge", "Edg/", "Edg"),
     ("Opera", "OPR/", "OPR"),
     ("Samsung Internet", "SamsungBrowser/", "SamsungBrowser"),
@@ -4896,11 +5009,16 @@ def _expr(kql_expr: str) -> str:
         e,
         "strcat_delim",
         # ADX keeps the delimiter around null-as-empty args; concat_ws
-        # SKIPS nulls — coalesce each arg to '' to match ADX
+        # SKIPS nulls — coalesce each arg to '' to match ADX. Args
+        # render via the shared tostring rule (_render_string_sql) so
+        # real args drop the '.0' tail like tostring does.
         lambda a: "concat_ws("
         + a[0].strip()
         + ", "
-        + ", ".join(f"coalesce({x.strip()}, '')" for x in a[1:])
+        + ", ".join(
+            f"coalesce({_render_string_sql(x.strip())}, '')"
+            for x in a[1:]
+        )
         + ")",
     )
     e = _rewrite_fn(
@@ -5144,16 +5262,17 @@ def _expr(kql_expr: str) -> str:
     e = _sub_outside_strings(r"\bdcount_hll\(", "hll_sketch_estimate(", e)
 
     def _hash_xxhash64_sql(a: list[str]) -> str:
-        # ADX hash_xxhash64(value [, seed]) — hash() IS xxhash64 in
-        # ADX, so the 1-arg form is exact parity with the hash() rule
-        # below; a seed folds in as a second hash input (Spark's
-        # xxhash64 seed is fixed — the hash_combine deterministic-
-        # refinement precedent, round-12 census)
+        # ADX hash_xxhash64(value [, mod]) — the optional second arg
+        # is a MODULO ("output value between 0 and mod-1"), exactly
+        # like hash() below, NOT a seed. The old emission fed it as a
+        # second xxhash64 INPUT, silently returning full-range values
+        # that matched neither ADX nor any seeded xxhash64 (round-13
+        # advice). pmod reduces into [0, mod), same as the hash() rule.
         if len(a) == 1:
             return f"xxhash64({a[0]})"
         if len(a) == 2:
-            return f"xxhash64({a[0]}, {a[1]})"
-        raise ValueError(f"hash_xxhash64 needs (value [, seed]): {a!r}")
+            return f"pmod(xxhash64({a[0]}), {a[1]})"
+        raise ValueError(f"hash_xxhash64 needs (value [, mod]): {a!r}")
 
     e = _rewrite_fn(e, "hash_xxhash64", _hash_xxhash64_sql)
 
@@ -5334,6 +5453,226 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(
         e, "geo_geohash_to_central_point", _geo_geohash_central_sql
     )
+
+    # --- S2 cell functions (round-13; the census's implementable
+    # unresolved entries). Publicly-specified S2 scheme (s2geometry.io
+    # cell hierarchy): lat/lng -> unit XYZ -> cube face -> (u,v) ->
+    # quadratic ST -> 30-bit (i,j) -> Hilbert curve position -> 64-bit
+    # unsigned cell id (3 face bits, 60 position bits, lsb level
+    # marker); token = 16-hex with trailing zeros stripped. All
+    # JVM-side builtin arithmetic (one 30-step aggregate() fold, like
+    # the geohash fold above — foldable for literal args, map-side for
+    # columns, no UDF); unsigned-64 overflow avoided by carrying the
+    # id in DECIMAL(38,0) and hex-converting via conv(). The pure-
+    # Python twin (tests/s2_pyref.py) validates this emission over
+    # random points, Hilbert-adjacency, corner/face-center anchors,
+    # and encode(decode(t)) == t roundtrips. Reference parity: the
+    # reference delegates geo functions to ADX (src/main.go:88-116).
+    _S2_IJ2POS = "0,1,3,2, 0,3,1,2, 2,3,1,0, 2,1,3,0"
+    _S2_POS2IJ = "0,1,3,2, 0,2,3,1, 3,2,0,1, 3,1,0,2"
+    _S2_ORI = "1,0,0,3"
+    _S2_POW61 = "2305843009213693952"
+
+    def _geo_s2cell_sql(a: list[str]) -> str:
+        if len(a) not in (2, 3):
+            raise ValueError(
+                f"geo_point_to_s2cell needs (lon, lat [, level]): {a!r}"
+            )
+        lvl = a[2].strip() if len(a) == 3 else "11"
+        if not re.match(r"^\d+$", lvl) or not 0 <= int(lvl) <= 30:
+            raise ValueError(
+                "geo_point_to_s2cell level must be a literal int in"
+                f" 0..30: {lvl!r}"
+            )
+        lsb = 1 << (2 * (30 - int(lvl)))
+        lon = f"(CAST({a[0]} AS DOUBLE))"
+        lat = f"(CAST({a[1]} AS DOUBLE))"
+        # stage 1: unit XYZ + face (ties resolve z over y over x,
+        # matching S2's LargestAbsComponent)
+        xyz = (
+            "named_struct("
+            f"'x', cos(radians({lat})) * cos(radians({lon})),"
+            f" 'y', cos(radians({lat})) * sin(radians({lon})),"
+            f" 'z', sin(radians({lat})))"
+        )
+        face = (
+            "CASE WHEN abs(_s2p.x) > abs(_s2p.y) THEN"
+            " IF(abs(_s2p.x) > abs(_s2p.z),"
+            " IF(_s2p.x >= 0, 0, 3), IF(_s2p.z >= 0, 2, 5))"
+            " ELSE IF(abs(_s2p.y) > abs(_s2p.z),"
+            " IF(_s2p.y >= 0, 1, 4), IF(_s2p.z >= 0, 2, 5)) END"
+        )
+        # stage 2: face (u,v) via the canonical face_uv projections
+        uv = (
+            "named_struct('f', _s2f.f,"
+            " 'u', CASE _s2f.f"
+            " WHEN 0 THEN _s2f.y / _s2f.x WHEN 1 THEN -_s2f.x / _s2f.y"
+            " WHEN 2 THEN -_s2f.x / _s2f.z WHEN 3 THEN _s2f.z / _s2f.x"
+            " WHEN 4 THEN _s2f.z / _s2f.y ELSE -_s2f.y / _s2f.z END,"
+            " 'v', CASE _s2f.f"
+            " WHEN 0 THEN _s2f.z / _s2f.x WHEN 1 THEN _s2f.z / _s2f.y"
+            " WHEN 2 THEN -_s2f.y / _s2f.z WHEN 3 THEN _s2f.y / _s2f.x"
+            " WHEN 4 THEN -_s2f.x / _s2f.y ELSE -_s2f.x / _s2f.z END)"
+        )
+        # quadratic ST then 30-bit ij (clamped floor)
+        st = (
+            lambda c: f"IF(_s2u.{c} >= 0,"
+            f" 0.5 * sqrt(1 + 3 * _s2u.{c}),"
+            f" 1E0 - 0.5 * sqrt(1 - 3 * _s2u.{c}))"
+        )
+        ij = (
+            lambda c: "CAST(least(1073741823, greatest(0,"
+            f" floor(({st(c)}) * 1073741824))) AS BIGINT)"
+        )
+        # stage 3: Hilbert fold — 2 bits/step, orientation-tracked
+        fold = (
+            "aggregate(sequence(29, 0, -1),"
+            " named_struct('p', CAST(0 AS BIGINT), 'o',"
+            " CAST(_s2i.f % 2 AS INT)),"
+            " (_g, _k) -> element_at(transform(array("
+            f"element_at(array({_S2_IJ2POS}), _g.o * 4"
+            " + CAST((shiftright(_s2i.i, _k) % 2) * 2"
+            " + shiftright(_s2i.j, _k) % 2 AS INT) + 1)),"
+            " _q -> named_struct('p', _g.p * 4 + _q,"
+            f" 'o', CAST(_g.o ^ element_at(array({_S2_ORI}),"
+            " _q + 1) AS INT))), 1),"
+            " _g -> _g.p)"
+        )
+        idexpr = (
+            f"CAST(_s2i.f AS DECIMAL(38, 0)) * {_S2_POW61}"
+            f" + CAST({fold} AS DECIMAL(38, 0)) * 2 + 1"
+        )
+        lvladj = (
+            f"element_at(transform(array({idexpr}), _s2l ->"
+            f" _s2l - _s2l % {2 * lsb} + {lsb}), 1)"
+        )
+        return (
+            f"(CASE WHEN {lat} BETWEEN -90 AND 90"
+            f" AND {lon} BETWEEN -180 AND 180 THEN"
+            f" element_at(transform(array({xyz}), _s2p ->"
+            f" element_at(transform(array(named_struct('f', {face},"
+            " 'x', _s2p.x, 'y', _s2p.y, 'z', _s2p.z)), _s2f ->"
+            f" element_at(transform(array({uv}), _s2u ->"
+            " element_at(transform(array(named_struct("
+            f"'f', _s2u.f, 'i', {ij('u')}, 'j', {ij('v')})), _s2i ->"
+            f" regexp_replace(lpad(lower(conv(CAST({lvladj}"
+            " AS STRING), 10, 16)), 16, '0'), '0+$', '')"
+            "), 1)), 1)), 1)), 1) END)"
+        )
+
+    e = _rewrite_fn(e, "geo_point_to_s2cell", _geo_s2cell_sql)
+
+    def _geo_s2cell_central_sql(a: list[str]) -> str:
+        # geo_s2cell_to_central_point(token) — the decode inverse:
+        # token -> unsigned id (DECIMAL) -> face + 60 position bits
+        # (BIGINT — id div 2 < 2^63 always) -> inverse Hilbert fold
+        # -> center (si,ti) with the leaf/parent delta rule -> inverse
+        # quadratic ST -> face XYZ -> lat/lng, as the GeoJSON dynamic
+        # ADX returns. NULL on malformed tokens (bad hex, face > 5,
+        # odd trailing-zero count — the ADX invalid-input contract).
+        if len(a) != 1:
+            raise ValueError(
+                f"geo_s2cell_to_central_point needs (token): {a!r}"
+            )
+        tok = f"(CAST({a[0].strip()} AS STRING))"
+        idv = (
+            f"CAST(conv(rpad(lower({tok}), 16, '0'), 16, 10)"
+            " AS DECIMAL(38, 0))"
+        )
+        # _s2d: f face, b0 trailing bit, pf 60 position bits
+        dec = (
+            f"named_struct('f', CAST(_s2v div {_S2_POW61} AS INT),"
+            " 'b0', CAST(_s2v % 2 AS INT),"
+            " 'pf', CAST((_s2v div 2) % 1152921504606846976"
+            " AS BIGINT))"
+        )
+        walk = (
+            "aggregate(sequence(29, 0, -1),"
+            " named_struct('i', CAST(0 AS BIGINT),"
+            " 'j', CAST(0 AS BIGINT), 'o', CAST(_s2d.f % 2 AS INT)),"
+            " (_g, _k) -> element_at(transform(array("
+            "CAST(shiftright(_s2d.pf, 2 * _k) % 4 AS INT)), _q ->"
+            f" named_struct("
+            f"'i', _g.i + shiftleft(CAST(element_at(array({_S2_POS2IJ}),"
+            " _g.o * 4 + _q + 1) div 2 AS BIGINT), _k),"
+            f" 'j', _g.j + shiftleft(CAST(element_at(array({_S2_POS2IJ}),"
+            " _g.o * 4 + _q + 1) % 2 AS BIGINT), _k),"
+            f" 'o', CAST(_g.o ^ element_at(array({_S2_ORI}),"
+            " _q + 1) AS INT))), 1),"
+            " _g -> named_struct('i', _g.i, 'j', _g.j))"
+        )
+        # center si/ti delta: leaf -> 1; else 2 iff parity(i) differs
+        # from parity(id >> 2) (= pf >> 1)
+        delta = (
+            "IF(_s2d.b0 = 1, 1,"
+            " IF((_s2w.i + (_s2d.pf div 2)) % 2 = 1, 2, 0))"
+        )
+        stc = (
+            lambda w: f"(CAST(2 * _s2w.{w} + {delta} AS DOUBLE)"
+            " / 2147483648E0)"
+        )
+        uvc = (
+            lambda s: f"IF({s} >= 0.5, (4 * {s} * {s} - 1) / 3,"
+            f" (1 - 4 * (1 - {s}) * (1 - {s})) / 3)"
+        )
+        xyz = (
+            "named_struct("
+            "'x', CASE _s2d.f WHEN 0 THEN 1E0 WHEN 1 THEN -_s2c.u"
+            " WHEN 2 THEN -_s2c.u WHEN 3 THEN -1E0 WHEN 4 THEN _s2c.v"
+            " ELSE _s2c.v END,"
+            " 'y', CASE _s2d.f WHEN 0 THEN _s2c.u WHEN 1 THEN 1E0"
+            " WHEN 2 THEN -_s2c.v WHEN 3 THEN -_s2c.v"
+            " WHEN 4 THEN -1E0 ELSE _s2c.u END,"
+            " 'z', CASE _s2d.f WHEN 0 THEN _s2c.v WHEN 1 THEN _s2c.v"
+            " WHEN 2 THEN 1E0 WHEN 3 THEN -_s2c.u WHEN 4 THEN -_s2c.u"
+            " ELSE -1E0 END)"
+        )
+        # trailing-zero validity: leaf (b0=1) ok; else pf's trailing
+        # zeros must be ODD (total even) — lsb of pf is a power of 2,
+        # exactly representable, so log2 is exact
+        tzok = (
+            "(_s2d.b0 = 1 OR (_s2d.pf > 0 AND CAST(round(log2("
+            "CAST(_s2d.pf & -_s2d.pf AS DOUBLE))) AS INT) % 2 = 1))"
+        )
+        return (
+            f"(CASE WHEN {tok} RLIKE '^[0-9a-fA-F]{{1,16}}$'"
+            f" AND {idv} > 0 THEN"
+            f" element_at(transform(array({idv}), _s2v ->"
+            f" element_at(transform(array({dec}), _s2d ->"
+            f" CASE WHEN _s2d.f <= 5 AND {tzok} THEN"
+            f" element_at(transform(array({walk}), _s2w ->"
+            " element_at(transform(array(named_struct("
+            f"'u', {uvc(stc('i'))}, 'v', {uvc(stc('j'))})), _s2c ->"
+            f" element_at(transform(array({xyz}), _s2q ->"
+            " to_json(named_struct('type', 'Point', 'coordinates',"
+            " array(degrees(atan2(_s2q.y, _s2q.x)),"
+            " degrees(atan2(_s2q.z,"
+            " sqrt(_s2q.x * _s2q.x + _s2q.y * _s2q.y))))))"
+            "), 1)), 1)), 1) END), 1)), 1) END)"
+        )
+
+    e = _rewrite_fn(
+        e, "geo_s2cell_to_central_point", _geo_s2cell_central_sql
+    )
+
+    def _geo_h3_loud(a: list[str]) -> str:
+        # H3 cell math stays LOUD-by-design (not silently wrong): an
+        # exact geo_point_to_h3cell needs H3's published base-cell
+        # tables (122 base cells + per-face ijk orientation tables of
+        # precise constants) which are not reproducible from the
+        # algorithm description alone — emitting tokens from
+        # approximated tables would be a silent divergence from ADX.
+        # S2 cells (geo_point_to_s2cell above) are the supported
+        # fixed-grid alternative.
+        raise ValueError(
+            "geo H3 cell functions are out of subset: exact H3"
+            " indexing requires the published H3 base-cell tables;"
+            " use geo_point_to_s2cell / geo_s2cell_to_central_point"
+            " (exact, supported) instead"
+        )
+
+    e = _rewrite_fn(e, "geo_point_to_h3cell", _geo_h3_loud)
+    e = _rewrite_fn(e, "geo_h3cell_to_central_point", _geo_h3_loud)
 
     # convert_*(value, from, to) — the UnitsNet-named unit-conversion
     # family (round-11 probe battery 15). Units must be translate-time
@@ -6416,20 +6755,14 @@ def _expr(kql_expr: str) -> str:
     # ADX tostring NEVER returns null — a null input yields the EMPTY
     # string (long-fuzz finding: tostring(ea_[0][1]) of a no-match
     # extract came back NULL here, '' in ADX; isnull(tostring(x)) is
-    # always false there). For real inputs ADX renders integral
-    # values WITHOUT the decimal tail ('3', not Spark's '3.0' —
-    # round-11 advice, the battery-28 dayofweek/1d label): the trim
-    # is gated on the STATIC column type via typeof() (foldable per
-    # plan, so string inputs like '1.0' are never touched and the
-    # branch costs nothing at runtime).
+    # always false there). Real inputs render via the SHARED
+    # _render_string_sql rule (typeof-gated '.0' trim; also used by
+    # strcat/strcat_delim so implicit and explicit conversions agree;
+    # scientific-notation residual documented there).
     e = _rewrite_fn(
         e,
         "tostring",
-        lambda a: (
-            f"coalesce(CASE WHEN typeof({a[0]}) IN ('double', 'float')"
-            f" THEN regexp_replace(string({a[0]}), '\\\\.0$', '')"
-            f" ELSE string({a[0]}) END, '')"
-        ),
+        lambda a: f"coalesce({_render_string_sql(a[0])}, '')",
     )
     # lenient conversions (ADX to*() yields null on garbage; the
     # function-style casts above are for clean-typed args, these two
@@ -9472,6 +9805,12 @@ def _kql_stages_to_sql(
         "project-keep", "project-reorder", "parse", "parse-where",
         "mv-expand", "mv-apply", "invoke", "serialize",
     )
+    _PART_KEY_GONE = (
+        "partition subpipe: '{key}' is no longer in the schema after"
+        " a summarize that omits it from its by-list (ADX drops the"
+        " key there), but a later stage references it: {ss!r}. Add"
+        " '{key}' to the summarize by-list to keep it."
+    )
 
     def _expand_partition(key: str, sub: str, pos: int) -> list[str]:
         out = []
@@ -9514,22 +9853,36 @@ def _kql_stages_to_sql(
                         f"partition subpipe top needs 'top N by"
                         f" expr [asc|desc]': {ss!r}"
                     )
+                if drop_key and re.search(rf"\b{key}\b", tm.group(2)):
+                    raise ValueError(_PART_KEY_GONE.format(key=key, ss=ss))
                 out.append(
                     f"partition by {key} (top {tm.group(1)} by"
                     f" {tm.group(2)})"
                 )
             elif op0 in ("sort", "order") and j == len(subs) - 1:
+                if drop_key and re.search(rf"\b{key}\b", ss):
+                    raise ValueError(_PART_KEY_GONE.format(key=key, ss=ss))
                 out.append(ss)
             elif op0 in _PART_ROWWISE:
-                if drop_key and (
-                    (op0 in ("project", "project-keep")
-                     and not re.search(rf"\b{key}\b", ss[len(op0):]))
-                    or (op0 == "project-away"
-                        and re.search(rf"\b{key}\b", ss[len(op0):]))
-                ):
-                    # an explicit projection already drops the
-                    # implicitly-added key — nothing left to flush
-                    drop_key = False
+                if drop_key:
+                    refs_key = re.search(rf"\b{key}\b", ss[len(op0):])
+                    if op0 in ("project", "project-keep") and not refs_key:
+                        # an explicit projection already drops the
+                        # implicitly-added key — nothing left to flush
+                        drop_key = False
+                    elif op0 == "project-away" and refs_key:
+                        drop_key = False
+                    elif refs_key:
+                        # ADX's schema after a key-omitting summarize
+                        # does NOT contain the key — a stage that
+                        # references it would be rejected there, and
+                        # silently resolving it against the
+                        # implicitly-added column (then flushing it)
+                        # was a silent divergence (round-12 verdict
+                        # item 2): stay loud instead.
+                        raise ValueError(
+                            _PART_KEY_GONE.format(key=key, ss=ss)
+                        )
                 out.append(ss)
             else:
                 raise ValueError(

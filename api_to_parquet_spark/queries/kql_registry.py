@@ -2041,6 +2041,44 @@ def q_kql_user_agent4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_user_agent5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_user_agent tier 5 (round-13 verdict item 7): Chromium
+    shells with their own slash token — Vivaldi, Whale, legacy Brave,
+    Amazon Silk — plus the DuckDuckGo iOS shell, each preceding the
+    Chrome/ family per the uap-core marker-precedence rule; a plain
+    Chrome control guards against over-matching. The oracle derives
+    expected (family, major, minor) per case independently from the
+    uap-core rules. All map-side regex, no UDF, no shuffle."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 600"
+        " | extend ua = case("
+        " event_id % 6 == 0, 'Mozilla/5.0 (Windows NT 10.0; Win64;"
+        " x64) AppleWebKit/537.36 Chrome/120.0.0.0 Safari/537.36"
+        " Vivaldi/6.5.3206.48',"
+        " event_id % 6 == 1, 'Mozilla/5.0 (Windows NT 10.0; Win64;"
+        " x64) AppleWebKit/537.36 Chrome/116.0.0.0 Whale/3.22.205.18"
+        " Safari/537.36',"
+        " event_id % 6 == 2, 'Mozilla/5.0 (Linux; Android 7.0;"
+        " SM-G955N Build/NRD90M) AppleWebKit/537.36 Version/4.0"
+        " Chrome/56.0.2924.87 Mobile Safari/537.36 Brave/4.0',"
+        " event_id % 6 == 3, 'Mozilla/5.0 (Linux; Android 9; KFMAWI)"
+        " AppleWebKit/537.36 Silk/94.2.1 like Chrome/94.0.4606.71"
+        " Safari/537.36',"
+        " event_id % 6 == 4, 'Mozilla/5.0 (iPhone; CPU iPhone OS 16_6"
+        " like Mac OS X) AppleWebKit/605.1.15 DuckDuckGo/7"
+        " Safari/605.1.15',"
+        " 'Mozilla/5.0 (Windows NT 10.0; Win64; x64)"
+        " AppleWebKit/537.36 Chrome/118.0.5993.117 Safari/537.36')"
+        " | extend b = parse_user_agent(ua, 'browser')"
+        " | project event_id,"
+        " bfam = tostring(parse_json(b).Browser.Family),"
+        " bmj = tostring(parse_json(b).Browser.MajorVersion),"
+        " bmn = tostring(parse_json(b).Browser.MinorVersion)",
+    )
+
+
 def q_kql_scalar_fns12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-10 scalar batch (probe batteries 8-9): regex-arg trim
     family, indexof/array_index_of START arguments (the latter was
@@ -2593,6 +2631,34 @@ def q_kql_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kql_geo2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 cell functions (round-13, the census's implementable
+    unresolved entries): geo_point_to_s2cell over table-derived
+    coordinates at level 13, value-pinned against the pure-Python S2
+    reference twin (tests/s2_pyref.py — tokens embedded in the oracle
+    as a VALUES join), the decode->re-encode roundtrip asserted
+    per-row Spark-side (oracle emits TRUE), and two literal anchors
+    (face-0 center level 0; the default-level form). The whole chain
+    is ONE map-side projection — two 30-step JVM aggregate() folds,
+    no UDF, no shuffle beyond the final sort."""
+    _events_view(spark, sf_dir)
+    return kql(
+        spark,
+        "events | where event_id < 32"
+        " | extend lon = (event_id * 7.9) % 360.0 - 180.0,"
+        " lat = (event_id * 3.7) % 180.0 - 90.0"
+        " | extend tok = geo_point_to_s2cell(lon, lat, 13)"
+        " | extend cp = parse_json(geo_s2cell_to_central_point(tok))"
+        " | extend rt = geo_point_to_s2cell("
+        "todouble(cp['coordinates'][0]),"
+        " todouble(cp['coordinates'][1]), 13) == tok"
+        " | project event_id, tok, rt,"
+        " anchor0 = geo_point_to_s2cell(0.0, 0.0, 0),"
+        " anchor1 = geo_point_to_s2cell(-80.195829, 25.802215)"
+        " | sort by event_id asc",
+    )
+
+
 def q_kql_graph_shortest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """graph-shortest-paths (round-7, verdict gap): hop-count shortest
     paths from 'a' over an inline edge graph with a shortcut edge (so
@@ -2953,6 +3019,7 @@ QUERIES = {
     "kql_graph_shortest": q_kql_graph_shortest,
     "kql_graph_all": q_kql_graph_all,
     "kql_geo": q_kql_geo,
+    "kql_geo2": q_kql_geo2,
     "kql_activity_counts": q_kql_activity_counts,
     "kql_series_forecast": q_kql_series_forecast,
     "kql_idioms3": q_kql_idioms3,
@@ -2980,6 +3047,7 @@ QUERIES = {
     "kql_user_agent2": q_kql_user_agent2,
     "kql_user_agent3": q_kql_user_agent3,
     "kql_user_agent4": q_kql_user_agent4,
+    "kql_user_agent5": q_kql_user_agent5,
     "kql_schema_merge": q_kql_schema_merge,
     "kql_series_elem": q_kql_series_elem,
     "kql_agg_composite": q_kql_agg_composite,
@@ -4148,6 +4216,23 @@ ORACLE = {
                       WHEN 5 THEN 'Mac' ELSE '' END AS dmd
         FROM u
     """,
+    "kql_user_agent5": """
+        SELECT event_id,
+               CASE event_id % 6
+                    WHEN 0 THEN 'Vivaldi' WHEN 1 THEN 'Whale'
+                    WHEN 2 THEN 'Brave' WHEN 3 THEN 'Amazon Silk'
+                    WHEN 4 THEN 'DuckDuckGo Mobile'
+                    ELSE 'Chrome' END AS bfam,
+               CASE event_id % 6
+                    WHEN 0 THEN '6' WHEN 1 THEN '3' WHEN 2 THEN '4'
+                    WHEN 3 THEN '94' WHEN 4 THEN '7'
+                    ELSE '118' END AS bmj,
+               CASE event_id % 6
+                    WHEN 0 THEN '5' WHEN 1 THEN '22' WHEN 2 THEN '0'
+                    WHEN 3 THEN '2' WHEN 4 THEN ''
+                    ELSE '0' END AS bmn
+        FROM events WHERE event_id < 600
+    """,
     "kql_user_agent4": """
         SELECT event_id,
                CASE event_id % 4
@@ -4876,6 +4961,28 @@ ORACLE = {
                    CAST(ceil(50 * n / 100.0) AS BIGINT)))
                    THEN cents END) AS percentile_cents_50
         FROM r GROUP BY event_type, wt
+    """,
+    "kql_geo2": """
+        -- S2 tokens precomputed by the pure-Python S2 reference twin
+        -- (tests/s2_pyref.py) at level 13 over the same derived
+        -- coordinates; roundtrip + anchors pinned as constants
+        WITH pins(event_id, tok) AS (VALUES
+            (0, 'b0000004'), (1, 'a558d3e4'), (2, 'a565084c'),
+            (3, 'a5750c3c'), (4, 'a5af7b8c'), (5, 'a44c262c'),
+            (6, 'a46a729c'), (7, 'a4744a2c'), (8, 'a391214c'),
+            (9, 'a3a8b3b4'), (10, 'a2fb191c'), (11, 'a2b9cce4'),
+            (12, 'bd5e490c'), (13, '962e296c'), (14, '960ccc14'),
+            (15, '95c779cc'), (16, '95044dd4'), (17, '952ba274'),
+            (18, '00e827dc'), (19, '06cb4f44'), (20, '041fae7c'),
+            (21, '044e4e2c'), (22, '0519702c'), (23, '1ab62fdc'),
+            (24, '1a86cb2c'), (25, '10bcc55c'), (26, '1730916c'),
+            (27, '16febc84'), (28, '16141b64'), (29, '3de1c314'),
+            (30, '3e842164'), (31, '3eb0c4d4'))
+        SELECT e.event_id, p.tok, TRUE AS rt,
+               '1' AS anchor0, '88d9b6c' AS anchor1
+        FROM events e JOIN pins p ON e.event_id = p.event_id
+        WHERE e.event_id < 32
+        ORDER BY e.event_id ASC
     """,
     "kql_geo": """
         WITH p AS (

@@ -30,9 +30,13 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
 
-# session ids that already have the UDFs registered (object id is
-# stable for a live session; a new session re-registers)
-_REGISTERED: set[int] = set()
+# Session-scoped registration marker. A runtime-conf key lives and
+# dies WITH the session object, so a fresh session always
+# re-registers — unlike id(spark), which CPython can recycle after a
+# stopped session is garbage-collected (a new session at a dead
+# session's address would silently skip registration and every codec
+# call would fail with UNRESOLVED_ROUTINE).
+_MARKER_CONF = "spark.api_to_parquet_spark.codecs.registered"
 
 
 def _punycode_enc(s: str) -> str:
@@ -125,8 +129,7 @@ def _str_udf(fn):
 
 def ensure_registered(spark: SparkSession) -> None:
     """Register the codec UDFs on this session (idempotent)."""
-    key = id(spark)
-    if key in _REGISTERED:
+    if spark.conf.get(_MARKER_CONF, None) == "1":
         return
 
     spark.udf.register("kql_py_punycode_enc", _str_udf(_punycode_enc))
@@ -154,7 +157,7 @@ def ensure_registered(spark: SparkSession) -> None:
         )
 
     spark.udf.register("kql_py_cidr_list", _cidr)
-    _REGISTERED.add(key)
+    spark.conf.set(_MARKER_CONF, "1")
 
 
 # (KQL function name, registered SQL name) for the 1-arg codecs

@@ -2454,6 +2454,17 @@ def test_round12_advice_value_checks(spark, sf_smoke):
     ).collect()[0]
     assert r["s"] == "3" and r["t"] == "3.5" and r["u"] == "1.0"
     assert r["v"] == "" and r["w"] == "310" and r["lbl"] == "3"
+    # round-13 advice: strcat/strcat_delim implicit conversions go
+    # through the SAME render rule as tostring — strcat(3.0,'x')
+    # must equal strcat(tostring(3.0),'x')
+    r = kql(
+        spark,
+        "print a = strcat(3.0, 'x'), b = strcat('v', 2.5),"
+        " c = strcat_delim(',', 2.0, 3.5, 'q'),"
+        " d = strcat_delim('-', real(null), 4.0)",
+    ).collect()[0]
+    assert r["a"] == "3x" and r["b"] == "v2.5"
+    assert r["c"] == "2,3.5,q" and r["d"] == "-4"
     with pytest.raises(ValueError, match="literal int"):
         kql(spark, "tbl_x | summarize h = hll(x, y) by z")
     # COLUMN-TYPE real-division evidence (verdict item 2): operands
@@ -2512,6 +2523,9 @@ def test_round12_census_value_checks(spark, sf_smoke):
         " | extend back = base64_decode_toguid(b64),"
         " bad = base64_decode_toguid('aGk='),"
         " hx = hash_xxhash64('x') == hash('x'),"
+        " hm = hash_xxhash64('x', 100) == hash('x', 100),"
+        " hr = hash_xxhash64('x', 100) >= 0"
+        " and hash_xxhash64('x', 100) < 100,"
         " u = strcat_array(to_utf8('hi'), ','),"
         " m = make_string(pack_array(104, 105)),"
         " v6a = ipv6_is_in_any_range('::1', '::1/120', 'fe80::/10'),"
@@ -2524,6 +2538,9 @@ def test_round12_census_value_checks(spark, sf_smoke):
     assert r["b64"] == "3ie+dE4e2Um1ef4LMx02Qg=="
     assert r["back"] == g and r["bad"] is None
     assert r["hx"] is True and r["u"] == "104,105" and r["m"] == "hi"
+    # hash_xxhash64's 2-arg form is a MODULO (same contract as
+    # hash(mod)): in [0, mod), and equal to hash()'s reduction
+    assert r["hm"] is True and r["hr"] is True
     assert r["v6a"] is True and r["v6b"] is False
     assert r["pr"] is True and r["ep"] is True
     r = kql(
@@ -2578,6 +2595,105 @@ def test_round12_codec_value_checks(spark, sf_smoke):
     assert r["cn"] is None
     with pytest.raises(ValueError, match="SparkSession"):
         kql_to_sql("t | extend p = punycode_from_string(s)")
+
+
+def test_codec_registration_is_session_scoped(spark):
+    """A FRESH session must re-register the codec UDFs. Spark's
+    newSession() isolates SQL conf and registered functions, so the
+    registration marker (a runtime-conf key, NOT id(spark) — CPython
+    recycles object ids after GC, which could alias a dead session)
+    must be absent there, and ensure_registered must actually
+    register on it."""
+    from api_to_parquet_spark.queries.py_codecs import (
+        _MARKER_CONF,
+        ensure_registered,
+    )
+
+    ensure_registered(spark)
+    assert spark.conf.get(_MARKER_CONF, None) == "1"
+    fresh = spark.newSession()
+    try:
+        # isolated conf: the marker must NOT leak from the parent
+        assert fresh.conf.get(_MARKER_CONF, None) is None
+        ensure_registered(fresh)
+        assert fresh.conf.get(_MARKER_CONF, None) == "1"
+        got = fresh.sql(
+            "SELECT kql_py_punycode_enc('plain') AS p"
+        ).collect()[0]["p"]
+        assert got == "plain-"
+    finally:
+        # drop the isolated session's state reference; the shared
+        # SparkContext (session-scoped fixture) stays up
+        del fresh
+
+
+def test_round13_div_guard_residual_edges(spark):
+    """Round-13 ÷0 residuals closed: >2-division chains guard every
+    step (the size-gated transform() binding keeps text linear),
+    deep-parenthesized operands with a real literal outside call args
+    count as real evidence, IEEE -0.0 denominators flip the infinity
+    sign, and a NaN numerator over zero stays NaN. An INT-typed
+    operand whose swallowed real literal sits inside a call
+    (`toint(2.5) + 1`) must NOT count — that chain stays ANSI-loud
+    (ADX integer division is a different operation)."""
+    import math
+
+    spark.sql(
+        "SELECT CAST(8 AS DOUBLE) AS a, CAST(2 AS DOUBLE) AS b,"
+        " CAST(0 AS DOUBLE) AS z, CAST('-0.0' AS DOUBLE) AS nz,"
+        " CAST('NaN' AS DOUBLE) AS nn, CAST(4 AS DOUBLE) AS c,"
+        " CAST(0 AS BIGINT) AS i0"
+    ).createOrReplaceTempView("r13_dv")
+    r = kql(
+        spark,
+        "r13_dv | extend r1 = a / b / c / b, r2 = a / b / z,"
+        " r3 = a / nz, r4 = (0.0 - a) / nz, r5 = nn / z,"
+        " r6 = 0.0 / nz, r7 = ((a + (b * c)) / b),"
+        " r8 = ((a + (b * c)) / z), r9 = a / b / z / c / b"
+        " | project r1, r2, r3, r4, r5, r6, r7, r8, r9",
+    ).collect()[0]
+    assert r["r1"] == 0.5 and r["r7"] == 8.0
+    assert r["r2"] == math.inf and r["r8"] == math.inf
+    assert r["r9"] == math.inf
+    assert r["r3"] == -math.inf and r["r4"] == math.inf
+    assert math.isnan(r["r5"]) and math.isnan(r["r6"])
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        kql(
+            spark,
+            "r13_dv | extend x = (toint(2.5) + 1) / i0 | project x",
+        ).collect()
+
+
+def test_rdiv_pregate_masks_string_literals(spark, monkeypatch):
+    """Round-13 advice: the column-type ÷0 pre-gate must not pay a
+    Catalyst schema probe for slashes that live only inside string
+    literals (date patterns, URLs/paths) — the 'queries without the
+    idiom never pay the probe' contract. A bare identifier division
+    still probes."""
+    import api_to_parquet_spark.queries.kql as K
+
+    calls: list[str] = []
+
+    def _counting_afields(s, sql):
+        calls.append(sql)
+        return []
+
+    monkeypatch.setattr(K, "_afields", _counting_afields)
+    tok1 = K._ACTIVE_CTX.set((spark, None))
+    tok2 = K._STAGE_CHILD.set("SELECT 1 AS x")
+    try:
+        for lit_only in (
+            "format_datetime(ts, 'yyyy/MM/dd')",
+            "strcat('http://a/b', name)",
+            'split(p, "/c/d")',
+        ):
+            assert K._rdiv_schema_reals(lit_only) == frozenset()
+        assert calls == []
+        K._rdiv_schema_reals("a / b")
+        assert len(calls) == 1
+    finally:
+        K._ACTIVE_CTX.reset(tok1)
+        K._STAGE_CHILD.reset(tok2)
 
 
 def test_out_of_subset_loud_contract(spark, sf_smoke):

@@ -1155,6 +1155,29 @@ def test_partition_summarize_rewrites_to_grouped_agg(spark, sf_smoke):
         " (summarize n = count() by event_type)",
     )
     assert df2.columns == ["event_type", "n"]
+    # round-12 verdict item 2: referencing the key AFTER a summarize
+    # that omits it must be LOUD — ADX's schema there has no key, so
+    # silently resolving against the implicitly-added column (then
+    # flushing it) was a divergence
+    for bad in (
+        "events | partition by event_type (summarize n = count()"
+        " | extend t = strcat(event_type, '!'))",
+        "events | partition by event_type (summarize n = count()"
+        " | project event_type, n)",
+        "events | partition by event_type (summarize n = count()"
+        " | where event_type != 'x')",
+        "events | partition by event_type (summarize n = count()"
+        " | top 1 by event_type)",
+    ):
+        with pytest.raises(ValueError, match="no longer in the schema"):
+            kql(spark, bad)
+    # but a projection that DROPS it stays fine (documented leniency)
+    df3 = kql(
+        spark,
+        "events | partition by event_type (summarize n = count()"
+        " | project n)",
+    )
+    assert df3.columns == ["n"]
 
 
 def test_scan_greedy_sequence_semantics(spark):

@@ -923,7 +923,7 @@ def _kql_dual_st(draw):
         ints = sorted(c for c, t in cols.items() if t == "int")
         strs = sorted(c for c, t in cols.items() if t == "str")
         dts = sorted(c for c, t in cols.items() if t == "dt")
-        kind = draw(st.integers(0, 29))
+        kind = draw(st.integers(0, 30))
         if kind == 0 and ints:
             c = draw(st.sampled_from(ints))
             k = draw(st.integers(2, 9))
@@ -1436,6 +1436,33 @@ def _kql_dual_st(draw):
                 f" FROM ({sql}) _cm GROUP BY 1"
             )
             cols = {"g_": "int", "sd_": "float", "vr_": "float"}
+        elif kind == 30 and ints:
+            # round-13: MULTI-division chains (the former >2-division
+            # skip) — every step ÷0-guarded left-to-right; middle
+            # denominators cycle through 0 so intermediate ±inf/NaN
+            # propagate through later divisions exactly as IEEE does
+            c = draw(st.sampled_from(ints))
+            newc = f"mc{next(_uid)}"
+            d1 = draw(st.integers(2, 5))
+            kqls.append(
+                f"extend {newc} = todouble({c} % 9 - 4)"
+                f" / ({c} % 3 * 1.0) / {d1}.0 / (({c} % 2) * 2.0)"
+            )
+            num = f"CAST({c} % 9 - 4 AS DOUBLE)"
+            div = (
+                lambda n, d: f"CASE WHEN {d} = 0 THEN"
+                f" CASE WHEN isnan({n}) OR {n} = 0 THEN 'NaN'::DOUBLE"
+                f" WHEN {n} > 0 THEN 'Infinity'::DOUBLE"
+                f" ELSE '-Infinity'::DOUBLE END"
+                f" ELSE {n} / {d} END"
+            )
+            s1 = div(num, f"({c} % 3 * 1.0)")
+            s2 = div(f"({s1})", f"{d1}.0")
+            s3 = div(f"({s2})", f"(({c} % 2) * 2.0)")
+            sql = (
+                f"SELECT *, {s3} AS {newc} FROM ({sql}) _mc"
+            )
+            cols[newc] = "float"
     return " | ".join(kqls), sql
 
 

@@ -293,6 +293,8 @@ SCALARS: list[tuple[str, str]] = [
     ("geo_geohash_to_central_point",
      "print o = geo_geohash_to_central_point('c23nb')"),
     ("geo_point_to_s2cell", "print o = geo_point_to_s2cell(-122.3, 47.6)"),
+    ("geo_s2cell_to_central_point",
+     "print o = geo_s2cell_to_central_point('54906ac')"),
     ("geo_point_to_h3cell", "print o = geo_point_to_h3cell(-122.3, 47.6)"),
     # -- series (over a made series)
     ("series_stats_dynamic",
@@ -564,6 +566,11 @@ def main() -> int:
     from api_to_parquet_spark.session import get_spark
 
     spark = get_spark()
+    # Self-contained externaldata fixture: the OPERATORS probe reads
+    # this path, so the census must create it (a fresh checkout would
+    # otherwise classify externaldata as 'error' and exit 1).
+    with open("/tmp/adx_cov_ext.csv", "w", encoding="utf-8") as fh:
+        fh.write("a,1\nb,2\n")
     spark.sql(
         "SELECT 'abc' AS s, CAST(7 AS BIGINT) AS i,"
         " CAST(2.5 AS DOUBLE) AS r,"
