@@ -67,6 +67,8 @@ HEADLINE = [
     "dedup_keep_best",  # quality-aware near-dup survivor via CC + window (r9)
     "kql_user_agent3",  # UA bot tier: map-side marker-precedence regexes (r10)
     "kql_scalar_fns14",  # ADX real-div-by-zero guard, map-side CASE (r11)
+    "kql_geo2",  # S2 cell tokens: 30-step JVM Hilbert folds, no UDF (r13)
+    "kql_user_agent5",  # UA tier-5 Chromium shells, map-side regexes (r13)
 ]
 
 # Per-query medians pinned from the last judged round (bench_pins.json).
