@@ -1027,6 +1027,96 @@ _RDIV_IVL = re.compile(
 )
 
 
+def _rewrite_literal_subscripts(e: str) -> str:
+    """Literal array subscripts → try_element_at (ADX contract: -1
+    reads from the end, ANY out-of-range index is null; Spark's
+    native [] raises INVALID_ARRAY_INDEX under ANSI). Round-13: the
+    operand is found by a bracket-aware LEFT SCAN instead of a
+    bounded-nesting regex — the old operand shape silently left
+    Spark-native [] on call results whose arguments nested deeper
+    than the regex (seed-90210 fuzz crash: extract_all over a
+    strcat-rendered argument, empty on no match, ANSI-crashed where
+    ADX yields null). parse_json()/todynamic() operands keep native
+    [] for non-negative indices (their access belongs to the
+    JSON-path accessor machinery that runs later); negatives cast to
+    ARRAY<VARIANT> first (variant paths have no from-end form).
+    Dotted tails (`parse_json(x).a[0]`) are skipped — the accessor
+    path owns them."""
+    sub = re.compile(r"\[\s*(-?\d+)\s*\]")
+    changed = True
+    while changed:
+        changed = False
+        spans = [(m.start(), m.end()) for m in _STR_SPAN.finditer(e)]
+
+        def _in_str(p: int) -> bool:
+            return any(s0 < p < s1 for s0, s1 in spans)
+
+        for m in sub.finditer(e):
+            if _in_str(m.start()):
+                continue
+            i = m.start() - 1
+            while i >= 0 and e[i].isspace():
+                i -= 1
+            if i < 0:
+                continue
+            if e[i] in ")]":
+                depth, j = 0, i
+                while j >= 0:
+                    hop = None
+                    for s0, s1 in spans:
+                        if s0 <= j < s1:
+                            hop = s0
+                            break
+                    if hop is not None:
+                        j = hop - 1
+                        continue
+                    ch = e[j]
+                    if ch in ")]":
+                        depth += 1
+                    elif ch in "([":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                if j < 0:
+                    continue
+                k = j - 1
+                while k >= 0 and (e[k].isalnum() or e[k] in "_."):
+                    k -= 1
+                start = k + 1
+            elif e[i].isalnum() or e[i] == "_":
+                k = i
+                while k >= 0 and (e[k].isalnum() or e[k] in "_."):
+                    k -= 1
+                start = k + 1
+            else:
+                continue
+            if start > 0 and e[start - 1] in ".'\"":
+                continue
+            opnd = e[start : m.start()].rstrip()
+            if not opnd or opnd[0] == ".":
+                continue
+            ix = int(m.group(1))
+            if re.match(
+                r"^(?:parse_json|todynamic)\s*\(", opnd, re.IGNORECASE
+            ):
+                if ix >= 0:
+                    continue
+                rep = (
+                    f"try_element_at(try_cast({opnd}"
+                    f" AS ARRAY<VARIANT>), {ix})"
+                )
+            else:
+                rep = (
+                    f"try_element_at({opnd},"
+                    f" {ix + 1 if ix >= 0 else ix})"
+                )
+            e = e[:start] + rep + e[m.end() :]
+            changed = True
+            break
+    return e
+
+
 def _rdiv_opnd_real(t: str, schema_reals: frozenset[str]) -> bool:
     """Is this chain operand PROVABLY real? Exact real literal /
     todouble / toreal / real-typed column (schema evidence), or —
@@ -4389,38 +4479,7 @@ def _expr(kql_expr: str) -> str:
     # consumed by the accessor path above; what reaches this rewrite
     # is true-array indexing (split(…)[0], packed arrays, zipped
     # results).
-    def _subscript_rep(m: re.Match) -> str:
-        # parse_json()/todynamic() results are VARIANTs — their []
-        # access belongs to the JSON-path accessor machinery, not
-        # element_at. EXCEPT negative indices (round-11 probe battery
-        # 16): variant paths have no from-end form, so cast to
-        # ARRAY<VARIANT> and let try_element_at count from the end
-        # (non-arrays try_cast to NULL — the ADX null contract).
-        if re.match(
-            r"^(?:parse_json|todynamic)\s*\(", m.group(1), re.IGNORECASE
-        ):
-            ix = int(m.group(2))
-            if ix < 0:
-                return (
-                    f"try_element_at(try_cast({m.group(1)}"
-                    f" AS ARRAY<VARIANT>), {ix})"
-                )
-            return m.group(0)
-        ix = int(m.group(2))
-        return f"try_element_at({m.group(1)}, {ix + 1 if ix >= 0 else ix})"
-
-    _prev_neg = None
-    while _prev_neg != e and re.search(r"\[\s*-?\d+\s*\]", e):
-        _prev_neg = e
-        # leading lookbehind: an operand must START an expression —
-        # never a dotted tail hanging off a call (`parse_json(…).a.b`
-        # belongs to the JSON accessor path, whose own scan runs later)
-        e = _pred_sub(
-            rf"(?<![\w.'\")\]])"
-            rf"({_RDIV_OPND_TXT}(?:\[-?\d+\])*)\s*\[\s*(-?\d+)\s*\]",
-            _subscript_rep,
-            e,
-        )
+    e = _rewrite_literal_subscripts(e)
 
     def _array_index_of_sql(a: list[str]) -> str:
         # ADX is 0-based with -1 for missing; array_position is 1-based

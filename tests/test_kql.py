@@ -359,11 +359,11 @@ def test_case_substring_scalar_translate():
     sql = kql_to_sql(
         'T | extend b=case(strlen(strcat(x, y)) > 3, "long", "short")'
     )
-    # strlen is LONG in ADX (round-12: the INT32 widening sweep)
-    assert (
-        "CASE WHEN CAST(length(concat_ws('', string(x), string(y)))"
-        " AS BIGINT) > 3" in sql
-    )
+    # strlen is LONG in ADX (round-12: the INT32 widening sweep);
+    # round-13: strcat args render via the shared typeof-gated
+    # tostring rule, so the emission carries the CASE wrapper
+    assert "CASE WHEN CAST(length(concat_ws(''," in sql
+    assert "AS BIGINT) > 3" in sql and "ELSE string(y) END)" in sql
     # ADX substring is 0-based; SQL is 1-based
     sql = kql_to_sql("T | extend h=substring(s, 0, 2)")
     assert "substring(s, (0) + 1, 2)" in sql

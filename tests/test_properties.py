@@ -1083,8 +1083,13 @@ def _kql_dual_st(draw):
             # round-10 surface: extract_all with TWO capture groups —
             # first match's second group, via 0-based native array
             # subscripts (DuckDB twin: 1-based list indexes /
-            # group-indexed regexp_extract). The constructed string
-            # always ends letter+digits, so a match always exists.
+            # group-indexed regexp_extract). Round-13 (seed-90210
+            # find): {c} may be a NULLABLE generated column — ADX
+            # tostring(null) is '' so the strcat drops the digits, no
+            # match, and tostring(ea_[0][1]) is '' again; the oracle
+            # must coalesce BOTH the cast (|| NULL would null the
+            # whole input) and nothing else (DuckDB regexp_extract
+            # already yields '' on no match).
             s1 = draw(st.sampled_from(strs))
             c = draw(st.sampled_from(ints))
             newc = f"eg{next(_uid)}"
@@ -1095,7 +1100,7 @@ def _kql_dual_st(draw):
             )
             sql = (
                 f"SELECT *, regexp_extract({s1} ||"
-                f" CAST({c} % 9 AS VARCHAR),"
+                f" COALESCE(CAST({c} % 9 AS VARCHAR), ''),"
                 f" '([a-z]+)([0-9]+)', 2) AS {newc}"
                 f" FROM ({sql}) _eg"
             )
@@ -1354,7 +1359,11 @@ def _kql_dual_st(draw):
         elif kind == 26 and ints:
             # round-11 battery 21: has_ipv4 exact delimited match —
             # the text embeds the ip intact on even rows and
-            # boundary-broken (digit appended) on odd rows
+            # boundary-broken (digit appended) on odd rows. Round-13
+            # (seed-90210 find): a NULLABLE {c} makes _ipt the
+            # INVALID '10.0..7' (tostring(null) = ''), iff's null
+            # condition takes the else branch, and has_ipv4 of an
+            # invalid ip is FALSE — coalesce the oracle boolean.
             c = draw(st.sampled_from(ints))
             newc = f"hip{next(_uid)}"
             kqls.append(
@@ -1365,7 +1374,8 @@ def _kql_dual_st(draw):
                 f" '9 y')), _ipt) | project-away _ipt"
             )
             sql = (
-                f"SELECT * EXCLUDE (_ipt), ({c} % 2 = 0) AS {newc}"
+                f"SELECT * EXCLUDE (_ipt),"
+                f" COALESCE({c} % 2 = 0, FALSE) AS {newc}"
                 f" FROM (SELECT *, '10.0.' || ({c} % 250) || '.7'"
                 f" AS _ipt FROM ({sql}) _hi) _hb"
             )
@@ -1380,9 +1390,12 @@ def _kql_dual_st(draw):
             kqls.append(
                 f"extend {newc} = tostring(abs({c}) % 40 * 1.0 / 4)"
             )
+            # COALESCE: {c} may be a NULLABLE generated column and
+            # ADX tostring NEVER returns null (round-13 seed-90210)
             sql = (
-                f"SELECT *, regexp_replace(CAST(abs({c}) % 40 * 1.0"
-                f" / 4 AS VARCHAR), '\\.0$', '') AS {newc}"
+                f"SELECT *, COALESCE(regexp_replace("
+                f"CAST(abs({c}) % 40 * 1.0"
+                f" / 4 AS VARCHAR), '\\.0$', ''), '') AS {newc}"
                 f" FROM ({sql}) _tr"
             )
             cols[newc] = "str"
