@@ -1080,6 +1080,14 @@ def _rewrite_literal_subscripts(e: str) -> str:
                     j -= 1
                 if j < 0:
                     continue
+                if e[j] == "[":
+                    # the operand tail is itself a BRACKET suffix —
+                    # a string-key / expression access like
+                    # x['coordinates'][0]: the JSON accessor
+                    # machinery owns the whole chain (integer-only
+                    # chains never reach here — their leftmost
+                    # subscript rewrites first, leaving a ')' tail)
+                    continue
                 k = j - 1
                 while k >= 0 and (e[k].isalnum() or e[k] in "_."):
                     k -= 1

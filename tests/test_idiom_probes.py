@@ -2664,6 +2664,53 @@ def test_round13_div_guard_residual_edges(spark):
         ).collect()
 
 
+def test_literal_subscript_scanner_edges():
+    """Round-13 (seed-90210 fuzz find): literal subscripts rewrite to
+    try_element_at via a bracket-aware LEFT SCAN — any call-argument
+    nesting depth (the old bounded regex silently left Spark-native
+    [] on deep operands, an ANSI crash on empty arrays where ADX
+    yields null). Pure translation-text pins; the accessor-path and
+    string-literal exclusions must hold."""
+    from api_to_parquet_spark.queries.kql import (
+        _rewrite_literal_subscripts as R,
+    )
+
+    cases = [
+        ("arr[0]", "try_element_at(arr, 1)"),
+        ("arr[-1]", "try_element_at(arr, -1)"),
+        ("split(s, ',')[1]", "try_element_at(split(s, ','), 2)"),
+        ("ea_[0][1]", "try_element_at(try_element_at(ea_, 1), 2)"),
+        # parse_json non-negative stays native: the JSON accessor
+        # path (which runs later) owns it
+        ("parse_json(x)[0]", "parse_json(x)[0]"),
+        (
+            "parse_json(x)[-2]",
+            "try_element_at(try_cast(parse_json(x)"
+            " AS ARRAY<VARIANT>), -2)",
+        ),
+        ("'a[0]'", "'a[0]'"),
+        # deep nesting with an embedded bracketed string literal
+        (
+            "f(g(h(s, 'x[1]'), 2))[0]",
+            "try_element_at(f(g(h(s, 'x[1]'), 2)), 1)",
+        ),
+        ("x + (a)[0]", "x + try_element_at((a), 1)"),
+        # string-key bracket chains belong to the accessor path
+        ("b['coordinates'][0]", "b['coordinates'][0]"),
+        (
+            "parse_json(f(x))['coordinates'][1]",
+            "parse_json(f(x))['coordinates'][1]",
+        ),
+        (
+            "arr[1][0] + brr[2]",
+            "try_element_at(try_element_at(arr, 2), 1)"
+            " + try_element_at(brr, 3)",
+        ),
+    ]
+    for src, want in cases:
+        assert R(src) == want, (src, R(src))
+
+
 def test_rdiv_pregate_masks_string_literals(spark, monkeypatch):
     """Round-13 advice: the column-type ÷0 pre-gate must not pay a
     Catalyst schema probe for slashes that live only inside string
