@@ -890,28 +890,45 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
     )
+    # ">= 2 distinct docs" needs only min(doc) != max(doc) — two
+    # longs of partial-agg state that collapse duplicates MAP-SIDE,
+    # where the original countDistinct carried a per-gram doc-id SET
+    # through the shuffle (round-13 100x probe: 22.3x wall growth,
+    # distinct-set spill). A window over g was also measured (one
+    # g-shuffle, no join) but its full sort lost to the hash
+    # agg + equi-join at 100x (47.5s vs 35.1s) — the join stays.
     rep = (
         grams.groupBy("g")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+        .filter(F.col("d0") != F.col("d1"))
         .select("g")
     )
     hits = grams.join(rep, "g")
-    nr = hits.groupBy("doc_id").agg(F.count("*").alias("n_rep"))
-    cov = (
-        hits.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + (REP_K - 1))
-            ).alias("p"),
-        )
-        .groupBy("doc_id")
-        .agg(F.countDistinct("p").alias("cov_tokens"))
+    # ONE doc-keyed shuffle for both outputs: repeated-gram count and
+    # interval-union coverage as a sorted fold over the hit positions
+    # (positions are unique per doc, so the sorted list is strictly
+    # increasing and each [pos, pos+K-1] extends the union by
+    # min(K, new_end - prev_end) — no 8x position explode, no
+    # per-doc distinct set; the list is bounded by doc length)
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count("*").alias("n_rep"),
+        F.sort_array(F.collect_list("pos")).alias("ps"),
+    )
+    cov_fold = F.expr(
+        "aggregate(ps,"
+        f" named_struct('c', CAST(0 AS BIGINT), 'e',"
+        f" CAST({-REP_K} AS BIGINT)),"
+        f" (_a, _p) -> named_struct("
+        f"'c', _a.c + least({REP_K}, _p + {REP_K - 1} - _a.e),"
+        f" 'e', CAST(_p + {REP_K - 1} AS BIGINT)),"
+        " _a -> _a.c)"
+    )
+    per_doc = per_doc.select(
+        "doc_id", "n_rep", cov_fold.alias("cov_tokens")
     )
     return (
         d.select("doc_id", "n_tokens")
-        .join(nr, "doc_id", "left")
-        .join(cov, "doc_id", "left")
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_tokens",

@@ -42,6 +42,18 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE picks the REAL post-shuffle partition count by coalescing
+        # down from this ceiling toward advisoryPartitionSizeInBytes —
+        # so small shuffles still end up at a handful of partitions,
+        # while a 100x-data shuffle keeps enough reducers to stay in
+        # memory instead of spilling at the old hard cap of
+        # shuffle.partitions (round-13 scale probe: the repeated-ngram
+        # gram shuffle spilled through 32 partitions at 100x sf0.1).
+        # On a real cluster this ceiling scales with executor count.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(8 * (int(cpus) if cpus.isdigit() else 32), 256)),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
