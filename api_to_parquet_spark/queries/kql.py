@@ -398,7 +398,7 @@ conditions (`and`-chained pairs, bare keys mixing with qualified
 pairs — both on the ON-join and the innerunique dedup path);
 column-scoped search terms (`search Col:"term"` has-semantics,
 `Col=="value"` exact, both kinds); `*` wildcards in search terms
-expand to .* joins of \Q-quoted segments (previously matched the
+expand to .* joins of \\Q-quoted segments (previously matched the
 star LITERALLY — silent divergence).
 Probe battery 20 (round-11, ninth sweep): depth/width stress —
 30-stage pipes, 500-item in() lists, 25-deep iff nests, 60-column
@@ -598,15 +598,17 @@ gzip deterministic via mtime=0), and ipv4_range_to_cidr_list
 (stdlib minimal CIDR cover, exact). The census then extended to the
 TABULAR-OPERATOR index (45 operators) and the evaluate-PLUGIN index
 (23 query-relevant plugins) — final census across all four families
-**388/392 ok (99.0%)**: 2 loud BY DESIGN (`evaluate python` — exec
-of query-supplied code stays opt-in, the reference's
-default-disabled ADX sandbox posture; geo H3 cells — exact indexing
-needs H3's published base-cell tables, and approximated tables would
-be silently wrong where the round-13 S2 cell functions are exact),
-and 2 documented UNRESOLVED (treepath — output contract
-unverifiable from public docs alone; cursor_current — meaningless
-without ingestion cursors): loud at first use, never a silent
-mistranslation. Round 13 closed the former geo-cell gap:
+**388/392 ok (99.0%), unresolved=0**: all 4 gaps are loud BY DESIGN
+(`evaluate python` — exec of query-supplied code stays opt-in, the
+reference's default-disabled ADX sandbox posture; geo H3 cells —
+exact indexing needs H3's published base-cell tables, and
+approximated tables would be silently wrong where the round-13 S2
+cell functions are exact; treepath — output contract unverifiable
+from public docs alone; cursor_current/cursor_after — meaningless
+without ADX ingestion cursors, the snapshot API is the watermark
+path): actionable loud errors at translate time, never a silent
+mistranslation or a Spark UNRESOLVED_ROUTINE leak (round-13 verdict
+item 2 closed the last two). Round 13 closed the former geo-cell gap:
 geo_point_to_s2cell / geo_s2cell_to_central_point are full
 JVM-side Hilbert-curve folds (no UDF), validated against a pure-
 Python S2 reference twin (tests/s2_pyref.py) and oracle-pinned
@@ -1138,13 +1140,26 @@ def _rdiv_opnd_real(t: str, schema_reals: frozenset[str]) -> bool:
     if not t.startswith("("):
         return False
     bare = _STR_SPAN.sub(" ", t)
-    if re.search(r"\btodouble\s*\(|\btoreal\s*\(", bare):
-        return True
+    # Strip call spans innermost-first, but replace a todouble/toreal
+    # call with a real-literal sentinel instead of a blank: a
+    # conversion that survives stripping was NOT swallowed by an outer
+    # call, so `(todouble(x) + 1)` counts while
+    # `(toint(todouble(x)) + 1)` does not (round-13 advice: the
+    # pre-strip search counted the swallowed one, giving an int-typed
+    # chain the real ÷0 guard — Infinity where ADX yields null).
     prev = None
     while prev != bare:
         prev = bare
+        bare = re.sub(
+            r"\b(?:todouble|toreal)\s*\([^()]*\)", " 0.1 ", bare
+        )
         bare = re.sub(r"[\w.]+\([^()]*\)", " ", bare)
-    return bool(re.search(r"\d\.\d|\d[eE]\d", bare))
+    # Literal probes are boundary-anchored so digits inside plain
+    # identifiers (col2e5x, a2.b via member text) never match.
+    return bool(
+        re.search(r"(?<![A-Za-z_0-9.])\d+\.\d", bare)
+        or re.search(r"(?<![A-Za-z_0-9.])\d+[eE][+-]?\d", bare)
+    )
 
 
 def _rdiv_chain_parts(chain: str) -> tuple[list[str], list[str]]:
@@ -5741,6 +5756,39 @@ def _expr(kql_expr: str) -> str:
     e = _rewrite_fn(e, "geo_point_to_h3cell", _geo_h3_loud)
     e = _rewrite_fn(e, "geo_h3cell_to_central_point", _geo_h3_loud)
 
+    # The two formerly-UNRESOLVED census entries (round-13 verdict
+    # item 2) become actionable loud errors like every other
+    # out-of-subset gap — never a Spark UNRESOLVED_ROUTINE leak:
+    def _cursor_loud(a: list[str]) -> str:
+        # ADX ingestion cursors version a table's extent stream;
+        # this engine's lake versions via snapshot manifests instead
+        # (snapshots.py) — there is no cursor stream for the value
+        # to be meaningful against.
+        raise ValueError(
+            "cursor_current()/cursor_after() are out of subset: ADX"
+            " ingestion cursors track extent versions this engine"
+            " does not have; use the lake snapshot API"
+            " (snapshots.history / read_snapshot time travel) for"
+            " incremental-read watermarks instead"
+        )
+
+    e = _rewrite_fn(e, "cursor_current", _cursor_loud)
+    e = _rewrite_fn(e, "cursor_after", _cursor_loud)
+
+    def _treepath_loud(a: list[str]) -> str:
+        # treepath()'s exact output contract (escaping of key names,
+        # array-index notation, ordering) is unverifiable from public
+        # docs alone — emitting a guessed shape would be a silent
+        # divergence; bag_keys()/parse_json accessors are the
+        # supported introspection path.
+        raise ValueError(
+            "treepath() is out of subset: its exact path-string"
+            " contract is not publicly specified; use bag_keys()"
+            " or explicit dynamic accessors instead"
+        )
+
+    e = _rewrite_fn(e, "treepath", _treepath_loud)
+
     # convert_*(value, from, to) — the UnitsNet-named unit-conversion
     # family (round-11 probe battery 15). Units must be translate-time
     # string literals from the documented common subset (loud
@@ -9891,6 +9939,16 @@ def _kql_stages_to_sql(
         # the column; an explicit later project that omits the key
         # drops it anyway and clears the flag.
         drop_key = False
+        # Key-reference search: only COLUMN references count, so blank
+        # string-literal spans first (round-13 advice: a key name
+        # appearing inside strcat('k','-x') is not a reference — ADX
+        # accepts the query) and escape the key (it is user text, not
+        # a regex fragment).
+        _key_ref = re.compile(rf"\b{re.escape(key)}\b")
+
+        def _refs_key(frag: str) -> bool:
+            return bool(_key_ref.search(_STR_SPAN.sub(" ", frag)))
+
         subs = _split_top_level(sub, "|")
         for j, ss in enumerate(subs):
             ss = ss.strip()
@@ -9920,19 +9978,19 @@ def _kql_stages_to_sql(
                         f"partition subpipe top needs 'top N by"
                         f" expr [asc|desc]': {ss!r}"
                     )
-                if drop_key and re.search(rf"\b{key}\b", tm.group(2)):
+                if drop_key and _refs_key(tm.group(2)):
                     raise ValueError(_PART_KEY_GONE.format(key=key, ss=ss))
                 out.append(
                     f"partition by {key} (top {tm.group(1)} by"
                     f" {tm.group(2)})"
                 )
             elif op0 in ("sort", "order") and j == len(subs) - 1:
-                if drop_key and re.search(rf"\b{key}\b", ss):
+                if drop_key and _refs_key(ss):
                     raise ValueError(_PART_KEY_GONE.format(key=key, ss=ss))
                 out.append(ss)
             elif op0 in _PART_ROWWISE:
                 if drop_key:
-                    refs_key = re.search(rf"\b{key}\b", ss[len(op0):])
+                    refs_key = _refs_key(ss[len(op0):])
                     if op0 in ("project", "project-keep") and not refs_key:
                         # an explicit projection already drops the
                         # implicitly-added key — nothing left to flush

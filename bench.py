@@ -74,22 +74,85 @@ HEADLINE = [
 # Per-query medians pinned from the last judged round (bench_pins.json).
 # A headline query slower than 1.5x its pin is flagged in the output —
 # the mechanical regression gate the round-3 verdict asked for.
-# CANARY-NORMALIZED pins (round-8 verdict #5): absolute seconds drift
-# with container state (six runs of identical code spanned 22.7-29.1 s
-# across rounds 6-8, producing only false flags), so each query is
-# ALSO pinned as its ratio to the pricing_summary canary — a plain
-# scan+agg with zero source churn. Container-state drift inflates the
-# canary and the query together, cancelling in the ratio; a true code
-# regression inflates only the query. Round-10 (round-9 verdict #7):
-# absolute comparisons are DEMOTED to informational "absolute_drift" —
-# still emitted so the history stays comparable, but no longer a gate
-# (rounds 8-9 showed them flagging disjoint sets of zero-source-change
-# queries run-to-run while the ratio pins flagged nothing). The gate is
-# "ratio_regressions" + the "ingest_rate_x_canary" floor only.
+# RUN-MEDIAN-NORMALIZED pins (round-13 verdict #1): absolute seconds
+# drift with container state (six runs of identical code spanned
+# 22.7-29.1 s across rounds 6-8; round-13's isolated-median protocol
+# showed whole-run totals swinging 42.1-60.8 s on identical code), so
+# the gate compares each query's PIN-RATIO (now / pin) against the
+# run's MEDIAN pin-ratio. Uniform container slowdown inflates every
+# pin-ratio together, so the median absorbs it; a true code regression
+# inflates only its own query's ratio. This replaces the round-8
+# single-canary normalization (query/pricing_summary ratios): a lone
+# scan-shaped canary under-corrects shuffle-shaped drift — r13's
+# driver run flagged 5 untouched queries through canary pins, all
+# exonerated by isolated-median replay, while the same run replayed
+# through the median gate yields zero flags (tests/test_bench_gate.py
+# pins both that replay and an injected 3x regression still firing).
+# The canary query itself stays in the headline set so its absolute
+# timing remains in every emitted run (informational). Round-10
+# (round-9 verdict #7): absolute comparisons are likewise
+# informational-only ("absolute_drift"). The gate is
+# "ratio_regressions" + the drift-normalized ingest floor only.
 PIN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "bench_pins.json")
 PIN_RATIO = 1.5
 CANARY = "pricing_summary"
+
+
+def compute_flags(
+    timings: dict[str, float],
+    ingest_rps: float,
+    pins: dict,
+    sf: str,
+) -> tuple[dict, dict, float | None]:
+    """Pure gate logic (extracted so tests can replay recorded driver
+    runs). Returns (absolute_drift, ratio_regressions, drift_factor).
+
+    absolute_drift — informational: queries > PIN_RATIO x their pinned
+    absolute seconds, plus the raw ingest floor.
+    ratio_regressions — the gate: queries whose pin-ratio exceeds
+    PIN_RATIO x the run-median pin-ratio, plus the drift-normalized
+    ingest floor (rows/s x drift_factor < pin / PIN_RATIO).
+    """
+    absolute_drift: dict[str, dict[str, float]] = {}
+    ratio_regressions: dict[str, dict[str, float]] = {}
+    if str(pins.get("sf")) != sf:  # pins are sf-specific
+        return absolute_drift, ratio_regressions, None
+    qpins = pins.get("queries", {})
+    pin_ratios = {
+        name: t / qpins[name]
+        for name, t in timings.items()
+        if qpins.get(name)
+    }
+    drift = None
+    if pin_ratios:
+        srt = sorted(pin_ratios.values())
+        drift = round(srt[len(srt) // 2], 3)
+    for name, t in timings.items():
+        pin = qpins.get(name)
+        if pin and t > PIN_RATIO * pin:
+            absolute_drift[name] = {"now": t, "pin": pin}
+        r = pin_ratios.get(name)
+        if drift and r and r > PIN_RATIO * drift:
+            ratio_regressions[name] = {
+                "pin_ratio": round(r, 3),
+                "run_median_ratio": drift,
+            }
+    rps_pin = pins.get("ingest_rows_per_sec")
+    if rps_pin and ingest_rps < rps_pin / PIN_RATIO:
+        absolute_drift["ingest_rows_per_sec"] = {
+            "now": ingest_rps,
+            "pin": rps_pin,
+        }
+    # drift-normalized ingest floor: a container running drift x
+    # slower deflates rows/s by ~drift, so scale it back before
+    # comparing to the pinned floor
+    if rps_pin and drift and ingest_rps * drift < rps_pin / PIN_RATIO:
+        ratio_regressions["ingest_rows_per_sec_normalized"] = {
+            "now_normalized": round(ingest_rps * drift, 1),
+            "pin": rps_pin,
+        }
+    return absolute_drift, ratio_regressions, drift
 
 
 def ingest_throughput(
@@ -161,71 +224,59 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+
+    def _run(name: str) -> None:
+        qs[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    # Two warm passes per query (JIT + IO cache — see ingest note).
+    # A single failing query must not zero out the whole bench run —
+    # record the error and keep timing the rest.
+    live: list[str] = []
     for name in HEADLINE:
-        # A single failing query must not zero out the whole bench run —
-        # record the error and keep timing the rest.
         try:
-            for _ in range(2):  # two warm passes: JIT + IO cache (see ingest note)
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            # Median of 3 measured runs: single-shot timings swing ±40%
-            # run-to-run (GC, AQE re-plans, page cache), which made
-            # round-over-round comparison uninformative.
-            reps: list[float] = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                qs[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                reps.append(time.perf_counter() - t0)
-            timings[name] = round(sorted(reps)[1], 3)
+            for _ in range(2):
+                _run(name)
+            live.append(name)
         except Exception as exc:  # noqa: BLE001
             errors[name] = str(exc).split("\n", 1)[0][:200]
+    # Median of 3 measured runs: single-shot timings swing ±40%
+    # run-to-run (GC, AQE re-plans, page cache). The 3 reps are
+    # ROUND-ROBIN passes over the whole headline list, not
+    # back-to-back (round-14, from the r13 driver-flag post-mortem):
+    # container-drift bursts are TEMPORAL — r13's driver run inflated
+    # 8 queries that sit consecutively in run order (semantic_dedup →
+    # … → kql_sequence_detect at 1.6-3.6x pin while the run median
+    # was 1.045x), so 3 consecutive reps all landed inside the burst
+    # and the median kept it. Interleaved passes put ~minutes between
+    # a query's reps; a burst now inflates at most one of the three
+    # and the median discards it. A real code regression inflates all
+    # three passes equally and still surfaces.
+    reps: dict[str, list[float]] = {n: [] for n in live}
+    for _ in range(3):
+        for name in live:
+            try:
+                t0 = time.perf_counter()
+                _run(name)
+                reps[name].append(time.perf_counter() - t0)
+            except Exception as exc:  # noqa: BLE001
+                errors[name] = str(exc).split("\n", 1)[0][:200]
+    for name, r in reps.items():
+        if r:
+            timings[name] = round(sorted(r)[len(r) // 2], 3)
 
     total = round(sum(timings.values()), 3)
     ingest_rps = ingest_throughput(spark)
-    # informational only (see pin-block comment): absolute drift set
     absolute_drift: dict[str, dict[str, float]] = {}
     ratio_regressions: dict[str, dict[str, float]] = {}
-    canary_t = timings.get(CANARY)
+    drift = None
     try:
         with open(PIN_FILE) as fh:
             pins = json.load(fh)
-        if str(pins.get("sf")) == sf:  # pins are sf-specific
-            for name, t in timings.items():
-                pin = pins["queries"].get(name)
-                if pin and t > PIN_RATIO * pin:
-                    absolute_drift[name] = {"now": t, "pin": pin}
-            # canary-normalized flags: query/canary ratio vs its pin
-            pin_ratios = pins.get("ratios", {})
-            if canary_t:
-                for name, t in timings.items():
-                    if name == CANARY:
-                        continue
-                    rpin = pin_ratios.get(name)
-                    r = round(t / canary_t, 3)
-                    if rpin and r > PIN_RATIO * rpin:
-                        ratio_regressions[name] = {
-                            "now_ratio": r,
-                            "pin_ratio": rpin,
-                        }
-            # throughput pin is a FLOOR: flag when ingest drops below
-            # pin/1.5 (the round-4 345k->308k dip went unflagged)
-            rps_pin = pins.get("ingest_rows_per_sec")
-            if rps_pin and ingest_rps < rps_pin / PIN_RATIO:
-                absolute_drift["ingest_rows_per_sec"] = {
-                    "now": ingest_rps,
-                    "pin": rps_pin,
-                }
-            # canary-normalized ingest floor: rows/s × canary seconds
-            # is container-drift-invariant to first order
-            rxc_pin = pins.get("ingest_rate_x_canary")
-            if rxc_pin and canary_t:
-                rxc = round(ingest_rps * canary_t, 1)
-                if rxc < rxc_pin / PIN_RATIO:
-                    ratio_regressions["ingest_rate_x_canary"] = {
-                        "now_ratio": rxc,
-                        "pin_ratio": rxc_pin,
-                    }
+        absolute_drift, ratio_regressions, drift = compute_flags(
+            timings, ingest_rps, pins, sf
+        )
     except (OSError, ValueError, KeyError):
         pass
     print(
@@ -237,6 +288,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_rows_per_sec": ingest_rps,
+                **({"drift_factor": drift} if drift else {}),
                 **({"errors": errors} if errors else {}),
                 **(
                     {"absolute_drift": absolute_drift}

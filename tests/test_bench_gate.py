@@ -1,0 +1,124 @@
+"""Replay experiments for the bench regression gate (round-13 verdict
+item 1): the gate must stay SILENT under container drift and still FIRE
+on a real code regression. compute_flags is pure, so recorded driver
+runs replay through it exactly.
+
+The r13 post-mortem (PLANS.md): the driver's flags were a TEMPORAL
+burst — 8 consecutive-in-run-order queries at 1.6-3.6x pin while the
+run-median pin-ratio was 1.045. Run-median normalization alone cannot
+absorb that shape (the burst is not uniform), so bench.py also
+interleaves its 3 measured reps round-robin across the whole headline
+list; a burst then lands in at most one rep per query and the
+per-query median discards it. These tests pin the normalization layer;
+the r13-replay test feeds the timings the interleaved median WOULD
+have produced (the isolated-median adjudication values from the r13
+verdict, the best available ground truth for "what the burst hid").
+"""
+
+import json
+import os
+
+from bench import PIN_RATIO, compute_flags
+
+_PINS_PATH = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "bench_pins.json")
+
+
+def _pins():
+    with open(_PINS_PATH) as fh:
+        return json.load(fh)
+
+
+# The r13 driver run's raw per-query seconds (BENCH_r13.json) with the
+# 9 burst-inflated entries replaced by the isolated-median adjudication
+# values from the r13 verdict — i.e. the timings a burst-robust
+# measurement produces for the identical code.
+R13_ADJUDICATED = {
+    "pricing_summary": 0.666, "revenue_by_nation": 0.633,
+    "top_unshipped_orders": 0.674, "window_topk_per_group": 0.397,
+    "asof_join": 0.272, "tumbling_window_agg": 0.198,
+    "dedup_exact": 0.162, "minhash_lsh_pairs": 1.892,
+    "knn_bruteforce": 0.531, "text_token_stats": 0.167,
+    "scalar_subquery": 0.411, "range_join": 0.393,
+    "session_window_agg": 0.316, "gap_fill_resample": 0.29,
+    "ann_ivf_topk": 1.136, "parts_supplier_cnt": 0.419,
+    "embedding_band_pairs": 1.346, "corpus_pipeline": 3.135,
+    "kql_summarize": 0.316, "simhash_band_pairs": 2.797,
+    "pandas_udaf_partial": 0.77, "kql_make_series": 0.326,
+    "gopher_rules": 0.38, "kql_series_anomalies": 2.007,
+    "semantic_dedup": 3.664, "dsir_sample": 1.135,
+    "kql_scan": 0.643, "kql_join_innerunique": 0.286,
+    "kql_fork": 0.196, "kql_parse_kv": 0.135,
+    "repeated_ngram_spans": 1.048, "kql_sequence_detect": 0.602,
+    "kql_sliding_window": 0.288, "kql_autocluster": 0.326,
+    "kql_ipv4_lookup": 0.431, "kql_rolling_percentile": 0.228,
+    "kql_graph_shortest": 0.276, "kql_idioms4": 0.471,
+    "pii_scrub": 0.203, "kql_output_schema": 0.515,
+    "kql_scan_self": 0.614, "dedup_keep_best": 4.234,
+    "kql_user_agent3": 0.467, "kql_scalar_fns14": 0.177,
+    "kql_geo2": 1.43, "kql_user_agent5": 0.322,
+}
+
+
+def test_r13_adjudicated_replay_is_silent():
+    """The r13 driver run, as the interleaved median would have
+    measured it, yields zero ratio flags against the committed pins —
+    the false-flag cycle that consumed rounds 8-13 ends here."""
+    ad, rr, drift = compute_flags(
+        R13_ADJUDICATED, 305453.7, _pins(), "0.1"
+    )
+    assert rr == {}
+    assert drift is not None and 0.7 < drift < 1.4
+
+
+def test_uniform_container_slowdown_is_silent():
+    """Every query 1.45x its pin (whole-container degradation — r13's
+    isolated totals swung 42.1-60.8 s on identical code): the run
+    median rises with the queries, the gate stays silent, and the
+    informational absolute_drift layer records the slowdown."""
+    pins = _pins()
+    degraded = {n: round(p * 1.6, 3) for n, p in pins["queries"].items()}
+    slow_ingest = pins["ingest_rows_per_sec"] / 1.6
+    ad, rr, drift = compute_flags(degraded, slow_ingest, pins, "0.1")
+    assert rr == {}
+    assert abs(drift - 1.6) < 0.01
+    assert len(ad) == len(degraded) + 1  # informational layer (+ingest)
+
+
+def test_injected_regression_still_fires():
+    """A real code regression — one query at 3x pin while the rest
+    drift uniformly 1.4x — is flagged, and only it."""
+    pins = _pins()
+    degraded = {n: round(p * 1.4, 3) for n, p in pins["queries"].items()}
+    degraded["semantic_dedup"] = round(
+        pins["queries"]["semantic_dedup"] * 3.0, 3
+    )
+    _, rr, drift = compute_flags(
+        degraded, pins["ingest_rows_per_sec"], pins, "0.1"
+    )
+    assert list(rr) == ["semantic_dedup"]
+    assert rr["semantic_dedup"]["pin_ratio"] > PIN_RATIO * drift
+
+
+def test_ingest_floor_is_drift_normalized():
+    pins = _pins()
+    at_pin = dict(pins["queries"])
+    # true ingest regression on an otherwise-clean machine: flagged
+    _, rr, _ = compute_flags(
+        at_pin, pins["ingest_rows_per_sec"] / 2.0, pins, "0.1"
+    )
+    assert "ingest_rows_per_sec_normalized" in rr
+    # slow machine (2x drift) deflating ingest 1.8x: NOT a regression
+    slow = {n: round(p * 2.0, 3) for n, p in pins["queries"].items()}
+    _, rr2, drift2 = compute_flags(
+        slow, pins["ingest_rows_per_sec"] / 1.8, pins, "0.1"
+    )
+    assert abs(drift2 - 2.0) < 0.01
+    assert "ingest_rows_per_sec_normalized" not in rr2
+
+
+def test_sf_mismatch_disables_pins():
+    ad, rr, drift = compute_flags(
+        R13_ADJUDICATED, 305453.7, _pins(), "0.01"
+    )
+    assert ad == {} and rr == {} and drift is None

@@ -922,6 +922,19 @@ def test_real_div_zero_value_checks(spark):
     # when an operand is provably real)
     with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
         kql(spark, "print z = 1 / 0").collect()
+    # round-13 advice: a todouble SWALLOWED by an outer int conversion
+    # is not evidence of realness — `toint(todouble(5)) + 1` is
+    # int-typed in ADX and its ÷0 must stay loud, not emit inf
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        kql(spark, "print z = (toint(todouble(5)) + 1) / 0").collect()
+    # …while a TOP-LEVEL conversion inside the parens still counts
+    r = kql(spark, "print z = (todouble(5) + 1) / 0").collect()[0]
+    assert r["z"] == math.inf
+    # digits inside a plain identifier are not a real literal
+    # (col2e5x matched the unanchored \d[eE]\d probe pre-fix)
+    spark.sql("SELECT 7 AS col2e5x").createOrReplaceTempView("rdz2")
+    with pytest.raises(Exception, match="DIVIDE_BY_ZERO"):
+        kql(spark, "rdz2 | extend z = (col2e5x + 1) / 0").collect()
     # timespan division and interval/real division unaffected
     r = kql(
         spark,

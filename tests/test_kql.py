@@ -1178,6 +1178,24 @@ def test_partition_summarize_rewrites_to_grouped_agg(spark, sf_smoke):
         " | project n)",
     )
     assert df3.columns == ["n"]
+    # round-13 advice: the key appearing only inside a STRING LITERAL
+    # is not a column reference — ADX accepts this query, so the
+    # loudness check must blank string spans before searching
+    df4 = kql(
+        spark,
+        "events | partition by event_type (summarize n = count()"
+        " | extend lbl = strcat('event_type', '-x')"
+        " | sort by n desc)",
+    )
+    assert df4.columns == ["n", "lbl"]
+    assert all(r["lbl"] == "event_type-x" for r in df4.collect())
+    # a real reference OUTSIDE the literal in the same stage stays loud
+    with pytest.raises(ValueError, match="no longer in the schema"):
+        kql(
+            spark,
+            "events | partition by event_type (summarize n = count()"
+            " | extend lbl = strcat('event_type', event_type))",
+        )
 
 
 def test_scan_greedy_sequence_semantics(spark):

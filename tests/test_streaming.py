@@ -231,11 +231,12 @@ def test_transform_with_state_stream(spark, tmp_path):
     under out-of-order timestamps, matching applyInPandasWithState
     semantics exactly. Where google.protobuf (the API's state-protocol
     dependency) is absent — this container forbids installs — the
-    documented LOUD contract is the behavior under test and the test
-    PASSES on that assertion (round-13: formerly a skip; the real
-    path still runs wherever protobuf exists, e.g. deployment
-    clusters). applyInPandasWithState is the dependency-free twin
-    asserted above either way."""
+    documented LOUD contract is asserted and the test then SKIPS
+    (round-14: a green pass here would misreport the real
+    transformWithStateInPandas path as covered; the skip keeps the
+    dependency-absent environment distinguishable in reports, per
+    round-13 advice). applyInPandasWithState is the dependency-free
+    twin asserted above either way."""
     import time
 
     try:
@@ -247,7 +248,15 @@ def test_transform_with_state_stream(spark, tmp_path):
             streaming.start_transform_with_state_stream(
                 spark, str(tmp_path), str(tmp_path / "ckpt")
             )
-        return
+        # The loud contract held — but a PASS here would report the
+        # real transformWithStateInPandas path as covered in an
+        # environment that cannot run it (round-13 advice item 3).
+        # Skip keeps the dependency-absent signal visible in reports.
+        pytest.skip(
+            "google.protobuf absent: loud-ImportError contract"
+            " asserted; real transformWithStateInPandas path not"
+            " exercised in this environment"
+        )
 
     inp = tmp_path / "in"
     inp.mkdir()
