@@ -2789,11 +2789,18 @@ def test_out_of_subset_loud_contract(spark, sf_smoke):
     ]:
         with pytest.raises(ValueError, match=pat):
             kql(spark, q).collect()
-    # unimplemented scalar functions surface Spark's loud
-    # UNRESOLVED_ROUTINE (the "anything else" contract; punycode
-    # moved to the implemented codec family in round 12 — treepath
-    # is a current member of the documented unimplemented tail)
+    # treepath/cursor_current joined the actionable-loud tail in
+    # round 13 (verdict item 2: census unresolved=0) — a ValueError
+    # naming the limitation, never a Spark UNRESOLVED_ROUTINE leak
+    for q in (
+        "print s = treepath(dynamic({'a': 1}))",
+        "print c = cursor_current()",
+    ):
+        with pytest.raises(ValueError, match="out of subset"):
+            kql(spark, q).collect()
+    # …while a truly UNKNOWN function name still surfaces Spark's loud
+    # UNRESOLVED_ROUTINE (the "anything else" contract)
     from pyspark.errors import AnalysisException
 
     with pytest.raises(AnalysisException, match="UNRESOLVED_ROUTINE"):
-        kql(spark, "print s = treepath(dynamic({'a': 1}))").collect()
+        kql(spark, "print s = zz_no_such_fn(1)").collect()
