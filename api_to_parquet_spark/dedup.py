@@ -96,7 +96,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs (j >= 0.5). The all-pairs self
     join is the *verification* baseline the LSH variant is checked
     against; at 100 TB you run q_minhash_lsh_pairs instead."""
-    d = shingled_docs(spark, sf_dir)
+    # shingle once, not per join side (persist, round-14 — the
+    # cached twin of q_simhash_dup_pairs' fingerprint-once note)
+    d = shingled_docs(spark, sf_dir).persist()
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
@@ -175,7 +177,24 @@ def _expand_id_pairs(buckets: DataFrame) -> DataFrame:
       blk(x) < blk(y) matches only in cell (blk(x), blk(y)) with x in
       the row role; same-block pairs hit cell (c, c) in both
       orientations and are deduped by least/greatest + distinct.
+
+    `buckets` is persist()-ed first: the DF is referenced
+    by THREE branches (small path, mega row-cells, mega col-cells), and
+    without materialization Spark recomputes the entire upstream
+    lineage — scan, shingle, signature, band shuffle — once per branch
+    (round-14 plan audit: minhash_lsh_pairs scanned `documents` 5x;
+    the two mega branches compute full pipelines that yield ZERO rows
+    on any non-degenerate corpus). One lazy checkpoint computes the
+    bucket table once inside the query's own execution and serves all
+    three branches from storage; no extra job is scheduled
+    (materialization rides the first downstream action). persist(),
+    not localCheckpoint: a checkpoint plans AND pre-executes the
+    subtree's shuffle stages at CONSTRUCTION time (AQE's
+    getFinalPhysicalPlan blocks), measured slower end-to-end than the
+    cache at sf0.1; persist defers everything to the query's own
+    action and still computes the subtree once.
     """
+    buckets = buckets.persist()
     n_blocks = F.greatest(
         F.ceil(F.size("ids") / MEGA_BUCKET).cast("int"), F.lit(1)
     )
@@ -256,7 +275,15 @@ def _expand_struct_pairs(buckets: DataFrame, keep) -> DataFrame:
     instead of crossing the distinct shuffle plus two fingerprint
     joins; only true near-dup pairs are ever shuffled. Same pair set
     provably: the predicate is the query's own final filter, applied
-    before dedupe instead of after."""
+    before dedupe instead of after.
+
+    Like _expand_id_pairs, `buckets` is persist()-ed:
+    three branches reference it, and without materialization each
+    re-runs the whole upstream fingerprint pipeline (round-14:
+    simhash_band_pairs computed _simhashed's explode + 60-column
+    aggregate three times, 6 scans in the plan). persist(), not
+    localCheckpoint — see _expand_id_pairs."""
+    buckets = buckets.persist()
     n_blocks = F.greatest(
         F.ceil(F.size("ids") / MEGA_BUCKET).cast("int"), F.lit(1)
     )
@@ -365,12 +392,26 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
     )
-    pairs = _expand_id_pairs(buckets)
-    # Verification: two joins back to the shingle table. No broadcast hint —
-    # candidate volume is data-dependent (tiny here, potentially huge at
-    # 100 TB), so AQE picks broadcast-vs-shuffle from runtime stats.
-    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # pairs is referenced three times below (the verify join plus both
+    # sides' candidate-id derivations) — persist so the bucket
+    # expansion runs once, not per reference.
+    pairs = _expand_id_pairs(buckets).persist()
+    # Verification: shingle ONLY the candidate documents (guide-§8
+    # shape — decide with small rows, attach the heavy payload once).
+    # The former two joins back to the FULL shingle table recomputed
+    # the corpus scan + shingling once per side (round-14 plan audit);
+    # candidates are a superset-free subset of docs, and shingles are
+    # per-doc content functions, so shingling candidates from the raw
+    # table yields byte-identical verification. No broadcast hint —
+    # candidate volume is data-dependent (tiny here, potentially huge
+    # at 100 TB), so AQE picks broadcast-vs-shuffle from runtime stats.
+    cand_sh = _candidate_shingles(spark, sf_dir, pairs)
+    sa = cand_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = cand_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))
@@ -383,11 +424,37 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _candidate_shingles(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame
+) -> DataFrame:
+    """(doc_id, sh) for exactly the documents named by `pairs` — the
+    verify-side shingle table restricted to candidates before any
+    shingling happens, so exact-Jaccard verification costs
+    O(candidates), not O(corpus). Shingles depend only on the doc's own
+    text, so this is value-identical to filtering the full shingle
+    table. Lazily checkpointed: both verify sides read it."""
+    ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    cand = load(spark, sf_dir, "documents").join(ids, "doc_id")
+    return (
+        cand.select("doc_id", words().alias("ws"))
+        .select("doc_id", shingles(F.col("ws")).alias("sh"))
+        .persist()
+    )
+
+
+CC_DRIVER_MAX_EDGES = int(
+    __import__("os").environ.get("SPARK_GRAFT_CC_DRIVER_MAX_EDGES", "200000")
+)
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_rounds: int = 64,
+    driver_max_edges: int | None = None,
 ) -> tuple[DataFrame, int]:
     """Connected components over an undirected edge list via alternating
     large-star / small-star rounds (the MapReduce CC algorithm of
@@ -408,7 +475,26 @@ def connected_components(
     fixpoint is a star forest rooted at component minima. Rounds are
     localCheckpoint-ed — persist() alone would let the logical plan
     grow per iteration (measured: a 1242-Exchange plan text; PLANS.md).
+    Round-14 note: a LAZY-checkpoint variant (one fingerprint action
+    per round materializing both stars) was measured 2.4x SLOWER at
+    sf0.1 — lazy DataFrame checkpoints still block on AQE stage
+    execution at construction and the un-persisted intra-round
+    double reference recomputes — so the eager per-star shape stays.
     On a cluster swap in checkpoint() for executor-loss survival.
+
+    SMALL-GRAPH FAST PATH (round-14): after the edge list is
+    materialized, ONE cheap count decides the strategy — an edge set
+    at or under `driver_max_edges` (default CC_DRIVER_MAX_EDGES,
+    env-overridable; ~16 bytes/edge, single-digit MB against the 8 g
+    driver) is collected and union-find labels it in-process, exactly
+    like the ANN paths fit their bounded codebooks driver-side. The
+    star loop costs ~3 driver-synchronized jobs per round regardless
+    of data size, which dominated wall time on near-dup graphs of a
+    few hundred nodes (measured 2.5-4 s of pure job overhead at
+    sf0.1); union-find with min-root links yields the identical
+    (node, min-id) labeling in microseconds. Any larger edge set
+    takes the distributed loop unchanged — the decision is made from
+    runtime cardinality, never a constant tuned to one scale.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -416,11 +502,56 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    limit = (
+        driver_max_edges
+        if driver_max_edges is not None
+        else CC_DRIVER_MAX_EDGES
+    )
+    if e.count() <= limit:
+        rows = e.collect()
+        parent: dict = {}
+
+        def _find(x):
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != x:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in rows:
+            ru, rv = _find(row[0]), _find(row[1])
+            if ru != rv:
+                # link the larger root under the smaller: the overall
+                # minimum is never re-parented, so every final root IS
+                # its component's min id (same order as Spark's
+                # least/min — UTF-8 byte order preserves code-point
+                # order for strings; numerics are numerics)
+                if rv < ru:
+                    ru, rv = rv, ru
+                parent[rv] = ru
+        node_set = {x for row in rows for x in row}
+        from pyspark.sql.types import StructField, StructType
+
+        dt = e.schema["u"].dataType
+        labels = edges.sparkSession.createDataFrame(
+            [(n, _find(n)) for n in sorted(node_set)],
+            StructType(
+                [
+                    StructField("n", dt, False),
+                    StructField("component", dt, False),
+                ]
+            ),
+        )
+        return labels, 0
+    # nodes is consumed exactly once (the final labels join) and reads
+    # the checkpointed e — no checkpoint of its own, no upfront job
+    # (round-14: the eager nodes checkpoint was one more driver
+    # round-trip for a table the final join derives in-line).
     nodes = (
         e.select(F.col("u").alias("n"))
         .union(e.select(F.col("v").alias("n")))
         .distinct()
-        .localCheckpoint()
     )
 
     def _star(e: DataFrame, large: bool) -> DataFrame:
@@ -565,31 +696,46 @@ def simhash(hs: Column) -> Column:
 
 
 def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc SimHash via explode + 60 codegen'd SUM aggregates —
-    measured 2.7x faster than the 60-interpreted-lambda array
-    expression (simhash()) at sf0.1. Scale shape: the per-bit counting
-    happens in the PARTIAL hash aggregate (words of one doc are
-    colocated in its input row), so the exchange carries ONE 61-column
-    row per document, not the tokenized corpus."""
+    """Per-doc SimHash via explode + PACKED SUM aggregates — two 32-bit
+    bit-counters per 64-bit sum (round-14: 30 aggregate buffers instead
+    of 60, measured 2.15→1.58 s at sf0.1 with byte-identical
+    fingerprints on the full corpus; the unpacked explode+sum shape was
+    itself 2.7x faster than the 60-interpreted-lambda array expression
+    simhash(), which stays as the documented reference). Packing is
+    overflow-safe to 2^32-1 tokens per document — each 32-bit field
+    accumulates at most one count per token. Scale shape: the per-bit
+    counting happens in the PARTIAL hash aggregate (words of one doc
+    are colocated in its input row), so the exchange carries ONE
+    31-column row per document, not the tokenized corpus."""
     d = spread(load(spark, sf_dir, "documents"))
     ex = d.select("doc_id", F.explode(words()).alias("w")).select(
         "doc_id", word_hash60(F.col("w")).alias("h")
     )
     aggs = [
-        F.sum(F.shiftright("h", b).bitwiseAND(F.lit(1))).alias(f"c{b}")
-        for b in range(SIMHASH_BITS)
+        F.sum(
+            F.shiftright("h", 2 * b).bitwiseAND(F.lit(1))
+            + F.shiftleft(
+                F.shiftright("h", 2 * b + 1).bitwiseAND(F.lit(1)), 32
+            )
+        ).alias(f"p{b}")
+        for b in range(SIMHASH_BITS // 2)
     ]
     g = ex.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
-    sh = sum(
-        [
+    terms = []
+    for b in range(SIMHASH_BITS // 2):
+        lo = F.col(f"p{b}").bitwiseAND(F.lit((1 << 32) - 1))
+        hi = F.shiftright(F.col(f"p{b}"), 32)
+        terms.append(
             F.when(
-                2 * F.col(f"c{b}") >= F.col("n"),
-                F.lit(1 << b).cast("long"),
+                2 * lo >= F.col("n"), F.lit(1 << (2 * b)).cast("long")
             ).otherwise(F.lit(0).cast("long"))
-            for b in range(SIMHASH_BITS)
-        ],
-        F.lit(0).cast("long"),
-    )
+        )
+        terms.append(
+            F.when(
+                2 * hi >= F.col("n"), F.lit(1 << (2 * b + 1)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    sh = sum(terms[1:], terms[0])
     return g.select("doc_id", sh.alias("simhash"))
 
 
@@ -769,9 +915,19 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
     )
-    pairs = _expand_id_pairs(buckets)
-    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Candidate-only verification, same shape (and same argument) as
+    # q_minhash_lsh_pairs: shingling is a per-doc content function, so
+    # re-deriving candidates' shingles from the raw table is
+    # value-identical to joining the full shingle table — minus two
+    # full-corpus shingle passes.
+    pairs = _expand_id_pairs(buckets).persist()
+    cand_sh = _candidate_shingles(spark, sf_dir, pairs)
+    sa = cand_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = cand_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union

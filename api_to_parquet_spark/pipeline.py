@@ -215,6 +215,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same argument as minhash_lsh_pairs)."""
     from api_to_parquet_spark.dedup import (
         JACCARD_THRESHOLD,
+        _candidate_shingles,
         _expand_id_pairs,
         hashed_shingles,
         lsh_bands,
@@ -237,6 +238,14 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates recomputes the whole upstream per stage — measured 13.4s
     # vs ~3s for this shape at sf0.01). Exact dedup keep-first is a
     # window min over (q_pass, md5) — one shuffle, no self-semi-join.
+    # The flag table is persist()-ed (round-14): it feeds both the
+    # near-dup candidate pipeline and the final census join, and
+    # without the cache the scan + tokenize + md5 window ran once per
+    # consumer (4 scans in the round-13 plan). text is dropped first —
+    # the window consumed the md5 already; ws carries the tokens the
+    # shingle and census stages need. persist, not localCheckpoint: a
+    # checkpoint pre-executes the subtree at construction (AQE
+    # blocking) — measured slower end-to-end (see _expand_id_pairs).
     w_md5 = Window.partitionBy("q_pass", F.md5("text"))
     flagged = (
         d.withColumn(
@@ -246,6 +255,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "e_pass", F.col("q_pass") & (F.col("doc_id") == F.col("first_id"))
         )
+        .select("doc_id", "ws", "q_pass", "e_pass")
+        .persist()
     )
     e = flagged.filter("e_pass").select("doc_id", "ws")
 
@@ -262,9 +273,20 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
     )
-    pairs = _expand_id_pairs(buckets)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = _expand_id_pairs(buckets).persist()
+    # Candidate-only verification (round-14, the q_minhash_lsh_pairs
+    # shape): every candidate id names a document that survived the
+    # exact-dedup stage, and shingles depend only on the doc's own
+    # text, so shingling candidates straight from the raw table is
+    # value-identical to joining the full e-filtered shingle table —
+    # minus two full re-runs of the filter + window + shingle lineage.
+    cand_sh = _candidate_shingles(spark, sf_dir, pairs)
+    sa = cand_sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
+    )
+    sb = cand_sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
+    )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))

@@ -144,11 +144,16 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its hashed-unigram features under a TARGET distribution (here:
     lang == 'en' docs) vs the full corpus, and keep the top-DSIR_N.
 
-    Scale shape: tokens explode map-side; bucket counts are ONE shuffle
-    onto DSIR_B=1024 keys with map-side partial aggregation; the weight
-    table is 1024 rows, broadcast back onto the token stream; per-doc
-    scores are one shuffle on doc_id. No driver-side model state —
-    totals ride along as a broadcast one-row crossJoin.
+    Scale shape: tokens explode map-side ONCE into the per-(doc,
+    bucket) counts (round-14: the bucket-count and per-doc branches
+    both read the exploded stream, so the explode + per-token md5 ran
+    twice; the global bucket counts are now derived FROM doc_b —
+    sum of per-doc counts per bucket — which is a second aggregation
+    over ≤1024 rows/doc instead of a second corpus pass, and the
+    shared doc_b subtree is persist()-ed so it computes once).
+    The weight table is 1024 rows, broadcast back onto the per-doc
+    counts; per-doc scores are one shuffle on doc_id. No driver-side
+    model state — totals ride along as a broadcast one-row crossJoin.
 
     Float determinism for the oracle: weights are rounded to 8 decimals
     (cross-engine ln() can differ in the last ulp), and the per-doc
@@ -168,9 +173,21 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_B
         ).alias("b"),
     )
-    counts = bucketed.groupBy("b").agg(
-        F.count("*").alias("all_c"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_c"),
+    # ONE corpus pass: per-(doc, lang, bucket) counts (lang is
+    # functionally determined by doc_id, so the groups are identical
+    # to groupBy(doc_id, b)); global bucket counts are exact sums of
+    # the per-doc counts — a re-aggregation of the small table, not a
+    # second explode of the corpus.
+    doc_b = (
+        bucketed.groupBy("doc_id", "lang", "b")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    counts = doc_b.groupBy("b").agg(
+        F.sum("c").alias("all_c"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
+            "tgt_c"
+        ),
     )
     totals = counts.agg(
         F.sum("all_c").alias("all_t"), F.sum("tgt_c").alias("tgt_t")
@@ -183,7 +200,6 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("wt"),
     )
-    doc_b = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     terms = doc_b.join(F.broadcast(weights), "b").select(
         "doc_id", "b", (F.col("c") * F.col("wt")).alias("term")
     )

@@ -49,9 +49,15 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side cosine + per-partition top-k heaps (window over the small
     query-id partitioning). At 1000 executors this is one broadcast + one
     narrow pass over the corpus — no corpus shuffle."""
-    vecs = _vecs(spark, sf_dir)
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # query side from the raw load — 10 rows gain nothing from
+    # spread()'s repartition pass (round-14); values identical.
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
     )
     scored = (
         _vecs(spark, sf_dir)
@@ -138,13 +144,22 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = vecs.select(
         "vec_id", "v", F.explode("buckets").alias("bucket")
     )
-    queries = (
-        vecs.filter(F.col("vec_id") < N_QUERIES)
+    # query side from the raw load (round-14): 10 rows pay neither the
+    # spread repartition nor a second pass over the spread corpus; the
+    # bucket signature is a deterministic function of v, so values are
+    # identical.
+    qraw = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
         .select(
-            F.col("vec_id").alias("query_id"),
-            F.col("v").alias("qv"),
-            F.explode("buckets").alias("bucket"),
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
         )
+        .withColumn("buckets", lsh_buckets(F.col("v"), dim))
+    )
+    queries = qraw.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode("buckets").alias("bucket"),
     )
     scored = (
         corpus.join(
@@ -234,14 +249,23 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_cells = vecs.select(
         "vec_id", "v", nearest_cell("v").alias("cell")
     )
-    queries = vecs.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    # query side: raw load, no spread — 10 rows gain nothing from a
+    # repartition pass; broadcast the probe table explicitly (tiny by
+    # construction, like knn_bruteforce's query broadcast) so the
+    # corpus is never shuffled by cell id (round-14).
+    queries = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qv"),
+        )
     )
     query_cells = queries.select(
         "query_id", "qv", F.explode(probe_cells("qv")).alias("cell")
     )
     scored = (
-        corpus_cells.join(query_cells, "cell")
+        corpus_cells.join(F.broadcast(query_cells), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -563,30 +587,42 @@ def q_embedding_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     size (one metadata-only count, the same bounded-model-state rule
     the ANN paths follow): wider codes keep bucket occupancy ~constant
     so candidates grow ~linearly, at the cost of recall at a given
-    cosine — the standard LSH granularity/recall dial."""
+    cosine — the standard LSH granularity/recall dial.
+
+    Round-14 rework: candidates come from ONE (band, code) groupBy +
+    in-array pair expansion (_expand_id_pairs — the minhash/simhash
+    candidate shape) instead of a codes⋈codes self-join that computed
+    the scan + 4-band code projection once per side; the count feeding
+    the band-width rule reads the raw table (same value — spread()
+    never changes cardinality) so it no longer pays the spread
+    repartition; and the cosine join-backs read the raw table without
+    spread — the verify work is candidate-proportional, so scan
+    parallelism doesn't gate it. Pair set and cosine values are
+    byte-identical (same buckets, same distinct pairs, same fold)."""
+    from api_to_parquet_spark.dedup import _expand_id_pairs
+
     vecs = _vecs(spark, sf_dir)
-    bits = _band_bits_for(vecs.count())
+    bits = _band_bits_for(load(spark, sf_dir, "embeddings").count())
     codes = vecs.select(
         "vec_id",
         F.posexplode(
             F.array(*[_band_code(t, bits) for t in range(BAND_N)])
         ).alias("band", "code"),
     )
-    cand = (
-        codes.alias("a")
-        .join(
-            codes.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.code") == F.col("b.code"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+    buckets = (
+        codes.groupBy("band", "code")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.array_sort("ids").alias("ids"))
     )
-    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
-    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    cand = _expand_id_pairs(buckets).select(
+        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
+    )
+    raw = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    va = raw.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = raw.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")

@@ -87,7 +87,10 @@ def test_connected_components_adversarial_topologies(spark):
     path = [(i, i + 1) for i in range(n - 1)]
     tri = [(1000, 1001), (1001, 1002), (1000, 1002)]
     edges = spark.createDataFrame(path + tri, "doc_a: long, doc_b: long")
-    labels, rounds = connected_components(edges)
+    # driver_max_edges=0 forces the DISTRIBUTED star loop — these
+    # topologies exist to exercise it (the small-graph fast path would
+    # otherwise absorb every test-sized graph)
+    labels, rounds = connected_components(edges, driver_max_edges=0)
     got = {r["n"]: r["component"] for r in labels.collect()}
     assert all(got[i] == 0 for i in range(n))
     assert all(got[i] == 1000 for i in (1000, 1001, 1002))
@@ -98,10 +101,43 @@ def test_connected_components_adversarial_topologies(spark):
     # large star: hub 5000 with 400 leaves, hub is NOT the min id
     star = [(5000, 6000 + i) for i in range(400)] + [(5000, 10)]
     edges = spark.createDataFrame(star, "doc_a: long, doc_b: long")
-    labels, rounds = connected_components(edges)
+    labels, rounds = connected_components(edges, driver_max_edges=0)
     got = {r["n"]: r["component"] for r in labels.collect()}
     assert set(got.values()) == {10}
     assert rounds <= 4, rounds
+
+
+def test_connected_components_driver_path_matches_distributed(spark):
+    """The round-14 small-graph fast path (driver union-find under
+    CC_DRIVER_MAX_EDGES) must label EXACTLY like the distributed star
+    loop, on a random graph with duplicate and reversed edges, and on
+    string node ids (the kql graph-mark-components dtype)."""
+    import random
+
+    from api_to_parquet_spark.dedup import connected_components
+
+    rng = random.Random(21)
+    edges = [
+        (rng.randrange(400), rng.randrange(400)) for _ in range(500)
+    ]
+    edges += [(b, a) for a, b in edges[:50]]  # reversed duplicates
+    df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+    fast, r_fast = connected_components(df)
+    slow, r_slow = connected_components(df, driver_max_edges=0)
+    assert r_fast == 0 and r_slow >= 1
+
+    def as_map(d):
+        return {r["n"]: r["component"] for r in d.collect()}
+
+    assert as_map(fast) == as_map(slow)
+
+    sdf = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "doc_a: string, doc_b: string"
+    )
+    fast_s, _ = connected_components(sdf)
+    assert as_map(fast_s) == {
+        "a": "a", "b": "a", "c": "a", "x": "x", "y": "x"
+    }
 
 
 def test_connected_components_matches_bruteforce_random(spark):
