@@ -1045,6 +1045,14 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pg"),
         )
         .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+        # persist: the gram stream feeds BOTH the repeated-gram
+        # aggregate and the hits join — without the cache the corpus
+        # re-tokenizes and re-hashes once per consumer (round-14:
+        # measured 1.6→1.1 s at sf0.1). MEMORY_AND_DISK spills at
+        # scale; the alternative is a second full scan+hash pass, the
+        # same O(corpus) either way but compute-bound instead of
+        # IO-bound.
+        .persist()
     )
     # ">= 2 distinct docs" needs only min(doc) != max(doc) — two
     # longs of partial-agg state that collapse duplicates MAP-SIDE,

@@ -133,15 +133,23 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     total count — the first step of tokenizer training. explode →
     two-level aggregate (map-side combine absorbs the token explosion)
     → deterministic top-k (count desc, token asc)."""
+    # ONE corpus explode (round-14): per-(doc, token) counts carry both
+    # signals — doc_freq = group count, term_freq = sum of counts — so
+    # the former two explodes + two token shuffles become one explode,
+    # one (doc, token) shuffle and one token-keyed re-aggregation of
+    # the much smaller grouped table. Values identical.
     d = spread(load(spark, sf_dir, "documents"))
-    tok = d.select(
-        "doc_id", F.explode(F.array_distinct(words())).alias("token")
+    per_doc = (
+        d.select("doc_id", F.explode(words()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
     )
-    all_tok = d.select("doc_id", F.explode(words()).alias("token"))
-    df_counts = tok.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    tf_counts = all_tok.groupBy("token").agg(F.count("*").alias("term_freq"))
     return (
-        df_counts.join(tf_counts, "token")
+        per_doc.groupBy("token")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("c").alias("term_freq"),
+        )
         .orderBy(F.desc("term_freq"), "token")
         .limit(100)
     )
@@ -173,18 +181,21 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a driver-side .count() in the plan), ranked per doc."""
     from pyspark.sql import Window
 
+    # ONE corpus explode (round-14): the per-(doc, token) grouped table
+    # IS the distinct (doc, token) set, so doc frequencies re-aggregate
+    # it and the tf side filters it — the former second explode +
+    # distinct shuffle of the full token stream disappears. persist:
+    # both branches read it. Values identical.
     d = spread(load(spark, sf_dir, "documents"))
-    toks = d.select("doc_id", F.explode(words()).alias("token"))
-    tf = (
-        toks.filter(F.col("doc_id") < 100)
+    per_doc = (
+        d.select("doc_id", F.explode(words()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("term_freq"))
+        .persist()
     )
-    df_counts = (
-        toks.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count("*").alias("doc_freq"))
+    tf = per_doc.filter(F.col("doc_id") < 100)
+    df_counts = per_doc.groupBy("token").agg(
+        F.count("*").alias("doc_freq")
     )
     n_docs = d.agg(F.count("*").alias("n_docs"))
     scored = (
