@@ -2076,6 +2076,31 @@ def _sum_sql(arr: str) -> str:
     return f"aggregate({arr}, {_D0}, (_a, _x) -> _a + _x)"
 
 
+def _seasonal_means_sql(phi: str, pstr: str, det: str, n: str) -> str:
+    """Per-phase means of a detrended series as `_sc_seas`, by DIRECT
+    stride indexing: phase _p's members are det[_p], det[_p + P], … —
+    one fold of ~n/P adds per phase, O(n) total work and zero
+    per-element struct allocation. (Round-14: replaces P conditional
+    folds that each rebuilt an n-element struct array — O(P·n)
+    interpreted steps; higher-order functions don't codegen, so the
+    constant matters.) Each phase adds the SAME doubles in the SAME
+    ascending-index order as the conditional fold did, so the sums —
+    and the means — are bit-identical; a phase with no members (n <= p)
+    yields NULL exactly as s/nullif(0, 0) did. The member count for
+    phase p is floor((n-1-p)/P)+1; n and the division stay DOUBLE, and
+    the CAST truncation equals floor because the operands are
+    non-negative exact integers."""
+    cnt = f"CAST(({n} - 1 - _p) / {pstr} AS INT)"
+    return (
+        f"transform(sequence(0, {phi}), _p -> CASE"
+        f" WHEN {n} > _p THEN"
+        f" aggregate(sequence(0, {cnt}), {_D0},"
+        f" (_a, _k) -> _a + element_at({det}, _p + _k * {pstr} + 1))"
+        f" / ({cnt} + 1)"
+        " ELSE CAST(NULL AS DOUBLE) END) AS _sc_seas"
+    )
+
+
 def _tukey_score_sql(arr: str, q10: str, q90: str, iqr: str, k: str) -> str:
     """Per-element Tukey-fence anomaly score over an array: 0 inside
     [q10 - k*iqr, q90 + k*iqr], signed exceedance beyond the fence in
@@ -2600,14 +2625,22 @@ def _series_chain_sql(
             " AS _sc_slope"
         )
         nest("(_sc_sy - _sc_slope * _sc_sx) / _sc_m AS _sc_icept")
+        # per-phase means by direct stride indexing over the training
+        # prefix (see _seasonal_means_sql — detrending happens inside
+        # the fold here, so the stride index feeds both the element
+        # lookup and the trend term; same doubles added in the same
+        # ascending-index order as the former conditional fold over
+        # _sc_pre, so the means are bit-identical)
         nest(
-            f"transform(sequence(0, {p - 1}), _p -> aggregate("
-            "_sc_pre,"
-            f" named_struct('s', {_D0}, 'c', {_D0}),"
-            f" (_a, _e) -> IF(CAST(_e.i AS INT) % {p} = _p,"
-            " named_struct('s', _a.s + (_e.x - (_sc_icept"
-            " + _sc_slope * _e.i)), 'c', _a.c + 1), _a),"
-            f" _a -> _a.s / nullif(_a.c, {_D0}))) AS _sc_seas"
+            f"transform(sequence(0, {p - 1}), _p -> CASE"
+            " WHEN _sc_m > _p THEN"
+            f" aggregate(sequence(0,"
+            f" CAST((_sc_m - 1 - _p) / {p} AS INT)), {_D0},"
+            " (_a, _k) -> _a + (element_at(_sc_ys,"
+            f" _p + _k * {p} + 1) - (_sc_icept"
+            f" + _sc_slope * (_p + _k * {p}))))"
+            f" / (CAST((_sc_m - 1 - _p) / {p} AS INT) + 1)"
+            " ELSE CAST(NULL AS DOUBLE) END) AS _sc_seas"
         )
         return build(
             f"IF(_sc_m < greatest(2, {p}),"
@@ -2642,14 +2675,7 @@ def _series_chain_sql(
             " _x - (_sc_icept + _sc_slope * _i)) AS _sc_det"
         )
         ptmp = _emit_autoperiod() if pdyn else []
-        nest(
-            f"transform(sequence(0, {phi}), _p -> aggregate("
-            "transform(_sc_det, (_x, _i) -> named_struct('x', _x, 'i', _i)),"
-            f" named_struct('s', {_D0}, 'c', {_D0}),"
-            f" (_a, _e) -> IF(_e.i % {pstr} = _p,"
-            " named_struct('s', _a.s + _e.x, 'c', _a.c + 1), _a),"
-            f" _a -> _a.s / nullif(_a.c, {_D0}))) AS _sc_seas"
-        )
+        nest(_seasonal_means_sql(phi, pstr, "_sc_det", "_sc_n"))
         nest(
             "transform(_sc_ys, (_x, _i) ->"
             f" _sc_icept + _sc_slope * _i) AS {trend},"
@@ -2682,21 +2708,14 @@ def _series_chain_sql(
         )
         nest("(_sc_sy - _sc_slope * _sc_sx) / _sc_n AS _sc_icept")
         # trend = linefit; seasonal = per-phase mean of the detrended
-        # series (one conditional fold per phase — period is a small
-        # constant, arrays are per-row: map-side)
+        # series (stride-indexed folds — period is a small constant,
+        # arrays are per-row: map-side)
         nest(
             "transform(_sc_ys, (_x, _i) ->"
             " _x - (_sc_icept + _sc_slope * _i)) AS _sc_det"
         )
         ptmp = _emit_autoperiod() if pdyn else []
-        nest(
-            f"transform(sequence(0, {phi}), _p -> aggregate("
-            "transform(_sc_det, (_x, _i) -> named_struct('x', _x, 'i', _i)),"
-            f" named_struct('s', {_D0}, 'c', {_D0}),"
-            f" (_a, _e) -> IF(_e.i % {pstr} = _p,"
-            " named_struct('s', _a.s + _e.x, 'c', _a.c + 1), _a),"
-            f" _a -> _a.s / nullif(_a.c, {_D0}))) AS _sc_seas"
-        )
+        nest(_seasonal_means_sql(phi, pstr, "_sc_det", "_sc_n"))
         nest(
             "transform(_sc_ys, (_x, _i) -> _sc_icept + _sc_slope * _i"
             f" + element_at(_sc_seas, _i % {pstr} + 1)) AS {base}"

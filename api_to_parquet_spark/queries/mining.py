@@ -49,6 +49,14 @@ BM25_B = 0.75
 BM25_TOPK = 20
 
 
+def _eq_term(t: str):
+    """Single-parameter lambda factory for F.filter — PySpark counts a
+    lambda's parameters (defaults included) to decide whether to pass
+    the element index, so a `lambda x, t=t:` capture would silently
+    receive (element, index)."""
+    return lambda x: x == F.lit(t)
+
+
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword retrieval: top-20 documents for the fixed query
     {spark, join, window}. Exact integer tf/df/doclen feed a
@@ -56,17 +64,49 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines. IDF uses the standard Robertson form
     ln(1 + (N - df + 0.5)/(df + 0.5))."""
     d = spread(load(spark, sf_dir, "documents"))
-    toks = d.select(
-        "doc_id", F.size(words()).alias("dl"), F.explode(words()).alias("token")
+    # ONE tokenize pass, ZERO corpus shuffles for tf (round-14): the
+    # fixed 3-term query means per-doc term frequencies are plain
+    # map-side array-filter counts — the former explode + filter +
+    # (doc, dl, token) groupBy shuffle, plus a SECOND full tokenize
+    # pass for the corpus stats, collapse into one narrow per-doc
+    # projection read by all three consumers. The two-step select
+    # keeps a single words() evaluation (CollapseProject does not
+    # inline a multiply-referenced non-cheap alias).
+    per_doc = (
+        d.select("doc_id", words().alias("ws"))
+        .select(
+            "doc_id",
+            F.size("ws").alias("dl"),
+            *[
+                F.size(
+                    F.filter("ws", _eq_term(t))
+                ).cast("long").alias(f"c{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ],
+        )
+        .persist()
     )
-    tf = (
-        toks.filter(F.col("token").isin(*BM25_TERMS))
-        .groupBy("doc_id", "dl", "token")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("token"),
+                            F.col(f"c{i}").alias("tf"),
+                        )
+                        for i, t in enumerate(BM25_TERMS)
+                    ]
+                ),
+                lambda s: s["tf"] > 0,
+            )
+        ).alias("e"),
+    ).select("doc_id", "dl", "e.token", "e.tf")
     dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    stats = d.agg(
-        F.count("*").alias("n_docs"), F.sum(F.size(words())).alias("total_dl")
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
     )
     idf = F.log(
         F.lit(1.0)
@@ -247,6 +287,12 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
+    # persist (round-14): the bigram stream feeds BOTH the LM count
+    # aggregate and the per-document join-back — without the cache the
+    # corpus re-tokenizes and re-expands bigrams once per consumer.
+    # Same precedent as repeated_ngram_spans' gram stream;
+    # MEMORY_AND_DISK spills at scale.
+    pairs = pairs.persist()
     big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = d.select(F.explode("ws").alias("t")).agg(
@@ -284,9 +330,13 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines. Top-50 strongest collocations with
     df_ab >= 5."""
     d = spread(load(spark, sf_dir, "documents"))
+    # persist (round-14): both the pair expansion and the per-token
+    # document frequencies read this scan+tokenize+distinct+sort
+    # lineage — without the cache the corpus tokenizes twice. Narrow
+    # (doc_id + distinct-token array); MEMORY_AND_DISK spills at scale.
     toks = d.select(
         "doc_id", F.array_sort(F.array_distinct(words())).alias("ts")
-    )
+    ).persist()
     # ordered pairs (ts[i], ts[j]) for i < j, built per row
     pairs = toks.select(
         "doc_id",

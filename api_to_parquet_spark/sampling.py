@@ -144,16 +144,23 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its hashed-unigram features under a TARGET distribution (here:
     lang == 'en' docs) vs the full corpus, and keep the top-DSIR_N.
 
-    Scale shape: tokens explode map-side ONCE into the per-(doc,
-    bucket) counts (round-14: the bucket-count and per-doc branches
-    both read the exploded stream, so the explode + per-token md5 ran
-    twice; the global bucket counts are now derived FROM doc_b —
-    sum of per-doc counts per bucket — which is a second aggregation
-    over ≤1024 rows/doc instead of a second corpus pass, and the
-    shared doc_b subtree is persist()-ed so it computes once).
-    The weight table is 1024 rows, broadcast back onto the per-doc
-    counts; per-doc scores are one shuffle on doc_id. No driver-side
-    model state — totals ride along as a broadcast one-row crossJoin.
+    Scale shape: tokens explode map-side; bucket counts are ONE shuffle
+    onto DSIR_B=1024 keys with map-side partial aggregation; the weight
+    table is 1024 rows, broadcast back onto the token stream; per-doc
+    scores are one shuffle on doc_id. No driver-side model state —
+    totals ride along as a broadcast one-row crossJoin.
+
+    Deliberately TWO explode passes (round-14, measured): deriving the
+    bucket counts from a persisted per-(doc, lang, bucket) table — one
+    explode, one materialization — was tried and REJECTED by an
+    interleaved same-session A/B at sf0.1 (old median 1.72 s vs
+    persisted-variant 3.74 s): the per-doc table is ~docs × 1024 rows,
+    and persisting it (serialize + block-store churn) costs more than
+    re-exploding the corpus into a map-side partial aggregation that
+    collapses to 1024 rows before the shuffle. The second pass is
+    compute-bound (md5 per token) but stays O(corpus) with no
+    materialized intermediate — the better trade at every scale where
+    the doc×bucket matrix outweighs the token stream's hash cost.
 
     Float determinism for the oracle: weights are rounded to 8 decimals
     (cross-engine ln() can differ in the last ulp), and the per-doc
@@ -173,21 +180,9 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_B
         ).alias("b"),
     )
-    # ONE corpus pass: per-(doc, lang, bucket) counts (lang is
-    # functionally determined by doc_id, so the groups are identical
-    # to groupBy(doc_id, b)); global bucket counts are exact sums of
-    # the per-doc counts — a re-aggregation of the small table, not a
-    # second explode of the corpus.
-    doc_b = (
-        bucketed.groupBy("doc_id", "lang", "b")
-        .agg(F.count("*").alias("c"))
-        .persist()
-    )
-    counts = doc_b.groupBy("b").agg(
-        F.sum("c").alias("all_c"),
-        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
-            "tgt_c"
-        ),
+    counts = bucketed.groupBy("b").agg(
+        F.count("*").alias("all_c"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tgt_c"),
     )
     totals = counts.agg(
         F.sum("all_c").alias("all_t"), F.sum("tgt_c").alias("tgt_t")
@@ -200,6 +195,7 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("wt"),
     )
+    doc_b = bucketed.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
     terms = doc_b.join(F.broadcast(weights), "b").select(
         "doc_id", "b", (F.col("c") * F.col("wt")).alias("term")
     )
