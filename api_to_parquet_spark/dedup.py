@@ -178,23 +178,18 @@ def _expand_id_pairs(buckets: DataFrame) -> DataFrame:
       the row role; same-block pairs hit cell (c, c) in both
       orientations and are deduped by least/greatest + distinct.
 
-    `buckets` is persist()-ed first: the DF is referenced
-    by THREE branches (small path, mega row-cells, mega col-cells), and
-    without materialization Spark recomputes the entire upstream
-    lineage — scan, shingle, signature, band shuffle — once per branch
-    (round-14 plan audit: minhash_lsh_pairs scanned `documents` 5x;
-    the two mega branches compute full pipelines that yield ZERO rows
-    on any non-degenerate corpus). One lazy checkpoint computes the
-    bucket table once inside the query's own execution and serves all
-    three branches from storage; no extra job is scheduled
-    (materialization rides the first downstream action). persist(),
-    not localCheckpoint: a checkpoint plans AND pre-executes the
-    subtree's shuffle stages at CONSTRUCTION time (AQE's
-    getFinalPhysicalPlan blocks), measured slower end-to-end than the
-    cache at sf0.1; persist defers everything to the query's own
-    action and still computes the subtree once.
+    `buckets` is deliberately NOT persist()-ed (round-14, measured):
+    the three branches (small path, mega row-cells, mega col-cells)
+    print as three copies of the upstream lineage in the pre-AQE
+    explain, but at RUNTIME AQE's query-stage cache reuses the
+    identical band-shuffle exchange across them, so only the cheap
+    post-shuffle agg+filter re-runs per branch. A persist() here was
+    tried and REJECTED by an interleaved same-session A/B at sf0.1
+    (clearCache between reps so no cross-run cache reuse):
+    minhash_lsh_pairs 3.0 s unpersisted vs 5.2 s persisted — the
+    materialization barrier serializes the DAG and the block-store
+    round-trip costs more than the reused-exchange re-reads.
     """
-    buckets = buckets.persist()
     n_blocks = F.greatest(
         F.ceil(F.size("ids") / MEGA_BUCKET).cast("int"), F.lit(1)
     )
@@ -277,13 +272,10 @@ def _expand_struct_pairs(buckets: DataFrame, keep) -> DataFrame:
     provably: the predicate is the query's own final filter, applied
     before dedupe instead of after.
 
-    Like _expand_id_pairs, `buckets` is persist()-ed:
-    three branches reference it, and without materialization each
-    re-runs the whole upstream fingerprint pipeline (round-14:
-    simhash_band_pairs computed _simhashed's explode + 60-column
-    aggregate three times, 6 scans in the plan). persist(), not
-    localCheckpoint — see _expand_id_pairs."""
-    buckets = buckets.persist()
+    Like _expand_id_pairs, `buckets` is deliberately NOT persisted:
+    the three branch copies in the printed plan share one runtime
+    exchange via AQE stage reuse, and a persist() was measured slower
+    (see _expand_id_pairs)."""
     n_blocks = F.greatest(
         F.ceil(F.size("ids") / MEGA_BUCKET).cast("int"), F.lit(1)
     )
@@ -392,26 +384,19 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
     )
-    # pairs is referenced three times below (the verify join plus both
-    # sides' candidate-id derivations) — persist so the bucket
-    # expansion runs once, not per reference.
-    pairs = _expand_id_pairs(buckets).persist()
-    # Verification: shingle ONLY the candidate documents (guide-§8
-    # shape — decide with small rows, attach the heavy payload once).
-    # The former two joins back to the FULL shingle table recomputed
-    # the corpus scan + shingling once per side (round-14 plan audit);
-    # candidates are a superset-free subset of docs, and shingles are
-    # per-doc content functions, so shingling candidates from the raw
-    # table yields byte-identical verification. No broadcast hint —
-    # candidate volume is data-dependent (tiny here, potentially huge
-    # at 100 TB), so AQE picks broadcast-vs-shuffle from runtime stats.
-    cand_sh = _candidate_shingles(spark, sf_dir, pairs)
-    sa = cand_sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    sb = cand_sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
+    pairs = _expand_id_pairs(buckets)
+    # Verification: two joins back to the shingle table. No broadcast
+    # hint — candidate volume is data-dependent (tiny here, potentially
+    # huge at 100 TB), so AQE picks broadcast-vs-shuffle from runtime
+    # stats. A candidate-only variant (shingle just the docs named by
+    # pairs, re-read from the raw table) was tried in round 14 and
+    # REJECTED by an interleaved same-session A/B at sf0.1 (3.0 s this
+    # shape vs 5.1 s candidate-only): the extra semi-join + persist
+    # barriers cost more than the two map-side shingle passes, whose
+    # scans AQE dedupes where they end in an exchange. Revisit only
+    # with evidence from a corpus where shingling dominates the scan.
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))
@@ -421,26 +406,6 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
-
-
-def _candidate_shingles(
-    spark: SparkSession, sf_dir: str, pairs: DataFrame
-) -> DataFrame:
-    """(doc_id, sh) for exactly the documents named by `pairs` — the
-    verify-side shingle table restricted to candidates before any
-    shingling happens, so exact-Jaccard verification costs
-    O(candidates), not O(corpus). Shingles depend only on the doc's own
-    text, so this is value-identical to filtering the full shingle
-    table. Lazily checkpointed: both verify sides read it."""
-    ids = pairs.select(
-        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-    ).distinct()
-    cand = load(spark, sf_dir, "documents").join(ids, "doc_id")
-    return (
-        cand.select("doc_id", words().alias("ws"))
-        .select("doc_id", shingles(F.col("ws")).alias("sh"))
-        .persist()
     )
 
 
@@ -915,19 +880,12 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
     )
-    # Candidate-only verification, same shape (and same argument) as
-    # q_minhash_lsh_pairs: shingling is a per-doc content function, so
-    # re-deriving candidates' shingles from the raw table is
-    # value-identical to joining the full shingle table — minus two
-    # full-corpus shingle passes.
-    pairs = _expand_id_pairs(buckets).persist()
-    cand_sh = _candidate_shingles(spark, sf_dir, pairs)
-    sa = cand_sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    sb = cand_sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
+    # Full-table verification joins, like q_minhash_lsh_pairs (and for
+    # the same measured reason — the round-14 candidate-only variant
+    # was interleave-A/B'd slower; see the note there).
+    pairs = _expand_id_pairs(buckets)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     jac = inter.cast("double") / union

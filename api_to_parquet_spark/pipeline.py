@@ -215,7 +215,6 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same argument as minhash_lsh_pairs)."""
     from api_to_parquet_spark.dedup import (
         JACCARD_THRESHOLD,
-        _candidate_shingles,
         _expand_id_pairs,
         hashed_shingles,
         lsh_bands,
@@ -238,14 +237,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aggregates recomputes the whole upstream per stage — measured 13.4s
     # vs ~3s for this shape at sf0.01). Exact dedup keep-first is a
     # window min over (q_pass, md5) — one shuffle, no self-semi-join.
-    # The flag table is persist()-ed (round-14): it feeds both the
-    # near-dup candidate pipeline and the final census join, and
-    # without the cache the scan + tokenize + md5 window ran once per
-    # consumer (4 scans in the round-13 plan). text is dropped first —
+    # The flag table is deliberately NOT persist()-ed (round-14,
+    # measured): its consumers all sit behind the (q_pass, md5) window
+    # exchange, which AQE's query-stage cache reuses at runtime, and an
+    # interleaved same-session A/B at sf0.1 showed the persisted
+    # variant LOSING to r13's unpersisted shape (4.22 s vs 3.18 s
+    # med2) — the materialization barrier serializes the DAG, the same
+    # pattern as _expand_id_pairs. text is dropped in the projection —
     # the window consumed the md5 already; ws carries the tokens the
-    # shingle and census stages need. persist, not localCheckpoint: a
-    # checkpoint pre-executes the subtree at construction (AQE
-    # blocking) — measured slower end-to-end (see _expand_id_pairs).
+    # shingle and census stages need.
     w_md5 = Window.partitionBy("q_pass", F.md5("text"))
     flagged = (
         d.withColumn(
@@ -256,7 +256,6 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "e_pass", F.col("q_pass") & (F.col("doc_id") == F.col("first_id"))
         )
         .select("doc_id", "ws", "q_pass", "e_pass")
-        .persist()
     )
     e = flagged.filter("e_pass").select("doc_id", "ws")
 
@@ -273,20 +272,15 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ids") > 1)
         .select(F.array_sort("ids").alias("ids"))
     )
-    pairs = _expand_id_pairs(buckets).persist()
-    # Candidate-only verification (round-14, the q_minhash_lsh_pairs
-    # shape): every candidate id names a document that survived the
-    # exact-dedup stage, and shingles depend only on the doc's own
-    # text, so shingling candidates straight from the raw table is
-    # value-identical to joining the full e-filtered shingle table —
-    # minus two full re-runs of the filter + window + shingle lineage.
-    cand_sh = _candidate_shingles(spark, sf_dir, pairs)
-    sa = cand_sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")
-    )
-    sb = cand_sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")
-    )
+    # Full-table verification joins against the e-filtered shingle
+    # table, like q_minhash_lsh_pairs (the round-14 candidate-only
+    # variant was interleave-A/B'd slower there and here: 4.3 s this
+    # shape vs 6.6 s candidate-only at sf0.1 — the semi-join + persist
+    # barriers outweigh the shingle recompute that AQE stage reuse
+    # already partially dedupes).
+    pairs = _expand_id_pairs(buckets)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         / F.size(F.array_union("sh_a", "sh_b"))

@@ -84,48 +84,62 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i, t in enumerate(BM25_TERMS)
             ],
         )
-        .persist()
     )
-    tf = per_doc.select(
-        "doc_id",
-        "dl",
-        F.explode(
-            F.filter(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("token"),
-                            F.col(f"c{i}").alias("tf"),
-                        )
-                        for i, t in enumerate(BM25_TERMS)
-                    ]
-                ),
-                lambda s: s["tf"] > 0,
-            )
-        ).alias("e"),
-    ).select("doc_id", "dl", "e.token", "e.tf")
-    dfreq = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # Corpus constants in ONE tiny aggregate (round-14b): per-term
+    # document frequency is sum(c_i > 0) — each doc contributes at most
+    # one (doc, token) row per term, so this equals the former
+    # countDistinct(doc_id) per token, without its double-aggregate
+    # expansion or the extra tokenize pass that fed it. The single
+    # broadcast row carries n_docs, total_dl and all three dfs.
     stats = per_doc.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_dl")
+        F.count("*").alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"c{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    # Fixed evaluation order: idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl))
-    denom = F.col("tf") + F.lit(BM25_K1) * (
-        F.lit(1 - BM25_B)
-        + F.lit(BM25_B) * F.col("dl") / (F.col("total_dl") / F.col("n_docs"))
-    )
-    term_score = idf * (F.col("tf") * F.lit(BM25_K1 + 1)) / denom
+
+    def term_score(i: int):
+        tf, df = F.col(f"c{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - df + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        # Fixed order: idf * (tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl))
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1 - BM25_B)
+            + F.lit(BM25_B)
+            * F.col("dl")
+            / (F.col("total_dl") / F.col("n_docs"))
+        )
+        return idf * (tf * F.lit(BM25_K1 + 1)) / denom
+
+    # Per-doc score entirely MAP-SIDE: the former explode → broadcast
+    # join → groupBy(doc_id) re-aggregation summed each doc's term rows
+    # inside one partial (explode emits them adjacently, in term order),
+    # i.e. ((s0 + s1) + s2) over the hit terms — reproduced exactly by
+    # a fixed-order sum with +0.0 for missing terms (IEEE: x + 0.0 is
+    # an identity on every finite x, and scores of hit terms are
+    # finite-positive). The plan collapses to scan → project →
+    # TakeOrdered: zero shuffles for tf, no countDistinct, and the
+    # top-k never sorts the corpus.
+    hit = [F.col(f"c{i}") > 0 for i in range(len(BM25_TERMS))]
+    score = None
+    for i in range(len(BM25_TERMS)):
+        s = F.when(hit[i], term_score(i)).otherwise(F.lit(0.0))
+        score = s if score is None else score + s
+    n_hit = None
+    for h in hit:
+        c = h.cast("long")
+        n_hit = c if n_hit is None else n_hit + c
     return (
-        tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
-        .withColumn("s", term_score)
-        .groupBy("doc_id")
-        .agg(
-            F.round(F.sum("s"), 6).alias("bm25"),
-            F.count("*").alias("n_terms_hit"),
+        per_doc.crossJoin(F.broadcast(stats))
+        .filter(hit[0] | hit[1] | hit[2])
+        .select(
+            "doc_id",
+            F.round(score, 6).alias("bm25"),
+            n_hit.alias("n_terms_hit"),
         )
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(BM25_TOPK)
@@ -287,12 +301,11 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")
-    # persist (round-14): the bigram stream feeds BOTH the LM count
-    # aggregate and the per-document join-back — without the cache the
-    # corpus re-tokenizes and re-expands bigrams once per consumer.
-    # Same precedent as repeated_ngram_spans' gram stream;
-    # MEMORY_AND_DISK spills at scale.
-    pairs = pairs.persist()
+    # NOT persisted (round-14, measured): a persist() of the bigram
+    # stream for its two consumers was interleave-A/B'd 1.05->1.23 s
+    # at sf0.1 and rejected — the join-back consumer shares scan work
+    # with the count side at runtime and the materialization barrier
+    # costs more than the re-expansion.
     big = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     uni = big.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = d.select(F.explode("ws").alias("t")).agg(
@@ -330,13 +343,13 @@ def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines. Top-50 strongest collocations with
     df_ab >= 5."""
     d = spread(load(spark, sf_dir, "documents"))
-    # persist (round-14): both the pair expansion and the per-token
-    # document frequencies read this scan+tokenize+distinct+sort
-    # lineage — without the cache the corpus tokenizes twice. Narrow
-    # (doc_id + distinct-token array); MEMORY_AND_DISK spills at scale.
+    # NOT persisted (round-14, measured): caching this lineage for its
+    # two consumers was interleave-A/B'd a wash-to-loss at sf0.1
+    # (0.82 vs 0.87 s) and rejected; the second tokenize pass is
+    # map-side and cheaper than the materialization.
     toks = d.select(
         "doc_id", F.array_sort(F.array_distinct(words())).alias("ts")
-    ).persist()
+    )
     # ordered pairs (ts[i], ts[j]) for i < j, built per row
     pairs = toks.select(
         "doc_id",

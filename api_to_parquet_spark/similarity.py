@@ -589,18 +589,16 @@ def q_embedding_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     so candidates grow ~linearly, at the cost of recall at a given
     cosine — the standard LSH granularity/recall dial.
 
-    Round-14 rework: candidates come from ONE (band, code) groupBy +
-    in-array pair expansion (_expand_id_pairs — the minhash/simhash
-    candidate shape) instead of a codes⋈codes self-join that computed
-    the scan + 4-band code projection once per side; the count feeding
-    the band-width rule reads the raw table (same value — spread()
-    never changes cardinality) so it no longer pays the spread
-    repartition; and the cosine join-backs read the raw table without
-    spread — the verify work is candidate-proportional, so scan
-    parallelism doesn't gate it. Pair set and cosine values are
-    byte-identical (same buckets, same distinct pairs, same fold)."""
-    from api_to_parquet_spark.dedup import _expand_id_pairs
-
+    The codes⋈codes self-join shape is deliberate (round-14, measured):
+    a groupBy-(band, code) + in-array pair expansion variant (the
+    minhash/simhash candidate shape) was tried and REJECTED by an
+    interleaved same-session A/B at sf0.1 (1.74 s this shape vs 1.96 s
+    restructured, 2.51 s with the bucket table persisted) — the
+    self-join's two code projections share their exchange via AQE
+    stage reuse, while the grouped-array path adds a collect_list
+    aggregate + expansion on the critical path. The band-width count
+    reads the raw table (kept from the rework — same value, spread()
+    never changes cardinality, no repartition pass for a count)."""
     vecs = _vecs(spark, sf_dir)
     bits = _band_bits_for(load(spark, sf_dir, "embeddings").count())
     codes = vecs.select(
@@ -609,20 +607,21 @@ def q_embedding_band_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[_band_code(t, bits) for t in range(BAND_N)])
         ).alias("band", "code"),
     )
-    buckets = (
-        codes.groupBy("band", "code")
-        .agg(F.collect_list("vec_id").alias("ids"))
-        .filter(F.size("ids") > 1)
-        .select(F.array_sort("ids").alias("ids"))
+    cand = (
+        codes.alias("a")
+        .join(
+            codes.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
     )
-    cand = _expand_id_pairs(buckets).select(
-        F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b")
-    )
-    raw = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    va = raw.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
-    vb = raw.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
+    va = vecs.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("v_a"))
+    vb = vecs.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("v_b"))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")

@@ -184,14 +184,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE corpus explode (round-14): the per-(doc, token) grouped table
     # IS the distinct (doc, token) set, so doc frequencies re-aggregate
     # it and the tf side filters it — the former second explode +
-    # distinct shuffle of the full token stream disappears. persist:
-    # both branches read it. Values identical.
+    # distinct shuffle of the full token stream disappears. NOT
+    # persisted: both branches share the grouped exchange via AQE
+    # stage reuse; a persist() here was interleave-A/B'd 0.64→1.08 s
+    # at sf0.1 and rejected. Values identical.
     d = spread(load(spark, sf_dir, "documents"))
     per_doc = (
         d.select("doc_id", F.explode(words()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count("*").alias("term_freq"))
-        .persist()
     )
     tf = per_doc.filter(F.col("doc_id") < 100)
     df_counts = per_doc.groupBy("token").agg(
