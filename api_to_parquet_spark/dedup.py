@@ -853,7 +853,19 @@ def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gram)-bucket expansion the LSH path uses; exact Jaccard verifies
     candidates only. Same oracle as ngram_jaccard_pairs — all three
     candidate strategies (all-pairs, LSH, prefix-filter) must produce
-    the identical answer."""
+    the identical answer.
+
+    A hash-space candidate variant (xxhash64 every gram up front so the
+    df count, rank join, prefix sort and bucket grouping shuffle 8-byte
+    longs instead of gram strings) was tried in round 14 and REJECTED
+    by an interleaved A/B at sf0.1 — med 19.5/21.6 s hashed vs
+    14.7/15.7 s this shape: the per-doc transform+array_distinct and
+    the extra hash pass cost more than the narrower shuffles save at
+    any candidate-bound scale, AND a 64-bit collision inside two docs'
+    gram intersection can push hash-set Jaccard BELOW gram Jaccard
+    (e.g. A={a,b,c}, B={a,b,d}, h(a)=h(b): 1/3 < 1/2), so the variant
+    silently forfeits this path's defining no-false-negative
+    guarantee."""
     t = JACCARD_THRESHOLD
     docs = shingled_docs(spark, sf_dir)
     grams = docs.select("doc_id", F.explode("sh").alias("g"))
