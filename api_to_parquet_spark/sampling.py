@@ -161,6 +161,12 @@ def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute-bound (md5 per token) but stays O(corpus) with no
     materialized intermediate — the better trade at every scale where
     the doc×bucket matrix outweighs the token stream's hash cost.
+    An UNPERSISTED single-pass variant (both aggregates re-referencing
+    one (doc_id, lang, b) grouped subtree so AQE stage reuse runs the
+    explode once) was also rejected by a settled-machine alternating
+    A/B (med 1.24 s this shape vs 1.59 s restructured at sf0.1):
+    pushing the doc×bucket matrix through an extra exchange costs more
+    than the second map-side explode it saves.
 
     Float determinism for the oracle: weights are rounded to 8 decimals
     (cross-engine ln() can differ in the last ulp), and the per-doc
