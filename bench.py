@@ -155,6 +155,58 @@ def compute_flags(
     return absolute_drift, ratio_regressions, drift
 
 
+def select_controls(
+    pin_ratios: dict[str, float], flagged: set[str], k: int = 5
+) -> list[str]:
+    """Pick the k unflagged queries whose main-run pin-ratio sits
+    closest to the run median — the most drift-representative,
+    least-suspect queries. They anchor the retest's own drift
+    estimate (the main run's drift_factor describes a machine state
+    minutes old by retest time, so it cannot be the retest bar)."""
+    if not pin_ratios:
+        return []
+    srt = sorted(pin_ratios.values())
+    med = srt[len(srt) // 2]
+    cands = [n for n in pin_ratios if n not in flagged]
+    cands.sort(key=lambda n: (abs(pin_ratios[n] - med), n))
+    return cands[:k]
+
+
+def evaluate_retest(
+    flagged_ratios: dict[str, float], control_ratios: dict[str, float]
+) -> tuple[dict[str, dict], dict[str, dict], float | None]:
+    """Pure retest verdict (round-14): a REAL regression is code-caused
+    and reproduces in a fresh timing pass; a temporal drift burst does
+    not. Each flagged query's RETEST pin-ratio is compared against
+    PIN_RATIO x the median retest pin-ratio of the control set (the
+    retest's own drift normal). Returns (still_failing, cleared,
+    retest_drift); with no controls nothing is cleared — flags are only
+    dropped on positive evidence."""
+    if not control_ratios:
+        return (
+            {
+                n: {"retest_ratio": round(r, 3)}
+                for n, r in flagged_ratios.items()
+            },
+            {},
+            None,
+        )
+    srt = sorted(control_ratios.values())
+    retest_drift = round(srt[len(srt) // 2], 3)
+    still: dict[str, dict] = {}
+    cleared: dict[str, dict] = {}
+    for name, r in flagged_ratios.items():
+        entry = {
+            "retest_ratio": round(r, 3),
+            "retest_drift": retest_drift,
+        }
+        if r > PIN_RATIO * retest_drift:
+            still[name] = entry
+        else:
+            cleared[name] = entry
+    return still, cleared, retest_drift
+
+
 def ingest_throughput(
     spark, n_envelopes: int = 10, rows_per_envelope: int = 80_000
 ) -> float:
@@ -284,12 +336,69 @@ def main() -> None:
     absolute_drift: dict[str, dict[str, float]] = {}
     ratio_regressions: dict[str, dict[str, float]] = {}
     drift = None
+    retest_cleared: dict[str, dict] = {}
     try:
         with open(PIN_FILE) as fh:
             pins = json.load(fh)
         absolute_drift, ratio_regressions, drift = compute_flags(
             timings, ingest_rps, pins, sf
         )
+        # Retest-before-flag (round-14): the run-median gate still
+        # false-flagged 3 untouched queries in a drift burst that hit
+        # specific queries harder than the median (this round's run 2;
+        # every flag failed emitted-SQL-identity adjudication). A real
+        # code regression reproduces in a fresh pass minutes later; a
+        # burst does not. Flagged queries are re-timed alongside a
+        # control set of median-ratio queries, and a flag is dropped
+        # ONLY if its fresh ratio clears the bar set by the controls'
+        # own fresh drift. Main-run medians in "queries" are never
+        # altered; cleared flags stay visible under "retest_cleared".
+        flagged = {
+            n
+            for n in ratio_regressions
+            if n != "ingest_rows_per_sec_normalized"
+        }
+        if flagged:
+            qpins = pins.get("queries", {})
+            pin_ratios = {
+                n: t / qpins[n]
+                for n, t in timings.items()
+                if qpins.get(n)
+            }
+            controls = select_controls(pin_ratios, flagged)
+
+            def _retime(name: str) -> float | None:
+                rs = []
+                try:
+                    for _ in range(2):
+                        spark.catalog.clearCache()
+                        t0 = time.perf_counter()
+                        _run(name)
+                        rs.append(time.perf_counter() - t0)
+                except Exception:  # noqa: BLE001
+                    return None
+                return min(rs)
+
+            control_ratios = {}
+            for n in controls:
+                t = _retime(n)
+                if t is not None:
+                    control_ratios[n] = t / qpins[n]
+            flagged_ratios = {}
+            for n in sorted(flagged):
+                t = _retime(n)
+                if t is not None and qpins.get(n):
+                    flagged_ratios[n] = t / qpins[n]
+            still, cleared, _ = evaluate_retest(
+                flagged_ratios, control_ratios
+            )
+            for n, entry in cleared.items():
+                retest_cleared[n] = {
+                    **ratio_regressions.pop(n),
+                    **entry,
+                }
+            for n, entry in still.items():
+                ratio_regressions[n].update(entry)
     except (OSError, ValueError, KeyError):
         pass
     print(
@@ -311,6 +420,11 @@ def main() -> None:
                 **(
                     {"ratio_regressions": ratio_regressions}
                     if ratio_regressions
+                    else {}
+                ),
+                **(
+                    {"retest_cleared": retest_cleared}
+                    if retest_cleared
                     else {}
                 ),
             }

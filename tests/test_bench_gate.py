@@ -122,3 +122,63 @@ def test_sf_mismatch_disables_pins():
         R13_ADJUDICATED, 305453.7, _pins(), "0.01"
     )
     assert ad == {} and rr == {} and drift is None
+
+
+# --- Retest-before-flag layer (round-14). The r14 session's bench run
+# 2 (drift_factor 1.574) still produced 3 ratio flags on UNTOUCHED
+# queries (kql_scan, kql_fork, kql_graph_shortest at 2.4-2.7x pin):
+# the burst hit those queries harder than the run median, which
+# run-median normalization cannot absorb. All three were exonerated by
+# emitted-SQL byte-identity vs the r13 tag. The retest layer re-times
+# flagged queries minutes later next to a median-ratio control set —
+# a drift burst has passed by then, a code regression has not.
+
+from bench import evaluate_retest, select_controls
+
+
+def test_select_controls_prefers_median_ratio_unflagged():
+    ratios = {
+        "a": 1.0, "b": 1.1, "c": 1.2, "d": 1.3, "e": 1.4,
+        "f": 1.5, "hot": 3.0,
+    }
+    controls = select_controls(ratios, flagged={"hot"}, k=3)
+    assert "hot" not in controls
+    assert len(controls) == 3
+    # median of sorted values is 1.3 — nearest unflagged neighbours win
+    assert set(controls) == {"c", "d", "e"}
+
+
+def test_retest_clears_burst_but_keeps_regression():
+    """r14-run-2 shape: the flagged trio retests at machine-normal
+    ratios (burst passed) and is cleared; an injected real regression
+    retests high relative to the controls' fresh drift and stays."""
+    controls = {"q1": 1.05, "q2": 1.1, "q3": 0.98, "q4": 1.2}
+    flagged = {
+        "kql_scan": 1.24,        # burst gone on retest
+        "kql_fork": 1.3,         # burst gone on retest
+        "real_regression": 3.1,  # code-caused: reproduces
+    }
+    still, cleared, retest_drift = evaluate_retest(flagged, controls)
+    assert set(cleared) == {"kql_scan", "kql_fork"}
+    assert set(still) == {"real_regression"}
+    assert still["real_regression"]["retest_ratio"] > (
+        PIN_RATIO * retest_drift
+    )
+
+
+def test_retest_without_controls_clears_nothing():
+    still, cleared, drift = evaluate_retest({"q": 1.01}, {})
+    assert cleared == {} and drift is None
+    assert set(still) == {"q"}
+
+
+def test_retest_on_still_slow_machine_keeps_honest_flags():
+    """If the retest window is ALSO degraded, the controls' ratios
+    rise with it and a genuinely-slow query still has to beat the
+    normalized bar — no free pass from a slow machine."""
+    controls = {"q1": 2.0, "q2": 2.1, "q3": 1.9}
+    still, cleared, _ = evaluate_retest(
+        {"innocent": 2.2, "guilty": 6.5}, controls
+    )
+    assert set(cleared) == {"innocent"}
+    assert set(still) == {"guilty"}
