@@ -667,8 +667,11 @@ def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprints on the full corpus; the unpacked explode+sum shape was
     itself 2.7x faster than the 60-interpreted-lambda array expression
     simhash(), which stays as the documented reference). Packing is
-    overflow-safe to 2^32-1 tokens per document — each 32-bit field
-    accumulates at most one count per token. Scale shape: the per-bit
+    overflow-safe to 2^31-1 tokens per document: each 32-bit field
+    gains at most one count per token, but the packed per-token addend
+    can be up to 2^32+1, so the signed-64-bit SUM reaches its bound at
+    n*(2^32+1) <= 2^63-1, i.e. n < 2^31 — past that, ANSI mode fails
+    loudly rather than wrapping (r14 advice). Scale shape: the per-bit
     counting happens in the PARTIAL hash aggregate (words of one doc
     are colocated in its input row), so the exchange carries ONE
     31-column row per document, not the tokenized corpus."""

@@ -2652,6 +2652,51 @@ def _series_chain_sql(
              "_sc_sxy", "_sc_sx", "_sc_sxx", "_sc_slope",
              "_sc_icept", "_sc_seas"],
         )
+    if fn in ("series_decompose", "series_decompose_anomalies"):
+        # Round-15 (guide §4): with a live session the whole per-series
+        # decompose chain evaluates in ONE Arrow-batched Python UDF
+        # (ArrowEvalPython — never BatchEvalPython) instead of stacked
+        # interpreted higher-order-function Projects, which never enter
+        # whole-stage codegen and cost ~0.9 ms/series of Catalyst
+        # tree-walking (the kql_series_anomalies bench line's dominant
+        # term). The kernels in series_decomp.py reproduce the SQL
+        # emission bit-for-bit — explicit in-order float accumulation,
+        # Spark NULL/NaN comparison semantics, ANSI division — pinned
+        # by tests/test_kql_series_arrow.py on adversarial inputs and
+        # by the DuckDB oracle at both SFs. Sessionless kql_to_sql()
+        # keeps the pure-SQL emission below (no session to register
+        # a UDF on), which doubles as the kernels' reference twin.
+        ctx = _ACTIVE_CTX.get()
+        spark_ = ctx[0] if ctx else None
+        if spark_ is not None:
+            from api_to_parquet_spark.queries import (
+                series_decomp as _sdk,
+            )
+
+            _sdk.register_decompose_udfs(spark_)
+            pstr, pdyn = _decompose_prelude()
+            period_sql = "-1" if pdyn else pstr
+            if fn == "series_decompose_anomalies":
+                anom, score, base = names
+                k = _expr(args[2]) if len(args) > 2 else "1.5"
+                nest(
+                    f"{_sdk.SDA_UDF_NAME}({ys}, {period_sql},"
+                    f" CAST(({k}) AS DOUBLE)) AS _sc_dec"
+                )
+                return build(
+                    f"_sc_dec.bl AS {base}, _sc_dec.sc AS {score},"
+                    f" _sc_dec.an AS {anom}",
+                    ["_sc_dec"],
+                )
+            base, seas, trend, resid = names
+            nest(
+                f"{_sdk.SD_UDF_NAME}({ys}, {period_sql}) AS _sc_dec"
+            )
+            return build(
+                f"_sc_dec.tr AS {trend}, _sc_dec.se AS {seas},"
+                f" _sc_dec.bl AS {base}, _sc_dec.re AS {resid}",
+                ["_sc_dec"],
+            )
     if fn == "series_decompose":
         base, seas, trend, resid = names
         pstr, pdyn = _decompose_prelude()

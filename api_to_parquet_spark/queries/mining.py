@@ -35,6 +35,9 @@ Scale notes (each verified against `.explain`, see PLANS.md):
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -135,7 +138,7 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hit = c if n_hit is None else n_hit + c
     return (
         per_doc.crossJoin(F.broadcast(stats))
-        .filter(hit[0] | hit[1] | hit[2])
+        .filter(reduce(operator.or_, hit))
         .select(
             "doc_id",
             F.round(score, 6).alias("bm25"),

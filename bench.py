@@ -98,6 +98,64 @@ PIN_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 PIN_RATIO = 1.5
 CANARY = "pricing_summary"
 
+# PIN GOVERNANCE (round-15, verdict item 6): bench_pins.json may only
+# be re-derived wholesale from >= 5 full bench runs with recorded drift
+# and committed provenance, and a round MUST NOT selectively re-pin a
+# query it touched in that same round — a stale-pin dispute on a
+# touched query goes to the next round's judge with the A/B evidence
+# instead (the r14 kql_series_anomalies re-pin is the precedent this
+# rule exists to prevent repeating).
+
+# The driver captures only the LAST 2000 chars of stdout; round 14's
+# emitted line outgrew that (flag detail), which destroyed the whole
+# round-over-round PERF comparison (BENCH_r13.json parsed: null). The
+# emitted line is therefore kept under LINE_BUDGET: verbose flag detail
+# goes to BENCH_SIDE.json next to this file, and the inline flags are
+# compacted to name -> ratio. cpus / defaultParallelism / master are
+# echoed so $SPARK_GRAFT_CPUS honoring is verifiable, not suspected.
+SIDE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_SIDE.json")
+LINE_BUDGET = 1900
+
+
+def compact_line(full: dict) -> str:
+    """One driver-parsable JSON line, guaranteed <= LINE_BUDGET chars.
+
+    Keeps the contract keys verbatim (metric/value/unit/queries/sf),
+    adds the cpu-echo keys, and compacts flag blocks to name -> ratio.
+    If still over budget, optional blocks are dropped in increasing
+    order of importance (the full detail is always in BENCH_SIDE.json);
+    the contract keys and the gate flags are never dropped.
+    """
+    payload: dict = {
+        k: full[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf",
+            "ingest_rows_per_sec", "cpus", "parallelism", "master",
+        )
+        if k in full
+    }
+    if full.get("drift_factor"):
+        payload["drift_factor"] = full["drift_factor"]
+    if full.get("errors"):
+        payload["errors"] = full["errors"]
+    if full.get("ratio_regressions"):
+        payload["ratio_regressions"] = {
+            n: e.get("pin_ratio", e.get("now_normalized"))
+            for n, e in full["ratio_regressions"].items()
+        }
+    if full.get("retest_cleared"):
+        payload["retest_cleared"] = {
+            n: e.get("retest_ratio")
+            for n, e in full["retest_cleared"].items()
+        }
+    for drop in ("retest_cleared", "errors", "master"):
+        line = json.dumps(payload)
+        if len(line) <= LINE_BUDGET:
+            return line
+        payload.pop(drop, None)
+    return json.dumps(payload)
+
 
 def compute_flags(
     timings: dict[str, float],
@@ -162,12 +220,15 @@ def select_controls(
     closest to the run median — the most drift-representative,
     least-suspect queries. They anchor the retest's own drift
     estimate (the main run's drift_factor describes a machine state
-    minutes old by retest time, so it cannot be the retest bar)."""
-    if not pin_ratios:
-        return []
-    srt = sorted(pin_ratios.values())
-    med = srt[len(srt) // 2]
+    minutes old by retest time, so it cannot be the retest bar).
+    Round-15 (r14 advice): the centering median is computed over the
+    UNFLAGGED ratios only — flagged (inflated) ratios would otherwise
+    drag the center toward themselves and bias control selection."""
     cands = [n for n in pin_ratios if n not in flagged]
+    if not cands:
+        return []
+    srt = sorted(pin_ratios[n] for n in cands)
+    med = srt[len(srt) // 2]
     cands.sort(key=lambda n: (abs(pin_ratios[n] - med), n))
     return cands[:k]
 
@@ -270,6 +331,7 @@ def ingest_throughput(
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = all_queries()
@@ -368,16 +430,19 @@ def main() -> None:
             controls = select_controls(pin_ratios, flagged)
 
             def _retime(name: str) -> float | None:
+                # Median of 3, matching how pins were derived (r14
+                # advice: min-of-2 biased borderline real regressions
+                # toward clearing relative to median-of-3 pins).
                 rs = []
                 try:
-                    for _ in range(2):
+                    for _ in range(3):
                         spark.catalog.clearCache()
                         t0 = time.perf_counter()
                         _run(name)
                         rs.append(time.perf_counter() - t0)
                 except Exception:  # noqa: BLE001
                     return None
-                return min(rs)
+                return sorted(rs)[len(rs) // 2]
 
             control_ratios = {}
             for n in controls:
@@ -401,35 +466,40 @@ def main() -> None:
                 ratio_regressions[n].update(entry)
     except (OSError, ValueError, KeyError):
         pass
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "ingest_rows_per_sec": ingest_rps,
-                **({"drift_factor": drift} if drift else {}),
-                **({"errors": errors} if errors else {}),
-                **(
-                    {"absolute_drift": absolute_drift}
-                    if absolute_drift
-                    else {}
-                ),
-                **(
-                    {"ratio_regressions": ratio_regressions}
-                    if ratio_regressions
-                    else {}
-                ),
-                **(
-                    {"retest_cleared": retest_cleared}
-                    if retest_cleared
-                    else {}
-                ),
-            }
-        )
-    )
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "ingest_rows_per_sec": ingest_rps,
+        "cpus": int(cpus) if cpus.isdigit() else cpus,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
+        **({"drift_factor": drift} if drift else {}),
+        **({"errors": errors} if errors else {}),
+        **(
+            {"absolute_drift": absolute_drift}
+            if absolute_drift
+            else {}
+        ),
+        **(
+            {"ratio_regressions": ratio_regressions}
+            if ratio_regressions
+            else {}
+        ),
+        **(
+            {"retest_cleared": retest_cleared}
+            if retest_cleared
+            else {}
+        ),
+    }
+    try:  # full verbose record (absolute_drift, flag detail) on disk
+        with open(SIDE_FILE, "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+    print(compact_line(full))
 
 
 if __name__ == "__main__":

@@ -182,3 +182,77 @@ def test_retest_on_still_slow_machine_keeps_honest_flags():
     )
     assert set(cleared) == {"innocent"}
     assert set(still) == {"guilty"}
+
+
+from bench import LINE_BUDGET, compact_line
+
+
+def _full_payload(n_queries=46, **extra):
+    queries = {f"kql_query_name_{i:02d}": 0.123 + i / 100 for i in range(n_queries)}
+    full = {
+        "metric": "headline_queries_total",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "ingest_rows_per_sec": 283913.4,
+        "cpus": 32,
+        "parallelism": 32,
+        "master": "local[32]",
+        "drift_factor": 1.308,
+    }
+    full.update(extra)
+    return full
+
+
+def test_compact_line_fits_driver_capture():
+    """Round-15 contract: the emitted line must survive the driver's
+    2000-char stdout tail even with every optional block populated at
+    r14-run scale (15 absolute_drift entries sank BENCH_r13/r14)."""
+    import json
+
+    full = _full_payload(
+        absolute_drift={
+            f"kql_query_name_{i:02d}": {"now": 0.9, "pin": 0.5}
+            for i in range(15)
+        },
+        ratio_regressions={
+            f"kql_query_name_{i:02d}": {
+                "pin_ratio": 2.01, "run_median_ratio": 1.3,
+                "retest_ratio": 2.2, "retest_drift": 1.7,
+            }
+            for i in range(6)
+        },
+        retest_cleared={
+            f"kql_query_name_{i:02d}": {
+                "pin_ratio": 2.0, "run_median_ratio": 1.3,
+                "retest_ratio": 1.4, "retest_drift": 1.7,
+            }
+            for i in range(6, 12)
+        },
+        errors={"kql_query_name_45": "x" * 200},
+    )
+    line = compact_line(full)
+    assert len(line) <= LINE_BUDGET
+    parsed = json.loads(line)
+    # contract keys and the cpu echo always survive
+    for key in ("metric", "value", "unit", "queries", "sf",
+                "ingest_rows_per_sec", "cpus", "parallelism"):
+        assert key in parsed
+    assert len(parsed["queries"]) == 46
+    # the gate flags survive compaction as name -> ratio
+    assert parsed["ratio_regressions"]["kql_query_name_00"] == 2.01
+
+
+def test_compact_line_keeps_optional_blocks_when_small():
+    import json
+
+    full = _full_payload(
+        ratio_regressions={"q": {"pin_ratio": 2.5, "run_median_ratio": 1.1}},
+        retest_cleared={"r": {"retest_ratio": 1.2, "retest_drift": 1.1}},
+    )
+    parsed = json.loads(compact_line(full))
+    assert parsed["ratio_regressions"] == {"q": 2.5}
+    assert parsed["retest_cleared"] == {"r": 1.2}
+    assert parsed["master"] == "local[32]"
+    assert len(compact_line(full)) <= LINE_BUDGET
