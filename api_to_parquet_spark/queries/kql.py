@@ -14593,11 +14593,24 @@ def _kql_stages_to_sql(
                 if bools
                 else f"SELECT * FROM {prev}"
             )
-            sb = (
-                f"SELECT {keysel}array_sort(collect_list(struct(*)),"
-                f" (_l, _r) -> {cmp}) AS _scan_arr"
-                f" FROM ({sa}) AS _sca{i}{grp}"
-            )
+            # The sorted row array and the greedy fold are emitted in
+            # the SAME grouped SELECT (round-15): with the fold in its
+            # own projection above the aggregate, Spark's
+            # InferFiltersFromGenerate derived `size(_scan_out) > 0 AND
+            # isnotnull(_scan_out)` from the downstream posexplode and
+            # predicate pushdown inlined the fold into that filter —
+            # the interpreted per-group fold ran THREE times (twice in
+            # the filter, once in the projection; kql_scan exec 1.01 s
+            # → 0.4 s at sf0.1). As an aggregate RESULT expression the
+            # fold is evaluated once inside the final aggregate, and
+            # the inferred filter lands on the agg's cheap output
+            # attribute, which cannot push below the aggregate. The
+            # two collect_list occurrences share one buffer
+            # (semantically-equal aggregates dedupe); the fold's empty
+            # init slices the UNSORTED list — same element type, zero
+            # extra sort.
+            arr = f"array_sort(collect_list(struct(*)), (_l, _r) -> {cmp})"
+            arr_init = "slice(collect_list(struct(*)), 1, 0)"
             if stateful:
                 arms = " ".join(
                     f"WHEN {j - 1} THEN"
@@ -14626,17 +14639,19 @@ def _kql_stages_to_sql(
                     f"CASE CAST(size(_a) % {n} AS INT) {newv_arms} END"
                 )
                 elem = f"named_struct('_r', _r, '_v', {newv_case})"
+                # transform over the EMPTY slice (was: slice of a
+                # transform over the whole array — n wasted lambda
+                # evaluations per group just to type an empty array)
                 init_empty = (
-                    f"slice(transform(_scan_arr, _x ->"
-                    f" named_struct('_r', _x, '_v', {init_struct})),"
-                    " 1, 0)"
+                    f"transform({arr_init}, _x ->"
+                    f" named_struct('_r', _x, '_v', {init_struct}))"
                 )
                 sc = (
-                    f"SELECT {keysel}aggregate(_scan_arr,"
+                    f"SELECT {keysel}aggregate({arr},"
                     f" {init_empty},"
                     f" (_a, _r) -> IF(({advance}) <=> true,"
                     f" array_append(_a, {elem}), _a)) AS _scan_out"
-                    f" FROM ({sb}) AS _scb{i}"
+                    f" FROM ({sa}) AS _scb{i}{grp}"
                 )
                 sd = (
                     f"SELECT _pos, _el FROM ({sc}) AS _scc{i}"
@@ -14652,11 +14667,11 @@ def _kql_stages_to_sql(
                 )
             else:
                 sc = (
-                    f"SELECT {keysel}aggregate(_scan_arr,"
-                    f" slice(_scan_arr, 1, 0),"
+                    f"SELECT {keysel}aggregate({arr},"
+                    f" {arr_init},"
                     f" (_a, _r) -> IF(({advance}) <=> true,"
                     f" array_append(_a, _r), _a)) AS _scan_out"
-                    f" FROM ({sb}) AS _scb{i}"
+                    f" FROM ({sa}) AS _scb{i}{grp}"
                 )
                 sd = (
                     f"SELECT _pos, _r FROM ({sc}) AS _scc{i}"
