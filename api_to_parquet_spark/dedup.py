@@ -97,7 +97,13 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is the *verification* baseline the LSH variant is checked
     against; at 100 TB you run q_minhash_lsh_pairs instead."""
     # shingle once, not per join side (persist, round-14 — the
-    # cached twin of q_simhash_dup_pairs' fingerprint-once note)
+    # cached twin of q_simhash_dup_pairs' fingerprint-once note).
+    # LIFETIME (r14 advice): the block is never unpersisted here — the
+    # returned DataFrame still references it lazily, so there is no
+    # safe in-function release point. bench.py bounds it via
+    # clearCache() between reps; a long-lived embedding session that
+    # calls this repeatedly should spark.catalog.clearCache() (or
+    # df.unpersist() after consuming the result) itself.
     d = shingled_docs(spark, sf_dir).persist()
     a, b = d.alias("a"), d.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
@@ -216,41 +222,89 @@ def _expand_id_pairs(buckets: DataFrame) -> DataFrame:
         ).alias("p")
     ).select("p.doc_a", "p.doc_b")
 
-    # Mega path: explode members once with a stable bucket key + block id,
-    # then explode each member into its block-pair cells so (bk, bi, bj)
-    # is the JOIN KEY — Spark hash-partitions on all three, and no task
-    # ever sees more than one ~MEGA_BUCKET x ~MEGA_BUCKET cell. Runs only
-    # on the oversized buckets' rows.
-    members = big.select(
-        F.xxhash64("ids").alias("bk"),
-        n_blocks.alias("nb"),
-        F.explode("ids").alias("doc"),
-    ).select(
-        "bk",
-        "nb",
-        "doc",
-        F.pmod(F.xxhash64("doc"), F.col("nb")).cast("int").alias("blk"),
-    )
-    row_cells = members.select(
-        "bk",
-        "doc",
-        F.col("blk").alias("bi"),
-        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("bj"),
-    )
-    col_cells = members.select(
-        "bk",
-        F.col("doc").alias("doc2"),
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
-        F.col("blk").alias("bj"),
-    )
-    big_pairs = (
-        row_cells.join(col_cells, ["bk", "bi", "bj"])
-        .filter(F.col("doc") != F.col("doc2"))
-        .select(
-            F.least("doc", "doc2").alias("doc_a"),
-            F.greatest("doc", "doc2").alias("doc_b"),
+    # Mega path (round-15 restructure): each member explodes ONCE into
+    # its block-pair cells carrying a ROLE tag — role 1 covers cells
+    # (blk, blk..nb-1), role 2 covers (0..blk, blk) — and ONE groupBy
+    # on (bk, bi, bj) gathers both roles of a cell, whose cross product
+    # expands map-side exactly like the small path. The former shape
+    # (row_cells JOIN col_cells on the cell key) re-ran the post-shuffle
+    # band aggregate once per join side — 3 runs of it per query incl.
+    # the small branch (the two mega branches were pure waste on every
+    # sane corpus, where mega buckets are EMPTY) — and could not share
+    # one exchange because each side's role projection forced its own
+    # lineage. Now the whole mega path is one consumer: band agg runs
+    # 2x (small + cells), and the cell exchange is the groupBy's own
+    # hashpartitioning(bk, bi, bj), preserving the bounded-cell
+    # property (~2*MEGA_BUCKET members per key, ~MEGA_BUCKET^2
+    # comparisons per task, same bound as the small path's in-array
+    # expansion). Same pair set, provably: cell membership per role is
+    # unchanged, and the in-cell cross product emits exactly the former
+    # join's (doc != doc2) matches as least/greatest pairs into the
+    # same final distinct.
+    cells = (
+        big.select(
+            F.xxhash64("ids").alias("bk"),
+            n_blocks.alias("nb"),
+            F.explode("ids").alias("doc"),
         )
+        .select(
+            "bk",
+            "doc",
+            "nb",
+            F.pmod(F.xxhash64("doc"), F.col("nb"))
+            .cast("int")
+            .alias("blk"),
+        )
+        .select(
+            "bk",
+            "doc",
+            F.explode(
+                F.concat(
+                    F.transform(
+                        F.sequence(F.col("blk"), F.col("nb") - 1),
+                        lambda j: F.struct(
+                            F.lit(1).alias("role"),
+                            F.col("blk").alias("bi"),
+                            j.alias("bj"),
+                        ),
+                    ),
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("blk")),
+                        lambda i: F.struct(
+                            F.lit(2).alias("role"),
+                            i.alias("bi"),
+                            F.col("blk").alias("bj"),
+                        ),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("bk", "doc", "c.role", "c.bi", "c.bj")
     )
+    grouped = cells.groupBy("bk", "bi", "bj").agg(
+        F.collect_list(F.when(F.col("role") == 1, F.col("doc"))).alias(
+            "rdocs"
+        ),
+        F.collect_list(F.when(F.col("role") == 2, F.col("doc"))).alias(
+            "cdocs"
+        ),
+    )
+    big_pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "rdocs",
+                    lambda x: F.transform(
+                        F.filter("cdocs", lambda y: y != x),
+                        lambda y: F.struct(
+                            F.least(x, y).alias("doc_a"),
+                            F.greatest(x, y).alias("doc_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b")
     return small_pairs.unionByName(big_pairs).distinct()
 
 
@@ -310,46 +364,87 @@ def _expand_struct_pairs(buckets: DataFrame, keep) -> DataFrame:
         ).alias("p")
     ).select("p.doc_a", "p.doc_b", "p.pay_a", "p.pay_b")
 
-    members = big.select(
-        F.xxhash64("ids").alias("bk"),
-        n_blocks.alias("nb"),
-        F.explode("ids").alias("m"),
-    ).select(
-        "bk",
-        "nb",
-        F.col("m.id").alias("doc"),
-        F.col("m.pay").alias("pay"),
-        F.pmod(F.xxhash64("m.id"), F.col("nb")).cast("int").alias("blk"),
-    )
-    row_cells = members.select(
-        "bk",
-        "doc",
-        "pay",
-        F.col("blk").alias("bi"),
-        F.explode(F.sequence(F.col("blk"), F.col("nb") - 1)).alias("bj"),
-    )
-    col_cells = members.select(
-        "bk",
-        F.col("doc").alias("doc2"),
-        F.col("pay").alias("pay2"),
-        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
-        F.col("blk").alias("bj"),
-    )
-    big_pairs = (
-        row_cells.join(col_cells, ["bk", "bi", "bj"])
-        .filter(F.col("doc") != F.col("doc2"))
-        .filter(keep(F.col("pay"), F.col("pay2")))
-        .select(
-            F.least("doc", "doc2").alias("doc_a"),
-            F.greatest("doc", "doc2").alias("doc_b"),
-            F.when(F.col("doc") < F.col("doc2"), F.col("pay"))
-            .otherwise(F.col("pay2"))
-            .alias("pay_a"),
-            F.when(F.col("doc") < F.col("doc2"), F.col("pay2"))
-            .otherwise(F.col("pay"))
-            .alias("pay_b"),
+    # Same round-15 single-exchange cell restructure as _expand_id_pairs
+    # (see there), with each member's payload riding its cell rows and
+    # the verify predicate applied WHERE THE PAIR IS BORN — inside the
+    # in-cell cross product, matching the small path, so rejected
+    # candidates never cross the distinct shuffle. keep()'s argument
+    # order (row-role payload first) matches the former join's
+    # keep(pay, pay2) exactly.
+    cells = (
+        big.select(
+            F.xxhash64("ids").alias("bk"),
+            n_blocks.alias("nb"),
+            F.explode("ids").alias("m"),
         )
+        .select(
+            "bk",
+            "m",
+            "nb",
+            F.pmod(F.xxhash64("m.id"), F.col("nb"))
+            .cast("int")
+            .alias("blk"),
+        )
+        .select(
+            "bk",
+            "m",
+            F.explode(
+                F.concat(
+                    F.transform(
+                        F.sequence(F.col("blk"), F.col("nb") - 1),
+                        lambda j: F.struct(
+                            F.lit(1).alias("role"),
+                            F.col("blk").alias("bi"),
+                            j.alias("bj"),
+                        ),
+                    ),
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("blk")),
+                        lambda i: F.struct(
+                            F.lit(2).alias("role"),
+                            i.alias("bi"),
+                            F.col("blk").alias("bj"),
+                        ),
+                    ),
+                )
+            ).alias("c"),
+        )
+        .select("bk", "m", "c.role", "c.bi", "c.bj")
     )
+    grouped = cells.groupBy("bk", "bi", "bj").agg(
+        F.collect_list(F.when(F.col("role") == 1, F.col("m"))).alias(
+            "rms"
+        ),
+        F.collect_list(F.when(F.col("role") == 2, F.col("m"))).alias(
+            "cms"
+        ),
+    )
+    big_pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "rms",
+                    lambda x: F.transform(
+                        F.filter(
+                            "cms",
+                            lambda y: (y["id"] != x["id"])
+                            & keep(x["pay"], y["pay"]),
+                        ),
+                        lambda y: F.struct(
+                            F.least(x["id"], y["id"]).alias("doc_a"),
+                            F.greatest(x["id"], y["id"]).alias("doc_b"),
+                            F.when(x["id"] < y["id"], x["pay"])
+                            .otherwise(y["pay"])
+                            .alias("pay_a"),
+                            F.when(x["id"] < y["id"], y["pay"])
+                            .otherwise(x["pay"])
+                            .alias("pay_b"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.doc_a", "p.doc_b", "p.pay_a", "p.pay_b")
     return small_pairs.unionByName(big_pairs).distinct()
 
 
@@ -460,6 +555,14 @@ def connected_components(
     (node, min-id) labeling in microseconds. Any larger edge set
     takes the distributed loop unchanged — the decision is made from
     runtime cardinality, never a constant tuned to one scale.
+
+    NULL node ids are OUT OF CONTRACT for both strategies and cannot
+    reach either: the `u != v` pre-filter below evaluates to NULL for
+    any NULL-bearing row and drops it BEFORE the strategy split, so
+    the driver union-find never compares a None and the two paths
+    cannot diverge on dirty edge lists (r14 advice; pinned by
+    tests/test_dedup_scale.py::
+    test_connected_components_null_ids_dropped_identically).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -1024,7 +1127,10 @@ def q_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured 1.6→1.1 s at sf0.1). MEMORY_AND_DISK spills at
         # scale; the alternative is a second full scan+hash pass, the
         # same O(corpus) either way but compute-bound instead of
-        # IO-bound.
+        # IO-bound. LIFETIME (r14 advice): not unpersisted here — the
+        # returned DataFrame references it lazily; bench.py bounds it
+        # via clearCache() between reps, long-lived library callers
+        # should clearCache()/unpersist() after consuming the result.
         .persist()
     )
     # ">= 2 distinct docs" needs only min(doc) != max(doc) — two

@@ -292,10 +292,20 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
-    full = flagged.join(
-        drops.withColumn("dropped", F.lit(True)), "doc_id", "left"
-    ).withColumn(
-        "n_pass", F.col("e_pass") & F.col("dropped").isNull()
+    # Census branch rides a doc_id join exchange at scale (AQE may
+    # broadcast `drops` locally): project the token ARRAY down to its
+    # size first — the census only sums counts, so its exchange rows
+    # carry an int instead of the tokenized document (round-15, guide
+    # §2.3 project before the exchange).
+    full = (
+        flagged.select(
+            "doc_id",
+            F.size("ws").alias("n_ws"),
+            "q_pass",
+            "e_pass",
+        )
+        .join(drops.withColumn("dropped", F.lit(True)), "doc_id", "left")
+        .withColumn("n_pass", F.col("e_pass") & F.col("dropped").isNull())
     )
 
     # One conditional aggregate over the flagged rows → a single row of
@@ -303,7 +313,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pair(flag, suffix):
         return [
             F.sum(F.when(flag, 1).otherwise(0)).alias(f"d_{suffix}"),
-            F.sum(F.when(flag, F.size("ws")).otherwise(0)).alias(
+            F.sum(F.when(flag, F.col("n_ws")).otherwise(0)).alias(
                 f"t_{suffix}"
             ),
         ]

@@ -41,3 +41,118 @@ def test_duplicate_pairs_across_buckets_dedupe(spark):
         (5, 9),
         (2, 9),
     }
+
+
+def test_struct_variant_mega_path_matches_in_array_path(spark, monkeypatch):
+    """Round-15: _expand_struct_pairs' mega path (role-tagged cells +
+    one grouped cross product) must emit the same verified pair set as
+    the small in-array path, including the keep() predicate applied at
+    pair birth and payload assignment by id order."""
+    ids = list(range(0, 120, 2))  # 60 members, pay = 10*id
+    rows = [([{"id": i, "pay": 10 * i} for i in ids],)]
+    df = spark.createDataFrame(
+        rows, "ids: array<struct<id: long, pay: long>>"
+    )
+    keep = lambda a, b: (a + b) % 3 == 0  # noqa: E731
+    expected = {
+        (a, b, 10 * a, 10 * b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (10 * a + 10 * b) % 3 == 0
+    }
+
+    def run():
+        out = dedup._expand_struct_pairs(df, keep)
+        return {
+            (r["doc_a"], r["doc_b"], r["pay_a"], r["pay_b"])
+            for r in out.collect()
+        }
+
+    assert run() == expected  # small path (60 <= MEGA_BUCKET)
+    monkeypatch.setattr(dedup, "MEGA_BUCKET", 8)
+    assert run() == expected  # mega cell path (60 > 8)
+
+
+def test_connected_components_boundary_at_driver_limit(spark):
+    """Round-15 (verdict item 8): exactly AT driver_max_edges the edge
+    set takes the driver union-find; one past it takes the distributed
+    star loop; both label identically. Run with the real
+    CC_DRIVER_MAX_EDGES-shaped decision parameterized small so the
+    equality check stays fast on both sides of the threshold."""
+    import random
+
+    from api_to_parquet_spark.dedup import connected_components
+
+    rng = random.Random(7)
+    n = 400
+    edges = [
+        (f"doc-{rng.randrange(n):04d}", f"doc-{rng.randrange(n):04d}")
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    # the internal edge count dedups DIRECTED pairs after the u != v
+    # filter — mirror it exactly so the threshold comparison is exact
+    distinct_edges = (
+        df.filter("doc_a != doc_b")
+        .selectExpr("doc_a AS u", "doc_b AS v")
+        .distinct()
+        .count()
+    )
+    at_limit, r_at = connected_components(
+        df, driver_max_edges=distinct_edges
+    )
+    over_limit, r_over = connected_components(
+        df, driver_max_edges=distinct_edges - 1
+    )
+    assert r_at == 0 and r_over > 0  # driver path vs star loop
+    assert sorted(map(tuple, at_limit.collect())) == sorted(
+        map(tuple, over_limit.collect())
+    )
+
+
+def test_connected_components_driver_path_at_default_limit_scale(spark):
+    """The default 200k-edge driver fast path with wide string ids:
+    the collect is ~30 MB against the 8 g driver, union-find labels it
+    in-process, and every component is labeled by its minimum id. This
+    pins that the DEFAULT threshold itself is drive-able — the
+    distributed twin of this size is covered (parameterized) above."""
+    from pyspark.sql import functions as F
+
+    from api_to_parquet_spark.dedup import (
+        CC_DRIVER_MAX_EDGES,
+        connected_components,
+    )
+
+    n_edges = CC_DRIVER_MAX_EDGES  # 200k chain edges, 64-char ids
+    pad = "x" * 50
+    edges = spark.range(n_edges).select(
+        F.format_string(f"id-{pad}-%09d", F.col("id")).alias("doc_a"),
+        F.format_string(f"id-{pad}-%09d", F.col("id") + 1).alias(
+            "doc_b"
+        ),
+    )
+    labels, rounds = connected_components(edges)
+    assert rounds == 0  # exactly at the limit -> driver path
+    rows = labels.collect()
+    assert len(rows) == n_edges + 1
+    root = f"id-{pad}-%09d" % 0
+    assert all(r["component"] == root for r in rows)
+
+
+def test_connected_components_null_ids_dropped_identically(spark):
+    """Null-id edges die in the u != v pre-filter BEFORE the strategy
+    split (NULL comparisons are NULL), so the driver fast path never
+    sees a None and both paths emit the same labels (r14 advice: the
+    paths must not diverge in failure behavior on dirty edge lists)."""
+    from api_to_parquet_spark.dedup import connected_components
+
+    df = spark.createDataFrame(
+        [("a", "b"), (None, "c"), ("d", None), (None, None), ("b", "e")],
+        ["doc_a", "doc_b"],
+    )
+    fast, r0 = connected_components(df)
+    slow, _ = connected_components(df, driver_max_edges=0)
+    assert r0 == 0
+    out_fast = sorted(map(tuple, fast.collect()))
+    assert out_fast == sorted(map(tuple, slow.collect()))
+    assert out_fast == [("a", "a"), ("b", "a"), ("e", "a")]
