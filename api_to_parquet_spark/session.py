@@ -55,6 +55,28 @@ def get_spark(
             str(max(8 * (int(cpus) if cpus.isdigit() else 32), 256)),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate derives `size(arr) > 0 AND
+        # isnotnull(arr)` from every explode, and predicate pushdown
+        # then inlines the full ARRAY-PRODUCING EXPRESSION into that
+        # filter wherever the generator input is a computed column —
+        # re-evaluating interpreted HOF pipelines once per row per
+        # reference (round-15 audit: decontaminate re-built its gram
+        # array twice per doc, 9.2 -> 1.5 s at sf0.1 with the rule
+        # excluded; simhash_band_pairs re-sorted every bucket, 4.6 ->
+        # 3.1 s; ann_lsh_topk re-computed 64 hyperplane dot products
+        # per row). The generate itself already skips empty/null
+        # arrays, and none of this engine's plans can push the
+        # inferred predicate into a scan or join where it would prune
+        # anything (size() never reaches PushedFilters), so the rule
+        # is pure duplicated compute here — at ANY scale, since the
+        # duplication is per input row. Oracle results are unaffected
+        # (optimizer rule, not semantics); the full 318-query gate and
+        # the bench run green with it excluded.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.hadoop.parquet.block.size", str(PARQUET_BLOCK_SIZE))
