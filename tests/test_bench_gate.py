@@ -20,8 +20,17 @@ import os
 
 from bench import PIN_RATIO, compute_flags
 
-_PINS_PATH = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "bench_pins.json")
+# The replay tests below re-run RECORDED driver timings through the
+# gate, so they must use the pins of the SAME ERA as those recordings
+# (round-13), frozen as a fixture — bench_pins.json itself is now
+# re-derived wholesale each optimization round (round-15 governance),
+# so replaying r13 seconds against live pins would flag every query
+# the later rounds made faster.
+_PINS_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "fixtures",
+    "bench_pins_r13.json",
+)
 
 
 def _pins():
