@@ -307,7 +307,11 @@ def _quantile(srt, p: float, ni: int):
     return srt[idx - 1]
 
 
-_REGISTERED: "set[int]" = set()
+import weakref
+
+# Keyed on the LIVE Python session object (a dead object's recycled
+# id() must not suppress registration on a brand-new session).
+_REGISTERED: "weakref.WeakSet" = weakref.WeakSet()
 
 
 def register_decompose_udfs(spark) -> None:
@@ -317,8 +321,7 @@ def register_decompose_udfs(spark) -> None:
     ArrowEvalPython, never BatchEvalPython) while each row still
     arrives as plain Python objects — list elements keep None distinct
     from NaN, which the pandas_udf path would conflate."""
-    key = id(spark._jsparkSession)
-    if key in _REGISTERED:
+    if spark in _REGISTERED:
         return
     from pyspark.sql.functions import udf
     from pyspark.sql.types import (
@@ -358,4 +361,4 @@ def register_decompose_udfs(spark) -> None:
         SDA_UDF_NAME, udf(_sda, sda_type, useArrow=True)
     )
     spark.udf.register(SD_UDF_NAME, udf(_sd, sd_type, useArrow=True))
-    _REGISTERED.add(key)
+    _REGISTERED.add(spark)
