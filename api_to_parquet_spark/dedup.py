@@ -131,21 +131,24 @@ def hashed_shingles(sh: Column) -> Column:
 # and REJECTED: at ~50 shingles/doc the Arrow transfer + per-doc Python
 # loop costs more than the interpreted JVM folds (0.8s vs 0.55s at
 # sf0.1). Revisit only if shingle arrays grow 10x.
-def minhash_signature(hs: Column) -> Column:
+def minhash_signature(hs: str = "hs") -> Column:
     """64-element MinHash signature as one array column: each permutation
     is an array_min over an affine rehash of the pre-hashed shingles —
     all computed map-side per row, zero shuffles.
 
-    `hs` MUST be a projected column reference: it is referenced 64 times
-    inside interpreted lambdas, so a nested expression would be hashed 64x
-    per row."""
-    sigs = [
-        F.array_min(
-            F.transform(hs, lambda h: F.pmod(a * h + b, F.lit(MERSENNE_P)))
-        )
+    `hs` is the NAME of a projected column (round-15: the 64
+    permutations are one F.expr SQL string — the Column-API/lambda
+    construction cost ~64 py4j round-trip clusters of driver time per
+    query construction; the parsed trees are identical, pinned bitwise
+    by tests/test_dedup_scale.py). It must stay a plain column
+    reference: a nested expression would be re-hashed 64x per row
+    inside the interpreted lambdas."""
+    parts = ", ".join(
+        f"array_min(transform({hs},"
+        f" _h -> pmod({a} * _h + {b}, {MERSENNE_P})))"
         for a, b in MINHASH_PARAMS
-    ]
-    return F.array(*sigs)
+    )
+    return F.expr(f"array({parts})")
 
 
 def lsh_bands(sig: Column) -> Column:
@@ -461,7 +464,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = shingled_docs(spark, sf_dir)
     sigs = docs.select(
         "doc_id", hashed_shingles(F.col("sh")).alias("hs")
-    ).select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
+    ).select("doc_id", minhash_signature("hs").alias("sig"))
     bands = sigs.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "bucket")
     )
@@ -778,36 +781,45 @@ def _simhashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     counting happens in the PARTIAL hash aggregate (words of one doc
     are colocated in its input row), so the exchange carries ONE
     31-column row per document, not the tokenized corpus."""
+    # The 30 packed sums and the 60-term majority reconstruction are
+    # built as SQL STRINGS, one F.expr each (round-15): composing them
+    # through the Column API cost ~10,500 py4j socket round-trips —
+    # ~2.1 s of single-threaded driver time per CONSTRUCTION of any
+    # simhash query (profiled: recv_into 1.4 s, getActiveSession 0.7 s)
+    # — paid on every submission at any scale. The parsed expressions
+    # are the identical trees (same functions, same literal types, same
+    # left-associated add chain), pinned by
+    # tests/test_dedup_scale.py::test_simhash_expr_rewrite_bit_identical
+    # against the full sf0.1 corpus at the rewrite commit.
     d = spread(load(spark, sf_dir, "documents"))
     ex = d.select("doc_id", F.explode(words()).alias("w")).select(
         "doc_id", word_hash60(F.col("w")).alias("h")
     )
     aggs = [
-        F.sum(
-            F.shiftright("h", 2 * b).bitwiseAND(F.lit(1))
-            + F.shiftleft(
-                F.shiftright("h", 2 * b + 1).bitwiseAND(F.lit(1)), 32
-            )
+        F.expr(
+            f"sum((shiftright(h, {2 * b}) & 1)"
+            f" + shiftleft(shiftright(h, {2 * b + 1}) & 1, 32))"
         ).alias(f"p{b}")
         for b in range(SIMHASH_BITS // 2)
     ]
     g = ex.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
     terms = []
     for b in range(SIMHASH_BITS // 2):
-        lo = F.col(f"p{b}").bitwiseAND(F.lit((1 << 32) - 1))
-        hi = F.shiftright(F.col(f"p{b}"), 32)
+        lo = f"(p{b} & 4294967295)"
+        hi = f"shiftright(p{b}, 32)"
         terms.append(
-            F.when(
-                2 * lo >= F.col("n"), F.lit(1 << (2 * b)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+            f"CASE WHEN (2 * {lo}) >= n"
+            f" THEN CAST({1 << (2 * b)} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
         )
         terms.append(
-            F.when(
-                2 * hi >= F.col("n"), F.lit(1 << (2 * b + 1)).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
+            f"CASE WHEN (2 * {hi}) >= n"
+            f" THEN CAST({1 << (2 * b + 1)} AS BIGINT)"
+            " ELSE CAST(0 AS BIGINT) END"
         )
-    sh = sum(terms[1:], terms[0])
-    return g.select("doc_id", sh.alias("simhash"))
+    return g.select(
+        "doc_id", F.expr(" + ".join(terms)).alias("simhash")
+    )
 
 
 def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -262,7 +262,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = e.select("doc_id", shingles(F.col("ws")).alias("sh"))
     sigs = sh.select(
         "doc_id", hashed_shingles(F.col("sh")).alias("hs")
-    ).select("doc_id", minhash_signature(F.col("hs")).alias("sig"))
+    ).select("doc_id", minhash_signature("hs").alias("sig"))
     bands = sigs.select(
         "doc_id", F.posexplode(lsh_bands(F.col("sig"))).alias("band", "bucket")
     )

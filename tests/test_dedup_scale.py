@@ -156,3 +156,95 @@ def test_connected_components_null_ids_dropped_identically(spark):
     out_fast = sorted(map(tuple, fast.collect()))
     assert out_fast == sorted(map(tuple, slow.collect()))
     assert out_fast == [("a", "a"), ("b", "a"), ("e", "a")]
+
+
+def test_simhash_expr_rewrite_bit_identical(spark, sf_smoke):
+    """Round-15: _simhashed and minhash_signature build their
+    expression trees as SQL strings (the Column-API construction cost
+    ~10.5k py4j round trips ≈ 2 s of driver time per query build).
+    This pins the rewritten expressions against the retired Column-API
+    construction, reproduced here verbatim, on the whole smoke corpus:
+    fingerprints and signatures must be BIT-identical."""
+    from pyspark.sql import functions as F
+
+    from api_to_parquet_spark.dedup import (
+        MINHASH_PARAMS,
+        SIMHASH_BITS,
+        _simhashed,
+        hashed_shingles,
+        shingled_docs,
+        word_hash60,
+        words,
+    )
+    from api_to_parquet_spark.lake import load, spread
+
+    # --- simhash: retired Column-API reference ---
+    d = spread(load(spark, sf_smoke, "documents"))
+    ex = d.select("doc_id", F.explode(words()).alias("w")).select(
+        "doc_id", word_hash60(F.col("w")).alias("h")
+    )
+    aggs = [
+        F.sum(
+            F.shiftright("h", 2 * b).bitwiseAND(F.lit(1))
+            + F.shiftleft(
+                F.shiftright("h", 2 * b + 1).bitwiseAND(F.lit(1)), 32
+            )
+        ).alias(f"p{b}")
+        for b in range(SIMHASH_BITS // 2)
+    ]
+    g = ex.groupBy("doc_id").agg(F.count("*").alias("n"), *aggs)
+    terms = []
+    for b in range(SIMHASH_BITS // 2):
+        lo = F.col(f"p{b}").bitwiseAND(F.lit((1 << 32) - 1))
+        hi = F.shiftright(F.col(f"p{b}"), 32)
+        terms.append(
+            F.when(
+                2 * lo >= F.col("n"), F.lit(1 << (2 * b)).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        terms.append(
+            F.when(
+                2 * hi >= F.col("n"),
+                F.lit(1 << (2 * b + 1)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    ref = {
+        r["doc_id"]: r["simhash"]
+        for r in g.select(
+            "doc_id", sum(terms[1:], terms[0]).alias("simhash")
+        ).collect()
+    }
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in _simhashed(spark, sf_smoke).collect()
+    }
+    assert got == ref and len(got) > 0
+
+    # --- minhash: retired Column-API reference ---
+    from api_to_parquet_spark.dedup import MERSENNE_P, minhash_signature
+
+    hs_tbl = shingled_docs(spark, sf_smoke).select(
+        "doc_id", hashed_shingles(F.col("sh")).alias("hs")
+    )
+    ref_sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"),
+                    lambda h: F.pmod(a * h + b, F.lit(MERSENNE_P)),
+                )
+            )
+            for a, b in MINHASH_PARAMS
+        ]
+    )
+    ref_rows = {
+        r["doc_id"]: r["sig"]
+        for r in hs_tbl.select("doc_id", ref_sig.alias("sig")).collect()
+    }
+    got_rows = {
+        r["doc_id"]: r["sig"]
+        for r in hs_tbl.select(
+            "doc_id", minhash_signature("hs").alias("sig")
+        ).collect()
+    }
+    assert got_rows == ref_rows and len(got_rows) > 0
